@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators — the reference's constraint-based dedup
+  * (`UNIQUE` + `INSERT OR IGNORE`, `/root/reference/src/1_fetch_data.py:64-71`,
+  * keep-first `drop_duplicates`, `/root/reference/src/3_transform_data.py:424-431`)
+  * plus the LLM-pipeline near-dup family (MinHash/LSH, SimHash, n-gram
+  * Jaccard, embedding cosine).
+  *
+  * All exact variants are hash-groupBy/window formulations: one shuffle on
+  * the dedup key, no driver-side state, no collect. Spark's plain
+  * `dropDuplicates` keeps an ORDER-NONDETERMINISTIC row; everything here
+  * uses an explicit deterministic tie-break so re-runs (and a 1000-executor
+  * cluster) reproduce byte-identical output.
+  */
+object Dedup {
+
+  /** Keep exactly one row per key: the one minimizing `orderCols`.
+    * Deterministic replacement for `dropDuplicates(keys)`.
+    */
+  def keepFirst(df: DataFrame, keys: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact content dedup via md5 of a normalized text column. Returns the
+    * surviving rows (min `idCol` per digest). Hash-groupBy: the 100 TB shape
+    * — shuffle moves only (digest, id), not the documents.
+    */
+  def exactByDigest(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val digested = df.withColumn("__digest", md5(normalizeText(col(textCol))))
+    val survivors = digested.groupBy("__digest").agg(min(col(idCol)).as(idCol))
+    // Survivor ids are unique, so an inner join back is a 1:1 lookup;
+    // at scale this is a shuffle join on the (small) survivor set.
+    digested.join(survivors, Seq("__digest", idCol), "left_semi").drop("__digest")
+  }
+
+  /** Lowercase, collapse whitespace, trim — the canonical form used by all
+    * content-hash dedup variants.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Word n-gram shingles of a text column as an array column. */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = split(normalizeText(c), " ")
+    // transform over the sliding starts; filter out the tail windows.
+    filter(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => when(i + n <= size(toks), array_join(slice(toks, i + lit(1), lit(n)), " "))),
+      x => x.isNotNull)
+  }
+
+  /** Deterministic 64-bit hash of a shingle with a seed, via xxhash64. */
+  private def seededHash(c: Column, seed: Int): Column = xxhash64(lit(seed), c)
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * minimum hash over the row's shingle set. Pure expression tree — stays
+    * inside whole-stage codegen, no UDF.
+    */
+  def minHashSignature(shingleCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { s =>
+      array_min(transform(shingleCol, x => seededHash(x, s)))
+    }: _*)
+
+  /** MinHash-LSH candidate pairs: band the signature, hash each band,
+    * self-join on (band index, band hash). Returns (idA, idB, jaccardEst)
+    * with idA < idB, deduped across bands. The band join is the scale path:
+    * no O(n²) comparison; shuffle keys are the band buckets.
+    */
+  def minHashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = df
+      .select(col(idCol), shingles(col(textCol), shingleSize).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__sig", minHashSignature(col("__sh"), numHashes))
+
+    val banded = sigs.select(
+      col(idCol), col("__sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(lit("band"), b,
+          array_join(transform(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            _.cast("string")), ",")))))
+      .withColumnRenamed("pos", "__band")
+      .withColumnRenamed("col", "__bucket")
+
+    val a = banded.select(col("__band"), col("__bucket"),
+      col(idCol).as("id_a"), col("__sig").as("__sig_a"))
+    val b = banded.select(col("__band"), col("__bucket"),
+      col(idCol).as("id_b"), col("__sig").as("__sig_b"))
+
+    a.join(b, Seq("__band", "__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("__sig_a"), col("__sig_b"), (x, y) => x === y),
+          b => b)) / lit(numHashes.toDouble)).as("jaccard_est"))
+      .groupBy("id_a", "id_b").agg(max("jaccard_est").as("jaccard_est"))
+  }
+
+  /** Exact n-gram Jaccard similarity for given candidate pairs.
+    * `pairs` has (id_a, id_b); texts joined in twice. Array intersection /
+    * union on distinct shingles — expression-only.
+    */
+  def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val sh = docs.select(col(idCol), array_distinct(shingles(col(textCol), n)).as("__sh"))
+    pairs
+      .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("__sh", "__sh_a"), Seq("id_a"))
+      .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("__sh", "__sh_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("__sh_a"), col("__sh_b"))) /
+          size(array_union(col("__sh_a"), col("__sh_b"))).cast("double"))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over word tokens: sign-sum of per-token hash bits.
+    * Expression-only formulation: for each bit position, count tokens whose
+    * hash has the bit set vs total, set the output bit when set-count
+    * exceeds half. Near-dups then group by hamming-band prefix.
+    */
+  def simHash(c: Column): Column = {
+    val toks = split(normalizeText(c), " ")
+    val hashes = transform(toks, t => xxhash64(t))
+    // For bit i: popcount of tokens with bit set; majority vote.
+    val bits = (0 until 64).map { i =>
+      val setCnt = size(filter(hashes, h => h.bitwiseAND(lit(1L << i)) =!= lit(0L)))
+      when(setCnt * 2 >= size(hashes), lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Embedding near-dup pairs: cosine similarity above `threshold` among
+    * candidate pairs bucketed by LSH random hyperplanes (see Similarity).
+    * Brute-force variant for oracle-checkable correctness.
+    */
+  def embeddingNearDupBrute(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("__va"), col("__vb")))
+      .filter(col("cos") > threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

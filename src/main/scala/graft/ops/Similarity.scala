@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an embedding column (`ARRAY<FLOAT>`).
+  *
+  * Baseline: brute-force cosine top-k — correct, oracle-checkable, O(Q·N).
+  * Scale path: LSH bucketing by random-hyperplane sign bits (deterministic
+  * pseudo-random planes derived from xxhash64 so every executor — and the
+  * oracle — derives identical planes without shipping state), which turns
+  * the N×N candidate space into per-bucket joins.
+  *
+  * All arithmetic is done in DOUBLE with left-to-right accumulation
+  * (`aggregate` over `zip_with`) so results are bit-reproducible across
+  * partitionings and match a sequential oracle.
+  */
+object Similarity {
+
+  /** Dot product of two array columns, accumulated in double, in order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each probe row, the k nearest build rows.
+    * Probe set is expected small (a query batch); build side is the corpus.
+    * The cross join broadcasts the probe side; ranking is a window per
+    * probe id — shuffle on probe id only. Deterministic tie-break on
+    * neighbor id.
+    */
+  def bruteForceTopK(
+      probes: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val pairs = broadcast(p).crossJoin(c)
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 scaled into [-1, 1]. Shared derivation with any oracle.
+    */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (xxhash64(lit(plane), dim).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** Sign-bit LSH bucket id from `numPlanes` hyperplanes; `seedOffset`
+    * selects an independent hash table's plane family.
+    */
+  def lshBucket(vec: Column, numPlanes: Int, seedOffset: Int = 0): Column = {
+    val bits = (0 until numPlanes).map { pl =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (v, i) => v.cast("double") * planeComponent(seedOffset + pl, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << pl)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN top-k via LSH buckets: candidates share a bucket with the probe
+    * (optionally multi-probe across several plane sets), ranked by exact
+    * cosine. Trades recall for a bucket-local join — the 100 TB shape.
+    */
+  def lshTopK(
+      probes: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      numPlanes: Int = 8, tables: Int = 2): DataFrame = {
+    val withBuckets = (df: DataFrame, prefix: String) => {
+      val buckets = array((0 until tables).map(t =>
+        struct(lit(t).as("t"),
+          lshBucket(col(vecCol), numPlanes, seedOffset = t * numPlanes).as("b"))): _*)
+      df.select(col(idCol).as(s"${prefix}_id"), col(vecCol).as(s"__${prefix}v"),
+        explode(buckets).as("__bt"))
+        .select(col(s"${prefix}_id"), col(s"__${prefix}v"),
+          col("__bt.t").as("__t"), col("__bt.b").as("__b"))
+    }
+    val p = withBuckets(probes, "query")
+    val c = withBuckets(corpus, "neighbor")
+    val cand = p.join(c, Seq("__t", "__b"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("__queryv"), col("__neighborv"))
+      .distinct()
+      .withColumn("cos", cosine(col("__queryv"), col("__neighborv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+}

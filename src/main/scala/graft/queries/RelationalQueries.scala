@@ -1,0 +1,167 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core relational operators over the TPC-H-ish tables: the join/agg/scan
+  * surface of SURVEY.md §2.1 (S5), §2.3 (J1/J2/J9), §2.4 (A1/A4/A7/A8).
+  *
+  * Plan-shape notes (verified with .explain("formatted")):
+  *  - dimension joins broadcast (`part`, `customer` are small at any SF
+  *    relative to facts; at 100 TB they stay broadcast-able dims or become
+  *    shuffle joins that AQE re-plans);
+  *  - aggregates are partial (map-side combine) before the single shuffle;
+  *  - scans show PushedFilters + pruned ReadSchema.
+  */
+object RelationalQueries extends QueryGroup {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  val queries: Map[String, Q] = Map(
+    // A1: group-agg leaderboard shape on the fact table.
+    "q_agg_sum_group" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          dec(sum(dec(col("l_quantity")))).as("sum_qty"),
+          dec(sum(dec(col("l_extendedprice")))).as("sum_price"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"))
+    }),
+
+    // J2: fact × broadcast dimension join, then agg.
+    "q_join_dim_agg" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_rows"), dec(sum(dec(col("l_extendedprice")))).as("sum_price"))
+    }),
+
+    // J1: left-outer merge of per-key aggregates onto a dimension.
+    "q_left_join_agg" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dec(sum(dec(col("o_totalprice")))).as("sum_total"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("sum_total"), dec(lit(0))).as("sum_total"))
+    }),
+
+    // J6-shape: left-semi (EXISTS).
+    "q_semi_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val bigOrders = Tables.orders(s, dir).filter(col("o_totalprice") > 200000.0)
+      c.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // J7-shape: left-anti (NOT EXISTS).
+    "q_anti_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // Multi-way join through the star schema (J9): region→nation→customer→orders.
+    "q_star_join" -> ((s, dir) => {
+      val r = Tables.region(s, dir)
+      val n = Tables.nation(s, dir)
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"), dec(sum(dec(col("o_totalprice")))).as("sum_total"))
+    }),
+
+    // A4: watermark max per key (incremental-fetch range resolution, S2).
+    "q_watermark_max" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("last_order_date"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // A8: distinct universe via union of two sources.
+    "q_distinct_union" -> ((s, dir) => {
+      val a = Tables.lineitem(s, dir).select(col("l_partkey").as("pk"))
+      val b = Tables.part(s, dir).filter(col("p_size") > 40).select(col("p_partkey").as("pk"))
+      a.union(b).distinct()
+    }),
+
+    // P17/P18 + A7: pushed-down filter + count (scan with PushedFilters).
+    "q_filter_count" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01") && col("l_shipdate") < lit("1996-01-01")
+          && col("l_returnflag") === "R")
+        .agg(count(lit(1)).as("n_rows"), dec(sum(dec(col("l_quantity")))).as("sum_qty"))
+    }),
+
+    // U2: set difference — parts never shipped.
+    "q_except_parts" -> ((s, dir) => {
+      val p = Tables.part(s, dir).select(col("p_partkey").as("pk"))
+      val shipped = Tables.lineitem(s, dir).select(col("l_partkey").as("pk"))
+      p.except(shipped)
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_sum_group" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+        |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_dim_agg" ->
+      """SELECT p_brand, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand""".stripMargin,
+    "q_left_join_agg" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  COALESCE(n_orders, 0) AS n_orders,
+        |  CAST(COALESCE(sum_total, 0) AS DECIMAL(18,2)) AS sum_total
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_total
+        |  FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_star_join" ->
+      """SELECT r_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_total
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "q_watermark_max" ->
+      """SELECT o_custkey, strftime(max(o_orderdate), '%Y-%m-%d') AS last_order_date,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+    "q_distinct_union" ->
+      """SELECT DISTINCT pk FROM (
+        |  SELECT l_partkey AS pk FROM lineitem
+        |  UNION ALL
+        |  SELECT p_partkey AS pk FROM part WHERE p_size > 40)""".stripMargin,
+    "q_filter_count" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_returnflag = 'R'""".stripMargin,
+    "q_except_parts" ->
+      """SELECT p_partkey AS pk FROM part
+        |EXCEPT
+        |SELECT l_partkey AS pk FROM lineitem""".stripMargin)
+}
