@@ -13,7 +13,10 @@ object SparkEntry {
 
   private val groups: Seq[QueryGroup] = Seq(
     RelationalQueries,
-    EventQueries)
+    EventQueries,
+    TextQueries,
+    DedupQueries,
+    SimilarityQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the single-pass period-pivoted leaderboard (SURVEY §2.4 A1+A2).

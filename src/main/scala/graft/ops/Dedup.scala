@@ -122,6 +122,26 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** 60-bit hash from the md5 hex prefix. Slower than xxhash64 but
+    * reproducible in any engine that has md5 (DuckDB, Trino, pandas) —
+    * used where cross-engine oracle parity matters more than speed.
+    */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** SimHash over md5-derived 60-bit token hashes — the oracle-checkable
+    * variant of [[simHash]]; same majority-vote construction.
+    */
+  def simHashMd5(c: Column): Column = {
+    val toks = split(normalizeText(c), " ")
+    val hashes = transform(toks, t => md5Hash60(t))
+    val bits = (0 until 60).map { i =>
+      val setCnt = size(filter(hashes, h => h.bitwiseAND(lit(1L << i)) =!= lit(0L)))
+      when(setCnt * 2 >= size(hashes), lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
   /** 64-bit SimHash over word tokens: sign-sum of per-token hash bits.
     * Expression-only formulation: for each bit position, count tokens whose
     * hash has the bit set vs total, set the output bit when set-count

@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+/** Deduplication operator family over `documents` (north-star LLM-pipeline
+  * surface): exact hash-dedup, n-gram Jaccard, SimHash, MinHash+LSH.
+  *
+  * Oracle notes: xxhash64 has no DuckDB equivalent, so the MinHash/LSH
+  * query is rows-only checked here and property-tested in ScalaTest; the
+  * SimHash query uses md5-derived hashes ([[Dedup.simHashMd5]]) precisely
+  * so DuckDB can replicate it bit-for-bit.
+  */
+object DedupQueries extends QueryGroup {
+
+  val queries: Map[String, Q] = Map(
+    // Exact content dedup: survivors (min doc_id per normalized digest).
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exactByDigest(Tables.documents(s, dir), "text", "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    // Exact n-gram (3-shingle) Jaccard over all pairs; the brute-force
+    // baseline that LSH approximates. Candidate cap keeps it honest at
+    // verify scale; the LSH path below is the 100 TB shape.
+    "q_dedup_ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = docs.select(col("doc_id").as("id_a"))
+        .crossJoin(docs.select(col("doc_id").as("id_b")))
+        .filter(col("id_a") < col("id_b"))
+      Dedup.ngramJaccard(pairs, docs, "doc_id", "text", 3)
+        .filter(col("jaccard") >= 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    }),
+
+    // SimHash (md5-bit variant) per document.
+    "q_dedup_simhash" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.simHashMd5(col("text")).as("simhash"))
+    }),
+
+    // MinHash-LSH candidate pairs (xxhash64 signatures, banded self-join).
+    // No SQL oracle — rows-only here, property-tested in DedupSpec.
+    "q_dedup_minhash_lsh" -> ((s, dir) => {
+      Dedup.minHashCandidates(Tables.documents(s, dir), "doc_id", "text",
+        shingleSize = 3, numHashes = 16, bands = 8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard_est"), 4).as("jaccard_est"))
+    }))
+
+  private val toksSql =
+    "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+
+  // 3-shingle list exactly mirroring Dedup.shingles: indices 0..max(n-3,0),
+  // windows past the end dropped (short docs → empty set).
+  private val shinglesSql =
+    s"""list_filter(
+       |  list_transform(range(0, greatest(len($toksSql) - 3, 0) + 1),
+       |    i -> CASE WHEN i + 3 <= len($toksSql)
+       |      THEN array_to_string(list_slice($toksSql, i + 1, i + 3), ' ') END),
+       |  x -> x IS NOT NULL)""".stripMargin
+
+  private val simhashBitsSql: String = {
+    val bits = (0 until 60).map { i =>
+      s"(CASE WHEN 2 * len(list_filter(__hs, h -> (h >> $i) & 1 = 1)) >= len(__hs)" +
+        s" THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END)"
+    }
+    bits.mkString(" | ")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id IN (
+        |  SELECT min(doc_id) FROM documents
+        |  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))""".stripMargin,
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct($shinglesSql) AS s FROM documents),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(list_intersect(a.s, b.s))
+         |      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(a.s) > 0 AND len(b.s) > 0)
+         |SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+         |FROM pairs WHERE jaccard >= 0.2""".stripMargin,
+    "q_dedup_simhash" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    list_transform($toksSql,
+         |      t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS __hs
+         |  FROM documents)
+         |SELECT doc_id, $simhashBitsSql AS simhash FROM h""".stripMargin)
+}

@@ -1,0 +1,80 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over `embeddings` (ARRAY<FLOAT>, dim 64).
+  *
+  * The brute-force top-k and pairwise-threshold queries are exact and
+  * oracle-checked (all arithmetic in DOUBLE, ranks tie-broken on id so
+  * both engines agree). The LSH-bucketed ANN variant uses xxhash64-derived
+  * hyperplanes — no DuckDB equivalent, rows-only check + SimilaritySpec.
+  */
+object SimilarityQueries extends QueryGroup {
+
+  val queries: Map[String, Q] = Map(
+    // Norms + dims: the sanity surface for the vector math.
+    "q_vector_norms" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          round(Similarity.norm(col("embedding")), 4).as("norm"))
+    }),
+
+    // Brute-force cosine top-k for a probe batch (vec_id < 20, k = 5).
+    "q_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // Embedding near-dup pairs above a cosine threshold (brute force).
+    "q_embedding_neardup" -> ((s, dir) => {
+      Dedup2.embeddingNearDupBrute(Tables.embeddings(s, dir), 0.4)
+    }),
+
+    // LSH-bucketed ANN top-k — the scale path; rows-only check.
+    "q_ann_lsh_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(
+        emb.filter(col("vec_id") < 50), emb, "vec_id", "embedding", k = 3,
+        numPlanes = 6, tables = 2)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 4).as("cos"))
+    }))
+
+  // Wrapper so the near-dup query reuses the library op with rounded output.
+  private object Dedup2 {
+    def embeddingNearDupBrute(emb: org.apache.spark.sql.DataFrame,
+        threshold: Double): org.apache.spark.sql.DataFrame =
+      graft.ops.Dedup.embeddingNearDupBrute(emb, "vec_id", "embedding", threshold)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_vector_norms" ->
+      """SELECT vec_id, len(embedding) AS dim,
+        |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS norm
+        |FROM embeddings""".stripMargin,
+    "q_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    list_cosine_similarity(a.v, b.v) AS cos
+        |  FROM e a JOIN e b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 20),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM pairs)
+        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) > 0.4""".stripMargin)
+}

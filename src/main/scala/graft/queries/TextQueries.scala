@@ -1,0 +1,117 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Dedup
+import graft.text.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Text-analysis surface over the `documents` table (north-star training-
+  * data operators: token counting, quality scoring, language ID,
+  * fingerprinting). All pure expression trees — a single map-only stage
+  * over the corpus, no shuffle, fully codegen'd.
+  */
+object TextQueries extends QueryGroup {
+
+  val queries: Map[String, Q] = Map(
+    // Token + char counting.
+    "q_text_tokens" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).cast("long").as("len_chars"),
+          col("n_chars"))
+    }),
+
+    // Quality scoring: punct ratio, stopword ratio, mean token length,
+    // composite band score.
+    "q_text_quality" -> ((s, dir) => {
+      val stop = Seq("the", "a", "of", "and", "is")
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          round(TextFunctions.punctRatio(col("text")), 4).as("punct_ratio"),
+          round(TextFunctions.stopwordRatio(col("text"), stop), 4).as("stopword_ratio"),
+          round(TextFunctions.meanTokenLen(col("text")), 4).as("mean_token_len"),
+          round(TextFunctions.qualityScore(col("text"), stop), 2).as("quality"))
+    }),
+
+    // Language ID: marker-evidence argmax with deterministic tie-break,
+    // compared against the labeled lang column.
+    "q_text_langid" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.langId(col("text")).as("predicted"),
+          (TextFunctions.langId(col("text")) === col("lang")).cast("int").as("hit"))
+    }),
+
+    // Content fingerprint: md5 of the normalized text (exact-dup key).
+    "q_text_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), md5(Dedup.normalizeText(col("text"))).as("digest"))
+    }))
+
+  private val markerSql: Map[String, String] =
+    TextFunctions.langMarkers.map { case (l, ws) =>
+      l -> s"len(list_filter(__toks, t -> t IN (${ws.map(w => s"'$w'").mkString(",")})))"
+    }
+
+  // Same argmax order as TextFunctions.langId: languages in sorted order,
+  // strictly-greater replaces, so the earliest max wins ties.
+  private val langCase: String = {
+    val langs = TextFunctions.langMarkers.keys.toSeq.sorted
+    val mx = s"greatest(${langs.map(l => s"__n_$l").mkString(",")})"
+    val whens = langs.map(l => s"WHEN __n_$l = $mx THEN '$l'").mkString(" ")
+    s"CASE WHEN $mx = 0 THEN 'und' $whens END"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |  len(text) AS len_chars, n_chars
+        |FROM documents""".stripMargin,
+    "q_text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)), '\s+') AS __toks,
+        |    string_split_regex(trim(text), '\s+') AS __otoks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round(CASE WHEN len(text) = 0 THEN 0.0
+        |    ELSE (len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')))
+        |         / CAST(len(text) AS DOUBLE) END, 4) AS punct_ratio,
+        |  round(CASE WHEN len(trim(text)) = 0 THEN 0.0
+        |    ELSE len(list_filter(__toks, x -> x IN ('the','a','of','and','is')))
+        |         / CAST(len(__toks) AS DOUBLE) END, 4) AS stopword_ratio,
+        |  round(CASE WHEN len(trim(text)) = 0 THEN 0.0
+        |    ELSE list_sum(list_transform(__otoks, x -> len(x)))
+        |         / CAST(len(__otoks) AS DOUBLE) END, 4) AS mean_token_len,
+        |  round(
+        |    (CASE WHEN (CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(__otoks) END) BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END) +
+        |    (CASE WHEN (CASE WHEN len(text) = 0 THEN 0.0
+        |      ELSE (len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')))
+        |           / CAST(len(text) AS DOUBLE) END) < 0.2 THEN 0.3 ELSE 0.0 END) +
+        |    (CASE WHEN (CASE WHEN len(trim(text)) = 0 THEN 0.0
+        |      ELSE len(list_filter(__toks, x -> x IN ('the','a','of','and','is')))
+        |           / CAST(len(__toks) AS DOUBLE) END) > 0.05 THEN 0.3 ELSE 0.0 END),
+        |  2) AS quality
+        |FROM t""".stripMargin,
+    "q_text_langid" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS __toks
+         |  FROM documents),
+         |ev AS (
+         |  SELECT doc_id, lang,
+         |${TextFunctions.langMarkers.keys.toSeq.sorted
+             .map(l => s"    ${markerSql(l)} AS __n_$l").mkString(",\n")}
+         |  FROM t)
+         |SELECT doc_id, lang, $langCase AS predicted,
+         |  CAST(($langCase) = lang AS INT) AS hit
+         |FROM ev""".stripMargin,
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS digest
+        |FROM documents""".stripMargin)
+}
