@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.parse.{OsrsPatterns, ParseConfig, ParseEngine}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured-Streaming ingest path (SURVEY.md §2.7 T3): the reference's
+  * overlap-and-UNIQUE idempotency contract is exactly at-least-once
+  * delivery + keyed dedup inside a watermark, so the streaming variant is
+  *
+  *   readStream → escape-clean → withWatermark(10 min)
+  *     → dropDuplicates(timestamp, raw_content) → the SAME compiled parse
+  *     column tree → silver sink (append) / foreachBatch gold rebuild.
+  *
+  * The parse expression tree is shared verbatim with the batch path
+  * ([[ParseEngine.parse]] is called on the streaming frame) — one codebase,
+  * two execution modes, which is the point of declaring the dispatch as
+  * expressions instead of a row loop.
+  */
+object StreamingIngest {
+
+  /** Watermarked, deduplicated raw stream from any streaming source frame
+    * with (id, timestamp, raw_content).
+    */
+  def dedupedRaw(rawStream: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    rawStream
+      .withWatermark("timestamp", watermarkDelay)
+      .dropDuplicates(Seq("timestamp", "raw_content"))
+
+  /** Streaming silver broadcasts: same compiled dispatch as batch. */
+  def broadcastStream(
+      rawStream: DataFrame,
+      config: ParseConfig = OsrsPatterns.default,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    ParseEngine.parse(dedupedRaw(rawStream, watermarkDelay), config).broadcasts
+
+  /** Append-mode silver writer to parquet with checkpointing. */
+  def silverWriter(
+      broadcasts: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    broadcasts.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+
+  /** Gold rebuild per micro-batch (`foreachBatch`): clan-scale gold is a
+    * full rebuild each trigger, exactly like the reference's 15-minute
+    * cron (SURVEY.md §2.7 T7 — period boundaries move every run, so
+    * incremental agg state cannot express the reports; rebuild-on-trigger
+    * is the honest contract, and each rebuild is itself distributed).
+    */
+  def goldRebuildWriter(
+      rawStream: DataFrame,
+      rebuild: DataFrame => Unit,
+      checkpointDir: String,
+      watermarkDelay: String = "10 minutes"): DataStreamWriter[Row] =
+    dedupedRaw(rawStream, watermarkDelay).writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        rebuild(batch.toDF())
+      }
+}
