@@ -16,7 +16,9 @@ object SparkEntry {
     EventQueries,
     TextQueries,
     DedupQueries,
-    SimilarityQueries)
+    SimilarityQueries,
+    ParseQueries,
+    IngestQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the single-pass period-pivoted leaderboard (SURVEY §2.4 A1+A2).
