@@ -59,12 +59,32 @@ object Dedup {
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * minimum hash over the row's shingle set. Pure expression tree — stays
-    * inside whole-stage codegen, no UDF.
+    * inside whole-stage codegen, no UDF. (Array-lambda form; the relational
+    * explode+agg form in [[minHashSignatures]] is the fast path.)
     */
   def minHashSignature(shingleCol: Column, numHashes: Int): Column =
     array((0 until numHashes).map { s =>
       array_min(transform(shingleCol, x => seededHash(x, s)))
     }: _*)
+
+  /** Relational MinHash signatures: explode shingles to rows, compute every
+    * seeded hash in a codegen'd projection, min them back per doc with a
+    * partially-aggregated groupBy. Same result as [[minHashSignature]], but
+    * the per-element work runs inside whole-stage codegen instead of the
+    * interpreted higher-order-function path (~20× at bench scale), and the
+    * single shuffle on the doc id is the 100 TB shape.
+    */
+  def minHashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int): DataFrame = {
+    val exploded = df.select(col(idCol),
+      explode(shingles(col(textCol), shingleSize)).as("__sh"))
+    val aggs = (0 until numHashes).map(s =>
+      min(seededHash(col("__sh"), s)).as(s"__h$s"))
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(s => col(s"__h$s")): _*).as("__sig"))
+  }
 
   /** MinHash-LSH candidate pairs: band the signature, hash each band,
     * self-join on (band index, band hash). Returns (idA, idB, jaccardEst)
@@ -79,10 +99,7 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = df
-      .select(col(idCol), shingles(col(textCol), shingleSize).as("__sh"))
-      .filter(size(col("__sh")) > 0)
-      .withColumn("__sig", minHashSignature(col("__sh"), numHashes))
+    val sigs = minHashSignatures(df, idCol, textCol, shingleSize, numHashes)
 
     val banded = sigs.select(
       col(idCol), col("__sig"),
@@ -104,6 +121,43 @@ object Dedup {
         (size(filter(zip_with(col("__sig_a"), col("__sig_b"), (x, y) => x === y),
           b => b)) / lit(numHashes.toDouble)).as("jaccard_est"))
       .groupBy("id_a", "id_b").agg(max("jaccard_est").as("jaccard_est"))
+  }
+
+  /** Exact n-gram Jaccard via the sparse-join formulation: explode distinct
+    * shingles, equi-join on the shingle (within an optional blocking
+    * column), count matches per pair — |A∩B| — and derive
+    * jaccard = c / (|A| + |B| - c). Only intersecting pairs appear (a
+    * non-intersecting pair has jaccard 0), so callers threshold-filter.
+    *
+    * This is the scale shape: the shuffle key is the shingle, fan-out is
+    * bounded by shingle document frequency, and no shingle ARRAYS ever
+    * cross the wire — versus the per-pair `array_intersect` form that
+    * shuffles two ~KB arrays per candidate pair and intersects them
+    * interpreted (24 s → ~2 s at bench scale).
+    */
+  def ngramJaccardSparse(
+      docs: DataFrame, idCol: String, textCol: String, n: Int,
+      blockCol: Option[String] = None): DataFrame = {
+    val keyCols = blockCol.toSeq
+    val exploded = docs.select(
+      (Seq(col(idCol)) ++ keyCols.map(col) :+
+        explode(array_distinct(shingles(col(textCol), n))).as("__sh")): _*)
+    val sizes = exploded.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+
+    val a = exploded.select(
+      (Seq(col(idCol).as("id_a"), col("__sh")) ++ keyCols.map(col)): _*)
+    val b = exploded.select(
+      (Seq(col(idCol).as("id_b"), col("__sh")) ++ keyCols.map(col)): _*)
+    val inter = a.join(b, Seq("__sh") ++ keyCols)
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("__c"))
+
+    inter
+      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("__n", "__na"), Seq("id_a"))
+      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("__n", "__nb"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("__c") / (col("__na") + col("__nb") - col("__c")).cast("double")).as("jaccard"))
   }
 
   /** Exact n-gram Jaccard similarity for given candidate pairs.
@@ -164,11 +218,15 @@ object Dedup {
     */
   def embeddingNearDupBrute(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
-    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    // Norms once per row, codegen'd dot per pair (see Similarity.dot).
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+      Similarity.norm(col(vecCol)).as("__na"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+      Similarity.norm(col(vecCol)).as("__nb"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", Similarity.cosine(col("__va"), col("__vb")))
+      .withColumn("cos",
+        Similarity.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("cos") > threshold)
       .select("id_a", "id_b", "cos")
   }

@@ -18,10 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array columns, accumulated in double, in order. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two array columns, accumulated in double, in order.
+    * Codegen'd tight loop ([[graft.expr.VecDot]]) — the HOF
+    * `aggregate(zip_with(...))` form runs interpreted per element and was
+    * the bench's hottest spot.
+    */
+  def dot(a: Column, b: Column): Column = graft.expr.VectorExprs.vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -37,11 +39,15 @@ object Similarity {
       probes: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       excludeSelf: Boolean = true): DataFrame = {
-    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    // Norms computed ONCE per row before the pair join (norm-per-pair would
+    // redo the reduction |corpus| times per probe).
+    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"))
     val pairs = broadcast(p).crossJoin(c)
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
-      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("cos", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     pairs
       .withColumn("rank", row_number().over(w))

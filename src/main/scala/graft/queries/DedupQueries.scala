@@ -21,15 +21,14 @@ object DedupQueries extends QueryGroup {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
-    // Exact n-gram (3-shingle) Jaccard over all pairs; the brute-force
-    // baseline that LSH approximates. Candidate cap keeps it honest at
-    // verify scale; the LSH path below is the 100 TB shape.
+    // Exact n-gram (3-shingle) Jaccard over source-blocked pairs: the
+    // classic blocking trick — candidates share a blocking key (here the
+    // `source` column), which turns the O(n²) cross join into per-block
+    // joins that shuffle on the key. The LSH query below is the fully
+    // content-derived blocking variant.
     "q_dedup_ngram_jaccard" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val pairs = docs.select(col("doc_id").as("id_a"))
-        .crossJoin(docs.select(col("doc_id").as("id_b")))
-        .filter(col("id_a") < col("id_b"))
-      Dedup.ngramJaccard(pairs, docs, "doc_id", "text", 3)
+      Dedup.ngramJaccardSparse(Tables.documents(s, dir), "doc_id", "text", 3,
+        blockCol = Some("source"))
         .filter(col("jaccard") >= 0.2)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     }),
@@ -76,12 +75,12 @@ object DedupQueries extends QueryGroup {
         |  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       s"""WITH sh AS (
-         |  SELECT doc_id, list_distinct($shinglesSql) AS s FROM documents),
+         |  SELECT doc_id, source, list_distinct($shinglesSql) AS s FROM documents),
          |pairs AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |    len(list_intersect(a.s, b.s))
          |      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
          |  WHERE len(a.s) > 0 AND len(b.s) > 0)
          |SELECT id_a, id_b, round(jaccard, 4) AS jaccard
          |FROM pairs WHERE jaccard >= 0.2""".stripMargin,
