@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-duplicate tests for the near-dup family (the xxhash64-based ops
+  * that have no DuckDB oracle).
+  */
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val base = "the quick brown fox jumps over the lazy dog and then " +
+    "runs far away into the deep dark forest tonight while everyone sleeps"
+
+  test("minhash LSH surfaces planted near-duplicates with high estimates") {
+    val corpus = docs(
+      1L -> base,
+      2L -> (base + " extra"), // near-dup of 1
+      3L -> base.replace("quick", "slow"), // near-dup of 1
+      4L -> "completely unrelated words about spark catalyst optimizer internals and plans",
+      5L -> "another doc sharing no shingles with anything else at all here today")
+    val cand = Dedup.minHashCandidates(corpus, "doc_id", "text",
+      shingleSize = 3, numHashes = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cand.contains((1L, 2L)), s"got $cand")
+    assert(cand((1L, 2L)) > 0.5)
+    assert(!cand.keySet.exists { case (a, b) => Set(a, b).contains(4L) && Set(a, b).contains(5L) })
+  }
+
+  test("minhash estimate approximates exact jaccard on planted pairs") {
+    val corpus = docs(1L -> base, 2L -> (base + " extra words here"))
+    val exact = Dedup.ngramJaccardSparse(corpus, "doc_id", "text", 3)
+      .collect().head.getDouble(2)
+    val est = Dedup.minHashCandidates(corpus, "doc_id", "text", 3, 64, 16)
+      .collect().head.getDouble(2)
+    assert(math.abs(exact - est) < 0.25, s"exact=$exact est=$est")
+  }
+
+  test("sparse jaccard equals the array-intersect form") {
+    import spark.implicits._
+    val corpus = docs(
+      1L -> base, 2L -> (base + " extra"), 3L -> base.replace("quick", "slow"),
+      4L -> "some partially shared words about the quick brown fox here")
+    val pairs = corpus.select(col("doc_id").as("id_a"))
+      .crossJoin(corpus.select(col("doc_id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    val dense = Dedup.ngramJaccard(pairs, corpus, "doc_id", "text", 3)
+      .filter(col("jaccard") > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sparse = Dedup.ngramJaccardSparse(corpus, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(1), r.getLong(0)) -> r.getDouble(2)).toMap
+    // sparse emits (id_a < id_b) as (col order id_b first after joins) —
+    // normalize both to the same key orientation before comparing.
+    val sparseNorm = sparse.map { case ((b, a), v) => (math.min(a, b), math.max(a, b)) -> v }
+    val denseNorm = dense.map { case ((a, b), v) => (math.min(a, b), math.max(a, b)) -> v }
+    assert(sparseNorm == denseNorm)
+  }
+
+  test("simhash of near-identical docs differs in few bits") {
+    import spark.implicits._
+    val out = docs(1L -> base, 2L -> (base + " extra"), 3L -> "totally different content matrix")
+      .select(col("doc_id"), Dedup.simHash(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(out(1L), out(2L)) < hamming(out(1L), out(3L)))
+  }
+
+  test("exactByDigest keeps the min id per normalized content") {
+    import spark.implicits._
+    val corpus = docs(5L -> "Hello  World", 2L -> "hello world", 9L -> "other text")
+    val survivors = Dedup.exactByDigest(corpus, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(2L, 9L))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite with SparkTestBase {
+
+  private def vecs(rows: (Long, Seq[Float])*) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("codegen'd dot/norm/cosine match a scala reference") {
+    val a = Seq(1.0f, 2.0f, 3.0f)
+    val b = Seq(-1.0f, 0.5f, 2.0f)
+    val df = vecs(1L -> a, 2L -> b)
+    val crossed = df.select(col("embedding").as("x")).crossJoin(
+      df.select(col("embedding").as("y")))
+    val got = crossed.select(Similarity.dot(col("x"), col("y"))).collect()
+      .map(_.getDouble(0)).sorted
+    def refDot(u: Seq[Float], v: Seq[Float]) =
+      u.zip(v).map { case (p, q) => p.toDouble * q.toDouble }.sum
+    val want = (for (u <- Seq(a, b); v <- Seq(a, b)) yield refDot(u, v)).sorted
+    assert(got.toSeq == want)
+  }
+
+  test("brute-force top-k ranks by cosine with id tie-break") {
+    val q = Seq(1.0f, 0.0f)
+    val corpus = vecs(
+      0L -> q,
+      1L -> Seq(1.0f, 0.1f), // most similar
+      2L -> Seq(1.0f, 0.5f),
+      3L -> Seq(0.0f, 1.0f), // orthogonal
+      4L -> Seq(1.0f, 0.1f)) // ties with 1 → id order
+    val res = Similarity.bruteForceTopK(
+      corpus.filter(col("vec_id") === 0), corpus, "vec_id", "embedding", k = 3)
+      .collect().sortBy(_.getInt(2)).map(r => (r.getLong(1), r.getInt(2)))
+    assert(res.toSeq == Seq((1L, 1), (4L, 2), (2L, 3)))
+  }
+
+  test("LSH top-k achieves decent recall against brute force on clustered data") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    // 3 clusters of 30 vectors in 16 dims.
+    val centers = Seq.fill(3)(Array.fill(16)(rng.nextGaussian()))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      i <- 0 until 30
+    } yield ((ci * 30 + i).toLong,
+      c.map(x => (x + rng.nextGaussian() * 0.1).toFloat).toSeq)
+    val corpus = rows.toDF("vec_id", "embedding")
+    val probes = corpus.filter(col("vec_id") % 30 === 0)
+
+    val brute = Similarity.bruteForceTopK(probes, corpus, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(probes, corpus, "vec_id", "embedding", 5,
+      numPlanes = 6, tables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+}

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming ingest path driven synchronously over a MemoryStream:
+  * at-least-once delivery (duplicates inside the watermark) must yield
+  * exactly the batch parse of the distinct messages — the reference's
+  * overlap-and-UNIQUE contract (SURVEY.md §2.7 T3).
+  */
+class StreamingIngestSpec extends AnyFunSuite with SparkTestBase {
+
+  test("watermark dedup + shared parse tree: stream result == batch result") {
+    import spark.implicits._
+
+    val mem = MemoryStream[(Long, Timestamp, String)](spark)
+    val rawStream = mem.toDF().toDF("id", "timestamp", "raw_content")
+
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+
+    val writer = StreamingIngest.silverWriter(
+      StreamingIngest.broadcastStream(rawStream), out, ckpt)
+
+    def t(s: String) = Timestamp.valueOf(s)
+    val msgs = Seq(
+      (1L, t("2024-01-01 10:00:00"), "Hans received a rare drop: Whip"),
+      (2L, t("2024-01-01 10:01:00"), "Bob received a rare drop: Bow"),
+      // duplicate delivery of id 1's message (same timestamp+content)
+      (3L, t("2024-01-01 10:00:00"), "Hans received a rare drop: Whip"),
+      (4L, t("2024-01-01 10:02:00"), "chatter that parses nowhere"))
+    mem.addData(msgs: _*)
+    val q = writer.start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(out)
+      .select("Username", "Item_Name").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("Hans", "Whip"), ("Bob", "Bow")))
+  }
+}
