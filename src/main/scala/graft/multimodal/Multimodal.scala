@@ -1,0 +1,109 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for the training-data pipeline: image/audio/video
+  * payloads ride as opaque BINARY columns with a typed metadata struct, and
+  * decode / feature-extract / resize / frame-sample run as per-partition
+  * batch transforms.
+  *
+  * The Spark-side plumbing here is real and tested — schema, partition
+  * sizing, `mapPartitions` batch shape, null routing — but the actual
+  * codec work is STUBBED with a deterministic fake (this container ships no
+  * image/audio libraries): `DECODE_STUB` derives pixel stats from a hash of
+  * the payload, so tests are reproducible and the interface is exactly what
+  * a JNI/FFmpeg-backed implementation would slot into.
+  *
+  * Scale notes: payloads never pass through a shuffle in these transforms
+  * (map-only); for joins, always project metadata-only frames first and
+  * semi-join back — moving binary blobs through an exchange is the classic
+  * multimodal-pipeline mistake.
+  */
+object Multimodal {
+
+  /** Typed media row: opaque payload + envelope metadata. */
+  case class MediaRow(
+      media_id: Long,
+      media_type: String, // "image" | "audio" | "video"
+      payload: Array[Byte],
+      source_uri: String)
+
+  case class DecodedImage(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      mean_luma: Double)
+
+  case class MediaFeatures(
+      media_id: Long,
+      feature: Array[Float])
+
+  /** >>> DECODE_STUB <<< — deterministic fake decode. A production build
+    * replaces ONLY this function body with the real codec call; everything
+    * around it (batching, schema, partitioning) stays.
+    */
+  private def decodeStub(payload: Array[Byte]): (Int, Int, Int, Double) = {
+    val h = java.util.Arrays.hashCode(payload)
+    val width = 64 + math.abs(h % 512)
+    val height = 64 + math.abs((h >> 9) % 512)
+    val channels = 3
+    val meanLuma = math.abs((h >> 18) % 1000) / 1000.0
+    (width, height, channels, meanLuma)
+  }
+
+  /** Decode a media frame per partition — one iterator pass, no shuffle,
+    * payloads dropped as soon as the metadata is extracted.
+    */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[DecodedImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.media_type == "image").map { r =>
+        val (w, h, c, luma) = decodeStub(r.payload)
+        DecodedImage(r.media_id, w, h, c, luma)
+      }
+    }
+  }
+
+  /** Feature extraction: fixed-dim embedding per payload (stubbed as
+    * seeded-hash floats; same batch shape as an ONNX/JNI encoder that
+    * processes a partition's rows in micro-batches).
+    */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val h = java.util.Arrays.hashCode(r.payload)
+        // >>> DECODE_STUB <<< deterministic fake embedding
+        val feat = Array.tabulate(dim)(i =>
+          (((h * 31 + i) % 1000) / 1000.0f))
+        MediaFeatures(r.media_id, feat)
+      }
+    }
+  }
+
+  /** Frame sampling for video rows: emit every `stride`-th frame index up
+    * to `maxFrames` as (media_id, frame_idx) — the fan-out side of a video
+    * pipeline, expressed as a generator so downstream decode stays
+    * per-partition.
+    */
+  def sampleFrames(media: DataFrame, stride: Int, maxFrames: Int): DataFrame =
+    media.filter(col("media_type") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0), lit((maxFrames - 1) * stride), lit(stride)))
+          .as("frame_idx"))
+
+  /** Fixture builder: wrap any string column as an opaque payload so the
+    * pipeline plumbing is testable without real codecs.
+    */
+  def mediaFromText(df: DataFrame, idCol: String, textCol: String,
+      mediaType: String): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        MediaRow(id, mediaType, text.getBytes("UTF-8"), s"mem://doc/$id")
+      }
+  }
+}

@@ -1,0 +1,16 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
+
+  test("registered SQL functions: parse_duration and vec_dot") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT parse_duration('1:15:45') AS s, parse_duration('bad') AS inf, " +
+        "vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head
+    assert(r.getDouble(0) == 4545.0)
+    assert(r.getDouble(1).isPosInfinity)
+    assert(r.getDouble(2) == 11.0)
+  }
+}
