@@ -109,6 +109,24 @@ object RelationalQueries extends QueryGroup {
       val p = Tables.part(s, dir).select(col("p_partkey").as("pk"))
       val shipped = Tables.lineitem(s, dir).select(col("l_partkey").as("pk"))
       p.except(shipped)
+    }),
+
+    // Distinct aggregation (expand + two-phase plan).
+    "q_count_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // U4: pivot reshape with an explicit value list (deterministic columns).
+    "q_pivot_reshape" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -163,5 +181,17 @@ object RelationalQueries extends QueryGroup {
     "q_except_parts" ->
       """SELECT p_partkey AS pk FROM part
         |EXCEPT
-        |SELECT l_partkey AS pk FROM lineitem""".stripMargin)
+        |SELECT l_partkey AS pk FROM lineitem""".stripMargin,
+    "q_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_pivot_reshape" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id""".stripMargin)
 }
