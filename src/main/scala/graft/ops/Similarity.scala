@@ -55,6 +55,31 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Brute-force top-k via the typed [[TopKAggregator]]: identical result
+    * to [[bruteForceTopK]], but the per-query reduction happens as a
+    * PARTIAL aggregation before the shuffle — the exchange carries
+    * O(partitions × k) rows instead of every scored pair, which is the
+    * formulation that survives |probes| × |corpus| growth.
+    */
+  def bruteForceTopKAgg(
+      probes: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"))
+    val pairs = broadcast(p).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id").as("__id"),
+        (dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))).as("__score"))
+    pairs
+      .groupBy(col("query_id"))
+      .agg(TopKAggregator(k, col("__id"), col("__score")).as("__topk"))
+      .select(col("query_id"), posexplode(col("__topk")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * xxhash64 scaled into [-1, 1]. Shared derivation with any oracle.
     */

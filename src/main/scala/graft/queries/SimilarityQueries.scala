@@ -35,6 +35,15 @@ object SimilarityQueries extends QueryGroup {
       Dedup2.embeddingNearDupBrute(Tables.embeddings(s, dir), 0.4)
     }),
 
+    // Same top-k through the typed partial-aggregating TopKAggregator —
+    // identical rows, map-side-reduced shuffle.
+    "q_cosine_topk_agg" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopKAgg(
+        emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
     // LSH-bucketed ANN top-k — the scale path; rows-only check.
     "q_ann_lsh_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -58,6 +67,19 @@ object SimilarityQueries extends QueryGroup {
       """SELECT vec_id, len(embedding) AS dim,
         |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS norm
         |FROM embeddings""".stripMargin,
+    "q_cosine_topk_agg" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    list_cosine_similarity(a.v, b.v) AS cos
+        |  FROM e a JOIN e b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 20),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+        |  FROM pairs)
+        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""".stripMargin,
     "q_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |pairs AS (

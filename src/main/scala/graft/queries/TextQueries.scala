@@ -47,6 +47,18 @@ object TextQueries extends QueryGroup {
     "q_text_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("doc_id"), md5(Dedup.normalizeText(col("text"))).as("digest"))
+    }),
+
+    // Corpus curation: the composed training-data filter — exact-dedup
+    // survivors that clear the quality band and whose predicted language
+    // agrees with the label. One scan + one dedup shuffle.
+    "q_text_curation" -> ((s, dir) => {
+      val stop = Seq("the", "a", "of", "and", "is")
+      Dedup.exactByDigest(Tables.documents(s, dir), "text", "doc_id")
+        .withColumn("quality", round(TextFunctions.qualityScore(col("text"), stop), 2))
+        .withColumn("predicted", TextFunctions.langId(col("text")))
+        .filter(col("quality") >= 0.7 && col("predicted") === col("lang"))
+        .select(col("doc_id"), col("lang"), col("quality"))
     }))
 
   private val markerSql: Map[String, String] =
@@ -113,5 +125,32 @@ object TextQueries extends QueryGroup {
     "q_text_fingerprint" ->
       """SELECT doc_id,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS digest
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "q_text_curation" ->
+      s"""WITH survivors AS (
+         |  SELECT * FROM documents WHERE doc_id IN (
+         |    SELECT min(doc_id) FROM documents
+         |    GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))),
+         |t AS (
+         |  SELECT doc_id, lang, text,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS __toks,
+         |    string_split_regex(trim(text), '\\s+') AS __otoks
+         |  FROM survivors),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |    round(
+         |      (CASE WHEN (CASE WHEN len(trim(text)) = 0 THEN 0
+         |        ELSE len(__otoks) END) BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END) +
+         |      (CASE WHEN (CASE WHEN len(text) = 0 THEN 0.0
+         |        ELSE (len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')))
+         |             / CAST(len(text) AS DOUBLE) END) < 0.2 THEN 0.3 ELSE 0.0 END) +
+         |      (CASE WHEN (CASE WHEN len(trim(text)) = 0 THEN 0.0
+         |        ELSE len(list_filter(__toks, x -> x IN ('the','a','of','and','is')))
+         |             / CAST(len(__toks) AS DOUBLE) END) > 0.05 THEN 0.3 ELSE 0.0 END),
+         |    2) AS quality,
+         |${TextFunctions.langMarkers.keys.toSeq.sorted
+             .map(l => s"    ${markerSql(l)} AS __n_$l").mkString(",\n")}
+         |  FROM t)
+         |SELECT doc_id, lang, quality FROM scored
+         |WHERE quality >= 0.7 AND ($langCase) = lang""".stripMargin)
 }
