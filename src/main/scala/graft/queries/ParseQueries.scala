@@ -111,6 +111,43 @@ object ParseQueries extends QueryGroup {
         .select(col("event_id"),
           date_format(col("ts"), "MMMM yyyy").as("month_label"),
           weekofyear(col("ts")).cast("int").as("iso_week"))
+    }),
+
+    // END-TO-END: the real OSRS pipeline against the oracle — synthesized
+    // raw messages → ParseEngine (full 35-variant dispatch) → the actual
+    // period-pivoted leaderboard report generator. This puts the report
+    // engine itself (not just its building blocks) under the hash gate.
+    "q_osrs_leaderboard_e2e" -> ((s, dir) => {
+      import java.sql.Timestamp
+      val raw = Tables.events(s, dir)
+        .withColumn("__msg", message)
+        .select(col("event_id").as("id"), col("ts").as("timestamp"),
+          col("__msg").as("raw_content"))
+      val parsed = graft.parse.ParseEngine.parse(raw)
+      val periods = Seq(
+        graft.reports.Period("All_Time", None,
+          Timestamp.valueOf("2024-02-01 00:00:00"), "All-Time"),
+        graft.reports.Period("JanH1",
+          Some(Timestamp.valueOf("2024-01-01 00:00:00")),
+          Timestamp.valueOf("2024-01-15 00:00:00"), "Jan H1"),
+        graft.reports.Period("JanH2",
+          Some(Timestamp.valueOf("2024-01-15 00:00:00")),
+          Timestamp.valueOf("2024-02-01 00:00:00"), "Jan H2"))
+      graft.reports.Reports.leaderboard(
+        parsed.chat, parsed.broadcasts,
+        graft.reports.LeaderboardReportDef("e2e",
+          broadcastTypes = Seq("Valuable Drop"),
+          groupByColumn = "Username",
+          countColumn = Some("Username"),
+          valueColumn = Some("Item_Value")),
+        periods)
+        .select(col("Username").as("username"),
+          col("Count_All_Time").as("count_all_time"),
+          col("Value_All_Time").as("value_all_time"),
+          col("Count_JanH1").as("count_jan_h1"),
+          col("Value_JanH1").as("value_jan_h1"),
+          col("Count_JanH2").as("count_jan_h2"),
+          col("Value_JanH2").as("value_jan_h2"))
     }))
 
   private val coinsSql = "format('{:,}', CAST(round(value * 1000, 0) AS BIGINT))"
@@ -209,5 +246,20 @@ object ParseQueries extends QueryGroup {
     "q_parse_date_labels" ->
       """SELECT event_id, strftime(ts, '%B %Y') AS month_label,
         |  CAST(weekofyear(ts) AS INT) AS iso_week
-        |FROM events""".stripMargin)
+        |FROM events""".stripMargin,
+    "q_osrs_leaderboard_e2e" ->
+      s"""WITH m AS (SELECT event_id, ts, $messageSql AS msg FROM events),
+         |p AS (
+         |  SELECT ts,
+         |    trim(regexp_extract(msg, '$dropPat', 1)) AS username,
+         |    CAST(replace(regexp_extract(msg, '$dropPat', 3), ',', '') AS BIGINT) AS item_value
+         |  FROM m WHERE regexp_matches(msg, '$dropPat'))
+         |SELECT username,
+         |  count(*) FILTER (WHERE ts < TIMESTAMP '2024-02-01') AS count_all_time,
+         |  CAST(COALESCE(sum(item_value) FILTER (WHERE ts < TIMESTAMP '2024-02-01'), 0) AS BIGINT) AS value_all_time,
+         |  count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15') AS count_jan_h1,
+         |  CAST(COALESCE(sum(item_value) FILTER (WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'), 0) AS BIGINT) AS value_jan_h1,
+         |  count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-02-01') AS count_jan_h2,
+         |  CAST(COALESCE(sum(item_value) FILTER (WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-02-01'), 0) AS BIGINT) AS value_jan_h2
+         |FROM p GROUP BY username""".stripMargin)
 }
