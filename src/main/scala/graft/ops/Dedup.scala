@@ -77,8 +77,24 @@ object Dedup {
   def minHashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, numHashes: Int): DataFrame = {
-    val exploded = df.select(col(idCol),
-      explode(shingles(col(textCol), shingleSize)).as("__sh"))
+    // Shingles built relationally: posexplode tokens, stitch each window
+    // of `shingleSize` with lead() — the array-lambda shingle builder runs
+    // interpreted per position. The window partitions by doc id, and the
+    // signature groupBy reuses that exact partitioning, so the whole
+    // signature computation costs ONE shuffle.
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+      posexplode(split(normalizeText(col(textCol)), " ")).as(Seq("__pos", "__tok")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val parts = (0 until shingleSize).map {
+      case 0 => col("__tok")
+      case i => lead(col("__tok"), i).over(w)
+    }
+    // Window exprs must be projected before they can be filtered on.
+    val exploded = toks
+      .select(col(idCol), concat_ws(" ", parts: _*).as("__sh"),
+        parts.last.isNotNull.as("__full"))
+      .filter(col("__full"))
     val aggs = (0 until numHashes).map(s =>
       min(seededHash(col("__sh"), s)).as(s"__h$s"))
     exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)

@@ -1,6 +1,6 @@
 package graft.parse
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Raw → silver parse stage (reference entry point 2, SURVEY.md §3.2).
@@ -22,10 +22,19 @@ object ParseEngine {
   def parse(raw: DataFrame, config: ParseConfig = OsrsPatterns.default): Result = {
     val content = PatternCompiler.cleanEscapes(col("raw_content"))
 
+    // Optimizer barrier: without it, SimplifyExtractValueOps rewrites every
+    // downstream `__b.Field` access into its own copy of the whole
+    // 35-variant CASE tree — the dispatch would run once PER EXTRACTED
+    // FIELD per row (17× work, measured as such at bench scale). A
+    // non-deterministic wrapper pins the struct into its own projection so
+    // consumers read the computed attribute instead. rand(0) is seeded and
+    // the predicate is always true; semantics are unchanged.
+    def barrier(c: Column): Column = when(rand(0) >= -1.0, c)
+
     val annotated = raw
       .withColumn("__content", content)
-      .withColumn("__chat", PatternCompiler.chatStruct(col("__content"), config))
-      .withColumn("__b", PatternCompiler.broadcastStruct(col("__content"), config))
+      .withColumn("__chat", barrier(PatternCompiler.chatStruct(col("__content"), config)))
+      .withColumn("__b", barrier(PatternCompiler.broadcastStruct(col("__content"), config)))
 
     val chat = annotated
       .filter(col("__chat").isNotNull)
