@@ -20,6 +20,13 @@ object EventQueries extends QueryGroup {
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Final money outputs: exact decimal arithmetic, emitted as double.
+    * DECIMAL(18,2) in the output hashes differently across engines (Spark
+    * keeps trailing zeros, DuckDB's client converts to float64); decimal →
+    * double is correctly rounded on both, so both emit the identical float64.
+    */
+  private def dbl(c: Column): Column = dec(c).cast("double")
+
   /** Reporting periods over the fixture's January 2024 range (T2: computed
     * driver-side, folded in as literals — mirrors the reference computing
     * period bounds once per run in `shared_utils.py:84-126`).
@@ -50,11 +57,11 @@ object EventQueries extends QueryGroup {
         val in = col("ts") >= lit(start) && col("ts") < lit(end)
         Seq(
           sum(when(in, 1L).otherwise(0L)).as(s"count_$name"),
-          dec(sum(when(in, dec(col("value"))).otherwise(dec(lit(0))))).as(s"value_$name"))
+          dbl(sum(when(in, dec(col("value"))).otherwise(dec(lit(0))))).as(s"value_$name"))
       }
       val aggs = Seq(
         count(lit(1)).as("count_all_time"),
-        dec(sum(dec(col("value")))).as("value_all_time")) ++ periodAggs
+        dbl(sum(dec(col("value")))).as("value_all_time")) ++ periodAggs
       ev.groupBy(col("user_id")).agg(aggs.head, aggs.tail: _*)
     }),
 
@@ -66,7 +73,7 @@ object EventQueries extends QueryGroup {
         .filter(col("event_type").isin("purchase", "signup")
           && col("ts") >= lit("2024-01-08") && col("ts") < lit("2024-01-22"))
         .select(col("event_id"), col("user_id"), col("event_type"),
-          dec(col("value")).as("value"))
+          dbl(col("value")).as("value"))
     }),
 
     // P19: exclusion windows.
@@ -74,7 +81,7 @@ object EventQueries extends QueryGroup {
       val ev = Tables.events(s, dir)
       ev.filter(!exclusionPredicate(col("ts"), col("event_type")))
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_rows"), dec(sum(dec(col("value")))).as("sum_value"))
+        .agg(count(lit(1)).as("n_rows"), dbl(sum(dec(col("value")))).as("sum_value"))
     }),
 
     // W2: grouped top-N (recent achievements shape), deterministic tie-break.
@@ -85,7 +92,7 @@ object EventQueries extends QueryGroup {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .select(col("event_type"), col("rn"), col("event_id"), col("user_id"),
-          dec(col("value")).as("value"))
+          dbl(col("value")).as("value"))
     }),
 
     // W6: keep-first dedup per (user, type) — deterministic window form.
@@ -93,7 +100,7 @@ object EventQueries extends QueryGroup {
       Dedup.keepFirst(Tables.events(s, dir), Seq("user_id", "event_type"),
         Seq(col("ts").asc, col("event_id").asc))
         .select(col("user_id"), col("event_type"), col("event_id"),
-          dec(col("value")).as("value"))
+          dbl(col("value")).as("value"))
     }),
 
     // T1+W5: daily tumbling buckets with gap-free cumulative counts.
@@ -101,9 +108,9 @@ object EventQueries extends QueryGroup {
       val ev = Tables.events(s, dir).filter(col("event_type") === "purchase")
       TimeSeries.resample(ev, "ts", "value", 86400L, "D")
         .select(date_format(col("Date"), "yyyy-MM-dd").as("date"), col("Count").as("n_rows"),
-          col("Total_Value").as("total_value"),
+          dbl(col("Total_Value")).as("total_value"),
           col("Cumulative_Count").as("cum_rows"),
-          col("Cumulative_Value").as("cum_value"),
+          dbl(col("Cumulative_Value")).as("cum_value"),
           col("Frequency").as("frequency"))
     }),
 
@@ -176,7 +183,7 @@ object EventQueries extends QueryGroup {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"),
           max(col("n_events")).as("max_session_events"),
-          dec(max(col("sum_value"))).as("max_session_value"))
+          dbl(max(col("sum_value"))).as("max_session_value"))
     }))
 
   private val exclusionSql: String =
@@ -188,31 +195,31 @@ object EventQueries extends QueryGroup {
 
   private val periodPivotCols: String = periods.map { case (name, st, en) =>
     s"""  count(*) FILTER (WHERE ts >= TIMESTAMP '$st' AND ts < TIMESTAMP '$en') AS count_$name,
-       |  CAST(COALESCE(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE ts >= TIMESTAMP '$st' AND ts < TIMESTAMP '$en'), 0) AS DECIMAL(18,2)) AS value_$name""".stripMargin
+       |  CAST(CAST(COALESCE(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE ts >= TIMESTAMP '$st' AND ts < TIMESTAMP '$en'), 0) AS DECIMAL(18,2)) AS DOUBLE) AS value_$name""".stripMargin
   }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
     "q_period_pivot" ->
       s"""SELECT user_id, count(*) AS count_all_time,
-         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS value_all_time,
+         |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS value_all_time,
          |$periodPivotCols
          |FROM events GROUP BY user_id""".stripMargin,
     "q_detail_filter" ->
-      """SELECT event_id, user_id, event_type, CAST(value AS DECIMAL(18,2)) AS value
+      """SELECT event_id, user_id, event_type, CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
         |FROM events
         |WHERE event_type IN ('purchase','signup')
         |  AND ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-22'""".stripMargin,
     "q_exclusion_windows" ->
       s"""SELECT event_type, count(*) AS n_rows,
-         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+         |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
          |FROM events WHERE NOT ($exclusionSql) GROUP BY event_type""".stripMargin,
     "q_topn_per_group" ->
-      """SELECT event_type, rn, event_id, user_id, CAST(value AS DECIMAL(18,2)) AS value
+      """SELECT event_type, rn, event_id, user_id, CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
         |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
         |    ORDER BY ts DESC, event_id ASC) AS rn FROM events)
         |WHERE rn <= 5""".stripMargin,
     "q_dedup_keepfirst" ->
-      """SELECT user_id, event_type, event_id, CAST(value AS DECIMAL(18,2)) AS value
+      """SELECT user_id, event_type, event_id, CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
         |    ORDER BY ts ASC, event_id ASC) AS rn FROM events)
         |WHERE rn = 1""".stripMargin,
@@ -229,11 +236,12 @@ object EventQueries extends QueryGroup {
         |  SELECT spine.bucket, COALESCE(b.n_rows, 0) AS n_rows,
         |    CAST(COALESCE(b.total_value, 0) AS DECIMAL(18,2)) AS total_value
         |  FROM spine LEFT JOIN b ON spine.bucket = b.bucket)
-        |SELECT strftime(bucket, '%Y-%m-%d') AS date, n_rows, total_value,
+        |SELECT strftime(bucket, '%Y-%m-%d') AS date, n_rows,
+        |  CAST(total_value AS DOUBLE) AS total_value,
         |  CAST(sum(n_rows) OVER (ORDER BY bucket
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rows,
-        |  CAST(sum(total_value) OVER (ORDER BY bucket
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS cum_value,
+        |  CAST(CAST(sum(total_value) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS cum_value,
         |  'D' AS frequency
         |FROM f""".stripMargin,
     "q_6h_buckets" ->
@@ -295,6 +303,6 @@ object EventQueries extends QueryGroup {
         |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
         |  FROM sess GROUP BY user_id, session_id)
         |SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
-        |  CAST(max(sum_value) AS DECIMAL(18,2)) AS max_session_value
+        |  CAST(CAST(max(sum_value) AS DECIMAL(18,2)) AS DOUBLE) AS max_session_value
         |FROM per GROUP BY user_id""".stripMargin)
 }

@@ -63,7 +63,7 @@ object IngestQueries extends QueryGroup {
         .select(col("user_id"), col("ts").as("price_ts"),
           round(col("value"), 2).cast("decimal(18,2)").as("price"))
       AsOfJoin.join(probes, build, Seq("user_id"), "ts", "price_ts", Seq("price"))
-        .select(col("event_id"), col("user_id"), col("price"))
+        .select(col("event_id"), col("user_id"), col("price").cast("double").as("price"))
     }),
 
     // W7-adjacent: deterministic keep-first over a union with duplicates.
@@ -106,7 +106,7 @@ object IngestQueries extends QueryGroup {
         |  SELECT probes.event_id, build.price
         |  FROM probes ASOF LEFT JOIN build
         |    ON probes.user_id = build.user_id AND probes.ts < build.price_ts)
-        |SELECT b.event_id, b.user_id, COALESCE(b.price, f.price) AS price
+        |SELECT b.event_id, b.user_id, CAST(COALESCE(b.price, f.price) AS DOUBLE) AS price
         |FROM backward b JOIN forward f ON b.event_id = f.event_id""".stripMargin,
     "q_ingest_union_dedup" ->
       """SELECT event_type, count(*) AS n_rows FROM (

@@ -18,6 +18,11 @@ object RelationalQueries extends QueryGroup {
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Final money outputs: exact decimal arithmetic, emitted as double so both
+    * engines hash the identical float64 (see EventQueries.dbl).
+    */
+  private def dbl(c: Column): Column = dec(c).cast("double")
+
   val queries: Map[String, Q] = Map(
     // A1: group-agg leaderboard shape on the fact table.
     "q_agg_sum_group" -> ((s, dir) => {
@@ -25,8 +30,8 @@ object RelationalQueries extends QueryGroup {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           count(lit(1)).as("n_rows"),
-          dec(sum(dec(col("l_quantity")))).as("sum_qty"),
-          dec(sum(dec(col("l_extendedprice")))).as("sum_price"),
+          dbl(sum(dec(col("l_quantity")))).as("sum_qty"),
+          dbl(sum(dec(col("l_extendedprice")))).as("sum_price"),
           min(col("l_orderkey")).as("min_ok"),
           max(col("l_orderkey")).as("max_ok"))
     }),
@@ -37,7 +42,7 @@ object RelationalQueries extends QueryGroup {
       val p = Tables.part(s, dir)
       li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
-        .agg(count(lit(1)).as("n_rows"), dec(sum(dec(col("l_extendedprice")))).as("sum_price"))
+        .agg(count(lit(1)).as("n_rows"), dbl(sum(dec(col("l_extendedprice")))).as("sum_price"))
     }),
 
     // J1: left-outer merge of per-key aggregates onto a dimension.
@@ -49,7 +54,7 @@ object RelationalQueries extends QueryGroup {
       c.join(o, col("c_custkey") === col("o_custkey"), "left")
         .select(col("c_custkey"), col("c_mktsegment"),
           coalesce(col("n_orders"), lit(0L)).as("n_orders"),
-          coalesce(col("sum_total"), dec(lit(0))).as("sum_total"))
+          dbl(coalesce(col("sum_total"), dec(lit(0)))).as("sum_total"))
     }),
 
     // J6-shape: left-semi (EXISTS).
@@ -78,7 +83,7 @@ object RelationalQueries extends QueryGroup {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"))
-        .agg(count(lit(1)).as("n_orders"), dec(sum(dec(col("o_totalprice")))).as("sum_total"))
+        .agg(count(lit(1)).as("n_orders"), dbl(sum(dec(col("o_totalprice")))).as("sum_total"))
     }),
 
     // A4: watermark max per key (incremental-fetch range resolution, S2).
@@ -101,7 +106,7 @@ object RelationalQueries extends QueryGroup {
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") >= lit("1995-01-01") && col("l_shipdate") < lit("1996-01-01")
           && col("l_returnflag") === "R")
-        .agg(count(lit(1)).as("n_rows"), dec(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .agg(count(lit(1)).as("n_rows"), dbl(sum(dec(col("l_quantity")))).as("sum_qty"))
     }),
 
     // U2: set difference — parts never shipped.
@@ -132,18 +137,18 @@ object RelationalQueries extends QueryGroup {
   val oracles: Map[String, String] = Map(
     "q_agg_sum_group" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
         |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q_join_dim_agg" ->
       """SELECT p_brand, count(*) AS n_rows,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand""".stripMargin,
     "q_left_join_agg" ->
       """SELECT c_custkey, c_mktsegment,
         |  COALESCE(n_orders, 0) AS n_orders,
-        |  CAST(COALESCE(sum_total, 0) AS DECIMAL(18,2)) AS sum_total
+        |  CAST(CAST(COALESCE(sum_total, 0) AS DECIMAL(18,2)) AS DOUBLE) AS sum_total
         |FROM customer LEFT JOIN (
         |  SELECT o_custkey, count(*) AS n_orders,
         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_total
@@ -157,7 +162,7 @@ object RelationalQueries extends QueryGroup {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
     "q_star_join" ->
       """SELECT r_name, count(*) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_total
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_total
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -174,7 +179,7 @@ object RelationalQueries extends QueryGroup {
         |  SELECT p_partkey AS pk FROM part WHERE p_size > 40)""".stripMargin,
     "q_filter_count" ->
       """SELECT count(*) AS n_rows,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
         |  AND l_returnflag = 'R'""".stripMargin,

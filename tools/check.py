@@ -17,21 +17,15 @@ import pandas as pd
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Exact string canonicalization, mirroring the driver's hash: columns
+    sorted by name, every cell rendered with str() (so Decimal('96.20') and
+    float 96.2 DIFFER — no float coercion, no tolerance), rows sorted.
+    A local PASS here implies a driver hash_match."""
     df = df.reindex(sorted(df.columns), axis=1)
     out = {}
     for c in df.columns:
         s = df[c]
-        if s.dtype == object:
-            # decimals / strings; normalize decimals via float rounding
-            try:
-                s = s.astype(float).round(4)
-            except (ValueError, TypeError):
-                s = s.astype(str)
-        elif s.dtype.kind == "f":
-            s = s.round(4)
-        elif s.dtype.kind == "M":
-            s = s.dt.floor("s")
-        out[c] = s
+        out[c] = s.map(lambda v: "NULL" if v is None or (isinstance(v, float) and pd.isna(v)) or v is pd.NaT else str(v))
     r = pd.DataFrame(out)
     return r.sort_values(by=list(r.columns)).reset_index(drop=True)
 
@@ -64,13 +58,10 @@ def main(sf_dir: str, out_dir: str) -> int:
             elif len(cg) != len(cw):
                 status, ok = f"ROWCOUNT mismatch: spark={len(cg)} duck={len(cw)}", False
             else:
-                try:
-                    pd.testing.assert_frame_equal(cg, cw, check_dtype=False,
-                                                  check_exact=False, atol=1e-3)
+                if cg.equals(cw):
                     status, ok = f"match ({len(cg)} rows)", True
-                except AssertionError as e:
-                    status, ok = "VALUE mismatch: " + str(e).split("\n")[0], False
-                    # show a diff sample
+                else:
+                    status, ok = "VALUE mismatch (exact string compare)", False
                     merged = cg.compare(cw) if cg.shape == cw.shape else None
                     if merged is not None and not merged.empty:
                         status += f" | first diffs:\n{merged.head(5)}"
