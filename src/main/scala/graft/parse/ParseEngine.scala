@@ -22,19 +22,16 @@ object ParseEngine {
   def parse(raw: DataFrame, config: ParseConfig = OsrsPatterns.default): Result = {
     val content = PatternCompiler.cleanEscapes(col("raw_content"))
 
-    // Optimizer barrier: without it, SimplifyExtractValueOps rewrites every
-    // downstream `__b.Field` access into its own copy of the whole
-    // 35-variant CASE tree — the dispatch would run once PER EXTRACTED
-    // FIELD per row (17× work, measured as such at bench scale). A
-    // non-deterministic wrapper pins the struct into its own projection so
-    // consumers read the computed attribute instead. rand(0) is seeded and
-    // the predicate is always true; semantics are unchanged.
-    def barrier(c: Column): Column = when(rand(0) >= -1.0, c)
-
+    // The dispatch structs are single opaque ParseDispatch expressions, so
+    // no optimizer barrier is needed: SimplifyExtractValueOps cannot rewrite
+    // `__b.Field` through them (round 1's coalesce-of-structs tree needed a
+    // non-deterministic rand(0) wrapper to stop a 17× duplication, which
+    // excluded the projection from whole-stage codegen). Field extractions
+    // share one eval per row via codegen subexpression elimination.
     val annotated = raw
       .withColumn("__content", content)
-      .withColumn("__chat", barrier(PatternCompiler.chatStruct(col("__content"), config)))
-      .withColumn("__b", barrier(PatternCompiler.broadcastStruct(col("__content"), config)))
+      .withColumn("__chat", PatternCompiler.chatStruct(col("__content"), config))
+      .withColumn("__b", PatternCompiler.broadcastStruct(col("__content"), config))
 
     val chat = annotated
       .filter(col("__chat").isNotNull)
@@ -75,16 +72,13 @@ object ParseEngine {
     // Dead-letter. Failure reason mirrors the reference's loop: the LAST
     // matching-but-invalid broadcast variant wins, else the chat-validation
     // reason, else the no-match default (2_parse_engine.py:141-167,249-260).
-    val chatDef = VariantDef(config.chatRegex, config.chatColumns, config.chatRequired)
-    val variantReasons = config.groups.flatMap(g => g.variants.map(v =>
-      (v, g.broadcastType))).reverse.map { case (v, t) =>
-      when(col("__content").rlike(v.regex),
-        lit(s"Required column blank for Broadcast Type '$t'."))
-    }
-    val chatReason = when(col("__content").rlike(config.chatRegex),
-      lit("Chat message failed validation on required columns."))
-    val reason = coalesce(
-      variantReasons :+ chatReason :+ lit("No matching pattern found"): _*)
+    // One FirstMatchLabel expression (variants reversed) instead of a
+    // coalesce over 36 rlike branches.
+    val reasonRules = config.groups.flatMap(g => g.variants.map(v =>
+      (v.regex, s"Required column blank for Broadcast Type '${g.broadcastType}'."))).reverse :+
+      (config.chatRegex, "Chat message failed validation on required columns.")
+    val reason = graft.expr.FirstMatchLabel.label(
+      col("__content"), reasonRules, "No matching pattern found")
 
     val unparsed = annotated
       .filter(col("__chat").isNull && col("__b").isNull)

@@ -46,64 +46,28 @@ object PatternCompiler {
   val numericCols: Map[String, DataType] = Map(
     "Item_Value" -> LongType, "Pet_KC" -> IntegerType, "New_Level" -> IntegerType)
 
-  /** Mapped + coerced capture for column `name` from the variant's groups
-    * array: numeric cols comma-stripped and cast (null on failure); strings
-    * trimmed, blank→null (a non-participating group is already null).
-    */
-  private def mapped(groups: Column, v: VariantDef, name: String): Column = {
-    val groupIdx = v.columns.zipWithIndex
-      .collectFirst { case (n, i) if n == name => i + 1 }
-      .getOrElse(sys.error(s"column $name not captured by variant ${v.regex}"))
-    val raw = element_at(groups, groupIdx)
-    numericCols.get(name) match {
-      case Some(t) => regexp_replace(raw, ",", "").cast(t)
-      case None => nullif(trim(raw), lit(""))
-    }
-  }
-
-  /** Required-column validity: the variant matched at all (groups non-null)
-    * and every required capture is non-null after coercion (numeric parse
-    * failure ⇒ fall through to the next variant, exactly like the
-    * reference's validation).
-    */
-  private def variantValid(groups: Column, v: VariantDef): Column =
-    v.required.map(r => mapped(groups, v, r).isNotNull)
-      .foldLeft(groups.isNotNull)(_ && _)
-
-  /** One broadcast variant as a nullable struct of the full payload.
-    *
-    * The regex executes ONCE per row via [[graft.expr.RegexGroups]] (the
-    * identical sub-expressions below merge under Catalyst's subexpression
-    * elimination) — with rlike + per-column regexp_extract, the 35-variant
-    * dispatch ran each regex up to 9× per row and its generated code blew
-    * past the whole-stage-codegen size limit.
-    */
-  private def variantStruct(content: Column, g: GroupDef, v: VariantDef): Column = {
-    val groups = graft.expr.RegexGroups.regexGroups(content, v.regex)
-    val captured = v.columns.filterNot(_ == "_").toSet
-    val fields = broadcastPayload.map {
-      case ("Broadcast_Type", _) => lit(g.broadcastType).as("Broadcast_Type")
-      case (name, t) if captured.contains(name) => mapped(groups, v, name).as(name)
-      case (name, t) => lit(null).cast(t).as(name)
-    }
-    when(variantValid(groups, v), struct(fields: _*))
-  }
-
-  /** The full broadcast dispatch: coalesce over groups × variants in config
-    * order — first match that validates wins.
+  /** The full broadcast dispatch: ONE compact [[graft.expr.ParseDispatch]]
+    * expression over groups × variants in config order — first match that
+    * validates wins. Coercion (comma-strip + cast for numerics, trim +
+    * blank→null for strings) and required-column validation happen inside
+    * the single codegen'd eval, so the 35 regexes run at most once per row
+    * with first-match short-circuit.
     */
   def broadcastStruct(content: Column, config: ParseConfig): Column =
-    coalesce(config.groups.flatMap(g =>
-      g.variants.map(v => variantStruct(content, g, v))): _*)
+    graft.expr.ParseDispatch.dispatch(content,
+      config.groups.flatMap(g => g.variants.map(v =>
+        graft.expr.DispatchVariant(v.regex, v.columns, v.required, Some(g.broadcastType)))),
+      broadcastPayload)
 
-  /** Chat pattern as a nullable struct (tried before broadcasts). */
-  def chatStruct(content: Column, config: ParseConfig): Column = {
-    val v = VariantDef(config.chatRegex, config.chatColumns, config.chatRequired)
-    val groups = graft.expr.RegexGroups.regexGroups(content, config.chatRegex)
-    val fields = config.chatColumns.filterNot(_ == "_").map(n =>
-      mapped(groups, v, n).as(n))
-    when(variantValid(groups, v), struct(fields: _*))
-  }
+  /** Chat pattern as a nullable struct (tried before broadcasts) — same
+    * single-eval dispatch with a one-variant table.
+    */
+  def chatStruct(content: Column, config: ParseConfig): Column =
+    graft.expr.ParseDispatch.dispatch(content,
+      Seq(graft.expr.DispatchVariant(
+        config.chatRegex, config.chatColumns, config.chatRequired, None)),
+      config.chatColumns.filterNot(_ == "_")
+        .map(n => n -> numericCols.getOrElse(n, StringType: DataType)))
 
   /** Game-mode name for a message, or null — first configured rule whose
     * prefix (OR of concatenated AND icon lists) starts the message.
