@@ -2,7 +2,7 @@ package graft.expr
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -77,8 +77,87 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = newLeft, right = newRight)
 }
 
+/** Sign-bit LSH bucket id over `numPlanes` deterministic pseudo-random
+  * hyperplanes in one codegen'd pass. Plane components derive from
+  * xxhash64 exactly as the column form did —
+  * `xxhash64(lit(plane), i).cast(double) / Long.MaxValue` with the
+  * multi-arg seed chain (42 → hash(plane) → hash(i)) — and the projection
+  * accumulates left-to-right in double, so bucket ids are bit-identical to
+  * the replaced `aggregate(zip_with(vec, sequence(...), ...))` stack,
+  * which ran 2 interpreted lambda passes per plane per row.
+  */
+case class HyperplaneBuckets(child: Expression, numPlanes: Int, seedOffset: Int)
+  extends UnaryExpression {
+
+  private def elemFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"lsh_bucket needs a float/double array, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneBuckets.run(numPlanes, seedOffset, elemFloat, input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"""
+         |${ev.value} = graft.expr.HyperplaneBuckets$$.MODULE$$.run(
+         |  $numPlanes, $seedOffset, $elemFloat, $in);
+         |""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
+    copy(child = newChild)
+}
+
+object HyperplaneBuckets {
+
+  import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+
+  def run(numPlanes: Int, seedOffset: Int, elemFloat: Boolean, vec: ArrayData): Long = {
+    val n = vec.numElements()
+    var bits = 0L
+    var pl = 0
+    while (pl < numPlanes) {
+      // Seed chain of the 2-arg xxhash64: 42 → hash(plane) → hash(dim).
+      val planeSeed = XxHash64Function.hash(seedOffset + pl, IntegerType, 42L)
+      var acc = 0.0
+      var sawNull = false
+      var i = 0
+      while (i < n) {
+        if (vec.isNullAt(i)) sawNull = true
+        else {
+          val comp = XxHash64Function.hash(i, IntegerType, planeSeed).toDouble /
+            Long.MaxValue.toDouble
+          val v = if (elemFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+          acc += v * comp
+        }
+        i += 1
+      }
+      // A null element nulled the whole projection in the column form, so
+      // the bit stayed unset.
+      if (!sawNull && acc >= 0) bits |= 1L << pl
+      pl += 1
+    }
+    bits
+  }
+}
+
 object VectorExprs {
   def vecDot(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       VecDot(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def lshBucket(vec: Column, numPlanes: Int, seedOffset: Int = 0): Column =
+    GraftColumnBridge.column(
+      HyperplaneBuckets(GraftColumnBridge.expression(vec), numPlanes, seedOffset))
 }

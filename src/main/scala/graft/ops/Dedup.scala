@@ -44,15 +44,12 @@ object Dedup {
   def normalizeText(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
-  /** Word n-gram shingles of a text column as an array column. */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = split(normalizeText(c), " ")
-    // transform over the sliding starts; filter out the tail windows.
-    filter(
-      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => when(i + n <= size(toks), array_join(slice(toks, i + lit(1), lit(n)), " "))),
-      x => x.isNotNull)
-  }
+  /** Word n-gram shingles of a text column as an array column — one
+    * codegen'd pass per row (see [[graft.expr.WordShingles]]; the
+    * higher-order-function formulation ran interpreted per position).
+    */
+  def shingles(c: Column, n: Int): Column =
+    graft.expr.WordShingles.shingles(c, n)
 
   /** Deterministic 64-bit hash of a shingle with a seed, via xxhash64. */
   private def seededHash(c: Column, seed: Int): Column = xxhash64(lit(seed), c)
@@ -67,34 +64,20 @@ object Dedup {
       array_min(transform(shingleCol, x => seededHash(x, s)))
     }: _*)
 
-  /** Relational MinHash signatures: explode shingles to rows, compute every
-    * seeded hash in a codegen'd projection, min them back per doc with a
-    * partially-aggregated groupBy. Same result as [[minHashSignature]], but
-    * the per-element work runs inside whole-stage codegen instead of the
-    * interpreted higher-order-function path (~20× at bench scale), and the
-    * single shuffle on the doc id is the 100 TB shape.
+  /** Relational MinHash signatures: build shingles in one codegen'd eval
+    * ([[graft.expr.WordShingles]]), explode, compute every seeded hash in a
+    * codegen'd projection, min them back per doc with a partially-aggregated
+    * groupBy. Same result as [[minHashSignature]], but the per-element work
+    * runs inside whole-stage codegen instead of the interpreted
+    * higher-order-function path, and the ONE shuffle (partial-agg'd on the
+    * doc id) is the 100 TB shape. (Round 1 stitched shingles with a
+    * posexplode + lead() window, which cost an extra shuffle + sort.)
     */
   def minHashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, numHashes: Int): DataFrame = {
-    // Shingles built relationally: posexplode tokens, stitch each window
-    // of `shingleSize` with lead() — the array-lambda shingle builder runs
-    // interpreted per position. The window partitions by doc id, and the
-    // signature groupBy reuses that exact partitioning, so the whole
-    // signature computation costs ONE shuffle.
-    import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol),
-      posexplode(split(normalizeText(col(textCol)), " ")).as(Seq("__pos", "__tok")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-    val parts = (0 until shingleSize).map {
-      case 0 => col("__tok")
-      case i => lead(col("__tok"), i).over(w)
-    }
-    // Window exprs must be projected before they can be filtered on.
-    val exploded = toks
-      .select(col(idCol), concat_ws(" ", parts: _*).as("__sh"),
-        parts.last.isNotNull.as("__full"))
-      .filter(col("__full"))
+    val exploded = df.select(col(idCol),
+      explode(graft.expr.WordShingles.shingles(col(textCol), shingleSize)).as("__sh"))
     val aggs = (0 until numHashes).map(s =>
       min(seededHash(col("__sh"), s)).as(s"__h$s"))
     exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
@@ -153,25 +136,45 @@ object Dedup {
     */
   def ngramJaccardSparse(
       docs: DataFrame, idCol: String, textCol: String, n: Int,
-      blockCol: Option[String] = None): DataFrame = {
+      blockCol: Option[String] = None, maxDf: Option[Int] = None): DataFrame = {
     val keyCols = blockCol.toSeq
-    val exploded = docs.select(
+    // Distinct shingles built in ONE codegen'd eval per doc; the set size
+    // rides through the explode, so no per-side size re-join and no second
+    // or third shingle computation (the round-1 plan built the shingle
+    // arrays three times: once for sizes, once per join side).
+    val sh = docs.select(
       (Seq(col(idCol)) ++ keyCols.map(col) :+
-        explode(array_distinct(shingles(col(textCol), n))).as("__sh")): _*)
-    val sizes = exploded.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+        graft.expr.WordShingles.shingles(col(textCol), n, distinct = true).as("__arr")): _*)
+
+    val exploded = maxDf match {
+      case None =>
+        sh.select(
+          (Seq(col(idCol), size(col("__arr")).as("__n")) ++ keyCols.map(col) :+
+            explode(col("__arr")).as("__sh")): _*)
+      case Some(cap) =>
+        // 100 TB scale knob: drop stop-shingles whose document frequency
+        // (within the block) exceeds `cap` BEFORE the pair join — a
+        // ubiquitous shingle fans out O(df²) candidate pairs. Jaccard is
+        // then over the capped shingle universe, so sizes are recomputed
+        // after the prune (mirror the same predicate in any oracle).
+        val raw = sh.select(
+          (Seq(col(idCol)) ++ keyCols.map(col) :+ explode(col("__arr")).as("__sh")): _*)
+        val wDf = Window.partitionBy((keyCols :+ "__sh").map(col): _*)
+        val wN = Window.partitionBy(col(idCol))
+        raw.withColumn("__df", count(lit(1)).over(wDf))
+          .filter(col("__df") <= cap)
+          .withColumn("__n", count(lit(1)).over(wN))
+          .drop("__df")
+    }
 
     val a = exploded.select(
-      (Seq(col(idCol).as("id_a"), col("__sh")) ++ keyCols.map(col)): _*)
+      (Seq(col(idCol).as("id_a"), col("__n").as("__na"), col("__sh")) ++ keyCols.map(col)): _*)
     val b = exploded.select(
-      (Seq(col(idCol).as("id_b"), col("__sh")) ++ keyCols.map(col)): _*)
-    val inter = a.join(b, Seq("__sh") ++ keyCols)
+      (Seq(col(idCol).as("id_b"), col("__n").as("__nb"), col("__sh")) ++ keyCols.map(col)): _*)
+    a.join(b, Seq("__sh") ++ keyCols)
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("__na"), col("__nb"))
       .agg(count(lit(1)).as("__c"))
-
-    inter
-      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("__n", "__na"), Seq("id_a"))
-      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("__n", "__nb"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (col("__c") / (col("__na") + col("__nb") - col("__c")).cast("double")).as("jaccard"))
   }
@@ -182,7 +185,8 @@ object Dedup {
     */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
-    val sh = docs.select(col(idCol), array_distinct(shingles(col(textCol), n)).as("__sh"))
+    val sh = docs.select(col(idCol),
+      graft.expr.WordShingles.shingles(col(textCol), n, distinct = true).as("__sh"))
     pairs
       .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("__sh", "__sh_a"), Seq("id_a"))
       .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("__sh", "__sh_b"), Seq("id_b"))

@@ -80,25 +80,14 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 scaled into [-1, 1]. Shared derivation with any oracle.
+  /** Sign-bit LSH bucket id from `numPlanes` deterministic xxhash64-derived
+    * hyperplanes; `seedOffset` selects an independent hash table's plane
+    * family. One codegen'd pass over the vector
+    * ([[graft.expr.HyperplaneBuckets]]; bit-identical to the previous
+    * interpreted `aggregate(zip_with(...))`-per-plane stack).
     */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (xxhash64(lit(plane), dim).cast("double") / lit(Long.MaxValue.toDouble))
-
-  /** Sign-bit LSH bucket id from `numPlanes` hyperplanes; `seedOffset`
-    * selects an independent hash table's plane family.
-    */
-  def lshBucket(vec: Column, numPlanes: Int, seedOffset: Int = 0): Column = {
-    val bits = (0 until numPlanes).map { pl =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (v, i) => v.cast("double") * planeComponent(seedOffset + pl, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << pl)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def lshBucket(vec: Column, numPlanes: Int, seedOffset: Int = 0): Column =
+    graft.expr.VectorExprs.lshBucket(vec, numPlanes, seedOffset)
 
   /** ANN top-k via LSH buckets: candidates share a bucket with the probe
     * (optionally multi-probe across several plane sets), ranked by exact
@@ -119,11 +108,14 @@ object Similarity {
     }
     val p = withBuckets(probes, "query")
     val c = withBuckets(corpus, "neighbor")
+    // Score BEFORE the cross-table dedup: cos is identical for a pair seen
+    // in several tables, so distinct on (ids, cos) is equivalent — and the
+    // dedup shuffle then carries 3 scalars per row instead of two vectors.
     val cand = p.join(c, Seq("__t", "__b"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("__queryv"), col("__neighborv"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__queryv"), col("__neighborv")).as("cos"))
       .distinct()
-      .withColumn("cos", cosine(col("__queryv"), col("__neighborv")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

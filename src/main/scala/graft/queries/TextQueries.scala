@@ -30,7 +30,7 @@ object TextQueries extends QueryGroup {
         .select(col("doc_id"),
           round(TextFunctions.punctRatio(col("text")), 4).as("punct_ratio"),
           round(TextFunctions.stopwordRatio(col("text"), stop), 4).as("stopword_ratio"),
-          round(TextFunctions.meanTokenLen(col("text")), 4).as("mean_token_len"),
+          round(TextFunctions.meanTokenLen(col("text"), stop), 4).as("mean_token_len"),
           round(TextFunctions.qualityScore(col("text"), stop), 2).as("quality"))
     }),
 
@@ -54,9 +54,12 @@ object TextQueries extends QueryGroup {
     // agrees with the label. One scan + one dedup shuffle.
     "q_text_curation" -> ((s, dir) => {
       val stop = Seq("the", "a", "of", "and", "is")
+      // quality and predicted share ONE TextStats instance (same stopword
+      // list), so the pushed-down filter and the projection each cost a
+      // single token pass instead of two.
       Dedup.exactByDigest(Tables.documents(s, dir), "text", "doc_id")
         .withColumn("quality", round(TextFunctions.qualityScore(col("text"), stop), 2))
-        .withColumn("predicted", TextFunctions.langId(col("text")))
+        .withColumn("predicted", TextFunctions.langId(col("text"), stop))
         .filter(col("quality") >= 0.7 && col("predicted") === col("lang"))
         .select(col("doc_id"), col("lang"), col("quality"))
     }))
