@@ -17,12 +17,43 @@ import org.apache.spark.sql.functions._
   * Scale notes: the groupBy shuffles once on the bucket key; the spine is
   * generated on the driver-side boundaries (two scalars) and broadcast —
   * its cardinality is (time range / bucket), tiny even at 100 TB of events.
-  * The cumulative window partitions by frequency label — at extreme range
-  * the single-partition window would serialize, so for the 100 TB path
-  * partition the cumsum by (frequency, year) and add a per-year base offset;
-  * at dashboard cardinalities (1 row per bucket) this is unnecessary.
+  * The cumulative sums run per-year ([[TimeSeries.gapFreeCumulative]]), so
+  * no window ever moves more than one year of buckets to one partition.
   */
 object TimeSeries {
+
+  /** Cumulative sums over the (already gap-free) bucket table WITHOUT a
+    * single-partition window: a running sum partitioned by `year(dateCol)`
+    * plus each year's base offset (the total of all prior years, built by
+    * a years×years triangle join over the per-year aggregate — a handful
+    * of rows, broadcast back). Bucket rows are one-per-bucket, but at a
+    * century of 6h buckets × many frequencies an unpartitioned WindowExec
+    * serializes the whole report; this shape never does.
+    *
+    * `sums` maps source column → cumulative output column. Addition is
+    * long/decimal exact, so results are bit-identical to the global
+    * ordered window.
+    */
+  def gapFreeCumulative(full: DataFrame, dateCol: String,
+      sums: Seq[(String, String)]): DataFrame = {
+    val withYr = full.withColumn("__yr", year(col(dateCol)))
+    val wIn = Window.partitionBy("__yr").orderBy(dateCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val running = sums.foldLeft(withYr) { case (df, (src, dst)) =>
+      df.withColumn(dst, sum(col(src)).over(wIn))
+    }
+    val yearTotals = withYr.groupBy("__yr")
+      .agg(sums.map { case (src, dst) => sum(col(src)).as(s"__t_$dst") }: _*)
+    val bases = yearTotals.alias("a")
+      .join(yearTotals.alias("b"), col("b.__yr") < col("a.__yr"), "left")
+      .groupBy(col("a.__yr").as("__yr"))
+      .agg(sums.map { case (_, dst) =>
+        sum(col(s"b.__t_$dst")).as(s"__b_$dst") }: _*)
+    val out = running.join(broadcast(bases), Seq("__yr"))
+    sums.foldLeft(out) { case (df, (_, dst)) =>
+      df.withColumn(dst, col(dst) + coalesce(col(s"__b_$dst"), lit(0)))
+    }.drop("__yr" +: sums.map { case (_, dst) => s"__b_$dst" }: _*)
+  }
 
   /** Floor `ts` to an aligned bucket of `seconds` (epoch-aligned, UTC). */
   def bucket(ts: Column, seconds: Long): Column =
@@ -53,10 +84,9 @@ object TimeSeries {
         coalesce(col("Count"), lit(0L)).as("Count"),
         coalesce(col("Total_Value"), lit(0).cast("decimal(18,2)")).as("Total_Value"))
 
-    val w = Window.orderBy("Date").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    full
-      .withColumn("Cumulative_Count", sum("Count").over(w))
-      .withColumn("Cumulative_Value", sum("Total_Value").over(w).cast("decimal(18,2)"))
+    gapFreeCumulative(full, "Date",
+      Seq("Count" -> "Cumulative_Count", "Total_Value" -> "Cumulative_Value"))
+      .withColumn("Cumulative_Value", col("Cumulative_Value").cast("decimal(18,2)"))
       .withColumn("Frequency", lit(freqLabel))
   }
 

@@ -100,11 +100,8 @@ object Reports {
           coalesce(col("Count"), lit(0L)).as("Count"),
           coalesce(col("Total_Value"), lit(0L)).as("Total_Value"))
 
-      val w = Window.orderBy("__bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      full
-        .withColumn("Cumulative_Count", sum("Count").over(w))
-        .withColumn("Cumulative_Value", sum("Total_Value").over(w))
+      TimeSeries.gapFreeCumulative(full, "__bucket",
+        Seq("Count" -> "Cumulative_Count", "Total_Value" -> "Cumulative_Value"))
         .withColumn("Date", timestamp_seconds(
           unix_timestamp(col("__bucket")) + labelShiftDays * 86400L))
         .withColumn("Frequency", lit(freq))
