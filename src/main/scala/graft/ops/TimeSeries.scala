@@ -42,13 +42,15 @@ object TimeSeries {
     val running = sums.foldLeft(withYr) { case (df, (src, dst)) =>
       df.withColumn(dst, sum(col(src)).over(wIn))
     }
+    val totalAggs = sums.map { case (src, dst) => sum(col(src)).as(s"__t_$dst") }
     val yearTotals = withYr.groupBy("__yr")
-      .agg(sums.map { case (src, dst) => sum(col(src)).as(s"__t_$dst") }: _*)
+      .agg(totalAggs.head, totalAggs.tail: _*)
+    val baseAggs = sums.map { case (_, dst) =>
+      sum(col(s"b.__t_$dst")).as(s"__b_$dst") }
     val bases = yearTotals.alias("a")
       .join(yearTotals.alias("b"), col("b.__yr") < col("a.__yr"), "left")
       .groupBy(col("a.__yr").as("__yr"))
-      .agg(sums.map { case (_, dst) =>
-        sum(col(s"b.__t_$dst")).as(s"__b_$dst") }: _*)
+      .agg(baseAggs.head, baseAggs.tail: _*)
     val out = running.join(broadcast(bases), Seq("__yr"))
     sums.foldLeft(out) { case (df, (_, dst)) =>
       df.withColumn(dst, col(dst) + coalesce(col(s"__b_$dst"), lit(0)))
