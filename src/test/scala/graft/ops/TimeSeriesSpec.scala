@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exercises [[TimeSeries.gapFreeCumulative]] at its design point: a
+  * multi-year spine where the per-year partitioned running sums plus the
+  * year-base-offset join must be bit-identical to a single global ordered
+  * window (the scale-hostile form it replaces).
+  */
+class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
+
+  test("per-year cumulative equals global-window cumulative over a 4-year daily spine") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // 4 years of daily buckets (incl. a leap year), irregular values, with
+    // zero-count gap rows exactly as resample's spine join produces them.
+    val days = java.time.LocalDate.of(2020, 1, 1)
+    val rows = (0 until 1461).map { i =>
+      val d = days.plusDays(i.toLong)
+      val cnt = if (rng.nextInt(5) == 0) 0L else rng.nextInt(100).toLong
+      val v = BigDecimal(rng.nextInt(100000), 2)
+      (java.sql.Date.valueOf(d), cnt, if (cnt == 0) BigDecimal(0, 2) else v)
+    }
+    val full = rows.toDF("Date", "Count", "Total_Value")
+      .withColumn("Total_Value", col("Total_Value").cast("decimal(18,2)"))
+
+    val sums = Seq("Count" -> "Cumulative_Count", "Total_Value" -> "Cumulative_Value")
+    val fast = TimeSeries.gapFreeCumulative(full, "Date", sums)
+
+    val wGlobal = Window.orderBy("Date")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val slow = sums.foldLeft(full) { case (df, (src, dst)) =>
+      df.withColumn(dst, sum(col(src)).over(wGlobal))
+    }
+
+    val cols = Seq("Date", "Count", "Total_Value", "Cumulative_Count", "Cumulative_Value")
+    val a = fast.select(cols.map(col): _*).orderBy("Date").collect()
+    val b = slow.select(cols.map(col): _*).orderBy("Date").collect()
+    assert(a.length == 1461)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("single-year input (no prior-year base) is unchanged") {
+    import spark.implicits._
+    val rows = (0 until 10).map(i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2023, 1, 1).plusDays(i.toLong)), i.toLong))
+    val df = rows.toDF("Date", "Count")
+    val out = TimeSeries.gapFreeCumulative(df, "Date", Seq("Count" -> "Cum"))
+      .orderBy("Date").select("Cum").as[Long].collect()
+    assert(out.toSeq == Seq(0L, 1L, 3L, 6L, 10L, 15L, 21L, 28L, 36L, 45L))
+  }
+}
