@@ -109,7 +109,17 @@ object ParseDispatch {
           case None => kinds(i) = 0
         }
       }
-      val reqIdx = v.required.map(fieldNames.indexOf(_)).filter(_ >= 0).toArray
+      // Fail fast on config typos: a required name missing from the payload,
+      // or never produced by this variant (not captured and not the stamped
+      // Broadcast_Type), would make the variant silently unmatchable.
+      val reqIdx = v.required.map { name =>
+        val idx = fieldNames.indexOf(name)
+        require(idx >= 0,
+          s"required column '$name' is not a payload field (variant: ${v.regex})")
+        require(kinds(idx) != 0,
+          s"required column '$name' is never produced by variant: ${v.regex}")
+        idx
+      }.toArray
       new CompiledDispatchVariant(Pattern.compile(v.regex), kinds, groups,
         v.broadcastType.map(UTF8String.fromString).orNull, reqIdx)
     }
@@ -171,6 +181,12 @@ object ParseDispatch {
     if (b == 0 && e == s.length) s else s.substring(b, e)
   }
 
+  /** Numeric captures must be pure digit/comma strings (possibly signed).
+    * This is intentionally stricter than Spark's string→long cast, which
+    * also accepts fractional strings ('12.5' → 12) and trims control
+    * whitespace — the dispatch regexes only ever capture `[\d,]+`, so a
+    * capture that fails here is a config error, not data to salvage.
+    */
   private def stripCommasTrim(s: String): String = trimSpaces(s).replace(",", "")
 
   private def parseLongOrNull(g: String): java.lang.Long = {

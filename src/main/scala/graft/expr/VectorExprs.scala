@@ -3,7 +3,8 @@ package graft.expr
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -105,15 +106,28 @@ case class HyperplaneBuckets(child: Expression, numPlanes: Int, seedOffset: Int)
         s"lsh_bucket needs a float/double array, got $other")
   }
 
-  override def nullSafeEval(input: Any): Any =
-    HyperplaneBuckets.run(numPlanes, seedOffset, elemFloat, input.asInstanceOf[ArrayData])
+  // A NULL vector buckets to 0L (the all-bits-unset bucket the pre-expression
+  // column form produced) instead of a NULL bucket that would silently drop
+  // the row out of the LSH join.
+  override def nullable: Boolean = false
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, in =>
-      s"""
-         |${ev.value} = graft.expr.HyperplaneBuckets$$.MODULE$$.run(
-         |  $numPlanes, $seedOffset, $elemFloat, $in);
-         |""".stripMargin)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L
+    else HyperplaneBuckets.run(numPlanes, seedOffset, elemFloat, v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+         |${childGen.code}
+         |long ${ev.value} = ${childGen.isNull} ? 0L :
+         |  graft.expr.HyperplaneBuckets$$.MODULE$$.run(
+         |    $numPlanes, $seedOffset, $elemFloat, ${childGen.value});
+         |""".stripMargin
+    ev.copy(code = code, isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
     copy(child = newChild)

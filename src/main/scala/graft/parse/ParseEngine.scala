@@ -77,8 +77,12 @@ object ParseEngine {
     val reasonRules = config.groups.flatMap(g => g.variants.map(v =>
       (v.regex, s"Required column blank for Broadcast Type '${g.broadcastType}'."))).reverse :+
       (config.chatRegex, "Chat message failed validation on required columns.")
-    val reason = graft.expr.FirstMatchLabel.label(
-      col("__content"), reasonRules, "No matching pattern found")
+    // FirstMatchLabel is null-safe, so a null raw_content would yield a null
+    // reason; dead-letter rows must always carry a non-null failure_reason.
+    val reason = coalesce(
+      graft.expr.FirstMatchLabel.label(
+        col("__content"), reasonRules, "No matching pattern found"),
+      lit("No matching pattern found"))
 
     val unparsed = annotated
       .filter(col("__chat").isNull && col("__b").isNull)

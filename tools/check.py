@@ -25,7 +25,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     out = {}
     for c in df.columns:
         s = df[c]
-        out[c] = s.map(lambda v: "NULL" if v is None or (isinstance(v, float) and pd.isna(v)) or v is pd.NaT else str(v))
+        # v is pd.NA covers pandas nullable dtypes (Int64/boolean/string),
+        # where missing cells are pd.NA rather than float NaN or None.
+        out[c] = s.map(lambda v: "NULL" if v is None or v is pd.NA or (isinstance(v, float) and pd.isna(v)) or v is pd.NaT else str(v))
     r = pd.DataFrame(out)
     return r.sort_values(by=list(r.columns)).reset_index(drop=True)
 
