@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ingest.IncrementalIngest
+import graft.ingest.{IncrementalIngest, NameChanges}
 import graft.ops.{AsOfJoin, Dedup}
 import org.apache.spark.sql.functions._
 
@@ -66,6 +66,29 @@ object IngestQueries extends QueryGroup {
         .select(col("event_id"), col("user_id"), col("price").cast("double").as("price"))
     }),
 
+    // S13: name-change sync — embed scan → arrow parse → exclusive-cursor
+    // resume with a STALE watermark (overlap re-read), idempotent append.
+    // Output = the rows the batch would actually insert.
+    "q_name_changes" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val messages = ev.select(
+        col("event_id").as("message_id"),
+        col("ts").as("created_at"),
+        when(col("event_type") === "signup", lit(NameChanges.EmbedTitle))
+          .otherwise(lit("Other Embed")).as("embed_title"),
+        when(pmod(col("event_id"), lit(5)) === 0, lit("no arrow in this embed"))
+          .when(pmod(col("event_id"), lit(2)) === 0,
+            format_string("user_%d → user_%d", col("user_id"), col("user_id") + 1000))
+          .otherwise( // padded variant exercises the trim path
+            format_string("  user_%d  →  user_%d  ", col("user_id"), col("user_id") + 1000))
+          .as("embed_description"))
+      val existing = NameChanges.parse(messages.filter(col("message_id") <= 6000))
+      val scanned = NameChanges.afterWatermark(messages, Some(5000L))
+      NameChanges.rowsToAppend(existing, NameChanges.parse(scanned))
+        .select(col("discord_message_id"), col("old_name"), col("new_name"),
+          date_format(col("change_timestamp"), "yyyy-MM-dd HH:mm:ss").as("change_ts"))
+    }),
+
     // W7-adjacent: deterministic keep-first over a union with duplicates.
     "q_ingest_union_dedup" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -108,6 +131,17 @@ object IngestQueries extends QueryGroup {
         |    ON probes.user_id = build.user_id AND probes.ts < build.price_ts)
         |SELECT b.event_id, b.user_id, CAST(COALESCE(b.price, f.price) AS DOUBLE) AS price
         |FROM backward b JOIN forward f ON b.event_id = f.event_id""".stripMargin,
+    "q_name_changes" ->
+      """SELECT event_id AS discord_message_id,
+        |  'user_' || user_id AS old_name,
+        |  'user_' || (user_id + 1000) AS new_name,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS change_ts
+        |FROM events
+        |WHERE event_type = 'signup' AND event_id % 5 <> 0
+        |  AND event_id > 5000
+        |  AND event_id NOT IN (
+        |    SELECT event_id FROM events
+        |    WHERE event_type = 'signup' AND event_id % 5 <> 0 AND event_id <= 6000)""".stripMargin,
     "q_ingest_union_dedup" ->
       """SELECT event_type, count(*) AS n_rows FROM (
         |  SELECT DISTINCT event_id, event_type FROM (
