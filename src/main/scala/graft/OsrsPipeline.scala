@@ -84,6 +84,23 @@ object OsrsPipeline {
     TimeseriesReportDef("pvp_kills_timeseries", Seq("PvP Kill")),
     TimeseriesReportDef("pvp_deaths_timeseries", Seq("PvP Death")))
 
+  /** The price sub-DAG behind its 24 h stage gate with the tolerated-
+    * failure policy (`run_all_etl.py:117-155`): fetch at most once per
+    * `minInterval`; a skipped or failed fetch yields None and the pipeline
+    * proceeds on constant overrides — only a successful fetch advances the
+    * state entry. Pass the result straight to [[run]]'s `itemPrices`.
+    */
+  def gatedItemPrices(
+      statePath: java.nio.file.Path,
+      now: java.time.Instant,
+      minInterval: java.time.Duration = java.time.Duration.ofHours(24))(
+      fetch: => DataFrame): Option[DataFrame] =
+    graft.gold.StageGate.runGated(
+      statePath, "price_fetcher", minInterval, now, tolerateFailure = true)(fetch) match {
+      case graft.gold.StageGate.Ran(df) => Some(df)
+      case _ => None
+    }
+
   /** Full run: raw frame (id, timestamp, raw_content) → map of gold tables.
     * `itemPrices` feeds the as-of value override (empty frame = constants
     * only).

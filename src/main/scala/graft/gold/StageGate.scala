@@ -1,0 +1,81 @@
+package graft.gold
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.time.{Duration, Instant}
+
+import scala.util.control.NonFatal
+
+/** Per-stage run gating + tolerated-failure policy (SURVEY.md §2.1 S15 /
+  * §2.6 T5; reference `src/run_all_etl.py:117-176`): a state file records
+  * each stage's last successful run; a stage re-runs only after its
+  * minimum interval; a TOLERATED stage (the reference's price fetcher,
+  * `:145-155`) may fail without failing the pipeline, and only a SUCCESS
+  * advances its state entry.
+  *
+  * The state file is the reference's `ETL_state.json` contract re-expressed
+  * dependency-free: one `stage\tISO-instant` line per stage, written via
+  * temp-file + atomic rename (the reference rewrites JSON in place). A
+  * missing or unreadable file means "run everything", exactly like the
+  * `except ... Will attempt to run all scripts` branch (`:132-133`).
+  */
+object StageGate {
+
+  /** Last successful run per stage; corrupt/missing file → empty. */
+  def readState(statePath: Path): Map[String, Instant] =
+    try {
+      if (!Files.exists(statePath)) return Map.empty
+      new String(Files.readAllBytes(statePath), StandardCharsets.UTF_8)
+        .split("\n", -1).toSeq.filter(_.nonEmpty)
+        .map { l => val Array(k, v) = l.split("\t", 2); k -> Instant.parse(v) }
+        .toMap
+    } catch { case NonFatal(_) => Map.empty }
+
+  /** `run_all_etl.py:121-131`: run unless the stage succeeded within the
+    * minimum interval.
+    */
+  def shouldRun(statePath: Path, stage: String, minInterval: Duration, now: Instant): Boolean =
+    readState(statePath).get(stage)
+      .forall(last => !now.isBefore(last.plus(minInterval)))
+
+  /** Record a successful run, preserving other stages' entries
+    * (`:160-175`).
+    */
+  def recordSuccess(statePath: Path, stage: String, now: Instant): Unit = {
+    val next = readState(statePath) + (stage -> now)
+    val body = next.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k\t$v" }.mkString("\n")
+    Option(statePath.getParent).foreach(Files.createDirectories(_))
+    val tmp = statePath.resolveSibling(statePath.getFileName.toString + ".tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, statePath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Outcome of a gated stage attempt. */
+  sealed trait Outcome[+T]
+  case class Ran[T](result: T) extends Outcome[T]
+  case object Skipped extends Outcome[Nothing]
+  case class Failed(error: Throwable) extends Outcome[Nothing]
+
+  /** Run `body` iff the gate is open; on success advance the state. When
+    * `tolerateFailure` (the price-fetcher policy, `:145-155`) a failure is
+    * captured as [[Failed]] — state NOT advanced, nothing thrown — so the
+    * rest of the pipeline proceeds; otherwise the failure propagates.
+    */
+  def runGated[T](
+      statePath: Path,
+      stage: String,
+      minInterval: Duration,
+      now: Instant,
+      tolerateFailure: Boolean = false)(body: => T): Outcome[T] = {
+    if (!shouldRun(statePath, stage, minInterval, now)) return Skipped
+    try {
+      val r = body
+      recordSuccess(statePath, stage, now)
+      Ran(r)
+    } catch {
+      case NonFatal(e) if tolerateFailure => Failed(e)
+    }
+  }
+}
