@@ -54,6 +54,14 @@ object Dedup {
   /** Deterministic 64-bit hash of a shingle with a seed, via xxhash64. */
   private def seededHash(c: Column, seed: Int): Column = xxhash64(lit(seed), c)
 
+  /** md5-derived seeded shingle hash — the cross-engine-reproducible
+    * variant of [[seededHash]] (same trick as [[simHashMd5]]): used only
+    * where a DuckDB/pandas oracle must replicate the signature bit-for-bit;
+    * prod paths stay on xxhash64.
+    */
+  def md5SeededHash(c: Column, seed: Int): Column =
+    md5Hash60(concat_ws("_", lit(seed.toString), c))
+
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * minimum hash over the row's shingle set. Pure expression tree — stays
     * inside whole-stage codegen, no UDF. (Array-lambda form; the relational
@@ -75,11 +83,12 @@ object Dedup {
     */
   def minHashSignatures(
       df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int, numHashes: Int): DataFrame = {
+      shingleSize: Int, numHashes: Int,
+      hashFn: (Column, Int) => Column = seededHash): DataFrame = {
     val exploded = df.select(col(idCol),
       explode(graft.expr.WordShingles.shingles(col(textCol), shingleSize)).as("__sh"))
     val aggs = (0 until numHashes).map(s =>
-      min(seededHash(col("__sh"), s)).as(s"__h$s"))
+      min(hashFn(col("__sh"), s)).as(s"__h$s"))
     exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
       .select(col(idCol),
         array((0 until numHashes).map(s => col(s"__h$s")): _*).as("__sig"))
@@ -96,16 +105,24 @@ object Dedup {
       textCol: String,
       shingleSize: Int = 3,
       numHashes: Int = 16,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4,
+      hashFn: (Column, Int) => Column = seededHash,
+      hashBandKey: Boolean = true): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = minHashSignatures(df, idCol, textCol, shingleSize, numHashes)
+    val sigs = minHashSignatures(df, idCol, textCol, shingleSize, numHashes, hashFn)
 
+    // Prod hashes the band slice to a 64-bit shuffle key; the oracle-parity
+    // path (`hashBandKey = false`) joins on the raw joined-signature string
+    // so an engine without xxhash64 groups identically.
+    val bandKey = (b: Column) => {
+      val joined = array_join(transform(
+        slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+        _.cast("string")), ",")
+      if (hashBandKey) xxhash64(lit("band"), b, joined) else joined.cast("string")
+    }
     val banded = sigs.select(
       col(idCol), col("__sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(lit("band"), b,
-          array_join(transform(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-            _.cast("string")), ",")))))
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), bandKey)))
       .withColumnRenamed("pos", "__band")
       .withColumnRenamed("col", "__bucket")
 

@@ -96,11 +96,49 @@ object Similarity {
   def lshTopK(
       probes: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
+      numPlanes: Int = 8, tables: Int = 2): DataFrame =
+    lshTopKImpl(probes, corpus, idCol, vecCol, k, numPlanes, tables,
+      (vec, t) => lshBucket(vec, numPlanes, seedOffset = t * numPlanes))
+
+  /** md5-derived hyperplane components, reproducible in any engine with
+    * md5: `comp(p, d) = md5Hash60("p_<p>_<d>") / 2^59 - 1.0` ∈ [-1, 1).
+    * Division by a power of two and the subtraction are exact in double,
+    * so both engines derive bit-identical planes from their own md5.
+    */
+  def md5PlaneComponents(plane: Int, dims: Int): Array[Double] =
+    Array.tabulate(dims) { d =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"p_${plane}_$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16).toDouble /
+        (1L << 59).toDouble - 1.0
+    }
+
+  /** [[lshTopK]] with md5-derived planes baked as literal arrays — the
+    * oracle-parity variant (same trick as [[Dedup.simHashMd5]]). The
+    * projection is still the codegen'd [[graft.expr.VecDot]] against a
+    * constant plane vector; prod stays on the xxhash64 planes.
+    */
+  def lshTopKMd5(
+      probes: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, dims: Int,
       numPlanes: Int = 8, tables: Int = 2): DataFrame = {
+    val bucketFn = (vec: Column, t: Int) =>
+      (0 until numPlanes).map { p =>
+        val comps = typedlit(md5PlaneComponents(t * numPlanes + p, dims))
+        when(dot(vec, comps) >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+    lshTopKImpl(probes, corpus, idCol, vecCol, k, numPlanes, tables, bucketFn)
+  }
+
+  private def lshTopKImpl(
+      probes: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      numPlanes: Int, tables: Int,
+      bucketFn: (Column, Int) => Column): DataFrame = {
     val withBuckets = (df: DataFrame, prefix: String) => {
       val buckets = array((0 until tables).map(t =>
-        struct(lit(t).as("t"),
-          lshBucket(col(vecCol), numPlanes, seedOffset = t * numPlanes).as("b"))): _*)
+        struct(lit(t).as("t"), bucketFn(col(vecCol), t).as("b"))): _*)
       df.select(col(idCol).as(s"${prefix}_id"), col(vecCol).as(s"__${prefix}v"),
         explode(buckets).as("__bt"))
         .select(col(s"${prefix}_id"), col(s"__${prefix}v"),

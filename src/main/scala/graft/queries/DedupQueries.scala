@@ -7,10 +7,10 @@ import org.apache.spark.sql.functions._
 /** Deduplication operator family over `documents` (north-star LLM-pipeline
   * surface): exact hash-dedup, n-gram Jaccard, SimHash, MinHash+LSH.
   *
-  * Oracle notes: xxhash64 has no DuckDB equivalent, so the MinHash/LSH
-  * query is rows-only checked here and property-tested in ScalaTest; the
-  * SimHash query uses md5-derived hashes ([[Dedup.simHashMd5]]) precisely
-  * so DuckDB can replicate it bit-for-bit.
+  * Oracle notes: xxhash64 has no DuckDB equivalent, so the oracle-checked
+  * SimHash and MinHash/LSH queries run md5-derived hash variants
+  * ([[Dedup.simHashMd5]], [[Dedup.md5SeededHash]]) that DuckDB replicates
+  * bit-for-bit; prod paths and the property specs stay on xxhash64.
   */
 object DedupQueries extends QueryGroup {
 
@@ -39,11 +39,13 @@ object DedupQueries extends QueryGroup {
         .select(col("doc_id"), Dedup.simHashMd5(col("text")).as("simhash"))
     }),
 
-    // MinHash-LSH candidate pairs (xxhash64 signatures, banded self-join).
-    // No SQL oracle — rows-only here, property-tested in DedupSpec.
+    // MinHash-LSH candidate pairs, md5-signature variant so DuckDB can
+    // replicate the banded self-join bit-for-bit (prod paths — and the
+    // property specs — stay on the xxhash64 signatures).
     "q_dedup_minhash_lsh" -> ((s, dir) => {
       Dedup.minHashCandidates(Tables.documents(s, dir), "doc_id", "text",
-        shingleSize = 3, numHashes = 16, bands = 8)
+        shingleSize = 3, numHashes = 16, bands = 8,
+        hashFn = Dedup.md5SeededHash, hashBandKey = false)
         .select(col("id_a"), col("id_b"), round(col("jaccard_est"), 4).as("jaccard_est"))
     }))
 
@@ -90,5 +92,29 @@ object DedupQueries extends QueryGroup {
          |    list_transform($toksSql,
          |      t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS __hs
          |  FROM documents)
-         |SELECT doc_id, $simhashBitsSql AS simhash FROM h""".stripMargin)
+         |SELECT doc_id, $simhashBitsSql AS simhash FROM h""".stripMargin,
+    // Mirrors Dedup.minHashCandidates(md5SeededHash, hashBandKey = false):
+    // 16 md5-seeded min-hashes, 8 bands × 2 rows, raw joined-band join key.
+    "q_dedup_minhash_lsh" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, $shinglesSql AS s FROM documents),
+         |sig AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 16),
+         |      h -> list_min(list_transform(s, x ->
+         |        CAST(('0x' || substr(md5(CAST(h AS VARCHAR) || '_' || x), 1, 15)) AS BIGINT)))) AS sig
+         |  FROM sh WHERE len(s) > 0),
+         |banded AS (
+         |  SELECT doc_id, sig, b,
+         |    array_to_string(list_transform(list_slice(sig, b * 2 + 1, b * 2 + 2),
+         |      v -> CAST(v AS VARCHAR)), ',') AS bucket
+         |  FROM sig, range(0, 8) t(b)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+         |    a.sig AS sa, b2.sig AS sb
+         |  FROM banded a JOIN banded b2 ON a.b = b2.b AND a.bucket = b2.bucket
+         |  WHERE a.doc_id < b2.doc_id)
+         |SELECT id_a, id_b,
+         |  round(len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0, 4) AS jaccard_est
+         |FROM pairs""".stripMargin)
 }

@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
   *
   * The brute-force top-k and pairwise-threshold queries are exact and
   * oracle-checked (all arithmetic in DOUBLE, ranks tie-broken on id so
-  * both engines agree). The LSH-bucketed ANN variant uses xxhash64-derived
-  * hyperplanes — no DuckDB equivalent, rows-only check + SimilaritySpec.
+  * both engines agree). The oracle-checked ANN query derives its
+  * hyperplanes from md5 ([[Similarity.lshTopKMd5]]) so DuckDB replicates
+  * the buckets; prod and the recall spec stay on the xxhash64 planes.
   */
 object SimilarityQueries extends QueryGroup {
 
@@ -44,12 +45,14 @@ object SimilarityQueries extends QueryGroup {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
-    // LSH-bucketed ANN top-k — the scale path; rows-only check.
+    // LSH-bucketed ANN top-k — the scale path. md5-derived planes so the
+    // oracle replicates the buckets exactly; prod (and the recall spec)
+    // stay on the xxhash64 planes via Similarity.lshTopK.
     "q_ann_lsh_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.lshTopK(
+      Similarity.lshTopKMd5(
         emb.filter(col("vec_id") < 50), emb, "vec_id", "embedding", k = 3,
-        numPlanes = 6, tables = 2)
+        dims = 64, numPlanes = 6, tables = 2)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("cos"), 4).as("cos"))
     }))
@@ -98,5 +101,37 @@ object SimilarityQueries extends QueryGroup {
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(a.v, b.v), 4) AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.v, b.v) > 0.4""".stripMargin)
+        |WHERE list_cosine_similarity(a.v, b.v) > 0.4""".stripMargin,
+    // Mirrors Similarity.lshTopKMd5: comp(p,d) = md5Hash60('p_<p>_<d>')
+    // / 2^59 - 1.0; 2 tables x 6 planes; candidates share (table, bucket);
+    // exact cosine rank, ties on neighbor_id.
+    "q_ann_lsh_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |planes AS (
+        |  SELECT p, list_transform(range(0, 64),
+        |    d -> CAST(('0x' || substr(md5('p_' || CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+        |         / CAST(576460752303423488 AS DOUBLE) - 1.0) AS comps
+        |  FROM range(0, 12) t(p)),
+        |proj AS (
+        |  SELECT e.vec_id, planes.p,
+        |    list_sum(list_transform(range(1, 65), i -> e.v[i] * planes.comps[i])) AS pr
+        |  FROM e CROSS JOIN planes),
+        |buckets AS (
+        |  SELECT vec_id, p // 6 AS t,
+        |    sum(CASE WHEN pr >= 0 THEN CAST(1 AS BIGINT) << (p % 6) ELSE CAST(0 AS BIGINT) END) AS b
+        |  FROM proj GROUP BY vec_id, p // 6),
+        |cand AS (
+        |  SELECT DISTINCT pb.vec_id AS query_id, cb.vec_id AS neighbor_id
+        |  FROM buckets pb JOIN buckets cb ON pb.t = cb.t AND pb.b = cb.b
+        |  WHERE pb.vec_id < 50 AND pb.vec_id <> cb.vec_id),
+        |ranked AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    list_cosine_similarity(a.v, b.v) AS cos,
+        |    CAST(row_number() OVER (PARTITION BY c.query_id
+        |      ORDER BY list_cosine_similarity(a.v, b.v) DESC, c.neighbor_id ASC) AS INT) AS rank
+        |  FROM cand c
+        |  JOIN e a ON a.vec_id = c.query_id
+        |  JOIN e b ON b.vec_id = c.neighbor_id)
+        |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
+        |FROM ranked WHERE rank <= 3""".stripMargin)
 }
