@@ -54,13 +54,29 @@ object Dedup {
   /** Deterministic 64-bit hash of a shingle with a seed, via xxhash64. */
   private def seededHash(c: Column, seed: Int): Column = xxhash64(lit(seed), c)
 
-  /** md5-derived seeded shingle hash — the cross-engine-reproducible
-    * variant of [[seededHash]] (same trick as [[simHashMd5]]): used only
-    * where a DuckDB/pandas oracle must replicate the signature bit-for-bit;
-    * prod paths stay on xxhash64.
+  /** md5 double-hash MinHash signatures (Kirsch–Mitzenmacher family):
+    * TWO md5-derived 58-bit hashes per shingle, seed family
+    * `h1 + s·h2` — cross-engine reproducible (any engine with md5 and
+    * 64-bit integers replicates it) at 2 md5s per shingle instead of
+    * `numHashes`, so the oracle-parity path stays within ~1 md5-pass of
+    * the xxhash64 prod path. 58-bit hashes keep `h1 + 15·h2 < 2^63`
+    * (no signed overflow on either engine).
     */
-  def md5SeededHash(c: Column, seed: Int): Column =
-    md5Hash60(concat_ws("_", lit(seed.toString), c))
+  def md5MinHashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int): DataFrame = {
+    require(numHashes <= 16, "h1 + s*h2 with 58-bit hashes overflows past s=15")
+    val exploded = df.select(col(idCol),
+      explode(graft.expr.WordShingles.shingles(col(textCol), shingleSize)).as("__sh"))
+      .select(col(idCol),
+        (md5Hash60(col("__sh")) % lit(1L << 58)).as("__h1"),
+        (md5Hash60(concat(lit("x2_"), col("__sh"))) % lit(1L << 58)).as("__h2"))
+    val aggs = (0 until numHashes).map(s =>
+      min(col("__h1") + lit(s.toLong) * col("__h2")).as(s"__h$s"))
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(s => col(s"__h$s")): _*).as("__sig"))
+  }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * minimum hash over the row's shingle set. Pure expression tree — stays
@@ -83,12 +99,11 @@ object Dedup {
     */
   def minHashSignatures(
       df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int, numHashes: Int,
-      hashFn: (Column, Int) => Column = seededHash): DataFrame = {
+      shingleSize: Int, numHashes: Int): DataFrame = {
     val exploded = df.select(col(idCol),
       explode(graft.expr.WordShingles.shingles(col(textCol), shingleSize)).as("__sh"))
     val aggs = (0 until numHashes).map(s =>
-      min(hashFn(col("__sh"), s)).as(s"__h$s"))
+      min(seededHash(col("__sh"), s)).as(s"__h$s"))
     exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
       .select(col(idCol),
         array((0 until numHashes).map(s => col(s"__h$s")): _*).as("__sig"))
@@ -105,15 +120,33 @@ object Dedup {
       textCol: String,
       shingleSize: Int = 3,
       numHashes: Int = 16,
-      bands: Int = 4,
-      hashFn: (Column, Int) => Column = seededHash,
-      hashBandKey: Boolean = true): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val sigs = minHashSignatures(df, idCol, textCol, shingleSize, numHashes, hashFn)
+      bands: Int = 4): DataFrame =
+    bandedCandidates(
+      minHashSignatures(df, idCol, textCol, shingleSize, numHashes),
+      idCol, numHashes, bands, hashBandKey = true)
 
+  /** [[minHashCandidates]] over the md5 double-hash family — the
+    * oracle-parity variant: signatures from [[md5MinHashSignatures]] and
+    * raw joined-signature band keys, so an engine without xxhash64 groups
+    * identically. Prod stays on [[minHashCandidates]].
+    */
+  def md5MinHashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame =
+    bandedCandidates(
+      md5MinHashSignatures(df, idCol, textCol, shingleSize, numHashes),
+      idCol, numHashes, bands, hashBandKey = false)
+
+  private def bandedCandidates(
+      sigs: DataFrame, idCol: String, numHashes: Int, bands: Int,
+      hashBandKey: Boolean): DataFrame = {
+    val rowsPerBand = numHashes / bands
     // Prod hashes the band slice to a 64-bit shuffle key; the oracle-parity
-    // path (`hashBandKey = false`) joins on the raw joined-signature string
-    // so an engine without xxhash64 groups identically.
+    // path joins on the raw joined-signature string.
     val bandKey = (b: Column) => {
       val joined = array_join(transform(
         slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)),

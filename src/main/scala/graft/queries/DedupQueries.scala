@@ -25,10 +25,12 @@ object DedupQueries extends QueryGroup {
     // classic blocking trick — candidates share a blocking key (here the
     // `source` column), which turns the O(n²) cross join into per-block
     // joins that shuffle on the key. The LSH query below is the fully
-    // content-derived blocking variant.
+    // content-derived blocking variant. maxDf = 2 exercises the 100 TB
+    // stop-shingle cap (a ubiquitous shingle fans out O(df²) pairs) under
+    // the oracle gate — jaccard is then over the capped shingle universe.
     "q_dedup_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardSparse(Tables.documents(s, dir), "doc_id", "text", 3,
-        blockCol = Some("source"))
+        blockCol = Some("source"), maxDf = Some(2))
         .filter(col("jaccard") >= 0.2)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     }),
@@ -39,13 +41,12 @@ object DedupQueries extends QueryGroup {
         .select(col("doc_id"), Dedup.simHashMd5(col("text")).as("simhash"))
     }),
 
-    // MinHash-LSH candidate pairs, md5-signature variant so DuckDB can
+    // MinHash-LSH candidate pairs, md5 double-hash variant so DuckDB can
     // replicate the banded self-join bit-for-bit (prod paths — and the
     // property specs — stay on the xxhash64 signatures).
     "q_dedup_minhash_lsh" -> ((s, dir) => {
-      Dedup.minHashCandidates(Tables.documents(s, dir), "doc_id", "text",
-        shingleSize = 3, numHashes = 16, bands = 8,
-        hashFn = Dedup.md5SeededHash, hashBandKey = false)
+      Dedup.md5MinHashCandidates(Tables.documents(s, dir), "doc_id", "text",
+        shingleSize = 3, numHashes = 16, bands = 8)
         .select(col("id_a"), col("id_b"), round(col("jaccard_est"), 4).as("jaccard_est"))
     }))
 
@@ -75,17 +76,29 @@ object DedupQueries extends QueryGroup {
         |WHERE doc_id IN (
         |  SELECT min(doc_id) FROM documents
         |  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))""".stripMargin,
+    // Mirrors ngramJaccardSparse(maxDf = 2): shingles with document
+    // frequency > 2 within the source block are dropped BEFORE the pair
+    // join; per-doc sizes are recomputed over the capped universe.
     "q_dedup_ngram_jaccard" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id, source, list_distinct($shinglesSql) AS s FROM documents),
+      s"""WITH ex AS (
+         |  SELECT doc_id, source, unnest(list_distinct($shinglesSql)) AS sh
+         |  FROM documents),
+         |capped AS (
+         |  SELECT doc_id, source, sh FROM (
+         |    SELECT doc_id, source, sh,
+         |      count(*) OVER (PARTITION BY source, sh) AS df FROM ex)
+         |  WHERE df <= 2),
+         |sized AS (
+         |  SELECT doc_id, source, sh,
+         |    count(*) OVER (PARTITION BY doc_id) AS n FROM capped),
          |pairs AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    len(list_intersect(a.s, b.s))
-         |      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
-         |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-         |  WHERE len(a.s) > 0 AND len(b.s) > 0)
-         |SELECT id_a, id_b, round(jaccard, 4) AS jaccard
-         |FROM pairs WHERE jaccard >= 0.2""".stripMargin,
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+         |    count(*) AS c
+         |  FROM sized a JOIN sized b
+         |    ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT id_a, id_b, round(c / CAST(na + nb - c AS DOUBLE), 4) AS jaccard
+         |FROM pairs WHERE c / CAST(na + nb - c AS DOUBLE) >= 0.2""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH h AS (
          |  SELECT doc_id,
@@ -93,17 +106,27 @@ object DedupQueries extends QueryGroup {
          |      t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS __hs
          |  FROM documents)
          |SELECT doc_id, $simhashBitsSql AS simhash FROM h""".stripMargin,
-    // Mirrors Dedup.minHashCandidates(md5SeededHash, hashBandKey = false):
-    // 16 md5-seeded min-hashes, 8 bands × 2 rows, raw joined-band join key.
+    // Mirrors Dedup.md5MinHashCandidates: Kirsch–Mitzenmacher family
+    // h1 + s·h2 over two 58-bit md5-derived hashes per shingle; 16
+    // min-hashes, 8 bands × 2 rows, raw joined-band join key.
     "q_dedup_minhash_lsh" ->
       s"""WITH sh AS (
          |  SELECT doc_id, $shinglesSql AS s FROM documents),
+         |hs AS (
+         |  SELECT doc_id,
+         |    list_transform(s, x ->
+         |      CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)
+         |        % 288230376151711744) AS h1,
+         |    list_transform(s, x ->
+         |      CAST(('0x' || substr(md5('x2_' || x), 1, 15)) AS BIGINT)
+         |        % 288230376151711744) AS h2
+         |  FROM sh WHERE len(s) > 0),
          |sig AS (
          |  SELECT doc_id,
          |    list_transform(range(0, 16),
-         |      h -> list_min(list_transform(s, x ->
-         |        CAST(('0x' || substr(md5(CAST(h AS VARCHAR) || '_' || x), 1, 15)) AS BIGINT)))) AS sig
-         |  FROM sh WHERE len(s) > 0),
+         |      s -> list_min(list_transform(range(1, len(h1) + 1),
+         |        i -> h1[i] + s * h2[i]))) AS sig
+         |  FROM hs),
          |banded AS (
          |  SELECT doc_id, sig, b,
          |    array_to_string(list_transform(list_slice(sig, b * 2 + 1, b * 2 + 2),
