@@ -40,16 +40,27 @@ object Multimodal {
       media_id: Long,
       feature: Array[Float])
 
+  /** 60-bit value from the md5 of the payload — the seed every stub
+    * derives from. md5 (not a JVM hash) so the driver's DuckDB oracle can
+    * replicate the fake decode bit-for-bit and keep the multimodal
+    * plumbing under the hash gate.
+    */
+  private def md5Seed(payload: Array[Byte]): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(payload).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** >>> DECODE_STUB <<< — deterministic fake decode. A production build
     * replaces ONLY this function body with the real codec call; everything
     * around it (batching, schema, partitioning) stays.
     */
   private def decodeStub(payload: Array[Byte]): (Int, Int, Int, Double) = {
-    val h = java.util.Arrays.hashCode(payload)
-    val width = 64 + math.abs(h % 512)
-    val height = 64 + math.abs((h >> 9) % 512)
+    val h = md5Seed(payload) // ≥ 0, < 2^60
+    val width = (64 + h % 512).toInt
+    val height = (64 + (h / 512) % 512).toInt
     val channels = 3
-    val meanLuma = math.abs((h >> 18) % 1000) / 1000.0
+    val meanLuma = ((h / 262144) % 1000) / 1000.0
     (width, height, channels, meanLuma)
   }
 
@@ -74,10 +85,11 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val h = java.util.Arrays.hashCode(r.payload)
-        // >>> DECODE_STUB <<< deterministic fake embedding
+        // >>> DECODE_STUB <<< deterministic fake embedding (md5-seeded so
+        // the oracle replicates it; bounded so h*31+i never overflows)
+        val h = md5Seed(r.payload) % 1048576L
         val feat = Array.tabulate(dim)(i =>
-          (((h * 31 + i) % 1000) / 1000.0f))
+          (((h * 31 + i) % 1000) / 1000.0).toFloat)
         MediaFeatures(r.media_id, feat)
       }
     }
