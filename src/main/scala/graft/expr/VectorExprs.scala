@@ -166,6 +166,85 @@ object HyperplaneBuckets {
   }
 }
 
+/** Sign-bit LSH bucket id against an EXPLICIT plane matrix
+  * (`planes(p)(d)`), for plane families whose components are precomputed
+  * on the driver (e.g. the md5-derived oracle-parity planes). The matrix
+  * rides into codegen as a reference object, so the generated code stays a
+  * single call no matter how many planes×dims — the inline
+  * `when(vec_dot(vec, lit(array...)))` tree compiled 12 64-element array
+  * literals per bucket column and bloated whole-stage codegen.
+  */
+case class PlaneBuckets(child: Expression, planes: Array[Array[Double]])
+  extends UnaryExpression {
+
+  private def elemFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"plane_buckets needs a float/double array, got $other")
+  }
+
+  // NULL vector → bucket 0L, same policy as HyperplaneBuckets.
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L
+    else PlaneBuckets.run(planes, elemFloat, v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    val code =
+      code"""
+         |${childGen.code}
+         |long ${ev.value} = ${childGen.isNull} ? 0L :
+         |  graft.expr.PlaneBuckets$$.MODULE$$.run(
+         |    $planesRef, $elemFloat, ${childGen.value});
+         |""".stripMargin
+    ev.copy(code = code, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PlaneBuckets =
+    copy(child = newChild)
+}
+
+object PlaneBuckets {
+  def run(planes: Array[Array[Double]], elemFloat: Boolean, vec: ArrayData): Long = {
+    val n = vec.numElements()
+    var bits = 0L
+    var pl = 0
+    while (pl < planes.length) {
+      val comps = planes(pl)
+      val m = math.min(n, comps.length)
+      var acc = 0.0
+      var sawNull = false
+      var i = 0
+      while (i < m) {
+        if (vec.isNullAt(i)) sawNull = true
+        else {
+          val v = if (elemFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+          acc += v * comps(i)
+        }
+        i += 1
+      }
+      if (!sawNull && acc >= 0) bits |= 1L << pl
+      pl += 1
+    }
+    bits
+  }
+}
+
 object VectorExprs {
   def vecDot(a: Column, b: Column): Column =
     GraftColumnBridge.column(
@@ -174,4 +253,8 @@ object VectorExprs {
   def lshBucket(vec: Column, numPlanes: Int, seedOffset: Int = 0): Column =
     GraftColumnBridge.column(
       HyperplaneBuckets(GraftColumnBridge.expression(vec), numPlanes, seedOffset))
+
+  def planeBuckets(vec: Column, planes: Array[Array[Double]]): Column =
+    GraftColumnBridge.column(
+      PlaneBuckets(GraftColumnBridge.expression(vec), planes))
 }

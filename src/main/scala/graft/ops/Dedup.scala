@@ -31,11 +31,13 @@ object Dedup {
     * — shuffle moves only (digest, id), not the documents.
     */
   def exactByDigest(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val digested = df.withColumn("__digest", md5(normalizeText(col(textCol))))
-    val survivors = digested.groupBy("__digest").agg(min(col(idCol)).as(idCol))
-    // Survivor ids are unique, so an inner join back is a 1:1 lookup;
-    // at scale this is a shuffle join on the (small) survivor set.
-    digested.join(survivors, Seq("__digest", idCol), "left_semi").drop("__digest")
+    val survivors = df
+      .select(col(idCol), md5(normalizeText(col(textCol))).as("__digest"))
+      .groupBy("__digest").agg(min(col(idCol)).as(idCol))
+    // Survivor ids are unique, so a semi-join on the id alone suffices —
+    // the original rows never recompute the digest and the exchange
+    // carries no digest column.
+    df.join(survivors.select(idCol), Seq(idCol), "left_semi")
   }
 
   /** Lowercase, collapse whitespace, trim — the canonical form used by all

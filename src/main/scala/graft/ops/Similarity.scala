@@ -124,10 +124,8 @@ object Similarity {
       idCol: String, vecCol: String, k: Int, dims: Int,
       numPlanes: Int = 8, tables: Int = 2): DataFrame = {
     val bucketFn = (vec: Column, t: Int) =>
-      (0 until numPlanes).map { p =>
-        val comps = typedlit(md5PlaneComponents(t * numPlanes + p, dims))
-        when(dot(vec, comps) >= 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ bitwiseOR _)
+      graft.expr.VectorExprs.planeBuckets(vec,
+        Array.tabulate(numPlanes)(p => md5PlaneComponents(t * numPlanes + p, dims)))
     lshTopKImpl(probes, corpus, idCol, vecCol, k, numPlanes, tables, bucketFn)
   }
 
