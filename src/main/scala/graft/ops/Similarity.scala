@@ -129,6 +129,61 @@ object Similarity {
     lshTopKImpl(probes, corpus, idCol, vecCol, k, numPlanes, tables, bucketFn)
   }
 
+  /** IVF-flat ANN: coarse-quantize the corpus into inverted lists (each
+    * row joins its nearest centroid's list), probe the `nprobe` nearest
+    * lists per query, rank candidates by exact cosine.
+    *
+    * Centroids are deterministic data samples — every row whose id ≡ 0
+    * (mod `centroidMod`) — so the whole operator is reproducible in plain
+    * SQL for the oracle and needs no training job; a production build
+    * swaps in k-means centroids (fixed nlist ≪ n) and every plan shape
+    * below survives unchanged: assignment is a broadcast map-side argmax,
+    * the inverted-list build shuffles each vector ONCE keyed by its list,
+    * and the probe join is list-bucketed — never all-pairs.
+    */
+  def ivfTopK(
+      probes: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroidMod: Int = 25, nprobe: Int = 3): DataFrame = {
+    val cent = corpus.filter(pmod(col(idCol), lit(centroidMod)) === 0)
+      .select(col(idCol).as("__cid"), col(vecCol).as("__cv"),
+        norm(col(vecCol)).as("__cn"))
+
+    // Inverted lists: each corpus row → its argmax-cosine centroid
+    // (deterministic tie-break on centroid id).
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"),
+      norm(col(vecCol)).as("__nn"))
+    val wA = Window.partitionBy("neighbor_id")
+      .orderBy(col("__acos").desc, col("__cid").asc)
+    val lists = c.crossJoin(broadcast(cent))
+      .withColumn("__acos",
+        dot(col("__nv"), col("__cv")) / (col("__nn") * col("__cn")))
+      .withColumn("__r", row_number().over(wA)).filter(col("__r") === 1)
+      .select(col("__cid").as("__list"), col("neighbor_id"),
+        col("__nv"), col("__nn"))
+
+    // Probe side: the nprobe nearest lists per query.
+    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn"))
+    val wP = Window.partitionBy("query_id")
+      .orderBy(col("__acos").desc, col("__cid").asc)
+    val probeLists = p.crossJoin(broadcast(cent))
+      .withColumn("__acos",
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("__r", row_number().over(wP)).filter(col("__r") <= nprobe)
+      .select(col("__cid").as("__list"), col("query_id"), col("__qv"), col("__qn"))
+
+    // Each corpus row lives in exactly one list → no cross-list dupes.
+    val cand = probeLists.join(lists, Seq("__list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("__qv"), col("__nv")) / (col("__qn") * col("__nn"))).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   private def lshTopKImpl(
       probes: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,

@@ -55,6 +55,17 @@ object SimilarityQueries extends QueryGroup {
         dims = 64, numPlanes = 6, tables = 2)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("cos"), 4).as("cos"))
+    }),
+
+    // IVF-flat ANN — the other scale path: inverted lists from
+    // deterministic sampled centroids (id % 25), probe 3 nearest lists.
+    "q_ann_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 30), emb, "vec_id", "embedding", k = 3,
+        centroidMod = 25, nprobe = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("int").as("rank"), round(col("cos"), 4).as("cos"))
     }))
 
   // Wrapper so the near-dup query reuses the library op with rounded output.
@@ -132,6 +143,37 @@ object SimilarityQueries extends QueryGroup {
         |  FROM cand c
         |  JOIN e a ON a.vec_id = c.query_id
         |  JOIN e b ON b.vec_id = c.neighbor_id)
+        |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+    // Mirrors Similarity.ivfTopK: sampled centroids (vec_id % 25 = 0),
+    // argmax-cosine list assignment (ties → smaller centroid id), 3
+    // probed lists, exact-cosine rank with neighbor_id tie-break.
+    "q_ann_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+        |assign AS (
+        |  SELECT a.vec_id, a.v, c.cid,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cid ASC) AS r
+        |  FROM e a CROSS JOIN cent c),
+        |lists AS (SELECT cid AS list, vec_id AS neighbor_id, v
+        |  FROM assign WHERE r = 1),
+        |pa AS (
+        |  SELECT a.vec_id AS query_id, a.v AS qv, c.cid,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cid ASC) AS r
+        |  FROM e a CROSS JOIN cent c WHERE a.vec_id < 30),
+        |pl AS (SELECT query_id, qv, cid AS list FROM pa WHERE r <= 3),
+        |cand AS (
+        |  SELECT pl.query_id, l.neighbor_id,
+        |    list_cosine_similarity(pl.qv, l.v) AS cos
+        |  FROM pl JOIN lists l ON pl.list = l.list
+        |  WHERE pl.query_id <> l.neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+        |  FROM cand)
         |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
         |FROM ranked WHERE rank <= 3""".stripMargin)
 }

@@ -60,4 +60,34 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val recall = brute.intersect(lsh).size.toDouble / brute.size
     assert(recall >= 0.6, s"recall=$recall")
   }
+
+  test("IVF top-k achieves decent recall against brute force on clustered data") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val centers = Seq.fill(3)(Array.fill(16)(rng.nextGaussian()))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      i <- 0 until 30
+    } yield ((ci * 30 + i).toLong,
+      c.map(x => (x + rng.nextGaussian() * 0.1).toFloat).toSeq)
+    val corpus = rows.toDF("vec_id", "embedding")
+    val probes = corpus.filter(col("vec_id") % 30 === 0)
+
+    val brute = Similarity.bruteForceTopK(probes, corpus, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 90 rows, id % 9 → 10 sampled centroids; probe 3 lists.
+    val ivf = Similarity.ivfTopK(probes, corpus, "vec_id", "embedding", 5,
+      centroidMod = 9, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall=$recall")
+
+    // Partition sanity: every corpus row lands in exactly one list, so
+    // candidates are never duplicated across probed lists.
+    val cand = Similarity.ivfTopK(probes, corpus, "vec_id", "embedding", 90,
+      centroidMod = 9, nprobe = 10)
+    val dupes = cand.groupBy("query_id", "neighbor_id").count()
+      .filter(col("count") > 1).count()
+    assert(dupes == 0)
+  }
 }
