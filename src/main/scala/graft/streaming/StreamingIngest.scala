@@ -49,6 +49,22 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
 
+  /** Watermarked tumbling-window counts over the parsed broadcast stream —
+    * the streaming form of the timeseries reports (SURVEY.md §2.7 T1 as a
+    * stream): append-mode emits a bucket only once the watermark passes
+    * its end, so the sink receives each (bucket, type) row exactly once.
+    */
+  def windowedCounts(
+      broadcasts: DataFrame,
+      windowDuration: String = "6 hours",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    broadcasts
+      .withWatermark("Timestamp", watermarkDelay)
+      .groupBy(window(col("Timestamp"), windowDuration), col("Broadcast_Type"))
+      .agg(count(lit(1)).as("Count"), sum(col("Item_Value")).as("Total_Value"))
+      .select(col("window.start").as("bucket"), col("Broadcast_Type"),
+        col("Count"), col("Total_Value"))
+
   /** Gold rebuild per micro-batch (`foreachBatch`): clan-scale gold is a
     * full rebuild each trigger, exactly like the reference's 15-minute
     * cron (SURVEY.md §2.7 T7 — period boundaries move every run, so
