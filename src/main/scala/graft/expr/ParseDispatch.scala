@@ -30,13 +30,16 @@ final class CompiledDispatchVariant(
     val kinds: Array[Int],
     val groups: Array[Int],
     val btype: UTF8String,
-    val requiredIdx: Array[Int]) extends Serializable
+    val requiredIdx: Array[Int],
+    // indexOf prefilter: a literal every match must contain, or null.
+    val prefilter: String) extends Serializable
 
 final class DispatchTable(val variants: Array[CompiledDispatchVariant]) extends Serializable
 
 final class LabelTable(
     val patterns: Array[Pattern],
     val labels: Array[UTF8String],
+    val prefilters: Array[String],
     val default: UTF8String) extends Serializable
 
 /** The whole 18-group × 35-variant parse dispatch as ONE compact
@@ -121,7 +124,8 @@ object ParseDispatch {
         idx
       }.toArray
       new CompiledDispatchVariant(Pattern.compile(v.regex), kinds, groups,
-        v.broadcastType.map(UTF8String.fromString).orNull, reqIdx)
+        v.broadcastType.map(UTF8String.fromString).orNull, reqIdx,
+        RegexPrefilter.requiredLiteral(v.regex).orNull)
     }
     new DispatchTable(compiled.toArray)
   }
@@ -134,6 +138,11 @@ object ParseDispatch {
     var vi = 0
     while (vi < vs.length) {
       val v = vs(vi)
+      // Literal prefilter: indexOf is far cheaper than a failed regex scan,
+      // and a row missing a required literal can never match the pattern.
+      if (v.prefilter != null && str.indexOf(v.prefilter) < 0) {
+        vi += 1
+      } else {
       val m = v.pattern.matcher(str)
       if (m.find()) {
         val kinds = v.kinds
@@ -168,6 +177,7 @@ object ParseDispatch {
         if (ok) return new GenericInternalRow(vals)
       }
       vi += 1
+      }
     }
     null
   }
@@ -219,6 +229,7 @@ case class FirstMatchLabel(child: Expression, rules: Seq[(String, String)], defa
   @transient private lazy val table: LabelTable = new LabelTable(
     rules.map(r => Pattern.compile(r._1)).toArray,
     rules.map(r => UTF8String.fromString(r._2)).toArray,
+    rules.map(r => RegexPrefilter.requiredLiteral(r._1).orNull).toArray,
     UTF8String.fromString(default))
 
   override def nullSafeEval(input: Any): Any =
@@ -243,7 +254,8 @@ object FirstMatchLabel {
     val str = s.toString
     var i = 0
     while (i < t.patterns.length) {
-      if (t.patterns(i).matcher(str).find()) return t.labels(i)
+      if ((t.prefilters(i) == null || str.indexOf(t.prefilters(i)) >= 0) &&
+        t.patterns(i).matcher(str).find()) return t.labels(i)
       i += 1
     }
     t.default
