@@ -57,22 +57,26 @@ object Dedup {
   private def seededHash(c: Column, seed: Int): Column = xxhash64(lit(seed), c)
 
   /** md5 double-hash MinHash signatures (Kirsch–Mitzenmacher family):
-    * TWO md5-derived 58-bit hashes per shingle, seed family
+    * ONE md5 per shingle split into two independent 58-bit halves
+    * (hex chars 1–15 and 16–30 of the 128-bit digest), seed family
     * `h1 + s·h2` — cross-engine reproducible (any engine with md5 and
-    * 64-bit integers replicates it) at 2 md5s per shingle instead of
-    * `numHashes`, so the oracle-parity path stays within ~1 md5-pass of
-    * the xxhash64 prod path. 58-bit hashes keep `h1 + 15·h2 < 2^63`
-    * (no signed overflow on either engine).
+    * 64-bit integers replicates it) at 1 md5 per shingle instead of
+    * `numHashes`. 58-bit hashes keep `h1 + 15·h2 < 2^63` (no signed
+    * overflow on either engine).
     */
   def md5MinHashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, numHashes: Int): DataFrame = {
     require(numHashes <= 16, "h1 + s*h2 with 58-bit hashes overflows past s=15")
+    def half(hex: Column, pos: Int): Column =
+      conv(substring(hex, pos, 15), 16, 10).cast("long") % lit(1L << 58)
     val exploded = df.select(col(idCol),
       explode(graft.expr.WordShingles.shingles(col(textCol), shingleSize)).as("__sh"))
+      // materialize the hex once so both halves share one md5 evaluation
+      .select(col(idCol), md5(col("__sh")).as("__hex"))
       .select(col(idCol),
-        (md5Hash60(col("__sh")) % lit(1L << 58)).as("__h1"),
-        (md5Hash60(concat(lit("x2_"), col("__sh"))) % lit(1L << 58)).as("__h2"))
+        half(col("__hex"), 1).as("__h1"),
+        half(col("__hex"), 16).as("__h2"))
     val aggs = (0 until numHashes).map(s =>
       min(col("__h1") + lit(s.toLong) * col("__h2")).as(s"__h$s"))
     exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)

@@ -107,20 +107,23 @@ object DedupQueries extends QueryGroup {
          |  FROM documents)
          |SELECT doc_id, $simhashBitsSql AS simhash FROM h""".stripMargin,
     // Mirrors Dedup.md5MinHashCandidates: Kirsch–Mitzenmacher family
-    // h1 + s·h2 over two 58-bit md5-derived hashes per shingle; 16
+    // h1 + s·h2 over the two 58-bit halves of ONE md5 per shingle; 16
     // min-hashes, 8 bands × 2 rows, raw joined-band join key.
     "q_dedup_minhash_lsh" ->
       s"""WITH sh AS (
          |  SELECT doc_id, $shinglesSql AS s FROM documents),
+         |hx AS (
+         |  SELECT doc_id, list_transform(s, x -> md5(x)) AS hexes
+         |  FROM sh WHERE len(s) > 0),
          |hs AS (
          |  SELECT doc_id,
-         |    list_transform(s, x ->
-         |      CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)
+         |    list_transform(hexes, h ->
+         |      CAST(('0x' || substr(h, 1, 15)) AS BIGINT)
          |        % 288230376151711744) AS h1,
-         |    list_transform(s, x ->
-         |      CAST(('0x' || substr(md5('x2_' || x), 1, 15)) AS BIGINT)
+         |    list_transform(hexes, h ->
+         |      CAST(('0x' || substr(h, 16, 15)) AS BIGINT)
          |        % 288230376151711744) AS h2
-         |  FROM sh WHERE len(s) > 0),
+         |  FROM hx),
          |sig AS (
          |  SELECT doc_id,
          |    list_transform(range(0, 16),
