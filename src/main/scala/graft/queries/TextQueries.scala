@@ -62,6 +62,26 @@ object TextQueries extends QueryGroup {
         .withColumn("predicted", TextFunctions.langId(col("text"), stop))
         .filter(col("quality") >= 0.7 && col("predicted") === col("lang"))
         .select(col("doc_id"), col("lang"), col("quality"))
+    }),
+
+    // P16: the leaderboard's content-search path (case-insensitive phrase
+    // alternation) through the REAL report generator, documents standing
+    // in as a chat table.
+    "q_content_search" -> ((s, dir) => {
+      import java.sql.Timestamp
+      val chat = Tables.documents(s, dir).select(
+        col("source").as("Username"),
+        col("text").as("Content"),
+        lit(Timestamp.valueOf("2024-01-10 00:00:00")).as("Timestamp"))
+      val rc = graft.reports.LeaderboardReportDef("content_search",
+        sourceTable = "chat", searchPhrases = Seq("the", "data"),
+        groupByColumn = "Username", countColumn = Some("Content"),
+        valueColumn = None)
+      val periods = Seq(graft.reports.Period("All_Time", None,
+        Timestamp.valueOf("2024-02-01 00:00:00"), "All-Time"))
+      graft.reports.Reports.leaderboard(chat, chat, rc, periods)
+        .select(col("Username").as("username"),
+          col("Count_All_Time").as("n_msgs"))
     }))
 
   private val markerSql: Map[String, String] =
@@ -155,5 +175,10 @@ object TextQueries extends QueryGroup {
              .map(l => s"    ${markerSql(l)} AS __n_$l").mkString(",\n")}
          |  FROM t)
          |SELECT doc_id, lang, quality FROM scored
-         |WHERE quality >= 0.7 AND ($langCase) = lang""".stripMargin)
+         |WHERE quality >= 0.7 AND ($langCase) = lang""".stripMargin,
+    "q_content_search" ->
+      """SELECT source AS username, count(*) AS n_msgs
+        |FROM documents
+        |WHERE regexp_matches(text, '(?i)the|data')
+        |GROUP BY source""".stripMargin)
 }
