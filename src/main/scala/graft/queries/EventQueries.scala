@@ -175,6 +175,82 @@ object EventQueries extends QueryGroup {
             .as("holder_ids"))
     }),
 
+    // A3/J2/J3 composite: the REAL collection-log generator end-to-end —
+    // type filter, flat exclusion, keep-first dedup for the dedup type
+    // only (on the RAW item string, pre-quantity-parse), "N x Item"
+    // parse, per-period quantity sums, historical initial counts folded
+    // into All_Time, group structure with catch-all routing.
+    "q_clog_report" -> ((s, dir) => {
+      import java.sql.Timestamp
+      import graft.reports._
+      val bc = Tables.events(s, dir).select(
+        col("event_id").as("raw_log_id"),
+        col("ts").as("Timestamp"),
+        when(col("event_type") === "purchase", "Collection Log")
+          .when(col("event_type") === "view", "Valuable Drop")
+          .otherwise("Other").as("Broadcast_Type"),
+        format_string("user_%d", col("user_id")).as("Username"),
+        when(pmod(col("event_id"), lit(7)) === 0,
+          format_string("%d x Item_%d",
+            pmod(col("event_id"), lit(5)) + 2, pmod(col("event_id"), lit(20))))
+          .otherwise(format_string("Item_%d", pmod(col("event_id"), lit(20))))
+          .as("Item_Name"))
+      val clogDef = CollectionLogDef(
+        Seq("Collection Log", "Valuable Drop"), Some("Collection Log"))
+      val hist = ClogHistoricalData(
+        groups = Seq(
+          ("Bosses", Seq("Item_1", "Item_2", "Item_3")),
+          ("Skilling", Seq("Item_4", "Item_2"))),
+        initialCounts = Map("Item_1" -> 10L, "Item_99" -> 5L),
+        excludeRules = Seq(Seq("Item_5")),
+        otherGroupName = "Other Items")
+      val periods = Seq(
+        Period("All_Time", None, Timestamp.valueOf("2024-02-01 00:00:00"), "All-Time"),
+        Period("JanH1", Some(Timestamp.valueOf("2024-01-01 00:00:00")),
+          Timestamp.valueOf("2024-01-15 00:00:00"), "Jan H1"))
+      CollectionLog.generate(bc, clogDef, hist, periods)
+        .select(col("Group").as("grp"), col("Item_Name").as("item_name"),
+          col("All_Time_Count").as("all_time"), col("JanH1_Count").as("jan_h1"))
+    }),
+
+    // A5/A6/J8/P22 composite: the REAL personal-bests generator — the
+    // "0:00" → ∞ historical sentinel, similarity-threshold record
+    // groups, grouping-window achievers vs later holders, historical
+    // holder lists via min_by, manual vs derived dates, a global
+    // blacklist scrub, and the missing-task backfill.
+    "q_pb_report" -> ((s, dir) => {
+      import graft.reports._
+      val cents = (round(col("value") * 100, 0).cast("long") + 100L)
+      val bc = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("event_id").as("raw_log_id"),
+          col("ts").as("Timestamp"),
+          lit("Personal Best").as("Broadcast_Type"),
+          format_string("user_%d", col("user_id")).as("Username"),
+          format_string("Task_%d", pmod(col("event_id"), lit(10))).as("Task_Name"),
+          format_string("%d:%02d.%02d",
+            (cents / 6000L).cast("long"),
+            (pmod(cents, lit(6000L)) / 100L).cast("long"),
+            pmod(cents, lit(100L))).as("PB_Time"))
+      val hist = PbHistoricalData(
+        records = Seq(
+          HistoricalPbRecord("G1", "Task_1", "0:00", Seq("Alice", "Bob"), None),
+          HistoricalPbRecord("G1", "Task_99", "1:30.00", Seq("Carol"), Some("2023-05-01")),
+          HistoricalPbRecord("G2", "Task_2", "0:01.00", Seq("Dave"), None),
+          HistoricalPbRecord("G2", "Task_77", "2:00.00", Seq("Eve"), Some("2023-06-01"))),
+        blacklist = Seq(PbBlacklistRule("Eve", None, None)),
+        otherGroupName = "Misc PBs")
+      val pbDef = PersonalBestsDef(
+        similarityThresholdSeconds = 0.6,
+        groupingWindowSeconds = 3600,
+        allowMultipleHolders = true)
+      PersonalBests.generate(bc, pbDef, hist)
+        .select(col("Task").as("task"), col("Holder").as("holder"),
+          col("Time").as("pb_time"), col("Date").as("pb_date"),
+          col("Group").as("grp"))
+    }),
+
     // T-sessionize: gap-based sessions (30 min), session stats per user.
     "q_sessionize" -> ((s, dir) => {
       val sess = TimeSeries.sessionize(Tables.events(s, dir), "user_id", "ts", 1800L)
@@ -285,6 +361,147 @@ object EventQueries extends QueryGroup {
         |    AS holder_ids
         |FROM ft WHERE ts <= first_ts + INTERVAL 3600 SECONDS
         |GROUP BY user_id""".stripMargin,
+    // Mirrors CollectionLog.generate over the synthesized broadcasts:
+    // dedup is on the RAW item string; hist counts fold into All_Time;
+    // Item_2 repeats across groups; hist-only Item_99 routes to catch-all.
+    "q_clog_report" ->
+      """WITH bc AS (
+        |  SELECT event_id AS raw_log_id, ts, 'user_' || user_id AS username,
+        |    CASE event_type WHEN 'purchase' THEN 'Collection Log'
+        |      WHEN 'view' THEN 'Valuable Drop' ELSE 'Other' END AS btype,
+        |    CASE WHEN event_id % 7 = 0
+        |      THEN (event_id % 5 + 2) || ' x Item_' || (event_id % 20)
+        |      ELSE 'Item_' || (event_id % 20) END AS item_raw
+        |  FROM events),
+        |src AS (
+        |  SELECT * FROM bc
+        |  WHERE btype IN ('Collection Log', 'Valuable Drop')
+        |    AND item_raw NOT IN ('Item_5')),
+        |dd AS (
+        |  SELECT raw_log_id, ts, item_raw FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY username, item_raw ORDER BY ts, raw_log_id) AS rn
+        |    FROM src WHERE btype = 'Collection Log') WHERE rn = 1
+        |  UNION ALL
+        |  SELECT raw_log_id, ts, item_raw FROM src WHERE btype <> 'Collection Log'),
+        |parsed AS (
+        |  SELECT ts,
+        |    CASE WHEN regexp_matches(trim(item_raw), '^([\d,]+)\s*x\s*(.+)')
+        |      THEN trim(regexp_extract(trim(item_raw), '^([\d,]+)\s*x\s*(.+)', 2))
+        |      ELSE trim(item_raw) END AS item,
+        |    CASE WHEN regexp_matches(trim(item_raw), '^([\d,]+)\s*x\s*(.+)')
+        |      THEN CAST(replace(regexp_extract(trim(item_raw), '^([\d,]+)\s*x\s*(.+)', 1), ',', '') AS BIGINT)
+        |      ELSE 1 END AS qty
+        |  FROM dd),
+        |db AS (
+        |  SELECT item,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-02-01' THEN qty ELSE 0 END) AS BIGINT) AS at,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
+        |      THEN qty ELSE 0 END) AS BIGINT) AS jh
+        |  FROM parsed GROUP BY 1),
+        |hist(item, h) AS (VALUES ('Item_1', 10), ('Item_99', 5)),
+        |universe AS (SELECT item FROM db UNION SELECT item FROM hist),
+        |counts AS (
+        |  SELECT u.item,
+        |    COALESCE(db.at, 0) + COALESCE(hist.h, 0) AS all_time,
+        |    COALESCE(db.jh, 0) AS jan_h1
+        |  FROM universe u
+        |  LEFT JOIN db ON u.item = db.item
+        |  LEFT JOIN hist ON u.item = hist.item),
+        |grp(g, item) AS (VALUES ('Bosses', 'Item_1'), ('Bosses', 'Item_2'),
+        |  ('Bosses', 'Item_3'), ('Skilling', 'Item_4'), ('Skilling', 'Item_2')),
+        |assigned AS (
+        |  SELECT g, item FROM grp
+        |  UNION ALL
+        |  SELECT 'Other Items', item FROM counts
+        |  WHERE all_time > 0 AND item NOT IN (SELECT item FROM grp))
+        |SELECT a.g AS grp, a.item AS item_name,
+        |  CAST(COALESCE(c.all_time, 0) AS BIGINT) AS all_time,
+        |  CAST(COALESCE(c.jan_h1, 0) AS BIGINT) AS jan_h1
+        |FROM assigned a LEFT JOIN counts c ON a.item = c.item""".stripMargin,
+    // Mirrors PersonalBests.generate: union of historical VALUES and DB
+    // rows, global-blacklist row filter + holder scrub, 0:00 → infinity
+    // sentinel, similarity band around the per-task min, earliest-row
+    // ordering (ts, hist-first, config order, raw id), grouping-window
+    // achievers vs later holders, min_by historical holder list, and the
+    // missing-task backfill for tasks the blacklist emptied.
+    "q_pb_report" ->
+      """WITH db AS (
+        |  SELECT event_id AS raw_log_id, ts, 'user_' || user_id AS username,
+        |    'Task_' || (event_id % 10) AS task,
+        |    printf('%d:%02d.%02d', c // 6000, (c % 6000) // 100, c % 100) AS pb_time,
+        |    FALSE AS is_hist, CAST(NULL AS BIGINT) AS cfg,
+        |    CAST(NULL AS VARCHAR) AS mdate, CAST(NULL AS VARCHAR[]) AS all_holders
+        |  FROM (SELECT *, CAST(round(value * 100, 0) AS BIGINT) + 100 AS c
+        |        FROM events WHERE event_type = 'purchase')),
+        |hist(task, pb_time, username, all_holders, mdate, cfg) AS (VALUES
+        |  ('Task_1', '0:00', 'Alice', ['Alice','Bob'], NULL, 0),
+        |  ('Task_99', '1:30.00', 'Carol', ['Carol'], '2023-05-01', 1),
+        |  ('Task_2', '0:01.00', 'Dave', ['Dave'], NULL, 2),
+        |  ('Task_77', '2:00.00', 'Eve', ['Eve'], '2023-06-01', 3)),
+        |histu AS (
+        |  SELECT CAST(NULL AS BIGINT) AS raw_log_id,
+        |    COALESCE(CAST(mdate AS TIMESTAMP), TIMESTAMP '0001-01-01') AS ts,
+        |    username, task, pb_time, TRUE AS is_hist, CAST(cfg AS BIGINT) AS cfg,
+        |    mdate, all_holders
+        |  FROM hist),
+        |allr AS (
+        |  SELECT raw_log_id, ts, username, task, pb_time, is_hist, cfg, mdate, all_holders FROM db
+        |  UNION ALL
+        |  SELECT raw_log_id, ts, username, task, pb_time, is_hist, cfg, mdate, all_holders FROM histu),
+        |scrub AS (
+        |  SELECT raw_log_id, ts, username, task, pb_time, is_hist, cfg, mdate,
+        |    CASE WHEN all_holders IS NOT NULL
+        |      THEN list_filter(all_holders, h -> h <> 'Eve') ELSE all_holders END AS all_holders
+        |  FROM allr WHERE username <> 'Eve'),
+        |sec AS (
+        |  SELECT *, CASE WHEN is_hist AND pb_time = '0:00' THEN CAST('infinity' AS DOUBLE)
+        |    ELSE CAST(string_split(pb_time, ':')[1] AS BIGINT) * 60
+        |      + CAST(string_split(pb_time, ':')[2] AS DOUBLE) END AS s
+        |  FROM scrub WHERE task IS NOT NULL),
+        |m AS (SELECT *, min(s) OVER (PARTITION BY task) AS ms FROM sec),
+        |kept AS (SELECT * FROM m
+        |  WHERE ms = CAST('infinity' AS DOUBLE) OR abs(s - ms) <= 0.6),
+        |rn AS (
+        |  SELECT *, row_number() OVER (PARTITION BY task
+        |      ORDER BY ts, is_hist DESC, cfg ASC NULLS LAST, raw_log_id ASC NULLS LAST) AS r,
+        |    min(ts) OVER (PARTITION BY task) AS first_ts
+        |  FROM kept),
+        |ach AS (
+        |  SELECT *, ts <= first_ts + INTERVAL 3600 SECONDS AS achiever,
+        |    CASE WHEN NOT is_hist THEN strftime(ts, '%Y-%m-%d')
+        |         WHEN mdate IS NOT NULL AND mdate <> '' THEN mdate END AS date_str
+        |  FROM rn),
+        |red AS (
+        |  SELECT task,
+        |    max(CASE WHEN r = 1 THEN pb_time END) AS time,
+        |    max(CASE WHEN r = 1 THEN date_str END) AS dt,
+        |    min_by(all_holders, r) FILTER (WHERE is_hist AND achiever) AS hist_holders,
+        |    list(username) FILTER (WHERE NOT is_hist AND achiever) AS db_holders,
+        |    list(username) FILTER (WHERE NOT achiever) AS later_holders
+        |  FROM ach GROUP BY task),
+        |sel AS (
+        |  SELECT task, time, dt,
+        |    array_to_string(list_sort(list_distinct(list_filter(
+        |      list_concat(list_concat(
+        |        COALESCE(hist_holders, []), COALESCE(db_holders, [])),
+        |        COALESCE(later_holders, [])),
+        |      h -> h IS NOT NULL AND h <> ''))), ', ') AS holder
+        |  FROM red),
+        |grpmap(task, g) AS (VALUES ('Task_1', 'G1'), ('Task_99', 'G1'),
+        |  ('Task_2', 'G2'), ('Task_77', 'G2')),
+        |summary AS (
+        |  SELECT s.task, s.holder, s.time, s.dt, COALESCE(gm.g, 'Misc PBs') AS grp
+        |  FROM sel s LEFT JOIN grpmap gm ON s.task = gm.task),
+        |missing AS (
+        |  SELECT h.task, '' AS holder, '0:00' AS time,
+        |    CAST(NULL AS VARCHAR) AS dt, COALESCE(gm.g, 'Misc PBs') AS grp
+        |  FROM (SELECT DISTINCT task FROM hist) h
+        |  LEFT JOIN grpmap gm ON h.task = gm.task
+        |  WHERE h.task NOT IN (SELECT task FROM summary))
+        |SELECT task, holder, time AS pb_time, dt AS pb_date, grp FROM summary
+        |UNION ALL
+        |SELECT task, holder, time AS pb_time, dt AS pb_date, grp FROM missing""".stripMargin,
     "q_sessionize" ->
       """WITH lagged AS (
         |  SELECT user_id, value, ts,
