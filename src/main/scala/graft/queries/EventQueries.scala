@@ -228,7 +228,13 @@ object EventQueries extends QueryGroup {
           col("ts").as("Timestamp"),
           lit("Personal Best").as("Broadcast_Type"),
           format_string("user_%d", col("user_id")).as("Username"),
-          format_string("Task_%d", pmod(col("event_id"), lit(10))).as("Task_Name"),
+          // Mixed casing (decoupled from the task number) exercises the
+          // case-insensitive canonicalization: config spelling wins where
+          // a historical record exists, first-seen spelling elsewhere.
+          when(pmod(expr("event_id div 10"), lit(2)) === 0,
+            format_string("Task_%d", pmod(col("event_id"), lit(10))))
+            .otherwise(format_string("task_%d", pmod(col("event_id"), lit(10))))
+            .as("Task_Name"),
           format_string("%d:%02d.%02d",
             (cents / 6000L).cast("long"),
             (pmod(cents, lit(6000L)) / 100L).cast("long"),
@@ -428,7 +434,8 @@ object EventQueries extends QueryGroup {
     "q_pb_report" ->
       """WITH db AS (
         |  SELECT event_id AS raw_log_id, ts, 'user_' || user_id AS username,
-        |    'Task_' || (event_id % 10) AS task,
+        |    CASE WHEN (event_id // 10) % 2 = 0 THEN 'Task_' || (event_id % 10)
+        |         ELSE 'task_' || (event_id % 10) END AS task,
         |    printf('%d:%02d.%02d', c // 6000, (c % 6000) // 100, c % 100) AS pb_time,
         |    FALSE AS is_hist, CAST(NULL AS BIGINT) AS cfg,
         |    CAST(NULL AS VARCHAR) AS mdate, CAST(NULL AS VARCHAR[]) AS all_holders
@@ -449,11 +456,24 @@ object EventQueries extends QueryGroup {
         |  SELECT raw_log_id, ts, username, task, pb_time, is_hist, cfg, mdate, all_holders FROM db
         |  UNION ALL
         |  SELECT raw_log_id, ts, username, task, pb_time, is_hist, cfg, mdate, all_holders FROM histu),
+        |canon AS (
+        |  SELECT lower_t, canon_t FROM (
+        |    SELECT lower(task) AS lower_t, task AS canon_t,
+        |      row_number() OVER (PARTITION BY lower(task)
+        |        ORDER BY CASE WHEN is_hist THEN 0 ELSE 1 END,
+        |                 CASE WHEN is_hist THEN -cfg ELSE 0 END,
+        |                 ts, raw_log_id ASC NULLS LAST) AS rn
+        |    FROM allr WHERE task IS NOT NULL) WHERE rn = 1),
+        |canonical AS (
+        |  SELECT a.raw_log_id, a.ts, a.username,
+        |    COALESCE(c.canon_t, a.task) AS task,
+        |    a.pb_time, a.is_hist, a.cfg, a.mdate, a.all_holders
+        |  FROM allr a LEFT JOIN canon c ON lower(a.task) = c.lower_t),
         |scrub AS (
         |  SELECT raw_log_id, ts, username, task, pb_time, is_hist, cfg, mdate,
         |    CASE WHEN all_holders IS NOT NULL
         |      THEN list_filter(all_holders, h -> h <> 'Eve') ELSE all_holders END AS all_holders
-        |  FROM allr WHERE username <> 'Eve'),
+        |  FROM canonical WHERE username <> 'Eve'),
         |sec AS (
         |  SELECT *, CASE WHEN is_hist AND pb_time = '0:00' THEN CAST('infinity' AS DOUBLE)
         |    ELSE CAST(string_split(pb_time, ':')[1] AS BIGINT) * 60
