@@ -21,7 +21,14 @@ package graft.expr
   */
 object RegexPrefilter {
 
-  private val ClassShorthand = "dDsSwWbBAGZz0123456789"
+  // Zero-operand class/anchor shorthands: consume the escape, break the
+  // current run, and keep scanning. Any OTHER escaped alphanumeric
+  // (\uXXXX \xhh \p{...} \k<...> \Q \E \0n, multi-digit backrefs, ...)
+  // takes an operand this scanner does not model — the operand's
+  // characters would be misread as required literals — so the whole
+  // pattern conservatively yields no prefilter. Escaped punctuation
+  // (\. \( \* \| ...) denotes the char itself.
+  private val ZeroOperandEscape = "dDsSwWbBAGZz"
 
   def requiredLiteral(regex: String, minLength: Int = 3): Option[String] = {
     val runs = Seq.newBuilder[String]
@@ -37,7 +44,8 @@ object RegexPrefilter {
           if (i + 1 >= n) { breakRun(); i += 1 }
           else {
             val next = regex.charAt(i + 1)
-            if (ClassShorthand.indexOf(next) >= 0) { breakRun(); i += 2 }
+            if (ZeroOperandEscape.indexOf(next) >= 0) { breakRun(); i += 2 }
+            else if (Character.isLetterOrDigit(next)) return None
             else {
               // escaped literal — subject to a following quantifier
               val after = if (i + 2 < n) regex.charAt(i + 2) else ' '

@@ -33,6 +33,13 @@ class RegexPrefilterSpec extends AnyFunSuite {
     assert(lit("end of msg\\.").contains("end of msg."))
     assert(lit("a.b.c.d").isEmpty) // only 1-char runs
     assert(lit("\\(escaped parens\\)").contains("(escaped parens)"))
+    // Escapes with operands this scanner doesn't model (\Q..\E, \p{..},
+    // \uXXXX, backrefs) bail the whole pattern — their operand chars
+    // would otherwise be misclaimed as required literals.
+    assert(lit("ab\\Qcdefgh\\Eij").isEmpty)
+    assert(lit("\\p{Lu}big literal here").isEmpty)
+    assert(lit("\\u0041xyz runs here").isEmpty)
+    assert(lit("(group)\\1 with backref").isEmpty)
   }
 
   test("every matching fixture message contains its variant's prefilter") {
