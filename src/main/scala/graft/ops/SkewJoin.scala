@@ -34,6 +34,12 @@ object SkewJoin {
       numSalts: Int = 16,
       joinType: String = "inner"): DataFrame = {
     require(numSalts > 0, "numSalts must be positive")
+    // Big-side-preserving types only: a right/full join would emit each
+    // UNMATCHED small-side row once per salt replica.
+    val allowed = Set("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti")
+    require(allowed.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin preserves only the big (left) side; '$joinType' would " +
+        "duplicate unmatched small-side rows per salt")
     val salted = big.withColumn("__salt",
       pmod(xxhash64(col(saltCol)), lit(numSalts)))
     // Replicated build side: numSalts copies — small by contract, so the

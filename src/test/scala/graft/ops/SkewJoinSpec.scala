@@ -33,6 +33,21 @@ class SkewJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(out.filter(col("label").isNull).count() == big.filter(col("key") =!= 0).count())
   }
 
+  test("small-side-preserving join types are rejected") {
+    import spark.implicits._
+    val big = Seq((1L, 1L)).toDF("key", "row_id")
+    val small = Seq((1L, "a")).toDF("key", "label")
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(big, small, Seq("key"), "row_id", joinType = "right")
+    }
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(big, small, Seq("key"), "row_id", joinType = "full_outer")
+    }
+    // semi/anti stay legal (big-side preserving).
+    assert(SkewJoin.saltedJoin(big, small, Seq("key"), "row_id",
+      joinType = "left_semi").count() == 1)
+  }
+
   test("the hot key actually spreads across salt buckets") {
     import spark.implicits._
     val big = (1L to 1000L).map(i => (0L, i)).toDF("key", "row_id")
