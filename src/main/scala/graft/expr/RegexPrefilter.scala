@@ -59,15 +59,34 @@ object RegexPrefilter {
           }
         case '[' =>
           breakRun()
-          // skip the class (handle escapes and a leading `]`)
+          // skip the class, tracking NESTED classes ([a&&[^b]]) so the
+          // outer ']' is never misread as a top-level literal
           i += 1
           if (i < n && regex.charAt(i) == '^') i += 1
           if (i < n && regex.charAt(i) == ']') i += 1
-          while (i < n && regex.charAt(i) != ']') {
-            if (regex.charAt(i) == '\\') i += 2 else i += 1
+          var classDepth = 1
+          while (i < n && classDepth > 0) {
+            regex.charAt(i) match {
+              case '\\' => i += 2
+              case '[' => classDepth += 1; i += 1
+              case ']' => classDepth -= 1; i += 1
+              case _ => i += 1
+            }
           }
-          i += 1 // closing ]
-        case '(' => breakRun(); depth += 1; i += 1
+        case '(' =>
+          breakRun()
+          // "(?..." special constructs: lookarounds/named/non-capturing
+          // ('=', '!', ':', '<') are safe — their contents are depth-
+          // skipped. Anything else after "(?" is an inline FLAG construct
+          // ((?i), (?im:...), (?x) ...) that changes matching semantics
+          // for the rest of the pattern (case-insensitivity, comment
+          // mode), so no literal can be proven required: bail.
+          if (i + 1 < n && regex.charAt(i + 1) == '?') {
+            if (i + 2 >= n) return None
+            val c2 = regex.charAt(i + 2)
+            if (c2 != '=' && c2 != '!' && c2 != ':' && c2 != '<') return None
+          }
+          depth += 1; i += 1
         case ')' => breakRun(); depth = math.max(0, depth - 1); i += 1
         case '|' =>
           if (depth == 0) return None // top-level alternation: nothing required

@@ -35,10 +35,12 @@ object Bucketing {
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
-  /** True when the physical plan contains no shuffle — the assertion that
+  /** True when the physical plan contains no SHUFFLE — the assertion that
     * a bucketed layout is actually being exploited (plans regress
-    * silently when bucket columns/counts drift).
+    * silently when bucket columns/counts drift). A BroadcastExchange is
+    * not a shuffle and doesn't count against the layout.
     */
   def isShuffleFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("Exchange")
+    !df.queryExecution.executedPlan.toString.linesIterator.exists(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
 }

@@ -39,17 +39,29 @@ object StageGate {
       .forall(last => !now.isBefore(last.plus(minInterval)))
 
   /** Record a successful run, preserving other stages' entries
-    * (`:160-175`).
+    * (`:160-175`). The read-modify-write runs under an OS file lock so
+    * two stages finishing concurrently (separate processes — the
+    * reference was single-process sequential) cannot drop each other's
+    * entries; the temp-file + atomic rename additionally prevents
+    * readers from ever seeing a torn file.
     */
   def recordSuccess(statePath: Path, stage: String, now: Instant): Unit = {
-    val next = readState(statePath) + (stage -> now)
-    val body = next.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"$k\t$v" }.mkString("\n")
     Option(statePath.getParent).foreach(Files.createDirectories(_))
-    val tmp = statePath.resolveSibling(statePath.getFileName.toString + ".tmp")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, statePath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    val lockPath = statePath.resolveSibling(statePath.getFileName.toString + ".lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock()
+      try {
+        val next = readState(statePath) + (stage -> now)
+        val body = next.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k\t$v" }.mkString("\n")
+        val tmp = statePath.resolveSibling(statePath.getFileName.toString + ".tmp")
+        Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, statePath, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      } finally lock.release()
+    } finally ch.close()
   }
 
   /** Outcome of a gated stage attempt. */

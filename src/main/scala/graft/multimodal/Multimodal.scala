@@ -45,11 +45,7 @@ object Multimodal {
     * replicate the fake decode bit-for-bit and keep the multimodal
     * plumbing under the hash gate.
     */
-  private def md5Seed(payload: Array[Byte]): Long = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(payload).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
-  }
+  private def md5Seed(payload: Array[Byte]): Long = graft.expr.Md5Hex.long60(payload)
 
   /** >>> DECODE_STUB <<< — deterministic fake decode. A production build
     * replaces ONLY this function body with the real codec call; everything
@@ -112,7 +108,10 @@ object Multimodal {
   def mediaFromText(df: DataFrame, idCol: String, textCol: String,
       mediaType: String): Dataset[MediaRow] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long"), col(textCol))
+    // Null routing: a null text has no payload to wrap — dropped here, the
+    // same way a media scan skips unreadable objects.
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .map { case (id, text) =>
         MediaRow(id, mediaType, text.getBytes("UTF-8"), s"mem://doc/$id")

@@ -29,6 +29,10 @@ object Dedup {
   /** Exact content dedup via md5 of a normalized text column. Returns the
     * surviving rows (min `idCol` per digest). Hash-groupBy: the 100 TB shape
     * — shuffle moves only (digest, id), not the documents.
+    *
+    * `idCol` must be unique (the usual contract for a document id): the
+    * survivor semi-join keys on the id alone, so duplicate ids would keep
+    * every row sharing a surviving id.
     */
   def exactByDigest(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val survivors = df

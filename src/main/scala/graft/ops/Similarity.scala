@@ -107,10 +107,7 @@ object Similarity {
     */
   def md5PlaneComponents(plane: Int, dims: Int): Array[Double] =
     Array.tabulate(dims) { d =>
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"p_${plane}_$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        .map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.substring(0, 15), 16).toDouble /
+      graft.expr.Md5Hex.long60(s"p_${plane}_$d").toDouble /
         (1L << 59).toDouble - 1.0
     }
 
@@ -148,6 +145,11 @@ object Similarity {
     val cent = corpus.filter(pmod(col(idCol), lit(centroidMod)) === 0)
       .select(col(idCol).as("__cid"), col(vecCol).as("__cv"),
         norm(col(vecCol)).as("__cn"))
+    // An empty centroid sample (no id divisible by centroidMod) would
+    // silently return zero neighbors for every query — fail loudly
+    // instead. The limit-1 probe is cheap next to the index build.
+    require(!cent.isEmpty,
+      s"ivfTopK sampled no centroids: no $idCol divisible by $centroidMod")
 
     // Inverted lists: each corpus row → its argmax-cosine centroid
     // (deterministic tie-break on centroid id).

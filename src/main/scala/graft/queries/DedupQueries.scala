@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   *
   * Oracle notes: xxhash64 has no DuckDB equivalent, so the oracle-checked
   * SimHash and MinHash/LSH queries run md5-derived hash variants
-  * ([[Dedup.simHashMd5]], [[Dedup.md5SeededHash]]) that DuckDB replicates
+  * ([[Dedup.simHashMd5]], [[Dedup.md5MinHashSignatures]]) that DuckDB replicates
   * bit-for-bit; prod paths and the property specs stay on xxhash64.
   */
 object DedupQueries extends QueryGroup {

@@ -63,8 +63,15 @@ object StreamingSessionize {
         case Some(s) if t - s.lastMs > gapMs =>
           closed += close(userId, s)
           cur = Some(SessionState(t, t, 1))
+        case Some(s) if s.startMs - t > gapMs =>
+          // Cross-batch straggler older than the in-flight session by more
+          // than the gap: its own (already-closed) session, like the batch
+          // sessionizer would produce — NOT absorbed into a session whose
+          // bounds don't contain it.
+          closed += ClosedSession(userId, e.ts, e.ts, 1)
         case Some(s) =>
-          cur = Some(SessionState(s.startMs, math.max(s.lastMs, t), s.n + 1))
+          // Within the gap on either side: extend the session to cover it.
+          cur = Some(SessionState(math.min(s.startMs, t), math.max(s.lastMs, t), s.n + 1))
         case None =>
           cur = Some(SessionState(t, t, 1))
       }

@@ -42,6 +42,19 @@ class RegexPrefilterSpec extends AnyFunSuite {
     assert(lit("(group)\\1 with backref").isEmpty)
   }
 
+  test("inline flag groups bail; nested classes are skipped whole") {
+    // (?i) makes the literal case-insensitive — claiming it would skip
+    // genuinely matching upper-case rows.
+    assert(lit("(?i)^(.+?)\\s+received a drop: (.*)$").isEmpty)
+    assert(lit("(?im:abc) and literals").isEmpty)
+    // Safe "(?" constructs keep working (the config prefix shape).
+    assert(lit("^(?:<:\\w+:\\d+>){0,2}\\s*(.+?)\\s+has reached a combat level")
+      .contains("has reached a combat level"))
+    assert(lit("(?=lookahead)big literal run").contains("big literal run"))
+    // Nested class: the outer ']' must not leak into a literal run.
+    assert(lit("[a-z&&[^b]]abcdef").contains("abcdef"))
+  }
+
   test("every matching fixture message contains its variant's prefilter") {
     // The load-bearing property: a string that MATCHES a pattern always
     // contains that pattern's claimed literal — so skipping the regex on

@@ -58,6 +58,33 @@ class StreamingSessionizeSpec extends AnyFunSuite with SparkTestBase {
       (2L, t("2024-01-01 11:00:00"), t("2024-01-01 11:00:00"), 1L)))
   }
 
+  test("cross-batch stragglers: own session beyond the gap, extend within it") {
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Timestamp)](spark)
+    // Generous watermark delay so stragglers are NOT dropped by Spark.
+    val events = mem.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "2 hours")
+
+    val q = StreamingSessionize.sessions(events, gapSeconds = 1800)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("straggler_out").start()
+
+    mem.addData((1L, t("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    // Straggler 11:00 — more than the 30 min gap BEFORE the in-flight
+    // session: becomes its own closed session, not absorbed.
+    // Straggler 11:50 — within the gap: extends the session backwards.
+    mem.addData((1L, t("2024-01-01 11:00:00")), (1L, t("2024-01-01 11:50:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("straggler_out")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    assert(rows.toSet == Set(
+      (1L, t("2024-01-01 11:00:00"), t("2024-01-01 11:00:00"), 1L)))
+    // (the extended 11:50-12:00 session is still open — not emitted)
+  }
+
   test("windowed counts append a bucket once the watermark passes it") {
     import spark.implicits._
     val mem = MemoryStream[(Timestamp, String, Long)](spark)
