@@ -257,6 +257,32 @@ object EventQueries extends QueryGroup {
           col("Group").as("grp"))
     }),
 
+    // W2/W3/W4 composite: the REAL recent-achievements generator —
+    // derived categories (Maxed Skill 99 / Maxed Combat) unioned in, then
+    // deterministic top-N per type (ts desc, id asc).
+    "q_recent_achievements" -> ((s, dir) => {
+      import graft.reports._
+      val bc = Tables.events(s, dir).select(
+        col("event_id").as("raw_log_id"),
+        col("ts").as("Timestamp"),
+        when(col("event_type") === "purchase", "Level Up")
+          .when(col("event_type") === "click", "Quest")
+          .when(col("event_type") === "signup", "Pet")
+          .otherwise("Other").as("Broadcast_Type"),
+        format_string("user_%d", col("user_id")).as("Username"),
+        when(pmod(col("event_id"), lit(4)) === 0, "Combat")
+          .otherwise("Attack").as("Skill"),
+        when(pmod(col("event_id"), lit(17)) === 0, lit(null).cast("int"))
+          .when(pmod(col("event_id"), lit(10)) === 0, lit(99))
+          .when(pmod(col("event_id"), lit(10)) === 1 && pmod(col("event_id"), lit(4)) === 0, lit(126))
+          .otherwise(pmod(col("event_id"), lit(99)).cast("int")).as("New_Level"))
+      Reports.recentAchievements(bc,
+        RecentAchievementsDef(Seq("Level Up", "Quest", "Pet"), 15))
+        .select(col("Broadcast_Type").as("broadcast_type"),
+          col("raw_log_id"), col("Username").as("username"),
+          date_format(col("Timestamp"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+    }),
+
     // T-sessionize: gap-based sessions (30 min), session stats per user.
     "q_sessionize" -> ((s, dir) => {
       val sess = TimeSeries.sessionize(Tables.events(s, dir), "user_id", "ts", 1800L)
@@ -522,6 +548,41 @@ object EventQueries extends QueryGroup {
         |SELECT task, holder, time AS pb_time, dt AS pb_date, grp FROM summary
         |UNION ALL
         |SELECT task, holder, time AS pb_time, dt AS pb_date, grp FROM missing""".stripMargin,
+    // Mirrors Reports.recentAchievements: New_Level coalesced to 0,
+    // 99-non-Combat → Maxed Skill (99), 126+Combat → Maxed Combat,
+    // row_number per type ordered (ts DESC, raw_log_id ASC), limit 15.
+    "q_recent_achievements" ->
+      """WITH bc AS (
+        |  SELECT event_id AS raw_log_id, ts,
+        |    CASE event_type WHEN 'purchase' THEN 'Level Up'
+        |      WHEN 'click' THEN 'Quest' WHEN 'signup' THEN 'Pet'
+        |      ELSE 'Other' END AS btype,
+        |    'user_' || user_id AS username,
+        |    CASE WHEN event_id % 4 = 0 THEN 'Combat' ELSE 'Attack' END AS skill,
+        |    CASE WHEN event_id % 17 = 0 THEN NULL
+        |      WHEN event_id % 10 = 0 THEN 99
+        |      WHEN event_id % 10 = 1 AND event_id % 4 = 0 THEN 126
+        |      ELSE CAST(event_id % 99 AS INT) END AS new_level
+        |  FROM events),
+        |src AS (
+        |  SELECT raw_log_id, ts, btype, username, skill,
+        |    COALESCE(new_level, 0) AS nl
+        |  FROM bc WHERE btype IN ('Level Up', 'Quest', 'Pet')),
+        |combined AS (
+        |  SELECT raw_log_id, ts, btype, username FROM src
+        |  UNION ALL
+        |  SELECT raw_log_id, ts, 'Maxed Skill (99)', username FROM src
+        |  WHERE btype = 'Level Up' AND nl = 99 AND skill <> 'Combat'
+        |  UNION ALL
+        |  SELECT raw_log_id, ts, 'Maxed Combat', username FROM src
+        |  WHERE btype = 'Level Up' AND nl = 126 AND skill = 'Combat'),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY btype
+        |    ORDER BY ts DESC, raw_log_id ASC) AS rn
+        |  FROM combined)
+        |SELECT btype AS broadcast_type, raw_log_id, username,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+        |FROM ranked WHERE rn <= 15""".stripMargin,
     "q_sessionize" ->
       """WITH lagged AS (
         |  SELECT user_id, value, ts,
