@@ -283,6 +283,27 @@ object EventQueries extends QueryGroup {
           date_format(col("Timestamp"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
     }),
 
+    // T1 composite: the REAL timeseries report generator across all three
+    // frequencies — 6h/D epoch-aligned buckets, pandas week-ending-SUNDAY
+    // labels (Monday trunc + 6 days), gap-free spines, cumulative sums,
+    // null Item_Value coalesced before the agg.
+    "q_timeseries_report" -> ((s, dir) => {
+      import graft.reports._
+      val bc = Tables.events(s, dir).select(
+        col("ts").as("Timestamp"),
+        when(col("event_type") === "purchase", "Valuable Drop")
+          .otherwise("Other").as("Broadcast_Type"),
+        format_string("user_%d", col("user_id")).as("Username"),
+        when(pmod(col("event_id"), lit(13)) === 0, lit(null).cast("long"))
+          .otherwise(round(col("value") * 100, 0).cast("long")).as("Item_Value"))
+      Reports.timeseries(bc, TimeseriesReportDef("t", Seq("Valuable Drop")))
+        .select(date_format(col("Date"), "yyyy-MM-dd HH:mm:ss").as("date_str"),
+          col("Count").as("n"), col("Total_Value").as("total_value"),
+          col("Cumulative_Count").as("cum_n"),
+          col("Cumulative_Value").as("cum_value"),
+          col("Frequency").as("freq"))
+    }),
+
     // T-sessionize: gap-based sessions (30 min), session stats per user.
     "q_sessionize" -> ((s, dir) => {
       val sess = TimeSeries.sessionize(Tables.events(s, dir), "user_id", "ts", 1800L)
@@ -583,6 +604,61 @@ object EventQueries extends QueryGroup {
         |SELECT btype AS broadcast_type, raw_log_id, username,
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
         |FROM ranked WHERE rn <= 15""".stripMargin,
+    // Mirrors Reports.timeseries: per-frequency bucket → gap-free spine
+    // via generate_series → left join + coalesce → running sums. Weekly
+    // label = Monday date_trunc + 6 days (pandas W-SUN parity).
+    "q_timeseries_report" ->
+      """WITH src AS (
+        |  SELECT ts, COALESCE(CASE WHEN event_id % 13 = 0 THEN NULL
+        |    ELSE CAST(round(value * 100, 0) AS BIGINT) END, 0) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |b6 AS (
+        |  SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS b,
+        |    count(*) AS c, CAST(sum(v) AS BIGINT) AS tv
+        |  FROM src GROUP BY 1),
+        |f6 AS (
+        |  SELECT s.b, COALESCE(c, 0) AS c, COALESCE(tv, 0) AS tv
+        |  FROM (SELECT unnest(generate_series((SELECT min(b) FROM b6),
+        |    (SELECT max(b) FROM b6), INTERVAL 21600 SECONDS)) AS b) s
+        |  LEFT JOIN b6 ON s.b = b6.b),
+        |r6 AS (
+        |  SELECT strftime(b, '%Y-%m-%d %H:%M:%S') AS date_str, c AS n, tv AS total_value,
+        |    CAST(sum(c) OVER (ORDER BY b) AS BIGINT) AS cum_n,
+        |    CAST(sum(tv) OVER (ORDER BY b) AS BIGINT) AS cum_value,
+        |    '6h' AS freq
+        |  FROM f6),
+        |bd AS (
+        |  SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS b,
+        |    count(*) AS c, CAST(sum(v) AS BIGINT) AS tv
+        |  FROM src GROUP BY 1),
+        |fd AS (
+        |  SELECT s.b, COALESCE(c, 0) AS c, COALESCE(tv, 0) AS tv
+        |  FROM (SELECT unnest(generate_series((SELECT min(b) FROM bd),
+        |    (SELECT max(b) FROM bd), INTERVAL 86400 SECONDS)) AS b) s
+        |  LEFT JOIN bd ON s.b = bd.b),
+        |rd AS (
+        |  SELECT strftime(b, '%Y-%m-%d %H:%M:%S') AS date_str, c AS n, tv AS total_value,
+        |    CAST(sum(c) OVER (ORDER BY b) AS BIGINT) AS cum_n,
+        |    CAST(sum(tv) OVER (ORDER BY b) AS BIGINT) AS cum_value,
+        |    'D' AS freq
+        |  FROM fd),
+        |bw AS (
+        |  SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS b,
+        |    count(*) AS c, CAST(sum(v) AS BIGINT) AS tv
+        |  FROM src GROUP BY 1),
+        |fw AS (
+        |  SELECT s.b, COALESCE(c, 0) AS c, COALESCE(tv, 0) AS tv
+        |  FROM (SELECT unnest(generate_series((SELECT min(b) FROM bw),
+        |    (SELECT max(b) FROM bw), INTERVAL 7 DAYS)) AS b) s
+        |  LEFT JOIN bw ON s.b = bw.b),
+        |rw AS (
+        |  SELECT strftime(b + INTERVAL 6 DAYS, '%Y-%m-%d %H:%M:%S') AS date_str,
+        |    c AS n, tv AS total_value,
+        |    CAST(sum(c) OVER (ORDER BY b) AS BIGINT) AS cum_n,
+        |    CAST(sum(tv) OVER (ORDER BY b) AS BIGINT) AS cum_value,
+        |    'W' AS freq
+        |  FROM fw)
+        |SELECT * FROM r6 UNION ALL SELECT * FROM rd UNION ALL SELECT * FROM rw""".stripMargin,
     "q_sessionize" ->
       """WITH lagged AS (
         |  SELECT user_id, value, ts,
