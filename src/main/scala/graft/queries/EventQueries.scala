@@ -304,6 +304,31 @@ object EventQueries extends QueryGroup {
           col("Frequency").as("freq"))
     }),
 
+    // W1/P17/P18 composite: the REAL detailed-report generator — type
+    // filter, Item_Value null→0, per-period slice (the Timestamp-desc
+    // presentation sort is invisible to the row-hash gate by design).
+    "q_detailed_report" -> ((s, dir) => {
+      import java.sql.Timestamp
+      import graft.reports._
+      val bc = Tables.events(s, dir).select(
+        col("event_id").as("raw_log_id"),
+        col("ts").as("Timestamp"),
+        when(col("event_type") === "purchase", "Valuable Drop")
+          .when(col("event_type") === "view", "PvP Kill")
+          .otherwise("Other").as("Broadcast_Type"),
+        format_string("user_%d", col("user_id")).as("Username"),
+        when(pmod(col("event_id"), lit(11)) === 0, lit(null).cast("long"))
+          .otherwise(round(col("value") * 100, 0).cast("long")).as("Item_Value"))
+      val periods = Seq(Period("JanH1",
+        Some(Timestamp.valueOf("2024-01-01 00:00:00")),
+        Timestamp.valueOf("2024-01-15 00:00:00"), "Jan H1"))
+      Reports.detailed(bc,
+        DetailedReportDef("drops", Seq("Valuable Drop", "PvP Kill")),
+        periods)("drops_janh1")
+        .select(col("raw_log_id"), col("Broadcast_Type").as("broadcast_type"),
+          col("Username").as("username"), col("Item_Value").as("item_value"))
+    }),
+
     // T-sessionize: gap-based sessions (30 min), session stats per user.
     "q_sessionize" -> ((s, dir) => {
       val sess = TimeSeries.sessionize(Tables.events(s, dir), "user_id", "ts", 1800L)
@@ -659,6 +684,16 @@ object EventQueries extends QueryGroup {
         |    'W' AS freq
         |  FROM fw)
         |SELECT * FROM r6 UNION ALL SELECT * FROM rd UNION ALL SELECT * FROM rw""".stripMargin,
+    "q_detailed_report" ->
+      """SELECT event_id AS raw_log_id,
+        |  CASE event_type WHEN 'purchase' THEN 'Valuable Drop'
+        |    ELSE 'PvP Kill' END AS broadcast_type,
+        |  'user_' || user_id AS username,
+        |  COALESCE(CASE WHEN event_id % 11 = 0 THEN NULL
+        |    ELSE CAST(round(value * 100, 0) AS BIGINT) END, 0) AS item_value
+        |FROM events
+        |WHERE event_type IN ('purchase', 'view')
+        |  AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'""".stripMargin,
     "q_sessionize" ->
       """WITH lagged AS (
         |  SELECT user_id, value, ts,
