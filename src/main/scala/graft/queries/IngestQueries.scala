@@ -89,6 +89,39 @@ object IngestQueries extends QueryGroup {
           date_format(col("change_timestamp"), "yyyy-MM-dd HH:mm:ss").as("change_ts"))
     }),
 
+    // P8: the REAL value-override enrichment — falsy Item_Value rows take
+    // the latest same-or-earlier day's price (else earliest later) for
+    // items configured with a dynamic id, the constant fallback when no
+    // price resolves, and the reference quirk: a falsy value on an
+    // UNCONFIGURED item becomes NULL.
+    "q_value_override" -> ((s, dir) => {
+      import graft.parse.ValueOverride
+      val ev = Tables.events(s, dir)
+      val prices = ev.filter(col("event_type") === "view")
+        .select(
+          when(pmod(col("event_id"), lit(2)) === 0, "2").otherwise("6").as("item_id"),
+          col("ts").as("timestamp"),
+          round(col("value") * 1000, 0).cast("long").as("avg_high_price"))
+      val broadcasts = ev.filter(col("event_type") === "purchase")
+        .select(
+          col("event_id").as("raw_log_id"),
+          col("ts").as("Timestamp"),
+          when(pmod(col("event_id"), lit(4)) === 0, "Cannonball")
+            .when(pmod(col("event_id"), lit(4)) === 1, "Rune arrow")
+            .when(pmod(col("event_id"), lit(4)) === 2, "Static item")
+            .otherwise("Unconfigured").as("Item_Name"),
+          when(pmod(col("event_id"), lit(5)) === 0, lit(0L))
+            .when(pmod(col("event_id"), lit(5)) === 1, lit(null).cast("long"))
+            .otherwise(round(col("value") * 100, 0).cast("long")).as("Item_Value"))
+      val overrides = Seq(
+        ValueOverride("Cannonball", Some(180L), Some("2")),
+        ValueOverride("Rune arrow", None, Some("6")),
+        ValueOverride("Static item", Some(5L), None))
+      graft.enrich.Enrichment.applyValueOverrides(broadcasts, overrides, prices)
+        .select(col("raw_log_id"), col("Item_Name").as("item_name"),
+          col("Item_Value").as("item_value"))
+    }),
+
     // W7-adjacent: deterministic keep-first over a union with duplicates.
     "q_ingest_union_dedup" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -131,6 +164,48 @@ object IngestQueries extends QueryGroup {
         |    ON probes.user_id = build.user_id AND probes.ts < build.price_ts)
         |SELECT b.event_id, b.user_id, CAST(COALESCE(b.price, f.price) AS DOUBLE) AS price
         |FROM backward b JOIN forward f ON b.event_id = f.event_id""".stripMargin,
+    // Mirrors Enrichment.applyValueOverrides: latest price per (item, day)
+    // via row_number, backward then forward ASOF on the probe DATE, then
+    // CASE with the unconfigured-item null quirk.
+    "q_value_override" ->
+      """WITH prices AS (
+        |  SELECT CASE WHEN event_id % 2 = 0 THEN '2' ELSE '6' END AS item_id,
+        |    ts, CAST(round(value * 1000, 0) AS BIGINT) AS p
+        |  FROM events WHERE event_type = 'view'),
+        |daily AS (
+        |  SELECT item_id, d, p FROM (
+        |    SELECT item_id, CAST(ts AS DATE) AS d, p,
+        |      row_number() OVER (PARTITION BY item_id, CAST(ts AS DATE)
+        |        ORDER BY ts DESC) AS rn
+        |    FROM prices) WHERE rn = 1),
+        |bc AS (
+        |  SELECT event_id AS raw_log_id, CAST(ts AS DATE) AS pdate,
+        |    CASE event_id % 4 WHEN 0 THEN 'Cannonball' WHEN 1 THEN 'Rune arrow'
+        |      WHEN 2 THEN 'Static item' ELSE 'Unconfigured' END AS item_name,
+        |    CASE WHEN event_id % 5 = 0 THEN 0
+        |      WHEN event_id % 5 = 1 THEN NULL
+        |      ELSE CAST(round(value * 100, 0) AS BIGINT) END AS iv
+        |  FROM events WHERE event_type = 'purchase'),
+        |dim(item, fallback, oid) AS (VALUES
+        |  ('Cannonball', 180, '2'), ('Rune arrow', NULL, '6'),
+        |  ('Static item', 5, NULL)),
+        |j AS (
+        |  SELECT bc.*, dim.fallback, dim.oid
+        |  FROM bc LEFT JOIN dim ON bc.item_name = dim.item),
+        |bw AS (
+        |  SELECT j.raw_log_id, daily.p
+        |  FROM j ASOF LEFT JOIN daily
+        |    ON j.oid = daily.item_id AND j.pdate >= daily.d),
+        |fw AS (
+        |  SELECT j.raw_log_id, daily.p
+        |  FROM j ASOF LEFT JOIN daily
+        |    ON j.oid = daily.item_id AND j.pdate < daily.d)
+        |SELECT j.raw_log_id, j.item_name,
+        |  CAST(CASE WHEN (j.iv IS NULL OR j.iv = 0) AND j.item_name IS NOT NULL
+        |    THEN COALESCE(bw.p, fw.p, j.fallback) ELSE j.iv END AS BIGINT) AS item_value
+        |FROM j
+        |JOIN bw ON j.raw_log_id = bw.raw_log_id
+        |JOIN fw ON j.raw_log_id = fw.raw_log_id""".stripMargin,
     "q_name_changes" ->
       """SELECT event_id AS discord_message_id,
         |  'user_' || user_id AS old_name,
