@@ -113,6 +113,35 @@ object ParseQueries extends QueryGroup {
           weekofyear(col("ts")).cast("int").as("iso_week"))
     }),
 
+    // P7/P9: game-mode prefixing + total-level skill default through the
+    // REAL ParseEngine — a Leagues badge prefixes the final type, the
+    // skill defaults to 'Total' only for the UNPREFIXED 'Total Level'
+    // type (bug-compatible: '(Leagues) Total Level' keeps a null skill).
+    "q_parse_modes" -> ((s, dir) => {
+      val badge = "<:Leagues_IV_badge:123> "
+      val msg =
+        when(col("event_type") === "purchase",
+          format_string("user_%d has reached Fishing level %d.",
+            col("user_id"), pmod(col("event_id"), lit(99)) + 1))
+          .when(col("event_type") === "click" && pmod(col("event_id"), lit(2)) === 0,
+            format_string("user_%d has reached a total level of %d.",
+              col("user_id"), pmod(col("event_id"), lit(1777)) + 500))
+          .when(col("event_type") === "click",
+            format_string(badge + "user_%d has reached a total level of %d.",
+              col("user_id"), pmod(col("event_id"), lit(1777)) + 500))
+          .when(col("event_type") === "signup",
+            format_string(badge + "user_%d has reached Attack level %d.",
+              col("user_id"), pmod(col("event_id"), lit(99)) + 1))
+          .otherwise(format_string("noise event %d", col("event_id")))
+      val raw = Tables.events(s, dir)
+        .select(col("event_id").as("id"), col("ts").as("timestamp"),
+          msg.as("raw_content"))
+      graft.parse.ParseEngine.parse(raw).broadcasts
+        .select(col("raw_log_id"), col("Broadcast_Type").as("broadcast_type"),
+          col("Username").as("username"), col("Skill").as("skill"),
+          col("New_Level").as("new_level"))
+    }),
+
     // END-TO-END: the real OSRS pipeline against the oracle — synthesized
     // raw messages → ParseEngine (full 35-variant dispatch) → the actual
     // period-pivoted leaderboard report generator. This puts the report
@@ -247,6 +276,42 @@ object ParseQueries extends QueryGroup {
       """SELECT event_id, strftime(ts, '%B %Y') AS month_label,
         |  CAST(weekofyear(ts) AS INT) AS iso_week
         |FROM events""".stripMargin,
+    // Mirrors ParseEngine for the mode/total fixtures: the level and
+    // total-level variant regexes (icon prefix included), a startsWith
+    // badge check for the game mode, and the prefixed-type-compared
+    // skill default.
+    "q_parse_modes" ->
+      """WITH m AS (
+        |  SELECT event_id, CASE
+        |    WHEN event_type = 'purchase' THEN printf('user_%d has reached Fishing level %d.',
+        |      user_id, event_id % 99 + 1)
+        |    WHEN event_type = 'click' AND event_id % 2 = 0 THEN printf('user_%d has reached a total level of %d.',
+        |      user_id, event_id % 1777 + 500)
+        |    WHEN event_type = 'click' THEN printf('<:Leagues_IV_badge:123> user_%d has reached a total level of %d.',
+        |      user_id, event_id % 1777 + 500)
+        |    WHEN event_type = 'signup' THEN printf('<:Leagues_IV_badge:123> user_%d has reached Attack level %d.',
+        |      user_id, event_id % 99 + 1)
+        |    ELSE printf('noise event %d', event_id) END AS msg
+        |  FROM events),
+        |p AS (
+        |  SELECT event_id AS raw_log_id, msg,
+        |    CASE WHEN msg LIKE '<:Leagues_IV_badge:123>%' THEN '(Leagues) ' ELSE '' END AS pre,
+        |    regexp_matches(msg, '^(?:<:\w+:\d+>){0,2}\s*(.+?)\s+has reached ([\w\s]+) level (\d+)\.?$') AS is_lvl,
+        |    regexp_matches(msg, '^(?:<:\w+:\d+>){0,2}\s*(.+?)\s+has reached a total level of (\d+)\.?$') AS is_tot
+        |  FROM m),
+        |lvl AS (
+        |  SELECT raw_log_id, pre || 'Level Up' AS broadcast_type,
+        |    trim(regexp_extract(msg, '^(?:<:\w+:\d+>){0,2}\s*(.+?)\s+has reached ([\w\s]+) level (\d+)\.?$', 1)) AS username,
+        |    trim(regexp_extract(msg, '^(?:<:\w+:\d+>){0,2}\s*(.+?)\s+has reached ([\w\s]+) level (\d+)\.?$', 2)) AS skill,
+        |    CAST(regexp_extract(msg, '^(?:<:\w+:\d+>){0,2}\s*(.+?)\s+has reached ([\w\s]+) level (\d+)\.?$', 3) AS INT) AS new_level
+        |  FROM p WHERE is_lvl),
+        |tot AS (
+        |  SELECT raw_log_id, pre || 'Total Level' AS broadcast_type,
+        |    trim(regexp_extract(msg, '^(?:<:\w+:\d+>){0,2}\s*(.+?)\s+has reached a total level of (\d+)\.?$', 1)) AS username,
+        |    CASE WHEN pre = '' THEN 'Total' END AS skill,
+        |    CAST(regexp_extract(msg, '^(?:<:\w+:\d+>){0,2}\s*(.+?)\s+has reached a total level of (\d+)\.?$', 2) AS INT) AS new_level
+        |  FROM p WHERE is_tot AND NOT is_lvl)
+        |SELECT * FROM lvl UNION ALL SELECT * FROM tot""".stripMargin,
     "q_osrs_leaderboard_e2e" ->
       s"""WITH m AS (SELECT event_id, ts, $messageSql AS msg FROM events),
          |p AS (
