@@ -145,11 +145,12 @@ object HyperplaneBuckets {
       // Seed chain of the 2-arg xxhash64: 42 → hash(plane) → hash(dim).
       val planeSeed = XxHash64Function.hash(seedOffset + pl, IntegerType, 42L)
       var acc = 0.0
-      var sawNull = false
       var i = 0
       while (i < n) {
-        if (vec.isNullAt(i)) sawNull = true
-        else {
+        // Null elements contribute 0 — the same policy as the oracle's
+        // list_sum, so a null-containing embedding buckets identically in
+        // both engines.
+        if (!vec.isNullAt(i)) {
           val comp = XxHash64Function.hash(i, IntegerType, planeSeed).toDouble /
             Long.MaxValue.toDouble
           val v = if (elemFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
@@ -157,9 +158,7 @@ object HyperplaneBuckets {
         }
         i += 1
       }
-      // A null element nulled the whole projection in the column form, so
-      // the bit stayed unset.
-      if (!sawNull && acc >= 0) bits |= 1L << pl
+      if (acc >= 0) bits |= 1L << pl
       pl += 1
     }
     bits
@@ -228,17 +227,16 @@ object PlaneBuckets {
       val comps = planes(pl)
       val m = math.min(n, comps.length)
       var acc = 0.0
-      var sawNull = false
       var i = 0
       while (i < m) {
-        if (vec.isNullAt(i)) sawNull = true
-        else {
+        // Null elements contribute 0, matching the oracle's list_sum.
+        if (!vec.isNullAt(i)) {
           val v = if (elemFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
           acc += v * comps(i)
         }
         i += 1
       }
-      if (!sawNull && acc >= 0) bits |= 1L << pl
+      if (acc >= 0) bits |= 1L << pl
       pl += 1
     }
     bits

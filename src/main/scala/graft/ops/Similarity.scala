@@ -142,7 +142,10 @@ object Similarity {
       probes: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       centroidMod: Int = 25, nprobe: Int = 3): DataFrame = {
-    val cent = corpus.filter(pmod(col(idCol), lit(centroidMod)) === 0)
+    // NULL vectors can neither index nor be found (their cosine is NULL):
+    // drop them up front, same policy as lshTopKImpl.
+    val cent = corpus.filter(col(vecCol).isNotNull)
+      .filter(pmod(col(idCol), lit(centroidMod)) === 0)
       .select(col(idCol).as("__cid"), col(vecCol).as("__cv"),
         norm(col(vecCol)).as("__cn"))
     // An empty centroid sample (no id divisible by centroidMod) would
@@ -153,8 +156,9 @@ object Similarity {
 
     // Inverted lists: each corpus row → its argmax-cosine centroid
     // (deterministic tie-break on centroid id).
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"),
-      norm(col(vecCol)).as("__nn"))
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"),
+        norm(col(vecCol)).as("__nn"))
     val wA = Window.partitionBy("neighbor_id")
       .orderBy(col("__acos").desc, col("__cid").asc)
     val lists = c.crossJoin(broadcast(cent))
@@ -165,8 +169,9 @@ object Similarity {
         col("__nv"), col("__nn"))
 
     // Probe side: the nprobe nearest lists per query.
-    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      norm(col(vecCol)).as("__qn"))
+    val p = probes.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        norm(col(vecCol)).as("__qn"))
     val wP = Window.partitionBy("query_id")
       .orderBy(col("__acos").desc, col("__cid").asc)
     val probeLists = p.crossJoin(broadcast(cent))
@@ -194,7 +199,11 @@ object Similarity {
     val withBuckets = (df: DataFrame, prefix: String) => {
       val buckets = array((0 until tables).map(t =>
         struct(lit(t).as("t"), bucketFn(col(vecCol), t).as("b"))): _*)
-      df.select(col(idCol).as(s"${prefix}_id"), col(vecCol).as(s"__${prefix}v"),
+      // A NULL vector cannot have neighbors (its cosine is NULL): drop it
+      // BEFORE bucketing, or it would ride the all-bits-unset bucket into
+      // the join and surface in top-k with a NULL score.
+      df.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as(s"${prefix}_id"), col(vecCol).as(s"__${prefix}v"),
         explode(buckets).as("__bt"))
         .select(col(s"${prefix}_id"), col(s"__${prefix}v"),
           col("__bt.t").as("__t"), col("__bt.b").as("__b"))

@@ -28,8 +28,10 @@ object ItemMappingDim {
     * cache younger than `maxAge` that contains every id in `requiredIds`
     * is returned as-is; a miss on any required id forces a refetch
     * (`:158-170`); a missing/corrupt/expired cache fetches and rewrites
-    * (`:34-52`). A failed fetch yields an empty mapping, as the reference's
-    * `return {}` — callers treat that as "cannot proceed".
+    * (`:34-52`). A failed fetch falls back to the readable cache if one
+    * exists (a partial dimension beats losing every item because one id
+    * was missing); with no usable cache it yields an empty mapping, as
+    * the reference's `return {}` — callers treat that as "cannot proceed".
     */
   def load(
       cachePath: Path,
@@ -45,8 +47,8 @@ object ItemMappingDim {
         val fetched =
           try MappingFetcher(fetcher)().map(i => i.id -> i).toMap
           catch { case scala.util.control.NonFatal(_) => Map.empty[String, ItemMeta] }
-        if (fetched.nonEmpty) writeCache(cachePath, fetched, now)
-        fetched
+        if (fetched.nonEmpty) { writeCache(cachePath, fetched, now); fetched }
+        else cached.getOrElse(Map.empty)
     }
   }
 

@@ -53,29 +53,34 @@ object StreamingSessionize {
     }
 
     // Per-group batch arrivals are unordered; a user's in-flight events fit
-    // in memory (bounded by the micro-batch), so sort locally.
-    val sorted = events.toArray.sortBy(_.ts.getTime)
-    var cur = state.getOption
+    // in memory (bounded by the micro-batch), so merge locally with the
+    // same chain sweep the batch sessionizer performs: the in-flight state
+    // and each event are intervals, sorted by start, and adjacent intervals
+    // within the gap chain into one session. This keeps batch/streaming
+    // parity even for cross-batch stragglers — two stragglers each > gap
+    // older than the in-flight session but within gap of EACH OTHER chain
+    // into one session, and a straggler chain that reaches within gap of
+    // the in-flight session bridges into it (events later than the
+    // watermark only; truly late data is dropped upstream by the
+    // watermark, as in any streaming engine).
+    val intervals = state.getOption.toSeq ++
+      events.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1))
     val closed = Seq.newBuilder[ClosedSession]
-    sorted.foreach { e =>
-      val t = e.ts.getTime
+    var cur: Option[SessionState] = None
+    intervals.sortBy(_.startMs).foreach { iv =>
       cur match {
-        case Some(s) if t - s.lastMs > gapMs =>
+        case Some(s) if iv.startMs - s.lastMs > gapMs =>
           closed += close(userId, s)
-          cur = Some(SessionState(t, t, 1))
-        case Some(s) if s.startMs - t > gapMs =>
-          // Cross-batch straggler older than the in-flight session by more
-          // than the gap: its own (already-closed) session, like the batch
-          // sessionizer would produce — NOT absorbed into a session whose
-          // bounds don't contain it.
-          closed += ClosedSession(userId, e.ts, e.ts, 1)
+          cur = Some(iv)
         case Some(s) =>
-          // Within the gap on either side: extend the session to cover it.
-          cur = Some(SessionState(math.min(s.startMs, t), math.max(s.lastMs, t), s.n + 1))
+          cur = Some(SessionState(s.startMs, math.max(s.lastMs, iv.lastMs), s.n + iv.n))
         case None =>
-          cur = Some(SessionState(t, t, 1))
+          cur = Some(iv)
       }
     }
+    // Chains are disjoint and start-ordered, so the last one has the
+    // latest end: it stays in flight; everything before it is proven
+    // closed by the gap to its successor.
     cur.foreach { s =>
       state.update(s)
       state.setTimeoutTimestamp(s.lastMs + gapMs)
