@@ -145,20 +145,24 @@ object HyperplaneBuckets {
       // Seed chain of the 2-arg xxhash64: 42 → hash(plane) → hash(dim).
       val planeSeed = XxHash64Function.hash(seedOffset + pl, IntegerType, 42L)
       var acc = 0.0
+      var any = false
       var i = 0
       while (i < n) {
         // Null elements contribute 0 — the same policy as the oracle's
-        // list_sum, so a null-containing embedding buckets identically in
-        // both engines.
+        // list_sum — so a partially-null embedding buckets identically in
+        // both engines. If NO element contributes (empty or all-null
+        // array), list_sum yields NULL there and `>= 0` is false, so the
+        // bit must stay unset here too rather than defaulting to acc=0.0.
         if (!vec.isNullAt(i)) {
           val comp = XxHash64Function.hash(i, IntegerType, planeSeed).toDouble /
             Long.MaxValue.toDouble
           val v = if (elemFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
           acc += v * comp
+          any = true
         }
         i += 1
       }
-      if (acc >= 0) bits |= 1L << pl
+      if (any && acc >= 0) bits |= 1L << pl
       pl += 1
     }
     bits
@@ -227,16 +231,19 @@ object PlaneBuckets {
       val comps = planes(pl)
       val m = math.min(n, comps.length)
       var acc = 0.0
+      var any = false
       var i = 0
       while (i < m) {
-        // Null elements contribute 0, matching the oracle's list_sum.
+        // Null elements contribute 0, matching the oracle's list_sum; an
+        // empty/all-null vector leaves the bit unset (NULL list_sum there).
         if (!vec.isNullAt(i)) {
           val v = if (elemFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
           acc += v * comps(i)
+          any = true
         }
         i += 1
       }
-      if (acc >= 0) bits |= 1L << pl
+      if (any && acc >= 0) bits |= 1L << pl
       pl += 1
     }
     bits

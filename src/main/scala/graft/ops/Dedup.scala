@@ -299,9 +299,11 @@ object Dedup {
   def embeddingNearDupBrute(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     // Norms once per row, codegen'd dot per pair (see Similarity.dot).
-    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+    // NULL vectors dropped — same policy as every Similarity entry point.
+    val nn = emb.filter(col(vecCol).isNotNull)
+    val a = nn.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
       Similarity.norm(col(vecCol)).as("__na"))
-    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+    val b = nn.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
       Similarity.norm(col(vecCol)).as("__nb"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))

@@ -40,11 +40,14 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       excludeSelf: Boolean = true): DataFrame = {
     // Norms computed ONCE per row before the pair join (norm-per-pair would
-    // redo the reduction |corpus| times per probe).
-    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      norm(col(vecCol)).as("__qn"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      norm(col(vecCol)).as("__cn"))
+    // redo the reduction |corpus| times per probe). NULL vectors dropped —
+    // uniform policy with lshTopK/ivfTopK (a NULL cosine can't rank).
+    val p = probes.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        norm(col(vecCol)).as("__qn"))
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        norm(col(vecCol)).as("__cn"))
     val pairs = broadcast(p).crossJoin(c)
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .withColumn("cos", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
@@ -64,10 +67,13 @@ object Similarity {
   def bruteForceTopKAgg(
       probes: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      norm(col(vecCol)).as("__qn"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      norm(col(vecCol)).as("__cn"))
+    // Same NULL-vector drop policy as bruteForceTopK/lshTopK/ivfTopK.
+    val p = probes.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        norm(col(vecCol)).as("__qn"))
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        norm(col(vecCol)).as("__cn"))
     val pairs = broadcast(p).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id").as("__id"),

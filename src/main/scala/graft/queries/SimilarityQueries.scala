@@ -82,7 +82,7 @@ object SimilarityQueries extends QueryGroup {
         |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS norm
         |FROM embeddings""".stripMargin,
     "q_cosine_topk_agg" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
         |pairs AS (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
         |    list_cosine_similarity(a.v, b.v) AS cos
@@ -95,7 +95,7 @@ object SimilarityQueries extends QueryGroup {
         |  FROM pairs)
         |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""".stripMargin,
     "q_cosine_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
         |pairs AS (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
         |    list_cosine_similarity(a.v, b.v) AS cos
@@ -108,7 +108,7 @@ object SimilarityQueries extends QueryGroup {
         |  FROM pairs)
         |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""".stripMargin,
     "q_embedding_neardup" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(a.v, b.v), 4) AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -117,7 +117,7 @@ object SimilarityQueries extends QueryGroup {
     // / 2^59 - 1.0; 2 tables x 6 planes; candidates share (table, bucket);
     // exact cosine rank, ties on neighbor_id.
     "q_ann_lsh_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
         |planes AS (
         |  SELECT p, list_transform(range(0, 64),
         |    d -> CAST(('0x' || substr(md5('p_' || CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
@@ -149,7 +149,7 @@ object SimilarityQueries extends QueryGroup {
     // argmax-cosine list assignment (ties → smaller centroid id), 3
     // probed lists, exact-cosine rank with neighbor_id tie-break.
     "q_ann_ivf_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
         |assign AS (
         |  SELECT a.vec_id, a.v, c.cid,

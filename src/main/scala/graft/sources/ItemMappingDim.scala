@@ -24,33 +24,61 @@ object ItemMappingDim {
 
   case class ItemMeta(id: String, name: String)
 
+  /** How the mapping in a [[Loaded]] was obtained. `StalePartial` is the
+    * degraded path: the fetch failed and the readable cache we fell back
+    * to is the very cache whose missing required ids (or age) forced the
+    * refetch — callers that key on specific ids must still expect misses
+    * and must not treat it as a healthy load.
+    */
+  sealed trait Freshness
+  case object Fresh extends Freshness        // fresh cache or successful fetch
+  case object StalePartial extends Freshness // failed fetch, degraded cache fallback
+  case object Unavailable extends Freshness  // failed fetch, no readable cache
+
+  case class Loaded(mapping: Map[String, ItemMeta], freshness: Freshness)
+
   /** Load the mapping, preferring a fresh cache (`:26-32`): a readable
     * cache younger than `maxAge` that contains every id in `requiredIds`
     * is returned as-is; a miss on any required id forces a refetch
     * (`:158-170`); a missing/corrupt/expired cache fetches and rewrites
     * (`:34-52`). A failed fetch falls back to the readable cache if one
     * exists (a partial dimension beats losing every item because one id
-    * was missing); with no usable cache it yields an empty mapping, as
-    * the reference's `return {}` — callers treat that as "cannot proceed".
+    * was missing) but reports it as [[StalePartial]]; with no usable
+    * cache it yields an empty [[Unavailable]] mapping, as the reference's
+    * `return {}` — callers treat that as "cannot proceed".
+    */
+  def loadWithStatus(
+      cachePath: Path,
+      fetcher: String,
+      requiredIds: Seq[String] = Nil,
+      maxAge: Duration = Duration.ofDays(365),
+      now: Instant = Instant.now()): Loaded = {
+    val cached = readCache(cachePath, maxAge, now)
+    cached match {
+      case Some(m) if requiredIds.forall(m.contains) => Loaded(m, Fresh)
+      case _ =>
+        // cold, corrupt, expired, or stale (required id missing) → fetch
+        val fetched =
+          try MappingFetcher(fetcher)().map(i => i.id -> i).toMap
+          catch { case scala.util.control.NonFatal(_) => Map.empty[String, ItemMeta] }
+        if (fetched.nonEmpty) { writeCache(cachePath, fetched, now); Loaded(fetched, Fresh) }
+        else cached match {
+          case Some(m) => Loaded(m, StalePartial)
+          case None => Loaded(Map.empty, Unavailable)
+        }
+    }
+  }
+
+  /** [[loadWithStatus]] keeping only the mapping, for callers that treat
+    * empty-vs-nonempty as the only signal (the reference's shape).
     */
   def load(
       cachePath: Path,
       fetcher: String,
       requiredIds: Seq[String] = Nil,
       maxAge: Duration = Duration.ofDays(365),
-      now: Instant = Instant.now()): Map[String, ItemMeta] = {
-    val cached = readCache(cachePath, maxAge, now)
-    cached match {
-      case Some(m) if requiredIds.forall(m.contains) => m
-      case _ =>
-        // cold, corrupt, expired, or stale (required id missing) → fetch
-        val fetched =
-          try MappingFetcher(fetcher)().map(i => i.id -> i).toMap
-          catch { case scala.util.control.NonFatal(_) => Map.empty[String, ItemMeta] }
-        if (fetched.nonEmpty) { writeCache(cachePath, fetched, now); fetched }
-        else cached.getOrElse(Map.empty)
-    }
-  }
+      now: Instant = Instant.now()): Map[String, ItemMeta] =
+    loadWithStatus(cachePath, fetcher, requiredIds, maxAge, now).mapping
 
   /** Resolve the configured overrides against the mapping (`:157-176`):
     * items with a dynamic-price id split into (fetchable ids, ids missing

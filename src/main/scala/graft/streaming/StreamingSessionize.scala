@@ -79,8 +79,12 @@ object StreamingSessionize {
       }
     }
     // Chains are disjoint and start-ordered, so the last one has the
-    // latest end: it stays in flight; everything before it is proven
-    // closed by the gap to its successor.
+    // latest end: it stays in flight; everything before it is closed
+    // relative to the watermark contract — a future event above the
+    // watermark but within gap of an emitted chain WOULD have extended it
+    // under batch semantics, and append output cannot retract. That
+    // residual divergence is inherent to append-mode sessionization; the
+    // watermark bounds how old such an event can be.
     cur.foreach { s =>
       state.update(s)
       state.setTimeoutTimestamp(s.lastMs + gapMs)

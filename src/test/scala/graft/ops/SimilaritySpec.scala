@@ -90,4 +90,44 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .filter(col("count") > 1).count()
     assert(dupes == 0)
   }
+
+  test("NULL embeddings are dropped by every entry point") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Option(Seq(1.0f, 0.0f))),
+      (1L, Option(Seq(0.9f, 0.1f))),
+      (2L, Option.empty[Seq[Float]])) // NULL vector: never query, never neighbor
+      .toDF("vec_id", "embedding")
+    val ids = (d: org.apache.spark.sql.DataFrame) =>
+      d.select("query_id", "neighbor_id").collect()
+        .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(!ids(Similarity.bruteForceTopK(df, df, "vec_id", "embedding", 5)).contains(2L))
+    assert(!ids(Similarity.bruteForceTopKAgg(df, df, "vec_id", "embedding", 5)).contains(2L))
+    assert(!ids(Similarity.lshTopK(df, df, "vec_id", "embedding", 5,
+      numPlanes = 2, tables = 1)).contains(2L))
+    assert(!ids(Similarity.ivfTopK(df, df, "vec_id", "embedding", 5,
+      centroidMod = 1, nprobe = 2)).contains(2L))
+    val pairIds = graft.ops.Dedup
+      .embeddingNearDupBrute(df, "vec_id", "embedding", -1.0)
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(!pairIds.contains(2L))
+  }
+
+  test("empty and all-null-element vectors bucket to 0, like NULL list_sum") {
+    import spark.implicits._
+    // DuckDB's list_sum over an empty/all-NULL list is NULL, so `pr >= 0`
+    // sets no bit there; the expressions must agree (ADVICE r04).
+    val df = Seq(
+      (0L, Seq[Option[Float]](Some(1.0f), Some(2.0f))),
+      (1L, Seq[Option[Float]]()),
+      (2L, Seq[Option[Float]](None, None)))
+      .toDF("vec_id", "embedding")
+    val planes = Array.tabulate(4)(p => Similarity.md5PlaneComponents(p, 2))
+    val got = df.select(col("vec_id"),
+        graft.expr.VectorExprs.lshBucket(col("embedding"), 4).as("xx"),
+        graft.expr.VectorExprs.planeBuckets(col("embedding"), planes).as("md5"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((0L, 0L)) && got(2L) == ((0L, 0L)))
+    assert(got(0L)._1 != 0L || got(0L)._2 != 0L) // real vector still buckets
+  }
 }

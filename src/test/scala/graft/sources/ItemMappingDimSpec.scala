@@ -62,6 +62,28 @@ class ItemMappingDimSpec extends AnyFunSuite with SparkTestBase {
     assert(calls.get() == 2 && m.contains("30"))
   }
 
+  test("failed fetch with a readable cache falls back, flagged StalePartial") {
+    MappingFetcher.register("dim-d-ok", () => Seq(ItemMeta("2", "Cannonball")))
+    MappingFetcher.register("dim-d-boom", () => sys.error("HTTP 503"))
+    val cache = tempCache()
+    ItemMappingDim.load(cache, "dim-d-ok", Seq("2"), ttl, t0)
+
+    // Required id 30 forces a refetch; the fetch dies; the readable cache
+    // comes back — still missing 30 — and the status says so.
+    val got = ItemMappingDim.loadWithStatus(
+      cache, "dim-d-boom", Seq("2", "30"), ttl, t0.plus(Duration.ofMinutes(5)))
+    assert(got.freshness == ItemMappingDim.StalePartial)
+    assert(got.mapping.contains("2") && !got.mapping.contains("30"))
+  }
+
+  test("failed fetch with no cache is Unavailable: empty = cannot proceed") {
+    MappingFetcher.register("dim-e-boom", () => sys.error("HTTP 503"))
+    val got = ItemMappingDim.loadWithStatus(tempCache(), "dim-e-boom", Seq("2"), ttl, t0)
+    assert(got.freshness == ItemMappingDim.Unavailable && got.mapping.isEmpty)
+    // The reference-shaped `load` preserves the `return {}` signal.
+    assert(ItemMappingDim.load(tempCache(), "dim-e-boom", Seq("2"), ttl, t0).isEmpty)
+  }
+
   test("itemsToFetch splits dynamic overrides into fetchable and missing") {
     val mapping = Map("2" -> ItemMeta("2", "Cannonball"))
     val overrides = Seq(

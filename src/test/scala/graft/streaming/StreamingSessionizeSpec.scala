@@ -85,6 +85,31 @@ class StreamingSessionizeSpec extends AnyFunSuite with SparkTestBase {
     // (the extended 11:50-12:00 session is still open — not emitted)
   }
 
+  test("two stragglers within gap of each other chain into one closed session") {
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Timestamp)](spark)
+    val events = mem.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "4 hours")
+
+    val q = StreamingSessionize.sessions(events, gapSeconds = 1800)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("chain_out").start()
+
+    mem.addData((1L, t("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    // Both stragglers are > gap before the 12:00 in-flight session, but
+    // within gap (25 min) of EACH OTHER: the chain sweep must merge them
+    // into ONE closed session 09:00–09:25, not two singletons (ADVICE r04).
+    mem.addData((1L, t("2024-01-01 09:00:00")), (1L, t("2024-01-01 09:25:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("chain_out")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    assert(rows.toSet == Set(
+      (1L, t("2024-01-01 09:00:00"), t("2024-01-01 09:25:00"), 2L)))
+  }
+
   test("windowed counts append a bucket once the watermark passes it") {
     import spark.implicits._
     val mem = MemoryStream[(Timestamp, String, Long)](spark)
