@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children.head, children(1))))
+    // Custom whole-operator plan: as-of join (graft.plans.AsOfJoinPlan →
+    // co-partitioned sort-merge AsOfJoinExec).
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

@@ -94,4 +94,65 @@ object AsOfJoin {
       .filter(col("__is_probe") === 1)
       .select(probeCols.map(col) ++ valueCols.map(c => col(s"__f_$c").as(c)): _*)
   }
+
+  /** Native-plan variant of [[join]]: constructs a [[graft.plans.AsOfJoinPlan]]
+    * logical node, planned by [[graft.plans.AsOfJoinStrategy]] into a
+    * co-partitioned sort-merge [[graft.plans.AsOfJoinExec]].
+    *
+    * Same output contract as [[join]] (probe columns ++ value columns, one
+    * row per probe row). Semantic delta, relevant only when value columns
+    * can be null: the native node is row-atomic per direction — backward is
+    * the nearest earlier build ROW, forward the nearest later build ROW,
+    * coalesced per column — exactly DuckDB's two-ASOF-then-COALESCE shape,
+    * while [[join]]'s window form skips null VALUES within a direction
+    * (`last(..., ignoreNulls)`). With non-null value columns the two are
+    * bit-identical (property-checked in AsOfJoinNativeSpec).
+    *
+    * Why it exists (the 100 TB argument): [[join]] unions both inputs and
+    * sorts the union once per window — every build row is padded with every
+    * probe column and vice versa, and the single union-wide sort carries
+    * that widened row through the shuffle. The native exec shuffles and
+    * sorts each side independently at its own width and streams the merge
+    * with one small retained row per side.
+    */
+  def joinNative(
+      probe: DataFrame,
+      build: DataFrame,
+      keys: Seq[String],
+      probeTime: String,
+      buildTime: String,
+      valueCols: Seq[String],
+      strategy: String = "backward_then_forward"): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
+
+    require(valueCols.forall(build.columns.contains), "valueCols must exist on build side")
+    val spark = probe.sparkSession
+    AsOfJoinStrategy.register(spark)
+
+    val lPlan = GraftColumnBridge.analyzed(probe)
+    // Fresh-alias every right attribute so a self-join (probe and build read
+    // from the same source) can't alias attribute ids across sides.
+    val rAnalyzed = GraftColumnBridge.analyzed(build)
+    val rAliases = rAnalyzed.output.map(a => Alias(a, a.name)())
+    val rPlan = Project(rAliases, rAnalyzed)
+
+    def attr(out: Seq[Attribute], name: String, side: String): Attribute =
+      out.find(_.name == name).getOrElse(
+        sys.error(s"as-of $side column '$name' not in ${out.map(_.name).mkString(", ")}"))
+
+    val node = AsOfJoinPlan(
+      lPlan, rPlan,
+      keys.map(attr(lPlan.output, _, "probe")),
+      keys.map(attr(rPlan.output, _, "build")),
+      attr(lPlan.output, probeTime, "probe"),
+      attr(rPlan.output, buildTime, "build"),
+      valueCols.map(attr(rPlan.output, _, "build")),
+      strategy)
+    val joined = GraftColumnBridge.ofRows(spark, node)
+    // Contract parity with `join`: probe columns then value columns.
+    joined.select((probe.columns.toSeq ++ valueCols).map(col): _*)
+  }
 }

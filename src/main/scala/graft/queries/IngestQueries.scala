@@ -66,6 +66,20 @@ object IngestQueries extends QueryGroup {
         .select(col("event_id"), col("user_id"), col("price").cast("double").as("price"))
     }),
 
+    // J4 via the native Catalyst node (AsOfJoinPlan → AsOfJoinExec): same
+    // semantics, planned as a co-partitioned sort-merge instead of the
+    // union+window rewrite. Same oracle as q_asof_price.
+    "q_asof_native" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val build = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("price_ts"),
+          round(col("value"), 2).cast("decimal(18,2)").as("price"))
+      AsOfJoin.joinNative(probes, build, Seq("user_id"), "ts", "price_ts", Seq("price"))
+        .select(col("event_id"), col("user_id"), col("price").cast("double").as("price"))
+    }),
+
     // S13: name-change sync — embed scan → arrow parse → exclusive-cursor
     // resume with a STALE watermark (overlap re-read), idempotent append.
     // Output = the rows the batch would actually insert.
@@ -149,6 +163,23 @@ object IngestQueries extends QueryGroup {
       """SELECT event_id AS raw_log_id, user_id FROM events
         |WHERE event_type = 'error' AND event_id % 2 <> 0""".stripMargin,
     "q_asof_price" ->
+      """WITH probes AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |build AS (
+        |  SELECT user_id, ts AS price_ts, CAST(round(value, 2) AS DECIMAL(18,2)) AS price
+        |  FROM events WHERE event_type = 'view'),
+        |backward AS (
+        |  SELECT probes.event_id, probes.user_id, build.price
+        |  FROM probes ASOF LEFT JOIN build
+        |    ON probes.user_id = build.user_id AND probes.ts >= build.price_ts),
+        |forward AS (
+        |  SELECT probes.event_id, build.price
+        |  FROM probes ASOF LEFT JOIN build
+        |    ON probes.user_id = build.user_id AND probes.ts < build.price_ts)
+        |SELECT b.event_id, b.user_id, CAST(COALESCE(b.price, f.price) AS DOUBLE) AS price
+        |FROM backward b JOIN forward f ON b.event_id = f.event_id""".stripMargin,
+    // Identical oracle: the native plan must agree with the window form.
+    "q_asof_native" ->
       """WITH probes AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         |build AS (

@@ -11,4 +11,17 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Wrap a (resolved) logical plan as a DataFrame — `classic.Dataset.ofRows`
+    * is private[sql]; custom logical nodes (graft.plans.*) need it to enter
+    * the Dataset API.
+    */
+  def ofRows(spark: SparkSession, plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Analyzed logical plan of a DataFrame (attribute-resolved, pre-optimizer),
+    * the form custom plan constructors compose over.
+    */
+  def analyzed(df: DataFrame): catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
 }

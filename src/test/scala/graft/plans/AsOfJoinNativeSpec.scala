@@ -1,0 +1,92 @@
+package graft.plans
+
+import graft.SparkTestBase
+import graft.ops.AsOfJoin
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native Catalyst as-of join (AsOfJoinPlan → AsOfJoinStrategy →
+  * AsOfJoinExec) must agree with the library union+window form on non-null
+  * values, and its physical plan must be the co-partitioned sort-merge
+  * shape: one exchange + one sort per side, no union, no window.
+  */
+class AsOfJoinNativeSpec extends AnyFunSuite with SparkTestBase {
+
+  private def randomCase(seed: Int) = {
+    val rng = new scala.util.Random(seed)
+    val keys = Array("a", "b", "c")
+    val buildRaw = Seq.fill(rng.nextInt(41))(
+      (keys(rng.nextInt(3)), rng.nextInt(51), rng.nextLong().abs % 999 + 1))
+    // (key, t) deduped: equal-instant winners are undefined in both forms.
+    val build = buildRaw.groupBy(b => (b._1, b._2)).map(_._2.head).toSeq
+    val probes = Seq.fill(rng.nextInt(40) + 1)(
+      (if (rng.nextInt(4) == 3) "d" else keys(rng.nextInt(3)), rng.nextInt(51)))
+    (probes, build)
+  }
+
+  test("bit-identical to the union+window form on random series, all strategies") {
+    import spark.implicits._
+    (1 to 8).foreach { round =>
+      val (probes, build) = randomCase(round * 31 + 7)
+      val probeDf = probes.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("pid", "key", "t")
+      val buildDf = build.toDF("key", "bt", "value")
+      Seq("backward", "forward", "backward_then_forward").foreach { strat =>
+        val want = AsOfJoin.join(probeDf, buildDf, Seq("key"), "t", "bt",
+          Seq("value"), strat).collect().map(_.toSeq).toSet
+        val got = AsOfJoin.joinNative(probeDf, buildDf, Seq("key"), "t", "bt",
+          Seq("value"), strat).collect().map(_.toSeq).toSet
+        assert(got == want, s"round $round strategy $strat")
+      }
+    }
+  }
+
+  test("self-join (probe and build from the same source) resolves cleanly") {
+    import spark.implicits._
+    val events = Seq(
+      ("u1", 1, "view", 10L), ("u1", 3, "purchase", 0L),
+      ("u1", 5, "view", 20L), ("u2", 2, "purchase", 0L))
+      .toDF("user", "t", "kind", "price")
+    val probes = events.filter(col("kind") === "purchase").select("user", "t")
+    val build = events.filter(col("kind") === "view")
+      .select(col("user"), col("t").as("pt"), col("price"))
+    val got = AsOfJoin.joinNative(probes, build, Seq("user"), "t", "pt", Seq("price"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.get(2))).toSet
+    assert(got == Set(("u1", 3, 10L), ("u2", 2, null)))
+  }
+
+  test("physical plan is AsOfJoinExec with one exchange and one sort per side") {
+    import spark.implicits._
+    val probeDf = Seq((1L, "a", 5)).toDF("pid", "key", "t")
+    val buildDf = Seq(("a", 3, 9L)).toDF("key", "bt", "value")
+    val df = AsOfJoin.joinNative(probeDf, buildDf, Seq("key"), "t", "bt", Seq("value"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin ["), plan) // AsOfJoinExec prints as "AsOfJoin"
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    val sorts = plan.linesIterator.count(_.contains("Sort ["))
+    assert(exchanges == 2, s"want 2 exchanges:\n$plan")
+    assert(sorts == 2, s"want 2 sorts:\n$plan")
+    assert(!plan.contains("Window"), s"no window stage expected:\n$plan")
+    assert(!plan.contains("Union"), s"no union expected:\n$plan")
+  }
+
+  test("null keys group together, null times sort first (window-form parity)") {
+    import spark.implicits._
+    val probeDf = Seq(
+      (1L, Option.empty[String], Option(5)),
+      (2L, Option("a"), Option.empty[Int]))
+      .toDF("pid", "key", "t")
+    val buildDf = Seq(
+      (Option.empty[String], Option(3), 7L),
+      (Option("a"), Option(1), 11L))
+      .toDF("key", "bt", "value")
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => r.getLong(0) -> r.get(3)).toMap
+    val want = run(AsOfJoin.join(probeDf, buildDf, Seq("key"), "t", "bt", Seq("value")))
+    val got = run(AsOfJoin.joinNative(probeDf, buildDf, Seq("key"), "t", "bt", Seq("value")))
+    assert(got == want)
+    // Null key probe matched the null-key build row; null-time probe falls
+    // forward to the key's build row.
+    assert(got(1L) == 7L && got(2L) == 11L)
+  }
+}
