@@ -49,6 +49,52 @@ object EventQueries extends QueryGroup {
       if (types.isEmpty) inWindow else inWindow && tpe.isin(types.map(lit): _*)
     }.reduce(_ || _)
 
+  /** A5/A6/J8/P22 composite: the REAL personal-bests generator — the
+    * "0:00" → ∞ historical sentinel, similarity-threshold record groups,
+    * grouping-window achievers vs later holders, historical holder lists,
+    * manual vs derived dates, a global blacklist scrub, and the
+    * missing-task backfill. `singlePass` swaps step 4 between the window
+    * formulation and the PbRecordAgg typed partial aggregate.
+    */
+  private def pbReport(s: SparkSession, dir: String, singlePass: Boolean): DataFrame = {
+    import graft.reports._
+    val cents = (round(col("value") * 100, 0).cast("long") + 100L)
+    val bc = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("raw_log_id"),
+        col("ts").as("Timestamp"),
+        lit("Personal Best").as("Broadcast_Type"),
+        format_string("user_%d", col("user_id")).as("Username"),
+        // Mixed casing (decoupled from the task number) exercises the
+        // case-insensitive canonicalization: config spelling wins where
+        // a historical record exists, first-seen spelling elsewhere.
+        when(pmod(expr("event_id div 10"), lit(2)) === 0,
+          format_string("Task_%d", pmod(col("event_id"), lit(10))))
+          .otherwise(format_string("task_%d", pmod(col("event_id"), lit(10))))
+          .as("Task_Name"),
+        format_string("%d:%02d.%02d",
+          (cents / 6000L).cast("long"),
+          (pmod(cents, lit(6000L)) / 100L).cast("long"),
+          pmod(cents, lit(100L))).as("PB_Time"))
+    val hist = PbHistoricalData(
+      records = Seq(
+        HistoricalPbRecord("G1", "Task_1", "0:00", Seq("Alice", "Bob"), None),
+        HistoricalPbRecord("G1", "Task_99", "1:30.00", Seq("Carol"), Some("2023-05-01")),
+        HistoricalPbRecord("G2", "Task_2", "0:01.00", Seq("Dave"), None),
+        HistoricalPbRecord("G2", "Task_77", "2:00.00", Seq("Eve"), Some("2023-06-01"))),
+      blacklist = Seq(PbBlacklistRule("Eve", None, None)),
+      otherGroupName = "Misc PBs")
+    val pbDef = PersonalBestsDef(
+      similarityThresholdSeconds = 0.6,
+      groupingWindowSeconds = 3600,
+      allowMultipleHolders = true)
+    PersonalBests.generate(bc, pbDef, hist, singlePass)
+      .select(col("Task").as("task"), col("Holder").as("holder"),
+        col("Time").as("pb_time"), col("Date").as("pb_date"),
+        col("Group").as("grp"))
+  }
+
   val queries: Map[String, Q] = Map(
     // A1+A2: leaderboard with per-period pivot columns, single shuffle.
     "q_period_pivot" -> ((s, dir) => {
@@ -218,44 +264,11 @@ object EventQueries extends QueryGroup {
     // groups, grouping-window achievers vs later holders, historical
     // holder lists via min_by, manual vs derived dates, a global
     // blacklist scrub, and the missing-task backfill.
-    "q_pb_report" -> ((s, dir) => {
-      import graft.reports._
-      val cents = (round(col("value") * 100, 0).cast("long") + 100L)
-      val bc = Tables.events(s, dir)
-        .filter(col("event_type") === "purchase")
-        .select(
-          col("event_id").as("raw_log_id"),
-          col("ts").as("Timestamp"),
-          lit("Personal Best").as("Broadcast_Type"),
-          format_string("user_%d", col("user_id")).as("Username"),
-          // Mixed casing (decoupled from the task number) exercises the
-          // case-insensitive canonicalization: config spelling wins where
-          // a historical record exists, first-seen spelling elsewhere.
-          when(pmod(expr("event_id div 10"), lit(2)) === 0,
-            format_string("Task_%d", pmod(col("event_id"), lit(10))))
-            .otherwise(format_string("task_%d", pmod(col("event_id"), lit(10))))
-            .as("Task_Name"),
-          format_string("%d:%02d.%02d",
-            (cents / 6000L).cast("long"),
-            (pmod(cents, lit(6000L)) / 100L).cast("long"),
-            pmod(cents, lit(100L))).as("PB_Time"))
-      val hist = PbHistoricalData(
-        records = Seq(
-          HistoricalPbRecord("G1", "Task_1", "0:00", Seq("Alice", "Bob"), None),
-          HistoricalPbRecord("G1", "Task_99", "1:30.00", Seq("Carol"), Some("2023-05-01")),
-          HistoricalPbRecord("G2", "Task_2", "0:01.00", Seq("Dave"), None),
-          HistoricalPbRecord("G2", "Task_77", "2:00.00", Seq("Eve"), Some("2023-06-01"))),
-        blacklist = Seq(PbBlacklistRule("Eve", None, None)),
-        otherGroupName = "Misc PBs")
-      val pbDef = PersonalBestsDef(
-        similarityThresholdSeconds = 0.6,
-        groupingWindowSeconds = 3600,
-        allowMultipleHolders = true)
-      PersonalBests.generate(bc, pbDef, hist)
-        .select(col("Task").as("task"), col("Holder").as("holder"),
-          col("Time").as("pb_time"), col("Date").as("pb_date"),
-          col("Group").as("grp"))
-    }),
+    "q_pb_report" -> (pbReport(_, _, singlePass = false)),
+
+    // Same report through the single-pass PbRecordAgg (typed partial
+    // aggregate, no per-task sort) — same DuckDB oracle must hash-match.
+    "q_pb_singlepass" -> (pbReport(_, _, singlePass = true)),
 
     // W2/W3/W4 composite: the REAL recent-achievements generator —
     // derived categories (Maxed Skill 99 / Maxed Combat) unioned in, then
@@ -351,6 +364,99 @@ object EventQueries extends QueryGroup {
     s"""  count(*) FILTER (WHERE ts >= TIMESTAMP '$st' AND ts < TIMESTAMP '$en') AS count_$name,
        |  CAST(CAST(COALESCE(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE ts >= TIMESTAMP '$st' AND ts < TIMESTAMP '$en'), 0) AS DECIMAL(18,2)) AS DOUBLE) AS value_$name""".stripMargin
   }.mkString(",\n")
+
+  /** Shared DuckDB oracle for q_pb_report and q_pb_singlepass. */
+  private val pbOracle: String =
+    """WITH db AS (
+        |  SELECT event_id AS raw_log_id, ts, 'user_' || user_id AS username,
+        |    CASE WHEN (event_id // 10) % 2 = 0 THEN 'Task_' || (event_id % 10)
+        |         ELSE 'task_' || (event_id % 10) END AS task,
+        |    printf('%d:%02d.%02d', c // 6000, (c % 6000) // 100, c % 100) AS pb_time,
+        |    FALSE AS is_hist, CAST(NULL AS BIGINT) AS cfg,
+        |    CAST(NULL AS VARCHAR) AS mdate, CAST(NULL AS VARCHAR[]) AS all_holders
+        |  FROM (SELECT *, CAST(round(value * 100, 0) AS BIGINT) + 100 AS c
+        |        FROM events WHERE event_type = 'purchase')),
+        |hist(task, pb_time, username, all_holders, mdate, cfg) AS (VALUES
+        |  ('Task_1', '0:00', 'Alice', ['Alice','Bob'], NULL, 0),
+        |  ('Task_99', '1:30.00', 'Carol', ['Carol'], '2023-05-01', 1),
+        |  ('Task_2', '0:01.00', 'Dave', ['Dave'], NULL, 2),
+        |  ('Task_77', '2:00.00', 'Eve', ['Eve'], '2023-06-01', 3)),
+        |histu AS (
+        |  SELECT CAST(NULL AS BIGINT) AS raw_log_id,
+        |    COALESCE(CAST(mdate AS TIMESTAMP), TIMESTAMP '0001-01-01') AS ts,
+        |    username, task, pb_time, TRUE AS is_hist, CAST(cfg AS BIGINT) AS cfg,
+        |    mdate, all_holders
+        |  FROM hist),
+        |allr AS (
+        |  SELECT raw_log_id, ts, username, task, pb_time, is_hist, cfg, mdate, all_holders FROM db
+        |  UNION ALL
+        |  SELECT raw_log_id, ts, username, task, pb_time, is_hist, cfg, mdate, all_holders FROM histu),
+        |canon AS (
+        |  SELECT lower_t, canon_t FROM (
+        |    SELECT lower(task) AS lower_t, task AS canon_t,
+        |      row_number() OVER (PARTITION BY lower(task)
+        |        ORDER BY CASE WHEN is_hist THEN 0 ELSE 1 END,
+        |                 CASE WHEN is_hist THEN -cfg ELSE 0 END,
+        |                 ts, raw_log_id ASC NULLS LAST) AS rn
+        |    FROM allr WHERE task IS NOT NULL) WHERE rn = 1),
+        |canonical AS (
+        |  SELECT a.raw_log_id, a.ts, a.username,
+        |    COALESCE(c.canon_t, a.task) AS task,
+        |    a.pb_time, a.is_hist, a.cfg, a.mdate, a.all_holders
+        |  FROM allr a LEFT JOIN canon c ON lower(a.task) = c.lower_t),
+        |scrub AS (
+        |  SELECT raw_log_id, ts, username, task, pb_time, is_hist, cfg, mdate,
+        |    CASE WHEN all_holders IS NOT NULL
+        |      THEN list_filter(all_holders, h -> h <> 'Eve') ELSE all_holders END AS all_holders
+        |  FROM canonical WHERE username <> 'Eve'),
+        |sec AS (
+        |  SELECT *, CASE WHEN is_hist AND pb_time = '0:00' THEN CAST('infinity' AS DOUBLE)
+        |    ELSE CAST(string_split(pb_time, ':')[1] AS BIGINT) * 60
+        |      + CAST(string_split(pb_time, ':')[2] AS DOUBLE) END AS s
+        |  FROM scrub WHERE task IS NOT NULL),
+        |m AS (SELECT *, min(s) OVER (PARTITION BY task) AS ms FROM sec),
+        |kept AS (SELECT * FROM m
+        |  WHERE ms = CAST('infinity' AS DOUBLE) OR abs(s - ms) <= 0.6),
+        |rn AS (
+        |  SELECT *, row_number() OVER (PARTITION BY task
+        |      ORDER BY ts, is_hist DESC, cfg ASC NULLS LAST, raw_log_id ASC NULLS LAST) AS r,
+        |    min(ts) OVER (PARTITION BY task) AS first_ts
+        |  FROM kept),
+        |ach AS (
+        |  SELECT *, ts <= first_ts + INTERVAL 3600 SECONDS AS achiever,
+        |    CASE WHEN NOT is_hist THEN strftime(ts, '%Y-%m-%d')
+        |         WHEN mdate IS NOT NULL AND mdate <> '' THEN mdate END AS date_str
+        |  FROM rn),
+        |red AS (
+        |  SELECT task,
+        |    max(CASE WHEN r = 1 THEN pb_time END) AS time,
+        |    max(CASE WHEN r = 1 THEN date_str END) AS dt,
+        |    min_by(all_holders, r) FILTER (WHERE is_hist AND achiever) AS hist_holders,
+        |    list(username) FILTER (WHERE NOT is_hist AND achiever) AS db_holders,
+        |    list(username) FILTER (WHERE NOT achiever) AS later_holders
+        |  FROM ach GROUP BY task),
+        |sel AS (
+        |  SELECT task, time, dt,
+        |    array_to_string(list_sort(list_distinct(list_filter(
+        |      list_concat(list_concat(
+        |        COALESCE(hist_holders, []), COALESCE(db_holders, [])),
+        |        COALESCE(later_holders, [])),
+        |      h -> h IS NOT NULL AND h <> ''))), ', ') AS holder
+        |  FROM red),
+        |grpmap(task, g) AS (VALUES ('Task_1', 'G1'), ('Task_99', 'G1'),
+        |  ('Task_2', 'G2'), ('Task_77', 'G2')),
+        |summary AS (
+        |  SELECT s.task, s.holder, s.time, s.dt, COALESCE(gm.g, 'Misc PBs') AS grp
+        |  FROM sel s LEFT JOIN grpmap gm ON s.task = gm.task),
+        |missing AS (
+        |  SELECT h.task, '' AS holder, '0:00' AS time,
+        |    CAST(NULL AS VARCHAR) AS dt, COALESCE(gm.g, 'Misc PBs') AS grp
+        |  FROM (SELECT DISTINCT task FROM hist) h
+        |  LEFT JOIN grpmap gm ON h.task = gm.task
+        |  WHERE h.task NOT IN (SELECT task FROM summary))
+        |SELECT task, holder, time AS pb_time, dt AS pb_date, grp FROM summary
+        |UNION ALL
+        |SELECT task, holder, time AS pb_time, dt AS pb_date, grp FROM missing""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_period_pivot" ->
@@ -503,97 +609,9 @@ object EventQueries extends QueryGroup {
     // ordering (ts, hist-first, config order, raw id), grouping-window
     // achievers vs later holders, min_by historical holder list, and the
     // missing-task backfill for tasks the blacklist emptied.
-    "q_pb_report" ->
-      """WITH db AS (
-        |  SELECT event_id AS raw_log_id, ts, 'user_' || user_id AS username,
-        |    CASE WHEN (event_id // 10) % 2 = 0 THEN 'Task_' || (event_id % 10)
-        |         ELSE 'task_' || (event_id % 10) END AS task,
-        |    printf('%d:%02d.%02d', c // 6000, (c % 6000) // 100, c % 100) AS pb_time,
-        |    FALSE AS is_hist, CAST(NULL AS BIGINT) AS cfg,
-        |    CAST(NULL AS VARCHAR) AS mdate, CAST(NULL AS VARCHAR[]) AS all_holders
-        |  FROM (SELECT *, CAST(round(value * 100, 0) AS BIGINT) + 100 AS c
-        |        FROM events WHERE event_type = 'purchase')),
-        |hist(task, pb_time, username, all_holders, mdate, cfg) AS (VALUES
-        |  ('Task_1', '0:00', 'Alice', ['Alice','Bob'], NULL, 0),
-        |  ('Task_99', '1:30.00', 'Carol', ['Carol'], '2023-05-01', 1),
-        |  ('Task_2', '0:01.00', 'Dave', ['Dave'], NULL, 2),
-        |  ('Task_77', '2:00.00', 'Eve', ['Eve'], '2023-06-01', 3)),
-        |histu AS (
-        |  SELECT CAST(NULL AS BIGINT) AS raw_log_id,
-        |    COALESCE(CAST(mdate AS TIMESTAMP), TIMESTAMP '0001-01-01') AS ts,
-        |    username, task, pb_time, TRUE AS is_hist, CAST(cfg AS BIGINT) AS cfg,
-        |    mdate, all_holders
-        |  FROM hist),
-        |allr AS (
-        |  SELECT raw_log_id, ts, username, task, pb_time, is_hist, cfg, mdate, all_holders FROM db
-        |  UNION ALL
-        |  SELECT raw_log_id, ts, username, task, pb_time, is_hist, cfg, mdate, all_holders FROM histu),
-        |canon AS (
-        |  SELECT lower_t, canon_t FROM (
-        |    SELECT lower(task) AS lower_t, task AS canon_t,
-        |      row_number() OVER (PARTITION BY lower(task)
-        |        ORDER BY CASE WHEN is_hist THEN 0 ELSE 1 END,
-        |                 CASE WHEN is_hist THEN -cfg ELSE 0 END,
-        |                 ts, raw_log_id ASC NULLS LAST) AS rn
-        |    FROM allr WHERE task IS NOT NULL) WHERE rn = 1),
-        |canonical AS (
-        |  SELECT a.raw_log_id, a.ts, a.username,
-        |    COALESCE(c.canon_t, a.task) AS task,
-        |    a.pb_time, a.is_hist, a.cfg, a.mdate, a.all_holders
-        |  FROM allr a LEFT JOIN canon c ON lower(a.task) = c.lower_t),
-        |scrub AS (
-        |  SELECT raw_log_id, ts, username, task, pb_time, is_hist, cfg, mdate,
-        |    CASE WHEN all_holders IS NOT NULL
-        |      THEN list_filter(all_holders, h -> h <> 'Eve') ELSE all_holders END AS all_holders
-        |  FROM canonical WHERE username <> 'Eve'),
-        |sec AS (
-        |  SELECT *, CASE WHEN is_hist AND pb_time = '0:00' THEN CAST('infinity' AS DOUBLE)
-        |    ELSE CAST(string_split(pb_time, ':')[1] AS BIGINT) * 60
-        |      + CAST(string_split(pb_time, ':')[2] AS DOUBLE) END AS s
-        |  FROM scrub WHERE task IS NOT NULL),
-        |m AS (SELECT *, min(s) OVER (PARTITION BY task) AS ms FROM sec),
-        |kept AS (SELECT * FROM m
-        |  WHERE ms = CAST('infinity' AS DOUBLE) OR abs(s - ms) <= 0.6),
-        |rn AS (
-        |  SELECT *, row_number() OVER (PARTITION BY task
-        |      ORDER BY ts, is_hist DESC, cfg ASC NULLS LAST, raw_log_id ASC NULLS LAST) AS r,
-        |    min(ts) OVER (PARTITION BY task) AS first_ts
-        |  FROM kept),
-        |ach AS (
-        |  SELECT *, ts <= first_ts + INTERVAL 3600 SECONDS AS achiever,
-        |    CASE WHEN NOT is_hist THEN strftime(ts, '%Y-%m-%d')
-        |         WHEN mdate IS NOT NULL AND mdate <> '' THEN mdate END AS date_str
-        |  FROM rn),
-        |red AS (
-        |  SELECT task,
-        |    max(CASE WHEN r = 1 THEN pb_time END) AS time,
-        |    max(CASE WHEN r = 1 THEN date_str END) AS dt,
-        |    min_by(all_holders, r) FILTER (WHERE is_hist AND achiever) AS hist_holders,
-        |    list(username) FILTER (WHERE NOT is_hist AND achiever) AS db_holders,
-        |    list(username) FILTER (WHERE NOT achiever) AS later_holders
-        |  FROM ach GROUP BY task),
-        |sel AS (
-        |  SELECT task, time, dt,
-        |    array_to_string(list_sort(list_distinct(list_filter(
-        |      list_concat(list_concat(
-        |        COALESCE(hist_holders, []), COALESCE(db_holders, [])),
-        |        COALESCE(later_holders, [])),
-        |      h -> h IS NOT NULL AND h <> ''))), ', ') AS holder
-        |  FROM red),
-        |grpmap(task, g) AS (VALUES ('Task_1', 'G1'), ('Task_99', 'G1'),
-        |  ('Task_2', 'G2'), ('Task_77', 'G2')),
-        |summary AS (
-        |  SELECT s.task, s.holder, s.time, s.dt, COALESCE(gm.g, 'Misc PBs') AS grp
-        |  FROM sel s LEFT JOIN grpmap gm ON s.task = gm.task),
-        |missing AS (
-        |  SELECT h.task, '' AS holder, '0:00' AS time,
-        |    CAST(NULL AS VARCHAR) AS dt, COALESCE(gm.g, 'Misc PBs') AS grp
-        |  FROM (SELECT DISTINCT task FROM hist) h
-        |  LEFT JOIN grpmap gm ON h.task = gm.task
-        |  WHERE h.task NOT IN (SELECT task FROM summary))
-        |SELECT task, holder, time AS pb_time, dt AS pb_date, grp FROM summary
-        |UNION ALL
-        |SELECT task, holder, time AS pb_time, dt AS pb_date, grp FROM missing""".stripMargin,
+    "q_pb_report" -> pbOracle,
+    // Identical oracle: the single-pass aggregate must agree bit-for-bit.
+    "q_pb_singlepass" -> pbOracle,
     // Mirrors Reports.recentAchievements: New_Level coalesced to 0,
     // 99-non-Combat → Maxed Skill (99), 126+Combat → Maxed Combat,
     // row_number per type ordered (ts DESC, raw_log_id ASC), limit 15.

@@ -29,10 +29,18 @@ object PersonalBests {
 
   private val MinTs = java.sql.Timestamp.valueOf("0001-01-01 00:00:00")
 
+  /** @param singlePass step 4 via [[graft.expr.PbRecordAgg]] (one typed
+    *   partial aggregate: map-side combine, no per-task sort, shuffle
+    *   carries only threshold-band candidates) instead of the window
+    *   formulation (whole-group shuffle + in-partition sort). Same result —
+    *   PersonalBestsSpec asserts bit-identity and q_pb_singlepass runs the
+    *   same DuckDB oracle as q_pb_report.
+    */
   def generate(
       broadcasts: DataFrame,
       pbDef: PersonalBestsDef,
-      hist: PbHistoricalData): DataFrame = {
+      hist: PbHistoricalData,
+      singlePass: Boolean = false): DataFrame = {
     val spark = broadcasts.sparkSession
     import spark.implicits._
 
@@ -121,40 +129,61 @@ object PersonalBests {
       .filter(col("Task_Name").isNotNull)
       .withColumn("__sec", seconds)
 
-    val byTask = Window.partitionBy(col("Task_Name"))
-    val ord = byTask.orderBy(col("Timestamp").asc, col("is_historical").desc,
-      col("config_idx").asc_nulls_last, col("raw_log_id").asc_nulls_last)
-
-    val kept = withSec
-      .withColumn("__min_sec", min(col("__sec")).over(byTask))
-      .filter(col("__min_sec") === Double.PositiveInfinity ||
-        abs(col("__sec") - col("__min_sec")) <= pbDef.similarityThresholdSeconds)
-      .withColumn("__rn", row_number().over(ord))
-      .withColumn("__first_ts", min(col("Timestamp")).over(byTask))
-      .withColumn("__cutoff",
-        col("__first_ts") + expr(s"INTERVAL ${pbDef.groupingWindowSeconds} SECONDS"))
-      .withColumn("__achiever", col("Timestamp") <= col("__cutoff"))
-
     val dateStr = when(!col("is_historical"),
       date_format(col("Timestamp"), "yyyy-MM-dd"))
       .otherwise(when(col("manual_date").isNotNull && col("manual_date") =!= "",
         col("manual_date")))
 
-    val later = collect_list(
-      when(!col("__achiever") && lit(pbDef.allowMultipleHolders), col("Username")))
+    val reduced = if (singlePass) {
+      import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+      val agg = graft.expr.PbRecordAgg(
+        expression(col("__sec")), expression(col("Timestamp")),
+        expression(col("is_historical")), expression(col("config_idx")),
+        expression(col("raw_log_id")), expression(col("PB_Time")),
+        expression(dateStr), expression(col("Username")),
+        expression(col("All_Holders")),
+        pbDef.similarityThresholdSeconds, pbDef.groupingWindowSeconds,
+        pbDef.allowMultipleHolders)
+      withSec
+        .groupBy(col("Task_Name").as("Task"))
+        .agg(column(agg.toAggregateExpression()).as("__r"))
+        .filter(col("__r").isNotNull) // no parseable time at all: window form drops these rows
+        .select(col("Task"),
+          col("__r.time").as("Time"), col("__r.date").as("Date"),
+          col("__r.hist_holders").as("__hist_holders"),
+          col("__r.db_holders").as("__db_holders"),
+          col("__r.later_holders").as("__later_holders"))
+    } else {
+      val byTask = Window.partitionBy(col("Task_Name"))
+      val ord = byTask.orderBy(col("Timestamp").asc, col("is_historical").desc,
+        col("config_idx").asc_nulls_last, col("raw_log_id").asc_nulls_last)
 
-    val reduced = kept
-      .withColumn("__date_str", dateStr)
-      .groupBy(col("Task_Name").as("Task"))
-      .agg(
-        max(when(col("__rn") === 1, col("PB_Time"))).as("Time"),
-        max(when(col("__rn") === 1, col("__date_str"))).as("Date"),
-        min_by(
-          when(col("is_historical") && col("__achiever"), col("All_Holders")),
-          when(col("is_historical") && col("__achiever"), col("__rn"))).as("__hist_holders"),
-        collect_list(when(!col("is_historical") && col("__achiever"), col("Username")))
-          .as("__db_holders"),
-        later.as("__later_holders"))
+      val kept = withSec
+        .withColumn("__min_sec", min(col("__sec")).over(byTask))
+        .filter(col("__min_sec") === Double.PositiveInfinity ||
+          abs(col("__sec") - col("__min_sec")) <= pbDef.similarityThresholdSeconds)
+        .withColumn("__rn", row_number().over(ord))
+        .withColumn("__first_ts", min(col("Timestamp")).over(byTask))
+        .withColumn("__cutoff",
+          col("__first_ts") + expr(s"INTERVAL ${pbDef.groupingWindowSeconds} SECONDS"))
+        .withColumn("__achiever", col("Timestamp") <= col("__cutoff"))
+
+      val later = collect_list(
+        when(!col("__achiever") && lit(pbDef.allowMultipleHolders), col("Username")))
+
+      kept
+        .withColumn("__date_str", dateStr)
+        .groupBy(col("Task_Name").as("Task"))
+        .agg(
+          max(when(col("__rn") === 1, col("PB_Time"))).as("Time"),
+          max(when(col("__rn") === 1, col("__date_str"))).as("Date"),
+          min_by(
+            when(col("is_historical") && col("__achiever"), col("All_Holders")),
+            when(col("is_historical") && col("__achiever"), col("__rn"))).as("__hist_holders"),
+          collect_list(when(!col("is_historical") && col("__achiever"), col("Username")))
+            .as("__db_holders"),
+          later.as("__later_holders"))
+    }
 
     val holders = array_join(
       array_sort(array_distinct(filter(
