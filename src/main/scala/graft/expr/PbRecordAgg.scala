@@ -239,9 +239,21 @@ object PbRecordAgg {
     val has = in.readBoolean(); val v = in.readLong()
     if (has) Some(v) else None
   }
+  // Length-prefixed UTF-8, not writeUTF: writeUTF throws
+  // UTFDataFormatException past 64 KB of encoded bytes, which would kill the
+  // aggregation at shuffle time on pathological usernames/holder strings.
   private def writeStr(out: DataOutputStream, s: String): Unit =
     if (s == null) out.writeBoolean(false)
-    else { out.writeBoolean(true); out.writeUTF(s) }
+    else {
+      out.writeBoolean(true)
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(bytes.length); out.write(bytes)
+    }
   private def readStr(in: DataInputStream): String =
-    if (!in.readBoolean()) null else in.readUTF()
+    if (!in.readBoolean()) null
+    else {
+      val bytes = new Array[Byte](in.readInt())
+      in.readFully(bytes)
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    }
 }

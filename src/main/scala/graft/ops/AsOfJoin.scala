@@ -152,7 +152,10 @@ object AsOfJoin {
       valueCols.map(attr(rPlan.output, _, "build")),
       strategy)
     val joined = GraftColumnBridge.ofRows(spark, node)
-    // Contract parity with `join`: probe columns then value columns.
-    joined.select((probe.columns.toSeq ++ valueCols).map(col): _*)
+    // Contract parity with `join`: probe columns then value columns. Select
+    // by ATTRIBUTE (node.output is exactly probe attrs ++ value attrs) — a
+    // by-name select would throw an ambiguous-reference AnalysisException
+    // when a value column shares its name with a probe column.
+    joined.select(node.output.map(GraftColumnBridge.column): _*)
   }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   Attribute, BaseOrdering, Expression, GenericInternalRow, JoinedRow,
   RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.physical.{
-  ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+  AllTuples, ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
@@ -49,8 +49,12 @@ case class AsOfJoinExec(
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
 
+  // Keyless as-of (a single global time axis) must see BOTH sides whole:
+  // AllTuples collapses each side to one partition so the zipPartitions
+  // merge is total. Unspecified would zip unrelated partition pairs — wrong
+  // results when counts happen to match, a runtime throw when they don't.
   override def requiredChildDistribution: Seq[Distribution] =
-    if (leftKeys.isEmpty) UnspecifiedDistribution :: UnspecifiedDistribution :: Nil
+    if (leftKeys.isEmpty) AllTuples :: AllTuples :: Nil
     else ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(

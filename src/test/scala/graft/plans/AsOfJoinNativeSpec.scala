@@ -70,6 +70,31 @@ class AsOfJoinNativeSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Union"), s"no union expected:\n$plan")
   }
 
+  test("keyless as-of joins on the global time axis (AllTuples, not zip-by-luck)") {
+    import spark.implicits._
+    // Many input partitions per side with different counts: with the old
+    // UnspecifiedDistribution this either threw (unequal counts) or zipped
+    // unrelated partitions; AllTuples must collapse both sides first.
+    val probeDf = Seq.tabulate(20)(i => (i.toLong, i)).toDF("pid", "t").repartition(7)
+    val buildDf = Seq((2, 100L), (10, 200L), (15, 300L)).toDF("bt", "value").repartition(3)
+    val got = AsOfJoin.joinNative(probeDf, buildDf, Seq.empty, "t", "bt", Seq("value"))
+      .collect().map(r => r.getLong(0) -> r.get(2)).toMap
+    assert(got(0L) == 100L) // before first build row: forward fallback
+    assert(got(5L) == 100L && got(9L) == 100L)
+    assert(got(10L) == 200L && got(14L) == 200L)
+    assert(got(15L) == 300L && got(19L) == 300L)
+  }
+
+  test("value column sharing a probe column's name resolves by attribute") {
+    import spark.implicits._
+    val probeDf = Seq((1L, "a", 5, 999L)).toDF("pid", "key", "t", "value")
+    val buildDf = Seq(("a", 3, 42L)).toDF("key", "bt", "value")
+    val row = AsOfJoin.joinNative(probeDf, buildDf, Seq("key"), "t", "bt", Seq("value"))
+      .collect().head
+    assert(row.getLong(3) == 999L) // probe's own `value` first…
+    assert(row.getLong(4) == 42L)  // …then the build-side value column
+  }
+
   test("null keys group together, null times sort first (window-form parity)") {
     import spark.implicits._
     val probeDf = Seq(
