@@ -312,4 +312,94 @@ object Dedup {
       .filter(col("cos") > threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** Connected components over an undirected edge list — the clustering
+    * step of a near-dup pipeline: candidate PAIRS (from MinHash/SimHash/
+    * embedding blocking) become duplicate CLUSTERS, so "keep one doc per
+    * cluster" is a single keep-first over the component id.
+    *
+    * Algorithm: alternating large-star / small-star rounds (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * standard shuffle-based CC that converges in O(log² n) rounds and never
+    * materializes a component on one machine. Each half-round is expressed
+    * relationally (groupBy-min + equi-join), NOT via collect_list: no
+    * neighbor list is ever built, so a hot node costs a shuffle-partition
+    * aggregate, not an executor-memory array.
+    *
+    *   - large-star: every node's strictly-larger neighbors re-attach to
+    *     `m(u) = min(N(u) ∪ u)`;
+    *   - small-star: every node's smaller-or-equal neighbors (and the node)
+    *     attach to its minimum neighbor.
+    *
+    * Both emit edges as (child > parent), so the working set stays
+    * canonical. Convergence is detected by an edge-set checksum
+    * (count + sum of per-edge crc32 — overflow-safe under ANSI);
+    * `localCheckpoint` truncates lineage each round, which is what keeps an
+    * iterative DataFrame algorithm plannable at round 15 (a 2^15-operator
+    * lineage otherwise kills the optimizer long before the cluster is the
+    * bottleneck).
+    *
+    * Returns (id, component): one row per node that appears in `edges`,
+    * `component` = the smallest node id reachable from it. Nodes with no
+    * edges are simply absent (their component is themselves — union them in
+    * at the call site if needed).
+    */
+  def connectedComponents(
+      edges: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+
+    // (u > v) canonical working set.
+    var e = canon(
+      edges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+        .filter(col(aCol).isNotNull && col(bCol).isNotNull && col(aCol) =!= col(bCol)))
+      .localCheckpoint()
+
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(sum(crc32(concat_ws(",", col("u"), col("v")))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    def largeStar(cur: DataFrame): DataFrame = {
+      val sym = cur.unionAll(cur.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(min(col("v")).as("__mv"))
+        .select(col("u"), least(col("u"), col("__mv")).as("__m"))
+      // v > u ≥ m, so (v, m) is already canonical and never a self-loop.
+      sym.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("v").as("u"), col("__m").as("v"))
+        .distinct()
+    }
+
+    def smallStar(cur: DataFrame): DataFrame = {
+      // cur is canonical (u > v): N(u) here is exactly the ≤-neighborhood.
+      val mins = cur.groupBy("u").agg(min(col("v")).as("__m"))
+      val reattached = cur.join(mins, "u")
+        .filter(col("v") =!= col("__m"))
+        .select(col("v").as("u"), col("__m").as("v"))
+      val own = mins.select(col("u"), col("__m").as("v"))
+      canon(reattached.unionAll(own))
+    }
+
+    var prev = checksum(e)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val cur = checksum(e)
+      converged = cur == prev
+      prev = cur
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+
+    // Fixpoint is a star forest (child > root): children plus the roots.
+    e.select(col("u").as("id"), col("v").as("component"))
+      .unionAll(e.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
+  }
 }

@@ -48,6 +48,15 @@ object DedupQueries extends QueryGroup {
       Dedup.md5MinHashCandidates(Tables.documents(s, dir), "doc_id", "text",
         shingleSize = 3, numHashes = 16, bands = 8)
         .select(col("id_a"), col("id_b"), round(col("jaccard_est"), 4).as("jaccard_est"))
+    }),
+
+    // Candidate pairs → duplicate CLUSTERS: large-star/small-star connected
+    // components over the MinHash-LSH pair graph. The component id (the
+    // cluster's min doc_id) is what a keep-one-per-cluster dedup keys on.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.md5MinHashCandidates(Tables.documents(s, dir), "doc_id",
+        "text", shingleSize = 3, numHashes = 16, bands = 8)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
     }))
 
   private val toksSql =
@@ -142,5 +151,48 @@ object DedupQueries extends QueryGroup {
          |  WHERE a.doc_id < b2.doc_id)
          |SELECT id_a, id_b,
          |  round(len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0, 4) AS jaccard_est
-         |FROM pairs""".stripMargin)
+         |FROM pairs""".stripMargin,
+    // Min-reachable-label via recursive CTE over the same MinHash pair
+    // graph — the oracle for the large-star/small-star component ids.
+    "q_dedup_clusters" -> {
+      val pairsSql = // the q_dedup_minhash_lsh body, embedded as a CTE
+        s"""WITH sh AS (
+           |  SELECT doc_id, $shinglesSql AS s FROM documents),
+           |hx AS (
+           |  SELECT doc_id, list_transform(s, x -> md5(x)) AS hexes
+           |  FROM sh WHERE len(s) > 0),
+           |hs AS (
+           |  SELECT doc_id,
+           |    list_transform(hexes, h ->
+           |      CAST(('0x' || substr(h, 1, 15)) AS BIGINT)
+           |        % 288230376151711744) AS h1,
+           |    list_transform(hexes, h ->
+           |      CAST(('0x' || substr(h, 16, 15)) AS BIGINT)
+           |        % 288230376151711744) AS h2
+           |  FROM hx),
+           |sig AS (
+           |  SELECT doc_id,
+           |    list_transform(range(0, 16),
+           |      s -> list_min(list_transform(range(1, len(h1) + 1),
+           |        i -> h1[i] + s * h2[i]))) AS sig
+           |  FROM hs),
+           |banded AS (
+           |  SELECT doc_id, sig, b,
+           |    array_to_string(list_transform(list_slice(sig, b * 2 + 1, b * 2 + 2),
+           |      v -> CAST(v AS VARCHAR)), ',') AS bucket
+           |  FROM sig, range(0, 8) t(b))
+           |SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+           |FROM banded a JOIN banded b2 ON a.b = b2.b AND a.bucket = b2.bucket
+           |WHERE a.doc_id < b2.doc_id""".stripMargin
+      s"""WITH RECURSIVE mh AS ($pairsSql),
+         |sym AS (
+         |  SELECT id_a AS u, id_b AS v FROM mh
+         |  UNION SELECT id_b, id_a FROM mh),
+         |walk(id, comp) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM sym) n
+         |  UNION
+         |  SELECT s.v, w.comp FROM walk w JOIN sym s ON s.u = w.id)
+         |SELECT id, CAST(min(comp) AS BIGINT) AS component
+         |FROM walk GROUP BY id""".stripMargin
+    })
 }

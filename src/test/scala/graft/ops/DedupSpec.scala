@@ -77,4 +77,47 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(survivors == Set(2L, 9L))
   }
+
+  test("connectedComponents matches union-find on random graphs") {
+    import spark.implicits._
+    (1 to 5).foreach { round =>
+      val rng = new scala.util.Random(round * 101 + 3)
+      val n = 40 + rng.nextInt(60)
+      val edges = Seq.fill(n)((rng.nextInt(50).toLong, rng.nextInt(50).toLong))
+        .filter { case (a, b) => a != b }
+
+      // Driver-side union-find ground truth (min-id representative).
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val want = parent.keys.map(k => k -> find(k)).toMap
+
+      val got = Dedup.connectedComponents(
+        edges.toDF("a", "b").repartition(4), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"round $round: $edges")
+    }
+  }
+
+  test("connectedComponents handles a long path graph (worst case for rounds)") {
+    import spark.implicits._
+    // Path 0-1-2-…-199: diameter 199 forces many label hops — the
+    // large-star/small-star pair must still converge in O(log²) rounds.
+    val edges = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 200 && got.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents on an empty edge set returns no rows") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.connectedComponents(empty, "a", "b").count() == 0)
+  }
 }
