@@ -351,6 +351,21 @@ object EventQueries extends QueryGroup {
         .agg(count(lit(1)).as("n_sessions"),
           max(col("n_events")).as("max_session_events"),
           dbl(max(col("sum_value"))).as("max_session_value"))
+    }),
+
+    // SCD-2 dimension build: collapse each user's event_type change log
+    // into validity intervals (see graft.ops.Scd2). The J5 temporal-remap
+    // shape generalized — this is how entity metadata gets versioned so
+    // facts can as-of join against it.
+    "q_scd2" -> ((s, dir) => {
+      graft.ops.Scd2.fromChangeLog(
+        Tables.events(s, dir).select("user_id", "event_type", "ts", "event_id"),
+        keys = Seq("user_id"), attrs = Seq("event_type"),
+        tsCol = "ts", tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("event_type"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+          col("is_current"))
     }))
 
   private val exclusionSql: String =
@@ -731,5 +746,32 @@ object EventQueries extends QueryGroup {
         |  FROM sess GROUP BY user_id, session_id)
         |SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
         |  CAST(CAST(max(sum_value) AS DECIMAL(18,2)) AS DOUBLE) AS max_session_value
-        |FROM per GROUP BY user_id""".stripMargin)
+        |FROM per GROUP BY user_id""".stripMargin,
+    "q_scd2" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER win AS rn,
+        |    lag(event_type) OVER win AS prev_attr
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |flagged AS (
+        |  SELECT *, CASE WHEN rn = 1 OR prev_attr IS DISTINCT FROM event_type
+        |    THEN 1 ELSE 0 END AS chg
+        |  FROM ordered),
+        |segs AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS seg
+        |  FROM flagged),
+        |per AS (
+        |  SELECT user_id, seg, min(event_type) AS event_type, min(ts) AS valid_from
+        |  FROM segs GROUP BY user_id, seg),
+        |fin AS (
+        |  SELECT user_id, event_type, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY seg) AS valid_to
+        |  FROM per)
+        |SELECT user_id, event_type,
+        |  strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  (valid_to IS NULL) AS is_current
+        |FROM fin""".stripMargin)
 }

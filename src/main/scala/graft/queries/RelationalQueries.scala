@@ -132,6 +132,23 @@ object RelationalQueries extends QueryGroup {
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))
         .na.fill(0L)
+    }),
+
+    // Binned range join: lineitem ship timestamps vs 8-day order windows.
+    // No equi-key exists, so a naive BETWEEN join would be a nested loop;
+    // RangeJoin quantizes the time axis into 1-day bins and equi-joins on
+    // the bin (see graft.ops.RangeJoin for the 100 TB argument).
+    "q_range_join" -> ((s, dir) => {
+      val points = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_shipdate"))
+      val ivs = Tables.orders(s, dir)
+        .filter(pmod(col("o_orderkey"), lit(97)) === 0)
+        .select(col("o_orderkey"), col("o_orderdate").as("iv_start"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("iv_end"))
+      graft.ops.RangeJoin.pointInInterval(
+        points, ivs, "l_shipdate", "iv_start", "iv_end", binWidth = 86400L)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_ships"), dbl(sum(dec(col("l_quantity")))).as("qty"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -198,5 +215,12 @@ object RelationalQueries extends QueryGroup {
         |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
         |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  count(*) FILTER (WHERE event_type = 'view') AS view
-        |FROM events GROUP BY user_id""".stripMargin)
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_range_join" ->
+      """SELECT o_orderkey, count(*) AS n_ships,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS qty
+        |FROM orders JOIN lineitem
+        |  ON l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 7 DAY
+        |WHERE o_orderkey % 97 = 0
+        |GROUP BY o_orderkey""".stripMargin)
 }
