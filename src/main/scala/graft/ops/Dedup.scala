@@ -332,12 +332,13 @@ object Dedup {
     *     attach to its minimum neighbor.
     *
     * Both emit edges as (child > parent), so the working set stays
-    * canonical. Convergence is detected by an edge-set checksum
-    * (count + sum of per-edge crc32 — overflow-safe under ANSI);
-    * `localCheckpoint` truncates lineage each round, which is what keeps an
-    * iterative DataFrame algorithm plannable at round 15 (a 2^15-operator
-    * lineage otherwise kills the optimizer long before the cluster is the
-    * bottleneck).
+    * canonical. Convergence is the exact fixpoint test "no parent is also
+    * a child" (star forest), probed with one tiny self-join per round —
+    * exiting the moment the forest forms, with no confirm round. Lazy
+    * `localCheckpoint` truncates lineage each round (the probe materializes
+    * it in the same job), which is what keeps an iterative DataFrame
+    * algorithm plannable at round 15 — a 2^15-operator lineage otherwise
+    * kills the optimizer long before the cluster is the bottleneck.
     *
     * Returns (id, component): one row per node that appears in `edges`,
     * `component` = the smallest node id reachable from it. Nodes with no
@@ -350,18 +351,23 @@ object Dedup {
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
 
-    // (u > v) canonical working set.
+    // (u > v) canonical working set. Checkpoints are LAZY: the checksum
+    // action right after materializes the checkpoint and computes the
+    // convergence probe in the same job — one job per round, not two.
     var e = canon(
       edges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
         .filter(col(aCol).isNotNull && col(bCol).isNotNull && col(aCol) =!= col(bCol)))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
-    def checksum(df: DataFrame): (Long, Long) = {
-      val r = df.agg(
-        count(lit(1)),
-        coalesce(sum(crc32(concat_ws(",", col("u"), col("v")))), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
-    }
+    // Exact fixpoint test: the working set is a star forest (every child
+    // points directly at its root) iff no parent is itself a child — iff
+    // largeStar/smallStar leave it unchanged. One tiny self-join probe per
+    // round, and no wasted confirm round (a did-it-change checksum needs
+    // one extra full round to observe "no change").
+    def isStarForest(df: DataFrame): Boolean = df
+      .select(col("v"))
+      .join(df.select(col("u").as("v")), "v")
+      .isEmpty
 
     def largeStar(cur: DataFrame): DataFrame = {
       val sym = cur.unionAll(cur.select(col("v").as("u"), col("u").as("v")))
@@ -385,14 +391,11 @@ object Dedup {
       canon(reattached.unionAll(own))
     }
 
-    var prev = checksum(e)
-    var converged = false
+    var converged = isStarForest(e)
     var it = 0
     while (!converged && it < maxIter) {
-      e = smallStar(largeStar(e)).localCheckpoint()
-      val cur = checksum(e)
-      converged = cur == prev
-      prev = cur
+      e = smallStar(largeStar(e)).localCheckpoint(eager = false)
+      converged = isStarForest(e)
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
