@@ -29,6 +29,38 @@ object StreamingIngest {
       .withWatermark("timestamp", watermarkDelay)
       .dropDuplicates(Seq("timestamp", "raw_content"))
 
+  /** Dedup for retried deliveries that carry DIFFERENT event timestamps
+    * (a webhook redelivery is re-stamped at send time, so a (ts, content)
+    * key never matches). `dropDuplicatesWithinWatermark` keys on the
+    * content alone and holds state only until the watermark passes the
+    * FIRST sighting — bounded state, unlike a ts-less `dropDuplicates`,
+    * which would pin every key forever.
+    */
+  def dedupedRawById(
+      rawStream: DataFrame,
+      keyCols: Seq[String],
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    rawStream
+      .withWatermark("timestamp", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Streaming exact-content dedup over a document stream — the streaming
+    * face of [[graft.ops.Dedup.exactByDigest]]: normalize, md5, keep the
+    * first sighting of each digest within the watermark. At 100 TB this is
+    * the continuous-ingest dedup gate in front of a training corpus; state
+    * is one digest per distinct document per watermark window.
+    */
+  def streamingContentDedup(
+      docStream: DataFrame,
+      textCol: String,
+      tsCol: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    docStream
+      .withColumn("__digest", md5(graft.ops.Dedup.normalizeText(col(textCol))))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("__digest"))
+      .drop("__digest")
+
   /** Streaming silver broadcasts: same compiled dispatch as batch. */
   def broadcastStream(
       rawStream: DataFrame,

@@ -43,4 +43,54 @@ class StreamingIngestSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(got == Set(("Hans", "Whip"), ("Bob", "Bow")))
   }
+
+  test("dropDuplicatesWithinWatermark dedups redeliveries with re-stamped timestamps") {
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Timestamp, String)](spark)
+    val rawStream = mem.toDF().toDF("id", "timestamp", "raw_content")
+
+    val out = Files.createTempDirectory("graft_dedup_out").toString
+    val ckpt = Files.createTempDirectory("graft_dedup_ckpt").toString
+
+    def t(s: String) = Timestamp.valueOf(s)
+    mem.addData(
+      (1L, t("2024-01-01 10:00:00"), "msg A"),
+      // redelivery of id 1, re-stamped 30s later: (ts, content) dedup
+      // would MISS this; the id-keyed within-watermark dedup must not
+      (1L, t("2024-01-01 10:00:30"), "msg A"),
+      (2L, t("2024-01-01 10:01:00"), "msg B"))
+    val q = StreamingIngest.dedupedRawById(rawStream, Seq("id"))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(out).select("id").collect().map(_.getLong(0)).toSeq
+    assert(got.sorted == Seq(1L, 2L))
+  }
+
+  test("streaming content dedup keeps one doc per normalized digest") {
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Timestamp, String)](spark)
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+
+    val out = Files.createTempDirectory("graft_cdedup_out").toString
+    val ckpt = Files.createTempDirectory("graft_cdedup_ckpt").toString
+
+    def t(s: String) = Timestamp.valueOf(s)
+    mem.addData(
+      (1L, t("2024-01-01 10:00:00"), "Hello  World"),
+      (2L, t("2024-01-01 10:00:10"), "hello world"), // same normalized content
+      (3L, t("2024-01-01 10:00:20"), "something else entirely"))
+    val q = StreamingIngest.streamingContentDedup(docs, "text", "ts")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.read.parquet(out).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.size == 2 && ids.contains(3L) && (ids.contains(1L) ^ ids.contains(2L)))
+  }
 }
