@@ -1,6 +1,7 @@
 package graft
 
-import graft.expr.{ParseDuration, VecDot}
+import graft.expr.{ParseDuration, VecDot, ZOrder}
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -25,9 +26,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children.head, children(1))))
+    // z_order(bits, c1, c2, ...) — first arg is the integer bit width.
+    ext.injectFunction((
+      FunctionIdentifier("z_order"),
+      new ExpressionInfo(classOf[ZOrder].getName, "z_order"),
+      (children: Seq[Expression]) => mkZOrder(children)))
     // Custom whole-operator plan: as-of join (graft.plans.AsOfJoinPlan →
     // co-partitioned sort-merge AsOfJoinExec).
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
+
+  private def mkZOrder(children: Seq[Expression]): ZOrder = children match {
+    case Literal(bits: Int, _) +: cols if cols.nonEmpty => ZOrder(cols, bits)
+    case _ => throw new IllegalArgumentException(
+      "z_order(bitsPerDim literal, col1, col2, ...)")
   }
 }
 
@@ -41,5 +53,11 @@ object GraftExtensions {
       "parse_duration", exprs => ParseDuration(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "z_order", exprs => exprs match {
+        case Literal(bits: Int, _) +: cols if cols.nonEmpty => ZOrder(cols, bits)
+        case _ => throw new IllegalArgumentException(
+          "z_order(bitsPerDim literal, col1, col2, ...)")
+      }, "built-in")
   }
 }

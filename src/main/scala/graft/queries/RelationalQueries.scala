@@ -134,6 +134,18 @@ object RelationalQueries extends QueryGroup {
         .na.fill(0L)
     }),
 
+    // Morton key for the z-order clustered layout (gold.ZOrderLayout):
+    // codegen'd bit interleave, checked bit-for-bit against a DuckDB
+    // arithmetic formulation.
+    "q_zorder_key" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        graft.expr.ZOrder.zOrder(
+          Seq(pmod(col("l_partkey"), lit(65536L)),
+            pmod(col("l_suppkey"), lit(65536L))), 16).as("z"))
+    }),
+
     // Binned range join: lineitem ship timestamps vs 8-day order windows.
     // No equi-key exists, so a naive BETWEEN join would be a nested loop;
     // RangeJoin quantizes the time axis into 1-day bins and equi-joins on
@@ -216,6 +228,13 @@ object RelationalQueries extends QueryGroup {
         |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  count(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY user_id""".stripMargin,
+    "q_zorder_key" -> {
+      val terms = (0 until 16).flatMap { i =>
+        Seq(s"((((l_partkey % 65536) >> $i) & 1) << ${2 * i})",
+          s"((((l_suppkey % 65536) >> $i) & 1) << ${2 * i + 1})")
+      }.mkString(" | ")
+      s"SELECT l_orderkey, l_linenumber, CAST($terms AS BIGINT) AS z FROM lineitem"
+    },
     "q_range_join" ->
       """SELECT o_orderkey, count(*) AS n_ships,
         |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS qty
