@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset split + shard-packing operators for the training-data surface:
+  * the two layout steps between "curated corpus" and "what the trainer
+  * reads".
+  *
+  * Both are DETERMINISTIC functions of stable ids — never `rand()` — so
+  * re-runs, retried tasks, and a different cluster produce byte-identical
+  * assignments (a training/eval split that silently reshuffles between
+  * pipeline runs leaks eval data into training).
+  */
+object Sharding {
+
+  /** Deterministic train/val/test assignment: a 60-bit md5 of the id maps
+    * each row to one of `buckets` slots, and `splits` carves the slots into
+    * named fractions ("train" -> 98 of 100, ...). Stable under re-runs,
+    * insertions, and repartitioning — a new document never moves an
+    * existing one between splits (hash-assignment, not row-number ranges).
+    */
+  def assignSplit(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Int)] = Seq("train" -> 98, "val" -> 1, "test" -> 1),
+      buckets: Int = 100): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == buckets,
+      s"split weights must sum to $buckets")
+    val b = pmod(Dedup.md5Hash60(col(idCol).cast("string")), lit(buckets.toLong))
+    val bounds = splits.scanLeft(0L) { case (acc, (_, w)) => acc + w }
+    val label = splits.zip(bounds.sliding(2).toSeq).foldLeft(lit(null: String)) {
+      case (acc, ((name, _), Seq(lo, hi))) =>
+        when(b >= lo && b < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+
+  /** Pack rows into contiguous shards of ~`budget` total `weightCol` (e.g.
+    * token count), in a deterministic hash order: a row whose global start
+    * offset falls in `[k*budget, (k+1)*budget)` lands in shard k.
+    *
+    * 100 TB shape — a global running sum WITHOUT a global window (Spark's
+    * empty-partition window moves everything to ONE task): the hash domain
+    * is cut into `numBuckets` ranges (uniform, since the key is a hash —
+    * no sampling pass needed), each bucket computes its own cumulative sum
+    * in parallel, and the per-bucket totals (`numBuckets` longs — the only
+    * driver-side data) become broadcast prefix offsets. The result is
+    * bit-identical to the single-window formulation because bucket ranges
+    * are prefixes of the global (hash, id) order.
+    */
+  def packByBudget(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      budget: Long,
+      numBuckets: Int = 64): DataFrame = {
+    require(budget > 0 && numBuckets > 0)
+    // Ceil width so the max 60-bit hash still maps below numBuckets.
+    val bucketWidth = (1L << 60) / numBuckets + 1
+    val withH = df
+      .withColumn("__h", Dedup.md5Hash60(col(idCol).cast("string")))
+      // Integer div: __h exceeds 2^53, double division would misplace rows
+      // near bucket boundaries.
+      .withColumn("__b", expr(s"__h div $bucketWidth"))
+
+    val totals = withH.groupBy("__b").agg(sum(col(weightCol)).as("__t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val offsets = (0 until numBuckets)
+      .scanLeft(0L)((acc, b) => acc + totals.getOrElse(b.toLong, 0L))
+    val offsetArr = array(offsets.take(numBuckets).map(lit): _*)
+
+    val w = Window.partitionBy(col("__b")).orderBy(col("__h").asc, col(idCol).asc)
+    withH
+      .withColumn("__start",
+        sum(col(weightCol)).over(w) - col(weightCol) +
+          element_at(offsetArr, col("__b").cast("int") + 1))
+      .withColumn("shard_id", expr(s"__start div $budget"))
+      .drop("__h", "__b", "__start")
+  }
+}

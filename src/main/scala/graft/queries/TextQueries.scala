@@ -82,6 +82,24 @@ object TextQueries extends QueryGroup {
       graft.reports.Reports.leaderboard(chat, chat, rc, periods)
         .select(col("Username").as("username"),
           col("Count_All_Time").as("n_msgs"))
+    }),
+
+    // Deterministic train/val/test assignment (hash buckets, never rand():
+    // stable under re-runs, insertions, repartitioning).
+    "q_dataset_split" -> ((s, dir) => {
+      graft.ops.Sharding.assignSplit(Tables.documents(s, dir), "doc_id")
+        .select(col("doc_id"), col("split"))
+    }),
+
+    // Token-budget shard packing in deterministic hash order — the
+    // distributed-prefix-sum formulation (see ops.Sharding.packByBudget);
+    // must equal DuckDB's single global running-sum window bit-for-bit.
+    "q_pack_shards" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.text.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      graft.ops.Sharding.packByBudget(docs, "doc_id", "n_tokens", 4096L, numBuckets = 16)
+        .select(col("doc_id"), col("n_tokens"), col("shard_id"))
     }))
 
   private val markerSql: Map[String, String] =
@@ -180,5 +198,27 @@ object TextQueries extends QueryGroup {
       """SELECT source AS username, count(*) AS n_msgs
         |FROM documents
         |WHERE regexp_matches(text, '(?i)the|data')
-        |GROUP BY source""".stripMargin)
+        |GROUP BY source""".stripMargin,
+    "q_dataset_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 98 THEN 'train' WHEN b = 98 THEN 'val' ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+        |  FROM documents)""".stripMargin,
+    "q_pack_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start_off
+        |  FROM t)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  start_off // 4096 AS shard_id
+        |FROM c""".stripMargin)
 }

@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ShardingSpec extends AnyFunSuite with SparkTestBase {
+
+  private def docs(n: Int, seed: Int) = {
+    import spark.implicits._
+    val rng = new scala.util.Random(seed)
+    (1 to n).map(i => (i.toLong, 1L + rng.nextInt(500)))
+      .toDF("doc_id", "w").repartition(5)
+  }
+
+  test("packByBudget is bit-identical to the single-window formulation") {
+    val df = docs(400, 3)
+    val wGlobal = Window.orderBy(
+      Dedup.md5Hash60(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    val naive = df
+      .withColumn("__start", sum(col("w")).over(wGlobal) - col("w"))
+      .withColumn("shard_id", expr("__start div 2000"))
+      .select("doc_id", "shard_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(1, 8, 64).foreach { nb =>
+      val got = Sharding.packByBudget(df, "doc_id", "w", 2000L, numBuckets = nb)
+        .select("doc_id", "shard_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == naive, s"numBuckets=$nb")
+    }
+  }
+
+  test("shard weights are bounded: budget + one straddling row") {
+    val df = docs(600, 9)
+    val perShard = Sharding.packByBudget(df, "doc_id", "w", 1500L, numBuckets = 8)
+      .groupBy("shard_id").agg(sum("w").as("tot")).collect()
+    val maxW = 500L
+    assert(perShard.forall(_.getLong(1) <= 1500L + maxW))
+    // shards are contiguous 0..K
+    val ids = perShard.map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0L until ids.length).toSeq)
+  }
+
+  test("assignSplit: deterministic, partition-invariant, fractions roughly honored") {
+    val df = docs(2000, 1)
+    val a = Sharding.assignSplit(df, "doc_id")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sharding.assignSplit(df.repartition(17), "doc_id")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "assignment must not depend on partitioning")
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 1850 && counts("train") < 1990)
+    assert(counts.getOrElse("val", 0) + counts.getOrElse("test", 0) == 2000 - counts("train"))
+    assert(a.values.forall(v => v != null))
+  }
+}
