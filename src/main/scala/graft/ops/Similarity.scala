@@ -161,18 +161,23 @@ object Similarity {
       s"ivfTopK sampled no centroids: no $idCol divisible by $centroidMod")
 
     // Inverted lists: each corpus row → its argmax-cosine centroid
-    // (deterministic tie-break on centroid id).
+    // (deterministic tie-break on centroid id). Argmax as `max_by` over a
+    // (score, -cid) struct, NOT a row_number window: the groupBy gets a
+    // map-side partial combine, so the exchange carries one row per corpus
+    // vector instead of one per (vector, centroid) pair — at nlist
+    // centroids that is an nlist× narrower assignment shuffle.
     val c = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"),
         norm(col(vecCol)).as("__nn"))
-    val wA = Window.partitionBy("neighbor_id")
-      .orderBy(col("__acos").desc, col("__cid").asc)
     val lists = c.crossJoin(broadcast(cent))
       .withColumn("__acos",
         dot(col("__nv"), col("__cv")) / (col("__nn") * col("__cn")))
-      .withColumn("__r", row_number().over(wA)).filter(col("__r") === 1)
-      .select(col("__cid").as("__list"), col("neighbor_id"),
-        col("__nv"), col("__nn"))
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(
+        struct(col("__cid"), col("__nv"), col("__nn")),
+        struct(col("__acos"), (-col("__cid")).as("__tb"))).as("__best"))
+      .select(col("__best.__cid").as("__list"), col("neighbor_id"),
+        col("__best.__nv").as("__nv"), col("__best.__nn").as("__nn"))
 
     // Probe side: the nprobe nearest lists per query.
     val p = probes.filter(col(vecCol).isNotNull)
