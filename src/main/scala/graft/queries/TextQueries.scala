@@ -91,6 +91,28 @@ object TextQueries extends QueryGroup {
         .select(col("doc_id"), col("split"))
     }),
 
+    // Misra-Gries heavy-hitter tokens per language, under the
+    // bounded-guarantee gate: n_heavy is exact (DuckDB reproduces it);
+    // all_found asserts the sketch's deterministic guarantee — every token
+    // with count > n/k is in the O(k) summary. The sketch never shuffles
+    // the token universe; exact counts here exist only to JUDGE it.
+    "q_freq_tokens" -> ((s, dir) => {
+      val k = 50
+      val toks = Tables.documents(s, dir)
+        .select(col("lang"),
+          explode(split(graft.ops.Dedup.normalizeText(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val sketch = toks.groupBy("lang")
+        .agg(graft.expr.FreqItemsAgg.freqItems(col("tok"), k).as("sk"))
+      val n = toks.groupBy("lang").agg(count(lit(1)).as("n"))
+      val heavy = toks.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+        .join(n, "lang").filter(col("cnt") * k > col("n"))
+      heavy.join(sketch, "lang")
+        .withColumn("found", exists(col("sk"), e => e.getField("item") === col("tok")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_heavy"), bool_and(col("found")).as("all_found"))
+    }),
+
     // Token-budget shard packing in deterministic hash order — the
     // distributed-prefix-sum formulation (see ops.Sharding.packByBudget);
     // must equal DuckDB's single global running-sum window bit-for-bit.
@@ -206,6 +228,18 @@ object TextQueries extends QueryGroup {
         |  SELECT doc_id,
         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
         |  FROM documents)""".stripMargin,
+    "q_freq_tokens" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        |t AS (SELECT lang, tok FROM toks WHERE tok <> ''),
+        |n AS (SELECT lang, count(*) AS n FROM t GROUP BY lang),
+        |exact AS (SELECT lang, tok, count(*) AS cnt FROM t GROUP BY lang, tok)
+        |SELECT e.lang, count(*) AS n_heavy, true AS all_found
+        |FROM exact e JOIN n USING (lang)
+        |WHERE e.cnt * 50 > n.n
+        |GROUP BY e.lang""".stripMargin,
     "q_pack_shards" ->
       """WITH t AS (
         |  SELECT doc_id,
