@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality gates for a continuously-ingested corpus: column profiles
+  * and referential checks, computed as ORDINARY aggregation plans so they
+  * ride the same scan as any other query (profile is one pass over the
+  * table — Spark plans the multi-distinct agg via expand — and the checks
+  * are anti-joins, never driver-side row loops).
+  *
+  * At 100 TB these run as a gate stage between ingest and publish (the
+  * blue/green pointer in [[graft.gold.GoldSink]] only advances when the
+  * checks pass), so a bad upstream drop never reaches readers.
+  */
+object DataQuality {
+
+  /** One row per profiled column: total rows, null count, distinct count,
+    * min/max (stringified — schema-independent report shape).
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__cnt_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("col_nm"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__cnt_$c")).as("n_null"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_v"),
+        col(s"__max_$c").as("max_v"))
+    }
+    one.select(explode(array(rows: _*)).as("m")).select("m.*")
+  }
+
+  /** Rows of `child` whose `childKey` has no match in `parent.parentKey`
+    * (null keys are NOT orphans — SQL FK semantics).
+    */
+  def orphans(
+      child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame =
+    child.filter(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+
+  /** Duplicate-key groups: one row per key value appearing more than once. */
+  def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_dupes"))
+      .filter(col("n_dupes") > 1)
+}

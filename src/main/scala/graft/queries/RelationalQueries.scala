@@ -134,6 +134,30 @@ object RelationalQueries extends QueryGroup {
         .na.fill(0L)
     }),
 
+    // Data-quality gate, part 1: one-pass column profile (multi-distinct
+    // agg → expand; single scan) unpivoted to a schema-independent report.
+    "q_data_quality" -> ((s, dir) => {
+      graft.ops.DataQuality.profile(Tables.lineitem(s, dir),
+        Seq("l_orderkey", "l_returnflag", "l_shipdate"))
+    }),
+
+    // Data-quality gate, part 2: referential + uniqueness checks as
+    // anti-join / groupBy counts (the publish gate in front of GoldSink).
+    "q_integrity" -> ((s, dir) => {
+      import graft.ops.DataQuality._
+      val li = Tables.lineitem(s, dir)
+      val checks = Seq(
+        ("orphan_l_orderkey",
+          orphans(li, "l_orderkey", Tables.orders(s, dir), "o_orderkey")),
+        ("orphan_l_partkey",
+          orphans(li, "l_partkey", Tables.part(s, dir), "p_partkey")),
+        ("dup_o_orderkey",
+          duplicateKeys(Tables.orders(s, dir), Seq("o_orderkey"))))
+      checks.map { case (nm, bad) =>
+        bad.agg(count(lit(1)).as("n_bad")).select(lit(nm).as("check_nm"), col("n_bad"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // Morton key for the z-order clustered layout (gold.ZOrderLayout):
     // codegen'd bit interleave, checked bit-for-bit against a DuckDB
     // arithmetic formulation.
@@ -228,6 +252,28 @@ object RelationalQueries extends QueryGroup {
         |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  count(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY user_id""".stripMargin,
+    "q_data_quality" -> {
+      def prof(c: String) =
+        s"""SELECT '$c' AS col_nm, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_v,
+           |  CAST(max($c) AS VARCHAR) AS max_v
+           |FROM lineitem""".stripMargin
+      Seq("l_orderkey", "l_returnflag", "l_shipdate").map(prof)
+        .mkString("\nUNION ALL\n")
+    },
+    "q_integrity" ->
+      """SELECT 'orphan_l_orderkey' AS check_nm, count(*) AS n_bad FROM lineitem l
+        |WHERE l_orderkey IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'orphan_l_partkey', count(*) FROM lineitem l
+        |WHERE l_partkey IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+        |UNION ALL
+        |SELECT 'dup_o_orderkey', count(*) FROM (
+        |  SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)""".stripMargin,
     "q_zorder_key" -> {
       val terms = (0 until 16).flatMap { i =>
         Seq(s"((((l_partkey % 65536) >> $i) & 1) << ${2 * i})",
