@@ -1,0 +1,62 @@
+package graft.gold
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction for parquet directories — the maintenance half of
+  * the layout story: an incremental-append silver layer (idempotent
+  * appends, streaming micro-batches, retried partials) accretes files far
+  * below the row-group sweet spot, and at 100 TB the scan cost becomes
+  * driver listing + per-file open overhead instead of I/O. Compaction
+  * rewrites a fragmented directory into ~`targetFileBytes` files.
+  *
+  * The rewrite lands in a NEW directory (blue/green, same discipline as
+  * [[GoldSink]]): plain-parquet directory swaps are not atomic on object
+  * stores, so readers keep the old path until the caller flips their
+  * pointer. Row content is preserved exactly; intra-file order is not
+  * contractual (parquet readers get no ordering guarantee from a
+  * directory anyway).
+  */
+object Compactor {
+
+  /** (file count, total bytes) for the parquet data files under `dir`. */
+  def stats(spark: SparkSession, dir: String): (Int, Long) = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).filter { st =>
+      st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".")
+    }
+    (files.length, files.map(_.getLen).sum)
+  }
+
+  /** Fragmented = more than `minFiles` files AND mean file size under half
+    * the target (a directory of two 60 MB files at a 128 MB target is left
+    * alone; two hundred 200 KB files are not).
+    */
+  def shouldCompact(
+      spark: SparkSession, dir: String,
+      targetFileBytes: Long, minFiles: Int): Boolean = {
+    val (n, bytes) = stats(spark, dir)
+    n > minFiles && n > 0 && bytes / n < targetFileBytes / 2
+  }
+
+  /** Rewrite `srcDir` into `destDir` with ~`targetFileBytes` files (at
+    * least one). Returns the output file count; no-ops (returns 0, writes
+    * nothing) when [[shouldCompact]] says the source is already healthy.
+    */
+  def compact(
+      spark: SparkSession, srcDir: String, destDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      minFiles: Int = 8): Int = {
+    if (!shouldCompact(spark, srcDir, targetFileBytes, minFiles)) 0
+    else {
+      val (_, bytes) = stats(spark, srcDir)
+      val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      spark.read.parquet(srcDir)
+        .repartition(nOut)
+        .write.mode("overwrite").parquet(destDir)
+      nOut
+    }
+  }
+}
