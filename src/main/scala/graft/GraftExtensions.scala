@@ -30,16 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("z_order"),
       new ExpressionInfo(classOf[ZOrder].getName, "z_order"),
-      (children: Seq[Expression]) => mkZOrder(children)))
+      GraftExtensions.mkZOrder))
     // Custom whole-operator plan: as-of join (graft.plans.AsOfJoinPlan →
     // co-partitioned sort-merge AsOfJoinExec).
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
-  }
-
-  private def mkZOrder(children: Seq[Expression]): ZOrder = children match {
-    case Literal(bits: Int, _) +: cols if cols.nonEmpty => ZOrder(cols, bits)
-    case _ => throw new IllegalArgumentException(
-      "z_order(bitsPerDim literal, col1, col2, ...)")
   }
 }
 
@@ -54,10 +48,15 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "z_order", exprs => exprs match {
-        case Literal(bits: Int, _) +: cols if cols.nonEmpty => ZOrder(cols, bits)
-        case _ => throw new IllegalArgumentException(
-          "z_order(bitsPerDim literal, col1, col2, ...)")
-      }, "built-in")
+      "z_order", mkZOrder, "built-in")
+  }
+
+  /** `z_order(bitsPerDim literal, col1, col2, ...)` — one builder shared by
+    * both registration paths so SQL behavior can't diverge between them.
+    */
+  private[graft] def mkZOrder(children: Seq[Expression]): ZOrder = children match {
+    case Literal(bits: Int, _) +: cols if cols.nonEmpty => ZOrder(cols, bits)
+    case _ => throw new IllegalArgumentException(
+      "z_order(bitsPerDim literal, col1, col2, ...)")
   }
 }

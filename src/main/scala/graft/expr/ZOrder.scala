@@ -66,6 +66,8 @@ case class ZOrder(children: Seq[Expression], bitsPerDim: Int) extends Expression
     val n = children.size
     val evals = children.map(_.genCode(ctx))
     val childCodes = evals.zipWithIndex.map { case (e, j) =>
+      val v = ctx.freshName("zv")
+      val i = ctx.freshName("zi")
       s"""
          |${e.code}
          |if (!${ev.isNull}) {
@@ -73,9 +75,9 @@ case class ZOrder(children: Seq[Expression], bitsPerDim: Int) extends Expression
          |    ${ev.isNull} = true;
          |    ${ev.value} = 0L;
          |  } else {
-         |    long v = (long) ${e.value};
-         |    for (int i = 0; i < $bitsPerDim; i++) {
-         |      ${ev.value} |= ((v >>> i) & 1L) << (i * $n + $j);
+         |    long $v = (long) ${e.value};
+         |    for (int $i = 0; $i < $bitsPerDim; $i++) {
+         |      ${ev.value} |= (($v >>> $i) & 1L) << ($i * $n + $j);
          |    }
          |  }
          |}

@@ -34,24 +34,30 @@ object Compactor {
     * the target (a directory of two 60 MB files at a 128 MB target is left
     * alone; two hundred 200 KB files are not).
     */
+  def fragmented(nFiles: Int, totalBytes: Long, targetFileBytes: Long, minFiles: Int): Boolean =
+    nFiles > minFiles && totalBytes / nFiles < targetFileBytes / 2
+
   def shouldCompact(
       spark: SparkSession, dir: String,
       targetFileBytes: Long, minFiles: Int): Boolean = {
     val (n, bytes) = stats(spark, dir)
-    n > minFiles && n > 0 && bytes / n < targetFileBytes / 2
+    fragmented(n, bytes, targetFileBytes, minFiles)
   }
 
   /** Rewrite `srcDir` into `destDir` with ~`targetFileBytes` files (at
     * least one). Returns the output file count; no-ops (returns 0, writes
-    * nothing) when [[shouldCompact]] says the source is already healthy.
+    * nothing) when the source is already healthy. One listing pass feeds
+    * both the decision and the size computation — on an object store with
+    * thousands of small files (exactly the case this targets) a second
+    * listStatus doubles latency and can disagree with the first.
     */
   def compact(
       spark: SparkSession, srcDir: String, destDir: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
       minFiles: Int = 8): Int = {
-    if (!shouldCompact(spark, srcDir, targetFileBytes, minFiles)) 0
+    val (n, bytes) = stats(spark, srcDir)
+    if (!fragmented(n, bytes, targetFileBytes, minFiles)) 0
     else {
-      val (_, bytes) = stats(spark, srcDir)
       val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
       spark.read.parquet(srcDir)
         .repartition(nOut)

@@ -354,9 +354,15 @@ object Dedup {
     // (u > v) canonical working set. Checkpoints are LAZY: the checksum
     // action right after materializes the checkpoint and computes the
     // convergence probe in the same job — one job per round, not two.
+    // Null/self-loop guards run on the POST-cast values (u, v): a
+    // pre-cast filter would let an uncastable id slip through as null, and
+    // distinct source strings ("1", "01") that collapse under the cast
+    // must be seen as the self-loop they became. try_cast, because ANSI
+    // mode makes a plain cast THROW on a malformed id instead of nulling.
+    def tryLong(c: String) = expr(s"try_cast(`$c` AS BIGINT)")
     var e = canon(
-      edges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-        .filter(col(aCol).isNotNull && col(bCol).isNotNull && col(aCol) =!= col(bCol)))
+      edges.select(tryLong(aCol).as("u"), tryLong(bCol).as("v"))
+        .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v")))
       .localCheckpoint(eager = false)
 
     // Exact fixpoint test: the working set is a star forest (every child

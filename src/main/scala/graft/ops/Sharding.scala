@@ -57,26 +57,35 @@ object Sharding {
       budget: Long,
       numBuckets: Int = 64): DataFrame = {
     require(budget > 0 && numBuckets > 0)
+    // Weights coerced to non-null longs (budget arithmetic is integral);
+    // null ids have no deterministic position and are rejected up front.
+    val wc = coalesce(col(weightCol).cast("long"), lit(0L))
     // Ceil width so the max 60-bit hash still maps below numBuckets.
     val bucketWidth = (1L << 60) / numBuckets + 1
     val withH = df
+      .filter(col(idCol).isNotNull)
+      .withColumn("__w", wc)
       .withColumn("__h", Dedup.md5Hash60(col(idCol).cast("string")))
       // Integer div: __h exceeds 2^53, double division would misplace rows
       // near bucket boundaries.
       .withColumn("__b", expr(s"__h div $bucketWidth"))
 
-    val totals = withH.groupBy("__b").agg(sum(col(weightCol)).as("__t"))
+    val totals = withH.groupBy("__b").agg(sum(col("__w")).as("__t"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val offsets = (0 until numBuckets)
       .scanLeft(0L)((acc, b) => acc + totals.getOrElse(b.toLong, 0L))
     val offsetArr = array(offsets.take(numBuckets).map(lit): _*)
 
-    val w = Window.partitionBy(col("__b")).orderBy(col("__h").asc, col(idCol).asc)
+    // ROWS frame, not the default RANGE: rows tied on (__h, id) — duplicate
+    // ids — must each see only the rows before them, not their frame peers.
+    val w = Window.partitionBy(col("__b"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withH
       .withColumn("__start",
-        sum(col(weightCol)).over(w) - col(weightCol) +
+        sum(col("__w")).over(w) - col("__w") +
           element_at(offsetArr, col("__b").cast("int") + 1))
       .withColumn("shard_id", expr(s"__start div $budget"))
-      .drop("__h", "__b", "__start")
+      .drop("__w", "__h", "__b", "__start")
   }
 }

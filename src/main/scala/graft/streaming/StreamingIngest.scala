@@ -39,9 +39,10 @@ object StreamingIngest {
   def dedupedRawById(
       rawStream: DataFrame,
       keyCols: Seq[String],
-      watermarkDelay: String = "10 minutes"): DataFrame =
+      watermarkDelay: String = "10 minutes",
+      tsCol: String = "timestamp"): DataFrame =
     rawStream
-      .withWatermark("timestamp", watermarkDelay)
+      .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
   /** Streaming exact-content dedup over a document stream — the streaming

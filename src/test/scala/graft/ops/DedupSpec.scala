@@ -115,6 +115,16 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got.size == 200 && got.values.forall(_ == 0L))
   }
 
+  test("connectedComponents guards run on POST-cast ids") {
+    import spark.implicits._
+    // "1"/"01" collapse to the same node under the cast → self-loop, gone;
+    // an uncastable endpoint nulls out → edge dropped, not poisoned.
+    val edges = Seq(("1", "01"), ("2", "3"), ("4", "not_a_number")).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(2L -> 2L, 3L -> 2L))
+  }
+
   test("connectedComponents on an empty edge set returns no rows") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")

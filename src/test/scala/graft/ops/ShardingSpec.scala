@@ -42,6 +42,18 @@ class ShardingSpec extends AnyFunSuite with SparkTestBase {
     assert(ids.toSeq == (0L until ids.length).toSeq)
   }
 
+  test("double weights, null weights and null ids are coerced, not crashed on") {
+    import spark.implicits._
+    val df = Seq(
+      (Option(1L), Option(10.7)), (Option(2L), None),
+      (None, Option(5.0)), (Option(3L), Option(2.0)))
+      .toDF("doc_id", "w")
+    val got = Sharding.packByBudget(df, "doc_id", "w", 10L, numBuckets = 4)
+      .select("doc_id", "shard_id").collect()
+    assert(got.length == 3) // the null-id row is rejected
+    assert(got.forall(_.getLong(1) >= 0L))
+  }
+
   test("assignSplit: deterministic, partition-invariant, fractions roughly honored") {
     val df = docs(2000, 1)
     val a = Sharding.assignSplit(df, "doc_id")
