@@ -37,6 +37,24 @@ object Sharding {
     df.withColumn("split", label)
   }
 
+  /** Deterministic k-per-group sample: the k rows with the smallest
+    * (md5(id), id) per group — an exact, repartition- and rerun-stable
+    * stand-in for per-group reservoir sampling ("k docs per domain for
+    * eval"). Because the hash is uniform, this IS a uniform sample of the
+    * group, but one that a re-run, a retried task, or tomorrow's pipeline
+    * reproduces exactly; `rand()`-based sampleBy cannot promise that.
+    * One shuffle on the group key; the window sorts per group.
+    */
+  def sampleKPerGroup(
+      df: DataFrame, groupCols: Seq[String], idCol: String, k: Int): DataFrame = {
+    require(groupCols.nonEmpty && k > 0)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(Dedup.md5Hash60(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Pack rows into contiguous shards of ~`budget` total `weightCol` (e.g.
     * token count), in a deterministic hash order: a row whose global start
     * offset falls in `[k*budget, (k+1)*budget)` lands in shard k.

@@ -91,6 +91,14 @@ object TextQueries extends QueryGroup {
         .select(col("doc_id"), col("split"))
     }),
 
+    // Deterministic k-per-group sample (eval-set carving: 5 docs per
+    // source, stable across reruns/repartitions — never rand()).
+    "q_sample_per_group" -> ((s, dir) => {
+      graft.ops.Sharding.sampleKPerGroup(
+        Tables.documents(s, dir), Seq("source"), "doc_id", 5)
+        .select(col("source"), col("doc_id"))
+    }),
+
     // Misra-Gries heavy-hitter tokens per language, under the
     // bounded-guarantee gate: n_heavy is exact (DuckDB reproduces it);
     // all_found asserts the sketch's deterministic guarantee — every token
@@ -228,6 +236,14 @@ object TextQueries extends QueryGroup {
         |  SELECT doc_id,
         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
         |  FROM documents)""".stripMargin,
+    "q_sample_per_group" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+        |        doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5""".stripMargin,
     "q_freq_tokens" ->
       """WITH toks AS (
         |  SELECT lang,

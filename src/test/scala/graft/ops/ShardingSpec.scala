@@ -54,6 +54,20 @@ class ShardingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.forall(_.getLong(1) >= 0L))
   }
 
+  test("sampleKPerGroup: exactly min(k, group size) rows, stable under repartition") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => (s"g${i % 7}", i.toLong)).toDF("g", "doc_id")
+    val a = Sharding.sampleKPerGroup(df, Seq("g"), "doc_id", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = Sharding.sampleKPerGroup(df.repartition(11), Seq("g"), "doc_id", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == b)
+    assert(a.groupBy(_._1).forall(_._2.size == 5))
+    // tiny group: takes everything
+    val small = Seq(("g", 1L), ("g", 2L)).toDF("g", "doc_id")
+    assert(Sharding.sampleKPerGroup(small, Seq("g"), "doc_id", 5).count() == 2)
+  }
+
   test("assignSplit: deterministic, partition-invariant, fractions roughly honored") {
     val df = docs(2000, 1)
     val a = Sharding.assignSplit(df, "doc_id")
