@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
+
+/** Benchmark decontamination — flag training documents that share any word
+  * n-gram with an evaluation/benchmark corpus, so eval data can be stripped
+  * from a training set BEFORE it leaks into a model (the standard n-gram
+  * overlap test used by LLM training pipelines).
+  *
+  * Formulation: both sides are reduced to their DISTINCT word n-grams (one
+  * codegen'd [[graft.expr.WordShingles]] eval per document), and the overlap
+  * is an equi-join on the n-gram string. The shuffle key is the n-gram, so
+  * fan-out is bounded by n-gram document frequency — document text never
+  * crosses the wire, and there is no pairwise comparison anywhere.
+  *
+  * 100 TB shape: the eval corpus is small (benchmarks are MBs, training sets
+  * are TBs), so the semi-join's eval side broadcasts; for eval sets past the
+  * broadcast threshold, `bloomPrefilter = true` builds a Bloom filter over
+  * the eval n-gram hashes (a distributed aggregate — the only driver-side
+  * object is the filter's bit array) and prunes the train-side explode with
+  * a codegen'd might_contain BEFORE the join. Bloom filters have no false
+  * negatives, so the prefilter only discards rows the join would discard —
+  * the result stays EXACT (false positives are re-checked by the join), and
+  * the shuffle shrinks from every-train-ngram to candidate-ngrams-only.
+  */
+object Decontaminate {
+
+  /** Per-document contamination report for `train`: every `train` row with
+    * `n_eval_ngrams` = how many distinct eval n-grams the document contains
+    * and `contaminated` = n_eval_ngrams > 0. Callers strip with
+    * `.filter(!col("contaminated"))` or audit the hit counts.
+    *
+    * @param estEvalNgrams Bloom sizing when `bloomPrefilter` is on: the
+    *   expected count of distinct eval n-grams (overestimate is safe — only
+    *   memory; underestimate only raises the false-positive rate, never
+    *   breaks exactness).
+    */
+  def flagContaminated(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      bloomPrefilter: Boolean = false,
+      estEvalNgrams: Long = 4L << 20): DataFrame = {
+    val evalNgrams = eval
+      .select(explode(Dedup.shingles(col(textCol), n)).as("__sh"))
+      .distinct()
+    // Distinct within each train doc, so the hit count is "distinct eval
+    // n-grams present", not occurrence count — insensitive to repetition.
+    val trainNgrams = train.select(col(idCol),
+      explode(graft.expr.WordShingles.shingles(col(textCol), n, distinct = true))
+        .as("__sh"))
+
+    val probed =
+      if (bloomPrefilter) bloomFilterRows(trainNgrams, evalNgrams, col("__sh"), estEvalNgrams)
+      else trainNgrams
+
+    val hits = probed
+      .join(evalNgrams, Seq("__sh"), "left_semi")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_eval_ngrams"))
+
+    train
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_eval_ngrams", coalesce(col("n_eval_ngrams"), lit(0L)))
+      .withColumn("contaminated", col("n_eval_ngrams") > 0)
+  }
+
+  /** Prune `rows` to those whose `keyCol` might be in `filterSide`'s key set,
+    * via a Bloom filter over xxhash64 of the keys. No false negatives: the
+    * result is a superset of the exact semi-join, suitable as a prefilter
+    * in front of it. Exposed for reuse (any huge-fact vs small-ish-key-set
+    * semi-join: decontamination, dead-letter lookups, incremental dedup).
+    */
+  def bloomFilterRows(
+      rows: DataFrame, filterSide: DataFrame, keyCol: Column,
+      estItems: Long): DataFrame = {
+    // ~8 bits/item ≈ 2% fpp, capped at 2^27 bits (16 MiB) — broadcast-safe.
+    val numBits = math.min(8L * math.max(estItems, 1L), 1L << 27)
+    val agg = new BloomFilterAggregate(
+      GraftColumnBridge.expression(xxhash64(keyCol)),
+      Literal(math.max(estItems, 1L)), Literal(numBits)).toAggregateExpression()
+    val bloomRow = filterSide
+      .select(GraftColumnBridge.column(agg).as("__bf"))
+      .head()
+    // Empty filter side aggregates to NULL — nothing can match, and the
+    // caller's exact join needs no help discarding everything.
+    if (bloomRow.isNullAt(0)) rows.limit(0)
+    else {
+      val bytes = bloomRow.getAs[Array[Byte]](0)
+      rows.filter(GraftColumnBridge.column(BloomFilterMightContain(
+        Literal(bytes, BinaryType),
+        GraftColumnBridge.expression(xxhash64(keyCol)))))
+    }
+  }
+}

@@ -55,6 +55,54 @@ object Sharding {
       .drop("__rn")
   }
 
+  /** Per-group keep fractions that retarget the corpus to a desired domain
+    * mixture while keeping as much data as possible: the output corpus size
+    * `S = min_g(total_g / target_g)` is the largest for which every group
+    * can supply its share without oversampling, and each group keeps
+    * `target_g * S / total_g` of its weight. Groups absent from `target`
+    * are dropped (fraction 0). The per-group totals are the only
+    * driver-side data — one partial-agg'd shuffle over #groups rows.
+    */
+  def mixtureFractions(
+      df: DataFrame, groupCol: String, weightCol: String,
+      target: Map[String, Double]): Map[String, Double] = {
+    require(target.nonEmpty && target.values.forall(_ > 0),
+      "target shares must be positive")
+    val totals = df
+      .filter(col(groupCol).isin(target.keys.toSeq: _*))
+      .groupBy(groupCol)
+      .agg(sum(col(weightCol).cast("double")).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val missing = target.keySet -- totals.keySet
+    require(missing.isEmpty, s"target groups absent from data: $missing")
+    val s = target.map { case (g, t) => totals(g) / t }.min
+    target.map { case (g, t) => g -> t * s / totals(g) }
+  }
+
+  /** Deterministic per-group fraction sampling — the mixture-resampling
+    * step ("reshape this corpus to 60% web / 30% code / 10% books"): keep a
+    * row iff its salted 60-bit id hash falls below `fraction * 2^60` for its
+    * group. Same guarantees as [[assignSplit]]: rerun-, insertion- and
+    * partition-stable, never `rand()`; and threshold sampling is NESTED — a
+    * later run with a smaller fraction keeps a strict subset, so growing
+    * the corpus never churns previously-kept documents. The salt
+    * decorrelates this decision from [[assignSplit]]'s bucket hash (same id,
+    * different hash stream). Map-only: no shuffle.
+    */
+  def sampleMixture(
+      df: DataFrame, groupCol: String, idCol: String,
+      fractions: Map[String, Double]): DataFrame = {
+    require(fractions.values.forall(f => f >= 0 && f <= 1), "fractions in [0,1]")
+    val h = Dedup.md5Hash60(concat(lit("mix:"), col(idCol).cast("string")))
+    // floor to an integer threshold: the comparison is long-vs-long on
+    // every engine (no long→double rounding at the boundary).
+    val thresh = fractions.foldLeft(lit(-1L)) { case (acc, (g, f)) =>
+      when(col(groupCol) === g, lit(math.floor(f * (1L << 60).toDouble).toLong))
+        .otherwise(acc)
+    }
+    df.filter(h < thresh)
+  }
+
   /** Pack rows into contiguous shards of ~`budget` total `weightCol` (e.g.
     * token count), in a deterministic hash order: a row whose global start
     * offset falls in `[k*budget, (k+1)*budget)` lands in shard k.

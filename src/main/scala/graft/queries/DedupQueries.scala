@@ -57,19 +57,38 @@ object DedupQueries extends QueryGroup {
       val pairs = Dedup.md5MinHashCandidates(Tables.documents(s, dir), "doc_id",
         "text", shingleSize = 3, numHashes = 16, bands = 8)
       Dedup.connectedComponents(pairs, "id_a", "id_b")
+    }),
+
+    // Benchmark decontamination: docs with doc_id % 10 == 0 stand in as the
+    // eval/benchmark corpus; every remaining (training) doc is flagged with
+    // its count of distinct eval 5-grams. The Bloom prefilter (the 100 TB
+    // path — eval n-gram hashes as a broadcast bit array pruning the
+    // train-side explode before the join) is ON here: it has no false
+    // negatives and false positives are re-checked by the exact semi-join,
+    // so the gated result is identical with or without it.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ops.Decontaminate.flagContaminated(
+        train = docs.filter(col("doc_id") % 10 =!= 0),
+        eval = docs.filter(col("doc_id") % 10 === 0),
+        idCol = "doc_id", textCol = "text",
+        n = 5, bloomPrefilter = true, estEvalNgrams = 1L << 16)
+        .select(col("doc_id"), col("n_eval_ngrams"), col("contaminated"))
     }))
 
   private val toksSql =
     "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
 
-  // 3-shingle list exactly mirroring Dedup.shingles: indices 0..max(n-3,0),
+  // n-shingle list exactly mirroring Dedup.shingles: indices 0..max(len-n,0),
   // windows past the end dropped (short docs → empty set).
-  private val shinglesSql =
+  private def shinglesSqlN(n: Int) =
     s"""list_filter(
-       |  list_transform(range(0, greatest(len($toksSql) - 3, 0) + 1),
-       |    i -> CASE WHEN i + 3 <= len($toksSql)
-       |      THEN array_to_string(list_slice($toksSql, i + 1, i + 3), ' ') END),
+       |  list_transform(range(0, greatest(len($toksSql) - $n, 0) + 1),
+       |    i -> CASE WHEN i + $n <= len($toksSql)
+       |      THEN array_to_string(list_slice($toksSql, i + 1, i + $n), ' ') END),
        |  x -> x IS NOT NULL)""".stripMargin
+
+  private val shinglesSql = shinglesSqlN(3)
 
   private val simhashBitsSql: String = {
     val bits = (0 until 60).map { i =>
@@ -152,6 +171,24 @@ object DedupQueries extends QueryGroup {
          |SELECT id_a, id_b,
          |  round(len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0, 4) AS jaccard_est
          |FROM pairs""".stripMargin,
+    // Exact n-gram-overlap decontamination: the Bloom prefilter on the
+    // Spark side is invisible to the result (no false negatives; positives
+    // re-checked), so the oracle is the plain distinct-5-gram semi-join.
+    "q_decontaminate" ->
+      s"""WITH ev AS (
+         |  SELECT DISTINCT unnest(${shinglesSqlN(5)}) AS sh
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |tr AS (
+         |  SELECT doc_id, unnest(list_distinct(${shinglesSqlN(5)})) AS sh
+         |  FROM documents WHERE doc_id % 10 <> 0),
+         |hits AS (
+         |  SELECT doc_id, count(*) AS n FROM tr
+         |  WHERE sh IN (SELECT sh FROM ev) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(h.n, 0) AS n_eval_ngrams,
+         |  coalesce(h.n, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN hits h USING (doc_id)
+         |WHERE d.doc_id % 10 <> 0""".stripMargin,
+
     // Min-reachable-label via recursive CTE over the same MinHash pair
     // graph — the oracle for the large-star/small-star component ids.
     "q_dedup_clusters" -> {

@@ -121,6 +121,21 @@ object TextQueries extends QueryGroup {
         .agg(count(lit(1)).as("n_heavy"), bool_and(col("found")).as("all_found"))
     }),
 
+    // Domain-mixture resampling: retarget the corpus to 50/20/20/10
+    // en/de/es/fr by n_chars weight (zh dropped — not in the target),
+    // keeping the maximum total weight that satisfies the mixture, via
+    // deterministic threshold-hash sampling (map-only; rerun-stable; a
+    // smaller fraction keeps a strict subset). Fraction arithmetic is
+    // bit-reproducible across engines because integer-valued weights sum
+    // exactly in doubles (< 2^53) regardless of aggregation order.
+    "q_mixture_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val target = Map("en" -> 0.5, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.1)
+      val fr = graft.ops.Sharding.mixtureFractions(docs, "lang", "n_chars", target)
+      graft.ops.Sharding.sampleMixture(docs, "lang", "doc_id", fr)
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // Token-budget shard packing in deterministic hash order — the
     // distributed-prefix-sum formulation (see ops.Sharding.packByBudget);
     // must equal DuckDB's single global running-sum window bit-for-bit.
@@ -256,6 +271,25 @@ object TextQueries extends QueryGroup {
         |FROM exact e JOIN n USING (lang)
         |WHERE e.cnt * 50 > n.n
         |GROUP BY e.lang""".stripMargin,
+    // Mirrors mixtureFractions + sampleMixture exactly: same exact-integer
+    // totals, same (t*s)/total double arithmetic, same floor(f*2^60)
+    // integer threshold on the salted 60-bit md5 hash.
+    "q_mixture_sample" ->
+      """WITH tgt(lang, t) AS (VALUES
+        |    ('en', CAST(0.5 AS DOUBLE)), ('de', CAST(0.2 AS DOUBLE)),
+        |    ('es', CAST(0.2 AS DOUBLE)), ('fr', CAST(0.1 AS DOUBLE))),
+        |tot AS (
+        |  SELECT d.lang, sum(CAST(d.n_chars AS DOUBLE)) AS total
+        |  FROM documents d JOIN tgt USING (lang) GROUP BY d.lang),
+        |s AS (SELECT min(total / t) AS s FROM tot JOIN tgt USING (lang)),
+        |fr AS (
+        |  SELECT lang, t * (SELECT s FROM s) / total AS f
+        |  FROM tot JOIN tgt USING (lang))
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN fr USING (lang)
+        |WHERE CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |  < CAST(floor(f * 1152921504606846976) AS BIGINT)""".stripMargin,
+
     "q_pack_shards" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -80,4 +80,50 @@ class ShardingSpec extends AnyFunSuite with SparkTestBase {
     assert(counts.getOrElse("val", 0) + counts.getOrElse("test", 0) == 2000 - counts("train"))
     assert(a.values.forall(v => v != null))
   }
+
+  private def mixDocs(n: Int) = {
+    import spark.implicits._
+    // ~60% a / 30% b / 10% c by row, unit weights
+    (1 to n).map { i =>
+      val g = if (i % 10 < 6) "a" else if (i % 10 < 9) "b" else "c"
+      (i.toLong, g, 1L)
+    }.toDF("doc_id", "g", "w").repartition(7)
+  }
+
+  test("mixtureFractions: binding group keeps 100%, others scale to the mixture") {
+    val df = mixDocs(1000)
+    // target 20% c: c is binding (only 10% of weight) -> keep all of c,
+    // S = 100/0.2 = 500, a keeps 0.4*500/600, b keeps 0.4*500/300
+    val fr = Sharding.mixtureFractions(df, "g", "w",
+      Map("a" -> 0.4, "b" -> 0.4, "c" -> 0.2))
+    assert(math.abs(fr("c") - 1.0) < 1e-12)
+    assert(math.abs(fr("a") - 200.0 / 600.0) < 1e-12)
+    assert(math.abs(fr("b") - 200.0 / 300.0) < 1e-12)
+    val missing = intercept[IllegalArgumentException] {
+      Sharding.mixtureFractions(df, "g", "w", Map("a" -> 0.5, "zz" -> 0.5))
+    }
+    assert(missing.getMessage.contains("zz"))
+  }
+
+  test("sampleMixture: deterministic, partition-invariant, nested, near-target") {
+    val df = mixDocs(4000)
+    val fr = Sharding.mixtureFractions(df, "g", "w",
+      Map("a" -> 0.4, "b" -> 0.4, "c" -> 0.2))
+    def keySet(d: org.apache.spark.sql.DataFrame, f: Map[String, Double]) =
+      Sharding.sampleMixture(d, "g", "doc_id", f)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = keySet(df, fr)
+    assert(a == keySet(df.repartition(13), fr), "partition-invariant")
+    val halved = keySet(df, fr.view.mapValues(_ / 2).toMap)
+    assert(halved.subsetOf(a), "threshold sampling must be nested")
+    // achieved mixture within sampling noise of 40/40/20
+    val byG = Sharding.sampleMixture(df, "g", "doc_id", fr)
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tot = byG.values.sum.toDouble
+    assert(math.abs(byG("a") / tot - 0.4) < 0.05)
+    assert(math.abs(byG("c") / tot - 0.2) < 0.05)
+    // group absent from fractions is dropped entirely
+    val dropped = Sharding.sampleMixture(df, "g", "doc_id", fr - "c")
+    assert(dropped.filter(col("g") === "c").isEmpty)
+  }
 }
