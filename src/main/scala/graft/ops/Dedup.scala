@@ -344,9 +344,22 @@ object Dedup {
     * `component` = the smallest node id reachable from it. Nodes with no
     * edges are simply absent (their component is themselves — union them in
     * at the call site if needed).
+    *
+    * Local finish: once the working set has contracted to at most
+    * `localFinishEdges` edges, the remainder runs as ONE union-find task
+    * ([[localUnionFind]]) instead of more distributed rounds — the standard
+    * multi-level shape (distributed contraction → local phase) that saves
+    * the O(log n) tail of tiny rounds, each of which costs ~6 shuffle
+    * stages regardless of data volume. Every round already counts the
+    * working set to materialize its checkpoint, so the threshold check is
+    * free; correctness is unaffected (union-find on the contracted graph
+    * yields the same min-reachable labels, and rounds preserve both
+    * connectivity and node presence). Pass `localFinishEdges = 0` to force
+    * pure distributed rounds (the property specs do, to exercise them).
     */
   def connectedComponents(
-      edges: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+      edges: DataFrame, aCol: String, bCol: String, maxIter: Int = 25,
+      localFinishEdges: Long = 4L << 20): DataFrame = {
     def canon(df: DataFrame): DataFrame = df
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
@@ -397,18 +410,61 @@ object Dedup {
       canon(reattached.unionAll(own))
     }
 
-    var converged = isStarForest(e)
+    // Each count() materializes the round's lazy checkpoint (one job) and
+    // is the local-finish gate; the star-forest probe only runs while the
+    // graph is still too big to finish locally.
+    var n = e.count()
+    var converged = n <= localFinishEdges || isStarForest(e)
     var it = 0
     while (!converged && it < maxIter) {
       e = smallStar(largeStar(e)).localCheckpoint(eager = false)
-      converged = isStarForest(e)
+      n = e.count()
+      converged = n <= localFinishEdges || isStarForest(e)
       it += 1
     }
+    if (n <= localFinishEdges) return localUnionFind(e)
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
 
     // Fixpoint is a star forest (child > root): children plus the roots.
     e.select(col("u").as("id"), col("v").as("component"))
       .unionAll(e.select(col("v").as("id"), col("v").as("component")))
       .distinct()
+  }
+
+  /** Single-task union-find over a (u, v) BIGINT edge list — the local
+    * phase of [[connectedComponents]]. One executor TASK via
+    * coalesce(1).mapPartitions, not a driver collect: the edge list never
+    * leaves the cluster, and the caller bounds its size with
+    * `localFinishEdges`. Union-by-min (the larger root attaches under the
+    * smaller) with path compression, so each set's root IS its minimum id
+    * and the output is deterministic regardless of edge order.
+    */
+  private def localUnionFind(e: DataFrame): DataFrame = {
+    val sess = e.sparkSession
+    import sess.implicits._
+    e.select(col("u"), col("v")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { edges =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        val nodes = scala.collection.mutable.ArrayBuffer.empty[Long]
+        def find(x0: Long): Long = {
+          var r = x0
+          var p = parent.getOrElse(r, r)
+          while (p != r) { r = p; p = parent.getOrElse(r, r) }
+          var c = x0
+          while (c != r) { val nx = parent(c); parent.update(c, r); c = nx }
+          r
+        }
+        edges.foreach { case (u, v) =>
+          if (!parent.contains(u)) { parent.update(u, u); nodes += u }
+          if (!parent.contains(v)) { parent.update(v, v); nodes += v }
+          val ru = find(u); val rv = find(v)
+          if (ru != rv) {
+            if (ru < rv) parent.update(rv, ru) else parent.update(ru, rv)
+          }
+        }
+        nodes.iterator.map(id => (id, find(id)))
+      }
+      .toDF("id", "component")
   }
 }

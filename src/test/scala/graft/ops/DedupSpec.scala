@@ -98,10 +98,16 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       }
       val want = parent.keys.map(k => k -> find(k)).toMap
 
-      val got = Dedup.connectedComponents(
-        edges.toDF("a", "b").repartition(4), "a", "b")
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == want, s"round $round: $edges")
+      // Both execution paths must agree with ground truth: the pure
+      // distributed star rounds (localFinishEdges = 0) and the default
+      // local-finish union-find task.
+      for (threshold <- Seq(0L, 4L << 20)) {
+        val got = Dedup.connectedComponents(
+          edges.toDF("a", "b").repartition(4), "a", "b",
+          localFinishEdges = threshold)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"round $round (threshold $threshold): $edges")
+      }
     }
   }
 
@@ -109,10 +115,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     import spark.implicits._
     // Path 0-1-2-…-199: diameter 199 forces many label hops — the
     // large-star/small-star pair must still converge in O(log²) rounds.
+    // localFinishEdges = 0 forces the distributed rounds all the way to
+    // the star-forest fixpoint (the default would finish this locally).
     val edges = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
-    val got = Dedup.connectedComponents(edges, "a", "b")
+    val got = Dedup.connectedComponents(edges, "a", "b", localFinishEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 200 && got.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents local finish engages mid-contraction") {
+    import spark.implicits._
+    // Dense band graph: 60 nodes, edges (i, j) for j-i ≤ 5 → 285 canonical
+    // edges that contract to ≤ ~120 (one parent edge per non-root) after a
+    // round. Threshold 200 sits between: the run MUST start distributed and
+    // cross into the union-find task, still labeling everything 0.
+    val edges = (for {
+      i <- 0L until 60L; d <- 1L to 5L if i + d < 60L
+    } yield (i, i + d)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges, "a", "b", localFinishEdges = 200L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 60 && got.values.forall(_ == 0L))
   }
 
   test("connectedComponents guards run on POST-cast ids") {
