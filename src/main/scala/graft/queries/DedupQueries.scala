@@ -76,17 +76,7 @@ object DedupQueries extends QueryGroup {
         .select(col("doc_id"), col("n_eval_ngrams"), col("contaminated"))
     }))
 
-  private val toksSql =
-    "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
-
-  // n-shingle list exactly mirroring Dedup.shingles: indices 0..max(len-n,0),
-  // windows past the end dropped (short docs → empty set).
-  private def shinglesSqlN(n: Int) =
-    s"""list_filter(
-       |  list_transform(range(0, greatest(len($toksSql) - $n, 0) + 1),
-       |    i -> CASE WHEN i + $n <= len($toksSql)
-       |      THEN array_to_string(list_slice($toksSql, i + 1, i + $n), ' ') END),
-       |  x -> x IS NOT NULL)""".stripMargin
+  import OracleSql.{toksSql, shinglesSqlN}
 
   private val shinglesSql = shinglesSqlN(3)
 

@@ -145,6 +145,37 @@ object TextQueries extends QueryGroup {
           graft.text.TextFunctions.tokenCount(col("text")).as("n_tokens"))
       graft.ops.Sharding.packByBudget(docs, "doc_id", "n_tokens", 4096L, numBuckets = 16)
         .select(col("doc_id"), col("n_tokens"), col("shard_id"))
+    }),
+
+    // Gopher-style repetition signals: duplicated-token / top-bigram /
+    // duplicated-trigram fractions per document (see text.Repetition).
+    "q_text_repetition" -> ((s, dir) => {
+      graft.text.Repetition.profile(Tables.documents(s, dir), "doc_id", "text")
+    }),
+
+    // PII scrub. The synthetic corpus is PII-free, so deterministic PII is
+    // planted from doc_id — identically in the oracle SQL below — giving
+    // the gate true positives (counts, placement) AND true negatives (the
+    // untouched remainder hashes identically after redaction).
+    "q_pii_redact" -> ((s, dir) => {
+      val planted = Tables.documents(s, dir).select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 200).cast("string"),
+            lit(".77"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("text"))
+      planted.select(col("doc_id"),
+        graft.text.Redact.emailCount(col("text")).as("n_emails"),
+        graft.text.Redact.ipCount(col("text")).as("n_ips"),
+        graft.text.Redact.phoneCount(col("text")).as("n_phones"),
+        md5(graft.text.Redact.redact(col("text"))).as("redacted_md5"))
     }))
 
   private val markerSql: Map[String, String] =
@@ -304,5 +335,65 @@ object TextQueries extends QueryGroup {
         |  FROM t)
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
         |  start_off // 4096 AS shard_id
-        |FROM c""".stripMargin)
+        |FROM c""".stripMargin,
+
+    // Mirrors Repetition.profile: same shingle lists, two grouped
+    // reductions, conditional-agg pivot, same 0-when-gramless convention.
+    "q_text_repetition" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, 1 AS n, unnest(${OracleSql.shinglesSqlN(1)}) AS g FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, 2 AS n, unnest(${OracleSql.shinglesSqlN(2)}) AS g FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, 3 AS n, unnest(${OracleSql.shinglesSqlN(3)}) AS g FROM documents),
+         |c AS (SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY 1, 2, 3),
+         |s AS (SELECT doc_id, n, CAST(sum(c) AS BIGINT) AS total,
+         |        count(*) AS dis, max(c) AS top FROM c GROUP BY 1, 2),
+         |p AS (SELECT doc_id,
+         |    max(CASE WHEN n = 1 THEN total END) AS tok_total,
+         |    max(CASE WHEN n = 1 THEN dis END) AS tok_dis,
+         |    max(CASE WHEN n = 2 THEN total END) AS bg_total,
+         |    max(CASE WHEN n = 2 THEN top END) AS bg_top,
+         |    max(CASE WHEN n = 3 THEN total END) AS tg_total,
+         |    max(CASE WHEN n = 3 THEN dis END) AS tg_dis
+         |  FROM s GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(tok_total, 0) AS BIGINT) AS n_tokens,
+         |  round(CASE WHEN tok_total > 0
+         |    THEN (tok_total - tok_dis) / CAST(tok_total AS DOUBLE)
+         |    ELSE 0.0 END, 4) AS dup_token_frac,
+         |  round(CASE WHEN bg_total > 0
+         |    THEN bg_top / CAST(bg_total AS DOUBLE)
+         |    ELSE 0.0 END, 4) AS top_bigram_frac,
+         |  round(CASE WHEN tg_total > 0
+         |    THEN (tg_total - tg_dis) / CAST(tg_total AS DOUBLE)
+         |    ELSE 0.0 END, 4) AS dup_trigram_frac
+         |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin,
+
+    // Same planted PII, same shared-syntax patterns (java.util.regex and
+    // RE2 agree on them — see text.Redact), same redaction order.
+    "q_pii_redact" -> {
+      val em = graft.text.Redact.emailPattern
+      val ip = graft.text.Redact.ipv4Pattern
+      val ph = graft.text.Redact.phonePattern
+      s"""WITH planted AS (
+         |  SELECT doc_id, text ||
+         |    (CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
+         |      CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' ||
+         |      CAST(doc_id % 200 AS VARCHAR) || '.77' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 7 = 0 THEN ' call 555-' ||
+         |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+         |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END)
+         |    AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '$ph')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g'))
+         |    AS redacted_md5
+         |FROM planted""".stripMargin
+    })
 }
