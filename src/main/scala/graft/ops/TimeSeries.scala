@@ -101,6 +101,87 @@ object TimeSeries {
     freqs.map { case (label, secs) => resample(events, tsCol, valueCol, secs, label) }
       .reduce(_.unionByName(_))
 
+  /** Linear interpolation of a sparse daily series over its gap-free date
+    * spine — the sensor/metric gap-fill primitive (missing days get the
+    * straight line between the nearest observations; edges forward/back
+    * fill).
+    *
+    * Never a global single-partition window: forward/backward neighbor
+    * scans run per `chunk` (caller-chosen, MUST be non-decreasing in
+    * `dateCol` — e.g. a week or year index), and chunk boundaries are
+    * stitched with a tiny per-chunk summary table (first/last observation
+    * per chunk, triangle-joined exactly like [[gapFreeCumulative]]'s base
+    * offsets, then broadcast back). Carried values are the original
+    * doubles — no arithmetic — so the result is bit-identical to the
+    * global-window formulation regardless of chunk granularity.
+    *
+    * `series` columns: `dateCol` (date, distinct) + `valueCol` (double,
+    * non-null). Output: dateCol, `valueCol` (filled), `interpolated`
+    * (1 where the spine row had no observation).
+    */
+  def interpolateLinear(series: DataFrame, dateCol: String, valueCol: String,
+      chunk: Column): DataFrame = {
+    val d = col(dateCol)
+    val spine = series
+      .agg(min(d).as("lo"), max(d).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 DAY"))).as(dateCol))
+    val full = spine.join(series, Seq(dateCol), "left")
+      .withColumn("__ck", chunk)
+
+    // In-chunk nearest observation on each side (value + its date).
+    val wF = Window.partitionBy("__ck").orderBy(d.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wB = Window.partitionBy("__ck").orderBy(d.desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val v = col(valueCol)
+    val obsDate = when(v.isNotNull, d)
+    val scanned = full
+      .withColumn("__pv", last(v, ignoreNulls = true).over(wF))
+      .withColumn("__pd", last(obsDate, ignoreNulls = true).over(wF))
+      .withColumn("__nv", last(v, ignoreNulls = true).over(wB))
+      .withColumn("__nd", last(obsDate, ignoreNulls = true).over(wB))
+
+    // Chunk summaries (observations only) → carry-in/out across chunks.
+    val sums = series.withColumn("__ck", chunk).groupBy("__ck")
+      .agg(min(d).as("__f_d"), min_by(v, d).as("__f_v"),
+        max(d).as("__l_d"), max_by(v, d).as("__l_v"))
+    val chunks = full.select(col("__ck")).distinct()
+    val carryIn = chunks.alias("a")
+      .join(sums.alias("b"), col("b.__ck") < col("a.__ck"), "left")
+      .groupBy(col("a.__ck").as("__ck"))
+      .agg(max_by(col("b.__l_v"), col("b.__l_d")).as("__ci_v"),
+        max(col("b.__l_d")).as("__ci_d"))
+    val carryOut = chunks.alias("a")
+      .join(sums.alias("b"), col("b.__ck") > col("a.__ck"), "left")
+      .groupBy(col("a.__ck").as("__ck"))
+      .agg(min_by(col("b.__f_v"), col("b.__f_d")).as("__co_v"),
+        min(col("b.__f_d")).as("__co_d"))
+
+    val g = scanned
+      .join(broadcast(carryIn), Seq("__ck"))
+      .join(broadcast(carryOut), Seq("__ck"))
+      .withColumn("__gpv", coalesce(col("__pv"), col("__ci_v")))
+      .withColumn("__gpd", coalesce(col("__pd"), col("__ci_d")))
+      .withColumn("__gnv", coalesce(col("__nv"), col("__co_v")))
+      .withColumn("__gnd", coalesce(col("__nd"), col("__co_d")))
+
+    g.withColumn("interpolated", v.isNull.cast("int"))
+      .withColumn(valueCol,
+        when(v.isNotNull, v)
+          .when(col("__gpv").isNull, col("__gnv"))
+          .when(col("__gnv").isNull, col("__gpv"))
+          .otherwise(col("__gpv") + (col("__gnv") - col("__gpv")) *
+            (datediff(d, col("__gpd")).cast("double") /
+              datediff(col("__gnd"), col("__gpd")).cast("double"))))
+      .select(d, col(valueCol), col("interpolated"))
+  }
+
+  /** Monotone week index (days since epoch / 7) — a safe `chunk` argument
+    * for [[interpolateLinear]] (unlike `weekofyear`, which wraps).
+    */
+  def weekChunk(dateCol: Column): Column = floor(unix_date(dateCol) / 7)
+
   /** Gap-based sessionization: a new session starts when the delta to the
     * previous event of the same user exceeds `gapSeconds`. Single shuffle on
     * user, in-partition sort — the classic scalable formulation.

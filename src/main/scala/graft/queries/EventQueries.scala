@@ -366,6 +366,25 @@ object EventQueries extends QueryGroup {
           date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
           date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
           col("is_current"))
+    }),
+
+    // Linear gap-fill: a sparse daily metric (every third day kept)
+    // interpolated over its full date spine. Runs through the CHUNKED
+    // formulation (week chunks at sf0.01 → the cross-chunk carry path is
+    // exercised under this oracle, which is the global-window form —
+    // bit-identical by construction, see TimeSeries.interpolateLinear).
+    // Observations are rounded to 4 decimals BEFORE interpolation so both
+    // engines interpolate from bit-identical doubles.
+    "q_interpolate" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(round(avg(col("value")), 4).as("v"))
+      val sparse = daily.filter(pmod(dayofmonth(col("d")), lit(3)) === 1)
+      TimeSeries.interpolateLinear(sparse, "d", "v",
+        TimeSeries.weekChunk(col("d")))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("d"),
+          round(col("v"), 4).as("v"), col("interpolated"))
     }))
 
   private val exclusionSql: String =
@@ -773,5 +792,37 @@ object EventQueries extends QueryGroup {
         |  strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
         |  strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to,
         |  (valid_to IS NULL) AS is_current
-        |FROM fin""".stripMargin)
+        |FROM fin""".stripMargin,
+    // Global-window formulation; the engine's chunked carry is exact, so
+    // the two must agree bit-for-bit. Same arithmetic shape:
+    // pv + (nv - pv) * (dd1 / dd2) on 4-decimal-rounded observations.
+    "q_interpolate" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, round(avg(value), 4) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |obs AS (SELECT d, v FROM daily WHERE day(d) % 3 = 1),
+        |b AS (SELECT min(d) AS lo, max(d) AS hi FROM obs),
+        |spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM b),
+        |f AS (
+        |  SELECT s.d, o.v,
+        |    last_value(o.v IGNORE NULLS) OVER
+        |      (ORDER BY s.d ROWS UNBOUNDED PRECEDING) AS pv,
+        |    last_value(CASE WHEN o.v IS NOT NULL THEN s.d END IGNORE NULLS) OVER
+        |      (ORDER BY s.d ROWS UNBOUNDED PRECEDING) AS pd,
+        |    first_value(o.v IGNORE NULLS) OVER
+        |      (ORDER BY s.d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN o.v IS NOT NULL THEN s.d END IGNORE NULLS) OVER
+        |      (ORDER BY s.d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM spine s LEFT JOIN obs o USING (d))
+        |SELECT strftime(d, '%Y-%m-%d') AS d,
+        |  round(CASE
+        |    WHEN v IS NOT NULL THEN v
+        |    WHEN pv IS NULL THEN nv
+        |    WHEN nv IS NULL THEN pv
+        |    ELSE pv + (nv - pv) *
+        |      (CAST(date_diff('day', pd, d) AS DOUBLE) /
+        |       CAST(date_diff('day', pd, nd) AS DOUBLE)) END, 4) AS v,
+        |  CAST(v IS NULL AS INT) AS interpolated
+        |FROM f""".stripMargin)
 }

@@ -185,6 +185,65 @@ object RelationalQueries extends QueryGroup {
         points, ivs, "l_shipdate", "iv_start", "iv_end", binWidth = 86400L)
         .groupBy(col("o_orderkey"))
         .agg(count(lit(1)).as("n_ships"), dbl(sum(dec(col("l_quantity")))).as("qty"))
+    }),
+
+    // Hierarchical subtotals: ROLLUP over (flag, status) with grouping
+    // indicators. Spark plans grouping sets as ONE Expand + one shuffle —
+    // not one aggregation pass per level.
+    "q_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          dbl(sum(dec(col("l_quantity")))).as("sum_qty"),
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"))
+    }),
+
+    // Full cross-dimensional subtotals: CUBE (same Expand shape, 4 sets).
+    "q_cube" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          dbl(sum(dec(col("l_quantity")))).as("sum_qty"),
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"))
+    }),
+
+    // Fixed-width histogram of a numeric column: min/max from a one-row
+    // aggregate broadcast into a map-only binning projection, then one
+    // partial-agg'd shuffle on the (20-value) bin key. The two-pass shape
+    // (stats pass + binning pass) is the 100 TB formulation — no sort, no
+    // global window, bin arithmetic identical in any IEEE engine.
+    "q_histogram" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("x"))
+      val mm = li.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      li.crossJoin(broadcast(mm))
+        .withColumn("bin",
+          least(floor(((col("x") - col("mn")) / (col("mx") - col("mn"))) * 20)
+            .cast("int"), lit(19)))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+    }),
+
+    // Per-group z-score outlier flagging: group moments from one partial-
+    // agg'd pass, broadcast back into a map-only scoring projection.
+    // Never a per-group window over the fact table.
+    "q_outliers" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val stats = ev.groupBy("event_type")
+        .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+      ev.join(broadcast(stats), "event_type")
+        .withColumn("z", (col("value") - col("mu")) / col("sd"))
+        .filter(abs(col("z")) > 3.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("z"), 3).as("z"))
+    }),
+
+    // Entity resolution: blocked edit-distance self-join on customer names
+    // (see graft.ops.FuzzyJoin for the blocking-vs-all-pairs argument).
+    "q_fuzzy_join" -> ((s, dir) => {
+      graft.ops.FuzzyJoin.selfJoin(
+        Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
+        "c_custkey", "c_name", prefixLen = 16, maxDist = 1)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -287,5 +346,42 @@ object RelationalQueries extends QueryGroup {
         |FROM orders JOIN lineitem
         |  ON l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 7 DAY
         |WHERE o_orderkey % 97 = 0
-        |GROUP BY o_orderkey""".stripMargin)
+        |GROUP BY o_orderkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_status
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_status
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    // Identical IEEE arithmetic order as the Spark side:
+    // ((x - mn) / (mx - mn)) * 20, floored then clamped.
+    "q_histogram" ->
+      """WITH mm AS (
+        |  SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+        |  FROM lineitem)
+        |SELECT least(CAST(floor(((l_extendedprice - mn) / (mx - mn)) * 20) AS INT), 19) AS bin,
+        |  count(*) AS n
+        |FROM lineitem, mm
+        |GROUP BY 1""".stripMargin,
+    "q_outliers" ->
+      """WITH st AS (
+        |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type, value,
+        |  round((value - mu) / sd, 3) AS z
+        |FROM events e JOIN st USING (event_type)
+        |WHERE abs((value - mu) / sd) > 3.0""".stripMargin,
+    "q_fuzzy_join" ->
+      """SELECT a.c_custkey AS a_c_custkey, b.c_custkey AS b_c_custkey,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
+        | AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin)
 }

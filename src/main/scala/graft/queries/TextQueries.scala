@@ -153,6 +153,13 @@ object TextQueries extends QueryGroup {
       graft.text.Repetition.profile(Tables.documents(s, dir), "doc_id", "text")
     }),
 
+    // TF-IDF salience: top-3 terms per document by tf·ln(N/df), over the
+    // same normalize-and-split tokens as the dedup family (see
+    // text.TfIdf for the three-key-partitioned-shuffles shape).
+    "q_tfidf" -> ((s, dir) => {
+      graft.text.TfIdf.topTerms(Tables.documents(s, dir), "doc_id", "text", 3)
+    }),
+
     // PII scrub. The synthetic corpus is PII-free, so deterministic PII is
     // planted from doc_id — identically in the oracle SQL below — giving
     // the gate true positives (counts, placement) AND true negatives (the
@@ -369,6 +376,24 @@ object TextQueries extends QueryGroup {
          |    THEN (tg_total - tg_dis) / CAST(tg_total AS DOUBLE)
          |    ELSE 0.0 END, 4) AS dup_trigram_frac
          |FROM documents d LEFT JOIN p USING (doc_id)""".stripMargin,
+
+    // Same tokens as q_freq_tokens; ln on an identically-computed double
+    // ratio, rounded at 4 decimals before the rank window (ties break by
+    // term ascending in both engines).
+    "q_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${OracleSql.toksSql}) AS term FROM documents),
+         |t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (
+         |  SELECT doc_id, term, tf,
+         |    round(tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / df), 4) AS tfidf
+         |  FROM tf JOIN df USING (term)),
+         |r AS (SELECT *, row_number() OVER
+         |  (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM sc)
+         |SELECT doc_id, term, tf, tfidf FROM r WHERE rn <= 3""".stripMargin,
 
     // Same planted PII, same shared-syntax patterns (java.util.regex and
     // RE2 agree on them — see text.Redact), same redaction order.
