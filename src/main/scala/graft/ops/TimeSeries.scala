@@ -182,6 +182,33 @@ object TimeSeries {
     */
   def weekChunk(dateCol: Column): Column = floor(unix_date(dateCol) / 7)
 
+  /** Trailing `windowDays`-day moving aggregate over a gap-free daily
+    * series WITHOUT any ordered window: each day's value is scattered
+    * onto the `windowDays` target dates it contributes to (explode of a
+    * tiny 0..w-1 range), then one partial-agg'd shuffle on the target
+    * date rebuilds every window. Wholly key-partitioned — the fan-out is
+    * the window width, never the series length, so a century-long series
+    * costs w× its size spread over all executors instead of one
+    * partition's sort. Target dates past the series end are dropped;
+    * near the start the window is naturally truncated (fewer
+    * contributors), mirroring `ROWS w-1 PRECEDING` on a gap-free spine.
+    *
+    * Output: dateCol, `w_sum` (same type as `valueCol`'s sum — use an
+    * exact type like decimal for cross-engine parity), `w_days`
+    * (contributing-day count; divide for the moving average).
+    */
+  def trailingWindow(daily: DataFrame, dateCol: String, valueCol: String,
+      windowDays: Int): DataFrame = {
+    val hi = daily.agg(max(col(dateCol)).as("__hi"))
+    daily
+      .withColumn("__off", explode(sequence(lit(0), lit(windowDays - 1))))
+      .withColumn("__t", date_add(col(dateCol), col("__off")))
+      .crossJoin(broadcast(hi))
+      .filter(col("__t") <= col("__hi"))
+      .groupBy(col("__t").as(dateCol))
+      .agg(sum(col(valueCol)).as("w_sum"), count(lit(1)).as("w_days"))
+  }
+
   /** Gap-based sessionization: a new session starts when the delta to the
     * previous event of the same user exceeds `gapSeconds`. Single shuffle on
     * user, in-partition sort — the classic scalable formulation.

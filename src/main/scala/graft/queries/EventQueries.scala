@@ -385,6 +385,21 @@ object EventQueries extends QueryGroup {
         TimeSeries.weekChunk(col("d")))
         .select(date_format(col("d"), "yyyy-MM-dd").as("d"),
           round(col("v"), 4).as("v"), col("interpolated"))
+    }),
+
+    // Trailing 7-day moving average via the scatter-and-regroup shape
+    // (TimeSeries.trailingWindow) — no ordered window anywhere. Daily
+    // values go through decimal(18,4) so the window sums are exact on
+    // both engines; the final average divides in float64.
+    "q_moving_avg" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type") === "view")
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(round(avg(col("value")), 4).cast("decimal(18,4)").as("v"))
+      TimeSeries.trailingWindow(daily, "d", "v", 7)
+        .select(date_format(col("d"), "yyyy-MM-dd").as("d"),
+          col("w_days"),
+          round(col("w_sum").cast("double") / col("w_days"), 4).as("ma7"))
     }))
 
   private val exclusionSql: String =
@@ -824,5 +839,19 @@ object EventQueries extends QueryGroup {
         |      (CAST(date_diff('day', pd, d) AS DOUBLE) /
         |       CAST(date_diff('day', pd, nd) AS DOUBLE)) END, 4) AS v,
         |  CAST(v IS NULL AS INT) AS interpolated
-        |FROM f""".stripMargin)
+        |FROM f""".stripMargin,
+    // Gap-free daily series → ROWS 6 PRECEDING is the same window the
+    // scatter-and-regroup rebuilds; decimal window sums are exact, the
+    // average divides in float64 on both engines.
+    "q_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    CAST(round(avg(value), 4) AS DECIMAL(18,4)) AS v
+        |  FROM events WHERE event_type = 'view' GROUP BY 1)
+        |SELECT strftime(d, '%Y-%m-%d') AS d,
+        |  CAST(count(*) OVER w AS BIGINT) AS w_days,
+        |  round(CAST(CAST(sum(v) OVER w AS DECIMAL(18,4)) AS DOUBLE)
+        |    / (count(*) OVER w), 4) AS ma7
+        |FROM daily
+        |WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin)
 }

@@ -66,6 +66,18 @@ object SimilarityQueries extends QueryGroup {
         centroidMod = 25, nprobe = 3)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("int").as("rank"), round(col("cos"), 4).as("cos"))
+    }),
+
+    // Per-label centroid (avg pooling) — the IVF coarse-quantizer /
+    // class-prototype step. Relational shape: posexplode to (label, pos)
+    // keys, partial-agg'd average per dimension — the shuffle carries
+    // scalars keyed by (label, pos), never whole vectors, and no driver
+    // ever materializes a vector list.
+    "q_embedding_centroid" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("x").cast("double")), 4).as("c"))
     }))
 
   // Wrapper so the near-dup query reuses the library op with rounded output.
@@ -175,5 +187,13 @@ object SimilarityQueries extends QueryGroup {
         |      ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
         |  FROM cand)
         |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
-        |FROM ranked WHERE rank <= 3""".stripMargin)
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+    "q_embedding_centroid" ->
+      """WITH e AS (
+        |  SELECT label, unnest(embedding) AS x,
+        |    generate_subscripts(embedding, 1) - 1 AS pos
+        |  FROM embeddings)
+        |SELECT label, CAST(pos AS INT) AS pos,
+        |  round(avg(CAST(x AS DOUBLE)), 4) AS c
+        |FROM e GROUP BY label, pos""".stripMargin)
 }

@@ -67,6 +67,20 @@ object SketchQueries extends QueryGroup {
           round(col("__p90"), 4).as("p90"),
           (abs(col("__a50") - col("__p50")) <= 1.5 &&
             abs(col("__a90") - col("__p90")) <= 1.5).as("within_bound"))
+    }),
+
+    // Quartile banding via broadcast boundaries — never ntile's global
+    // sort (see graft.ops.Quantiles). Exact boundaries here so DuckDB
+    // reproduces the bands bit-for-bit (interpolated boundaries land
+    // strictly between data points, or ON one with no arithmetic — both
+    // engines agree either way); the 100 TB path swaps in
+    // percentile_approx boundaries, changing only boundary-adjacent rows.
+    "q_quantile_bucket" -> ((s, dir) => {
+      graft.ops.Quantiles.bucketize(
+        Tables.lineitem(s, dir).select(col("l_extendedprice").as("x")),
+        "x", Seq(0.25, 0.5, 0.75), exact = true)
+        .groupBy(col("q_bucket"))
+        .agg(count(lit(1)).as("n"), min(col("x")).as("min_x"), max(col("x")).as("max_x"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -82,5 +96,16 @@ object SketchQueries extends QueryGroup {
         |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
         |  round(quantile_cont(l_quantity, 0.9), 4) AS p90,
         |  true AS within_bound
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_quantile_bucket" ->
+      """WITH q AS (
+        |  SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+        |    quantile_cont(l_extendedprice, 0.5) AS q2,
+        |    quantile_cont(l_extendedprice, 0.75) AS q3
+        |  FROM lineitem)
+        |SELECT CAST(l_extendedprice > q1 AS INT) + CAST(l_extendedprice > q2 AS INT)
+        |    + CAST(l_extendedprice > q3 AS INT) AS q_bucket,
+        |  count(*) AS n, min(l_extendedprice) AS min_x, max(l_extendedprice) AS max_x
+        |FROM lineitem, q
+        |GROUP BY 1""".stripMargin)
 }

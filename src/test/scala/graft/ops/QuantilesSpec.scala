@@ -1,0 +1,39 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class QuantilesSpec extends AnyFunSuite with SparkTestBase {
+
+  test("exact quartile banding splits 1..100 into 25/25/25/25") {
+    import spark.implicits._
+    val df = (1 to 100).map(_.toDouble).toDF("x").repartition(5)
+    val out = Quantiles.bucketize(df, "x", Seq(0.25, 0.5, 0.75), exact = true)
+      .groupBy("q_bucket").agg(count(lit(1)).as("n"), max("x").as("mx"))
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2)).toList ==
+      List((0, 25L), (1, 25L), (2, 25L), (3, 25L)))
+    // boundaries (25.75, 50.5, 75.25) interpolate strictly between points
+    assert(out.map(_._3).toList == List(25.0, 50.0, 75.0, 100.0))
+  }
+
+  test("a row exactly ON a boundary lands in the lower band (strict >)") {
+    import spark.implicits._
+    // 5 values → p50 index is integral → boundary == 3.0 exactly.
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("x")
+    val b = Quantiles.bucketize(df, "x", Seq(0.5), exact = true)
+      .as[(Double, Int)].collect().toMap
+    assert(b(3.0) == 0 && b(4.0) == 1)
+  }
+
+  test("approx boundaries band all rows and stay near the exact split") {
+    import spark.implicits._
+    val df = (1 to 10000).map(_.toDouble).toDF("x").repartition(7)
+    val out = Quantiles.bucketize(df, "x", Seq(0.25, 0.5, 0.75), exact = false)
+      .groupBy("q_bucket").count().as[(Int, Long)].collect().toMap
+    assert(out.values.sum == 10000L)
+    assert(out.keySet == Set(0, 1, 2, 3))
+    out.values.foreach(n => assert(math.abs(n - 2500L) <= 250L))
+  }
+}
