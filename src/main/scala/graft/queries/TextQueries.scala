@@ -160,6 +160,36 @@ object TextQueries extends QueryGroup {
       graft.text.TfIdf.topTerms(Tables.documents(s, dir), "doc_id", "text", 3)
     }),
 
+    // Context-window chunking: 50-token chunks, 10-token overlap (see
+    // text.Chunker — map-only, integer-exact chunk counts). Chunk text
+    // rides as md5 so the gate checks content without megabyte rows.
+    "q_chunk_documents" -> ((s, dir) => {
+      graft.text.Chunker.chunk(Tables.documents(s, dir), "doc_id", "text", 50, 10)
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+    }),
+
+    // Domain-level provenance rollup (CommonCrawl-style): URLs planted
+    // deterministically from doc_id (corpus has none), hosts extracted
+    // with a shared-syntax regex, grouped by registered domain.
+    "q_url_domains" -> ((s, dir) => {
+      val planted = Tables.documents(s, dir).select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" see https://sub"), (col("doc_id") % 5).cast("string"),
+            lit(".example"), (col("doc_id") % 20).cast("string"),
+            lit(".com/p/"), col("doc_id").cast("string"))).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          lit(" via http://Mirror.Example.org/x")).otherwise(lit("")))
+        .as("text"))
+      planted
+        .select(explode(graft.text.Urls.hosts(col("text"))).as("host"))
+        .select(lower(col("host")).as("lhost"),
+          graft.text.Urls.registeredDomain(col("host")).as("domain"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"), countDistinct(col("lhost")).as("n_hosts"))
+    }),
+
     // PII scrub. The synthetic corpus is PII-free, so deterministic PII is
     // planted from doc_id — identically in the oracle SQL below — giving
     // the gate true positives (counts, placement) AND true negatives (the
@@ -394,6 +424,46 @@ object TextQueries extends QueryGroup {
          |r AS (SELECT *, row_number() OVER
          |  (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM sc)
          |SELECT doc_id, term, tf, tfidf FROM r WHERE rn <= 3""".stripMargin,
+
+    // Same token list, same integer chunk-count arithmetic
+    // ((n-11)//40 + 1 == 1 + ceil((n-50)/40)), same inclusive slices.
+    "q_chunk_documents" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${OracleSql.toksSql} AS toks FROM documents),
+         |c AS (
+         |  SELECT doc_id, toks, len(toks) AS n,
+         |    CASE WHEN len(toks) <= 50 THEN 1
+         |         ELSE (len(toks) - 11) // 40 + 1 END AS nc
+         |  FROM t),
+         |u AS (SELECT doc_id, toks, unnest(range(nc)) AS i FROM c)
+         |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+         |  CAST(len(list_slice(toks, i * 40 + 1, i * 40 + 50)) AS INT) AS n_tokens,
+         |  md5(array_to_string(list_slice(toks, i * 40 + 1, i * 40 + 50), ' '))
+         |    AS chunk_md5
+         |FROM u""".stripMargin,
+
+    // Same planted URLs, same shared-syntax host/domain patterns.
+    "q_url_domains" -> {
+      val host = graft.text.Urls.hostPattern
+      s"""WITH planted AS (
+         |  SELECT doc_id, text ||
+         |    (CASE WHEN doc_id % 2 = 0 THEN ' see https://sub' ||
+         |      CAST(doc_id % 5 AS VARCHAR) || '.example' ||
+         |      CAST(doc_id % 20 AS VARCHAR) || '.com/p/' ||
+         |      CAST(doc_id AS VARCHAR) ELSE '' END) ||
+         |    (CASE WHEN doc_id % 3 = 0 THEN ' via http://Mirror.Example.org/x'
+         |      ELSE '' END) AS text
+         |  FROM documents),
+         |h AS (
+         |  SELECT unnest(regexp_extract_all(text, '$host', 1)) AS host
+         |  FROM planted),
+         |d AS (
+         |  SELECT lower(host) AS lhost,
+         |    regexp_extract(lower(host), '([a-z0-9-]+\\.[a-z0-9-]+)$$', 1) AS domain
+         |  FROM h)
+         |SELECT domain, count(*) AS n_urls, count(DISTINCT lhost) AS n_hosts
+         |FROM d GROUP BY domain""".stripMargin
+    },
 
     // Same planted PII, same shared-syntax patterns (java.util.regex and
     // RE2 agree on them — see text.Redact), same redaction order.
