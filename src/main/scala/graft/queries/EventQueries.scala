@@ -840,18 +840,25 @@ object EventQueries extends QueryGroup {
         |       CAST(date_diff('day', pd, nd) AS DOUBLE)) END, 4) AS v,
         |  CAST(v IS NULL AS INT) AS interpolated
         |FROM f""".stripMargin,
-    // Gap-free daily series → ROWS 6 PRECEDING is the same window the
-    // scatter-and-regroup rebuilds; decimal window sums are exact, the
-    // average divides in float64 on both engines.
+    // Calendar-window formulation over the full date spine, so it equals
+    // the scatter-and-regroup for ANY input — with or without missing
+    // days (count(v)/sum(v) skip absent days; QUALIFY drops target dates
+    // no observation reaches, which trailingWindow never emits). Decimal
+    // window sums are exact; the average divides in float64.
     "q_moving_avg" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS d,
         |    CAST(round(avg(value), 4) AS DECIMAL(18,4)) AS v
-        |  FROM events WHERE event_type = 'view' GROUP BY 1)
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |b AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+        |spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM b),
+        |f AS (SELECT s.d, dy.v FROM spine s LEFT JOIN daily dy USING (d))
         |SELECT strftime(d, '%Y-%m-%d') AS d,
-        |  CAST(count(*) OVER w AS BIGINT) AS w_days,
+        |  CAST(count(v) OVER w AS BIGINT) AS w_days,
         |  round(CAST(CAST(sum(v) OVER w AS DECIMAL(18,4)) AS DOUBLE)
-        |    / (count(*) OVER w), 4) AS ma7
-        |FROM daily
-        |WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin)
+        |    / (count(v) OVER w), 4) AS ma7
+        |FROM f
+        |WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |QUALIFY count(v) OVER w > 0""".stripMargin)
 }

@@ -226,11 +226,15 @@ object RelationalQueries extends QueryGroup {
 
     // Per-group z-score outlier flagging: group moments from one partial-
     // agg'd pass, broadcast back into a map-only scoring projection.
-    // Never a per-group window over the fact table.
+    // Never a per-group window over the fact table. The moments are
+    // rounded to 6 decimals BEFORE scoring so both engines score from
+    // bit-identical doubles — aggregation-order epsilon in avg/stddev
+    // can otherwise flip rows sitting on the |z| > 3 threshold.
     "q_outliers" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val stats = ev.groupBy("event_type")
-        .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+        .agg(round(avg(col("value")), 6).as("mu"),
+          round(stddev_samp(col("value")), 6).as("sd"))
       ev.join(broadcast(stats), "event_type")
         .withColumn("z", (col("value") - col("mu")) / col("sd"))
         .filter(abs(col("z")) > 3.0)
@@ -371,7 +375,8 @@ object RelationalQueries extends QueryGroup {
         |GROUP BY 1""".stripMargin,
     "q_outliers" ->
       """WITH st AS (
-        |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+        |  SELECT event_type, round(avg(value), 6) AS mu,
+        |    round(stddev_samp(value), 6) AS sd
         |  FROM events GROUP BY event_type)
         |SELECT event_id, e.event_type, value,
         |  round((value - mu) / sd, 3) AS z

@@ -37,11 +37,14 @@ object Chunker {
       .withColumn("__nc", when(col("__n") <= chunkSize, lit(1))
         .otherwise(floor((col("__n") - lit(overlap + 1)) / lit(stride))
           .cast("int") + 1))
-    val start = col("chunk_id") * stride + 1
     base
       .withColumn("chunk_id", explode(sequence(lit(0), col("__nc") - 1)))
+      // Bind the slice once: n_tokens from the same array the text joins,
+      // not a second copy per output row.
+      .withColumn("__chunk",
+        slice(col("__toks"), col("chunk_id") * stride + 1, lit(chunkSize)))
       .select(col(idCol), col("chunk_id"),
-        size(slice(col("__toks"), start, lit(chunkSize))).as("n_tokens"),
-        array_join(slice(col("__toks"), start, lit(chunkSize)), " ").as("chunk_text"))
+        size(col("__chunk")).as("n_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
   }
 }
