@@ -47,6 +47,55 @@ object MultimodalQueries extends QueryGroup {
         "doc_id", "text", "video").toDF()
       Multimodal.sampleFrames(media, stride = 5, maxFrames = 4)
         .select(col("media_id"), col("frame_idx").cast("int").as("frame_idx"))
+    }),
+
+    // REAL audio decode (no stub): PCM WAV bytes synthesized per doc_id,
+    // then parsed back through the strict RIFF/PCM decoder
+    // (multimodal.Codecs.decodeWav) — header fields, sample count, peak
+    // and RMS all come from the byte-level parse. The oracle recomputes
+    // the same stats from the closed-form sample definition, so the
+    // encoder AND decoder sit under the hash gate. Map-only; payloads
+    // live and die inside one task.
+    "q_wav_decode" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = (200 + id % 57).toInt
+            val rate = (8000 + (id % 5) * 4000).toInt
+            val samples = Array.tabulate(n)(i =>
+              (((id * 31 + i * 7919L) % 65536L) - 32768L).toShort)
+            val w = graft.multimodal.Codecs.decodeWav(
+              graft.multimodal.Codecs.encodeWavPcm16(rate, samples))
+            (id, w.sampleRate, w.channels, w.bitsPerSample, w.nSamples,
+              w.peak, w.rms)
+          }
+        }
+        .toDF("doc_id", "sample_rate", "channels", "bits", "n_samples",
+          "peak", "rms")
+        .withColumn("rms", round(col("rms"), 4))
+    }),
+
+    // REAL image decode (no stub): 24bpp BMP bytes (padded bottom-up
+    // rows) synthesized per doc_id, parsed back through
+    // multimodal.Codecs.decodeBmp; mean luma sums integer-weighted
+    // channels so the oracle reproduces it exactly.
+    "q_bmp_decode" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = (8 + id % 9).toInt
+            val h = (4 + id % 5).toInt
+            val d = graft.multimodal.Codecs.decodeBmp(
+              graft.multimodal.Codecs.encodeBmp24(w, h, (x, y) =>
+                (((id + x + y) % 256).toInt, ((id + y) % 256).toInt,
+                  ((id + x) % 256).toInt)))
+            (id, d.width, d.height, d.bpp, d.meanLuma)
+          }
+        }
+        .toDF("doc_id", "width", "height", "bpp", "mean_luma")
+        .withColumn("mean_luma", round(col("mean_luma"), 4))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -68,5 +117,35 @@ object MultimodalQueries extends QueryGroup {
     "q_multimodal_frames" ->
       """SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx
         |FROM documents, range(0, 20, 5) t(f)
-        |WHERE doc_id % 3 = 0""".stripMargin)
+        |WHERE doc_id % 3 = 0""".stripMargin,
+    // Closed-form restatement of the synthesized PCM: integer squares sum
+    // exactly (< 2^53), one float64 division, IEEE sqrt — what the real
+    // byte-level decoder must reproduce.
+    "q_wav_decode" ->
+      """WITH ids AS (SELECT doc_id, 200 + doc_id % 57 AS n FROM documents),
+        |s AS (SELECT doc_id, n, unnest(range(n)) AS i FROM ids),
+        |v AS (SELECT doc_id, n,
+        |  ((doc_id * 31 + i * 7919) % 65536) - 32768 AS smp FROM s)
+        |SELECT doc_id,
+        |  CAST(8000 + (doc_id % 5) * 4000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS channels,
+        |  CAST(16 AS INT) AS bits,
+        |  CAST(n AS INT) AS n_samples,
+        |  CAST(max(abs(smp)) AS INT) AS peak,
+        |  round(sqrt(sum(smp * smp) / CAST(n AS DOUBLE)), 4) AS rms
+        |FROM v GROUP BY doc_id, n""".stripMargin,
+    "q_bmp_decode" ->
+      """WITH ids AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 5 AS h
+        |  FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(range(w)) AS x FROM ids),
+        |px AS (SELECT doc_id, w, h, x, unnest(range(h)) AS y FROM xs),
+        |l AS (SELECT doc_id, w, h,
+        |  299 * ((doc_id + x + y) % 256) + 587 * ((doc_id + y) % 256)
+        |    + 114 * ((doc_id + x) % 256) AS luma
+        |  FROM px)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(24 AS INT) AS bpp,
+        |  round(sum(luma) / (1000.0 * w * h), 4) AS mean_luma
+        |FROM l GROUP BY doc_id, w, h""".stripMargin)
 }

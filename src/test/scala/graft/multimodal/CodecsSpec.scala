@@ -1,0 +1,63 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+class CodecsSpec extends AnyFunSuite {
+
+  test("WAV roundtrip: header fields, sample count, peak, RMS") {
+    val samples = Array[Short](0, 100, -200, 32767, -32768, 5)
+    val w = Codecs.decodeWav(Codecs.encodeWavPcm16(44100, samples))
+    assert(w.sampleRate == 44100 && w.channels == 1 && w.bitsPerSample == 16)
+    assert(w.nSamples == 6 && w.peak == 32768)
+    val expectedRms = math.sqrt(
+      samples.map(s => s.toLong * s).sum / samples.length.toDouble)
+    assert(w.rms == expectedRms)
+  }
+
+  test("WAV decoder skips unknown chunks before data (word-aligned)") {
+    val base = Codecs.encodeWavPcm16(8000, Array[Short](7, -7))
+    // Splice a 3-byte LIST chunk (padded to 4) between fmt and data.
+    val insertAt = 36 // end of fmt chunk
+    val extra = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+    extra.put("LIST".getBytes("US-ASCII")).putInt(3)
+      .put(Array[Byte](1, 2, 3, 0))
+    val spliced = base.take(insertAt) ++ extra.array() ++ base.drop(insertAt)
+    // Patch RIFF size (offset 4).
+    val bb = ByteBuffer.wrap(spliced).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8)
+    val w = Codecs.decodeWav(spliced)
+    assert(w.nSamples == 2 && w.peak == 7)
+  }
+
+  test("WAV decoder rejects malformed input") {
+    intercept[IllegalArgumentException](Codecs.decodeWav(Array[Byte](1, 2, 3)))
+    intercept[IllegalArgumentException](
+      Codecs.decodeWav("RIFFxxxxJUNK".getBytes("US-ASCII")))
+    // Valid container, non-PCM format code.
+    val bad = Codecs.encodeWavPcm16(8000, Array[Short](1))
+    val bb = ByteBuffer.wrap(bad).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putShort(20, 3.toShort) // fmt audioFormat -> IEEE float
+    intercept[IllegalArgumentException](Codecs.decodeWav(bad))
+  }
+
+  test("BMP roundtrip incl. non-multiple-of-4 row padding") {
+    // width 3 -> rowBytes 9 -> pad 3; distinct per-pixel values.
+    val enc = Codecs.encodeBmp24(3, 2, (x, y) => (10 * x + y, 20 + x, 40 + y))
+    val d = Codecs.decodeBmp(enc)
+    assert(d.width == 3 && d.height == 2 && d.bpp == 24)
+    val lumaSum = (for { y <- 0 until 2; x <- 0 until 3 } yield
+      299L * (10 * x + y) + 587L * (20 + x) + 114L * (40 + y)).sum
+    assert(d.meanLuma == lumaSum / (1000.0 * 6))
+  }
+
+  test("BMP decoder rejects malformed input") {
+    intercept[IllegalArgumentException](Codecs.decodeBmp(new Array[Byte](10)))
+    val good = Codecs.encodeBmp24(2, 2, (_, _) => (1, 2, 3))
+    val notBmp = good.clone(); notBmp(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Codecs.decodeBmp(notBmp))
+    val truncated = good.take(good.length - 4)
+    intercept[IllegalArgumentException](Codecs.decodeBmp(truncated))
+  }
+}
