@@ -98,6 +98,28 @@ object StreamingIngest {
       .select(col("window.start").as("bucket"), col("Broadcast_Type"),
         col("Count"), col("Total_Value"))
 
+  /** Sliding event-time windows — the streaming twin of
+    * `TimeSeries.trailingWindow`: each event contributes to
+    * window/slide overlapping windows (Spark expands the row to its
+    * windows at map time, so the shuffle still carries partial
+    * aggregates keyed by (window, type)); the watermark bounds state,
+    * finalizing and evicting a window once event time passes its end
+    * plus the delay.
+    */
+  def slidingCounts(
+      broadcasts: DataFrame,
+      windowDuration: String = "12 hours",
+      slideDuration: String = "6 hours",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    broadcasts
+      .withWatermark("Timestamp", watermarkDelay)
+      .groupBy(window(col("Timestamp"), windowDuration, slideDuration),
+        col("Broadcast_Type"))
+      .agg(count(lit(1)).as("Count"), sum(col("Item_Value")).as("Total_Value"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"),
+        col("Broadcast_Type"), col("Count"), col("Total_Value"))
+
   /** Gold rebuild per micro-batch (`foreachBatch`): clan-scale gold is a
     * full rebuild each trigger, exactly like the reference's 15-minute
     * cron (SURVEY.md §2.7 T7 — period boundaries move every run, so
