@@ -248,6 +248,24 @@ object RelationalQueries extends QueryGroup {
       graft.ops.FuzzyJoin.selfJoin(
         Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
         "c_custkey", "c_name", prefixLen = 16, maxDist = 1)
+    }),
+
+    // CDC-style snapshot diff (see graft.ops.Reconcile): snapshot B is
+    // derived from A with planted removals (%97), value mutations
+    // (%101), and inserts under fresh keys (%103 + 10M). The hash-keyed
+    // full-outer join must classify exactly those keys; the oracle
+    // classifies by direct value comparison — equivalent verdicts, since
+    // the hash canonicalization is injective on values.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val a = Tables.orders(s, dir)
+      val surviving = a.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(101)) === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      val added = a.filter(pmod(col("o_orderkey"), lit(103)) === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+      graft.ops.Reconcile.snapshotDiff(
+        a, surviving.unionByName(added), Seq("o_orderkey"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -388,5 +406,34 @@ object RelationalQueries extends QueryGroup {
         |FROM customer a JOIN customer b
         |  ON substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
         | AND a.c_custkey < b.c_custkey
-        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin)
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 103 = 0)
+        |SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  CASE WHEN a.o_orderkey IS NULL THEN 'added'
+        |       WHEN b.o_orderkey IS NULL THEN 'removed'
+        |       WHEN a.o_custkey IS DISTINCT FROM b.o_custkey
+        |         OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+        |         OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+        |         OR a.o_orderdate IS DISTINCT FROM b.o_orderdate
+        |         OR a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
+        |       THEN 'changed' END AS change_type
+        |FROM orders a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+        |WHERE CASE WHEN a.o_orderkey IS NULL THEN 'added'
+        |       WHEN b.o_orderkey IS NULL THEN 'removed'
+        |       WHEN a.o_custkey IS DISTINCT FROM b.o_custkey
+        |         OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+        |         OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+        |         OR a.o_orderdate IS DISTINCT FROM b.o_orderdate
+        |         OR a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
+        |       THEN 'changed' END IS NOT NULL""".stripMargin)
 }
