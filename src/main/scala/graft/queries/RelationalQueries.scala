@@ -266,6 +266,22 @@ object RelationalQueries extends QueryGroup {
         .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
       graft.ops.Reconcile.snapshotDiff(
         a, surviving.unionByName(added), Seq("o_orderkey"))
+    }),
+
+    // Incremental rollup maintenance under the gate: three month-slice
+    // increments merged into a running state (gold.IncrementalRollup)
+    // must equal DuckDB's one-shot aggregation over all history —
+    // decimal merges are exact, so the equality is bit-for-bit.
+    "q_incremental_rollup" -> ((s, dir) => {
+      import graft.gold.IncrementalRollup
+      val facts = Tables.orders(s, dir)
+      val slices = Seq(0, 1, 2).map(m =>
+        IncrementalRollup.incrementOf(
+          facts.filter(pmod(col("o_orderkey"), lit(3)) === m),
+          Seq("o_custkey"), "o_totalprice"))
+      slices.reduce(IncrementalRollup.merge)
+        .select(col("o_custkey"), col("cnt"),
+          col("total").cast("double").as("total"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -435,5 +451,9 @@ object RelationalQueries extends QueryGroup {
         |         OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
         |         OR a.o_orderdate IS DISTINCT FROM b.o_orderdate
         |         OR a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
-        |       THEN 'changed' END IS NOT NULL""".stripMargin)
+        |       THEN 'changed' END IS NOT NULL""".stripMargin,
+    "q_incremental_rollup" ->
+      """SELECT o_custkey, count(*) AS cnt,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_custkey""".stripMargin)
 }
