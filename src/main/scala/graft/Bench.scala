@@ -69,10 +69,14 @@ object Bench {
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Also land the line in a file: sbt prefixes stdout with [info], which
-    // can defeat a line-oriented JSON parse downstream.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // can defeat a line-oriented JSON parse downstream. Skipped for
+    // SPARK_GRAFT_ONLY runs — a partial total in bench_last.json is
+    // indistinguishable from a full-suite number.
+    if (only.isEmpty) {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
   }
 }

@@ -85,9 +85,25 @@ object Decontaminate {
     val agg = new BloomFilterAggregate(
       GraftColumnBridge.expression(xxhash64(keyCol)),
       Literal(math.max(estItems, 1L)), Literal(numBits)).toAggregateExpression()
-    val bloomRow = filterSide
-      .select(GraftColumnBridge.column(agg).as("__bf"))
-      .head()
+    // BloomFilterAggregate silently Math.min's the requested size against
+    // the runtime-filter session caps (maxNumItems defaults to 4M,
+    // maxNumBits to 2^26) — an estItems above those would otherwise get a
+    // filter with ~1 bit/item and tens-of-percent fpp while still paying
+    // the aggregate. Raise the caps to OUR sizing for just this build,
+    // then restore.
+    val spark = filterSide.sparkSession
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val saved = Seq(itemsKey, bitsKey).map(k => k -> spark.conf.getOption(k))
+    val bloomRow =
+      try {
+        spark.conf.set(itemsKey, math.max(estItems, 1L).toString)
+        spark.conf.set(bitsKey, numBits.toString)
+        filterSide.select(GraftColumnBridge.column(agg).as("__bf")).head()
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
     // Empty filter side aggregates to NULL — nothing can match, and the
     // caller's exact join needs no help discarding everything.
     if (bloomRow.isNullAt(0)) rows.limit(0)

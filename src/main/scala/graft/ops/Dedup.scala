@@ -350,9 +350,11 @@ object Dedup {
     * ([[localUnionFind]]) instead of more distributed rounds — the standard
     * multi-level shape (distributed contraction → local phase) that saves
     * the O(log n) tail of tiny rounds, each of which costs ~6 shuffle
-    * stages regardless of data volume. Every round already counts the
-    * working set to materialize its checkpoint, so the threshold check is
-    * free; correctness is unaffected (union-find on the contracted graph
+    * stages regardless of data volume. The gating count() doubles as the
+    * round's checkpoint materializer (the star-forest probe then reads
+    * the cached edges, and is short-circuited away once the threshold is
+    * reached), so the gate adds one cached-scan per round, not a
+    * recompute; correctness is unaffected (union-find on the contracted graph
     * yields the same min-reachable labels, and rounds preserve both
     * connectivity and node presence). Pass `localFinishEdges = 0` to force
     * pure distributed rounds (the property specs do, to exercise them).

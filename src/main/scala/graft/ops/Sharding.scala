@@ -76,7 +76,11 @@ object Sharding {
     val missing = target.keySet -- totals.keySet
     require(missing.isEmpty, s"target groups absent from data: $missing")
     val s = target.map { case (g, t) => totals(g) / t }.min
-    target.map { case (g, t) => g -> t * s / totals(g) }
+    // The binding group's fraction is exactly 1 mathematically, but the
+    // double rounding of t*(total/t)/total can land one ulp above it
+    // (e.g. t=0.003, total=7.0) — clamp so sampleMixture's domain check
+    // holds. Parity-safe: any threshold ≥ 2^60 keeps every row anyway.
+    target.map { case (g, t) => g -> math.min(1.0, t * s / totals(g)) }
   }
 
   /** Deterministic per-group fraction sampling — the mixture-resampling

@@ -35,12 +35,16 @@ object Repetition {
     * to 4 decimals (oracle-stable).
     */
   def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val grams = Seq(1, 2, 3)
-      .map { n =>
-        docs.select(col(idCol), lit(n).as("__n"),
-          explode(graft.expr.WordShingles.shingles(col(textCol), n)).as("__g"))
-      }
-      .reduce(_ unionAll _)
+    // ONE source scan: the three shingle builds run in a single
+    // projection (tagged structs), then two generator steps unfold them —
+    // a 3-way unionAll would read and decode the corpus three times.
+    val grams = docs
+      .select(col(idCol), explode(array(Seq(1, 2, 3).map { n =>
+        struct(lit(n).as("__n"),
+          graft.expr.WordShingles.shingles(col(textCol), n).as("__gs"))
+      }: _*)).as("__e"))
+      .select(col(idCol), col("__e.__n").as("__n"),
+        explode(col("__e.__gs")).as("__g"))
 
     val perGram = grams
       .groupBy(col(idCol), col("__n"), col("__g"))
