@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Empty inputs must yield empty (not crash) across the round-6 operator
+  * family — the degenerate case every scheduled pipeline eventually hits
+  * (an empty increment, a filter that matches nothing).
+  */
+class EmptyInputSpec extends AnyFunSuite with SparkTestBase {
+
+  private def emptyDocs = {
+    import spark.implicits._
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  }
+
+  test("TfIdf, Chunker, Repetition on an empty corpus") {
+    assert(graft.text.TfIdf.topTerms(emptyDocs, "doc_id", "text", 3).count() == 0)
+    assert(graft.text.Chunker.chunk(emptyDocs, "doc_id", "text", 50, 10).count() == 0)
+    assert(graft.text.Repetition.profile(emptyDocs, "doc_id", "text").count() == 0)
+  }
+
+  test("FuzzyJoin, Quantiles, Reconcile on empty tables") {
+    import spark.implicits._
+    val e = Seq.empty[(Long, String)].toDF("id", "name")
+    assert(FuzzyJoin.selfJoin(e, "id", "name", 2, 1).count() == 0)
+    val en = Seq.empty[(Long, Double)].toDF("id", "x")
+    assert(Quantiles.bucketize(en, "x", Seq(0.5), exact = true).count() == 0)
+    assert(Reconcile.snapshotDiff(e, e, Seq("id")).count() == 0)
+    // One empty side: everything classifies one way.
+    val a = Seq((1L, "x")).toDF("id", "name")
+    assert(Reconcile.snapshotDiff(a, e, Seq("id"))
+      .as[(Long, String)].collect().toSet == Set((1L, "removed")))
+    assert(Reconcile.snapshotDiff(e, a, Seq("id"))
+      .as[(Long, String)].collect().toSet == Set((1L, "added")))
+  }
+
+  test("TimeSeries interpolate / trailing window on an empty series") {
+    import spark.implicits._
+    val s = Seq.empty[(java.sql.Date, Double)].toDF("d", "v")
+    assert(TimeSeries.interpolateLinear(s, "d", "v",
+      TimeSeries.weekChunk(col("d"))).count() == 0)
+    assert(TimeSeries.trailingWindow(s, "d", "v", 7).count() == 0)
+  }
+}
