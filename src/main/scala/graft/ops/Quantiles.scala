@@ -38,4 +38,24 @@ object Quantiles {
       .withColumn("q_bucket", bucket)
       .drop("__qs")
   }
+
+  /** Per-group variant — "which quartile of ITS CATEGORY is this row in":
+    * boundaries per `groupCols` from one aggregate pass, broadcast-joined
+    * back (the boundary table is #groups rows), then the same map-only
+    * banding. The fact table still never sorts globally or per group.
+    */
+  def bucketizeByGroup(df: DataFrame, xCol: String, groupCols: Seq[String],
+      probs: Seq[Double], exact: Boolean): DataFrame = {
+    val ps = array(probs.map(lit): _*)
+    val boundsAgg: Column =
+      if (exact) percentile(col(xCol), ps)
+      else percentile_approx(col(xCol), ps, lit(10000))
+    val bounds = df.groupBy(groupCols.map(col): _*).agg(boundsAgg.as("__qs"))
+    val bucket = probs.indices.foldLeft(lit(0)) { (acc, i) =>
+      acc + (col(xCol) > col("__qs").getItem(i)).cast("int")
+    }
+    df.join(broadcast(bounds), groupCols)
+      .withColumn("q_bucket", bucket)
+      .drop("__qs")
+  }
 }

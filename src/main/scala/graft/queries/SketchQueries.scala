@@ -81,6 +81,18 @@ object SketchQueries extends QueryGroup {
         "x", Seq(0.25, 0.5, 0.75), exact = true)
         .groupBy(col("q_bucket"))
         .agg(count(lit(1)).as("n"), min(col("x")).as("min_x"), max(col("x")).as("max_x"))
+    }),
+
+    // Per-group quartiles: which quartile of ITS return-flag class each
+    // row's price falls in — boundaries per group, broadcast back, fact
+    // table never sorted (see Quantiles.bucketizeByGroup).
+    "q_group_quantile_bucket" -> ((s, dir) => {
+      graft.ops.Quantiles.bucketizeByGroup(
+        Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_extendedprice").as("x")),
+        "x", Seq("l_returnflag"), Seq(0.25, 0.5, 0.75), exact = true)
+        .groupBy(col("l_returnflag"), col("q_bucket"))
+        .agg(count(lit(1)).as("n"), min(col("x")).as("min_x"), max(col("x")).as("max_x"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -107,5 +119,18 @@ object SketchQueries extends QueryGroup {
         |    + CAST(l_extendedprice > q3 AS INT) AS q_bucket,
         |  count(*) AS n, min(l_extendedprice) AS min_x, max(l_extendedprice) AS max_x
         |FROM lineitem, q
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+    "q_group_quantile_bucket" ->
+      """WITH q AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.25) AS q1,
+        |    quantile_cont(l_extendedprice, 0.5) AS q2,
+        |    quantile_cont(l_extendedprice, 0.75) AS q3
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  CAST(l_extendedprice > q1 AS INT) + CAST(l_extendedprice > q2 AS INT)
+        |    + CAST(l_extendedprice > q3 AS INT) AS q_bucket,
+        |  count(*) AS n, min(l_extendedprice) AS min_x, max(l_extendedprice) AS max_x
+        |FROM lineitem JOIN q USING (l_returnflag)
+        |GROUP BY 1, 2""".stripMargin)
 }

@@ -27,6 +27,17 @@ class QuantilesSpec extends AnyFunSuite with SparkTestBase {
     assert(b(3.0) == 0 && b(4.0) == 1)
   }
 
+  test("per-group banding uses each group's own boundaries") {
+    import spark.implicits._
+    // Group a: 1..4 (median 2.5); group b: 100..400 (median 250).
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 100.0), ("b", 200.0), ("b", 300.0), ("b", 400.0)).toDF("g", "x")
+    val out = Quantiles.bucketizeByGroup(df, "x", Seq("g"), Seq(0.5), exact = true)
+      .as[(String, Double, Int)].collect().toSet
+    assert(out == Set(("a", 1.0, 0), ("a", 2.0, 0), ("a", 3.0, 1), ("a", 4.0, 1),
+      ("b", 100.0, 0), ("b", 200.0, 0), ("b", 300.0, 1), ("b", 400.0, 1)))
+  }
+
   test("approx boundaries band all rows and stay near the exact split") {
     import spark.implicits._
     val df = (1 to 10000).map(_.toDouble).toDF("x").repartition(7)
