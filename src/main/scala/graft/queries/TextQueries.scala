@@ -169,6 +169,29 @@ object TextQueries extends QueryGroup {
           md5(col("chunk_text")).as("chunk_md5"))
     }),
 
+    // Next-token statistics: top-3 bigram continuations per head word
+    // with conditional probability — the corpus-exploration dual of the
+    // repetition profile. Fully relational (shingle explode → two
+    // partial-agg'd shuffles → per-head top-k window over that head's
+    // continuations only); c1 >= 20 keeps only statistically meaningful
+    // heads. Probabilities divide exact longs in float64, so any engine
+    // rounds identically.
+    "q_bigram_lm" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val parts = Tables.documents(s, dir)
+        .select(explode(graft.expr.WordShingles.shingles(col("text"), 2)).as("bg"))
+        .select(split(col("bg"), " ").as("t"))
+        .select(col("t").getItem(0).as("w1"), col("t").getItem(1).as("w2"))
+      val pair = parts.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val uni = pair.groupBy("w1").agg(sum("c12").as("c1"))
+      val scored = pair.join(uni, "w1")
+        .withColumn("p", round(col("c12").cast("double") / col("c1"), 4))
+      val w = Window.partitionBy("w1").orderBy(col("p").desc, col("w2").asc)
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 3 && col("c1") >= 20)
+        .select(col("w1"), col("w2"), col("c12"), col("p"))
+    }),
+
     // Domain-level provenance rollup (CommonCrawl-style): URLs planted
     // deterministically from doc_id (corpus has none), hosts extracted
     // with a shared-syntax regex, grouped by registered domain.
@@ -441,6 +464,22 @@ object TextQueries extends QueryGroup {
          |  md5(array_to_string(list_slice(toks, i * 40 + 1, i * 40 + 50), ' '))
          |    AS chunk_md5
          |FROM u""".stripMargin,
+
+    // Same bigram shingles; exact-long division rounds identically.
+    "q_bigram_lm" ->
+      s"""WITH bg AS (
+         |  SELECT unnest(${OracleSql.shinglesSqlN(2)}) AS bg FROM documents),
+         |pt AS (SELECT string_split(bg, ' ')[1] AS w1,
+         |              string_split(bg, ' ')[2] AS w2 FROM bg),
+         |pair AS (SELECT w1, w2, count(*) AS c12 FROM pt GROUP BY 1, 2),
+         |uni AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM pair GROUP BY 1),
+         |sc AS (
+         |  SELECT w1, w2, c12, c1,
+         |    round(c12 / CAST(c1 AS DOUBLE), 4) AS p
+         |  FROM pair JOIN uni USING (w1)),
+         |r AS (SELECT *, row_number() OVER
+         |  (PARTITION BY w1 ORDER BY p DESC, w2) AS rn FROM sc)
+         |SELECT w1, w2, c12, p FROM r WHERE rn <= 3 AND c1 >= 20""".stripMargin,
 
     // Same planted URLs, same shared-syntax host/domain patterns.
     "q_url_domains" -> {
