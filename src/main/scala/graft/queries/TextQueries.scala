@@ -169,6 +169,22 @@ object TextQueries extends QueryGroup {
           md5(col("chunk_text")).as("chunk_md5"))
     }),
 
+    // BM25 relevance for the query {hash, join, scan} (see text.Bm25).
+    // Per-term partial scores come back from the operator; the final sum
+    // runs in FIXED column order so the float64 additions associate
+    // identically on any engine.
+    "q_bm25" -> ((s, dir) => {
+      val ts = graft.text.Bm25.termScores(
+        Tables.documents(s, dir), "doc_id", "text", Seq("hash", "join", "scan"))
+      ts.groupBy("doc_id").agg(
+        max(when(col("term") === "hash", col("score"))).as("__s1"),
+        max(when(col("term") === "join", col("score"))).as("__s2"),
+        max(when(col("term") === "scan", col("score"))).as("__s3"))
+        .select(col("doc_id"),
+          round(coalesce(col("__s1"), lit(0.0)) + coalesce(col("__s2"), lit(0.0))
+            + coalesce(col("__s3"), lit(0.0)), 4).as("bm25"))
+    }),
+
     // Next-token statistics: top-3 bigram continuations per head word
     // with conditional probability — the corpus-exploration dual of the
     // repetition profile. Fully relational (shingle explode → two
@@ -464,6 +480,37 @@ object TextQueries extends QueryGroup {
          |  md5(array_to_string(list_slice(toks, i * 40 + 1, i * 40 + 50), ' '))
          |    AS chunk_md5
          |FROM u""".stripMargin,
+
+    // Same tokens, same arithmetic association, constants interpolated
+    // from the Scala doubles (shortest-roundtrip strings, so DuckDB
+    // parses back the identical float64), same fixed-order final sum.
+    "q_bm25" -> {
+      val k1 = 1.2; val b = 0.75
+      val k1p1 = (k1 + 1.0).toString; val oneMb = (1.0 - b).toString
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${OracleSql.toksSql}) AS term FROM documents),
+         |t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+         |       WHERE term IN ('hash', 'join', 'scan') GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |       (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM dl) AS avgdl),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+         |    ((tf * $k1p1) / (tf + $k1 * ($oneMb + $b * (dl / avgdl)))) AS score
+         |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), st),
+         |p AS (SELECT doc_id,
+         |    max(CASE WHEN term = 'hash' THEN score END) AS s1,
+         |    max(CASE WHEN term = 'join' THEN score END) AS s2,
+         |    max(CASE WHEN term = 'scan' THEN score END) AS s3
+         |  FROM sc GROUP BY doc_id)
+         |SELECT doc_id,
+         |  round(coalesce(s1, 0.0) + coalesce(s2, 0.0) + coalesce(s3, 0.0), 4)
+         |    AS bm25
+         |FROM p""".stripMargin
+    },
 
     // Same bigram shingles; exact-long division rounds identically.
     "q_bigram_lm" ->
