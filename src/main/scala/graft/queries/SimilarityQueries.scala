@@ -68,6 +68,17 @@ object SimilarityQueries extends QueryGroup {
           col("rank").cast("int").as("rank"), round(col("cos"), 4).as("cos"))
     }),
 
+    // Semantic dedup clusters: connected components over the embedding
+    // near-dup graph (cosine > 0.4) — the modern "keep one per meaning
+    // cluster" step, composed from the existing brute pair generator
+    // (oracle baseline; the scale path feeds lshTopK pairs into the same
+    // relational large-star/small-star CC).
+    "q_embedding_clusters" -> ((s, dir) => {
+      val pairs = graft.ops.Dedup.embeddingNearDupBrute(
+        Tables.embeddings(s, dir), "vec_id", "embedding", 0.4)
+      graft.ops.Dedup.connectedComponents(pairs, "id_a", "id_b")
+    }),
+
     // Per-label centroid (avg pooling) — the IVF coarse-quantizer /
     // class-prototype step. Relational shape: posexplode to (label, pos)
     // keys, partial-agg'd average per dimension — the shuffle carries
@@ -188,6 +199,25 @@ object SimilarityQueries extends QueryGroup {
         |  FROM cand)
         |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
         |FROM ranked WHERE rank <= 3""".stripMargin,
+    // Same pair graph as q_embedding_neardup; min-label reachability CTE
+    // equals the engine's star-contraction components.
+    "q_embedding_clusters" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |pr AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) > 0.4),
+        |sym AS (
+        |  SELECT id_a AS u, id_b AS v FROM pr
+        |  UNION SELECT id_b, id_a FROM pr),
+        |walk(id, comp) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM sym) n
+        |  UNION
+        |  SELECT s.v, w.comp FROM walk w JOIN sym s ON s.u = w.id)
+        |SELECT id, CAST(min(comp) AS BIGINT) AS component
+        |FROM walk GROUP BY id""".stripMargin,
     "q_embedding_centroid" ->
       """WITH e AS (
         |  SELECT label, unnest(embedding) AS x,
