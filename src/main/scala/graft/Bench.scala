@@ -57,16 +57,25 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // A failed query's time-to-failure must not masquerade as a healthy
+    // run: surface the failures in the JSON itself.
+    val failedField =
+      if (failed.isEmpty) ""
+      else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$failedField%s}"""
     println(line)
     // Also land the line in a file: sbt prefixes stdout with [info], which
     // can defeat a line-oriented JSON parse downstream. Skipped for

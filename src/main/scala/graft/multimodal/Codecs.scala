@@ -138,6 +138,8 @@ object Codecs {
     require(buf.get() == 'B'.toByte && buf.get() == 'M'.toByte, "not a BMP")
     buf.getInt; buf.getInt // file size, reserved
     val dataOffset = buf.getInt
+    require(dataOffset >= 54 && dataOffset <= bytes.length,
+      "pixel data offset outside payload")
     require(buf.getInt == 40, "only BITMAPINFOHEADER supported")
     val width = buf.getInt
     val height = buf.getInt
@@ -146,9 +148,12 @@ object Codecs {
     val bpp = buf.getShort.toInt
     require(bpp == 24, "only 24bpp supported")
     require(buf.getInt == 0, "compressed BMP unsupported")
-    val rowBytes = width * 3
-    val stride = rowBytes + (4 - rowBytes % 4) % 4
-    require(bytes.length >= dataOffset + stride * height, "pixel data truncated")
+    // Size math in Long: crafted width/height must fail the require, not
+    // overflow Int into a bounds check that passes and an AIOOBE later.
+    val strideL = { val rb = 3L * width; rb + (4 - rb % 4) % 4 }
+    require(strideL * height <= bytes.length.toLong - dataOffset,
+      "pixel data truncated")
+    val stride = strideL.toInt
 
     var lumaSum = 0L
     var y = 0

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.BinaryType
 
@@ -82,35 +81,23 @@ object Decontaminate {
       estItems: Long): DataFrame = {
     // ~8 bits/item ≈ 2% fpp, capped at 2^27 bits (16 MiB) — broadcast-safe.
     val numBits = math.min(8L * math.max(estItems, 1L), 1L << 27)
-    val agg = new BloomFilterAggregate(
-      GraftColumnBridge.expression(xxhash64(keyCol)),
-      Literal(math.max(estItems, 1L)), Literal(numBits)).toAggregateExpression()
-    // BloomFilterAggregate silently Math.min's the requested size against
-    // the runtime-filter session caps (maxNumItems defaults to 4M,
-    // maxNumBits to 2^26) — an estItems above those would otherwise get a
-    // filter with ~1 bit/item and tens-of-percent fpp while still paying
-    // the aggregate. Raise the caps to OUR sizing for just this build,
-    // then restore.
-    val spark = filterSide.sparkSession
-    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val saved = Seq(itemsKey, bitsKey).map(k => k -> spark.conf.getOption(k))
-    val bloomRow =
-      try {
-        spark.conf.set(itemsKey, math.max(estItems, 1L).toString)
-        spark.conf.set(bitsKey, numBits.toString)
-        filterSide.select(GraftColumnBridge.column(agg).as("__bf")).head()
-      } finally saved.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
-      }
-    // Empty filter side aggregates to NULL — nothing can match, and the
-    // caller's exact join needs no help discarding everything.
-    if (bloomRow.isNullAt(0)) rows.limit(0)
+    // Built via DataFrameStatFunctions.bloomFilter (a distributed
+    // treeAggregate honoring OUR sizing exactly), NOT BloomFilterAggregate
+    // — that expression silently Math.min's its size against the
+    // runtime-filter session caps (4M items / 2^26 bits by default), and
+    // temporarily raising the caps would mutate session state shared with
+    // concurrent queries. The probe side still uses the codegen'd
+    // might_contain over the same serialized filter format.
+    val keyed = filterSide.select(xxhash64(keyCol).as("__h"))
+    // Guard first: stat.bloomFilter NPEs on an empty input (its internal
+    // aggregate yields null bytes). Nothing can match an empty key set.
+    if (keyed.isEmpty) rows.limit(0)
     else {
-      val bytes = bloomRow.getAs[Array[Byte]](0)
+      val bf = keyed.stat.bloomFilter("__h", math.max(estItems, 1L), numBits)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
       rows.filter(GraftColumnBridge.column(BloomFilterMightContain(
-        Literal(bytes, BinaryType),
+        Literal(bos.toByteArray, BinaryType),
         GraftColumnBridge.expression(xxhash64(keyCol)))))
     }
   }

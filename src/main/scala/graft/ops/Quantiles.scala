@@ -43,6 +43,11 @@ object Quantiles {
     * boundaries per `groupCols` from one aggregate pass, broadcast-joined
     * back (the boundary table is #groups rows), then the same map-only
     * banding. The fact table still never sorts globally or per group.
+    *
+    * Contract: rows with a NULL group key are DROPPED (the boundary join
+    * is null-unsafe — a quantile of an undefined category is undefined);
+    * filter or fill group keys upstream if every row must survive.
+    * [[bucketize]] (the global variant) keeps all rows.
     */
   def bucketizeByGroup(df: DataFrame, xCol: String, groupCols: Seq[String],
       probs: Seq[Double], exact: Boolean): DataFrame = {

@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: each side collapses to (key, value-hash) in a map-only
   * projection, so the full-outer join shuffles two slim columns instead
-  * of whole rows. Value canonicalization is null-sentinel'd string
-  * concat → md5; any engine re-deriving the comparison row-by-row gets
-  * the same verdicts (Java's shortest-roundtrip double formatting is
-  * injective, so hash equality == value equality barring md5 collision).
+  * of whole rows. Value canonicalization is INJECTIVE: each cell is
+  * tagged (null vs value — so NULL never collides with any string) and
+  * md5'd individually, and the row hash digests the concatenation of
+  * those fixed-length digests — no column-boundary aliasing, no
+  * separator-in-the-data aliasing. Java's shortest-roundtrip double
+  * formatting is injective, so hash equality == value equality barring
+  * md5 collision.
   */
 object Reconcile {
 
@@ -25,11 +28,16 @@ object Reconcile {
     require(a.columns.sameElements(b.columns),
       s"schema mismatch: ${a.columns.mkString(",")} vs ${b.columns.mkString(",")}")
     val valCols = a.columns.filterNot(keys.contains)
+    // Per-cell tag ("n"/"v" disambiguates NULL from every string) then
+    // per-cell md5: fixed-length digests concatenate without boundary
+    // ambiguity, so the row hash is injective on the value tuple.
+    def cell(c: String) = md5(
+      when(col(c).isNull, lit("n")).otherwise(concat(lit("v"), col(c).cast("string"))))
+    // All-key schemas degenerate to pure presence diffing.
+    val rowHash =
+      if (valCols.isEmpty) lit("") else md5(concat(valCols.map(cell): _*))
     def hashed(df: DataFrame, tag: String) = df.select(
-      keys.map(col) :+
-        md5(concat_ws("\u0001",
-          valCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
-          .as(s"__h_$tag"): _*)
+      keys.map(col) :+ rowHash.as(s"__h_$tag"): _*)
     hashed(a, "a").join(hashed(b, "b"), keys, "full_outer")
       .withColumn("change_type",
         when(col("__h_a").isNull, "added")

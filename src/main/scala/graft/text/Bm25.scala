@@ -9,14 +9,17 @@ import org.apache.spark.sql.functions._
   * standard retrieval scorer, and the ranking half of a RAG/search
   * pipeline over a curated corpus.
   *
-  * Relational shape, same discipline as [[TfIdf]]: one tokenize pass,
-  * the query-term filter pushed into the explode (only matching terms
-  * survive to the shuffle), per-doc term frequencies and document
-  * lengths by key-partitioned partial aggregation, corpus stats (N,
-  * avgdl) as one-row broadcasts. Per-(doc, term) scores come back for
-  * the caller to combine — summing in a FIXED column order keeps the
-  * float64 arithmetic reproducible across engines (a groupBy sum over
-  * doubles would re-associate).
+  * Relational shape: the per-doc aggregation computes document length
+  * AND every per-query-term frequency together (one conditional count
+  * per term — the fixed query vocabulary rides as columns through a
+  * single key-partitioned shuffle), then unpivots. The corpus-stats
+  * branch (N, avgdl) re-aggregates the same subtree; column pruning
+  * specializes it, so the corpus pays at most two token passes — score
+  * and stats — never one per statistic. Callers scoring many queries
+  * against one corpus should cache the tokenized per-doc table.
+  * Per-(doc, term) scores come back for the caller to combine — summing
+  * in a FIXED column order keeps the float64 arithmetic reproducible
+  * across engines (a groupBy sum over doubles would re-associate).
   */
 object Bm25 {
 
@@ -32,20 +35,31 @@ object Bm25 {
       .select(col(idCol),
         explode(split(Dedup.normalizeText(col(textCol)), " ")).as("term"))
       .filter(col("term") =!= "")
-    val dl = toks.groupBy(idCol).agg(count(lit(1)).as("__dl"))
-    val tf = toks.filter(col("term").isin(queryTerms: _*))
-      .groupBy(idCol, "term").agg(count(lit(1)).as("__tf"))
+    // One pass over the tokens: dl and every query-term tf in one agg.
+    val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      count(when(col("term") === t, lit(1))).as(s"__tf_$i")
+    }
+    val perDoc = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__dl"), tfCols: _*)
+    // Unpivot the fixed query vocabulary back to (doc, term, tf) rows.
+    val tf = perDoc
+      .select(col(idCol), col("__dl"),
+        explode(array(queryTerms.zipWithIndex.map { case (t, i) =>
+          struct(lit(t).as("term"), col(s"__tf_$i").as("__tf"))
+        }: _*)).as("__e"))
+      .select(col(idCol), col("__dl"),
+        col("__e.term").as("term"), col("__e.__tf").as("__tf"))
+      .filter(col("__tf") > 0)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
     // N and avgdl are exact-integer-derived doubles: identical anywhere.
     val stats = docs.agg(count(lit(1)).as("__n"))
-      .crossJoin(broadcast(dl.agg(
+      .crossJoin(broadcast(perDoc.agg(
         (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))))
     val idf = log(lit(1.0) +
       (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
     val tfn = (col("__tf") * lit(k1 + 1.0)) /
       (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("__dl") / col("__avgdl"))))
-    tf.join(dfreq, "term")
-      .join(dl, idCol)
+    tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .select(col(idCol), col("term"), (idf * tfn).as("score"))
   }

@@ -60,4 +60,18 @@ class CodecsSpec extends AnyFunSuite {
     val truncated = good.take(good.length - 4)
     intercept[IllegalArgumentException](Codecs.decodeBmp(truncated))
   }
+
+  test("BMP decoder rejects crafted headers (Int-overflow width, bad offset)") {
+    val good = Codecs.encodeBmp24(2, 2, (_, _) => (1, 2, 3))
+    // width = 800M: rowBytes would overflow Int — must require-fail, not
+    // crash with an out-of-bounds read.
+    val wideW = good.clone()
+    val bb = ByteBuffer.wrap(wideW).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(18, 800000000)
+    intercept[IllegalArgumentException](Codecs.decodeBmp(wideW))
+    // Negative / out-of-payload pixel data offset.
+    val badOff = good.clone()
+    ByteBuffer.wrap(badOff).order(ByteOrder.LITTLE_ENDIAN).putInt(10, -100)
+    intercept[IllegalArgumentException](Codecs.decodeBmp(badOff))
+  }
 }

@@ -37,6 +37,22 @@ class ReconcileSpec extends AnyFunSuite with SparkTestBase {
     assert(out == Set((1L, "changed"), (2L, "changed")))
   }
 
+  test("separator characters inside values cannot alias across columns") {
+    import spark.implicits._
+    // Under a separator-based concat these two rows encode identically;
+    // the per-cell digest scheme must see them as changed.
+    val a = Seq((1L, "x\u0001y", "z")).toDF("k", "s1", "s2")
+    val b = Seq((1L, "x", "y\u0001z")).toDF("k", "s1", "s2")
+    val out = Reconcile.snapshotDiff(a, b, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "changed")))
+    // And a literal NUL string is distinct from NULL.
+    val c = Seq((1L, Option("\u0000"), "z")).toDF("k", "s1", "s2")
+    val d = Seq((1L, Option.empty[String], "z")).toDF("k", "s1", "s2")
+    assert(Reconcile.snapshotDiff(c, d, Seq("k"))
+      .as[(Long, String)].collect().toSet == Set((1L, "changed")))
+  }
+
   test("mismatched schemas are rejected") {
     import spark.implicits._
     val a = Seq((1L, "x")).toDF("k", "s")
