@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns for the training-data pipeline: image/audio/video
@@ -105,6 +105,64 @@ object Multimodal {
       .select(col("media_id"),
         explode(sequence(lit(0), lit((maxFrames - 1) * stride), lit(stride)))
           .as("frame_idx"))
+
+  /** Little-endian unsigned integer read from `nBytes` bytes of a binary
+    * column at 1-based `offset` — a pure expression chain (per-byte
+    * hex → base conversion), so it runs inside whole-stage codegen on the
+    * scan. This is the header-only fast path: at 100 TB you classify and
+    * filter media by METADATA without ever decoding payloads, and only
+    * the surviving rows reach a (much more expensive) full decode.
+    * Reads past the end of the payload yield null (hex of an empty slice).
+    */
+  def leUInt(c: Column, offset: Int, nBytes: Int): Column = {
+    require(nBytes >= 1 && nBytes <= 7, "1..7 bytes fit an unsigned long read")
+    val full = length(c) >= lit(offset + nBytes - 1)
+    val bytes = (0 until nBytes).map { i =>
+      conv(hex(substring(c, offset + i, 1)), 16, 10).cast("long") *
+        lit(1L << (8 * i))
+    }.reduce(_ + _)
+    when(c.isNotNull && full, bytes)
+  }
+
+  private def ascii(s: String): Column =
+    lit(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+
+  /** Magic-byte MIME classification of an opaque binary column — map-only,
+    * codegen'd, no decode. The ingest triage step: route rows to the right
+    * codec pool (or quarantine) before any expensive work. Unknown or
+    * too-short payloads classify as application/octet-stream; null stays
+    * null. Binary slices compare directly (BinaryType is orderable), so
+    * the whole thing is a when-chain over prefix slices.
+    */
+  def sniffMime(c: Column): Column =
+    when(c.isNull, lit(null).cast("string"))
+      .when(substring(c, 1, 4) === ascii("RIFF") &&
+        substring(c, 9, 4) === ascii("WAVE"), "audio/wav")
+      .when(substring(c, 1, 2) === ascii("BM"), "image/bmp")
+      .when(hex(substring(c, 1, 3)) === "FFD8FF", "image/jpeg")
+      .when(hex(substring(c, 1, 8)) === "89504E470D0A1A0A", "image/png")
+      .when(substring(c, 1, 6) === ascii("GIF87a") ||
+        substring(c, 1, 6) === ascii("GIF89a"), "image/gif")
+      .when(substring(c, 5, 4) === ascii("ftyp"), "video/mp4")
+      .otherwise("application/octet-stream")
+
+  /** Canonical-layout WAV header fields (fmt chunk first, as
+    * [[Codecs.encodeWavPcm16]] writes and virtually all real PCM files
+    * are). Header-only: null on payloads shorter than the canonical
+    * header. Files with leading non-fmt chunks need the full chunk walk
+    * in [[Codecs.decodeWav]] — this is the scan-time triage projection,
+    * not the decoder.
+    */
+  def wavSampleRate(c: Column): Column = leUInt(c, 25, 4)
+  def wavChannels(c: Column): Column = leUInt(c, 23, 2)
+  def wavBitsPerSample(c: Column): Column = leUInt(c, 35, 2)
+
+  /** BITMAPINFOHEADER dimension fields of a BMP payload (header-only;
+    * width/height are signed in the spec but non-negative in practice —
+    * callers needing top-down negative-height files use the decoder).
+    */
+  def bmpWidth(c: Column): Column = leUInt(c, 19, 4)
+  def bmpHeight(c: Column): Column = leUInt(c, 23, 4)
 
   /** Fixture builder: wrap any string column as an opaque payload so the
     * pipeline plumbing is testable without real codecs.

@@ -67,6 +67,15 @@ object Dedup {
     * 64-bit integers replicates it) at 1 md5 per shingle instead of
     * `numHashes`. 58-bit hashes keep `h1 + 15·h2 < 2^63` (no signed
     * overflow on either engine).
+    *
+    * Accuracy caveat (measured): the `h1 + s·h2` family's slot minima are
+    * CORRELATED — a shingle with a small h1 and small h2 tends to win many
+    * slots at once — so band buckets are denser and candidate pairs more
+    * numerous than with independent hashes (~26× at sf0.1, 16 hashes / 8
+    * bands). Candidates remain a superset-biased estimate and downstream
+    * exact verification (e.g. [[ngramJaccardSparse]]) is unaffected, but
+    * production paths should prefer [[minHashSignatures]] (independent
+    * xxhash64 seeds); this family exists for cross-engine verification.
     */
   def md5MinHashSignatures(
       df: DataFrame, idCol: String, textCol: String,
@@ -163,23 +172,31 @@ object Dedup {
         _.cast("string")), ",")
       if (hashBandKey) xxhash64(lit("band"), b, joined) else joined.cast("string")
     }
+    // The band self-join shuffles NARROW rows — (band, bucket, id) — and the
+    // per-band duplicate hits collapse to distinct (id_a, id_b) pairs before
+    // any signature array moves again: the estimate depends only on the two
+    // signatures (not the band), so one zip_with per distinct pair replaces
+    // one per bucket collision. At scale the bucket join's fan-out is the
+    // dominant row count; keeping the 8·numHashes-byte arrays out of it is
+    // the difference between shuffling ids and shuffling payloads.
     val banded = sigs.select(
-      col(idCol), col("__sig"),
+      col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), bandKey)))
       .withColumnRenamed("pos", "__band")
       .withColumnRenamed("col", "__bucket")
 
-    val a = banded.select(col("__band"), col("__bucket"),
-      col(idCol).as("id_a"), col("__sig").as("__sig_a"))
-    val b = banded.select(col("__band"), col("__bucket"),
-      col(idCol).as("id_b"), col("__sig").as("__sig_b"))
-
-    a.join(b, Seq("__band", "__bucket"))
+    val a = banded.select(col("__band"), col("__bucket"), col(idCol).as("id_a"))
+    val b = banded.select(col("__band"), col("__bucket"), col(idCol).as("id_b"))
+    val pairs = a.join(b, Seq("__band", "__bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    pairs
+      .join(sigs.select(col(idCol).as("id_a"), col("__sig").as("__sig_a")), "id_a")
+      .join(sigs.select(col(idCol).as("id_b"), col("__sig").as("__sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("__sig_a"), col("__sig_b"), (x, y) => x === y),
           b => b)) / lit(numHashes.toDouble)).as("jaccard_est"))
-      .groupBy("id_a", "id_b").agg(max("jaccard_est").as("jaccard_est"))
   }
 
   /** Exact n-gram Jaccard via the sparse-join formulation: explode distinct

@@ -96,6 +96,42 @@ object MultimodalQueries extends QueryGroup {
         }
         .toDF("doc_id", "width", "height", "bpp", "mean_luma")
         .withColumn("mean_luma", round(col("mean_luma"), 4))
+    }),
+
+    // Ingest triage WITHOUT decoding: a mixed bag of payloads (real WAV
+    // bytes, real BMP bytes, UTF-8 text, garbage) is classified by magic
+    // bytes and header fields are read as pure expressions over the
+    // binary column (Multimodal.sniffMime / leUInt) — the metadata-only
+    // scan that routes 100 TB of blobs to codec pools. The oracle states
+    // the expected classification closed-form from the planting rule, so
+    // the sniffer's verdict on REAL bytes is what's hash-checked.
+    "q_media_sniff" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val payload: Array[Byte] = (id % 4) match {
+              case 0 =>
+                val rate = (8000 + (id % 5) * 4000).toInt
+                graft.multimodal.Codecs.encodeWavPcm16(rate,
+                  Array.tabulate(4)(i => ((id + i) % 100).toShort))
+              case 1 =>
+                val w = (2 + id % 3).toInt
+                graft.multimodal.Codecs.encodeBmp24(w, 2, (x, y) =>
+                  (((id + x) % 256).toInt, ((id + y) % 256).toInt,
+                    (id % 256).toInt))
+              case 2 => s"plain text payload $id".getBytes("UTF-8")
+              case _ => Array.tabulate(8)(i => ((id * 7 + i) % 256).toByte)
+            }
+            (id, payload)
+          }
+        }.toDF("doc_id", "payload")
+      val mime = Multimodal.sniffMime(col("payload"))
+      media.select(col("doc_id"), mime.as("mime"),
+        when(mime === "audio/wav",
+          Multimodal.wavSampleRate(col("payload"))).as("sample_rate"),
+        when(mime === "image/bmp",
+          Multimodal.bmpWidth(col("payload"))).as("width"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -147,5 +183,15 @@ object MultimodalQueries extends QueryGroup {
         |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |  CAST(24 AS INT) AS bpp,
         |  round(sum(luma) / (1000.0 * w * h), 4) AS mean_luma
-        |FROM l GROUP BY doc_id, w, h""".stripMargin)
+        |FROM l GROUP BY doc_id, w, h""".stripMargin,
+    // Closed-form restatement of the planting rule: what the byte-level
+    // sniffer must conclude from the real payloads.
+    "q_media_sniff" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'audio/wav' WHEN 1 THEN 'image/bmp'
+        |    ELSE 'application/octet-stream' END AS mime,
+        |  CASE WHEN doc_id % 4 = 0 THEN 8000 + (doc_id % 5) * 4000 END
+        |    AS sample_rate,
+        |  CASE WHEN doc_id % 4 = 1 THEN 2 + doc_id % 3 END AS width
+        |FROM documents""".stripMargin)
 }

@@ -252,6 +252,15 @@ object TextQueries extends QueryGroup {
         graft.text.Redact.ipCount(col("text")).as("n_ips"),
         graft.text.Redact.phoneCount(col("text")).as("n_phones"),
         md5(graft.text.Redact.redact(col("text"))).as("redacted_md5"))
+    }),
+
+    // Quality-classifier inference: hashed-feature linear scoring with the
+    // deterministic synthetic weight vector (the trained-model slot), exact
+    // integer milli-unit dot products — see text.HashedLinear.
+    "q_quality_score" -> ((s, dir) => {
+      graft.text.HashedLinear.score(Tables.documents(s, dir), "doc_id",
+        "text", graft.text.HashedLinear.syntheticWeights(s, 4096), 4096)
+        .select(col("doc_id"), col("score_milli"), col("keep"))
     }))
 
   private val markerSql: Map[String, String] =
@@ -576,5 +585,22 @@ object TextQueries extends QueryGroup {
          |    '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g'))
          |    AS redacted_md5
          |FROM planted""".stripMargin
-    })
+    },
+
+    // Mirrors HashedLinear exactly: same normalization/tokenization, same
+    // md5-60bit feature hash mod 4096, same Knuth-mix synthetic weights,
+    // BIGINT milli-unit sums (order-independent — no float dot product).
+    "q_quality_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 4096 AS feature
+        |  FROM toks WHERE t <> ''),
+        |w AS (SELECT doc_id, (feature * 2654435761) % 2001 - 1000 AS wm FROM f)
+        |SELECT doc_id, CAST(sum(wm) AS BIGINT) AS score_milli,
+        |  CAST(sum(wm) AS BIGINT) > 0 AS keep
+        |FROM w GROUP BY doc_id""".stripMargin)
 }
