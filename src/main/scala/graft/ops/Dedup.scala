@@ -486,4 +486,67 @@ object Dedup {
       }
       .toDF("id", "component")
   }
+
+  /** Cross-document duplicate n-gram fraction — the corpus-level companion
+    * to [[graft.text.Repetition]]'s within-document signals (Gopher §A1.1
+    * filters on both): for each document, the fraction of its DISTINCT
+    * word n-grams that also occur in at least one other document. High
+    * fractions mark boilerplate/templated/mirrored text that per-document
+    * exact dedup misses.
+    *
+    * Relational shape: distinct shingles per doc in one codegen'd eval,
+    * document frequency by shingle-keyed partial aggregation, one
+    * shingle-keyed join back, one id-keyed partial-agg'd reduction. The
+    * shuffle key is the n-gram both times — fan-out is bounded by n-gram
+    * document frequency, and with n ≥ 13-word grams df is tiny except for
+    * true duplicates (the reason the curation literature uses wide grams).
+    * Documents shorter than `n` tokens have no grams and drop out.
+    */
+  def dupNgramFraction(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val sh = docs.select(col(idCol),
+      explode(graft.expr.WordShingles.shingles(col(textCol), n, distinct = true))
+        .as("__sh"))
+    val dfreq = sh.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
+    sh.join(dfreq, "__sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_frac", round(col("n_dup_grams") / col("n_grams"), 4))
+  }
+
+  /** Keep-best-per-cluster dedup: resolve near-dup clusters to a single
+    * surviving document — the one maximizing (`qualityCol`, id) — and tag
+    * every document with its cluster and verdict. This is the step that
+    * turns candidate pairs + quality scores into an actual curated corpus
+    * (dedup SHOULD keep the best copy, not an arbitrary one: the highest-
+    * quality variant of a mirrored page is the one worth training on).
+    *
+    * Every document belongs to a cluster: nodes absent from `pairs` are
+    * their own singleton (cluster_id = own id, keep = true). The max is a
+    * lexicographic struct max — deterministic under any partitioning; ties
+    * on quality resolve to the larger id.
+    *
+    * Scale: component ids from the large-star/small-star
+    * [[connectedComponents]] (relational, no neighbor lists); the
+    * representative table is one row per CLUSTER — orders of magnitude
+    * smaller than the corpus — so its join back is broadcast-friendly and
+    * the whole reduction is two key-partitioned shuffles.
+    */
+  def clusterRepresentatives(docs: DataFrame, idCol: String,
+      qualityCol: String, pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    val withComp = docs.select(col(idCol), col(qualityCol))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol), col(qualityCol),
+        coalesce(col("component"), col(idCol).cast("long")).as("cluster_id"))
+    val best = withComp.groupBy(col("cluster_id"))
+      .agg(max(struct(col(qualityCol), col(idCol))).as("__best"))
+      .select(col("cluster_id"), col(s"__best.$idCol").as("__rep"))
+    withComp.join(best, "cluster_id")
+      .select(col(idCol), col("cluster_id"),
+        (col(idCol) === col("__rep")).as("keep"))
+  }
 }

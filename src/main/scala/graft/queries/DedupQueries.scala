@@ -74,6 +74,23 @@ object DedupQueries extends QueryGroup {
         idCol = "doc_id", textCol = "text",
         n = 5, bloomPrefilter = true, estEvalNgrams = 1L << 16)
         .select(col("doc_id"), col("n_eval_ngrams"), col("contaminated"))
+    }),
+
+    // Corpus-level duplicate 13-gram fraction (Gopher-style cross-document
+    // signal; docs under 13 tokens have no grams and drop out).
+    "q_dup_ngrams" -> ((s, dir) => {
+      Dedup.dupNgramFraction(Tables.documents(s, dir), "doc_id", "text", 13)
+    }),
+
+    // Clusters + quality → the curated verdict: every doc tagged with its
+    // cluster and whether it is the cluster's best copy (max n_chars, ties
+    // to the larger doc_id). Singletons keep themselves.
+    "q_dedup_keepbest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.md5MinHashCandidates(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 16, bands = 8)
+      Dedup.clusterRepresentatives(docs, "doc_id", "n_chars",
+        pairs, "id_a", "id_b")
     }))
 
   import OracleSql.{toksSql, shinglesSqlN}
@@ -181,8 +198,55 @@ object DedupQueries extends QueryGroup {
 
     // Min-reachable-label via recursive CTE over the same MinHash pair
     // graph — the oracle for the large-star/small-star component ids.
-    "q_dedup_clusters" -> {
-      val pairsSql = // the q_dedup_minhash_lsh body, embedded as a CTE
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE mh AS ($minhashPairsSql),
+         |sym AS (
+         |  SELECT id_a AS u, id_b AS v FROM mh
+         |  UNION SELECT id_b, id_a FROM mh),
+         |walk(id, comp) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM sym) n
+         |  UNION
+         |  SELECT s.v, w.comp FROM walk w JOIN sym s ON s.u = w.id)
+         |SELECT id, CAST(min(comp) AS BIGINT) AS component
+         |FROM walk GROUP BY id""".stripMargin,
+
+    // Same component CTE extended with the per-cluster arg-max: best copy
+    // = (n_chars, doc_id) lexicographic max, singletons self-clustered.
+    "q_dedup_keepbest" ->
+      s"""WITH RECURSIVE mh AS ($minhashPairsSql),
+         |sym AS (
+         |  SELECT id_a AS u, id_b AS v FROM mh
+         |  UNION SELECT id_b, id_a FROM mh),
+         |walk(id, comp) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM sym) n
+         |  UNION
+         |  SELECT s.v, w.comp FROM walk w JOIN sym s ON s.u = w.id),
+         |comp AS (SELECT id, CAST(min(comp) AS BIGINT) AS component
+         |         FROM walk GROUP BY id),
+         |wc AS (
+         |  SELECT d.doc_id, d.n_chars,
+         |    COALESCE(c.component, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+         |SELECT doc_id, cluster_id,
+         |  row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY n_chars DESC, doc_id DESC) = 1 AS keep
+         |FROM wc""".stripMargin,
+
+    // Distinct 13-grams, document frequency, per-doc duplicate fraction.
+    "q_dup_ngrams" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct(${shinglesSqlN(13)})) AS sh
+         |  FROM documents),
+         |dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_grams,
+         |  round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)
+         |    / CAST(count(*) AS DOUBLE), 4) AS dup_frac
+         |FROM sh JOIN dfreq USING (sh) GROUP BY doc_id""".stripMargin)
+
+  /** The q_dedup_minhash_lsh pair body, shared by the cluster oracles. */
+  private lazy val minhashPairsSql: String =
         s"""WITH sh AS (
            |  SELECT doc_id, $shinglesSql AS s FROM documents),
            |hx AS (
@@ -211,15 +275,4 @@ object DedupQueries extends QueryGroup {
            |SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
            |FROM banded a JOIN banded b2 ON a.b = b2.b AND a.bucket = b2.bucket
            |WHERE a.doc_id < b2.doc_id""".stripMargin
-      s"""WITH RECURSIVE mh AS ($pairsSql),
-         |sym AS (
-         |  SELECT id_a AS u, id_b AS v FROM mh
-         |  UNION SELECT id_b, id_a FROM mh),
-         |walk(id, comp) AS (
-         |  SELECT u, u FROM (SELECT DISTINCT u FROM sym) n
-         |  UNION
-         |  SELECT s.v, w.comp FROM walk w JOIN sym s ON s.u = w.id)
-         |SELECT id, CAST(min(comp) AS BIGINT) AS component
-         |FROM walk GROUP BY id""".stripMargin
-    })
 }

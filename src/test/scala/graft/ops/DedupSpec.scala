@@ -152,4 +152,59 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Dedup.connectedComponents(empty, "a", "b").count() == 0)
   }
+
+  test("dupNgramFraction: planted shared trigram, short docs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),     // grams: abg, bgd — abg shared
+      (2L, "alpha beta gamma epsilon"),   // abg shared, bge unique
+      (3L, "zeta eta theta iota"),        // all unique
+      (4L, "too short")                   // < 3 tokens → no grams
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupNgramFraction(docs, "doc_id", "text", 3)
+      .select("doc_id", "n_grams", "n_dup_grams", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 0.5)),
+      2L -> ((2L, 1L, 0.5)),
+      3L -> ((2L, 0L, 0.0))))
+  }
+
+  test("dupNgramFraction counts DISTINCT grams (repetition insensitive)") {
+    import spark.implicits._
+    // "x y x y x y": distinct bigrams {x y, y x} — repetition in one doc
+    // does not inflate its own df.
+    val docs = Seq((1L, "x y x y x y")).toDF("doc_id", "text")
+    val got = Dedup.dupNgramFraction(docs, "doc_id", "text", 2)
+      .select("n_grams", "n_dup_grams").as[(Long, Long)].head()
+    assert(got == ((2L, 0L)))
+  }
+
+  test("clusterRepresentatives keeps the best copy; singletons keep themselves") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 100L), (2L, 300L), (3L, 300L), // cluster {1,2,3}: 3 wins the tie
+      (4L, 50L),                          // singleton
+      (5L, 10L), (6L, 5L)                 // cluster {5,6}: 5 wins
+    ).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.clusterRepresentatives(docs, "doc_id", "quality",
+      pairs, "id_a", "id_b")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      1L -> ((1L, false)), 2L -> ((1L, false)), 3L -> ((1L, true)),
+      4L -> ((4L, true)),
+      5L -> ((5L, true)), 6L -> ((5L, false))))
+  }
+
+  test("clusterRepresentatives with no pairs keeps everything") {
+    import spark.implicits._
+    val docs = Seq((1L, 9L), (2L, 8L)).toDF("doc_id", "quality")
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got = Dedup.clusterRepresentatives(docs, "doc_id", "quality",
+      none, "id_a", "id_b").as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set((1L, 1L, true), (2L, 2L, true)))
+  }
 }
