@@ -107,6 +107,41 @@ object Sharding {
     df.filter(h < thresh)
   }
 
+  /** Deterministic per-group UPSAMPLING with replacement — the epoch-mixing
+    * step of a training run ("see books 2.5×, web 1×, drop the rest"):
+    * every row of group g emits `floor(r_g)` copies, plus one more iff its
+    * salted 60-bit id hash falls below `frac(r_g)·2^60` — so multiplicity
+    * is exactly `r_g` in expectation, rerun-/insertion-/partition-stable
+    * (never `rand()`), and nested the same way [[sampleMixture]] is: raising
+    * a factor only ADDS copies for the same ids. Groups absent from
+    * `factors` drop (factor 0), mirroring [[sampleMixture]].
+    *
+    * The output carries an `epoch` column (0 … copies-1) so downstream
+    * shuffling/packing can treat repeats as distinct examples. Map-only:
+    * the explode fan-out is `ceil(r_g)` per row — no shuffle, no window.
+    */
+  def upsampleMixture(
+      df: DataFrame, groupCol: String, idCol: String,
+      factors: Map[String, Double]): DataFrame = {
+    require(factors.values.forall(f => f >= 0 && f.isFinite),
+      "factors must be finite and >= 0")
+    val h = Dedup.md5Hash60(concat(lit("up:"), col(idCol).cast("string")))
+    val whole = factors.foldLeft(lit(0L)) { case (acc, (g, r)) =>
+      when(col(groupCol) === g, lit(math.floor(r).toLong)).otherwise(acc)
+    }
+    // Integer threshold on the fractional part, floored exactly like
+    // sampleMixture so any engine reproduces the boundary comparison.
+    val fracThresh = factors.foldLeft(lit(0L)) { case (acc, (g, r)) =>
+      when(col(groupCol) === g,
+        lit(math.floor((r - math.floor(r)) * (1L << 60).toDouble).toLong))
+        .otherwise(acc)
+    }
+    df.withColumn("__copies", whole + when(h < fracThresh, 1L).otherwise(0L))
+      .filter(col("__copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies")
+  }
+
   /** Pack rows into contiguous shards of ~`budget` total `weightCol` (e.g.
     * token count), in a deterministic hash order: a row whose global start
     * offset falls in `[k*budget, (k+1)*budget)` lands in shard k.

@@ -136,6 +136,16 @@ object TextQueries extends QueryGroup {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // Epoch-mixing upsampling WITH replacement: en seen 2.5×, de 1×,
+    // es 0.25×, fr dropped — deterministic fractional copies, epoch ids
+    // distinguish repeats. (Fractions 0.5/0.25 are exactly representable,
+    // so the floored 2^60 thresholds match on any engine.)
+    "q_mixture_upsample" -> ((s, dir) => {
+      graft.ops.Sharding.upsampleMixture(Tables.documents(s, dir), "lang",
+        "doc_id", Map("en" -> 2.5, "de" -> 1.0, "es" -> 0.25))
+        .select(col("doc_id"), col("lang"), col("epoch"))
+    }),
+
     // Token-budget shard packing in deterministic hash order — the
     // distributed-prefix-sum formulation (see ops.Sharding.packByBudget);
     // must equal DuckDB's single global running-sum window bit-for-bit.
@@ -405,6 +415,27 @@ object TextQueries extends QueryGroup {
         |FROM documents d JOIN fr USING (lang)
         |WHERE CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
         |  < CAST(floor(f * 1152921504606846976) AS BIGINT)""".stripMargin,
+
+    // Same whole+fractional decomposition as Sharding.upsampleMixture:
+    // floor(r) copies for everyone, one extra below the floored 2^60
+    // threshold on the salted hash, epoch = unnested copy index.
+    "q_mixture_upsample" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 1 ELSE 0 END AS whole,
+        |    CASE lang
+        |      WHEN 'en' THEN CAST(floor(0.5 * 1152921504606846976) AS BIGINT)
+        |      WHEN 'de' THEN 0
+        |      WHEN 'es' THEN CAST(floor(0.25 * 1152921504606846976) AS BIGINT)
+        |    END AS thr,
+        |    CAST(('0x' || substr(md5('up:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents WHERE lang IN ('en', 'de', 'es')),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |    whole + CASE WHEN h < thr THEN 1 ELSE 0 END AS copies
+        |  FROM f)
+        |SELECT doc_id, lang, CAST(unnest(range(copies)) AS BIGINT) AS epoch
+        |FROM c WHERE copies > 0""".stripMargin,
 
     "q_pack_shards" ->
       """WITH t AS (

@@ -126,4 +126,36 @@ class ShardingSpec extends AnyFunSuite with SparkTestBase {
     val dropped = Sharding.sampleMixture(df, "g", "doc_id", fr - "c")
     assert(dropped.filter(col("g") === "c").isEmpty)
   }
+
+  test("upsampleMixture: whole copies everywhere, fractional extras deterministic") {
+    import spark.implicits._
+    val df = (0L until 400L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "g")
+    val out = Sharding.upsampleMixture(df, "g", "doc_id",
+      Map("a" -> 2.5, "b" -> 1.0))
+    val counts = out.groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // b rows: exactly 1 copy each; a rows: 2 or 3 copies.
+    (1L until 400L by 2).foreach(i => assert(counts(i) == 1L))
+    (0L until 400L by 2).foreach(i => assert(counts(i) == 2L || counts(i) == 3L))
+    // ~half the a rows get the third copy (200 rows ± noise).
+    val extras = (0L until 400L by 2).count(i => counts(i) == 3L)
+    assert(extras > 60 && extras < 140, s"extras=$extras")
+    // Epoch ids enumerate 0..copies-1.
+    val epochs = out.filter(col("doc_id") === 1L)
+      .select("epoch").as[Long].collect().toSet
+    assert(epochs == Set(0L))
+    // Determinism + partition invariance.
+    val again = Sharding.upsampleMixture(df.repartition(7), "g", "doc_id",
+      Map("a" -> 2.5, "b" -> 1.0)).groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == counts)
+    // Factor 0 / absent group → dropped; factor < 1 is pure downsampling
+    // with an epoch column.
+    val down = Sharding.upsampleMixture(df, "g", "doc_id", Map("a" -> 0.5))
+    assert(down.filter(col("g") === "b").isEmpty)
+    val aKept = down.count()
+    assert(aKept > 60 && aKept < 140, s"aKept=$aKept")
+    assert(down.select("epoch").distinct().as[Long].collect().toSet == Set(0L))
+  }
 }
