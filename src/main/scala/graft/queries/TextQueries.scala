@@ -271,6 +271,13 @@ object TextQueries extends QueryGroup {
       graft.text.HashedLinear.score(Tables.documents(s, dir), "doc_id",
         "text", graft.text.HashedLinear.syntheticWeights(s, 4096), 4096)
         .select(col("doc_id"), col("score_milli"), col("keep"))
+    }),
+
+    // Posting-list materialization with the hapax/stop-word cuts; sorted
+    // postings render deterministically on any engine.
+    "q_inverted_index" -> ((s, dir) => {
+      graft.text.InvertedIndex.build(Tables.documents(s, dir), "doc_id",
+        "text", minDf = 2L, maxDf = 400L)
     }))
 
   private val markerSql: Map[String, String] =
@@ -633,5 +640,25 @@ object TextQueries extends QueryGroup {
         |w AS (SELECT doc_id, (feature * 2654435761) % 2001 - 1000 AS wm FROM f)
         |SELECT doc_id, CAST(sum(wm) AS BIGINT) AS score_milli,
         |  CAST(sum(wm) AS BIGINT) > 0 AS keep
-        |FROM w GROUP BY doc_id""".stripMargin)
+        |FROM w GROUP BY doc_id""".stripMargin,
+
+    // Struct-sorted posting lists: (doc_id, tf) struct order == doc order
+    // (doc unique per term), so the rendered list matches Spark's
+    // sort_array byte for byte.
+    "q_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM toks WHERE term <> '' GROUP BY doc_id, term)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |  CAST(sum(tf) AS BIGINT) AS cf,
+        |  array_to_string(list_transform(
+        |    list_sort(list({'d': doc_id, 'tf': tf})),
+        |    e -> CAST(e.d AS VARCHAR) || ':' || CAST(e.tf AS VARCHAR)), ',')
+        |    AS postings
+        |FROM tf GROUP BY term
+        |HAVING count(*) BETWEEN 2 AND 400""".stripMargin)
 }
