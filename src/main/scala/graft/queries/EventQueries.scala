@@ -342,6 +342,16 @@ object EventQueries extends QueryGroup {
           col("Username").as("username"), col("Item_Value").as("item_value"))
     }),
 
+    // Ordered funnel: view → click → purchase per user, one shuffle + one
+    // sort, stages as layered same-spec windows (see ops.Funnel).
+    "q_funnel" -> ((s, dir) => {
+      graft.ops.Funnel.steps(Tables.events(s, dir), "user_id", "ts",
+        tieCols = Seq("event_id"),
+        stages = Seq(col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"))
+    }),
+
     // T-sessionize: gap-based sessions (30 min), session stats per user.
     "q_sessionize" -> ((s, dir) => {
       val sess = TimeSeries.sessionize(Tables.events(s, dir), "user_id", "ts", 1800L)
@@ -761,6 +771,38 @@ object EventQueries extends QueryGroup {
         |FROM events
         |WHERE event_type IN ('purchase', 'view')
         |  AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'""".stripMargin,
+    // Same layered-window funnel: a stage-k event qualifies iff a
+    // qualifying stage-(k-1) event strictly precedes it in (ts, event_id)
+    // order; empty frames count 0 on both engines.
+    "q_funnel" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END) OVER wprev > 0 AS hv
+        |  FROM events
+        |  WINDOW wprev AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |q1 AS (
+        |  SELECT *, CASE WHEN event_type = 'click' AND hv THEN ts END AS qc
+        |  FROM o),
+        |q2 AS (
+        |  SELECT *, count(qc) OVER wprev > 0 AS hqc FROM q1
+        |  WINDOW wprev AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |q3 AS (
+        |  SELECT *, CASE WHEN event_type = 'purchase' AND hqc THEN ts END AS qp
+        |  FROM q2),
+        |agg AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+        |    min(qc) AS t1, min(qp) AS t2
+        |  FROM q3 GROUP BY user_id)
+        |SELECT user_id,
+        |  CAST(CASE WHEN t2 IS NOT NULL THEN 3 WHEN t1 IS NOT NULL THEN 2
+        |    WHEN t0 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps_completed,
+        |  CAST(epoch_us(t0) AS BIGINT) AS t_first_us,
+        |  CAST(epoch_us(t2) AS BIGINT) AS t_convert_us
+        |FROM agg""".stripMargin,
+
     "q_sessionize" ->
       """WITH lagged AS (
         |  SELECT user_id, value, ts,
