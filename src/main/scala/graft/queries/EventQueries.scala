@@ -342,6 +342,11 @@ object EventQueries extends QueryGroup {
           col("Username").as("username"), col("Item_Value").as("item_value"))
     }),
 
+    // Cohort retention on integer epoch-week indices (see ops.Retention).
+    "q_retention" -> ((s, dir) => {
+      graft.ops.Retention.cohorts(Tables.events(s, dir), "user_id", "ts")
+    }),
+
     // Ordered funnel: view → click → purchase per user, one shuffle + one
     // sort, stages as layered same-spec windows (see ops.Funnel).
     "q_funnel" -> ((s, dir) => {
@@ -771,6 +776,18 @@ object EventQueries extends QueryGroup {
         |FROM events
         |WHERE event_type IN ('purchase', 'view')
         |  AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'""".stripMargin,
+    // Epoch-week integer indices (`//` == Spark `div` on non-negative
+    // micros), distinct activity, min-period cohort, offset rollup.
+    "q_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS p
+        |  FROM events),
+        |fs AS (SELECT user_id, min(p) AS cohort FROM act GROUP BY user_id)
+        |SELECT cohort AS cohort_period, p - cohort AS period_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM act JOIN fs USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+
     // Same layered-window funnel: a stage-k event qualifies iff a
     // qualifying stage-(k-1) event strictly precedes it in (ts, event_id)
     // order; empty frames count 0 on both engines.
