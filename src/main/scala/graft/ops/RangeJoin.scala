@@ -73,4 +73,62 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bin")
   }
+
+  /** Interval×interval OVERLAP join via the same bin trick — one output
+    * row per (left, right) pair with `aStart <= bEnd && bStart <= aEnd`
+    * (inclusive-touch counts). Both sides explode to covered bins; a
+    * genuinely overlapping pair shares ≥ 1 bin, and duplicate multi-bin
+    * hits collapse by assigning each candidate pair to ONE arbitration
+    * bin — the bin of the overlap's left edge (`greatest(starts)`) —
+    * instead of a distinct-on-pair shuffle: the dedup is a FILTER on the
+    * already-joined row, so no second exchange and nothing wide moves.
+    * Optional `keyCols` (equal names on both sides) turn it into a
+    * per-key overlap join — blocking that also kills cross-entity pairs.
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      leftStart: String, leftEnd: String,
+      rightStart: String, rightEnd: String,
+      binWidth: Long,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val overlap = (left.columns.toSet -- keyCols)
+      .intersect(right.columns.toSet -- keyCols)
+    require(overlap.isEmpty, s"non-key column names must be disjoint: $overlap")
+
+    def bin(df: DataFrame, name: String): Column = {
+      val axis = df.schema(name).dataType match {
+        case TimestampType => unix_seconds(col(name))
+        case TimestampNTZType => unix_seconds(col(name).cast(TimestampType))
+        case DateType => unix_date(col(name)).cast("long")
+        case _: NumericType => col(name).cast("long")
+        case t => sys.error(s"unsupported range-join axis type $t for '$name'")
+      }
+      floor(axis / binWidth).cast("long")
+    }
+
+    val l = left.filter(col(leftEnd) >= col(leftStart))
+      .withColumn("__bin", explode(sequence(bin(left, leftStart), bin(left, leftEnd))))
+    val r = right.filter(col(rightEnd) >= col(rightStart))
+      .withColumn("__bin", explode(sequence(bin(right, rightStart), bin(right, rightEnd))))
+    l.join(r, ("__bin" +: keyCols).toIndexedSeq)
+      .filter(col(leftStart) <= col(rightEnd) && col(rightStart) <= col(leftEnd))
+      // Arbitration: keep the copy where __bin is the bin of the overlap's
+      // left edge, i.e. of max(leftStart, rightStart). Both sides cover
+      // that bin, so exactly one joined copy survives per pair.
+      .filter(col("__bin") === {
+        def axify(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+          dt match {
+            case TimestampType => unix_seconds(c)
+            case TimestampNTZType => unix_seconds(c.cast(TimestampType))
+            case DateType => unix_date(c).cast("long")
+            case _ => c.cast("long")
+          }
+        val la = axify(col(leftStart), left.schema(leftStart).dataType)
+        val ra = axify(col(rightStart), right.schema(rightStart).dataType)
+        floor(greatest(la, ra) / binWidth).cast("long")
+      })
+      .drop("__bin")
+  }
 }

@@ -342,6 +342,22 @@ object EventQueries extends QueryGroup {
           col("Username").as("username"), col("Item_Value").as("item_value"))
     }),
 
+    // Interval×interval overlap join, user-blocked, on the integer-µs
+    // axis (both engines floor ns→µs identically, so touch boundaries
+    // agree exactly): view-windows × click-windows within 10 minutes.
+    "q_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def side(t: String, p: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id"), col("event_id").as(s"${p}_id"),
+          unix_micros(col("ts")).as(s"${p}_start"),
+          (unix_micros(col("ts")) + lit(600000000L)).as(s"${p}_end"))
+      graft.ops.RangeJoin.intervalOverlap(
+        side("view", "l"), side("click", "r"),
+        "l_start", "l_end", "r_start", "r_end",
+        binWidth = 600000000L, keyCols = Seq("user_id"))
+        .select(col("user_id"), col("l_id"), col("r_id"))
+    }),
+
     // Cohort retention on integer epoch-week indices (see ops.Retention).
     "q_retention" -> ((s, dir) => {
       graft.ops.Retention.cohorts(Tables.events(s, dir), "user_id", "ts")
@@ -776,6 +792,21 @@ object EventQueries extends QueryGroup {
         |FROM events
         |WHERE event_type IN ('purchase', 'view')
         |  AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'""".stripMargin,
+    // Nested-loop restatement of the binned overlap join (the oracle is
+    // the SEMANTICS; the engine's bin+arbitration plan must agree).
+    "q_interval_join" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id AS l_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 600000000 AS e
+        |  FROM events WHERE event_type = 'view'),
+        |r AS (
+        |  SELECT user_id, event_id AS r_id, epoch_us(ts) AS s2,
+        |    epoch_us(ts) + 600000000 AS e2
+        |  FROM events WHERE event_type = 'click')
+        |SELECT l.user_id, l_id, r_id
+        |FROM l JOIN r ON l.user_id = r.user_id
+        |  AND l.s <= r.e2 AND r.s2 <= l.e""".stripMargin,
+
     // Epoch-week integer indices (`//` == Spark `div` on non-negative
     // micros), distinct activity, min-period cohort, offset rollup.
     "q_retention" ->

@@ -48,6 +48,52 @@ class RangeJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("intervalOverlap matches the nested loop; multi-bin pairs emit once") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val l = (0L until 120L).map { i =>
+      val s = rnd.nextInt(1000).toLong; (i, s, s + rnd.nextInt(80).toLong)
+    }
+    val r = (0L until 120L).map { i =>
+      val s = rnd.nextInt(1000).toLong; (i, s, s + rnd.nextInt(80).toLong)
+    }
+    val expected = (for {
+      (li, ls, le) <- l; (ri, rs, re) <- r if ls <= re && rs <= le
+    } yield (li, ri)).toSet
+    for (bw <- Seq(7L, 64L, 512L)) {
+      val got = RangeJoin.intervalOverlap(
+        l.toDF("l_id", "ls", "le"), r.toDF("r_id", "rs", "re"),
+        "ls", "le", "rs", "re", bw)
+        .select("l_id", "r_id").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"duplicates at bin $bw")
+      assert(got.toSet == expected, s"bin $bw")
+    }
+  }
+
+  test("intervalOverlap: touch-inclusive bounds, keyed blocking, degenerates") {
+    import spark.implicits._
+    val l = Seq(("u1", 1L, 10L, 20L), ("u1", 2L, 30L, 25L), // degenerate
+      ("u2", 3L, 10L, 20L)).toDF("k", "l_id", "ls", "le")
+    val r = Seq(("u1", 7L, 20L, 40L),  // touches l1 at 20 → match
+      ("u2", 8L, 21L, 40L),            // just misses u2's l3
+      ("u1", 9L, 26L, 31L))            // would overlap the degenerate row
+      .toDF("k", "r_id", "rs", "re")
+    val got = RangeJoin.intervalOverlap(l, r, "ls", "le", "rs", "re", 16L,
+      keyCols = Seq("k")).select("l_id", "r_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 7L)))
+  }
+
+  test("intervalOverlap plans as an equi-join, not a nested loop") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 20L)).toDF("l_id", "ls", "le")
+    val r = Seq((2L, 15L, 25L)).toDF("r_id", "rs", "re")
+    val plan = RangeJoin.intervalOverlap(l, r, "ls", "le", "rs", "re", 8L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("timestamp axis: binning prunes, exact match keeps sub-bin precision") {
     import spark.implicits._
     val points = Seq(
