@@ -111,6 +111,44 @@ object Similarity {
     * Division by a power of two and the subtraction are exact in double,
     * so both engines derive bit-identical planes from their own md5.
     */
+  /** Symmetric int8 quantization of an embedding column — the storage and
+    * shuffle compressor for corpus-scale vectors (float32 → int8 is the
+    * difference between 100 TB and 25 TB of embeddings, and integer dot
+    * products are both faster and EXACT, so downstream scoring is
+    * rerun-reproducible in a way float accumulation is not).
+    *
+    * Per vector: `scale = max(|x_i|)` and
+    * `q_i = floor(x_i/scale * 127 + 0.5)` ∈ [-127, 127], with the
+    * division/multiply in DOUBLE (float32 inputs widen exactly; every
+    * engine's IEEE double ops then agree bit-for-bit, so quantized codes
+    * are engine-portable — the property `q_embedding_quantize` gates).
+    * Zero vectors quantize to all-zero codes with scale 0. Map-only.
+    *
+    * Reconstruction: `x̂_i = q_i * scale / 127`, max error `scale/254`
+    * per component (half a quantization step).
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val scale = array_max(transform(vec, x => abs(x)))
+    val q = transform(vec, x =>
+      when(scale === 0f, lit(0))
+        .otherwise(floor(x.cast("double") / scale.cast("double") * lit(127.0)
+          + lit(0.5)).cast("int")))
+    struct(scale.as("scale"), q.as("codes"))
+  }
+
+  /** Exact integer dot product of two int8 code arrays, rescaled to the
+    * float domain: `Σ qa_i·qb_i` is a BIGINT (no re-association drift);
+    * only the final rescale touches floating point.
+    */
+  def dotQuantized(a: Column, b: Column): Column = {
+    val intDot = aggregate(
+      zip_with(a.getField("codes"), b.getField("codes"),
+        (x, y) => (x * y).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    intDot.cast("double") * a.getField("scale").cast("double") *
+      b.getField("scale").cast("double") / lit(127.0 * 127.0)
+  }
+
   def md5PlaneComponents(plane: Int, dims: Int): Array[Double] =
     Array.tabulate(dims) { d =>
       graft.expr.Md5Hex.long60(s"p_${plane}_$d").toDouble /

@@ -23,6 +23,22 @@ object SimilarityQueries extends QueryGroup {
           round(Similarity.norm(col("embedding")), 4).as("norm"))
     }),
 
+    // Symmetric int8 quantization: engine-portable codes (all arithmetic
+    // in double), summarized per vector so the parity check covers every
+    // component (sum/min/max/saturation count pin the code vector).
+    "q_embedding_quantize" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          Similarity.quantizeInt8(col("embedding")).as("__q"))
+        .select(col("vec_id"),
+          round(col("__q.scale").cast("double"), 6).as("scale"),
+          aggregate(col("__q.codes"), lit(0L), (a, v) => a + v).as("q_sum"),
+          array_min(col("__q.codes")).cast("long").as("q_min"),
+          array_max(col("__q.codes")).cast("long").as("q_max"),
+          size(filter(col("__q.codes"), c => abs(c) === 127)).cast("long")
+            .as("n_sat"))
+    }),
+
     // Brute-force cosine top-k for a probe batch (vec_id < 20, k = 5).
     "q_cosine_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -104,6 +120,26 @@ object SimilarityQueries extends QueryGroup {
       """SELECT vec_id, len(embedding) AS dim,
         |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS norm
         |FROM embeddings""".stripMargin,
+    // Same double-domain quantizer: floor(x/scale*127 + 0.5), zero-vector
+    // guard, summary stats over the code vector.
+    "q_embedding_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x))) AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, scale,
+        |    list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+        |      ELSE CAST(floor(CAST(x AS DOUBLE) / CAST(scale AS DOUBLE)
+        |        * 127.0 + 0.5) AS INT) END) AS codes
+        |  FROM s)
+        |SELECT vec_id, round(CAST(scale AS DOUBLE), 6) AS scale,
+        |  CAST(list_sum(list_transform(codes, c -> CAST(c AS BIGINT))) AS BIGINT)
+        |    AS q_sum,
+        |  CAST(list_min(codes) AS BIGINT) AS q_min,
+        |  CAST(list_max(codes) AS BIGINT) AS q_max,
+        |  CAST(len(list_filter(codes, c -> abs(c) = 127)) AS BIGINT) AS n_sat
+        |FROM q""".stripMargin,
     "q_cosine_topk_agg" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
         |pairs AS (

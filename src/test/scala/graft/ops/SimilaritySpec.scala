@@ -130,4 +130,48 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got(1L) == ((0L, 0L)) && got(2L) == ((0L, 0L)))
     assert(got(0L)._1 != 0L || got(0L)._2 != 0L) // real vector still buckets
   }
+
+  test("int8 quantization: codes in range, reconstruction within half a step") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 50L).map(i =>
+      (i, Array.fill(16)((rnd.nextFloat() - 0.5f) * 4f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"),
+        Similarity.quantizeInt8(col("embedding")).as("q"))
+      .select(col("vec_id"), col("q.scale"), col("q.codes"))
+      .as[(Long, Float, Seq[Int])].collect()
+    val byId = vecs.toMap
+    got.foreach { case (id, scale, codes) =>
+      val orig = byId(id)
+      assert(scale == orig.map(math.abs).max)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      codes.zip(orig).foreach { case (c, x) =>
+        val rec = c * scale.toDouble / 127.0
+        assert(math.abs(rec - x) <= scale / 254.0 + 1e-9,
+          s"vec $id: $x -> $c -> $rec")
+      }
+      // The max-|x| component saturates at ±127 exactly.
+      val iMax = orig.indices.maxBy(i => math.abs(orig(i)))
+      assert(math.abs(codes(iMax)) == 127)
+    }
+  }
+
+  test("quantized dot approximates the exact dot; zero vector quantizes clean") {
+    import spark.implicits._
+    val a = Array(0.5f, -1.0f, 0.25f, 2.0f)
+    val b = Array(1.5f, 0.5f, -0.75f, 0.1f)
+    val df = Seq((a, b)).toDF("a", "b")
+    val (qdot, exact) = df.select(
+        Similarity.dotQuantized(Similarity.quantizeInt8(col("a")),
+          Similarity.quantizeInt8(col("b"))),
+        Similarity.dot(col("a"), col("b")))
+      .as[(Double, Double)].head()
+    // 16 components max error scale/254 each → generous bound.
+    assert(math.abs(qdot - exact) < 0.05, s"$qdot vs $exact")
+    val z = Seq(Tuple1(Array(0f, 0f))).toDF("v")
+      .select(Similarity.quantizeInt8(col("v")).as("q"))
+      .select(col("q.scale"), col("q.codes")).as[(Float, Seq[Int])].head()
+    assert(z == ((0f, Seq(0, 0))))
+  }
 }
