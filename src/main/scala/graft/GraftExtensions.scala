@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{ParseDuration, VecDot, ZOrder}
+import graft.expr.{Int8Dot, PackInt8, ParseDuration, VecDot, ZOrder}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -31,6 +31,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("z_order"),
       new ExpressionInfo(classOf[ZOrder].getName, "z_order"),
       GraftExtensions.mkZOrder))
+    ext.injectFunction((
+      FunctionIdentifier("pack_int8"),
+      new ExpressionInfo(classOf[PackInt8].getName, "pack_int8"),
+      (children: Seq[Expression]) => PackInt8(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("int8_dot"),
+      new ExpressionInfo(classOf[Int8Dot].getName, "int8_dot"),
+      (children: Seq[Expression]) => Int8Dot(children.head, children(1))))
     // Custom whole-operator plan: as-of join (graft.plans.AsOfJoinPlan →
     // co-partitioned sort-merge AsOfJoinExec).
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
@@ -49,6 +57,10 @@ object GraftExtensions {
       "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "z_order", mkZOrder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pack_int8", exprs => PackInt8(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "int8_dot", exprs => Int8Dot(exprs.head, exprs(1)), "built-in")
   }
 
   /** `z_order(bitsPerDim literal, col1, col2, ...)` — one builder shared by

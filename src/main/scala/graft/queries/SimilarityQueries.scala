@@ -39,6 +39,25 @@ object SimilarityQueries extends QueryGroup {
             .as("n_sat"))
     }),
 
+    // Packed-int8 scoring: quantize → pack to BINARY (1 byte/component —
+    // the 100 TB storage form) → codegen'd exact integer dot per probe
+    // pair. BIGINT results, so the hash gate pins every byte of the
+    // packed codes via the products.
+    "q_int8_dot" -> ((s, dir) => {
+      val qz = Tables.embeddings(s, dir)
+        .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+        .select(col("vec_id"),
+          Similarity.quantizeInt8(col("embedding")).as("q"))
+        .select(col("vec_id"),
+          graft.expr.Int8Vec.packInt8(col("q.codes")).as("codes"))
+      val probes = qz.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("id_a"), col("codes").as("ca"))
+      val cands = qz.select(col("vec_id").as("id_b"), col("codes").as("cb"))
+      broadcast(probes).join(cands, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          graft.expr.Int8Vec.int8Dot(col("ca"), col("cb")).as("int_dot"))
+    }),
+
     // Brute-force cosine top-k for a probe batch (vec_id < 20, k = 5).
     "q_cosine_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -140,6 +159,24 @@ object SimilarityQueries extends QueryGroup {
         |  CAST(list_max(codes) AS BIGINT) AS q_max,
         |  CAST(len(list_filter(codes, c -> abs(c) = 127)) AS BIGINT) AS n_sat
         |FROM q""".stripMargin,
+    // Integer products of int8 codes stay < 2^53, so the double
+    // list_dot_product is EXACT and casts back to the engine's BIGINT.
+    "q_int8_dot" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x))) AS scale
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        |q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+        |      ELSE CAST(floor(CAST(x AS DOUBLE) / CAST(scale AS DOUBLE)
+        |        * 127.0 + 0.5) AS INT) END) AS codes
+        |  FROM s)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CAST(list_dot_product(a.codes::DOUBLE[], b.codes::DOUBLE[]) AS BIGINT)
+        |    AS int_dot
+        |FROM q a JOIN q b ON a.vec_id < 5 AND a.vec_id < b.vec_id""".stripMargin,
     "q_cosine_topk_agg" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
         |pairs AS (
