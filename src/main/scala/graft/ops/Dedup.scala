@@ -160,6 +160,51 @@ object Dedup {
       md5MinHashSignatures(df, idCol, textCol, shingleSize, numHashes),
       idCol, numHashes, bands, hashBandKey = false)
 
+  /** Two-sided MinHash-LSH: candidate pairs BETWEEN an incoming batch and
+    * an existing corpus — the incremental-ingest near-dup gate ("is this
+    * crawl snapshot's page a near-copy of anything already in the
+    * training set?"). Same banded shape as the self-join variants, but the
+    * bucket join is batch×corpus only: no corpus self-pairs are ever
+    * generated, so the dominant cost scales with the BATCH bucket sizes.
+    * At steady state the corpus side's banded projection is a materialized
+    * table keyed by (band, bucket) — signatures computed once per document
+    * lifetime, exactly what this plan pushes down to.
+    *
+    * Returns (id_batch, id_corpus, jaccard_est); md5 family for oracle
+    * parity, production callers swap in [[minHashSignatures]].
+    */
+  def md5MinHashCandidatesAgainst(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val sb = md5MinHashSignatures(batch, idCol, textCol, shingleSize, numHashes)
+    val sc = md5MinHashSignatures(corpus, idCol, textCol, shingleSize, numHashes)
+    val rowsPerBand = numHashes / bands
+    def banded(sigs: DataFrame, side: String) = sigs.select(
+      col(idCol).as(s"id_$side"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        array_join(transform(
+          slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+          _.cast("string")), ",").cast("string"))))
+      .withColumnRenamed("pos", "__band")
+      .withColumnRenamed("col", "__bucket")
+    val pairs = banded(sb, "batch").join(banded(sc, "corpus"),
+        Seq("__band", "__bucket"))
+      .select("id_batch", "id_corpus").distinct()
+    pairs
+      .join(sb.select(col(idCol).as("id_batch"), col("__sig").as("__sig_a")),
+        "id_batch")
+      .join(sc.select(col(idCol).as("id_corpus"), col("__sig").as("__sig_b")),
+        "id_corpus")
+      .select(col("id_batch"), col("id_corpus"),
+        (size(filter(zip_with(col("__sig_a"), col("__sig_b"), (x, y) => x === y),
+          b => b)) / lit(numHashes.toDouble)).as("jaccard_est"))
+  }
+
   private def bandedCandidates(
       sigs: DataFrame, idCol: String, numHashes: Int, bands: Int,
       hashBandKey: Boolean): DataFrame = {

@@ -76,6 +76,18 @@ object DedupQueries extends QueryGroup {
         .select(col("doc_id"), col("n_eval_ngrams"), col("contaminated"))
     }),
 
+    // Incremental-ingest near-dup gate: candidate pairs BETWEEN a batch
+    // (doc_id % 10 == 0) and the standing corpus — no corpus self-pairs.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.md5MinHashCandidatesAgainst(
+        batch = docs.filter(col("doc_id") % 10 === 0),
+        corpus = docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", shingleSize = 3, numHashes = 16, bands = 8)
+        .select(col("id_batch"), col("id_corpus"),
+          round(col("jaccard_est"), 4).as("jaccard_est"))
+    }),
+
     // Corpus-level duplicate 13-gram fraction (Gopher-style cross-document
     // signal; docs under 13 tokens have no grams and drop out).
     "q_dup_ngrams" -> ((s, dir) => {
@@ -177,6 +189,45 @@ object DedupQueries extends QueryGroup {
          |  WHERE a.doc_id < b2.doc_id)
          |SELECT id_a, id_b,
          |  round(len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0, 4) AS jaccard_est
+         |FROM pairs""".stripMargin,
+
+    // Two-sided variant: same signature/band CTEs, bucket join restricted
+    // to batch×corpus (no self-pairs, no a<b canonicalization — sides are
+    // disjoint by construction).
+    "q_dedup_incremental" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, $shinglesSql AS s FROM documents),
+         |hx AS (
+         |  SELECT doc_id, list_transform(s, x -> md5(x)) AS hexes
+         |  FROM sh WHERE len(s) > 0),
+         |hs AS (
+         |  SELECT doc_id,
+         |    list_transform(hexes, h ->
+         |      CAST(('0x' || substr(h, 1, 15)) AS BIGINT)
+         |        % 288230376151711744) AS h1,
+         |    list_transform(hexes, h ->
+         |      CAST(('0x' || substr(h, 16, 15)) AS BIGINT)
+         |        % 288230376151711744) AS h2
+         |  FROM hx),
+         |sig AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 16),
+         |      s -> list_min(list_transform(range(1, len(h1) + 1),
+         |        i -> h1[i] + s * h2[i]))) AS sig
+         |  FROM hs),
+         |banded AS (
+         |  SELECT doc_id, sig, b,
+         |    array_to_string(list_transform(list_slice(sig, b * 2 + 1, b * 2 + 2),
+         |      v -> CAST(v AS VARCHAR)), ',') AS bucket
+         |  FROM sig, range(0, 8) t(b)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_batch, b2.doc_id AS id_corpus,
+         |    a.sig AS sa, b2.sig AS sb
+         |  FROM banded a JOIN banded b2 ON a.b = b2.b AND a.bucket = b2.bucket
+         |  WHERE a.doc_id % 10 = 0 AND b2.doc_id % 10 <> 0)
+         |SELECT id_batch, id_corpus,
+         |  round(len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0, 4)
+         |    AS jaccard_est
          |FROM pairs""".stripMargin,
     // Exact n-gram-overlap decontamination: the Bloom prefilter on the
     // Spark side is invisible to the result (no false negatives; positives

@@ -153,6 +153,27 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(Dedup.connectedComponents(empty, "a", "b").count() == 0)
   }
 
+  test("two-sided LSH finds batch↔corpus near-dups and never self-pairs") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog again and again " * 3
+    val corpus = Seq(
+      (1L, text), (2L, text + " tail"), // near-dups of each other AND of 100
+      (3L, "completely different words about spark shuffles and joins")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, text + " extra"),          // near-dup of corpus 1/2
+      (101L, "nothing like anything at all in this corpus honestly")
+    ).toDF("doc_id", "text")
+    val got = Dedup.md5MinHashCandidatesAgainst(batch, corpus, "doc_id", "text",
+      shingleSize = 3, numHashes = 16, bands = 8)
+      .as[(Long, Long, Double)].collect()
+    assert(got.forall { case (a, b, _) => a >= 100L && b < 100L })
+    val hit = got.filter(_._1 == 100L).map(p => p._2 -> p._3).toMap
+    assert(hit.contains(1L) && hit(1L) > 0.5)
+    // corpus 1–2 near-dup pair must NOT appear (that's the self-join's job)
+    assert(!got.exists { case (a, b, _) => a < 100L || b >= 100L })
+  }
+
   test("dupNgramFraction: planted shared trigram, short docs drop") {
     import spark.implicits._
     val docs = Seq(
