@@ -21,7 +21,8 @@ object SparkEntry {
     IngestQueries,
     MultimodalQueries,
     SketchQueries,
-    GraphQueries)
+    GraphQueries,
+    MlQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the single-pass period-pivoted leaderboard (SURVEY §2.4 A1+A2).
