@@ -190,13 +190,31 @@ object Similarity {
     // drop them up front, same policy as lshTopKImpl.
     val cent = corpus.filter(col(vecCol).isNotNull)
       .filter(pmod(col(idCol), lit(centroidMod)) === 0)
-      .select(col(idCol).as("__cid"), col(vecCol).as("__cv"),
-        norm(col(vecCol)).as("__cn"))
+      .select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
     // An empty centroid sample (no id divisible by centroidMod) would
     // silently return zero neighbors for every query — fail loudly
     // instead. The limit-1 probe is cheap next to the index build.
     require(!cent.isEmpty,
       s"ivfTopK sampled no centroids: no $idCol divisible by $centroidMod")
+    ivfTopKWith(probes, corpus, idCol, vecCol, k, cent, "__cid", "__cv", nprobe)
+  }
+
+  /** IVF-flat against a CALLER-SUPPLIED codebook — the production shape:
+    * pair with [[graft.ml.KMeans.centroidFrame]] so the inverted lists
+    * follow learned Voronoi cells (tighter than data-sampled centroids →
+    * better recall at the same `nprobe`). Plan shape is identical to
+    * [[ivfTopK]]: broadcast codebook, one list-keyed shuffle for the
+    * index, list-bucketed probe join — never all-pairs.
+    */
+  def ivfTopKWith(
+      probes: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: DataFrame, centIdCol: String = "centroid_id",
+      centVecCol: String = "centroid", nprobe: Int = 3): DataFrame = {
+    val cent = centroids
+      .select(col(centIdCol).as("__cid"),
+        col(centVecCol).cast("array<double>").as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
 
     // Inverted lists: each corpus row → its argmax-cosine centroid
     // (deterministic tie-break on centroid id). Argmax as `max_by` over a

@@ -174,4 +174,33 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .select(col("q.scale"), col("q.codes")).as[(Float, Seq[Int])].head()
     assert(z == ((0f, Seq(0, 0))))
   }
+
+  test("IVF over a k-means codebook: learned cells recall >= sampled cells") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val centers = Seq.fill(4)(Array.fill(16)(rng.nextGaussian()))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      i <- 0 until 30
+    } yield ((ci * 30 + i).toLong,
+      c.map(x => (x + rng.nextGaussian() * 0.1).toFloat).toSeq)
+    val corpus = rows.toDF("vec_id", "embedding")
+    val probes = corpus.filter(col("vec_id") % 30 === 0)
+
+    val brute = Similarity.bruteForceTopK(probes, corpus, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val model = graft.ml.KMeans.fit(corpus, "vec_id", "embedding", k = 4, iterations = 3)
+    val learned = Similarity.ivfTopKWith(probes, corpus, "vec_id", "embedding", 5,
+      graft.ml.KMeans.centroidFrame(corpus, model), nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(learned).size.toDouble / brute.size
+    // 4 learned cells over 4 planted blobs at nprobe=2 should be near-exact.
+    assert(recall >= 0.9, s"recall=$recall")
+    // No cross-list duplicate candidates with a learned codebook either.
+    val dupes = Similarity.ivfTopKWith(probes, corpus, "vec_id", "embedding", 120,
+      graft.ml.KMeans.centroidFrame(corpus, model), nprobe = 4)
+      .groupBy("query_id", "neighbor_id").count()
+      .filter(col("count") > 1).count()
+    assert(dupes == 0)
+  }
 }
