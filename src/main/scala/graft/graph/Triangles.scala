@@ -1,0 +1,77 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-node triangle counts over an undirected graph — the local
+  * clustering signal web-curation pipelines use next to PageRank (spam
+  * farms are triangle-dense; organic link neighborhoods are sparse).
+  *
+  * Algorithm: DEGREE-ORDERED ORIENTATION (the MPC-standard trick). Each
+  * undirected edge is directed from its lower-(degree, id) endpoint to the
+  * higher; every triangle then has exactly ONE node with two out-edges
+  * (its lowest-ranked corner), so enumerating wedges from out-edges and
+  * closing them against the oriented edge set counts each triangle once —
+  * no division by 3/6, no duplicate elimination shuffle.
+  *
+  * Why it survives 100 TB: out-degree under this orientation is bounded by
+  * O(√m) regardless of how skewed the raw degree distribution is (a
+  * celebrity node's million followers each have the celebrity as their
+  * HIGH endpoint, so its out-list stays small). Wedge fan-out — the only
+  * superlinear term — is Σ outdeg², i.e. O(m^1.5) worst case and far less
+  * on real graphs, with every stage a keyed partial-agg'd shuffle: wedges
+  * are keyed on the apex, the closing probe is keyed on the (v,w) pair.
+  * Nothing is collected; no adjacency lists are materialized as arrays.
+  *
+  * All arithmetic is integer counting — bit-identical on any engine, which
+  * is what puts it under the DuckDB oracle gate (`q_triangles`).
+  */
+object Triangles {
+
+  /** (node, triangles) for every node of the graph — nodes on no triangle
+    * report 0 (the universe is every distinct endpoint after self-loop
+    * removal). Input edges may be directed/duplicated; they are
+    * canonicalized to undirected-distinct first.
+    */
+  def perNode(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // Canonical undirected edge set: self-loops out, (min,max) distinct.
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("__a"),
+        greatest(col(srcCol), col(dstCol)).as("__b"))
+      .filter(col("__a") =!= col("__b"))
+      .distinct()
+
+    val nodes = und.select(col("__a").as("node"))
+      .union(und.select(col("__b"))).distinct()
+    val deg = und.select(col("__a").as("node"))
+      .unionAll(und.select(col("__b")))
+      .groupBy("node").agg(count(lit(1)).as("__d"))
+
+    // Orient by (degree, id): struct comparison gives the total order.
+    val withRanks = und
+      .join(deg.select(col("node").as("__a"), col("__d").as("__da")), "__a")
+      .join(deg.select(col("node").as("__b"), col("__d").as("__db")), "__b")
+    val oriented = withRanks.select(
+      when(struct(col("__da"), col("__a")) < struct(col("__db"), col("__b")),
+        struct(col("__a").as("u"), col("__b").as("v")))
+        .otherwise(struct(col("__b").as("u"), col("__a").as("v"))).as("__e"))
+      .select(col("__e.u").as("__u"), col("__e.v").as("__v"))
+
+    // Wedges from a shared apex; the closing edge exists in exactly the
+    // rank order the orientation assigned, so a plain inner join both
+    // filters v≠w pairs to the closeable order AND closes the triangle.
+    val wedges = oriented.select(col("__u"), col("__v").as("__x"))
+      .join(oriented.select(col("__u"), col("__v").as("__y")), "__u")
+      .filter(col("__x") =!= col("__y"))
+    val tris = wedges.join(
+      oriented.select(col("__v").as("__y"), col("__u").as("__x")),
+      Seq("__x", "__y"))
+
+    // Each triangle credits all three corners.
+    val credits = tris.select(explode(array(col("__u"), col("__x"), col("__y")))
+        .as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    nodes.join(credits, Seq("node"), "left")
+      .select(col("node"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+}

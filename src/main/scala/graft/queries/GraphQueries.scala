@@ -25,6 +25,21 @@ object GraphQueries extends QueryGroup {
           pmod(col("doc_id") * 57 + 1, col("__n")),
           pmod(col("doc_id") * 91 + 2, col("__n")))).as("dst"))
       PageRank.ranks(edges, "src", "dst", iterations = 3)
+    }),
+
+    // Per-node triangle counts over the same planted graph, degree-ordered
+    // orientation (each triangle enumerated exactly once at its lowest-
+    // ranked corner; O(√m) oriented out-degree bounds the wedge fan-out).
+    "q_triangles" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val edges = docs.crossJoin(broadcast(n)).select(
+        col("doc_id").as("src"),
+        explode(array(
+          pmod(col("doc_id") * 31 + 0, col("__n")),
+          pmod(col("doc_id") * 57 + 1, col("__n")),
+          pmod(col("doc_id") * 91 + 2, col("__n")))).as("dst"))
+      graft.graph.Triangles.perNode(edges, "src", "dst")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -58,5 +73,39 @@ object GraphQueries extends QueryGroup {
         |       GROUP BY e.dst),
         |r3 AS (SELECT nodes.node, (15 * base + 85 * COALESCE(c, 0)) // 100 AS r
         |       FROM nodes CROSS JOIN b LEFT JOIN c3 ON c3.node = nodes.node)
-        |SELECT node, r AS rank_fp FROM r3""".stripMargin)
+        |SELECT node, r AS rank_fp FROM r3""".stripMargin,
+
+    // Same orientation restated: canonical undirected edges, (degree, id)
+    // row-value ordering, wedge+close joins — all integer counting.
+    "q_triangles" ->
+      """WITH cnt AS (SELECT count(*) AS n FROM documents),
+        |raw AS (
+        |  SELECT doc_id AS src, (doc_id * 31 + 0) % n AS dst FROM documents, cnt
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 57 + 1) % n FROM documents, cnt
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 91 + 2) % n FROM documents, cnt),
+        |e0 AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM raw WHERE src <> dst),
+        |nodes AS (SELECT a AS node FROM e0 UNION SELECT b FROM e0),
+        |deg AS (
+        |  SELECT node, count(*) AS d
+        |  FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+        |  GROUP BY node),
+        |o AS (
+        |  SELECT CASE WHEN (da.d, e0.a) < (db.d, e0.b) THEN e0.a ELSE e0.b END AS u,
+        |         CASE WHEN (da.d, e0.a) < (db.d, e0.b) THEN e0.b ELSE e0.a END AS v
+        |  FROM e0 JOIN deg da ON da.node = e0.a JOIN deg db ON db.node = e0.b),
+        |t AS (
+        |  SELECT w1.u AS u, w1.v AS x, w2.v AS y
+        |  FROM o w1 JOIN o w2 ON w1.u = w2.u AND w1.v <> w2.v
+        |  JOIN o c ON c.u = w1.v AND c.v = w2.v),
+        |cr AS (
+        |  SELECT u AS node FROM t
+        |  UNION ALL SELECT x FROM t
+        |  UNION ALL SELECT y FROM t),
+        |tc AS (SELECT node, count(*) AS c FROM cr GROUP BY node)
+        |SELECT nodes.node, CAST(coalesce(tc.c, 0) AS BIGINT) AS triangles
+        |FROM nodes LEFT JOIN tc USING (node)""".stripMargin)
 }
