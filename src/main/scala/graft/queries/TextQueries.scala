@@ -218,6 +218,13 @@ object TextQueries extends QueryGroup {
         .select(col("w1"), col("w2"), col("c12"), col("p"))
     }),
 
+    // Perplexity-style curation filter: per-doc average bigram
+    // log-likelihood under the corpus's own MLE bigram model. Exact
+    // rational probabilities, ordered per-doc term sums; round(4) absorbs
+    // ln ulps (the q_bm25 contract).
+    "q_lm_score" -> ((s, dir) =>
+      graft.text.LmScore.avgLogProb(Tables.documents(s, dir), "doc_id", "text")),
+
     // Domain-level provenance rollup (CommonCrawl-style): URLs planted
     // deterministically from doc_id (corpus has none), hosts extracted
     // with a shared-syntax regex, grouped by registered domain.
@@ -574,6 +581,29 @@ object TextQueries extends QueryGroup {
          |r AS (SELECT *, row_number() OVER
          |  (PARTITION BY w1 ORDER BY p DESC, w2) AS rn FROM sc)
          |SELECT w1, w2, c12, p FROM r WHERE rn <= 3 AND c1 >= 20""".stripMargin,
+
+    // Same model, same ordered fold: doc-level pair counts → corpus MLE
+    // probabilities → per-doc list(term ORDER BY bigram) summed
+    // left-to-right.
+    "q_lm_score" ->
+      s"""WITH bgd AS (
+         |  SELECT doc_id, unnest(${OracleSql.shinglesSqlN(2)}) AS bg
+         |  FROM documents),
+         |pt AS (SELECT doc_id, string_split(bg, ' ')[1] AS w1,
+         |              string_split(bg, ' ')[2] AS w2 FROM bgd),
+         |dp AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM pt GROUP BY 1, 2, 3),
+         |pair AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS c12
+         |         FROM dp GROUP BY 1, 2),
+         |uni AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM pair GROUP BY 1),
+         |pr AS (SELECT w1, w2, c12 / CAST(c1 AS DOUBLE) AS p
+         |       FROM pair JOIN uni USING (w1)),
+         |terms AS (
+         |  SELECT dp.doc_id, dp.cnt, dp.w1, dp.w2, dp.cnt * ln(pr.p) AS term
+         |  FROM dp JOIN pr USING (w1, w2))
+         |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+         |  round(list_sum(list(term ORDER BY w1, w2)) /
+         |    CAST(sum(cnt) AS BIGINT), 4) AS avg_logp
+         |FROM terms GROUP BY doc_id""".stripMargin,
 
     // Same planted URLs, same shared-syntax host/domain patterns.
     "q_url_domains" -> {
