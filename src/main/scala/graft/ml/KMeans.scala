@@ -149,6 +149,21 @@ object KMeans {
       (x2 + array_min(col("__s"))).cast("long").as("dist"))
   }
 
+  /** Single-expression `struct(cluster, dist)` assignment against a fitted
+    * model — lets callers fuse MANY codebooks into one map-only projection
+    * (product quantization fuses m of these over vector slices; whole-stage
+    * codegen's subexpression elimination shares the quantized array across
+    * the k score terms).
+    */
+  def assignment(vec: Column, model: KMeansModel): Column = {
+    require(model.k > 0, "assignment needs a non-empty model")
+    val q = quantize(vec, model.scale)
+    val s = array(scores(q, model): _*)
+    val x2 = graft.expr.VectorExprs.vecDot(q, q)
+    struct(clusterOf(s).as("cluster"),
+      (x2 + array_min(s)).cast("long").as("dist"))
+  }
+
   /** fit + assign in one call — the `q_kmeans` surface. */
   def fitAssign(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iterations: Int, scale: Long = 1000L): DataFrame =

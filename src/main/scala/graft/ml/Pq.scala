@@ -1,0 +1,72 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ml.KMeans.KMeansModel
+
+/** Product quantization (Jégou et al., PAMI 2011) — the vector-compression
+  * layer under billion-scale ANN: split each d-dim embedding into `m`
+  * subvectors, k-means each subspace independently, and store a vector as
+  * its m nearest-centroid codes (m bytes at k ≤ 256 vs 4d bytes of float —
+  * a 32× shrink at d=64, m=8). Search-side ADC then scores against code
+  * tables instead of raw vectors.
+  *
+  * Everything inherits [[KMeans]]'s integer-exact arithmetic, so codes and
+  * reconstruction distances are bit-identical on any engine/partitioning —
+  * which is what puts the encoder under the DuckDB oracle gate
+  * (`q_pq_encode`, m unrolled Lloyd chains over list slices).
+  *
+  * Scale shape: `fit` runs m small k-means jobs (model state is m·k·(d/m)
+  * longs on the driver — codebook-sized, like any broadcast model; at
+  * 100 TB cache the input projection once since each subspace fit re-scans
+  * it). `encode` is ONE map-only projection: all m assignments ride as
+  * fused literal-centroid expressions — no join, no shuffle, no per-
+  * subspace pass.
+  */
+object Pq {
+
+  final case class PqModel(dims: Int, models: Array[KMeansModel]) {
+    def m: Int = models.length
+    def subDim: Int = dims / m
+  }
+
+  private def subVec(vec: Column, s: Int, subDim: Int): Column =
+    slice(vec, s * subDim + 1, subDim)
+
+  /** Fit per-subspace codebooks. `dims` must split evenly into `m`. */
+  def fit(df: DataFrame, idCol: String, vecCol: String, dims: Int, m: Int,
+      k: Int, iterations: Int, scale: Long = 1000L): PqModel = {
+    require(m > 0 && dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    val subDim = dims / m
+    val models = Array.tabulate(m) { s =>
+      KMeans.fit(
+        df.select(col(idCol), subVec(col(vecCol), s, subDim).as(vecCol)),
+        idCol, vecCol, k, iterations, scale)
+    }
+    PqModel(dims, models)
+  }
+
+  /** Encode every vector: (idCol, pq_code ARRAY<INT>, recon_dist BIGINT).
+    * `recon_dist` is the exact summed squared quantized-grid distance to
+    * the chosen centroids — the quantization error ADC search inherits.
+    */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+      model: PqModel): DataFrame = {
+    val asg = (0 until model.m).map { s =>
+      KMeans.assignment(subVec(col(vecCol), s, model.subDim), model.models(s))
+        .as(s"__a$s")
+    }
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol) +: asg: _*)
+      .select(col(idCol),
+        array((0 until model.m).map(s => col(s"__a$s.cluster")): _*).as("pq_code"),
+        (0 until model.m).map(s => col(s"__a$s.dist"))
+          .reduce(_ + _).as("recon_dist"))
+  }
+
+  /** fit + encode — the `q_pq_encode` surface. */
+  def fitEncode(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+      m: Int, k: Int, iterations: Int, scale: Long = 1000L): DataFrame =
+    encode(df, idCol, vecCol, fit(df, idCol, vecCol, dims, m, k, iterations, scale))
+}

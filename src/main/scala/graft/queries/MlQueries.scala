@@ -3,11 +3,11 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ml.KMeans
+import graft.ml.{KMeans, Pq}
 
 /** Distributed-ML primitives over the embeddings table: the codebook /
-  * clustering layer a curation pipeline runs between dedup and sampling
-  * (cluster-then-sample, IVF cell assignment, PQ codebooks).
+  * clustering / compression layer a curation pipeline runs between dedup
+  * and sampling (cluster-then-sample, IVF cell assignment, PQ codebooks).
   */
 object MlQueries extends QueryGroup {
 
@@ -19,63 +19,101 @@ object MlQueries extends QueryGroup {
     // Exact integers end to end → bit-identical to the unrolled oracle.
     "q_kmeans" -> ((s, dir) =>
       KMeans.fitAssign(Tables.embeddings(s, dir), "vec_id", "embedding",
-        k = 8, iterations = 3)))
+        k = 8, iterations = 3)),
 
-  // The same recurrence unrolled in DuckDB: quantize → seed by md5 order →
-  // 3 × (argmin assign, floor-divided centroid update) → final assign.
+    // Product quantization: 4 subspaces × 16 dims, k=4, 2 Lloyd rounds
+    // per subspace; encode is ONE fused map-only projection (4 literal
+    // codebooks in a single select). recon_dist = exact summed quantized
+    // squared error.
+    "q_pq_encode" -> ((s, dir) =>
+      Pq.fitEncode(Tables.embeddings(s, dir), "vec_id", "embedding",
+        dims = 64, m = 4, k = 4, iterations = 2)))
+
+  // ---- oracle: a reusable unrolled Lloyd chain -----------------------
+  // The same recurrence KMeans.fit runs, restated in DuckDB CTEs:
+  // quantize → seed by md5 order → iters × (argmin assign, floor-divided
+  // centroid update) → final assignment with exact squared distance.
   // list_dot_product over integer-valued doubles is exact, so accumulation
   // order can't split the engines; floor(sum/count) matches Spark's
-  // floor(sum/count) on identical IEEE doubles.
-  private def kmeansAssign(name: String, cents: String): String =
+  // floor(sum/count) on identical IEEE doubles. `p` prefixes every CTE so
+  // product quantization can instantiate one chain per subspace.
+
+  private def lloydAssign(p: String, name: String, cents: String): String =
     s"""$name AS (
        |  SELECT vec_id, v, c FROM (
-       |    SELECT q.vec_id, q.v, $cents.c,
-       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |    SELECT ${p}q.vec_id, ${p}q.v, $cents.c,
+       |      row_number() OVER (PARTITION BY ${p}q.vec_id ORDER BY
        |        list_dot_product($cents.v, $cents.v)
-       |          - 2 * list_dot_product(q.v, $cents.v), $cents.c) AS rn
-       |    FROM q CROSS JOIN $cents) WHERE rn = 1)""".stripMargin
+       |          - 2 * list_dot_product(${p}q.v, $cents.v), $cents.c) AS rn
+       |    FROM ${p}q CROSS JOIN $cents) WHERE rn = 1)""".stripMargin
 
-  private def kmeansUpdate(i: Int): String =
-    s"""u$i AS (
+  private def lloydUpdate(p: String, i: Int, dim: Int): String =
+    s"""${p}u$i AS (
        |  SELECT c, i, floor(sum(v[i]) / count(*)) AS cv
-       |  FROM a$i, range(1, 65) t(i) GROUP BY c, i),
-       |c$i AS (
-       |  SELECT c${i - 1}.c, coalesce(u.v, c${i - 1}.v) AS v
-       |  FROM c${i - 1} LEFT JOIN
-       |    (SELECT c, list(cv ORDER BY i) AS v FROM u$i GROUP BY c) u
+       |  FROM ${p}a$i, range(1, ${dim + 1}) t(i) GROUP BY c, i),
+       |${p}c$i AS (
+       |  SELECT ${p}c${i - 1}.c, coalesce(u.v, ${p}c${i - 1}.v) AS v
+       |  FROM ${p}c${i - 1} LEFT JOIN
+       |    (SELECT c, list(cv ORDER BY i) AS v FROM ${p}u$i GROUP BY c) u
        |    USING (c))""".stripMargin
 
-  private val kmeansIters = 3
-
-  private val kmeansSql: String = {
-    val rounds = (1 to kmeansIters)
-      .map(i => kmeansAssign(s"a$i", s"c${i - 1}") + ",\n" + kmeansUpdate(i))
+  /** Full chain `{p}q → {p}c0 → … → {p}af`; `{p}af` has
+    * (vec_id, c, dist) with `dist` the exact squared quantized distance.
+    */
+  private def lloydChain(p: String, vecSql: String, dim: Int, k: Int,
+      iters: Int): String = {
+    val rounds = (1 to iters)
+      .map(i => lloydAssign(p, s"${p}a$i", s"${p}c${i - 1}") + ",\n" +
+        lloydUpdate(p, i, dim))
       .mkString(",\n")
-    val fc = s"c$kmeansIters"
-    s"""WITH q AS (
-       |  SELECT vec_id,
-       |    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS v
+    val fc = s"${p}c$iters"
+    s"""${p}q AS (
+       |  SELECT vec_id, $vecSql AS v
        |  FROM embeddings WHERE embedding IS NOT NULL),
-       |c0 AS (
+       |${p}c0 AS (
        |  SELECT c, v FROM (
        |    SELECT row_number() OVER
        |      (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c, v
-       |    FROM q) WHERE c < 8),
+       |    FROM ${p}q) WHERE c < $k),
        |$rounds,
-       |af AS (
-       |  SELECT vec_id, v, c, sc FROM (
-       |    SELECT q.vec_id, q.v, $fc.c,
+       |${p}af AS (
+       |  SELECT vec_id, c, list_dot_product(v, v) + sc AS dist FROM (
+       |    SELECT ${p}q.vec_id, ${p}q.v, $fc.c,
        |      list_dot_product($fc.v, $fc.v)
-       |        - 2 * list_dot_product(q.v, $fc.v) AS sc,
-       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        - 2 * list_dot_product(${p}q.v, $fc.v) AS sc,
+       |      row_number() OVER (PARTITION BY ${p}q.vec_id ORDER BY
        |        list_dot_product($fc.v, $fc.v)
-       |          - 2 * list_dot_product(q.v, $fc.v), $fc.c) AS rn
-       |    FROM q CROSS JOIN $fc) WHERE rn = 1)
-       |SELECT vec_id, CAST(c AS INT) AS cluster,
-       |  CAST(list_dot_product(v, v) + sc AS BIGINT) AS dist
+       |          - 2 * list_dot_product(${p}q.v, $fc.v), $fc.c) AS rn
+       |    FROM ${p}q CROSS JOIN $fc) WHERE rn = 1)""".stripMargin
+  }
+
+  private def quantSql(inner: String): String =
+    s"list_transform($inner, x -> floor(CAST(x AS DOUBLE) * 1000))"
+
+  private val kmeansSql: String =
+    s"""WITH ${lloydChain("", quantSql("embedding"), 64, 8, 3)}
+       |SELECT vec_id, CAST(c AS INT) AS cluster, CAST(dist AS BIGINT) AS dist
        |FROM af""".stripMargin
+
+  private val pqSql: String = {
+    val m = 4; val subDim = 16
+    val chains = (0 until m).map { s =>
+      lloydChain(s"s${s}_",
+        quantSql(s"list_slice(embedding, ${s * subDim + 1}, ${(s + 1) * subDim})"),
+        subDim, 4, 2)
+    }.mkString(",\n")
+    val codes = (0 until m).map(s => s"CAST(s${s}_af.c AS INT)").mkString(", ")
+    val dist = (0 until m).map(s => s"s${s}_af.dist").mkString(" + ")
+    val joins = (1 until m)
+      .map(s => s"JOIN s${s}_af ON s${s}_af.vec_id = s0_af.vec_id").mkString("\n")
+    s"""WITH $chains
+       |SELECT s0_af.vec_id, [$codes] AS pq_code,
+       |  CAST($dist AS BIGINT) AS recon_dist
+       |FROM s0_af
+       |$joins""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
-    "q_kmeans" -> kmeansSql)
+    "q_kmeans" -> kmeansSql,
+    "q_pq_encode" -> pqSql)
 }

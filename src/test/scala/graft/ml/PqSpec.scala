@@ -1,0 +1,59 @@
+package graft.ml
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class PqSpec extends AnyFunSuite with SparkTestBase {
+
+  private def vecs = {
+    import spark.implicits._
+    (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(d =>
+        (((i * 2654435761L + d * 40503L) % 2000L) - 1000L) / 400.0f))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("m=1 product quantization degenerates to plain k-means") {
+    val pq = Pq.fitEncode(vecs, "vec_id", "embedding", dims = 8, m = 1,
+      k = 4, iterations = 2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).head, r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val km = KMeans.fitAssign(vecs, "vec_id", "embedding", k = 4, iterations = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(pq == km)
+  }
+
+  test("codes are m ints in [0, k); encode is partition-invariant") {
+    val model = Pq.fit(vecs, "vec_id", "embedding", dims = 8, m = 4,
+      k = 3, iterations = 2)
+    val a = Pq.encode(vecs, "vec_id", "embedding", model)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(a.forall { case (_, code, d) =>
+      code.length == 4 && code.forall(c => c >= 0 && c < 3) && d >= 0 })
+    val b = Pq.encode(vecs.repartition(7), "vec_id", "embedding", model)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
+  test("finer codebooks never reconstruct worse in total") {
+    def total(k: Int) =
+      Pq.fitEncode(vecs, "vec_id", "embedding", dims = 8, m = 2, k = k,
+        iterations = 3)
+        .agg(org.apache.spark.sql.functions.sum("recon_dist"))
+        .head().getLong(0)
+    // Not guaranteed per-row, but Lloyd's with nested seed sets (md5 order
+    // is shared, so k=6's seeds contain k=2's) should not lose in total on
+    // this fixture; a regression here means assignment/update broke.
+    assert(total(6) <= total(2))
+  }
+
+  test("dims not divisible by m is rejected") {
+    intercept[IllegalArgumentException] {
+      Pq.fit(vecs, "vec_id", "embedding", dims = 8, m = 3, k = 2, iterations = 1)
+    }
+  }
+}
