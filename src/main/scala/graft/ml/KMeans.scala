@@ -149,6 +149,18 @@ object KMeans {
       (x2 + array_min(col("__s"))).cast("long").as("dist"))
   }
 
+  /** Per-centroid exact squared distances `|x − c_j|²` as an array column
+    * — the ADC "distance table" slice for one subspace
+    * ([[Pq.adcTopK]] computes this once per probe, then candidates cost
+    * one array lookup per subspace instead of a dot product).
+    */
+  def distanceArray(vec: Column, model: KMeansModel): Column = {
+    require(model.k > 0, "distanceArray needs a non-empty model")
+    val q = quantize(vec, model.scale)
+    val x2 = graft.expr.VectorExprs.vecDot(q, q)
+    array(scores(q, model).map(s => x2 + s): _*)
+  }
+
   /** Single-expression `struct(cluster, dist)` assignment against a fitted
     * model — lets callers fuse MANY codebooks into one map-only projection
     * (product quantization fuses m of these over vector slices; whole-stage

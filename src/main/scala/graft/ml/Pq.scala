@@ -69,4 +69,41 @@ object Pq {
   def fitEncode(df: DataFrame, idCol: String, vecCol: String, dims: Int,
       m: Int, k: Int, iterations: Int, scale: Long = 1000L): DataFrame =
     encode(df, idCol, vecCol, fit(df, idCol, vecCol, dims, m, k, iterations, scale))
+
+  /** Asymmetric-distance top-k (the PQ search side): each probe builds its
+    * m×k distance table ONCE (one projection on the broadcast probe side),
+    * then every candidate costs m array lookups on its stored code — the
+    * corpus never ships vectors, only m-byte codes. `adc_dist` =
+    * Σ_s |p_s − c_{code_s}|², exact on the quantized grid.
+    *
+    * At 100 TB this is the memory-bandwidth win PQ exists for: the
+    * scan+broadcast-join side reads 4·m bytes per corpus row instead of
+    * 4·d, a dims/m shrink, and the per-pair work is O(m) lookups instead
+    * of O(d) multiply-adds.
+    *
+    * @param codes pre-encoded corpus — (idCol, pq_code) from [[encode]]
+    *              (encode once, search many)
+    */
+  def adcTopK(probes: DataFrame, codes: DataFrame, idCol: String,
+      vecCol: String, model: PqModel, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tab = array((0 until model.m).map(s =>
+      KMeans.distanceArray(subVec(col(vecCol), s, model.subDim),
+        model.models(s))): _*)
+    val p = probes.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), tab.as("__tab"))
+    val pairs = broadcast(p)
+      .crossJoin(codes.select(col(idCol).as("neighbor_id"), col("pq_code")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (0 until model.m).map(s =>
+          element_at(element_at(col("__tab"), s + 1),
+            element_at(col("pq_code"), s + 1) + 1))
+          .reduce(_ + _).cast("long").as("adc_dist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adc_dist")
+  }
 }

@@ -27,7 +27,19 @@ object MlQueries extends QueryGroup {
     // squared error.
     "q_pq_encode" -> ((s, dir) =>
       Pq.fitEncode(Tables.embeddings(s, dir), "vec_id", "embedding",
-        dims = 64, m = 4, k = 4, iterations = 2)))
+        dims = 64, m = 4, k = 4, iterations = 2)),
+
+    // ADC search over the PQ codes: probes (vec_id % 50 = 0) build m×k
+    // distance tables once; candidates cost m array lookups on 4-byte
+    // codes — the corpus never ships vectors. Exact integer distances.
+    "q_pq_adc_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = Pq.fit(emb, "vec_id", "embedding",
+        dims = 64, m = 4, k = 4, iterations = 2)
+      Pq.adcTopK(emb.filter(col("vec_id") % 50 === 0),
+        Pq.encode(emb, "vec_id", "embedding", model),
+        "vec_id", "embedding", model, k = 5)
+    }))
 
   // ---- oracle: a reusable unrolled Lloyd chain -----------------------
   // The same recurrence KMeans.fit runs, restated in DuckDB CTEs:
@@ -113,7 +125,46 @@ object MlQueries extends QueryGroup {
        |$joins""".stripMargin
   }
 
+  private val pqAdcSql: String = {
+    val m = 4; val subDim = 16
+    val chains = (0 until m).map { s =>
+      lloydChain(s"s${s}_",
+        quantSql(s"list_slice(embedding, ${s * subDim + 1}, ${(s + 1) * subDim})"),
+        subDim, 4, 2)
+    }.mkString(",\n")
+    // Probe distance tables: |p_s|² + |c|² − 2·p_s·c per (probe, centroid).
+    val tables = (0 until m).map { s =>
+      s"""pr$s AS (
+         |  SELECT q.vec_id AS query_id, cc.c,
+         |    list_dot_product(q.v, q.v) + list_dot_product(cc.v, cc.v)
+         |      - 2 * list_dot_product(q.v, cc.v) AS d
+         |  FROM s${s}_q q CROSS JOIN s${s}_c2 cc WHERE q.vec_id % 50 = 0)"""
+        .stripMargin
+    }.mkString(",\n")
+    val codeJoins = (1 until m)
+      .map(s => s"  JOIN s${s}_af a$s ON a$s.vec_id = a0.vec_id").mkString("\n")
+    val tabJoins = (0 until m).map { s =>
+      val qj = if (s == 0) "" else s" AND p$s.query_id = p0.query_id"
+      s"  JOIN pr$s p$s ON p$s.c = a$s.c$qj"
+    }.mkString("\n")
+    val dist = (0 until m).map(s => s"p$s.d").mkString(" + ")
+    s"""WITH $chains,
+       |$tables,
+       |cand AS (
+       |  SELECT p0.query_id, a0.vec_id AS neighbor_id, $dist AS adc
+       |  FROM s0_af a0
+       |$codeJoins
+       |$tabJoins
+       |  WHERE p0.query_id <> a0.vec_id),
+       |r AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn FROM cand)
+       |SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank,
+       |  CAST(adc AS BIGINT) AS adc_dist
+       |FROM r WHERE rn <= 5""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_kmeans" -> kmeansSql,
-    "q_pq_encode" -> pqSql)
+    "q_pq_encode" -> pqSql,
+    "q_pq_adc_topk" -> pqAdcSql)
 }

@@ -51,6 +51,26 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     assert(total(6) <= total(2))
   }
 
+  test("ADC top-k retrieves same-blob neighbors on separated blobs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(5)
+    // Two far-apart blobs in 8 dims; ADC must keep retrieval within-blob.
+    val rows = (0L until 30L).map { i =>
+      val base = if (i < 15) 10.0 else -10.0
+      (i, Array.tabulate(8)(d => (base + rng.nextGaussian() * 0.2).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val model = Pq.fit(df, "vec_id", "embedding", dims = 8, m = 2, k = 2,
+      iterations = 3)
+    val top = Pq.adcTopK(df.filter(col("vec_id").isin(0L, 20L)),
+      Pq.encode(df, "vec_id", "embedding", model),
+      "vec_id", "embedding", model, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(top.length == 10)
+    assert(top.forall { case (q, n) => (q < 15) == (n < 15) })
+  }
+
   test("dims not divisible by m is rejected") {
     intercept[IllegalArgumentException] {
       Pq.fit(vecs, "vec_id", "embedding", dims = 8, m = 3, k = 2, iterations = 1)
