@@ -282,6 +282,34 @@ object RelationalQueries extends QueryGroup {
       slices.reduce(IncrementalRollup.merge)
         .select(col("o_custkey"), col("cnt"),
           col("total").cast("double").as("total"))
+    }),
+
+    // Incremental JOIN maintenance: the orders⋈customer view maintained
+    // under an appended delta slice (orderkey % 7 = 0 arrives "today")
+    // must equal DuckDB's one-shot join — the delta algebra adds
+    // dA⋈B ∪ A⋈dB ∪ dA⋈dB, each with the increment broadcast. Exact
+    // integer/string columns, so equality is bit-for-bit.
+    "q_incremental_join" -> ((s, dir) => {
+      import graft.gold.IncrementalJoin
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      val (oBase, oDelta) = (o.filter(pmod(col("o_orderkey"), lit(7)) =!= 0),
+        o.filter(pmod(col("o_orderkey"), lit(7)) === 0))
+      // Customer side: base is every odd custkey, delta the even ones —
+      // exercises the A⋈dB and dA⋈dB terms, not just appended facts.
+      val (cBase, cDelta) = (c.filter(pmod(col("o_custkey"), lit(2)) === 1),
+        c.filter(pmod(col("o_custkey"), lit(2)) === 0))
+      val jOld = oBase.join(cBase, Seq("o_custkey"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("c_mktsegment"))
+      jOld.unionByName(IncrementalJoin.joinDelta(
+          oBase, oDelta, cBase, cDelta, Seq("o_custkey")))
+        .groupBy(col("o_custkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -455,5 +483,12 @@ object RelationalQueries extends QueryGroup {
     "q_incremental_rollup" ->
       """SELECT o_custkey, count(*) AS cnt,
         |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
-        |FROM orders GROUP BY o_custkey""".stripMargin)
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+    // One-shot join over ALL of history — what the four-term delta union
+    // must reproduce exactly.
+    "q_incremental_join" ->
+      """SELECT o_custkey, c_mktsegment, count(*) AS n_orders,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_custkey, c_mktsegment""".stripMargin)
 }
