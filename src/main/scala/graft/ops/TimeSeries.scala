@@ -213,6 +213,49 @@ object TimeSeries {
     * previous event of the same user exceeds `gapSeconds`. Single shuffle on
     * user, in-partition sort — the classic scalable formulation.
     */
+  /** Exponentially-weighted moving average in INTEGER FIXED-POINT: the
+    * recurrence `r_t = (α·v_t·scale + (1−α)·r_{t-1}) div den` with
+    * α = alphaNum/alphaDen, r_0 = v_0·scale. Floats make EWMA
+    * accumulation-order- and engine-dependent; integer floor division
+    * makes every step bit-exact (the [[graft.graph.PageRank]] contract),
+    * which is what puts a genuinely SEQUENTIAL recurrence under the
+    * DuckDB oracle gate (`q_ewma`, a recursive CTE).
+    *
+    * EWMA is inherently sequential per series, so the honest distributed
+    * shape is one shuffle keyed by series + an in-partition SORTED group
+    * iterator (`flatMapSortedGroups` — Spark sorts within partitions,
+    * never collects a group into memory): O(1) state per series, series
+    * count parallelizes, series length streams. A skewed series costs one
+    * partition's sort, same profile as any keyed window.
+    *
+    * @param df   (keyCol, timeCol, valueCol) rows; timeCol/valueCol must
+    *             cast to long (pre-bucket timestamps upstream)
+    * @return (keyCol, timeCol, ewma_fp) — ewma in `scale` fixed-point
+    */
+  def ewmaFixedPoint(df: DataFrame, keyCol: String, timeCol: String,
+      valueCol: String, alphaNum: Long, alphaDen: Long,
+      scale: Long = 1000000L): DataFrame = {
+    require(alphaNum > 0 && alphaNum <= alphaDen, "need 0 < alpha <= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string"), col(timeCol).cast("long"),
+        col(valueCol).cast("long")).toDF("_1", "_2", "_3")
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups($"_2") { (key, it) =>
+        var prev = 0L
+        var first = true
+        it.map { case (_, t, v) =>
+          val r =
+            if (first) { first = false; v * scale }
+            else Math.floorDiv(alphaNum * v * scale + (alphaDen - alphaNum) * prev,
+              alphaDen)
+          prev = r
+          (key, t, r)
+        }
+      }.toDF(keyCol, timeCol, "ewma_fp")
+  }
+
   def sessionize(events: DataFrame, userCol: String, tsCol: String,
       gapSeconds: Long): DataFrame = {
     val byUser = Window.partitionBy(userCol).orderBy(tsCol)

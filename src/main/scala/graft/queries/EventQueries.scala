@@ -169,6 +169,20 @@ object EventQueries extends QueryGroup {
           col("event_type"), col("n_rows"))
     }),
 
+    // EWMA-smoothed daily event counts per type (α=1/8) in integer
+    // fixed-point — a sequential recurrence made engine-exact, one
+    // sorted-group pass per series.
+    "q_ewma" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          floor(col("ts").cast("long") / 86400).cast("long").as("t"))
+        .agg(count(lit(1)).as("v"))
+      TimeSeries.ewmaFixedPoint(daily, "event_type", "t", "v", 1L, 8L)
+        .select(col("event_type"),
+          date_format(timestamp_seconds(col("t") * 86400), "yyyy-MM-dd").as("date"),
+          col("ewma_fp"))
+    }),
+
     // W3: derived categories unioned with source (U1).
     "q_derived_union" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -539,6 +553,29 @@ object EventQueries extends QueryGroup {
         |SELECT task, holder, time AS pb_time, dt AS pb_date, grp FROM missing""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The same integer recurrence as a recursive CTE: step t joins step
+    // t-1 per series; all divisions are `//` on non-negative BIGINTs, so
+    // DuckDB floor == Spark floorDiv bit-for-bit.
+    "q_ewma" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS t,
+        |    count(*) AS v
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, t, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY t) AS rn
+        |  FROM b),
+        |r AS (
+        |  SELECT event_type, t, rn, CAST(v * 1000000 AS BIGINT) AS ewma
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.t, s.rn,
+        |    CAST((1 * s.v * 1000000 + 7 * r.ewma) // 8 AS BIGINT)
+        |  FROM s JOIN r ON s.event_type = r.event_type AND s.rn = r.rn + 1)
+        |SELECT event_type,
+        |  strftime(make_timestamp(t * 86400000000), '%Y-%m-%d') AS date,
+        |  ewma AS ewma_fp
+        |FROM r""".stripMargin,
     "q_period_pivot" ->
       s"""SELECT user_id, count(*) AS count_all_time,
          |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS value_all_time,

@@ -52,4 +52,27 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
       .orderBy("Date").select("Cum").as[Long].collect()
     assert(out.toSeq == Seq(0L, 1L, 3L, 6L, 10L, 15L, 21L, 28L, 36L, 45L))
   }
+
+  test("ewmaFixedPoint: hand-stepped recurrence, per-series isolation") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 3L, 8L), ("a", 1L, 16L), ("a", 2L, 0L), // out of order on purpose
+      ("b", 1L, 8L)
+    ).toDF("k", "t", "v")
+    val got = TimeSeries.ewmaFixedPoint(df, "k", "t", "v", 1L, 8L, scale = 1000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // a: r1=16000; r2=(0*1000 + 7*16000)/8=14000; r3=(8000+7*14000)/8=13250.
+    assert(got == Set(("a", 1L, 16000L), ("a", 2L, 14000L), ("a", 3L, 13250L),
+      ("b", 1L, 8000L)))
+  }
+
+  test("ewmaFixedPoint is partition-invariant") {
+    import spark.implicits._
+    val rows = (0 until 200).map(i => (s"k${i % 5}", i.toLong, (i * 37 % 100).toLong))
+    val a = TimeSeries.ewmaFixedPoint(rows.toDF("k", "t", "v"), "k", "t", "v", 1L, 4L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(x => (x._1, x._2)).toSeq
+    val b = TimeSeries.ewmaFixedPoint(rows.toDF("k", "t", "v").repartition(13), "k", "t", "v", 1L, 4L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(x => (x._1, x._2)).toSeq
+    assert(a == b)
+  }
 }
