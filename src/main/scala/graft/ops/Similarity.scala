@@ -170,6 +170,36 @@ object Similarity {
     lshTopKImpl(probes, corpus, idCol, vecCol, k, numPlanes, tables, bucketFn)
   }
 
+  /** Multi-probe LSH (Lv et al., VLDB'07 shape, single-bit ring): each
+    * probe also visits `flips` Hamming-1 buckets, recovering most of an
+    * extra table's recall for ZERO extra index storage and corpus passes
+    * — at 100 TB the index (corpus side) dominates cost, so spending
+    * probe-side fan-out instead of corpus-side tables is the right trade.
+    * Candidate fan-out grows ≤ (1+flips)× on the probe side only; the
+    * corpus is still bucketed once per table.
+    */
+  def lshTopKMultiProbe(
+      probes: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      numPlanes: Int = 8, tables: Int = 1, flips: Int = 4): DataFrame =
+    lshTopKImpl(probes, corpus, idCol, vecCol, k, numPlanes, tables,
+      (vec, t) => lshBucket(vec, numPlanes, seedOffset = t * numPlanes),
+      probeFlips = flips)
+
+  /** [[lshTopKMultiProbe]] on md5-derived planes — the oracle-parity
+    * variant (`q_ann_mp_lsh_topk`).
+    */
+  def lshTopKMd5MultiProbe(
+      probes: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, dims: Int,
+      numPlanes: Int = 8, tables: Int = 1, flips: Int = 4): DataFrame = {
+    val bucketFn = (vec: Column, t: Int) =>
+      graft.expr.VectorExprs.planeBuckets(vec,
+        Array.tabulate(numPlanes)(p => md5PlaneComponents(t * numPlanes + p, dims)))
+    lshTopKImpl(probes, corpus, idCol, vecCol, k, numPlanes, tables, bucketFn,
+      probeFlips = flips)
+  }
+
   /** IVF-flat ANN: coarse-quantize the corpus into inverted lists (each
     * row joins its nearest centroid's list), probe the `nprobe` nearest
     * lists per query, rank candidates by exact cosine.
@@ -262,10 +292,18 @@ object Similarity {
       probes: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       numPlanes: Int, tables: Int,
-      bucketFn: (Column, Int) => Column): DataFrame = {
-    val withBuckets = (df: DataFrame, prefix: String) => {
-      val buckets = array((0 until tables).map(t =>
-        struct(lit(t).as("t"), bucketFn(col(vecCol), t).as("b"))): _*)
+      bucketFn: (Column, Int) => Column,
+      probeFlips: Int = 0): DataFrame = {
+    val withBuckets = (df: DataFrame, prefix: String, flips: Int) => {
+      val buckets = array((0 until tables).flatMap { t =>
+        val base = bucketFn(col(vecCol), t)
+        // Multi-probe: besides its own bucket, a probe also visits the
+        // `flips` Hamming-1 neighbors (flip plane f's sign bit) — the
+        // planes a borderline projection most plausibly landed across.
+        struct(lit(t).as("t"), base.as("b")) +:
+          (0 until flips).map(f =>
+            struct(lit(t).as("t"), base.bitwiseXOR(lit(1L << f)).as("b")))
+      }: _*)
       // A NULL vector cannot have neighbors (its cosine is NULL): drop it
       // BEFORE bucketing, or it would ride the all-bits-unset bucket into
       // the join and surface in top-k with a NULL score.
@@ -275,8 +313,8 @@ object Similarity {
         .select(col(s"${prefix}_id"), col(s"__${prefix}v"),
           col("__bt.t").as("__t"), col("__bt.b").as("__b"))
     }
-    val p = withBuckets(probes, "query")
-    val c = withBuckets(corpus, "neighbor")
+    val p = withBuckets(probes, "query", probeFlips)
+    val c = withBuckets(corpus, "neighbor", 0)
     // Score BEFORE the cross-table dedup: cos is identical for a pair seen
     // in several tables, so distinct on (ids, cos) is equivalent — and the
     // dedup shuffle then carries 3 scalars per row instead of two vectors.

@@ -92,6 +92,17 @@ object SimilarityQueries extends QueryGroup {
           round(col("cos"), 4).as("cos"))
     }),
 
+    // Multi-probe LSH: ONE table, 6 planes, probes also visit all 6
+    // Hamming-1 buckets — an extra table's recall for zero extra index.
+    "q_ann_mp_lsh_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopKMd5MultiProbe(
+        emb.filter(col("vec_id") < 50), emb, "vec_id", "embedding", k = 3,
+        dims = 64, numPlanes = 6, tables = 1, flips = 6)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 4).as("cos"))
+    }),
+
     // IVF-flat ANN — the other scale path: inverted lists from
     // deterministic sampled centroids (id % 25), probe 3 nearest lists.
     "q_ann_ivf_topk" -> ((s, dir) => {
@@ -241,6 +252,42 @@ object SimilarityQueries extends QueryGroup {
         |  JOIN e b ON b.vec_id = c.neighbor_id)
         |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
         |FROM ranked WHERE rank <= 3""".stripMargin,
+    // Same planes/buckets, one table (p 0..5); probe buckets expand to
+    // the identity + 6 single-bit xor flips before the bucket join.
+    "q_ann_mp_lsh_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+        |planes AS (
+        |  SELECT p, list_transform(range(0, 64),
+        |    d -> CAST(('0x' || substr(md5('p_' || CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+        |         / CAST(576460752303423488 AS DOUBLE) - 1.0) AS comps
+        |  FROM range(0, 6) t(p)),
+        |proj AS (
+        |  SELECT e.vec_id, planes.p,
+        |    list_sum(list_transform(range(1, 65), i -> e.v[i] * planes.comps[i])) AS pr
+        |  FROM e CROSS JOIN planes),
+        |buckets AS (
+        |  SELECT vec_id,
+        |    sum(CASE WHEN pr >= 0 THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END) AS b
+        |  FROM proj GROUP BY vec_id),
+        |pbuckets AS (
+        |  SELECT vec_id,
+        |    CASE WHEN f < 0 THEN b ELSE xor(b, CAST(1 AS BIGINT) << f) END AS b
+        |  FROM buckets, range(-1, 6) t2(f) WHERE vec_id < 50),
+        |cand AS (
+        |  SELECT DISTINCT pb.vec_id AS query_id, cb.vec_id AS neighbor_id
+        |  FROM pbuckets pb JOIN buckets cb ON pb.b = cb.b
+        |  WHERE pb.vec_id <> cb.vec_id),
+        |ranked AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    list_cosine_similarity(a.v, b.v) AS cos,
+        |    CAST(row_number() OVER (PARTITION BY c.query_id
+        |      ORDER BY list_cosine_similarity(a.v, b.v) DESC, c.neighbor_id ASC) AS INT) AS rank
+        |  FROM cand c
+        |  JOIN e a ON a.vec_id = c.query_id
+        |  JOIN e b ON b.vec_id = c.neighbor_id)
+        |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+
     // Mirrors Similarity.ivfTopK: sampled centroids (vec_id % 25 = 0),
     // argmax-cosine list assignment (ties → smaller centroid id), 3
     // probed lists, exact-cosine rank with neighbor_id tie-break.

@@ -175,6 +175,36 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(z == ((0f, Seq(0, 0))))
   }
 
+  test("multi-probe LSH candidates strictly contain the single-probe set") {
+    import spark.implicits._
+    val rng = new scala.util.Random(19)
+    val centers = Seq.fill(3)(Array.fill(16)(rng.nextGaussian()))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      i <- 0 until 30
+    } yield ((ci * 30 + i).toLong,
+      c.map(x => (x + rng.nextGaussian() * 0.1).toFloat).toSeq)
+    val corpus = rows.toDF("vec_id", "embedding")
+    val probes = corpus.filter(col("vec_id") % 30 === 0)
+
+    def pairs(flips: Int) = Similarity.lshTopKMultiProbe(
+      probes, corpus, "vec_id", "embedding", k = 90,
+      numPlanes = 6, tables = 1, flips = flips)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(0)
+    val multi = pairs(6)
+    assert(single.subsetOf(multi))
+
+    val brute = Similarity.bruteForceTopK(probes, corpus, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mpTop = Similarity.lshTopKMultiProbe(
+      probes, corpus, "vec_id", "embedding", k = 5,
+      numPlanes = 6, tables = 1, flips = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(mpTop).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+
   test("IVF over a k-means codebook: learned cells recall >= sampled cells") {
     import spark.implicits._
     val rng = new scala.util.Random(11)
