@@ -55,6 +55,31 @@ object Sharding {
       .drop("__rn")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis, IPL 2006):
+    * each row draws a deterministic uniform u = (md5_60(id)+1)/2^60 and
+    * keeps key = ln(u)/w — the n LARGEST keys are exactly a weighted
+    * sample without replacement (ln is a monotone transform of the paper's
+    * u^(1/w), so the selected set is identical and pow never enters).
+    * Hash-derived randomness means a re-run, a retried task, or another
+    * engine draws the SAME sample — `rand()` cannot promise any of that.
+    *
+    * Scale: the top-n is `TakeOrderedAndProject` (per-partition heads of
+    * size n, then an n-row driver merge) — no global sort, no shuffle of
+    * the corpus. Rows with weight ≤ 0 or NULL can never be sampled and are
+    * dropped up front.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      n: Int): DataFrame = {
+    require(n > 0)
+    val u = (Dedup.md5Hash60(col(idCol).cast("string")) + 1).cast("double") /
+      lit(math.pow(2, 60))
+    df.filter(col(weightCol) > 0)
+      .withColumn("__wkey", log(u) / col(weightCol).cast("double"))
+      .orderBy(col("__wkey").desc, col(idCol).asc)
+      .limit(n)
+      .drop("__wkey")
+  }
+
   /** Per-group keep fractions that retarget the corpus to a desired domain
     * mixture while keeping as much data as possible: the output corpus size
     * `S = min_g(total_g / target_g)` is the largest for which every group

@@ -99,6 +99,15 @@ object TextQueries extends QueryGroup {
         .select(col("source"), col("doc_id"))
     }),
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis):
+    // 100 docs weighted by length, drawn from hash-derived uniforms —
+    // the same sample on every engine, rerun, and partitioning.
+    "q_weighted_sample" -> ((s, dir) => {
+      graft.ops.Sharding.weightedSample(
+        Tables.documents(s, dir), "doc_id", "n_chars", 100)
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
     // Misra-Gries heavy-hitter tokens per language, under the
     // bounded-guarantee gate: n_heavy is exact (DuckDB reproduces it);
     // all_found asserts the sketch's deterministic guarantee — every token
@@ -399,6 +408,15 @@ object TextQueries extends QueryGroup {
         |        doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 5""".stripMargin,
+    // Same exponential keys: u from the 60-bit md5 prefix, key = ln(u)/w,
+    // top-100 by key (doc_id tie-break).
+    "q_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |    ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+        |      / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS k
+        |  FROM documents WHERE n_chars > 0
+        |  ORDER BY k DESC, doc_id LIMIT 100)""".stripMargin,
     "q_freq_tokens" ->
       """WITH toks AS (
         |  SELECT lang,

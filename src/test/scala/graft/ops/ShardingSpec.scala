@@ -158,4 +158,22 @@ class ShardingSpec extends AnyFunSuite with SparkTestBase {
     assert(aKept > 60 && aKept < 140, s"aKept=$aKept")
     assert(down.select("epoch").distinct().as[Long].collect().toSet == Set(0L))
   }
+
+  test("weightedSample: dominant weight always drawn; deterministic; w<=0 excluded") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, if (i == 42L) 1e9 else 1.0))
+      .toDF("id", "w")
+      .unionByName(Seq((200L, 0.0), (201L, -5.0)).toDF("id", "w"))
+    val s1 = Sharding.weightedSample(df, "id", "w", 5)
+      .select("id").as[Long].collect().toSet
+    // key(42) = ln(u)/1e9 ≈ 0⁻ beats every unit-weight key (ln(u) ≤ ~-1e-18
+    // only if u is improbably close to 1 — not at these 100 hashes).
+    assert(s1.contains(42L))
+    assert(!s1.contains(200L) && !s1.contains(201L))
+    val s2 = Sharding.weightedSample(df.repartition(11), "id", "w", 5)
+      .select("id").as[Long].collect().toSet
+    assert(s1 == s2)
+    // n larger than the eligible universe returns the whole universe.
+    assert(Sharding.weightedSample(df, "id", "w", 500).count() == 100L)
+  }
 }
