@@ -1,0 +1,61 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Synchronous label-propagation community detection (Raghavan et al.,
+  * 2007) — the cheap community signal next to [[PageRank]] and
+  * [[Triangles]]: site/domain clusters in a link graph, co-interaction
+  * cohorts in an event graph.
+  *
+  * Determinism (classic LPA is run-order-dependent; this one is not):
+  * SYNCHRONOUS rounds (every node updates from the previous round's
+  * labels), majority vote over neighbor labels with ties broken toward
+  * the SMALLEST label, isolated nodes keep their own label. Every step is
+  * integer counting and total-ordered argmax — bit-identical on any
+  * engine/partitioning, which is what puts 3 rounds under the DuckDB
+  * oracle gate (`q_label_prop`).
+  *
+  * Scale shape per round: one join keyed on the edge source (labels are
+  * a slim (node, label) table) and one partially-aggregated shuffle keyed
+  * on (node, label) for the vote, then an argmax via `max_by` — which
+  * partial-aggregates too, so the exchange carries one row per (node,
+  * label), never per edge. Like PageRank, the edge table is loop-invariant
+  * (cache it at scale); rounds are a fixed small constant.
+  */
+object LabelPropagation {
+
+  /** (node, label) after `rounds` synchronous updates over the undirected
+    * version of `edges` (self-loops dropped, multi-edges collapsed —
+    * each NEIGHBOR votes once).
+    */
+  def communities(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be >= 0")
+    // Undirected neighbor pairs, deduped: (v, u) for every edge {u, v}.
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("__a"),
+        greatest(col(srcCol), col(dstCol)).as("__b"))
+      .filter(col("__a") =!= col("__b"))
+      .distinct()
+    val nbrs = und.select(col("__a").as("node"), col("__b").as("__nbr"))
+      .unionAll(und.select(col("__b").as("node"), col("__a").as("__nbr")))
+    val nodes = nbrs.select(col("node")).distinct()
+
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) {
+      val votes = nbrs
+        .join(labels.select(col("node").as("__nbr"), col("label")), "__nbr")
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("__votes"))
+        .groupBy(col("node"))
+        .agg(max_by(col("label"),
+          struct(col("__votes"), (-col("label")).as("__tb"))).as("__new"))
+      labels = nodes
+        .join(votes, Seq("node"), "left")
+        // An isolated node has no votes: it keeps itself.
+        .select(col("node"), coalesce(col("__new"), col("node")).as("label"))
+    }
+    labels
+  }
+}

@@ -40,6 +40,20 @@ object GraphQueries extends QueryGroup {
           pmod(col("doc_id") * 57 + 1, col("__n")),
           pmod(col("doc_id") * 91 + 2, col("__n")))).as("dst"))
       graft.graph.Triangles.perNode(edges, "src", "dst")
+    }),
+
+    // Synchronous label-propagation communities, 3 rounds — majority vote
+    // with min-label tie-break, all integer counting.
+    "q_label_prop" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val edges = docs.crossJoin(broadcast(n)).select(
+        col("doc_id").as("src"),
+        explode(array(
+          pmod(col("doc_id") * 31 + 0, col("__n")),
+          pmod(col("doc_id") * 57 + 1, col("__n")),
+          pmod(col("doc_id") * 91 + 2, col("__n")))).as("dst"))
+      graft.graph.LabelPropagation.communities(edges, "src", "dst", rounds = 3)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -107,5 +121,35 @@ object GraphQueries extends QueryGroup {
         |  UNION ALL SELECT y FROM t),
         |tc AS (SELECT node, count(*) AS c FROM cr GROUP BY node)
         |SELECT nodes.node, CAST(coalesce(tc.c, 0) AS BIGINT) AS triangles
-        |FROM nodes LEFT JOIN tc USING (node)""".stripMargin)
+        |FROM nodes LEFT JOIN tc USING (node)""".stripMargin,
+
+    // Same synchronous rounds unrolled: per-round neighbor-vote counts,
+    // argmax via (votes DESC, label ASC) row_number.
+    "q_label_prop" -> {
+      def round(i: Int): String =
+        s"""v$i AS (
+           |  SELECT nb.node, l${i - 1}.label, count(*) AS c
+           |  FROM nb JOIN l${i - 1} ON l${i - 1}.node = nb.nbr GROUP BY 1, 2),
+           |l$i AS (
+           |  SELECT node, label FROM (
+           |    SELECT node, label, row_number() OVER
+           |      (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+           |    FROM v$i) WHERE rn = 1)""".stripMargin
+      s"""WITH cnt AS (SELECT count(*) AS n FROM documents),
+         |raw AS (
+         |  SELECT doc_id AS src, (doc_id * 31 + 0) % n AS dst FROM documents, cnt
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id * 57 + 1) % n FROM documents, cnt
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id * 91 + 2) % n FROM documents, cnt),
+         |e0 AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM raw WHERE src <> dst),
+         |nb AS (
+         |  SELECT a AS node, b AS nbr FROM e0
+         |  UNION ALL SELECT b, a FROM e0),
+         |l0 AS (SELECT DISTINCT node, node AS label FROM nb),
+         |${(1 to 3).map(round).mkString(",\n")}
+         |SELECT node, label FROM l3""".stripMargin
+    })
 }
