@@ -1,0 +1,99 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+/** Byte-pair-encoding merge induction (Sennrich et al., ACL 2016) — the
+  * vocabulary-learning step of every modern tokenizer, run as a fixed
+  * number of relational rounds over the corpus's WORD table.
+  *
+  * Per round: count adjacent symbol pairs weighted by word frequency,
+  * pick the global argmax (ties → lexicographically smallest pair, so
+  * the choice is total-ordered), merge that pair greedily left-to-right
+  * in every word, repeat. All counting is integer and the merge scan is
+  * a deterministic fold, so the learned merge table is bit-identical on
+  * any engine — `q_bpe_merges` gates 3 rounds against a DuckDB oracle
+  * whose merge step is a recursive CTE walking the same positions.
+  *
+  * Scale shape: everything after tokenization operates on the DISTINCT
+  * vocabulary (Heaps'-law sublinear in corpus size, ~10⁵–10⁶ rows at
+  * 100 TB — the standard BPE-training trick, word counts once, symbols
+  * per distinct word). Pair counting is an explode + partial-agg'd
+  * (a, b)-keyed shuffle over short per-word pair lists; the argmax is a
+  * 1-row `TakeOrderedAndProject` broadcast back into the merge
+  * projection — the driver never holds anything corpus-sized. The
+  * left-to-right merge fold is per-word O(len) with lookahead carried in
+  * the fold state (a `skip` flag), exactly the sequential semantics of
+  * reference BPE.
+  */
+object Bpe {
+
+  /** Split a word into 1-character symbols (character BPE; byte-level
+    * would pre-map to a byte alphabet the same way).
+    */
+  private def chars(w: Column): Column =
+    transform(sequence(lit(1), length(w)), i => substring(w, i, lit(1)))
+
+  private def substring(c: Column, pos: Column, len: Column): Column =
+    c.substr(pos, len)
+
+  /** Greedy left-to-right application of merge (a, b) → ab to a symbol
+    * array: a fold whose state is (skip-next flag, output) — the skip
+    * flag is what makes "aaa" merge ONCE under (a,a), like reference BPE.
+    */
+  def applyMerge(s: Column, a: Column, b: Column): Column = {
+    val nexts = concat(slice(s, lit(2), greatest(size(s) - 1, lit(0))),
+      array(lit(null).cast("string")))
+    val zipped = zip_with(s, nexts, (x, y) =>
+      struct(x.as("cur"), y.as("nxt")))
+    aggregate(zipped,
+      struct(lit(false).as("skip"), array().cast("array<string>").as("out")),
+      (acc, p) => {
+        val skip = acc.getField("skip")
+        val out = acc.getField("out")
+        when(skip, struct(lit(false).as("skip"), out.as("out")))
+          .when(p.getField("cur") === a && p.getField("nxt") === b,
+            struct(lit(true).as("skip"),
+              concat(out, array(concat(a, b))).as("out")))
+          .otherwise(struct(lit(false).as("skip"),
+            concat(out, array(p.getField("cur"))).as("out")))
+      },
+      acc => acc.getField("out"))
+  }
+
+  /** Learn `rounds` merges. @return (round, left, right, merged,
+    * pair_count) — one row per learned merge, `round` starting at 1.
+    */
+  def learnMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, "need at least one round")
+    val vocab = docs
+      .select(explode(split(Dedup.normalizeText(col(textCol)), " ")).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy("__w").agg(count(lit(1)).as("__wcnt"))
+
+    var symbols = vocab.select(col("__wcnt"), chars(col("__w")).as("__s"))
+    val merges = (1 to rounds).map { r =>
+      val pairs = symbols
+        .select(col("__wcnt"),
+          explode(zip_with(col("__s"),
+            concat(slice(col("__s"), lit(2), greatest(size(col("__s")) - 1, lit(0))),
+              array(lit(null).cast("string"))),
+            (x, y) => struct(x.as("a"), y.as("b")))).as("__p"))
+        .filter(col("__p.b").isNotNull)
+        .groupBy(col("__p.a").as("left"), col("__p.b").as("right"))
+        .agg(sum(col("__wcnt")).as("pair_count"))
+      val top = pairs
+        .orderBy(col("pair_count").desc, col("left").asc, col("right").asc)
+        .limit(1)
+      symbols = symbols.crossJoin(broadcast(
+          top.select(col("left").as("__ma"), col("right").as("__mb"))))
+        .select(col("__wcnt"),
+          applyMerge(col("__s"), col("__ma"), col("__mb")).as("__s"))
+      top.select(lit(r).as("round"), col("left"), col("right"),
+        concat(col("left"), col("right")).as("merged"), col("pair_count"))
+    }
+    merges.reduce(_ unionByName _)
+  }
+}
