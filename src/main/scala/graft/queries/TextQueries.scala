@@ -104,6 +104,12 @@ object TextQueries extends QueryGroup {
     "q_bpe_merges" -> ((s, dir) =>
       graft.text.Bpe.learnMerges(Tables.documents(s, dir), "text", rounds = 3)),
 
+    // Post-merge symbol frequencies — the vocab coverage report after the
+    // same 3 BPE rounds.
+    "q_bpe_vocab" -> ((s, dir) =>
+      graft.text.Bpe.symbolFrequencies(Tables.documents(s, dir), "text",
+        rounds = 3)),
+
     // Weighted sampling without replacement (Efraimidis–Spirakis):
     // 100 docs weighted by length, drawn from hash-derived uniforms —
     // the same sample on every engine, rerun, and partitioning.
@@ -315,6 +321,42 @@ object TextQueries extends QueryGroup {
     s"CASE WHEN $mx = 0 THEN 'und' $whens END"
   }
 
+  /** Shared 3-round BPE chain (w → s0 → p/t/m/s per round), closed by a
+    * caller-supplied final SELECT over the t1..t3 / s3 CTEs.
+    */
+  private def bpeSql(finalSelect: String): String = {
+    def round(r: Int): String = {
+      val prev = s"s${r - 1}"
+      s"""p$r AS (
+         |  SELECT pr.a AS a, pr.b AS b, CAST(sum(wcnt) AS BIGINT) AS c FROM (
+         |    SELECT wcnt, unnest(list_transform(range(1, len(s)),
+         |      i -> struct_pack(a := s[i], b := s[i+1]))) AS pr
+         |    FROM $prev)
+         |  GROUP BY 1, 2),
+         |t$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
+         |m$r AS (
+         |  SELECT word, wcnt, s, 1 AS i, CAST([] AS VARCHAR[]) AS out FROM $prev
+         |  UNION ALL
+         |  SELECT m$r.word, m$r.wcnt, m$r.s,
+         |    CASE WHEN m$r.i < len(m$r.s) AND m$r.s[m$r.i] = t$r.a AND m$r.s[m$r.i+1] = t$r.b
+         |      THEN m$r.i + 2 ELSE m$r.i + 1 END,
+         |    list_append(m$r.out,
+         |      CASE WHEN m$r.i < len(m$r.s) AND m$r.s[m$r.i] = t$r.a AND m$r.s[m$r.i+1] = t$r.b
+         |        THEN t$r.a || t$r.b ELSE m$r.s[m$r.i] END)
+         |  FROM m$r, t$r WHERE m$r.i <= len(m$r.s)),
+         |s$r AS (SELECT word, wcnt, out AS s FROM m$r WHERE i = len(s) + 1)"""
+        .stripMargin
+    }
+    s"""WITH RECURSIVE
+       |w AS (SELECT tok AS word, count(*) AS wcnt FROM
+       |  (SELECT unnest(${OracleSql.toksSql}) AS tok FROM documents)
+       |  WHERE tok <> '' GROUP BY 1),
+       |s0 AS (SELECT word, wcnt,
+       |  list_transform(range(1, len(word) + 1), i -> word[i]) AS s FROM w),
+       |${(1 to 3).map(round).mkString(",\n")}
+       |$finalSelect""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_text_tokens" ->
       """SELECT doc_id,
@@ -417,41 +459,15 @@ object TextQueries extends QueryGroup {
     // argmax with (count DESC, pair ASC), and the greedy left-to-right
     // merge as a RECURSIVE CTE stepping one symbol per iteration with the
     // same skip-on-match rule as the Spark fold.
-    "q_bpe_merges" -> {
-      def round(r: Int): String = {
-        val prev = s"s${r - 1}"
-        s"""p$r AS (
-           |  SELECT pr.a AS a, pr.b AS b, CAST(sum(wcnt) AS BIGINT) AS c FROM (
-           |    SELECT wcnt, unnest(list_transform(range(1, len(s)),
-           |      i -> struct_pack(a := s[i], b := s[i+1]))) AS pr
-           |    FROM $prev)
-           |  GROUP BY 1, 2),
-           |t$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
-           |m$r AS (
-           |  SELECT word, wcnt, s, 1 AS i, CAST([] AS VARCHAR[]) AS out FROM $prev
-           |  UNION ALL
-           |  SELECT m$r.word, m$r.wcnt, m$r.s,
-           |    CASE WHEN m$r.i < len(m$r.s) AND m$r.s[m$r.i] = t$r.a AND m$r.s[m$r.i+1] = t$r.b
-           |      THEN m$r.i + 2 ELSE m$r.i + 1 END,
-           |    list_append(m$r.out,
-           |      CASE WHEN m$r.i < len(m$r.s) AND m$r.s[m$r.i] = t$r.a AND m$r.s[m$r.i+1] = t$r.b
-           |        THEN t$r.a || t$r.b ELSE m$r.s[m$r.i] END)
-           |  FROM m$r, t$r WHERE m$r.i <= len(m$r.s)),
-           |s$r AS (SELECT word, wcnt, out AS s FROM m$r WHERE i = len(s) + 1)"""
-          .stripMargin
-      }
-      val finals = (1 to 3).map(r =>
+    "q_bpe_merges" -> bpeSql(
+      (1 to 3).map(r =>
         s"""SELECT $r AS round, a AS "left", b AS "right", a || b AS merged, c AS pair_count FROM t$r""")
-        .mkString("\nUNION ALL ")
-      s"""WITH RECURSIVE
-         |w AS (SELECT tok AS word, count(*) AS wcnt FROM
-         |  (SELECT unnest(${OracleSql.toksSql}) AS tok FROM documents)
-         |  WHERE tok <> '' GROUP BY 1),
-         |s0 AS (SELECT word, wcnt,
-         |  list_transform(range(1, len(word) + 1), i -> word[i]) AS s FROM w),
-         |${(1 to 3).map(round).mkString(",\n")}
-         |$finals""".stripMargin
-    },
+        .mkString("\nUNION ALL ")),
+
+    // Same chain, read out as the post-merge symbol distribution.
+    "q_bpe_vocab" -> bpeSql(
+      """SELECT sym AS symbol, CAST(sum(wcnt) AS BIGINT) AS total_count
+        |FROM (SELECT wcnt, unnest(s) AS sym FROM s3) GROUP BY 1""".stripMargin),
 
     // Same exponential keys: u from the 60-bit md5 prefix, key = ln(u)/w,
     // top-100 by key (doc_id tie-break).

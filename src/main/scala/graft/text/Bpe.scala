@@ -63,10 +63,11 @@ object Bpe {
       acc => acc.getField("out"))
   }
 
-  /** Learn `rounds` merges. @return (round, left, right, merged,
-    * pair_count) — one row per learned merge, `round` starting at 1.
+  /** The shared training loop: per-round top-pair frames plus the final
+    * symbol table (one row per distinct word, `rounds` merges applied).
     */
-  def learnMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  private def run(docs: DataFrame, textCol: String,
+      rounds: Int): (Seq[DataFrame], DataFrame) = {
     require(rounds >= 1, "need at least one round")
     val vocab = docs
       .select(explode(split(Dedup.normalizeText(col(textCol)), " ")).as("__w"))
@@ -94,6 +95,23 @@ object Bpe {
       top.select(lit(r).as("round"), col("left"), col("right"),
         concat(col("left"), col("right")).as("merged"), col("pair_count"))
     }
-    merges.reduce(_ unionByName _)
+    (merges, symbols)
   }
+
+  /** Learn `rounds` merges. @return (round, left, right, merged,
+    * pair_count) — one row per learned merge, `round` starting at 1.
+    */
+  def learnMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame =
+    run(docs, textCol, rounds)._1.reduce(_ unionByName _)
+
+  /** Corpus symbol frequencies AFTER `rounds` merges — the vocabulary
+    * report a tokenizer trainer emits (how much of the corpus each
+    * learned symbol covers). Same relational shape: one explode over the
+    * distinct-word symbol table, weighted by word count.
+    */
+  def symbolFrequencies(docs: DataFrame, textCol: String,
+      rounds: Int): DataFrame =
+    run(docs, textCol, rounds)._2
+      .select(col("__wcnt"), explode(col("__s")).as("symbol"))
+      .groupBy("symbol").agg(sum(col("__wcnt")).as("total_count"))
 }
