@@ -183,6 +183,20 @@ object EventQueries extends QueryGroup {
           col("ewma_fp"))
     }),
 
+    // Per-type value trend: OLS slope/intercept over days-since-epoch in
+    // closed form — five exact integer sums per group, float only in the
+    // final two divisions.
+    "q_group_trend" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"),
+          (floor(col("ts").cast("long") / 86400) - lit(19723L)).as("day"),
+          col("value"))
+      graft.ops.Regression.groupTrend(ev, Seq("event_type"), "day", "value")
+        .select(col("event_type"), col("n"),
+          round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 4).as("intercept"))
+    }),
+
     // W3: derived categories unioned with source (U1).
     "q_derived_union" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -553,6 +567,27 @@ object EventQueries extends QueryGroup {
         |SELECT task, holder, time AS pb_time, dt AS pb_date, grp FROM missing""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same sufficient statistics: HUGEINT-exact sums cast once, identical
+    // final division trees.
+    "q_group_trend" ->
+      """WITH q AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) - 19723 AS x,
+        |    CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS y
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM q GROUP BY 1)
+        |SELECT event_type, n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 6) AS slope,
+        |  round((CAST(sy AS DOUBLE) / 100.0
+        |    - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+        |      / 100.0 * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4) AS intercept
+        |FROM a""".stripMargin,
+
     // The same integer recurrence as a recursive CTE: step t joins step
     // t-1 per series; all divisions are `//` on non-negative BIGINTs, so
     // DuckDB floor == Spark floorDiv bit-for-bit.
