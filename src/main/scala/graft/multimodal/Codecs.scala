@@ -132,7 +132,8 @@ object Codecs {
     * weighted channels (299·R + 587·G + 114·B per pixel — exact) and
     * divides once by 1000·n.
     */
-  def decodeBmp(bytes: Array[Byte]): BmpInfo = {
+  /** Strict shared header parse: (width, height, dataOffset, stride). */
+  private def parseBmpHeader(bytes: Array[Byte]): (Int, Int, Int, Int) = {
     require(bytes.length >= 54, "truncated BMP header")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(buf.get() == 'B'.toByte && buf.get() == 'M'.toByte, "not a BMP")
@@ -153,7 +154,32 @@ object Codecs {
     val strideL = { val rb = 3L * width; rb + (4 - rb % 4) % 4 }
     require(strideL * height <= bytes.length.toLong - dataOffset,
       "pixel data truncated")
-    val stride = strideL.toInt
+    (width, height, dataOffset, strideL.toInt)
+  }
+
+  /** Nearest-neighbor BMP resize, pure JVM — the "thumbnail for the
+    * vision encoder" step, byte-in/byte-out so it runs as the same
+    * map-only `mapPartitions` stage as the decoders. Source pixel for
+    * output (ox, oy) is (ox·w div outW, oy·h div outH) in the LOGICAL
+    * coordinates of the encoder's callback, so planted closed-form
+    * images stay closed-form after resizing (`q_bmp_resize`).
+    */
+  def resizeBmpNearest(bytes: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    require(outW > 0 && outH > 0, "degenerate output size")
+    val (width, height, dataOffset, stride) = parseBmpHeader(bytes)
+    def srcPx(ox: Int, oy: Int): (Int, Int, Int) = {
+      val sx = ox * width / outW
+      val sy = oy * height / outH
+      // Logical row sy was written at file row (height-1-sy) (bottom-up).
+      val off = dataOffset + (height - 1 - sy) * stride + 3 * sx
+      ((bytes(off + 2) & 0xff, bytes(off + 1) & 0xff, bytes(off) & 0xff))
+    }
+    encodeBmp24(outW, outH, srcPx)
+  }
+
+  def decodeBmp(bytes: Array[Byte]): BmpInfo = {
+    val (width, height, dataOffset, stride) = parseBmpHeader(bytes)
+    val bpp = 24
 
     var lumaSum = 0L
     var y = 0

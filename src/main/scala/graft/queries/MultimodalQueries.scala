@@ -98,6 +98,31 @@ object MultimodalQueries extends QueryGroup {
         .withColumn("mean_luma", round(col("mean_luma"), 4))
     }),
 
+    // Resize-then-featurize: real encode → nearest-neighbor resize to
+    // 4×3 → decode, all byte-level in one map-only pass; the oracle
+    // recomputes the sampled source pixels closed-form.
+    "q_bmp_resize" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = (8 + id % 9).toInt
+            val h = (4 + id % 5).toInt
+            val src = graft.multimodal.Codecs.encodeBmp24(w, h, (x, y) =>
+              (((id + x + y) % 256).toInt, ((id + y) % 256).toInt,
+                ((id + x) % 256).toInt))
+            val d = graft.multimodal.Codecs.decodeBmp(
+              graft.multimodal.Codecs.resizeBmpNearest(src, 4, 3))
+            // Recover the EXACT integer luma sum (mean is sum/12000; the
+            // double round-trip stays within 1 ulp, so rint is exact) —
+            // a fixed /12000 mean hits the cross-engine half-rounding
+            // trap on ~1 row in 12.
+            (id, d.width, d.height, math.rint(d.meanLuma * 12000.0).toLong)
+          }
+        }
+        .toDF("doc_id", "width", "height", "luma_sum")
+    }),
+
     // Ingest triage WITHOUT decoding: a mixed bag of payloads (real WAV
     // bytes, real BMP bytes, UTF-8 text, garbage) is classified by magic
     // bytes and header fields are read as pure expressions over the
@@ -184,6 +209,22 @@ object MultimodalQueries extends QueryGroup {
         |  CAST(24 AS INT) AS bpp,
         |  round(sum(luma) / (1000.0 * w * h), 4) AS mean_luma
         |FROM l GROUP BY doc_id, w, h""".stripMargin,
+    // Nearest-neighbor sampling restated closed-form: the 4×3 output
+    // reads source pixel (ox·w//4, oy·h//3); same luma formula on those.
+    "q_bmp_resize" ->
+      """WITH ids AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 5 AS h
+        |  FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(range(4)) AS ox FROM ids),
+        |px AS (SELECT doc_id, w, h, ox, unnest(range(3)) AS oy FROM xs),
+        |sp AS (SELECT doc_id, (ox * w) // 4 AS x, (oy * h) // 3 AS y FROM px),
+        |l AS (SELECT doc_id,
+        |  299 * ((doc_id + x + y) % 256) + 587 * ((doc_id + y) % 256)
+        |    + 114 * ((doc_id + x) % 256) AS luma
+        |  FROM sp)
+        |SELECT doc_id, CAST(4 AS INT) AS width, CAST(3 AS INT) AS height,
+        |  CAST(sum(luma) AS BIGINT) AS luma_sum
+        |FROM l GROUP BY doc_id""".stripMargin,
     // Closed-form restatement of the planting rule: what the byte-level
     // sniffer must conclude from the real payloads.
     "q_media_sniff" ->

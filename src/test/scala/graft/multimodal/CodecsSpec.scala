@@ -74,4 +74,29 @@ class CodecsSpec extends AnyFunSuite {
     ByteBuffer.wrap(badOff).order(ByteOrder.LITTLE_ENDIAN).putInt(10, -100)
     intercept[IllegalArgumentException](Codecs.decodeBmp(badOff))
   }
+
+  test("nearest-neighbor resize: identity roundtrip, 2x upscale block structure") {
+    // Same-size resize reproduces the image byte-for-byte.
+    val src = Codecs.encodeBmp24(5, 3, (x, y) => (x * 10, y * 20, x + y))
+    assert(Codecs.resizeBmpNearest(src, 5, 3).sameElements(src))
+
+    // 2×2 → 4×4: each source pixel becomes a 2×2 block (sx = ox*2/4).
+    val quad = Codecs.encodeBmp24(2, 2,
+      (x, y) => (x * 100 + y * 7, 0, 0))
+    val up = Codecs.resizeBmpNearest(quad, 4, 4)
+    val d = Codecs.decodeBmp(up)
+    assert(d.width == 4 && d.height == 4)
+    // Mean luma of the upscale equals the source's (every pixel ×4).
+    assert(math.abs(d.meanLuma - Codecs.decodeBmp(quad).meanLuma) < 1e-12)
+
+    // Downscale samples the floor grid: 4×4 gradient → 2×2 keeps (0,0),
+    // (2,0), (0,2), (2,2).
+    val grad = Codecs.encodeBmp24(4, 4, (x, y) => (x, y, 0))
+    val down = Codecs.decodeBmp(Codecs.resizeBmpNearest(grad, 2, 2))
+    val expect = Seq((0, 0), (2, 0), (0, 2), (2, 2))
+      .map { case (x, y) => 299L * x + 587L * y }.sum / (1000.0 * 4)
+    assert(math.abs(down.meanLuma - expect) < 1e-12)
+
+    intercept[IllegalArgumentException](Codecs.resizeBmpNearest(src, 0, 2))
+  }
 }
