@@ -99,6 +99,13 @@ object TextQueries extends QueryGroup {
         .select(col("source"), col("doc_id"))
     }),
 
+    // Chi-squared distinctive terms: top-5 over-indexing tokens per
+    // source (min corpus count 50) — exact contingency counts, one fixed
+    // double expression tree.
+    "q_distinctive_terms" -> ((s, dir) =>
+      graft.text.Distinctive.chiSquaredTerms(
+        Tables.documents(s, dir), "source", "text", k = 5, minCount = 50L)),
+
     // BPE merge induction, 3 rounds over the distinct-word vocabulary —
     // the tokenizer-training step, fully relational and bit-exact.
     "q_bpe_merges" -> ((s, dir) =>
@@ -358,6 +365,38 @@ object TextQueries extends QueryGroup {
   }
 
   val oracles: Map[String, String] = Map(
+    // Same marginals, same multiplication order, same sign gate.
+    "q_distinctive_terms" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest(${OracleSql.toksSql}) AS term FROM documents),
+         |t AS (SELECT source, term FROM toks WHERE term <> ''),
+         |st AS (SELECT source, term, count(*) AS o11 FROM t GROUP BY 1, 2),
+         |tt AS (SELECT term, CAST(sum(o11) AS BIGINT) AS tt FROM st
+         |       GROUP BY 1 HAVING sum(o11) >= 50),
+         |stot AS (SELECT source, CAST(sum(o11) AS BIGINT) AS s FROM st GROUP BY 1),
+         |n AS (SELECT CAST(sum(o11) AS BIGINT) AS n FROM st),
+         |j AS (
+         |  SELECT st.source, st.term, st.o11, tt.tt - st.o11 AS o12,
+         |    stot.s - st.o11 AS o21, n.n - tt.tt - stot.s + st.o11 AS o22, n.n
+         |  FROM st JOIN tt USING (term) JOIN stot USING (source) CROSS JOIN n),
+         |sc AS (
+         |  SELECT source, term, o11,
+         |    CAST(o11 AS DOUBLE) * CAST(o22 AS DOUBLE)
+         |      - CAST(o12 AS DOUBLE) * CAST(o21 AS DOUBLE) AS diff,
+         |    CAST(n AS DOUBLE) *
+         |      (CAST(o11 AS DOUBLE) * CAST(o22 AS DOUBLE)
+         |        - CAST(o12 AS DOUBLE) * CAST(o21 AS DOUBLE)) *
+         |      (CAST(o11 AS DOUBLE) * CAST(o22 AS DOUBLE)
+         |        - CAST(o12 AS DOUBLE) * CAST(o21 AS DOUBLE)) /
+         |      (CAST(o11 + o12 AS DOUBLE) * CAST(o21 + o22 AS DOUBLE)
+         |        * CAST(o11 + o21 AS DOUBLE) * CAST(o12 + o22 AS DOUBLE)) AS chi2
+         |  FROM j),
+         |r AS (
+         |  SELECT source, term, o11, chi2, row_number() OVER
+         |    (PARTITION BY source ORDER BY chi2 DESC, term ASC) AS rk
+         |  FROM sc WHERE diff > 0)
+         |SELECT source, term, o11 AS n_in_source, round(chi2, 4) AS chi2
+         |FROM r WHERE rk <= 5""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
         |  CASE WHEN len(trim(text)) = 0 THEN 0
