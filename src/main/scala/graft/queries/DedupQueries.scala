@@ -76,6 +76,13 @@ object DedupQueries extends QueryGroup {
         .select(col("doc_id"), col("n_eval_ngrams"), col("contaminated"))
     }),
 
+    // Winnowing fingerprint density (SIGMOD'03 / MOSS): rightmost-min
+    // hash per 4-gram window over char 8-grams, encoded into one sortable
+    // key so a plain windowed min does the selection.
+    "q_winnowing" -> ((s, dir) =>
+      graft.text.Winnowing.profile(Tables.documents(s, dir), "doc_id", "text",
+        k = 8, w = 4)),
+
     // Incremental-ingest near-dup gate: candidate pairs BETWEEN a batch
     // (doc_id % 10 == 0) and the standing corpus — no corpus self-pairs.
     "q_dedup_incremental" -> ((s, dir) => {
@@ -118,6 +125,29 @@ object DedupQueries extends QueryGroup {
   }
 
   val oracles: Map[String, String] = Map(
+    // Same key encoding, same ROWS window, same full-window gate.
+    "q_winnowing" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, pr.pos AS pos,
+        |    (CAST(('0x' || substr(md5(pr.g), 1, 15)) AS BIGINT) % 1099511627776)
+        |      * 2097152 + (2097151 - pr.pos) AS key
+        |  FROM (
+        |    SELECT doc_id, unnest(list_transform(range(0, len(t) - 8 + 1),
+        |      i -> struct_pack(pos := i, g := substr(t, i + 1, 8)))) AS pr
+        |    FROM nrm WHERE len(t) >= 8)),
+        |f AS (
+        |  SELECT doc_id, pos, min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+        |  FROM g),
+        |ng AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+        |nf AS (SELECT doc_id, count(DISTINCT fp // 2097152) AS n_fingerprints
+        |       FROM f WHERE pos >= 3 GROUP BY 1)
+        |SELECT ng.doc_id, ng.n_grams,
+        |  CAST(COALESCE(nf.n_fingerprints, 0) AS BIGINT) AS n_fingerprints
+        |FROM ng LEFT JOIN nf USING (doc_id)""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE doc_id IN (
