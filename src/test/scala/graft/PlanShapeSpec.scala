@@ -49,4 +49,52 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     val plan = planOf(df)
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("k-means assignment is map-only: literal centroids, no join, no shuffle") {
+    import spark.implicits._
+    val df = (0L until 40L).map(i =>
+      (i, Array.tabulate(4)(d => (i % 7 + d).toFloat))).toDF("vec_id", "embedding")
+    val model = graft.ml.KMeans.fit(df, "vec_id", "embedding", 3, 1)
+    val plan = planOf(graft.ml.KMeans.assign(df, "vec_id", "embedding", model))
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("PQ ADC search: probe side broadcast, corpus never carries vectors") {
+    import spark.implicits._
+    val df = (0L until 40L).map(i =>
+      (i, Array.tabulate(4)(d => (i % 7 + d).toFloat))).toDF("vec_id", "embedding")
+    val model = graft.ml.Pq.fit(df, "vec_id", "embedding", 4, 2, 2, 1)
+    val codes = graft.ml.Pq.encode(df, "vec_id", "embedding", model)
+    val plan = planOf(graft.ml.Pq.adcTopK(
+      df.filter(col("vec_id") < 2), codes, "vec_id", "embedding", model, 3))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("weighted sampling is a TakeOrderedAndProject, not a global sort") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, 1.0 + i % 5)).toDF("id", "w")
+    val plan = planOf(graft.ops.Sharding.weightedSample(df, "id", "w", 10))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("label propagation round: votes and argmax both partially aggregated") {
+    import spark.implicits._
+    val edges = (0L until 60L).map(i => (i, (i * 3 + 1) % 20)).toDF("s", "d")
+    val plan = planOf(
+      graft.graph.LabelPropagation.communities(edges, "s", "d", 1))
+    assert(plan.contains("partial_count") || plan.contains("partial_max_by"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("group trend: one aggregation, five sufficient statistics, no window") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => (s"g${i % 3}", i.toLong, i * 0.5))
+      .toDF("g", "x", "y")
+    val plan = planOf(graft.ops.Regression.groupTrend(df, Seq("g"), "x", "y"))
+    assert(plan.contains("partial_"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
 }

@@ -36,6 +36,28 @@ class EmptyInputSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, String)].collect().toSet == Set((1L, "added")))
   }
 
+  test("session-2 text/graph/ml operators on empty inputs") {
+    import spark.implicits._
+    assert(graft.text.LmScore.avgLogProb(emptyDocs, "doc_id", "text").count() == 0)
+    assert(graft.text.Winnowing.profile(emptyDocs, "doc_id", "text").count() == 0)
+    assert(graft.text.Distinctive.chiSquaredTerms(
+      emptyDocs.withColumn("source", lit("s")), "source", "text", 3, 1L).count() == 0)
+    assert(graft.text.Bpe.learnMerges(emptyDocs, "text", 2).count() == 0)
+    val ee = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.graph.Triangles.perNode(ee, "src", "dst").count() == 0)
+    assert(graft.graph.LabelPropagation.communities(ee, "src", "dst", 2).count() == 0)
+    val ev = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(graft.ml.KMeans.fitAssign(ev, "vec_id", "embedding", 2, 1).count() == 0)
+    assert(TimeSeries.ewmaFixedPoint(
+      Seq.empty[(String, Long, Long)].toDF("k", "t", "v"), "k", "t", "v", 1, 8)
+      .count() == 0)
+    assert(Regression.groupTrend(
+      Seq.empty[(String, Long, Double)].toDF("g", "x", "y"), Seq("g"), "x", "y")
+      .count() == 0)
+    assert(Sharding.weightedSample(
+      Seq.empty[(Long, Double)].toDF("id", "w"), "id", "w", 5).count() == 0)
+  }
+
   test("TimeSeries interpolate / trailing window on an empty series") {
     import spark.implicits._
     val s = Seq.empty[(java.sql.Date, Double)].toDF("d", "v")
