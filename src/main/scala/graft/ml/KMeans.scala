@@ -92,8 +92,18 @@ object KMeans {
       iterations: Int, scale: Long = 1000L): KMeansModel = {
     require(k > 0, "k must be > 0")
     require(iterations >= 0, "iterations must be >= 0")
+    // The quantized projection is LOOP-INVARIANT and rescanned
+    // (iterations + 1) times (seeds + each update): persist it for the
+    // fit, release on exit. At 100 TB this is the difference between one
+    // corpus read and (iterations + 1) of them.
     val q = quantized(df, idCol, vecCol, scale)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try fitOn(q, k, iterations, scale)
+    finally q.unpersist(false)
+  }
 
+  private def fitOn(q: DataFrame, k: Int, iterations: Int,
+      scale: Long): KMeansModel = {
     // Seeds: k smallest md5(id) — TakeOrderedAndProject under the hood, a
     // per-partition top-k then a k-row driver merge, never a global sort.
     val seedRows = q
