@@ -99,6 +99,21 @@ object TextQueries extends QueryGroup {
         .select(col("source"), col("doc_id"))
     }),
 
+    // Tokenizer-style vocabulary ids: dense 0-based ordinals over
+    // (count DESC, token) — range-partitioned local row_numbers plus
+    // broadcast base offsets, never a single-partition window.
+    "q_vocab_ids" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .select(explode(split(graft.ops.Dedup.normalizeText(col("text")), " "))
+          .as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 100)
+      graft.ops.Ordinals.assign(counts,
+        Seq(col("n").desc, col("token").asc))
+        .select(col("token"), col("n"), col("ordinal"))
+    }),
+
     // Chi-squared distinctive terms: top-5 over-indexing tokens per
     // source (min corpus count 50) — exact contingency counts, one fixed
     // double expression tree.
@@ -365,6 +380,16 @@ object TextQueries extends QueryGroup {
   }
 
   val oracles: Map[String, String] = Map(
+    // The tiled ordinal must equal the one-window global row_number.
+    "q_vocab_ids" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(${OracleSql.toksSql}) AS token FROM documents),
+         |c AS (SELECT token, count(*) AS n FROM toks WHERE token <> ''
+         |      GROUP BY 1 HAVING count(*) >= 100)
+         |SELECT token, n,
+         |  row_number() OVER (ORDER BY n DESC, token ASC) - 1 AS ordinal
+         |FROM c""".stripMargin,
+
     // Same marginals, same multiplication order, same sign gate.
     "q_distinctive_terms" ->
       s"""WITH toks AS (
