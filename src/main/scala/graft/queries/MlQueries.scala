@@ -29,6 +29,12 @@ object MlQueries extends QueryGroup {
       Pq.fitEncode(Tables.embeddings(s, dir), "vec_id", "embedding",
         dims = 64, m = 4, k = 4, iterations = 2)),
 
+    // Farthest-point diversity sample, k=5: greedy max-min over exact
+    // quantized distances — each round one map-only pass + TakeOrdered(1).
+    "q_fps_sample" -> ((s, dir) =>
+      graft.ml.FarthestPoint.sample(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = 5)),
+
     // ADC search over the PQ codes: probes (vec_id % 50 = 0) build m×k
     // distance tables once; candidates cost m array lookups on 4-byte
     // codes — the corpus never ships vectors. Exact integer distances.
@@ -163,8 +169,39 @@ object MlQueries extends QueryGroup {
        |FROM r WHERE rn <= 5""".stripMargin
   }
 
+  // Greedy max-min unrolled: pick r's candidate distance is the least of
+  // its distances to picks 0..r-1; argmax with (dm DESC, vec_id ASC).
+  private val fpsSql: String = {
+    val k = 5
+    def dist(cv: String): String =
+      s"""list_dot_product(q.v, q.v) - 2 * list_dot_product(q.v, $cv)
+         |      + list_dot_product($cv, $cv)""".stripMargin
+    val rounds = (1 until k).map { r =>
+      val froms = (0 until r).map(i => s"c$i").mkString(", ")
+      val dm = (0 until r).map(i => dist(s"c$i.v")).mkString("least(", ",\n    ", ")")
+      s"""d$r AS (
+         |  SELECT q.vec_id, q.v, $dm AS dm
+         |  FROM q, $froms),
+         |c$r AS (SELECT vec_id, v, dm FROM d$r ORDER BY dm DESC, vec_id LIMIT 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    val finals = (s"SELECT 0 AS round, vec_id, CAST(0 AS BIGINT) AS dist FROM c0" +:
+      (1 until k).map(r =>
+        s"SELECT $r, vec_id, CAST(dm AS BIGINT) FROM c$r")).mkString("\nUNION ALL ")
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000)) AS v
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |c0 AS (
+       |  SELECT vec_id, v FROM q
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+       |$rounds
+       |$finals""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_kmeans" -> kmeansSql,
     "q_pq_encode" -> pqSql,
-    "q_pq_adc_topk" -> pqAdcSql)
+    "q_pq_adc_topk" -> pqAdcSql,
+    "q_fps_sample" -> fpsSql)
 }
