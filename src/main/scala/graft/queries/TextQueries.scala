@@ -132,6 +132,12 @@ object TextQueries extends QueryGroup {
       graft.text.Bpe.symbolFrequencies(Tables.documents(s, dir), "text",
         rounds = 3)),
 
+    // The APPLY side: per-doc token counts via one join against the
+    // merged vocabulary — each distinct word segmented once.
+    "q_bpe_tokenize" -> ((s, dir) =>
+      graft.text.Bpe.tokenCounts(Tables.documents(s, dir), "doc_id", "text",
+        rounds = 3)),
+
     // Weighted sampling without replacement (Efraimidis–Spirakis):
     // 100 docs weighted by length, drawn from hash-derived uniforms —
     // the same sample on every engine, rerun, and partitioning.
@@ -532,6 +538,17 @@ object TextQueries extends QueryGroup {
     "q_bpe_vocab" -> bpeSql(
       """SELECT sym AS symbol, CAST(sum(wcnt) AS BIGINT) AS total_count
         |FROM (SELECT wcnt, unnest(s) AS sym FROM s3) GROUP BY 1""".stripMargin),
+
+    // Apply side: per-doc word explode joined to the merged vocabulary.
+    "q_bpe_tokenize" -> bpeSql(
+      s"""SELECT dw.doc_id, count(*) AS n_words,
+         |  CAST(sum(len(s3.s)) AS BIGINT) AS n_tokens
+         |FROM (
+         |  SELECT doc_id, unnest(${OracleSql.toksSql}) AS word
+         |  FROM documents) dw
+         |JOIN s3 ON s3.word = dw.word
+         |WHERE dw.word <> ''
+         |GROUP BY dw.doc_id""".stripMargin),
 
     // Same exponential keys: u from the 60-bit md5 prefix, key = ln(u)/w,
     // top-100 by key (doc_id tie-break).

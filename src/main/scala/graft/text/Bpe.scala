@@ -74,7 +74,8 @@ object Bpe {
       .filter(col("__w") =!= "")
       .groupBy("__w").agg(count(lit(1)).as("__wcnt"))
 
-    var symbols = vocab.select(col("__wcnt"), chars(col("__w")).as("__s"))
+    var symbols = vocab.select(col("__w"), col("__wcnt"),
+      chars(col("__w")).as("__s"))
     val merges = (1 to rounds).map { r =>
       val pairs = symbols
         .select(col("__wcnt"),
@@ -90,7 +91,7 @@ object Bpe {
         .limit(1)
       symbols = symbols.crossJoin(broadcast(
           top.select(col("left").as("__ma"), col("right").as("__mb"))))
-        .select(col("__wcnt"),
+        .select(col("__w"), col("__wcnt"),
           applyMerge(col("__s"), col("__ma"), col("__mb")).as("__s"))
       top.select(lit(r).as("round"), col("left"), col("right"),
         concat(col("left"), col("right")).as("merged"), col("pair_count"))
@@ -114,4 +115,27 @@ object Bpe {
     run(docs, textCol, rounds)._2
       .select(col("__wcnt"), explode(col("__s")).as("symbol"))
       .groupBy("symbol").agg(sum(col("__wcnt")).as("total_count"))
+
+  /** Per-document BPE token counts — the APPLY side: documents are never
+    * re-segmented; each doc's words join the already-merged VOCABULARY
+    * symbol table (the standard tokenizer trick: segment each distinct
+    * word once, look it up everywhere). One word-keyed join — the
+    * vocabulary is corpus-derived, so it is joined, not broadcast — and
+    * a partial-agg'd per-doc sum of `size(symbols)`.
+    *
+    * @return (doc_id, n_words, n_tokens) — chars-per-token compression
+    *         is the tokenizer-quality metric readers derive from this
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    val vocabSyms = run(docs, textCol, rounds)._2
+      .select(col("__w"), size(col("__s")).as("__ntok"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(Dedup.normalizeText(col(textCol)), " ")).as("__w"))
+      .filter(col("__w") =!= "")
+      .join(vocabSyms, "__w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("__ntok")).as("n_tokens"))
+  }
 }

@@ -34,6 +34,17 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(mid == Seq("x", "ab", "y"))
   }
 
+  test("tokenCounts: merged words shrink, unmergeable words stay at char count") {
+    import spark.implicits._
+    // Corpus dominated by "ab": merge 1 = (a,b). Doc 2's "cd" never merges
+    // in round 1 and has no 'ab' pairs.
+    val docs = Seq((1L, "ab ab ab"), (2L, "cd")).toDF("doc_id", "text")
+    val got = Bpe.tokenCounts(docs, "doc_id", "text", rounds = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((3L, 3L)))  // three words, each "ab" → 1 token
+    assert(got(2L) == ((1L, 2L)))  // "cd" stays c,d
+  }
+
   test("pair counts weight by word frequency, not document layout") {
     import spark.implicits._
     // Same words split across documents/partitions — same merges.
