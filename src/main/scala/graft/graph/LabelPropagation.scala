@@ -38,12 +38,16 @@ object LabelPropagation {
         greatest(col(srcCol), col(dstCol)).as("__b"))
       .filter(col("__a") =!= col("__b"))
       .distinct()
+    // Loop-invariant frames, lazily checkpointed: every round re-reads
+    // nbrs/nodes, and without lineage truncation round r's plan contains
+    // r copies of the whole edge pipeline (the connectedComponents trick).
     val nbrs = und.select(col("__a").as("node"), col("__b").as("__nbr"))
       .unionAll(und.select(col("__b").as("node"), col("__a").as("__nbr")))
-    val nodes = nbrs.select(col("node")).distinct()
+      .localCheckpoint(false)
+    val nodes = nbrs.select(col("node")).distinct().localCheckpoint(false)
 
     var labels = nodes.select(col("node"), col("node").as("label"))
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val votes = nbrs
         .join(labels.select(col("node").as("__nbr"), col("label")), "__nbr")
         .groupBy(col("node"), col("label"))
@@ -55,6 +59,10 @@ object LabelPropagation {
         .join(votes, Seq("node"), "left")
         // An isolated node has no votes: it keeps itself.
         .select(col("node"), coalesce(col("__new"), col("node")).as("label"))
+      // Intermediate rounds truncate lineage (round r's plan stays O(1),
+      // not O(r)); the LAST round stays a plain plan so callers — and the
+      // plan-shape audit — still see the vote/argmax aggregation.
+      if (r < rounds) labels = labels.localCheckpoint(false)
     }
     labels
   }

@@ -35,11 +35,15 @@ object Triangles {
     */
   def perNode(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     // Canonical undirected edge set: self-loops out, (min,max) distinct.
+    // Lazily checkpointed — the plan references it 5× (nodes, degrees,
+    // orientation); without truncation each reference re-derives the
+    // whole upstream edge pipeline (the Dedup.connectedComponents trick).
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("__a"),
         greatest(col(srcCol), col(dstCol)).as("__b"))
       .filter(col("__a") =!= col("__b"))
       .distinct()
+      .localCheckpoint(false)
 
     val nodes = und.select(col("__a").as("node"))
       .union(und.select(col("__b"))).distinct()
@@ -56,6 +60,7 @@ object Triangles {
         struct(col("__a").as("u"), col("__b").as("v")))
         .otherwise(struct(col("__b").as("u"), col("__a").as("v"))).as("__e"))
       .select(col("__e.u").as("__u"), col("__e.v").as("__v"))
+      .localCheckpoint(false) // referenced 3× (two wedge legs + closing)
 
     // Wedges from a shared apex; the closing edge exists in exactly the
     // rank order the orientation assigned, so a plain inner join both
