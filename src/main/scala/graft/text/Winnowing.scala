@@ -70,8 +70,13 @@ object Winnowing {
     */
   def profile(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): DataFrame = {
-    val grams = gramKeys(docs, idCol, textCol, k)
-      .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    // n_grams is CLOSED-FORM from the normalized length (len − k + 1) —
+    // deriving it from the explode would run the whole gram+md5 pipeline
+    // a second time for a count the scan already knows.
+    val norm = Dedup.normalizeText(col(textCol))
+    val grams = docs.filter(length(norm) >= k)
+      .select(col(idCol).as("doc_id"),
+        (length(norm) - k + 1).cast("long").as("n_grams"))
     val fps = fingerprints(docs, idCol, textCol, k, w)
       .groupBy("doc_id").agg(count(lit(1)).as("n_fingerprints"))
     grams.join(fps, Seq("doc_id"), "left")
