@@ -54,6 +54,19 @@ object GraphQueries extends QueryGroup {
           pmod(col("doc_id") * 57 + 1, col("__n")),
           pmod(col("doc_id") * 91 + 2, col("__n")))).as("dst"))
       graft.graph.LabelPropagation.communities(edges, "src", "dst", rounds = 3)
+    }),
+
+    // Bounded-round 3-core peeling, 4 rounds — the dense-subgraph sieve.
+    "q_kcore" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val edges = docs.crossJoin(broadcast(n)).select(
+        col("doc_id").as("src"),
+        explode(array(
+          pmod(col("doc_id") * 31 + 0, col("__n")),
+          pmod(col("doc_id") * 57 + 1, col("__n")),
+          pmod(col("doc_id") * 91 + 2, col("__n")))).as("dst"))
+      graft.graph.KCore.peel(edges, "src", "dst", k = 3, rounds = 4)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -151,5 +164,35 @@ object GraphQueries extends QueryGroup {
          |l0 AS (SELECT DISTINCT node, node AS label FROM nb),
          |${(1 to 3).map(round).mkString(",\n")}
          |SELECT node, label FROM l3""".stripMargin
+    },
+
+    // Same 4 peel rounds unrolled; final report re-derives degrees in the
+    // surviving subgraph and applies the same >= k gate.
+    "q_kcore" -> {
+      def round(r: Int): String =
+        s"""d$r AS (
+           |  SELECT node, count(*) AS degree FROM (
+           |    SELECT a AS node FROM e${r - 1}
+           |    UNION ALL SELECT b FROM e${r - 1})
+           |  GROUP BY node),
+           |n$r AS (SELECT node FROM d$r WHERE degree >= 3),
+           |e$r AS (
+           |  SELECT a, b FROM e${r - 1}
+           |  WHERE a IN (SELECT node FROM n$r)
+           |    AND b IN (SELECT node FROM n$r))""".stripMargin
+      s"""WITH cnt AS (SELECT count(*) AS n FROM documents),
+         |raw AS (
+         |  SELECT doc_id AS src, (doc_id * 31 + 0) % n AS dst FROM documents, cnt
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id * 57 + 1) % n FROM documents, cnt
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id * 91 + 2) % n FROM documents, cnt),
+         |e0 AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM raw WHERE src <> dst),
+         |${(1 to 4).map(round).mkString(",\n")}
+         |SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+         |  SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4)
+         |GROUP BY node HAVING count(*) >= 3""".stripMargin
     })
 }
