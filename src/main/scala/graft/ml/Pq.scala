@@ -106,4 +106,36 @@ object Pq {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "adc_dist")
   }
+
+  /** Two-stage retrieval — the canonical PQ serving pattern: ADC over the
+    * compressed codes proposes `candidateK` candidates per probe (cheap,
+    * code-table lookups), then ONLY those candidates are re-scored with
+    * exact cosine against the full vectors and cut to `k`. The corpus-wide
+    * pass never touches a float vector; exact scoring touches
+    * |probes|·candidateK rows — the recall of exact search at nearly the
+    * scan cost of codes.
+    */
+  def adcRerankTopK(probes: DataFrame, corpus: DataFrame, codes: DataFrame,
+      idCol: String, vecCol: String, model: PqModel, k: Int,
+      candidateK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(candidateK >= k, "candidateK must be >= k")
+    val dot = graft.ops.Similarity.dot _
+    val cand = adcTopK(probes, codes, idCol, vecCol, model, candidateK)
+      .select("query_id", "neighbor_id")
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"),
+        graft.ops.Similarity.norm(col(vecCol)).as("__nn"))
+    val p = probes.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        graft.ops.Similarity.norm(col(vecCol)).as("__qn"))
+    val scored = cand.join(c, "neighbor_id").join(broadcast(p), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("__qv"), col("__nv")) / (col("__qn") * col("__nn"))).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
 }

@@ -45,6 +45,19 @@ object MlQueries extends QueryGroup {
       Pq.adcTopK(emb.filter(col("vec_id") % 50 === 0),
         Pq.encode(emb, "vec_id", "embedding", model),
         "vec_id", "embedding", model, k = 5)
+    }),
+
+    // Two-stage serving: 20 ADC candidates per probe, exact-cosine rerank
+    // to top-5 — the full-vector pass touches only the candidates.
+    "q_pq_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = Pq.fit(emb, "vec_id", "embedding",
+        dims = 64, m = 4, k = 4, iterations = 2)
+      Pq.adcRerankTopK(emb.filter(col("vec_id") % 50 === 0), emb,
+        Pq.encode(emb, "vec_id", "embedding", model),
+        "vec_id", "embedding", model, k = 5, candidateK = 20)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 4).as("cos"))
     }))
 
   // ---- oracle: a reusable unrolled Lloyd chain -----------------------
@@ -131,7 +144,7 @@ object MlQueries extends QueryGroup {
        |$joins""".stripMargin
   }
 
-  private val pqAdcSql: String = {
+  private def pqAdcSql(finalSelect: String): String = {
     val m = 4; val subDim = 16
     val chains = (0 until m).map { s =>
       lloydChain(s"s${s}_",
@@ -164,9 +177,7 @@ object MlQueries extends QueryGroup {
        |  WHERE p0.query_id <> a0.vec_id),
        |r AS (SELECT *, row_number() OVER
        |  (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn FROM cand)
-       |SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank,
-       |  CAST(adc AS BIGINT) AS adc_dist
-       |FROM r WHERE rn <= 5""".stripMargin
+       |$finalSelect""".stripMargin
   }
 
   // Greedy max-min unrolled: pick r's candidate distance is the least of
@@ -202,6 +213,25 @@ object MlQueries extends QueryGroup {
   val oracles: Map[String, String] = Map(
     "q_kmeans" -> kmeansSql,
     "q_pq_encode" -> pqSql,
-    "q_pq_adc_topk" -> pqAdcSql,
+    "q_pq_adc_topk" -> pqAdcSql(
+      """SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank,
+        |  CAST(adc AS BIGINT) AS adc_dist
+        |FROM r WHERE rn <= 5""".stripMargin),
+    // Two-stage: 20 ADC candidates, exact-cosine rerank to 5.
+    "q_pq_rerank" -> pqAdcSql(
+      """, e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |       WHERE embedding IS NOT NULL),
+        |cnd AS (SELECT query_id, neighbor_id FROM r WHERE rn <= 20),
+        |rr AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    list_cosine_similarity(a.v, b.v) AS cos,
+        |    CAST(row_number() OVER (PARTITION BY c.query_id
+        |      ORDER BY list_cosine_similarity(a.v, b.v) DESC,
+        |        c.neighbor_id ASC) AS INT) AS rank
+        |  FROM cnd c
+        |  JOIN e a ON a.vec_id = c.query_id
+        |  JOIN e b ON b.vec_id = c.neighbor_id)
+        |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
+        |FROM rr WHERE rank <= 5""".stripMargin),
     "q_fps_sample" -> fpsSql)
 }

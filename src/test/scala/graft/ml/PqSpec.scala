@@ -71,6 +71,28 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     assert(top.forall { case (q, n) => (q < 15) == (n < 15) })
   }
 
+  test("exact rerank of ADC candidates matches brute-force top-k on blobs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(29)
+    val rows = (0L until 40L).map { i =>
+      val base = if (i < 20) 8.0 else -8.0
+      (i, Array.tabulate(8)(d => (base + rng.nextGaussian() * 0.5).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val model = Pq.fit(df, "vec_id", "embedding", 8, 2, 2, 2)
+    val probes = df.filter(col("vec_id").isin(0L, 30L))
+    val rerank = Pq.adcRerankTopK(probes, df,
+      Pq.encode(df, "vec_id", "embedding", model),
+      "vec_id", "embedding", model, k = 3, candidateK = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = graft.ops.Similarity.bruteForceTopK(
+      probes, df, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // candidateK=25 of 40 → rerank recovers the exact answer.
+    assert(rerank == brute)
+  }
+
   test("dims not divisible by m is rejected") {
     intercept[IllegalArgumentException] {
       Pq.fit(vecs, "vec_id", "embedding", dims = 8, m = 3, k = 2, iterations = 1)
