@@ -99,6 +99,28 @@ object TextQueries extends QueryGroup {
         .select(col("source"), col("doc_id"))
     }),
 
+    // RAG passage retrieval: context-window chunking composed with BM25
+    // over the PASSAGES (passage-level dl/df/avgdl), top-10 for the
+    // 3-term query — the chunk→index→retrieve pipeline end to end.
+    "q_rag_retrieve" -> ((s, dir) => {
+      val chunks = graft.text.Chunker.chunk(
+          Tables.documents(s, dir), "doc_id", "text", chunkSize = 50, overlap = 10)
+        .withColumn("pid", col("doc_id") * 1000 + col("chunk_id"))
+      val ts = graft.text.Bm25.termScores(
+        chunks, "pid", "chunk_text", Seq("hash", "join", "scan"))
+      ts.groupBy("pid").agg(
+          max(when(col("term") === "hash", col("score"))).as("__s1"),
+          max(when(col("term") === "join", col("score"))).as("__s2"),
+          max(when(col("term") === "scan", col("score"))).as("__s3"))
+        .select(col("pid"),
+          round(coalesce(col("__s1"), lit(0.0)) + coalesce(col("__s2"), lit(0.0))
+            + coalesce(col("__s3"), lit(0.0)), 4).as("bm25"))
+        .orderBy(col("bm25").desc, col("pid").asc)
+        .limit(10)
+        .select((col("pid") / 1000).cast("long").as("doc_id"),
+          pmod(col("pid"), lit(1000L)).cast("int").as("chunk_id"), col("bm25"))
+    }),
+
     // Tokenizer-style vocabulary ids: dense 0-based ordinals over
     // (count DESC, token) — range-partitioned local row_numbers plus
     // broadcast base offsets, never a single-partition window.
@@ -386,6 +408,48 @@ object TextQueries extends QueryGroup {
   }
 
   val oracles: Map[String, String] = Map(
+    // Same chunk slices re-scored with the q_bm25 chain at passage level.
+    "q_rag_retrieve" -> {
+      val k1 = 1.2; val b = 0.75
+      val k1p1 = (k1 + 1.0).toString; val oneMb = (1.0 - b).toString
+      s"""WITH t0 AS (
+         |  SELECT doc_id, ${OracleSql.toksSql} AS toks FROM documents),
+         |c0 AS (
+         |  SELECT doc_id, toks,
+         |    CASE WHEN len(toks) <= 50 THEN 1
+         |         ELSE (len(toks) - 11) // 40 + 1 END AS nc
+         |  FROM t0),
+         |ch AS (
+         |  SELECT doc_id * 1000 + i AS pid,
+         |    list_slice(toks, i * 40 + 1, i * 40 + 50) AS ctoks
+         |  FROM (SELECT doc_id, toks, unnest(range(nc)) AS i FROM c0)),
+         |toks AS (SELECT pid, unnest(ctoks) AS term FROM ch),
+         |t AS (SELECT pid, term FROM toks WHERE term <> ''),
+         |dl AS (SELECT pid, count(*) AS dl FROM t GROUP BY 1),
+         |tf AS (SELECT pid, term, count(*) AS tf FROM t
+         |       WHERE term IN ('hash', 'join', 'scan') GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |st AS (SELECT (SELECT count(*) FROM ch) AS n,
+         |       (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM dl) AS avgdl),
+         |sc AS (
+         |  SELECT tf.pid, tf.term,
+         |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+         |    ((tf * $k1p1) / (tf + $k1 * ($oneMb + $b * (dl / avgdl)))) AS score
+         |  FROM tf JOIN dfq USING (term) JOIN dl USING (pid), st),
+         |p AS (SELECT pid,
+         |    max(CASE WHEN term = 'hash' THEN score END) AS s1,
+         |    max(CASE WHEN term = 'join' THEN score END) AS s2,
+         |    max(CASE WHEN term = 'scan' THEN score END) AS s3
+         |  FROM sc GROUP BY pid),
+         |r AS (
+         |  SELECT pid,
+         |    round(coalesce(s1, 0.0) + coalesce(s2, 0.0) + coalesce(s3, 0.0), 4)
+         |      AS bm25
+         |  FROM p ORDER BY bm25 DESC, pid ASC LIMIT 10)
+         |SELECT pid // 1000 AS doc_id, CAST(pid % 1000 AS INT) AS chunk_id, bm25
+         |FROM r""".stripMargin
+    },
+
     // The tiled ordinal must equal the one-window global row_number.
     "q_vocab_ids" ->
       s"""WITH toks AS (
