@@ -284,6 +284,24 @@ object RelationalQueries extends QueryGroup {
           col("total").cast("double").as("total"))
     }),
 
+    // Bloom-prefiltered selective join: lineitem joins a 2%-selectivity
+    // part subset; the big side is bloom-pruned BEFORE the shuffle. The
+    // bloom is invisible to the result (false positives fall out in the
+    // exact join), so the oracle is the plain join.
+    "q_bloom_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity"))
+      val dim = Tables.part(s, dir)
+        .filter(pmod(col("p_partkey"), lit(50)) === 0)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      graft.ops.BloomJoin.filteredJoin(li, dim, Seq("l_partkey"),
+          expectedItems = 10000L)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+    }),
+
     // Incremental JOIN maintenance: the orders⋈customer view maintained
     // under an appended delta slice (orderkey % 7 = 0 arrives "today")
     // must equal DuckDB's one-shot join — the delta algebra adds
@@ -484,6 +502,13 @@ object RelationalQueries extends QueryGroup {
       """SELECT o_custkey, count(*) AS cnt,
         |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM orders GROUP BY o_custkey""".stripMargin,
+    // The bloom prefilter is invisible: plain selective join + agg.
+    "q_bloom_join" ->
+      """SELECT p_brand, count(*) AS n_rows,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_partkey % 50 = 0
+        |GROUP BY p_brand""".stripMargin,
     // One-shot join over ALL of history — what the four-term delta union
     // must reproduce exactly.
     "q_incremental_join" ->
