@@ -284,6 +284,21 @@ object RelationalQueries extends QueryGroup {
           col("total").cast("double").as("total"))
     }),
 
+    // Golden-record survivorship: per customer, the latest non-null value
+    // of each planted field across their order "updates" (ordered by
+    // orderkey — unique, so ties are impossible by construction).
+    "q_golden_record" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val feed = o.select(col("o_custkey"), col("o_orderkey"),
+        when(pmod(col("o_orderkey"), lit(3)) =!= 0,
+          concat(lit("u"), col("o_custkey"), lit("@"),
+            pmod(col("o_orderkey"), lit(7)))).as("email"),
+        when(pmod(col("o_orderkey"), lit(4)) === 0,
+          pmod(col("o_orderkey"), lit(1000)).cast("string")).as("phone"))
+      graft.ops.Survivorship.goldenRecord(
+        feed, "o_custkey", "o_orderkey", Seq("email", "phone"))
+    }),
+
     // Bloom-prefiltered selective join: lineitem joins a 2%-selectivity
     // part subset; the big side is bloom-pruned BEFORE the shuffle. The
     // bloom is invisible to the result (false positives fall out in the
@@ -502,6 +517,22 @@ object RelationalQueries extends QueryGroup {
       """SELECT o_custkey, count(*) AS cnt,
         |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM orders GROUP BY o_custkey""".stripMargin,
+    // Same planted feed; arg_max FILTER = max_by with null-orderings
+    // skipped (orderkey is unique, so no tie plane exists).
+    "q_golden_record" ->
+      """WITH feed AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CASE WHEN o_orderkey % 3 <> 0 THEN
+        |      'u' || CAST(o_custkey AS VARCHAR) || '@' ||
+        |        CAST(o_orderkey % 7 AS VARCHAR) END AS email,
+        |    CASE WHEN o_orderkey % 4 = 0 THEN
+        |      CAST(o_orderkey % 1000 AS VARCHAR) END AS phone
+        |  FROM orders)
+        |SELECT o_custkey,
+        |  arg_max(email, o_orderkey) FILTER (WHERE email IS NOT NULL) AS email,
+        |  arg_max(phone, o_orderkey) FILTER (WHERE phone IS NOT NULL) AS phone,
+        |  count(*) AS n_sources
+        |FROM feed GROUP BY o_custkey""".stripMargin,
     // The bloom prefilter is invisible: plain selective join + agg.
     "q_bloom_join" ->
       """SELECT p_brand, count(*) AS n_rows,
