@@ -99,6 +99,27 @@ object TextQueries extends QueryGroup {
         .select(col("source"), col("doc_id"))
     }),
 
+    // Count-Min sketch as a bounded (depth, bucket) aggregate table:
+    // estimates for a fixed probe set, with the unconditional one-sided
+    // guarantee (est >= exact) under the gate.
+    "q_count_min" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(graft.ops.Dedup.normalizeText(col("text")), " "))
+          .as("term"))
+        .filter(col("term") =!= "")
+      val sketch = graft.text.CountMin.build(toks, "term")
+      val probes = s.createDataFrame(
+        Seq("the", "data", "with", "zzznotaword").map(Tuple1(_)))
+        .toDF("item")
+      val exact = toks.groupBy(col("term").as("item"))
+        .agg(count(lit(1)).as("exact"))
+      graft.text.CountMin.estimate(sketch, probes, "item")
+        .join(exact, Seq("item"), "left")
+        .select(col("item"), col("est"),
+          coalesce(col("exact"), lit(0L)).as("exact"),
+          (col("est") >= coalesce(col("exact"), lit(0L))).as("bounded"))
+    }),
+
     // RAG passage retrieval: context-window chunking composed with BM25
     // over the PASSAGES (passage-level dl/df/avgdl), top-10 for the
     // 3-term query — the chunk→index→retrieve pipeline end to end.
@@ -408,6 +429,32 @@ object TextQueries extends QueryGroup {
   }
 
   val oracles: Map[String, String] = Map(
+    // The sketch rebuilt in SQL from the same md5-seeded buckets; the
+    // estimate and the one-sided bound must agree exactly.
+    "q_count_min" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(${OracleSql.toksSql}) AS term FROM documents),
+         |t AS (SELECT term FROM toks WHERE term <> ''),
+         |e AS (
+         |  SELECT term, d,
+         |    CAST(('0x' || substr(md5('cm' || CAST(d AS VARCHAR) || '_' || term), 1, 15)) AS BIGINT)
+         |      % 1024 AS bucket
+         |  FROM t, range(0, 4) r(d)),
+         |sk AS (SELECT d, bucket, count(*) AS cnt FROM e GROUP BY 1, 2),
+         |pr AS (SELECT unnest(['the', 'data', 'with', 'zzznotaword']) AS item),
+         |pb AS (
+         |  SELECT item, d,
+         |    CAST(('0x' || substr(md5('cm' || CAST(d AS VARCHAR) || '_' || item), 1, 15)) AS BIGINT)
+         |      % 1024 AS bucket
+         |  FROM pr, range(0, 4) r(d)),
+         |est AS (
+         |  SELECT item, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+         |  FROM pb LEFT JOIN sk USING (d, bucket) GROUP BY 1),
+         |ex AS (SELECT term AS item, count(*) AS exact FROM t GROUP BY 1)
+         |SELECT est.item, est.est, coalesce(ex.exact, 0) AS exact,
+         |  est.est >= coalesce(ex.exact, 0) AS bounded
+         |FROM est LEFT JOIN ex USING (item)""".stripMargin,
+
     // Same chunk slices re-scored with the q_bm25 chain at passage level.
     "q_rag_retrieve" -> {
       val k1 = 1.2; val b = 0.75
