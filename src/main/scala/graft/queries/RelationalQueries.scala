@@ -284,6 +284,23 @@ object RelationalQueries extends QueryGroup {
           col("total").cast("double").as("total"))
     }),
 
+    // Sketch-based join-size estimation: CMS over each side's key column,
+    // per-depth inner products, min over depths — plus the true size and
+    // the unconditional overestimate bound, all under the gate.
+    "q_join_size_est" -> ((s, dir) => {
+      import graft.text.CountMin
+      val o = Tables.orders(s, dir).select(col("o_custkey").cast("string").as("k"))
+      val c = Tables.customer(s, dir)
+        .filter(pmod(col("c_custkey"), lit(3)) === 0)
+        .select(col("c_custkey").cast("string").as("k"))
+      val est = CountMin.joinSizeEstimate(
+        CountMin.build(o, "k"), CountMin.build(c, "k"))
+      val truth = o.join(c, Seq("k")).agg(count(lit(1)).as("true_size"))
+      est.crossJoin(truth)
+        .select(col("join_size_est"), col("true_size"),
+          (col("join_size_est") >= col("true_size")).as("bounded"))
+    }),
+
     // Golden-record survivorship: per customer, the latest non-null value
     // of each planted field across their order "updates" (ordered by
     // orderkey — unique, so ties are impossible by construction).
@@ -517,6 +534,30 @@ object RelationalQueries extends QueryGroup {
       """SELECT o_custkey, count(*) AS cnt,
         |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM orders GROUP BY o_custkey""".stripMargin,
+    // Same md5-seeded sketches rebuilt in SQL; inner products and the
+    // min-over-depths must agree exactly, as must the bound.
+    "q_join_size_est" ->
+      """WITH ok AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+        |ck AS (SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer
+        |       WHERE c_custkey % 3 = 0),
+        |ea AS (SELECT k, d,
+        |    CAST(('0x' || substr(md5('cm' || CAST(d AS VARCHAR) || '_' || k), 1, 15)) AS BIGINT)
+        |      % 1024 AS bucket
+        |  FROM ok, range(0, 4) r(d)),
+        |eb AS (SELECT k, d,
+        |    CAST(('0x' || substr(md5('cm' || CAST(d AS VARCHAR) || '_' || k), 1, 15)) AS BIGINT)
+        |      % 1024 AS bucket
+        |  FROM ck, range(0, 4) r(d)),
+        |sa AS (SELECT d, bucket, count(*) AS ca FROM ea GROUP BY 1, 2),
+        |sb AS (SELECT d, bucket, count(*) AS cb FROM eb GROUP BY 1, 2),
+        |ip AS (SELECT sa.d, CAST(sum(ca * cb) AS BIGINT) AS ip
+        |       FROM sa JOIN sb ON sa.d = sb.d AND sa.bucket = sb.bucket
+        |       GROUP BY sa.d),
+        |est AS (SELECT CAST(min(ip) AS BIGINT) AS join_size_est FROM ip),
+        |tr AS (SELECT count(*) AS true_size FROM ok JOIN ck USING (k))
+        |SELECT join_size_est, true_size,
+        |  join_size_est >= true_size AS bounded
+        |FROM est, tr""".stripMargin,
     // Same planted feed; arg_max FILTER = max_by with null-orderings
     // skipped (orderkey is unique, so no tie plane exists).
     "q_golden_record" ->

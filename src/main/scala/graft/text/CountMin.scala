@@ -39,6 +39,22 @@ object CountMin {
   def merge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("depth", "bucket").agg(sum("cnt").as("cnt"))
 
+  /** Equi-join cardinality estimate from two sketches over the SAME
+    * (d, w, seed) family: per depth, the inner product Σ_b cntA·cntB
+    * overestimates |A ⋈ B| (collisions only add); min over depths
+    * tightens it — the classic sketch-based join-size estimator the
+    * optimizer altitude uses before committing to a join order. O(d·w)
+    * work on two broadcast-sized tables; the relations themselves are
+    * never touched.
+    */
+  def joinSizeEstimate(a: DataFrame, b: DataFrame): DataFrame = {
+    a.select(col("depth"), col("bucket"), col("cnt").as("__ca"))
+      .join(b.select(col("depth"), col("bucket"), col("cnt").as("__cb")),
+        Seq("depth", "bucket"))
+      .groupBy("depth").agg(sum(col("__ca") * col("__cb")).as("__ip"))
+      .agg(min(col("__ip")).as("join_size_est"))
+  }
+
   /** Point estimates for `probes(itemCol)`: min over depths of the
     * probed bucket counts (0 when a bucket was never touched).
     */

@@ -35,6 +35,21 @@ class CountMinSpec extends AnyFunSuite with SparkTestBase {
     assert(merged == full)
   }
 
+  test("join-size estimate upper-bounds the true size; exact when collision-free") {
+    import spark.implicits._
+    val a = items((1 to 200).map(i => s"k${i % 40}"))
+    val b = items((1 to 60).map(i => s"k${i % 20}"))
+    val est = CountMin.joinSizeEstimate(
+      CountMin.build(a, "item", 4, 512), CountMin.build(b, "item", 4, 512))
+      .head().getLong(0)
+    val truth = a.join(b, Seq("item")).count()
+    assert(est >= truth)
+    // 40+20 keys in 512 buckets × 4 depths: min over depths is usually
+    // collision-free — but only the BOUND is guaranteed, so assert a
+    // generous overshoot ceiling rather than equality.
+    assert(est <= truth * 2, s"est=$est truth=$truth")
+  }
+
   test("deterministic under repartitioning") {
     val data = items((1 to 400).map(i => s"t${i * 7 % 111}"))
     val s1 = CountMin.build(data, "item", 4, 128)
