@@ -193,8 +193,8 @@ object EventQueries extends QueryGroup {
           col("value"))
       graft.ops.Regression.groupTrend(ev, Seq("event_type"), "day", "value")
         .select(col("event_type"), col("n"),
-          round(col("slope"), 6).as("slope"),
-          round(col("intercept"), 4).as("intercept"))
+          (round(col("slope"), 6) + lit(0.0)).as("slope"),
+          (round(col("intercept"), 4) + lit(0.0)).as("intercept"))
     }),
 
     // W3: derived categories unioned with source (U1).
@@ -582,10 +582,10 @@ object EventQueries extends QueryGroup {
         |  FROM q GROUP BY 1)
         |SELECT event_type, n,
         |  round(CAST(n * sxy - sx * sy AS DOUBLE)
-        |    / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 6) AS slope,
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 6) + 0.0 AS slope,
         |  round((CAST(sy AS DOUBLE) / 100.0
         |    - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
-        |      / 100.0 * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4) AS intercept
+        |      / 100.0 * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4) + 0.0 AS intercept
         |FROM a""".stripMargin,
 
     // The same integer recurrence as a recursive CTE: step t joins step

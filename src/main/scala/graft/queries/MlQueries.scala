@@ -57,7 +57,7 @@ object MlQueries extends QueryGroup {
         Pq.encode(emb, "vec_id", "embedding", model),
         "vec_id", "embedding", model, k = 5, candidateK = 20)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
-          round(col("cos"), 4).as("cos"))
+          (round(col("cos"), 4) + lit(0.0)).as("cos"))
     }))
 
   // ---- oracle: a reusable unrolled Lloyd chain -----------------------
@@ -231,7 +231,7 @@ object MlQueries extends QueryGroup {
         |  FROM cnd c
         |  JOIN e a ON a.vec_id = c.query_id
         |  JOIN e b ON b.vec_id = c.neighbor_id)
-        |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
+        |SELECT query_id, neighbor_id, rank, round(cos, 4) + 0.0 AS cos
         |FROM rr WHERE rank <= 5""".stripMargin),
     "q_fps_sample" -> fpsSql)
 }

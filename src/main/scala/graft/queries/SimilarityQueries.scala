@@ -89,7 +89,7 @@ object SimilarityQueries extends QueryGroup {
         emb.filter(col("vec_id") < 50), emb, "vec_id", "embedding", k = 3,
         dims = 64, numPlanes = 6, tables = 2)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
-          round(col("cos"), 4).as("cos"))
+          (round(col("cos"), 4) + lit(0.0)).as("cos"))
     }),
 
     // Multi-probe LSH: ONE table, 6 planes, probes also visit all 6
@@ -100,7 +100,7 @@ object SimilarityQueries extends QueryGroup {
         emb.filter(col("vec_id") < 50), emb, "vec_id", "embedding", k = 3,
         dims = 64, numPlanes = 6, tables = 1, flips = 6)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
-          round(col("cos"), 4).as("cos"))
+          (round(col("cos"), 4) + lit(0.0)).as("cos"))
     }),
 
     // IVF-flat ANN — the other scale path: inverted lists from
@@ -111,7 +111,7 @@ object SimilarityQueries extends QueryGroup {
         emb.filter(col("vec_id") < 30), emb, "vec_id", "embedding", k = 3,
         centroidMod = 25, nprobe = 3)
         .select(col("query_id"), col("neighbor_id"),
-          col("rank").cast("int").as("rank"), round(col("cos"), 4).as("cos"))
+          col("rank").cast("int").as("rank"), (round(col("cos"), 4) + lit(0.0)).as("cos"))
     }),
 
     // Semantic dedup clusters: connected components over the embedding
@@ -134,7 +134,7 @@ object SimilarityQueries extends QueryGroup {
       Tables.embeddings(s, dir)
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("label"), col("pos"))
-        .agg(round(avg(col("x").cast("double")), 4).as("c"))
+        .agg((round(avg(col("x").cast("double")), 4) + lit(0.0)).as("c"))
     }))
 
   // Wrapper so the near-dup query reuses the library op with rounded output.
@@ -142,7 +142,7 @@ object SimilarityQueries extends QueryGroup {
     def embeddingNearDupBrute(emb: org.apache.spark.sql.DataFrame,
         threshold: Double): org.apache.spark.sql.DataFrame =
       graft.ops.Dedup.embeddingNearDupBrute(emb, "vec_id", "embedding", threshold)
-        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+        .select(col("id_a"), col("id_b"), (round(col("cos"), 4) + lit(0.0)).as("cos"))
   }
 
   val oracles: Map[String, String] = Map(
@@ -217,7 +217,7 @@ object SimilarityQueries extends QueryGroup {
     "q_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_cosine_similarity(a.v, b.v), 4) AS cos
+        |  round(list_cosine_similarity(a.v, b.v), 4) + 0.0 AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) > 0.4""".stripMargin,
     // Mirrors Similarity.lshTopKMd5: comp(p,d) = md5Hash60('p_<p>_<d>')
@@ -250,7 +250,7 @@ object SimilarityQueries extends QueryGroup {
         |  FROM cand c
         |  JOIN e a ON a.vec_id = c.query_id
         |  JOIN e b ON b.vec_id = c.neighbor_id)
-        |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
+        |SELECT query_id, neighbor_id, rank, round(cos, 4) + 0.0 AS cos
         |FROM ranked WHERE rank <= 3""".stripMargin,
     // Same planes/buckets, one table (p 0..5); probe buckets expand to
     // the identity + 6 single-bit xor flips before the bucket join.
@@ -285,7 +285,7 @@ object SimilarityQueries extends QueryGroup {
         |  FROM cand c
         |  JOIN e a ON a.vec_id = c.query_id
         |  JOIN e b ON b.vec_id = c.neighbor_id)
-        |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
+        |SELECT query_id, neighbor_id, rank, round(cos, 4) + 0.0 AS cos
         |FROM ranked WHERE rank <= 3""".stripMargin,
 
     // Mirrors Similarity.ivfTopK: sampled centroids (vec_id % 25 = 0),
@@ -317,7 +317,7 @@ object SimilarityQueries extends QueryGroup {
         |    CAST(row_number() OVER (PARTITION BY query_id
         |      ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
         |  FROM cand)
-        |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cos
+        |SELECT query_id, neighbor_id, rank, round(cos, 4) + 0.0 AS cos
         |FROM ranked WHERE rank <= 3""".stripMargin,
     // Same pair graph as q_embedding_neardup; min-label reachability CTE
     // equals the engine's star-contraction components.
@@ -344,6 +344,6 @@ object SimilarityQueries extends QueryGroup {
         |    generate_subscripts(embedding, 1) - 1 AS pos
         |  FROM embeddings)
         |SELECT label, CAST(pos AS INT) AS pos,
-        |  round(avg(CAST(x AS DOUBLE)), 4) AS c
+        |  round(avg(CAST(x AS DOUBLE)), 4) + 0.0 AS c
         |FROM e GROUP BY label, pos""".stripMargin)
 }
