@@ -360,6 +360,44 @@ object RelationalQueries extends QueryGroup {
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
             .as("total"))
+    }),
+
+    // Skew-mitigated join (ops.SkewJoin): the hot-key salting recipe must
+    // be row-for-row invisible — the oracle is the PLAIN join. The salt
+    // spreads each part key over 8 shuffle buckets; the dimension side is
+    // replicated once per salt value (still broadcast-sized).
+    "q_salted_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+        .withColumnRenamed("p_partkey", "l_partkey")
+        .select(col("l_partkey"), col("p_brand"))
+      graft.ops.SkewJoin.saltedJoin(li, p, Seq("l_partkey"), "l_orderkey",
+          numSalts = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_rows"),
+          dbl(sum(dec(col("l_quantity")))).as("sum_qty"))
+    }),
+
+    // Robust outliers: median/MAD flagging (complements q_outliers'
+    // mean/stddev z-score — MAD ignores the outliers it is hunting, so a
+    // few huge values cannot inflate the scale estimate and mask
+    // themselves). Two percentile aggregations + a broadcast stats join;
+    // med/mad rounded to 6 so both engines feed IDENTICAL doubles into
+    // the shared scoring arithmetic.
+    "q_mad_outliers" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val med = ev.groupBy(col("event_type"))
+        .agg(round(percentile(col("value"), lit(0.5)), 6).as("med"))
+      val mad = ev.join(broadcast(med), "event_type")
+        .groupBy(col("event_type"))
+        .agg(round(percentile(abs(col("value") - col("med")), lit(0.5)), 6)
+          .as("mad"))
+      ev.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+        .filter(col("mad") > 0)
+        .withColumn("rz", (col("value") - col("med")) / (col("mad") * lit(1.4826)))
+        .filter(abs(col("rz")) > 3.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("rz"), 3).as("robust_z"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -587,5 +625,23 @@ object RelationalQueries extends QueryGroup {
       """SELECT o_custkey, c_mktsegment, count(*) AS n_orders,
         |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY o_custkey, c_mktsegment""".stripMargin)
+        |GROUP BY o_custkey, c_mktsegment""".stripMargin,
+    // Salting is an implementation detail: the oracle is the unsalted join.
+    "q_salted_join" ->
+      """SELECT p_brand, count(*) AS n_rows,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+    "q_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+        |  FROM events GROUP BY event_type),
+        |mad AS (
+        |  SELECT e.event_type,
+        |    round(quantile_cont(abs(value - med), 0.5), 6) AS mad
+        |  FROM events e JOIN med USING (event_type) GROUP BY e.event_type)
+        |SELECT event_id, e.event_type, value,
+        |  round((value - med) / (mad * 1.4826), 3) AS robust_z
+        |FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+        |WHERE mad > 0 AND abs((value - med) / (mad * 1.4826)) > 3.0""".stripMargin)
 }
