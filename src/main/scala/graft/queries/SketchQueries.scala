@@ -83,6 +83,30 @@ object SketchQueries extends QueryGroup {
         .agg(count(lit(1)).as("n"), min(col("x")).as("min_x"), max(col("x")).as("max_x"))
     }),
 
+    // Our OWN HyperLogLog (ops.Hll) as a bounded register table, built
+    // per-source then MERGED (per-register max) into one global estimate
+    // — the pre-aggregate-then-union rollup shape, with the estimator
+    // gate-checked against a full DuckDB rebuild (md5 hashes + bin()
+    // ranks + exact integer power sum are engine-identical; the bound
+    // boolean is computed HERE but a literal in the oracle, so a sketch
+    // drifting outside ±25% fails the hash compare).
+    "q_hll_distinct" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(split(graft.ops.Dedup.normalizeText(col("text")), " "))
+            .as("term"))
+        .filter(col("term") =!= "")
+      val perSource = graft.ops.Hll.registers(toks, "term", Seq("source"))
+      val est = graft.ops.Hll.estimate(
+        graft.ops.Hll.merge(perSource.drop("source")))
+      val exact = toks.agg(countDistinct(col("term")).as("n_exact"))
+      est.crossJoin(exact).select(
+        col("n_exact"),
+        round(col("hll_est"), 4).as("est"),
+        (abs(col("hll_est") - col("n_exact")) <= col("n_exact") * 0.25)
+          .as("within_bound"))
+    }),
+
     // Per-group quartiles: which quartile of ITS return-flag class each
     // row's price falls in — boundaries per group, broadcast back, fact
     // table never sorted (see Quantiles.bucketizeByGroup).
@@ -109,6 +133,42 @@ object SketchQueries extends QueryGroup {
         |  round(quantile_cont(l_quantity, 0.9), 4) AS p90,
         |  true AS within_bound
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // The register table and estimator rebuilt verbatim: same md5-derived
+    // 60-bit hash, same bin()-length ranks, same exact integer power sum
+    // scaled by 2^53, same literal association in the one float division.
+    "q_hll_distinct" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(${OracleSql.toksSql}) AS term FROM documents),
+         |t AS (SELECT term FROM toks WHERE term <> ''),
+         |h AS (
+         |  SELECT CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS h
+         |  FROM t),
+         |r AS (
+         |  SELECT h % 256 AS reg,
+         |    CASE WHEN (h >> 8) = 0 THEN 53
+         |         ELSE 53 - length(bin(h >> 8)) END AS rho
+         |  FROM h),
+         |regs AS (SELECT reg, max(rho) AS rho FROM r GROUP BY 1),
+         |a AS (
+         |  SELECT count(*) AS present,
+         |    sum(1::BIGINT << (53 - rho)) AS sp
+         |  FROM regs),
+         |e AS (
+         |  SELECT CAST(coalesce(sp, 0) + (256 - present) * (1::BIGINT << 53)
+         |      AS DOUBLE) AS sd,
+         |    CAST(256 - present AS DOUBLE) AS v
+         |  FROM a),
+         |est AS (
+         |  SELECT CASE WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+         |        * 9007199254740992.0 / sd <= 640.0 AND v > 0.0
+         |      THEN 256.0 * ln(256.0 / v)
+         |      ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+         |        * 9007199254740992.0 / sd END AS raw
+         |  FROM e),
+         |x AS (SELECT count(DISTINCT term) AS n_exact FROM t)
+         |SELECT n_exact, round(raw, 4) AS est, true AS within_bound
+         |FROM est, x""".stripMargin,
+
     "q_quantile_bucket" ->
       """WITH q AS (
         |  SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
