@@ -110,6 +110,31 @@ object DedupQueries extends QueryGroup {
         shingleSize = 3, numHashes = 16, bands = 8)
       Dedup.clusterRepresentatives(docs, "doc_id", "n_chars",
         pairs, "id_a", "id_b")
+    }),
+
+    // C4-style corpus line dedup (text.LineDedup): the synthetic corpus
+    // has no natural lines, so the planted-data pattern applies — docs
+    // are chunked into 12-token lines and boilerplate lines are planted
+    // deterministically from doc_id (doc_id%3 prepends a newsletter line,
+    // doc_id%5 appends a footer), identically in the oracle. Keep-first
+    // then reassembles every doc from its surviving lines.
+    "q_line_dedup" -> ((s, dir) => {
+      val toks = split(Dedup.normalizeText(col("text")), " ")
+      val nLines = floor((size(toks) + lit(11)) / lit(12)).cast("int")
+      val chunks = transform(sequence(lit(0), nLines - lit(1)),
+        i => array_join(slice(toks, i * lit(12) + lit(1), lit(12)), " "))
+      val noLines = array().cast("array<string>")
+      val planted = concat(
+        when(col("doc_id") % 3 === 0,
+          array(lit("subscribe to our newsletter today"))).otherwise(noLines),
+        chunks,
+        when(col("doc_id") % 5 === 0,
+          array(lit("all rights reserved by the site"))).otherwise(noLines))
+      val withLines = Tables.documents(s, dir)
+        .select(col("doc_id"), array_join(planted, "\n").as("text"))
+      graft.text.LineDedup.keepFirst(withLines, "doc_id", "text")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_kept"), col("n_dropped"))
     }))
 
   import OracleSql.{toksSql, shinglesSqlN}
@@ -148,6 +173,34 @@ object DedupQueries extends QueryGroup {
         |SELECT ng.doc_id, ng.n_grams,
         |  CAST(COALESCE(nf.n_fingerprints, 0) AS BIGINT) AS n_fingerprints
         |FROM ng LEFT JOIN nf USING (doc_id)""".stripMargin,
+    // Same chunking, same plants, same first-wins arbitration and
+    // chr(10) reassembly — text compared via md5.
+    "q_line_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |c AS (SELECT doc_id,
+         |  list_transform(range(0, (len(toks) + 11) // 12), i ->
+         |    array_to_string(list_slice(toks, i*12+1, i*12+12), ' ')) AS ls
+         |  FROM t),
+         |p AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN ['subscribe to our newsletter today']
+         |       ELSE CAST([] AS VARCHAR[]) END
+         |  || ls ||
+         |  CASE WHEN doc_id % 5 = 0 THEN ['all rights reserved by the site']
+         |       ELSE CAST([] AS VARCHAR[]) END AS ls
+         |  FROM c),
+         |l0 AS (SELECT doc_id, unnest(ls) AS line,
+         |         generate_subscripts(ls, 1) AS pos FROM p),
+         |l AS (SELECT * FROM l0 WHERE line <> ''),
+         |k AS (SELECT doc_id, pos, line,
+         |        row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1
+         |          AS keep
+         |      FROM l)
+         |SELECT doc_id,
+         |  md5(nullif(string_agg(line, chr(10) ORDER BY pos)
+         |    FILTER (WHERE keep), '')) AS text_md5,
+         |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+         |  CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped
+         |FROM k GROUP BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE doc_id IN (
