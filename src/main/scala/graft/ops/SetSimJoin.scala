@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact set-similarity self-join with PREFIX FILTERING (AllPairs —
+  * Bayardo et al., WWW'07; PPJoin — Xiao et al., ICDE'08): all document
+  * pairs whose shingle-set Jaccard clears a threshold, WITHOUT the O(n²)
+  * cross join and without LSH's false negatives. The pruning is
+  * lossless: under any global token order, two sets with Jaccard ≥ τ
+  * must share a token inside both PREFIXES (the first |x| − ⌈τ·|x|⌉ + 1
+  * tokens of each sorted set) — so joining exploded prefixes finds every
+  * qualifying pair, and candidates are verified with the exact Jaccard.
+  * The two ceil()s carry a −1e-9 guard so float jitter can only LENGTHEN
+  * a prefix / RELAX the length filter, never break losslessness.
+  *
+  * The global order is rarest-first (ascending document frequency, token
+  * as tie-break): rare tokens make poor join keys for false candidates,
+  * which is exactly what puts them in prefixes. At 100 TB the shape is
+  * three key-partitioned shuffles (distinct grams → df join → per-doc
+  * sort) plus a gram-keyed candidate join whose fan-out is the point:
+  * prefixes are ~(1−τ) of each set, and only rare grams appear in them,
+  * so candidate volume tracks true-pair volume, not n². Verification
+  * joins candidate ids back to the doc→gram-array map (doc-keyed) and
+  * intersects arrays per pair — no second explode.
+  */
+object SetSimJoin {
+
+  /** Candidate (id_a, id_b, sz_a, sz_b) pairs from prefix intersection +
+    * the Jaccard length filter min ≥ τ·max. Superset of the true result.
+    */
+  def candidatePairs(ranked: DataFrame, tau: Double): DataFrame = {
+    val prefix = ranked.select(col("id"), col("sz"),
+      explode(slice(col("grams"), lit(1),
+        (col("sz") - ceil(col("sz") * lit(tau) - lit(1e-9)) + lit(1)).cast("int")))
+        .as("gram"))
+    val a = prefix.select(col("id").as("id_a"), col("sz").as("sz_a"), col("gram"))
+    val b = prefix.select(col("id").as("id_b"), col("sz").as("sz_b"), col("gram"))
+    a.join(b, Seq("gram"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("sz_a"), col("sz_b")) >=
+          ceil(greatest(col("sz_a"), col("sz_b")) * lit(tau) - lit(1e-9)))
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .distinct()
+  }
+
+  /** Rarest-first-sorted distinct gram arrays per document:
+    * (id, grams, sz). Documents with no grams (shorter than the shingle
+    * window) are absent.
+    */
+  def rankedSets(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): DataFrame = {
+    val sets = docs.select(col(idCol).as("id"),
+        explode(graft.expr.WordShingles.shingles(col(textCol), shingleSize,
+          distinct = true)).as("gram"))
+    val df = sets.groupBy(col("gram")).agg(count(lit(1)).as("__df"))
+    sets.join(df, Seq("gram"))
+      .groupBy(col("id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__df"), col("gram")))),
+        x => x.getField("gram")).as("grams"))
+      .withColumn("sz", size(col("grams")))
+  }
+
+  /** Exact-Jaccard self-join: (id_a, id_b, jaccard) with jaccard ≥ tau,
+    * id_a < id_b. Equal to the naive all-pairs computation.
+    */
+  def selfJoin(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, tau: Double): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    val ranked = rankedSets(docs, idCol, textCol, shingleSize)
+    val cands = candidatePairs(ranked, tau)
+    val arrs = ranked.select(col("id"), col("grams"))
+    val inter = size(array_intersect(col("__ga"), col("__gb")))
+    cands
+      .join(arrs.select(col("id").as("id_a"), col("grams").as("__ga")), Seq("id_a"))
+      .join(arrs.select(col("id").as("id_b"), col("grams").as("__gb")), Seq("id_b"))
+      .withColumn("jaccard",
+        inter.cast("double") / (col("sz_a") + col("sz_b") - inter))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -135,6 +135,15 @@ object DedupQueries extends QueryGroup {
       graft.text.LineDedup.keepFirst(withLines, "doc_id", "text")
         .select(col("doc_id"), md5(col("text")).as("text_md5"),
           col("n_kept"), col("n_dropped"))
+    }),
+
+    // AllPairs/PPJoin prefix-filtered EXACT Jaccard self-join
+    // (ops.SetSimJoin): the prefix filter is lossless, so the oracle is
+    // the naive all-pairs computation — same pairs, same exact jaccard.
+    "q_setsim_join" -> ((s, dir) => {
+      graft.ops.SetSimJoin.selfJoin(Tables.documents(s, dir),
+          "doc_id", "text", shingleSize = 3, tau = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     }))
 
   import OracleSql.{toksSql, shinglesSqlN}
@@ -201,6 +210,25 @@ object DedupQueries extends QueryGroup {
          |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
          |  CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped
          |FROM k GROUP BY doc_id""".stripMargin,
+    // Prefix filtering is an implementation detail — the oracle is the
+    // naive distinct-shingle pair join with exact Jaccard.
+    "q_setsim_join" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct($shinglesSql) AS s FROM documents),
+         |e AS (
+         |  SELECT DISTINCT doc_id, unnest(s) AS g FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT id_a, id_b,
+         |    CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
+         |  FROM pairs
+         |  JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id)
+         |SELECT id_a, id_b, round(jaccard, 4) AS jaccard
+         |FROM j WHERE jaccard >= 0.2""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE doc_id IN (
