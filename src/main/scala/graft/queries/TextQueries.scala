@@ -376,6 +376,22 @@ object TextQueries extends QueryGroup {
     "q_inverted_index" -> ((s, dir) => {
       graft.text.InvertedIndex.build(Tables.documents(s, dir), "doc_id",
         "text", minDf = 2L, maxDf = 400L)
+    }),
+
+    // T5 span corruption: hash-coin masked blocks, sentinel input, span
+    // target — the full denoising-objective prep, engine-exact.
+    "q_span_corrupt" -> ((s, dir) => {
+      graft.text.SpanCorruption.corrupt(Tables.documents(s, dir),
+        "doc_id", "text", stride = 5, spanLen = 3, rate = 3)
+    }),
+
+    // Exact-phrase search by positional-postings intersection: each
+    // term's postings start-aligned and equi-joined on (doc, pos) — the
+    // oracle recomputes occurrences by direct token-window scan.
+    "q_phrase_search" -> ((s, dir) => {
+      graft.text.InvertedIndex.phraseSearch(Tables.documents(s, dir),
+        "doc_id", "text",
+        Seq("slow hash batch", "part filter scan", "row column sort"))
     }))
 
   private val markerSql: Map[String, String] =
@@ -942,6 +958,63 @@ object TextQueries extends QueryGroup {
         |SELECT doc_id, CAST(sum(wm) AS BIGINT) AS score_milli,
         |  CAST(sum(wm) AS BIGINT) > 0 AS keep
         |FROM w GROUP BY doc_id""".stripMargin,
+
+    // Same md5 block coins, same rank numbering, same piece ordering —
+    // string_agg ignores the NULL pieces exactly as collect_list does.
+    "q_span_corrupt" ->
+      s"""WITH t AS (SELECT doc_id, ${OracleSql.toksSql} AS toks FROM documents),
+         |e AS (
+         |  SELECT doc_id, unnest(toks) AS tok,
+         |    generate_subscripts(toks, 1) - 1 AS pos
+         |  FROM t),
+         |b AS (
+         |  SELECT doc_id, pos, tok, pos // 5 AS blk, pos % 5 AS ib
+         |  FROM e WHERE tok <> ''),
+         |sel AS (
+         |  SELECT DISTINCT doc_id, blk FROM b
+         |  WHERE CAST(('0x' || substr(md5(
+         |      CAST(doc_id AS VARCHAR) || '_' || CAST(blk AS VARCHAR)),
+         |      1, 15)) AS BIGINT) % 10 < 3),
+         |rk AS (
+         |  SELECT doc_id, blk,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY blk) - 1
+         |      AS BIGINT) AS k
+         |  FROM sel),
+         |m AS (
+         |  SELECT b.doc_id, b.pos, b.tok, b.ib, rk.k,
+         |    (rk.k IS NOT NULL AND b.ib < 3) AS masked
+         |  FROM b LEFT JOIN rk ON b.doc_id = rk.doc_id AND b.blk = rk.blk),
+         |agg AS (
+         |  SELECT doc_id,
+         |    string_agg(CASE WHEN NOT masked THEN tok
+         |      WHEN ib = 0 THEN '<extra_id_' || CAST(k AS VARCHAR) || '>'
+         |      END, ' ' ORDER BY pos) AS input_text,
+         |    nullif(string_agg(CASE WHEN masked THEN
+         |        CASE WHEN ib = 0
+         |          THEN '<extra_id_' || CAST(k AS VARCHAR) || '> ' || tok
+         |          ELSE tok END
+         |      END, ' ' ORDER BY k, ib), '') AS target_text
+         |  FROM m GROUP BY doc_id)
+         |SELECT * FROM agg""".stripMargin,
+
+    // Occurrences recomputed by direct windowed token scan — the postings
+    // intersection is the engine's plan, not the semantics.
+    "q_phrase_search" -> {
+      def arm(phrase: String): String = {
+        val ts = phrase.split(" ")
+        val cond = ts.zipWithIndex
+          .map { case (t, i) => s"toks[i + $i] = '$t'" }.mkString(" AND ")
+        s"""SELECT '$phrase' AS phrase, doc_id,
+           |  CAST(len(list_filter(range(1, len(toks) - ${ts.length - 2}),
+           |    i -> $cond)) AS BIGINT) AS n_hits
+           |FROM t""".stripMargin
+      }
+      s"""WITH t AS (SELECT doc_id, ${OracleSql.toksSql} AS toks FROM documents),
+         |hits AS (
+         |${Seq("slow hash batch", "part filter scan", "row column sort")
+           .map(arm).mkString("\nUNION ALL\n")})
+         |SELECT * FROM hits WHERE n_hits > 0""".stripMargin
+    },
 
     // Struct-sorted posting lists: (doc_id, tf) struct order == doc order
     // (doc unique per term), so the rendered list matches Spark's

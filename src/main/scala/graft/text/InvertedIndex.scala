@@ -48,6 +48,44 @@ object InvertedIndex {
             e.getField("tf").cast("string"))), ",").as("postings"))
   }
 
+  /** Positional postings: one row per token occurrence (id, pos, term),
+    * 0-based position — the index layout phrase and proximity queries
+    * intersect. Scale shape: a single codegen'd tokenize + posexplode;
+    * downstream consumers filter by term BEFORE joining, so each phrase
+    * join moves only the matched terms' postings, never the corpus.
+    */
+  def positionalPostings(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol),
+        posexplode(split(Dedup.normalizeText(col(textCol)), " "))
+          .as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+
+  /** Exact-phrase search via positional-postings intersection (the
+    * standard IR phrase plan — Manning et al., IR book §2.4): for phrase
+    * t0…tk, each term's postings are start-aligned (pos − i) and
+    * equi-joined on (doc, pos); surviving rows are phrase occurrences.
+    * Returns (phrase, id, n_hits), docs without a hit absent. Every join
+    * is term-filtered first, so it shuffles posting lists of the phrase's
+    * terms only.
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "need at least one phrase")
+    val postings = positionalPostings(docs, idCol, textCol)
+    phrases.map { phrase =>
+      val terms = phrase.split(" ").toSeq
+      val aligned = terms.zipWithIndex.map { case (t, i) =>
+        postings.filter(col("term") === t)
+          .select(col(idCol), (col("pos") - lit(i)).as("pos"))
+      }
+      aligned.reduce(_.join(_, Seq(idCol, "pos")))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(phrase).as("phrase"), col(idCol), col("n_hits"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Conjunctive (AND) lookup over the source corpus for `terms` — the
     * query-time contract the index serves; expressed here against the raw
     * corpus as the oracle-checkable reference semantics (a serving layer
