@@ -137,6 +137,34 @@ object DedupQueries extends QueryGroup {
           col("n_kept"), col("n_dropped"))
     }),
 
+    // Dedup-quality eval harness: MinHash-LSH candidate pairs scored
+    // against exact-Jaccard (τ=0.5) ground truth — the
+    // precision/recall QA gate a pipeline runs before trusting its
+    // probabilistic dedup at scale. Truth comes from the prefix-filtered
+    // exact join (ops.SetSimJoin), predictions from the banded LSH;
+    // anti/inner joins produce the confusion counts in one pass each.
+    "q_dedup_eval" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pred = Dedup.md5MinHashCandidates(docs, "doc_id", "text",
+          shingleSize = 3, numHashes = 16, bands = 8)
+        .select(col("id_a"), col("id_b"))
+      val truth = graft.ops.SetSimJoin.selfJoin(docs, "doc_id", "text",
+          shingleSize = 3, tau = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val tp = truth.join(pred, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("tp"))
+      val fn = truth.join(pred, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("fn"))
+      val fp = pred.join(truth, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("fp"))
+      tp.crossJoin(fn).crossJoin(fp)
+        .select(col("tp"), col("fn"), col("fp"),
+          round(col("tp").cast("double") / (col("tp") + col("fn")), 4)
+            .as("recall"),
+          round(col("tp").cast("double") / (col("tp") + col("fp")), 4)
+            .as("precision"))
+    }),
+
     // AllPairs/PPJoin prefix-filtered EXACT Jaccard self-join
     // (ops.SetSimJoin): the prefix filter is lossless, so the oracle is
     // the naive all-pairs computation — same pairs, same exact jaccard.
@@ -210,6 +238,62 @@ object DedupQueries extends QueryGroup {
          |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
          |  CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped
          |FROM k GROUP BY doc_id""".stripMargin,
+    // LSH candidates (banded-signature CTEs as q_dedup_minhash_lsh) vs
+    // naive exact-Jaccard truth at τ=0.5, reduced to confusion counts.
+    "q_dedup_eval" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, $shinglesSql AS s FROM documents),
+         |hx AS (
+         |  SELECT doc_id, list_transform(s, x -> md5(x)) AS hexes
+         |  FROM sh WHERE len(s) > 0),
+         |hs AS (
+         |  SELECT doc_id,
+         |    list_transform(hexes, h ->
+         |      CAST(('0x' || substr(h, 1, 15)) AS BIGINT)
+         |        % 288230376151711744) AS h1,
+         |    list_transform(hexes, h ->
+         |      CAST(('0x' || substr(h, 16, 15)) AS BIGINT)
+         |        % 288230376151711744) AS h2
+         |  FROM hx),
+         |sig AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 16),
+         |      s -> list_min(list_transform(range(1, len(h1) + 1),
+         |        i -> h1[i] + s * h2[i]))) AS sig
+         |  FROM hs),
+         |banded AS (
+         |  SELECT doc_id, b,
+         |    array_to_string(list_transform(list_slice(sig, b * 2 + 1, b * 2 + 2),
+         |      v -> CAST(v AS VARCHAR)), ',') AS bucket
+         |  FROM sig, range(0, 8) t(b)),
+         |pred AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         |  FROM banded a JOIN banded b2 ON a.b = b2.b AND a.bucket = b2.bucket
+         |  WHERE a.doc_id < b2.doc_id),
+         |el AS (SELECT DISTINCT doc_id, unnest(list_distinct(s)) AS g
+         |       FROM sh WHERE len(s) > 0),
+         |sz AS (SELECT doc_id, count(*) AS n FROM el GROUP BY 1),
+         |ip AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM el a JOIN el b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT id_a, id_b FROM ip
+         |  JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.5),
+         |c AS (
+         |  SELECT
+         |    CAST((SELECT count(*) FROM truth JOIN pred USING (id_a, id_b))
+         |      AS BIGINT) AS tp,
+         |    CAST((SELECT count(*) FROM truth ANTI JOIN pred USING (id_a, id_b))
+         |      AS BIGINT) AS fn,
+         |    CAST((SELECT count(*) FROM pred ANTI JOIN truth USING (id_a, id_b))
+         |      AS BIGINT) AS fp)
+         |SELECT tp, fn, fp,
+         |  round(CAST(tp AS DOUBLE) / (tp + fn), 4) AS recall,
+         |  round(CAST(tp AS DOUBLE) / (tp + fp), 4) AS precision
+         |FROM c""".stripMargin,
+
     // Prefix filtering is an implementation detail — the oracle is the
     // naive distinct-shingle pair join with exact Jaccard.
     "q_setsim_join" ->

@@ -378,6 +378,28 @@ object TextQueries extends QueryGroup {
         "text", minDf = 2L, maxDf = 400L)
     }),
 
+    // Bitmap-index term co-occurrence (ops.BitmapIndex): membership
+    // bitsets as 64-bit words, intersection = word-aligned AND +
+    // popcount. The bitmap layout is the engine's plan; the oracle is
+    // the naive distinct-pair count.
+    "q_bitmap_cooccur" -> ((s, dir) => {
+      val terms = Seq("hash", "scan", "table", "stream", "vector", "customer")
+      val mem = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(split(graft.ops.Dedup.normalizeText(col("text")), " "))
+            .as("term"))
+        .filter(col("term").isin(terms: _*))
+      val bm = graft.ops.BitmapIndex.build(mem, "term", "doc_id")
+      val cards = graft.ops.BitmapIndex.cardinality(bm)
+      graft.ops.BitmapIndex.intersectCounts(bm)
+        .join(cards.select(col("key").as("key_a"), col("card").as("n_a")),
+          Seq("key_a"))
+        .join(cards.select(col("key").as("key_b"), col("card").as("n_b")),
+          Seq("key_b"))
+        .select(col("key_a").as("term_a"), col("key_b").as("term_b"),
+          col("co_card").as("co_docs"), col("n_a"), col("n_b"))
+    }),
+
     // T5 span corruption: hash-coin masked blocks, sentinel input, span
     // target — the full denoising-objective prep, engine-exact.
     "q_span_corrupt" -> ((s, dir) => {
@@ -958,6 +980,24 @@ object TextQueries extends QueryGroup {
         |SELECT doc_id, CAST(sum(wm) AS BIGINT) AS score_milli,
         |  CAST(sum(wm) AS BIGINT) > 0 AS keep
         |FROM w GROUP BY doc_id""".stripMargin,
+
+    // Bitmaps are the plan, not the semantics: naive distinct-pair count.
+    "q_bitmap_cooccur" ->
+      s"""WITH m AS (
+         |  SELECT DISTINCT doc_id, term FROM (
+         |    SELECT doc_id, unnest(${OracleSql.toksSql}) AS term
+         |    FROM documents)
+         |  WHERE term IN ('hash', 'scan', 'table', 'stream', 'vector',
+         |    'customer')),
+         |n AS (SELECT term, count(*) AS n FROM m GROUP BY 1),
+         |p AS (
+         |  SELECT a.term AS term_a, b.term AS term_b,
+         |    CAST(count(*) AS BIGINT) AS co_docs
+         |  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.term < b.term
+         |  GROUP BY 1, 2)
+         |SELECT term_a, term_b, co_docs,
+         |  CAST(x.n AS BIGINT) AS n_a, CAST(y.n AS BIGINT) AS n_b
+         |FROM p JOIN n x ON term_a = x.term JOIN n y ON term_b = y.term""".stripMargin,
 
     // Same md5 block coins, same rank numbering, same piece ordering —
     // string_agg ignores the NULL pieces exactly as collect_list does.
