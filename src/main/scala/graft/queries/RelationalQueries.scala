@@ -378,6 +378,28 @@ object RelationalQueries extends QueryGroup {
           dbl(sum(dec(col("l_quantity")))).as("sum_qty"))
     }),
 
+    // Skyline / Pareto front (ops.Skyline): docs not dominated on
+    // (char length, distinct-token count) — sort-based 2D plan vs the
+    // oracle's O(n²) NOT EXISTS restatement.
+    "q_skyline_docs" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        length(col("text")).cast("long").as("len_chars"),
+        size(array_distinct(
+          split(graft.ops.Dedup.normalizeText(col("text")), " ")))
+          .cast("long").as("n_uniq_toks"))
+      graft.ops.Skyline.front2d(d, "len_chars", "n_uniq_toks")
+        .select(col("doc_id"), col("len_chars"), col("n_uniq_toks"))
+    }),
+
+    // Gorilla delta-of-delta timestamp compression profile per series:
+    // exact bit-class histogram + compressed-vs-raw ratio.
+    "q_gorilla_dod" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        col("event_id"),
+        expr("unix_micros(ts) div 1000000").as("t"))
+      graft.ops.DeltaOfDelta.profile(ev, "event_type", "t", "event_id")
+    }),
+
     // Robust outliers: median/MAD flagging (complements q_outliers'
     // mean/stddev z-score — MAD ignores the outliers it is hunting, so a
     // few huge values cannot inflate the scale estimate and mask
@@ -626,6 +648,62 @@ object RelationalQueries extends QueryGroup {
         |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY o_custkey, c_mktsegment""".stripMargin,
+    // The sort-based sweep is the plan; the oracle is the O(n²)
+    // NOT EXISTS dominance definition.
+    "q_skyline_docs" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len_chars,
+         |    CAST(len(list_distinct(${OracleSql.toksSql})) AS BIGINT)
+         |      AS n_uniq_toks
+         |  FROM documents)
+         |SELECT doc_id, len_chars, n_uniq_toks FROM d a
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM d b
+         |  WHERE b.len_chars >= a.len_chars
+         |    AND b.n_uniq_toks >= a.n_uniq_toks
+         |    AND (b.len_chars > a.len_chars
+         |      OR b.n_uniq_toks > a.n_uniq_toks))""".stripMargin,
+    "q_gorilla_dod" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, epoch_us(ts) // 1000000 AS t
+        |  FROM events),
+        |d1 AS (
+        |  SELECT event_type, t, event_id,
+        |    t - lag(t) OVER (PARTITION BY event_type ORDER BY t, event_id)
+        |      AS d
+        |  FROM e),
+        |d2 AS (
+        |  SELECT event_type,
+        |    d - lag(d) OVER (PARTITION BY event_type ORDER BY t, event_id)
+        |      AS dod
+        |  FROM d1),
+        |c AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_points,
+        |    CAST(count(*) FILTER (WHERE dod = 0) AS BIGINT) AS c1,
+        |    CAST(count(*) FILTER (WHERE dod <> 0 AND dod BETWEEN -63 AND 64)
+        |      AS BIGINT) AS c9,
+        |    CAST(count(*) FILTER (WHERE dod IS NOT NULL
+        |      AND NOT dod BETWEEN -63 AND 64 AND dod BETWEEN -255 AND 256)
+        |      AS BIGINT) AS c12,
+        |    CAST(count(*) FILTER (WHERE dod IS NOT NULL
+        |      AND NOT dod BETWEEN -255 AND 256 AND dod BETWEEN -2047 AND 2048)
+        |      AS BIGINT) AS c16,
+        |    CAST(count(*) FILTER (WHERE dod IS NOT NULL
+        |      AND NOT dod BETWEEN -2047 AND 2048) AS BIGINT) AS c37
+        |  FROM d2 GROUP BY event_type),
+        |p AS (
+        |  SELECT *,
+        |    c1 * 1 + c9 * 9 + c12 * 12 + c16 * 16 + c37 * 37 AS payload_bits,
+        |    c1 + c9 + c12 + c16 + c37 AS n_dod
+        |  FROM c)
+        |SELECT event_type, n_points, c1, c9, c12, c16, c37,
+        |  CAST(payload_bits AS BIGINT) AS payload_bits,
+        |  CAST(n_dod AS BIGINT) AS n_dod,
+        |  CASE WHEN n_dod > 0
+        |    THEN round(CAST(payload_bits AS DOUBLE) / (n_dod * 64), 4)
+        |  END AS ratio
+        |FROM p""".stripMargin,
+
     // Salting is an implementation detail: the oracle is the unsalted join.
     "q_salted_join" ->
       """SELECT p_brand, count(*) AS n_rows,
