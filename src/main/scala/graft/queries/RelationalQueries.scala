@@ -378,6 +378,57 @@ object RelationalQueries extends QueryGroup {
           dbl(sum(dec(col("l_quantity")))).as("sum_qty"))
     }),
 
+    // Full ranking-window surface in one pass: rank-family over a
+    // TIED ordering (floor(value) — rank/dense_rank/percent_rank/
+    // cume_dist are per-key deterministic under ties), row-level
+    // functions over the tie-broken total order.
+    "q_window_suite" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tied = Window.partitionBy(col("event_type"))
+        .orderBy(floor(col("value")).cast("long"))
+      val total = Window.partitionBy(col("event_type"))
+        .orderBy(floor(col("value")).cast("long"), col("event_id"))
+      Tables.events(s, dir).select(
+        col("event_type"), col("event_id"),
+        floor(col("value")).cast("long").as("v"),
+        rank().over(tied).as("rnk"),
+        dense_rank().over(tied).as("drnk"),
+        round(percent_rank().over(tied), 6).as("prnk"),
+        round(cume_dist().over(tied), 6).as("cdist"),
+        row_number().over(total).as("rn"),
+        ntile(4).over(total).as("quartile"),
+        lag(col("event_id"), 1).over(total).as("prev_id"),
+        lead(col("event_id"), 2).over(total).as("next2_id"))
+    }),
+
+    // Multiset semantics: INTERSECT ALL keeps min multiplicity, EXCEPT
+    // ALL subtracts multiplicities — reduced to per-key counts.
+    "q_setops_all" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val a = li.filter(col("l_linenumber") <= 4).select(col("l_partkey").as("pk"))
+      val b = li.filter(col("l_returnflag") === "R").select(col("l_partkey").as("pk"))
+      val inter = a.intersectAll(b).groupBy(col("pk"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      val diff = a.exceptAll(b).groupBy(col("pk"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      inter.unionByName(diff)
+    }),
+
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): planted null
+    // keys on both sides must pair with each other, not vanish.
+    "q_nullsafe_join" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), nullif(pmod(col("o_custkey"), lit(7L)), lit(3L)).as("k"))
+      val d = Tables.orders(s, dir)
+        .select(nullif(pmod(col("o_custkey"), lit(7L)), lit(3L)).as("k"))
+        .distinct()
+        .withColumn("bucket_name",
+          concat(lit("b_"), coalesce(col("k").cast("string"), lit("null"))))
+      o.join(d, o("k") <=> d("k"))
+        .groupBy(col("bucket_name"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
     // Skyline / Pareto front (ops.Skyline): docs not dominated on
     // (char length, distinct-token count) — sort-based 2D plan vs the
     // oracle's O(n²) NOT EXISTS restatement.
@@ -648,6 +699,42 @@ object RelationalQueries extends QueryGroup {
         |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY o_custkey, c_mktsegment""".stripMargin,
+    "q_window_suite" ->
+      """SELECT event_type, event_id,
+        |  CAST(floor(value) AS BIGINT) AS v,
+        |  CAST(rank() OVER tied AS INT) AS rnk,
+        |  CAST(dense_rank() OVER tied AS INT) AS drnk,
+        |  round(percent_rank() OVER tied, 6) AS prnk,
+        |  round(cume_dist() OVER tied, 6) AS cdist,
+        |  CAST(row_number() OVER total AS INT) AS rn,
+        |  CAST(ntile(4) OVER total AS INT) AS quartile,
+        |  lag(event_id, 1) OVER total AS prev_id,
+        |  lead(event_id, 2) OVER total AS next2_id
+        |FROM events
+        |WINDOW
+        |  tied AS (PARTITION BY event_type ORDER BY CAST(floor(value) AS BIGINT)),
+        |  total AS (PARTITION BY event_type
+        |    ORDER BY CAST(floor(value) AS BIGINT), event_id)""".stripMargin,
+    "q_setops_all" ->
+      """WITH a AS (SELECT l_partkey AS pk FROM lineitem WHERE l_linenumber <= 4),
+        |b AS (SELECT l_partkey AS pk FROM lineitem WHERE l_returnflag = 'R'),
+        |i AS (SELECT pk FROM a INTERSECT ALL SELECT pk FROM b),
+        |d AS (SELECT pk FROM a EXCEPT ALL SELECT pk FROM b)
+        |SELECT pk, CAST(count(*) AS BIGINT) AS n, 'intersect_all' AS op
+        |FROM i GROUP BY pk
+        |UNION ALL
+        |SELECT pk, CAST(count(*) AS BIGINT) AS n, 'except_all' AS op
+        |FROM d GROUP BY pk""".stripMargin,
+    "q_nullsafe_join" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, nullif(o_custkey % 7, 3) AS k FROM orders),
+        |d AS (
+        |  SELECT DISTINCT nullif(o_custkey % 7, 3) AS k FROM orders)
+        |SELECT 'b_' || coalesce(CAST(d.k AS VARCHAR), 'null') AS bucket_name,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM o JOIN d ON o.k IS NOT DISTINCT FROM d.k
+        |GROUP BY 1""".stripMargin,
+
     // The sort-based sweep is the plan; the oracle is the O(n²)
     // NOT EXISTS dominance definition.
     "q_skyline_docs" ->

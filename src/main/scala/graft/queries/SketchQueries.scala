@@ -107,6 +107,42 @@ object SketchQueries extends QueryGroup {
           .as("within_bound"))
     }),
 
+    // KMV/theta sketch (ops.KmvSketch): per-source 3-shingle sketches,
+    // pairwise INTERSECTION + union estimates — the set-algebra query
+    // HLL cannot answer. Exact values computed alongside; the bound
+    // booleans are literal `true` in the oracle, so estimator drift
+    // fails the gate.
+    "q_kmv_intersect" -> ((s, dir) => {
+      val el = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(graft.expr.WordShingles.shingles(col("text"), 3,
+            distinct = true)).as("g"))
+        .distinct()
+      val est = graft.ops.KmvSketch.pairEstimates(
+        graft.ops.KmvSketch.build(el, "source", "g", 1024), 1024)
+      val sz = el.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val exactInter = el.select(col("source").as("key_a"), col("g"))
+        .join(el.select(col("source").as("key_b"), col("g")), Seq("g"))
+        .filter(col("key_a") < col("key_b"))
+        .groupBy(col("key_a"), col("key_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      def ok(est: org.apache.spark.sql.Column,
+          exact: org.apache.spark.sql.Column) =
+        abs(est - exact) <= greatest(exact * 0.35, lit(100.0))
+      est.join(exactInter, Seq("key_a", "key_b"))
+        .join(sz.select(col("source").as("key_a"), col("n").as("__na")),
+          Seq("key_a"))
+        .join(sz.select(col("source").as("key_b"), col("n").as("__nb")),
+          Seq("key_b"))
+        .select(col("key_a"), col("key_b"),
+          col("n_inter"),
+          (col("__na") + col("__nb") - col("n_inter")).as("n_union"),
+          col("theta_saturated"),
+          ok(col("est_inter"), col("n_inter")).as("inter_ok"),
+          ok(col("est_union"), col("__na") + col("__nb") - col("n_inter"))
+            .as("union_ok"))
+    }),
+
     // Per-group quartiles: which quartile of ITS return-flag class each
     // row's price falls in — boundaries per group, broadcast back, fact
     // table never sorted (see Quantiles.bucketizeByGroup).
@@ -133,6 +169,50 @@ object SketchQueries extends QueryGroup {
         |  round(quantile_cont(l_quantity, 0.9), 4) AS p90,
         |  true AS within_bound
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // Exact pair counts + the sketch's saturation flag rebuilt in SQL;
+    // the bound booleans are literal true — estimator drift fails here.
+    "q_kmv_intersect" ->
+      s"""WITH el AS (
+         |  SELECT DISTINCT source, unnest(list_distinct(${OracleSql.shinglesSqlN(3)}))
+         |    AS g
+         |  FROM documents),
+         |sz AS (SELECT source, count(*) AS n FROM el GROUP BY 1),
+         |ei AS (
+         |  SELECT a.source AS key_a, b.source AS key_b,
+         |    CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM el a JOIN el b ON a.g = b.g AND a.source < b.source
+         |  GROUP BY 1, 2),
+         |hh AS (
+         |  SELECT DISTINCT source,
+         |    CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h
+         |  FROM el),
+         |sk AS (
+         |  SELECT source, h FROM (
+         |    SELECT source, h,
+         |      row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+         |    FROM hh)
+         |  WHERE rk <= 1024),
+         |pr AS (
+         |  SELECT x.source AS key_a, y.source AS key_b
+         |  FROM sz x, sz y WHERE x.source < y.source),
+         |mg AS (
+         |  SELECT pr.key_a, pr.key_b, sk.h FROM pr
+         |    JOIN sk ON sk.source = pr.key_a
+         |  UNION
+         |  SELECT pr.key_a, pr.key_b, sk.h FROM pr
+         |    JOIN sk ON sk.source = pr.key_b),
+         |th AS (
+         |  SELECT key_a, key_b, count(*) >= 1024 AS theta_saturated
+         |  FROM mg GROUP BY 1, 2)
+         |SELECT ei.key_a, ei.key_b, ei.n_inter,
+         |  CAST(x.n + y.n - ei.n_inter AS BIGINT) AS n_union,
+         |  th.theta_saturated,
+         |  true AS inter_ok, true AS union_ok
+         |FROM ei
+         |JOIN th ON ei.key_a = th.key_a AND ei.key_b = th.key_b
+         |JOIN sz x ON ei.key_a = x.source
+         |JOIN sz y ON ei.key_b = y.source""".stripMargin,
+
     // The register table and estimator rebuilt verbatim: same md5-derived
     // 60-bit hash, same bin()-length ranks, same exact integer power sum
     // scaled by 2^53, same literal association in the one float division.
