@@ -31,17 +31,32 @@ object SetSimJoin {
     */
   def candidatePairs(ranked: DataFrame, tau: Double): DataFrame = {
     val prefix = ranked.select(col("id"), col("sz"),
-      explode(slice(col("grams"), lit(1),
+      posexplode(slice(col("grams"), lit(1),
         (col("sz") - ceil(col("sz") * lit(tau) - lit(1e-9)) + lit(1)).cast("int")))
-        .as("gram"))
-    val a = prefix.select(col("id").as("id_a"), col("sz").as("sz_a"), col("gram"))
-    val b = prefix.select(col("id").as("id_b"), col("sz").as("sz_b"), col("gram"))
+        .as(Seq("pos", "gram")))
+    val a = prefix.select(col("id").as("id_a"), col("sz").as("sz_a"),
+      col("pos").as("__pa"), col("gram"))
+    val b = prefix.select(col("id").as("id_b"), col("sz").as("sz_b"),
+      col("pos").as("__pb"), col("gram"))
+    // PPJoin position filter (lossless): prefixes hold each set's
+    // lowest-global-order tokens, so the smallest COMMON token w0 of a
+    // qualifying pair sits in both prefixes at positions (min pa, min
+    // pb); every common token orders ≥ w0, hence the overlap fits in the
+    // tails: |x∩y| ≤ min(sz_a − pa*, sz_b − pb*). Jaccard ≥ τ needs
+    // overlap ≥ τ/(1+τ)·(sz_a+sz_b); prune pairs whose bound can't reach
+    // it. The groupBy replaces the distinct — same shuffle, plus the agg
+    // that powers the prune.
     a.join(b, Seq("gram"))
       .filter(col("id_a") < col("id_b") &&
         least(col("sz_a"), col("sz_b")) >=
           ceil(greatest(col("sz_a"), col("sz_b")) * lit(tau) - lit(1e-9)))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(min(col("__pa")).as("__pa"), min(col("__pb")).as("__pb"))
+      .filter(
+        least(col("sz_a") - col("__pa"), col("sz_b") - col("__pb"))
+          .cast("double") >=
+          (col("sz_a") + col("sz_b")) * lit(tau / (1.0 + tau)) - lit(1e-9))
       .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
-      .distinct()
   }
 
   /** Rarest-first-sorted distinct gram arrays per document:
@@ -50,9 +65,16 @@ object SetSimJoin {
     */
   def rankedSets(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame = {
+    // Grams travel as md5-60 longs, not strings: an 8-byte join/shuffle
+    // payload instead of ~26 and long-array intersections at verify
+    // time. The canonical order becomes (df, hash) — still total, so
+    // prefix filtering stays lossless — and Jaccard counts are unchanged
+    // barring 60-bit collisions inside one pair's union (~2^-51 per
+    // pair; deterministic either way).
     val sets = docs.select(col(idCol).as("id"),
         explode(graft.expr.WordShingles.shingles(col(textCol), shingleSize,
-          distinct = true)).as("gram"))
+          distinct = true)).as("__g"))
+      .select(col("id"), Dedup.md5Hash60(col("__g")).as("gram"))
     val df = sets.groupBy(col("gram")).agg(count(lit(1)).as("__df"))
     sets.join(df, Seq("gram"))
       .groupBy(col("id"))
