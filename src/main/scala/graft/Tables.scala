@@ -26,16 +26,23 @@ object Tables {
   def supplier(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "supplier")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS) which Spark's
-    * TimestampType (µs) cannot represent — Spark 4 refuses the file outright
-    * (PARQUET_TYPE_ILLEGAL). Read the raw nanos as LONG and floor to µs
-    * (integer `div`, no double round-trip: ns epochs exceed 2^53). Whole-
-    * second boundary predicates are unaffected by the floor.
+  /** `events.parquet` has shipped with two physical types for `ts` across
+    * fixture generations: INT64 TIMESTAMP(NANOS) — which Spark's µs
+    * TimestampType cannot represent, so it is read as raw LONG nanos under
+    * the legacy flag and floored to µs (integer `div`; ns epochs exceed
+    * 2^53, so no double round-trip) — and plain TIMESTAMP(MICROS), which
+    * Spark reads as TIMESTAMP_NTZ. Normalize both to session-TZ (UTC)
+    * TimestampType so every downstream query sees one type.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = load(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

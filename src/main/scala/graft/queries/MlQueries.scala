@@ -24,10 +24,15 @@ object MlQueries extends QueryGroup {
     // Product quantization: 4 subspaces × 16 dims, k=4, 2 Lloyd rounds
     // per subspace; encode is ONE fused map-only projection (4 literal
     // codebooks in a single select). recon_dist = exact summed quantized
-    // squared error.
+    // squared error. The code array is rendered "c0-c1-c2-c3" here because
+    // the compare layer sorts on raw cell values and an array cell is not
+    // orderable there; the library surface (Pq.encode) keeps ARRAY<INT>.
     "q_pq_encode" -> ((s, dir) =>
       Pq.fitEncode(Tables.embeddings(s, dir), "vec_id", "embedding",
-        dims = 64, m = 4, k = 4, iterations = 2)),
+        dims = 64, m = 4, k = 4, iterations = 2)
+        .select(col("vec_id"),
+          array_join(col("pq_code").cast("array<string>"), "-").as("pq_code"),
+          col("recon_dist"))),
 
     // Farthest-point diversity sample, k=5: greedy max-min over exact
     // quantized distances — each round one map-only pass + TakeOrdered(1).
@@ -138,7 +143,7 @@ object MlQueries extends QueryGroup {
     val joins = (1 until m)
       .map(s => s"JOIN s${s}_af ON s${s}_af.vec_id = s0_af.vec_id").mkString("\n")
     s"""WITH $chains
-       |SELECT s0_af.vec_id, [$codes] AS pq_code,
+       |SELECT s0_af.vec_id, array_to_string([$codes], '-') AS pq_code,
        |  CAST($dist AS BIGINT) AS recon_dist
        |FROM s0_af
        |$joins""".stripMargin
