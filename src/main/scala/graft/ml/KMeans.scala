@@ -140,6 +140,71 @@ object KMeans {
     model
   }
 
+  /** Fit `m` independent codebooks over contiguous `dims/m`-wide slices of
+    * the vector — the product-quantization fit — in ONE Lloyd chain
+    * instead of m: all m assignments ride in a single map-only projection
+    * per iteration and all m updates share one (subspace, cluster, pos)-
+    * keyed shuffle. Per-subspace results are BIT-IDENTICAL to m separate
+    * [[fit]] calls (assignments never cross subspaces; the md5-seed rows
+    * are the same rows for every slice), but the corpus streams once per
+    * iteration instead of m times and the job count drops from
+    * m·(1 + iterations) to 1 + iterations — at 100 TB the difference
+    * between one scan-per-round and a scan-per-round-per-subspace.
+    */
+  def fitSubspaces(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+      m: Int, k: Int, iterations: Int, scale: Long = 1000L): Array[KMeansModel] = {
+    require(k > 0, "k must be > 0")
+    require(iterations >= 0, "iterations must be >= 0")
+    require(m > 0 && dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    val subDim = dims / m
+    val q = quantized(df, idCol, vecCol, scale)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seedRows = q
+        .orderBy(md5(col("__id").cast("string").cast("binary")).asc, col("__id").asc)
+        .limit(k)
+        .select(col("__q"))
+        .collect()
+      var models = Array.tabulate(m) { s =>
+        KMeansModel(scale, seedRows.map(
+          _.getSeq[Double](0).slice(s * subDim, (s + 1) * subDim)
+            .map(_.toLong).toArray))
+      }
+      if (seedRows.isEmpty) return models // empty corpus: nothing to iterate
+      for (_ <- 1 to iterations) {
+        val subClusters = array((0 until m).map { s =>
+          clusterOf(array(scores(
+            slice(col("__q"), s * subDim + 1, subDim), models(s)): _*))
+        }: _*)
+        val updated = q.withColumn("__cs", subClusters)
+          .select(col("__cs"), posexplode(col("__q")).as(Seq("__pos", "__v")))
+          .select((col("__pos") / lit(subDim)).cast("int").as("__s"),
+            pmod(col("__pos"), lit(subDim)).cast("int").as("__p"),
+            element_at(col("__cs"),
+              (col("__pos") / lit(subDim)).cast("int") + 1).as("__c"),
+            col("__v"))
+          .groupBy(col("__s"), col("__c"), col("__p"))
+          .agg(sum(col("__v")).as("__sum"), count(lit(1)).as("__n"))
+          .select(col("__s"), col("__c"), col("__p"),
+            floor(col("__sum") / col("__n")).as("__cv"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (s, rows) =>
+            s -> rows.groupBy(_.getInt(1)).map { case (c, rs) =>
+              c -> rs.sortBy(_.getInt(2)).map(_.getLong(3)).toArray
+            }
+          }
+        models = models.zipWithIndex.map { case (old, s) =>
+          val upd = updated.getOrElse(s, Map.empty[Int, Array[Long]])
+          KMeansModel(scale, old.centroids.zipWithIndex.map {
+            case (oc, j) => upd.getOrElse(j, oc)
+          })
+        }
+      }
+      models
+    } finally q.unpersist(false)
+  }
+
   /** Assign every row to its nearest centroid. Map-only — the model rides
     * into the plan as literals; no join, no shuffle.
     *

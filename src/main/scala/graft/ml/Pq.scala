@@ -34,18 +34,14 @@ object Pq {
   private def subVec(vec: Column, s: Int, subDim: Int): Column =
     slice(vec, s * subDim + 1, subDim)
 
-  /** Fit per-subspace codebooks. `dims` must split evenly into `m`. */
+  /** Fit per-subspace codebooks. `dims` must split evenly into `m`.
+    * One fused Lloyd chain for all m subspaces ([[KMeans.fitSubspaces]]):
+    * the corpus streams once per iteration, not once per subspace.
+    */
   def fit(df: DataFrame, idCol: String, vecCol: String, dims: Int, m: Int,
-      k: Int, iterations: Int, scale: Long = 1000L): PqModel = {
-    require(m > 0 && dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
-    val subDim = dims / m
-    val models = Array.tabulate(m) { s =>
-      KMeans.fit(
-        df.select(col(idCol), subVec(col(vecCol), s, subDim).as(vecCol)),
-        idCol, vecCol, k, iterations, scale)
-    }
-    PqModel(dims, models)
-  }
+      k: Int, iterations: Int, scale: Long = 1000L): PqModel =
+    PqModel(dims,
+      KMeans.fitSubspaces(df, idCol, vecCol, dims, m, k, iterations, scale))
 
   /** Encode every vector: (idCol, pq_code ARRAY<INT>, recon_dist BIGINT).
     * `recon_dist` is the exact summed squared quantized-grid distance to

@@ -58,16 +58,20 @@ object KmvSketch {
       .groupBy(col("key_a"), col("key_b"), col("h"))
       .agg(max(col("__a")).as("in_a"), max(col("__b")).as("in_b"))
     val w = Window.partitionBy(col("key_a"), col("key_b")).orderBy(col("h"))
-    val ranked = merged.withColumn("rk", row_number().over(w))
     // θ = merged k-th smallest; 2^60 when the union is unsaturated
     // (both sketches complete → estimates collapse to exact counts).
-    val theta = ranked.groupBy(col("key_a"), col("key_b"))
-      .agg(max(when(col("rk") === k, col("h"))).as("__thetaK"),
-        count(lit(1)).as("__nm"))
-      .select(col("key_a"), col("key_b"),
-        (col("__nm") >= k).as("theta_saturated"),
-        coalesce(col("__thetaK"), lit(1L << 60)).as("__theta"))
-    ranked.join(theta, Seq("key_a", "key_b"))
+    // Computed as whole-partition window aggregates over the SAME pair
+    // partitioning as the rank — one shuffle, no re-join of the ranked
+    // table against a per-pair theta aggregate.
+    val wAll = Window.partitionBy(col("key_a"), col("key_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = merged.withColumn("rk", row_number().over(w))
+      .withColumn("__thetaK",
+        max(when(col("rk") === k, col("h"))).over(wAll))
+      .withColumn("__nm", count(lit(1)).over(wAll))
+      .withColumn("theta_saturated", col("__nm") >= k)
+      .withColumn("__theta", coalesce(col("__thetaK"), lit(1L << 60)))
+    ranked
       .filter(col("h") < col("__theta"))
       .groupBy(col("key_a"), col("key_b"), col("theta_saturated"),
         col("__theta"))

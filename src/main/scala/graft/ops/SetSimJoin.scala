@@ -90,7 +90,12 @@ object SetSimJoin {
   def selfJoin(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, tau: Double): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    // Referenced three times below (prefix explode + both verify joins);
+    // without truncation each branch would re-run the whole
+    // shingle→df→sort pipeline — at any scale that triples the dominant
+    // cost. Lazy local checkpoint materializes it once, first use.
     val ranked = rankedSets(docs, idCol, textCol, shingleSize)
+      .localCheckpoint(eager = false)
     val cands = candidatePairs(ranked, tau)
     val arrs = ranked.select(col("id"), col("grams"))
     val inter = size(array_intersect(col("__ga"), col("__gb")))

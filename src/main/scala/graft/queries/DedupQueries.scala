@@ -151,13 +151,17 @@ object DedupQueries extends QueryGroup {
       val truth = graft.ops.SetSimJoin.selfJoin(docs, "doc_id", "text",
           shingleSize = 3, tau = 0.5)
         .select(col("id_a"), col("id_b"))
-      val tp = truth.join(pred, Seq("id_a", "id_b"), "left_semi")
-        .agg(count(lit(1)).as("tp"))
-      val fn = truth.join(pred, Seq("id_a", "id_b"), "left_anti")
-        .agg(count(lit(1)).as("fn"))
-      val fp = pred.join(truth, Seq("id_a", "id_b"), "left_anti")
-        .agg(count(lit(1)).as("fp"))
-      tp.crossJoin(fn).crossJoin(fp)
+      // One full-outer join yields the whole confusion matrix: each side's
+      // expensive lineage (banded LSH; prefix-filtered exact join) is
+      // evaluated ONCE, where the semi/anti/anti formulation re-ran truth
+      // and pred three times each.
+      val confusion = truth.withColumn("__t", lit(1))
+        .join(pred.withColumn("__p", lit(1)), Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          count(when(col("__t").isNotNull && col("__p").isNotNull, 1)).as("tp"),
+          count(when(col("__p").isNull, 1)).as("fn"),
+          count(when(col("__t").isNull, 1)).as("fp"))
+      confusion
         .select(col("tp"), col("fn"), col("fp"),
           round(col("tp").cast("double") / (col("tp") + col("fn")), 4)
             .as("recall"),

@@ -113,11 +113,15 @@ object SketchQueries extends QueryGroup {
     // booleans are literal `true` in the oracle, so estimator drift
     // fails the gate.
     "q_kmv_intersect" -> ((s, dir) => {
+      // Referenced four times (sketch build, per-source sizes, both sides
+      // of the exact-intersection self-join): truncate so the
+      // explode+distinct runs once instead of four times.
       val el = Tables.documents(s, dir)
         .select(col("source"),
           explode(graft.expr.WordShingles.shingles(col("text"), 3,
             distinct = true)).as("g"))
         .distinct()
+        .localCheckpoint(eager = false)
       val est = graft.ops.KmvSketch.pairEstimates(
         graft.ops.KmvSketch.build(el, "source", "g", 1024), 1024)
       val sz = el.groupBy(col("source")).agg(count(lit(1)).as("n"))
