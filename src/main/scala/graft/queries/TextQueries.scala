@@ -316,6 +316,25 @@ object TextQueries extends QueryGroup {
     "q_lm_score" -> ((s, dir) =>
       graft.text.LmScore.avgLogProb(Tables.documents(s, dir), "doc_id", "text")),
 
+    // Concat-and-chunk sequence packing: documents laid end-to-end in
+    // doc_id order, token stream cut into 128-token training sequences;
+    // each doc reports its sequence span. Global prefix sum via range
+    // tiling + broadcast offsets — no single-partition window.
+    "q_seq_pack" -> ((s, dir) =>
+      graft.ops.SeqPack.concatChunk(Tables.documents(s, dir), "doc_id",
+        graft.text.TextFunctions.tokenCount(col("text")), window = 128)),
+
+    // DSIR importance weights (Xie et al., NeurIPS 2023): how much more
+    // likely each doc's hashed-bigram bag is under the target domain
+    // (sources src0-src4) than under the raw corpus. Feeds the weighted
+    // sampler for importance resampling. Exact integer bucket counts,
+    // bucket-ordered term fold, round(4) for ln ulps.
+    "q_dsir_weights" -> ((s, dir) =>
+      graft.text.Dsir.importanceWeights(Tables.documents(s, dir),
+        "doc_id", "text",
+        isTarget = col("source").isin("src0", "src1", "src2", "src3", "src4"),
+        buckets = 1024, alpha = 1.0)),
+
     // Domain-level provenance rollup (CommonCrawl-style): URLs planted
     // deterministically from doc_id (corpus has none), hosts extracted
     // with a shared-syntax regex, grouped by registered domain.
@@ -912,6 +931,59 @@ object TextQueries extends QueryGroup {
          |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
          |  round(list_sum(list(term ORDER BY w1, w2)) /
          |    CAST(sum(cnt) AS BIGINT), 4) AS avg_logp
+         |FROM terms GROUP BY doc_id""".stripMargin,
+
+    // Same tokenization, same exclusive running sum in doc_id order,
+    // same floor-div sequence ids.
+    "q_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM t WHERE n_tokens > 0)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(off // 128 AS BIGINT) AS first_seq,
+        |  CAST((off + n_tokens - 1) // 128 AS BIGINT) AS last_seq,
+        |  CAST((off + n_tokens - 1) // 128 - off // 128 + 1 AS BIGINT)
+        |    AS n_seqs
+        |FROM p""".stripMargin,
+
+    // Same hashed buckets (md5-60 mod 1024), same Laplace-smoothed
+    // rational probabilities, same bucket-ordered fold.
+    "q_dsir_weights" ->
+      s"""WITH bgd AS (
+         |  SELECT doc_id, unnest(${OracleSql.shinglesSqlN(2)}) AS bg
+         |  FROM documents),
+         |db AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5(bg), 1, 15)) AS BIGINT) % 1024 AS b,
+         |    count(*) AS cnt
+         |  FROM bgd GROUP BY 1, 2),
+         |raw AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS cr FROM db GROUP BY 1),
+         |tgtd AS (SELECT doc_id FROM documents
+         |         WHERE source IN ('src0','src1','src2','src3','src4')),
+         |tgt AS (
+         |  SELECT b, CAST(sum(cnt) AS BIGINT) AS ct
+         |  FROM db JOIN tgtd USING (doc_id) GROUP BY 1),
+         |tot AS (
+         |  SELECT (SELECT sum(cr) FROM raw) AS R,
+         |    (SELECT coalesce(sum(ct), 0) FROM tgt) AS T),
+         |model AS (
+         |  SELECT raw.b,
+         |    (coalesce(tgt.ct, 0) + 1.0) / (tot.T + 1024.0) AS pt,
+         |    (raw.cr + 1.0) / (tot.R + 1024.0) AS pr
+         |  FROM raw LEFT JOIN tgt USING (b), tot),
+         |terms AS (
+         |  SELECT db.doc_id, db.cnt, db.b,
+         |    db.cnt * (ln(model.pt) - ln(model.pr)) AS term
+         |  FROM db JOIN model USING (b))
+         |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_feats,
+         |  round(list_sum(list(term ORDER BY b)), 4) + 0.0 AS log_weight
          |FROM terms GROUP BY doc_id""".stripMargin,
 
     // Same planted URLs, same shared-syntax host/domain patterns.
