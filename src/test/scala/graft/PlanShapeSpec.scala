@@ -97,4 +97,28 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("partial_"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("DSIR scoring: model joins broadcast; counts partially aggregated") {
+    import spark.implicits._
+    val docs = (0L until 80L).map(i => (i, s"w${i % 9} w${(i + 1) % 9} end"))
+      .toDF("id", "text")
+    val plan = planOf(graft.text.Dsir.importanceWeights(
+      docs, "id", "text", isTarget = col("id") % 4 === 0, buckets = 64))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+    assert(!plan.contains("CartesianProduct") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("sequence packing: no single-partition global window") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, i % 7 + 1)).toDF("doc_id", "n")
+    val plan = planOf(graft.ops.SeqPack.concatChunk(df, "doc_id", col("n"), 16))
+    // The cumsum window must be keyed on the range tile, never empty-
+    // partitioned (which would serialize the table through one task).
+    assert(!plan.contains("Window [") || plan.contains("__pid"), plan)
+    assert(plan.contains("partitionBy") || plan.contains("__pid"), plan)
+    // Base offsets ride a broadcast, not a shuffle join.
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
