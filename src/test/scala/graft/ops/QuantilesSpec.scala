@@ -18,6 +18,30 @@ class QuantilesSpec extends AnyFunSuite with SparkTestBase {
     assert(out.map(_._3).toList == List(25.0, 50.0, 75.0, 100.0))
   }
 
+  test("rank-selection boundaries are bitwise equal to Spark's percentile") {
+    import spark.implicits._
+    // Awkward sizes + duplicates + negative values, several partitionings.
+    val base = ((1 to 997).map(i => (i * 37 % 251) - 50.5) ++
+      Seq(0.0, 0.0, 0.0, 13.25)).toDF("x")
+    val probs = Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99)
+    val expect = base
+      .agg(percentile(col("x"), array(probs.map(lit): _*)))
+      .collect()(0).getSeq[Double](0).toList
+    for (parts <- Seq(1, 7, 32)) {
+      val got = Quantiles.exactQuantiles(base.repartition(parts), "x", probs)
+      assert(got.toList == expect, s"parts=$parts")
+    }
+  }
+
+  test("exactQuantiles ignores nulls and handles empty input") {
+    import spark.implicits._
+    val withNulls = Seq[Option[Double]](Some(1.0), None, Some(3.0), None)
+      .toDF("x")
+    assert(Quantiles.exactQuantiles(withNulls, "x", Seq(0.5)) == Seq(2.0))
+    val empty = spark.emptyDataset[Double].toDF("x")
+    assert(Quantiles.exactQuantiles(empty, "x", Seq(0.5)).forall(_.isNaN))
+  }
+
   test("a row exactly ON a boundary lands in the lower band (strict >)") {
     import spark.implicits._
     // 5 values → p50 index is integral → boundary == 3.0 exactly.
