@@ -157,6 +157,18 @@ object TextQueries extends QueryGroup {
         .select(col("token"), col("n"), col("ordinal"))
     }),
 
+    // Deterministic global training-order shuffle: every doc gets a
+    // dense 0-based position in md5(doc_id) order — a reproducible
+    // pseudo-random permutation (the pre-packing corpus shuffle), built
+    // on the same range-tiled ordinal machinery, never rand() and never
+    // a single-partition sort.
+    "q_corpus_shuffle" -> ((s, dir) =>
+      graft.ops.Ordinals.assign(
+        Tables.documents(s, dir).select(col("doc_id"),
+          md5(col("doc_id").cast("string").cast("binary")).as("__h")),
+        Seq(col("__h").asc, col("doc_id").asc))
+        .select(col("doc_id"), col("ordinal").as("position"))),
+
     // Chi-squared distinctive terms: top-5 over-indexing tokens per
     // source (min corpus count 50) — exact contingency counts, one fixed
     // double expression tree.
@@ -678,6 +690,13 @@ object TextQueries extends QueryGroup {
         |FROM documents
         |WHERE regexp_matches(text, '(?i)the|data')
         |GROUP BY source""".stripMargin,
+    // Same md5 permutation key, same dense 0-based ordering.
+    "q_corpus_shuffle" ->
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |    - 1 AS position
+        |FROM documents""".stripMargin,
+
     "q_dataset_split" ->
       """SELECT doc_id,
         |  CASE WHEN b < 98 THEN 'train' WHEN b = 98 THEN 'val' ELSE 'test' END AS split
