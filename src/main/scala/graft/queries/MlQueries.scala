@@ -34,6 +34,18 @@ object MlQueries extends QueryGroup {
           array_join(col("pq_code").cast("array<string>"), "-").as("pq_code"),
           col("recon_dist"))),
 
+    // SemDeDup (Abbas et al. 2023): k-means buckets the embeddings (the
+    // same integer-exact 8x3 fit as q_kmeans), then cosine near-dups are
+    // pruned within clusters only — keep-first by id. The cluster join
+    // bounds pair fan-out; all-pairs never appears in the plan.
+    "q_semdedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.ops.SemDedup.keepFlags(emb, "vec_id", "embedding",
+        KMeans.fitAssign(emb, "vec_id", "embedding", k = 8, iterations = 3),
+        tau = 0.4)
+        .select(col("id").as("vec_id"), col("cluster"), col("kept"))
+    }),
+
     // Farthest-point diversity sample, k=5: greedy max-min over exact
     // quantized distances — each round one map-only pass + TakeOrdered(1).
     "q_fps_sample" -> ((s, dir) =>
@@ -215,8 +227,25 @@ object MlQueries extends QueryGroup {
        |$finals""".stripMargin
   }
 
+  // Same 8x3 Lloyd chain as q_kmeans for the cluster assignment; cosine
+  // and the keep-first arbitration restated over same-cluster pairs.
+  private val semdedupSql: String =
+    s"""WITH ${lloydChain("", quantSql("embedding"), 64, 8, 3)},
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |      WHERE embedding IS NOT NULL),
+       |sh AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM af a JOIN af b ON a.c = b.c AND a.vec_id < b.vec_id
+       |  JOIN e ea ON ea.vec_id = a.vec_id
+       |  JOIN e eb ON eb.vec_id = b.vec_id
+       |  WHERE list_cosine_similarity(ea.v, eb.v) > 0.4)
+       |SELECT af.vec_id, CAST(af.c AS INT) AS cluster,
+       |  (sh.vec_id IS NULL) AS kept
+       |FROM af LEFT JOIN sh ON sh.vec_id = af.vec_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_kmeans" -> kmeansSql,
+    "q_semdedup" -> semdedupSql,
     "q_pq_encode" -> pqSql,
     "q_pq_adc_topk" -> pqAdcSql(
       """SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank,
