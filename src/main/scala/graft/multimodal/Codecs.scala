@@ -202,4 +202,202 @@ object Codecs {
   private def tag(buf: ByteBuffer): String = {
     val a = new Array[Byte](4); buf.get(a); new String(a, "US-ASCII")
   }
+
+  // ---------------------------------------------------------------- PNG
+
+  final case class PngInfo(
+      width: Int, height: Int, bitDepth: Int, colorType: Int,
+      channels: Int, meanLuma: Double)
+
+  private val pngSignature: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def pngCrc(typ: Array[Byte], data: Array[Byte]): Int = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(typ); crc.update(data)
+    crc.getValue.toInt
+  }
+
+  private def writeChunk(out: java.io.ByteArrayOutputStream, typ: String,
+      data: Array[Byte]): Unit = {
+    val t = typ.getBytes("US-ASCII")
+    out.write(ByteBuffer.allocate(4).putInt(data.length).array())
+    out.write(t)
+    out.write(data)
+    out.write(ByteBuffer.allocate(4).putInt(pngCrc(t, data)).array())
+  }
+
+  private def encodePng(width: Int, height: Int, channels: Int,
+      sample: (Int, Int) => Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0, "degenerate image size")
+    val stride = width * channels
+    // Scanlines: rows CYCLE through all five PNG filter types
+    // (None/Sub/Up/Average/Paeth), so decoding exercises the whole
+    // unfilter matrix, not just the trivial path.
+    val raw = new Array[Byte](height * (1 + stride))
+    val prev = new Array[Int](stride)
+    val cur = new Array[Int](stride)
+    for (y <- 0 until height) {
+      for (x <- 0 until width; ch <- 0 until channels)
+        cur(x * channels + ch) = sample(x, y)(ch) & 0xff
+      val ft = y % 5
+      raw(y * (1 + stride)) = ft.toByte
+      for (x <- 0 until stride) {
+        val a = if (x >= channels) cur(x - channels) else 0
+        val b = prev(x)
+        val c = if (x >= channels) prev(x - channels) else 0
+        val f = ft match {
+          case 0 => cur(x)
+          case 1 => cur(x) - a
+          case 2 => cur(x) - b
+          case 3 => cur(x) - (a + b) / 2
+          case 4 => cur(x) - paeth(a, b, c)
+        }
+        raw(y * (1 + stride) + 1 + x) = (f & 0xff).toByte
+      }
+      Array.copy(cur, 0, prev, 0, stride)
+    }
+    // Real zlib deflate (java.util.zip) — decode must really inflate.
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zOut = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!defl.finished()) zOut.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val z = zOut.toByteArray
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(pngSignature)
+    val colorType = if (channels == 1) 0 else 2
+    val ihdr = ByteBuffer.allocate(13).putInt(width).putInt(height)
+      .put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    writeChunk(out, "IHDR", ihdr.array())
+    // IDAT split across two chunks: a conforming decoder must
+    // concatenate the zlib stream across IDATs.
+    val half = z.length / 2
+    if (half > 0) {
+      writeChunk(out, "IDAT", z.take(half))
+      writeChunk(out, "IDAT", z.drop(half))
+    } else writeChunk(out, "IDAT", z)
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** 8-bit grayscale PNG (color type 0). */
+  def encodePngGray8(width: Int, height: Int,
+      px: (Int, Int) => Int): Array[Byte] =
+    encodePng(width, height, 1, (x, y) => Array(px(x, y)))
+
+  /** 8-bit RGB PNG (color type 2). */
+  def encodePngRgb8(width: Int, height: Int,
+      px: (Int, Int) => (Int, Int, Int)): Array[Byte] =
+    encodePng(width, height, 3, { (x, y) =>
+      val (r, g, b) = px(x, y); Array(r, g, b)
+    })
+
+  /** Strict PNG decode for the subset the encoder emits — which is a
+    * REAL decode path: signature check, chunk walk with CRC32
+    * verification on every chunk, multi-IDAT zlib concatenation, actual
+    * `java.util.zip.Inflater` inflate, and full five-way unfiltering
+    * (None/Sub/Up/Average/Paeth). 8-bit grayscale and RGB,
+    * non-interlaced; anything else throws, same dead-letter contract as
+    * the other codecs. Mean luma sums integer-weighted channels
+    * (299/587/114 per mille for RGB, raw samples for gray) and divides
+    * once — engine-reproducible.
+    */
+  def decodePng(bytes: Array[Byte]): PngInfo = {
+    require(bytes.length >= 8 && bytes.take(8).sameElements(pngSignature),
+      "not a PNG signature")
+    val buf = ByteBuffer.wrap(bytes, 8, bytes.length - 8)
+    var w = -1; var h = -1; var depth = -1; var color = -1
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!seenIend) {
+      require(buf.remaining >= 8, "truncated chunk header")
+      val len = buf.getInt
+      require(len >= 0 && buf.remaining >= len + 8, "truncated chunk")
+      val typ = new Array[Byte](4); buf.get(typ)
+      val data = new Array[Byte](len); buf.get(data)
+      val crc = buf.getInt
+      require(crc == pngCrc(typ, data),
+        s"CRC mismatch in ${new String(typ, "US-ASCII")} chunk")
+      new String(typ, "US-ASCII") match {
+        case "IHDR" =>
+          require(len == 13, "bad IHDR length")
+          val ib = ByteBuffer.wrap(data)
+          w = ib.getInt; h = ib.getInt
+          depth = ib.get & 0xff; color = ib.get & 0xff
+          val comp = ib.get; val filt = ib.get; val inter = ib.get
+          require(w > 0 && h > 0, "degenerate dimensions")
+          require(depth == 8, s"unsupported bit depth $depth")
+          require(color == 0 || color == 2, s"unsupported color type $color")
+          require(comp == 0 && filt == 0 && inter == 0,
+            "unsupported compression/filter/interlace method")
+          seenIhdr = true
+        case "IDAT" =>
+          require(seenIhdr, "IDAT before IHDR")
+          idat.write(data)
+        case "IEND" => seenIend = true
+        case _ => () // ancillary chunks skipped
+      }
+    }
+    require(seenIhdr, "missing IHDR")
+    val channels = if (color == 0) 1 else 3
+    val stride = w * channels
+    val raw = new Array[Byte](h * (1 + stride))
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var off = 0; var n = 1
+    while (off < raw.length && n != 0) {
+      n = inf.inflate(raw, off, raw.length - off)
+      off += n
+    }
+    val fullyConsumed = inf.finished()
+    inf.end()
+    require(off == raw.length && fullyConsumed,
+      s"IDAT inflates to $off bytes, expected ${raw.length}")
+
+    val prev = new Array[Int](stride)
+    val cur = new Array[Int](stride)
+    var lumaSum = 0L
+    for (y <- 0 until h) {
+      val ft = raw(y * (1 + stride)) & 0xff
+      require(ft <= 4, s"unknown filter type $ft")
+      for (x <- 0 until stride) {
+        val fx = raw(y * (1 + stride) + 1 + x) & 0xff
+        val a = if (x >= channels) cur(x - channels) else 0
+        val b = prev(x)
+        val c = if (x >= channels) prev(x - channels) else 0
+        val v = ft match {
+          case 0 => fx
+          case 1 => fx + a
+          case 2 => fx + b
+          case 3 => fx + (a + b) / 2
+          case 4 => fx + paeth(a, b, c)
+        }
+        cur(x) = v & 0xff
+      }
+      if (channels == 1) {
+        var x = 0; while (x < stride) { lumaSum += cur(x); x += 1 }
+      } else {
+        var x = 0
+        while (x < stride) {
+          lumaSum += 299L * cur(x) + 587L * cur(x + 1) + 114L * cur(x + 2)
+          x += 3
+        }
+      }
+      Array.copy(cur, 0, prev, 0, stride)
+    }
+    val mean =
+      if (channels == 1) lumaSum.toDouble / (w.toLong * h)
+      else lumaSum / (1000.0 * w * h)
+    PngInfo(w, h, depth, color, channels, mean)
+  }
 }

@@ -123,6 +123,35 @@ object MultimodalQueries extends QueryGroup {
         .toDF("doc_id", "width", "height", "luma_sum")
     }),
 
+    // REAL PNG decode: per-doc PNGs (RGB for even ids, grayscale for
+    // odd) synthesized with all five scanline filters and a split IDAT,
+    // then decoded back through the strict chunk walk — CRC32 verify,
+    // zlib inflate (java.util.zip), five-way unfiltering. The oracle
+    // recomputes the planted pixels closed-form.
+    "q_png_decode" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = (8 + id % 9).toInt
+            val h = (4 + id % 5).toInt
+            val bytes =
+              if (id % 2 == 0)
+                graft.multimodal.Codecs.encodePngRgb8(w, h, (x, y) =>
+                  (((id + x + y) % 256).toInt, ((id + y) % 256).toInt,
+                    ((id + x) % 256).toInt))
+              else
+                graft.multimodal.Codecs.encodePngGray8(w, h, (x, y) =>
+                  ((id + 3 * x + 7 * y) % 256).toInt)
+            val d = graft.multimodal.Codecs.decodePng(bytes)
+            (id, d.width, d.height, d.bitDepth, d.colorType, d.meanLuma)
+          }
+        }
+        .toDF("doc_id", "width", "height", "bit_depth", "color_type",
+          "mean_luma")
+        .withColumn("mean_luma", round(col("mean_luma"), 4))
+    }),
+
     // Ingest triage WITHOUT decoding: a mixed bag of payloads (real WAV
     // bytes, real BMP bytes, UTF-8 text, garbage) is classified by magic
     // bytes and header fields are read as pure expressions over the
@@ -209,6 +238,28 @@ object MultimodalQueries extends QueryGroup {
         |  CAST(24 AS INT) AS bpp,
         |  round(sum(luma) / (1000.0 * w * h), 4) AS mean_luma
         |FROM l GROUP BY doc_id, w, h""".stripMargin,
+    // Planted pixels restated closed-form: RGB luma per-mille weights
+    // for even ids, raw gray samples for odd; same single division.
+    "q_png_decode" ->
+      """WITH ids AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 5 AS h
+        |  FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(range(w)) AS x FROM ids),
+        |px AS (SELECT doc_id, w, h, x, unnest(range(h)) AS y FROM xs),
+        |l AS (SELECT doc_id, w, h,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN 299 * ((doc_id + x + y) % 256) + 587 * ((doc_id + y) % 256)
+        |      + 114 * ((doc_id + x) % 256)
+        |    ELSE (doc_id + 3 * x + 7 * y) % 256 END AS luma
+        |  FROM px)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(8 AS INT) AS bit_depth,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END AS INT)
+        |    AS color_type,
+        |  round(CASE WHEN doc_id % 2 = 0 THEN sum(luma) / (1000.0 * w * h)
+        |        ELSE sum(luma) / (1.0 * w * h) END, 4) AS mean_luma
+        |FROM l GROUP BY doc_id, w, h""".stripMargin,
+
     // Nearest-neighbor sampling restated closed-form: the 4×3 output
     // reads source pixel (ox·w//4, oy·h//3); same luma formula on those.
     "q_bmp_resize" ->

@@ -99,4 +99,52 @@ class CodecsSpec extends AnyFunSuite {
 
     intercept[IllegalArgumentException](Codecs.resizeBmpNearest(src, 0, 2))
   }
+
+  test("PNG roundtrip: gray + RGB, every filter type exercised") {
+    // height 10 → the encoder's y % 5 filter cycle covers all five
+    // filter types twice; decode must unfilter each correctly.
+    val gray = Codecs.decodePng(Codecs.encodePngGray8(7, 10,
+      (x, y) => (x * 13 + y * 31) % 256))
+    assert(gray.width == 7 && gray.height == 10)
+    assert(gray.bitDepth == 8 && gray.colorType == 0 && gray.channels == 1)
+    val expectGray = (for (x <- 0 until 7; y <- 0 until 10)
+      yield (x * 13 + y * 31) % 256).sum / 70.0
+    assert(gray.meanLuma == expectGray)
+
+    val rgb = Codecs.decodePng(Codecs.encodePngRgb8(5, 10,
+      (x, y) => ((x * 7) % 256, (y * 11) % 256, (x + y) % 256)))
+    assert(rgb.colorType == 2 && rgb.channels == 3)
+    val expectRgb = (for (x <- 0 until 5; y <- 0 until 10)
+      yield 299L * ((x * 7) % 256) + 587L * ((y * 11) % 256) +
+        114L * ((x + y) % 256)).sum / (1000.0 * 50)
+    assert(rgb.meanLuma == expectRgb)
+  }
+
+  test("PNG decoder verifies chunk CRCs and stream length") {
+    val ok = Codecs.encodePngGray8(6, 4, (x, y) => x + y)
+    // Flip one byte inside the first IDAT payload → CRC must catch it.
+    val idatOff = {
+      // signature(8) + IHDR chunk (8 + 13 + 4) → first chunk after
+      8 + 25 + 8 // + its own length/type header
+    }
+    val bad = ok.clone()
+    bad(idatOff) = (bad(idatOff) ^ 0x01).toByte
+    val e = intercept[IllegalArgumentException](Codecs.decodePng(bad))
+    assert(e.getMessage.contains("CRC"))
+    // Truncated input rejected.
+    intercept[IllegalArgumentException](
+      Codecs.decodePng(ok.take(ok.length - 6)))
+    // Bad signature rejected.
+    intercept[IllegalArgumentException](
+      Codecs.decodePng("not a png at all".getBytes("US-ASCII")))
+  }
+
+  test("PNG decoder concatenates the zlib stream across split IDATs") {
+    // The encoder always splits IDAT in two when possible; a 1×1 image
+    // exercises the degenerate single-chunk path too.
+    val big = Codecs.decodePng(Codecs.encodePngGray8(40, 30, (x, y) => 200))
+    assert(big.width == 40 && big.height == 30 && big.meanLuma == 200.0)
+    val tiny = Codecs.decodePng(Codecs.encodePngGray8(1, 1, (_, _) => 42))
+    assert(tiny.meanLuma == 42.0)
+  }
 }
