@@ -39,6 +39,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("int8_dot"),
       new ExpressionInfo(classOf[Int8Dot].getName, "int8_dot"),
       (children: Seq[Expression]) => Int8Dot(children.head, children(1))))
+    // word_shingles(text, n [, distinct]) — the tokenize+shingle primitive
+    // under the whole dedup/text family, exposed to plain SQL.
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[graft.expr.WordShingles].getName,
+        "word_shingles"),
+      GraftExtensions.mkWordShingles))
     // Custom whole-operator plan: as-of join (graft.plans.AsOfJoinPlan →
     // co-partitioned sort-merge AsOfJoinExec).
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
@@ -61,6 +68,19 @@ object GraftExtensions {
       "pack_int8", exprs => PackInt8(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "int8_dot", exprs => Int8Dot(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles", mkWordShingles, "built-in")
+  }
+
+  /** `word_shingles(text, n literal [, distinct literal])`. */
+  private[graft] def mkWordShingles(
+      children: Seq[Expression]): graft.expr.WordShingles = children match {
+    case Seq(text, Literal(n: Int, _)) =>
+      graft.expr.WordShingles(text, n, distinct = false)
+    case Seq(text, Literal(n: Int, _), Literal(d: Boolean, _)) =>
+      graft.expr.WordShingles(text, n, d)
+    case _ => throw new IllegalArgumentException(
+      "word_shingles(text, n literal [, distinct literal])")
   }
 
   /** `z_order(bitsPerDim literal, col1, col2, ...)` — one builder shared by

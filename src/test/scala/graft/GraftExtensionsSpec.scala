@@ -13,4 +13,14 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getDouble(1).isPosInfinity)
     assert(r.getDouble(2) == 11.0)
   }
+
+  test("registered SQL function: word_shingles with and without distinct") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT word_shingles('a b a b', 2) AS all, " +
+        "word_shingles('a b a b', 2, true) AS dst").head
+    assert(r.getSeq[String](0) == Seq("a b", "b a", "a b"))
+    assert(r.getSeq[String](1) == Seq("a b", "b a"))
+    intercept[Exception](spark.sql("SELECT word_shingles('x', 'no')").head)
+  }
 }
