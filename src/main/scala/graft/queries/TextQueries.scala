@@ -336,6 +336,28 @@ object TextQueries extends QueryGroup {
       graft.ops.SeqPack.concatChunk(Tables.documents(s, dir), "doc_id",
         graft.text.TextFunctions.tokenCount(col("text")), window = 128)),
 
+    // CCNet-style curation banding (Wenzek et al., LREC 2020): language-ID
+    // each doc, then split every language's population into perplexity
+    // terciles of the corpus-MLE bigram log-likelihood — head/middle/tail,
+    // the classic "keep head+middle per language" filter. Composes the
+    // langid expression, the LM scorer, and the per-group exact-quantile
+    // bander; boundaries are per-language aggregates broadcast back, the
+    // doc table never sorts.
+    "q_ccnet_buckets" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val lm = graft.text.LmScore.avgLogProb(docs, "doc_id", "text")
+      val lang = docs.select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("plang"))
+      val scored = lm.join(lang, "doc_id")
+        .select(col("doc_id"), col("plang"), col("avg_logp").as("x"))
+      graft.ops.Quantiles.bucketizeByGroup(scored, "x", Seq("plang"),
+        Seq(1.0 / 3, 2.0 / 3), exact = true)
+        .select(col("doc_id"), col("plang"), col("x").as("avg_logp"),
+          when(col("q_bucket") === 2, "head")
+            .when(col("q_bucket") === 1, "middle")
+            .otherwise("tail").as("band"))
+    }),
+
     // DSIR importance weights (Xie et al., NeurIPS 2023): how much more
     // likely each doc's hashed-bigram bag is under the target domain
     // (sources src0-src4) than under the raw corpus. Feeds the weighted
@@ -446,6 +468,31 @@ object TextQueries extends QueryGroup {
         "doc_id", "text",
         Seq("slow hash batch", "part filter scan", "row column sort"))
     }))
+
+  // Corpus-MLE bigram LM restated in DuckDB, shared by q_lm_score and
+  // q_ccnet_buckets: doc-level pair counts → exact rational probabilities
+  // → per-doc ordered term fold.
+  private val lmCtes: String =
+    s"""bgd AS (
+       |  SELECT doc_id, unnest(${OracleSql.shinglesSqlN(2)}) AS bg
+       |  FROM documents),
+       |pt AS (SELECT doc_id, string_split(bg, ' ')[1] AS w1,
+       |              string_split(bg, ' ')[2] AS w2 FROM bgd),
+       |dp AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM pt GROUP BY 1, 2, 3),
+       |pair AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS c12
+       |         FROM dp GROUP BY 1, 2),
+       |uni AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM pair GROUP BY 1),
+       |pr AS (SELECT w1, w2, c12 / CAST(c1 AS DOUBLE) AS p
+       |       FROM pair JOIN uni USING (w1)),
+       |terms AS (
+       |  SELECT dp.doc_id, dp.cnt, dp.w1, dp.w2, dp.cnt * ln(pr.p) AS term
+       |  FROM dp JOIN pr USING (w1, w2))""".stripMargin
+
+  private val lmSelect: String =
+    """SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+      |  round(list_sum(list(term ORDER BY w1, w2)) /
+      |    CAST(sum(cnt) AS BIGINT), 4) AS avg_logp
+      |FROM terms GROUP BY doc_id""".stripMargin
 
   private val markerSql: Map[String, String] =
     TextFunctions.langMarkers.map { case (l, ws) =>
@@ -932,25 +979,34 @@ object TextQueries extends QueryGroup {
     // Same model, same ordered fold: doc-level pair counts → corpus MLE
     // probabilities → per-doc list(term ORDER BY bigram) summed
     // left-to-right.
-    "q_lm_score" ->
-      s"""WITH bgd AS (
-         |  SELECT doc_id, unnest(${OracleSql.shinglesSqlN(2)}) AS bg
+    "q_lm_score" -> s"WITH $lmCtes\n$lmSelect",
+
+    // Same LM chain + same langid marker case + per-language
+    // quantile_cont terciles; identical strict-> banding.
+    "q_ccnet_buckets" ->
+      s"""WITH $lmCtes,
+         |lm AS ($lmSelect),
+         |t AS (
+         |  SELECT doc_id, lang,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS __toks
          |  FROM documents),
-         |pt AS (SELECT doc_id, string_split(bg, ' ')[1] AS w1,
-         |              string_split(bg, ' ')[2] AS w2 FROM bgd),
-         |dp AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM pt GROUP BY 1, 2, 3),
-         |pair AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS c12
-         |         FROM dp GROUP BY 1, 2),
-         |uni AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM pair GROUP BY 1),
-         |pr AS (SELECT w1, w2, c12 / CAST(c1 AS DOUBLE) AS p
-         |       FROM pair JOIN uni USING (w1)),
-         |terms AS (
-         |  SELECT dp.doc_id, dp.cnt, dp.w1, dp.w2, dp.cnt * ln(pr.p) AS term
-         |  FROM dp JOIN pr USING (w1, w2))
-         |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
-         |  round(list_sum(list(term ORDER BY w1, w2)) /
-         |    CAST(sum(cnt) AS BIGINT), 4) AS avg_logp
-         |FROM terms GROUP BY doc_id""".stripMargin,
+         |ev AS (
+         |  SELECT doc_id, lang,
+         |${TextFunctions.langMarkers.keys.toSeq.sorted
+             .map(l => s"    ${markerSql(l)} AS __n_$l").mkString(",\n")}
+         |  FROM t),
+         |lg AS (SELECT doc_id, $langCase AS plang FROM ev),
+         |sc AS (SELECT lm.doc_id, lg.plang, lm.avg_logp
+         |       FROM lm JOIN lg USING (doc_id)),
+         |q AS (SELECT plang,
+         |        quantile_cont(avg_logp, 1.0/3) AS b1,
+         |        quantile_cont(avg_logp, 2.0/3) AS b2
+         |      FROM sc GROUP BY 1)
+         |SELECT sc.doc_id, sc.plang, sc.avg_logp,
+         |  CASE WHEN sc.avg_logp > q.b2 THEN 'head'
+         |       WHEN sc.avg_logp > q.b1 THEN 'middle'
+         |       ELSE 'tail' END AS band
+         |FROM sc JOIN q USING (plang)""".stripMargin,
 
     // Same tokenization, same exclusive running sum in doc_id order,
     // same floor-div sequence ids.
