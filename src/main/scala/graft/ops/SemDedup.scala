@@ -31,6 +31,9 @@ object SemDedup {
       .select(col(idCol).as("id"), col(vecCol).as("__v"),
         Similarity.norm(col(vecCol)).as("__n"))
       .join(clusters.select(col(idCol).as("id"), col("cluster")), Seq("id"))
+      // Referenced three times (both pair sides + the final flag join):
+      // truncate so the embedding/cluster join runs once.
+      .localCheckpoint(eager = false)
     val a = wc.select(col("cluster"), col("id").as("id_a"),
       col("__v").as("__va"), col("__n").as("__na"))
     val b = wc.select(col("cluster"), col("id").as("id_b"),

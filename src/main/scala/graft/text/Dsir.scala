@@ -51,6 +51,9 @@ object Dsir {
       .select(col("doc_id"),
         pmod(Dedup.md5Hash60(col("__bg")), lit(buckets.toLong)).as("__b"))
       .groupBy("doc_id", "__b").agg(count(lit(1)).as("__cnt"))
+      // Referenced three times (raw totals, target totals, scoring join):
+      // truncate so the explode+hash+count pipeline runs once.
+      .localCheckpoint(eager = false)
     val raw = db.groupBy("__b").agg(sum("__cnt").as("__cr"))
     val tgtIds = docs.filter(isTarget).select(col(idCol).as("doc_id"))
     val tgt = db.join(tgtIds, Seq("doc_id"), "left_semi")
