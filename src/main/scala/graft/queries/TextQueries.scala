@@ -424,6 +424,15 @@ object TextQueries extends QueryGroup {
         .select(col("doc_id"), col("score_milli"), col("keep"))
     }),
 
+    // Quality-classifier TRAINING: 4 full-batch hard-sigmoid GD steps in
+    // pure integer arithmetic (one map-side-combined gradient aggregation
+    // per step), then score the corpus with the trained weights. The
+    // oracle below replays the whole training run as unrolled SQL CTEs —
+    // the trained model itself is hash-checked, not just the scores.
+    "q_train_classifier" -> ((s, dir) =>
+      graft.text.LogisticTrainer.trainAndScore(
+        Tables.documents(s, dir), "doc_id", "text", iters = 4)),
+
     // Posting-list materialization with the hapax/stop-word cuts; sorted
     // postings render deterministically on any engine.
     "q_inverted_index" -> ((s, dir) => {
@@ -508,6 +517,60 @@ object TextQueries extends QueryGroup {
     s"CASE WHEN $mx = 0 THEN 'und' $whens END"
   }
 
+  /** Unrolled-SQL replay of [[graft.text.LogisticTrainer.trainAndScore]]:
+    * per GD iteration k, a gradient CTE (`g_k`: d integer sums against the
+    * previous single-row weight CTE) and a weight CTE (`wi_k`). All
+    * arithmetic matches the Spark side operation-for-operation (integer
+    * sums; `floor(double)` for the two divisions), so the final weights —
+    * and therefore every score — hash-match exactly.
+    */
+  private def trainClassifierSql(iters: Int, lrNum: Long, lrDen: Long,
+      theta: Int): String = {
+    val en = TextFunctions.langMarkers("en").map(w => s"'$w'").mkString(",")
+    val d = graft.text.LogisticTrainer.featureCols.size
+    val idx = 0 until d
+    def z(wRef: String) = idx.map(j => s"x$j * $wRef.w$j").mkString(" + ")
+    def p(zSql: String) =
+      s"greatest(0, least(1000, 500 + CAST(floor(($zSql) / 4000.0) AS BIGINT)))"
+    val ntoks = "CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(__toks) END"
+    val evEn = s"len(list_filter(__toks, t -> t IN ($en)))"
+    val steps = (1 to iters).map { k =>
+      val prev = s"wi${k - 1}"
+      s"""g$k AS (
+         |  SELECT ${idx.map(j =>
+              s"CAST(sum((label * 1000 - ${p(z(prev))}) * x$j) AS BIGINT) AS g$j")
+              .mkString(",\n    ")}
+         |  FROM f, $prev),
+         |wi$k AS (
+         |  SELECT ${idx.map(j =>
+              s"$prev.w$j + CAST(floor(g$j * $lrNum / (n * $lrDen)) AS BIGINT) AS w$j")
+              .mkString(",\n    ")}
+         |  FROM g$k, $prev, nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS __toks
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    CAST(($ntoks) + 10 * $evEn >= $theta AS INT) AS label,
+       |    CAST(1 AS BIGINT) AS x0,
+       |    least($ntoks, 200) - 55 AS x1,
+       |    least($evEn, 50) - 3 AS x2,
+       |    least(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')), 100) AS x3,
+       |    least(len(text) // 10, 300) - 30 AS x4
+       |  FROM t),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+       |wi0 AS (SELECT ${idx.map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")}),
+       |$steps,
+       |scored AS (
+       |  SELECT f.doc_id, f.label, ${z(s"wi$iters")} AS z_micro FROM f, wi$iters)
+       |SELECT doc_id, label, z_micro,
+       |  ${p("z_micro")} AS p_milli,
+       |  CAST(${p("z_micro")} > 500 AS INT) AS pred
+       |FROM scored""".stripMargin
+  }
+
   /** Shared 3-round BPE chain (w → s0 → p/t/m/s per round), closed by a
     * caller-supplied final SELECT over the t1..t3 / s3 CTEs.
     */
@@ -545,6 +608,7 @@ object TextQueries extends QueryGroup {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_train_classifier" -> trainClassifierSql(4, 1L, 1L, 90),
     // The sketch rebuilt in SQL from the same md5-seeded buckets; the
     // estimate and the one-sided bound must agree exactly.
     "q_count_min" ->
