@@ -58,14 +58,30 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = selected.map { case (name, fn) =>
+    val results = selected.zipWithIndex.map { case ((name, fn), i) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>
         failed += name
         System.err.println(s"[bench] $name: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // Between-query hygiene (untimed): a 160+-query single-JVM run
+      // otherwise accumulates session state — cached relations, persisted
+      // RDD blocks left by localCheckpoint lineage truncation (their
+      // storage is only reclaimed when the ContextCleaner GC-detects the
+      // dead RDD), and per-query shuffle files — until later queries run
+      // many times slower than the same code in a fresh session. Each
+      // query must start from the same cold-cache state it would have as
+      // a standalone job.
+      spark.catalog.clearCache()
+      val sc = spark.sparkContext
+      sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // ContextCleaner only drops dead checkpoint/broadcast/shuffle state
+      // when a JVM GC notices the references died; nudge it periodically
+      // so state from query i is gone before query i+8, not query i+80.
+      if (i % 8 == 7) System.gc()
+      name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

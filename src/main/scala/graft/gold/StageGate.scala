@@ -70,6 +70,45 @@ object StageGate {
   case object Skipped extends Outcome[Nothing]
   case class Failed(error: Throwable) extends Outcome[Nothing]
 
+  /** Retention cleanup for run logs / summary files (reference
+    * `src/run_all_etl.py:25-53`): delete FILES in `directory` whose name
+    * carries a `YYYY-MM-DD` stamp older than `retentionDays` before `now`.
+    * Matching the reference exactly: only regular files are considered,
+    * only the FIRST date-looking token in the name counts, an unparsable
+    * date (e.g. `2024-13-45`) skips the file, a name with no date is left
+    * alone, and a missing directory is a no-op. Subdirectories are never
+    * touched — data tables live in directories and must not be in scope
+    * of a log sweep. Returns the deleted file names.
+    */
+  def cleanupOldFiles(directory: Path, retentionDays: Int,
+      now: Instant = Instant.now()): Seq[String] = {
+    if (!Files.exists(directory)) return Seq.empty
+    val datePat = java.util.regex.Pattern.compile("(\\d{4}-\\d{2}-\\d{2})")
+    val cutoff = now.minus(Duration.ofDays(retentionDays.toLong))
+    val deleted = Seq.newBuilder[String]
+    val stream = Files.list(directory)
+    try {
+      stream.iterator().forEachRemaining { item =>
+        if (Files.isRegularFile(item)) {
+          val m = datePat.matcher(item.getFileName.toString)
+          if (m.find()) {
+            try {
+              val d = java.time.LocalDate.parse(m.group(1))
+              if (d.atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+                  .isBefore(cutoff)) {
+                Files.delete(item)
+                deleted += item.getFileName.toString
+              }
+            } catch {
+              case _: java.time.format.DateTimeParseException => // skip
+            }
+          }
+        }
+      }
+    } finally stream.close()
+    deleted.result()
+  }
+
   /** Run `body` iff the gate is open; on success advance the state. When
     * `tolerateFailure` (the price-fetcher policy, `:145-155`) a failure is
     * captured as [[Failed]] — state NOT advanced, nothing thrown — so the

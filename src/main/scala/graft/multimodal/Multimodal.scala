@@ -10,14 +10,15 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing here is real and tested — schema, partition
   * sizing, `mapPartitions` batch shape, null routing. Codec work splits
-  * two ways: formats parseable in pure JVM have REAL decoders in
-  * [[Codecs]] (RIFF/WAVE PCM and 24bpp BMP — byte-level chunk walks,
-  * exercised end-to-end under the oracle gate by `q_wav_decode` /
-  * `q_bmp_decode`); formats that require native libraries this container
-  * doesn't ship (JPEG, MP4, …) remain STUBBED behind `DECODE_STUB`,
-  * which derives stats from an md5 of the payload so tests stay
-  * reproducible and a JNI/FFmpeg-backed implementation slots into
-  * exactly this seam.
+  * two ways: formats parseable in pure JVM have REAL decoders —
+  * RIFF/WAVE PCM, 24bpp BMP, PNG in [[Codecs]] and baseline JPEG in
+  * [[Jpeg]] (byte-level chunk/marker walks, exercised end-to-end under
+  * the oracle gate by `q_wav_decode` / `q_bmp_decode` / `q_png_decode` /
+  * `q_jpeg_decode`); formats that require native libraries this
+  * container doesn't ship (MP4/video, …) remain STUBBED behind
+  * `DECODE_STUB`, which derives stats from an md5 of the payload so
+  * tests stay reproducible and a JNI/FFmpeg-backed implementation slots
+  * into exactly this seam.
   *
   * Scale notes: payloads never pass through a shuffle in these transforms
   * (map-only); for joins, always project metadata-only frames first and

@@ -38,16 +38,54 @@ object BitmapIndex {
 
   /** All key-pair intersection cardinalities (key_a < key_b): word-aligned
     * AND + popcount. Pairs sharing no member are absent.
+    *
+    * This is the ALL-PAIRS form — per word it generates K²/2 compare rows
+    * for K keys, which is the right shape at dashboard-sized key counts
+    * (tens of terms) and a quadratic pair generator beyond that. At high
+    * key cardinality use the candidate-blocked overload, which bounds pair
+    * generation to an explicit candidate set.
     */
-  def intersectCounts(bitmaps: DataFrame): DataFrame = {
-    val a = bitmaps.select(col("key").as("key_a"), col("word"),
-      col("bits").as("__ba"))
-    val b = bitmaps.select(col("key").as("key_b"), col("word"),
-      col("bits").as("__bb"))
-    a.join(b, Seq("word"))
+  def intersectCounts(bitmaps: DataFrame): DataFrame =
+    scoreWordJoin(
+      bitmaps.select(col("key").as("key_a"), col("word"),
+          col("bits").as("__ba"))
+        .join(bitmaps.select(col("key").as("key_b"), col("word"),
+          col("bits").as("__bb")), Seq("word"))
+        .filter(col("key_a") < col("key_b")))
+
+  /** Candidate-blocked intersection cardinalities: scores ONLY the pairs in
+    * `candidates` (columns (`key_a`, `key_b`), canonicalized internally so
+    * either orientation works; duplicates are deduped). Pair generation is
+    * bounded by |candidates| — word rows are joined per candidate pair, so
+    * the exchange carries each key's N/64 words once per candidate it
+    * appears in, never K²/word. This is the 100-TB shape: the candidate
+    * set comes from a cheap blocker (co-occurrence prefilter, LSH band,
+    * a top-K term list), and the bitmap join does the exact counting.
+    *
+    * Output contract matches [[intersectCounts]]: (key_a < key_b, co_card),
+    * pairs with an empty intersection absent.
+    */
+  def intersectCounts(bitmaps: DataFrame, candidates: DataFrame): DataFrame = {
+    val canon = candidates
+      .select(least(col("key_a"), col("key_b")).as("key_a"),
+        greatest(col("key_a"), col("key_b")).as("key_b"))
       .filter(col("key_a") < col("key_b"))
+      .distinct()
+    scoreWordJoin(
+      canon
+        .join(bitmaps.select(col("key").as("key_a"), col("word"),
+          col("bits").as("__ba")), Seq("key_a"))
+        .join(bitmaps.select(col("key").as("key_b"), col("word"),
+          col("bits").as("__bb")), Seq("key_b", "word")))
+  }
+
+  /** Shared scoring tail: (key_a, key_b, __ba, __bb) word rows →
+    * popcount-of-AND totals. One partial-agg'd groupBy — word rows combine
+    * map-side before the (key_a, key_b) exchange.
+    */
+  private def scoreWordJoin(pairWords: DataFrame): DataFrame =
+    pairWords
       .groupBy(col("key_a"), col("key_b"))
       .agg(sum(bit_count(col("__ba").bitwiseAND(col("__bb")))).as("co_card"))
       .filter(col("co_card") > 0)
-  }
 }

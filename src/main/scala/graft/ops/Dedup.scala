@@ -481,8 +481,13 @@ object Dedup {
     var converged = n <= localFinishEdges || isStarForest(e)
     var it = 0
     while (!converged && it < maxIter) {
+      val prev = e
       e = smallStar(largeStar(e)).localCheckpoint(eager = false)
       n = e.count()
+      // Round r's blocks are dead the moment round r+1 is materialized
+      // (the count above): release them NOW instead of retaining every
+      // round's working set until the GC-driven cleaner gets around to it.
+      Checkpoints.release(prev)
       converged = n <= localFinishEdges || isStarForest(e)
       it += 1
     }

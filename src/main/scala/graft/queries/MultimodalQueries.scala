@@ -152,6 +152,32 @@ object MultimodalQueries extends QueryGroup {
         .withColumn("mean_luma", round(col("mean_luma"), 4))
     }),
 
+    // REAL baseline JPEG decode (multimodal.Jpeg): per-doc grayscale
+    // JPEGs with CONSTANT 8×8 blocks — the one image family a lossy
+    // codec round-trips bit-exactly (DC-only energy, quant step 8; see
+    // Jpeg object doc) — synthesized with restart markers every 2 MCUs,
+    // then decoded back through the full marker walk, Huffman entropy
+    // decode, dequant + IDCT. The oracle restates the planted block
+    // values closed-form; general (AC-bearing) images are
+    // tolerance-checked in JpegSpec where no exact oracle can exist.
+    "q_jpeg_decode" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 8 * (1 + id % 3).toInt
+            val h = 8 * (1 + id % 2).toInt
+            val bytes = graft.multimodal.Jpeg.encodeGray(w, h,
+              (x, y) => ((id + 17 * (x / 8) + 29 * (y / 8)) % 256).toInt,
+              quant = 8, restartInterval = 2)
+            val d = graft.multimodal.Jpeg.decode(bytes)
+            (id, d.width, d.height, d.components, d.meanLuma)
+          }
+        }
+        .toDF("doc_id", "width", "height", "components", "mean_luma")
+        .withColumn("mean_luma", round(col("mean_luma"), 4))
+    }),
+
     // Ingest triage WITHOUT decoding: a mixed bag of payloads (real WAV
     // bytes, real BMP bytes, UTF-8 text, garbage) is classified by magic
     // bytes and header fields are read as pure expressions over the
@@ -259,6 +285,22 @@ object MultimodalQueries extends QueryGroup {
         |  round(CASE WHEN doc_id % 2 = 0 THEN sum(luma) / (1000.0 * w * h)
         |        ELSE sum(luma) / (1.0 * w * h) END, 4) AS mean_luma
         |FROM l GROUP BY doc_id, w, h""".stripMargin,
+
+    // Constant-block planting restated closed-form: mean luma is the
+    // plain average of the per-block planted values (each block is 64
+    // identical pixels, and the DC-only round-trip is exact).
+    "q_jpeg_decode" ->
+      """WITH ids AS (
+        |  SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh
+        |  FROM documents),
+        |bx AS (SELECT doc_id, bw, bh, unnest(range(bw)) AS x FROM ids),
+        |b AS (SELECT doc_id, bw, bh, x, unnest(range(bh)) AS y FROM bx),
+        |v AS (SELECT doc_id, bw, bh,
+        |  (doc_id + 17 * x + 29 * y) % 256 AS val FROM b)
+        |SELECT doc_id, CAST(8 * bw AS INT) AS width,
+        |  CAST(8 * bh AS INT) AS height, CAST(1 AS INT) AS components,
+        |  round(sum(val) / (1.0 * bw * bh), 4) AS mean_luma
+        |FROM v GROUP BY doc_id, bw, bh""".stripMargin,
 
     // Nearest-neighbor sampling restated closed-form: the 4×3 output
     // reads source pixel (ox·w//4, oy·h//3); same luma formula on those.

@@ -24,4 +24,18 @@ object GraftColumnBridge {
     */
   def analyzed(df: DataFrame): catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** The RDD behind a `Dataset.localCheckpoint` result (its analyzed plan is
+    * a `LogicalRDD` over the persisted internal-row RDD). Gives iterative
+    * operators an explicit release handle: `Dataset.unpersist` only reaches
+    * the catalog cache, so without this the checkpoint blocks of every
+    * round linger until the async GC-driven ContextCleaner notices the dead
+    * RDD — across a many-query session that is an unbounded storage leak.
+    * None for plans that are not checkpoint roots.
+    */
+  def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case r: execution.LogicalRDD => Some(r.rdd)
+      case _ => None
+    }
 }

@@ -61,6 +61,38 @@ class StageGateSpec extends AnyFunSuite with SparkTestBase {
     assert(StageGate.shouldRun(state, "price_fetcher", day, t0))
   }
 
+  test("log retention: old dated files pruned, recent/undated/bad-date kept") {
+    val dir = Files.createTempDirectory("graft_logs")
+    val now = Instant.parse("2024-06-15T12:00:00Z")
+    Seq(
+      "run_all_etl_2024-05-01.log",       // 45 days old → delete
+      "summary_2024-06-10_120000.txt",    // 5 days old → keep
+      "etl_2024-06-01.log",               // midnight of cutoff DAY < 12:00 cutoff → delete (reference semantics)
+      "no_date_in_name.log",              // no date → keep
+      "weird_2024-13-45.log",             // unparsable date → keep
+      "old_summary_2023-12-31.json"       // very old → delete
+    ).foreach(n => Files.write(dir.resolve(n), "x".getBytes))
+    // Subdirectory with an old-looking name must never be touched.
+    val sub = Files.createDirectory(dir.resolve("archive_2020-01-01"))
+
+    val deleted = StageGate.cleanupOldFiles(dir, retentionDays = 14, now = now)
+    assert(deleted.toSet === Set("run_all_etl_2024-05-01.log",
+      "etl_2024-06-01.log", "old_summary_2023-12-31.json"))
+    val remaining = {
+      val s = Files.list(dir)
+      try {
+        val b = Seq.newBuilder[String]
+        s.iterator().forEachRemaining(p => b += p.getFileName.toString)
+        b.result()
+      } finally s.close()
+    }
+    assert(remaining.toSet === Set("summary_2024-06-10_120000.txt",
+      "no_date_in_name.log", "weird_2024-13-45.log", "archive_2020-01-01"))
+    assert(Files.isDirectory(sub))
+    // Missing directory: no-op, empty result.
+    assert(StageGate.cleanupOldFiles(dir.resolve("nope"), 14, now).isEmpty)
+  }
+
   test("pipeline integration: failed price fetch doesn't fail the pipeline") {
     import spark.implicits._
     val state = tempState()
