@@ -250,6 +250,74 @@ object PlaneBuckets {
   }
 }
 
+/** Dense projection of a float/double vector through a literal plane
+  * matrix: output j = Σ_d vec(d)·planes(j)(d) — the value-carrying sibling
+  * of [[PlaneBuckets]] (which keeps only the sign bits). One codegen'd
+  * call per row computes every output component; the matrix rides along
+  * as a broadcast-free literal reference, so the projection is a map-only
+  * stage a 1000-executor scan runs without any state shipping.
+  */
+case class PlaneProject(child: Expression, planes: Array[Array[Double]])
+  extends UnaryExpression {
+
+  private def elemFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"plane_project needs a float/double array, got $other")
+  }
+
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(v: Any): Any =
+    PlaneProject.run(planes, elemFloat, v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.PlaneProject$$.MODULE$$.run(" +
+        s"$planesRef, $elemFloat, $c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PlaneProject =
+    copy(child = newChild)
+}
+
+object PlaneProject {
+  def run(planes: Array[Array[Double]], elemFloat: Boolean,
+      vec: ArrayData): ArrayData = {
+    val n = vec.numElements()
+    val out = new Array[Double](planes.length)
+    var pl = 0
+    while (pl < planes.length) {
+      val comps = planes(pl)
+      val m = math.min(n, comps.length)
+      var acc = 0.0
+      var i = 0
+      while (i < m) {
+        // Null elements contribute 0, matching the oracle's list handling.
+        if (!vec.isNullAt(i)) {
+          val v = if (elemFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+          acc += v * comps(i)
+        }
+        i += 1
+      }
+      out(pl) = acc
+      pl += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VectorExprs {
   def vecDot(a: Column, b: Column): Column =
     GraftColumnBridge.column(
@@ -262,4 +330,8 @@ object VectorExprs {
   def planeBuckets(vec: Column, planes: Array[Array[Double]]): Column =
     GraftColumnBridge.column(
       PlaneBuckets(GraftColumnBridge.expression(vec), planes))
+
+  def planeProject(vec: Column, planes: Array[Array[Double]]): Column =
+    GraftColumnBridge.column(
+      PlaneProject(GraftColumnBridge.expression(vec), planes))
 }

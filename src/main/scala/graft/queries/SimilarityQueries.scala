@@ -58,6 +58,36 @@ object SimilarityQueries extends QueryGroup {
           graft.expr.Int8Vec.int8Dot(col("ca"), col("cb")).as("int_dot"))
     }),
 
+    // Johnson–Lindenstrauss random projection (ops.RandomProjection):
+    // 64-dim → 16-dim through an md5-derived matrix, one codegen'd
+    // map-only expression per row (expr.PlaneProject — no broadcast, no
+    // shuffle). Output pins every projected component via sum + per-dim
+    // first/min/max summary.
+    "q_random_projection" -> ((s, dir) => {
+      val proj = graft.ops.RandomProjection.project(
+        col("embedding"), outDim = 16, dims = 64)
+      Tables.embeddings(s, dir)
+        .filter(col("embedding").isNotNull)
+        .select(col("vec_id"), proj.as("__p"))
+        .select(col("vec_id"),
+          size(col("__p")).cast("int").as("k"),
+          round(aggregate(col("__p"), lit(0.0), (a, v) => a + v), 4)
+            .as("p_sum"),
+          round(element_at(col("__p"), 1), 4).as("p0"),
+          round(array_min(col("__p")), 4).as("p_min"),
+          round(array_max(col("__p")), 4).as("p_max"))
+    }),
+
+    // JL distance-preservation eval: squared-distance ratios (scaled by
+    // d/k) over a deterministic probe subset — the quantity the JL lemma
+    // bounds around 1. Companion spec asserts the concentration; the
+    // oracle pins the exact ratios.
+    "q_jl_distortion" -> ((s, dir) => {
+      graft.ops.RandomProjection.distortion(Tables.embeddings(s, dir),
+          "vec_id", "embedding", outDim = 16, dims = 64, probeIds = 24)
+        .select(col("id_a"), col("id_b"), round(col("ratio"), 4).as("ratio"))
+    }),
+
     // Brute-force cosine top-k for a probe batch (vec_id < 20, k = 5).
     "q_cosine_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -220,6 +250,57 @@ object SimilarityQueries extends QueryGroup {
         |  round(list_cosine_similarity(a.v, b.v), 4) + 0.0 AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) > 0.4""".stripMargin,
+    // Mirrors RandomProjection.project: component (j,d) =
+    // md5Hash60('rp_<j>_<d>') / 2^59 - 1.0; same per-row left-to-right
+    // dot; summary pins all 16 projected components.
+    "q_random_projection" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+        |m AS (
+        |  SELECT j, list_transform(range(0, 64),
+        |    d -> CAST(('0x' || substr(md5('rp_' || CAST(j AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+        |         / CAST(576460752303423488 AS DOUBLE) - 1.0) AS w
+        |  FROM range(0, 16) t(j)),
+        |p AS (
+        |  SELECT e.vec_id, m.j,
+        |    list_sum(list_transform(range(1, 65), i -> e.v[i] * m.w[i])) AS y
+        |  FROM e CROSS JOIN m)
+        |SELECT vec_id, CAST(16 AS INT) AS k,
+        |  round(sum(y ORDER BY j), 4) AS p_sum,
+        |  round(max(CASE WHEN j = 0 THEN y END), 4) AS p0,
+        |  round(min(y), 4) AS p_min,
+        |  round(max(y), 4) AS p_max
+        |FROM p GROUP BY vec_id""".stripMargin,
+    // Same derived matrix; squared-distance ratio scaled by d/k over the
+    // probe pairs, identical diff-dot arithmetic on both engines.
+    "q_jl_distortion" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL AND vec_id < 24),
+        |m AS (
+        |  SELECT j, list_transform(range(0, 64),
+        |    d -> CAST(('0x' || substr(md5('rp_' || CAST(j AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+        |         / CAST(576460752303423488 AS DOUBLE) - 1.0) AS w
+        |  FROM range(0, 16) t(j)),
+        |p AS (
+        |  SELECT e.vec_id, m.j,
+        |    list_sum(list_transform(range(1, 65), i -> e.v[i] * m.w[i])) AS y
+        |  FROM e CROSS JOIN m),
+        |dv AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_transform(range(1, 65), i -> a.v[i] - b.v[i]) AS df
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+        |d2 AS (
+        |  SELECT id_a, id_b,
+        |    list_sum(list_transform(range(1, 65), i -> df[i] * df[i])) AS dd
+        |  FROM dv),
+        |p2 AS (
+        |  SELECT pa.vec_id AS id_a, pb.vec_id AS id_b,
+        |    list_sum(list_transform(range(1, 17), i -> (ya[i] - yb[i]) * (ya[i] - yb[i]))) AS pp
+        |  FROM (SELECT vec_id, list(y ORDER BY j) AS ya FROM p GROUP BY vec_id) pa
+        |  JOIN (SELECT vec_id, list(y ORDER BY j) AS yb FROM p GROUP BY vec_id) pb
+        |    ON pa.vec_id < pb.vec_id)
+        |SELECT id_a, id_b, round(pp * 3.0 / (16 * dd), 4) AS ratio
+        |FROM d2 JOIN p2 USING (id_a, id_b)
+        |WHERE dd > 0""".stripMargin,
     // Mirrors Similarity.lshTopKMd5: comp(p,d) = md5Hash60('p_<p>_<d>')
     // / 2^59 - 1.0; 2 tables x 6 planes; candidates share (table, bucket);
     // exact cosine rank, ties on neighbor_id.
