@@ -390,6 +390,76 @@ object TextQueries extends QueryGroup {
         .agg(count(lit(1)).as("n_urls"), countDistinct(col("lhost")).as("n_hosts"))
     }),
 
+    // HTML → text extraction (text.Html): each doc is wrapped in a
+    // deterministic HTML shell (script/style payloads, a comment,
+    // entities) and stripped back out; md5 + lengths pin every byte of
+    // the extraction, so tag/entity/whitespace handling is what's
+    // hash-checked.
+    "q_html_strip" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val wrapped = concat(
+        lit("<html><head><title>Doc "), id,
+        lit("</title><script type=\"text/javascript\">var x = "), id,
+        lit(";</script><style>.c{color:red}</style></head><body><!-- note "),
+        id, lit(" --><h1>Title &amp; "), id, lit("</h1><p>"), col("text"),
+        lit("</p><div class=\"foot\">footer&nbsp;link &lt;here&gt;" +
+          " &#39;q&quot;</div></body></html>"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.text.Html.stripTags(wrapped).as("__clean"))
+        .select(col("doc_id"), md5(col("__clean")).as("clean_md5"),
+          length(col("__clean")).cast("long").as("clean_len"),
+          size(split(col("__clean"), " ")).cast("long").as("n_tokens"))
+    }),
+
+    // Unicode NFC normalization (expr.NfcNormalize — codegen'd JVM
+    // Normalizer) + control-char scrub: decomposed accents planted from
+    // doc_id compose to single codepoints, planted BEL chars vanish;
+    // lengths and md5 pin the exact normalized bytes (NFC output is
+    // defined by UAX #15, so DuckDB's nfc_normalize must agree).
+    "q_text_normalize" -> ((s, dir) => {
+      val base = element_at(array(lit("a"), lit("e"), lit("o")),
+        (col("doc_id") % 3 + 1).cast("int"))
+      val comb = element_at(array(lit("\u0301"), lit("\u0300"),
+        lit("\u0308"), lit("\u0303")), (col("doc_id") % 4 + 1).cast("int"))
+      val ctl = when(col("doc_id") % 5 === 0, lit("\u0007"))
+        .otherwise(lit(""))
+      val planted = concat(lit("nfc "), base, comb, lit(" mid"), ctl,
+        lit(" "), col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), planted.as("__raw"))
+        .select(col("doc_id"), col("__raw"),
+          regexp_replace(col("__raw"),
+            "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "").as("__noctl"))
+        .select(col("doc_id"),
+          length(col("__raw")).cast("long").as("len_raw"),
+          (length(col("__raw")) - length(col("__noctl"))).cast("long")
+            .as("n_ctl"),
+          length(graft.expr.NfcNormalize.nfc(col("__noctl"))).cast("long")
+            .as("len_nfc"),
+          md5(graft.expr.NfcNormalize.nfc(col("__noctl"))).as("nfc_md5"))
+    }),
+
+    // URL canonicalization (text.Urls.canonicalize): planted URLs with
+    // mixed-case authorities, default ports, tracking params and
+    // fragments collapse to their canonical keys; counts per key prove
+    // the collapse (distinct raw forms, one canonical group).
+    "q_url_canonical" -> ((s, dir) => {
+      val u1 = concat(lit("HTTPS://Example"), (col("doc_id") % 7).cast("string"),
+        lit(".COM:443/Path/"), (col("doc_id") % 5).cast("string"),
+        lit("?utm_source=feed&id="), (col("doc_id") % 10).cast("string"),
+        lit("&utm_campaign=c#frag"), (col("doc_id") % 9).cast("string"))
+      val u2 = concat(lit("http://Mirror.example"),
+        (col("doc_id") % 7).cast("string"), lit(".com:80/p?gclid=abc"),
+        (col("doc_id") % 3).cast("string"))
+      val urls = Tables.documents(s, dir)
+        .select(explode(when(col("doc_id") % 2 === 0, array(u1, u2))
+          .otherwise(array(u1))).as("url"))
+      urls.select(graft.text.Urls.canonicalize(col("url")).as("canon_url"))
+        .groupBy("canon_url")
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // PII scrub. The synthetic corpus is PII-free, so deterministic PII is
     // planted from doc_id — identically in the oracle SQL below — giving
     // the gate true positives (counts, placement) AND true negatives (the
@@ -1147,6 +1217,98 @@ object TextQueries extends QueryGroup {
          |SELECT domain, count(*) AS n_urls, count(DISTINCT lhost) AS n_hosts
          |FROM d GROUP BY domain""".stripMargin
     },
+
+    // Same HTML shell, same regex chain (shared java.regex ∩ RE2
+    // syntax), same entity order (&amp; last), same collapse+trim.
+    "q_html_strip" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title><script type="text/javascript">var x = ' ||
+        |    CAST(doc_id AS VARCHAR) ||
+        |    ';</script><style>.c{color:red}</style></head><body><!-- note ' ||
+        |    CAST(doc_id AS VARCHAR) || ' --><h1>Title &amp; ' ||
+        |    CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+        |    '</p><div class="foot">footer&nbsp;link &lt;here&gt; &#39;q&quot;</div></body></html>'
+        |      AS html
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(html,
+        |              '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
+        |            '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
+        |          '(?s)<!--.*?-->', ' ', 'g'),
+        |        '(?s)</?[a-zA-Z][^>]*>', ' ', 'g'),
+        |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS clean
+        |  FROM w)
+        |SELECT doc_id, md5(clean) AS clean_md5,
+        |  CAST(length(clean) AS BIGINT) AS clean_len,
+        |  CAST(len(string_split(clean, ' ')) AS BIGINT) AS n_tokens
+        |FROM c""".stripMargin,
+
+    // Same planted decomposed accents + BEL; nfc_normalize is UAX #15
+    // NFC, identical bytes to the JVM Normalizer; same control class.
+    "q_text_normalize" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'nfc ' || (['a','e','o'])[CAST(doc_id % 3 AS INT) + 1] ||
+        |    ([chr(769), chr(768), chr(776), chr(771)])[CAST(doc_id % 4 AS INT) + 1] ||
+        |    ' mid' || (CASE WHEN doc_id % 5 = 0 THEN chr(7) ELSE '' END) ||
+        |    ' ' || text AS raw
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, raw,
+        |    regexp_replace(raw, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')
+        |      AS noctl
+        |  FROM p)
+        |SELECT doc_id, CAST(length(raw) AS BIGINT) AS len_raw,
+        |  CAST(length(raw) - length(noctl) AS BIGINT) AS n_ctl,
+        |  CAST(length(nfc_normalize(noctl)) AS BIGINT) AS len_nfc,
+        |  md5(nfc_normalize(noctl)) AS nfc_md5
+        |FROM s""".stripMargin,
+
+    // Same planted URLs, same canonicalization chain (RE2 replacement
+    // refs are \1 where java.regex uses $1 — same semantics).
+    "q_url_canonical" ->
+      """WITH u AS (
+        |  SELECT unnest(CASE WHEN doc_id % 2 = 0 THEN [
+        |    'HTTPS://Example' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.COM:443/Path/' || CAST(doc_id % 5 AS VARCHAR) ||
+        |      '?utm_source=feed&id=' || CAST(doc_id % 10 AS VARCHAR) ||
+        |      '&utm_campaign=c#frag' || CAST(doc_id % 9 AS VARCHAR),
+        |    'http://Mirror.example' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.com:80/p?gclid=abc' || CAST(doc_id % 3 AS VARCHAR)]
+        |  ELSE [
+        |    'HTTPS://Example' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.COM:443/Path/' || CAST(doc_id % 5 AS VARCHAR) ||
+        |      '?utm_source=feed&id=' || CAST(doc_id % 10 AS VARCHAR) ||
+        |      '&utm_campaign=c#frag' || CAST(doc_id % 9 AS VARCHAR)]
+        |  END) AS url
+        |  FROM documents),
+        |s1 AS (SELECT regexp_replace(url, '(?s)#.*$', '') AS u FROM u),
+        |s2 AS (SELECT
+        |  lower(regexp_extract(u, '^([hH][tT][tT][pP][sS]?://[^/?#]+)', 1)) ||
+        |  regexp_replace(u, '^([hH][tT][tT][pP][sS]?://[^/?#]+)', '') AS u
+        |  FROM s1),
+        |s3 AS (SELECT
+        |  regexp_replace(
+        |    regexp_replace(u, '^(https://[^/:?#]+):443([/?#]|$)', '\1\2'),
+        |    '^(http://[^/:?#]+):80([/?#]|$)', '\1\2') AS u
+        |  FROM s2),
+        |s4 AS (SELECT
+        |  regexp_replace(u, '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g') AS u
+        |  FROM s3),
+        |c AS (SELECT
+        |  regexp_replace(regexp_replace(u, '\?&', '?'), '[?&]$', '')
+        |    AS canon_url
+        |  FROM s4)
+        |SELECT canon_url, count(*) AS n FROM c GROUP BY canon_url""".stripMargin,
 
     // Same planted PII, same shared-syntax patterns (java.util.regex and
     // RE2 agree on them — see text.Redact), same redaction order.

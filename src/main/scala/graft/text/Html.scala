@@ -1,0 +1,45 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTML → text extraction — the Common-Crawl-shaped front door of a web
+  * training corpus: strip script/style payloads, comments and tags,
+  * decode the frequent entities, collapse whitespace. Deliberately a
+  * REGEX-CHAIN extractor, not a DOM parser: every pattern is in the
+  * java.regex ∩ RE2 shared syntax (the [[Redact]]/[[Urls]] discipline),
+  * so any engine reproduces the exact output bytes — which is what makes
+  * the downstream hashes (dedup keys, fingerprints) portable. A
+  * readability-grade boilerplate classifier would sit AFTER this, on the
+  * extracted text.
+  *
+  * Map-only, codegen'd (`regexp_replace` chains); nothing here shuffles.
+  */
+object Html {
+
+  private def re(c: Column, pat: String, rep: String): Column =
+    regexp_replace(c, pat, rep)
+
+  /** Extracted text: script/style/comments dropped WITH content, tags
+    * dropped (as separators), common entities decoded (`&amp;` LAST so
+    * `&amp;lt;` decodes to the literal `&lt;`, not `<`), whitespace
+    * collapsed and trimmed.
+    */
+  def stripTags(html: Column): Column = {
+    var c = html
+    // Payload-bearing containers go first, content and all.
+    c = re(c, "(?is)<script[^>]*>.*?</script\\s*>", " ")
+    c = re(c, "(?is)<style[^>]*>.*?</style\\s*>", " ")
+    c = re(c, "(?s)<!--.*?-->", " ")
+    // Remaining tags become separators so `</td><td>` doesn't glue words.
+    c = re(c, "(?s)</?[a-zA-Z][^>]*>", " ")
+    // Frequent entities; ampersand last (see scaladoc).
+    c = regexp_replace(c, "&nbsp;", " ")
+    c = regexp_replace(c, "&lt;", "<")
+    c = regexp_replace(c, "&gt;", ">")
+    c = regexp_replace(c, "&quot;", "\"")
+    c = regexp_replace(c, "&#39;", "'")
+    c = regexp_replace(c, "&amp;", "&")
+    trim(re(c, "\\s+", " "))
+  }
+}
