@@ -184,6 +184,18 @@ object DedupQueries extends QueryGroup {
       graft.ops.SetSimJoin.selfJoin(Tables.documents(s, dir),
           "doc_id", "text", shingleSize = 3, tau = 0.2)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    }),
+
+    // ExactSubstr duplicated-SPAN removal (text.DupSpans, Lee et al.
+    // 2022): 13-token windows repeated anywhere in the corpus mark their
+    // coverage, marked windows merge into maximal spans (islands), spans
+    // are excised and the doc rebuilt. md5 of the rebuilt text pins the
+    // exact span boundaries — off-by-one in the merge breaks the hash.
+    "q_dup_spans" -> ((s, dir) => {
+      graft.text.DupSpans.removeDuplicatedSpans(
+          Tables.documents(s, dir), "doc_id", "text", L = 13)
+        .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+          col("n_removed"), col("dup_frac"), md5(col("clean")).as("clean_md5"))
     }))
 
   import OracleSql.{toksSql, shinglesSqlN}
@@ -307,6 +319,54 @@ object DedupQueries extends QueryGroup {
          |  round(CAST(tp AS DOUBLE) / (tp + fn), 4) AS recall,
          |  round(CAST(tp AS DOUBLE) / (tp + fp), 4) AS precision
          |FROM c""".stripMargin,
+
+    // Same 13-token windows, same md5-prefix keys, same islands merge
+    // (lag default −L−1 ⇒ first marked start always opens a span), same
+    // ordered reassembly.
+    "q_dup_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (SELECT doc_id, ${shinglesSqlN(13)} AS sl FROM documents),
+         |g AS (
+         |  SELECT doc_id, generate_subscripts(sl, 1) - 1 AS pos,
+         |    unnest(list_transform(sl, x -> substr(md5(x), 1, 16))) AS h
+         |  FROM sh),
+         |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+         |m AS (SELECT doc_id, pos FROM g SEMI JOIN dup USING (h)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos, 1, -14)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) > 13
+         |      THEN 1 ELSE 0 END AS nw
+         |  FROM m),
+         |isl2 AS (
+         |  SELECT doc_id, pos,
+         |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM isl),
+         |sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 12 AS e
+         |       FROM isl2 GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |          CAST(sum(e - s + 1) AS BIGINT) AS n_removed
+         |        FROM sp GROUP BY 1),
+         |tok AS (SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos,
+         |          unnest(t) AS tk FROM toks),
+         |kept AS (
+         |  SELECT tok.doc_id, pos, tk FROM tok
+         |  ANTI JOIN sp ON tok.doc_id = sp.doc_id
+         |    AND tok.pos BETWEEN sp.s AND sp.e),
+         |clean AS (
+         |  SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS c
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+         |  coalesce(a.n_spans, 0) AS n_spans,
+         |  coalesce(a.n_removed, 0) AS n_removed,
+         |  CASE WHEN len(t.t) > 0
+         |    THEN round(coalesce(a.n_removed, 0) / CAST(len(t.t) AS DOUBLE), 4)
+         |    ELSE 0.0 END AS dup_frac,
+         |  md5(coalesce(c.c, '')) AS clean_md5
+         |FROM toks t
+         |LEFT JOIN agg a ON t.doc_id = a.doc_id
+         |LEFT JOIN clean c ON t.doc_id = c.doc_id""".stripMargin,
 
     // Prefix filtering is an implementation detail — the oracle is the
     // naive distinct-shingle pair join with exact Jaccard.
