@@ -93,14 +93,50 @@ object Bench {
       else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$failedField%s}"""
     println(line)
-    // Also land the line in a file: sbt prefixes stdout with [info], which
-    // can defeat a line-oriented JSON parse downstream. Skipped for
+    // Also land the result in a file: sbt prefixes stdout with [info],
+    // which can defeat a line-oriented JSON parse downstream. Skipped for
     // SPARK_GRAFT_ONLY runs — a partial total in bench_last.json is
     // indistinguishable from a full-suite number.
     if (only.isEmpty) {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
-      java.nio.file.Files.write(java.nio.file.Paths.get(out),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val path = java.nio.file.Paths.get(out)
+      // Flag per-query regressions against the previous snapshot BEFORE
+      // overwriting it: a 3×+ slowdown on same-named queries is the
+      // session-state failure mode that once hid inside a one-line diff.
+      if (java.nio.file.Files.exists(path)) {
+        try {
+          val prev = new String(java.nio.file.Files.readAllBytes(path),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val entry = """"(q_[a-z0-9_]+)"\s*:\s*([0-9.]+)""".r
+          val prevTimes = entry.findAllMatchIn(prev)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val regressed = results.filter { case (n, s) =>
+            prevTimes.get(n).exists(p => p >= 0.5 && s > 3.0 * p) }
+          if (regressed.nonEmpty) {
+            System.err.println(s"[bench] WARNING: ${regressed.size} queries " +
+              ">3x slower than previous snapshot:")
+            regressed.sortBy(-_._2).take(10).foreach { case (n, s) =>
+              System.err.println(f"[bench]   $n: ${prevTimes(n)}%.2fs -> $s%.2fs")
+            }
+          }
+        } catch { case _: Exception => () } // history is best-effort
+      }
+      // Pretty-print: one query per line so per-query deltas show in
+      // `git diff` (the single-line form made regressions unreviewable).
+      val qLines = results.map { case (k, v) => f"""    "$k": $v%.3f""" }
+        .mkString(",\n")
+      val pretty = f"""{
+  "metric": "total",
+  "value": $total%.3f,
+  "unit": "sec",
+  "sf": "$sfDir",
+  "queries": {
+$qLines%s
+  }$failedField%s
+}
+"""
+      java.nio.file.Files.write(path,
+        pretty.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     spark.stop()
   }

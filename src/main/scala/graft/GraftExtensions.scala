@@ -46,6 +46,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.expr.WordShingles].getName,
         "word_shingles"),
       GraftExtensions.mkWordShingles))
+    // nfc_normalize(text) — Unicode NFC, named after DuckDB's function so
+    // SQL carrying the corpus-hygiene step ports both ways.
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[graft.expr.NfcNormalize].getName,
+        "nfc_normalize"),
+      (children: Seq[Expression]) => graft.expr.NfcNormalize(children.head)))
     // Custom whole-operator plan: as-of join (graft.plans.AsOfJoinPlan →
     // co-partitioned sort-merge AsOfJoinExec).
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
@@ -70,6 +77,8 @@ object GraftExtensions {
       "int8_dot", exprs => Int8Dot(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", mkWordShingles, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => graft.expr.NfcNormalize(exprs.head), "built-in")
   }
 
   /** `word_shingles(text, n literal [, distinct literal])`. */

@@ -440,6 +440,42 @@ object TextQueries extends QueryGroup {
           md5(graft.expr.NfcNormalize.nfc(col("__noctl"))).as("nfc_md5"))
     }),
 
+    // Link extraction → canonical link graph (Html.linkHrefs/linkAnchors
+    // ∘ Urls.canonicalize): planted anchors come out as a per-domain
+    // edge summary — the web-graph construction step PageRank and
+    // domain-level corpus weighting start from. Map-only extraction; one
+    // domain-keyed partial-agg'd shuffle.
+    "q_html_links" -> ((s, dir) => {
+      val id = col("doc_id")
+      val html = concat(
+        lit("<p>intro</p><a href=\"HTTPS://Link"), (id % 7).cast("string"),
+        lit(".Example.COM:443/a/"), (id % 5).cast("string"),
+        lit("?utm_source=z\">anchor "), (id % 11).cast("string"), lit("</a>"),
+        when(id % 3 === 0, concat(
+          lit("<div><a class=\"x\" href=\"http://other"),
+          (id % 4).cast("string"),
+          lit(".example.org/p#f\">second\nlink</a></div>")))
+          .otherwise(lit("")),
+        lit("<b>not a link</b>"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), html.as("__html"))
+        .select(col("doc_id"),
+          graft.text.Html.linkAnchors(col("__html")).as("__anchors"),
+          posexplode(graft.text.Html.linkHrefs(col("__html")))
+            .as(Seq("__i", "__href")))
+        .select(
+          graft.text.Urls.canonicalize(col("__href")).as("__canon"),
+          element_at(col("__anchors"), col("__i") + 1).as("__anchor"))
+        .select(col("__canon"), col("__anchor"),
+          graft.text.Urls.registeredDomain(
+            regexp_extract(col("__canon"), graft.text.Urls.hostPattern, 1))
+            .as("domain"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(col("__canon")).as("n_targets"),
+          countDistinct(col("__anchor")).as("n_anchors"))
+    }),
+
     // URL canonicalization (text.Urls.canonicalize): planted URLs with
     // mixed-case authorities, default ports, tracking params and
     // fragments collapse to their canonical keys; counts per key prove
@@ -1272,6 +1308,53 @@ object TextQueries extends QueryGroup {
         |  CAST(length(nfc_normalize(noctl)) AS BIGINT) AS len_nfc,
         |  md5(nfc_normalize(noctl)) AS nfc_md5
         |FROM s""".stripMargin,
+
+    // Same planted links, same capture pattern, same canonicalization
+    // chain and registered-domain extraction.
+    "q_html_links" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    '<p>intro</p><a href="HTTPS://Link' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.Example.COM:443/a/' || CAST(doc_id % 5 AS VARCHAR) ||
+        |    '?utm_source=z">anchor ' || CAST(doc_id % 11 AS VARCHAR) || '</a>' ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '<div><a class="x" href="http://other' ||
+        |      CAST(doc_id % 4 AS VARCHAR) || '.example.org/p#f">second' ||
+        |      chr(10) || 'link</a></div>' ELSE '' END) ||
+        |    '<b>not a link</b>' AS html
+        |  FROM documents),
+        |l AS (
+        |  SELECT
+        |    unnest(regexp_extract_all(html,
+        |      '(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a\s*>', 1)) AS href,
+        |    unnest(regexp_extract_all(html,
+        |      '(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a\s*>', 2)) AS anchor
+        |  FROM w),
+        |s1 AS (SELECT anchor, regexp_replace(href, '(?s)#.*$', '') AS u FROM l),
+        |s2 AS (SELECT anchor,
+        |  lower(regexp_extract(u, '^([hH][tT][tT][pP][sS]?://[^/?#]+)', 1)) ||
+        |  regexp_replace(u, '^([hH][tT][tT][pP][sS]?://[^/?#]+)', '') AS u
+        |  FROM s1),
+        |s3 AS (SELECT anchor,
+        |  regexp_replace(
+        |    regexp_replace(u, '^(https://[^/:?#]+):443([/?#]|$)', '\1\2'),
+        |    '^(http://[^/:?#]+):80([/?#]|$)', '\1\2') AS u
+        |  FROM s2),
+        |s4 AS (SELECT anchor,
+        |  regexp_replace(u, '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g') AS u
+        |  FROM s3),
+        |c AS (SELECT anchor,
+        |  regexp_replace(regexp_replace(u, '\?&', '?'), '[?&]$', '') AS canon
+        |  FROM s4),
+        |d AS (SELECT canon, anchor,
+        |  regexp_extract(
+        |    lower(regexp_extract(canon,
+        |      'https?://([a-zA-Z0-9-]+(?:\.[a-zA-Z0-9-]+)+)', 1)),
+        |    '([a-z0-9-]+\.[a-z0-9-]+)$', 1) AS domain
+        |  FROM c)
+        |SELECT domain, count(*) AS n_links,
+        |  count(DISTINCT canon) AS n_targets,
+        |  count(DISTINCT anchor) AS n_anchors
+        |FROM d GROUP BY domain""".stripMargin,
 
     // Same planted URLs, same canonicalization chain (RE2 replacement
     // refs are \1 where java.regex uses $1 — same semantics).

@@ -42,4 +42,23 @@ object Html {
     c = regexp_replace(c, "&amp;", "&")
     trim(re(c, "\\s+", " "))
   }
+
+  /** `<a href="…">anchor</a>` capture — double-quoted href attribute,
+    * non-greedy anchor body, dot-all for multi-line anchors.
+    */
+  val linkPattern: String =
+    "(?is)<a\\s[^>]*href=\"([^\"]*)\"[^>]*>(.*?)</a\\s*>"
+
+  /** Outbound link hrefs, in order of appearance. */
+  def linkHrefs(html: Column): Column =
+    regexp_extract_all(html, lit(linkPattern), lit(1))
+
+  /** Anchor texts aligned index-for-index with [[linkHrefs]] (both come
+    * from the same pattern walk, so the arrays zip). Feeding hrefs
+    * through [[Urls.canonicalize]] and anchors through [[stripTags]]
+    * turns a raw HTML corpus into the (source page → canonical target,
+    * anchor text) edge list a link graph / PageRank run starts from.
+    */
+  def linkAnchors(html: Column): Column =
+    regexp_extract_all(html, lit(linkPattern), lit(2))
 }

@@ -23,4 +23,14 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getSeq[String](1) == Seq("a b", "b a"))
     intercept[Exception](spark.sql("SELECT word_shingles('x', 'no')").head)
   }
+
+  test("registered SQL function: nfc_normalize composes decomposed accents") {
+    GraftExtensions.register(spark)
+    // Input is decomposed caf + e + U+0301; NFC output is composed U+00E9.
+    val r = spark.sql(
+      "SELECT nfc_normalize('cafe\u0301') AS c, " +
+        "length(nfc_normalize('cafe\u0301')) AS n").head
+    assert(r.getString(0) === "caf\u00e9")
+    assert(r.getInt(1) === 4)
+  }
 }

@@ -121,4 +121,43 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     // Base offsets ride a broadcast, not a shuffle join.
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("random projection is map-only: literal matrix, no join, no shuffle") {
+    import spark.implicits._
+    val df = (0L until 50L).map(i =>
+      (i, Array.tabulate(8)(d => (i + d).toFloat))).toDF("vec_id", "embedding")
+    val plan = planOf(df.select(col("vec_id"),
+      graft.ops.RandomProjection.project(col("embedding"), 4, 8)))
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("duplicated-span removal: hash count partial; doc windows keyed; no cartesian") {
+    import spark.implicits._
+    val docs = (0L until 60L).map(i =>
+      (i, (0 until 20).map(t => s"w${(i * 3 + t) % 11}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val plan = planOf(graft.text.DupSpans.removeDuplicatedSpans(
+      docs, "doc_id", "text", L = 4))
+    // Duplicate detection must combine map-side (a window repeated 1000x
+    // in a partition ships once).
+    assert(plan.contains("partial_count"), plan)
+    // Islands windows are doc-keyed, never empty-partitioned.
+    assert(!plan.split('\n').exists(l =>
+      l.contains("Window") && l.contains("partitionBy=[]")), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("candidate-blocked bitmap intersection never builds the all-pairs join") {
+    import spark.implicits._
+    val m = (for (k <- 'a' to 'j'; i <- 0L until 30L)
+      yield (k.toString, i)).toDF("k", "ord")
+    val bm = graft.ops.BitmapIndex.build(m, "k", "ord")
+    val cand = Seq(("a", "b"), ("c", "d")).toDF("key_a", "key_b")
+    val plan = planOf(graft.ops.BitmapIndex.intersectCounts(bm, cand))
+    // Pair generation is candidate-keyed equi-joins; the word-only join
+    // of the all-pairs form must be absent.
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_sum"), plan)
+  }
 }

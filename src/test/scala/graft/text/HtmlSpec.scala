@@ -42,4 +42,24 @@ class HtmlSpec extends AnyFunSuite with SparkTestBase {
     // A bare '<' that opens no tag is not a tag.
     assert(strip("3 < 5 and 7 > 2") === "3 < 5 and 7 > 2")
   }
+
+  private def links(html: String): Seq[(String, String)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val r = Seq(html).toDF("h")
+      .select(Html.linkHrefs(col("h")), Html.linkAnchors(col("h"))).head
+    r.getSeq[String](0).zip(r.getSeq[String](1))
+  }
+
+  test("link extraction: hrefs and anchors zip index-for-index") {
+    assert(links(
+      """<a href="http://a.com/1">one</a>x<a class="c" href="http://b.com/2" rel="nofollow">two</a>""")
+      === Seq("http://a.com/1" -> "one", "http://b.com/2" -> "two"))
+  }
+
+  test("link extraction: multi-line anchors, no-href and non-anchor tags skipped") {
+    assert(links("<a href=\"http://a.com\">line1\nline2</a>") ===
+      Seq("http://a.com" -> "line1\nline2"))
+    assert(links("""<a name="x">no href</a><b>bold</b>""") === Seq.empty)
+  }
 }
