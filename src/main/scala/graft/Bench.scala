@@ -94,7 +94,10 @@ object Bench {
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$failedField%s}"""
     println(line)
     // Also land the result in a file: sbt prefixes stdout with [info],
-    // which can defeat a line-oriented JSON parse downstream. Skipped for
+    // so downstream consumers read bench_last.json (a `json.load`-able
+    // document — pretty-printed below for diffable history, per round-7
+    // review advice) instead of parsing stdout. The compact single-line
+    // form stays on stdout for line-oriented consumers. Skipped for
     // SPARK_GRAFT_ONLY runs — a partial total in bench_last.json is
     // indistinguishable from a full-suite number.
     if (only.isEmpty) {

@@ -256,6 +256,14 @@ object PlaneBuckets {
   * call per row computes every output component; the matrix rides along
   * as a broadcast-free literal reference, so the projection is a map-only
   * stage a 1000-executor scan runs without any state shipping.
+  *
+  * Length mismatch semantics (deliberate, shared with [[PlaneBuckets]]
+  * and the SQL oracle's `range(1, dims+1)` form, where out-of-range list
+  * indexes are NULL and drop from the sum): the dot runs over
+  * min(vector length, matrix dims). A vector SHORTER than the declared
+  * dims therefore projects silently through its prefix — callers that
+  * can't rule out schema drift should validate dimensions upstream
+  * (e.g. `size(col) === dims`) rather than rely on this truncation.
   */
 case class PlaneProject(child: Expression, planes: Array[Array[Double]])
   extends UnaryExpression {

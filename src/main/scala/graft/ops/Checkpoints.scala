@@ -23,8 +23,16 @@ import org.apache.spark.sql.{DataFrame, GraftColumnBridge}
 object Checkpoints {
 
   /** Drop the block storage behind a `localCheckpoint`'d DataFrame.
-    * No-op for frames that are not checkpoint roots.
+    *
+    * Only call this on frames the caller itself obtained from
+    * `localCheckpoint`: any `LogicalRDD`-rooted frame (`createDataFrame`
+    * over a user RDD, reliable `checkpoint`) exposes its backing RDD the
+    * same way, and releasing an RDD someone else still relies on forces
+    * recomputation — or, for truncated lineage, failure. Frames whose
+    * plan is not RDD-rooted, or whose RDD holds no storage, are a no-op.
     */
   def release(df: DataFrame): Unit =
-    GraftColumnBridge.checkpointRdd(df).foreach(_.unpersist(blocking = false))
+    GraftColumnBridge.checkpointRdd(df)
+      .filter(_.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      .foreach(_.unpersist(blocking = false))
 }

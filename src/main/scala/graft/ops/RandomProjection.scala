@@ -24,12 +24,12 @@ import org.apache.spark.sql.functions._
 object RandomProjection {
 
   /** The derived k×d projection matrix (row-major). Deterministic in
-    * (tag, k, d); any engine with md5 rebuilds it bit-identically.
+    * (tag, k, d); any engine with md5 rebuilds it bit-identically. Rows
+    * come from [[Similarity.md5Components]] — the one copy of the
+    * component recipe shared with the LSH planes.
     */
   def matrix(outDim: Int, dims: Int, tag: String = "rp"): Array[Array[Double]] =
-    Array.tabulate(outDim)(j => Array.tabulate(dims)(d =>
-      graft.expr.Md5Hex.long60(s"${tag}_${j}_$d").toDouble /
-        (1L << 59).toDouble - 1.0))
+    Array.tabulate(outDim)(j => Similarity.md5Components(tag, j, dims))
 
   /** Projected vector column (array<double>, length `outDim`). */
   def project(vec: Column, outDim: Int, dims: Int,

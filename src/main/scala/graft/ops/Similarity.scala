@@ -149,11 +149,18 @@ object Similarity {
       b.getField("scale").cast("double") / lit(127.0 * 127.0)
   }
 
+  /** Generalized md5-derived component family: `tag_<plane>_<d>` → a
+    * double in [−1, 1). The SINGLE copy of the /2⁵⁹−1 scaling recipe —
+    * LSH planes and [[RandomProjection]] both derive through here so the
+    * oracle-parity formula cannot drift between copies.
+    */
+  def md5Components(tag: String, plane: Int, dims: Int): Array[Double] =
+    Array.tabulate(dims)(d =>
+      graft.expr.Md5Hex.long60(s"${tag}_${plane}_$d").toDouble /
+        (1L << 59).toDouble - 1.0)
+
   def md5PlaneComponents(plane: Int, dims: Int): Array[Double] =
-    Array.tabulate(dims) { d =>
-      graft.expr.Md5Hex.long60(s"p_${plane}_$d").toDouble /
-        (1L << 59).toDouble - 1.0
-    }
+    md5Components("p", plane, dims)
 
   /** [[lshTopK]] with md5-derived planes baked as literal arrays — the
     * oracle-parity variant (same trick as [[Dedup.simHashMd5]]). The

@@ -1340,10 +1340,13 @@ object TextQueries extends QueryGroup {
         |    '^(http://[^/:?#]+):80([/?#]|$)', '\1\2') AS u
         |  FROM s2),
         |s4 AS (SELECT anchor,
-        |  regexp_replace(u, '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g') AS u
+        |  regexp_replace(u, '([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*', '\1', 'g')
+        |    AS u
         |  FROM s3),
         |c AS (SELECT anchor,
-        |  regexp_replace(regexp_replace(u, '\?&', '?'), '[?&]$', '') AS canon
+        |  regexp_replace(regexp_replace(
+        |    regexp_replace(u, '&&+', '&', 'g'), '\?&', '?'), '[?&]$', '')
+        |    AS canon
         |  FROM s4),
         |d AS (SELECT canon, anchor,
         |  regexp_extract(
@@ -1385,10 +1388,12 @@ object TextQueries extends QueryGroup {
         |    '^(http://[^/:?#]+):80([/?#]|$)', '\1\2') AS u
         |  FROM s2),
         |s4 AS (SELECT
-        |  regexp_replace(u, '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g') AS u
+        |  regexp_replace(u, '([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*', '\1', 'g')
+        |    AS u
         |  FROM s3),
         |c AS (SELECT
-        |  regexp_replace(regexp_replace(u, '\?&', '?'), '[?&]$', '')
+        |  regexp_replace(regexp_replace(
+        |    regexp_replace(u, '&&+', '&', 'g'), '\?&', '?'), '[?&]$', '')
         |    AS canon_url
         |  FROM s4)
         |SELECT canon_url, count(*) AS n FROM c GROUP BY canon_url""".stripMargin,

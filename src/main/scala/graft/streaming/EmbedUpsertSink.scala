@@ -101,7 +101,13 @@ object EmbedUpsertSink {
     val body = state.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${esc(k)}": $v""" }
       .mkString("{\n", ",\n", "\n}")
-    Files.write(path, body.getBytes(StandardCharsets.UTF_8))
+    // Temp-file + atomic rename (the StageGate.recordSuccess discipline):
+    // a torn write here would reset the state on the next run and repost
+    // every embed instead of editing in place.
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   private final case class Line(
@@ -149,7 +155,8 @@ object EmbedUpsertSink {
         col("Date").cast("string").as("Date"))
       .collect()
     val byTask = rows.map(r => r.getString(1) -> Line(r.getString(1),
-      r.getString(2), Option(r.getString(3)).getOrElse(""),
+      Option(r.getString(2)).getOrElse("0:00"),
+      Option(r.getString(3)).getOrElse(""),
       Option(r.getString(4)))).toMap
 
     // Miscellaneous group: every task the data assigned there, A→Z.

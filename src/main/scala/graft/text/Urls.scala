@@ -61,8 +61,12 @@ object Urls {
     // 3. Default ports (authority is lower-case now).
     c = regexp_replace(c, "^(https://[^/:?#]+):443([/?#]|$)", "$1$2")
     c = regexp_replace(c, "^(http://[^/:?#]+):80([/?#]|$)", "$1$2")
-    // 4. Tracking params + separator tidy-up.
-    c = regexp_replace(c, "(utm_[a-z]+|fbclid|gclid)=[^&#]*&?", "")
+    // 4. Tracking params + separator tidy-up. The param name is ANCHORED
+    //    to its preceding ?/& (kept via $1): an unanchored form would
+    //    also strip the tail of non-tracking params like
+    //    `my_utm_source=1` or eat a path segment containing `gclid=`.
+    c = regexp_replace(c, "([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*", "$1")
+    c = regexp_replace(c, "&&+", "&")
     c = regexp_replace(c, "\\?&", "?")
     regexp_replace(c, "[?&]$", "")
   }

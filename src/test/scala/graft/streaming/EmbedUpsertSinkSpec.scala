@@ -87,6 +87,21 @@ class EmbedUpsertSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(ch.edits.contains(st1("Bosses")), "must have tried the edit first")
   }
 
+  test("null Time/Date render as the reference placeholders, not 'null'") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq("Group", "Task", "Time", "Holder", "Date")
+      .map(StructField(_, StringType, nullable = true)))
+    val batch = spark.createDataFrame(
+      java.util.List.of(Row("Raids", "Chambers of Xeric", null, "alice", null)),
+      schema)
+    val ch = new FakeChannel
+    val st = upsertBatch(batch, Seq(groups.head), "Misc", Map.empty, ch)
+    val msg = ch.messages(st("Raids"))
+    assert(!msg.contains("null"))
+    assert(msg.contains("**Time:** 0:00"))
+  }
+
   test("group with no held records renders the empty-category description") {
     val ch = new FakeChannel
     val empty = summary(("Raids", "Chambers of Xeric", "0:00", "", ""))
@@ -128,6 +143,36 @@ class EmbedUpsertSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(loadState(p) === Map.empty)
     Files.deleteIfExists(p)
     assert(loadState(p) === Map.empty)
+  }
+
+  test("end-to-end streaming: writeStream.foreachBatch upserts per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val p = Files.createTempFile("embed_state3", ".json")
+    Files.delete(p)
+    val ch = new FakeChannel
+    Transports.register("spec-stream", ch)
+    val mem = MemoryStream[(String, String, String, String, String)](spark)
+    val summary = mem.toDF()
+      .toDF("Group", "Task", "Time", "Holder", "Date")
+    val q = summary.writeStream
+      .foreachBatch(foreachBatchWriter(groups, "Miscellaneous PBs", p,
+        "spec-stream"))
+      .outputMode("append")
+      .start()
+    try {
+      mem.addData(("Raids", "Chambers of Xeric", "16:30", "alice", "2024-05-01"))
+      q.processAllAvailable()
+      assert(ch.sends.size === 3) // Raids + Bosses + Misc, batch 0
+      val idsAfterFirst = loadState(p)
+      mem.addData(("Raids", "Chambers of Xeric", "15:10", "erin", "2024-07-01"))
+      q.processAllAvailable()
+      // Batch 1 edits the same messages — no new posts, ids stable.
+      assert(ch.sends.size === 3)
+      assert(loadState(p) === idsAfterFirst)
+      assert(ch.messages(idsAfterFirst("Raids")).contains("**Time:** 15:10"))
+    } finally q.stop()
+    Files.deleteIfExists(p)
   }
 
   test("foreachBatchWriter persists state so a restarted query keeps editing") {

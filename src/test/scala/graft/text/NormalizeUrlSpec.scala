@@ -66,6 +66,22 @@ class NormalizeUrlSpec extends AnyFunSuite with SparkTestBase {
       "https://a.com/p?id=1&name=Z")
   }
 
+  test("tracking removal is anchored: non-tracking lookalikes and paths survive") {
+    // A param whose NAME merely contains 'utm_' is not a tracking param.
+    assert(one(Urls.canonicalize, "https://a.com/p?my_utm_source=1") ===
+      "https://a.com/p?my_utm_source=1")
+    assert(one(Urls.canonicalize, "https://a.com/p?xfbclid=9") ===
+      "https://a.com/p?xfbclid=9")
+    // A path segment containing 'gclid=' is not a query param.
+    assert(one(Urls.canonicalize, "https://a.com/gclid=x/page") ===
+      "https://a.com/gclid=x/page")
+    // Consecutive tracking params leave no double separators behind.
+    assert(one(Urls.canonicalize, "https://a.com/p?a=1&utm_c=2&b=2") ===
+      "https://a.com/p?a=1&b=2")
+    assert(one(Urls.canonicalize, "https://a.com/p?utm_a=1&utm_b=2&id=3") ===
+      "https://a.com/p?id=3")
+  }
+
   test("canonical forms collapse distinct raw spellings") {
     val raws = Seq(
       "HTTPS://Example.COM:443/p?utm_source=a#f1",
