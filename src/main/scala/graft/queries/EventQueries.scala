@@ -401,6 +401,27 @@ object EventQueries extends QueryGroup {
           col("event_type") === "purchase"))
     }),
 
+    // Markov transition matrix (ops.Transitions): which event type
+    // follows which, per user, with a 1-hour gap break — sankey edges +
+    // next-step probabilities from one lag window and one partial-agg'd
+    // count; the per-source normalizer broadcasts.
+    "q_event_transitions" -> ((s, dir) => {
+      graft.ops.Transitions.matrix(Tables.events(s, dir), "user_id", "ts",
+        "event_type", tieCols = Seq("event_id"), gapSeconds = Some(3600L))
+    }),
+
+    // First/last-touch attribution (ops.Attribution): purchases credit
+    // view/click touches within a 3-day lookback; a user-keyed range
+    // join + one struct-min/max reduction per conversion. 'none' rows
+    // keep the report reconciling against the raw conversion count.
+    "q_attribution" -> ((s, dir) => {
+      graft.ops.Attribution.report(Tables.events(s, dir), "user_id", "ts",
+        "event_type", "event_id",
+        isConversion = col("event_type") === "purchase",
+        isTouch = col("event_type").isin("view", "click"),
+        lookbackSeconds = 259200L)
+    }),
+
     // T-sessionize: gap-based sessions (30 min), session stats per user.
     "q_sessionize" -> ((s, dir) => {
       val sess = TimeSeries.sessionize(Tables.events(s, dir), "user_id", "ts", 1800L)
@@ -922,6 +943,52 @@ object EventQueries extends QueryGroup {
         |  CAST(epoch_us(t0) AS BIGINT) AS t_first_us,
         |  CAST(epoch_us(t2) AS BIGINT) AS t_convert_us
         |FROM agg""".stripMargin,
+
+    // Same lag window, same µs-exact gap break, same per-source
+    // normalization.
+    "q_event_transitions" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER w AS prev,
+        |    lag(ts) OVER w AS prev_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (
+        |  SELECT prev AS from_type, event_type AS to_type FROM o
+        |  WHERE prev IS NOT NULL
+        |    AND epoch_us(ts) - epoch_us(prev_ts) <= 3600000000),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM p GROUP BY 1, 2),
+        |t AS (SELECT from_type, sum(n) AS total FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+        |  round(c.n / CAST(t.total AS DOUBLE), 4) AS p
+        |FROM c JOIN t USING (from_type)""".stripMargin,
+
+    // Same range predicate (strictly-before, 3-day lookback), same
+    // (ts, id)-lexicographic first/last, same 'none' fallback.
+    "q_attribution" ->
+      """WITH conv AS (
+        |  SELECT user_id, event_id AS conv_id, ts AS conv_ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT user_id, event_id AS tid, ts AS tts, event_type AS ttype
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |j AS (
+        |  SELECT c.user_id, c.conv_id, c.conv_ts, t.tid, t.tts, t.ttype
+        |  FROM conv c LEFT JOIN touch t
+        |    ON c.user_id = t.user_id AND t.tts < c.conv_ts
+        |    AND t.tts >= c.conv_ts - INTERVAL 259200 SECOND),
+        |per AS (
+        |  SELECT user_id, conv_id, conv_ts,
+        |    coalesce((list(ttype ORDER BY tts, tid)
+        |      FILTER (WHERE tid IS NOT NULL))[1], 'none') AS first_touch,
+        |    coalesce((list(ttype ORDER BY tts DESC, tid DESC)
+        |      FILTER (WHERE tid IS NOT NULL))[1], 'none') AS last_touch,
+        |    count(tid) AS n_touches
+        |  FROM j GROUP BY 1, 2, 3)
+        |SELECT first_touch, last_touch,
+        |  CAST(count(*) AS BIGINT) AS n_conversions,
+        |  CAST(sum(n_touches) AS BIGINT) AS n_touches
+        |FROM per GROUP BY 1, 2""".stripMargin,
 
     "q_sessionize" ->
       """WITH lagged AS (
