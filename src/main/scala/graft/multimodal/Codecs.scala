@@ -52,7 +52,18 @@ object Codecs {
     * over the decoded samples. RMS sums integer squares (exact below
     * 2^53) and divides once, so any engine reproduces it bit-for-bit.
     */
-  def decodeWav(bytes: Array[Byte]): WavInfo = {
+  def decodeWav(bytes: Array[Byte]): WavInfo = decodeWavSamples(bytes)._1
+
+  /** One audio frame's features: integer peak and zero-crossing count
+    * (exact on any engine), float64 RMS from the exact integer
+    * square-sum.
+    */
+  final case class AudioFrame(frameIdx: Int, peak: Int, zcr: Int, rms: Double)
+
+  /** [[decodeWav]] plus the raw PCM samples — the input to framed
+    * feature extraction.
+    */
+  def decodeWavSamples(bytes: Array[Byte]): (WavInfo, Array[Short]) = {
     require(bytes.length >= 12, "truncated RIFF header")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(tag(buf) == "RIFF", "not a RIFF container")
@@ -92,7 +103,35 @@ object Codecs {
       sumSq += s.toLong * s.toLong
     }
     val rms = if (data.isEmpty) 0.0 else math.sqrt(sumSq / data.length.toDouble)
-    WavInfo(sampleRate, channels, bits, data.length, peak, rms)
+    (WavInfo(sampleRate, channels, bits, data.length, peak, rms), data)
+  }
+
+  /** Framed audio features — the per-frame slice of the audio
+    * feature-extraction stage (VAD energy gates, silence trim, loudness
+    * curves all start from exactly these): non-overlapping `frameSize`
+    * windows, trailing partial frame dropped. Per frame: integer peak,
+    * zero-crossing count (sign change between consecutive samples,
+    * s ≥ 0 counting as positive), and RMS from the exact integer square
+    * sum. All integer until the final sqrt, so any engine reproduces
+    * the values.
+    */
+  def audioFrames(samples: Array[Short], frameSize: Int): Seq[AudioFrame] = {
+    require(frameSize >= 2, "frame must hold at least 2 samples")
+    val nFrames = samples.length / frameSize
+    (0 until nFrames).map { f =>
+      val base = f * frameSize
+      var peak = 0; var zcr = 0; var sumSq = 0L
+      var i = 0
+      while (i < frameSize) {
+        val s = samples(base + i).toInt
+        val v = math.abs(s)
+        if (v > peak) peak = v
+        sumSq += s.toLong * s.toLong
+        if (i > 0 && ((s >= 0) != (samples(base + i - 1).toInt >= 0))) zcr += 1
+        i += 1
+      }
+      AudioFrame(f, peak, zcr, math.sqrt(sumSq / frameSize.toDouble))
+    }
   }
 
   // ---------------------------------------------------------------- BMP

@@ -76,6 +76,49 @@ object MultimodalQueries extends QueryGroup {
         .withColumn("rms", round(col("rms"), 4))
     }),
 
+    // Framed audio features over the REAL WAV decode path
+    // (Codecs.decodeWavSamples → audioFrames): non-overlapping 64-sample
+    // frames, per-frame integer peak / zero-crossing count and
+    // exact-integer-sum RMS — the energy/VAD slice of an audio pipeline.
+    // Same planted PCM as q_wav_decode, restated per-frame in the oracle.
+    "q_audio_frames" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val n = (200 + id % 57).toInt
+          val rate = (8000 + (id % 5) * 4000).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 31 + i * 7919L) % 65536L) - 32768L).toShort)
+          val (_, pcm) = graft.multimodal.Codecs.decodeWavSamples(
+            graft.multimodal.Codecs.encodeWavPcm16(rate, samples))
+          graft.multimodal.Codecs.audioFrames(pcm, 64).map(f =>
+            (id, f.frameIdx, f.peak, f.zcr, f.rms))
+        }
+        .toDF("doc_id", "frame_idx", "peak", "zcr", "rms")
+        .withColumn("rms", round(col("rms"), 4))
+    }),
+
+    // Channel histogram over the REAL JPEG decode path (Jpeg.decodePixels
+    // on the exactly-round-tripping constant-block images): 8 bins of 32
+    // values — the image-statistics slice (exposure/contrast screens)
+    // of a vision pipeline. The oracle restates the planted block values.
+    "q_image_histogram" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val w = 8 * (1 + id % 3).toInt
+          val h = 8 * (1 + id % 2).toInt
+          val bytes = graft.multimodal.Jpeg.encodeGray(w, h,
+            (x, y) => ((id + 17 * (x / 8) + 29 * (y / 8)) % 256).toInt,
+            quant = 8)
+          val (_, planes) = graft.multimodal.Jpeg.decodePixels(bytes)
+          val counts = new Array[Long](8)
+          planes(0).foreach(v => counts(v / 32) += 1)
+          counts.zipWithIndex.collect { case (n, b) if n > 0 => (id, b, n) }
+        }
+        .toDF("doc_id", "bin", "n")
+    }),
+
     // REAL image decode (no stub): 24bpp BMP bytes (padded bottom-up
     // rows) synthesized per doc_id, parsed back through
     // multimodal.Codecs.decodeBmp; mean luma sums integer-weighted
@@ -250,6 +293,39 @@ object MultimodalQueries extends QueryGroup {
         |  CAST(max(abs(smp)) AS INT) AS peak,
         |  round(sqrt(sum(smp * smp) / CAST(n AS DOUBLE)), 4) AS rms
         |FROM v GROUP BY doc_id, n""".stripMargin,
+    // Per-frame restatement of the q_wav_decode planting: 64-sample
+    // frames (trailing partial dropped), lag-window sign changes, exact
+    // integer square-sums.
+    "q_audio_frames" ->
+      """WITH ids AS (SELECT doc_id, 200 + doc_id % 57 AS n FROM documents),
+        |s AS (SELECT doc_id, n, unnest(range(n)) AS i FROM ids),
+        |v AS (SELECT doc_id, CAST(i // 64 AS INT) AS frame_idx, i % 64 AS j,
+        |  ((doc_id * 31 + i * 7919) % 65536) - 32768 AS smp
+        |  FROM s WHERE i < (n // 64) * 64),
+        |w AS (SELECT doc_id, frame_idx, j, smp,
+        |  lag(smp) OVER (PARTITION BY doc_id, frame_idx ORDER BY j) AS prev
+        |  FROM v)
+        |SELECT doc_id, frame_idx, CAST(max(abs(smp)) AS INT) AS peak,
+        |  CAST(count(CASE WHEN prev IS NOT NULL
+        |    AND (smp >= 0) <> (prev >= 0) THEN 1 END) AS INT) AS zcr,
+        |  round(sqrt(sum(smp * smp) / 64.0), 4) AS rms
+        |FROM w GROUP BY doc_id, frame_idx""".stripMargin,
+
+    // Constant blocks are 64 identical pixels, and the DC-only JPEG
+    // round-trip is exact — so each block adds 64 to its planted value's
+    // bin, closed-form.
+    "q_image_histogram" ->
+      """WITH ids AS (
+        |  SELECT doc_id, 1 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh
+        |  FROM documents),
+        |bx AS (SELECT doc_id, bw, bh, unnest(range(bw)) AS x FROM ids),
+        |b AS (SELECT doc_id, x, unnest(range(bh)) AS y FROM bx),
+        |v AS (SELECT doc_id,
+        |  CAST(((doc_id + 17 * x + 29 * y) % 256) // 32 AS INT) AS bin
+        |  FROM b)
+        |SELECT doc_id, bin, CAST(64 * count(*) AS BIGINT) AS n
+        |FROM v GROUP BY doc_id, bin""".stripMargin,
+
     "q_bmp_decode" ->
       """WITH ids AS (
         |  SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 5 AS h

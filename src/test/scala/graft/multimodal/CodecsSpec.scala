@@ -147,4 +147,37 @@ class CodecsSpec extends AnyFunSuite {
     val tiny = Codecs.decodePng(Codecs.encodePngGray8(1, 1, (_, _) => 42))
     assert(tiny.meanLuma == 42.0)
   }
+
+  test("audio frames: peak/zcr/rms per frame, trailing partial dropped") {
+    // 2.5 frames of 4 samples → 2 full frames.
+    val pcm = Array[Short](100, -100, 100, -100, /* frame 0: zcr 3 */
+      50, 60, 70, -80, /* frame 1: zcr 1 */
+      7, 7) // trailing partial: dropped
+    val f = Codecs.audioFrames(pcm, 4)
+    assert(f.map(_.frameIdx) === Seq(0, 1))
+    assert(f(0).peak === 100 && f(0).zcr === 3)
+    assert(f(1).peak === 80 && f(1).zcr === 1)
+    assert(f(0).rms === 100.0)
+    assert(f(1).rms === math.sqrt((50 * 50 + 60 * 60 + 70 * 70 + 80 * 80) / 4.0))
+  }
+
+  test("audio frames: zero counts as positive for zero crossings") {
+    // 0 >= 0 is positive: 0 → -1 crosses, -1 → 0 crosses, 0 → 1 doesn't.
+    val f = Codecs.audioFrames(Array[Short](0, -1, 0, 1), 4)
+    assert(f.head.zcr === 2)
+  }
+
+  test("audio frames: round-trips through the real WAV codec") {
+    val pcm = Array.tabulate(130)(i => ((i * 997) % 8191 - 4096).toShort)
+    val (info, decoded) = Codecs.decodeWavSamples(
+      Codecs.encodeWavPcm16(16000, pcm))
+    assert(info.nSamples === 130)
+    assert(decoded.sameElements(pcm))
+    assert(Codecs.audioFrames(decoded, 64).size === 2)
+  }
+
+  test("audio frames: short input yields no frames; tiny frame size rejected") {
+    assert(Codecs.audioFrames(Array[Short](1, 2, 3), 4).isEmpty)
+    intercept[IllegalArgumentException](Codecs.audioFrames(Array[Short](1), 1))
+  }
 }
