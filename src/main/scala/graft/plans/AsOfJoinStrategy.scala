@@ -4,15 +4,33 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 
-/** Plans [[AsOfJoinPlan]] as [[AsOfJoinExec]]. Injected at session build via
-  * `graft.GraftExtensions` (spark.sql.extensions) or at runtime through
+/** Plans [[AsOfJoinPlan]] physically, choosing by build-side size exactly
+  * as Spark's JoinSelection does for equi-joins:
+  *
+  *   - build side's estimated size within `spark.sql.autoBroadcastJoinThreshold`
+  *     → [[BroadcastAsOfJoinExec]]: probe side stays map-only, ZERO
+  *     shuffles (the win when a 100 TB fact stream probes a
+  *     dimension-sized time series);
+  *   - otherwise → [[AsOfJoinExec]]: co-partitioned, co-sorted streaming
+  *     merge (both sides shuffle once on the key).
+  *
+  * Injected at session build via `graft.GraftExtensions`
+  * (spark.sql.extensions) or at runtime through
   * [[AsOfJoinStrategy.register]].
   */
 object AsOfJoinStrategy extends SparkStrategy {
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lt, rt, vals, strat) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, vals, strat) :: Nil
+      val threshold =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val buildSize = r.stats.sizeInBytes
+      if (threshold > 0 && buildSize >= 0 && buildSize <= threshold)
+        BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt,
+          vals, strat) :: Nil
+      else
+        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, vals,
+          strat) :: Nil
     case _ => Nil
   }
 

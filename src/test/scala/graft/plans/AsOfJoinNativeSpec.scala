@@ -24,19 +24,34 @@ class AsOfJoinNativeSpec extends AnyFunSuite with SparkTestBase {
     (probes, build)
   }
 
-  test("bit-identical to the union+window form on random series, all strategies") {
+  /** Run `body` with the broadcast threshold pinned, restoring after. */
+  private def withThreshold[T](v: String)(body: => T): T = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, v)
+    try body finally spark.conf.set(key, old)
+  }
+
+  test("bit-identical to the union+window form on random series, all strategies, BOTH execs") {
     import spark.implicits._
-    (1 to 8).foreach { round =>
-      val (probes, build) = randomCase(round * 31 + 7)
-      val probeDf = probes.zipWithIndex
-        .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("pid", "key", "t")
-      val buildDf = build.toDF("key", "bt", "value")
-      Seq("backward", "forward", "backward_then_forward").foreach { strat =>
-        val want = AsOfJoin.join(probeDf, buildDf, Seq("key"), "t", "bt",
-          Seq("value"), strat).collect().map(_.toSeq).toSet
-        val got = AsOfJoin.joinNative(probeDf, buildDf, Seq("key"), "t", "bt",
-          Seq("value"), strat).collect().map(_.toSeq).toSet
-        assert(got == want, s"round $round strategy $strat")
+    // Tiny frames plan as BroadcastAsOfJoinExec at the default threshold;
+    // threshold -1 forces the co-partitioned merge — both physical paths
+    // must agree with the library form.
+    Seq("10MB", "-1").foreach { thr =>
+      withThreshold(thr) {
+        (1 to 8).foreach { round =>
+          val (probes, build) = randomCase(round * 31 + 7)
+          val probeDf = probes.zipWithIndex
+            .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("pid", "key", "t")
+          val buildDf = build.toDF("key", "bt", "value")
+          Seq("backward", "forward", "backward_then_forward").foreach { strat =>
+            val want = AsOfJoin.join(probeDf, buildDf, Seq("key"), "t", "bt",
+              Seq("value"), strat).collect().map(_.toSeq).toSet
+            val got = AsOfJoin.joinNative(probeDf, buildDf, Seq("key"), "t", "bt",
+              Seq("value"), strat).collect().map(_.toSeq).toSet
+            assert(got == want, s"threshold $thr round $round strategy $strat")
+          }
+        }
       }
     }
   }
@@ -57,17 +72,57 @@ class AsOfJoinNativeSpec extends AnyFunSuite with SparkTestBase {
 
   test("physical plan is AsOfJoinExec with one exchange and one sort per side") {
     import spark.implicits._
-    val probeDf = Seq((1L, "a", 5)).toDF("pid", "key", "t")
-    val buildDf = Seq(("a", 3, 9L)).toDF("key", "bt", "value")
+    withThreshold("-1") { // disable the broadcast pick: exercise the merge
+      val probeDf = Seq((1L, "a", 5)).toDF("pid", "key", "t")
+      val buildDf = Seq(("a", 3, 9L)).toDF("key", "bt", "value")
+      val df = AsOfJoin.joinNative(probeDf, buildDf, Seq("key"), "t", "bt", Seq("value"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin ["), plan) // AsOfJoinExec prints as "AsOfJoin"
+      val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      val sorts = plan.linesIterator.count(_.contains("Sort ["))
+      assert(exchanges == 2, s"want 2 exchanges:\n$plan")
+      assert(sorts == 2, s"want 2 sorts:\n$plan")
+      assert(!plan.contains("Window"), s"no window stage expected:\n$plan")
+      assert(!plan.contains("Union"), s"no union expected:\n$plan")
+    }
+  }
+
+  test("small build side plans as BroadcastAsOfJoin: zero shuffles, zero sorts") {
+    import spark.implicits._
+    val probeDf = Seq((1L, "a", 5), (2L, "a", 1), (3L, "b", 9))
+      .toDF("pid", "key", "t").repartition(3)
+    val buildDf = Seq(("a", 3, 9L), ("b", 8, 5L)).toDF("key", "bt", "value")
     val df = AsOfJoin.joinNative(probeDf, buildDf, Seq("key"), "t", "bt", Seq("value"))
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("AsOfJoin ["), plan) // AsOfJoinExec prints as "AsOfJoin"
-    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    val sorts = plan.linesIterator.count(_.contains("Sort ["))
-    assert(exchanges == 2, s"want 2 exchanges:\n$plan")
-    assert(sorts == 2, s"want 2 sorts:\n$plan")
-    assert(!plan.contains("Window"), s"no window stage expected:\n$plan")
-    assert(!plan.contains("Union"), s"no union expected:\n$plan")
+    assert(plan.contains("BroadcastAsOfJoin"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+    // The probe side must NOT shuffle or sort (its own repartition above
+    // is the only exchange allowed upstream of the join input).
+    assert(!plan.linesIterator.exists(_.contains("Exchange hashpartitioning")), plan)
+    assert(!plan.linesIterator.exists(_.contains("Sort [")), plan)
+    val got = df.collect().map(r => r.getLong(0) -> r.get(3)).toMap
+    assert(got === Map(1L -> 9L, 2L -> 9L, 3L -> 5L))
+  }
+
+  test("broadcast exec matches merge exec on the null-key/null-time cases") {
+    import spark.implicits._
+    val probeDf = Seq(
+      (1L, Option.empty[String], Option(5)),
+      (2L, Option("a"), Option.empty[Int]),
+      (3L, Option("a"), Option(4)))
+      .toDF("pid", "key", "t")
+    val buildDf = Seq(
+      (Option.empty[String], Option(3), 7L),
+      (Option("a"), Option(1), 11L),
+      (Option("a"), Option(9), 13L))
+      .toDF("key", "bt", "value")
+    def run() = AsOfJoin.joinNative(probeDf, buildDf, Seq("key"), "t", "bt",
+      Seq("value"), "backward_then_forward")
+      .collect().map(r => r.getLong(0) -> r.get(3)).toMap
+    val viaBroadcast = withThreshold("10MB")(run())
+    val viaMerge = withThreshold("-1")(run())
+    assert(viaBroadcast === viaMerge)
+    assert(viaBroadcast === Map(1L -> 7L, 2L -> 11L, 3L -> 11L))
   }
 
   test("keyless as-of joins on the global time axis (AllTuples, not zip-by-luck)") {
