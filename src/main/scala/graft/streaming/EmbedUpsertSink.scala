@@ -132,11 +132,37 @@ object EmbedUpsertSink {
     truncateEmbed((header +: parts).mkString("\n\n"))
   }
 
+  /** The "🏆 Newest Clan Records" tail the reference appends to the
+    * Miscellaneous embed (`5_post_pbs_to_discord.py:225-258`): the
+    * `recentCount` most recent dated records, Date-descending (ties
+    * break on Task then Holder so the output is deterministic under any
+    * row order), separated by a 20-dash rule; an empty Misc section is
+    * replaced by the reference's placeholder line; the combined
+    * description re-truncates at 4093 + "..." (the reference uses a
+    * DIFFERENT cap here than the 4090+marker embed cap — modeled
+    * faithfully).
+    */
+  private def appendRecent(miscDesc: String, title: String,
+      recent: Seq[Line]): String = {
+    if (recent.isEmpty) return miscDesc
+    val lines = recent.map(l => s"* **${l.holder}**\n  * *${l.task} - ${l.time}*")
+    val base =
+      if (miscDesc.contains("No records to display in this category."))
+        s"## **$title**\n*No miscellaneous records to display.*"
+      else miscDesc
+    val sep = "\n\n" + "─" * 20 + "\n\n"
+    val combined = base + sep + "## **🏆 Newest Clan Records**\n" +
+      lines.mkString("\n")
+    if (combined.length > EmbedLimit) combined.substring(0, 4093) + "..."
+    else combined
+  }
+
   /** Upsert one batch of the PB summary into the channel: edits messages
     * whose ids are in `state`, posts (and records) the rest, reposts when
     * an edit target vanished. Returns the updated state; `statePath`, when
     * given, is rewritten after the batch (the reference saves after each
-    * run).
+    * run). `recentCount` > 0 appends the newest dated records to the
+    * Miscellaneous embed (see [[appendRecent]]).
     *
     * `batch` columns: Group, Task, Time, Holder, Date (the
     * `personal_bests_summary` deliverable).
@@ -147,7 +173,8 @@ object EmbedUpsertSink {
       otherGroupName: String,
       state: Map[String, Long],
       transport: Transport,
-      statePath: Option[Path] = None): Map[String, Long] = {
+      statePath: Option[Path] = None,
+      recentCount: Int = 0): Map[String, Long] = {
     // Per-task lookup rows assembled in Spark; the collect is bounded by
     // the PB task universe (config-sized), not the broadcast volume.
     val rows = batch
@@ -165,10 +192,21 @@ object EmbedUpsertSink {
     val allGroups = groups :+
       GroupDef(otherGroupName, miscTasks.map(RecordDef(_)))
 
+    val recent =
+      if (recentCount <= 0) Seq.empty
+      else byTask.values.toSeq.filter(_.date.exists(_.nonEmpty))
+        .sortBy(l => (l.date.get, l.task, l.holder))(
+          Ordering.Tuple3(Ordering.String.reverse, Ordering.String,
+            Ordering.String))
+        .take(recentCount)
+
     var st = state
     allGroups.foreach { g =>
-      val content = render(g.title,
+      val base = render(g.title,
         g.records.map(rd => rd -> byTask.get(rd.name)))
+      val content =
+        if (g.title == otherGroupName) appendRecent(base, g.title, recent)
+        else base
       st.get(g.title) match {
         case Some(id) if transport.edit(id, content) => // edited in place
         case _ => st = st.updated(g.title, transport.send(content))

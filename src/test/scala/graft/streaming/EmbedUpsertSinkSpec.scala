@@ -111,6 +111,53 @@ class EmbedUpsertSinkSpec extends AnyFunSuite with SparkTestBase {
       "# **Raids**\nNo records to display in this category.")
   }
 
+  test("recent-records tail: newest dated records on the Misc embed only") {
+    val ch = new FakeChannel
+    val b = summary(
+      ("Raids", "Chambers of Xeric", "16:30", "alice", "2024-05-01"),
+      ("Miscellaneous PBs", "Barbarian Assault", "9:59", "dave", "2024-06-02"),
+      ("Miscellaneous PBs", "Fight Caves", "31:00", "erin", "2024-06-03"),
+      ("Miscellaneous PBs", "Inferno", "64:00", "frank", "2024-01-01"))
+    val st = upsertBatch(b, groups, "Miscellaneous PBs", Map.empty, ch,
+      recentCount = 2)
+    val misc = ch.messages(st("Miscellaneous PBs"))
+    assert(misc.contains("─" * 20))
+    assert(misc.contains("## **🏆 Newest Clan Records**"))
+    // Newest two by date, descending.
+    val iFc = misc.indexOf("* **erin**\n  * *Fight Caves - 31:00*")
+    val iBa = misc.indexOf("* **dave**\n  * *Barbarian Assault - 9:59*")
+    assert(iFc >= 0 && iBa >= 0 && iFc < iBa)
+    assert(!misc.contains("Inferno - 64:00*") ||
+      misc.indexOf("*Inferno") < misc.indexOf("🏆"), "3rd-newest excluded from tail")
+    // Other groups untouched.
+    assert(!ch.messages(st("Raids")).contains("Newest Clan Records"))
+  }
+
+  test("recent tail on an empty Misc section uses the placeholder line") {
+    val ch = new FakeChannel
+    // All dated records live in defined groups; Misc itself is empty.
+    val b = summary(
+      ("Raids", "Chambers of Xeric", "16:30", "alice", "2024-05-01"))
+    val st = upsertBatch(b, groups, "Miscellaneous PBs", Map.empty, ch,
+      recentCount = 5)
+    val misc = ch.messages(st("Miscellaneous PBs"))
+    assert(misc.startsWith("## **Miscellaneous PBs**\n" +
+      "*No miscellaneous records to display.*"))
+    assert(misc.contains("* **alice**\n  * *Chambers of Xeric - 16:30*"))
+  }
+
+  test("combined misc description re-truncates at 4093 + ellipsis") {
+    val ch = new FakeChannel
+    val rows = (1 to 120).map(i =>
+      ("Miscellaneous PBs", "T" * 30 + i, "1:00", "h" * 20 + i,
+        f"2024-03-${i % 28 + 1}%02d"))
+    val st = upsertBatch(summary(rows: _*), Seq.empty, "Miscellaneous PBs",
+      Map.empty, ch, recentCount = 100)
+    val misc = ch.messages(st("Miscellaneous PBs"))
+    assert(misc.length === 4096)
+    assert(misc.endsWith("..."))
+  }
+
   test("embed description truncates at 4096 → 4090 + marker") {
     val many = (1 to 200).map(i => RecordDef("T" * 40 + i))
     val lines = summary((1 to 200).map(i =>
