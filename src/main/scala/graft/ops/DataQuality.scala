@@ -51,6 +51,23 @@ object DataQuality {
         Seq(childKey), "left_anti")
 
   /** Duplicate-key groups: one row per key value appearing more than once. */
+  /** k-anonymity audit over a set of quasi-identifier columns: every row
+    * whose quasi-identifier combination is shared by fewer than `k` rows
+    * is re-identifiable to that group size. Returns one row per
+    * EQUIVALENCE CLASS below k — (quasi cols..., class_size) — the
+    * release gate a privacy review runs before publishing derived data
+    * (Sweeney 2002). One partial-agg'd groupBy; the violating classes
+    * are by definition the SMALL ones, so the result set is bounded even
+    * when the input is not.
+    */
+  def kAnonymityViolations(df: DataFrame, quasiCols: Seq[String],
+      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 2)
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .filter(col("class_size") < k)
+  }
+
   def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_dupes"))

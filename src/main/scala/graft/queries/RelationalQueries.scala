@@ -141,6 +141,20 @@ object RelationalQueries extends QueryGroup {
         Seq("l_orderkey", "l_returnflag", "l_shipdate"))
     }),
 
+    // k-anonymity release audit (DataQuality.kAnonymityViolations): the
+    // equivalence classes of (event_type, value decade, day) smaller
+    // than k=5 — exactly the rows a privacy review flags before
+    // publishing derived event data. One partial-agg'd groupBy; the
+    // violating classes are the small ones, so output is bounded.
+    "q_k_anonymity" -> ((s, dir) => {
+      val quasi = Tables.events(s, dir).select(
+        col("event_type"),
+        floor(col("value") / 10).cast("long").as("value_decade"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      graft.ops.DataQuality.kAnonymityViolations(quasi,
+        Seq("event_type", "value_decade", "day"), k = 5L)
+    }),
+
     // Data-quality gate, part 2: referential + uniqueness checks as
     // anti-join / groupBy counts (the publish gate in front of GoldSink).
     "q_integrity" -> ((s, dir) => {
@@ -538,6 +552,16 @@ object RelationalQueries extends QueryGroup {
         |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  count(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY user_id""".stripMargin,
+    // Same quasi-identifier derivation, same class-size threshold.
+    "q_k_anonymity" ->
+      """SELECT event_type,
+        |  CAST(floor(value / 10) AS BIGINT) AS value_decade,
+        |  strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(count(*) AS BIGINT) AS class_size
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |HAVING count(*) < 5""".stripMargin,
+
     "q_data_quality" -> {
       def prof(c: String) =
         s"""SELECT '$c' AS col_nm, count(*) AS n_rows,

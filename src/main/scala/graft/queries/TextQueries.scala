@@ -328,6 +328,14 @@ object TextQueries extends QueryGroup {
     "q_lm_score" -> ((s, dir) =>
       graft.text.LmScore.avgLogProb(Tables.documents(s, dir), "doc_id", "text")),
 
+    // Kneser–Ney-smoothed variant of the same scorer (LmScore
+    // .knAvgLogProb): absolute discount + continuation-probability
+    // interpolation, all statistics relational aggregates of the pair
+    // table — the smoothing a production KenLM filter uses.
+    "q_kn_lm" -> ((s, dir) =>
+      graft.text.LmScore.knAvgLogProb(Tables.documents(s, dir), "doc_id",
+        "text")),
+
     // Concat-and-chunk sequence packing: documents laid end-to-end in
     // doc_id order, token stream cut into 128-token training sequences;
     // each doc reports its sequence span. Global prefix sum via range
@@ -1150,6 +1158,37 @@ object TextQueries extends QueryGroup {
     // probabilities → per-doc list(term ORDER BY bigram) summed
     // left-to-right.
     "q_lm_score" -> s"WITH $lmCtes\n$lmSelect",
+
+    // Same pair table; KN statistics as row counts of it grouped each
+    // way; same fixed parenthesization, same ordered per-doc fold.
+    "q_kn_lm" ->
+      s"""WITH bgd AS (
+         |  SELECT doc_id, unnest(${OracleSql.shinglesSqlN(2)}) AS bg
+         |  FROM documents),
+         |pt AS (SELECT doc_id, string_split(bg, ' ')[1] AS w1,
+         |              string_split(bg, ' ')[2] AS w2 FROM bgd),
+         |dp AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM pt GROUP BY 1, 2, 3),
+         |pair AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS c12
+         |         FROM dp GROUP BY 1, 2),
+         |uni AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         |               CAST(count(*) AS BIGINT) AS n1v
+         |        FROM pair GROUP BY 1),
+         |contw AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1w
+         |          FROM pair GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM pair),
+         |pr AS (
+         |  SELECT w1, w2,
+         |    greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE)
+         |    + (0.75 * CAST(n1v AS DOUBLE) / CAST(c1 AS DOUBLE))
+         |      * (CAST(n1w AS DOUBLE) / CAST(t AS DOUBLE)) AS p
+         |  FROM pair JOIN uni USING (w1) JOIN contw USING (w2) CROSS JOIN tot),
+         |terms AS (
+         |  SELECT dp.doc_id, dp.cnt, dp.w1, dp.w2, dp.cnt * ln(pr.p) AS term
+         |  FROM dp JOIN pr USING (w1, w2))
+         |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+         |  round(list_sum(list(term ORDER BY w1, w2)) /
+         |    CAST(sum(cnt) AS BIGINT), 4) AS avg_klogp
+         |FROM terms GROUP BY doc_id""".stripMargin,
 
     // Same LM chain + same langid marker case + per-language
     // quantile_cont terciles; identical strict-> banding.

@@ -27,8 +27,11 @@ import graft.expr.WordShingles
   */
 object LmScore {
 
-  /** (doc_id, n_bigrams, avg_logp) per document with ≥1 bigram. */
-  def avgLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** (doc_id, (__w1, __w2), count) + corpus pair counts shared by both
+    * estimators.
+    */
+  private def bigramCounts(docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
     val bg = docs
       .select(col(idCol).as("doc_id"),
         explode(WordShingles.shingles(col(textCol), 2)).as("__bg"))
@@ -38,11 +41,14 @@ object LmScore {
     val docPair = bg.groupBy("doc_id", "__w1", "__w2")
       .agg(count(lit(1)).as("__cnt"))
     val pair = docPair.groupBy("__w1", "__w2").agg(sum("__cnt").as("__c12"))
-    val uni = pair.groupBy("__w1").agg(sum("__c12").as("__c1"))
-    val probs = pair.join(uni, "__w1")
-      .select(col("__w1"), col("__w2"),
-        (col("__c12").cast("double") / col("__c1").cast("double")).as("__p"))
+    (docPair, pair)
+  }
 
+  /** Shared per-document reduction: ordered fold of cnt·ln(p) terms, so
+    * accumulation can't vary with partitioning.
+    */
+  private def docAvg(docPair: DataFrame, probs: DataFrame,
+      outCol: String): DataFrame = {
     val terms = docPair.join(probs, Seq("__w1", "__w2"))
       .select(col("doc_id"), col("__cnt"),
         struct(col("__w1"), col("__w2"),
@@ -52,6 +58,51 @@ object LmScore {
         sort_array(collect_list(col("__term"))).as("__ts"))
       .select(col("doc_id"), col("n_bigrams"),
         round(aggregate(col("__ts"), lit(0.0), (acc, x) =>
-          acc + x.getField("__t")) / col("n_bigrams"), 4).as("avg_logp"))
+          acc + x.getField("__t")) / col("n_bigrams"), 4).as(outCol))
+  }
+
+  /** (doc_id, n_bigrams, avg_logp) per document with ≥1 bigram. */
+  def avgLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (docPair, pair) = bigramCounts(docs, idCol, textCol)
+    val uni = pair.groupBy("__w1").agg(sum("__c12").as("__c1"))
+    val probs = pair.join(uni, "__w1")
+      .select(col("__w1"), col("__w2"),
+        (col("__c12").cast("double") / col("__c1").cast("double")).as("__p"))
+    docAvg(docPair, probs, "avg_logp")
+  }
+
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1999) — the smoothing real KenLM-style curation models use,
+    * where MLE assigns zero mass to unseen continuations and overrates
+    * words that only ever follow one context ("Francisco" after "San"):
+    *
+    *   P_KN(w|v) = max(c(vw) − d, 0)/c(v) + d·N1+(v·)/c(v) · N1+(·w)/N1+(··)
+    *
+    * Every statistic is a relational aggregate over the SAME pair-count
+    * table MLE uses: N1+(v·) and N1+(·w) are row counts of the pair
+    * table grouped each way, N1+(··) its total row count (a 1-row
+    * broadcast). Exact longs into float64 with one fixed
+    * parenthesization, so any engine reproduces the scores bit-for-bit.
+    * Scores every (doc, bigram) seen in the corpus model — unseen-bigram
+    * backoff never arises in self-scoring, so the discount mass shows up
+    * purely as the continuation-probability interpolation.
+    */
+  def knAvgLogProb(docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, "absolute discount must be in (0,1)")
+    val (docPair, pair) = bigramCounts(docs, idCol, textCol)
+    val uni = pair.groupBy("__w1")
+      .agg(sum("__c12").as("__c1"), count(lit(1)).as("__n1v"))
+    val contW = pair.groupBy("__w2").agg(count(lit(1)).as("__n1w"))
+    val tot = pair.agg(count(lit(1)).as("__T"))
+    val d = lit(discount)
+    val probs = pair.join(uni, "__w1").join(contW, "__w2")
+      .crossJoin(broadcast(tot))
+      .select(col("__w1"), col("__w2"),
+        (greatest(col("__c12").cast("double") - d, lit(0.0)) /
+            col("__c1").cast("double") +
+          (d * col("__n1v").cast("double") / col("__c1").cast("double")) *
+            (col("__n1w").cast("double") / col("__T").cast("double"))).as("__p"))
+    docAvg(docPair, probs, "avg_klogp")
   }
 }
