@@ -336,6 +336,18 @@ object TextQueries extends QueryGroup {
       graft.text.LmScore.knAvgLogProb(Tables.documents(s, dir), "doc_id",
         "text")),
 
+    // Cross-corpus KN scoring (LmScore.knCrossScore): model on the even
+    // doc_ids, score the odd ones — backoff and the OOV floor actually
+    // fire, plus the n_unseen OOV-bigram signal. The CCNet shape: score
+    // the crawl under a reference-corpus LM.
+    "q_kn_crossscore" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.text.LmScore.knCrossScore(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text")
+    }),
+
     // Concat-and-chunk sequence packing: documents laid end-to-end in
     // doc_id order, token stream cut into 128-token training sequences;
     // each doc reports its sequence span. Global prefix sum via range
@@ -1158,6 +1170,49 @@ object TextQueries extends QueryGroup {
     // probabilities → per-doc list(term ORDER BY bigram) summed
     // left-to-right.
     "q_lm_score" -> s"WITH $lmCtes\n$lmSelect",
+
+    // Model from even doc_ids only; target bigrams left-join the model
+    // tables; same CASE backoff, same 1e-10 floor, same ordered fold.
+    "q_kn_crossscore" ->
+      s"""WITH bgd AS (
+         |  SELECT doc_id, unnest(${OracleSql.shinglesSqlN(2)}) AS bg
+         |  FROM documents),
+         |pt AS (SELECT doc_id, string_split(bg, ' ')[1] AS w1,
+         |              string_split(bg, ' ')[2] AS w2 FROM bgd),
+         |mdp AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM pt
+         |        WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
+         |pair AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS c12
+         |         FROM mdp GROUP BY 1, 2),
+         |uni AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         |               CAST(count(*) AS BIGINT) AS n1v
+         |        FROM pair GROUP BY 1),
+         |contw AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1w
+         |          FROM pair GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM pair),
+         |tdp AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM pt
+         |        WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3),
+         |sc AS (
+         |  SELECT tdp.doc_id, tdp.cnt, tdp.w1, tdp.w2,
+         |    pair.c12 IS NULL AS unseen,
+         |    greatest(
+         |      CASE WHEN uni.c1 IS NULL
+         |        THEN coalesce(contw.n1w, 0) / CAST(tot.t AS DOUBLE)
+         |        ELSE greatest(CAST(coalesce(pair.c12, 0) AS DOUBLE) - 0.75, 0.0)
+         |               / CAST(uni.c1 AS DOUBLE)
+         |             + (0.75 * CAST(uni.n1v AS DOUBLE) / CAST(uni.c1 AS DOUBLE))
+         |               * (coalesce(contw.n1w, 0) / CAST(tot.t AS DOUBLE))
+         |      END, 1e-10) AS p
+         |  FROM tdp
+         |  LEFT JOIN pair USING (w1, w2)
+         |  LEFT JOIN uni USING (w1)
+         |  LEFT JOIN contw USING (w2)
+         |  CROSS JOIN tot)
+         |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+         |  round(list_sum(list(cnt * ln(p) ORDER BY w1, w2)) /
+         |    CAST(sum(cnt) AS BIGINT), 4) AS avg_klogp,
+         |  CAST(sum(CASE WHEN unseen THEN cnt ELSE 0 END) AS BIGINT)
+         |    AS n_unseen
+         |FROM sc GROUP BY doc_id""".stripMargin,
 
     // Same pair table; KN statistics as row counts of it grouped each
     // way; same fixed parenthesization, same ordered per-doc fold.

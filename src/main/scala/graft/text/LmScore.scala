@@ -44,22 +44,34 @@ object LmScore {
     (docPair, pair)
   }
 
-  /** Shared per-document reduction: ordered fold of cnt·ln(p) terms, so
-    * accumulation can't vary with partitioning.
+  /** Shared per-document reduction over (doc_id, __cnt, __w1, __w2, __p
+    * [, __unseen]) rows: ordered fold of cnt·ln(p) terms, so accumulation
+    * can't vary with partitioning. When the input carries an `__unseen`
+    * flag (cross-corpus scoring), the unseen-bigram count comes out as
+    * `n_unseen`.
     */
-  private def docAvg(docPair: DataFrame, probs: DataFrame,
-      outCol: String): DataFrame = {
-    val terms = docPair.join(probs, Seq("__w1", "__w2"))
-      .select(col("doc_id"), col("__cnt"),
-        struct(col("__w1"), col("__w2"),
-          (col("__cnt").cast("double") * log(col("__p"))).as("__t")).as("__term"))
-    terms.groupBy("doc_id")
+  private def foldDoc(rows: DataFrame, outCol: String): DataFrame = {
+    val hasUnseen = rows.columns.contains("__unseen")
+    val unseenAgg =
+      if (hasUnseen)
+        Seq(sum(when(col("__unseen"), col("__cnt")).otherwise(0L)).as("n_unseen"))
+      else Seq.empty
+    val folded = rows
+      .groupBy("doc_id")
       .agg(sum(col("__cnt")).as("n_bigrams"),
-        sort_array(collect_list(col("__term"))).as("__ts"))
-      .select(col("doc_id"), col("n_bigrams"),
-        round(aggregate(col("__ts"), lit(0.0), (acc, x) =>
-          acc + x.getField("__t")) / col("n_bigrams"), 4).as(outCol))
+        (sort_array(collect_list(struct(col("__w1"), col("__w2"),
+          (col("__cnt").cast("double") * log(col("__p"))).as("__t"))))
+          .as("__ts") +: unseenAgg): _*)
+    val base = folded.select((Seq(col("doc_id"), col("n_bigrams"),
+      round(aggregate(col("__ts"), lit(0.0), (acc, x) =>
+        acc + x.getField("__t")) / col("n_bigrams"), 4).as(outCol)) ++
+      (if (hasUnseen) Seq(col("n_unseen")) else Seq.empty)): _*)
+    base
   }
+
+  private def docAvg(docPair: DataFrame, probs: DataFrame,
+      outCol: String): DataFrame =
+    foldDoc(docPair.join(probs, Seq("__w1", "__w2")), outCol)
 
   /** (doc_id, n_bigrams, avg_logp) per document with ≥1 bigram. */
   def avgLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -104,5 +116,54 @@ object LmScore {
           (d * col("__n1v").cast("double") / col("__c1").cast("double")) *
             (col("__n1w").cast("double") / col("__T").cast("double"))).as("__p"))
     docAvg(docPair, probs, "avg_klogp")
+  }
+
+  /** Cross-corpus Kneser–Ney scoring — the CCNet/KenLM curation shape:
+    * the model trains on a REFERENCE corpus and every target document is
+    * scored under it, so "surprising" means "unlike the reference", not
+    * "unlike the noise around it". Backoff now actually fires:
+    *
+    *   - seen (v,w): the interpolated KN formula;
+    *   - seen v, unseen w after it: λ(v)·P_cont(w) (the discount mass);
+    *   - unseen v: P_cont(w) alone;
+    *   - and the result floors at `floor` so a continuation the model has
+    *     never seen anywhere scores ln(floor), not −∞ (the deterministic
+    *     UNK convention, mirrored by the oracle).
+    *
+    * Output adds `n_unseen` — the OOV-bigram count, itself a standard
+    * quality signal. Scale shape: model tables derive once from the
+    * reference corpus; target bigrams join them on (w1) and (w2) —
+    * vocabulary-sized sides, broadcastable — and the type total rides a
+    * 1-row broadcast.
+    */
+  def knCrossScore(modelDocs: DataFrame, targetDocs: DataFrame,
+      idCol: String, textCol: String, discount: Double = 0.75,
+      floor: Double = 1e-10): DataFrame = {
+    require(discount > 0 && discount < 1, "absolute discount must be in (0,1)")
+    val (_, pair) = bigramCounts(modelDocs, idCol, textCol)
+    val (targetPair, _) = bigramCounts(targetDocs, idCol, textCol)
+    val uni = pair.groupBy("__w1")
+      .agg(sum("__c12").as("__c1"), count(lit(1)).as("__n1v"))
+    val contW = pair.groupBy("__w2").agg(count(lit(1)).as("__n1w"))
+    val tot = pair.agg(count(lit(1)).as("__T"))
+    val d = lit(discount)
+    val pcont = coalesce(col("__n1w"), lit(0L)).cast("double") /
+      col("__T").cast("double")
+    val scored = targetPair
+      .join(pair, Seq("__w1", "__w2"), "left")
+      .join(uni, Seq("__w1"), "left")
+      .join(contW, Seq("__w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("__cnt"), col("__w1"), col("__w2"),
+        greatest(
+          when(col("__c1").isNull, pcont)
+            .otherwise(
+              greatest(coalesce(col("__c12"), lit(0L)).cast("double") - d,
+                  lit(0.0)) / col("__c1").cast("double") +
+                (d * col("__n1v").cast("double") / col("__c1").cast("double")) *
+                  pcont),
+          lit(floor)).as("__p"),
+        col("__c12").isNull.as("__unseen"))
+    foldDoc(scored, "avg_klogp")
   }
 }

@@ -54,4 +54,35 @@ class KneserNeySpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](
       LmScore.knAvgLogProb(docs(1L -> "a b"), "doc_id", "text", discount = 1.5))
   }
+
+  test("cross-corpus backoff: every unseen case scores deterministically") {
+    // Model corpus: (a,b)x2, (a,c), (b,c)  → c1(a)=3, n1v(a)=2, T=3,
+    // n1w(b)=1, n1w(c)=2.
+    val model = docs(1L -> "a b", 2L -> "a b", 3L -> "a c", 4L -> "b c")
+    val targets = docs(
+      10L -> "a b", // seen pair: full formula
+      11L -> "a z", // seen context, w unseen anywhere: λ(a)·0 → floor
+      12L -> "z c", // unseen context: P_cont(c) = 2/3
+      13L -> "z q") // nothing seen: floor
+    val got = LmScore.knCrossScore(model, targets, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Double]("avg_klogp"), r.getAs[Long]("n_unseen")))).toMap
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pAB = (2.0 - 0.75) / 3.0 + (0.75 * 2.0 / 3.0) * (1.0 / 3.0)
+    assert(got(10L) === ((r4(math.log(pAB)), 0L)))
+    assert(got(11L) === ((r4(math.log(1e-10)), 1L)))
+    assert(got(12L) === ((r4(math.log(2.0 / 3.0)), 1L)))
+    assert(got(13L) === ((r4(math.log(1e-10)), 1L)))
+  }
+
+  test("cross-score ranks reference-like docs above off-corpus docs") {
+    val model = docs((1L to 6L).map(i => i -> "the cat sat on the mat"): _*)
+    val targets = docs(
+      100L -> "the cat sat on the mat",
+      101L -> "zq xw vv uu tt ss")
+    val got = LmScore.knCrossScore(model, targets, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("avg_klogp")).toMap
+    assert(got(100L) > got(101L))
+  }
 }
