@@ -56,6 +56,22 @@ object GraphQueries extends QueryGroup {
       graft.graph.LabelPropagation.communities(edges, "src", "dst", rounds = 3)
     }),
 
+    // Single-source BFS distances (source = doc 0, depth cap 6) — frontier
+    // expansion with early exit; the oracle replays it as a depth-capped
+    // recursive CTE.
+    "q_shortest_path" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val edges = docs.crossJoin(broadcast(n)).select(
+        col("doc_id").as("src"),
+        explode(array(
+          pmod(col("doc_id") * 31 + 0, col("__n")),
+          pmod(col("doc_id") * 57 + 1, col("__n")),
+          pmod(col("doc_id") * 91 + 2, col("__n")))).as("dst"))
+      graft.graph.ShortestPaths.bfs(edges, "src", "dst", source = 0L,
+        maxDepth = 6)
+    }),
+
     // Bounded-round 3-core peeling, 4 rounds — the dense-subgraph sieve.
     "q_kcore" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"))
@@ -165,6 +181,26 @@ object GraphQueries extends QueryGroup {
          |${(1 to 3).map(round).mkString(",\n")}
          |SELECT node, label FROM l3""".stripMargin
     },
+
+    // Depth-capped recursive walk; UNION-mode recursion dedups visited
+    // (node, dist) pairs so min(dist) is the BFS distance. The dist < 6
+    // guard mirrors the Spark side's maxDepth = 6.
+    "q_shortest_path" ->
+      """WITH RECURSIVE cnt AS (SELECT count(*) AS n FROM documents),
+        |e AS (
+        |  SELECT doc_id AS src, (doc_id * 31 + 0) % n AS dst FROM documents, cnt
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 57 + 1) % n FROM documents, cnt
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 91 + 2) % n FROM documents, cnt),
+        |walk(node, dist) AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, 0 AS dist
+        |  UNION
+        |  SELECT e.dst, walk.dist + 1
+        |  FROM walk JOIN e ON e.src = walk.node AND e.src <> e.dst
+        |  WHERE walk.dist < 6)
+        |SELECT node, CAST(min(dist) AS INT) AS dist
+        |FROM walk GROUP BY node""".stripMargin,
 
     // Same 4 peel rounds unrolled; final report re-derives degrees in the
     // surviving subgraph and applies the same >= k gate.
