@@ -75,6 +75,40 @@ object MlQueries extends QueryGroup {
         "vec_id", "embedding", model, k = 5, candidateK = 20)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           (round(col("cos"), 4) + lit(0.0)).as("cos"))
+    }),
+
+    // PCA sufficient statistics, oracle-checkable form: integer-quantized
+    // centered-covariance numerators n·Σxy − Σx·Σy over the first 8 dims.
+    // This pair-explode shape exists FOR the SQL oracle; the production
+    // fit path is CovarianceAgg (one fixed-size buffer per partition, no
+    // d² row blowup) — q_pca_project below exercises it.
+    "q_pca_covariance" -> ((s, dir) => {
+      val q = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .filter(col("dim") < 8)
+        .select(col("vec_id"), col("dim").cast("int").as("dim"),
+          floor(col("x").cast("double") * 10000).cast("long").as("qv"))
+      val a = q.select(col("vec_id"), col("dim").as("dim_i"), col("qv").as("qa"))
+      val b = q.select(col("vec_id"), col("dim").as("dim_j"), col("qv").as("qb"))
+      a.join(b, Seq("vec_id")).filter(col("dim_i") <= col("dim_j"))
+        .groupBy("dim_i", "dim_j")
+        .agg(count(lit(1)).as("n"), sum(col("qa") * col("qb")).as("sxy"),
+          sum(col("qa")).as("sx"), sum(col("qb")).as("sy"))
+        .select(col("dim_i"), col("dim_j"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"))
+    }),
+
+    // Full PCA serving path: one-pass CovarianceAgg fit (d×d sufficient
+    // stats on the driver, Jacobi eigensolve), then a map-only projection
+    // through literal component vectors. Float covariance is summation-
+    // order-sensitive in the last bits, so output rounds to 3 decimals
+    // and the cross-engine gate is the exact q_pca_covariance companion.
+    "q_pca_project" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.ml.Pca.fit(emb, "embedding", k = 4)
+      graft.ml.Pca.project(emb.select("vec_id", "embedding"), "embedding", model)
+        .select(col("vec_id") +:
+          (0 until 4).map(i => (round(col(s"pc$i"), 3) + lit(0.0)).as(s"pc$i")): _*)
     }))
 
   // ---- oracle: a reusable unrolled Lloyd chain -----------------------
@@ -244,6 +278,20 @@ object MlQueries extends QueryGroup {
        |FROM af LEFT JOIN sh ON sh.vec_id = af.vec_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same quantization (floor of an exact float→double widening ×10⁴),
+    // same pair join, all-BIGINT arithmetic — bit-identical numerators.
+    "q_pca_covariance" ->
+      """WITH q0 AS (
+        |  SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qv
+        |  FROM embeddings),
+        |q AS (SELECT * FROM q0 WHERE dim < 8)
+        |SELECT a.dim AS dim_i, b.dim AS dim_j,
+        |  CAST(count(*) * sum(a.qv * b.qv) - sum(a.qv) * sum(b.qv) AS BIGINT)
+        |    AS cov_num
+        |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        |GROUP BY 1, 2""".stripMargin,
     "q_kmeans" -> kmeansSql,
     "q_semdedup" -> semdedupSql,
     "q_pq_encode" -> pqSql,
