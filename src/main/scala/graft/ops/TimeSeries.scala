@@ -209,6 +209,45 @@ object TimeSeries {
       .agg(sum(col(valueCol)).as("w_sum"), count(lit(1)).as("w_days"))
   }
 
+  /** Lag-k autocovariance sufficient statistics per series, for ACF-based
+    * seasonality/anomaly screens over metric series: for each key and each
+    * lag ℓ emits (n_pairs, acov_num = n·Σx_t·x_{t+ℓ} − Σx_t·Σx_{t+ℓ}) over
+    * the aligned ROW pairs. All-integer when `valueCol` is integral, so
+    * the statistic is engine-exact; divide by n²·(sample var terms)
+    * downstream for the normalized ACF when a float is acceptable.
+    *
+    * Expects one row per (key, time) on a gap-free spine (run
+    * [[resample]]/[[spine]] first) — lags are in ROWS, not time units.
+    *
+    * Scale shape: ONE keyed window (partition by series, in-partition
+    * sort) computes every lead, then the lag axis explodes a
+    * literal-length array and one partial-agg'd shuffle reduces per
+    * (key, lag) — the series is scanned once however many lags are
+    * requested, and no self-join of the series against itself appears.
+    */
+  def lagCovariance(df: DataFrame, keyCol: String, timeCol: String,
+      valueCol: String, lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), "lags must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(timeCol))
+    val leads = df
+      .select(col(keyCol), col(timeCol), col(valueCol).cast("long").as("__v"))
+      .select(col(keyCol) +: col("__v") +:
+        lags.map(l => lead(col("__v"), l).over(w).as(s"__v$l")): _*)
+    val entries = lags.map(l =>
+      struct(lit(l).as("lag"), col(s"__v$l").as("vl")))
+    leads
+      .select(col(keyCol), col("__v"), explode(array(entries: _*)).as("e"))
+      .filter(col("e.vl").isNotNull)
+      .groupBy(col(keyCol), col("e.lag").as("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__v") * col("e.vl")).as("__sxy"),
+        sum(col("__v")).as("__sx"), sum(col("e.vl")).as("__sy"))
+      .select(col(keyCol), col("lag"), col("n_pairs"),
+        (col("n_pairs") * col("__sxy") - col("__sx") * col("__sy"))
+          .as("acov_num"))
+  }
+
   /** Gap-based sessionization: a new session starts when the delta to the
     * previous event of the same user exceeds `gapSeconds`. Single shuffle on
     * user, in-partition sort — the classic scalable formulation.

@@ -160,6 +160,16 @@ object EventQueries extends QueryGroup {
           col("Frequency").as("frequency"))
     }),
 
+    // Lag-1/2/3 autocovariance of the daily count series per event type —
+    // one window pass + one (type, lag)-keyed agg, integer-exact numerators.
+    "q_autocorr" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("c"))
+      TimeSeries.lagCovariance(daily, "event_type", "day", "c", Seq(1, 2, 3))
+    }),
+
     // T1 6h buckets across all types (stacked-frequency shape trimmed to 6h).
     "q_6h_buckets" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -656,6 +666,27 @@ object EventQueries extends QueryGroup {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
         |    ORDER BY ts ASC, event_id ASC) AS rn FROM events)
         |WHERE rn = 1""".stripMargin,
+    // Same daily series, same leads, same integer numerators.
+    "q_autocorr" ->
+      """WITH daily AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, c,
+        |    lead(c, 1) OVER (PARTITION BY event_type ORDER BY day) AS v1,
+        |    lead(c, 2) OVER (PARTITION BY event_type ORDER BY day) AS v2,
+        |    lead(c, 3) OVER (PARTITION BY event_type ORDER BY day) AS v3
+        |  FROM daily),
+        |p AS (
+        |  SELECT event_type, 1 AS lag, c, v1 AS vl FROM l WHERE v1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_type, 2, c, v2 FROM l WHERE v2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_type, 3, c, v3 FROM l WHERE v3 IS NOT NULL)
+        |SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(*) * sum(c * vl) - sum(c) * sum(vl) AS BIGINT) AS acov_num
+        |FROM p GROUP BY 1, 2""".stripMargin,
+
     "q_daily_cumulative" ->
       """WITH b AS (
         |  SELECT make_timestamp(CAST(floor(epoch(ts) / 86400) * 86400000000 AS BIGINT)) AS bucket,

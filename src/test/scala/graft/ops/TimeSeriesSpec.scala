@@ -75,4 +75,33 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(x => (x._1, x._2)).toSeq
     assert(a == b)
   }
+
+  test("lagCovariance matches hand-computed numerators per lag") {
+    import spark.implicits._
+    // Series a: 1,2,4,8 — lag-1 pairs (1,2)(2,4)(4,8): n=3, Σxy=42,
+    // Σx=7, Σy=14 → acov = 3*42 - 98 = 28. Lag-2 pairs (1,4)(2,8):
+    // Σxy=20, Σx=3, Σy=12 → 2*20 - 36 = 4. Series b too short for lag 2.
+    val df = Seq(
+      ("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 4L), ("a", 4L, 8L),
+      ("b", 1L, 5L), ("b", 2L, 7L)
+    ).toDF("k", "t", "v").repartition(3)
+    val got = TimeSeries.lagCovariance(df, "k", "t", "v", Seq(1, 2))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got(("a", 1)) == ((3L, 28L)))
+    assert(got(("a", 2)) == ((2L, 4L)))
+    assert(got(("b", 1)) == ((1L, 0L))) // single pair: 1*35 - 5*7 = 0
+    assert(!got.contains(("b", 2)))
+  }
+
+  test("lagCovariance detects a planted period-2 alternation") {
+    import spark.implicits._
+    // Alternating 0,10,0,10…: lag-1 strongly negative, lag-2 positive.
+    val rows = (0 until 40).map(i => ("s", i.toLong, if (i % 2 == 0) 0L else 10L))
+    val got = TimeSeries.lagCovariance(rows.toDF("k", "t", "v"), "k", "t", "v",
+        Seq(1, 2))
+      .collect().map(r => r.getInt(1) -> r.getLong(3)).toMap
+    assert(got(1) < 0, s"lag-1 ${got(1)}")
+    assert(got(2) > 0, s"lag-2 ${got(2)}")
+  }
 }
