@@ -193,6 +193,27 @@ object TextQueries extends QueryGroup {
       graft.text.Bpe.tokenCounts(Tables.documents(s, dir), "doc_id", "text",
         rounds = 3)),
 
+    // Unigram-LM (SentencePiece-style) tokenizer, hard-EM over the
+    // distinct-word table: final piece vocabulary with integer usage.
+    // Viterbi DP is not SQL-expressible → rows-only here; UnigramLmSpec
+    // carries the semantics (hand-checked segmentations, determinism
+    // under repartition).
+    "q_unigram_vocab" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = graft.text.UnigramLm.fit(docs, "text",
+        maxPieceLen = 5, seedSize = 400, vocabSize = 150, emRounds = 2)
+      graft.text.UnigramLm.vocabulary(docs, "text", model)
+    }),
+
+    // Apply side of the same model: per-document token counts — each
+    // distinct word segmented once, counts joined back by word.
+    "q_unigram_tokens" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = graft.text.UnigramLm.fit(docs, "text",
+        maxPieceLen = 5, seedSize = 400, vocabSize = 150, emRounds = 2)
+      graft.text.UnigramLm.tokenCounts(docs, "doc_id", "text", model)
+    }),
+
     // Weighted sampling without replacement (Efraimidis–Spirakis):
     // 100 docs weighted by length, drawn from hash-derived uniforms —
     // the same sample on every engine, rerun, and partitioning.
