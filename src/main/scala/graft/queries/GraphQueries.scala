@@ -56,6 +56,23 @@ object GraphQueries extends QueryGroup {
       graft.graph.LabelPropagation.communities(edges, "src", "dst", rounds = 3)
     }),
 
+    // Modularity of the 3-round label-prop communities — integer-exact
+    // per-community numerators (Q = Σ q_num / 4m²): the quality gate that
+    // tells you whether a community structure is better than chance.
+    "q_modularity" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val edges = docs.crossJoin(broadcast(n)).select(
+        col("doc_id").as("src"),
+        explode(array(
+          pmod(col("doc_id") * 31 + 0, col("__n")),
+          pmod(col("doc_id") * 57 + 1, col("__n")),
+          pmod(col("doc_id") * 91 + 2, col("__n")))).as("dst"))
+      val labels = graft.graph.LabelPropagation.communities(
+        edges, "src", "dst", rounds = 3)
+      graft.graph.Modularity.perCommunity(edges, "src", "dst", labels)
+    }),
+
     // Single-source BFS distances (source = doc 0, depth cap 6) — frontier
     // expansion with early exit; the oracle replays it as a depth-capped
     // recursive CTE.
@@ -180,6 +197,53 @@ object GraphQueries extends QueryGroup {
          |l0 AS (SELECT DISTINCT node, node AS label FROM nb),
          |${(1 to 3).map(round).mkString(",\n")}
          |SELECT node, label FROM l3""".stripMargin
+    },
+
+    // The same 3 label-prop rounds, then modularity restated relationally:
+    // labeled edges, intra counts, degree sums, all-BIGINT numerators.
+    "q_modularity" -> {
+      def round(i: Int): String =
+        s"""v$i AS (
+           |  SELECT nb.node, l${i - 1}.label, count(*) AS c
+           |  FROM nb JOIN l${i - 1} ON l${i - 1}.node = nb.nbr GROUP BY 1, 2),
+           |l$i AS (
+           |  SELECT node, label FROM (
+           |    SELECT node, label, row_number() OVER
+           |      (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+           |    FROM v$i) WHERE rn = 1)""".stripMargin
+      s"""WITH cnt AS (SELECT count(*) AS n FROM documents),
+         |raw AS (
+         |  SELECT doc_id AS src, (doc_id * 31 + 0) % n AS dst FROM documents, cnt
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id * 57 + 1) % n FROM documents, cnt
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id * 91 + 2) % n FROM documents, cnt),
+         |e0 AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM raw WHERE src <> dst),
+         |nb AS (
+         |  SELECT a AS node, b AS nbr FROM e0
+         |  UNION ALL SELECT b, a FROM e0),
+         |l0 AS (SELECT DISTINCT node, node AS label FROM nb),
+         |${(1 to 3).map(round).mkString(",\n")},
+         |led AS (
+         |  SELECT la.label AS la, lb.label AS lb
+         |  FROM e0 JOIN l3 AS la ON la.node = e0.a
+         |          JOIN l3 AS lb ON lb.node = e0.b),
+         |m AS (SELECT count(*) AS m FROM led),
+         |intra AS (
+         |  SELECT la AS label, count(*) AS e_intra FROM led
+         |  WHERE la = lb GROUP BY 1),
+         |deg AS (
+         |  SELECT label, count(*) AS d_total FROM (
+         |    SELECT la AS label FROM led UNION ALL SELECT lb FROM led)
+         |  GROUP BY label)
+         |SELECT deg.label,
+         |  CAST(coalesce(intra.e_intra, 0) AS BIGINT) AS e_intra,
+         |  CAST(deg.d_total AS BIGINT) AS d_total,
+         |  CAST(4 * m.m * coalesce(intra.e_intra, 0)
+         |    - deg.d_total * deg.d_total AS BIGINT) AS q_num
+         |FROM deg LEFT JOIN intra USING (label) CROSS JOIN m""".stripMargin
     },
 
     // Depth-capped recursive walk; UNION-mode recursion dedups visited

@@ -193,6 +193,21 @@ object TextQueries extends QueryGroup {
       graft.text.Bpe.tokenCounts(Tables.documents(s, dir), "doc_id", "text",
         rounds = 3)),
 
+    // Compression-ratio redundancy screen: one codegen'd DEFLATE pass per
+    // document emits integer byte counts; the milli-ratio is exact integer
+    // arithmetic. DEFLATE output length is zlib-implementation-defined →
+    // rows-only here; CompressStatsSpec pins the semantics (repetitive ≪
+    // prose, ratio bounds, null/empty handling).
+    "q_compress_ratio" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.expr.CompressStats.stats(col("text")).as("cs"))
+        .select(col("doc_id"), col("cs.utf8_bytes").as("utf8_bytes"),
+          col("cs.deflate_bytes").as("deflate_bytes"),
+          (col("cs.deflate_bytes") * 1000L / greatest(col("cs.utf8_bytes"), lit(1L)))
+            .as("ratio_milli"))
+    }),
+
     // Unigram-LM (SentencePiece-style) tokenizer, hard-EM over the
     // distinct-word table: final piece vocabulary with integer usage.
     // Viterbi DP is not SQL-expressible → rows-only here; UnigramLmSpec
