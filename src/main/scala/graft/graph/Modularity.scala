@@ -25,6 +25,15 @@ object Modularity {
     * Q = Σ q_num / (4 m²); communities with no intra edges report
     * e_intra = 0. Nodes absent from `labels` are dropped with their
     * edges (a partial labeling scores its induced subgraph).
+    *
+    * The labeled edge list is scanned ONCE: each edge explodes into its
+    * two endpoint contributions (intra-ness attributed to the first, so
+    * an intra edge counts once) and a single label-keyed partial agg
+    * yields both e_intra and d_total; m falls out of the per-label frame
+    * (Σ d_total / 2) without touching the edges again. `labels` is
+    * lazily checkpointed because both endpoint joins reference it — an
+    * iteratively-computed labeling (label propagation) would otherwise
+    * re-run its whole chain per reference.
     */
   def perCommunity(edges: DataFrame, srcCol: String, dstCol: String,
       labels: DataFrame): DataFrame = {
@@ -33,25 +42,28 @@ object Modularity {
         greatest(col(srcCol), col(dstCol)).as("__b"))
       .filter(col("__a") =!= col("__b"))
       .distinct()
-    val la = labels.select(col("node").as("__a"), col("label").as("__la"))
-    val lb = labels.select(col("node").as("__b"), col("label").as("__lb"))
+    val lab = labels.select(col("node"), col("label")).localCheckpoint(false)
+    val la = lab.select(col("node").as("__a"), col("label").as("__la"))
+    val lb = lab.select(col("node").as("__b"), col("label").as("__lb"))
     val labeled = e.join(la, Seq("__a")).join(lb, Seq("__b"))
 
-    val m = labeled.agg(count(lit(1)).as("__m"))
+    val isIntra = col("__la") === col("__lb")
+    val perLabel = labeled
+      .select(explode(array(
+        struct(col("__la").as("label"),
+          when(isIntra, 1L).otherwise(0L).as("intra")),
+        struct(col("__lb").as("label"), lit(0L).as("intra")))).as("c"))
+      .groupBy(col("c.label").as("label"))
+      .agg(sum(col("c.intra")).as("e_intra"), count(lit(1)).as("d_total"))
+      // Community-sized, referenced twice (m and the report) — truncate so
+      // the edge scan runs once.
+      .localCheckpoint(false)
 
-    val intra = labeled.filter(col("__la") === col("__lb"))
-      .groupBy(col("__la").as("label"))
-      .agg(count(lit(1)).as("e_intra"))
+    // Σ d_total counts each edge twice → m exactly; the division is on an
+    // even integer, restored to BIGINT.
+    val m = perLabel.agg((sum(col("d_total")) / 2).cast("long").as("__m"))
 
-    // Degree sums per community: each labeled edge contributes 1 to each
-    // endpoint's community (2 to the community when intra).
-    val degrees = labeled.select(col("__la").as("label"))
-      .unionAll(labeled.select(col("__lb")))
-      .groupBy("label").agg(count(lit(1)).as("d_total"))
-
-    degrees
-      .join(intra, Seq("label"), "left_outer")
-      .na.fill(0L, Seq("e_intra"))
+    perLabel
       .crossJoin(broadcast(m))
       .select(col("label"), col("e_intra"), col("d_total"),
         (lit(4L) * col("__m") * col("e_intra") -
