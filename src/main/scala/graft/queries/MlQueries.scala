@@ -77,6 +77,13 @@ object MlQueries extends QueryGroup {
           (round(col("cos"), 4) + lit(0.0)).as("cos"))
     }),
 
+    // Exact tie-aware AUC (Mann–Whitney) of document length as a
+    // predictor of a planted source split — integer sufficient statistics
+    // (p, n, auc_num_x2), AUC = auc_num_x2 / 2pn.
+    "q_classifier_auc" -> ((s, dir) =>
+      graft.ml.Eval.aucExact(Tables.documents(s, dir),
+        col("n_chars"), length(col("source")) === 4)),
+
     // PCA sufficient statistics, oracle-checkable form: integer-quantized
     // centered-covariance numerators n·Σxy − Σx·Σy over the first 8 dims.
     // This pair-explode shape exists FOR the SQL oracle; the production
@@ -278,6 +285,27 @@ object MlQueries extends QueryGroup {
        |FROM af LEFT JOIN sh ON sh.vec_id = af.vec_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same group-then-window formulation: per distinct score (cp, cn),
+    // cumulative negatives below, tie-aware numerator — all BIGINT.
+    "q_classifier_auc" ->
+      """WITH t AS (
+        |  SELECT n_chars AS s,
+        |    CASE WHEN length(source) = 4 THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |g AS (
+        |  SELECT s, CAST(sum(y) AS BIGINT) AS cp,
+        |    CAST(sum(1 - y) AS BIGINT) AS cn
+        |  FROM t GROUP BY s),
+        |c AS (
+        |  SELECT cp, cn,
+        |    CAST(coalesce(sum(cn) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS nb
+        |  FROM g)
+        |SELECT CAST(sum(cp) AS BIGINT) AS p, CAST(sum(cn) AS BIGINT) AS n,
+        |  CAST(sum(cp * (2 * nb + cn)) AS BIGINT) AS auc_num_x2
+        |FROM c""".stripMargin,
+
     // Same quantization (floor of an exact float→double widening ×10⁴),
     // same pair join, all-BIGINT arithmetic — bit-identical numerators.
     "q_pca_covariance" ->
