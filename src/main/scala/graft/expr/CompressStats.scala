@@ -53,16 +53,24 @@ object CompressStats {
   /** Pinned DEFLATE parameters: default level, raw zlib wrapper. */
   private val Level = 6
 
+  // One native zlib stream per executor thread, reset() between rows —
+  // allocating/ending a Deflater per row would pay native stream
+  // setup/teardown on every document of the corpus scan. The thread pool
+  // bounds the stream count; streams live for the executor's lifetime.
+  private val deflaters = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(Level, false)
+  }
+
   def run(s: UTF8String): GenericInternalRow = {
     val bytes = s.getBytes
-    val d = new java.util.zip.Deflater(Level, false)
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
     var total = 0L
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      while (!d.finished()) total += d.deflate(buf)
-    } finally d.end()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) total += d.deflate(buf)
     new GenericInternalRow(Array[Any](bytes.length.toLong, total))
   }
 

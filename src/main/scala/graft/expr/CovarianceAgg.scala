@@ -22,7 +22,7 @@ import org.apache.spark.sql.types._
   * and codegen at d ≥ 32; the explode-to-pairs formulation multiplies the
   * shuffle by d²; both are avoided here.
   *
-  * Vectors shorter than the first-seen dimension throw (corrupt input);
+  * Vectors empty or shorter than the first-seen dimension throw (corrupt input);
   * the aggregate evaluates to null over zero rows.
   */
 case class CovarianceAgg(
@@ -75,6 +75,7 @@ case class CovarianceAgg(
     if (v == null) return buf
     val arr = v.asInstanceOf[ArrayData]
     val d = arr.numElements()
+    require(d >= 1, "covariance_agg saw an empty vector")
     buf.ensure(d)
     val x = buf.scratch
     var i = 0
@@ -117,9 +118,9 @@ case class CovarianceAgg(
     val buf = new Buffer
     val d = in.readInt()
     val n = in.readLong()
+    buf.n = n
     if (d > 0) {
       buf.ensure(d)
-      buf.n = n
       var i = 0
       while (i < d) { buf.sums(i) = in.readDouble(); i += 1 }
       i = 0

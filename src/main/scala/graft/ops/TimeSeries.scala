@@ -228,6 +228,17 @@ object TimeSeries {
   def lagCovariance(df: DataFrame, keyCol: String, timeCol: String,
       valueCol: String, lags: Seq[Int]): DataFrame = {
     require(lags.nonEmpty && lags.forall(_ >= 1), "lags must be >= 1")
+    // A fractional series would silently truncate under the long cast and
+    // zero the statistic — demand integers (pre-quantize floats upstream).
+    df.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"lagCovariance needs an integral value column (got $valueCol: " +
+          s"$other); quantize fractional series to fixed point first")
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col(timeCol))
     val leads = df

@@ -12,18 +12,39 @@ import org.apache.spark.sql.functions._
   */
 object GraphQueries extends QueryGroup {
 
+  /** The deterministic planted link graph every query here shares — 3
+    * pseudo-random out-links per document — built ONCE so the Scala side
+    * and the `rawEdgesSql` oracle preamble cannot drift apart.
+    */
+  private def plantedEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    docs.crossJoin(broadcast(n)).select(
+      col("doc_id").as("src"),
+      explode(array(
+        pmod(col("doc_id") * 31 + 0, col("__n")),
+        pmod(col("doc_id") * 57 + 1, col("__n")),
+        pmod(col("doc_id") * 91 + 2, col("__n")))).as("dst"))
+  }
+
+  /** Oracle preamble mirroring [[plantedEdges]]: CTEs `cnt` and `raw`
+    * (src, dst with self-loops and duplicates intact).
+    */
+  private val rawEdgesSql: String =
+    """cnt AS (SELECT count(*) AS n FROM documents),
+      |raw AS (
+      |  SELECT doc_id AS src, (doc_id * 31 + 0) % n AS dst FROM documents, cnt
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id * 57 + 1) % n FROM documents, cnt
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id * 91 + 2) % n FROM documents, cnt)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // Fixed-point PageRank, 3 iterations — exact BIGINT arithmetic end to
     // end, so the DuckDB oracle reproduces every rank bit-for-bit.
     "q_pagerank" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"))
-      val n = docs.agg(count(lit(1)).as("__n"))
-      val edges = docs.crossJoin(broadcast(n)).select(
-        col("doc_id").as("src"),
-        explode(array(
-          pmod(col("doc_id") * 31 + 0, col("__n")),
-          pmod(col("doc_id") * 57 + 1, col("__n")),
-          pmod(col("doc_id") * 91 + 2, col("__n")))).as("dst"))
+      val edges = plantedEdges(s, dir)
       PageRank.ranks(edges, "src", "dst", iterations = 3)
     }),
 
@@ -31,28 +52,14 @@ object GraphQueries extends QueryGroup {
     // orientation (each triangle enumerated exactly once at its lowest-
     // ranked corner; O(√m) oriented out-degree bounds the wedge fan-out).
     "q_triangles" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"))
-      val n = docs.agg(count(lit(1)).as("__n"))
-      val edges = docs.crossJoin(broadcast(n)).select(
-        col("doc_id").as("src"),
-        explode(array(
-          pmod(col("doc_id") * 31 + 0, col("__n")),
-          pmod(col("doc_id") * 57 + 1, col("__n")),
-          pmod(col("doc_id") * 91 + 2, col("__n")))).as("dst"))
+      val edges = plantedEdges(s, dir)
       graft.graph.Triangles.perNode(edges, "src", "dst")
     }),
 
     // Synchronous label-propagation communities, 3 rounds — majority vote
     // with min-label tie-break, all integer counting.
     "q_label_prop" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"))
-      val n = docs.agg(count(lit(1)).as("__n"))
-      val edges = docs.crossJoin(broadcast(n)).select(
-        col("doc_id").as("src"),
-        explode(array(
-          pmod(col("doc_id") * 31 + 0, col("__n")),
-          pmod(col("doc_id") * 57 + 1, col("__n")),
-          pmod(col("doc_id") * 91 + 2, col("__n")))).as("dst"))
+      val edges = plantedEdges(s, dir)
       graft.graph.LabelPropagation.communities(edges, "src", "dst", rounds = 3)
     }),
 
@@ -60,14 +67,7 @@ object GraphQueries extends QueryGroup {
     // per-community numerators (Q = Σ q_num / 4m²): the quality gate that
     // tells you whether a community structure is better than chance.
     "q_modularity" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"))
-      val n = docs.agg(count(lit(1)).as("__n"))
-      val edges = docs.crossJoin(broadcast(n)).select(
-        col("doc_id").as("src"),
-        explode(array(
-          pmod(col("doc_id") * 31 + 0, col("__n")),
-          pmod(col("doc_id") * 57 + 1, col("__n")),
-          pmod(col("doc_id") * 91 + 2, col("__n")))).as("dst"))
+      val edges = plantedEdges(s, dir)
       val labels = graft.graph.LabelPropagation.communities(
         edges, "src", "dst", rounds = 3)
       graft.graph.Modularity.perCommunity(edges, "src", "dst", labels)
@@ -77,28 +77,14 @@ object GraphQueries extends QueryGroup {
     // expansion with early exit; the oracle replays it as a depth-capped
     // recursive CTE.
     "q_shortest_path" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"))
-      val n = docs.agg(count(lit(1)).as("__n"))
-      val edges = docs.crossJoin(broadcast(n)).select(
-        col("doc_id").as("src"),
-        explode(array(
-          pmod(col("doc_id") * 31 + 0, col("__n")),
-          pmod(col("doc_id") * 57 + 1, col("__n")),
-          pmod(col("doc_id") * 91 + 2, col("__n")))).as("dst"))
+      val edges = plantedEdges(s, dir)
       graft.graph.ShortestPaths.bfs(edges, "src", "dst", source = 0L,
         maxDepth = 6)
     }),
 
     // Bounded-round 3-core peeling, 4 rounds — the dense-subgraph sieve.
     "q_kcore" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"))
-      val n = docs.agg(count(lit(1)).as("__n"))
-      val edges = docs.crossJoin(broadcast(n)).select(
-        col("doc_id").as("src"),
-        explode(array(
-          pmod(col("doc_id") * 31 + 0, col("__n")),
-          pmod(col("doc_id") * 57 + 1, col("__n")),
-          pmod(col("doc_id") * 91 + 2, col("__n")))).as("dst"))
+      val edges = plantedEdges(s, dir)
       graft.graph.KCore.peel(edges, "src", "dst", k = 3, rounds = 4)
     }))
 
@@ -107,13 +93,8 @@ object GraphQueries extends QueryGroup {
     // operands, so DuckDB floor == Spark `div` truncation), contribution
     // sums cast back from HUGEINT.
     "q_pagerank" ->
-      """WITH cnt AS (SELECT count(*) AS n FROM documents),
-        |e AS (
-        |  SELECT doc_id AS src, (doc_id * 31 + 0) % n AS dst FROM documents, cnt
-        |  UNION ALL
-        |  SELECT doc_id, (doc_id * 57 + 1) % n FROM documents, cnt
-        |  UNION ALL
-        |  SELECT doc_id, (doc_id * 91 + 2) % n FROM documents, cnt),
+      s"""WITH $rawEdgesSql,
+        |e AS (SELECT src, dst FROM raw),
         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
         |b AS (SELECT 1000000000000 // count(*) AS base FROM nodes),
         |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
@@ -138,13 +119,7 @@ object GraphQueries extends QueryGroup {
     // Same orientation restated: canonical undirected edges, (degree, id)
     // row-value ordering, wedge+close joins — all integer counting.
     "q_triangles" ->
-      """WITH cnt AS (SELECT count(*) AS n FROM documents),
-        |raw AS (
-        |  SELECT doc_id AS src, (doc_id * 31 + 0) % n AS dst FROM documents, cnt
-        |  UNION ALL
-        |  SELECT doc_id, (doc_id * 57 + 1) % n FROM documents, cnt
-        |  UNION ALL
-        |  SELECT doc_id, (doc_id * 91 + 2) % n FROM documents, cnt),
+      s"""WITH $rawEdgesSql,
         |e0 AS (
         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
         |  FROM raw WHERE src <> dst),
@@ -181,13 +156,7 @@ object GraphQueries extends QueryGroup {
            |    SELECT node, label, row_number() OVER
            |      (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
            |    FROM v$i) WHERE rn = 1)""".stripMargin
-      s"""WITH cnt AS (SELECT count(*) AS n FROM documents),
-         |raw AS (
-         |  SELECT doc_id AS src, (doc_id * 31 + 0) % n AS dst FROM documents, cnt
-         |  UNION ALL
-         |  SELECT doc_id, (doc_id * 57 + 1) % n FROM documents, cnt
-         |  UNION ALL
-         |  SELECT doc_id, (doc_id * 91 + 2) % n FROM documents, cnt),
+      s"""WITH $rawEdgesSql,
          |e0 AS (
          |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
          |  FROM raw WHERE src <> dst),
@@ -211,13 +180,7 @@ object GraphQueries extends QueryGroup {
            |    SELECT node, label, row_number() OVER
            |      (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
            |    FROM v$i) WHERE rn = 1)""".stripMargin
-      s"""WITH cnt AS (SELECT count(*) AS n FROM documents),
-         |raw AS (
-         |  SELECT doc_id AS src, (doc_id * 31 + 0) % n AS dst FROM documents, cnt
-         |  UNION ALL
-         |  SELECT doc_id, (doc_id * 57 + 1) % n FROM documents, cnt
-         |  UNION ALL
-         |  SELECT doc_id, (doc_id * 91 + 2) % n FROM documents, cnt),
+      s"""WITH $rawEdgesSql,
          |e0 AS (
          |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
          |  FROM raw WHERE src <> dst),
@@ -250,13 +213,8 @@ object GraphQueries extends QueryGroup {
     // (node, dist) pairs so min(dist) is the BFS distance. The dist < 6
     // guard mirrors the Spark side's maxDepth = 6.
     "q_shortest_path" ->
-      """WITH RECURSIVE cnt AS (SELECT count(*) AS n FROM documents),
-        |e AS (
-        |  SELECT doc_id AS src, (doc_id * 31 + 0) % n AS dst FROM documents, cnt
-        |  UNION ALL
-        |  SELECT doc_id, (doc_id * 57 + 1) % n FROM documents, cnt
-        |  UNION ALL
-        |  SELECT doc_id, (doc_id * 91 + 2) % n FROM documents, cnt),
+      s"""WITH RECURSIVE $rawEdgesSql,
+        |e AS (SELECT src, dst FROM raw),
         |walk(node, dist) AS (
         |  SELECT CAST(0 AS BIGINT) AS node, 0 AS dist
         |  UNION
@@ -280,13 +238,7 @@ object GraphQueries extends QueryGroup {
            |  SELECT a, b FROM e${r - 1}
            |  WHERE a IN (SELECT node FROM n$r)
            |    AND b IN (SELECT node FROM n$r))""".stripMargin
-      s"""WITH cnt AS (SELECT count(*) AS n FROM documents),
-         |raw AS (
-         |  SELECT doc_id AS src, (doc_id * 31 + 0) % n AS dst FROM documents, cnt
-         |  UNION ALL
-         |  SELECT doc_id, (doc_id * 57 + 1) % n FROM documents, cnt
-         |  UNION ALL
-         |  SELECT doc_id, (doc_id * 91 + 2) % n FROM documents, cnt),
+      s"""WITH $rawEdgesSql,
          |e0 AS (
          |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
          |  FROM raw WHERE src <> dst),

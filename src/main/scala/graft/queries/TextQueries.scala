@@ -204,7 +204,9 @@ object TextQueries extends QueryGroup {
           graft.expr.CompressStats.stats(col("text")).as("cs"))
         .select(col("doc_id"), col("cs.utf8_bytes").as("utf8_bytes"),
           col("cs.deflate_bytes").as("deflate_bytes"),
-          (col("cs.deflate_bytes") * 1000L / greatest(col("cs.utf8_bytes"), lit(1L)))
+          // floor-div (Spark `/` on longs is double division) → BIGINT.
+          floor(col("cs.deflate_bytes") * 1000L /
+            greatest(col("cs.utf8_bytes"), lit(1L))).cast("long")
             .as("ratio_milli"))
     }),
 

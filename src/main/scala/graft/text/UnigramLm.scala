@@ -89,11 +89,16 @@ object UnigramLm {
       var j = math.max(0, i - maxPieceLen)
       while (j < i) {
         if (best(j) != Double.NegativeInfinity) {
-          // Length-1 fallback for characters outside the vocabulary keeps
-          // ANY input segmentable (unknown chars cost a flat penalty far
-          // below any real piece score — deterministic, no -inf dead ends).
+          // Single-CODE-POINT fallback for characters outside the
+          // vocabulary keeps ANY input segmentable (unknown chars cost a
+          // flat penalty far below any real piece score — deterministic,
+          // no -inf dead ends). i/j are UTF-16 indices, so one code point
+          // spans 1 unit or 2 (a surrogate pair) — never split a pair.
+          val oneCp = i - j == 1 ||
+            (i - j == 2 && Character.isHighSurrogate(w.charAt(j)) &&
+              Character.isLowSurrogate(w.charAt(j + 1)))
           val sOpt = scores.get(w.substring(j, i))
-            .orElse(if (i - j == 1) Some(-100.0) else None)
+            .orElse(if (oneCp) Some(-100.0) else None)
           sOpt match {
             case Some(s) =>
               val cand = best(j) + s
@@ -148,11 +153,15 @@ object UnigramLm {
     for (_ <- 1 to emRounds) {
       val usage = pieceUsage(words, model).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      // M-step + prune: single chars always survive (segmentability);
-      // multi-char pieces keep the top vocabSize by (usage desc, piece asc).
-      val chars = model.counts.keysIterator.filter(_.length == 1)
+      // M-step + prune: single CODE POINTS always survive (segmentability
+      // — Spark's length() counts code points, so the seed's "single
+      // char" class includes supplementary characters whose Java String
+      // length is 2); multi-code-point pieces keep the top vocabSize by
+      // (usage desc, piece asc).
+      def cps(p: String): Int = p.codePointCount(0, p.length)
+      val chars = model.counts.keysIterator.filter(cps(_) == 1)
         .map(c => c -> usage.getOrElse(c, 0L)).toMap
-      val multi = usage.iterator.filter(_._1.length > 1).toSeq
+      val multi = usage.iterator.filter(kv => cps(kv._1) > 1).toSeq
         .sortBy { case (p, u) => (-u, p) }.take(vocabSize)
       model = Model(chars ++ multi, maxPieceLen)
     }
