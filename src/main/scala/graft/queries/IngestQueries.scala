@@ -14,6 +14,30 @@ import org.apache.spark.sql.functions._
 object IngestQueries extends QueryGroup {
 
   val queries: Map[String, Q] = Map(
+    // WARC (ISO 28500) encode→parse roundtrip over the documents table:
+    // each doc renders to a spec-shaped record, the parser streams it
+    // back, and the oracle recomputes the recovered fields (UTF-8 octet
+    // length, uri-embedded id) straight from the table — a codec bug on
+    // either side breaks the hash.
+    "q_warc_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val prefix = "http://example.com/doc/"
+      graft.Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.flatMap { case (id, text) =>
+            val bytes = graft.sources.Warc.render(graft.sources.Warc.Record(
+              "response", s"$prefix$id", Map("WARC-Record-ID" -> s"<urn:doc:$id>"),
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            graft.sources.Warc.parseAll(bytes).map(_._2)
+          }
+        }
+        .map(r => (r.targetUri.stripPrefix(prefix).toLong, r.warcType,
+          r.body.length.toLong))
+        .toDF("doc_id", "warc_type", "content_length")
+    }),
+
     // S2: watermark minus overlap — rows that would be re-fetched.
     "q_ingest_overlap" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -146,6 +170,13 @@ object IngestQueries extends QueryGroup {
     }))
 
   val oracles: Map[String, String] = Map(
+    // The roundtripped fields re-derived directly from the table: UTF-8
+    // octet length (DuckDB strlen) and the constant record type.
+    "q_warc_roundtrip" ->
+      """SELECT doc_id, 'response' AS warc_type,
+        |  CAST(strlen(text) AS BIGINT) AS content_length
+        |FROM documents""".stripMargin,
+
     "q_ingest_overlap" ->
       """SELECT count(*) AS n_refetched, min(event_id) AS min_id, max(event_id) AS max_id
         |FROM events
