@@ -38,9 +38,15 @@ object LmScore {
       .select(col("doc_id"),
         split(col("__bg"), " ").getItem(0).as("__w1"),
         split(col("__bg"), " ").getItem(1).as("__w2"))
+    // Both frames are multiply referenced downstream (docPair by the score
+    // join and the model derivation; pair by up to four model statistics
+    // in the KN variant) — truncate lineage so the text explodes and
+    // first-level aggregations run once, not once per reference.
     val docPair = bg.groupBy("doc_id", "__w1", "__w2")
       .agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint(false)
     val pair = docPair.groupBy("__w1", "__w2").agg(sum("__cnt").as("__c12"))
+      .localCheckpoint(false)
     (docPair, pair)
   }
 
