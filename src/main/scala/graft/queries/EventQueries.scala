@@ -160,6 +160,24 @@ object EventQueries extends QueryGroup {
           col("Frequency").as("frequency"))
     }),
 
+    // PSI drift monitor: value distribution of the first half-month vs
+    // the rest, 10 reference-defined equal-width bins — integer counts +
+    // one deterministically-derived smoothed term per bin.
+    "q_psi_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cut = to_timestamp(lit("2024-01-16"))
+      graft.ops.Drift.psiBins(ev.filter(col("ts") < cut),
+        ev.filter(col("ts") >= cut), "value", nBins = 10)
+    }),
+
+    // Categorical twin over event_type shares, same smoothing contract.
+    "q_drift_categorical" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cut = to_timestamp(lit("2024-01-16"))
+      graft.ops.Drift.categorical(ev.filter(col("ts") < cut),
+        ev.filter(col("ts") >= cut), "event_type")
+    }),
+
     // Lag-1/2/3 autocovariance of the daily count series per event type —
     // one window pass + one (type, lag)-keyed agg, integer-exact numerators.
     "q_autocorr" -> ((s, dir) => {
@@ -666,6 +684,61 @@ object EventQueries extends QueryGroup {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
         |    ORDER BY ts ASC, event_id ASC) AS rn FROM events)
         |WHERE rn = 1""".stripMargin,
+    // Same reference-defined binning, same add-one smoothing, same fixed
+    // parenthesization into one rounded double per bin.
+    "q_psi_drift" ->
+      """WITH b AS (
+        |  SELECT min(value) AS lo, max(value) AS hi
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+        |rb AS (
+        |  SELECT CASE WHEN hi = lo THEN 0 ELSE
+        |    CAST(least(greatest(floor((value - lo) / ((hi - lo) / 10)), 0), 9)
+        |      AS INT) END AS bin
+        |  FROM events, b
+        |  WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL),
+        |cb AS (
+        |  SELECT CASE WHEN hi = lo THEN 0 ELSE
+        |    CAST(least(greatest(floor((value - lo) / ((hi - lo) / 10)), 0), 9)
+        |      AS INT) END AS bin
+        |  FROM events, b
+        |  WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL),
+        |spine AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bin),
+        |rc AS (SELECT bin, count(*) AS c FROM rb GROUP BY 1),
+        |cc AS (SELECT bin, count(*) AS c FROM cb GROUP BY 1),
+        |m AS (
+        |  SELECT spine.bin, CAST(coalesce(rc.c, 0) AS BIGINT) AS ref_cnt,
+        |    CAST(coalesce(cc.c, 0) AS BIGINT) AS cur_cnt
+        |  FROM spine LEFT JOIN rc USING (bin) LEFT JOIN cc USING (bin)),
+        |t AS (SELECT CAST(sum(ref_cnt) AS BIGINT) AS rn,
+        |             CAST(sum(cur_cnt) AS BIGINT) AS cn FROM m)
+        |SELECT bin, ref_cnt, cur_cnt,
+        |  round(((ref_cnt + 1.0) / (rn + 10) - (cur_cnt + 1.0) / (cn + 10))
+        |    * ln(((ref_cnt + 1.0) / (rn + 10)) /
+        |         ((cur_cnt + 1.0) / (cn + 10))), 6) + 0.0 AS psi_term
+        |FROM m, t""".stripMargin,
+
+    // Union of categories, k = category count feeding the smoothing.
+    "q_drift_categorical" ->
+      """WITH rc AS (
+        |  SELECT event_type AS category, count(*) AS c FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
+        |cc AS (
+        |  SELECT event_type AS category, count(*) AS c FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1),
+        |m AS (
+        |  SELECT coalesce(rc.category, cc.category) AS category,
+        |    CAST(coalesce(rc.c, 0) AS BIGINT) AS ref_cnt,
+        |    CAST(coalesce(cc.c, 0) AS BIGINT) AS cur_cnt
+        |  FROM rc FULL OUTER JOIN cc ON rc.category = cc.category),
+        |t AS (SELECT CAST(sum(ref_cnt) AS BIGINT) AS rn,
+        |             CAST(sum(cur_cnt) AS BIGINT) AS cn,
+        |             count(*) AS k FROM m)
+        |SELECT category, ref_cnt, cur_cnt,
+        |  round(((ref_cnt + 1.0) / (rn + k) - (cur_cnt + 1.0) / (cn + k))
+        |    * ln(((ref_cnt + 1.0) / (rn + k)) /
+        |         ((cur_cnt + 1.0) / (cn + k))), 6) + 0.0 AS psi_term
+        |FROM m, t""".stripMargin,
+
     // Same daily series, same leads, same integer numerators.
     "q_autocorr" ->
       """WITH daily AS (
