@@ -160,4 +160,62 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("partial_sum"), plan)
   }
+
+  test("exact AUC: global window runs AFTER the distinct-score reduction") {
+    import spark.implicits._
+    val df = (0 until 300).map(i => ((i % 9).toLong, i % 2 == 0)).toDF("s", "y")
+    val plan = planOf(graft.ml.Eval.aucExact(df, col("s"), col("y")))
+    // Raw rows reduce via a partial agg before any Sort/Window — the
+    // single-partition section only ever sees ≤#distinct-scores rows.
+    val lines = plan.split('\n').map(_.trim)
+    val sortIdx = lines.indexWhere(_.startsWith("*(")) // codegen ids vary
+    assert(plan.contains("partial_sum"), plan)
+    val windowLine = lines.indexWhere(_.contains("Window"))
+    val aggLines = lines.zipWithIndex.filter(_._1.contains("partial_sum")).map(_._2)
+    assert(windowLine >= 0 && aggLines.nonEmpty, plan)
+    // The deepest (input-side) partial agg sits BELOW the window in the
+    // tree printout (greater index = closer to the scan).
+    assert(aggLines.max > windowLine, plan)
+  }
+
+  test("lag autocovariance: one window, one partial-agg'd shuffle, no self-join") {
+    import spark.implicits._
+    val df = (0 until 200).map(i => (s"k${i % 3}", i.toLong, (i % 11).toLong))
+      .toDF("k", "t", "v")
+    val plan = planOf(graft.ops.TimeSeries.lagCovariance(df, "k", "t", "v",
+      Seq(1, 2, 3)))
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("partial_sum"), plan)
+    // Exactly one Window operator no matter how many lags were asked for.
+    assert(plan.split('\n').count(_.contains("Window")) == 1, plan)
+  }
+
+  test("PCA covariance fit is one aggregate: no explode, no join") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge
+    val df = (0 until 50).map(i => Tuple1(Array(i.toFloat, (i % 5).toFloat)))
+      .toDF("v")
+    val agg = GraftColumnBridge.column(
+      graft.expr.CovarianceAgg(GraftColumnBridge.expression(df.col("v")))
+        .toAggregateExpression())
+    val plan = planOf(df.select(agg.as("s")))
+    assert(!plan.contains("Generate"), plan) // no explode of dims/pairs
+    assert(!plan.contains("Join"), plan)
+    // Partial buffers combine before the single exchange.
+    assert(plan.split('\n').count(_.contains("Exchange")) == 1, plan)
+  }
+
+  test("PSI drift: inputs reduce per side; no row-to-row join of slices") {
+    import spark.implicits._
+    val ref = (0 until 200).map(i => (i % 13).toDouble).toDF("v")
+    val cur = (0 until 200).map(i => (i % 7).toDouble).toDF("v")
+    val plan = planOf(graft.ops.Drift.psiBins(ref, cur, "v", 8))
+    // The per-side binned counts sit behind the lazy checkpoint (the
+    // final plan roots at its RDD), so what must hold HERE: the totals
+    // join is a broadcast of the 1-row frame, never a sort-merge, and
+    // the totals aggregation itself is partial before its exchange.
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("partial_sum"), plan)
+  }
 }
