@@ -47,6 +47,44 @@ object PageRank {
     GraftColumnBridge.column(IntegralDivide(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  /** Personalized PageRank: teleport mass returns ONLY to `sources`
+    * (Haveliwala 2002) — proximity-to-seed scoring for link-graph
+    * expansion (grow a trusted-domain set, rank candidates near known
+    * positives). Same integer fixed-point contract as [[ranks]]:
+    * r_0(v) = base·[v ∈ S] with base = SCALE div |S|, and each round
+    * r_i(v) = (15·base·[v ∈ S] + 85·c_i(v)) div 100. The seed set is a
+    * driver-side literal (personalization sets are small by definition),
+    * so the teleport term is a codegen'd IN — no extra join.
+    */
+  def personalized(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: Seq[Long], iterations: Int): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    require(sources.nonEmpty, "need at least one source node")
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node"))).distinct()
+    val base = Scale / sources.size
+    val isSeed = col("node").isin(sources: _*)
+    val outDeg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+
+    var rank = nodes.select(col("node"),
+      when(isSeed, lit(base)).otherwise(lit(0L)).as("rank_fp"))
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(rank.withColumnRenamed("node", "__src"), "__src")
+        .join(outDeg, "__src")
+        .select(col("__dst"), idiv(col("rank_fp"), col("__deg")).as("__share"))
+        .groupBy(col("__dst"))
+        .agg(sum(col("__share")).as("__c"))
+      rank = nodes
+        .join(contrib.withColumnRenamed("__dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          idiv(when(isSeed, lit(15L * base)).otherwise(lit(0L)) +
+            lit(85L) * coalesce(col("__c"), lit(0L)), lit(100L)).as("rank_fp"))
+    }
+    rank
+  }
+
   /** Fixed-point ranks after `iterations` rounds.
     *
     * @param edges      directed edge list; self-loops and multi-edges are

@@ -63,6 +63,14 @@ object GraphQueries extends QueryGroup {
       graft.graph.LabelPropagation.communities(edges, "src", "dst", rounds = 3)
     }),
 
+    // Personalized PageRank from seeds {0, 1}, 3 iterations — proximity-
+    // to-seed scoring, same integer fixed-point contract as q_pagerank.
+    "q_ppr" -> ((s, dir) => {
+      val edges = plantedEdges(s, dir)
+      PageRank.personalized(edges, "src", "dst", sources = Seq(0L, 1L),
+        iterations = 3)
+    }),
+
     // Modularity of the 3-round label-prop communities — integer-exact
     // per-community numerators (Q = Σ q_num / 4m²): the quality gate that
     // tells you whether a community structure is better than chance.
@@ -92,6 +100,28 @@ object GraphQueries extends QueryGroup {
     // Same recurrence unrolled: all divisions integer (`//`, non-negative
     // operands, so DuckDB floor == Spark `div` truncation), contribution
     // sums cast back from HUGEINT.
+    // Same unrolled recurrence with the teleport term gated on the seed
+    // set: base = SCALE // |S| is the 500000000000 literal.
+    "q_ppr" -> {
+      def pprRound(i: Int): String =
+        s"""pc$i AS (SELECT e.dst AS node, CAST(sum(pr${i - 1}.r // deg.d) AS BIGINT) AS c
+           |       FROM e JOIN deg USING (src) JOIN pr${i - 1} ON pr${i - 1}.node = e.src
+           |       GROUP BY e.dst),
+           |pr$i AS (SELECT nodes.node,
+           |         (CASE WHEN nodes.node IN (0, 1) THEN 15 * 500000000000 ELSE 0 END
+           |          + 85 * COALESCE(c, 0)) // 100 AS r
+           |       FROM nodes LEFT JOIN pc$i ON pc$i.node = nodes.node)""".stripMargin
+      s"""WITH $rawEdgesSql,
+        |e AS (SELECT src, dst FROM raw),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+        |pr0 AS (SELECT node,
+        |  CASE WHEN node IN (0, 1) THEN 500000000000 ELSE 0 END AS r
+        |  FROM nodes),
+        |${(1 to 3).map(pprRound).mkString(",\n")}
+        |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM pr3""".stripMargin
+    },
+
     "q_pagerank" ->
       s"""WITH $rawEdgesSql,
         |e AS (SELECT src, dst FROM raw),

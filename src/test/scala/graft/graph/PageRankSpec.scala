@@ -72,4 +72,41 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     assert(out.map(_._1).toSeq == Seq("a", "b"))
     assert(out(0)._2 == out(1)._2) // symmetric 2-cycle stays uniform
   }
+
+  test("personalized: mass stays near the seed, decays with distance") {
+    import spark.implicits._
+    // Chain 0→1→2→3 plus a disconnected 2-cycle 8↔9.
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (8L, 9L), (9L, 8L))
+      .toDF("s", "d")
+    // Enough rounds to mix: early iterations carry the initial mass as a
+    // transient wave down the chain (node k spikes at iteration k).
+    val got = PageRank.personalized(edges, "s", "d", Seq(0L), 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Seed keeps the teleport floor; downstream decays geometrically
+    // (~0.85 per hop at steady state); the component unreachable from
+    // the seed holds zero mass.
+    assert(got(0L) > got(1L) && got(1L) > got(2L) && got(2L) > got(3L))
+    assert(got(8L) == 0L && got(9L) == 0L)
+    assert(got(0L) == 15L * PageRank.Scale / 100L) // no in-edges: pure teleport
+  }
+
+  test("personalized hand-stepped recurrence on a 2-seed graph") {
+    import spark.implicits._
+    val edges = Seq((0L, 2L), (1L, 2L), (2L, 0L)).toDF("s", "d")
+    val base = PageRank.Scale / 2
+    val deg = Map(0L -> 1L, 1L -> 1L, 2L -> 1L)
+    var model = Map(0L -> base, 1L -> base, 2L -> 0L)
+    val seeds = Set(0L, 1L)
+    (1 to 3).foreach { _ =>
+      val c = Map(
+        2L -> (model(0L) / deg(0L) + model(1L) / deg(1L)),
+        0L -> model(2L) / deg(2L))
+      model = Seq(0L, 1L, 2L).map(v => v ->
+        ((if (seeds(v)) 15 * base else 0L) + 85 * c.getOrElse(v, 0L)) / 100)
+        .toMap
+    }
+    val got = PageRank.personalized(edges, "s", "d", Seq(0L, 1L), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == model)
+  }
 }
