@@ -59,6 +59,31 @@ object DedupQueries extends QueryGroup {
       Dedup.connectedComponents(pairs, "id_a", "id_b")
     }),
 
+    // Content-defined-chunking dedup over BINARY payloads (FastCDC gear
+    // hash): each doc's UTF-8 bytes chunk at content-derived boundaries,
+    // then chunk-hash document frequency gives per-doc shared-bytes
+    // ratios — the shift-resistant storage-dedup signal for blobs where
+    // token shingles don't apply. Rolling-hash boundaries are not
+    // SQL-expressible → rows-only; CdcChunksSpec pins tiling, bounds,
+    // shift-resilience, and determinism.
+    "q_cdc_dedup" -> ((s, dir) => {
+      val chunks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.expr.CdcChunks.chunks(col("text").cast("binary"),
+            minSize = 24, avgBits = 5, maxSize = 192)).as("c"))
+        .select(col("doc_id"), col("c.hash").as("h"),
+          col("c.length").cast("long").as("len"))
+        .localCheckpoint(false) // referenced by both the df and the rollup
+      val docFreq = chunks.select(col("h"), col("doc_id")).distinct()
+        .groupBy("h").agg(count(lit(1)).as("__df"))
+      chunks.join(docFreq, Seq("h"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("len")).as("total_bytes"),
+          sum(when(col("__df") > 1, col("len")).otherwise(0L))
+            .as("shared_bytes"))
+    }),
+
     // Benchmark decontamination: docs with doc_id % 10 == 0 stand in as the
     // eval/benchmark corpus; every remaining (training) doc is flagged with
     // its count of distinct eval 5-grams. The Bloom prefilter (the 100 TB
