@@ -53,6 +53,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.expr.NfcNormalize].getName,
         "nfc_normalize"),
       (children: Seq[Expression]) => graft.expr.NfcNormalize(children.head)))
+    // compress_stats(text) — the DEFLATE redundancy screen as SQL.
+    ext.injectFunction((
+      FunctionIdentifier("compress_stats"),
+      new ExpressionInfo(classOf[graft.expr.CompressStats].getName,
+        "compress_stats"),
+      (children: Seq[Expression]) => graft.expr.CompressStats(children.head)))
+    // cdc_chunks(bin, min, avgBits, max) — content-defined chunk table.
+    ext.injectFunction((
+      FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(classOf[graft.expr.CdcChunks].getName, "cdc_chunks"),
+      GraftExtensions.mkCdcChunks))
     // Custom whole-operator plan: as-of join (graft.plans.AsOfJoinPlan →
     // co-partitioned sort-merge AsOfJoinExec).
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
@@ -79,6 +90,11 @@ object GraftExtensions {
       "word_shingles", mkWordShingles, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize", exprs => graft.expr.NfcNormalize(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "compress_stats", exprs => graft.expr.CompressStats(exprs.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cdc_chunks", mkCdcChunks, "built-in")
   }
 
   /** `word_shingles(text, n literal [, distinct literal])`. */
@@ -90,6 +106,15 @@ object GraftExtensions {
       graft.expr.WordShingles(text, n, d)
     case _ => throw new IllegalArgumentException(
       "word_shingles(text, n literal [, distinct literal])")
+  }
+
+  /** `cdc_chunks(bin, min literal, avgBits literal, max literal)`. */
+  private[graft] def mkCdcChunks(
+      children: Seq[Expression]): graft.expr.CdcChunks = children match {
+    case Seq(bin, Literal(mn: Int, _), Literal(b: Int, _), Literal(mx: Int, _)) =>
+      graft.expr.CdcChunks(bin, mn, b, mx)
+    case _ => throw new IllegalArgumentException(
+      "cdc_chunks(bin, minSize literal, avgBits literal, maxSize literal)")
   }
 
   /** `z_order(bitsPerDim literal, col1, col2, ...)` — one builder shared by

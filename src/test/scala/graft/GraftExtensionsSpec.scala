@@ -33,4 +33,19 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getString(0) === "caf\u00e9")
     assert(r.getInt(1) === 4)
   }
+
+  test("registered SQL functions: compress_stats and cdc_chunks") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT compress_stats(repeat('na ', 200)).utf8_bytes AS ob, " +
+        "compress_stats(repeat('na ', 200)).deflate_bytes AS db").head
+    assert(r.getLong(0) == 600L)
+    assert(r.getLong(1) < 60L) // 200x-repeated trigram collapses
+    val c = spark.sql(
+      "SELECT size(cdc_chunks(CAST(repeat('xyzzy', 500) AS BINARY), " +
+        "16, 5, 128)) AS n").head
+    assert(c.getInt(0) >= 2500 / 128) // tiling respects the max bound
+    intercept[Exception](
+      spark.sql("SELECT cdc_chunks(CAST('x' AS BINARY), 'bad', 5, 9)").head)
+  }
 }
