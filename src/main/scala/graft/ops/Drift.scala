@@ -35,9 +35,12 @@ object Drift {
       nBins: Int, roundTo: Int = 6): DataFrame = {
     require(nBins >= 2, s"need at least 2 bins, got $nBins")
     val spark = ref.sparkSession
+    // One row; lazily checkpointed because both sides' binning broadcasts
+    // it — without truncation the reference min/max scan runs twice.
     val bounds = ref.agg(
       min(col(valueCol).cast("double")).as("__lo"),
       max(col(valueCol).cast("double")).as("__hi"))
+      .localCheckpoint(false)
 
     def binned(df: DataFrame, cntCol: String): DataFrame = {
       val x = col(valueCol).cast("double")

@@ -216,19 +216,26 @@ object TextQueries extends QueryGroup {
     // carries the semantics (hand-checked segmentations, determinism
     // under repartition).
     "q_unigram_vocab" -> ((s, dir) => {
+      import graft.text.UnigramLm
       val docs = Tables.documents(s, dir)
-      val model = graft.text.UnigramLm.fit(docs, "text",
+      // One word table feeds both the fit and the final usage report.
+      val words = UnigramLm.wordTable(docs, "text").localCheckpoint(false)
+      val model = UnigramLm.fitWords(words,
         maxPieceLen = 5, seedSize = 400, vocabSize = 150, emRounds = 2)
-      graft.text.UnigramLm.vocabulary(docs, "text", model)
+      UnigramLm.pieceUsage(words, model)
+        .select(col("piece"), length(col("piece")).as("piece_len"),
+          col("usage"))
     }),
 
     // Apply side of the same model: per-document token counts — each
     // distinct word segmented once, counts joined back by word.
     "q_unigram_tokens" -> ((s, dir) => {
+      import graft.text.UnigramLm
       val docs = Tables.documents(s, dir)
-      val model = graft.text.UnigramLm.fit(docs, "text",
+      val words = UnigramLm.wordTable(docs, "text").localCheckpoint(false)
+      val model = UnigramLm.fitWords(words,
         maxPieceLen = 5, seedSize = 400, vocabSize = 150, emRounds = 2)
-      graft.text.UnigramLm.tokenCounts(docs, "doc_id", "text", model)
+      UnigramLm.tokenCounts(docs, "doc_id", "text", model, words)
     }),
 
     // Weighted sampling without replacement (Efraimidis–Spirakis):

@@ -144,11 +144,23 @@ object UnigramLm {
       .groupBy("piece").agg(sum(col("usage")).as("usage"))
   }
 
-  /** Full training loop; returns the fitted model. */
+  /** Full training loop; returns the fitted model. Callers that also run
+    * [[pieceUsage]]/[[tokenCounts]] afterwards should build the word
+    * table once ([[wordTable]] + a lazy checkpoint) and use [[fitWords]],
+    * so the corpus scan and word aggregation are not repeated per phase.
+    */
   def fit(docs: DataFrame, textCol: String, maxPieceLen: Int = 6,
       seedSize: Int = 2000, vocabSize: Int = 500, emRounds: Int = 2): Model = {
-    require(maxPieceLen >= 1 && vocabSize >= 1 && emRounds >= 1)
     val words = wordTable(docs, textCol).localCheckpoint(false)
+    val model = fitWords(words, maxPieceLen, seedSize, vocabSize, emRounds)
+    graft.ops.Checkpoints.release(words)
+    model
+  }
+
+  /** [[fit]] over a pre-built (word, wcnt) table. */
+  def fitWords(words: DataFrame, maxPieceLen: Int, seedSize: Int,
+      vocabSize: Int, emRounds: Int): Model = {
+    require(maxPieceLen >= 1 && vocabSize >= 1 && emRounds >= 1)
     var model = Model(seedCounts(words, maxPieceLen, seedSize), maxPieceLen)
     for (_ <- 1 to emRounds) {
       val usage = pieceUsage(words, model).collect()
@@ -165,7 +177,6 @@ object UnigramLm {
         .sortBy { case (p, u) => (-u, p) }.take(vocabSize)
       model = Model(chars ++ multi, maxPieceLen)
     }
-    graft.ops.Checkpoints.release(words)
     model
   }
 
@@ -183,10 +194,16 @@ object UnigramLm {
     * and never re-segmented per occurrence.
     */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
-      model: Model): DataFrame = {
+      model: Model): DataFrame =
+    tokenCounts(docs, idCol, textCol, model, wordTable(docs, textCol))
+
+  /** [[tokenCounts]] with a caller-shared (word, wcnt) table, so a
+    * fit-then-apply pipeline derives it once.
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      model: Model, words: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val words = wordTable(docs, textCol)
     val bc = spark.sparkContext.broadcast(model.logScores)
     val maxLen = model.maxPieceLen
     val perWord = words.select(col("word")).as[String]
