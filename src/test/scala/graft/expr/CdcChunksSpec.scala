@@ -64,6 +64,28 @@ class CdcChunksSpec extends AnyFunSuite with SparkTestBase {
     assert(one == Seq((0, 1, one.head._3)))
   }
 
+  test("property: tiling + bounds hold over randomized inputs and params") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 60) {
+      val n = rnd.nextInt(4000)
+      val bytes = Array.fill(n)(rnd.nextInt(256).toByte)
+      val min = 1 + rnd.nextInt(64)
+      val max = min + 1 + rnd.nextInt(256)
+      val bits = 1 + rnd.nextInt(10)
+      val got = CdcChunks.run(bytes, min, bits, max).array
+        .map(_.asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow])
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+      assert(got.map(_._2).sum == n, s"n=$n min=$min bits=$bits max=$max")
+      got.headOption.foreach { case (o, _, _) => assert(o == 0) }
+      got.sliding(2).foreach {
+        case Seq((o1, l1, _), (o2, _, _)) => assert(o1 + l1 == o2)
+        case _ => ()
+      }
+      got.dropRight(1).foreach { case (_, l, _) => assert(l <= max) }
+      got.foreach { case (_, l, _) => assert(l >= 1 && l <= max) }
+    }
+  }
+
   test("deterministic across partitioning and repeated runs") {
     import spark.implicits._
     val rows = (0 until 40).map(i => (i.toLong, synth(2000 + i * 13, i)))

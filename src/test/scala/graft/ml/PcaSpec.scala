@@ -107,6 +107,33 @@ class PcaSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(prods(2) - ys.map(y => y * y).sum) < 1e-6)
   }
 
+  test("property: Jacobi reconstructs random symmetric matrices") {
+    val rnd = new scala.util.Random(5)
+    for (_ <- 1 to 30) {
+      val d = 2 + rnd.nextInt(5)
+      val a = Array.ofDim[Double](d, d)
+      for (i <- 0 until d; j <- i until d) {
+        val v = rnd.nextDouble() * 10 - 5
+        a(i)(j) = v; a(j)(i) = v
+      }
+      val (vals, vecs) = Jacobi.symmetricEigen(a)
+      // A · V ≈ V · diag(vals), column by column.
+      for (c <- 0 until d; r <- 0 until d) {
+        val av = (0 until d).map(k => a(r)(k) * vecs(k)(c)).sum
+        assert(math.abs(av - vals(c) * vecs(r)(c)) < 1e-8,
+          s"d=$d col=$c row=$r")
+      }
+      // Columns orthonormal.
+      for (c1 <- 0 until d; c2 <- c1 until d) {
+        val g = (0 until d).map(k => vecs(k)(c1) * vecs(k)(c2)).sum
+        assert(math.abs(g - (if (c1 == c2) 1.0 else 0.0)) < 1e-8)
+      }
+      // Trace preserved: Σλ = tr(A).
+      val tr = (0 until d).map(i => a(i)(i)).sum
+      assert(math.abs(vals.sum - tr) < 1e-8)
+    }
+  }
+
   test("empty input and degenerate k are rejected") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Array[Float])].toDF("id", "v")

@@ -67,6 +67,30 @@ class WarcSpec extends AnyFunSuite with SparkTestBase {
     assert(Warc.gunzipAll(r1).sameElements(r1))
   }
 
+  test("property: randomized archives roundtrip exactly") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 40) {
+      val records = (0 until 1 + rnd.nextInt(6)).map { i =>
+        val bodyLen = rnd.nextInt(2000)
+        // Bodies may contain CRLFs, header-lookalikes, NUL, anything.
+        val body = Array.fill(bodyLen)(rnd.nextInt(256).toByte)
+        val extra = (0 until rnd.nextInt(3))
+          .map(j => s"X-Hdr-$j" -> s"v${rnd.nextInt(100)}").toMap
+        Warc.Record(
+          Seq("response", "request", "metadata")(rnd.nextInt(3)),
+          s"http://h${rnd.nextInt(50)}/p$i", extra, body)
+      }
+      val blob = records.flatMap(r => Warc.render(r).toSeq).toArray
+      val parsed = Warc.parseAll(blob).map(_._2).toSeq
+      assert(parsed.size == records.size)
+      parsed.zip(records).foreach { case (p, r) =>
+        assert(p.warcType == r.warcType && p.targetUri == r.targetUri)
+        assert(p.headers == r.headers)
+        assert(p.body.sameElements(r.body))
+      }
+    }
+  }
+
   test("readFiles: one row per record across files, via binaryFile") {
     val dir = Files.createTempDirectory("warc_spec")
     try {

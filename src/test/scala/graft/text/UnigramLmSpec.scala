@@ -62,6 +62,34 @@ class UnigramLmSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b)
   }
 
+  test("property: viterbi matches brute-force optimal segmentation") {
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abc"
+    def allSegmentations(w: String): Seq[List[String]] =
+      if (w.isEmpty) Seq(Nil)
+      else (1 to w.length).flatMap(k =>
+        allSegmentations(w.drop(k)).map(w.take(k) :: _))
+    for (_ <- 1 to 60) {
+      val w = (0 until 1 + rnd.nextInt(7))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      // Random vocab over all substrings; single chars always present.
+      val subs = (for {
+        i <- 0 until w.length; j <- i + 1 to w.length
+      } yield w.substring(i, j)).distinct
+      val scores = subs
+        .filter(p => p.length == 1 || rnd.nextBoolean())
+        .map(p => p -> -(1.0 + rnd.nextInt(100))).toMap ++
+        alphabet.map(c => c.toString -> -50.0).toMap
+      val got = UnigramLm.viterbi(w, scores, maxPieceLen = w.length.max(1))
+      val gotScore = got.map(scores).sum
+      val best = allSegmentations(w)
+        .filter(_.forall(scores.contains))
+        .map(seg => seg.map(scores).sum)
+        .max
+      assert(gotScore == best, s"w=$w got=$got ($gotScore vs $best)")
+    }
+  }
+
   test("vocabulary reports integer usage that covers the corpus words") {
     import spark.implicits._
     val docs = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
