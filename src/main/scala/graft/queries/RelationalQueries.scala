@@ -134,6 +134,27 @@ object RelationalQueries extends QueryGroup {
         .na.fill(0L)
     }),
 
+    // TPC-H Q5-shaped supplier revenue rollup: fact ⋈ broadcast supplier
+    // ⋈ broadcast nation, discounted revenue through exact decimal, one
+    // partial-agg'd shuffle on the nation key.
+    "q_supplier_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          countDistinct(col("s_suppkey")).as("n_suppliers"),
+          count(lit(1)).as("n_lineitems"),
+          // Scale stays 4 end to end: the product sum is exact and no
+          // scale-reducing cast runs, so neither engine ever rounds
+          // (DuckDB truncates dec->dec scale cuts where Spark half-ups).
+          sum(dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+            .cast("decimal(18,4)").cast("double").as("revenue"))
+    }),
+
     // Data-quality gate, part 1: one-pass column profile (multi-distinct
     // agg → expand; single scan) unpivoted to a schema-independent report.
     "q_data_quality" -> ((s, dir) => {
@@ -494,6 +515,21 @@ object RelationalQueries extends QueryGroup {
         |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
         |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    // Same two broadcast-dim hops, same scale-4 decimal routing for the
+    // discounted product (no scale-reducing cast — engines round ties
+    // differently).
+    "q_supplier_rollup" ->
+      """SELECT n_name,
+        |  CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers,
+        |  count(*) AS n_lineitems,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
     "q_join_dim_agg" ->
       """SELECT p_brand, count(*) AS n_rows,
         |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
