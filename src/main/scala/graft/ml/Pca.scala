@@ -98,6 +98,23 @@ object Pca {
     }
     df.select(col("*") +: projections: _*)
   }
+
+  /** PCA whitening: centered projections scaled to unit variance
+    * (component i divided by √(λᵢ + eps)) — the decorrelate-and-equalize
+    * transform in front of distance-based methods (k-means, ANN) whose
+    * metrics otherwise overweight high-variance directions. Same map-only
+    * plan as [[project]]; `eps` guards near-zero eigenvalues.
+    */
+  def whiten(df: DataFrame, vecCol: String, model: Model,
+      prefix: String = "wc", eps: Double = 1e-9): DataFrame = {
+    val scaled = model.components.zipWithIndex.map { case (v, i) =>
+      val offset = v.zip(model.mean).map { case (a, b) => a * b }.sum
+      val scale = 1.0 / math.sqrt(model.eigenvalues(i) + eps)
+      ((Similarity.dot(col(vecCol), lit(v)) - lit(offset)) * lit(scale))
+        .as(s"$prefix$i")
+    }
+    df.select(col("*") +: scaled: _*)
+  }
 }
 
 /** Cyclic Jacobi eigendecomposition for small symmetric matrices (the

@@ -107,6 +107,29 @@ class PcaSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(prods(2) - ys.map(y => y * y).sum) < 1e-6)
   }
 
+  test("whitening yields unit variance and zero correlation") {
+    import spark.implicits._
+    // Correlated 2D data: y ≈ 2x + noise.
+    val rows = (0 until 300).map { i =>
+      val x = (i % 30).toDouble
+      val noise = ((i * 17) % 7 - 3).toDouble
+      (i.toLong, Array(x.toFloat, (2 * x + noise).toFloat, 1.0f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val m = Pca.fit(df, "embedding", k = 2)
+    val w = Pca.whiten(df, "embedding", m).select("wc0", "wc1")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    def popVar(xs: Seq[Double]) = {
+      val mu = xs.sum / xs.size
+      xs.map(v => (v - mu) * (v - mu)).sum / xs.size
+    }
+    assert(math.abs(popVar(w.map(_._1).toSeq) - 1.0) < 1e-6)
+    assert(math.abs(popVar(w.map(_._2).toSeq) - 1.0) < 1e-6)
+    // Cross-correlation of distinct whitened components vanishes.
+    val cross = w.map { case (a, b) => a * b }.sum / w.length
+    assert(math.abs(cross) < 1e-6, s"cross $cross")
+  }
+
   test("property: Jacobi reconstructs random symmetric matrices") {
     val rnd = new scala.util.Random(5)
     for (_ <- 1 to 30) {
