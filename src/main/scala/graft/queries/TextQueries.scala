@@ -227,6 +227,32 @@ object TextQueries extends QueryGroup {
           col("usage"))
     }),
 
+    // The Viterbi DP core under the ORACLE gate: per distinct word, the
+    // best-segmentation log score under the deterministic SEED model
+    // (maxPieceLen 3, top-20 multi-char pieces + all single chars).
+    // DuckDB replays the same DP with positions unrolled as CTEs —
+    // identical max/add structure, so scores match to the round(4)
+    // contract. Words are capped at 12 chars to bound the unroll.
+    "q_unigram_score" -> ((s, dir) => {
+      import graft.text.UnigramLm
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val words = UnigramLm.wordTable(docs, "text").localCheckpoint(false)
+      val model = UnigramLm.Model(
+        UnigramLm.seedCounts(words, maxPieceLen = 3, seedSize = 20), 3)
+      val bc = s.sparkContext.broadcast(model.logScores)
+      words.filter(length(col("word")) <= 12)
+        .select(col("word"), col("wcnt").cast("long"))
+        .as[(String, Long)]
+        .mapPartitions { it =>
+          val m = bc.value
+          it.map { case (w, c) => (w, c, UnigramLm.viterbiScore(w, m, 3)) }
+        }
+        .toDF("word", "wcnt", "score")
+        .select(col("word"), col("wcnt"),
+          (round(col("score"), 4) + lit(0.0)).as("score"))
+    }),
+
     // Apply side of the same model: per-document token counts — each
     // distinct word segmented once, counts joined back by word.
     "q_unigram_tokens" -> ((s, dir) => {
@@ -1210,6 +1236,55 @@ object TextQueries extends QueryGroup {
          |r AS (SELECT *, row_number() OVER
          |  (PARTITION BY w1 ORDER BY p DESC, w2) AS rn FROM sc)
          |SELECT w1, w2, c12, p FROM r WHERE rn <= 3 AND c1 >= 20""".stripMargin,
+
+    // The seed model re-derived relationally (full-length substrings,
+    // top-20 multi + all single chars, add-one log scores), then the
+    // Viterbi DP with positions unrolled as CTEs: dp_i = max over piece
+    // lengths 1..3 of dp_{i-k} + score(substr) — greatest() ignores the
+    // NULL terms where no piece matches, mirroring the DP's candidate
+    // set. Same add/max structure → same doubles.
+    "q_unigram_score" -> {
+      val L = 12
+      def dp(i: Int): String = {
+        val terms = (1 to 3).filter(_ <= i).map { k =>
+          s"((SELECT f FROM dp${i - k} p WHERE p.word = d.word) +\n" +
+            s"       (SELECT s FROM sc WHERE piece = substring(d.word, ${i - k + 1}, $k)))"
+        }
+        s"""dp$i AS MATERIALIZED (
+           |  SELECT d.word, greatest(
+           |    ${terms.mkString(",\n    ")}) AS f
+           |  FROM wl d WHERE length(d.word) >= $i)""".stripMargin
+      }
+      val fins = (1 to L).map(i =>
+        s"SELECT d.word, d.f FROM dp$i d JOIN wl w ON w.word = d.word AND length(w.word) = $i")
+        .mkString("\n  UNION ALL ")
+      s"""WITH wrd AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS wcnt FROM (
+         |    SELECT unnest(${OracleSql.toksSql}) AS word FROM documents)
+         |  WHERE word <> '' GROUP BY word),
+         |wl AS MATERIALIZED (SELECT * FROM wrd WHERE length(word) <= $L),
+         |subs AS MATERIALIZED (
+         |  SELECT piece, sum(wcnt) AS pcnt FROM (
+         |    SELECT substring(word, CAST(i AS INT), CAST(l AS INT)) AS piece,
+         |      wcnt
+         |    FROM wrd, range(1, 65) t(i), range(1, 4) u(l)
+         |    WHERE i + l - 1 <= length(word))
+         |  GROUP BY piece),
+         |model AS MATERIALIZED (
+         |  SELECT piece, pcnt FROM subs WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, pcnt FROM (
+         |    SELECT piece, pcnt FROM subs WHERE length(piece) > 1
+         |    ORDER BY pcnt DESC, piece ASC LIMIT 20)),
+         |tot AS (SELECT sum(pcnt + 1) AS t FROM model),
+         |sc AS MATERIALIZED (SELECT piece, ln((pcnt + 1) / t) AS s FROM model, tot),
+         |dp0 AS MATERIALIZED (SELECT word, CAST(0 AS DOUBLE) AS f FROM wl),
+         |${(1 to L).map(dp).mkString(",\n")},
+         |fin AS (
+         |  $fins)
+         |SELECT f.word, w.wcnt, round(f.f, 4) + 0.0 AS score
+         |FROM fin f JOIN wl w ON w.word = f.word""".stripMargin
+    },
 
     // Same model, same ordered fold: doc-level pair counts → corpus MLE
     // probabilities → per-doc list(term ORDER BY bigram) summed

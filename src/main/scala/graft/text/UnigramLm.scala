@@ -124,6 +124,16 @@ object UnigramLm {
     out
   }
 
+  /** Best-segmentation log score of `w` — the DP VALUE viterbi maximizes,
+    * accumulated left-to-right along the chosen path (the same fixed
+    * parenthesization an unrolled-position SQL DP produces, which is what
+    * puts this number under the DuckDB oracle gate in `q_unigram_score`).
+    */
+  def viterbiScore(w: String, scores: Map[String, Double],
+      maxPieceLen: Int): Double =
+    viterbi(w, scores, maxPieceLen)
+      .foldLeft(0.0)((acc, p) => acc + scores.getOrElse(p, -100.0))
+
   /** One hard-EM E-step: Viterbi-segment every distinct word, emit
     * (piece, usage) with usage = Σ word-count over words using the piece.
     */
