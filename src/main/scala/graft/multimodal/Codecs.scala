@@ -172,6 +172,11 @@ object Codecs {
     * divides once by 1000·n.
     */
   /** Strict shared header parse: (width, height, dataOffset, stride). */
+  /** (width, height, dataOffset, stride) of a validated 24bpp BMP —
+    * shared with [[PerceptualHash]] for direct pixel addressing. */
+  private[multimodal] def bmpHeader(bytes: Array[Byte]): (Int, Int, Int, Int) =
+    parseBmpHeader(bytes)
+
   private def parseBmpHeader(bytes: Array[Byte]): (Int, Int, Int, Int) = {
     require(bytes.length >= 54, "truncated BMP header")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)

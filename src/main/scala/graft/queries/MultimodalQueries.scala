@@ -141,6 +141,28 @@ object MultimodalQueries extends QueryGroup {
         .withColumn("mean_luma", round(col("mean_luma"), 4))
     }),
 
+    // Perceptual dHash through the real byte-level resize+decode path:
+    // planted BMPs → 9×8 thumbnail → integer-luma gradient bits, emitted
+    // as two 32-bit halves (bit 63 overflows BIGINT shifts in SQL). The
+    // oracle rebuilds the hash closed-form from the planted pixel
+    // function and the floor-div resize sampling.
+    "q_image_phash" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = (8 + id % 9).toInt
+            val h = (4 + id % 5).toInt
+            val bmp = graft.multimodal.Codecs.encodeBmp24(w, h, (x, y) =>
+              (((id + x + y) % 256).toInt, ((id + y) % 256).toInt,
+                ((id + x) % 256).toInt))
+            val (lo, hi) = graft.multimodal.PerceptualHash.dHashBmp(bmp)
+            (id, lo, hi)
+          }
+        }
+        .toDF("doc_id", "dhash_lo", "dhash_hi")
+    }),
+
     // Resize-then-featurize: real encode → nearest-neighbor resize to
     // 4×3 → decode, all byte-level in one map-only pass; the oracle
     // recomputes the sampled source pixels closed-form.
@@ -325,6 +347,31 @@ object MultimodalQueries extends QueryGroup {
         |  FROM b)
         |SELECT doc_id, bin, CAST(64 * count(*) AS BIGINT) AS n
         |FROM v GROUP BY doc_id, bin""".stripMargin,
+
+    // Same planted pixels, same floor-div thumbnail sampling, same
+    // integer luma; the gradient bits OR into two unsigned-safe halves.
+    "q_image_phash" ->
+      """WITH ids AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 5 AS h
+        |  FROM documents),
+        |g AS (SELECT doc_id, w, h, unnest(range(8)) AS oy FROM ids),
+        |gx AS (SELECT doc_id, w, h, oy, unnest(range(8)) AS ox FROM g),
+        |b AS (SELECT doc_id, oy, ox,
+        |  299 * ((doc_id + (ox * w // 9) + (oy * h // 8)) % 256)
+        |    + 587 * ((doc_id + (oy * h // 8)) % 256)
+        |    + 114 * ((doc_id + (ox * w // 9)) % 256) AS l0,
+        |  299 * ((doc_id + ((ox + 1) * w // 9) + (oy * h // 8)) % 256)
+        |    + 587 * ((doc_id + (oy * h // 8)) % 256)
+        |    + 114 * ((doc_id + ((ox + 1) * w // 9)) % 256) AS l1
+        |  FROM gx)
+        |SELECT doc_id,
+        |  CAST(bit_or(CASE WHEN l1 > l0 AND oy * 8 + ox < 32
+        |    THEN CAST(1 AS BIGINT) << CAST(oy * 8 + ox AS INT)
+        |    ELSE 0 END) AS BIGINT) AS dhash_lo,
+        |  CAST(bit_or(CASE WHEN l1 > l0 AND oy * 8 + ox >= 32
+        |    THEN CAST(1 AS BIGINT) << CAST(oy * 8 + ox - 32 AS INT)
+        |    ELSE 0 END) AS BIGINT) AS dhash_hi
+        |FROM b GROUP BY doc_id""".stripMargin,
 
     "q_bmp_decode" ->
       """WITH ids AS (
