@@ -141,6 +141,30 @@ object MultimodalQueries extends QueryGroup {
         .withColumn("mean_luma", round(col("mean_luma"), 4))
     }),
 
+    // Audio fingerprint: per-doc pure tone (bin 3 + doc_id % 40 of a
+    // 256-pt frame) synthesized, roundtripped through the REAL WAV
+    // codec, then FFT spectral peaks per frame — an integer-period
+    // sinusoid concentrates all energy in its bin, so the whole
+    // decode→FFT→argmax path has a closed-form oracle.
+    "q_audio_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.flatMap { id =>
+            val bin = (3 + id % 40).toInt
+            val samples = Array.tabulate[Short](512)(t =>
+              math.round(12000.0 * math.sin(
+                2.0 * math.Pi * bin * t / 256.0)).toShort)
+            val wav = graft.multimodal.Codecs.encodeWavPcm16(8000, samples)
+            val decoded = graft.multimodal.Codecs.decodeWavSamples(wav)._2
+            graft.multimodal.Fft.framePeaks(decoded, 256).map {
+              case (f, peak) => (id, f, peak)
+            }
+          }
+        }
+        .toDF("doc_id", "frame_idx", "peak_bin")
+    }),
+
     // Perceptual dHash through the real byte-level resize+decode path:
     // planted BMPs → 9×8 thumbnail → integer-luma gradient bits, emitted
     // as two 32-bit halves (bit 63 overflows BIGINT shifts in SQL). The
@@ -347,6 +371,13 @@ object MultimodalQueries extends QueryGroup {
         |  FROM b)
         |SELECT doc_id, bin, CAST(64 * count(*) AS BIGINT) AS n
         |FROM v GROUP BY doc_id, bin""".stripMargin,
+
+    // Two identical frames of the planted tone → the peak is the planted
+    // bin, closed form.
+    "q_audio_fingerprint" ->
+      """SELECT doc_id, CAST(unnest(range(2)) AS INT) AS frame_idx,
+        |  CAST(3 + doc_id % 40 AS INT) AS peak_bin
+        |FROM documents""".stripMargin,
 
     // Same planted pixels, same floor-div thumbnail sampling, same
     // integer luma; the gradient bits OR into two unsigned-safe halves.
