@@ -65,8 +65,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.expr.CdcChunks].getName, "cdc_chunks"),
       GraftExtensions.mkCdcChunks))
     // Custom whole-operator plan: as-of join (graft.plans.AsOfJoinPlan →
-    // co-partitioned sort-merge AsOfJoinExec).
+    // co-partitioned sort-merge AsOfJoinExec) plus the probe-filter
+    // pushdown Catalyst cannot provide for a node it does not know.
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PushProbeFilterThroughAsOfJoin)
   }
 }
 

@@ -34,11 +34,19 @@ object AsOfJoinStrategy extends SparkStrategy {
     case _ => Nil
   }
 
-  /** Idempotently add the strategy to an already-built session. */
+  /** Idempotently add the strategy AND its pushdown rule to an
+    * already-built session (the two travel together: planning the node
+    * without probe-filter pushdown leaves easy shuffle savings behind).
+    */
   def register(spark: SparkSession): Unit = synchronized {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+    }
+    val opts = spark.experimental.extraOptimizations
+    if (!opts.contains(PushProbeFilterThroughAsOfJoin)) {
+      spark.experimental.extraOptimizations =
+        opts :+ PushProbeFilterThroughAsOfJoin
     }
   }
 }

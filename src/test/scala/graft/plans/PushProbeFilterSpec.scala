@@ -1,0 +1,65 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.plans.logical.Filter
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.ops.AsOfJoin
+
+class PushProbeFilterSpec extends AnyFunSuite with SparkTestBase {
+
+  private def frames() = {
+    import spark.implicits._
+    val probe = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 15L, "c"),
+      (2L, 99L, "d")).toDF("k", "t", "tag")
+    val build = Seq((1L, 5L, 100.0), (1L, 18L, 200.0), (2L, 10L, 300.0))
+      .toDF("k", "bt", "price")
+    (probe, build)
+  }
+
+  test("probe-only predicates push below the as-of join") {
+    val (probe, build) = frames()
+    val joined = AsOfJoin.joinNative(probe, build, Seq("k"), "t", "bt",
+      Seq("price"))
+    val filtered = joined.filter(col("t") < 50L)
+    val opt = filtered.queryExecution.optimizedPlan
+    // No Filter node may remain ABOVE the join once the probe predicate
+    // pushed (it either sits below the node or folded into the relation).
+    val joinNode = opt.collectFirst { case j: AsOfJoinPlan => j }
+    assert(joinNode.nonEmpty, opt.toString)
+    val filterAbove = opt.collectFirst {
+      case f @ Filter(_, child) if child.collectFirst {
+        case _: AsOfJoinPlan => () }.nonEmpty => f
+    }
+    assert(filterAbove.isEmpty, opt.toString)
+    // Semantics unchanged vs filtering before the join.
+    val expected = AsOfJoin.joinNative(probe.filter(col("t") < 50L), build,
+      Seq("k"), "t", "bt", Seq("price"))
+      .collect().map(_.toSeq).toSet
+    assert(filtered.collect().map(_.toSeq).toSet == expected)
+    assert(filtered.count() == 3)
+  }
+
+  test("build-value predicates stay above; conjunctions split") {
+    val (probe, build) = frames()
+    val joined = AsOfJoin.joinNative(probe, build, Seq("k"), "t", "bt",
+      Seq("price"))
+    val mixed = joined.filter(col("price") > 150.0 && col("t") < 50L)
+    val opt = mixed.queryExecution.optimizedPlan
+    // The price conjunct cannot push: a Filter must remain above the join
+    // and reference price only.
+    val above = opt.collectFirst {
+      case Filter(cond, child) if child.collectFirst {
+        case _: AsOfJoinPlan => () }.nonEmpty => cond
+    }
+    assert(above.nonEmpty, opt.toString)
+    assert(above.get.references.map(_.name).toSet == Set("price"),
+      above.get.toString)
+    // Row parity with the unoptimized semantics.
+    assert(mixed.collect().map(_.toSeq).toSet ==
+      joined.collect().filter(r =>
+        !r.isNullAt(3) && r.getDouble(3) > 150.0 && r.getLong(1) < 50L)
+        .map(_.toSeq).toSet)
+  }
+}
