@@ -69,6 +69,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // pushdown Catalyst cannot provide for a node it does not know.
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushProbeFilterThroughAsOfJoin)
+    ext.injectOptimizerRule(_ => graft.plans.PruneAsOfJoinColumns)
   }
 }
 

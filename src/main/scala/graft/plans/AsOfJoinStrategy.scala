@@ -43,10 +43,11 @@ object AsOfJoinStrategy extends SparkStrategy {
     if (!cur.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
     }
-    val opts = spark.experimental.extraOptimizations
-    if (!opts.contains(PushProbeFilterThroughAsOfJoin)) {
-      spark.experimental.extraOptimizations =
-        opts :+ PushProbeFilterThroughAsOfJoin
+    Seq(PushProbeFilterThroughAsOfJoin, PruneAsOfJoinColumns).foreach { r =>
+      if (!spark.experimental.extraOptimizations.contains(r)) {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ r
+      }
     }
   }
 }

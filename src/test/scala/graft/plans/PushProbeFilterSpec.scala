@@ -62,4 +62,25 @@ class PushProbeFilterSpec extends AnyFunSuite with SparkTestBase {
         !r.isNullAt(3) && r.getDouble(3) > 150.0 && r.getLong(1) < 50L)
         .map(_.toSeq).toSet)
   }
+
+  test("column pruning narrows both join children to what the query uses") {
+    import spark.implicits._
+    // Wide probe: two payload columns the query never touches.
+    val probe = Seq((1L, 10L, "a", "junk1", 7.0), (1L, 20L, "b", "junk2", 8.0),
+      (2L, 15L, "c", "junk3", 9.0)).toDF("k", "t", "tag", "payload", "extra")
+    val build = Seq((1L, 5L, 100.0, "bjunk"), (1L, 18L, 200.0, "bjunk2"),
+      (2L, 10L, 300.0, "bjunk3")).toDF("k", "bt", "price", "note")
+    val joined = AsOfJoin.joinNative(probe, build, Seq("k"), "t", "bt",
+      Seq("price", "note"))
+    val narrow = joined.select("k", "t", "price")
+    val opt = narrow.queryExecution.optimizedPlan
+    val j = opt.collectFirst { case x: AsOfJoinPlan => x }.get
+    // Unused probe payloads and the unused build value are gone below.
+    assert(j.left.output.map(_.name).toSet == Set("k", "t"), opt.toString)
+    assert(j.rightValues.map(_.name) == Seq("price"), opt.toString)
+    assert(!j.right.output.map(_.name).contains("note"), opt.toString)
+    // Results identical to the unpruned semantics.
+    assert(narrow.collect().map(_.toSeq).toSet ==
+      joined.collect().map(r => Seq(r.get(0), r.get(1), r.get(5))).toSet)
+  }
 }
