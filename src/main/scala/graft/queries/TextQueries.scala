@@ -193,6 +193,29 @@ object TextQueries extends QueryGroup {
       graft.text.Bpe.tokenCounts(Tables.documents(s, dir), "doc_id", "text",
         rounds = 3)),
 
+    // The LLM-corpus flagship: the full curation pipeline composed from
+    // the library operators — exact dedup (keep-first by normalized
+    // digest) → quality gate (token/char bounds) → decontamination
+    // against the held-out eval slice (Bloom-prefiltered exact 5-gram
+    // semi-join) → deterministic md5-bucket split assignment. One
+    // oracle-gated query proving the pieces COMPOSE: every stage's
+    // semantics restated relationally in DuckDB.
+    "q_corpus_e2e" -> ((s, dir) => {
+      import graft.ops.{Decontaminate, Dedup, Sharding}
+      val docs = Tables.documents(s, dir)
+      val eval = docs.filter(col("doc_id") % 10 === 0)
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val toks = size(split(Dedup.normalizeText(col("text")), " "))
+      val deduped = Dedup.exactByDigest(train, "text", "doc_id")
+      val quality = deduped.filter(toks >= 5 && col("n_chars") <= 5000)
+      val clean = Decontaminate.flagContaminated(quality, eval,
+          "doc_id", "text", n = 5, bloomPrefilter = true,
+          estEvalNgrams = 1L << 16)
+        .filter(!col("contaminated"))
+      Sharding.assignSplit(clean, "doc_id")
+        .select(col("doc_id"), col("split"), toks.as("n_tokens"))
+    }),
+
     // Compression-ratio redundancy screen: one codegen'd DEFLATE pass per
     // document emits integer byte counts; the milli-ratio is exact integer
     // arithmetic. DEFLATE output length is zlib-implementation-defined →
@@ -1004,6 +1027,41 @@ object TextQueries extends QueryGroup {
         |  row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
         |    - 1 AS position
         |FROM documents""".stripMargin,
+
+    // Every stage restated: keep-first digest dedup, the same token/char
+    // gate, the plain distinct-5-gram semi-join (the Bloom prefilter is
+    // invisible — no false negatives, positives re-checked), the same
+    // md5-bucket split.
+    "q_corpus_e2e" ->
+      s"""WITH ev AS (
+         |  SELECT DISTINCT unnest(${OracleSql.shinglesSqlN(5)}) AS sh
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |tr AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+         |dd AS (
+         |  SELECT * FROM tr WHERE doc_id IN (
+         |    SELECT min(doc_id) FROM tr
+         |    GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))),
+         |q AS (
+         |  SELECT * FROM dd
+         |  WHERE len(${OracleSql.toksSql}) >= 5 AND n_chars <= 5000),
+         |contam AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_id, unnest(list_distinct(${OracleSql.shinglesSqlN(5)}))
+         |      AS sh
+         |    FROM q)
+         |  WHERE sh IN (SELECT sh FROM ev)),
+         |clean AS (
+         |  SELECT * FROM q
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+         |SELECT doc_id,
+         |  CASE WHEN b < 98 THEN 'train' WHEN b = 98 THEN 'val'
+         |    ELSE 'test' END AS split,
+         |  CAST(len(${OracleSql.toksSql}) AS INT) AS n_tokens
+         |FROM (
+         |  SELECT doc_id, text,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         |      AS BIGINT) % 100 AS b
+         |  FROM clean)""".stripMargin,
 
     "q_dataset_split" ->
       """SELECT doc_id,
