@@ -80,6 +80,10 @@ case class CovarianceAgg(
     val x = buf.scratch
     var i = 0
     while (i < d) {
+      // Null elements would silently become 0.0 through getFloat/getDouble
+      // while still incrementing n — corrupt input must throw instead.
+      require(!arr.isNullAt(i),
+        s"covariance_agg saw a null element at position $i")
       x(i) = if (elemFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       i += 1
     }

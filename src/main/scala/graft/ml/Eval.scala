@@ -24,8 +24,12 @@ object Eval {
     * over ties is exactly what the tie-aware numerator handles.
     */
   def aucExact(df: DataFrame, score: Column, label: Column): DataFrame = {
+    // Rows with a null score are dropped up front: Spark windows default to
+    // NULLS FIRST while the DuckDB oracle pattern is NULLS LAST, so a null
+    // score would make the cumulative-negative counts engine-dependent.
     val g = df
       .select(score.as("__s"), when(label, 1L).otherwise(0L).as("__y"))
+      .where(col("__s").isNotNull)
       .groupBy(col("__s"))
       .agg(sum(col("__y")).as("__cp"),
         sum(lit(1L) - col("__y")).as("__cn"))

@@ -74,6 +74,7 @@ object Fft {
     * pre-window).
     */
   def peakBin(samples: Array[Short], offset: Int, n: Int): Int = {
+    require(n >= 2, s"peakBin needs n >= 2 (no non-DC bin exists for n=$n)")
     val re = new Array[Double](n)
     val im = new Array[Double](n)
     var i = 0

@@ -235,14 +235,20 @@ object TextQueries extends QueryGroup {
 
     // Unigram-LM (SentencePiece-style) tokenizer, hard-EM over the
     // distinct-word table: final piece vocabulary with integer usage.
-    // Viterbi DP is not SQL-expressible → rows-only here; UnigramLmSpec
-    // carries the semantics (hand-checked segmentations, determinism
-    // under repartition).
+    // ORACLE-GATED: the DuckDB side replays the whole fit — seed counts,
+    // two Viterbi E-steps WITH BACKTRACE (positions unrolled as
+    // MATERIALIZED CTEs, backpointers recovered by re-matching the
+    // winning candidate, largest piece first — the same tie-break as
+    // UnigramLm.viterbi), prune-to-vocab, and the final usage pass.
+    // Words are capped at UnigramOracleCap chars on BOTH sides to bound
+    // the unroll (the q_unigram_score precedent).
     "q_unigram_vocab" -> ((s, dir) => {
       import graft.text.UnigramLm
       val docs = Tables.documents(s, dir)
       // One word table feeds both the fit and the final usage report.
-      val words = UnigramLm.wordTable(docs, "text").localCheckpoint(false)
+      val words = UnigramLm.wordTable(docs, "text")
+        .filter(length(col("word")) <= UnigramOracleCap)
+        .localCheckpoint(false)
       val model = UnigramLm.fitWords(words,
         maxPieceLen = 5, seedSize = 400, vocabSize = 150, emRounds = 2)
       UnigramLm.pieceUsage(words, model)
@@ -277,11 +283,15 @@ object TextQueries extends QueryGroup {
     }),
 
     // Apply side of the same model: per-document token counts — each
-    // distinct word segmented once, counts joined back by word.
+    // distinct word segmented once, counts joined back by word. Same
+    // word-length cap as q_unigram_vocab (capped words drop out of the
+    // count on both sides — the inner join by word).
     "q_unigram_tokens" -> ((s, dir) => {
       import graft.text.UnigramLm
       val docs = Tables.documents(s, dir)
-      val words = UnigramLm.wordTable(docs, "text").localCheckpoint(false)
+      val words = UnigramLm.wordTable(docs, "text")
+        .filter(length(col("word")) <= UnigramOracleCap)
+        .localCheckpoint(false)
       val model = UnigramLm.fitWords(words,
         maxPieceLen = 5, seedSize = 400, vocabSize = 150, emRounds = 2)
       UnigramLm.tokenCounts(docs, "doc_id", "text", model, words)
@@ -827,8 +837,145 @@ object TextQueries extends QueryGroup {
        |$finalSelect""".stripMargin
   }
 
+  /** Word-length cap shared by the unigram-LM fit queries and their
+    * oracles: the SQL side unrolls Viterbi positions 1..cap as CTEs, so
+    * both sides restrict the fitted word table to words of at most this
+    * many chars (the q_unigram_score precedent; longer "words" are URL/
+    * noise-shaped in a real corpus and out-of-model by definition here).
+    */
+  val UnigramOracleCap = 12
+
+  /** DuckDB replay of [[graft.text.UnigramLm.fitWords]] + one final
+    * E-step — the full hard-EM: seed substring counts, then per pass
+    * a Viterbi DP with positions unrolled as MATERIALIZED CTEs AND the
+    * backtrace recovered by re-matching the winning candidate (largest
+    * piece length first — exactly UnigramLm.viterbi's smallest-start-j
+    * tie-break), piece usage from the path occurrences, and an M-step
+    * prune (all single chars survive; top-`vocab` multi-char pieces by
+    * usage desc, piece asc). Integer usage counts and the identical
+    * add/max double structure make every pass engine-exact — the same
+    * argument that put q_unigram_score under the hash gate.
+    *
+    * Emits the WITH-prologue through `us3` (final piece usage) and
+    * `occ3` (final per-word piece occurrences); callers append the
+    * report SELECT.
+    */
+  private def unigramEmSql(maxPiece: Int, seed: Int, vocab: Int): String = {
+    val L = UnigramOracleCap
+    // Viterbi pass `r` scored by `sc`: dp CTEs with backtrace, path
+    // extraction, piece occurrences, and integer usage counts.
+    def pass(r: Int, sc: String): String = {
+      def dp(i: Int): String = {
+        val ks = (1 to math.min(maxPiece, i))
+        val cands = ks.map { k =>
+          val prev =
+            if (i - k == 0) "CAST(0 AS DOUBLE)"
+            else s"(SELECT f FROM dp${r}_${i - k} p WHERE p.word = d.word)"
+          s"      ($prev +\n" +
+            s"       (SELECT s FROM $sc q WHERE q.piece = substring(d.word, ${i - k + 1}, $k))) AS c$k"
+        }
+        // Backtrace: the FIRST candidate (largest k = smallest start j)
+        // equal to the max is the one UnigramLm.viterbi keeps — its
+        // ascending-j loop sets the winner first and ties never replace.
+        val back = ks.reverse
+          .map(k => s"WHEN c$k = f THEN ${i - k}")
+          .mkString(" ")
+        s"""dp${r}_$i AS MATERIALIZED (
+           |  SELECT word, f, CASE $back END AS back
+           |  FROM (
+           |    SELECT word, greatest(${ks.map("c" + _).mkString(", ")}) AS f,
+           |      ${ks.map("c" + _).mkString(", ")}
+           |    FROM (
+           |      SELECT d.word,
+           |${cands.mkString(",\n")}
+           |      FROM wl d WHERE length(d.word) >= $i) x) y)""".stripMargin
+      }
+      val bta = (1 to L)
+        .map(i => s"  SELECT word, $i AS pos, back FROM dp${r}_$i")
+        .mkString("\n  UNION ALL\n")
+      def pp(s2: Int): String =
+        if (s2 == 0)
+          s"pp${r}_0 AS MATERIALIZED (SELECT word, length(word) AS pos FROM wl)"
+        else
+          s"""pp${r}_$s2 AS MATERIALIZED (
+             |  SELECT p.word, b.back AS pos
+             |  FROM pp${r}_${s2 - 1} p JOIN bta$r b
+             |    ON b.word = p.word AND b.pos = p.pos
+             |  WHERE p.pos > 0)""".stripMargin
+      val ppu = (0 until L)
+        .map(s2 => s"SELECT word, pos FROM pp${r}_$s2")
+        .mkString("\n    UNION ALL ")
+      s"""${(1 to L).map(dp).mkString(",\n")},
+         |bta$r AS MATERIALIZED (
+         |$bta),
+         |${(0 until L).map(pp).mkString(",\n")},
+         |occ$r AS MATERIALIZED (
+         |  SELECT p.word, substring(p.word, b.back + 1, p.pos - b.back) AS piece
+         |  FROM ($ppu) p
+         |  JOIN bta$r b ON b.word = p.word AND b.pos = p.pos
+         |  WHERE p.pos > 0),
+         |us$r AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(w.wcnt) AS BIGINT) AS usage
+         |  FROM occ$r o JOIN wl w ON w.word = o.word GROUP BY piece)""".stripMargin
+    }
+    // M-step after pass r: every single char survives (usage 0 when the
+    // pass never chose it), top-`vocab` multi-char pieces by usage.
+    def prune(r: Int): String =
+      s"""m$r AS MATERIALIZED (
+         |  SELECT c.piece, coalesce(u.usage, CAST(0 AS BIGINT)) AS cnt
+         |  FROM chr c LEFT JOIN us$r u ON u.piece = c.piece
+         |  UNION ALL
+         |  SELECT piece, usage AS cnt FROM (
+         |    SELECT piece, usage FROM us$r WHERE length(piece) > 1
+         |    ORDER BY usage DESC, piece ASC LIMIT $vocab)),
+         |t$r AS (SELECT sum(cnt + 1) AS t FROM m$r),
+         |sc$r AS MATERIALIZED (SELECT piece, ln((cnt + 1) / t) AS s FROM m$r, t$r)""".stripMargin
+    s"""WITH wrd AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS wcnt FROM (
+       |    SELECT unnest(${OracleSql.toksSql}) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |wl AS MATERIALIZED (SELECT * FROM wrd WHERE length(word) <= $L),
+       |subs AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(wcnt) AS BIGINT) AS pcnt FROM (
+       |    SELECT substring(word, CAST(i AS INT), CAST(l AS INT)) AS piece, wcnt
+       |    FROM wl, range(1, ${L + 1}) t(i), range(1, ${maxPiece + 1}) u(l)
+       |    WHERE i + l - 1 <= length(word))
+       |  GROUP BY piece),
+       |chr AS MATERIALIZED (SELECT piece FROM subs WHERE length(piece) = 1),
+       |m0 AS MATERIALIZED (
+       |  SELECT piece, pcnt AS cnt FROM subs WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, pcnt AS cnt FROM (
+       |    SELECT piece, pcnt FROM subs WHERE length(piece) > 1
+       |    ORDER BY pcnt DESC, piece ASC LIMIT $seed)),
+       |t0 AS (SELECT sum(cnt + 1) AS t FROM m0),
+       |sc0 AS MATERIALIZED (SELECT piece, ln((cnt + 1) / t) AS s FROM m0, t0),
+       |${pass(1, "sc0")},
+       |${prune(1)},
+       |${pass(2, "sc1")},
+       |${prune(2)},
+       |${pass(3, "sc2")}""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_train_classifier" -> trainClassifierSql(4, 1L, 1L, 90),
+
+    // Full hard-EM replay (see unigramEmSql): final vocabulary usage.
+    "q_unigram_vocab" ->
+      s"""${unigramEmSql(maxPiece = 5, seed = 400, vocab = 150)}
+         |SELECT piece, CAST(length(piece) AS INT) AS piece_len, usage
+         |FROM us3""".stripMargin,
+
+    // Same replay, apply side: per-word piece counts from the final
+    // segmentation joined back to documents by word and summed.
+    "q_unigram_tokens" ->
+      s"""${unigramEmSql(maxPiece = 5, seed = 400, vocab = 150)}
+         |, np AS (SELECT word, CAST(count(*) AS BIGINT) AS np FROM occ3 GROUP BY word)
+         |SELECT t.doc_id, CAST(sum(u.np) AS BIGINT) AS n_tokens
+         |FROM (SELECT doc_id, unnest(${OracleSql.toksSql}) AS word FROM documents) t
+         |JOIN np u ON u.word = t.word
+         |WHERE t.word <> ''
+         |GROUP BY t.doc_id""".stripMargin,
     // The sketch rebuilt in SQL from the same md5-seeded buckets; the
     // estimate and the one-sided bound must agree exactly.
     "q_count_min" ->

@@ -139,10 +139,17 @@ object Warc {
     val in = new ByteArrayInputStream(bytes)
     val buf = new Array[Byte](8192)
     // GZIPInputStream stops at each member trailer; loop while input remains.
-    while (in.available() > 0) {
-      val gz = new java.util.zip.GZIPInputStream(in)
-      var n = gz.read(buf)
-      while (n > 0) { out.write(buf, 0, n); n = gz.read(buf) }
+    // A truncated or corrupt trailing member yields the bytes inflated so
+    // far (the intact prefix) rather than failing the whole task — mirrors
+    // parseAll's stop-at-first-broken-record behavior.
+    try {
+      while (in.available() > 0) {
+        val gz = new java.util.zip.GZIPInputStream(in)
+        var n = gz.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = gz.read(buf) }
+      }
+    } catch {
+      case _: java.io.EOFException | _: java.util.zip.ZipException => ()
     }
     out.toByteArray
   }

@@ -48,6 +48,14 @@ object UnigramLm {
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("wcnt"))
 
+  /** Substring-seed enumeration considers start positions 1..64 only —
+    * a fixed bound shared with the SQL oracles (which unroll it as
+    * `range(1, 65)`), so pathological >64-char "words" contribute the
+    * same piece set on both sides. SentencePiece applies the same kind
+    * of length cap during seeding.
+    */
+  val SeedStartCap = 64
+
   /** Candidate seed: every substring of length 1..maxPieceLen, weighted by
     * word count; all single characters survive unconditionally, the best
     * `seedSize` longer substrings by (count desc, piece asc) join them.
@@ -58,7 +66,7 @@ object UnigramLm {
     // word end truncates, which would double-count the tail otherwise).
     val subs = words
       .select(col("wcnt"), explode(flatten(transform(
-        sequence(lit(1), length(col("word"))),
+        sequence(lit(1), least(length(col("word")), lit(SeedStartCap))),
         i => filter(
           transform(sequence(lit(1), lit(maxPieceLen)),
             l => col("word").substr(i, l)),
