@@ -71,6 +71,17 @@ object CdcChunks {
   private val FnvOffset = 0xcbf29ce484222325L
   private val FnvPrime = 0x100000001b3L
 
+  /** Low `bits` bits of each gear entry. With `avgBits <= bits` the cut
+    * test `(h & mask) == 0` depends ONLY on the last `bits` bytes — the
+    * left-shifting roll pushes older bytes past the mask — which is what
+    * lets a SQL oracle replay boundaries from a position-local window
+    * instead of the full sequential hash (see DedupQueries.cdcDedupSql).
+    */
+  def gearLow(bits: Int): IndexedSeq[Long] = {
+    require(bits >= 1 && bits <= 63)
+    Gear.map(_ & ((1L << bits) - 1L)).toIndexedSeq
+  }
+
   def run(bytes: Array[Byte], minSize: Int, avgBits: Int,
       maxSize: Int): GenericArrayData = {
     val mask = (1L << avgBits) - 1L

@@ -63,9 +63,10 @@ object DedupQueries extends QueryGroup {
     // hash): each doc's UTF-8 bytes chunk at content-derived boundaries,
     // then chunk-hash document frequency gives per-doc shared-bytes
     // ratios — the shift-resistant storage-dedup signal for blobs where
-    // token shingles don't apply. Rolling-hash boundaries are not
-    // SQL-expressible → rows-only; CdcChunksSpec pins tiling, bounds,
-    // shift-resilience, and determinism.
+    // token shingles don't apply. ORACLE-GATED: avgBits=5 makes the cut
+    // test a function of the last 5 bytes only, so DuckDB replays the
+    // boundary chain exactly (see cdcDedupSql); CdcChunksSpec pins
+    // tiling, bounds, shift-resilience, and determinism.
     "q_cdc_dedup" -> ((s, dir) => {
       val chunks = Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -235,7 +236,78 @@ object DedupQueries extends QueryGroup {
     bits.mkString(" | ")
   }
 
+  /** DuckDB replay of the FastCDC boundary scan (expr/CdcChunks.scala)
+    * for avgBits = 5, minSize = 24, maxSize = 192.
+    *
+    * Why this is SQL-expressible at all: the rolling gear hash is
+    * `h = (h << 1) + gear(byte)`, so bit b of h after byte i only sees
+    * gear contributions from bytes i-b..i — the cut test `(h & 31) == 0`
+    * is a function of the LAST 5 BYTES alone (minSize 24 ≥ 5 keeps the
+    * window inside the current chunk). Cut candidates therefore
+    * precompute position-locally with window lags; the sequential
+    * boundary chain (each chunk starts where the previous ended) is a
+    * recursive CTE over "next cut at or after p". Chunk identity uses
+    * content equality, which agrees with the engine's fnv64 identity
+    * short of a 64-bit collision (none at fixture scale, and the data is
+    * fixed). ASCII corpus ⇒ ascii(char) == byte; the engine side hashes
+    * the UTF-8 bytes, so a non-ASCII fixture would need encode()-based
+    * byte extraction here.
+    */
+  private def cdcDedupSql: String = {
+    val g32 = graft.expr.CdcChunks.gearLow(5)
+    val vals = g32.zipWithIndex.map { case (g, b) => s"($b, $g)" }.mkString(", ")
+    // Chunk end for a chunk starting at r.s: first hash cut at i >= s+23,
+    // else the forced max cut s+191, else end of doc. Appears twice (the
+    // recursion emits starts; the chunk table recomputes ends).
+    val endExpr = "least(coalesce(p.nxt, 1000000000), r.s + 191, d.n - 1)"
+    s"""WITH RECURSIVE
+       |gt(b, g) AS (VALUES $vals),
+       |dl AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |ps AS (
+       |  SELECT d.doc_id, CAST(i AS INT) AS pos,
+       |    ascii(substring(d.text, CAST(i + 1 AS INT), 1)) AS byte
+       |  FROM dl d, range(0, 1000000) t(i) WHERE i < d.n),
+       |cp AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos >= 4 AND
+       |      (g + 2 * lag(g, 1) OVER w + 4 * lag(g, 2) OVER w
+       |         + 8 * lag(g, 3) OVER w + 16 * lag(g, 4) OVER w) % 32 = 0
+       |    THEN pos END AS cutpos
+       |  FROM ps JOIN gt ON gt.b = ps.byte
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |nc AS (
+       |  SELECT doc_id, pos,
+       |    min(cutpos) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+       |  FROM cp),
+       |st(doc_id, s) AS (
+       |  SELECT doc_id, 0 FROM dl
+       |  UNION ALL
+       |  SELECT r.doc_id, $endExpr + 1
+       |  FROM st r
+       |  JOIN dl d ON d.doc_id = r.doc_id
+       |  LEFT JOIN nc p ON p.doc_id = r.doc_id AND p.pos = r.s + 23
+       |  WHERE $endExpr + 1 <= d.n - 1),
+       |chk AS (
+       |  SELECT r.doc_id,
+       |    substring(d.text, r.s + 1, $endExpr - r.s + 1) AS content,
+       |    CAST($endExpr - r.s + 1 AS BIGINT) AS len
+       |  FROM st r
+       |  JOIN dl d ON d.doc_id = r.doc_id
+       |  LEFT JOIN nc p ON p.doc_id = r.doc_id AND p.pos = r.s + 23),
+       |df AS (SELECT content, count(DISTINCT doc_id) AS ddf FROM chk GROUP BY content)
+       |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(c.len) AS BIGINT) AS total_bytes,
+       |  CAST(sum(CASE WHEN f.ddf > 1 THEN c.len ELSE 0 END) AS BIGINT) AS shared_bytes
+       |FROM chk c JOIN df f ON f.content = c.content
+       |GROUP BY c.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // FastCDC boundaries replayed from the low-5-bit locality of the
+    // gear hash + a recursive boundary chain (see cdcDedupSql).
+    "q_cdc_dedup" -> cdcDedupSql,
+
     // Same key encoding, same ROWS window, same full-window gate.
     "q_winnowing" ->
       """WITH nrm AS (

@@ -105,18 +105,113 @@ object MlQueries extends QueryGroup {
           (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"))
     }),
 
-    // Full PCA serving path: one-pass CovarianceAgg fit (d×d sufficient
-    // stats on the driver, Jacobi eigensolve), then a map-only projection
-    // through literal component vectors. Float covariance is summation-
-    // order-sensitive in the last bits, so output rounds to 3 decimals
-    // and the cross-engine gate is the exact q_pca_covariance companion.
-    "q_pca_project" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val model = graft.ml.Pca.fit(emb, "embedding", k = 4)
-      graft.ml.Pca.project(emb.select("vec_id", "embedding"), "embedding", model)
-        .select(col("vec_id") +:
-          (0 until 4).map(i => (round(col(s"pc$i"), 3) + lit(0.0)).as(s"pc$i")): _*)
-    }))
+    // Full PCA serving path under a HASH gate via invariants: the float
+    // eigenvectors themselves are not SQL-derivable, but every defining
+    // property of a correct fit+projection is checkable to fixed
+    // rounding — component orthonormality (PᵀP = I), score decorrelation
+    // and centering, per-component score variance equal to its
+    // eigenvalue, the Pythagoras split ‖y‖² + ‖r‖² = ‖x−μ‖², residual ⊥
+    // reconstruction, eigenvalue ordering/positivity, and the dominant-
+    // coordinate sign convention. A wrong Jacobi rotation, a dropped
+    // centering term, or a bad component literal breaks at least one
+    // row. The quantized total-variance trace is data-dependent, so the
+    // oracle is tied to the actual table, not just constants.
+    "q_pca_project" -> ((s, dir) => pcaInvariants(s, dir)))
+
+  /** Builds the q_pca_project invariant table: fits k=4 components,
+    * projects, reconstructs, and reduces everything to (stat, i, j, val,
+    * qval) rows whose values are analytically known (0/1 after rounding)
+    * plus the quantized trace. Collects only model-sized scalars.
+    */
+  private def pcaInvariants(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val k = 4
+    val emb = Tables.embeddings(s, dir)
+    val model = graft.ml.Pca.fit(emb, "embedding", k)
+    val proj = graft.ml.Pca.project(
+      emb.select(col("vec_id"), col("embedding")), "embedding", model)
+      .localCheckpoint(false) // feeds both the score and residual passes
+
+    // Pass 1: score moments — Σyᵢ, Σyᵢyⱼ (k(k+3)/2 scalars).
+    val pairIdx = (for (i <- 0 until k; j <- i until k) yield (i, j)).toIndexedSeq
+    val pairCols =
+      (0 until k).map(i => sum(col(s"pc$i")).as(s"s$i")) ++
+        pairIdx.map { case (i, j) =>
+          sum(col(s"pc$i") * col(s"pc$j")).as(s"p${i}_$j")
+        }
+    val mRow = proj.agg(pairCols.head, pairCols.tail: _*).head()
+    val n = proj.count().toDouble
+    def sy(i: Int): Double = mRow.getDouble(i)
+    def syy(i: Int, j: Int): Double =
+      mRow.getDouble(k + pairIdx.indexOf(if (i <= j) (i, j) else (j, i)))
+
+    // Pass 2: reconstruction — explode dims, rebuild x̂ = Σ yᵢPᵢ through
+    // literal components, reduce to 4 scalars.
+    val meanLit = lit(model.mean)
+    val recon = (0 until k)
+      .map(i => col(s"pc$i") * element_at(lit(model.components(i)), col("dim") + 1))
+      .reduce(_ + _)
+    val rRow = proj
+      .select((0 until k).map(i => col(s"pc$i")) :+
+        posexplode(col("embedding")).as(Seq("dim", "x")): _*)
+      .select(
+        (col("x").cast("double") - element_at(meanLit, col("dim") + 1)).as("xc"),
+        recon.as("rec"))
+      .select(col("xc"), col("rec"), (col("xc") - col("rec")).as("r"))
+      .agg(sum(col("xc") * col("xc")).as("sxc2"), sum(col("r") * col("r")).as("sr2"),
+        sum(col("r") * col("rec")).as("srrec"), sum(col("rec") * col("rec")).as("srec2"))
+      .head()
+    val (sxc2, sr2, srrec, srec2) =
+      (rRow.getDouble(0), rRow.getDouble(1), rRow.getDouble(2), rRow.getDouble(3))
+
+    // Pass 3: data-dependent quantized trace numerator Σ_d (n·Σq² − (Σq)²)
+    // — the same ×10⁴ integer quantization as q_pca_covariance, exact on
+    // both engines.
+    val traceQ = emb
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"),
+        floor(col("x").cast("double") * 10000).cast("long").as("qv"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("cnt"), sum(col("qv") * col("qv")).as("sxx"),
+        sum(col("qv")).as("sx"))
+      .agg(sum(col("cnt") * col("sxx") - col("sx") * col("sx")).as("t"))
+      .head().getLong(0)
+
+    def rnd(v: Double, digits: Int): Double =
+      BigDecimal(v).setScale(digits, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+
+    val rows =
+      pairIdx.map { case (i, j) =>
+        ("comp_dot", i, j,
+          rnd(dot(model.components(i), model.components(j)), 6), 0L)
+      } ++
+      (for (i <- 0 until k; j <- (i + 1) until k) yield
+        ("score_corr", i, j,
+          rnd(syy(i, j) / math.sqrt(syy(i, i) * syy(j, j)), 4), 0L)) ++
+      (0 until k).map(i => ("score_center", i, -1, rnd(sy(i) / n, 5), 0L)) ++
+      (0 until k).map(i =>
+        ("score_var", i, -1,
+          rnd(syy(i, i) / (n * model.eigenvalues(i)), 5), 0L)) ++
+      (0 until k - 1).map(i =>
+        ("eig_order", i, -1,
+          if (model.eigenvalues(i) >= model.eigenvalues(i + 1)) 1.0 else 0.0,
+          0L)) ++
+      Seq(("eig_nonneg", -1, -1,
+        if (model.eigenvalues.forall(_ >= 0.0)) 1.0 else 0.0, 0L)) ++
+      (0 until k).map { i =>
+        val v = model.components(i)
+        ("comp_sign", i, -1,
+          if (v(v.map(math.abs).zipWithIndex.max._2) > 0) 1.0 else 0.0, 0L)
+      } ++
+      Seq(
+        ("recon_ratio", -1, -1, rnd((srec2 + sr2) / sxc2, 6), 0L),
+        ("resid_orth", -1, -1, rnd(srrec / math.sqrt(sr2 * srec2), 4), 0L),
+        ("trace_q", -1, -1, 0.0, traceQ))
+    rows.toDF("stat", "i", "j", "val", "qval")
+  }
 
   // ---- oracle: a reusable unrolled Lloyd chain -----------------------
   // The same recurrence KMeans.fit runs, restated in DuckDB CTEs:
@@ -320,6 +415,37 @@ object MlQueries extends QueryGroup {
         |    AS cov_num
         |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim
         |GROUP BY 1, 2""".stripMargin,
+    // The invariant suite's expected values are analytic (0/1 at the
+    // stated rounding); the trace row is computed from the table with
+    // the same integer quantization the Spark side uses.
+    "q_pca_project" -> {
+      val k = 4
+      val expect =
+        (for (i <- 0 until k; j <- i until k) yield
+          ("comp_dot", i, j, if (i == j) "1.0" else "0.0")) ++
+        (for (i <- 0 until k; j <- (i + 1) until k) yield
+          ("score_corr", i, j, "0.0")) ++
+        (0 until k).map(i => ("score_center", i, -1, "0.0")) ++
+        (0 until k).map(i => ("score_var", i, -1, "1.0")) ++
+        (0 until k - 1).map(i => ("eig_order", i, -1, "1.0")) ++
+        Seq(("eig_nonneg", -1, -1, "1.0")) ++
+        (0 until k).map(i => ("comp_sign", i, -1, "1.0")) ++
+        Seq(("recon_ratio", -1, -1, "1.0"), ("resid_orth", -1, -1, "0.0"))
+      val vals = expect
+        .map { case (st, i, j, v) => s"('$st', $i, $j, $v)" }.mkString(", ")
+      s"""WITH q AS (
+         |  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS qv
+         |  FROM embeddings),
+         |tr AS (SELECT CAST(sum(t) AS BIGINT) AS tq FROM (
+         |  SELECT count(*) * sum(qv * qv) - sum(qv) * sum(qv) AS t
+         |  FROM q GROUP BY dim)),
+         |inv(stat, i, j, v) AS (VALUES $vals)
+         |SELECT stat, i, j, CAST(v AS DOUBLE) AS val, CAST(0 AS BIGINT) AS qval
+         |FROM inv
+         |UNION ALL
+         |SELECT 'trace_q', -1, -1, 0.0, tq FROM tr""".stripMargin
+    },
     "q_kmeans" -> kmeansSql,
     "q_semdedup" -> semdedupSql,
     "q_pq_encode" -> pqSql,

