@@ -68,8 +68,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // co-partitioned sort-merge AsOfJoinExec) plus the probe-filter
     // pushdown Catalyst cannot provide for a node it does not know.
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteAsOfTimeJoin)
     ext.injectOptimizerRule(_ => graft.plans.PushProbeFilterThroughAsOfJoin)
     ext.injectOptimizerRule(_ => graft.plans.PruneAsOfJoinColumns)
+    // asof_time(probe_ts, build_ts [, strategy]) — the SQL as-of marker
+    // RewriteAsOfTimeJoin turns into the native AsOfJoinPlan.
+    ext.injectFunction((
+      FunctionIdentifier("asof_time"),
+      new ExpressionInfo(classOf[graft.expr.AsOfTime].getName, "asof_time"),
+      GraftExtensions.mkAsOfTime))
   }
 }
 
@@ -98,6 +105,20 @@ object GraftExtensions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cdc_chunks", mkCdcChunks, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "asof_time", mkAsOfTime, "built-in")
+  }
+
+  /** `asof_time(probe_ts, build_ts [, strategy literal])`; the default
+    * `backward` matches DuckDB ASOF JOIN / pandas merge_asof convention.
+    */
+  private[graft] def mkAsOfTime(
+      children: Seq[Expression]): graft.expr.AsOfTime = children match {
+    case Seq(pt, bt) => graft.expr.AsOfTime(pt, bt, "backward")
+    case Seq(pt, bt, Literal(s: org.apache.spark.unsafe.types.UTF8String, _)) =>
+      graft.expr.AsOfTime(pt, bt, s.toString)
+    case _ => throw new IllegalArgumentException(
+      "asof_time(probe_ts, build_ts [, strategy string literal])")
   }
 
   /** `word_shingles(text, n literal [, distinct literal])`. */

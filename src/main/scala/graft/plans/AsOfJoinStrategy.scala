@@ -43,7 +43,10 @@ object AsOfJoinStrategy extends SparkStrategy {
     if (!cur.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
     }
-    Seq(PushProbeFilterThroughAsOfJoin, PruneAsOfJoinColumns).foreach { r =>
+    // Order matters: the SQL-marker rewrite must precede pushdown/pruning
+    // so they see the AsOfJoinPlan it produces within the same batch.
+    Seq(RewriteAsOfTimeJoin, PushProbeFilterThroughAsOfJoin,
+      PruneAsOfJoinColumns).foreach { r =>
       if (!spark.experimental.extraOptimizations.contains(r)) {
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ r

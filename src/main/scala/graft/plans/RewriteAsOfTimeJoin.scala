@@ -1,0 +1,93 @@
+package graft.plans
+
+import graft.expr.AsOfTime
+import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, Expression, IsNotNull, Literal, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Rewrites `probe [LEFT] JOIN build ON keys... AND asof_time(pt, bt
+  * [, strat])` into [[AsOfJoinPlan]] — the pure-SQL entry to the native
+  * as-of path, with DuckDB's join-type split:
+  *
+  *   - `LEFT JOIN` → probe-preserving as-of (unmatched probes keep null
+  *     build values) — DuckDB `ASOF LEFT JOIN`, the reference's price
+  *     probe semantic. Analysis has already widened the build side's
+  *     nullability for the outer join, so the rewrite is type-exact.
+  *   - `JOIN` (inner) → unmatched probes are DROPPED — DuckDB
+  *     `ASOF JOIN`. Implemented as the probe-preserving node over a
+  *     build side augmented with a literal `true` match indicator, a
+  *     null-rejecting filter on that indicator, and a projection
+  *     restoring the original output. Matched rows carry genuine build
+  *     values, so the inner join's tighter nullability stays sound.
+  *
+  * Runs in the user-rule optimizer batch (runtime-injectable via
+  * `spark.experimental.extraOptimizations`, which an analyzer rule is
+  * not), AFTER Catalyst's own predicate pushdown: by then every conjunct
+  * referencing a single side has been pushed below the join, so a
+  * well-formed condition is exactly equi-key conjuncts plus the one
+  * marker. Anything else (a residual inequality, a pushed-in WHERE
+  * spanning both sides) is rejected with a pointed error rather than
+  * silently changing semantics — the as-of contract is at most one
+  * output row per probe row, which an extra post-match predicate would
+  * break.
+  */
+object RewriteAsOfTimeJoin extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case Join(l, r, jt @ (Inner | LeftOuter), Some(cond), _)
+        if cond.exists(_.isInstanceOf[AsOfTime]) =>
+      rewriteOne(l, r, jt, cond)
+  }
+
+  private def rewriteOne(l: LogicalPlan, r: LogicalPlan, joinType: JoinType,
+      cond: Expression): LogicalPlan = {
+    def sideOf(e: Expression): Option[Boolean] = // Some(true) = left
+      if (e.references.nonEmpty && e.references.subsetOf(l.outputSet))
+        Some(true)
+      else if (e.references.nonEmpty && e.references.subsetOf(r.outputSet))
+        Some(false)
+      else None
+    def fail(why: String): Nothing = throw new IllegalArgumentException(
+      s"asof_time join: $why (condition was: ${cond.sql})")
+
+    val conjuncts = splitConjunctivePredicates(cond)
+    val markers = conjuncts.collect { case m: AsOfTime => m }
+    if (markers.size != 1)
+      fail("exactly one asof_time(...) conjunct is required")
+    val m = markers.head
+    val keyPairs = conjuncts.filterNot(_.isInstanceOf[AsOfTime]).map {
+      case EqualTo(a, b) => (sideOf(a), sideOf(b)) match {
+        case (Some(true), Some(false)) => (a, b)
+        case (Some(false), Some(true)) => (b, a)
+        case _ => fail(s"equi conjunct ${EqualTo(a, b).sql} must compare " +
+          "one probe-side expression with one build-side expression")
+      }
+      case other => fail(s"only equi-key conjuncts may accompany " +
+        s"asof_time, found ${other.sql}")
+    }
+    val (lt, rt) = (sideOf(m.probeTime), sideOf(m.buildTime)) match {
+      case (Some(true), Some(false)) => (m.probeTime, m.buildTime)
+      case _ => fail("asof_time(probe_ts, build_ts): the first argument " +
+        "must come from the left (probe) side and the second from the " +
+        "right (build) side")
+    }
+
+    joinType match {
+      case LeftOuter =>
+        AsOfJoinPlan(l, r, keyPairs.map(_._1), keyPairs.map(_._2), lt, rt,
+          r.output, m.strategy)
+      case _ => // Inner: drop unmatched probes via a match indicator.
+        val ind = Alias(Literal(true), "__asof_matched")()
+        val rAug = Project(r.output :+ ind, r)
+        val node = AsOfJoinPlan(l, rAug, keyPairs.map(_._1),
+          keyPairs.map(_._2), lt, rt, rAug.output, m.strategy)
+        // The indicator reads back nullable (null = no match); reference
+        // it as such so a later null-propagation pass cannot fold the
+        // IsNotNull away.
+        val filtered =
+          Filter(IsNotNull(ind.toAttribute.withNullability(true)), node)
+        Project(l.output ++ r.output, filtered)
+    }
+  }
+}

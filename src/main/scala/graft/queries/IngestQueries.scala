@@ -104,6 +104,29 @@ object IngestQueries extends QueryGroup {
         .select(col("event_id"), col("user_id"), col("price").cast("double").as("price"))
     }),
 
+    // J4 through PURE SQL: the asof_time join-condition marker
+    // (expr/AsOfTime + plans/RewriteAsOfTimeJoin) turns a plain
+    // `JOIN ... ON key = key AND asof_time(pt, bt)` into the native
+    // AsOfJoinPlan — a SQL-first user reaches the engine's best operator
+    // without touching the Scala API. Default strategy = backward, the
+    // DuckDB `ASOF JOIN` convention, which is what the oracle runs.
+    "q_asof_sql" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      graft.plans.AsOfJoinStrategy.register(s)
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .createOrReplaceTempView("asof_sql_probes")
+      ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("price_ts"),
+          round(col("value"), 2).cast("decimal(18,2)").as("price"))
+        .createOrReplaceTempView("asof_sql_build")
+      s.sql(
+        """SELECT p.event_id, p.user_id, CAST(b.price AS DOUBLE) AS price
+          |FROM asof_sql_probes p LEFT JOIN asof_sql_build b
+          |  ON p.user_id = b.user_id AND asof_time(p.ts, b.price_ts)""".stripMargin)
+    }),
+
     // S13: name-change sync — embed scan → arrow parse → exclusive-cursor
     // resume with a STALE watermark (overlap re-read), idempotent append.
     // Output = the rows the batch would actually insert.
@@ -226,6 +249,18 @@ object IngestQueries extends QueryGroup {
         |    ON probes.user_id = build.user_id AND probes.ts < build.price_ts)
         |SELECT b.event_id, b.user_id, CAST(COALESCE(b.price, f.price) AS DOUBLE) AS price
         |FROM backward b JOIN forward f ON b.event_id = f.event_id""".stripMargin,
+    // The SQL-marker path runs plain backward asof — DuckDB's own ASOF
+    // LEFT JOIN is the oracle, symbol for symbol.
+    "q_asof_sql" ->
+      """WITH probes AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |build AS (
+        |  SELECT user_id, ts AS price_ts, CAST(round(value, 2) AS DECIMAL(18,2)) AS price
+        |  FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, CAST(b.price AS DOUBLE) AS price
+        |FROM probes p ASOF LEFT JOIN build b
+        |  ON p.user_id = b.user_id AND p.ts >= b.price_ts""".stripMargin,
+
     // Mirrors Enrichment.applyValueOverrides: latest price per (item, day)
     // via row_number, backward then forward ASOF on the probe DATE, then
     // CASE with the unconfigured-item null quirk.

@@ -150,6 +150,79 @@ class AsOfJoinNativeSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getLong(4) == 42L)  // …then the build-side value column
   }
 
+  test("SQL asof_time marker: plain SQL reaches the native exec, all strategies") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    AsOfJoinStrategy.register(spark)
+    val (probes, build) = randomCase(91)
+    probes.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      .toDF("pid", "key", "t").createOrReplaceTempView("sql_probes")
+    build.toDF("key", "bt", "value").createOrReplaceTempView("sql_build")
+    Seq("backward", "forward", "backward_then_forward").foreach { strat =>
+      // LEFT JOIN = probe-preserving, the AsOfJoin.join contract.
+      val df = spark.sql(
+        s"""SELECT p.pid, p.key, p.t, b.value
+           |FROM sql_probes p LEFT JOIN sql_build b
+           |  ON p.key = b.key AND asof_time(p.t, b.bt, '$strat')""".stripMargin)
+      val want = AsOfJoin.join(
+        spark.table("sql_probes"), spark.table("sql_build"),
+        Seq("key"), "t", "bt", Seq("value"), strat)
+        .collect().map(_.toSeq).toSet
+      assert(df.collect().map(_.toSeq).toSet == want, strat)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin"), s"$strat plan:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+        s"$strat fell back to a standard join:\n$plan")
+      // Plain JOIN = inner: exactly the matched probe rows, same values.
+      val inner = spark.sql(
+        s"""SELECT p.pid, p.key, p.t, b.value
+           |FROM sql_probes p JOIN sql_build b
+           |  ON p.key = b.key AND asof_time(p.t, b.bt, '$strat')""".stripMargin)
+        .collect().map(_.toSeq).toSet
+      assert(inner == want.filter(_.last != null), s"inner $strat")
+    }
+    // Two-arg default is backward — DuckDB ASOF convention.
+    val dflt = spark.sql(
+      """SELECT p.pid, b.value FROM sql_probes p LEFT JOIN sql_build b
+        |  ON p.key = b.key AND asof_time(p.t, b.bt)""".stripMargin)
+      .collect().map(_.toSeq).toSet
+    val wantB = AsOfJoin.join(spark.table("sql_probes"), spark.table("sql_build"),
+      Seq("key"), "t", "bt", Seq("value"), "backward")
+      .select("pid", "value").collect().map(_.toSeq).toSet
+    assert(dflt == wantB)
+  }
+
+  test("SQL asof_time marker: malformed conditions fail loudly") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    AsOfJoinStrategy.register(spark)
+    Seq((1L, "a", 5)).toDF("pid", "key", "t").createOrReplaceTempView("bad_p")
+    Seq(("a", 3, 9L)).toDF("key", "bt", "value").createOrReplaceTempView("bad_b")
+    // Reversed time sides.
+    val e1 = intercept[Exception] {
+      spark.sql(
+        """SELECT * FROM bad_p p JOIN bad_b b
+          |ON p.key = b.key AND asof_time(b.bt, p.t)""".stripMargin).collect()
+    }
+    assert(e1.getMessage.contains("probe"), e1.getMessage)
+    // A non-equi extra conjunct spanning both sides.
+    val e2 = intercept[Exception] {
+      spark.sql(
+        """SELECT * FROM bad_p p JOIN bad_b b
+          |ON p.key = b.key AND asof_time(p.t, b.bt) AND p.t > b.value""".stripMargin)
+        .collect()
+    }
+    assert(e2.getMessage.contains("equi"), e2.getMessage)
+    // Unknown strategy literal is a type-check failure at analysis.
+    val e3 = intercept[Exception] {
+      spark.sql(
+        """SELECT * FROM bad_p p JOIN bad_b b
+          |ON p.key = b.key AND asof_time(p.t, b.bt, 'sideways')""".stripMargin)
+        .collect()
+    }
+    assert(e3.getMessage.toLowerCase.contains("strategy"), e3.getMessage)
+  }
+
   test("null keys group together, null times sort first (window-form parity)") {
     import spark.implicits._
     val probeDf = Seq(
