@@ -76,11 +76,16 @@ object Bench {
       // a standalone job.
       spark.catalog.clearCache()
       val sc = spark.sparkContext
-      sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // Blocking: the next query's timing must not overlap block eviction.
+      sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       // ContextCleaner only drops dead checkpoint/broadcast/shuffle state
-      // when a JVM GC notices the references died; nudge it periodically
-      // so state from query i is gone before query i+8, not query i+80.
-      if (i % 8 == 7) System.gc()
+      // when a JVM GC notices the references died. All of this hygiene is
+      // UNTIMED (after `sec`), so run it every query: a full GC both
+      // feeds the cleaner and starts the next query from a settled heap
+      // instead of charging it the previous query's garbage. The short
+      // sleep lets the cleaner's async thread drain before timing resumes.
+      System.gc()
+      Thread.sleep(50)
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

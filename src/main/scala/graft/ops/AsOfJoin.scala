@@ -158,4 +158,53 @@ object AsOfJoin {
     // when a value column shares its name with a probe column.
     joined.select(node.output.map(GraftColumnBridge.column): _*)
   }
+
+  /** Skew-resistant as-of join for a HOT KEY on the probe side — the
+    * reference's exact workload shape (a handful of popular items carry
+    * most of the event stream, each with a bounded price series).
+    *
+    * Both as-of physical paths shuffle on the key, so a hot key lands one
+    * giant sorted partition; AQE's `OptimizeSkewedJoin` cannot help
+    * because it only rewrites `SortMergeJoinExec`/`ShuffledHashJoinExec`,
+    * never a custom exec. The standard salting fix applies cleanly here
+    * BECAUSE the build side is replicated whole: every salted subgroup
+    * sees the key's complete series, so backward, forward, and
+    * backward_then_forward all match exactly what the unsalted join
+    * produces — no boundary-carry logic needed (contrast with
+    * time-bucketed splitting, which must carry the last pre-bucket build
+    * row into each bucket; that variant is the answer when the BUILD side
+    * itself is huge per key, at which point replication stops being
+    * cheap).
+    *
+    * The salt is `pmod(xxhash64(saltCol), numSalts)` — deterministic,
+    * like [[SkewJoin.saltedJoin]]: reruns, retries, and speculative tasks
+    * partition identically. `saltCol` must be high-cardinality within
+    * each key group (event id, timestamp). Output contract and row set
+    * are IDENTICAL to [[join]]/[[joinNative]] (property-gated in
+    * AsOfJoinSkewSpec).
+    *
+    * @param numSalts build-side replication factor = added parallelism
+    *                 for the hot key; build grows ×numSalts, so size it
+    *                 against the build side's footprint.
+    */
+  def saltedJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      keys: Seq[String],
+      probeTime: String,
+      buildTime: String,
+      valueCols: Seq[String],
+      saltCol: String,
+      numSalts: Int = 16,
+      strategy: String = "backward_then_forward"): DataFrame = {
+    require(numSalts > 0, "numSalts must be positive")
+    require(probe.columns.contains(saltCol), s"saltCol '$saltCol' not on probe")
+    val salted = probe.withColumn("__salt",
+      pmod(xxhash64(col(saltCol)), lit(numSalts.toLong)))
+    val replicated = build.withColumn("__salt",
+      explode(sequence(lit(0L), lit(numSalts - 1L))))
+    joinNative(salted, replicated, keys :+ "__salt", probeTime, buildTime,
+      valueCols, strategy)
+      .drop("__salt")
+  }
 }

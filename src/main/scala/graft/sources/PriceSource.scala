@@ -67,6 +67,54 @@ object PriceFetcher {
     require(f != null, s"no PriceFetcher registered under '$name'")
     f
   }
+
+  /** Permanent per-item failure (the API's 404): never retried; the item
+    * lands empty and is recorded, exactly the reference's
+    * `failed_items.append(...); continue` envelope
+    * (`/root/reference/src/4_fetch_item_prices.py:72-75,201-203`).
+    */
+  final class ItemNotFound(itemId: String)
+    extends RuntimeException(s"item $itemId not found")
+}
+
+/** JVM-wide politeness throttle: request START times are spaced at least
+  * `delayMs` apart across every concurrently-reading partition on this
+  * executor — the distributed analogue of the reference's serial
+  * `time.sleep(request_delay)` between API calls
+  * (`4_fetch_item_prices.py:203,222`). Per-executor (not per-cluster) by
+  * design: a fleet's aggregate rate is bounded by executors × 1/delay,
+  * which the caller sizes via the `request_delay_ms` option.
+  */
+object PriceThrottle {
+  private var lastStart = 0L
+  def await(delayMs: Long): Unit = if (delayMs > 0) {
+    val myStart = synchronized {
+      val now = System.currentTimeMillis()
+      val t = math.max(now, lastStart + delayMs)
+      lastStart = t
+      t
+    }
+    val wait = myStart - System.currentTimeMillis()
+    if (wait > 0) Thread.sleep(wait)
+  }
+}
+
+/** Per-JVM record of tolerated per-item fetch failures — the distributed
+  * `failed_items` summary. Tests assert on it; production reads a
+  * snapshot after the job for observability/alerting.
+  */
+object PriceFetchStats {
+  private val failures =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+  def record(itemId: String, reason: String): Unit =
+    failures.add(itemId -> reason)
+  def snapshot: Seq[(String, String)] = {
+    val it = failures.iterator()
+    val b = Seq.newBuilder[(String, String)]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+  def clear(): Unit = failures.clear()
 }
 
 class PriceTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
@@ -79,14 +127,32 @@ class PriceTable(options: CaseInsensitiveStringMap) extends Table with SupportsR
     () => new PriceScan(
       options.get("items").split(",").map(_.trim).filter(_.nonEmpty),
       options.getOrDefault("fetcher", "test"),
-      options.getLong("timestep", 86400L))
+      options.getLong("timestep", 86400L),
+      FetchPolicy(
+        requestDelayMs = options.getLong("request_delay_ms", 0L),
+        maxRetries = options.getInt("max_retries", 2),
+        retryBackoffMs = options.getLong("retry_backoff_ms", 100L),
+        tolerateFailures = options.getBoolean("tolerate_failures", true)))
 }
 
-class PriceScan(items: Array[String], fetcher: String, timestep: Long) extends Scan {
+/** The reference's fetch envelope as source options: politeness delay
+  * between request starts, bounded retry with linear backoff for
+  * transient failures, and the tolerated-failure policy (a dead item
+  * yields zero rows and a recorded reason instead of failing the job —
+  * or fails the task when `tolerate_failures=false`).
+  */
+case class FetchPolicy(
+    requestDelayMs: Long,
+    maxRetries: Int,
+    retryBackoffMs: Long,
+    tolerateFailures: Boolean)
+
+class PriceScan(items: Array[String], fetcher: String, timestep: Long,
+    policy: FetchPolicy) extends Scan {
   override def readSchema(): StructType = PriceSource.schema
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      items.map(id => PricePartition(id, fetcher, timestep): InputPartition)
+      items.map(id => PricePartition(id, fetcher, timestep, policy): InputPartition)
     override def createReaderFactory(): PartitionReaderFactory =
       (p: InputPartition) => {
         val part = p.asInstanceOf[PricePartition]
@@ -95,13 +161,44 @@ class PriceScan(items: Array[String], fetcher: String, timestep: Long) extends S
   }
 }
 
-case class PricePartition(itemId: String, fetcher: String, timestep: Long)
-    extends InputPartition
+case class PricePartition(itemId: String, fetcher: String, timestep: Long,
+    policy: FetchPolicy) extends InputPartition
 
 class PriceReader(part: PricePartition) extends PartitionReader[InternalRow] {
-  private val rows: Iterator[PricePoint] =
-    PriceFetcher(part.fetcher)(part.itemId, part.timestep).iterator
+  // Lazy: the fetch (and its politeness wait) happens on first next(),
+  // not at reader construction.
+  private lazy val rows: Iterator[PricePoint] = fetchWithPolicy().iterator
   private var current: PricePoint = _
+
+  private def fetchWithPolicy(): Seq[PricePoint] = {
+    val fetch = PriceFetcher(part.fetcher)
+    val p = part.policy
+    var attempt = 0
+    while (true) {
+      PriceThrottle.await(p.requestDelayMs)
+      try {
+        return fetch(part.itemId, part.timestep)
+      } catch {
+        case e: PriceFetcher.ItemNotFound =>
+          // Permanent: retrying a 404 only burns the rate budget.
+          PriceFetchStats.record(part.itemId, e.getMessage)
+          return Seq.empty
+        case scala.util.control.NonFatal(e) =>
+          attempt += 1
+          if (attempt > p.maxRetries) {
+            if (p.tolerateFailures) {
+              PriceFetchStats.record(part.itemId,
+                s"failed after $attempt attempts: ${e.getMessage}")
+              return Seq.empty
+            } else throw e
+          }
+          // Linear backoff, reference-style simplicity; each retry also
+          // re-enters the politeness gate above.
+          Thread.sleep(p.retryBackoffMs * attempt)
+      }
+    }
+    Seq.empty // unreachable
+  }
 
   override def next(): Boolean = {
     if (!rows.hasNext) return false
