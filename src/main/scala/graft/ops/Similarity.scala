@@ -139,12 +139,17 @@ object Similarity {
   /** Exact integer dot product of two int8 code arrays, rescaled to the
     * float domain: `Σ qa_i·qb_i` is a BIGINT (no re-association drift);
     * only the final rescale touches floating point.
+    *
+    * Routed through the codegen'd [[graft.expr.Int8Vec]] pair (pack →
+    * fused byte-dot) rather than `aggregate(zip_with(...))`: Spark's
+    * higher-order functions run interpreted per element — the round-1
+    * benchmark's hottest spot — while the packed form is one tight
+    * generated loop per row.
     */
   def dotQuantized(a: Column, b: Column): Column = {
-    val intDot = aggregate(
-      zip_with(a.getField("codes"), b.getField("codes"),
-        (x, y) => (x * y).cast("long")),
-      lit(0L), (acc, v) => acc + v)
+    val intDot = graft.expr.Int8Vec.int8Dot(
+      graft.expr.Int8Vec.packInt8(a.getField("codes")),
+      graft.expr.Int8Vec.packInt8(b.getField("codes")))
     intDot.cast("double") * a.getField("scale").cast("double") *
       b.getField("scale").cast("double") / lit(127.0 * 127.0)
   }
@@ -230,10 +235,22 @@ object Similarity {
       .select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
     // An empty centroid sample (no id divisible by centroidMod) would
     // silently return zero neighbors for every query — fail loudly
-    // instead. The limit-1 probe is cheap next to the index build.
-    require(!cent.isEmpty,
-      s"ivfTopK sampled no centroids: no $idCol divisible by $centroidMod")
-    ivfTopKWith(probes, corpus, idCol, vecCol, k, cent, "__cid", "__cv", nprobe)
+    // instead. The guard is IN-QUERY, not an eager isEmpty action: the
+    // operator constructor launches zero jobs. It is a UNION branch, not
+    // a joined side — AQE's empty-relation propagation can skip a join's
+    // build side when the probe stage lands empty, but a union executes
+    // every child: the guard's count row always evaluates, assert_true
+    // raises on an empty codebook, and on the healthy path the
+    // always-false filter contributes zero rows.
+    val result =
+      ivfTopKWith(probes, corpus, idCol, vecCol, k, cent, "__cid", "__cv", nprobe)
+    val guard = cent.agg(count(lit(1)).as("__ncent"))
+      .filter(assert_true(col("__ncent") > 0,
+        lit(s"ivfTopK sampled no centroids: no $idCol divisible by " +
+          s"$centroidMod")).isNotNull)
+      .select(result.schema.fields.map(f =>
+        lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+    result.unionByName(guard)
   }
 
   /** IVF-flat against a CALLER-SUPPLIED codebook — the production shape:

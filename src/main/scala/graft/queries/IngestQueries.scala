@@ -104,6 +104,23 @@ object IngestQueries extends QueryGroup {
         .select(col("event_id"), col("user_id"), col("price").cast("double").as("price"))
     }),
 
+    // J4 under planted skew: the salted as-of (deterministic probe salt,
+    // whole-series build replication) must reproduce the unsalted result
+    // exactly — same oracle as q_asof_price. user_id is Zipf-ish in the
+    // fixture, so the salt genuinely spreads real hot keys here.
+    "q_asof_salted" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val build = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("price_ts"),
+          round(col("value"), 2).cast("decimal(18,2)").as("price"))
+      AsOfJoin.saltedJoin(probes, build, Seq("user_id"), "ts", "price_ts",
+        Seq("price"), saltCol = "event_id", numSalts = 8)
+        .select(col("event_id"), col("user_id"),
+          col("price").cast("double").as("price"))
+    }),
+
     // J4 through PURE SQL: the asof_time join-condition marker
     // (expr/AsOfTime + plans/RewriteAsOfTimeJoin) turns a plain
     // `JOIN ... ON key = key AND asof_time(pt, bt)` into the native
@@ -249,6 +266,25 @@ object IngestQueries extends QueryGroup {
         |    ON probes.user_id = build.user_id AND probes.ts < build.price_ts)
         |SELECT b.event_id, b.user_id, CAST(COALESCE(b.price, f.price) AS DOUBLE) AS price
         |FROM backward b JOIN forward f ON b.event_id = f.event_id""".stripMargin,
+    // Salting must be invisible in the result: same oracle as
+    // q_asof_price/q_asof_native.
+    "q_asof_salted" ->
+      """WITH probes AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |build AS (
+        |  SELECT user_id, ts AS price_ts, CAST(round(value, 2) AS DECIMAL(18,2)) AS price
+        |  FROM events WHERE event_type = 'view'),
+        |backward AS (
+        |  SELECT probes.event_id, probes.user_id, build.price
+        |  FROM probes ASOF LEFT JOIN build
+        |    ON probes.user_id = build.user_id AND probes.ts >= build.price_ts),
+        |forward AS (
+        |  SELECT probes.event_id, build.price
+        |  FROM probes ASOF LEFT JOIN build
+        |    ON probes.user_id = build.user_id AND probes.ts < build.price_ts)
+        |SELECT b.event_id, b.user_id, CAST(COALESCE(b.price, f.price) AS DOUBLE) AS price
+        |FROM backward b JOIN forward f ON b.event_id = f.event_id""".stripMargin,
+
     // The SQL-marker path runs plain backward asof — DuckDB's own ASOF
     // LEFT JOIN is the oracle, symbol for symbol.
     "q_asof_sql" ->

@@ -113,6 +113,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(!pairIds.contains(2L))
   }
 
+  test("ivfTopK empty codebook fails at execution, constructs without a job") {
+    import spark.implicits._
+    // Ids 1..9 with centroidMod 100 sample no centroids.
+    val df = (1 to 9).map(i => (i.toLong, Array.fill(4)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val sc = spark.sparkContext
+    val jobsBefore = sc.statusTracker.getJobIdsForGroup(null).length
+    val lazyResult = Similarity.ivfTopK(df, df, "vec_id", "embedding", 3,
+      centroidMod = 100, nprobe = 2)
+    // Constructing the operator must not have launched a Spark job (the
+    // old guard ran an eager isEmpty action here).
+    assert(sc.statusTracker.getJobIdsForGroup(null).length == jobsBefore)
+    val e = intercept[Exception] { lazyResult.collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("sampled no centroids")), e.getMessage)
+  }
+
   test("empty and all-null-element vectors bucket to 0, like NULL list_sum") {
     import spark.implicits._
     // DuckDB's list_sum over an empty/all-NULL list is NULL, so `pr >= 0`
