@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.ops.AsOfJoin
+
+/** Streaming as-of enrichment: a micro-batch event stream joined to a
+  * slowly-changing time-series dimension (the reference's "price each
+  * event at the latest quote ≤ its timestamp", live).
+  *
+  * Structured Streaming has no native as-of operator and a stream-static
+  * range join cannot express "latest build row ≤ event time" without
+  * unbounded state, so this is the `foreachBatch` composition — the same
+  * pattern the gold sinks use: each micro-batch is a BATCH frame, so the
+  * full native as-of machinery applies unchanged, including the
+  * broadcast-index exec that keeps the probe micro-batch map-only when
+  * the series fits under the broadcast threshold (the common case: a
+  * price dimension against an event firehose).
+  *
+  * The build side is re-read per batch through `buildProvider`, so a
+  * dimension refreshed by another job (e.g. the incremental price
+  * append) is picked up at the next trigger without restarting the
+  * query — the micro-batch boundary is the consistency unit, exactly as
+  * the reference's per-run price fetch is.
+  *
+  * Scale: per-batch cost is the batch's own as-of plan — broadcast path
+  * at dimension scale, co-partitioned merge if the series outgrows the
+  * threshold. No streaming state is kept between batches at all; the
+  * watermarking/dedup concerns stay with the upstream ingest
+  * ([[StreamingIngest]]), which this composes with.
+  */
+object StreamingAsOfEnrich {
+
+  /** Wire an enriched sink: every micro-batch of `events` is as-of
+    * joined against `buildProvider()` and handed to `sink`.
+    *
+    * @param events        streaming probe frame
+    * @param buildProvider re-evaluated per batch; returns the current
+    *                      build-side series (static read, e.g. the gold
+    *                      price table)
+    * @param keys          equi keys present on both sides
+    * @param probeTime     event-time column on the stream
+    * @param buildTime     time column on the series
+    * @param valueCols     series columns to carry onto each event
+    * @param strategy      as-of direction (default: the reference's
+    *                      backward_then_forward price semantic)
+    * @param sink          receives (enriched batch, batchId)
+    */
+  def writer(
+      events: DataFrame,
+      buildProvider: SparkSession => DataFrame,
+      keys: Seq[String],
+      probeTime: String,
+      buildTime: String,
+      valueCols: Seq[String],
+      strategy: String = "backward_then_forward")(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      // An empty trigger still invokes foreachBatch; skip the join work.
+      if (!batch.isEmpty) {
+        val build = buildProvider(batch.sparkSession)
+        val enriched = AsOfJoin.joinNative(
+          batch, build, keys, probeTime, buildTime, valueCols, strategy)
+        sink(enriched, batchId)
+      }
+    }
+}
