@@ -150,8 +150,13 @@ object Similarity {
     val intDot = graft.expr.Int8Vec.int8Dot(
       graft.expr.Int8Vec.packInt8(a.getField("codes")),
       graft.expr.Int8Vec.packInt8(b.getField("codes")))
-    intDot.cast("double") * a.getField("scale").cast("double") *
+    // Dimension mismatch surfaces as NULL (the zip_with-form contract),
+    // not a truncated-but-plausible similarity: Int8Dot alone lets the
+    // shorter input decide the length, which would hide a stale-index /
+    // re-embed data bug inside valid-looking top-k results.
+    val scaled = intDot.cast("double") * a.getField("scale").cast("double") *
       b.getField("scale").cast("double") / lit(127.0 * 127.0)
+    when(size(a.getField("codes")) === size(b.getField("codes")), scaled)
   }
 
   /** Generalized md5-derived component family: `tag_<plane>_<d>` → a

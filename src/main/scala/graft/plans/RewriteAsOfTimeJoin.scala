@@ -31,6 +31,25 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * silently changing semantics — the as-of contract is at most one
   * output row per probe row, which an extra post-match predicate would
   * break.
+  *
+  * SEMANTIC CONSEQUENCE of running post-pushdown, documented and
+  * spec-pinned (AsOfJoinNativeSpec "build-side WHERE pre-filters"): a
+  * WHERE predicate on BUILD-side columns has been pushed below the join
+  * before the rewrite sees it — wherever it was written, including
+  * outside a wrapping subquery, since PushDownPredicates moves filters
+  * through projections too — so it pre-filters the series and the as-of
+  * matches the latest QUALIFYING row (filter-then-match). DuckDB's
+  * textual ASOF JOIN instead matches first and filters the joined rows
+  * after; the rewrite cannot restore that reading because a pushed WHERE
+  * and a user's subquery filter are literally the same plan by the time
+  * the user batch runs. Match-then-filter is expressed through the
+  * column API — `AsOfJoin.join/joinNative(...).filter(...)` — where the
+  * filter sits above a node Catalyst cannot push into (and this
+  * package's own [[PushProbeFilterThroughAsOfJoin]] deliberately pushes
+  * only probe-side predicates). Probe-side WHEREs are unaffected either
+  * way — filtering probes commutes with per-probe matching. A
+  * null-rejecting WHERE on build columns also converts LEFT to inner
+  * (EliminateOuterJoin), exactly as for ordinary outer joins.
   */
 object RewriteAsOfTimeJoin extends Rule[LogicalPlan] with PredicateHelper {
 

@@ -203,8 +203,15 @@ object MlQueries extends QueryGroup {
         if (model.eigenvalues.forall(_ >= 0.0)) 1.0 else 0.0, 0L)) ++
       (0 until k).map { i =>
         val v = model.components(i)
-        ("comp_sign", i, -1,
-          if (v(v.map(math.abs).zipWithIndex.max._2) > 0) 1.0 else 0.0, 0L)
+        // Same dominant-coordinate scan as Pca.fit: strict >, so ties
+        // keep the FIRST index (zipWithIndex.max would take the last).
+        var best = 0
+        var bi = 1
+        while (bi < v.length) {
+          if (math.abs(v(bi)) > math.abs(v(best))) best = bi
+          bi += 1
+        }
+        ("comp_sign", i, -1, if (v(best) > 0) 1.0 else 0.0, 0L)
       } ++
       Seq(
         ("recon_ratio", -1, -1, rnd((srec2 + sr2) / sxc2, 6), 0L),

@@ -86,16 +86,18 @@ object PriceFetcher {
   * which the caller sizes via the `request_delay_ms` option.
   */
 object PriceThrottle {
-  private var lastStart = 0L
+  // Monotonic clock: interval spacing must not stall (backwards NTP step)
+  // or collapse (forward step) with wall-clock adjustments.
+  private var lastStartNanos = Long.MinValue
   def await(delayMs: Long): Unit = if (delayMs > 0) {
     val myStart = synchronized {
-      val now = System.currentTimeMillis()
-      val t = math.max(now, lastStart + delayMs)
-      lastStart = t
+      val now = System.nanoTime()
+      val t = math.max(now, lastStartNanos + delayMs * 1000000L)
+      lastStartNanos = t
       t
     }
-    val wait = myStart - System.currentTimeMillis()
-    if (wait > 0) Thread.sleep(wait)
+    val waitMs = (myStart - System.nanoTime()) / 1000000L
+    if (waitMs > 0) Thread.sleep(waitMs)
   }
 }
 
@@ -180,7 +182,9 @@ class PriceReader(part: PricePartition) extends PartitionReader[InternalRow] {
         return fetch(part.itemId, part.timestep)
       } catch {
         case e: PriceFetcher.ItemNotFound =>
-          // Permanent: retrying a 404 only burns the rate budget.
+          // Permanent: retrying a 404 only burns the rate budget. Strict
+          // mode still fails the task — completeness was requested.
+          if (!p.tolerateFailures) throw e
           PriceFetchStats.record(part.itemId, e.getMessage)
           return Seq.empty
         case scala.util.control.NonFatal(e) =>

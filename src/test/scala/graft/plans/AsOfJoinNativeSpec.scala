@@ -192,6 +192,77 @@ class AsOfJoinNativeSpec extends AnyFunSuite with SparkTestBase {
     assert(dflt == wantB)
   }
 
+  test("SQL asof_time marker: unused columns prune through both join shapes") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    AsOfJoinStrategy.register(spark)
+    Seq((1L, "a", 5, "wide probe payload"))
+      .toDF("pid", "key", "t", "junk_p").createOrReplaceTempView("prune_p")
+    Seq(("a", 3, 9L, "wide build payload"))
+      .toDF("key", "bt", "value", "junk_b").createOrReplaceTempView("prune_b")
+    def node(sql: String) = {
+      val df = spark.sql(sql)
+      assert(df.collect().map(_.toSeq).toSet == Set(Seq(1L, 9L)), sql)
+      df.queryExecution.optimizedPlan
+        .collectFirst { case j: AsOfJoinPlan => j }
+        .getOrElse(fail(s"no AsOfJoinPlan in: ${df.queryExecution.optimizedPlan}"))
+    }
+    // LEFT shape: Project directly over the node.
+    val l = node(
+      """SELECT p.pid, b.value FROM prune_p p LEFT JOIN prune_b b
+        |ON p.key = b.key AND asof_time(p.t, b.bt)""".stripMargin)
+    assert(!l.left.output.map(_.name).contains("junk_p"), l.left.output)
+    assert(!l.rightValues.map(_.name).contains("junk_b"), l.rightValues)
+    // INNER shape: Project over the restoring Project over the indicator
+    // Filter — the unused payloads must still prune, the match indicator
+    // must survive for the filter.
+    val i = node(
+      """SELECT p.pid, b.value FROM prune_p p JOIN prune_b b
+        |ON p.key = b.key AND asof_time(p.t, b.bt)""".stripMargin)
+    assert(!i.left.output.map(_.name).contains("junk_p"), i.left.output)
+    assert(!i.rightValues.map(_.name).contains("junk_b"), i.rightValues)
+    assert(i.rightValues.map(_.name).contains("__asof_matched"), i.rightValues)
+  }
+
+  test("SQL asof_time marker: build-side WHERE pre-filters the series (pinned)") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    AsOfJoinStrategy.register(spark)
+    Seq((1L, "k", 3)).toDF("pid", "key", "t").createOrReplaceTempView("pf_p")
+    Seq(("k", 1, 200L), ("k", 2, 50L))
+      .toDF("key", "bt", "price").createOrReplaceTempView("pf_b")
+    // Catalyst pushes `price > 100` below the join before the rewrite
+    // runs (and EliminateOuterJoin drops LEFT), so the as-of matches the
+    // latest QUALIFYING quote — (bt=1, 200) — the filter-then-match
+    // semantic the rule's scaladoc documents. DuckDB's textual
+    // ASOF-then-WHERE would match (bt=2, 50) and drop the row.
+    val preFiltered = spark.sql(
+      """SELECT p.pid, b.price FROM pf_p p LEFT JOIN pf_b b
+        |ON p.key = b.key AND asof_time(p.t, b.bt)
+        |WHERE b.price > 100""".stripMargin).collect().map(_.toSeq)
+    assert(preFiltered.toSeq == Seq(Seq(1L, 200L)))
+    // A wrapping subquery does NOT change that: PushDownPredicates moves
+    // the filter through the projection into the (still-ordinary) join
+    // before the rewrite fires — same plan, same result.
+    val subquery = spark.sql(
+      """SELECT * FROM (
+        |  SELECT p.pid, b.price FROM pf_p p LEFT JOIN pf_b b
+        |  ON p.key = b.key AND asof_time(p.t, b.bt))
+        |WHERE price > 100""".stripMargin).collect().map(_.toSeq)
+    assert(subquery.toSeq == Seq(Seq(1L, 200L)))
+    // Match-then-filter lives in the column API: the filter sits above
+    // AsOfJoinPlan, which Catalyst cannot push into (and the package's
+    // own pushdown rule moves only probe-side predicates). The matched
+    // row (bt=2, 50) fails the filter and the probe disappears.
+    val probes = spark.table("pf_p")
+    val build = spark.table("pf_b")
+    val api = AsOfJoin.joinNative(probes, build, Seq("key"), "t", "bt",
+      Seq("price"), "backward")
+      .filter(col("price") > 100)
+      .collect()
+    assert(api.isEmpty)
+  }
+
   test("SQL asof_time marker: malformed conditions fail loudly") {
     import spark.implicits._
     graft.GraftExtensions.register(spark)

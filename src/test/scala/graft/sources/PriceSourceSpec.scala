@@ -59,6 +59,18 @@ class PriceSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(PriceFetchStats.snapshot.exists(_._1 == "13"))
   }
 
+  test("404 in strict mode fails the task — completeness was requested") {
+    PriceFetcher.register("notfound_strict", (id, _) =>
+      throw new PriceFetcher.ItemNotFound(id))
+    val strict = spark.read.format("graft.sources.PriceSource")
+      .option("items", "13").option("fetcher", "notfound_strict")
+      .option("tolerate_failures", "false").load()
+    val e = intercept[org.apache.spark.SparkException] { strict.count() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("not found")), e.getMessage)
+  }
+
   test("transient failures retry with backoff, then succeed") {
     val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
     PriceFetcher.register("flaky_test", (_, _) => {
