@@ -21,6 +21,13 @@ case class PackInt8(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = BinaryType
 
+  // Nullable also when the array itself is non-null but CONTAINS nulls:
+  // a null element nulls the whole packed vector (see run()).
+  override def nullable: Boolean = child.nullable || (child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  })
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -31,8 +38,17 @@ case class PackInt8(child: Expression) extends UnaryExpression {
     PackInt8.run(v.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.expr.PackInt8$$.MODULE$$.run($a);")
+    nullSafeCodeGen(ctx, ev, a => {
+      // ev.isNull is only a real variable when nullable; with
+      // containsNull=false input run() cannot return null and ev.isNull
+      // is the `false` literal, which must not be assigned to.
+      val markNull =
+        if (nullable) s"${ev.isNull} = ${ev.value} == null;" else ""
+      s"""
+         |${ev.value} = graft.expr.PackInt8$$.MODULE$$.run($a);
+         |$markNull
+         |""".stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): PackInt8 =
     copy(child = newChild)
@@ -44,10 +60,14 @@ object PackInt8 {
     val out = new Array[Byte](n)
     var i = 0
     while (i < n) {
-      // Null code components are indistinguishable from 0 after packing —
-      // the quantizer never emits nulls; a hand-built array that does gets
-      // the same "contributes nothing" policy as the float dot.
-      val c = if (codes.isNullAt(i)) 0 else codes.getInt(i)
+      // A null code component nulls the WHOLE packed vector — packing it
+      // as 0 would be indistinguishable from a real zero code and turn a
+      // corrupt-input data bug into a plausible-looking similarity
+      // downstream. This matches the interpreted zip_with+aggregate
+      // contract dotQuantized had before the codegen'd form: any null
+      // element nulled the dot.
+      if (codes.isNullAt(i)) return null
+      val c = codes.getInt(i)
       require(c >= -128 && c <= 127, s"int8 code out of range: $c")
       out(i) = c.toByte
       i += 1

@@ -199,6 +199,11 @@ object AsOfJoin {
       strategy: String = "backward_then_forward"): DataFrame = {
     require(numSalts > 0, "numSalts must be positive")
     require(probe.columns.contains(saltCol), s"saltCol '$saltCol' not on probe")
+    // The working column must not clobber caller data: the final drop
+    // would silently erase a pre-existing __salt from the output,
+    // breaking the output-identical-to-join contract.
+    require(!probe.columns.contains("__salt") && !build.columns.contains("__salt"),
+      "saltedJoin reserves the column name '__salt'; rename it on the input")
     val salted = probe.withColumn("__salt",
       pmod(xxhash64(col(saltCol)), lit(numSalts.toLong)))
     val replicated = build.withColumn("__salt",

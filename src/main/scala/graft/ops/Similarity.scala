@@ -255,6 +255,9 @@ object Similarity {
           s"$centroidMod")).isNotNull)
       .select(result.schema.fields.map(f =>
         lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+    // Known cost, accepted: the union re-evaluates the (cheap) centroid
+    // filter once more and widens output nullability — the price of a
+    // guard that AQE cannot elide.
     result.unionByName(guard)
   }
 

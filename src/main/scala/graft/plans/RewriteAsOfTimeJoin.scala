@@ -1,14 +1,17 @@
 package graft.plans
 
 import graft.expr.AsOfTime
-import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, Expression, IsNotNull, Literal, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Cast, EqualTo, Expression, IsNotNull, IsNull, Literal, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.NullType
 
 /** Rewrites `probe [LEFT] JOIN build ON keys... AND asof_time(pt, bt
   * [, strat])` into [[AsOfJoinPlan]] — the pure-SQL entry to the native
-  * as-of path, with DuckDB's join-type split:
+  * as-of path, with SQL's null reading (NULL keys/times never match —
+  * see the null-semantics block in [[rewriteOne]]) and DuckDB's
+  * join-type split:
   *
   *   - `LEFT JOIN` → probe-preserving as-of (unmatched probes keep null
   *     build values) — DuckDB `ASOF LEFT JOIN`, the reference's price
@@ -92,21 +95,60 @@ object RewriteAsOfTimeJoin extends Rule[LogicalPlan] with PredicateHelper {
         "right (build) side")
     }
 
+    // SQL null semantics. AsOfJoinPlan groups NULL KEYS together and
+    // sorts NULL TIMES first (the Scala API's documented, window-form-
+    // compatible behavior), but SQL `=` / `>=` are never true on NULL —
+    // a DuckDB ASOF JOIN matches nothing for a null key or time. The
+    // SQL surface must keep SQL's reading:
+    //
+    //   - build side: drop rows with a null key or null time — they can
+    //     match no probe row under SQL comparison. With those gone, a
+    //     null-KEY probe row's group has no build rows at all, so it
+    //     falls out as unmatched with no extra work, and a null-TIME
+    //     probe row finds no BACKWARD match (null sorts before every
+    //     real build time).
+    //   - probe side: a null-TIME probe row could still take a spurious
+    //     FORWARD match (the earliest build time follows null in sort
+    //     order), so for forward-containing strategies such rows are
+    //     routed around the join: dropped for inner, null-padded via a
+    //     union branch for left outer.
+    //
+    // Every guard is gated on static nullability, so the common
+    // non-nullable schema pays no extra filter, scan, or union.
+    val buildGuards =
+      (keyPairs.map(_._2) :+ rt).filter(_.nullable).map(IsNotNull)
+    val rStrict =
+      if (buildGuards.isEmpty) r else Filter(buildGuards.reduce(And), r)
+    val probeTimeAtRisk = m.strategy != "backward" && lt.nullable
+
     joinType match {
       case LeftOuter =>
-        AsOfJoinPlan(l, r, keyPairs.map(_._1), keyPairs.map(_._2), lt, rt,
-          r.output, m.strategy)
+        def node(probe: LogicalPlan) =
+          AsOfJoinPlan(probe, rStrict, keyPairs.map(_._1), keyPairs.map(_._2),
+            lt, rt, rStrict.output, m.strategy)
+        if (!probeTimeAtRisk) node(l)
+        else {
+          // Null-time probe rows bypass the join with null build values;
+          // IsNull/IsNotNull partition the probe exactly (no null holes).
+          val matched = node(Filter(IsNotNull(lt), l))
+          val padded = Project(
+            l.output ++ rStrict.output.map(a =>
+              Alias(Cast(Literal(null, NullType), a.dataType), a.name)()),
+            Filter(IsNull(lt), l))
+          Union(Seq(matched, padded))
+        }
       case _ => // Inner: drop unmatched probes via a match indicator.
+        val lStrict = if (probeTimeAtRisk) Filter(IsNotNull(lt), l) else l
         val ind = Alias(Literal(true), "__asof_matched")()
-        val rAug = Project(r.output :+ ind, r)
-        val node = AsOfJoinPlan(l, rAug, keyPairs.map(_._1),
+        val rAug = Project(rStrict.output :+ ind, rStrict)
+        val node = AsOfJoinPlan(lStrict, rAug, keyPairs.map(_._1),
           keyPairs.map(_._2), lt, rt, rAug.output, m.strategy)
         // The indicator reads back nullable (null = no match); reference
         // it as such so a later null-propagation pass cannot fold the
         // IsNotNull away.
         val filtered =
           Filter(IsNotNull(ind.toAttribute.withNullability(true)), node)
-        Project(l.output ++ r.output, filtered)
+        Project(l.output ++ rStrict.output, filtered)
     }
   }
 }

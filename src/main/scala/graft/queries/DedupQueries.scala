@@ -281,7 +281,9 @@ object DedupQueries extends QueryGroup {
        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
        |  FROM cp),
        |st(doc_id, s) AS (
-       |  SELECT doc_id, 0 FROM dl
+       |  -- No seed chunk for empty/null docs: the engine emits zero
+       |  -- chunks for them, so the doc must be absent here too.
+       |  SELECT doc_id, 0 FROM dl WHERE n > 0
        |  UNION ALL
        |  SELECT r.doc_id, $endExpr + 1
        |  FROM st r

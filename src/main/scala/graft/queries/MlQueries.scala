@@ -180,6 +180,15 @@ object MlQueries extends QueryGroup {
 
     def rnd(v: Double, digits: Int): Double =
       BigDecimal(v).setScale(digits, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // Degenerate-data guard (rank <= k, constant columns, zero residual):
+    // a 0/0 ratio whose NUMERATOR is also exactly 0 means the invariant
+    // holds trivially, so emit the expected value; a nonzero numerator
+    // over a zero denominator is a genuine violation — emit a sentinel
+    // that fails the gate loudly instead of crashing rnd() on NaN.
+    def ratio(num: Double, den: Double, whenTrivial: Double, digits: Int): Double =
+      if (den != 0.0) rnd(num / den, digits)
+      else if (num == 0.0) whenTrivial
+      else 9.0
     def dot(a: Array[Double], b: Array[Double]): Double =
       a.zip(b).map { case (x, y) => x * y }.sum
 
@@ -190,11 +199,13 @@ object MlQueries extends QueryGroup {
       } ++
       (for (i <- 0 until k; j <- (i + 1) until k) yield
         ("score_corr", i, j,
-          rnd(syy(i, j) / math.sqrt(syy(i, i) * syy(j, j)), 4), 0L)) ++
+          ratio(syy(i, j), math.sqrt(syy(i, i) * syy(j, j)),
+            whenTrivial = 0.0, 4), 0L)) ++
       (0 until k).map(i => ("score_center", i, -1, rnd(sy(i) / n, 5), 0L)) ++
       (0 until k).map(i =>
         ("score_var", i, -1,
-          rnd(syy(i, i) / (n * model.eigenvalues(i)), 5), 0L)) ++
+          ratio(syy(i, i), n * model.eigenvalues(i), whenTrivial = 1.0, 5),
+          0L)) ++
       (0 until k - 1).map(i =>
         ("eig_order", i, -1,
           if (model.eigenvalues(i) >= model.eigenvalues(i + 1)) 1.0 else 0.0,
@@ -214,8 +225,10 @@ object MlQueries extends QueryGroup {
         ("comp_sign", i, -1, if (v(best) > 0) 1.0 else 0.0, 0L)
       } ++
       Seq(
-        ("recon_ratio", -1, -1, rnd((srec2 + sr2) / sxc2, 6), 0L),
-        ("resid_orth", -1, -1, rnd(srrec / math.sqrt(sr2 * srec2), 4), 0L),
+        ("recon_ratio", -1, -1,
+          ratio(srec2 + sr2, sxc2, whenTrivial = 1.0, 6), 0L),
+        ("resid_orth", -1, -1,
+          ratio(srrec, math.sqrt(sr2 * srec2), whenTrivial = 0.0, 4), 0L),
         ("trace_q", -1, -1, 0.0, traceQ))
     rows.toDF("stat", "i", "j", "val", "qval")
   }

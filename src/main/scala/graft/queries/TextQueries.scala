@@ -857,7 +857,9 @@ object TextQueries extends QueryGroup {
   private val compressRatioSql: String =
     """SELECT doc_id,
       |  CAST(octet_length(encode(text)) AS BIGINT) AS utf8_bytes,
-      |  TRUE AS lower_ok, TRUE AS upper_ok, TRUE AS compresses_ok
+      |  CASE WHEN text IS NULL THEN NULL ELSE TRUE END AS lower_ok,
+      |  CASE WHEN text IS NULL THEN NULL ELSE TRUE END AS upper_ok,
+      |  CASE WHEN text IS NULL THEN NULL ELSE TRUE END AS compresses_ok
       |FROM documents""".stripMargin
 
   /** DuckDB replay of [[graft.text.UnigramLm.fitWords]] + one final

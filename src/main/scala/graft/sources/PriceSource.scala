@@ -101,22 +101,74 @@ object PriceThrottle {
   }
 }
 
-/** Per-JVM record of tolerated per-item fetch failures — the distributed
-  * `failed_items` summary. Tests assert on it; production reads a
-  * snapshot after the job for observability/alerting.
+/** Record of tolerated per-item fetch failures — the distributed
+  * `failed_items` summary.
+  *
+  * Two channels, because readers record on EXECUTORS while the summary
+  * is read on the DRIVER:
+  *
+  *   - a Spark `CollectionAccumulator`, created at scan-planning time and
+  *     shipped inside each [[PricePartition]] — task updates merge back
+  *     to the driver, so `snapshot` is correct on a real cluster. (Like
+  *     any accumulator it is at-least-once under task retries — an
+  *     observability channel, not an exactness one.)
+  *   - a JVM-local queue, kept as the fallback view for unit tests that
+  *     drive a [[PriceReader]] without a job (and identical to the
+  *     accumulator view in local mode, minus retry double-counts).
   */
 object PriceFetchStats {
+  @volatile private var acc:
+    Option[org.apache.spark.util.CollectionAccumulator[String]] = None
   private val failures =
     new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+
+  /** Driver-side: ONE accumulator per SparkContext, shared by every scan
+    * planned on it. A per-planning accumulator would break under AQE,
+    * which may re-plan the scan AFTER the stage that recorded the
+    * failures ran — the freshly-attached (empty) instance would shadow
+    * the one the tasks actually updated.
+    */
+  private[sources] def accumulatorFor(sc: org.apache.spark.SparkContext)
+      : org.apache.spark.util.CollectionAccumulator[String] = synchronized {
+    acc match {
+      case Some(a) if attachedTo.exists(_ eq sc) => a
+      case _ =>
+        val a = sc.collectionAccumulator[String]("graft.price_fetch_failures")
+        acc = Some(a)
+        attachedTo = Some(sc)
+        a
+    }
+  }
+  @volatile private var attachedTo: Option[org.apache.spark.SparkContext] = None
+
   def record(itemId: String, reason: String): Unit =
     failures.add(itemId -> reason)
-  def snapshot: Seq[(String, String)] = {
+
+  /** Driver-side view: the attached accumulator (cluster-correct) when a
+    * scan has been planned, else the JVM-local queue.
+    */
+  def snapshot: Seq[(String, String)] = acc match {
+    case Some(a) =>
+      import scala.jdk.CollectionConverters._
+      a.value.asScala.toSeq.map { s =>
+        val i = s.indexOf(": ")
+        if (i < 0) (s, "") else (s.take(i), s.drop(i + 2))
+      }
+    case None => localSnapshot
+  }
+
+  /** The JVM-local queue only (executor-side or no-job unit tests). */
+  def localSnapshot: Seq[(String, String)] = {
     val it = failures.iterator()
     val b = Seq.newBuilder[(String, String)]
     while (it.hasNext) b += it.next()
     b.result()
   }
-  def clear(): Unit = failures.clear()
+
+  def clear(): Unit = {
+    failures.clear()
+    acc.foreach(_.reset())
+  }
 }
 
 class PriceTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
@@ -154,23 +206,46 @@ class PriceScan(items: Array[String], fetcher: String, timestep: Long,
   override def readSchema(): StructType = PriceSource.schema
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      items.map(id => PricePartition(id, fetcher, timestep, policy): InputPartition)
-    override def createReaderFactory(): PartitionReaderFactory =
-      (p: InputPartition) => {
-        val part = p.asInstanceOf[PricePartition]
-        new PriceReader(part)
-      }
+      items.map(id =>
+        PricePartition(id, fetcher, timestep, policy): InputPartition)
+    // The failure accumulator rides in the READER FACTORY, not the
+    // partitions: factories are serialized inside the task binary and
+    // deserialized under an active TaskContext, which is what registers
+    // a deserialized AccumulatorV2 for end-of-task reporting. A
+    // partition field deserializes with the Task object BEFORE the
+    // context exists — its updates would be dropped silently.
+    override def createReaderFactory(): PartitionReaderFactory = {
+      val acc = PriceFetchStats.accumulatorFor(
+        org.apache.spark.sql.SparkSession.active.sparkContext)
+      new PriceReaderFactory(acc)
+    }
   }
+}
+
+class PriceReaderFactory(
+    failures: org.apache.spark.util.CollectionAccumulator[String])
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PriceReader(p.asInstanceOf[PricePartition], failures)
 }
 
 case class PricePartition(itemId: String, fetcher: String, timestep: Long,
     policy: FetchPolicy) extends InputPartition
 
-class PriceReader(part: PricePartition) extends PartitionReader[InternalRow] {
+class PriceReader(part: PricePartition,
+    failures: org.apache.spark.util.CollectionAccumulator[String])
+  extends PartitionReader[InternalRow] {
   // Lazy: the fetch (and its politeness wait) happens on first next(),
   // not at reader construction.
   private lazy val rows: Iterator[PricePoint] = fetchWithPolicy().iterator
   private var current: PricePoint = _
+
+  // Executor-side record: the accumulator merges back to the driver;
+  // the JVM-local queue serves same-JVM (local-mode / unit-test) reads.
+  private def record(reason: String): Unit = {
+    failures.add(s"${part.itemId}: $reason")
+    PriceFetchStats.record(part.itemId, reason)
+  }
 
   private def fetchWithPolicy(): Seq[PricePoint] = {
     val fetch = PriceFetcher(part.fetcher)
@@ -185,14 +260,13 @@ class PriceReader(part: PricePartition) extends PartitionReader[InternalRow] {
           // Permanent: retrying a 404 only burns the rate budget. Strict
           // mode still fails the task — completeness was requested.
           if (!p.tolerateFailures) throw e
-          PriceFetchStats.record(part.itemId, e.getMessage)
+          record(e.getMessage)
           return Seq.empty
         case scala.util.control.NonFatal(e) =>
           attempt += 1
           if (attempt > p.maxRetries) {
             if (p.tolerateFailures) {
-              PriceFetchStats.record(part.itemId,
-                s"failed after $attempt attempts: ${e.getMessage}")
+              record(s"failed after $attempt attempts: ${e.getMessage}")
               return Seq.empty
             } else throw e
           }

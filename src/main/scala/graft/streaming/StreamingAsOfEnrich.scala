@@ -57,12 +57,14 @@ object StreamingAsOfEnrich {
       strategy: String = "backward_then_forward")(
       sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      // An empty trigger still invokes foreachBatch; skip the join work.
-      if (!batch.isEmpty) {
-        val build = buildProvider(batch.sparkSession)
-        val enriched = AsOfJoin.joinNative(
-          batch, build, keys, probeTime, buildTime, valueCols, strategy)
-        sink(enriched, batchId)
-      }
+      // The sink sees EVERY batchId, empty triggers included: sinks that
+      // keep per-batch bookkeeping (idempotence ledgers, progress
+      // markers) must observe gaps-free ids, and pre-testing emptiness
+      // would cost an extra source action per trigger anyway — the as-of
+      // join over an empty micro-batch is near-free.
+      val build = buildProvider(batch.sparkSession)
+      val enriched = AsOfJoin.joinNative(
+        batch, build, keys, probeTime, buildTime, valueCols, strategy)
+      sink(enriched, batchId)
     }
 }

@@ -49,6 +49,20 @@ class Int8VecSpec extends AnyFunSuite with SparkTestBase {
     assert(n.head.isNullAt(0))
   }
 
+  test("a null ELEMENT nulls the packed vector (and so the dot)") {
+    import spark.implicits._
+    // A corrupt codes array must not pack its null as a silent 0 — the
+    // dot would read as a plausible similarity instead of surfacing the
+    // data bug.
+    val df = Seq((Seq(Some(5), None, Some(3)), Seq(Some(1), Some(2), Some(4))))
+      .toDF("a", "b")
+    val r = df.select(
+      Int8Vec.packInt8(col("a")).as("pa"),
+      Int8Vec.int8Dot(Int8Vec.packInt8(col("a")),
+        Int8Vec.packInt8(col("b"))).as("d")).collect()
+    assert(r.head.isNullAt(0) && r.head.isNullAt(1))
+  }
+
   test("pack_int8 / int8_dot are registered SQL functions") {
     graft.GraftExtensions.register(spark)
     val r = spark.sql(

@@ -294,6 +294,47 @@ class AsOfJoinNativeSpec extends AnyFunSuite with SparkTestBase {
     assert(e3.getMessage.toLowerCase.contains("strategy"), e3.getMessage)
   }
 
+  test("SQL asof_time marker: SQL null semantics (NULL = NULL never matches)") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    AsOfJoinStrategy.register(spark)
+    // The Scala API groups null keys together and lets a null-time probe
+    // fall forward (window-form parity, pinned below); the SQL surface
+    // must instead read like SQL: `p.key = b.key` is never true on NULL,
+    // and `>=`/`<` never true on a NULL time — DuckDB ASOF behavior.
+    Seq(
+      (1L, Option.empty[String], Option(5)), // null key
+      (2L, Option("a"), Option.empty[Int]),  // null time
+      (3L, Option("a"), Option(4)))          // healthy
+      .toDF("pid", "key", "t").createOrReplaceTempView("nul_p")
+    Seq(
+      (Option.empty[String], Option(3), 7L),  // null build key: dead row
+      (Option("a"), Option.empty[Int], 99L),  // null build time: dead row
+      (Option("a"), Option(1), 11L),
+      (Option("a"), Option(9), 13L))
+      .toDF("key", "bt", "value").createOrReplaceTempView("nul_b")
+    Seq("backward", "forward", "backward_then_forward").foreach { strat =>
+      val left = spark.sql(
+        s"""SELECT p.pid, b.value FROM nul_p p LEFT JOIN nul_b b
+           |ON p.key = b.key AND asof_time(p.t, b.bt, '$strat')""".stripMargin)
+        .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+      // Null-key and null-time probes never match, under EVERY strategy
+      // (forward used to spuriously match the earliest build row).
+      assert(left(1L) == null, s"$strat null-key probe")
+      assert(left(2L) == null, s"$strat null-time probe")
+      val healthy = strat match {
+        case "forward" => 13L
+        case _ => 11L
+      }
+      assert(left(3L) == healthy, s"$strat healthy probe")
+      val inner = spark.sql(
+        s"""SELECT p.pid, b.value FROM nul_p p JOIN nul_b b
+           |ON p.key = b.key AND asof_time(p.t, b.bt, '$strat')""".stripMargin)
+        .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+      assert(inner == Map(3L -> healthy), s"$strat inner")
+    }
+  }
+
   test("null keys group together, null times sort first (window-form parity)") {
     import spark.implicits._
     val probeDf = Seq(
