@@ -14,14 +14,16 @@ object Eval {
     * one row (p, n, auc_num_x2) with AUC = auc_num_x2 / (2·p·n) — the
     * Mann–Whitney form Σ_pos (2·N_below + N_ties), all BIGINT, tie-aware.
     *
-    * Scale shape: the corpus reduces FIRST by a score-keyed partial agg
-    * to one row per DISTINCT score (cp, cn), and only that bounded frame
-    * flows through the global cumulative window — the standard trick
-    * that keeps an exact rank statistic off the "sort everything in one
-    * partition" path. Scores here are whatever the caller bins to
-    * (integer byte counts, fixed-point model outputs); for truly
-    * continuous scores at 100 TB, quantize to fixed point first — AUC
-    * over ties is exactly what the tie-aware numerator handles.
+    * Scale shape, two layers:
+    *   1. the corpus reduces FIRST by a score-keyed partial agg to one
+    *      row per DISTINCT score (cp, cn) — map-side combine, so the
+    *      shuffle carries score cardinality, not row count;
+    *   2. the cumulative-negatives-below rank statistic over that frame
+    *      is a RANGE-TILED prefix sum (the [[graft.ops.SeqPack]] shape):
+    *      range-partition on score, a per-tile local window, tile totals
+    *      folded into broadcast base offsets. No single-partition sort
+    *      anywhere — a CONTINUOUS score column (|distinct| ≈ n) costs
+    *      the same two narrow passes as an integer one.
     */
   def aucExact(df: DataFrame, score: Column, label: Column): DataFrame = {
     // Rows with a null score are dropped up front: Spark windows default to
@@ -33,12 +35,25 @@ object Eval {
       .groupBy(col("__s"))
       .agg(sum(col("__y")).as("__cp"),
         sum(lit(1L) - col("__y")).as("__cn"))
-    // Cumulative negatives strictly below each score: a window over the
-    // DISTINCT-score frame (post-agg, cardinality-bounded).
-    val w = Window.orderBy(col("__s"))
+    // Range-tile the distinct-score frame: tile-local exclusive cumsum of
+    // negatives, then per-tile totals → exclusive base offsets (the
+    // triangle join is #partitions², broadcast-sized by construction).
+    // Range partition ids are ordered by key, so pid order IS score order.
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = g.repartitionByRange(parts, col("__s"))
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy("__pid").orderBy("__s")
       .rowsBetween(Window.unboundedPreceding, -1)
-    g.select(col("__cp"), col("__cn"),
-        coalesce(sum(col("__cn")).over(w), lit(0L)).as("__nb"))
+    val local = ranged
+      .withColumn("__lnb", coalesce(sum(col("__cn")).over(wLocal), lit(0L)))
+    val sizes = local.groupBy("__pid").agg(sum(col("__cn")).as("__cnt"))
+    val offsets = sizes.alias("a")
+      .join(sizes.alias("b"), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__cnt")), lit(0L)).as("__base"))
+    local.join(broadcast(offsets), "__pid")
+      .select(col("__cp"), col("__cn"),
+        (col("__base") + col("__lnb")).as("__nb"))
       .agg(sum(col("__cp")).as("p"), sum(col("__cn")).as("n"),
         sum(col("__cp") * (lit(2L) * col("__nb") + col("__cn")))
           .as("auc_num_x2"))

@@ -84,6 +84,19 @@ object MlQueries extends QueryGroup {
       graft.ml.Eval.aucExact(Tables.documents(s, dir),
         col("n_chars"), length(col("source")) === 4)),
 
+    // The continuous-score case: a per-row-unique double score
+    // (|distinct| = n), which is exactly where a global-window rank
+    // statistic degenerates into a single-partition sort. Gates the
+    // range-tiled prefix-sum path at full distinct cardinality; the
+    // sufficient statistics stay BIGINT-exact because the score never
+    // reaches the output, only its ordering does (and double arithmetic
+    // is IEEE-identical across engines for identical expressions).
+    "q_auc_continuous" -> ((s, dir) =>
+      graft.ml.Eval.aucExact(Tables.documents(s, dir),
+        col("n_chars").cast("double") +
+          col("doc_id").cast("double") / (col("doc_id").cast("double") + lit(1.0)),
+        length(col("source")) === 4)),
+
     // PCA sufficient statistics, oracle-checkable form: integer-quantized
     // centered-covariance numerators n·Σxy − Σx·Σy over the first 8 dims.
     // This pair-explode shape exists FOR the SQL oracle; the production
@@ -405,6 +418,29 @@ object MlQueries extends QueryGroup {
     "q_classifier_auc" ->
       """WITH t AS (
         |  SELECT n_chars AS s,
+        |    CASE WHEN length(source) = 4 THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |g AS (
+        |  SELECT s, CAST(sum(y) AS BIGINT) AS cp,
+        |    CAST(sum(1 - y) AS BIGINT) AS cn
+        |  FROM t GROUP BY s),
+        |c AS (
+        |  SELECT cp, cn,
+        |    CAST(coalesce(sum(cn) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS nb
+        |  FROM g)
+        |SELECT CAST(sum(cp) AS BIGINT) AS p, CAST(sum(cn) AS BIGINT) AS n,
+        |  CAST(sum(cp * (2 * nb + cn)) AS BIGINT) AS auc_num_x2
+        |FROM c""".stripMargin,
+
+    // Continuous twin: same Mann–Whitney restatement over a per-row-
+    // unique double score (n_chars + doc_id/(doc_id+1)); identical IEEE
+    // expressions on both engines, BIGINT outputs.
+    "q_auc_continuous" ->
+      """WITH t AS (
+        |  SELECT CAST(n_chars AS DOUBLE)
+        |      + CAST(doc_id AS DOUBLE) / (CAST(doc_id AS DOUBLE) + 1.0) AS s,
         |    CASE WHEN length(source) = 4 THEN 1 ELSE 0 END AS y
         |  FROM documents),
         |g AS (

@@ -118,7 +118,7 @@ object PriceThrottle {
   */
 object PriceFetchStats {
   @volatile private var acc:
-    Option[org.apache.spark.util.CollectionAccumulator[String]] = None
+    Option[org.apache.spark.util.CollectionAccumulator[(String, String)]] = None
   private val failures =
     new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
 
@@ -127,18 +127,24 @@ object PriceFetchStats {
     * which may re-plan the scan AFTER the stage that recorded the
     * failures ran — the freshly-attached (empty) instance would shadow
     * the one the tasks actually updated.
+    *
+    * The element type is the (itemId, reason) tuple itself — tuples are
+    * Java-serializable, and carrying them structured removes the string
+    * round-trip that mis-parsed itemIds containing ": ".
     */
   private[sources] def accumulatorFor(sc: org.apache.spark.SparkContext)
-      : org.apache.spark.util.CollectionAccumulator[String] = synchronized {
-    acc match {
-      case Some(a) if attachedTo.exists(_ eq sc) => a
-      case _ =>
-        val a = sc.collectionAccumulator[String]("graft.price_fetch_failures")
-        acc = Some(a)
-        attachedTo = Some(sc)
-        a
+      : org.apache.spark.util.CollectionAccumulator[(String, String)] =
+    synchronized {
+      acc match {
+        case Some(a) if attachedTo.exists(_ eq sc) => a
+        case _ =>
+          val a = sc.collectionAccumulator[(String, String)](
+            "graft.price_fetch_failures")
+          acc = Some(a)
+          attachedTo = Some(sc)
+          a
+      }
     }
-  }
   @volatile private var attachedTo: Option[org.apache.spark.SparkContext] = None
 
   def record(itemId: String, reason: String): Unit =
@@ -150,10 +156,7 @@ object PriceFetchStats {
   def snapshot: Seq[(String, String)] = acc match {
     case Some(a) =>
       import scala.jdk.CollectionConverters._
-      a.value.asScala.toSeq.map { s =>
-        val i = s.indexOf(": ")
-        if (i < 0) (s, "") else (s.take(i), s.drop(i + 2))
-      }
+      a.value.asScala.toSeq
     case None => localSnapshot
   }
 
@@ -223,7 +226,7 @@ class PriceScan(items: Array[String], fetcher: String, timestep: Long,
 }
 
 class PriceReaderFactory(
-    failures: org.apache.spark.util.CollectionAccumulator[String])
+    failures: org.apache.spark.util.CollectionAccumulator[(String, String)])
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PriceReader(p.asInstanceOf[PricePartition], failures)
@@ -233,7 +236,7 @@ case class PricePartition(itemId: String, fetcher: String, timestep: Long,
     policy: FetchPolicy) extends InputPartition
 
 class PriceReader(part: PricePartition,
-    failures: org.apache.spark.util.CollectionAccumulator[String])
+    failures: org.apache.spark.util.CollectionAccumulator[(String, String)])
   extends PartitionReader[InternalRow] {
   // Lazy: the fetch (and its politeness wait) happens on first next(),
   // not at reader construction.
@@ -243,7 +246,7 @@ class PriceReader(part: PricePartition,
   // Executor-side record: the accumulator merges back to the driver;
   // the JVM-local queue serves same-JVM (local-mode / unit-test) reads.
   private def record(reason: String): Unit = {
-    failures.add(s"${part.itemId}: $reason")
+    failures.add(part.itemId -> reason)
     PriceFetchStats.record(part.itemId, reason)
   }
 

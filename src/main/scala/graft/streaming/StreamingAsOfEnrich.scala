@@ -35,6 +35,17 @@ object StreamingAsOfEnrich {
   /** Wire an enriched sink: every micro-batch of `events` is as-of
     * joined against `buildProvider()` and handed to `sink`.
     *
+    * BEHAVIOR NOTE (changed in r9, kept deliberately): the sink is
+    * invoked for EVERY trigger, empty micro-batches included, so
+    * per-batch bookkeeping sees gap-free batchIds. Two consequences for
+    * callers migrating from the earlier skip-empty behavior: (1) a sink
+    * that writes a per-batch artifact will now emit empty artifacts on
+    * idle triggers — guard with `batch.isEmpty` inside the sink if that
+    * matters; (2) `buildProvider` runs on every trigger, so it must be
+    * cheap (a parquet read is — it plans lazily and an empty probe
+    * touches no build files on the broadcast path) or memoized by the
+    * caller.
+    *
     * @param events        streaming probe frame
     * @param buildProvider re-evaluated per batch; returns the current
     *                      build-side series (static read, e.g. the gold

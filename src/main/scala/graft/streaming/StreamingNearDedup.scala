@@ -27,9 +27,13 @@ import graft.ops.Dedup
   * State discipline (the part that must hold on an unbounded stream):
   *   - state lives per OCCUPIED bucket, each capped at `maxPerBucket`
   *     signatures (beyond the cap, new non-dup docs pass through
-  *     unflagged rather than growing state — a recall-for-memory trade
-  *     that is explicit, not silent: capped buckets are observable via
-  *     the emitted `bucket_capped` flag);
+  *     unflagged rather than growing state — a recall-for-memory trade.
+  *     Cap pressure is observable on SUBSEQUENT duplicate flags (their
+  *     `bucket_capped` field is true); a capped pass-through of a
+  *     non-duplicate emits nothing, so cap-induced recall loss in a
+  *     bucket only surfaces once a later doc flags against its stored
+  *     originals. Size `maxPerBucket` to the expected bucket occupancy
+  *     rather than relying on the flag as an early-warning signal;
   *   - an event-time timeout clears buckets idle past the stream's
   *     watermark + `stateTtl`, so abandoned buckets cannot accumulate
   *     forever. A duplicate arriving after its bucket expired is NOT
@@ -87,6 +91,13 @@ object StreamingNearDedup {
       stateTtlMs: Long = 60 * 60 * 1000L): Dataset[DupFlag] = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    // Construction-time guards for parameters that would otherwise fail
+    // silently or mid-flight: maxPerBucket <= 0 stores no state at all
+    // (the operator never flags anything, without error), and
+    // stateTtlMs <= 0 sets a timeout at/behind the current watermark —
+    // an IllegalArgumentException inside the RUNNING streaming query.
+    require(maxPerBucket > 0, s"maxPerBucket must be positive, got $maxPerBucket")
+    require(stateTtlMs > 0, s"stateTtlMs must be positive, got $stateTtlMs")
     val rowsPerBand = numHashes / bands
     val spark = docs.sparkSession
     import spark.implicits._

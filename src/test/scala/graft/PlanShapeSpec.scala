@@ -161,21 +161,34 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("partial_sum"), plan)
   }
 
-  test("exact AUC: global window runs AFTER the distinct-score reduction") {
+  test("exact AUC: range-tiled prefix sum, no single-partition sort/window") {
     import spark.implicits._
     val df = (0 until 300).map(i => ((i % 9).toLong, i % 2 == 0)).toDF("s", "y")
     val plan = planOf(graft.ml.Eval.aucExact(df, col("s"), col("y")))
-    // Raw rows reduce via a partial agg before any Sort/Window — the
-    // single-partition section only ever sees ≤#distinct-scores rows.
     val lines = plan.split('\n').map(_.trim)
-    val sortIdx = lines.indexWhere(_.startsWith("*(")) // codegen ids vary
+    // Raw rows reduce via a partial agg before any Sort/Window — the
+    // rank statistic only ever sees ≤#distinct-scores rows.
     assert(plan.contains("partial_sum"), plan)
     val windowLine = lines.indexWhere(_.contains("Window"))
     val aggLines = lines.zipWithIndex.filter(_._1.contains("partial_sum")).map(_._2)
     assert(windowLine >= 0 && aggLines.nonEmpty, plan)
-    // The deepest (input-side) partial agg sits BELOW the window in the
-    // tree printout (greater index = closer to the scan).
     assert(aggLines.max > windowLine, plan)
+    // The cumulative window is TILE-LOCAL (partitioned by the range tile
+    // id), so a continuous score (|distinct| ≈ n) never lands in one
+    // giant sorted partition: every Window in the plan carries __pid in
+    // its partition spec, and no exchange below the window is
+    // SinglePartition (the only SinglePartition exchange allowed is the
+    // final 1-row global aggregate at the very top).
+    lines.filter(_.contains("Window")).foreach { w =>
+      assert(w.contains("__pid"), s"global window found:\n$w\n$plan")
+    }
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    lines.zipWithIndex.drop(winIdx).foreach { case (l, i) =>
+      if (l.contains("Exchange SinglePartition"))
+        fail(s"SinglePartition exchange below the window (line $i):\n$plan")
+    }
+    // And the range tiling is actually there.
+    assert(plan.contains("rangepartitioning"), plan)
   }
 
   test("lag autocovariance: one window, one partial-agg'd shuffle, no self-join") {
