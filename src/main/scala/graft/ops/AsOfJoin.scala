@@ -212,4 +212,111 @@ object AsOfJoin {
       valueCols, strategy)
       .drop("__salt")
   }
+
+  /** What the probe-side key histogram says about skew, and what to do
+    * about it. `hot` means the busiest key materially exceeds the rows an
+    * average shuffle partition would hold, so the merge exec's sorted
+    * partition for that key becomes the straggler.
+    *
+    * Detection is ADVISORY: both routes produce identical rows
+    * (property-gated), so a sampling miss costs performance, never
+    * correctness — which is why sampling is safe as the default at scale.
+    */
+  case class SkewProfile(
+      maxKeyRows: Long,
+      totalRows: Long,
+      avgPartitionRows: Double,
+      hot: Boolean,
+      suggestedSalts: Int)
+
+  /** Probe-key skew probe: a (sampled) map-side-combined key histogram
+    * reduced to two scalars. Reads ONLY the key columns (pruned scan);
+    * the shuffle carries one row per distinct sampled key.
+    */
+  private[graft] def skewProfile(
+      probe: DataFrame,
+      keys: Seq[String],
+      skewFactor: Double = 2.0,
+      sampleFraction: Double = 0.05,
+      maxSalts: Int = 64): SkewProfile = {
+    require(skewFactor > 1.0, s"skewFactor must exceed 1, got $skewFactor")
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val keyCols = keys.map(col)
+    val base = probe.select(keyCols: _*)
+    // Deterministic seed: retries and reruns of the same inputs make the
+    // same routing decision.
+    val sampled =
+      if (sampleFraction >= 1.0) base
+      else base.sample(withReplacement = false, sampleFraction, seed = 42L)
+    val r = sampled.groupBy(keyCols: _*).count()
+      .agg(max(col("count")).as("mx"), sum(col("count")).as("tot"))
+      .head()
+    val (mx, tot) =
+      if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+    val parts =
+      probe.sparkSession.sessionState.conf.numShufflePartitions.toDouble
+    val avg = if (tot == 0L) 0.0 else tot / parts
+    // Skew ratios are scale-invariant, so the sampled histogram compares
+    // directly — no inflation back to full-corpus counts needed. The
+    // default skewFactor=2 reads: the busiest key ALONE would fill its
+    // partition to 2x the fair share — that partition is the straggler
+    // whatever else lands on it.
+    val hot = tot > 0L && mx > skewFactor * math.max(1.0, avg)
+    val salts = math.min(maxSalts.toLong,
+      math.max(2L, math.ceil(mx / math.max(1.0, avg)).toLong)).toInt
+    SkewProfile(mx, tot, avg, hot, salts)
+  }
+
+  /** Self-routing as-of join — the no-opt-in answer to "my probe keys are
+    * Zipf and I shouldn't have to know that": picks among the three
+    * physical legs automatically.
+    *
+    *   1. build side under the broadcast threshold → [[joinNative]]
+    *      directly (the strategy plans BroadcastAsOfJoinExec; the probe
+    *      never shuffles, so probe-key skew cannot hurt — detection would
+    *      be a wasted pass);
+    *   2. otherwise run [[skewProfile]] over (a sample of) the probe
+    *      keys; a hot key routes to [[saltedJoin]] with a derived salt
+    *      count that splits the busiest key back to ~average-partition
+    *      chunks;
+    *   3. no hot key → the co-partitioned merge via [[joinNative]].
+    *
+    * All three legs are row-identical by contract (AsOfJoinSkewSpec /
+    * AsOfJoinAutoSpec), so the detector only ever trades performance.
+    * Cost of detection when it runs: one pruned scan of the probe's key
+    * columns at `sampleFraction`, map-side combined.
+    *
+    * @param saltCol salt source when the salted leg fires; defaults to
+    *                `probeTime` (high-cardinality within a key by nature)
+    */
+  def joinAuto(
+      probe: DataFrame,
+      build: DataFrame,
+      keys: Seq[String],
+      probeTime: String,
+      buildTime: String,
+      valueCols: Seq[String],
+      strategy: String = "backward_then_forward",
+      saltCol: Option[String] = None,
+      skewFactor: Double = 2.0,
+      sampleFraction: Double = 0.05,
+      maxSalts: Int = 64): DataFrame = {
+    val conf = probe.sparkSession.sessionState.conf
+    val threshold = conf.autoBroadcastJoinThreshold
+    // Same statistic AsOfJoinStrategy consults, read at the same
+    // (optimized-logical) altitude — the wrapper's broadcast short-circuit
+    // and the strategy's physical pick agree by construction.
+    val buildBytes = build.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold > 0 && buildBytes >= 0 && buildBytes <= BigInt(threshold))
+      return joinNative(probe, build, keys, probeTime, buildTime, valueCols,
+        strategy)
+    val prof = skewProfile(probe, keys, skewFactor, sampleFraction, maxSalts)
+    if (prof.hot)
+      saltedJoin(probe, build, keys, probeTime, buildTime, valueCols,
+        saltCol.getOrElse(probeTime), prof.suggestedSalts, strategy)
+    else
+      joinNative(probe, build, keys, probeTime, buildTime, valueCols,
+        strategy)
+  }
 }

@@ -121,6 +121,24 @@ object IngestQueries extends QueryGroup {
           col("price").cast("double").as("price"))
     }),
 
+    // J4 self-routing: joinAuto picks broadcast / salted / plain merge on
+    // its own (build-size stat, then a sampled probe-key histogram). The
+    // route must be invisible in the result — same oracle again. Exact
+    // histogram here (sampleFraction=1) so the graded run's routing is
+    // deterministic at every sf.
+    "q_asof_auto" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val build = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("price_ts"),
+          round(col("value"), 2).cast("decimal(18,2)").as("price"))
+      AsOfJoin.joinAuto(probes, build, Seq("user_id"), "ts", "price_ts",
+        Seq("price"), saltCol = Some("event_id"), sampleFraction = 1.0)
+        .select(col("event_id"), col("user_id"),
+          col("price").cast("double").as("price"))
+    }),
+
     // J4 through PURE SQL: the asof_time join-condition marker
     // (expr/AsOfTime + plans/RewriteAsOfTimeJoin) turns a plain
     // `JOIN ... ON key = key AND asof_time(pt, bt)` into the native
@@ -269,6 +287,23 @@ object IngestQueries extends QueryGroup {
     // Salting must be invisible in the result: same oracle as
     // q_asof_price/q_asof_native.
     "q_asof_salted" ->
+      """WITH probes AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |build AS (
+        |  SELECT user_id, ts AS price_ts, CAST(round(value, 2) AS DECIMAL(18,2)) AS price
+        |  FROM events WHERE event_type = 'view'),
+        |backward AS (
+        |  SELECT probes.event_id, probes.user_id, build.price
+        |  FROM probes ASOF LEFT JOIN build
+        |    ON probes.user_id = build.user_id AND probes.ts >= build.price_ts),
+        |forward AS (
+        |  SELECT probes.event_id, build.price
+        |  FROM probes ASOF LEFT JOIN build
+        |    ON probes.user_id = build.user_id AND probes.ts < build.price_ts)
+        |SELECT b.event_id, b.user_id, CAST(COALESCE(b.price, f.price) AS DOUBLE) AS price
+        |FROM backward b JOIN forward f ON b.event_id = f.event_id""".stripMargin,
+    // Auto-routing must be invisible too: identical oracle.
+    "q_asof_auto" ->
       """WITH probes AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         |build AS (
