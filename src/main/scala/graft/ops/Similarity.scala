@@ -273,21 +273,35 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       centroids: DataFrame, centIdCol: String = "centroid_id",
       centVecCol: String = "centroid", nprobe: Int = 3): DataFrame = {
-    val cent = centroids
+    val cent = centFrame(centroids, centIdCol, centVecCol)
+    probeInvertedLists(probes, idCol, vecCol, k, cent,
+      invertedLists(corpus, idCol, vecCol, cent), nprobe)
+  }
+
+  /** Normalized codebook frame: (__cid, __cv double[], __cn). The single
+    * shape both the inline IVF path and the persisted [[IvfIndex]] share.
+    */
+  private[ops] def centFrame(centroids: DataFrame, centIdCol: String,
+      centVecCol: String): DataFrame =
+    centroids
       .select(col(centIdCol).as("__cid"),
         col(centVecCol).cast("array<double>").as("__cv"))
       .withColumn("__cn", norm(col("__cv")))
 
-    // Inverted lists: each corpus row → its argmax-cosine centroid
-    // (deterministic tie-break on centroid id). Argmax as `max_by` over a
-    // (score, -cid) struct, NOT a row_number window: the groupBy gets a
-    // map-side partial combine, so the exchange carries one row per corpus
-    // vector instead of one per (vector, centroid) pair — at nlist
-    // centroids that is an nlist× narrower assignment shuffle.
+  /** Inverted lists: each corpus row → its argmax-cosine centroid
+    * (deterministic tie-break on centroid id). Argmax as `max_by` over a
+    * (score, -cid) struct, NOT a row_number window: the groupBy gets a
+    * map-side partial combine, so the exchange carries one row per corpus
+    * vector instead of one per (vector, centroid) pair — at nlist
+    * centroids that is an nlist× narrower assignment shuffle.
+    * Output: (__list, neighbor_id, __nv, __nn).
+    */
+  private[ops] def invertedLists(corpus: DataFrame, idCol: String,
+      vecCol: String, cent: DataFrame): DataFrame = {
     val c = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"),
         norm(col(vecCol)).as("__nn"))
-    val lists = c.crossJoin(broadcast(cent))
+    c.crossJoin(broadcast(cent))
       .withColumn("__acos",
         dot(col("__nv"), col("__cv")) / (col("__nn") * col("__cn")))
       .groupBy(col("neighbor_id"))
@@ -296,8 +310,16 @@ object Similarity {
         struct(col("__acos"), (-col("__cid")).as("__tb"))).as("__best"))
       .select(col("__best.__cid").as("__list"), col("neighbor_id"),
         col("__best.__nv").as("__nv"), col("__best.__nn").as("__nn"))
+  }
 
-    // Probe side: the nprobe nearest lists per query.
+  /** Probe leg over prebuilt inverted lists: route each query to its
+    * `nprobe` nearest lists, list-bucketed candidate join, exact-cosine
+    * rank. `lists` may be the inline [[invertedLists]] frame or a
+    * persisted index read back ([[IvfIndex]]) — same contract either way.
+    */
+  private[ops] def probeInvertedLists(
+      probes: DataFrame, idCol: String, vecCol: String, k: Int,
+      cent: DataFrame, lists: DataFrame, nprobe: Int): DataFrame = {
     val p = probes.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
         norm(col(vecCol)).as("__qn"))

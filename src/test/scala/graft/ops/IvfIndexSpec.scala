@@ -1,0 +1,94 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted IVF index must serve probe batches with EXACTLY the rows
+  * the inline ivfTopKWith produces on the same codebook, lay the lists
+  * out partition-pruned by Voronoi cell, and amortize one build across
+  * many probe batches.
+  */
+class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dims = 8
+
+  // Deterministic synthetic vectors: 240 corpus rows in 6 loose clusters.
+  private def corpus: DataFrame = {
+    import spark.implicits._
+    (0 until 240).map { i =>
+      val c = i % 6
+      val v = Array.tabulate(dims)(d =>
+        (if (d == c) 10.0 else 0.0) + ((i * 31 + d * 7) % 13) * 0.1)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def codebook: DataFrame = {
+    import spark.implicits._
+    (0 until 6).map { c =>
+      (c.toLong, Array.tabulate(dims)(d => if (d == c) 10.0 else 0.5))
+    }.toDF("centroid_id", "centroid")
+  }
+
+  private def probes: DataFrame = corpus.filter(col("vec_id") % 40 === 0)
+
+  private def canon(df: DataFrame): Set[Seq[Any]] =
+    df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("rank").cast("int"), round(col("cos"), 9))
+      .collect().map(_.toSeq).toSet
+
+  test("persisted probe equals the inline ivfTopKWith, build once") {
+    val path = Files.createTempDirectory("ivf_index").toString
+    IvfIndex.write(path, corpus, "vec_id", "embedding", codebook)
+    val want = canon(Similarity.ivfTopKWith(probes, corpus, "vec_id",
+      "embedding", k = 4, codebook, nprobe = 2))
+    val got = canon(IvfIndex.topK(spark, path, probes, "vec_id",
+      "embedding", k = 4, nprobe = 2))
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("lists land partitioned by Voronoi cell (one directory per list)") {
+    val path = Files.createTempDirectory("ivf_layout").toString
+    IvfIndex.write(path, corpus, "vec_id", "embedding", codebook)
+    val dirs = new java.io.File(s"$path/lists").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("list="))
+    assert(dirs.nonEmpty && dirs.forall(_.matches("list=\\d+")), dirs.toSeq)
+    // Every corpus vector exactly once across all lists.
+    val total = spark.read.parquet(s"$path/lists").count()
+    assert(total == 240L)
+  }
+
+  test("many probe batches reuse one artifact, each matching inline") {
+    val path = Files.createTempDirectory("ivf_batches").toString
+    IvfIndex.write(path, corpus, "vec_id", "embedding", codebook)
+    Seq(0, 1, 2).foreach { b =>
+      val batch = corpus.filter(col("vec_id") % 3 === b && col("vec_id") < 60)
+      val want = canon(Similarity.ivfTopKWith(batch, corpus, "vec_id",
+        "embedding", k = 3, codebook, nprobe = 2))
+      val got = canon(IvfIndex.topK(spark, path, batch, "vec_id",
+        "embedding", k = 3, nprobe = 2))
+      assert(got == want, s"batch $b")
+    }
+  }
+
+  test("probe plan is eligible for dynamic partition pruning") {
+    val path = Files.createTempDirectory("ivf_dpp").toString
+    IvfIndex.write(path, corpus, "vec_id", "embedding", codebook)
+    val df = IvfIndex.topK(spark, path, probes, "vec_id", "embedding",
+      k = 3, nprobe = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    // The partitioned scan's join key must be the BARE partition
+    // attribute (no cast wrapping it) — that is the DPP eligibility
+    // condition the reader layout exists for. The cast lives on the
+    // broadcast codebook side instead.
+    val scanLines = plan.split('\n').filter(_.contains("FileScan"))
+    val listScan = scanLines.find(_.contains("lists"))
+    assert(listScan.isDefined, plan)
+    assert(!listScan.get.contains("cast(list"), listScan.get)
+  }
+}
