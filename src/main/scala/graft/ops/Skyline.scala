@@ -35,4 +35,80 @@ object Skyline {
       .filter(col(d2) === col("__gmax"))
       .drop("__gmax")
   }
+
+  /** d-dimensional Pareto front, maximizing every integer dimension.
+    * Dispatches to the O(n log n) [[front2d]] sweep for two dimensions;
+    * otherwise runs the distributed sort-filter-skyline (SFS, Chomicki
+    * et al. ICDE'03) two-phase plan:
+    *
+    *   1. LOCAL front per partition: rows sorted within the partition by
+    *      descending coordinate sum, then one scan keeping a row iff no
+    *      already-kept row dominates it. Sum-descending order makes the
+    *      scan EXACT with a grow-only kept set — a dominator has ≥ on
+    *      every dimension and > on one, hence a strictly larger sum, so
+    *      it always precedes anything it dominates (equal-sum rows can
+    *      never dominate each other). No shuffle; each partition reduces
+    *      to its own front.
+    *   2. GLOBAL front of the union of local fronts — correct because a
+    *      globally undominated row is undominated in its own partition,
+    *      so phase 1 never discards a front row. The union is
+    *      front-sized, not data-sized; it coalesces to ONE bounded
+    *      executor task (same finish discipline as the dedup family's
+    *      union-find: a single task, never a driver collect) and runs
+    *      the identical sorted scan.
+    *
+    * Memory bound, stated: phase 1 holds one partition's FRONT (not the
+    * partition); phase 2 holds the union of local fronts. Pathologically
+    * anti-correlated dimensions make fronts O(n) — that is intrinsic to
+    * the operator's output size, not this plan.
+    *
+    * Rows with a NULL in any dimension are dropped (a NULL coordinate
+    * can neither dominate nor be ranked — same policy as the similarity
+    * family). Duplicate coordinate vectors survive together. Dimension
+    * values must fit LONG; the sum ordering uses exact long arithmetic.
+    */
+  def front(df: DataFrame, dims: Seq[String]): DataFrame = {
+    require(dims.size >= 2, s"need >= 2 dimensions, got ${dims.size}")
+    if (dims.size == 2) return front2d(df, dims.head, dims.last)
+
+    val clean = df.filter(dims.map(col(_).isNotNull).reduce(_ && _))
+    val withV = clean
+      .withColumn("__v", array(dims.map(col(_).cast("long")): _*))
+      .withColumn("__s", dims.map(col(_).cast("long")).reduce(_ + _))
+    val schema = withV.schema
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val vIdx = schema.fieldIndex("__v")
+
+    def dominates(a: IndexedSeq[Long], b: IndexedSeq[Long]): Boolean = {
+      var gt = false
+      var i = 0
+      while (i < a.length) {
+        if (a(i) < b(i)) return false
+        if (a(i) > b(i)) gt = true
+        i += 1
+      }
+      gt
+    }
+
+    def sfsScan(it: Iterator[org.apache.spark.sql.Row])
+        : Iterator[org.apache.spark.sql.Row] = {
+      val front = scala.collection.mutable.ArrayBuffer
+        .empty[IndexedSeq[Long]]
+      it.filter { r =>
+        val v = r.getSeq[Long](vIdx).toIndexedSeq
+        val dominated = front.exists(f => dominates(f, v))
+        if (!dominated) front += v
+        !dominated
+      }
+    }
+
+    val local = withV
+      .sortWithinPartitions(col("__s").desc)
+      .mapPartitions(sfsScan)(enc)
+    local
+      .coalesce(1)
+      .sortWithinPartitions(col("__s").desc)
+      .mapPartitions(sfsScan)(enc)
+      .drop("__v", "__s")
+  }
 }

@@ -477,6 +477,20 @@ object RelationalQueries extends QueryGroup {
         .select(col("doc_id"), col("len_chars"), col("n_uniq_toks"))
     }),
 
+    // d-dimensional Pareto front (distributed SFS): longest AND most
+    // lexically diverse AND most token-rich — gated against the O(n²)
+    // NOT EXISTS domination oracle.
+    "q_skyline_3d" -> ((s, dir) => {
+      val toks = split(graft.ops.Dedup.normalizeText(col("text")), " ")
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        length(col("text")).cast("long").as("len_chars"),
+        size(array_distinct(toks)).cast("long").as("n_uniq_toks"),
+        size(toks).cast("long").as("n_toks"))
+      graft.ops.Skyline.front(d, Seq("len_chars", "n_uniq_toks", "n_toks"))
+        .select(col("doc_id"), col("len_chars"), col("n_uniq_toks"),
+          col("n_toks"))
+    }),
+
     // Gorilla delta-of-delta timestamp compression profile per series:
     // exact bit-class histogram + compressed-vs-raw ratio.
     "q_gorilla_dod" -> ((s, dir) => {
@@ -810,6 +824,22 @@ object RelationalQueries extends QueryGroup {
          |    AND b.n_uniq_toks >= a.n_uniq_toks
          |    AND (b.len_chars > a.len_chars
          |      OR b.n_uniq_toks > a.n_uniq_toks))""".stripMargin,
+    "q_skyline_3d" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len_chars,
+         |    CAST(len(list_distinct(${OracleSql.toksSql})) AS BIGINT)
+         |      AS n_uniq_toks,
+         |    CAST(len(${OracleSql.toksSql}) AS BIGINT) AS n_toks
+         |  FROM documents)
+         |SELECT doc_id, len_chars, n_uniq_toks, n_toks FROM d a
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM d b
+         |  WHERE b.len_chars >= a.len_chars
+         |    AND b.n_uniq_toks >= a.n_uniq_toks
+         |    AND b.n_toks >= a.n_toks
+         |    AND (b.len_chars > a.len_chars
+         |      OR b.n_uniq_toks > a.n_uniq_toks
+         |      OR b.n_toks > a.n_toks))""".stripMargin,
     "q_gorilla_dod" ->
       """WITH e AS (
         |  SELECT event_type, event_id, epoch_us(ts) // 1000000 AS t

@@ -52,4 +52,78 @@ class SkylineSpec extends AnyFunSuite with SparkTestBase {
       (i, (i * 17) % 101, (i * 41) % 97)): _*)
     assert(front(d.repartition(17)) === front(d.repartition(1)))
   }
+
+  // ---- d-dimensional SFS path ----
+
+  private def pts3(rows: (Long, Long, Long, Long)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "d1", "d2", "d3")
+  }
+
+  private def naive3(d: DataFrame): Set[Long] = {
+    val rows = d.collect().map(r =>
+      (r.getLong(0), Seq(r.getLong(1), r.getLong(2), r.getLong(3))))
+    rows.filter { case (_, x) =>
+      !rows.exists { case (_, y) =>
+        x.indices.forall(i => y(i) >= x(i)) &&
+          x.indices.exists(i => y(i) > x(i))
+      }
+    }.map(_._1).toSet
+  }
+
+  private def front3(d: DataFrame): Set[Long] =
+    Skyline.front(d, Seq("d1", "d2", "d3")).select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+
+  test("3d front matches the naive dominance definition") {
+    val d = pts3((1L to 120L).map(i =>
+      (i, (i * 37) % 23, (i * 53) % 29, (i * 71) % 31)): _*)
+    assert(front3(d) === naive3(d))
+  }
+
+  test("3d: equal vectors survive together; dominated rows drop") {
+    val d = pts3((1L, 5L, 5L, 5L), (2L, 5L, 5L, 5L), (3L, 5L, 5L, 4L),
+      (4L, 6L, 1L, 1L), (5L, 1L, 1L, 1L))
+    assert(front3(d) === Set(1L, 2L, 4L))
+  }
+
+  test("3d front is partitioning-invariant") {
+    val d = pts3((1L to 300L).map(i =>
+      (i, (i * 17) % 101, (i * 41) % 97, (i * 13) % 89)): _*)
+    assert(front3(d.repartition(23)) === front3(d.repartition(1)))
+  }
+
+  test("3d: null-dimension rows are dropped, not ranked") {
+    import spark.implicits._
+    val d = Seq((1L, Some(5L), Some(5L), Some(5L)),
+      (2L, Some(9L), None, Some(9L)),
+      (3L, Some(1L), Some(1L), Some(1L)))
+      .toDF("id", "d1", "d2", "d3")
+    assert(front3(d) === Set(1L))
+  }
+
+  test("dims.size == 2 dispatches to the 2d sweep with identical results") {
+    val d = pts((1L to 80L).map(i =>
+      (i, (i * 37) % 23, (i * 53) % 29)): _*)
+    val viaFront = Skyline.front(d, Seq("d1", "d2")).select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(viaFront === front(d))
+  }
+
+  test("4d front matches naive") {
+    import spark.implicits._
+    val rows = (1L to 100L).map(i =>
+      (i, (i * 7) % 11, (i * 13) % 17, (i * 19) % 23, (i * 29) % 13))
+    val d = rows.toDF("id", "d1", "d2", "d3", "d4")
+    val got = Skyline.front(d, Seq("d1", "d2", "d3", "d4")).select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    val all = rows.map { case (id, a, b, c, e) => (id, Seq(a, b, c, e)) }
+    val want = all.filter { case (_, x) =>
+      !all.exists { case (_, y) =>
+        x.indices.forall(i => y(i) >= x(i)) &&
+          x.indices.exists(i => y(i) > x(i))
+      }
+    }.map(_._1).toSet
+    assert(got === want)
+  }
 }
