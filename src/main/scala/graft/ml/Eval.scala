@@ -58,4 +58,105 @@ object Eval {
         sum(col("__cp") * (lit(2L) * col("__nb") + col("__cn")))
           .as("auc_num_x2"))
   }
+
+  /** The full confusion matrix at EVERY distinct-score threshold: one row
+    * per distinct score `thr` with (tp, fp, fn, tn) for the classifier
+    * "predict positive iff score ≥ thr" — the exact ROC/PR curve points,
+    * all BIGINT. This is the artifact a threshold sweep, an ROC plot, or
+    * an operating-point picker reads; `aucExact` is its integral.
+    *
+    * Same two-layer scale shape as [[aucExact]]: the corpus collapses to
+    * one (cp, cn) row per DISTINCT score by a map-side-combined partial
+    * agg first, then tp/fp — inclusive descending cumulative sums of
+    * cp/cn — run as a range-tiled prefix sum (tile-local window +
+    * broadcast base offsets). A continuous score (|distinct| ≈ n) never
+    * lands in a single sorted partition.
+    */
+  def rocPoints(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val g = df
+      .select(score.as("thr"), when(label, 1L).otherwise(0L).as("__y"))
+      .where(col("thr").isNotNull)
+      .groupBy(col("thr"))
+      .agg(sum(col("__y")).as("__cp"),
+        sum(lit(1L) - col("__y")).as("__cn"))
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    // Descending range tiles: pid order IS descending-score order, so a
+    // tile's base offset is the (cp, cn) mass of all STRICTLY HIGHER
+    // scores — exactly the tiles with a smaller pid.
+    val ranged = g.repartitionByRange(parts, col("thr").desc)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy("__pid").orderBy(col("thr").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = ranged
+      .withColumn("__ltp", sum(col("__cp")).over(wLocal))
+      .withColumn("__lfp", sum(col("__cn")).over(wLocal))
+    val sizes = local.groupBy("__pid")
+      .agg(sum(col("__cp")).as("__tcp"), sum(col("__cn")).as("__tcn"))
+    val offsets = sizes.alias("a")
+      .join(sizes.alias("b"), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__tcp")), lit(0L)).as("__btp"),
+        coalesce(sum(col("b.__tcn")), lit(0L)).as("__bfp"))
+    val totals = g.agg(sum(col("__cp")).as("__p"), sum(col("__cn")).as("__n"))
+    local.join(broadcast(offsets), "__pid")
+      .crossJoin(broadcast(totals))
+      .select(col("thr"),
+        (col("__btp") + col("__ltp")).as("tp"),
+        (col("__bfp") + col("__lfp")).as("fp"),
+        (col("__p") - col("__btp") - col("__ltp")).as("fn"),
+        (col("__n") - col("__bfp") - col("__lfp")).as("tn"))
+  }
+
+  /** Exact average precision (PR-AUC in its standard step-function form):
+    * AP = Σ_thr ΔTP(thr) · precision(thr) / P, summed over distinct
+    * scores descending. Because tp is the inclusive descending cumsum of
+    * cp, ΔTP at a threshold is simply cp at that threshold — no lag
+    * window is needed on top of [[rocPoints]].
+    *
+    * Engine-portable exactness: each per-threshold term
+    * cp · tp/(tp+fp) is ONE IEEE division and multiply (bit-identical
+    * across engines for identical inputs), quantized to an integer
+    * micro-nano grid BEFORE the global sum — so the reduction is a
+    * BIGINT sum, order-independent and hash-stable. Output is one row
+    * (p, n, ap_num_q) with AP = ap_num_q / (1e9 · p).
+    */
+  def averagePrecision(df: DataFrame, score: Column, label: Column): DataFrame = {
+    // ΔTP at a threshold is cp — the positive count AT that exact score —
+    // because tp is the inclusive descending cumsum of cp. Re-derive cp
+    // from the same grouped frame and join it back on the threshold
+    // (both sides are |distinct score| rows, co-keyed).
+    val pts = rocPoints(df, score, label)
+    val g = df
+      .select(score.as("thr"), when(label, 1L).otherwise(0L).as("__y"))
+      .where(col("thr").isNotNull)
+      .groupBy(col("thr"))
+      .agg(sum(col("__y")).as("__cp"))
+    pts.join(g, "thr")
+      .select(col("tp"), col("fn"),
+        floor(col("__cp").cast("double") *
+          (col("tp").cast("double") /
+            (col("tp") + col("fp")).cast("double")) * lit(1e9))
+          .cast("long").as("__term"))
+      .agg(max(col("tp") + col("fn")).as("p"),
+        sum(col("__term")).as("ap_num_q"))
+  }
+
+  /** Reliability table for a probability-like score in [0, 1): `bins`
+    * equal-width bins over the score, one row per OCCUPIED bin with
+    * (bin, n, pos, prob_sum_q) — counts BIGINT, the score mass quantized
+    * to a 1e-9 grid per row BEFORE summing so the per-bin total is an
+    * order-independent BIGINT. ECE and any reliability plot derive from
+    * this table; the corpus is touched once, map-side combined.
+    */
+  def calibrationBins(df: DataFrame, prob: Column, label: Column,
+      bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    df.select(prob.cast("double").as("__pr"),
+        when(label, 1L).otherwise(0L).as("__y"))
+      .where(col("__pr").isNotNull)
+      .groupBy(least(floor(col("__pr") * lit(bins)), lit(bins - 1L))
+        .cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("pos"),
+        sum(floor(col("__pr") * lit(1e9)).cast("long")).as("prob_sum_q"))
+  }
 }

@@ -97,6 +97,31 @@ object MlQueries extends QueryGroup {
           col("doc_id").cast("double") / (col("doc_id").cast("double") + lit(1.0)),
         length(col("source")) === 4)),
 
+    // The exact ROC curve: a (tp, fp, fn, tn) confusion matrix at EVERY
+    // distinct-score threshold, via the same range-tiled descending
+    // prefix sum — |distinct| output rows, all BIGINT, no global sort.
+    "q_roc_points" -> ((s, dir) =>
+      graft.ml.Eval.rocPoints(Tables.documents(s, dir),
+        col("n_chars").cast("long"), length(col("source")) === 4)),
+
+    // Exact average precision (PR-AUC) over a CONTINUOUS per-row-unique
+    // score: each threshold term cp·tp/(tp+fp) is one IEEE divide+multiply
+    // quantized to a 1e-9 grid BEFORE the global BIGINT sum, so the
+    // reduction is order-independent and hash-stable cross-engine.
+    "q_pr_auc" -> ((s, dir) =>
+      graft.ml.Eval.averagePrecision(Tables.documents(s, dir),
+        col("n_chars").cast("double") +
+          col("doc_id").cast("double") / (col("doc_id").cast("double") + lit(1.0)),
+        length(col("source")) === 4)),
+
+    // Reliability table for a pseudo-probability ((doc_id % 997)/997):
+    // 10 equal-width bins, per-bin counts BIGINT and score mass quantized
+    // per row to a 1e-9 grid — ECE and reliability plots derive from it.
+    "q_calibration" -> ((s, dir) =>
+      graft.ml.Eval.calibrationBins(Tables.documents(s, dir),
+        (col("doc_id") % 997).cast("double") / lit(997.0),
+        length(col("source")) === 4, bins = 10)),
+
     // PCA sufficient statistics, oracle-checkable form: integer-quantized
     // centered-covariance numerators n·Σxy − Σx·Σy over the first 8 dims.
     // This pair-explode shape exists FOR the SQL oracle; the production
@@ -456,6 +481,70 @@ object MlQueries extends QueryGroup {
         |SELECT CAST(sum(cp) AS BIGINT) AS p, CAST(sum(cn) AS BIGINT) AS n,
         |  CAST(sum(cp * (2 * nb + cn)) AS BIGINT) AS auc_num_x2
         |FROM c""".stripMargin,
+
+    // Descending inclusive cumulative sums over the distinct-score frame:
+    // tp/fp at each threshold, fn/tn from the totals — pure BIGINT.
+    "q_roc_points" ->
+      """WITH t AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS s,
+        |    CASE WHEN length(source) = 4 THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |g AS (
+        |  SELECT s, CAST(sum(y) AS BIGINT) AS cp,
+        |    CAST(sum(1 - y) AS BIGINT) AS cn
+        |  FROM t GROUP BY s),
+        |c AS (
+        |  SELECT s,
+        |    CAST(sum(cp) OVER (ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+        |    CAST(sum(cn) OVER (ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+        |  FROM g),
+        |tot AS (
+        |  SELECT CAST(sum(cp) AS BIGINT) AS p, CAST(sum(cn) AS BIGINT) AS n
+        |  FROM g)
+        |SELECT c.s AS thr, c.tp, c.fp,
+        |  tot.p - c.tp AS fn, tot.n - c.fp AS tn
+        |FROM c, tot""".stripMargin,
+
+    // Same threshold frame over the continuous score; each AP term is the
+    // identical IEEE divide+multiply chain floored onto a 1e-9 grid, so
+    // the final reduction is an order-independent BIGINT sum.
+    "q_pr_auc" ->
+      """WITH t AS (
+        |  SELECT CAST(n_chars AS DOUBLE)
+        |      + CAST(doc_id AS DOUBLE) / (CAST(doc_id AS DOUBLE) + 1.0) AS s,
+        |    CASE WHEN length(source) = 4 THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |g AS (
+        |  SELECT s, CAST(sum(y) AS BIGINT) AS cp,
+        |    CAST(sum(1 - y) AS BIGINT) AS cn
+        |  FROM t GROUP BY s),
+        |c AS (
+        |  SELECT cp,
+        |    CAST(sum(cp) OVER (ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+        |    CAST(sum(cn) OVER (ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+        |  FROM g)
+        |SELECT CAST(sum(cp) AS BIGINT) AS p,
+        |  CAST(sum(CAST(floor(CAST(cp AS DOUBLE)
+        |    * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+        |    * 1e9) AS BIGINT)) AS BIGINT) AS ap_num_q
+        |FROM c""".stripMargin,
+
+    // Equal-width reliability bins; per-row 1e-9 quantization BEFORE the
+    // per-bin sum keeps the score mass an exact BIGINT on both engines.
+    "q_calibration" ->
+      """WITH t AS (
+        |  SELECT CAST(doc_id % 997 AS DOUBLE) / 997.0 AS pr,
+        |    CASE WHEN length(source) = 4 THEN 1 ELSE 0 END AS y
+        |  FROM documents)
+        |SELECT CAST(least(floor(pr * 10), 9) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(y) AS BIGINT) AS pos,
+        |  CAST(sum(CAST(floor(pr * 1e9) AS BIGINT)) AS BIGINT) AS prob_sum_q
+        |FROM t GROUP BY 1""".stripMargin,
 
     // Same quantization (floor of an exact float→double widening ×10⁴),
     // same pair join, all-BIGINT arithmetic — bit-identical numerators.
