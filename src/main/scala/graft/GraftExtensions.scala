@@ -53,6 +53,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.expr.NfcNormalize].getName,
         "nfc_normalize"),
       (children: Seq[Expression]) => graft.expr.NfcNormalize(children.head)))
+    // jaro_winkler(a, b) — prefix-weighted record-linkage similarity,
+    // named after DuckDB's jaro_winkler_similarity semantics it pins.
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[graft.expr.JaroWinkler].getName,
+        "jaro_winkler"),
+      (children: Seq[Expression]) =>
+        graft.expr.JaroWinkler(children.head, children(1))))
     // compress_stats(text) — the DEFLATE redundancy screen as SQL.
     ext.injectFunction((
       FunctionIdentifier("compress_stats"),
@@ -100,6 +108,9 @@ object GraftExtensions {
       "word_shingles", mkWordShingles, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize", exprs => graft.expr.NfcNormalize(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler",
+      exprs => graft.expr.JaroWinkler(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "compress_stats", exprs => graft.expr.CompressStats(exprs.head),
       "built-in")
