@@ -306,6 +306,61 @@ object TimeSeries {
       }.toDF(keyCol, timeCol, "ewma_fp")
   }
 
+  /** Holt's linear-trend smoothing (double exponential smoothing) in
+    * INTEGER FIXED-POINT, plus an h-step-ahead forecast — the next rung
+    * above [[ewmaFixedPoint]] when the series has drift an EWMA would
+    * systematically lag. Recurrences with α = alphaNum/alphaDen,
+    * β = betaNum/betaDen, in `scale` fixed-point:
+    *
+    *   l_t = (αN·v_t·scale + (αD−αN)·(l_{t−1} + b_{t−1})) quot αD
+    *   b_t = (βN·(l_t − l_{t−1}) + (βD−βN)·b_{t−1}) quot βD
+    *   forecast_t = l_t + horizon·b_t
+    *
+    * with l_0 = v_0·scale, b_0 = 0. `quot` is division TRUNCATING toward
+    * zero — deliberately, not floor: the trend term goes NEGATIVE on
+    * falling series, and DuckDB's integer `//` truncates while Java's
+    * floorDiv floors, so truncation is the one semantics both engines
+    * share bit-for-bit (JVM long `/` == DuckDB `//`). That puts this
+    * genuinely sequential recurrence under the oracle gate like
+    * [[ewmaFixedPoint]].
+    *
+    * Same distributed shape: one shuffle keyed by series, an in-partition
+    * sorted group iterator, O(1) state per series; series count
+    * parallelizes, series length streams.
+    *
+    * @return (keyCol, timeCol, level_fp, trend_fp, forecast_fp) in
+    *         `scale` fixed-point
+    */
+  def holtFixedPoint(df: DataFrame, keyCol: String, timeCol: String,
+      valueCol: String, alphaNum: Long, alphaDen: Long,
+      betaNum: Long, betaDen: Long, horizon: Long,
+      scale: Long = 1000000L): DataFrame = {
+    require(alphaNum > 0 && alphaNum <= alphaDen, "need 0 < alpha <= 1")
+    require(betaNum > 0 && betaNum <= betaDen, "need 0 < beta <= 1")
+    require(horizon >= 0, s"horizon must be non-negative, got $horizon")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string"), col(timeCol).cast("long"),
+        col(valueCol).cast("long")).toDF("_1", "_2", "_3")
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups($"_2") { (key, it) =>
+        var l = 0L
+        var b = 0L
+        var first = true
+        it.map { case (_, t, v) =>
+          if (first) { first = false; l = v * scale; b = 0L }
+          else {
+            val lPrev = l
+            l = (alphaNum * v * scale +
+              (alphaDen - alphaNum) * (lPrev + b)) / alphaDen
+            b = (betaNum * (l - lPrev) + (betaDen - betaNum) * b) / betaDen
+          }
+          (key, t, l, b, l + horizon * b)
+        }
+      }.toDF(keyCol, timeCol, "level_fp", "trend_fp", "forecast_fp")
+  }
+
   def sessionize(events: DataFrame, userCol: String, tsCol: String,
       gapSeconds: Long): DataFrame = {
     val byUser = Window.partitionBy(userCol).orderBy(tsCol)

@@ -211,6 +211,23 @@ object EventQueries extends QueryGroup {
           col("ewma_fp"))
     }),
 
+    // Holt linear-trend smoothing of daily counts (α=1/4, β=1/5) with a
+    // 7-day-ahead forecast — the same integer fixed-point contract as
+    // q_ewma, but with a trend state that goes negative on falling
+    // series, pinning the truncating-division cross-engine semantics.
+    "q_holt" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          floor(col("ts").cast("long") / 86400).cast("long").as("t"))
+        .agg(count(lit(1)).as("v"))
+      TimeSeries.holtFixedPoint(daily, "event_type", "t", "v",
+        alphaNum = 1L, alphaDen = 4L, betaNum = 1L, betaDen = 5L,
+        horizon = 7L)
+        .select(col("event_type"),
+          date_format(timestamp_seconds(col("t") * 86400), "yyyy-MM-dd").as("date"),
+          col("level_fp"), col("trend_fp"), col("forecast_fp"))
+    }),
+
     // Per-type value trend: OLS slope/intercept over days-since-epoch in
     // closed form — five exact integer sums per group, float only in the
     // final two divisions.
@@ -659,6 +676,33 @@ object EventQueries extends QueryGroup {
         |SELECT event_type,
         |  strftime(make_timestamp(t * 86400000000), '%Y-%m-%d') AS date,
         |  ewma AS ewma_fp
+        |FROM r""".stripMargin,
+    // Holt as a recursive CTE: both states step per series; every
+    // division is DuckDB `//` on possibly-negative BIGINTs, which
+    // truncates toward zero exactly like the engine's JVM long division.
+    "q_holt" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS t,
+        |    count(*) AS v
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, t, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY t) AS rn
+        |  FROM b),
+        |r AS (
+        |  SELECT event_type, t, rn,
+        |    CAST(v * 1000000 AS BIGINT) AS l, CAST(0 AS BIGINT) AS tr
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.t, s.rn,
+        |    CAST((1 * s.v * 1000000 + 3 * (r.l + r.tr)) // 4 AS BIGINT),
+        |    CAST((1 * ((1 * s.v * 1000000 + 3 * (r.l + r.tr)) // 4 - r.l)
+        |      + 4 * r.tr) // 5 AS BIGINT)
+        |  FROM s JOIN r ON s.event_type = r.event_type AND s.rn = r.rn + 1)
+        |SELECT event_type,
+        |  strftime(make_timestamp(t * 86400000000), '%Y-%m-%d') AS date,
+        |  l AS level_fp, tr AS trend_fp,
+        |  CAST(l + 7 * tr AS BIGINT) AS forecast_fp
         |FROM r""".stripMargin,
     "q_period_pivot" ->
       s"""SELECT user_id, count(*) AS count_all_time,

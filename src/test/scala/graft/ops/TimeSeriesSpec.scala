@@ -76,6 +76,64 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b)
   }
 
+  test("holtFixedPoint: hand-stepped level/trend/forecast, per-series") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 2L, 0L), ("a", 1L, 16L), ("a", 3L, 8L), // out of order on purpose
+      ("b", 1L, 5L)
+    ).toDF("k", "t", "v")
+    val got = TimeSeries.holtFixedPoint(df, "k", "t", "v",
+        alphaNum = 1L, alphaDen = 4L, betaNum = 1L, betaDen = 5L,
+        horizon = 2L, scale = 1000L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // a t1: l=16000 b=0 f=16000
+    // a t2: l=(0+3*16000)/4=12000; b=(12000-16000)/5=-800; f=12000-1600.
+    // a t3: l=(8000+3*11200)/4=10400; b=((10400-12000)+4*(-800))/5=-960;
+    //       f=10400-1920.
+    assert(got == Set(
+      ("a", 1L, 16000L, 0L, 16000L),
+      ("a", 2L, 12000L, -800L, 10400L),
+      ("a", 3L, 10400L, -960L, 8480L),
+      ("b", 1L, 5000L, 0L, 5000L)))
+  }
+
+  test("holtFixedPoint divides truncating-toward-zero on negative trend") {
+    import spark.implicits._
+    // β=1/3: trend numerator at t2 is (12000-16000) = -4000; -4000/3
+    // truncates to -1333 (floor would give -1334) — the DuckDB `//`
+    // semantics the oracle depends on.
+    val df = Seq(("a", 1L, 16L), ("a", 2L, 0L)).toDF("k", "t", "v")
+    val got = TimeSeries.holtFixedPoint(df, "k", "t", "v",
+        1L, 4L, 1L, 3L, horizon = 3L, scale = 1000L)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(2L) == ((12000L, -1333L, 12000L - 3L * 1333L)))
+  }
+
+  test("holtFixedPoint is partition-invariant") {
+    import spark.implicits._
+    val rows = (0 until 200).map(i => (s"k${i % 5}", i.toLong, (i * 37 % 100).toLong))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TimeSeries.holtFixedPoint(df, "k", "t", "v", 1L, 4L, 1L, 5L, 7L)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(x => (x._1, x._2)).toSeq
+    assert(run(rows.toDF("k", "t", "v")) ==
+      run(rows.toDF("k", "t", "v").repartition(13)))
+  }
+
+  test("holtFixedPoint validates parameters") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 1L)).toDF("k", "t", "v")
+    intercept[IllegalArgumentException] {
+      TimeSeries.holtFixedPoint(df, "k", "t", "v", 0L, 4L, 1L, 5L, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.holtFixedPoint(df, "k", "t", "v", 1L, 4L, 1L, 5L, -1L)
+    }
+  }
+
   test("lagCovariance matches hand-computed numerators per lag") {
     import spark.implicits._
     // Series a: 1,2,4,8 — lag-1 pairs (1,2)(2,4)(4,8): n=3, Σxy=42,
