@@ -297,6 +297,32 @@ object RelationalQueries extends QueryGroup {
         "doc_id", "nm", blockLen = 4, tau = 0.905)
     }),
 
+    // Entity resolution END-TO-END: the JW pair graph from q_jw_join →
+    // large-star/small-star connected components → one cluster id per
+    // record → keep-best representative per cluster ((n_chars, doc_id)
+    // lexicographic max; singletons keep themselves). The full record-
+    // linkage pipeline — block, score, cluster, survive — in one query.
+    "q_entity_resolution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.documents(s, dir)
+        .filter(length(col("text")) >= 8)
+        .select(col("doc_id"), substring(col("text"), 1, 32).as("nm"),
+          col("n_chars"))
+      val pairs = graft.ops.FuzzyJoin.jaroWinklerSelfJoin(
+        base.select(col("doc_id"), col("nm")), "doc_id", "nm",
+        blockLen = 4, tau = 0.905)
+      val comp = graft.ops.Dedup.connectedComponents(
+        pairs, "a_doc_id", "b_doc_id")
+      base.join(comp, base("doc_id") === comp("id"), "left")
+        .select(base("doc_id"),
+          coalesce(col("component"), base("doc_id")).as("cluster_id"),
+          col("n_chars"))
+        .withColumn("keep",
+          row_number().over(Window.partitionBy("cluster_id")
+            .orderBy(desc("n_chars"), desc("doc_id"))) === 1)
+        .select(col("doc_id"), col("cluster_id"), col("keep"))
+    }),
+
     // CDC-style snapshot diff (see graft.ops.Reconcile): snapshot B is
     // derived from A with planted removals (%97), value mutations
     // (%101), and inserts under fresh keys (%103 + 10M). The hash-keyed
@@ -707,6 +733,29 @@ object RelationalQueries extends QueryGroup {
         |  ON substr(a.nm, 1, 4) = substr(b.nm, 1, 4)
         | AND a.doc_id < b.doc_id
         |WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.905""".stripMargin,
+    "q_entity_resolution" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT doc_id, substr(text, 1, 32) AS nm, n_chars
+        |  FROM documents WHERE length(text) >= 8),
+        |e AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM p a JOIN p b
+        |    ON substr(a.nm, 1, 4) = substr(b.nm, 1, 4)
+        |   AND a.doc_id < b.doc_id
+        |  WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.905),
+        |sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+        |walk(id, comp) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM sym) n
+        |  UNION
+        |  SELECT s.v, w.comp FROM walk w JOIN sym s ON s.u = w.id),
+        |comp AS (SELECT id, CAST(min(comp) AS BIGINT) AS component
+        |         FROM walk GROUP BY id)
+        |SELECT p.doc_id,
+        |  COALESCE(c.component, p.doc_id) AS cluster_id,
+        |  row_number() OVER (
+        |    PARTITION BY COALESCE(c.component, p.doc_id)
+        |    ORDER BY p.n_chars DESC, p.doc_id DESC) = 1 AS keep
+        |FROM p LEFT JOIN comp c ON c.id = p.doc_id""".stripMargin,
     "q_snapshot_diff" ->
       """WITH b AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus,
