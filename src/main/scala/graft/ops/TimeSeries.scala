@@ -361,6 +361,45 @@ object TimeSeries {
       }.toDF(keyCol, timeCol, "level_fp", "trend_fp", "forecast_fp")
   }
 
+  /** One-sided CUSUM change-point statistics per series (Page 1954), both
+    * directions, in exact integers: with deviations d_t = v_t − target,
+    * the high-side statistic s_t = max(0, s_{t−1} + d_t) — sequential on
+    * its face — has the closed form
+    *
+    *   s_t = c_t − min(0, min_{i≤t} c_i),   c_t = Σ_{i≤t} d_i
+    *
+    * (and the low side is the same identity on −d), so the WHOLE
+    * recurrence becomes two frames over ONE series-keyed sorted window:
+    * a running sum and a running min. No sequential group iterator, no
+    * state — unlike EWMA/Holt this one parallelizes into plain windows,
+    * which is why it gets the window form rather than
+    * `flatMapSortedGroups`. `alarm` fires when either side exceeds
+    * `threshold` — the classic level-shift monitor that pairs with
+    * [[graft.streaming.StreamingAnomaly]]'s z-score spikes.
+    *
+    * @return (keyCol, timeCol, cusum_high, cusum_low, alarm)
+    */
+  def cusum(df: DataFrame, keyCol: String, timeCol: String,
+      valueCol: String, target: Long, threshold: Long): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val w = Window.partitionBy(keyCol).orderBy(timeCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // low side: s'_t = max(0, s'_{t−1} − d_t) = max(0, max_{i≤t} c_i) − c_t
+    // (the same identity applied to −d, with running max playing the min's
+    // role). Both frames share one partitioning and ordering, so the plan
+    // is a single series-keyed exchange + sort.
+    df.select(col(keyCol), col(timeCol).cast("long").as(timeCol),
+        (col(valueCol).cast("long") - lit(target)).as("__d"))
+      .withColumn("__c", sum(col("__d")).over(w))
+      .withColumn("__lo", min(col("__c")).over(w))
+      .withColumn("__hi", max(col("__c")).over(w))
+      .select(col(keyCol), col(timeCol),
+        (col("__c") - least(lit(0L), col("__lo"))).as("cusum_high"),
+        (greatest(lit(0L), col("__hi")) - col("__c")).as("cusum_low"))
+      .withColumn("alarm",
+        col("cusum_high") > threshold || col("cusum_low") > threshold)
+  }
+
   def sessionize(events: DataFrame, userCol: String, tsCol: String,
       gapSeconds: Long): DataFrame = {
     val byUser = Window.partitionBy(userCol).orderBy(tsCol)

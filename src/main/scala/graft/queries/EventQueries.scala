@@ -228,6 +228,22 @@ object EventQueries extends QueryGroup {
           col("level_fp"), col("trend_fp"), col("forecast_fp"))
     }),
 
+    // CUSUM level-shift monitor over daily counts: both one-sided Page
+    // statistics in exact integers via the cumsum-minus-running-extremum
+    // closed form — two window frames, one series-keyed sort, no
+    // sequential state.
+    "q_cusum" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          floor(col("ts").cast("long") / 86400).cast("long").as("t"))
+        .agg(count(lit(1)).as("v"))
+      TimeSeries.cusum(daily, "event_type", "t", "v",
+        target = 30L, threshold = 50L)
+        .select(col("event_type"),
+          date_format(timestamp_seconds(col("t") * 86400), "yyyy-MM-dd").as("date"),
+          col("cusum_high"), col("cusum_low"), col("alarm"))
+    }),
+
     // Per-type value trend: OLS slope/intercept over days-since-epoch in
     // closed form — five exact integer sums per group, float only in the
     // final two divisions.
@@ -704,6 +720,31 @@ object EventQueries extends QueryGroup {
         |  l AS level_fp, tr AS trend_fp,
         |  CAST(l + 7 * tr AS BIGINT) AS forecast_fp
         |FROM r""".stripMargin,
+    // The same closed form in SQL windows: cumulative deviation sum and
+    // its running min/max — all BIGINT, no recursion needed.
+    "q_cusum" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS t,
+        |    count(*) AS v
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, t,
+        |    CAST(sum(v - 30) OVER (PARTITION BY event_type ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+        |  FROM b),
+        |m AS (
+        |  SELECT event_type, t, c,
+        |    CAST(min(c) OVER (PARTITION BY event_type ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS lo,
+        |    CAST(max(c) OVER (PARTITION BY event_type ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hi
+        |  FROM c)
+        |SELECT event_type,
+        |  strftime(make_timestamp(t * 86400000000), '%Y-%m-%d') AS date,
+        |  CAST(c - least(0, lo) AS BIGINT) AS cusum_high,
+        |  CAST(greatest(0, hi) - c AS BIGINT) AS cusum_low,
+        |  (c - least(0, lo) > 50 OR greatest(0, hi) - c > 50) AS alarm
+        |FROM m""".stripMargin,
     "q_period_pivot" ->
       s"""SELECT user_id, count(*) AS count_all_time,
          |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS value_all_time,

@@ -134,6 +134,47 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("cusum: closed form equals the sequential recurrence on both sides") {
+    import spark.implicits._
+    // target 0 → deviations are the values themselves: v = (-5, 3, 10).
+    // high: 0, 3, 13; low: 5, 2, 0 (hand-stepped max(0, s±d)).
+    val df = Seq(("a", 1L, -5L), ("a", 2L, 3L), ("a", 3L, 10L))
+      .toDF("k", "t", "v").repartition(3)
+    val got = TimeSeries.cusum(df, "k", "t", "v", target = 0L, threshold = 12L)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(1L) == ((0L, 5L, false)))
+    assert(got(2L) == ((3L, 2L, false)))
+    assert(got(3L) == ((13L, 0L, true)))
+  }
+
+  test("cusum flags a planted level shift and resets after drops") {
+    import spark.implicits._
+    // steady at target, then a +5 shift for 4 steps: high side ramps
+    // 5,10,15,20 and crosses 12 at t=7; low side stays 0 throughout.
+    val rows = (1 to 4).map(i => ("s", i.toLong, 10L)) ++
+      (5 to 8).map(i => ("s", i.toLong, 15L))
+    val got = TimeSeries.cusum(rows.toDF("k", "t", "v"), "k", "t", "v",
+        target = 10L, threshold = 12L)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getBoolean(4))))
+      .toMap
+    assert((1 to 4).forall(t => got(t.toLong) == ((0L, false))))
+    assert(got(5L) == ((5L, false)) && got(6L) == ((10L, false)))
+    assert(got(7L) == ((15L, true)) && got(8L) == ((20L, true)))
+  }
+
+  test("cusum series isolation and partition invariance") {
+    import spark.implicits._
+    val rows = (0 until 300).map(i =>
+      (s"k${i % 4}", i.toLong, ((i * 31) % 20 - 7).toLong))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TimeSeries.cusum(df, "k", "t", "v", target = 2L, threshold = 25L)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4))).sortBy(x => (x._1, x._2)).toSeq
+    assert(run(rows.toDF("k", "t", "v")) ==
+      run(rows.toDF("k", "t", "v").repartition(17)))
+  }
+
   test("lagCovariance matches hand-computed numerators per lag") {
     import spark.implicits._
     // Series a: 1,2,4,8 — lag-1 pairs (1,2)(2,4)(4,8): n=3, Σxy=42,
