@@ -228,6 +228,19 @@ object EventQueries extends QueryGroup {
           col("level_fp"), col("trend_fp"), col("forecast_fp"))
     }),
 
+    // A/B experiment readout: unit = user (events pre-aggregated to one
+    // row per user), treatment = odd user_id, conversion = any purchase.
+    // One partial-agg'd pass; the derived lift/z/χ² are fixed-order IEEE
+    // expressions over exact counts, rounded 6 — hash-stable cross-engine.
+    "q_ab_test" -> ((s, dir) => {
+      val units = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+      graft.ops.Experiment.abTest(units,
+        pmod(col("user_id"), lit(2)) === 1, col("conv") === 1L)
+    }),
+
     // CUSUM level-shift monitor over daily counts: both one-sided Page
     // statistics in exact integers via the cumsum-minus-running-extremum
     // closed form — two window frames, one series-keyed sort, no
@@ -720,6 +733,38 @@ object EventQueries extends QueryGroup {
         |  l AS level_fp, tr AS trend_fp,
         |  CAST(l + 7 * tr AS BIGINT) AS forecast_fp
         |FROM r""".stripMargin,
+    // Same unitization, same fixed-order arithmetic over the four exact
+    // counts, same 6-decimal rounding grid (the repo-wide round(x, 6)
+    // cross-engine pattern).
+    "q_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 0 ELSE conv END) AS BIGINT) AS conv_c,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_t
+        |  FROM u)
+        |SELECT n_c, n_t, conv_c, conv_t,
+        |  CASE WHEN n_c > 0 AND n_t > 0 THEN
+        |    round(CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |      - CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6)
+        |  END AS lift,
+        |  CASE WHEN n_c > 0 AND n_t > 0 AND conv_c + conv_t > 0
+        |        AND conv_c + conv_t < n_c + n_t THEN
+        |    round((CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |         - CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+        |      / sqrt((CAST(conv_c + conv_t AS DOUBLE) / CAST(n_c + n_t AS DOUBLE))
+        |        * (1.0 - CAST(conv_c + conv_t AS DOUBLE) / CAST(n_c + n_t AS DOUBLE))
+        |        * (1.0 / CAST(n_t AS DOUBLE) + 1.0 / CAST(n_c AS DOUBLE))), 6)
+        |  END AS z,
+        |  round(CAST(n_t - n_c AS DOUBLE) * CAST(n_t - n_c AS DOUBLE)
+        |    / CAST(n_t + n_c AS DOUBLE), 6) AS srm_chi2
+        |FROM a""".stripMargin,
+
     // The same closed form in SQL windows: cumulative deviation sum and
     // its running min/max — all BIGINT, no recursion needed.
     "q_cusum" ->

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class ExperimentSpec extends AnyFunSuite with SparkTestBase {
+
+  test("abTest: hand-computed counts, lift, z, and SRM chi-square") {
+    import spark.implicits._
+    // control: 4 units, 1 conversion; treatment: 6 units, 3 conversions.
+    val df = (Seq((false, true), (false, false), (false, false),
+      (false, false)) ++
+      Seq((true, true), (true, true), (true, true), (true, false),
+        (true, false), (true, false))).toDF("t", "c").repartition(3)
+    val r = Experiment.abTest(df, col("t"), col("c")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 6L, 1L, 3L)))
+    val pC = 1.0 / 4.0
+    val pT = 3.0 / 6.0
+    val pool = 4.0 / 10.0
+    val z = (pT - pC) / math.sqrt(pool * (1.0 - pool) * (1.0 / 6.0 + 1.0 / 4.0))
+    assert(r.getDouble(4) == 0.25) // lift
+    assert(math.abs(r.getDouble(5) - z) < 1e-6)
+    // SRM: (6-4)^2 / 10 = 0.4.
+    assert(r.getDouble(6) == 0.4)
+  }
+
+  test("abTest: degenerate pools yield NULL z, never NaN/Infinity") {
+    import spark.implicits._
+    // all units convert -> pooled p = 1 -> z undefined.
+    val all = Seq((false, true), (true, true)).toDF("t", "c")
+    assert(Experiment.abTest(all, col("t"), col("c")).head().isNullAt(5))
+    // no unit converts -> pooled p = 0 -> z undefined.
+    val none = Seq((false, false), (true, false)).toDF("t", "c")
+    assert(Experiment.abTest(none, col("t"), col("c")).head().isNullAt(5))
+    // empty control arm -> z undefined, counts still correct.
+    val oneArm = Seq((true, true), (true, false)).toDF("t", "c")
+    val r = Experiment.abTest(oneArm, col("t"), col("c")).head()
+    assert(r.getLong(0) == 0L && r.isNullAt(5))
+  }
+
+  test("abTest: balanced split has zero SRM, skewed split flags") {
+    import spark.implicits._
+    val balanced = (0 until 100).map(i => (i % 2 == 0, i % 5 == 0))
+      .toDF("t", "c")
+    assert(Experiment.abTest(balanced, col("t"), col("c"))
+      .head().getDouble(6) == 0.0)
+    // 90/10 split over 100 units: chi2 = 6400/100 = 64 — far past any
+    // reasonable 1-dof critical value.
+    val skewed = (0 until 100).map(i => (i < 90, i % 5 == 0)).toDF("t", "c")
+    assert(Experiment.abTest(skewed, col("t"), col("c"))
+      .head().getDouble(6) == 64.0)
+  }
+
+  test("abTest is partition-invariant") {
+    import spark.implicits._
+    val rows = (0 until 500).map(i => (i % 3 == 0, i % 7 == 0))
+    val a = Experiment.abTest(rows.toDF("t", "c").coalesce(1),
+      col("t"), col("c")).head()
+    val b = Experiment.abTest(rows.toDF("t", "c").repartition(13),
+      col("t"), col("c")).head()
+    assert(a == b)
+  }
+}
