@@ -191,6 +191,52 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("rangepartitioning"), plan)
   }
 
+  test("ROC points: descending range tiles, every window tile-keyed") {
+    import spark.implicits._
+    val df = (0 until 300).map(i => (i + 1.0 / (i + 2.0), i % 2 == 0))
+      .toDF("s", "y") // continuous: |distinct| = n
+    val plan = planOf(graft.ml.Eval.rocPoints(df, col("s"), col("y")))
+    val lines = plan.split('\n').map(_.trim)
+    assert(plan.contains("partial_sum"), plan)
+    assert(plan.contains("rangepartitioning"), plan)
+    // Both cumulative legs (tp, fp) ride tile-local windows; no window
+    // may run unpartitioned, and nothing below a window may exchange to
+    // a single partition (rocPoints has per-threshold output — there is
+    // no final 1-row aggregate to excuse one).
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    assert(winIdx >= 0, plan)
+    lines.filter(_.contains("Window")).foreach { w =>
+      assert(w.contains("__pid"), s"global window found:\n$w\n$plan")
+    }
+    // The ONLY SinglePartition exchange allowed is the one feeding the
+    // 1-row totals aggregate (keys=[] over the already-reduced distinct-
+    // score frame) — bounded by construction. Anything else would mean a
+    // leg of the curve computation funneled into one partition.
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        val ctx = lines.slice(math.max(0, i - 2), math.min(lines.length, i + 3))
+        assert(ctx.exists(_.contains("HashAggregate(keys=[]")),
+          s"SinglePartition exchange outside the totals aggregate (line $i):\n$plan")
+      }
+  }
+
+  test("CUSUM: one series-keyed exchange, no single-partition window") {
+    import spark.implicits._
+    val df = (0 until 200).map(i => (s"k${i % 4}", i.toLong, (i % 7).toLong))
+      .toDF("k", "t", "v")
+    val plan = planOf(graft.ops.TimeSeries.cusum(df, "k", "t", "v", 2L, 10L))
+    val lines = plan.split('\n').map(_.trim)
+    // Every window is keyed by the series column — the closed form never
+    // needs a global sort — and the plan carries exactly ONE exchange
+    // (hashpartitioning on k); both frames reuse it.
+    lines.filter(_.contains("Window")).foreach { w =>
+      assert(w.contains("k#"), s"unkeyed window:\n$w\n$plan")
+    }
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    val exchanges = lines.count(_.contains("Exchange "))
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
   test("lag autocovariance: one window, one partial-agg'd shuffle, no self-join") {
     import spark.implicits._
     val df = (0 until 200).map(i => (s"k${i % 3}", i.toLong, (i % 11).toLong))
