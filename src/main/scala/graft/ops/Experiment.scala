@@ -60,4 +60,42 @@ object Experiment {
         (col("n_t") - col("n_c")).cast("double") /
         (col("n_t") + col("n_c")).cast("double"), 6).as("srm_chi2"))
   }
+
+  /** Mann–Whitney rank-sum test for a CONTINUOUS metric (where the
+    * two-proportion z of [[abTest]] doesn't apply): one row
+    * (n_c, n_t, u_x2, tie_sum, z) with
+    *   - u_x2 = 2·U, the doubled tie-aware Mann–Whitney U of treatment
+    *     over control — EXACTLY [[graft.ml.Eval.aucExact]]'s auc_num_x2
+    *     with the treatment flag as the label (AUC and U are the same
+    *     statistic: AUC = U/(n_t·n_c)), so the rank computation inherits
+    *     the range-tiled no-global-sort shape and its integer exactness;
+    *   - tie_sum = Σ(t³−t) over tie groups (BIGINT, from the same
+    *     distinct-value frame);
+    *   - z = (U − n_t·n_c/2)/σ with the standard tie-corrected
+    *     σ² = (n_t·n_c/12)·((N+1) − tie_sum/(N(N−1))), rounded 6, no
+    *     continuity correction; NULL when σ = 0 (all values tied or an
+    *     empty arm).
+    */
+  def rankSum(df: DataFrame, treatment: Column, metric: Column): DataFrame = {
+    val auc = graft.ml.Eval.aucExact(df, metric, treatment)
+      .select(col("p").as("n_t"), col("n").as("n_c"),
+        col("auc_num_x2").as("u_x2"))
+    val ties = df.select(metric.as("__m")).where(col("__m").isNotNull)
+      .groupBy(col("__m")).agg(count(lit(1)).as("__t"))
+      .agg(sum(col("__t") * col("__t") * col("__t") - col("__t"))
+        .as("tie_sum"))
+    val nT = col("n_t").cast("double")
+    val nC = col("n_c").cast("double")
+    val bigN = (col("n_t") + col("n_c")).cast("double")
+    val u = col("u_x2").cast("double") / lit(2.0)
+    val sigma2 = nT * nC / lit(12.0) *
+      (bigN + lit(1.0) - coalesce(col("tie_sum"), lit(0L)).cast("double") /
+        (bigN * (bigN - lit(1.0))))
+    auc.crossJoin(ties)
+      .select(col("n_c"), col("n_t"), col("u_x2"),
+        coalesce(col("tie_sum"), lit(0L)).as("tie_sum"),
+        when(col("n_c") > 0 && col("n_t") > 0 &&
+            col("n_c") + col("n_t") > 1 && sigma2 > lit(0.0),
+          round((u - nT * nC / lit(2.0)) / sqrt(sigma2), 6)).as("z"))
+  }
 }

@@ -241,6 +241,19 @@ object EventQueries extends QueryGroup {
         pmod(col("user_id"), lit(2)) === 1, col("conv") === 1L)
     }),
 
+    // Mann–Whitney rank-sum readout on a continuous metric (per-user
+    // revenue): U rides the range-tiled AUC rank machinery (no global
+    // sort); the metric is a DECIMAL-exact sum cast to double so both
+    // engines rank identical values. Tie-corrected z, rounded 6.
+    "q_rank_sum" -> ((s, dir) => {
+      val units = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("m"))
+        .select(col("user_id"), col("m").cast("double").as("m"))
+      graft.ops.Experiment.rankSum(units,
+        pmod(col("user_id"), lit(2)) === 1, col("m"))
+    }),
+
     // CUSUM level-shift monitor over daily counts: both one-sided Page
     // statistics in exact integers via the cumsum-minus-running-extremum
     // closed form — two window frames, one series-keyed sort, no
@@ -764,6 +777,52 @@ object EventQueries extends QueryGroup {
         |  round(CAST(n_t - n_c AS DOUBLE) * CAST(n_t - n_c AS DOUBLE)
         |    / CAST(n_t + n_c AS DOUBLE), 6) AS srm_chi2
         |FROM a""".stripMargin,
+
+    // Same Mann–Whitney restatement as q_classifier_auc (U = auc_num/2),
+    // plus the tie-group cube sum and the identical fixed-order z.
+    "q_rank_sum" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS m
+        |  FROM events GROUP BY user_id),
+        |t AS (
+        |  SELECT m AS s,
+        |    CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS y
+        |  FROM u WHERE m IS NOT NULL),
+        |g AS (
+        |  SELECT s, CAST(sum(y) AS BIGINT) AS cp,
+        |    CAST(sum(1 - y) AS BIGINT) AS cn
+        |  FROM t GROUP BY s),
+        |c AS (
+        |  SELECT cp, cn,
+        |    CAST(coalesce(sum(cn) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS nb
+        |  FROM g),
+        |a AS (
+        |  SELECT CAST(sum(cp) AS BIGINT) AS n_t, CAST(sum(cn) AS BIGINT) AS n_c,
+        |    CAST(sum(cp * (2 * nb + cn)) AS BIGINT) AS u_x2
+        |  FROM c),
+        |tie AS (
+        |  SELECT CAST(coalesce(sum((cp + cn) * (cp + cn) * (cp + cn)
+        |    - (cp + cn)), 0) AS BIGINT) AS tie_sum
+        |  FROM g)
+        |SELECT n_c, n_t, u_x2, tie_sum,
+        |  CASE WHEN n_c > 0 AND n_t > 0 AND n_c + n_t > 1
+        |        AND CAST(n_t AS DOUBLE) * CAST(n_c AS DOUBLE) / 12.0
+        |          * (CAST(n_t + n_c AS DOUBLE) + 1.0
+        |            - CAST(tie_sum AS DOUBLE)
+        |              / (CAST(n_t + n_c AS DOUBLE)
+        |                * (CAST(n_t + n_c AS DOUBLE) - 1.0))) > 0.0 THEN
+        |    round((CAST(u_x2 AS DOUBLE) / 2.0
+        |        - CAST(n_t AS DOUBLE) * CAST(n_c AS DOUBLE) / 2.0)
+        |      / sqrt(CAST(n_t AS DOUBLE) * CAST(n_c AS DOUBLE) / 12.0
+        |        * (CAST(n_t + n_c AS DOUBLE) + 1.0
+        |          - CAST(tie_sum AS DOUBLE)
+        |            / (CAST(n_t + n_c AS DOUBLE)
+        |              * (CAST(n_t + n_c AS DOUBLE) - 1.0)))), 6)
+        |  END AS z
+        |FROM a, tie""".stripMargin,
 
     // The same closed form in SQL windows: cumulative deviation sum and
     // its running min/max — all BIGINT, no recursion needed.

@@ -55,6 +55,40 @@ class ExperimentSpec extends AnyFunSuite with SparkTestBase {
       .head().getDouble(6) == 64.0)
   }
 
+  test("rankSum: hand-computed U and tie-corrected z, no ties") {
+    import spark.implicits._
+    // control {1,2,3}, treatment {4,5}: every (t,c) pair has t > c →
+    // U = 6, u_x2 = 12. σ² = (2·3/12)·(5+1) = 3 → z = (6−3)/√3.
+    val df = Seq((false, 1.0), (false, 2.0), (false, 3.0),
+      (true, 4.0), (true, 5.0)).toDF("t", "m").repartition(3)
+    val r = Experiment.rankSum(df, col("t"), col("m")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 2L, 12L, 0L)))
+    assert(math.abs(r.getDouble(4) - 3.0 / math.sqrt(3.0)) < 1e-6)
+  }
+
+  test("rankSum: ties count half and feed the variance correction") {
+    import spark.implicits._
+    // control {1, 2}, treatment {2, 3}: pairs (2>1)=1, (2=2)=.5,
+    // (3>1)=1, (3>2)=1 → U = 3.5, u_x2 = 7. One tie group of size 2 →
+    // tie_sum = 2³−2 = 6. σ² = (2·2/12)·((4+1) − 6/(4·3)) = 1.5.
+    val df = Seq((false, 1.0), (false, 2.0), (true, 2.0), (true, 3.0))
+      .toDF("t", "m").repartition(2)
+    val r = Experiment.rankSum(df, col("t"), col("m")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 2L, 7L, 6L)))
+    assert(math.abs(r.getDouble(4) - (3.5 - 2.0) / math.sqrt(1.5)) < 1e-6)
+  }
+
+  test("rankSum: all-tied and one-arm inputs yield NULL z") {
+    import spark.implicits._
+    val tied = Seq((false, 5.0), (true, 5.0), (true, 5.0)).toDF("t", "m")
+    assert(Experiment.rankSum(tied, col("t"), col("m")).head().isNullAt(4))
+    val oneArm = Seq((true, 1.0), (true, 2.0)).toDF("t", "m")
+    val r = Experiment.rankSum(oneArm, col("t"), col("m")).head()
+    assert(r.getLong(0) == 0L && r.isNullAt(4))
+  }
+
   test("abTest is partition-invariant") {
     import spark.implicits._
     val rows = (0 until 500).map(i => (i % 3 == 0, i % 7 == 0))
