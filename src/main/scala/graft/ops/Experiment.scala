@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Experiment (A/B test) readout statistics — the analytics family that
@@ -59,6 +60,77 @@ object Experiment {
       round((col("n_t") - col("n_c")).cast("double") *
         (col("n_t") - col("n_c")).cast("double") /
         (col("n_t") + col("n_c")).cast("double"), 6).as("srm_chi2"))
+  }
+
+  /** Poisson(1) CDF thresholds (17-significant-digit literals, identical
+    * text in the DuckDB oracle so both engines parse the same doubles).
+    * P(X ≥ 9) ≈ 1.1e-6 is folded into the top bucket — both engines cap
+    * identically, so parity holds regardless of the truncation.
+    */
+  private[graft] val PoissonCdf: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253)
+
+  /** Percentile-bootstrap confidence interval for the conversion lift via
+    * the POISSON BOOTSTRAP (Chamandy et al. 2012) — the one bootstrap
+    * that works at 100 TB: instead of resampling n units with
+    * replacement (which needs global n and a shared sample), every unit
+    * independently draws a Poisson(1) multiplicity PER REPLICATE, so all
+    * `replicates` resamples compute in ONE pass — explode each unit into
+    * (replicate, multiplicity) rows, partial-agg per replicate, and the
+    * shuffle carries replicates×4 BIGINT cells no matter how many units.
+    *
+    * Determinism: the multiplicity is the Poisson inverse-CDF of an
+    * md5-derived uniform on (unit, replicate) — any engine redraws the
+    * SAME bootstrap, which is what puts a resampling procedure under the
+    * oracle gate (and makes reruns reproducible, which `rand()` cannot).
+    *
+    * CI bounds are ORDER STATISTICS (no interpolation — engines disagree
+    * on quantile interpolation): the ⌈α·B⌉-th smallest and largest of the
+    * per-replicate lifts, each lift rounded to 6 decimals first.
+    * Replicates where an arm drew empty are dropped (counted in
+    * `b_effective`). The final ranking is a window over B rows — bounded
+    * by the replicate count, a documented O(B) finish.
+    *
+    * @return one row (b_effective, ci_lo, ci_hi)
+    */
+  def poissonBootstrapCI(df: DataFrame, unitId: Column, treatment: Column,
+      converted: Column, replicates: Int = 200,
+      alpha: Double = 0.025): DataFrame = {
+    require(replicates > 1, s"need at least 2 replicates, got $replicates")
+    require(alpha > 0.0 && alpha < 0.5, s"alpha must be in (0, 0.5), got $alpha")
+    val u = Dedup.md5Hash60(concat(col("__id").cast("string"), lit("|"),
+        col("__b").cast("string"))).cast("double") /
+      lit(1152921504606846976L).cast("double")
+    val m = PoissonCdf.zipWithIndex
+      .foldRight(lit(PoissonCdf.size.toLong): Column) { case ((c, k), acc) =>
+        when(u < lit(c), lit(k.toLong)).otherwise(acc)
+      }
+    val perRep = df
+      .select(unitId.as("__id"), treatment.as("__t"), converted.as("__c"))
+      .select(col("__id"), col("__t"), col("__c"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("__b"))
+      .select(col("__t"), col("__c"), col("__b"), m.as("__m"))
+      .groupBy(col("__b"))
+      .agg(
+        sum(when(!col("__t"), col("__m")).otherwise(0L)).as("__nc"),
+        sum(when(col("__t"), col("__m")).otherwise(0L)).as("__nt"),
+        sum(when(!col("__t") && col("__c"), col("__m")).otherwise(0L)).as("__cc"),
+        sum(when(col("__t") && col("__c"), col("__m")).otherwise(0L)).as("__ct"))
+      .where(col("__nc") > 0 && col("__nt") > 0)
+      .select(round(col("__ct").cast("double") / col("__nt").cast("double")
+        - col("__cc").cast("double") / col("__nc").cast("double"), 6)
+        .as("__lift"), col("__b"))
+    val w = Window.orderBy(col("__lift"), col("__b"))
+    val ranked = perRep
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    ranked.where(col("__rn") === ceil(lit(alpha) * col("__n")) ||
+        col("__rn") === col("__n") - ceil(lit(alpha) * col("__n")) + 1)
+      .agg(max(col("__n")).as("b_effective"),
+        min(col("__lift")).as("ci_lo"), max(col("__lift")).as("ci_hi"))
   }
 
   /** Mann–Whitney rank-sum test for a CONTINUOUS metric (where the

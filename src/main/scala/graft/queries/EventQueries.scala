@@ -241,6 +241,22 @@ object EventQueries extends QueryGroup {
         pmod(col("user_id"), lit(2)) === 1, col("conv") === 1L)
     }),
 
+    // Poisson-bootstrap 95% CI on the conversion lift: every unit draws a
+    // deterministic md5-seeded Poisson(1) multiplicity per replicate, all
+    // 200 resamples aggregate in ONE pass (the shuffle carries 200×4
+    // BIGINT cells), CI bounds are order statistics of the replicate
+    // lifts — the only bootstrap shape that works at 100 TB, and the
+    // md5 seeding is what makes a resampling procedure oracle-gateable.
+    "q_bootstrap_ci" -> ((s, dir) => {
+      val units = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+      graft.ops.Experiment.poissonBootstrapCI(units, col("user_id"),
+        pmod(col("user_id"), lit(2)) === 1, col("conv") === 1L,
+        replicates = 200, alpha = 0.025)
+    }),
+
     // Mann–Whitney rank-sum readout on a continuous metric (per-user
     // revenue): U rides the range-tiled AUC rank machinery (no global
     // sort); the metric is a DECIMAL-exact sum cast to double so both
@@ -777,6 +793,54 @@ object EventQueries extends QueryGroup {
         |  round(CAST(n_t - n_c AS DOUBLE) * CAST(n_t - n_c AS DOUBLE)
         |    / CAST(n_t + n_c AS DOUBLE), 6) AS srm_chi2
         |FROM a""".stripMargin,
+
+    // Same md5-seeded multiplicities, same Poisson CDF literals, same
+    // order-statistic bounds — the full resample replayed in SQL.
+    "q_bootstrap_ci" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |e AS (
+        |  SELECT user_id, conv, b
+        |  FROM u CROSS JOIN (SELECT unnest(range(200)) AS b)),
+        |d AS (
+        |  SELECT user_id % 2 = 1 AS t, conv, b,
+        |    CAST(CAST(('0x' || substr(md5(
+        |      CAST(user_id AS VARCHAR) || '|' || CAST(b AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE) AS u01
+        |  FROM e),
+        |mm AS (
+        |  SELECT t, conv, b,
+        |    CASE WHEN u01 < 0.36787944117144233 THEN 0
+        |         WHEN u01 < 0.7357588823428847 THEN 1
+        |         WHEN u01 < 0.9196986029286058 THEN 2
+        |         WHEN u01 < 0.9810118431238463 THEN 3
+        |         WHEN u01 < 0.9963401531726563 THEN 4
+        |         WHEN u01 < 0.9994058151824183 THEN 5
+        |         WHEN u01 < 0.999916758850712 THEN 6
+        |         WHEN u01 < 0.9999897508033253 THEN 7
+        |         ELSE 8 END AS m
+        |  FROM d),
+        |r AS (
+        |  SELECT b,
+        |    CAST(sum(CASE WHEN t THEN 0 ELSE m END) AS BIGINT) AS nc,
+        |    CAST(sum(CASE WHEN t THEN m ELSE 0 END) AS BIGINT) AS nt,
+        |    CAST(sum(CASE WHEN NOT t AND conv = 1 THEN m ELSE 0 END) AS BIGINT) AS cc,
+        |    CAST(sum(CASE WHEN t AND conv = 1 THEN m ELSE 0 END) AS BIGINT) AS ct
+        |  FROM mm GROUP BY b),
+        |f AS (
+        |  SELECT b, round(CAST(ct AS DOUBLE) / CAST(nt AS DOUBLE)
+        |    - CAST(cc AS DOUBLE) / CAST(nc AS DOUBLE), 6) AS lift
+        |  FROM r WHERE nc > 0 AND nt > 0),
+        |rk AS (
+        |  SELECT lift, row_number() OVER (ORDER BY lift, b) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM f)
+        |SELECT CAST(max(n) AS BIGINT) AS b_effective,
+        |  min(lift) AS ci_lo, max(lift) AS ci_hi
+        |FROM rk
+        |WHERE rn = ceil(0.025 * n) OR rn = n - ceil(0.025 * n) + 1""".stripMargin,
 
     // Same Mann–Whitney restatement as q_classifier_auc (U = auc_num/2),
     // plus the tie-group cube sum and the identical fixed-order z.

@@ -89,6 +89,40 @@ class ExperimentSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getLong(0) == 0L && r.isNullAt(4))
   }
 
+  test("poissonBootstrapCI: deterministic, ordered, brackets a strong effect") {
+    import spark.implicits._
+    // 400 units, planted lift ≈ 0.7 (control converts 10%, treatment 80%).
+    // The md5 seeding makes the resample deterministic, so these asserts
+    // are stable facts about a fixed computation, not statistical hopes.
+    val rows = (0 until 400).map { i =>
+      val t = i % 2 == 1
+      val c = if (t) i % 10 < 8 else i % 10 == 0
+      (i.toLong, t, c)
+    }
+    def run(parts: Int) = Experiment.poissonBootstrapCI(
+      rows.toDF("id", "t", "c").repartition(parts),
+      col("id"), col("t"), col("c"), replicates = 100).head()
+    val r = run(3)
+    assert(r.getLong(0) == 100L) // no degenerate replicates at this size
+    val (lo, hi) = (r.getDouble(1), r.getDouble(2))
+    assert(lo <= hi)
+    assert(lo > 0.5 && hi < 0.9, s"CI ($lo, $hi) should bracket ~0.7")
+    assert(run(11) == r) // partition-invariant: same seeded resample
+  }
+
+  test("poissonBootstrapCI validates parameters") {
+    import spark.implicits._
+    val df = Seq((1L, true, true)).toDF("id", "t", "c")
+    intercept[IllegalArgumentException] {
+      Experiment.poissonBootstrapCI(df, col("id"), col("t"), col("c"),
+        replicates = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Experiment.poissonBootstrapCI(df, col("id"), col("t"), col("c"),
+        alpha = 0.5)
+    }
+  }
+
   test("abTest is partition-invariant") {
     import spark.implicits._
     val rows = (0 until 500).map(i => (i % 3 == 0, i % 7 == 0))
