@@ -25,7 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (children: Seq[Expression]) => VecDot(children.head, children(1))))
+      GraftExtensions.binary("vec_dot")(VecDot(_, _))))
     // z_order(bits, c1, c2, ...) — first arg is the integer bit width.
     ext.injectFunction((
       FunctionIdentifier("z_order"),
@@ -38,7 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("int8_dot"),
       new ExpressionInfo(classOf[Int8Dot].getName, "int8_dot"),
-      (children: Seq[Expression]) => Int8Dot(children.head, children(1))))
+      GraftExtensions.binary("int8_dot")(Int8Dot(_, _))))
     // word_shingles(text, n [, distinct]) — the tokenize+shingle primitive
     // under the whole dedup/text family, exposed to plain SQL.
     ext.injectFunction((
@@ -59,8 +59,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[graft.expr.JaroWinkler].getName,
         "jaro_winkler"),
-      (children: Seq[Expression]) =>
-        graft.expr.JaroWinkler(children.head, children(1))))
+      GraftExtensions.binary("jaro_winkler")(graft.expr.JaroWinkler(_, _))))
     // compress_stats(text) — the DEFLATE redundancy screen as SQL.
     ext.injectFunction((
       FunctionIdentifier("compress_stats"),
@@ -90,6 +89,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Arity-checked builder for two-argument functions: a clean
+    * IllegalArgumentException naming the function instead of an
+    * IndexOutOfBoundsException escaping the registry on `f(x)`.
+    */
+  private[graft] def binary(name: String)(
+      f: (Expression, Expression) => Expression): Seq[Expression] => Expression = {
+    case Seq(a, b) => f(a, b)
+    case xs => throw new IllegalArgumentException(
+      s"$name(a, b) expects exactly 2 arguments, got ${xs.size}")
+  }
+
   /** Runtime registration into an already-built session (the extensions
     * class only applies at session build; this covers notebook/REPL use).
     */
@@ -97,20 +107,20 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "parse_duration", exprs => ParseDuration(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
+      "vec_dot", binary("vec_dot")(VecDot(_, _)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "z_order", mkZOrder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pack_int8", exprs => PackInt8(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "int8_dot", exprs => Int8Dot(exprs.head, exprs(1)), "built-in")
+      "int8_dot", binary("int8_dot")(Int8Dot(_, _)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", mkWordShingles, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize", exprs => graft.expr.NfcNormalize(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "jaro_winkler",
-      exprs => graft.expr.JaroWinkler(exprs.head, exprs(1)), "built-in")
+      "jaro_winkler", binary("jaro_winkler")(graft.expr.JaroWinkler(_, _)),
+      "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "compress_stats", exprs => graft.expr.CompressStats(exprs.head),
       "built-in")

@@ -25,7 +25,17 @@ object Eval {
     *      anywhere — a CONTINUOUS score column (|distinct| ≈ n) costs
     *      the same two narrow passes as an integer one.
     */
-  def aucExact(df: DataFrame, score: Column, label: Column): DataFrame = {
+  def aucExact(df: DataFrame, score: Column, label: Column): DataFrame =
+    aucExactWithTies(df, score, label)
+      .select(col("p"), col("n"), col("auc_num_x2"))
+
+  /** [[aucExact]] plus `tie_sum` = Σ(t³−t) over tie groups — folded into
+    * the SAME final aggregate over the distinct-score frame, so callers
+    * needing the rank-sum variance correction
+    * ([[graft.ops.Experiment.rankSum]]) pay zero extra passes.
+    */
+  private[graft] def aucExactWithTies(df: DataFrame, score: Column,
+      label: Column): DataFrame = {
     // Rows with a null score are dropped up front: Spark windows default to
     // NULLS FIRST while the DuckDB oracle pattern is NULLS LAST, so a null
     // score would make the cumulative-negative counts engine-dependent.
@@ -56,7 +66,10 @@ object Eval {
         (col("__base") + col("__lnb")).as("__nb"))
       .agg(sum(col("__cp")).as("p"), sum(col("__cn")).as("n"),
         sum(col("__cp") * (lit(2L) * col("__nb") + col("__cn")))
-          .as("auc_num_x2"))
+          .as("auc_num_x2"),
+        coalesce(sum((col("__cp") + col("__cn")) * (col("__cp") + col("__cn"))
+          * (col("__cp") + col("__cn")) - (col("__cp") + col("__cn"))),
+          lit(0L)).as("tie_sum"))
   }
 
   /** The full confusion matrix at EVERY distinct-score threshold: one row
@@ -72,7 +85,16 @@ object Eval {
     * broadcast base offsets). A continuous score (|distinct| ≈ n) never
     * lands in a single sorted partition.
     */
-  def rocPoints(df: DataFrame, score: Column, label: Column): DataFrame = {
+  def rocPoints(df: DataFrame, score: Column, label: Column): DataFrame =
+    rocPointsWithCp(df, score, label)
+      .select(col("thr"), col("tp"), col("fp"), col("fn"), col("tn"))
+
+  /** [[rocPoints]] plus the per-threshold positive count `__cp` (= ΔTP),
+    * which [[averagePrecision]] consumes — kept internal so the public
+    * curve schema stays minimal while AP needs no second corpus scan.
+    */
+  private def rocPointsWithCp(df: DataFrame, score: Column,
+      label: Column): DataFrame = {
     val g = df
       .select(score.as("thr"), when(label, 1L).otherwise(0L).as("__y"))
       .where(col("thr").isNotNull)
@@ -104,7 +126,8 @@ object Eval {
         (col("__btp") + col("__ltp")).as("tp"),
         (col("__bfp") + col("__lfp")).as("fp"),
         (col("__p") - col("__btp") - col("__ltp")).as("fn"),
-        (col("__n") - col("__bfp") - col("__lfp")).as("tn"))
+        (col("__n") - col("__bfp") - col("__lfp")).as("tn"),
+        col("__cp"))
   }
 
   /** Exact average precision (PR-AUC in its standard step-function form):
@@ -122,16 +145,11 @@ object Eval {
     */
   def averagePrecision(df: DataFrame, score: Column, label: Column): DataFrame = {
     // ΔTP at a threshold is cp — the positive count AT that exact score —
-    // because tp is the inclusive descending cumsum of cp. Re-derive cp
-    // from the same grouped frame and join it back on the threshold
-    // (both sides are |distinct score| rows, co-keyed).
-    val pts = rocPoints(df, score, label)
-    val g = df
-      .select(score.as("thr"), when(label, 1L).otherwise(0L).as("__y"))
-      .where(col("thr").isNotNull)
-      .groupBy(col("thr"))
-      .agg(sum(col("__y")).as("__cp"))
-    pts.join(g, "thr")
+    // because tp is the inclusive descending cumsum of cp, and the
+    // internal curve variant carries cp through, so AP is one projection
+    // and one scalar agg on top of the curve: no second corpus scan, no
+    // threshold-keyed join.
+    rocPointsWithCp(df, score, label)
       .select(col("tp"), col("fn"),
         floor(col("__cp").cast("double") *
           (col("tp").cast("double") /

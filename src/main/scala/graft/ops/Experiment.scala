@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
 object Experiment {
 
   /** Two-proportion experiment readout: one row
-    * (n_c, n_t, conv_c, conv_t, lift, z, srm_chi2) where
+    * (n_c, n_t, n_null, conv_c, conv_t, lift, z, srm_chi2) where
     *   - lift = p_t − p_c (rounded 6; NULL when either arm is empty),
     *   - z is the pooled two-proportion z-statistic
     *     (p_t − p_c)/√(p̄(1−p̄)(1/n_t + 1/n_c)) (rounded 6; NULL when a
@@ -28,6 +28,11 @@ object Experiment {
     *   - srm_chi2 = (n_t − n_c)²/N, the 1-dof sample-ratio-mismatch χ²
     *     against the expected 50/50 split (rounded 6) — the guard that
     *     catches broken assignment BEFORE anyone reads the lift.
+    *
+    * A NULL treatment flag counts into `n_null` — NOT silently into
+    * either arm and NOT dropped: unassigned units are precisely the
+    * broken-assignment signal the SRM guard exists to surface, so they
+    * must stay visible in the readout.
     *
     * @param df        one row per experiment UNIT (pre-aggregate events
     *                  to users upstream — unit-level rows are what makes
@@ -38,10 +43,13 @@ object Experiment {
   def abTest(df: DataFrame, treatment: Column, converted: Column): DataFrame = {
     val agg = df.select(treatment.as("__t"), converted.as("__c"))
       .agg(
-        sum(when(!col("__t"), 1L).otherwise(0L)).as("n_c"),
-        sum(when(col("__t"), 1L).otherwise(0L)).as("n_t"),
-        sum(when(!col("__t") && col("__c"), 1L).otherwise(0L)).as("conv_c"),
-        sum(when(col("__t") && col("__c"), 1L).otherwise(0L)).as("conv_t"))
+        sum(when(col("__t") === false, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("__t") === true, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("__t").isNull, 1L).otherwise(0L)).as("n_null"),
+        sum(when(col("__t") === false && col("__c"), 1L).otherwise(0L))
+          .as("conv_c"),
+        sum(when(col("__t") === true && col("__c"), 1L).otherwise(0L))
+          .as("conv_t"))
     val nC = col("n_c").cast("double")
     val nT = col("n_t").cast("double")
     val pC = col("conv_c").cast("double") / nC
@@ -51,7 +59,8 @@ object Experiment {
     val se = sqrt(pool * (lit(1.0) - pool) * (lit(1.0) / nT + lit(1.0) / nC))
     // Guards double as ANSI-mode safety: every division sits under a
     // when() that proves its denominator nonzero (ANSI throws on x/0).
-    agg.select(col("n_c"), col("n_t"), col("conv_c"), col("conv_t"),
+    agg.select(col("n_c"), col("n_t"), col("n_null"),
+      col("conv_c"), col("conv_t"),
       when(col("n_c") > 0 && col("n_t") > 0, round(pT - pC, 6)).as("lift"),
       when(col("n_c") > 0 && col("n_t") > 0 &&
           col("conv_c") + col("conv_t") > 0 &&
@@ -107,8 +116,16 @@ object Experiment {
       .foldRight(lit(PoissonCdf.size.toLong): Column) { case ((c, k), acc) =>
         when(u < lit(c), lit(k.toLong)).otherwise(acc)
       }
+    // A NULL unit id would null the md5 seed and fall through the CDF
+    // chain to the top multiplicity (8× weight in EVERY replicate) —
+    // silently catastrophic, so such rows are excluded up front. The id
+    // must also be UNIQUE per row (it IS the unit key): duplicate ids
+    // draw perfectly correlated multiplicities, which breaks the
+    // per-unit-independence the Poisson bootstrap rests on — that
+    // contract is the caller's, as with any keyed operator.
     val perRep = df
       .select(unitId.as("__id"), treatment.as("__t"), converted.as("__c"))
+      .where(col("__id").isNotNull)
       .select(col("__id"), col("__t"), col("__c"),
         explode(sequence(lit(0), lit(replicates - 1))).as("__b"))
       .select(col("__t"), col("__c"), col("__b"), m.as("__m"))
@@ -149,25 +166,25 @@ object Experiment {
     *     empty arm).
     */
   def rankSum(df: DataFrame, treatment: Column, metric: Column): DataFrame = {
-    val auc = graft.ml.Eval.aucExact(df, metric, treatment)
+    // Units with a NULL treatment flag are dropped up front: aucExact's
+    // label fold would silently count them as control, corrupting U.
+    // (abTest surfaces them as n_null; here the rank machinery has no
+    // place for a third arm, so exclusion + this contract note is the
+    // honest behavior.)
+    val auc = graft.ml.Eval.aucExactWithTies(
+      df.where(treatment.isNotNull), metric, treatment)
       .select(col("p").as("n_t"), col("n").as("n_c"),
-        col("auc_num_x2").as("u_x2"))
-    val ties = df.select(metric.as("__m")).where(col("__m").isNotNull)
-      .groupBy(col("__m")).agg(count(lit(1)).as("__t"))
-      .agg(sum(col("__t") * col("__t") * col("__t") - col("__t"))
-        .as("tie_sum"))
+        col("auc_num_x2").as("u_x2"), col("tie_sum"))
     val nT = col("n_t").cast("double")
     val nC = col("n_c").cast("double")
     val bigN = (col("n_t") + col("n_c")).cast("double")
     val u = col("u_x2").cast("double") / lit(2.0)
     val sigma2 = nT * nC / lit(12.0) *
-      (bigN + lit(1.0) - coalesce(col("tie_sum"), lit(0L)).cast("double") /
+      (bigN + lit(1.0) - col("tie_sum").cast("double") /
         (bigN * (bigN - lit(1.0))))
-    auc.crossJoin(ties)
-      .select(col("n_c"), col("n_t"), col("u_x2"),
-        coalesce(col("tie_sum"), lit(0L)).as("tie_sum"),
-        when(col("n_c") > 0 && col("n_t") > 0 &&
-            col("n_c") + col("n_t") > 1 && sigma2 > lit(0.0),
-          round((u - nT * nC / lit(2.0)) / sqrt(sigma2), 6)).as("z"))
+    auc.select(col("n_c"), col("n_t"), col("u_x2"), col("tie_sum"),
+      when(col("n_c") > 0 && col("n_t") > 0 &&
+          col("n_c") + col("n_t") > 1 && sigma2 > lit(0.0),
+        round((u - nT * nC / lit(2.0)) / sqrt(sigma2), 6)).as("z"))
   }
 }

@@ -382,7 +382,13 @@ object TimeSeries {
   def cusum(df: DataFrame, keyCol: String, timeCol: String,
       valueCol: String, target: Long, threshold: Long): DataFrame = {
     require(threshold > 0, s"threshold must be positive, got $threshold")
-    val w = Window.partitionBy(keyCol).orderBy(timeCol)
+    // Ordered by (time, deviation): the deviation tiebreak makes tied
+    // timestamps deterministic across repartitions AND matches
+    // [[graft.streaming.StreamingCusum]]'s (t, value) in-batch sort
+    // (deviation is value minus a constant, so the orders coincide) —
+    // without it the batch/streaming bit-parity contract breaks on
+    // duplicate timestamps.
+    val w = Window.partitionBy(keyCol).orderBy(col(timeCol), col("__d"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // low side: s'_t = max(0, s'_{t−1} − d_t) = max(0, max_{i≤t} c_i) − c_t
     // (the same identity applied to −d, with running max playing the min's

@@ -777,7 +777,7 @@ object EventQueries extends QueryGroup {
         |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 0 ELSE conv END) AS BIGINT) AS conv_c,
         |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_t
         |  FROM u)
-        |SELECT n_c, n_t, conv_c, conv_t,
+        |SELECT n_c, n_t, CAST(0 AS BIGINT) AS n_null, conv_c, conv_t,
         |  CASE WHEN n_c > 0 AND n_t > 0 THEN
         |    round(CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE)
         |      - CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6)

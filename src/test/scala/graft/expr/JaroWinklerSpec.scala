@@ -63,6 +63,18 @@ class JaroWinklerSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("SQL registration rejects wrong arity with a named error") {
+    graft.GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT jaro_winkler('abc')").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("jaro_winkler(a, b)")),
+      s"unexpected error: $e")
+  }
+
   test("null propagates, never throws") {
     import spark.implicits._
     val df = Seq((Option("abc"), Option.empty[String])).toDF("a", "b")

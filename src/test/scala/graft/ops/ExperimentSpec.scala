@@ -16,30 +16,41 @@ class ExperimentSpec extends AnyFunSuite with SparkTestBase {
       Seq((true, true), (true, true), (true, true), (true, false),
         (true, false), (true, false))).toDF("t", "c").repartition(3)
     val r = Experiment.abTest(df, col("t"), col("c")).head()
-    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
-      ((4L, 6L, 1L, 3L)))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((4L, 6L, 0L, 1L, 3L)))
     val pC = 1.0 / 4.0
     val pT = 3.0 / 6.0
     val pool = 4.0 / 10.0
     val z = (pT - pC) / math.sqrt(pool * (1.0 - pool) * (1.0 / 6.0 + 1.0 / 4.0))
-    assert(r.getDouble(4) == 0.25) // lift
-    assert(math.abs(r.getDouble(5) - z) < 1e-6)
+    assert(r.getDouble(5) == 0.25) // lift
+    assert(math.abs(r.getDouble(6) - z) < 1e-6)
     // SRM: (6-4)^2 / 10 = 0.4.
-    assert(r.getDouble(6) == 0.4)
+    assert(r.getDouble(7) == 0.4)
+  }
+
+  test("abTest: NULL treatment lands in n_null, not in either arm") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Boolean, Boolean)](
+      (false, true), (true, true), (null, true), (null, false))
+      .toDF("t", "c")
+    val r = Experiment.abTest(df, col("t"), col("c")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 1L, 2L)))
+    // conversions only count assigned units.
+    assert((r.getLong(3), r.getLong(4)) == ((1L, 1L)))
   }
 
   test("abTest: degenerate pools yield NULL z, never NaN/Infinity") {
     import spark.implicits._
     // all units convert -> pooled p = 1 -> z undefined.
     val all = Seq((false, true), (true, true)).toDF("t", "c")
-    assert(Experiment.abTest(all, col("t"), col("c")).head().isNullAt(5))
+    assert(Experiment.abTest(all, col("t"), col("c")).head().isNullAt(6))
     // no unit converts -> pooled p = 0 -> z undefined.
     val none = Seq((false, false), (true, false)).toDF("t", "c")
-    assert(Experiment.abTest(none, col("t"), col("c")).head().isNullAt(5))
+    assert(Experiment.abTest(none, col("t"), col("c")).head().isNullAt(6))
     // empty control arm -> z undefined, counts still correct.
     val oneArm = Seq((true, true), (true, false)).toDF("t", "c")
     val r = Experiment.abTest(oneArm, col("t"), col("c")).head()
-    assert(r.getLong(0) == 0L && r.isNullAt(5))
+    assert(r.getLong(0) == 0L && r.isNullAt(6))
   }
 
   test("abTest: balanced split has zero SRM, skewed split flags") {
@@ -47,12 +58,12 @@ class ExperimentSpec extends AnyFunSuite with SparkTestBase {
     val balanced = (0 until 100).map(i => (i % 2 == 0, i % 5 == 0))
       .toDF("t", "c")
     assert(Experiment.abTest(balanced, col("t"), col("c"))
-      .head().getDouble(6) == 0.0)
+      .head().getDouble(7) == 0.0)
     // 90/10 split over 100 units: chi2 = 6400/100 = 64 — far past any
     // reasonable 1-dof critical value.
     val skewed = (0 until 100).map(i => (i < 90, i % 5 == 0)).toDF("t", "c")
     assert(Experiment.abTest(skewed, col("t"), col("c"))
-      .head().getDouble(6) == 64.0)
+      .head().getDouble(7) == 64.0)
   }
 
   test("rankSum: hand-computed U and tie-corrected z, no ties") {
@@ -87,6 +98,17 @@ class ExperimentSpec extends AnyFunSuite with SparkTestBase {
     val oneArm = Seq((true, 1.0), (true, 2.0)).toDF("t", "m")
     val r = Experiment.rankSum(oneArm, col("t"), col("m")).head()
     assert(r.getLong(0) == 0L && r.isNullAt(4))
+  }
+
+  test("rankSum: NULL-treatment units are excluded, not counted as control") {
+    import spark.implicits._
+    // Same fixture as the no-ties case plus two null-treatment rows whose
+    // extreme metric values would wreck U if they silently joined control.
+    val df = Seq[(java.lang.Boolean, Double)](
+      (false, 1.0), (false, 2.0), (false, 3.0), (true, 4.0), (true, 5.0),
+      (null, 100.0), (null, 200.0)).toDF("t", "m")
+    val r = Experiment.rankSum(df, col("t"), col("m")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 12L)))
   }
 
   test("poissonBootstrapCI: deterministic, ordered, brackets a strong effect") {

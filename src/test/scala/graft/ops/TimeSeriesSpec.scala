@@ -163,6 +163,24 @@ class TimeSeriesSpec extends AnyFunSuite with SparkTestBase {
     assert(got(7L) == ((15L, true)) && got(8L) == ((20L, true)))
   }
 
+  test("cusum is deterministic on tied timestamps (deviation tiebreak)") {
+    import spark.implicits._
+    // Two rows share t=1 with opposite deviations: the (t, deviation)
+    // ordering pins which folds first, so results are repartition-stable
+    // and match StreamingCusum's (t, value) in-batch sort.
+    val rows = Seq(("a", 1L, 10L), ("a", 1L, -10L), ("a", 2L, 3L))
+    def run(parts: Int) =
+      TimeSeries.cusum(rows.toDF("k", "t", "v").repartition(parts),
+          "k", "t", "v", target = 0L, threshold = 100L)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    // -10 folds first (smaller deviation): c = -10, 0, 3.
+    // high = c - min(0, runmin): 0, 10, 13; low = max(0, runmax) - c:
+    // runmax = -10, 0, 3 -> 10, 0, 0.
+    assert(run(1) == Seq((1L, 0L, 10L), (1L, 10L, 0L), (2L, 13L, 0L)))
+    assert(run(7) == run(1))
+  }
+
   test("cusum series isolation and partition invariance") {
     import spark.implicits._
     val rows = (0 until 300).map(i =>
