@@ -431,6 +431,27 @@ object TextQueries extends QueryGroup {
         .select(col("w1"), col("w2"), col("c12"), col("p"))
     }),
 
+    // TextRank keyword extraction (Mihalcea & Tarau 2004): adjacency
+    // pairs become an undirected co-occurrence graph (repeated pairs =
+    // multi-edges = the classic weighting), then the SAME integer
+    // fixed-point PageRank as q_pagerank ranks the words — top-20 via
+    // TakeOrderedAndProject. Length ≥ 4 stands in for a content-word
+    // filter (no POS tagger in a pure-relational pipeline); the filter
+    // applies to EDGES, so windows never span a dropped word's gap.
+    "q_textrank" -> ((s, dir) => {
+      val pairs = Tables.documents(s, dir)
+        .select(explode(graft.expr.WordShingles.shingles(col("text"), 2)).as("bg"))
+        .select(split(col("bg"), " ").as("t"))
+        .select(col("t").getItem(0).as("w1"), col("t").getItem(1).as("w2"))
+        .filter(length(col("w1")) >= 4 && length(col("w2")) >= 4 &&
+          col("w1") =!= col("w2"))
+      val und = pairs.unionByName(
+        pairs.select(col("w2").as("w1"), col("w1").as("w2")))
+      graft.graph.PageRank.ranks(und, "w1", "w2", iterations = 3)
+        .orderBy(desc("rank_fp"), asc("node"))
+        .limit(20)
+    }),
+
     // Perplexity-style curation filter: per-doc average bigram
     // log-likelihood under the corpus's own MLE bigram model. Exact
     // rational probabilities, ordered per-doc term sums; round(4) absorbs
@@ -1459,6 +1480,39 @@ object TextQueries extends QueryGroup {
          |r AS (SELECT *, row_number() OVER
          |  (PARTITION BY w1 ORDER BY p DESC, w2) AS rn FROM sc)
          |SELECT w1, w2, c12, p FROM r WHERE rn <= 3 AND c1 >= 20""".stripMargin,
+
+    // Same co-occurrence multigraph, same integer PageRank rounds as the
+    // q_pagerank oracle — node keys are words instead of ids.
+    "q_textrank" ->
+      s"""WITH bg AS (
+         |  SELECT unnest(${OracleSql.shinglesSqlN(2)}) AS bg FROM documents),
+         |pt AS (SELECT string_split(bg, ' ')[1] AS w1,
+         |              string_split(bg, ' ')[2] AS w2 FROM bg),
+         |pf AS (SELECT w1, w2 FROM pt
+         |       WHERE length(w1) >= 4 AND length(w2) >= 4 AND w1 <> w2),
+         |e AS (SELECT w1 AS src, w2 AS dst FROM pf
+         |      UNION ALL SELECT w2, w1 FROM pf),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |b AS (SELECT 1000000000000 // count(*) AS base FROM nodes),
+         |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+         |r0 AS (SELECT node, base AS r FROM nodes, b),
+         |c1 AS (SELECT e.dst AS node, CAST(sum(r0.r // deg.d) AS BIGINT) AS c
+         |       FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src
+         |       GROUP BY e.dst),
+         |r1 AS (SELECT nodes.node, (15 * base + 85 * COALESCE(c, 0)) // 100 AS r
+         |       FROM nodes CROSS JOIN b LEFT JOIN c1 ON c1.node = nodes.node),
+         |c2 AS (SELECT e.dst AS node, CAST(sum(r1.r // deg.d) AS BIGINT) AS c
+         |       FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src
+         |       GROUP BY e.dst),
+         |r2 AS (SELECT nodes.node, (15 * base + 85 * COALESCE(c, 0)) // 100 AS r
+         |       FROM nodes CROSS JOIN b LEFT JOIN c2 ON c2.node = nodes.node),
+         |c3 AS (SELECT e.dst AS node, CAST(sum(r2.r // deg.d) AS BIGINT) AS c
+         |       FROM e JOIN deg USING (src) JOIN r2 ON r2.node = e.src
+         |       GROUP BY e.dst),
+         |r3 AS (SELECT nodes.node, (15 * base + 85 * COALESCE(c, 0)) // 100 AS r
+         |       FROM nodes CROSS JOIN b LEFT JOIN c3 ON c3.node = nodes.node)
+         |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r3
+         |ORDER BY r DESC, node LIMIT 20""".stripMargin,
 
     // The seed model re-derived relationally (full-length substrings,
     // top-20 multi + all single chars, add-one log scores), then the
