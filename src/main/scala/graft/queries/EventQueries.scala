@@ -257,6 +257,24 @@ object EventQueries extends QueryGroup {
         replicates = 200, alpha = 0.025)
     }),
 
+    // CUPED-adjusted lift: pre-period (before Jan 15) per-user revenue as
+    // the covariate, post-period revenue as the metric, both quantized to
+    // integer cents so every sufficient statistic is BIGINT-exact; θ,
+    // lifts, and ρ² are fixed-order doubles rounded 6.
+    "q_cuped" -> ((s, dir) => {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+      val split = lit("2024-01-15").cast("timestamp")
+      val units = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          (sum(when(col("ts") < split, dec(col("value")))
+            .otherwise(dec(lit(0)))) * 100).cast("long").as("x"),
+          (sum(when(col("ts") >= split, dec(col("value")))
+            .otherwise(dec(lit(0)))) * 100).cast("long").as("y"))
+      graft.ops.Experiment.cuped(units,
+        pmod(col("user_id"), lit(2)) === 1, col("x"), col("y"))
+    }),
+
     // Mann–Whitney rank-sum readout on a continuous metric (per-user
     // revenue): U rides the range-tiled AUC rank machinery (no global
     // sort); the metric is a DECIMAL-exact sum cast to double so both
@@ -841,6 +859,59 @@ object EventQueries extends QueryGroup {
         |  min(lift) AS ci_lo, max(lift) AS ci_hi
         |FROM rk
         |WHERE rn = ceil(0.025 * n) OR rn = n - ceil(0.025 * n) + 1""".stripMargin,
+
+    // Same integer-cents sufficient statistics, same fixed-order doubles.
+    "q_cuped" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15'
+        |      THEN CAST(value AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+        |      THEN CAST(value AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 0 ELSE x END) AS BIGINT) AS sx_c,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_t,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 0 ELSE y END) AS BIGINT) AS sy_c,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_t,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM u),
+        |d AS (
+        |  SELECT *,
+        |    CAST(n_c + n_t AS DOUBLE) AS n,
+        |    CAST(sx_c + sx_t AS DOUBLE) AS sx,
+        |    CAST(sy_c + sy_t AS DOUBLE) AS sy
+        |  FROM a),
+        |e AS (
+        |  SELECT *,
+        |    n * CAST(sxy AS DOUBLE) - sx * sy AS covnum,
+        |    n * CAST(sxx AS DOUBLE) - sx * sx AS varxnum,
+        |    n * CAST(syy AS DOUBLE) - sy * sy AS varynum
+        |  FROM d)
+        |SELECT n_c, n_t,
+        |  CASE WHEN n_c + n_t > 0 AND varxnum > 0.0 THEN
+        |    round(covnum / varxnum, 6) END AS theta,
+        |  CASE WHEN n_c > 0 AND n_t > 0 THEN
+        |    round(CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |      - CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6) END AS lift_raw,
+        |  CASE WHEN n_c > 0 AND n_t > 0 AND varxnum > 0.0 THEN
+        |    round((CAST(sy_t AS DOUBLE) - (covnum / varxnum)
+        |        * (CAST(sx_t AS DOUBLE) - CAST(n_t AS DOUBLE) * (sx / n)))
+        |      / CAST(n_t AS DOUBLE)
+        |      - (CAST(sy_c AS DOUBLE) - (covnum / varxnum)
+        |        * (CAST(sx_c AS DOUBLE) - CAST(n_c AS DOUBLE) * (sx / n)))
+        |      / CAST(n_c AS DOUBLE), 6) END AS lift_cuped,
+        |  CASE WHEN n_c + n_t > 0 AND varxnum > 0.0 AND varynum > 0.0 THEN
+        |    round(covnum * covnum / (varxnum * varynum), 6) END
+        |    AS var_reduction
+        |FROM e""".stripMargin,
 
     // Same Mann–Whitney restatement as q_classifier_auc (U = auc_num/2),
     // plus the tie-group cube sum and the identical fixed-order z.

@@ -111,6 +111,47 @@ class ExperimentSpec extends AnyFunSuite with SparkTestBase {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 12L)))
   }
 
+  test("cuped: perfect covariate correlation cancels the covariate-driven lift") {
+    import spark.implicits._
+    // y == x exactly: θ = 1, ρ² = 1, and y′ = x̄ for every unit, so the
+    // CUPED lift collapses to 0 while the raw lift reads the x imbalance.
+    val df = Seq((false, 100L, 100L), (false, 200L, 200L),
+      (true, 300L, 300L), (true, 400L, 400L)).toDF("t", "x", "y")
+      .repartition(2)
+    val r = Experiment.cuped(df, col("t"), col("x"), col("y")).head()
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert(r.getDouble(2) == 1.0)   // theta
+    assert(r.getDouble(3) == 200.0) // lift_raw
+    assert(r.getDouble(4) == 0.0)   // lift_cuped
+    assert(r.getDouble(5) == 1.0)   // var_reduction = rho^2
+  }
+
+  test("cuped: a true treatment effect survives the adjustment") {
+    import spark.implicits._
+    // y = x + 50 for treatment, y = x for control, balanced x across
+    // arms: the raw and adjusted lifts must both read exactly 50 (the
+    // covariate explains none of the BETWEEN-arm difference).
+    val df = Seq((false, 100L, 100L), (false, 300L, 300L),
+      (true, 100L, 150L), (true, 300L, 350L)).toDF("t", "x", "y")
+    val r = Experiment.cuped(df, col("t"), col("x"), col("y")).head()
+    assert(r.getDouble(3) == 50.0)
+    assert(r.getDouble(4) == 50.0)
+  }
+
+  test("cuped: zero covariate variance yields NULL theta, lifts still report") {
+    import spark.implicits._
+    val df = Seq((false, 7L, 10L), (true, 7L, 30L)).toDF("t", "x", "y")
+    val r = Experiment.cuped(df, col("t"), col("x"), col("y")).head()
+    assert(r.isNullAt(2) && r.isNullAt(4) && r.isNullAt(5))
+    assert(r.getDouble(3) == 20.0)
+    // null rows (treatment or metric) are excluded from every statistic.
+    val withNulls = Seq[(java.lang.Boolean, java.lang.Long, java.lang.Long)](
+      (false, 7L, 10L), (true, 7L, 30L), (null, 1L, 1L), (true, null, 5L))
+      .toDF("t", "x", "y")
+    val r2 = Experiment.cuped(withNulls, col("t"), col("x"), col("y")).head()
+    assert((r2.getLong(0), r2.getLong(1)) == ((1L, 1L)))
+  }
+
   test("poissonBootstrapCI: deterministic, ordered, brackets a strong effect") {
     import spark.implicits._
     // 400 units, planted lift ≈ 0.7 (control converts 10%, treatment 80%).
