@@ -150,6 +150,73 @@ object Experiment {
         min(col("__lift")).as("ci_lo"), max(col("__lift")).as("ci_hi"))
   }
 
+  /** Always-valid sequential test (mixture SPRT, Johari et al. 2017 —
+    * the "peeking" problem): per observation day, the normal-mixture
+    * likelihood ratio of the cumulative conversion lift,
+    *
+    *   logΛ_n = ½·ln(V/(V+τ²)) + Δ²·τ²/(2·V·(V+τ²))
+    *
+    * with Δ = p_t − p_c and V = p̄(1−p̄)(1/n_t + 1/n_c) over the counts
+    * CUMULATIVE through that day, and the always-valid p-value
+    * p_n = min_{m≤n} min(1, e^{−logΛ_m}) — monotone by construction, so
+    * the experimenter may look every day and stop at first significance
+    * without inflating false positives (what a fixed-n z-test cannot
+    * offer).
+    *
+    * Scale shape: units reduce to ONE row per (day, arm) by partial agg;
+    * the cumulative/running-min windows then run over the #days-row
+    * daily frame — bounded by the calendar, the same documented O(days)
+    * finish as the bootstrap's O(B) ranking. Days where an arm is still
+    * empty or the pool is degenerate emit NULL and are skipped by the
+    * running min. ln/exp/sqrt ulp differences across engines are
+    * absorbed by the 6-decimal rounding (the repo's ln contract).
+    *
+    * @param day   observation-day column (unit attributed to its day)
+    * @param tau2  mixture-prior variance τ² (e.g. 1e-4 for lifts in
+    *              fractions of a percent)
+    * @return per day: (day, n_c, n_t, conv_c, conv_t, log_lambda, p_av)
+    */
+  def msprt(df: DataFrame, treatment: Column, converted: Column,
+      day: Column, tau2: Double): DataFrame = {
+    require(tau2 > 0.0, s"tau2 must be positive, got $tau2")
+    val daily = df
+      .select(day.as("day"), treatment.as("__t"), converted.as("__c"))
+      .where(col("day").isNotNull && col("__t").isNotNull)
+      .groupBy(col("day"))
+      .agg(
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("__dnc"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("__dnt"),
+        sum(when(!col("__t") && col("__c"), 1L).otherwise(0L)).as("__dcc"),
+        sum(when(col("__t") && col("__c"), 1L).otherwise(0L)).as("__dct"))
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily
+      .withColumn("n_c", sum(col("__dnc")).over(wCum))
+      .withColumn("n_t", sum(col("__dnt")).over(wCum))
+      .withColumn("conv_c", sum(col("__dcc")).over(wCum))
+      .withColumn("conv_t", sum(col("__dct")).over(wCum))
+    val nC = col("n_c").cast("double")
+    val nT = col("n_t").cast("double")
+    val pool = (col("conv_c") + col("conv_t")).cast("double") /
+      (col("n_c") + col("n_t")).cast("double")
+    val v = pool * (lit(1.0) - pool) * (lit(1.0) / nT + lit(1.0) / nC)
+    val delta = col("conv_t").cast("double") / nT -
+      col("conv_c").cast("double") / nC
+    val logLambda = lit(0.5) * log(v / (v + lit(tau2))) +
+      delta * delta * lit(tau2) / (lit(2.0) * v * (v + lit(tau2)))
+    val valid = col("n_c") > 0 && col("n_t") > 0 &&
+      col("conv_c") + col("conv_t") > 0 &&
+      col("conv_c") + col("conv_t") < col("n_c") + col("n_t")
+    val scored = cum
+      .withColumn("__ll", when(valid, logLambda))
+      .withColumn("__p", when(valid, least(lit(1.0), exp(-col("__ll")))))
+    scored
+      .withColumn("p_av", min(col("__p")).over(wCum))
+      .select(col("day"), col("n_c"), col("n_t"), col("conv_c"),
+        col("conv_t"), round(col("__ll"), 6).as("log_lambda"),
+        round(col("p_av"), 6).as("p_av"))
+  }
+
   /** CUPED variance reduction (Deng et al., WSDM 2013): adjust the
     * experiment metric with a PRE-EXPERIMENT covariate,
     * y′ = y − θ(x − x̄) with θ = cov(x, y)/var(x), shrinking metric

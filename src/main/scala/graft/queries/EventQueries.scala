@@ -257,6 +257,25 @@ object EventQueries extends QueryGroup {
         replicates = 200, alpha = 0.025)
     }),
 
+    // Always-valid sequential readout: per-user units attributed to their
+    // first-seen day, cumulative mixture-SPRT log-likelihood and the
+    // running-min always-valid p per day — the peek-every-day monitor.
+    "q_msprt" -> ((s, dir) => {
+      val units = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(floor(min(col("ts")).cast("long") / 21600).cast("long").as("day"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+      graft.ops.Experiment.msprt(units,
+        pmod(col("user_id"), lit(2)) === 1, col("conv") === 1L,
+        col("day"), tau2 = 1e-4)
+        .select(
+          date_format(timestamp_seconds(col("day") * 21600),
+            "yyyy-MM-dd HH:mm").as("date"),
+          col("n_c"), col("n_t"), col("conv_c"), col("conv_t"),
+          col("log_lambda"), col("p_av"))
+    }),
+
     // CUPED-adjusted lift: pre-period (before Jan 15) per-user revenue as
     // the covariate, post-period revenue as the metric, both quantized to
     // integer cents so every sufficient statistic is BIGINT-exact; θ,
@@ -859,6 +878,65 @@ object EventQueries extends QueryGroup {
         |  min(lift) AS ci_lo, max(lift) AS ci_hi
         |FROM rk
         |WHERE rn = ceil(0.025 * n) OR rn = n - ceil(0.025 * n) + 1""".stripMargin,
+
+    // Same cumulative windows, same fixed-order ln/exp chain (ulps
+    // absorbed by round 6 — the repo's ln contract); DuckDB ln() is
+    // natural log like Spark's log().
+    "q_msprt" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(min(ts)) / 21600) AS BIGINT) AS day,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |d AS (
+        |  SELECT day,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 0 ELSE 1 END) AS BIGINT) AS dnc,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS dnt,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 0 ELSE conv END) AS BIGINT) AS dcc,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS BIGINT) AS dct
+        |  FROM u GROUP BY day),
+        |c AS (
+        |  SELECT day,
+        |    CAST(sum(dnc) OVER w AS BIGINT) AS n_c,
+        |    CAST(sum(dnt) OVER w AS BIGINT) AS n_t,
+        |    CAST(sum(dcc) OVER w AS BIGINT) AS conv_c,
+        |    CAST(sum(dct) OVER w AS BIGINT) AS conv_t
+        |  FROM d
+        |  WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |e AS (
+        |  SELECT *,
+        |    CASE WHEN n_c > 0 AND n_t > 0 AND conv_c + conv_t > 0
+        |          AND conv_c + conv_t < n_c + n_t THEN
+        |      0.5 * ln(
+        |        (CAST(conv_c + conv_t AS DOUBLE) / CAST(n_c + n_t AS DOUBLE)
+        |          * (1.0 - CAST(conv_c + conv_t AS DOUBLE) / CAST(n_c + n_t AS DOUBLE))
+        |          * (1.0 / CAST(n_t AS DOUBLE) + 1.0 / CAST(n_c AS DOUBLE)))
+        |        / (CAST(conv_c + conv_t AS DOUBLE) / CAST(n_c + n_t AS DOUBLE)
+        |          * (1.0 - CAST(conv_c + conv_t AS DOUBLE) / CAST(n_c + n_t AS DOUBLE))
+        |          * (1.0 / CAST(n_t AS DOUBLE) + 1.0 / CAST(n_c AS DOUBLE)) + 1e-4))
+        |      + (CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |          - CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+        |        * (CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |          - CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+        |        * 1e-4
+        |        / (2.0
+        |          * (CAST(conv_c + conv_t AS DOUBLE) / CAST(n_c + n_t AS DOUBLE)
+        |            * (1.0 - CAST(conv_c + conv_t AS DOUBLE) / CAST(n_c + n_t AS DOUBLE))
+        |            * (1.0 / CAST(n_t AS DOUBLE) + 1.0 / CAST(n_c AS DOUBLE)))
+        |          * (CAST(conv_c + conv_t AS DOUBLE) / CAST(n_c + n_t AS DOUBLE)
+        |            * (1.0 - CAST(conv_c + conv_t AS DOUBLE) / CAST(n_c + n_t AS DOUBLE))
+        |            * (1.0 / CAST(n_t AS DOUBLE) + 1.0 / CAST(n_c AS DOUBLE)) + 1e-4))
+        |    END AS ll
+        |  FROM c)
+        |SELECT
+        |  strftime(make_timestamp(day * 21600000000), '%Y-%m-%d %H:%M') AS date,
+        |  n_c, n_t, conv_c, conv_t,
+        |  round(ll, 6) AS log_lambda,
+        |  round(min(CASE WHEN ll IS NOT NULL
+        |      THEN least(1.0, exp(-ll)) END) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS p_av
+        |FROM e""".stripMargin,
 
     // Same integer-cents sufficient statistics, same fixed-order doubles.
     "q_cuped" ->

@@ -152,6 +152,50 @@ class ExperimentSpec extends AnyFunSuite with SparkTestBase {
     assert((r2.getLong(0), r2.getLong(1)) == ((1L, 1L)))
   }
 
+  test("msprt: always-valid p is monotone and detects a strong effect") {
+    import spark.implicits._
+    // 20 days × 30 units/day; treatment converts 80%, control 10%.
+    val rows = for (d <- 0 until 20; i <- 0 until 30) yield {
+      val t = i % 2 == 1
+      (d.toLong, t, if (t) i % 10 < 8 else i % 10 == 0)
+    }
+    val out = Experiment.msprt(rows.toDF("day", "t", "c"),
+        col("t"), col("c"), col("day"), tau2 = 1e-2)
+      .orderBy("day").collect()
+    val ps = out.map(_.getDouble(6))
+    assert(ps.zip(ps.tail).forall { case (a, b) => b <= a }, "p must be monotone")
+    assert(ps.last < 0.05, s"strong effect should reject, got ${ps.last}")
+    // cumulative counts on the last day cover every unit.
+    assert(out.last.getLong(1) == 300L && out.last.getLong(2) == 300L)
+  }
+
+  test("msprt: a true null stays insignificant on this fixture") {
+    import spark.implicits._
+    // identical 20% conversion in both arms, 10 days × 40 units.
+    val rows = for (d <- 0 until 10; i <- 0 until 40) yield
+      (d.toLong, i % 2 == 1, i % 5 == 0)
+    val out = Experiment.msprt(rows.toDF("day", "t", "c"),
+        col("t"), col("c"), col("day"), tau2 = 1e-2)
+      .orderBy("day").collect()
+    assert(out.last.getDouble(6) > 0.5, s"got ${out.last.getDouble(6)}")
+  }
+
+  test("msprt: degenerate early days emit NULL and are skipped by the min") {
+    import spark.implicits._
+    // day 0 has only treatment units -> invalid; day 1 completes the pool.
+    val rows = Seq((0L, true, true), (0L, true, false),
+      (1L, false, false), (1L, false, true), (1L, true, true))
+    val out = Experiment.msprt(rows.toDF("day", "t", "c"),
+        col("t"), col("c"), col("day"), tau2 = 1e-2)
+      .orderBy("day").collect()
+    assert(out(0).isNullAt(5) && out(0).isNullAt(6))
+    assert(!out(1).isNullAt(5) && !out(1).isNullAt(6))
+    intercept[IllegalArgumentException] {
+      Experiment.msprt(rows.toDF("day", "t", "c"), col("t"), col("c"),
+        col("day"), tau2 = 0.0)
+    }
+  }
+
   test("poissonBootstrapCI: deterministic, ordered, brackets a strong effect") {
     import spark.implicits._
     // 400 units, planted lift ≈ 0.7 (control converts 10%, treatment 80%).
