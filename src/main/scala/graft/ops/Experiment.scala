@@ -150,6 +150,92 @@ object Experiment {
         min(col("__lift")).as("ci_lo"), max(col("__lift")).as("ci_hi"))
   }
 
+  /** Post-stratified lift: weight each stratum's within-stratum lift by
+    * the stratum's population share, w_s = N_s/N —
+    * lift_ps = Σ_s w_s·(ȳ_ts − ȳ_cs) — removing the covariate imbalance
+    * a lucky/unlucky split leaves in the raw lift (the categorical
+    * sibling of [[cuped]]'s linear adjustment).
+    *
+    * Strata where either arm is empty cannot contribute a within-stratum
+    * lift; they are EXCLUDED and the weights renormalized over the
+    * contributing strata — reported via `n_strata` vs `n_strata_used` so
+    * the exclusion is visible, never silent.
+    *
+    * Exactness: per-stratum sums are BIGINT (integer-cents metric); each
+    * stratum's weighted term N_s·(ȳ_ts − ȳ_cs) — one fixed-order IEEE
+    * expression — is floored onto a 1e-9 grid BEFORE the cross-strata
+    * sum, so the reduction is an order-independent BIGINT sum (the
+    * averagePrecision contract). lift_ps = ps_num_q / (1e9 · n_used).
+    *
+    * @return one row (n_strata, n_strata_used, n_used, ps_num_q)
+    */
+  def postStratifiedLift(df: DataFrame, treatment: Column, strata: Column,
+      yCents: Column): DataFrame = {
+    val per = df
+      .select(strata.as("__s"), treatment.as("__t"),
+        yCents.cast("long").as("__y"))
+      .where(col("__s").isNotNull && col("__t").isNotNull &&
+        col("__y").isNotNull)
+      .groupBy(col("__s"))
+      .agg(
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("__nc"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("__nt"),
+        sum(when(!col("__t"), col("__y")).otherwise(0L)).as("__syc"),
+        sum(when(col("__t"), col("__y")).otherwise(0L)).as("__syt"))
+    val usable = col("__nc") > 0 && col("__nt") > 0
+    // term = N_s · (ȳ_ts − ȳ_cs), quantized; Σterm / N_used = lift_ps.
+    val term = (col("__nc") + col("__nt")).cast("double") *
+      (col("__syt").cast("double") / col("__nt").cast("double") -
+        col("__syc").cast("double") / col("__nc").cast("double"))
+    per.agg(
+      count(lit(1)).as("n_strata"),
+      sum(when(usable, 1L).otherwise(0L)).as("n_strata_used"),
+      sum(when(usable, col("__nc") + col("__nt")).otherwise(0L)).as("n_used"),
+      sum(when(usable, floor(term * lit(1e9)).cast("long")).otherwise(0L))
+        .as("ps_num_q"))
+  }
+
+  /** Difference-in-differences: the pre/post × control/treatment 2×2,
+    * did = (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre) — the readout
+    * when assignment wasn't randomized and each arm serves as its own
+    * baseline. One partial-agg'd pass over (arm, period)-tagged rows
+    * with integer-cents metrics; all four cell means and the estimate
+    * are fixed-order doubles rounded 6 (NULL when any cell is empty).
+    *
+    * @return one row (n_c_pre, n_c_post, n_t_pre, n_t_post, did)
+    */
+  def diffInDiff(df: DataFrame, treatment: Column, post: Column,
+      yCents: Column): DataFrame = {
+    val agg = df
+      .select(treatment.as("__t"), post.as("__p"),
+        yCents.cast("long").as("__y"))
+      .where(col("__t").isNotNull && col("__p").isNotNull &&
+        col("__y").isNotNull)
+      .agg(
+        sum(when(!col("__t") && !col("__p"), 1L).otherwise(0L)).as("n_c_pre"),
+        sum(when(!col("__t") && col("__p"), 1L).otherwise(0L)).as("n_c_post"),
+        sum(when(col("__t") && !col("__p"), 1L).otherwise(0L)).as("n_t_pre"),
+        sum(when(col("__t") && col("__p"), 1L).otherwise(0L)).as("n_t_post"),
+        sum(when(!col("__t") && !col("__p"), col("__y")).otherwise(0L))
+          .as("__scpre"),
+        sum(when(!col("__t") && col("__p"), col("__y")).otherwise(0L))
+          .as("__scpost"),
+        sum(when(col("__t") && !col("__p"), col("__y")).otherwise(0L))
+          .as("__stpre"),
+        sum(when(col("__t") && col("__p"), col("__y")).otherwise(0L))
+          .as("__stpost"))
+    val did =
+      (col("__stpost").cast("double") / col("n_t_post").cast("double") -
+        col("__stpre").cast("double") / col("n_t_pre").cast("double")) -
+      (col("__scpost").cast("double") / col("n_c_post").cast("double") -
+        col("__scpre").cast("double") / col("n_c_pre").cast("double"))
+    agg.select(col("n_c_pre"), col("n_c_post"), col("n_t_pre"),
+      col("n_t_post"),
+      when(col("n_c_pre") > 0 && col("n_c_post") > 0 &&
+          col("n_t_pre") > 0 && col("n_t_post") > 0,
+        round(did, 6)).as("did"))
+  }
+
   /** Always-valid sequential test (mixture SPRT, Johari et al. 2017 —
     * the "peeking" problem): per observation day, the normal-mixture
     * likelihood ratio of the cumulative conversion lift,

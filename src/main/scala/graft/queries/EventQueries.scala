@@ -257,6 +257,34 @@ object EventQueries extends QueryGroup {
         replicates = 200, alpha = 0.025)
     }),
 
+    // Post-stratified lift: activity strata (event-count buckets) as the
+    // categorical covariate; per-stratum weighted terms quantized to a
+    // 1e-9 grid before the cross-strata BIGINT sum.
+    "q_post_strat" -> ((s, dir) => {
+      val units = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"),
+          (sum(col("value").cast("decimal(18,2)")) * 100).cast("long").as("y"))
+        .select(col("user_id"),
+          least(floor(col("cnt") / lit(5)).cast("long"), lit(8L)).as("s"),
+          col("y"))
+      graft.ops.Experiment.postStratifiedLift(units,
+        pmod(col("user_id"), lit(2)) === 1, col("s"), col("y"))
+    }),
+
+    // Difference-in-differences over the pre/post Jan-15 split: each
+    // (user, period) revenue observation fills the 2x2; the estimate is
+    // one fixed-order double over eight BIGINT sums.
+    "q_did" -> ((s, dir) => {
+      val obs = Tables.events(s, dir)
+        .groupBy(col("user_id"),
+          (col("ts") >= lit("2024-01-15").cast("timestamp")).as("post"))
+        .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+          .as("y"))
+      graft.ops.Experiment.diffInDiff(obs,
+        pmod(col("user_id"), lit(2)) === 1, col("post"), col("y"))
+    }),
+
     // Always-valid sequential readout: per-user units attributed to their
     // first-seen day, cumulative mixture-SPRT log-likelihood and the
     // running-min always-valid p per day — the peek-every-day monitor.
@@ -878,6 +906,61 @@ object EventQueries extends QueryGroup {
         |  min(lift) AS ci_lo, max(lift) AS ci_hi
         |FROM rk
         |WHERE rn = ceil(0.025 * n) OR rn = n - ceil(0.025 * n) + 1""".stripMargin,
+
+    // Same strata, same quantized per-stratum terms.
+    "q_post_strat" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    least(CAST(floor(count(*) / 5) AS BIGINT), 8) AS s,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y,
+        |    user_id % 2 = 1 AS t
+        |  FROM events GROUP BY user_id),
+        |p AS (
+        |  SELECT s,
+        |    CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS nc,
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    CAST(sum(CASE WHEN t THEN 0 ELSE y END) AS BIGINT) AS syc,
+        |    CAST(sum(CASE WHEN t THEN y ELSE 0 END) AS BIGINT) AS syt
+        |  FROM u GROUP BY s)
+        |SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        |  CAST(sum(CASE WHEN nc > 0 AND nt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_strata_used,
+        |  CAST(sum(CASE WHEN nc > 0 AND nt > 0 THEN nc + nt ELSE 0 END)
+        |    AS BIGINT) AS n_used,
+        |  CAST(sum(CASE WHEN nc > 0 AND nt > 0 THEN
+        |    CAST(floor(CAST(nc + nt AS DOUBLE)
+        |      * (CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)
+        |        - CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE)) * 1e9) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS ps_num_q
+        |FROM p""".stripMargin,
+
+    // Same 2x2 cells, same fixed-order estimate.
+    "q_did" ->
+      """WITH o AS (
+        |  SELECT user_id, ts >= TIMESTAMP '2024-01-15' AS post,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y,
+        |    user_id % 2 = 1 AS t
+        |  FROM events GROUP BY user_id, post),
+        |a AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN NOT t AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_c_pre,
+        |    CAST(sum(CASE WHEN NOT t AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_c_post,
+        |    CAST(sum(CASE WHEN t AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_t_pre,
+        |    CAST(sum(CASE WHEN t AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_t_post,
+        |    CAST(sum(CASE WHEN NOT t AND NOT post THEN y ELSE 0 END) AS BIGINT) AS scpre,
+        |    CAST(sum(CASE WHEN NOT t AND post THEN y ELSE 0 END) AS BIGINT) AS scpost,
+        |    CAST(sum(CASE WHEN t AND NOT post THEN y ELSE 0 END) AS BIGINT) AS stpre,
+        |    CAST(sum(CASE WHEN t AND post THEN y ELSE 0 END) AS BIGINT) AS stpost
+        |  FROM o)
+        |SELECT n_c_pre, n_c_post, n_t_pre, n_t_post,
+        |  CASE WHEN n_c_pre > 0 AND n_c_post > 0
+        |        AND n_t_pre > 0 AND n_t_post > 0 THEN
+        |    round((CAST(stpost AS DOUBLE) / CAST(n_t_post AS DOUBLE)
+        |        - CAST(stpre AS DOUBLE) / CAST(n_t_pre AS DOUBLE))
+        |      - (CAST(scpost AS DOUBLE) / CAST(n_c_post AS DOUBLE)
+        |        - CAST(scpre AS DOUBLE) / CAST(n_c_pre AS DOUBLE)), 6)
+        |  END AS did
+        |FROM a""".stripMargin,
 
     // Same cumulative windows, same fixed-order ln/exp chain (ulps
     // absorbed by round 6 — the repo's ln contract); DuckDB ln() is

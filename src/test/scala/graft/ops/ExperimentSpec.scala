@@ -152,6 +152,41 @@ class ExperimentSpec extends AnyFunSuite with SparkTestBase {
     assert((r2.getLong(0), r2.getLong(1)) == ((1L, 1L)))
   }
 
+  test("postStratifiedLift: imbalance-corrected, exclusions visible") {
+    import spark.implicits._
+    // Stratum A: lift 10 (c mean 100, t mean 110), 4 units.
+    // Stratum B: lift 30 (c mean 200, t mean 230), 2 units.
+    // Stratum C: control only -> excluded, visible in n_strata_used.
+    val df = Seq(
+      (false, "A", 90L), (false, "A", 110L), (true, "A", 100L), (true, "A", 120L),
+      (false, "B", 200L), (true, "B", 230L),
+      (false, "C", 999L)
+    ).toDF("t", "s", "y").repartition(3)
+    val r = Experiment.postStratifiedLift(df, col("t"), col("s"), col("y"))
+      .head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 6L)))
+    // ps_num_q = 4*10*1e9 + 2*30*1e9; lift_ps = 100e9/(1e9*6) = 16.67.
+    assert(r.getLong(3) == 100L * 1000000000L)
+  }
+
+  test("diffInDiff: hand-computed 2x2 and empty-cell NULL") {
+    import spark.implicits._
+    // control: pre 100 -> post 120 (+20); treatment: pre 200 -> post 250
+    // (+50): did = 30.
+    val df = Seq(
+      (false, false, 100L), (false, true, 120L),
+      (true, false, 200L), (true, true, 250L)
+    ).toDF("t", "p", "y").repartition(2)
+    val r = Experiment.diffInDiff(df, col("t"), col("p"), col("y")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((1L, 1L, 1L, 1L)))
+    assert(r.getDouble(4) == 30.0)
+    val missing = Seq((false, false, 100L), (true, true, 250L))
+      .toDF("t", "p", "y")
+    assert(Experiment.diffInDiff(missing, col("t"), col("p"), col("y"))
+      .head().isNullAt(4))
+  }
+
   test("msprt: always-valid p is monotone and detects a strong effect") {
     import spark.implicits._
     // 20 days × 30 units/day; treatment converts 80%, control 10%.
