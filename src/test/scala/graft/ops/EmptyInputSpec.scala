@@ -65,4 +65,31 @@ class EmptyInputSpec extends AnyFunSuite with SparkTestBase {
       TimeSeries.weekChunk(col("d"))).count() == 0)
     assert(TimeSeries.trailingWindow(s, "d", "v", 7).count() == 0)
   }
+
+  test("round-10 operators on empty inputs") {
+    import spark.implicits._
+    val ts = Seq.empty[(String, Long, Long)].toDF("k", "t", "v")
+    assert(TimeSeries.holtFixedPoint(ts, "k", "t", "v", 1, 4, 1, 5, 7)
+      .count() == 0)
+    assert(TimeSeries.cusum(ts, "k", "t", "v", 0L, 10L).count() == 0)
+    val sy = Seq.empty[(Long, Boolean)].toDF("s", "y")
+    assert(graft.ml.Eval.rocPoints(sy, col("s"), col("y")).count() == 0)
+    assert(graft.ml.Eval.calibrationBins(
+      Seq.empty[(Double, Boolean)].toDF("pr", "y"),
+      col("pr"), col("y"), 10).count() == 0)
+    // Scalar readouts keep their one-row shape with NULL statistics.
+    val units = Seq.empty[(Long, Boolean, Boolean)].toDF("id", "t", "c")
+    val ab = Experiment.abTest(units, col("t"), col("c")).head()
+    assert(ab.isNullAt(5) && ab.isNullAt(6))
+    val cu = Experiment.cuped(
+      Seq.empty[(Boolean, Long, Long)].toDF("t", "x", "y"),
+      col("t"), col("x"), col("y")).head()
+    assert(cu.isNullAt(2) && cu.isNullAt(4))
+    assert(Experiment.msprt(
+      Seq.empty[(Long, Boolean, Boolean)].toDF("day", "t", "c"),
+      col("t"), col("c"), col("day"), 1e-2).count() == 0)
+    assert(FuzzyJoin.jaroWinklerSelfJoin(
+      Seq.empty[(Long, String)].toDF("id", "nm"), "id", "nm", 4, 0.9)
+      .count() == 0)
+  }
 }
