@@ -72,4 +72,22 @@ object DataQuality {
     df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_dupes"))
       .filter(col("n_dupes") > 1)
+
+  /** Distinct-l-diversity violations (Machanavajjhala et al. 2007): the
+    * step after k-anonymity — a k-anonymous class whose SENSITIVE column
+    * takes fewer than `l` distinct values still leaks (everyone in the
+    * class shares the secret). One row per violating equivalence class:
+    * (quasi cols..., class_size, sensitive_distinct). Same bounded-output
+    * argument as [[kAnonymityViolations]], one partial-agg'd groupBy with
+    * an exact count_distinct (the violating classes are small; the
+    * aggregation itself is map-side combined on (quasi, sensitive)).
+    */
+  def lDiversityViolations(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty && l >= 2)
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        count_distinct(col(sensitiveCol)).as("sensitive_distinct"))
+      .filter(col("sensitive_distinct") < l)
+  }
 }

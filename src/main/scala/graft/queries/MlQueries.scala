@@ -122,6 +122,22 @@ object MlQueries extends QueryGroup {
         (col("doc_id") % 997).cast("double") / lit(997.0),
         length(col("source")) === 4, bins = 10)),
 
+    // Cluster-balanced diversity sample (the D4/SemDeDup-era recipe):
+    // k-means buckets the corpus, then Efraimidis–Spirakis weighted
+    // sampling draws with weight 1/|cluster| — big clusters stop
+    // dominating the sample. Pure composition: the exact k-means fit +
+    // broadcast size join + the deterministic md5-seeded sampler.
+    "q_cluster_sample" -> ((s, dir) => {
+      val assign = KMeans.fitAssign(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 8, iterations = 3)
+        .select(col("vec_id"), col("cluster"))
+      val sizes = assign.groupBy("cluster").agg(count(lit(1)).as("csize"))
+      val weighted = assign.join(broadcast(sizes), "cluster")
+        .withColumn("w", lit(1.0) / col("csize").cast("double"))
+      graft.ops.Sharding.weightedSample(weighted, "vec_id", "w", n = 64)
+        .select(col("vec_id"), col("cluster"), col("csize"))
+    }),
+
     // PCA sufficient statistics, oracle-checkable form: integer-quantized
     // centered-covariance numerators n·Σxy − Σx·Σy over the first 8 dims.
     // This pair-explode shape exists FOR the SQL oracle; the production
@@ -336,6 +352,23 @@ object MlQueries extends QueryGroup {
     s"""WITH ${lloydChain("", quantSql("embedding"), 64, 8, 3)}
        |SELECT vec_id, CAST(c AS INT) AS cluster, CAST(dist AS BIGINT) AS dist
        |FROM af""".stripMargin
+
+  // Same k-means chain, same 1/|cluster| weights, same ES key ordering —
+  // the sampler's ln(u)/w arithmetic mirrors Sharding.weightedSample
+  // operation-for-operation (weight built as ONE division, then the key
+  // as ln(u) / w, never algebraically fused to ln(u)·|cluster|).
+  private val clusterSampleSql: String =
+    s"""WITH ${lloydChain("", quantSql("embedding"), 64, 8, 3)},
+       |a AS (SELECT vec_id, c FROM af),
+       |sz AS (SELECT c, count(*) AS csize FROM a GROUP BY c),
+       |w AS (
+       |  SELECT a.vec_id, a.c, sz.csize,
+       |    ln((CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15))
+       |        AS BIGINT) + 1) / 1152921504606846976.0)
+       |      / (1.0 / CAST(sz.csize AS DOUBLE)) AS k
+       |  FROM a JOIN sz USING (c))
+       |SELECT vec_id, CAST(c AS INT) AS cluster, CAST(csize AS BIGINT) AS csize
+       |FROM w ORDER BY k DESC, vec_id LIMIT 64""".stripMargin
 
   private val pqSql: String = {
     val m = 4; val subDim = 16
@@ -592,6 +625,7 @@ object MlQueries extends QueryGroup {
          |SELECT 'trace_q', -1, -1, 0.0, tq FROM tr""".stripMargin
     },
     "q_kmeans" -> kmeansSql,
+    "q_cluster_sample" -> clusterSampleSql,
     "q_semdedup" -> semdedupSql,
     "q_pq_encode" -> pqSql,
     "q_pq_adc_topk" -> pqAdcSql(

@@ -176,6 +176,18 @@ object RelationalQueries extends QueryGroup {
         Seq("event_type", "value_decade", "day"), k = 5L)
     }),
 
+    // l-diversity audit, the step after k-anonymity: (value-decade, day)
+    // classes where the sensitive event_type takes < 3 distinct values —
+    // homogeneous classes leak the secret even when k-anonymous.
+    "q_l_diversity" -> ((s, dir) => {
+      val quasi = Tables.events(s, dir).select(
+        col("event_type"),
+        floor(col("value") / 10).cast("long").as("value_decade"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      graft.ops.DataQuality.lDiversityViolations(quasi,
+        Seq("value_decade", "day"), "event_type", l = 3L)
+    }),
+
     // Data-quality gate, part 2: referential + uniqueness checks as
     // anti-join / groupBy counts (the publish gate in front of GoldSink).
     "q_integrity" -> ((s, dir) => {
@@ -649,6 +661,16 @@ object RelationalQueries extends QueryGroup {
         |FROM events
         |GROUP BY 1, 2, 3
         |HAVING count(*) < 5""".stripMargin,
+
+    // Same classes, same distinct-sensitive threshold.
+    "q_l_diversity" ->
+      """SELECT CAST(floor(value / 10) AS BIGINT) AS value_decade,
+        |  strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(count(*) AS BIGINT) AS class_size,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS sensitive_distinct
+        |FROM events
+        |GROUP BY 1, 2
+        |HAVING count(DISTINCT event_type) < 3""".stripMargin,
 
     "q_data_quality" -> {
       def prof(c: String) =

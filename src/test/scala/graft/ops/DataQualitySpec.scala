@@ -36,4 +36,23 @@ class DataQualitySpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(2L -> 2L, 3L -> 3L))
   }
+
+  test("lDiversityViolations flags homogeneous classes even when k-anonymous") {
+    import spark.implicits._
+    val df = Seq(
+      // class (30, "a"): 3 rows but only ONE sensitive value -> violates.
+      ("a", 30L, "flu"), ("a", 30L, "flu"), ("a", 30L, "flu"),
+      // class (40, "b"): 3 rows, 2 sensitive values -> ok at l=2.
+      ("b", 40L, "flu"), ("b", 40L, "hiv"), ("b", 40L, "flu"),
+      // class (50, "c"): single row, single value -> violates.
+      ("c", 50L, "hiv")
+    ).toDF("zip", "age", "diag").repartition(3)
+    val got = DataQuality.lDiversityViolations(df, Seq("zip", "age"),
+        "diag", l = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(("a", 3L, 1L), ("c", 1L, 1L)))
+    intercept[IllegalArgumentException] {
+      DataQuality.lDiversityViolations(df, Seq("zip"), "diag", l = 1L)
+    }
+  }
 }
