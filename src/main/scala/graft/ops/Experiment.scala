@@ -32,7 +32,11 @@ object Experiment {
     * A NULL treatment flag counts into `n_null` — NOT silently into
     * either arm and NOT dropped: unassigned units are precisely the
     * broken-assignment signal the SRM guard exists to surface, so they
-    * must stay visible in the readout.
+    * must stay visible in the readout. A NULL `converted` flag counts as
+    * NOT converted (explicit contract: for a conversion boolean, absence
+    * of evidence is a non-conversion — the unit still belongs in its
+    * arm's denominator, unlike a NULL continuous metric, which
+    * [[rankSum]]/[[cuped]] must drop).
     *
     * @param df        one row per experiment UNIT (pre-aggregate events
     *                  to users upstream — unit-level rows are what makes
@@ -254,7 +258,10 @@ object Experiment {
     * daily frame — bounded by the calendar, the same documented O(days)
     * finish as the bootstrap's O(B) ranking. Days where an arm is still
     * empty or the pool is degenerate emit NULL and are skipped by the
-    * running min. ln/exp/sqrt ulp differences across engines are
+    * running min. As in [[abTest]], a NULL `converted` flag counts as
+    * NOT converted (the unit stays in its arm's denominator — explicit
+    * contract, same as the streaming monitor). ln/exp/sqrt ulp
+    * differences across engines are
     * absorbed by the 6-decimal rounding (the repo's ln contract).
     *
     * @param day   observation-day column (unit attributed to its day)
@@ -316,6 +323,12 @@ object Experiment {
     * variance-reduction ratio ρ² are fixed-order IEEE expressions over
     * the integers, rounded 6 (NULL θ/ρ² when var(x) = 0; NULL lifts when
     * an arm is empty). Rows with NULL treatment/x/y are excluded.
+    *
+    * Magnitude contract (the [[graft.ops.Regression.groupTrend]] rule):
+    * the pooled integer products must clear 2^63 — keep per-unit cents
+    * below ~√(2^63/n), i.e. ~$300k per unit at 1e7 units. Rescale the
+    * quantization (dollars, not cents) when totals run hotter; ANSI mode
+    * raises on the overflow rather than corrupting it.
     *
     * @param xCents pre-period covariate in integer cents (BIGINT-safe)
     * @param yCents experiment metric in integer cents

@@ -309,7 +309,6 @@ object EventQueries extends QueryGroup {
     // integer cents so every sufficient statistic is BIGINT-exact; θ,
     // lifts, and ρ² are fixed-order doubles rounded 6.
     "q_cuped" -> ((s, dir) => {
-      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
       val split = lit("2024-01-15").cast("timestamp")
       val units = Tables.events(s, dir)
         .groupBy(col("user_id"))
