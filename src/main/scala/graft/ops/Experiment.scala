@@ -154,6 +154,62 @@ object Experiment {
         min(col("__lift")).as("ci_lo"), max(col("__lift")).as("ci_hi"))
   }
 
+  /** Kaplan–Meier survival curve with right-censoring (Kaplan & Meier
+    * 1958) — the churn/retention estimator when some subjects are still
+    * alive at observation time: at each death time t,
+    *
+    *   S(t) = Π_{u ≤ t} (1 − d_u / n_u)
+    *
+    * with d_u the deaths at u and n_u the risk set (subjects whose
+    * duration ≥ u — censored subjects leave the risk set but never count
+    * as deaths; ignoring censoring is the classic churn-rate bias this
+    * estimator exists to fix).
+    *
+    * Scale shape: subjects collapse FIRST to one row per distinct
+    * duration by a map-side-combined partial agg; the risk set is a
+    * DESCENDING cumulative sum over that frame (the [[graft.ml.Eval]]
+    * rocPoints shape) and the survival product runs as an ASCENDING
+    * window sum of log terms — both over the |distinct durations| frame,
+    * which for day-grain tenures is calendar-bounded (the msprt O(days)
+    * argument). Window running sums add in frame order on any engine, so
+    * the float chain is order-pinned; the 6-decimal rounding absorbs ln
+    * ulps (the repo's ln contract).
+    *
+    * @param observed true = event (death/churn) observed; false = right-
+    *                 censored at `duration`
+    * @return one row per DEATH time: (t, n_risk, d, log_surv, surv)
+    */
+  def kaplanMeier(df: DataFrame, duration: Column,
+      observed: Column): DataFrame = {
+    val per = df
+      .select(duration.cast("long").as("t"), observed.as("__o"))
+      .where(col("t").isNotNull && col("__o").isNotNull)
+      .groupBy(col("t"))
+      .agg(sum(when(col("__o"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("__n"))
+    val wRisk = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = per.withColumn("n_risk", sum(col("__n")).over(wRisk))
+    val wSurv = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // d == n_risk (everyone still at risk dies — necessarily the MAX
+    // duration, since any longer-lived subject would be in this risk
+    // set) sends S to exactly 0: ln(0) is NULL on Spark but -inf on
+    // DuckDB, so that terminal row is special-cased to (NULL, 0.0)
+    // instead of ever evaluating the log on either engine.
+    risk
+      .withColumn("__term",
+        when(col("d") > 0 && col("d") < col("n_risk"),
+          log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")))
+          .otherwise(lit(0.0)))
+      .withColumn("__ls", sum(col("__term")).over(wSurv))
+      .where(col("d") > 0)
+      .select(col("t"), col("n_risk"), col("d"),
+        when(col("d") < col("n_risk"), round(col("__ls"), 6)).as("log_surv"),
+        when(col("d") < col("n_risk"), round(exp(col("__ls")), 6))
+          .otherwise(lit(0.0)).as("surv"))
+  }
+
   /** Post-stratified lift: weight each stratum's within-stratum lift by
     * the stratum's population share, w_s = N_s/N —
     * lift_ps = Σ_s w_s·(ȳ_ts − ȳ_cs) — removing the covariate imbalance

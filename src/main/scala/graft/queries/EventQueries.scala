@@ -257,6 +257,24 @@ object EventQueries extends QueryGroup {
         replicates = 200, alpha = 0.025)
     }),
 
+    // Kaplan–Meier churn curve: per-user tenure in days (first→last
+    // event), right-censored when the user was still active within 2
+    // days of the observation edge — the estimator that doesn't count
+    // still-alive users as churned.
+    "q_survival" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val u = ev.groupBy(col("user_id"))
+        .agg(min(col("ts")).as("f"), max(col("ts")).as("l"))
+      val m = ev.agg(max(col("ts")).as("mx"))
+      val subjects = u.crossJoin(broadcast(m))
+        .select(
+          floor((unix_micros(col("l")) - unix_micros(col("f")))
+            / lit(86400000000L)).cast("long").as("dur"),
+          (unix_micros(col("l")) < unix_micros(col("mx")) - lit(172800000000L))
+            .as("obs"))
+      graft.ops.Experiment.kaplanMeier(subjects, col("dur"), col("obs"))
+    }),
+
     // Post-stratified lift: activity strata (event-count buckets) as the
     // categorical covariate; per-stratum weighted terms quantized to a
     // 1e-9 grid before the cross-strata BIGINT sum.
@@ -905,6 +923,38 @@ object EventQueries extends QueryGroup {
         |  min(lift) AS ci_lo, max(lift) AS ci_hi
         |FROM rk
         |WHERE rn = ceil(0.025 * n) OR rn = n - ceil(0.025 * n) + 1""".stripMargin,
+
+    // Same risk-set/death reduction, same order-pinned window log chain.
+    "q_survival" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(floor((epoch_us(max(ts)) - epoch_us(min(ts))) / 86400000000)
+        |      AS BIGINT) AS dur,
+        |    epoch_us(max(ts)) <
+        |      (SELECT epoch_us(max(ts)) FROM events) - 172800000000 AS obs
+        |  FROM events GROUP BY user_id),
+        |p AS (
+        |  SELECT dur AS t,
+        |    CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM u GROUP BY dur),
+        |r AS (
+        |  SELECT t, d,
+        |    CAST(sum(n) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS n_risk
+        |  FROM p),
+        |sv AS (
+        |  SELECT t, d, n_risk,
+        |    sum(CASE WHEN d > 0 AND d < n_risk THEN
+        |      ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |      ELSE 0.0 END) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ls
+        |  FROM r)
+        |SELECT t, n_risk, d,
+        |  CASE WHEN d < n_risk THEN round(ls, 6) END AS log_surv,
+        |  CASE WHEN d < n_risk THEN round(exp(ls), 6) ELSE 0.0 END AS surv
+        |FROM sv WHERE d > 0""".stripMargin,
 
     // Same strata, same quantized per-stratum terms.
     "q_post_strat" ->

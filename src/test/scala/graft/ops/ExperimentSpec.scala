@@ -152,6 +152,29 @@ class ExperimentSpec extends AnyFunSuite with SparkTestBase {
     assert((r2.getLong(0), r2.getLong(1)) == ((1L, 1L)))
   }
 
+  test("kaplanMeier: censoring shrinks the risk set without counting as death") {
+    import spark.implicits._
+    // t=1: 1 death + 1 censored of 4 at risk -> S=3/4.
+    // t=2: 1 death of 2 at risk -> S=3/8. t=3: censored only -> no row.
+    val df = Seq((1L, true), (1L, false), (2L, true), (3L, false))
+      .toDF("dur", "obs").repartition(3)
+    val got = Experiment.kaplanMeier(df, col("dur"), col("obs"))
+      .orderBy("t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(got.toSeq == Seq((1L, 4L, 1L, 0.75), (2L, 2L, 1L, 0.375)))
+    // Naive churn (ignoring censoring) would read 2 deaths / 4 = S=0.5
+    // at t=2 — the bias this estimator exists to remove.
+  }
+
+  test("kaplanMeier: terminal extinction reports surv 0 with NULL log") {
+    import spark.implicits._
+    val df = Seq((1L, true), (2L, true)).toDF("dur", "obs")
+    val got = Experiment.kaplanMeier(df, col("dur"), col("obs"))
+      .orderBy("t").collect()
+    assert(got(0).getDouble(4) == 0.5)
+    assert(got(1).isNullAt(3) && got(1).getDouble(4) == 0.0)
+  }
+
   test("postStratifiedLift: imbalance-corrected, exclusions visible") {
     import spark.implicits._
     // Stratum A: lift 10 (c mean 100, t mean 110), 4 units.
