@@ -100,4 +100,55 @@ object Drift {
         (round(psiTerm(col("ref_cnt"), col("__rn"), col("cur_cnt"),
           col("__cn"), k), roundTo) + lit(0.0)).as("psi_term"))
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic,
+    * D = sup_v |F_a(v) − F_b(v)|, as pure BIGINTs: one row
+    * (n_a, n_b, ks_num) with D = ks_num/(n_a·n_b) — the nonparametric
+    * whole-shape drift test PSI's fixed bins can miss (a pure location
+    * shift inside one wide bin is invisible to PSI, maximal to KS). No
+    * float ever enters: |cumA·n_b − cumB·n_a| is the common-denominator
+    * form of the CDF gap, so the statistic hash-gates exactly.
+    *
+    * Scale shape — the [[graft.ml.Eval.aucExact]] discipline: both
+    * samples collapse to one (ca, cb) row per DISTINCT value by a
+    * map-side-combined partial agg, the two cumulative legs run as a
+    * RANGE-TILED prefix sum (tile-local windows + broadcast base
+    * offsets), and the sup is a plain max aggregate. A continuous value
+    * column (|distinct| ≈ n) never lands in a single sorted partition.
+    *
+    * @param isA boolean column: true → sample A, false → sample B
+    *            (NULL rows and NULL values are excluded)
+    */
+  def ksStatistic(df: DataFrame, value: Column, isA: Column): DataFrame = {
+    val g = df
+      .select(value.as("__v"), when(isA, 1L).otherwise(0L).as("__a"))
+      .where(col("__v").isNotNull && isA.isNotNull)
+      .groupBy(col("__v"))
+      .agg(sum(col("__a")).as("__ca"),
+        sum(lit(1L) - col("__a")).as("__cb"))
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = g.repartitionByRange(parts, col("__v"))
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val local = ranged
+      .withColumn("__lca", sum(col("__ca")).over(wLocal))
+      .withColumn("__lcb", sum(col("__cb")).over(wLocal))
+    val sizes = local.groupBy("__pid")
+      .agg(sum(col("__ca")).as("__tca"), sum(col("__cb")).as("__tcb"))
+    val offsets = sizes.alias("a")
+      .join(sizes.alias("b"), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__tca")), lit(0L)).as("__ba"),
+        coalesce(sum(col("b.__tcb")), lit(0L)).as("__bb"))
+    val totals = g.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    local.join(broadcast(offsets), "__pid")
+      .crossJoin(broadcast(totals))
+      .select(col("__na"), col("__nb"),
+        abs((col("__ba") + col("__lca")) * col("__nb") -
+          (col("__bb") + col("__lcb")) * col("__na")).as("__gap"))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        max(col("__gap")).as("ks_num"))
+  }
 }

@@ -257,6 +257,17 @@ object EventQueries extends QueryGroup {
         replicates = 200, alpha = 0.025)
     }),
 
+    // Exact two-sample KS statistic: is the purchase value distribution
+    // shaped like the view value distribution? All-BIGINT common-
+    // denominator form (D = ks_num/(n_a·n_b)), range-tiled cumulative
+    // legs — the whole-shape drift test PSI's fixed bins can miss.
+    "q_ks_test" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "view"))
+      graft.ops.Drift.ksStatistic(ev, col("value"),
+        col("event_type") === "purchase")
+    }),
+
     // Kaplan–Meier churn curve: per-user tenure in days (first→last
     // event), right-censored when the user was still active within 2
     // days of the observation edge — the estimator that doesn't count
@@ -923,6 +934,33 @@ object EventQueries extends QueryGroup {
         |  min(lift) AS ci_lo, max(lift) AS ci_hi
         |FROM rk
         |WHERE rn = ceil(0.025 * n) OR rn = n - ceil(0.025 * n) + 1""".stripMargin,
+
+    // Same distinct-value reduction, same common-denominator CDF gap.
+    "q_ks_test" ->
+      """WITH t AS (
+        |  SELECT value AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL),
+        |g AS (
+        |  SELECT v, CAST(sum(a) AS BIGINT) AS ca,
+        |    CAST(sum(1 - a) AS BIGINT) AS cb
+        |  FROM t GROUP BY v),
+        |c AS (
+        |  SELECT
+        |    CAST(sum(ca) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_a,
+        |    CAST(sum(cb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_b
+        |  FROM g),
+        |tot AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+        |  FROM g)
+        |SELECT na AS n_a, nb AS n_b,
+        |  CAST(max(abs(cum_a * nb - cum_b * na)) AS BIGINT) AS ks_num
+        |FROM c, tot GROUP BY na, nb""".stripMargin,
 
     // Same risk-set/death reduction, same order-pinned window log chain.
     "q_survival" ->

@@ -152,6 +152,35 @@ class ExperimentSpec extends AnyFunSuite with SparkTestBase {
     assert((r2.getLong(0), r2.getLong(1)) == ((1L, 1L)))
   }
 
+  test("ksStatistic: hand-computed sup gaps, zero for identical samples") {
+    import spark.implicits._
+    // Disjoint supports: D = 1 -> ks_num = n_a*n_b = 4.
+    val disjoint = Seq((1.0, true), (2.0, true), (3.0, false), (4.0, false))
+      .toDF("v", "a").repartition(3)
+    val d = graft.ops.Drift.ksStatistic(disjoint, col("v"), col("a")).head()
+    assert((d.getLong(0), d.getLong(1), d.getLong(2)) == ((2L, 2L, 4L)))
+    // A={1,3}, B={2,3}: sup gap 1/2 on [1,2) -> ks_num = 2 of 4.
+    val mixed = Seq((1.0, true), (3.0, true), (2.0, false), (3.0, false))
+      .toDF("v", "a").repartition(2)
+    assert(graft.ops.Drift.ksStatistic(mixed, col("v"), col("a"))
+      .head().getLong(2) == 2L)
+    // Identical samples: D = 0.
+    val same = Seq((1.0, true), (2.0, true), (1.0, false), (2.0, false))
+      .toDF("v", "a")
+    assert(graft.ops.Drift.ksStatistic(same, col("v"), col("a"))
+      .head().getLong(2) == 0L)
+  }
+
+  test("ksStatistic is partition-invariant on a continuous column") {
+    import spark.implicits._
+    val rows = (0 until 400).map(i => (i + 1.0 / (i + 2.0), i % 3 == 0))
+    val a = graft.ops.Drift.ksStatistic(rows.toDF("v", "a").coalesce(1),
+      col("v"), col("a")).head()
+    val b = graft.ops.Drift.ksStatistic(rows.toDF("v", "a").repartition(13),
+      col("v"), col("a")).head()
+    assert(a == b)
+  }
+
   test("kaplanMeier: censoring shrinks the risk set without counting as death") {
     import spark.implicits._
     // t=1: 1 death + 1 censored of 4 at risk -> S=3/4.
