@@ -29,6 +29,30 @@ object Eval {
     aucExactWithTies(df, score, label)
       .select(col("p"), col("n"), col("auc_num_x2"))
 
+  /** Deterministic quantile tiling for the rank statistics: `__pid` is a
+    * PURE FUNCTION of the key — boundaries are computed once on the
+    * driver (approxQuantile over the already-reduced distinct-key frame,
+    * a bounded parts-sized result) and baked into the plan as literals.
+    * Load-bearing choice: `spark_partition_id()` over
+    * `repartitionByRange` is not guaranteed stable across the multiple
+    * instantiations a self-joining plan makes of the tiled subtree (each
+    * instantiation may re-sample its range boundaries), which would
+    * mis-key the base-offset join; literal boundaries cannot disagree
+    * with themselves. The double cast is monotone, and any monotone
+    * consistent bucketing keeps the prefix-sum algebra exact — a
+    * collision above 2^53 merely coarsens a tile.
+    */
+  private def tileOf(g: DataFrame, key: Column): DataFrame = {
+    val parts = g.sparkSession.sessionState.conf.numShufflePartitions
+    val probes = (1 until parts).map(_.toDouble / parts).toArray
+    val bounds =
+      if (probes.isEmpty) Array.empty[Double]
+      else g.select(key.cast("double").as("__kd"))
+        .stat.approxQuantile("__kd", probes, 0.001).distinct.sorted
+    g.withColumn("__pid",
+      size(filter(typedLit(bounds), b => b <= key.cast("double"))))
+  }
+
   /** [[aucExact]] plus `tie_sum` = Σ(t³−t) over tie groups — folded into
     * the SAME final aggregate over the distinct-score frame, so callers
     * needing the rank-sum variance correction
@@ -45,18 +69,17 @@ object Eval {
       .groupBy(col("__s"))
       .agg(sum(col("__y")).as("__cp"),
         sum(lit(1L) - col("__y")).as("__cn"))
-    // Range-tile the distinct-score frame: tile-local exclusive cumsum of
-    // negatives, then per-tile totals → exclusive base offsets (the
-    // triangle join is #partitions², broadcast-sized by construction).
-    // Range partition ids are ordered by key, so pid order IS score order.
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = g.repartitionByRange(parts, col("__s"))
-      .withColumn("__pid", spark_partition_id())
+    // Tile the distinct-score frame on DETERMINISTIC quantile boundaries
+    // (driver-computed literals — see tileOf): tile-local exclusive
+    // cumsum of negatives, then per-tile totals → exclusive base offsets
+    // (the triangle join is #tiles², broadcast-sized by construction).
+    // Tile ids are monotone in score, so tile order IS score order.
+    val local0 = tileOf(g, col("__s"))
     val wLocal = Window.partitionBy("__pid").orderBy("__s")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val local = ranged
+    val local = local0
       .withColumn("__lnb", coalesce(sum(col("__cn")).over(wLocal), lit(0L)))
-    val sizes = local.groupBy("__pid").agg(sum(col("__cn")).as("__cnt"))
+    val sizes = local0.groupBy("__pid").agg(sum(col("__cn")).as("__cnt"))
     val offsets = sizes.alias("a")
       .join(sizes.alias("b"), col("b.__pid") < col("a.__pid"), "left")
       .groupBy(col("a.__pid").as("__pid"))
@@ -101,21 +124,19 @@ object Eval {
       .groupBy(col("thr"))
       .agg(sum(col("__y")).as("__cp"),
         sum(lit(1L) - col("__y")).as("__cn"))
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    // Descending range tiles: pid order IS descending-score order, so a
-    // tile's base offset is the (cp, cn) mass of all STRICTLY HIGHER
-    // scores — exactly the tiles with a smaller pid.
-    val ranged = g.repartitionByRange(parts, col("thr").desc)
-      .withColumn("__pid", spark_partition_id())
+    // Deterministic quantile tiles (ascending in score); the descending
+    // cumulative's base offset is the (cp, cn) mass of all STRICTLY
+    // HIGHER scores — exactly the tiles with a LARGER tile id.
+    val local0 = tileOf(g, col("thr"))
     val wLocal = Window.partitionBy("__pid").orderBy(col("thr").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val local = ranged
+    val local = local0
       .withColumn("__ltp", sum(col("__cp")).over(wLocal))
       .withColumn("__lfp", sum(col("__cn")).over(wLocal))
-    val sizes = local.groupBy("__pid")
+    val sizes = local0.groupBy("__pid")
       .agg(sum(col("__cp")).as("__tcp"), sum(col("__cn")).as("__tcn"))
     val offsets = sizes.alias("a")
-      .join(sizes.alias("b"), col("b.__pid") < col("a.__pid"), "left")
+      .join(sizes.alias("b"), col("b.__pid") > col("a.__pid"), "left")
       .groupBy(col("a.__pid").as("__pid"))
       .agg(coalesce(sum(col("b.__tcp")), lit(0L)).as("__btp"),
         coalesce(sum(col("b.__tcn")), lit(0L)).as("__bfp"))

@@ -101,25 +101,87 @@ object Drift {
           col("__cn"), k), roundTo) + lit(0.0)).as("psi_term"))
   }
 
-  /** Exact two-sample Kolmogorov–Smirnov statistic,
-    * D = sup_v |F_a(v) − F_b(v)|, as pure BIGINTs: one row
-    * (n_a, n_b, ks_num) with D = ks_num/(n_a·n_b) — the nonparametric
+  /** Deterministic quantile tiles for the exact CDF statistics below:
+    * boundaries are computed ONCE on the driver (approxQuantile over the
+    * distinct-value frame — a bounded, parts-sized result) and baked into
+    * the plan as literals, so the tile of a row is a PURE FUNCTION of its
+    * value. This is load-bearing: `spark_partition_id()` over
+    * `repartitionByRange` is NOT stable across the multiple subtree
+    * instantiations a self-joining plan makes (each instantiation
+    * re-samples its range boundaries), which mis-keys the base-offset
+    * join; literal boundaries cannot disagree with themselves. Casting to
+    * double for the bucket comparison is monotone, and ANY monotone
+    * consistent bucketing keeps the prefix-sum algebra exact — collisions
+    * merely coarsen tiles.
+    */
+  private def withTiles(g: DataFrame, parts: Int): DataFrame = {
+    val probes = (1 until parts).map(_.toDouble / parts).toArray
+    val bounds =
+      if (probes.isEmpty) Array.empty[Double]
+      else g.select(col("__v").cast("double").as("__vd"))
+        .stat.approxQuantile("__vd", probes, 0.001).distinct.sorted
+    g.withColumn("__tile",
+      size(filter(typedLit(bounds), b => b <= col("__v").cast("double"))))
+  }
+
+  /** Exact two-sample Kolmogorov-Smirnov statistic,
+    * D = sup_v |F_a(v) - F_b(v)|, as pure BIGINTs: one row
+    * (n_a, n_b, ks_num) with D = ks_num/(n_a*n_b) - the nonparametric
     * whole-shape drift test PSI's fixed bins can miss (a pure location
     * shift inside one wide bin is invisible to PSI, maximal to KS). No
-    * float ever enters: |cumA·n_b − cumB·n_a| is the common-denominator
-    * form of the CDF gap, so the statistic hash-gates exactly.
+    * float ever enters the statistic: |cumA*n_b - cumB*n_a| is the
+    * common-denominator form of the CDF gap, so it hash-gates exactly.
     *
-    * Scale shape — the [[graft.ml.Eval.aucExact]] discipline: both
-    * samples collapse to one (ca, cb) row per DISTINCT value by a
-    * map-side-combined partial agg, the two cumulative legs run as a
-    * RANGE-TILED prefix sum (tile-local windows + broadcast base
-    * offsets), and the sup is a plain max aggregate. A continuous value
-    * column (|distinct| ≈ n) never lands in a single sorted partition.
+    * Scale shape - the [[graft.ml.Eval.aucExact]] discipline with the
+    * deterministic tiles of [[withTiles]]: both samples collapse to one
+    * (ca, cb) row per DISTINCT value by a map-side-combined partial agg,
+    * the two cumulative legs run tile-local + broadcast base offsets,
+    * and the sup is a plain max aggregate. A continuous value column
+    * (|distinct| ~ n) never lands in a single sorted partition.
     *
-    * @param isA boolean column: true → sample A, false → sample B
+    * @param isA boolean column: true -> sample A, false -> sample B
     *            (NULL rows and NULL values are excluded)
     */
-  def ksStatistic(df: DataFrame, value: Column, isA: Column): DataFrame = {
+  def ksStatistic(df: DataFrame, value: Column, isA: Column): DataFrame =
+    cdfGapFrame(df, value, isA)
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        max(col("__gap")).as("ks_num"))
+
+  /** Exact 1-d Wasserstein-1 (earth-mover) distance between two samples
+    * over an integer-grid value column: W1 = integral of |F_a - F_b| dv,
+    * computed as sum_i gap_i*(v_{i+1} - v_i) with
+    * gap_i = |cumA*n_b - cumB*n_a| - one row (n_a, n_b, w1_num) with
+    * W1 = w1_num/(n_a*n_b) grid units. KS answers "how far apart at the
+    * worst point"; W1 answers "how much mass moved how far" - the drift
+    * pair.
+    *
+    * `valueGrid` must already be integral (e.g. cents via round(v*100)):
+    * every term is then BIGINT-exact and the reduction order-free. Caller
+    * contract: n_a*n_b*(max-min) must clear 2^63 - rescale the grid when
+    * samples and ranges run hot.
+    *
+    * Same tiled shape as [[ksStatistic]], plus the cross-tile stitch the
+    * integral needs: each tile's LAST row takes its delta-v from the NEXT
+    * OCCUPIED tile's minimum value (quantile tiling can leave empty tile
+    * ids, so tile+1 alone would silently drop a gap segment); the global
+    * last row's gap is identically 0 (both CDFs are 1), so its missing
+    * delta contributes nothing.
+    */
+  def wasserstein1(df: DataFrame, valueGrid: Column, isA: Column): DataFrame =
+    cdfGapFrame(df, valueGrid.cast("long"), isA, withStitch = true)
+      .select(col("__na"), col("__nb"),
+        (col("__gap") *
+          (coalesce(col("__nextv"), col("__stitchv"), col("__v")) - col("__v")))
+          .as("__term"))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        sum(col("__term")).as("w1_num"))
+
+  /** Shared engine for the CDF statistics: per distinct value, the
+    * common-denominator CDF gap plus totals (and, when `withStitch`, the
+    * next distinct value across tile boundaries).
+    */
+  private def cdfGapFrame(df: DataFrame, value: Column, isA: Column,
+      withStitch: Boolean = false): DataFrame = {
     val g = df
       .select(value.as("__v"), when(isA, 1L).otherwise(0L).as("__a"))
       .where(col("__v").isNotNull && isA.isNotNull)
@@ -127,28 +189,37 @@ object Drift {
       .agg(sum(col("__a")).as("__ca"),
         sum(lit(1L) - col("__a")).as("__cb"))
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = g.repartitionByRange(parts, col("__v"))
-      .withColumn("__pid", spark_partition_id())
-    val wLocal = org.apache.spark.sql.expressions.Window
-      .partitionBy("__pid").orderBy(col("__v"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val local = ranged
-      .withColumn("__lca", sum(col("__ca")).over(wLocal))
-      .withColumn("__lcb", sum(col("__cb")).over(wLocal))
-    val sizes = local.groupBy("__pid")
-      .agg(sum(col("__ca")).as("__tca"), sum(col("__cb")).as("__tcb"))
+    val tiled = withTiles(g, parts)
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy("__tile").orderBy(col("__v"))
+    val wCum = w.rowsBetween(W.unboundedPreceding, 0)
+    val local0 = tiled
+      .withColumn("__lca", sum(col("__ca")).over(wCum))
+      .withColumn("__lcb", sum(col("__cb")).over(wCum))
+    val local =
+      if (withStitch) local0.withColumn("__nextv", lead(col("__v"), 1).over(w))
+      else local0
+    val sizes = tiled.groupBy("__tile")
+      .agg(sum(col("__ca")).as("__tca"), sum(col("__cb")).as("__tcb"),
+        min(col("__v")).as("__minv"))
     val offsets = sizes.alias("a")
-      .join(sizes.alias("b"), col("b.__pid") < col("a.__pid"), "left")
-      .groupBy(col("a.__pid").as("__pid"))
+      .join(sizes.alias("b"), col("b.__tile") < col("a.__tile"), "left")
+      .groupBy(col("a.__tile").as("__tile"))
       .agg(coalesce(sum(col("b.__tca")), lit(0L)).as("__ba"),
         coalesce(sum(col("b.__tcb")), lit(0L)).as("__bb"))
+    val nextMin = sizes.alias("x")
+      .join(sizes.alias("y"), col("y.__tile") > col("x.__tile"), "left")
+      .groupBy(col("x.__tile").as("__tile"))
+      .agg(min(struct(col("y.__tile").as("p"), col("y.__minv").as("m")))
+        .getField("m").as("__stitchv"))
     val totals = g.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
-    local.join(broadcast(offsets), "__pid")
-      .crossJoin(broadcast(totals))
-      .select(col("__na"), col("__nb"),
+    val joined = local.join(broadcast(offsets), "__tile")
+    val stitched =
+      if (withStitch) joined.join(broadcast(nextMin), Seq("__tile"), "left")
+      else joined
+    stitched.crossJoin(broadcast(totals))
+      .withColumn("__gap",
         abs((col("__ba") + col("__lca")) * col("__nb") -
-          (col("__bb") + col("__lcb")) * col("__na")).as("__gap"))
-      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
-        max(col("__gap")).as("ks_num"))
+          (col("__bb") + col("__lcb")) * col("__na")))
   }
 }

@@ -268,6 +268,16 @@ object EventQueries extends QueryGroup {
         col("event_type") === "purchase")
     }),
 
+    // Wasserstein-1 distance on the cents grid between the same two
+    // slices — KS says how far apart at the worst point, W1 says how
+    // much mass moved how far; both pure-BIGINT exact.
+    "q_wasserstein" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "view"))
+      graft.ops.Drift.wasserstein1(ev, round(col("value") * 100),
+        col("event_type") === "purchase")
+    }),
+
     // Kaplan–Meier churn curve: per-user tenure in days (first→last
     // event), right-censored when the user was still active within 2
     // days of the observation edge — the estimator that doesn't count
@@ -960,6 +970,33 @@ object EventQueries extends QueryGroup {
         |  FROM g)
         |SELECT na AS n_a, nb AS n_b,
         |  CAST(max(abs(cum_a * nb - cum_b * na)) AS BIGINT) AS ks_num
+        |FROM c, tot GROUP BY na, nb""".stripMargin,
+
+    // Same cents grid, same gap-times-gap-width integer terms.
+    "q_wasserstein" ->
+      """WITH t AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL),
+        |g AS (
+        |  SELECT v, CAST(sum(a) AS BIGINT) AS ca,
+        |    CAST(sum(1 - a) AS BIGINT) AS cb
+        |  FROM t GROUP BY v),
+        |c AS (
+        |  SELECT v,
+        |    CAST(sum(ca) OVER w AS BIGINT) AS cum_a,
+        |    CAST(sum(cb) OVER w AS BIGINT) AS cum_b,
+        |    lead(v) OVER (ORDER BY v) AS nv
+        |  FROM g
+        |  WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+        |  FROM g)
+        |SELECT na AS n_a, nb AS n_b,
+        |  CAST(sum(abs(cum_a * nb - cum_b * na) * (coalesce(nv, v) - v))
+        |    AS BIGINT) AS w1_num
         |FROM c, tot GROUP BY na, nb""".stripMargin,
 
     // Same risk-set/death reduction, same order-pinned window log chain.

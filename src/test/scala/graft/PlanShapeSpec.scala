@@ -173,12 +173,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     val aggLines = lines.zipWithIndex.filter(_._1.contains("partial_sum")).map(_._2)
     assert(windowLine >= 0 && aggLines.nonEmpty, plan)
     assert(aggLines.max > windowLine, plan)
-    // The cumulative window is TILE-LOCAL (partitioned by the range tile
-    // id), so a continuous score (|distinct| ≈ n) never lands in one
-    // giant sorted partition: every Window in the plan carries __pid in
-    // its partition spec, and no exchange below the window is
-    // SinglePartition (the only SinglePartition exchange allowed is the
-    // final 1-row global aggregate at the very top).
+    // The cumulative window is TILE-LOCAL (partitioned by the
+    // quantile-literal tile id), so a continuous score (|distinct| ≈ n)
+    // never lands in one giant sorted partition: every Window in the
+    // plan carries __pid in its partition spec, and no exchange below
+    // the window is SinglePartition (the only SinglePartition exchange
+    // allowed is the final 1-row global aggregate at the very top).
     lines.filter(_.contains("Window")).foreach { w =>
       assert(w.contains("__pid"), s"global window found:\n$w\n$plan")
     }
@@ -187,8 +187,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       if (l.contains("Exchange SinglePartition"))
         fail(s"SinglePartition exchange below the window (line $i):\n$plan")
     }
-    // And the range tiling is actually there.
-    assert(plan.contains("rangepartitioning"), plan)
+    // And the tiling exchange is keyed on the tile id.
+    assert(plan.contains("hashpartitioning(__pid"), plan)
   }
 
   test("ROC points: descending range tiles, every window tile-keyed") {
@@ -198,7 +198,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     val plan = planOf(graft.ml.Eval.rocPoints(df, col("s"), col("y")))
     val lines = plan.split('\n').map(_.trim)
     assert(plan.contains("partial_sum"), plan)
-    assert(plan.contains("rangepartitioning"), plan)
+    assert(plan.contains("hashpartitioning(__pid"), plan)
     // Both cumulative legs (tp, fp) ride tile-local windows; no window
     // may run unpartitioned, and nothing below a window may exchange to
     // a single partition (rocPoints has per-threshold output — there is

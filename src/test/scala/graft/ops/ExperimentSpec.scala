@@ -181,6 +181,39 @@ class ExperimentSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b)
   }
 
+  test("wasserstein1: hand-computed mass transport, zero for identical") {
+    import spark.implicits._
+    // A={1,3}, B={2,3}: one unit of mass moves distance 1 of 2 units
+    // total -> W1 = 0.5 -> w1_num = 2 over n_a*n_b = 4.
+    val mixed = Seq((1L, true), (3L, true), (2L, false), (3L, false))
+      .toDF("v", "a").repartition(2)
+    val m = graft.ops.Drift.wasserstein1(mixed, col("v"), col("a")).head()
+    assert((m.getLong(0), m.getLong(1), m.getLong(2)) == ((2L, 2L, 2L)))
+    // Point masses 10 apart: W1 = 10.
+    val far = Seq((0L, true), (10L, false)).toDF("v", "a")
+    assert(graft.ops.Drift.wasserstein1(far, col("v"), col("a"))
+      .head().getLong(2) == 10L)
+    val same = Seq((5L, true), (7L, true), (5L, false), (7L, false))
+      .toDF("v", "a")
+    assert(graft.ops.Drift.wasserstein1(same, col("v"), col("a"))
+      .head().getLong(2) == 0L)
+  }
+
+  test("wasserstein1 partition-invariant incl. sparse tiles (stitch path)") {
+    import spark.implicits._
+    // Few distinct values against many shuffle partitions forces empty
+    // range tiles between occupied ones — the next-OCCUPIED-tile stitch
+    // must still close every gap segment.
+    val rows = Seq(1L, 100L, 5000L, 90000L).flatMap(v =>
+      Seq((v, true), (v + 7L, false)))
+    def run(parts: Int) = graft.ops.Drift.wasserstein1(
+      rows.toDF("v", "a").repartition(parts), col("v"), col("a")).head()
+    assert(run(1) == run(13))
+    // ground truth: every quantile moves exactly 7 -> W1 = 7, so
+    // w1_num = 7 * n_a * n_b = 112.
+    assert(run(1).getLong(2) == 112L)
+  }
+
   test("kaplanMeier: censoring shrinks the risk set without counting as death") {
     import spark.implicits._
     // t=1: 1 death + 1 censored of 4 at risk -> S=3/4.
