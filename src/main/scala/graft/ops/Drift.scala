@@ -9,17 +9,19 @@ import org.apache.spark.sql.functions._
   * shift, upstream schema/unit changes, and seasonality bugs all show up
   * here first.
   *
-  * Both statistics emit PER-BUCKET rows with exact integer counts plus
-  * the bucket's contribution term, so the cross-engine gate hashes
-  * integers and one deterministically-derived double (fixed
-  * parenthesization from exact longs, rounded) — no ordered global fold.
-  * Σ terms downstream gives the scalar statistic (PSI > 0.2 ≈ major
-  * shift by the usual credit-scoring rule of thumb; χ² vs its d.o.f.).
+  * Four statistics, two families: the binned pair (PSI over equal-width
+  * bins, categorical PSI/χ²) emits PER-BUCKET rows — exact integer
+  * counts plus one deterministically-derived rounded double per bucket,
+  * no ordered global fold; Σ terms downstream gives the scalar (PSI >
+  * 0.2 ≈ major shift by the usual credit-scoring rule of thumb). The
+  * exact CDF pair ([[ksStatistic]], [[wasserstein1]]) emits a single
+  * all-BIGINT row — sup and integral of the CDF gap in common-
+  * denominator form, catching the whole-shape drift fixed bins can miss.
   *
-  * Scale shape: each side reduces map-side to ≤bins rows (one
-  * partial-agg'd groupBy per side over a broadcast binning), and the
-  * term join runs on the bucket-sized frames. The inputs are never
-  * joined row-to-row.
+  * Scale shape: each side reduces map-side FIRST (to ≤bins rows for the
+  * binned pair, to one row per distinct value for the CDF pair, tiled on
+  * deterministic quantile-literal boundaries); inputs are never joined
+  * row-to-row.
   */
 object Drift {
 
