@@ -42,7 +42,7 @@ object Eval {
     * consistent bucketing keeps the prefix-sum algebra exact — a
     * collision above 2^53 merely coarsens a tile.
     */
-  private def tileOf(g: DataFrame, key: Column): DataFrame = {
+  private[graft] def tileOf(g: DataFrame, key: Column): DataFrame = {
     val parts = g.sparkSession.sessionState.conf.numShufflePartitions
     val probes = (1 until parts).map(_.toDouble / parts).toArray
     val bounds =

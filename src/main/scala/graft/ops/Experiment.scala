@@ -154,6 +154,63 @@ object Experiment {
         min(col("__lift")).as("ci_lo"), max(col("__lift")).as("ci_hi"))
   }
 
+  /** Uplift (Qini) curve sufficient statistics: one row per distinct
+    * uplift-model score `thr` with the per-arm unit and conversion
+    * counts CUMULATIVE over all units scored ≥ thr —
+    * (thr, n_t, n_c, conv_t, conv_c), all BIGINT. Every uplift readout
+    * derives from this table: the Qini increment at a cutoff is
+    * conv_t − conv_c·(n_t/n_c), the uplift curve is the same with rate
+    * normalization, and the Qini coefficient is its integral vs the
+    * random-targeting diagonal (Radcliffe 2007) — kept downstream so the
+    * gated artifact stays exact integers.
+    *
+    * Same shape as [[graft.ml.Eval.rocPoints]] with four cumulative legs
+    * instead of two: units collapse to one row per DISTINCT score by a
+    * map-side-combined partial agg, the descending cumulatives run
+    * tile-local over deterministic quantile-literal tiles + broadcast
+    * base offsets. Rows with NULL score or treatment are excluded; NULL
+    * converted counts as not converted (the [[abTest]] contract).
+    */
+  def upliftCurve(df: DataFrame, score: Column, treatment: Column,
+      converted: Column): DataFrame = {
+    val g = df
+      .select(score.as("thr"), treatment.as("__t"),
+        when(converted, 1L).otherwise(0L).as("__c"))
+      .where(col("thr").isNotNull && col("__t").isNotNull)
+      .groupBy(col("thr"))
+      .agg(
+        sum(when(col("__t"), 1L).otherwise(0L)).as("__dnt"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("__dnc"),
+        sum(when(col("__t"), col("__c")).otherwise(0L)).as("__dct"),
+        sum(when(!col("__t"), col("__c")).otherwise(0L)).as("__dcc"))
+    val local0 = graft.ml.Eval.tileOf(g, col("thr"))
+    val w = Window.partitionBy("__pid").orderBy(col("thr").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = local0
+      .withColumn("__lnt", sum(col("__dnt")).over(w))
+      .withColumn("__lnc", sum(col("__dnc")).over(w))
+      .withColumn("__lct", sum(col("__dct")).over(w))
+      .withColumn("__lcc", sum(col("__dcc")).over(w))
+    val sizes = local0.groupBy("__pid")
+      .agg(sum(col("__dnt")).as("__tnt"), sum(col("__dnc")).as("__tnc"),
+        sum(col("__dct")).as("__tct"), sum(col("__dcc")).as("__tcc"))
+    // Descending cumulative: base = mass of tiles with LARGER tile id
+    // (higher scores).
+    val offsets = sizes.alias("a")
+      .join(sizes.alias("b"), col("b.__pid") > col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__tnt")), lit(0L)).as("__bnt"),
+        coalesce(sum(col("b.__tnc")), lit(0L)).as("__bnc"),
+        coalesce(sum(col("b.__tct")), lit(0L)).as("__bct"),
+        coalesce(sum(col("b.__tcc")), lit(0L)).as("__bcc"))
+    local.join(broadcast(offsets), "__pid")
+      .select(col("thr"),
+        (col("__bnt") + col("__lnt")).as("n_t"),
+        (col("__bnc") + col("__lnc")).as("n_c"),
+        (col("__bct") + col("__lct")).as("conv_t"),
+        (col("__bcc") + col("__lcc")).as("conv_c"))
+  }
+
   /** Kaplan–Meier survival curve with right-censoring (Kaplan & Meier
     * 1958) — the churn/retention estimator when some subjects are still
     * alive at observation time: at each death time t,

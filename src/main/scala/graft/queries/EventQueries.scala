@@ -257,6 +257,20 @@ object EventQueries extends QueryGroup {
         replicates = 200, alpha = 0.025)
     }),
 
+    // Uplift (Qini) curve table: pre-period activity as the targeting
+    // score, post-period purchase as the response — cumulative per-arm
+    // counts at every distinct score threshold, all BIGINT.
+    "q_qini" -> ((s, dir) => {
+      val split = lit("2024-01-15").cast("timestamp")
+      val units = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("ts") < split, 1L).otherwise(0L)).as("pre_cnt"),
+          max(when(col("event_type") === "purchase" && col("ts") >= split,
+            1L).otherwise(0L)).as("conv"))
+      graft.ops.Experiment.upliftCurve(units, col("pre_cnt"),
+        pmod(col("user_id"), lit(2)) === 1, col("conv") === 1L)
+    }),
+
     // Exact two-sample KS statistic: is the purchase value distribution
     // shaped like the view value distribution? All-BIGINT common-
     // denominator form (D = ks_num/(n_a·n_b)), range-tiled cumulative
@@ -944,6 +958,31 @@ object EventQueries extends QueryGroup {
         |  min(lift) AS ci_lo, max(lift) AS ci_hi
         |FROM rk
         |WHERE rn = ceil(0.025 * n) OR rn = n - ceil(0.025 * n) + 1""".stripMargin,
+
+    // Same distinct-score reduction, same descending cumulative legs.
+    "q_qini" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pre_cnt,
+        |    max(CASE WHEN event_type = 'purchase'
+        |      AND ts >= TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |g AS (
+        |  SELECT pre_cnt AS thr,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS dnt,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 0 ELSE 1 END) AS BIGINT) AS dnc,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS BIGINT) AS dct,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 0 ELSE conv END) AS BIGINT) AS dcc
+        |  FROM u GROUP BY pre_cnt)
+        |SELECT thr,
+        |  CAST(sum(dnt) OVER w AS BIGINT) AS n_t,
+        |  CAST(sum(dnc) OVER w AS BIGINT) AS n_c,
+        |  CAST(sum(dct) OVER w AS BIGINT) AS conv_t,
+        |  CAST(sum(dcc) OVER w AS BIGINT) AS conv_c
+        |FROM g
+        |WINDOW w AS (ORDER BY thr DESC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // Same distinct-value reduction, same common-denominator CDF gap.
     "q_ks_test" ->

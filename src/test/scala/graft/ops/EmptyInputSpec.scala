@@ -91,5 +91,13 @@ class EmptyInputSpec extends AnyFunSuite with SparkTestBase {
     assert(FuzzyJoin.jaroWinklerSelfJoin(
       Seq.empty[(Long, String)].toDF("id", "nm"), "id", "nm", 4, 0.9)
       .count() == 0)
+    val surv = Seq.empty[(Long, Boolean)].toDF("dur", "obs")
+    assert(Experiment.kaplanMeier(surv, col("dur"), col("obs")).count() == 0)
+    val two = Seq.empty[(Long, Boolean)].toDF("v", "a")
+    assert(Drift.wasserstein1(two, col("v"), col("a")).head().isNullAt(2))
+    assert(Drift.ksStatistic(two, col("v"), col("a")).head().isNullAt(2))
+    assert(Experiment.upliftCurve(
+      Seq.empty[(Long, Boolean, Boolean)].toDF("s", "t", "c"),
+      col("s"), col("t"), col("c")).count() == 0)
   }
 }

@@ -181,6 +181,35 @@ class ExperimentSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b)
   }
 
+  test("upliftCurve: hand-computed cumulative arms per threshold") {
+    import spark.implicits._
+    // scores desc: 9 (t, conv), 5 (c, no), 5 (t, no), 1 (c, conv).
+    val df = Seq((9L, true, true), (5L, false, false), (5L, true, false),
+      (1L, false, true)).toDF("s", "t", "c").repartition(3)
+    val got = graft.ops.Experiment.upliftCurve(df, col("s"), col("t"), col("c"))
+      .orderBy(desc("thr")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (9L, 1L, 0L, 1L, 0L),
+      (5L, 2L, 1L, 1L, 0L),
+      (1L, 2L, 2L, 1L, 1L)))
+  }
+
+  test("upliftCurve is partition-invariant on a continuous score") {
+    import spark.implicits._
+    val rows = (0 until 300).map(i =>
+      (i + 1.0 / (i + 2.0), i % 2 == 0, i % 5 == 0))
+    def run(parts: Int) = graft.ops.Experiment.upliftCurve(
+      rows.toDF("s", "t", "c").repartition(parts),
+      col("s"), col("t"), col("c"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(run(1) == run(13))
+    // final row (lowest threshold) covers everyone.
+    assert(run(1).head._2 + run(1).head._3 == 300L)
+  }
+
   test("wasserstein1: hand-computed mass transport, zero for identical") {
     import spark.implicits._
     // A={1,3}, B={2,3}: one unit of mass moves distance 1 of 2 units
