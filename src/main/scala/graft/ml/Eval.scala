@@ -42,7 +42,12 @@ object Eval {
     * consistent bucketing keeps the prefix-sum algebra exact — a
     * collision above 2^53 merely coarsens a tile.
     */
-  private[graft] def tileOf(g: DataFrame, key: Column): DataFrame = {
+  private[graft] def tileOf(g0: DataFrame, key: Column): DataFrame = {
+    // Lazily checkpoint the reduced frame: the boundary probe below is an
+    // eager action, and every consumer branch (windows, sizes, offsets)
+    // re-reads the same frame — without truncation each branch would
+    // re-run the corpus groupBy (the Drift.psiBins convention).
+    val g = g0.localCheckpoint(false)
     val parts = g.sparkSession.sessionState.conf.numShufflePartitions
     val probes = (1 until parts).map(_.toDouble / parts).toArray
     val bounds =
@@ -51,6 +56,47 @@ object Eval {
         .stat.approxQuantile("__kd", probes, 0.001).distinct.sorted
     g.withColumn("__pid",
       size(filter(typedLit(bounds), b => b <= key.cast("double"))))
+  }
+
+  /** The shared tiled-prefix-sum machinery over a frame ALREADY tiled by
+    * [[tileOf]] (pass that one frame — re-tiling would re-probe
+    * boundaries): for each `(src, dst)` leg, adds `dst` = the cumulative
+    * sum of `src` in `key` order across the WHOLE frame, computed as a
+    * tile-local window plus broadcast base offsets from the
+    * direction-appropriate triangle join (descending order ⇒ base mass
+    * comes from LARGER tile ids). `inclusive = false` gives the
+    * exclusive (strictly-prior) cumulative. One definition of the
+    * direction-sensitive offset join for every rank statistic.
+    */
+  private[graft] def cumLegs(tiled: DataFrame, key: Column,
+      legs: Seq[(String, String)], descending: Boolean,
+      inclusive: Boolean): DataFrame = {
+    val ord = if (descending) key.desc else key.asc
+    val upper = if (inclusive) 0L else -1L
+    val w = Window.partitionBy("__pid").orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding, upper)
+    val local = legs.foldLeft(tiled) { case (f, (src, dst)) =>
+      f.withColumn(s"__l_$dst",
+        coalesce(sum(col(src)).over(w), lit(0L)))
+    }
+    val sizes = tiled.groupBy("__pid")
+      .agg(legs.map { case (src, dst) => sum(col(src)).as(s"__t_$dst") }.head,
+        legs.tail.map { case (src, dst) => sum(col(src)).as(s"__t_$dst") }: _*)
+    val cmp =
+      if (descending) col("b.__pid") > col("a.__pid")
+      else col("b.__pid") < col("a.__pid")
+    val offsets = sizes.alias("a")
+      .join(sizes.alias("b"), cmp, "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(legs.map { case (_, dst) =>
+          coalesce(sum(col(s"b.__t_$dst")), lit(0L)).as(s"__b_$dst") }.head,
+        legs.tail.map { case (_, dst) =>
+          coalesce(sum(col(s"b.__t_$dst")), lit(0L)).as(s"__b_$dst") }: _*)
+    legs.foldLeft(local.join(broadcast(offsets), "__pid")) {
+      case (f, (_, dst)) =>
+        f.withColumn(dst, col(s"__b_$dst") + col(s"__l_$dst"))
+          .drop(s"__b_$dst", s"__l_$dst", s"__t_$dst")
+    }
   }
 
   /** [[aucExact]] plus `tie_sum` = Σ(t³−t) over tie groups — folded into
@@ -70,23 +116,11 @@ object Eval {
       .agg(sum(col("__y")).as("__cp"),
         sum(lit(1L) - col("__y")).as("__cn"))
     // Tile the distinct-score frame on DETERMINISTIC quantile boundaries
-    // (driver-computed literals — see tileOf): tile-local exclusive
-    // cumsum of negatives, then per-tile totals → exclusive base offsets
-    // (the triangle join is #tiles², broadcast-sized by construction).
-    // Tile ids are monotone in score, so tile order IS score order.
-    val local0 = tileOf(g, col("__s"))
-    val wLocal = Window.partitionBy("__pid").orderBy("__s")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val local = local0
-      .withColumn("__lnb", coalesce(sum(col("__cn")).over(wLocal), lit(0L)))
-    val sizes = local0.groupBy("__pid").agg(sum(col("__cn")).as("__cnt"))
-    val offsets = sizes.alias("a")
-      .join(sizes.alias("b"), col("b.__pid") < col("a.__pid"), "left")
-      .groupBy(col("a.__pid").as("__pid"))
-      .agg(coalesce(sum(col("b.__cnt")), lit(0L)).as("__base"))
-    local.join(broadcast(offsets), "__pid")
-      .select(col("__cp"), col("__cn"),
-        (col("__base") + col("__lnb")).as("__nb"))
+    // (driver-computed literals — see tileOf), then the exclusive
+    // cumulative of negatives-below via the shared cumLegs machinery.
+    val cum = cumLegs(tileOf(g, col("__s")), col("__s"),
+      Seq("__cn" -> "__nb"), descending = false, inclusive = false)
+    cum.select(col("__cp"), col("__cn"), col("__nb"))
       .agg(sum(col("__cp")).as("p"), sum(col("__cn")).as("n"),
         sum(col("__cp") * (lit(2L) * col("__nb") + col("__cn")))
           .as("auc_num_x2"),
@@ -124,30 +158,18 @@ object Eval {
       .groupBy(col("thr"))
       .agg(sum(col("__y")).as("__cp"),
         sum(lit(1L) - col("__y")).as("__cn"))
-    // Deterministic quantile tiles (ascending in score); the descending
-    // cumulative's base offset is the (cp, cn) mass of all STRICTLY
-    // HIGHER scores — exactly the tiles with a LARGER tile id.
-    val local0 = tileOf(g, col("thr"))
-    val wLocal = Window.partitionBy("__pid").orderBy(col("thr").desc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val local = local0
-      .withColumn("__ltp", sum(col("__cp")).over(wLocal))
-      .withColumn("__lfp", sum(col("__cn")).over(wLocal))
-    val sizes = local0.groupBy("__pid")
-      .agg(sum(col("__cp")).as("__tcp"), sum(col("__cn")).as("__tcn"))
-    val offsets = sizes.alias("a")
-      .join(sizes.alias("b"), col("b.__pid") > col("a.__pid"), "left")
-      .groupBy(col("a.__pid").as("__pid"))
-      .agg(coalesce(sum(col("b.__tcp")), lit(0L)).as("__btp"),
-        coalesce(sum(col("b.__tcn")), lit(0L)).as("__bfp"))
-    val totals = g.agg(sum(col("__cp")).as("__p"), sum(col("__cn")).as("__n"))
-    local.join(broadcast(offsets), "__pid")
-      .crossJoin(broadcast(totals))
-      .select(col("thr"),
-        (col("__btp") + col("__ltp")).as("tp"),
-        (col("__bfp") + col("__lfp")).as("fp"),
-        (col("__p") - col("__btp") - col("__ltp")).as("fn"),
-        (col("__n") - col("__bfp") - col("__lfp")).as("tn"),
+    // Descending inclusive cumulatives via the shared tiled machinery;
+    // fn/tn fall out of the totals.
+    val tiled = tileOf(g, col("thr"))
+    val cum = cumLegs(tiled, col("thr"),
+      Seq("__cp" -> "tp", "__cn" -> "fp"),
+      descending = true, inclusive = true)
+    val totals = tiled.agg(sum(col("__cp")).as("__p"),
+      sum(col("__cn")).as("__n"))
+    cum.crossJoin(broadcast(totals))
+      .select(col("thr"), col("tp"), col("fp"),
+        (col("__p") - col("tp")).as("fn"),
+        (col("__n") - col("fp")).as("tn"),
         col("__cp"))
   }
 

@@ -103,29 +103,6 @@ object Drift {
           col("__cn"), k), roundTo) + lit(0.0)).as("psi_term"))
   }
 
-  /** Deterministic quantile tiles for the exact CDF statistics below:
-    * boundaries are computed ONCE on the driver (approxQuantile over the
-    * distinct-value frame — a bounded, parts-sized result) and baked into
-    * the plan as literals, so the tile of a row is a PURE FUNCTION of its
-    * value. This is load-bearing: `spark_partition_id()` over
-    * `repartitionByRange` is NOT stable across the multiple subtree
-    * instantiations a self-joining plan makes (each instantiation
-    * re-samples its range boundaries), which mis-keys the base-offset
-    * join; literal boundaries cannot disagree with themselves. Casting to
-    * double for the bucket comparison is monotone, and ANY monotone
-    * consistent bucketing keeps the prefix-sum algebra exact — collisions
-    * merely coarsen tiles.
-    */
-  private def withTiles(g: DataFrame, parts: Int): DataFrame = {
-    val probes = (1 until parts).map(_.toDouble / parts).toArray
-    val bounds =
-      if (probes.isEmpty) Array.empty[Double]
-      else g.select(col("__v").cast("double").as("__vd"))
-        .stat.approxQuantile("__vd", probes, 0.001).distinct.sorted
-    g.withColumn("__tile",
-      size(filter(typedLit(bounds), b => b <= col("__v").cast("double"))))
-  }
-
   /** Exact two-sample Kolmogorov-Smirnov statistic,
     * D = sup_v |F_a(v) - F_b(v)|, as pure BIGINTs: one row
     * (n_a, n_b, ks_num) with D = ks_num/(n_a*n_b) - the nonparametric
@@ -133,13 +110,17 @@ object Drift {
     * shift inside one wide bin is invisible to PSI, maximal to KS). No
     * float ever enters the statistic: |cumA*n_b - cumB*n_a| is the
     * common-denominator form of the CDF gap, so it hash-gates exactly.
+    * If EITHER sample is empty the comparison is undefined and `ks_num`
+    * is NULL — never a silent 0 that would read as "no drift" when a
+    * monitored feed goes dark (the counts stay visible either way).
     *
-    * Scale shape - the [[graft.ml.Eval.aucExact]] discipline with the
-    * deterministic tiles of [[withTiles]]: both samples collapse to one
-    * (ca, cb) row per DISTINCT value by a map-side-combined partial agg,
-    * the two cumulative legs run tile-local + broadcast base offsets,
-    * and the sup is a plain max aggregate. A continuous value column
-    * (|distinct| ~ n) never lands in a single sorted partition.
+    * Scale shape - the [[graft.ml.Eval.aucExact]] discipline on the
+    * shared deterministic quantile tiles ([[graft.ml.Eval.tileOf]] +
+    * cumLegs): both samples collapse to one (ca, cb) row per DISTINCT
+    * value by a map-side-combined partial agg, the two cumulative legs
+    * run tile-local + broadcast base offsets, and the sup is a plain max
+    * aggregate. A continuous value column (|distinct| ~ n) never lands
+    * in a single sorted partition.
     *
     * @param isA boolean column: true -> sample A, false -> sample B
     *            (NULL rows and NULL values are excluded)
@@ -147,7 +128,8 @@ object Drift {
   def ksStatistic(df: DataFrame, value: Column, isA: Column): DataFrame =
     cdfGapFrame(df, value, isA)
       .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
-        max(col("__gap")).as("ks_num"))
+        max(when(col("__na") > 0 && col("__nb") > 0, col("__gap")))
+          .as("ks_num"))
 
   /** Exact 1-d Wasserstein-1 (earth-mover) distance between two samples
     * over an integer-grid value column: W1 = integral of |F_a - F_b| dv,
@@ -155,7 +137,8 @@ object Drift {
     * gap_i = |cumA*n_b - cumB*n_a| - one row (n_a, n_b, w1_num) with
     * W1 = w1_num/(n_a*n_b) grid units. KS answers "how far apart at the
     * worst point"; W1 answers "how much mass moved how far" - the drift
-    * pair.
+    * pair. As in [[ksStatistic]], an empty side yields NULL `w1_num`,
+    * never a silent 0.
     *
     * `valueGrid` must already be integral (e.g. cents via round(v*100)):
     * every term is then BIGINT-exact and the reduction order-free. Caller
@@ -176,11 +159,14 @@ object Drift {
           (coalesce(col("__nextv"), col("__stitchv"), col("__v")) - col("__v")))
           .as("__term"))
       .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
-        sum(col("__term")).as("w1_num"))
+        sum(when(col("__na") > 0 && col("__nb") > 0, col("__term")))
+          .as("w1_num"))
 
   /** Shared engine for the CDF statistics: per distinct value, the
     * common-denominator CDF gap plus totals (and, when `withStitch`, the
-    * next distinct value across tile boundaries).
+    * next distinct value across tile boundaries). Tiling and the
+    * cumulative legs are the ONE shared implementation in
+    * [[graft.ml.Eval.tileOf]]/cumLegs.
     */
   private def cdfGapFrame(df: DataFrame, value: Column, isA: Column,
       withStitch: Boolean = false): DataFrame = {
@@ -190,38 +176,29 @@ object Drift {
       .groupBy(col("__v"))
       .agg(sum(col("__a")).as("__ca"),
         sum(lit(1L) - col("__a")).as("__cb"))
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val tiled = withTiles(g, parts)
-    val W = org.apache.spark.sql.expressions.Window
-    val w = W.partitionBy("__tile").orderBy(col("__v"))
-    val wCum = w.rowsBetween(W.unboundedPreceding, 0)
-    val local0 = tiled
-      .withColumn("__lca", sum(col("__ca")).over(wCum))
-      .withColumn("__lcb", sum(col("__cb")).over(wCum))
+    val tiled = graft.ml.Eval.tileOf(g, col("__v"))
+    val cum = graft.ml.Eval.cumLegs(tiled, col("__v"),
+      Seq("__ca" -> "__cuma", "__cb" -> "__cumb"),
+      descending = false, inclusive = true)
     val local =
-      if (withStitch) local0.withColumn("__nextv", lead(col("__v"), 1).over(w))
-      else local0
-    val sizes = tiled.groupBy("__tile")
-      .agg(sum(col("__ca")).as("__tca"), sum(col("__cb")).as("__tcb"),
-        min(col("__v")).as("__minv"))
-    val offsets = sizes.alias("a")
-      .join(sizes.alias("b"), col("b.__tile") < col("a.__tile"), "left")
-      .groupBy(col("a.__tile").as("__tile"))
-      .agg(coalesce(sum(col("b.__tca")), lit(0L)).as("__ba"),
-        coalesce(sum(col("b.__tcb")), lit(0L)).as("__bb"))
+      if (withStitch) {
+        val W = org.apache.spark.sql.expressions.Window
+        cum.withColumn("__nextv",
+          lead(col("__v"), 1).over(W.partitionBy("__pid").orderBy(col("__v"))))
+      } else cum
+    val sizes = tiled.groupBy("__pid").agg(min(col("__v")).as("__minv"))
     val nextMin = sizes.alias("x")
-      .join(sizes.alias("y"), col("y.__tile") > col("x.__tile"), "left")
-      .groupBy(col("x.__tile").as("__tile"))
-      .agg(min(struct(col("y.__tile").as("p"), col("y.__minv").as("m")))
+      .join(sizes.alias("y"), col("y.__pid") > col("x.__pid"), "left")
+      .groupBy(col("x.__pid").as("__pid"))
+      .agg(min(struct(col("y.__pid").as("p"), col("y.__minv").as("m")))
         .getField("m").as("__stitchv"))
-    val totals = g.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
-    val joined = local.join(broadcast(offsets), "__tile")
+    val totals = tiled.agg(sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb"))
     val stitched =
-      if (withStitch) joined.join(broadcast(nextMin), Seq("__tile"), "left")
-      else joined
+      if (withStitch) local.join(broadcast(nextMin), Seq("__pid"), "left")
+      else local
     stitched.crossJoin(broadcast(totals))
       .withColumn("__gap",
-        abs((col("__ba") + col("__lca")) * col("__nb") -
-          (col("__bb") + col("__lcb")) * col("__na")))
+        abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na")))
   }
 }

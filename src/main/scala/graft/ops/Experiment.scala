@@ -183,32 +183,12 @@ object Experiment {
         sum(when(!col("__t"), 1L).otherwise(0L)).as("__dnc"),
         sum(when(col("__t"), col("__c")).otherwise(0L)).as("__dct"),
         sum(when(!col("__t"), col("__c")).otherwise(0L)).as("__dcc"))
-    val local0 = graft.ml.Eval.tileOf(g, col("thr"))
-    val w = Window.partitionBy("__pid").orderBy(col("thr").desc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val local = local0
-      .withColumn("__lnt", sum(col("__dnt")).over(w))
-      .withColumn("__lnc", sum(col("__dnc")).over(w))
-      .withColumn("__lct", sum(col("__dct")).over(w))
-      .withColumn("__lcc", sum(col("__dcc")).over(w))
-    val sizes = local0.groupBy("__pid")
-      .agg(sum(col("__dnt")).as("__tnt"), sum(col("__dnc")).as("__tnc"),
-        sum(col("__dct")).as("__tct"), sum(col("__dcc")).as("__tcc"))
-    // Descending cumulative: base = mass of tiles with LARGER tile id
-    // (higher scores).
-    val offsets = sizes.alias("a")
-      .join(sizes.alias("b"), col("b.__pid") > col("a.__pid"), "left")
-      .groupBy(col("a.__pid").as("__pid"))
-      .agg(coalesce(sum(col("b.__tnt")), lit(0L)).as("__bnt"),
-        coalesce(sum(col("b.__tnc")), lit(0L)).as("__bnc"),
-        coalesce(sum(col("b.__tct")), lit(0L)).as("__bct"),
-        coalesce(sum(col("b.__tcc")), lit(0L)).as("__bcc"))
-    local.join(broadcast(offsets), "__pid")
-      .select(col("thr"),
-        (col("__bnt") + col("__lnt")).as("n_t"),
-        (col("__bnc") + col("__lnc")).as("n_c"),
-        (col("__bct") + col("__lct")).as("conv_t"),
-        (col("__bcc") + col("__lcc")).as("conv_c"))
+    graft.ml.Eval.cumLegs(graft.ml.Eval.tileOf(g, col("thr")), col("thr"),
+        Seq("__dnt" -> "n_t", "__dnc" -> "n_c",
+          "__dct" -> "conv_t", "__dcc" -> "conv_c"),
+        descending = true, inclusive = true)
+      .select(col("thr"), col("n_t"), col("n_c"),
+        col("conv_t"), col("conv_c"))
   }
 
   /** Kaplan–Meier survival curve with right-censoring (Kaplan & Meier

@@ -210,6 +210,15 @@ class ExperimentSpec extends AnyFunSuite with SparkTestBase {
     assert(run(1).head._2 + run(1).head._3 == 300L)
   }
 
+  test("ks/wasserstein: an empty side yields NULL, never a silent zero") {
+    import spark.implicits._
+    val oneSided = Seq((1L, true), (2L, true)).toDF("v", "a")
+    val ks = graft.ops.Drift.ksStatistic(oneSided, col("v"), col("a")).head()
+    assert(ks.getLong(0) == 2L && ks.getLong(1) == 0L && ks.isNullAt(2))
+    val w1 = graft.ops.Drift.wasserstein1(oneSided, col("v"), col("a")).head()
+    assert(w1.isNullAt(2))
+  }
+
   test("wasserstein1: hand-computed mass transport, zero for identical") {
     import spark.implicits._
     // A={1,3}, B={2,3}: one unit of mass moves distance 1 of 2 units
