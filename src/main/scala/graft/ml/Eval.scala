@@ -41,6 +41,16 @@ object Eval {
     * with themselves. The double cast is monotone, and any monotone
     * consistent bucketing keeps the prefix-sum algebra exact — a
     * collision above 2^53 merely coarsens a tile.
+    *
+    * NaN contract: a NaN key routes to the HIGHEST tile id. Both Spark
+    * and DuckDB total-order NaN above every double (ascending windows
+    * put NaN last), so the within-tile window ordering and the tile
+    * assignment agree; the naive `b <= NaN` filter is false for every
+    * boundary and would drop NaN into tile 0 — ranked lowest by tile
+    * but highest by the window, silently losing all higher-tile mass
+    * from its cumulative legs. NaN boundaries from the probe (possible
+    * when NaN keys dominate a quantile) are discarded — losing a
+    * boundary only coarsens a tile, never mis-orders one.
     */
   private[graft] def tileOf(g0: DataFrame, key: Column): DataFrame = {
     // Lazily checkpoint the reduced frame: the boundary probe below is an
@@ -49,14 +59,31 @@ object Eval {
     // re-run the corpus groupBy (the Drift.psiBins convention).
     val g = g0.localCheckpoint(false)
     val parts = g.sparkSession.sessionState.conf.numShufflePartitions
-    val probes = (1 until parts).map(_.toDouble / parts).toArray
-    val bounds =
-      if (probes.isEmpty) Array.empty[Double]
-      else g.select(key.cast("double").as("__kd"))
-        .stat.approxQuantile("__kd", probes, 0.001).distinct.sorted
     g.withColumn("__pid",
-      size(filter(typedLit(bounds), b => b <= key.cast("double"))))
+      tilePid(key, tileBoundaries(g, key, parts)))
   }
+
+  /** Driver-side literal tile boundaries for [[tilePid]]: ≤ parts−1
+    * distinct non-NaN doubles from one approxQuantile probe over `key`.
+    */
+  private[graft] def tileBoundaries(df: DataFrame, key: Column,
+      parts: Int): Array[Double] = {
+    val probes = (1 until parts).map(_.toDouble / parts).toArray
+    if (probes.isEmpty) Array.empty[Double]
+    else df.select(key.cast("double").as("__kd"))
+      .stat.approxQuantile("__kd", probes, 0.001)
+      .filterNot(_.isNaN).distinct.sorted
+  }
+
+  /** Pure-function tile id of `key` against literal `bounds`: the count
+    * of boundaries ≤ the key, with NaN routed to the top tile (see the
+    * [[tileOf]] NaN contract). Deterministic across any number of plan
+    * instantiations — the property `spark_partition_id()` over
+    * `repartitionByRange` cannot give.
+    */
+  private[graft] def tilePid(key: Column, bounds: Array[Double]): Column =
+    when(isnan(key.cast("double")), lit(bounds.length))
+      .otherwise(size(filter(typedLit(bounds), b => b <= key.cast("double"))))
 
   /** The shared tiled-prefix-sum machinery over a frame ALREADY tiled by
     * [[tileOf]] (pass that one frame — re-tiling would re-probe
@@ -103,6 +130,15 @@ object Eval {
     * the SAME final aggregate over the distinct-score frame, so callers
     * needing the rank-sum variance correction
     * ([[graft.ops.Experiment.rankSum]]) pay zero extra passes.
+    *
+    * Magnitude contract: each t³ term is computed in DECIMAL(38,0), not
+    * BIGINT — a single tie group of ~2.1M rows (a coarse or constant
+    * metric at corpus scale) already overflows t³ < 2^63, which would
+    * silently corrupt the variance (or throw under ANSI). Decimal keeps
+    * the per-term bound at t < ~4.6e12 rows and the exact integer sum at
+    * Σ < 10^38; the surfaced `tie_sum` is that exact integer cast ONCE
+    * to double (both engines round the same integer to the same double,
+    * and the downstream σ² consumes it as a double anyway).
     */
   private[graft] def aucExactWithTies(df: DataFrame, score: Column,
       label: Column): DataFrame = {
@@ -124,9 +160,10 @@ object Eval {
       .agg(sum(col("__cp")).as("p"), sum(col("__cn")).as("n"),
         sum(col("__cp") * (lit(2L) * col("__nb") + col("__cn")))
           .as("auc_num_x2"),
-        coalesce(sum((col("__cp") + col("__cn")) * (col("__cp") + col("__cn"))
-          * (col("__cp") + col("__cn")) - (col("__cp") + col("__cn"))),
-          lit(0L)).as("tie_sum"))
+        coalesce(sum({
+          val t = (col("__cp") + col("__cn")).cast("decimal(38,0)")
+          t * t * t - t
+        }), lit(0)).cast("double").as("tie_sum"))
   }
 
   /** The full confusion matrix at EVERY distinct-score threshold: one row

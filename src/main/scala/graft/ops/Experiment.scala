@@ -70,9 +70,10 @@ object Experiment {
           col("conv_c") + col("conv_t") > 0 &&
           col("conv_c") + col("conv_t") < col("n_c") + col("n_t"),
         round((pT - pC) / se, 6)).as("z"),
-      round((col("n_t") - col("n_c")).cast("double") *
-        (col("n_t") - col("n_c")).cast("double") /
-        (col("n_t") + col("n_c")).cast("double"), 6).as("srm_chi2"))
+      when(col("n_t") + col("n_c") > 0,
+        round((col("n_t") - col("n_c")).cast("double") *
+          (col("n_t") - col("n_c")).cast("double") /
+          (col("n_t") + col("n_c")).cast("double"), 6)).as("srm_chi2"))
   }
 
   /** Poisson(1) CDF thresholds (17-significant-digit literals, identical
@@ -481,8 +482,9 @@ object Experiment {
     *     with the treatment flag as the label (AUC and U are the same
     *     statistic: AUC = U/(n_t·n_c)), so the rank computation inherits
     *     the range-tiled no-global-sort shape and its integer exactness;
-    *   - tie_sum = Σ(t³−t) over tie groups (BIGINT, from the same
-    *     distinct-value frame);
+    *   - tie_sum = Σ(t³−t) over tie groups (exact DECIMAL(38,0) sum
+    *     surfaced as DOUBLE — see the [[graft.ml.Eval.aucExactWithTies]]
+    *     magnitude contract — from the same distinct-value frame);
     *   - z = (U − n_t·n_c/2)/σ with the standard tie-corrected
     *     σ² = (n_t·n_c/12)·((N+1) − tie_sum/(N(N−1))), rounded 6, no
     *     continuity correction; NULL when σ = 0 (all values tied or an

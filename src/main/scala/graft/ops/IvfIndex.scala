@@ -76,12 +76,30 @@ object IvfIndex {
     // which narrows numeric types (long → int). Align the CODEBOOK side
     // to the inferred type — casting the broadcast-small side keeps the
     // partitioned scan's join key a bare partition attribute, which is
-    // what keeps dynamic partition pruning eligible. (Values present in
-    // the directories fit the inferred type by construction, so the cast
-    // is lossless for every id the index actually holds.)
+    // what keeps dynamic partition pruning eligible. Ids that actually
+    // wrote a lists/ directory fit the inferred type by construction;
+    // an EMPTY centroid (no assigned vectors) can carry an id beyond
+    // that range, and a bare non-ANSI cast would wrap it onto a real
+    // list id, mis-routing its probes — so out-of-range ids map to a
+    // NULL join key instead. NULL never equi-joins, which is exactly
+    // the empty centroid's semantics: probing it contributes no rows.
     val listType = listsStored.schema("list").dataType
+    val idRange: Option[(Long, Long)] = listType match {
+      case org.apache.spark.sql.types.ByteType =>
+        Some((Byte.MinValue.toLong, Byte.MaxValue.toLong))
+      case org.apache.spark.sql.types.ShortType =>
+        Some((Short.MinValue.toLong, Short.MaxValue.toLong))
+      case org.apache.spark.sql.types.IntegerType =>
+        Some((Int.MinValue.toLong, Int.MaxValue.toLong))
+      case _ => None // long/string/decimal inference: cast is total
+    }
+    val safeId = idRange match {
+      case Some((lo, hi)) =>
+        when(col("centroid_id").between(lo, hi), col("centroid_id"))
+      case None => col("centroid_id")
+    }
     val cent = centStored.select(
-      col("centroid_id").cast(listType).as("__cid"),
+      safeId.cast(listType).as("__cid"),
       col("centroid").as("__cv"), col("cnorm").as("__cn"))
     val lists = listsStored.select(col("list").as("__list"),
       col("neighbor_id"), col("vec").as("__nv"), col("vnorm").as("__nn"))

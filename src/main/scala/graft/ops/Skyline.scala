@@ -52,24 +52,47 @@ object Skyline {
     *   2. GLOBAL front of the union of local fronts — correct because a
     *      globally undominated row is undominated in its own partition,
     *      so phase 1 never discards a front row. The union is
-    *      front-sized, not data-sized; it coalesces to ONE bounded
+    *      front-sized, not data-sized; it SHUFFLES to one bounded
     *      executor task (same finish discipline as the dedup family's
     *      union-find: a single task, never a driver collect) and runs
-    *      the identical sorted scan.
+    *      the identical sorted scan. A shuffle boundary, not a narrow
+    *      `coalesce(1)` — coalesce would fold every upstream partition
+    *      into the one final task and serialize phase 1 itself.
+    *
+    * GUARDED finish: phase 1's output is materialized (local checkpoint)
+    * and counted first. While the union of local fronts exceeds
+    * `unionBound`, additional distributed SFS rounds run — re-shuffle
+    * the survivors into ~count/unionBound partitions and scan again, so
+    * rows dominated by a row that sat in a different partition die
+    * before anything funnels into one task. Rounds stop when the bound
+    * is met, the survivor set stops shrinking (< 10% per round — an
+    * intrinsically large front, e.g. fully anti-correlated dimensions,
+    * which no plan can bound below its own output size), or after 8
+    * rounds. Each round's checkpoint is released once the next round
+    * materializes ([[Checkpoints]] discipline).
     *
     * Memory bound, stated: phase 1 holds one partition's FRONT (not the
-    * partition); phase 2 holds the union of local fronts. Pathologically
-    * anti-correlated dimensions make fronts O(n) — that is intrinsic to
-    * the operator's output size, not this plan.
+    * partition); the final task holds the post-round survivor set —
+    * ≤ max(unionBound, intrinsic front size), never silently n.
     *
     * Rows with a NULL in any dimension are dropped (a NULL coordinate
     * can neither dominate nor be ranked — same policy as the similarity
     * family). Duplicate coordinate vectors survive together. Dimension
     * values must fit LONG; the sum ordering uses exact long arithmetic.
     */
-  def front(df: DataFrame, dims: Seq[String]): DataFrame = {
+  def front(df: DataFrame, dims: Seq[String],
+      unionBound: Long = 1L << 21): DataFrame =
+    frontWithRounds(df, dims, unionBound)._1
+
+  /** [[front]] plus the per-round survivor counts (head = the phase-1
+    * union size; one further entry per guard round) — the observable the
+    * guard spec asserts on. Empty for the 2-d sweep dispatch.
+    */
+  private[graft] def frontWithRounds(df: DataFrame, dims: Seq[String],
+      unionBound: Long): (DataFrame, Seq[Long]) = {
     require(dims.size >= 2, s"need >= 2 dimensions, got ${dims.size}")
-    if (dims.size == 2) return front2d(df, dims.head, dims.last)
+    require(unionBound > 0, s"unionBound must be positive, got $unionBound")
+    if (dims.size == 2) return (front2d(df, dims.head, dims.last), Nil)
 
     val clean = df.filter(dims.map(col(_).isNotNull).reduce(_ && _))
     val withV = clean
@@ -102,13 +125,44 @@ object Skyline {
       }
     }
 
-    val local = withV
+    // Materialize phase 1 behind a shuffle-independent checkpoint so the
+    // guard can count it, and so the finish below reads front-sized
+    // blocks instead of recomputing the corpus scan inside its own task.
+    var cur = withV
       .sortWithinPartitions(col("__s").desc)
       .mapPartitions(sfsScan)(enc)
-    local
-      .coalesce(1)
+      .localCheckpoint(eager = true)
+    var cnt = cur.count()
+    val counts = scala.collection.mutable.ArrayBuffer(cnt)
+    var rounds = 0
+    while (cnt > unionBound && rounds < 8) {
+      val target = math.max(1L, (cnt + unionBound - 1) / unionBound)
+        .min(Int.MaxValue.toLong).toInt
+      // Round-robin, NOT hash-by-__s: sum is low-cardinality exactly in
+      // the anti-correlated cases that trigger the guard, and hashing on
+      // it would funnel equal-sum survivors into one partition — the
+      // skew this round exists to avoid. Round-robin keeps rounds even
+      // and is deterministic (Spark sorts within partitions before
+      // round-robin redistribution for retry safety).
+      val next = cur
+        .repartition(target)
+        .sortWithinPartitions(col("__s").desc)
+        .mapPartitions(sfsScan)(enc)
+        .localCheckpoint(eager = true)
+      val nextCnt = next.count()
+      Checkpoints.release(cur)
+      val shrinking = nextCnt < cnt - cnt / 10
+      cur = next
+      cnt = nextCnt
+      counts += cnt
+      rounds += 1
+      if (!shrinking) rounds = 8 // intrinsic front: stop, finish anyway
+    }
+    val result = cur
+      .repartition(1)
       .sortWithinPartitions(col("__s").desc)
       .mapPartitions(sfsScan)(enc)
       .drop("__v", "__s")
+    (result, counts.toSeq)
   }
 }

@@ -907,8 +907,10 @@ object EventQueries extends QueryGroup {
         |        * (1.0 - CAST(conv_c + conv_t AS DOUBLE) / CAST(n_c + n_t AS DOUBLE))
         |        * (1.0 / CAST(n_t AS DOUBLE) + 1.0 / CAST(n_c AS DOUBLE))), 6)
         |  END AS z,
-        |  round(CAST(n_t - n_c AS DOUBLE) * CAST(n_t - n_c AS DOUBLE)
-        |    / CAST(n_t + n_c AS DOUBLE), 6) AS srm_chi2
+        |  CASE WHEN n_t + n_c > 0 THEN
+        |    round(CAST(n_t - n_c AS DOUBLE) * CAST(n_t - n_c AS DOUBLE)
+        |      / CAST(n_t + n_c AS DOUBLE), 6)
+        |  END AS srm_chi2
         |FROM a""".stripMargin,
 
     // Same md5-seeded multiplicities, same Poisson CDF literals, same
@@ -1263,8 +1265,10 @@ object EventQueries extends QueryGroup {
         |    CAST(sum(cp * (2 * nb + cn)) AS BIGINT) AS u_x2
         |  FROM c),
         |tie AS (
-        |  SELECT CAST(coalesce(sum((cp + cn) * (cp + cn) * (cp + cn)
-        |    - (cp + cn)), 0) AS BIGINT) AS tie_sum
+        |  SELECT CAST(CAST(coalesce(sum(
+        |      CAST(cp + cn AS HUGEINT) * CAST(cp + cn AS HUGEINT)
+        |        * CAST(cp + cn AS HUGEINT) - CAST(cp + cn AS HUGEINT)),
+        |    0) AS HUGEINT) AS DOUBLE) AS tie_sum
         |  FROM g)
         |SELECT n_c, n_t, u_x2, tie_sum,
         |  CASE WHEN n_c > 0 AND n_t > 0 AND n_c + n_t > 1

@@ -37,6 +37,22 @@ class EvalSpec extends AnyFunSuite with SparkTestBase {
     assert(x2 == 2L) // 2 / (2*2*1) = 0.5
   }
 
+  test("NaN scores rank above every finite score (tileOf routes NaN to " +
+      "the top tile, matching both engines' sort order)") {
+    import spark.implicits._
+    // pos {NaN, 1.0}, neg {2.0}: NaN > 2.0 under the total order both
+    // Spark and DuckDB sort by, 1.0 < 2.0 → AUC = 0.5, num_x2 = 2.
+    val df = Seq((Double.NaN, true), (2.0, false), (1.0, true))
+      .toDF("s", "y").repartition(3)
+    val r = Eval.aucExact(df, col("s"), col("y")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 1L, 2L)))
+    // All-NaN-positive corner: perfect separation regardless of tiling.
+    val df2 = Seq((Double.NaN, true), (5.0, false), (7.0, false))
+      .toDF("s", "y").repartition(2)
+    val r2 = Eval.aucExact(df2, col("s"), col("y")).head()
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) == ((1L, 2L, 4L)))
+  }
+
   test("partition-invariant") {
     import spark.implicits._
     val rows = (0 until 500).map(i => ((i * 7 % 97).toLong, i % 3 == 0))

@@ -73,8 +73,8 @@ class ExperimentSpec extends AnyFunSuite with SparkTestBase {
     val df = Seq((false, 1.0), (false, 2.0), (false, 3.0),
       (true, 4.0), (true, 5.0)).toDF("t", "m").repartition(3)
     val r = Experiment.rankSum(df, col("t"), col("m")).head()
-    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
-      ((3L, 2L, 12L, 0L)))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      ((3L, 2L, 12L, 0.0)))
     assert(math.abs(r.getDouble(4) - 3.0 / math.sqrt(3.0)) < 1e-6)
   }
 
@@ -86,9 +86,31 @@ class ExperimentSpec extends AnyFunSuite with SparkTestBase {
     val df = Seq((false, 1.0), (false, 2.0), (true, 2.0), (true, 3.0))
       .toDF("t", "m").repartition(2)
     val r = Experiment.rankSum(df, col("t"), col("m")).head()
-    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
-      ((2L, 2L, 7L, 6L)))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      ((2L, 2L, 7L, 6.0)))
     assert(math.abs(r.getDouble(4) - (3.5 - 2.0) / math.sqrt(1.5)) < 1e-6)
+  }
+
+  test("rankSum: a tie group past the BIGINT t³ bound stays exact " +
+      "(decimal sufficient statistic, double surface)") {
+    import spark.implicits._
+    // 3M-row tie group: t³ = 2.7e19 > 2^63 ≈ 9.2e18 — a BIGINT cube
+    // would wrap negative. The decimal path carries the exact Σ(t³−t)
+    // and rounds it ONCE at the final double cast, so the expected
+    // value is BigDecimal(t)³−t converted to double the same way.
+    val t = 3000000L
+    val df = spark.range(t).select(
+      (col("id") % 2 === 0).as("t"), lit(1.0).as("m"))
+    val r = Experiment.rankSum(df, col("t"), col("m")).head()
+    val want = (BigDecimal(t).pow(3) - BigDecimal(t)).toDouble
+    assert(r.getDouble(3) == want && want > 0)
+  }
+
+  test("abTest: empty input yields NULL srm_chi2 like the other stats") {
+    import spark.implicits._
+    val empty = Seq.empty[(Boolean, Boolean)].toDF("t", "c")
+    val r = Experiment.abTest(empty, col("t"), col("c")).head()
+    assert(r.isNullAt(5) && r.isNullAt(6) && r.isNullAt(7))
   }
 
   test("rankSum: all-tied and one-arm inputs yield NULL z") {

@@ -76,6 +76,31 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("an empty centroid with an id past the inferred partition type " +
+      "cannot wrap onto a real list") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("ivf_wrap").toString
+    // Codebook = the 6 real cells plus one centroid no corpus vector
+    // picks (anti-aligned), whose id (2^32) wraps to 0 — list 0's id —
+    // under a bare long→int cast. lists/ holds only ids 0..5, so the
+    // directory-inferred partition type is INT.
+    val far = Seq((4294967296L, Array.fill(dims)(-10.0)))
+      .toDF("centroid_id", "centroid")
+    IvfIndex.write(path, corpus, "vec_id", "embedding",
+      codebook.unionByName(far))
+    // A probe aligned with the empty centroid routes there at nprobe=1;
+    // its cell holds nothing, so the answer is NO rows — a wrapped cast
+    // would silently serve it list 0's vectors instead.
+    val probe = Seq((999L, Array.fill(dims)(-1.0)))
+      .toDF("vec_id", "embedding")
+    val got = IvfIndex.topK(spark, path, probe, "vec_id", "embedding",
+      k = 3, nprobe = 1)
+    assert(got.count() == 0L)
+    // Real probes through the same index are unaffected by the guard.
+    assert(IvfIndex.topK(spark, path, probes, "vec_id", "embedding",
+      k = 3, nprobe = 2).count() > 0L)
+  }
+
   test("probe plan is eligible for dynamic partition pruning") {
     val path = Files.createTempDirectory("ivf_dpp").toString
     IvfIndex.write(path, corpus, "vec_id", "embedding", codebook)

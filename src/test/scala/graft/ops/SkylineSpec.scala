@@ -126,4 +126,60 @@ class SkylineSpec extends AnyFunSuite with SparkTestBase {
     }.map(_._1).toSet
     assert(got === want)
   }
+
+  // ---- unionBound guard on the phase-2 finish ----
+
+  private def naive4(rows: Seq[(Long, Long, Long, Long, Long)]): Set[Long] = {
+    val all = rows.map { case (id, a, b, c, e) => (id, Seq(a, b, c, e)) }
+    all.filter { case (_, x) =>
+      !all.exists { case (_, y) =>
+        x.indices.forall(i => y(i) >= x(i)) &&
+          x.indices.exists(i => y(i) > x(i))
+      }
+    }.map(_._1).toSet
+  }
+
+  test("guard: extra SFS rounds bound the final-task input and keep " +
+      "naive parity at two partition counts") {
+    import spark.implicits._
+    // Mixed cloud: large local fronts per partition, much smaller global
+    // front — exactly the case where guard rounds help.
+    val rows = (1L to 600L).map(i =>
+      (i, (i * 7) % 211, (i * 13) % 197, (i * 19) % 223, (i * 29) % 181))
+    val want = naive4(rows)
+    for (parts <- Seq(4, 16)) {
+      val d = rows.toDF("id", "d1", "d2", "d3", "d4").repartition(parts)
+      val (res, counts) = Skyline.frontWithRounds(
+        d, Seq("d1", "d2", "d3", "d4"), unionBound = 64L)
+      val got = res.select(col("id")).collect().map(_.getLong(0)).toSet
+      assert(got === want, s"parity at $parts partitions")
+      // The guard must have engaged (phase-1 union exceeds the bound) and
+      // every round must shrink the survivor set, so the final task reads
+      // the LAST count, not the phase-1 union.
+      assert(counts.head > 64L, s"fixture must trip the guard: $counts")
+      assert(counts.size > 1, s"guard rounds must run: $counts")
+      assert(counts.last < counts.head, s"rounds must shrink: $counts")
+    }
+  }
+
+  test("guard: an intrinsically full front (all-equal sums) terminates " +
+      "after one non-shrinking round with full parity") {
+    import spark.implicits._
+    // Every point sits on the simplex d1+d2+d3+d4 = 300: no point can
+    // dominate another (a dominator needs a strictly larger sum), so the
+    // true front IS the input and no round can shrink it.
+    val rows = (1L to 300L).map { i =>
+      val a = (i * 7) % 100; val b = (i * 13) % (201 - a)
+      val c = (i * 19) % (301 - a - b - 100).max(1)
+      (i, a, b, c, 300 - a - b - c)
+    }
+    val d = rows.toDF("id", "d1", "d2", "d3", "d4").repartition(8)
+    val (res, counts) = Skyline.frontWithRounds(
+      d, Seq("d1", "d2", "d3", "d4"), unionBound = 32L)
+    val got = res.select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got === rows.map(_._1).toSet)
+    // Engaged, then stopped on the non-shrinking break — never spun to
+    // useless extra rounds.
+    assert(counts.head === 300L && counts.size <= 3, s"counts: $counts")
+  }
 }
