@@ -12,29 +12,41 @@ import org.apache.spark.sql.functions._
   * map-only projection bands each row — the same two-pass
   * stats-then-scan shape as the histogram and z-score operators.
   *
-  * `exact = true` uses Spark's exact `percentile` (per-group sort —
-  * fine for oracle baselines and medium data); the 100 TB path is
-  * `exact = false` → `percentile_approx` (mergeable t-digest-style
-  * sketch, one partial-agg'd pass, bounded error on the *boundaries*
-  * only — rows near a boundary may swap bands, everything else is
-  * identical).
+  * `exact = true` resolves boundaries by distributed rank selection
+  * (global: literal-boundary tiling; per-group: a spillable rank
+  * window) — never Spark's `percentile`, whose aggregation buffer
+  * holds every group member. `exact = false` is the cheapest path →
+  * `percentile_approx` (mergeable t-digest-style sketch, one
+  * partial-agg'd pass, bounded error on the *boundaries* only — rows
+  * near a boundary may swap bands, everything else is identical).
   */
 object Quantiles {
 
   /** EXACT quantile_cont boundaries by distributed rank selection — the
     * shape that survives where a single `percentile` reducer cannot:
-    * range-partition on the value (each tile sorts locally, in
-    * parallel), turn per-tile counts into global base offsets, and fetch
-    * ONLY the ≤ 2·|probs| order statistics the interpolation needs.
-    * Nothing column-sized ever reaches one task; the collects are
-    * #partitions rows and ≤ 2·|probs| rows.
+    * tile the value column on DRIVER-COMPUTED literal quantile
+    * boundaries ([[graft.ml.Eval.tileBoundaries]] — the engine-wide
+    * tiling primitive; each tile sorts locally, in parallel), turn
+    * per-tile counts into global base offsets, and fetch ONLY the
+    * ≤ 2·|probs| order statistics the interpolation needs. Nothing
+    * column-sized ever reaches one task, and nothing is checkpointed:
+    * the tile id is a pure function of the value, so the counts pass
+    * and the selection pass cannot disagree across recomputation —
+    * unlike `spark_partition_id()` over `repartitionByRange`, which
+    * re-samples range boundaries per plan instantiation and is banned
+    * engine-wide for exactly this two-pass shape (it only ever worked
+    * here behind a full-column localCheckpoint pin).
     *
-    * The interpolation `lo + (hi − lo)·(h − ⌊h⌋)` with h = (n−1)·p
-    * reproduces Spark's `percentile` / DuckDB's `quantile_cont`
-    * bitwise (same IEEE expression tree), so swapping this in under an
-    * oracle-gated query changes the plan, not one bit of output.
+    * The interpolation `(⌈h⌉ − h)·lo + (h − ⌊h⌋)·hi` with h = (n−1)·p
+    * (lo exactly when h is integral) reproduces Spark's `percentile`
+    * AND DuckDB's `quantile_cont` bitwise — both engines use this lerp
+    * tree, NOT the algebraically-equal `lo + (hi − lo)·frac`, which
+    * differs in the last ulp on real data — so swapping this in under
+    * an oracle-gated query changes the plan, not one bit of output.
     * Value ties straddling a tile boundary are harmless: selection only
-    * reads the VALUE at a rank, identical under any tie order.
+    * reads the VALUE at a rank, identical under any tie order. NaN
+    * values rank above every finite value (both engines' sort order),
+    * per the tiling primitive's NaN contract.
     */
   def exactQuantiles(df: DataFrame, xCol: String,
       probs: Seq[Double]): Seq[Double] = {
@@ -42,10 +54,10 @@ object Quantiles {
     val vals = df.select(col(xCol).cast("double").as("__x"))
       .filter(col("__x").isNotNull)
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = vals.repartitionByRange(parts, col("__x"))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(eager = false) // counts pass + selection pass
-    val sizes = ranged.groupBy("__pid").agg(count(lit(1)).as("__n"))
+    val bounds = graft.ml.Eval.tileBoundaries(vals, col("__x"), parts)
+    val tiled = vals.withColumn("__pid",
+      graft.ml.Eval.tilePid(col("__x"), bounds))
+    val sizes = tiled.groupBy("__pid").agg(count(lit(1)).as("__n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val n = sizes.map(_._2).sum
     if (n == 0) return probs.map(_ => Double.NaN)
@@ -62,7 +74,7 @@ object Quantiles {
       col("__pid") === pid && col("__rn") === rn
     }.reduce(_ || _)
     val w = Window.partitionBy("__pid").orderBy("__x")
-    val picked = ranged.withColumn("__rn", row_number().over(w))
+    val picked = tiled.withColumn("__rn", row_number().over(w))
       .filter(wanted).select("__pid", "__rn", "__x")
       .collect().map(r => (r.getInt(0), r.getInt(1).toLong) -> r.getDouble(2))
       .toMap
@@ -70,7 +82,8 @@ object Quantiles {
     hs.map { h =>
       val lo = byRank(math.floor(h).toLong)
       val hi = byRank(math.ceil(h).toLong)
-      lo + (hi - lo) * (h - math.floor(h))
+      if (math.floor(h) == math.ceil(h)) lo
+      else (math.ceil(h) - h) * lo + (h - math.floor(h)) * hi
     }
   }
 
@@ -115,16 +128,65 @@ object Quantiles {
     */
   def bucketizeByGroup(df: DataFrame, xCol: String, groupCols: Seq[String],
       probs: Seq[Double], exact: Boolean): DataFrame = {
-    val ps = array(probs.map(lit): _*)
-    val boundsAgg: Column =
-      if (exact) percentile(col(xCol), ps)
-      else percentile_approx(col(xCol), ps, lit(10000))
-    val bounds = df.groupBy(groupCols.map(col): _*).agg(boundsAgg.as("__qs"))
+    val bounds =
+      if (exact) groupBoundsExact(df, xCol, groupCols, probs)
+      else df.groupBy(groupCols.map(col): _*)
+        .agg(percentile_approx(col(xCol), array(probs.map(lit): _*),
+          lit(10000)).as("__qs"))
     val bucket = probs.indices.foldLeft(lit(0)) { (acc, i) =>
       acc + (col(xCol) > col("__qs").getItem(i)).cast("int")
     }
     df.join(broadcast(bounds), groupCols)
       .withColumn("q_bucket", bucket)
       .drop("__qs")
+  }
+
+  /** Per-group exact quantile_cont boundaries WITHOUT Spark's
+    * `percentile` aggregate: `percentile` buffers every group member in
+    * its aggregation buffer (an OOM at the first million-row group),
+    * while this runs a per-group rank window — a SPILLABLE sort — keeps
+    * only the ≤ 2·|probs| order statistics each group's interpolation
+    * needs, and folds them to one boundary-array row per group. The
+    * needed ranks depend on the group's size, so sizes broadcast-join
+    * back onto the ranked rows before the rank filter. Same IEEE
+    * interpolation tree as `percentile` / `quantile_cont` — bitwise-
+    * identical boundaries, different (memory-safe) plan.
+    *
+    * Output: (groupCols*, __qs ARRAY<DOUBLE>). Rows with a NULL group
+    * key or NULL value are dropped (the [[bucketizeByGroup]] contract).
+    */
+  private[graft] def groupBoundsExact(df: DataFrame, xCol: String,
+      groupCols: Seq[String], probs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gs = groupCols.map(col)
+    val vals = df
+      .select(gs :+ col(xCol).cast("double").as("__x"): _*)
+      .filter(col("__x").isNotNull &&
+        groupCols.map(col(_).isNotNull).reduce(_ && _))
+    val w = Window.partitionBy(gs: _*).orderBy(col("__x"))
+    val ranked = vals.withColumn("__rn",
+      (row_number().over(w) - 1).cast("double"))
+    val counts = vals.groupBy(gs: _*).agg(count(lit(1)).as("__n"))
+    def h(p: Double): Column = (col("__n") - 1).cast("double") * lit(p)
+    val needed = probs.map(p =>
+      col("__rn") === floor(h(p)) || col("__rn") === ceil(h(p))).reduce(_ || _)
+    val aggs = probs.zipWithIndex.flatMap { case (p, i) =>
+      Seq(
+        max(when(col("__rn") === floor(h(p)), col("__x"))).as(s"__lo_$i"),
+        max(when(col("__rn") === ceil(h(p)), col("__x"))).as(s"__hi_$i"),
+        max(ceil(h(p)) - h(p)).as(s"__cf_$i"),
+        max(h(p) - floor(h(p))).as(s"__f_$i"))
+    }
+    // Same lerp tree as `percentile`/`quantile_cont` (see exactQuantiles):
+    // (⌈h⌉−h)·lo + (h−⌊h⌋)·hi, collapsing to lo when h is integral.
+    ranked.join(broadcast(counts), groupCols)
+      .filter(needed)
+      .groupBy(gs: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(gs :+ array(probs.indices.map(i =>
+        when(col(s"__f_$i") === 0.0, col(s"__lo_$i"))
+          .otherwise(col(s"__cf_$i") * col(s"__lo_$i") +
+            col(s"__f_$i") * col(s"__hi_$i"))): _*)
+        .as("__qs"): _*)
   }
 }

@@ -62,6 +62,48 @@ class QuantilesSpec extends AnyFunSuite with SparkTestBase {
       ("b", 100.0, 0), ("b", 200.0, 0), ("b", 300.0, 1), ("b", 400.0, 1)))
   }
 
+  test("per-group rank selection is bitwise equal to Spark's percentile " +
+      "at several partitionings") {
+    import spark.implicits._
+    // Awkward group sizes (1, 2, big), duplicates, negatives.
+    val rows = (1 to 500).map(i => (s"g${i % 7}", (i * 37 % 251) - 50.5)) ++
+      Seq(("solo", 42.0), ("pair", -1.0), ("pair", 1.0))
+    val probs = Seq(0.25, 0.5, 0.9)
+    val base = rows.toDF("g", "x")
+    val expect = base.groupBy("g")
+      .agg(percentile(col("x"), array(probs.map(lit): _*)).as("qs"))
+      .as[(String, Seq[Double])].collect().toMap
+    for (parts <- Seq(1, 5, 32)) {
+      val got = Quantiles
+        .groupBoundsExact(base.repartition(parts), "x", Seq("g"), probs)
+        .as[(String, Seq[Double])].collect().toMap
+      assert(got == expect, s"parts=$parts")
+      // And the banding built on those boundaries keeps every row.
+      val banded = Quantiles.bucketizeByGroup(base.repartition(parts),
+        "x", Seq("g"), probs, exact = true)
+      assert(banded.count() == rows.size.toLong, s"parts=$parts")
+    }
+  }
+
+  test("exact plans carry no percentile aggregate and no checkpoint " +
+      "(the banned value-buffering / partition-id shapes)") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (s"g${i % 3}", i.toDouble)).toDF("g", "x")
+    val grouped = Quantiles.bucketizeByGroup(df, "x", Seq("g"), Seq(0.5),
+      exact = true)
+    val plan = grouped.queryExecution.executedPlan.toString
+    assert(!plan.contains("percentile("), plan)
+    assert(!plan.toLowerCase.contains("checkpoint"), plan)
+    assert(!plan.contains("spark_partition_id"), plan)
+    // Global exact path: the banding frame is literal boundaries over a
+    // scan — equally free of both shapes.
+    val global = Quantiles.bucketize(df, "x", Seq(0.5), exact = true)
+    val gPlan = global.queryExecution.executedPlan.toString
+    assert(!gPlan.contains("percentile(") &&
+      !gPlan.toLowerCase.contains("checkpoint") &&
+      !gPlan.contains("spark_partition_id"), gPlan)
+  }
+
   test("approx boundaries band all rows and stay near the exact split") {
     import spark.implicits._
     val df = (1 to 10000).map(_.toDouble).toDF("x").repartition(7)
