@@ -211,4 +211,26 @@ object ConfigLoader {
         strSeq(recentCfg.getOrElse("source_types", Seq.empty)),
         recentCfg.get("limit_per_type").map(_.asInstanceOf[Long].toInt).getOrElse(15)))
   }
+
+  /** Config-lint parity with the reference's `Validate_toml.py`
+    * (reference `src/Validate_toml.py:13-55`): strictly parse each TOML
+    * file and return `path → diagnostic` — None for a valid file, a
+    * located [[Toml.TomlError]] (1-based line/column + the offending
+    * line; `render` draws the reference's caret report) otherwise. A
+    * missing file surfaces as line 0, like the reference's
+    * FileNotFoundError branch.
+    */
+  def validate(paths: Seq[String]): Seq[(String, Option[Toml.TomlError])] =
+    paths.map { p =>
+      p -> {
+        val text =
+          try Some(new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8))
+          catch { case _: java.io.IOException => None }
+        text match {
+          case None => Some(Toml.TomlError(0, 0, s"file not found: $p", ""))
+          case Some(t) => Toml.validate(t)
+        }
+      }
+    }
 }

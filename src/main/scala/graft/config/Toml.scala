@@ -19,45 +19,128 @@ object Toml {
 
   type Table = Map[String, Any]
 
-  def parse(text: String): Table = {
+  /** A located parse/validation diagnostic — the counterpart of the
+    * reference's `Validate_toml.py` caret report (reference
+    * `src/Validate_toml.py:13-55`): 1-based line/column, the message,
+    * and the offending physical line for rendering.
+    */
+  final case class TomlError(line: Int, column: Int, message: String,
+      lineText: String) {
+    /** The reference validator's display shape: message with location,
+      * then the offending line with a caret under the column.
+      */
+    def render: String =
+      s"TOML error: $message (at line $line, column $column)\n" +
+        s"  | $lineText\n" +
+        s"  | ${" " * math.max(0, column - 1)}^"
+  }
+
+  final class TomlParseException(val error: TomlError)
+    extends RuntimeException(
+      s"TOML error: ${error.message} " +
+        s"(at line ${error.line}, column ${error.column})")
+
+  // Raised by parseValue on a strict-mode violation; the line loop
+  // attaches the location (parseValue itself has none) by finding the
+  // token in the offending line.
+  private final class BareValueException(val token: String, message: String)
+    extends RuntimeException(message)
+
+  def parse(text: String): Table = parseImpl(text, strict = false)
+
+  /** [[parse]] plus the checks the lenient reader tolerates (a bare
+    * non-date token as a value; see [[validate]]). The lenient mode is
+    * the load path — existing configs keep working — and strict is the
+    * lint path.
+    */
+  def parseStrict(text: String): Table = parseImpl(text, strict = true)
+
+  /** Lint `text`: None when it parses strictly, or the FIRST located
+    * diagnostic. This (with [[TomlError.render]]) is the engine's
+    * `Validate_toml.py` parity surface.
+    */
+  def validate(text: String): Option[TomlError] =
+    try { parseStrict(text); None }
+    catch { case e: TomlParseException => Some(e.error) }
+
+  private def parseImpl(text: String, strict: Boolean): Table = {
     val root = mutable.LinkedHashMap[String, Any]()
     var current = root
-    val lines = text.split("\n", -1).iterator.buffered
+    val physical = text.split("\n", -1)
+    val lines = physical.iterator.buffered
+    var lineNo = 0 // 1-based number of the last physical line consumed
     val buffer = new StringBuilder
+
+    def fail(startLine: Int, column: Int, message: String): Nothing =
+      throw new TomlParseException(TomlError(startLine, column, message,
+        physical(math.min(startLine, physical.length) - 1)))
 
     // Comments are stripped PER PHYSICAL LINE before joining — a '#'
     // inside a multi-line array would otherwise truncate the whole rest of
     // the buffer and leave the bracket depth unclosed. (Limitation: '#'
     // inside a multi-line triple-quoted string isn't supported; the
     // reference configs keep regexes on one line.)
-    def logicalLines: Iterator[String] = new Iterator[String] {
+    def logicalLines: Iterator[(String, Int)] = new Iterator[(String, Int)] {
       override def hasNext: Boolean = lines.hasNext
-      override def next(): String = {
+      override def next(): (String, Int) = {
         buffer.clear()
         buffer.append(stripComment(lines.next()))
+        lineNo += 1
+        val start = lineNo
+        // Table headers are single-line by grammar: never join them, so a
+        // corrupt '[header' reports as an unterminated header at ITS line
+        // instead of swallowing the rest of the file as a "multi-line
+        // value" (a key's value can also open with '[', but then the
+        // line carries an '=').
+        val headerLike = buffer.toString.trim.startsWith("[") &&
+          topLevelIndexOf(buffer.toString, '=') == -1
         // Join continuation lines of unclosed multi-line strings / arrays.
-        while (lines.hasNext && needsMore(buffer.toString)) {
+        while (!headerLike && lines.hasNext && needsMore(buffer.toString)) {
           buffer.append("\n").append(stripComment(lines.next()))
+          lineNo += 1
         }
-        buffer.toString
+        if (!headerLike && needsMore(buffer.toString))
+          fail(start, 1,
+            "unclosed multi-line value (string or array reaches end of file)")
+        (buffer.toString, start)
       }
     }
 
-    for (rawLine <- logicalLines) {
+    for ((rawLine, startLine) <- logicalLines) {
       val line = rawLine.trim
       if (line.nonEmpty) {
-        if (line.startsWith("[[") && line.endsWith("]]")) {
-          val path = parseKeyPath(line.substring(2, line.length - 2))
-          current = descendForArrayOfTables(root, path)
-        } else if (line.startsWith("[") && line.endsWith("]")) {
-          val path = parseKeyPath(line.substring(1, line.length - 1))
-          current = descend(root, path)
-        } else {
-          val eq = topLevelIndexOf(line, '=')
-          require(eq > 0, s"bad TOML line: $line")
-          val key = unquoteKey(line.substring(0, eq).trim)
-          val value = parseValue(line.substring(eq + 1).trim)
-          current.put(key, value)
+        try {
+          if (line.startsWith("[[")) {
+            if (!line.endsWith("]]"))
+              fail(startLine, rawLine.length,
+                "unterminated array-of-tables header (expected ']]')")
+            val path = parseKeyPath(line.substring(2, line.length - 2))
+            current = descendForArrayOfTables(root, path)
+          } else if (line.startsWith("[")) {
+            if (!line.endsWith("]"))
+              fail(startLine, rawLine.length,
+                "unterminated table header (expected ']')")
+            val path = parseKeyPath(line.substring(1, line.length - 1))
+            current = descend(root, path)
+          } else {
+            val eq = topLevelIndexOf(line, '=')
+            if (eq <= 0)
+              fail(startLine, 1, "expected 'key = value', '[table]' or " +
+                s"'[[array-of-tables]]', got: ${line.take(40)}")
+            val key = unquoteKey(line.substring(0, eq).trim)
+            val value = parseValue(line.substring(eq + 1).trim, strict)
+            current.put(key, value)
+          }
+        } catch {
+          case e: TomlParseException => throw e
+          case e: BareValueException =>
+            val col = rawLine.indexOf(e.token) match {
+              case -1 => 1
+              case i => i + 1
+            }
+            fail(startLine, col, e.getMessage)
+          case scala.util.control.NonFatal(e) =>
+            fail(startLine, 1, Option(e.getMessage).getOrElse(e.toString))
         }
       }
     }
@@ -142,7 +225,10 @@ object Toml {
     entry
   }
 
-  private[config] def parseValue(s: String): Any = {
+  private[config] def parseValue(s: String): Any =
+    parseValue(s, strict = false)
+
+  private def parseValue(s: String, strict: Boolean): Any = {
     val t = s.trim
     if (t.startsWith("'''") && t.endsWith("'''") && t.length >= 6)
       t.substring(3, t.length - 3).stripPrefix("\n")
@@ -155,13 +241,18 @@ object Toml {
     else if (t.startsWith("[") && t.endsWith("]")) {
       val inner = t.substring(1, t.length - 1).trim
       if (inner.isEmpty) Seq.empty[Any]
-      else splitTopLevel(inner, ',').map(_.trim).filter(_.nonEmpty).map(parseValue)
+      else splitTopLevel(inner, ',').map(_.trim).filter(_.nonEmpty)
+        .map(parseValue(_, strict))
     } else if (t.startsWith("{") && t.endsWith("}")) {
       val inner = t.substring(1, t.length - 1).trim
       if (inner.isEmpty) Map.empty[String, Any]
       else splitTopLevel(inner, ',').map { kv =>
         val eq = topLevelIndexOf(kv, '=')
-        unquoteKey(kv.substring(0, eq).trim) -> parseValue(kv.substring(eq + 1).trim)
+        if (eq <= 0)
+          throw new BareValueException(kv.trim,
+            s"expected 'key = value' in inline table, got: ${kv.trim.take(40)}")
+        unquoteKey(kv.substring(0, eq).trim) ->
+          parseValue(kv.substring(eq + 1).trim, strict)
       }.toMap
     } else if (t == "true") true
     else if (t == "false") false
@@ -170,9 +261,28 @@ object Toml {
       if (n.matches("[+-]?\\d+")) n.toLong
       else if (n.matches("[+-]?\\d*\\.\\d+([eE][+-]?\\d+)?") ||
         n.matches("[+-]?\\d+[eE][+-]?\\d+")) n.toDouble
-      else t // dates etc. stay strings
+      else {
+        // Lenient mode keeps unknown bare tokens as strings (dates and
+        // times ride through this way). Strict mode — the lint path —
+        // accepts only what TOML itself accepts bare: dates, times,
+        // prefixed ints, and the float specials.
+        if (strict && !bareTokenOk(t))
+          throw new BareValueException(t,
+            s"invalid bare value (quote it if it is a string): ${t.take(40)}")
+        t
+      }
     }
   }
+
+  // TOML bare tokens that are NOT plain ints/floats/bools: local dates,
+  // date-times (space or T separator, optional fraction and offset),
+  // local times, hex/oct/bin integers, inf/nan.
+  private def bareTokenOk(t: String): Boolean =
+    t.matches("\\d{4}-\\d{2}-\\d{2}" +
+      "([Tt ]\\d{2}:\\d{2}(:\\d{2}(\\.\\d+)?)?([Zz]|[+-]\\d{2}:\\d{2})?)?") ||
+    t.matches("\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?") ||
+    t.matches("0[xX][0-9a-fA-F_]+|0[oO][0-7_]+|0[bB][01_]+") ||
+    t.matches("[+-]?(inf|nan)")
 
   private def unescape(s: String): String = {
     val sb = new StringBuilder

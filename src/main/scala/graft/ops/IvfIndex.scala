@@ -59,6 +59,72 @@ object IvfIndex {
       .parquet(s"$path/lists")
   }
 
+  /** Append a delta of NEW corpus vectors into the persisted lists
+    * without rewriting untouched lists: each delta vector is assigned to
+    * its Voronoi cell with the STORED codebook (stored cnorm, same
+    * argmax + tie-break as [[write]] — so an appended vector lands in
+    * exactly the cell a from-scratch rebuild would put it in), and the
+    * append-mode partitioned write adds files ONLY under the `list=`
+    * directories the delta actually touches. Probe parity with a
+    * from-scratch build over old∪delta holds by construction; the spec
+    * and `q_ann_ivf_upsert` gate it.
+    *
+    * Contract: delta ids must be NEW (this is append, not upsert —
+    * re-appending an existing id duplicates it in its list; dedup
+    * upstream, e.g. [[Dedup.keepFirst]] on id). Growing corpora
+    * accumulate small files per touched list — run [[compact]] on the
+    * usual compactor cadence to restore one-file-per-list.
+    */
+  def append(
+      spark: SparkSession,
+      path: String,
+      delta: DataFrame,
+      idCol: String,
+      vecCol: String,
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    val cent = spark.read.parquet(s"$path/centroids").select(
+      col("centroid_id").as("__cid"), col("centroid").as("__cv"),
+      col("cnorm").as("__cn"))
+    Similarity.invertedLists(delta, idCol, vecCol, cent)
+      .select(col("__list").as("list"), col("neighbor_id"),
+        col("__nv").as("vec"), col("__nn").as("vnorm"))
+      .repartition(col("list"))
+      .write.mode("append")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("list")
+      .parquet(s"$path/lists")
+  }
+
+  /** Rewrite the inverted lists back to one writer per list, merging the
+    * small files [[append]] accumulates. Same compaction discipline as
+    * the gold-table compactor: write the merged copy BESIDE the live
+    * tree, then swap directories — a reader that raced the swap sees
+    * either the old complete tree or the new one, never a half-deleted
+    * directory (rename is atomic per directory on a real filesystem;
+    * object stores should front this with their usual pointer layer).
+    */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    spark.read.parquet(s"$path/lists")
+      .repartition(col("list"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("list")
+      .parquet(s"$path/lists_compacting")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(conf)
+    val live = new org.apache.hadoop.fs.Path(s"$path/lists")
+    val next = new org.apache.hadoop.fs.Path(s"$path/lists_compacting")
+    val old = new org.apache.hadoop.fs.Path(s"$path/lists_old")
+    fs.delete(old, true)
+    require(fs.rename(live, old), s"compact: could not retire $live")
+    require(fs.rename(next, live), s"compact: could not promote $next")
+    fs.delete(old, true)
+  }
+
   /** Serve one probe batch from the stored artifact. Same output contract
     * as [[Similarity.ivfTopKWith]]: (query_id, neighbor_id, rank, cos).
     */
