@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal: measure the scaling EXPONENT, not the answers.
+  *
+  * The correctness gate runs at sf0.01 and the bench at sf0.1 (~17 MB) —
+  * every "survives 100×" claim beyond that was design argument plus
+  * plan-shape specs. This main converts the argument into data: it
+  * inflates sf0.1 by a factor F (deterministic self-union with RE-KEYED
+  * ids — each copy is a self-contained key universe, so join fan-outs and
+  * group sizes are preserved) and times a query set at 1× and F×,
+  * reporting the t(F×)/t(1×) ratio per query. Near-linear operators land
+  * at ratio ≤ ~F (plus fixed overheads); anything super-linear — a
+  * union-of-fronts funnel, an unguarded all-pairs verify — shows up as a
+  * ratio well past F.
+  *
+  * Two inflation details keep the measurement honest:
+  *   - `documents.text` is Caesar-rotated per copy (letters only, lengths
+  *     and word boundaries preserved). A verbatim self-union would make
+  *     every doc a 10-way exact/near dup, and dedup pair OUTPUT would grow
+  *     quadratically for data-shape reasons, swamping the engine signal.
+  *     Rotation keeps the per-copy dup structure identical to sf0.1, so
+  *     true pairs scale linearly — the engine's scan/bucket machinery is
+  *     what is under test.
+  *   - `embeddings.embedding` is cyclically rotated by the copy index
+  *     (norms preserved; random vectors decorrelate under rotation), so
+  *     the near-dup cosine graph also scales linearly, not as F² cliques.
+  *
+  * Usage:
+  *   runMain graft.ScaleRehearsal inflate <srcDir> <dstDir> <factor>
+  *   runMain graft.ScaleRehearsal run <baseDir> <bigDir> <factor> [q1,q2,…]
+  *
+  * `run` prints one JSON line per query — {"query","t_base","t_big",
+  * "ratio"} — and a final summary line. No oracle: the claim under test
+  * is the exponent. Results land in BASELINE.md by hand.
+  */
+object ScaleRehearsal {
+
+  /** The 12 most expensive bench queries (r10 graded run) + the four
+    * flagship end-to-end generators + the ops the r10 verdict called out
+    * as scale soft spots (skyline, exact quantiles, tiled AUC, LSH dedup).
+    */
+  val defaultSet: Seq[String] = Seq(
+    "q_setsim_join", "q_ann_ivf_persist", "q_kmv_intersect",
+    "q_ccnet_buckets", "q_textrank", "q_dedup_eval", "q_modularity",
+    "q_text_curation", "q_bitmap_cooccur", "q_dedup_keepbest",
+    "q_dedup_clusters", "q_quantile_bucket",
+    "q_corpus_e2e", "q_osrs_leaderboard_e2e", "q_entity_resolution",
+    "q_asof_auto",
+    "q_skyline_docs", "q_group_quantile_bucket", "q_auc_continuous",
+    "q_dedup_minhash_lsh")
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-rehearsal")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.toSeq match {
+      case Seq("inflate", src, dst, f) => inflate(spark, src, dst, f.toInt)
+      case Seq("run", base, big, f) =>
+        run(spark, base, big, f.toInt, defaultSet)
+      case Seq("run", base, big, f, qs) =>
+        run(spark, base, big, f.toInt, qs.split(",").map(_.trim).toSeq)
+      case other => sys.error(s"usage: inflate src dst F | run base big F [qs] — got $other")
+    }
+    spark.stop()
+  }
+
+  // ---------------------------------------------------------------- inflate
+
+  private val lower = "abcdefghijklmnopqrstuvwxyz"
+  private val upper = lower.toUpperCase
+
+  /** Letters-only Caesar rotation by `c` — lengths, digits, punctuation,
+    * and word boundaries unchanged; shingles completely changed for c>0.
+    */
+  private def caesar(col0: org.apache.spark.sql.Column, c: Int) = {
+    val r = c % 26
+    if (r == 0) col0
+    else translate(col0, lower + upper,
+      lower.drop(r) + lower.take(r) + upper.drop(r) + upper.take(r))
+  }
+
+  /** F copies of `df` with per-copy column rewrites. `rewrite(c)` returns
+    * the select list for copy c. One scan per copy; copy 0 is verbatim.
+    */
+  private def copies(df: DataFrame, f: Int)(
+      rewrite: Int => Seq[org.apache.spark.sql.Column]): DataFrame =
+    (0 until f).map(c => df.select(rewrite(c): _*)).reduce(_ unionAll _)
+
+  def inflate(spark: SparkSession, src: String, dst: String, f: Int): Unit = {
+    new java.io.File(dst).mkdirs()
+    def maxOf(table: String, key: String): Long =
+      Tables.load(spark, src, table).agg(max(col(key))).head.getLong(0) + 1
+
+    // Key strides — each copy offsets every surrogate key by c*stride so
+    // copies are disjoint, self-contained universes (joins inside a copy
+    // behave exactly like sf0.1; nothing joins across copies).
+    val sO = maxOf("orders", "o_orderkey")
+    val sC = maxOf("customer", "c_custkey")
+    val sP = maxOf("part", "p_partkey")
+    val sS = maxOf("supplier", "s_suppkey")
+    val sE = maxOf("events", "event_id")
+    val sU = Tables.events(spark, src).agg(max("user_id")).head.getLong(0) + 1
+    val sD = maxOf("documents", "doc_id")
+    val sV = maxOf("embeddings", "vec_id")
+
+    def write(name: String, df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+
+    // Tiny fixed dims: referenced by nationkey/regionkey from every copy —
+    // copied verbatim (at 100 TB these stay broadcast dims; scaling them
+    // would change join semantics, not stress anything).
+    write("region", Tables.region(spark, src))
+    write("nation", Tables.nation(spark, src))
+
+    write("customer", copies(Tables.customer(spark, src), f)(c => Seq(
+      (col("c_custkey") + lit(c * sC)).as("c_custkey"),
+      col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))))
+    write("supplier", copies(Tables.supplier(spark, src), f)(c => Seq(
+      (col("s_suppkey") + lit(c * sS)).as("s_suppkey"),
+      col("s_name"), col("s_nationkey"), col("s_acctbal"))))
+    write("part", copies(Tables.part(spark, src), f)(c => Seq(
+      (col("p_partkey") + lit(c * sP)).as("p_partkey"),
+      col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+      col("p_retailprice"))))
+    write("orders", copies(Tables.orders(spark, src), f)(c => Seq(
+      (col("o_orderkey") + lit(c * sO)).as("o_orderkey"),
+      (col("o_custkey") + lit(c * sC)).as("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+      col("o_orderpriority"))))
+    write("lineitem", copies(Tables.lineitem(spark, src), f)(c => Seq(
+      (col("l_orderkey") + lit(c * sO)).as("l_orderkey"),
+      (col("l_partkey") + lit(c * sP)).as("l_partkey"),
+      (col("l_suppkey") + lit(c * sS)).as("l_suppkey"),
+      col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+      col("l_discount"), col("l_tax"), col("l_returnflag"),
+      col("l_linestatus"), col("l_shipdate"))))
+    write("events", copies(Tables.events(spark, src), f)(c => Seq(
+      (col("event_id") + lit(c * sE)).as("event_id"), col("ts"),
+      (col("user_id") + lit(c * sU)).as("user_id"),
+      col("event_type"), col("value"), col("props"))))
+    write("documents", copies(Tables.documents(spark, src), f)(c => Seq(
+      (col("doc_id") + lit(c * sD)).as("doc_id"),
+      caesar(col("text"), c).as("text"),
+      col("lang"), col("source"), col("n_chars"))))
+    // Cyclic rotation by c: slice is 1-based; dim is uniform per fixture.
+    write("embeddings", copies(Tables.embeddings(spark, src), f)(c => Seq(
+      (col("vec_id") + lit(c * sV)).as("vec_id"),
+      (if (c == 0) col("embedding")
+       else concat(
+         slice(col("embedding"), c + 1, 1000000),
+         slice(col("embedding"), 1, c))).as("embedding"),
+      col("label"))))
+    println(s"""{"inflated":"$dst","factor":$f}""")
+  }
+
+  // -------------------------------------------------------------------- run
+
+  private def time(body: => Unit): Double = {
+    val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+  }
+
+  def run(spark: SparkSession, base: String, big: String, f: Int,
+      names: Seq[String]): Unit = {
+    val missing = names.filterNot(SparkEntry.queries.contains)
+    require(missing.isEmpty, s"unknown queries: $missing")
+    // Session warm-up (same rationale as Bench): pay classload/JIT once so
+    // the first query's base measurement isn't inflated — a too-large
+    // t_base UNDERSTATES ratios, which is the flattering direction; warm
+    // up so the ratios are honest.
+    spark.read.parquet(s"$base/region.parquet").count()
+    SparkEntry.queries("q_filter_count")(spark, base).count()
+    val rows = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      // min of 2 at base (short runs, relatively noisier); 1 at big.
+      val tBase = math.min(time(fn(spark, base).count()),
+        time(fn(spark, base).count()))
+      val tBig = time(fn(spark, big).count())
+      val ratio = tBig / tBase
+      println(f"""{"query":"$name","t_base":$tBase%.3f,"t_big":$tBig%.3f,"ratio":$ratio%.2f}""")
+      (name, tBase, tBig, ratio)
+    }
+    val worst = rows.maxBy(_._4)
+    println(f"""{"metric":"scale_rehearsal","factor":$f,"queries_n":${rows.length},"t_base_total":${rows.map(_._2).sum}%.1f,"t_big_total":${rows.map(_._3).sum}%.1f,"worst":"${worst._1}","worst_ratio":${worst._4}%.2f}""")
+  }
+}

@@ -46,16 +46,36 @@ object SetSimJoin {
     // overlap ≥ τ/(1+τ)·(sz_a+sz_b); prune pairs whose bound can't reach
     // it. The groupBy replaces the distinct — same shuffle, plus the agg
     // that powers the prune.
+    //
+    // ACCUMULATED-overlap refinement (PPJoin's running-α bound, applied
+    // at the last common prefix token w* instead of the first): let
+    // cp = |prefix(x) ∩ prefix(y)| and (ma, mb) = w*'s positions. The
+    // arrays are sorted by the SAME global order, so any common token
+    // below w* sits before (ma, mb) in BOTH arrays — hence inside both
+    // prefixes, hence already counted in cp — and any common token above
+    // w* sits after ma in x AND after mb in y. So
+    // |x∩y| ≤ cp + min(sz_a − ma − 1, sz_b − mb − 1), a bound that
+    // tightens with every shared prefix token, where the first-token
+    // bound only knew "overlap fits in the tails". On a small-vocabulary
+    // corpus (huge true-pair volume, long shared prefixes) this is the
+    // filter that actually bites: the verify join replicates each
+    // document's gram array once per surviving candidate, so candidates
+    // pruned here are shuffle bytes never shipped.
+    val oMin = (col("sz_a") + col("sz_b")) * lit(tau / (1.0 + tau)) - lit(1e-9)
     a.join(b, Seq("gram"))
       .filter(col("id_a") < col("id_b") &&
         least(col("sz_a"), col("sz_b")) >=
           ceil(greatest(col("sz_a"), col("sz_b")) * lit(tau) - lit(1e-9)))
       .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
-      .agg(min(col("__pa")).as("__pa"), min(col("__pb")).as("__pb"))
+      .agg(min(col("__pa")).as("__pa"), min(col("__pb")).as("__pb"),
+        max(col("__pa")).as("__ma"), max(col("__pb")).as("__mb"),
+        count(lit(1)).as("__cp"))
       .filter(
         least(col("sz_a") - col("__pa"), col("sz_b") - col("__pb"))
-          .cast("double") >=
-          (col("sz_a") + col("sz_b")) * lit(tau / (1.0 + tau)) - lit(1e-9))
+          .cast("double") >= oMin &&
+        (col("__cp") +
+          least(col("sz_a") - col("__ma"), col("sz_b") - col("__mb")) -
+          lit(1)).cast("double") >= oMin)
       .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
   }
 
@@ -98,6 +118,13 @@ object SetSimJoin {
       .localCheckpoint(eager = false)
     val cands = candidatePairs(ranked, tau)
     val arrs = ranked.select(col("id"), col("grams"))
+    // (A tail-only verification — __cp + intersect of the post-w* slices,
+    // lossless by the same monotonicity argument as the accumulated
+    // filter — was measured here and came out flat-to-slower: slice()
+    // materializes array copies that cost what the shorter intersect
+    // saves, and the dominant cost of this operator at low τ is the
+    // posting-list co-occurrence shuffle inside candidatePairs, not the
+    // verify. Full-array intersect kept for simplicity.)
     val inter = size(array_intersect(col("__ga"), col("__gb")))
     cands
       .join(arrs.select(col("id").as("id_a"), col("grams").as("__ga")), Seq("id_a"))

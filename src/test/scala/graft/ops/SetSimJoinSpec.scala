@@ -71,6 +71,59 @@ class SetSimJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(result.subsetOf(cands))
   }
 
+  test("small-vocabulary corpus: parity with naive, and the accumulated " +
+      "positional filter prunes strictly below the first-token bound") {
+    // The bench corpus's pathology: ~40-word vocabulary, so shingle sets
+    // overlap heavily and long SHARED prefixes are the norm — exactly
+    // where the accumulated bound (cp + tail past the LAST common prefix
+    // token) bites and the first-token bound does not. Deterministic
+    // LCG-built docs, 60 docs of 25 words over a 12-word vocab.
+    val vocab = Array("ore", "bar", "gem", "rune", "log", "bone", "herb", "seed")
+    var s = 12345L
+    def nxt(): Int = { s = (s * 6364136223846793005L + 1442695040888963407L); ((s >>> 33) % vocab.length).toInt }
+    val corpus = docs((1L to 60L).map { id =>
+      id -> (1 to 30).map(_ => vocab(nxt())).mkString(" ")
+    }: _*)
+    for (tau <- Seq(0.3, 0.6)) {
+      val got = SetSimJoin.selfJoin(corpus, "doc_id", "text", 3, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === naive(corpus, tau), s"tau=$tau")
+    }
+    // First-token-only candidate count, computed the way candidatePairs
+    // did before the accumulated refinement — the new filter must emit a
+    // (weak) subset, and on this corpus a strictly smaller one.
+    val tau = 0.4
+    val ranked = SetSimJoin.rankedSets(corpus, "doc_id", "text", 3)
+    val prefix = ranked.select(col("id"), col("sz"),
+      posexplode(slice(col("grams"), lit(1),
+        (col("sz") - ceil(col("sz") * lit(tau) - lit(1e-9)) + lit(1)).cast("int")))
+        .as(Seq("pos", "gram")))
+    val a = prefix.select(col("id").as("id_a"), col("sz").as("sz_a"),
+      col("pos").as("__pa"), col("gram"))
+    val b = prefix.select(col("id").as("id_b"), col("sz").as("sz_b"),
+      col("pos").as("__pb"), col("gram"))
+    val firstTokenOnly = a.join(b, Seq("gram"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("sz_a"), col("sz_b")) >=
+          ceil(greatest(col("sz_a"), col("sz_b")) * lit(tau) - lit(1e-9)))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(min(col("__pa")).as("__pa"), min(col("__pb")).as("__pb"))
+      .filter(
+        least(col("sz_a") - col("__pa"), col("sz_b") - col("__pb"))
+          .cast("double") >=
+          (col("sz_a") + col("sz_b")) * lit(tau / (1.0 + tau)) - lit(1e-9))
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val accumulated = SetSimJoin.candidatePairs(ranked, tau)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = naive(corpus, tau).map(t => (t._1, t._2))
+    assert(accumulated.subsetOf(firstTokenOnly))
+    assert(truth.subsetOf(accumulated))
+    assert(accumulated.size < firstTokenOnly.size,
+      s"accumulated=${accumulated.size} firstToken=${firstTokenOnly.size}")
+  }
+
   test("sub-shingle docs never appear; empty input yields empty output") {
     val pairs = SetSimJoin.selfJoin(fixture, "doc_id", "text", 3, 0.05)
     val ids = pairs.select(col("id_a").as("id"))
