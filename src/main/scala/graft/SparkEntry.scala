@@ -22,7 +22,8 @@ object SparkEntry {
     MultimodalQueries,
     SketchQueries,
     GraphQueries,
-    MlQueries)
+    MlQueries,
+    CorpusStatsQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the single-pass period-pivoted leaderboard (SURVEY §2.4 A1+A2).

@@ -1,0 +1,120 @@
+package graft.graph
+
+import graft.ops.Hll
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HyperANF (Boldi, Rosa & Vigna, WWW'11): the neighborhood function
+  * NF(t) = |{(u,v) : dist(u→v) ≤ t}| of a graph, estimated with one
+  * HyperLogLog counter per node — the only known way to get distance
+  * distributions / effective diameter on graphs where all-pairs BFS is
+  * infeasible (NF is exactly the quantity a 100 TB web/link graph cannot
+  * compute exactly: n BFS traversals).
+  *
+  * Spark-native shape: a node's counter is NOT opaque UDAF state but the
+  * same bounded (node, reg, rho) register TABLE as [[graft.ops.Hll]] —
+  * ≤ 256 rows per node, initialised to the singleton {node}. One
+  * iteration is pure relational algebra:
+  *
+  *   regs(t+1) = (regs(t)  ∪  edges ⋈ regs(t) on dst)
+  *                 .groupBy(node, reg).max(rho)
+  *
+  * i.e. every node merges its out-neighbors' counters (HLL union IS
+  * per-register max), which is a key-partitioned equi-join plus a
+  * combinable aggregate — map-side combine collapses duplicate
+  * (node, reg) rows before the shuffle, so each round moves O(|E| + n·m)
+  * scalar rows and nothing resembling a frontier set. Self-loops are
+  * harmless (merging a counter into itself is a no-op) but edges are
+  * deduplicated to cut join fan-out.
+  *
+  * Determinism: hashes are md5-derived (cross-engine reproducible — see
+  * [[graft.ops.Hll]]); the per-node estimate keeps the register power sum
+  * exact in a BIGINT and divides once, so DuckDB rebuilds every estimate
+  * bit-for-bit. NF(t) sums per-node estimates AFTER rounding each to 4
+  * decimals and casting to DECIMAL(38,4), so the corpus-level sum is
+  * exact and aggregation-order-independent on both engines.
+  *
+  * Reference scope note: the reference pipeline has no graph stage — this
+  * is an extension operator (SURVEY.md §2 extensions), implemented from
+  * the published algorithm.
+  */
+object HyperAnf {
+
+  /** Per-node register tables after `t` merge rounds: (node, reg, rho)
+    * where the sketch over-approximates nothing and under-approximates
+    * nothing of the t-hop OUT-ball of `node` (standard HLL error aside).
+    */
+  def ballRegisters(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // Singleton sketch {node}: md5 of the node id's decimal string, so
+    // the oracle's md5(CAST(node AS VARCHAR)) is bit-identical.
+    val init = Hll.registers(
+      nodes.select(col("node"), col("node").cast("string").as("__item")),
+      "__item", Seq("node"))
+    (1 to rounds).foldLeft(init) { (regs, _) =>
+      regs
+        .union(e.join(regs, e("dst") === regs("node"))
+          .select(col("src").as("node"), col("reg"), col("rho")))
+        .groupBy(col("node"), col("reg"))
+        .agg(max(col("rho")).as("rho"))
+    }
+  }
+
+  /** Per-node ball-size estimate from a (node, reg, rho) table —
+    * [[Hll.estimate]] generalised to grouped form, identical arithmetic.
+    */
+  def ballEstimates(regs: DataFrame): DataFrame = {
+    val m = Hll.M.toLong
+    val agg = regs.groupBy(col("node")).agg(
+      count(lit(1)).as("__present"),
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${Hll.R} - rho)")).as("__sp"))
+    val sD = (coalesce(col("__sp"), lit(0L)) +
+      (lit(m) - col("__present")) * lit(1L << Hll.R)).cast("double")
+    val v = (lit(m) - col("__present")).cast("double")
+    val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+      lit(65536.0) * lit(9007199254740992.0) / sD
+    agg.select(col("node"),
+      when(raw <= lit(2.5 * Hll.M) && v > lit(0.0),
+        lit(Hll.M.toDouble) * log(lit(Hll.M.toDouble) / v))
+        .otherwise(raw).as("ball_est"))
+  }
+
+  /** The neighborhood function: one row per t ∈ [0, rounds] —
+    * (t, nf) where nf ≈ # ordered pairs within distance ≤ t, as an
+    * exact DECIMAL(38,4) sum of 4-decimal-rounded per-node estimates.
+    */
+  def neighborhoodFunction(edges: DataFrame, srcCol: String,
+      dstCol: String, rounds: Int): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+      // Referenced by every round's join; materialise once.
+      .localCheckpoint(eager = false)
+    def nfOf(t: Int, regs: DataFrame): DataFrame =
+      ballEstimates(regs)
+        .agg(sum(round(col("ball_est"), 4).cast("decimal(38,4)")).as("nf"))
+        // Exact DECIMAL accumulation; DOUBLE readout (≤ 4 fractional
+        // digits, well under 2^53 — the cast is exact) so both engines
+        // print identically.
+        .select(lit(t).as("t"), col("nf").cast("double").as("nf"))
+    // One register table threaded through all rounds (NOT rebuilt per t —
+    // that would be O(rounds²) joins); lineage truncated each round so
+    // round r's plan doesn't replay rounds 1..r-1.
+    var regs = ballRegisters(e, "src", "dst", rounds = 0)
+      .localCheckpoint(eager = false)
+    var out = nfOf(0, regs)
+    for (t <- 1 to rounds) {
+      regs = regs
+        .union(e.join(regs, e("dst") === regs("node"))
+          .select(col("src").as("node"), col("reg"), col("rho")))
+        .groupBy(col("node"), col("reg"))
+        .agg(max(col("rho")).as("rho"))
+        .localCheckpoint(eager = false)
+      out = out.unionAll(nfOf(t, regs))
+    }
+    out
+  }
+}

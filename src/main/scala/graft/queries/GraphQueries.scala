@@ -94,6 +94,18 @@ object GraphQueries extends QueryGroup {
     "q_kcore" -> ((s, dir) => {
       val edges = plantedEdges(s, dir)
       graft.graph.KCore.peel(edges, "src", "dst", k = 3, rounds = 4)
+    }),
+
+    // HyperANF neighborhood function NF(t), t ∈ [0,3]: per-node HLL
+    // counters merged along edges — the distance-distribution estimator
+    // for graphs where n BFS runs are infeasible. Register tables and
+    // estimator are md5-deterministic, so DuckDB rebuilds every counter
+    // and the DECIMAL-summed NF bit-for-bit (same machinery as
+    // q_hll_distinct, iterated).
+    "q_hyperanf" -> ((s, dir) => {
+      val edges = plantedEdges(s, dir)
+      graft.graph.HyperAnf.neighborhoodFunction(edges, "src", "dst",
+        rounds = 3)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -276,5 +288,57 @@ object GraphQueries extends QueryGroup {
          |SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
          |  SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4)
          |GROUP BY node HAVING count(*) >= 3""".stripMargin
+    },
+
+    // HyperANF: singleton-HLL init (md5 of the node id's decimal string),
+    // 3 merge rounds unrolled (HLL union = per-register max over self ∪
+    // out-neighbors), then the q_hll_distinct estimator per node and a
+    // DECIMAL(38,4) sum of 4-decimal-rounded estimates — exact,
+    // order-independent, bit-identical to the Spark side.
+    "q_hyperanf" -> {
+      def mergeRound(i: Int): String =
+        s"""r$i AS (
+           |  SELECT node, reg, max(rho) AS rho FROM (
+           |    SELECT node, reg, rho FROM r${i - 1}
+           |    UNION ALL
+           |    SELECT e.src AS node, r.reg, r.rho
+           |    FROM e JOIN r${i - 1} r ON r.node = e.dst)
+           |  GROUP BY node, reg)""".stripMargin
+      def nfOf(i: Int): String =
+        s"""a$i AS (
+           |  SELECT node, count(*) AS present,
+           |    sum(1::BIGINT << (53 - rho)) AS sp
+           |  FROM r$i GROUP BY node),
+           |v$i AS (
+           |  SELECT CAST(sp + (256 - present) * (1::BIGINT << 53) AS DOUBLE) AS sd,
+           |    CAST(256 - present AS DOUBLE) AS v
+           |  FROM a$i),
+           |nf$i AS (
+           |  SELECT sum(CAST(round(
+           |      CASE WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+           |            * 9007199254740992.0 / sd <= 640.0 AND v > 0.0
+           |        THEN 256.0 * ln(256.0 / v)
+           |        ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+           |            * 9007199254740992.0 / sd END, 4) AS DECIMAL(38,4)))
+           |    AS nf
+           |  FROM v$i)""".stripMargin
+      s"""WITH $rawEdgesSql,
+         |e AS (SELECT DISTINCT src, dst FROM raw),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |h AS (
+         |  SELECT node,
+         |    CAST(('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM nodes),
+         |r0 AS (
+         |  SELECT node, h % 256 AS reg,
+         |    CASE WHEN (h >> 8) = 0 THEN 53
+         |         ELSE 53 - length(bin(h >> 8)) END AS rho
+         |  FROM h),
+         |${(1 to 3).map(mergeRound).mkString(",\n")},
+         |${(0 to 3).map(nfOf).mkString(",\n")}
+         |SELECT 0 AS t, CAST(nf AS DOUBLE) AS nf FROM nf0
+         |UNION ALL SELECT 1, CAST(nf AS DOUBLE) FROM nf1
+         |UNION ALL SELECT 2, CAST(nf AS DOUBLE) FROM nf2
+         |UNION ALL SELECT 3, CAST(nf AS DOUBLE) FROM nf3""".stripMargin
     })
 }
