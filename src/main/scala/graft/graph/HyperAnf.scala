@@ -65,23 +65,11 @@ object HyperAnf {
   }
 
   /** Per-node ball-size estimate from a (node, reg, rho) table —
-    * [[Hll.estimate]] generalised to grouped form, identical arithmetic.
+    * [[Hll.estimateBy]] keyed on the node.
     */
-  def ballEstimates(regs: DataFrame): DataFrame = {
-    val m = Hll.M.toLong
-    val agg = regs.groupBy(col("node")).agg(
-      count(lit(1)).as("__present"),
-      sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${Hll.R} - rho)")).as("__sp"))
-    val sD = (coalesce(col("__sp"), lit(0L)) +
-      (lit(m) - col("__present")) * lit(1L << Hll.R)).cast("double")
-    val v = (lit(m) - col("__present")).cast("double")
-    val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
-      lit(65536.0) * lit(9007199254740992.0) / sD
-    agg.select(col("node"),
-      when(raw <= lit(2.5 * Hll.M) && v > lit(0.0),
-        lit(Hll.M.toDouble) * log(lit(Hll.M.toDouble) / v))
-        .otherwise(raw).as("ball_est"))
-  }
+  def ballEstimates(regs: DataFrame): DataFrame =
+    Hll.estimateBy(regs, Seq("node"))
+      .withColumnRenamed("hll_est", "ball_est")
 
   /** The neighborhood function: one row per t ∈ [0, rounds] —
     * (t, nf) where nf ≈ # ordered pairs within distance ≤ t, as an

@@ -56,20 +56,26 @@ object Hll {
     * the count of untouched registers. Output column `hll_est` (double,
     * un-rounded — callers round for display).
     */
-  def estimate(regs: DataFrame): DataFrame = {
-    val agg = regs.agg(
+  def estimate(regs: DataFrame): DataFrame = estimateBy(regs, Nil)
+
+  /** Per-group estimate from a (groupCols..., reg, rho) table — one
+    * `hll_est` row per group (global with no groups). Same arithmetic as
+    * the single-sketch estimator, written with the SAME literal
+    * association as the DuckDB oracle so the folded constant is
+    * identical.
+    */
+  def estimateBy(regs: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val agg = regs.groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).as("__present"),
       sum(expr(s"shiftleft(CAST(1 AS BIGINT), $R - rho)")).as("__sp"))
     val sD = (coalesce(col("__sp"), lit(0L)) +
       (lit(M.toLong) - col("__present")) * lit(1L << R)).cast("double")
     val v = (lit(M.toLong) - col("__present")).cast("double")
-    // alpha_m · m² · 2^53 / S — literal arithmetic written with the SAME
-    // association as the DuckDB oracle so the folded constant is identical.
     val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
       lit(65536.0) * lit(9007199254740992.0) / sD
-    agg.select(
+    agg.select(groupCols.map(col) :+
       when(raw <= lit(2.5 * M) && v > lit(0.0),
         lit(M.toDouble) * log(lit(M.toDouble) / v))
-        .otherwise(raw).as("hll_est"))
+        .otherwise(raw).as("hll_est"): _*)
   }
 }
