@@ -32,8 +32,15 @@ object CorpusStatsQueries extends QueryGroup {
     // construction — not a data-sized global window).
     "q_vocab_growth" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // The 1-row bounds frame is referenced by both bucket pipelines;
+      // checkpoint it so the doc_id min/max scan runs once. The exploded
+      // token table is deliberately NOT checkpointed: both consumers
+      // reduce it map-side immediately, and re-running a codegen'd
+      // scan+explode is cheaper at scale than materializing
+      // occurrence-level rows.
       val bounds = docs.agg(min(col("doc_id")).as("__lo"),
         (max(col("doc_id")) + 1).as("__hi"))
+        .localCheckpoint(eager = false)
       val toks = docs.select(col("doc_id"),
           explode(split(graft.ops.Dedup.normalizeText(col("text")), " "))
             .as("tok"))

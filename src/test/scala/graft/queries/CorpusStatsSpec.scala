@@ -81,4 +81,13 @@ class CorpusStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getDouble(2) == 0.5)
     assert(r.getDouble(4) == 0.666667)
   }
+
+  test("q_rouge_bleu: brevity penalty fires on a shorter perfect candidate") {
+    // ref "a b c d" (4 unigrams, 3 bigrams) vs cand "a b" (2, 1): both
+    // precisions are 1.0, so BLEU-2 = bp·√(1·1) = exp(1 − 4/2) = e⁻¹.
+    val dir = fixture(Seq(0L -> "a b c d", 1L -> "a b"))
+    val r = run("q_rouge_bleu", dir).head
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 1.0)
+    assert(math.abs(r.getDouble(6) - math.exp(-1.0)) <= 1e-6)
+  }
 }
