@@ -82,14 +82,44 @@ object Pq {
     */
   def adcTopK(probes: DataFrame, codes: DataFrame, idCol: String,
       vecCol: String, model: PqModel, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val p = probeTables(probes, idCol, vecCol, model)
+    rankAdc(broadcast(p)
+      .crossJoin(codes.select(col(idCol).as("neighbor_id"), col("pq_code"))),
+      model, k)
+  }
+
+  /** [[adcTopK]] restricted to caller-supplied (query_id, neighbor_id)
+    * candidate pairs — the seam a coarse quantizer (IVF lists, LSH
+    * buckets) plugs into: the ADC scan touches only routed candidates
+    * instead of the full code table.
+    */
+  def adcTopKWithin(probes: DataFrame, codes: DataFrame,
+      candPairs: DataFrame, idCol: String, vecCol: String, model: PqModel,
+      k: Int): DataFrame = {
+    val p = probeTables(probes, idCol, vecCol, model)
+    rankAdc(candPairs.select(col("query_id"), col("neighbor_id"))
+      .join(codes.select(col(idCol).as("neighbor_id"), col("pq_code")),
+        Seq("neighbor_id"))
+      .join(broadcast(p), Seq("query_id")),
+      model, k)
+  }
+
+  /** Per-probe m×k distance tables: (query_id, __tab). */
+  private def probeTables(probes: DataFrame, idCol: String, vecCol: String,
+      model: PqModel): DataFrame = {
     val tab = array((0 until model.m).map(s =>
       KMeans.distanceArray(subVec(col(vecCol), s, model.subDim),
         model.models(s))): _*)
-    val p = probes.filter(col(vecCol).isNotNull)
+    probes.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), tab.as("__tab"))
-    val pairs = broadcast(p)
-      .crossJoin(codes.select(col(idCol).as("neighbor_id"), col("pq_code")))
+  }
+
+  /** ADC lookup + per-query rank over (query_id, neighbor_id, __tab,
+    * pq_code) pair rows.
+    */
+  private def rankAdc(pairs: DataFrame, model: PqModel, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = pairs
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (0 until model.m).map(s =>
@@ -98,7 +128,7 @@ object Pq {
           .reduce(_ + _).cast("long").as("adc_dist"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "adc_dist")
   }
@@ -114,18 +144,30 @@ object Pq {
   def adcRerankTopK(probes: DataFrame, corpus: DataFrame, codes: DataFrame,
       idCol: String, vecCol: String, model: PqModel, k: Int,
       candidateK: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(candidateK >= k, "candidateK must be >= k")
+    exactRerank(
+      adcTopK(probes, codes, idCol, vecCol, model, candidateK)
+        .select("query_id", "neighbor_id"),
+      probes, corpus, idCol, vecCol, k)
+  }
+
+  /** Stage 2 of two-stage retrieval, reusable under ANY candidate
+    * generator (full ADC, IVF-routed ADC, LSH buckets): exact-cosine
+    * score of the supplied (query_id, neighbor_id) pairs, cut to top-k.
+    * The full-vector join touches only the candidate rows.
+    */
+  def exactRerank(cand: DataFrame, probes: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dot = graft.ops.Similarity.dot _
-    val cand = adcTopK(probes, codes, idCol, vecCol, model, candidateK)
-      .select("query_id", "neighbor_id")
     val c = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"),
         graft.ops.Similarity.norm(col(vecCol)).as("__nn"))
     val p = probes.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
         graft.ops.Similarity.norm(col(vecCol)).as("__qn"))
-    val scored = cand.join(c, "neighbor_id").join(broadcast(p), "query_id")
+    val scored = cand.select("query_id", "neighbor_id")
+      .join(c, "neighbor_id").join(broadcast(p), "query_id")
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("__qv"), col("__nv")) / (col("__qn") * col("__nn"))).as("cos"))
     val w = Window.partitionBy("query_id")

@@ -320,6 +320,23 @@ object Similarity {
   private[ops] def probeInvertedLists(
       probes: DataFrame, idCol: String, vecCol: String, k: Int,
       cent: DataFrame, lists: DataFrame, nprobe: Int): DataFrame = {
+    val cand = ivfCandidates(probes, idCol, vecCol, cent, lists, nprobe)
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("__qv"), col("__nv")) / (col("__qn") * col("__nn"))).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** The IVF candidate stage alone: route each probe to its `nprobe`
+    * nearest lists and emit the in-list (query_id, neighbor_id) pairs
+    * with both sides' vectors/norms attached — the scoring policy
+    * (exact cosine, ADC codes, …) is the caller's.
+    */
+  private[ops] def ivfCandidates(
+      probes: DataFrame, idCol: String, vecCol: String,
+      cent: DataFrame, lists: DataFrame, nprobe: Int): DataFrame = {
     val p = probes.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
         norm(col(vecCol)).as("__qn"))
@@ -330,16 +347,36 @@ object Similarity {
         dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
       .withColumn("__r", row_number().over(wP)).filter(col("__r") <= nprobe)
       .select(col("__cid").as("__list"), col("query_id"), col("__qv"), col("__qn"))
-
     // Each corpus row lives in exactly one list → no cross-list dupes.
-    val cand = probeLists.join(lists, Seq("__list"))
+    probeLists.join(lists, Seq("__list"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (dot(col("__qv"), col("__nv")) / (col("__qn") * col("__nn"))).as("cos"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** IVF-PQ retrieval — the FAISS IVFPQ serving shape, composed from
+    * this file's coarse quantizer and [[graft.ml.Pq]]'s compressed
+    * scorer: the codebook routes each probe to `nprobe` Voronoi lists,
+    * ADC over the m-byte PQ codes ranks ONLY in-list candidates to
+    * `candidateK`, and exact cosine re-scores those few to top-k. At
+    * corpus scale the full-vector column is read exactly twice (index
+    * build + the |probes|·candidateK rerank rows); the per-probe scan
+    * is list-bucketed code lookups — the architecture billion-vector
+    * retrieval actually deploys.
+    */
+  def ivfPqTopK(probes: DataFrame, corpus: DataFrame, codes: DataFrame,
+      idCol: String, vecCol: String, model: graft.ml.Pq.PqModel, k: Int,
+      candidateK: Int, centroidMod: Int = 25, nprobe: Int = 3): DataFrame = {
+    require(candidateK >= k, "candidateK must be >= k")
+    val centRaw = corpus.filter(col(vecCol).isNotNull)
+      .filter(pmod(col(idCol), lit(centroidMod)) === 0)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid"))
+    val cent = centFrame(centRaw, "centroid_id", "centroid")
+    val lists = invertedLists(corpus, idCol, vecCol, cent)
+    val pairs = ivfCandidates(probes, idCol, vecCol, cent, lists, nprobe)
+      .select("query_id", "neighbor_id")
+    graft.ml.Pq.exactRerank(
+      graft.ml.Pq.adcTopKWithin(probes, codes, pairs, idCol, vecCol,
+        model, candidateK),
+      probes, corpus, idCol, vecCol, k)
   }
 
   private def lshTopKImpl(

@@ -77,6 +77,25 @@ object MlQueries extends QueryGroup {
           (round(col("cos"), 4) + lit(0.0)).as("cos"))
     }),
 
+    // IVF-PQ retrieval (the FAISS IVFPQ serving shape): the coarse
+    // quantizer of q_ann_ivf_topk routes probes to 3 Voronoi lists, the
+    // ADC code scorer of q_pq_adc_topk ranks ONLY in-list candidates to
+    // 20, exact cosine re-scores those to top-5. Same codebooks, same
+    // integer ADC grid, same rerank arithmetic — the oracle composes the
+    // two proven SQL fragments.
+    "q_ivf_pq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = Pq.fit(emb, "vec_id", "embedding",
+        dims = 64, m = 4, k = 4, iterations = 2)
+      graft.ops.Similarity.ivfPqTopK(
+        emb.filter(col("vec_id") % 50 === 0), emb,
+        Pq.encode(emb, "vec_id", "embedding", model),
+        "vec_id", "embedding", model, k = 5, candidateK = 20,
+        centroidMod = 25, nprobe = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          (round(col("cos"), 4) + lit(0.0)).as("cos"))
+    }),
+
     // Exact tie-aware AUC (Mann–Whitney) of document length as a
     // predictor of a planted source split — integer sufficient statistics
     // (p, n, auc_num_x2), AUC = auc_num_x2 / 2pn.
@@ -388,7 +407,13 @@ object MlQueries extends QueryGroup {
        |$joins""".stripMargin
   }
 
-  private def pqAdcSql(finalSelect: String): String = {
+  /** Shared ADC oracle skeleton. `extraCtes` (if any) are injected before
+    * the candidate CTE; `candJoin` adds a restriction join inside it —
+    * the composition seam `q_ivf_pq_topk` uses to route candidates
+    * through the IVF fragment.
+    */
+  private def pqAdcSql(finalSelect: String, extraCtes: String = "",
+      candJoin: String = ""): String = {
     val m = 4; val subDim = 16
     val chains = (0 until m).map { s =>
       lloydChain(s"s${s}_",
@@ -411,13 +436,15 @@ object MlQueries extends QueryGroup {
       s"  JOIN pr$s p$s ON p$s.c = a$s.c$qj"
     }.mkString("\n")
     val dist = (0 until m).map(s => s"p$s.d").mkString(" + ")
+    val extra = if (extraCtes.isEmpty) "" else s"\n$extraCtes,"
+    val restrict = if (candJoin.isEmpty) "" else s"\n$candJoin"
     s"""WITH $chains,
-       |$tables,
+       |$tables,$extra
        |cand AS (
        |  SELECT p0.query_id, a0.vec_id AS neighbor_id, $dist AS adc
        |  FROM s0_af a0
        |$codeJoins
-       |$tabJoins
+       |$tabJoins$restrict
        |  WHERE p0.query_id <> a0.vec_id),
        |r AS (SELECT *, row_number() OVER
        |  (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn FROM cand)
@@ -648,5 +675,46 @@ object MlQueries extends QueryGroup {
         |  JOIN e b ON b.vec_id = c.neighbor_id)
         |SELECT query_id, neighbor_id, rank, round(cos, 4) + 0.0 AS cos
         |FROM rr WHERE rank <= 5""".stripMargin),
+    // IVF routing (the q_ann_ivf_topk fragment, probe set aligned with
+    // the ADC probes) restricts the ADC candidate CTE; rerank reuses the
+    // fragment's own `e` table.
+    "q_ivf_pq_topk" -> pqAdcSql(
+      finalSelect =
+        """, cnd AS (SELECT query_id, neighbor_id FROM r WHERE rn <= 20),
+          |rr AS (
+          |  SELECT c.query_id, c.neighbor_id,
+          |    list_cosine_similarity(a.v, b.v) AS cos,
+          |    CAST(row_number() OVER (PARTITION BY c.query_id
+          |      ORDER BY list_cosine_similarity(a.v, b.v) DESC,
+          |        c.neighbor_id ASC) AS INT) AS rank
+          |  FROM cnd c
+          |  JOIN e a ON a.vec_id = c.query_id
+          |  JOIN e b ON b.vec_id = c.neighbor_id)
+          |SELECT query_id, neighbor_id, rank, round(cos, 4) + 0.0 AS cos
+          |FROM rr WHERE rank <= 5""".stripMargin,
+      extraCtes =
+        """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          |     WHERE embedding IS NOT NULL),
+          |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+          |assign AS (
+          |  SELECT a.vec_id, c.cid,
+          |    row_number() OVER (PARTITION BY a.vec_id
+          |      ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cid ASC) AS r
+          |  FROM e a CROSS JOIN cent c),
+          |lists AS (SELECT cid AS list, vec_id AS neighbor_id
+          |  FROM assign WHERE r = 1),
+          |pa AS (
+          |  SELECT a.vec_id AS query_id, c.cid,
+          |    row_number() OVER (PARTITION BY a.vec_id
+          |      ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cid ASC) AS r
+          |  FROM e a CROSS JOIN cent c WHERE a.vec_id % 50 = 0),
+          |pl AS (SELECT query_id, cid AS list FROM pa WHERE r <= 3),
+          |ivfcand AS (
+          |  SELECT pl.query_id, l.neighbor_id
+          |  FROM pl JOIN lists l ON pl.list = l.list
+          |  WHERE pl.query_id <> l.neighbor_id)""".stripMargin,
+      candJoin =
+        "  JOIN ivfcand ic ON ic.query_id = p0.query_id" +
+          " AND ic.neighbor_id = a0.vec_id"),
     "q_fps_sample" -> fpsSql)
 }
