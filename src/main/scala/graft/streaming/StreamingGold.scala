@@ -1,9 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
@@ -47,24 +43,13 @@ class StreamingGold(
 
   require(keys.nonEmpty, "merge needs at least one key column")
 
-  private val pointer = Paths.get(rootDir, "current")
-  private val slots = Seq("gold_a", "gold_b")
-
-  private def currentSlot: Option[String] =
-    if (Files.exists(pointer)) Some(Files.readString(pointer).trim) else None
-
-  private def slotDir(slot: String) = Paths.get(rootDir, slot)
+  private val store = new BlueGreenStore(rootDir)
 
   /** Batch id recorded in the LIVE snapshot; -1 before the first commit. */
-  def committedBatchId: Long =
-    currentSlot.map { s =>
-      val marker = slotDir(s).resolve("_committed_batch")
-      if (Files.exists(marker)) Files.readString(marker).trim.toLong else -1L
-    }.getOrElse(-1L)
+  def committedBatchId: Long = store.committedBatchId
 
   /** The live merged table, if any batch has committed. */
-  def read(spark: SparkSession): Option[DataFrame] =
-    currentSlot.map(s => spark.read.parquet(slotDir(s).resolve("data").toString))
+  def read(spark: SparkSession): Option[DataFrame] = store.read(spark)
 
   /** Apply one micro-batch: merge into the standby slot and swap. Replays
     * (batchId ≤ committed) are no-ops. Safe to call directly for manual
@@ -77,18 +62,7 @@ class StreamingGold(
       case Some(current) => merge(current.unionByName(batch))
       case None => merge(batch)
     }
-    val target = currentSlot match {
-      case Some(s) if slots.contains(s) => slots.find(_ != s).get
-      case _ => slots.head
-    }
-    val dir = slotDir(target)
-    Files.createDirectories(dir)
-    merged.write.mode("overwrite").parquet(dir.resolve("data").toString)
-    Files.writeString(dir.resolve("_committed_batch"), batchId.toString)
-    val tmp = Paths.get(rootDir, "current.tmp")
-    Files.writeString(tmp, target)
-    Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    store.commit(merged, batchId)
   }
 
   /** One row per key: lexicographic max of (version, non-key columns) —
@@ -107,14 +81,7 @@ class StreamingGold(
     * the standby after repeated swaps never exists — but a crashed write
     * can leave one). Never touches the live slot.
     */
-  def vacuum(): Unit = {
-    val live = currentSlot
-    slots.filterNot(live.contains).map(slotDir).filter(Files.exists(_))
-      .foreach { d =>
-        Files.walk(d).iterator().asScala.toSeq.reverse
-          .foreach(p => Files.deleteIfExists(p))
-      }
-  }
+  def vacuum(): Unit = store.vacuum()
 
   /** Streaming writer: at-least-once `foreachBatch` + this sink's replay
     * guard = exactly-once end to end.
