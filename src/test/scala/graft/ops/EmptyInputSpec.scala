@@ -100,4 +100,37 @@ class EmptyInputSpec extends AnyFunSuite with SparkTestBase {
       Seq.empty[(Long, Boolean, Boolean)].toDF("s", "t", "c"),
       col("s"), col("t"), col("c")).count() == 0)
   }
+
+  test("round-11 operators on empty inputs") {
+    import spark.implicits._
+    // HyperANF on an empty edge set: no nodes → every NF(t) row exists
+    // (one per t, the readout contract) with a NULL sum.
+    val ee = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val nf = graft.graph.HyperAnf.neighborhoodFunction(ee, "src", "dst", 2)
+      .orderBy("t").collect()
+    assert(nf.length == 3 && nf.forall(_.isNullAt(1)))
+    // IVF-PQ on an empty corpus with a degenerate model: no probes can
+    // route → empty result (model fit needs data, so fit on a singleton).
+    val one = Seq((0L, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    val model = graft.ml.Pq.fit(one, "vec_id", "embedding", dims = 8,
+      m = 2, k = 1, iterations = 1)
+    val ev = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.ivfPqTopK(ev, one, graft.ml.Pq.encode(one, "vec_id",
+      "embedding", model), "vec_id", "embedding", model, k = 1,
+      candidateK = 1, centroidMod = 1, nprobe = 1).count() == 0)
+    // Streaming monitors: merging an empty batch commits the id but adds
+    // nothing; estimates stay live and unchanged.
+    val dRoot = java.nio.file.Files.createTempDirectory("graft_e11d").toString
+    val dMon = new graft.streaming.StreamingDistinct(dRoot, "item", Nil)
+    dMon.mergeBatch(Seq("x", "y").toDF("item"), 0L)
+    val before = dMon.estimates(spark).get.head.getDouble(0)
+    dMon.mergeBatch(Seq.empty[String].toDF("item"), 1L)
+    assert(dMon.store.committedBatchId == 1L)
+    assert(dMon.estimates(spark).get.head.getDouble(0) == before)
+    val cRoot = java.nio.file.Files.createTempDirectory("graft_e11c").toString
+    val cMon = new graft.streaming.StreamingCountMin(cRoot, "item", 2, 16)
+    cMon.mergeBatch(Seq.empty[String].toDF("item"), 0L)
+    assert(cMon.committedBatchId == 0L)
+    assert(cMon.sketch(spark).get.count() == 0)
+  }
 }

@@ -82,6 +82,14 @@ class CorpusStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getDouble(4) == 0.666667)
   }
 
+  test("empty corpus: growth/pairs empty; zipf keeps its one-row shape") {
+    val dir = fixture(Seq.empty)
+    assert(run("q_vocab_growth", dir).count() == 0)
+    assert(run("q_rouge_bleu", dir).count() == 0)
+    val z = run("q_zipf_fit", dir).head
+    assert(z.getLong(0) == 0L && z.isNullAt(1) && z.isNullAt(2))
+  }
+
   test("q_rouge_bleu: brevity penalty fires on a shorter perfect candidate") {
     // ref "a b c d" (4 unigrams, 3 bigrams) vs cand "a b" (2, 1): both
     // precisions are 1.0, so BLEU-2 = bp·√(1·1) = exp(1 − 4/2) = e⁻¹.
