@@ -72,8 +72,13 @@ object HyperAnf {
       .withColumnRenamed("hll_est", "ball_est")
 
   /** The neighborhood function: one row per t ∈ [0, rounds] —
-    * (t, nf) where nf ≈ # ordered pairs within distance ≤ t, as an
-    * exact DECIMAL(38,4) sum of 4-decimal-rounded per-node estimates.
+    * (t, nf, nf_frac) where nf ≈ # ordered pairs within distance ≤ t
+    * (an exact DECIMAL(38,4) sum of 4-decimal-rounded per-node
+    * estimates, read out as DOUBLE) and nf_frac = nf / nf(rounds) — the
+    * effective-diameter readout: the smallest t with nf_frac ≥ 0.9 is
+    * the standard 90%-effective-diameter estimate (Boldi et al. use
+    * interpolation; the monotone fraction column carries the same
+    * information).
     */
   def neighborhoodFunction(edges: DataFrame, srcCol: String,
       dstCol: String, rounds: Int): DataFrame = {
@@ -103,6 +108,10 @@ object HyperAnf {
         .localCheckpoint(eager = false)
       out = out.unionAll(nfOf(t, regs))
     }
-    out
+    // nf_frac against the final round: a rounds+1-row window (bounded by
+    // construction — max(nf) is nf(rounds), NF is monotone in t).
+    import org.apache.spark.sql.expressions.Window
+    out.withColumn("nf_frac",
+      round(col("nf") / max(col("nf")).over(Window.partitionBy()), 6))
   }
 }

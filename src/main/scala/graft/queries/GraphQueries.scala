@@ -335,10 +335,13 @@ object GraphQueries extends QueryGroup {
          |         ELSE 53 - length(bin(h >> 8)) END AS rho
          |  FROM h),
          |${(1 to 3).map(mergeRound).mkString(",\n")},
-         |${(0 to 3).map(nfOf).mkString(",\n")}
-         |SELECT 0 AS t, CAST(nf AS DOUBLE) AS nf FROM nf0
-         |UNION ALL SELECT 1, CAST(nf AS DOUBLE) FROM nf1
-         |UNION ALL SELECT 2, CAST(nf AS DOUBLE) FROM nf2
-         |UNION ALL SELECT 3, CAST(nf AS DOUBLE) FROM nf3""".stripMargin
+         |${(0 to 3).map(nfOf).mkString(",\n")},
+         |u AS (
+         |  SELECT 0 AS t, CAST(nf AS DOUBLE) AS nf FROM nf0
+         |  UNION ALL SELECT 1, CAST(nf AS DOUBLE) FROM nf1
+         |  UNION ALL SELECT 2, CAST(nf AS DOUBLE) FROM nf2
+         |  UNION ALL SELECT 3, CAST(nf AS DOUBLE) FROM nf3)
+         |SELECT t, nf, round(nf / max(nf) OVER (), 6) AS nf_frac FROM u"""
+        .stripMargin
     })
 }
