@@ -193,6 +193,14 @@ object TextQueries extends QueryGroup {
       graft.text.Bpe.tokenCounts(Tables.documents(s, dir), "doc_id", "text",
         rounds = 3)),
 
+    // Tokenizer fertility by language — tokens/word + chars/token under
+    // the same 3-round merged vocabulary: the cross-lingual-equity
+    // readout (high-fertility languages pay proportionally more sequence
+    // length for the same text).
+    "q_bpe_fertility" -> ((s, dir) =>
+      graft.text.Bpe.fertility(Tables.documents(s, dir), "lang", "text",
+        rounds = 3)),
+
     // The LLM-corpus flagship: the full curation pipeline composed from
     // the library operators — exact dedup (keep-first by normalized
     // digest) → quality gate (token/char bounds) → decontamination
@@ -1277,6 +1285,22 @@ object TextQueries extends QueryGroup {
     "q_bpe_vocab" -> bpeSql(
       """SELECT sym AS symbol, CAST(sum(wcnt) AS BIGINT) AS total_count
         |FROM (SELECT wcnt, unnest(s) AS sym FROM s3) GROUP BY 1""".stripMargin),
+
+    // Same chain aggregated per language with exact integer totals and
+    // two end divisions — fertility and chars/token.
+    "q_bpe_fertility" -> bpeSql(
+      s"""SELECT dw.lang, count(*) AS n_words,
+         |  CAST(sum(len(s3.s)) AS BIGINT) AS n_tokens,
+         |  CAST(sum(length(dw.word)) AS BIGINT) AS n_chars,
+         |  round(CAST(sum(len(s3.s)) AS DOUBLE) / count(*), 6) AS fertility,
+         |  round(CAST(sum(length(dw.word)) AS DOUBLE) / sum(len(s3.s)), 6)
+         |    AS chars_per_token
+         |FROM (
+         |  SELECT lang, unnest(${OracleSql.toksSql}) AS word
+         |  FROM documents) dw
+         |JOIN s3 ON s3.word = dw.word
+         |WHERE dw.word <> ''
+         |GROUP BY dw.lang""".stripMargin),
 
     // Apply side: per-doc word explode joined to the merged vocabulary.
     "q_bpe_tokenize" -> bpeSql(

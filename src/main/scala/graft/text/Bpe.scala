@@ -138,4 +138,32 @@ object Bpe {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum(col("__ntok")).as("n_tokens"))
   }
+
+  /** Per-group tokenizer FERTILITY — tokens/word and chars/token, THE
+    * tokenizer-quality readout (a language whose fertility is 2× pays 2×
+    * the sequence length for the same text; the cross-lingual-equity
+    * number every multilingual-tokenizer paper reports). Same apply-side
+    * shape as [[tokenCounts]] (distinct words join the merged
+    * vocabulary), aggregated per `groupCol` with exact integer totals
+    * and two end divisions.
+    */
+  def fertility(docs: DataFrame, groupCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    val vocabSyms = run(docs, textCol, rounds)._2
+      .select(col("__w"), size(col("__s")).as("__ntok"))
+    docs
+      .select(col(groupCol).as("__grp"),
+        explode(split(Dedup.normalizeText(col(textCol)), " ")).as("__w"))
+      .filter(col("__w") =!= "")
+      .join(vocabSyms, "__w")
+      .groupBy("__grp")
+      .agg(count(lit(1)).as("n_words"), sum(col("__ntok")).as("n_tokens"),
+        sum(length(col("__w")).cast("long")).as("n_chars"))
+      .select(col("__grp").as(groupCol), col("n_words"), col("n_tokens"),
+        col("n_chars"),
+        round(col("n_tokens").cast("double") / col("n_words"), 6)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_tokens"), 6)
+          .as("chars_per_token"))
+  }
 }

@@ -45,6 +45,21 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2L) == ((1L, 2L)))  // "cd" stays c,d
   }
 
+  test("fertility: per-group tokens/word and chars/token, hand-computed") {
+    import spark.implicits._
+    // Same 1-round corpus as the tokenCounts case, split across two
+    // groups: merge 1 = (a,b). Group en: 3×"ab" → 3 words, 3 tokens,
+    // 6 chars → fertility 1.0, chars/token 2.0. Group de: "cd" unmerged
+    // → 1 word, 2 tokens, 2 chars → fertility 2.0, chars/token 1.0.
+    val docs = Seq(("en", "ab ab ab"), ("de", "cd")).toDF("lang", "text")
+    val got = Bpe.fertility(docs, "lang", "text", rounds = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got("en") == ((3L, 3L, 6L, 1.0, 2.0)))
+    assert(got("de") == ((1L, 2L, 2L, 2.0, 1.0)))
+  }
+
   test("pair counts weight by word frequency, not document layout") {
     import spark.implicits._
     // Same words split across documents/partitions — same merges.
