@@ -77,6 +77,37 @@ object MlQueries extends QueryGroup {
           (round(col("cos"), 4) + lit(0.0)).as("cos"))
     }),
 
+    // Fellegi-Sunter record linkage with unsupervised EM (the Splink
+    // model): planted candidate pairs over customer — each record vs a
+    // deterministically perturbed twin, even keys duplicate-like, odd
+    // keys non-match-like — yield a bimodal comparison-vector mixture;
+    // 3 EM rounds learn per-field m/u and the log2(m/u) agreement
+    // weights. Responsibilities quantize to a 1e-9 integer grid before
+    // every M-step sum, so DuckDB replays the trajectory bit-for-bit.
+    "q_fs_linkage" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_custkey").as("k"),
+        col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+      val dup = col("k") % 2 === 0
+      val b = c.select(col("k"),
+        when(dup && col("k") % 10 =!= 0, col("c_name"))
+          .when(!dup && col("k") % 20 === 0, col("c_name"))
+          .otherwise(concat(col("c_name"), lit("~"))).as("name_b"),
+        when(dup && col("k") % 7 =!= 0, col("c_mktsegment"))
+          .when(!dup && col("k") % 5 === 0, col("c_mktsegment"))
+          .otherwise(concat(col("c_mktsegment"), lit("~"))).as("seg_b"),
+        when(dup && col("k") % 3 =!= 0, col("c_acctbal"))
+          .when(!dup && col("k") % 4 === 0, col("c_acctbal"))
+          .otherwise(col("c_acctbal") + lit(1)).as("bal_b"))
+      val pairs = c.join(b, "k").select(
+          (col("c_name") === col("name_b")).as("g_name"),
+          (col("c_mktsegment") === col("seg_b")).as("g_seg"),
+          (col("c_acctbal") === col("bal_b")).as("g_bal"))
+        // Scanned once per EM round: materialize the tiny boolean table.
+        .localCheckpoint(eager = false)
+      graft.ml.FellegiSunter.fieldWeights(pairs,
+        Seq("g_name", "g_seg", "g_bal"), rounds = 3)
+    }),
+
     // IVF-PQ retrieval (the FAISS IVFPQ serving shape): the coarse
     // quantizer of q_ann_ivf_topk routes probes to 3 Voronoi lists, the
     // ADC code scorer of q_pq_adc_topk ranks ONLY in-list candidates to
@@ -412,6 +443,94 @@ object MlQueries extends QueryGroup {
     * the composition seam `q_ivf_pq_topk` uses to route candidates
     * through the IVF fragment.
     */
+  /** EM trajectory unrolled: same planted pair construction, same
+    * left-associated responsibility product, same 1e-9 quantization
+    * before every integer M-step sum, same clamps — bit-identical params
+    * per round.
+    */
+  private val fsLinkageSql: String = {
+    val fields = Seq("g_name", "g_seg", "g_bal")
+    def prod(lead: String, ps: Seq[String]): String =
+      fields.zip(ps).foldLeft(lead) { case (acc, (g, p)) =>
+        s"$acc * (CASE WHEN $g THEN $p ELSE 1 - $p END)"
+      }
+    def wRound(r: Int, lam: String, ms: Seq[String], us: Seq[String]) = {
+      val num = prod(lam, ms)
+      val alt = prod(s"(1 - $lam)", us)
+      s"""w$r AS (
+         |  SELECT g.*, CAST(floor(($num) / (($num) + ($alt)) * 1e9)
+         |    AS BIGINT) AS wq
+         |  FROM g${if (r == 1) "" else s", p${r - 1}"})"""
+        .stripMargin
+    }
+    def sRound(r: Int) = {
+      val per = fields.zipWithIndex.map { case (g, i) =>
+        s"""    sum(CASE WHEN $g THEN wq ELSE 0 END) AS swg${i + 1},
+           |    sum(CASE WHEN $g THEN 1000000000 - wq ELSE 0 END) AS sug${i + 1}"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""s$r AS (
+         |  SELECT CAST(sum(wq) AS BIGINT) AS sw,
+         |    CAST(sum(1000000000 - wq) AS BIGINT) AS su,
+         |    count(*) AS n,
+         |$per
+         |  FROM w$r)""".stripMargin
+    }
+    def clamp(x: String) =
+      s"least(CAST(0.999999 AS DOUBLE), greatest(1e-6, $x))"
+    def pRound(r: Int) = {
+      val per = fields.indices.map { i =>
+        s"""    CASE WHEN sw = 0 THEN 1e-6
+           |      ELSE ${clamp(s"CAST(swg${i + 1} AS DOUBLE) / CAST(sw AS DOUBLE)")} END AS m${i + 1},
+           |    CASE WHEN su = 0 THEN 1e-6
+           |      ELSE ${clamp(s"CAST(sug${i + 1} AS DOUBLE) / CAST(su AS DOUBLE)")} END AS u${i + 1}"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""p$r AS (
+         |  SELECT ${clamp("CAST(sw AS DOUBLE) / 1e9 / CAST(n AS DOUBLE)")} AS lam,
+         |$per
+         |  FROM s$r)""".stripMargin
+    }
+    // Init literals MUST be DOUBLE: bare 0.3/0.9 parse as DECIMAL in
+    // DuckDB and the first round would run in exact decimal arithmetic,
+    // diverging from the Spark side's IEEE doubles.
+    val d = (x: String) => s"CAST($x AS DOUBLE)"
+    val r1 = Seq(
+      wRound(1, d("0.3"), Seq.fill(3)(d("0.9")), Seq.fill(3)(d("0.2"))),
+      sRound(1), pRound(1))
+    val rs = (2 to 3).flatMap(r => Seq(
+      wRound(r, "lam", (1 to 3).map(i => s"m$i"), (1 to 3).map(i => s"u$i")),
+      sRound(r), pRound(r)))
+    val finals = fields.zipWithIndex.map { case (g, i) =>
+      s"""SELECT '$g' AS field, round(m${i + 1}, 6) AS m,
+         |  round(u${i + 1}, 6) AS u,
+         |  round(ln(m${i + 1} / u${i + 1}) / ln(2.0), 6) AS weight,
+         |  round(lam, 6) AS lambda FROM p3""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH c AS (
+       |  SELECT c_custkey AS k, c_name, c_mktsegment, c_acctbal
+       |  FROM customer),
+       |b AS (
+       |  SELECT k,
+       |    CASE WHEN (k % 2 = 0 AND k % 10 <> 0)
+       |        OR (k % 2 <> 0 AND k % 20 = 0) THEN c_name
+       |      ELSE c_name || '~' END AS name_b,
+       |    CASE WHEN (k % 2 = 0 AND k % 7 <> 0)
+       |        OR (k % 2 <> 0 AND k % 5 = 0) THEN c_mktsegment
+       |      ELSE c_mktsegment || '~' END AS seg_b,
+       |    CASE WHEN (k % 2 = 0 AND k % 3 <> 0)
+       |        OR (k % 2 <> 0 AND k % 4 = 0) THEN c_acctbal
+       |      ELSE c_acctbal + 1 END AS bal_b
+       |  FROM c),
+       |g AS (
+       |  SELECT c.c_name = b.name_b AS g_name,
+       |    c.c_mktsegment = b.seg_b AS g_seg,
+       |    c.c_acctbal = b.bal_b AS g_bal
+       |  FROM c JOIN b USING (k)),
+       |${(r1 ++ rs).mkString(",\n")}
+       |$finals""".stripMargin
+  }
+
   private def pqAdcSql(finalSelect: String, extraCtes: String = "",
       candJoin: String = ""): String = {
     val m = 4; val subDim = 16
@@ -651,6 +770,7 @@ object MlQueries extends QueryGroup {
          |UNION ALL
          |SELECT 'trace_q', -1, -1, 0.0, tq FROM tr""".stripMargin
     },
+    "q_fs_linkage" -> fsLinkageSql,
     "q_kmeans" -> kmeansSql,
     "q_cluster_sample" -> clusterSampleSql,
     "q_semdedup" -> semdedupSql,
