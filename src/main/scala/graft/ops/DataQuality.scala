@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data-quality gates for a continuously-ingested corpus: column profiles
@@ -89,5 +89,69 @@ object DataQuality {
       .agg(count(lit(1)).as("class_size"),
         count_distinct(col(sensitiveCol)).as("sensitive_distinct"))
       .filter(col("sensitive_distinct") < l)
+  }
+
+  /** Laplace(b) sample from a DETERMINISTIC md5-derived uniform — the
+    * inverse-CDF transform x = −b·sign(u−½)·ln(1−2|u−½|). Seeded, not
+    * secret: real DP requires cryptographic randomness; this is the
+    * md5-bootstrap stance ([[graft.ops.Experiment]]) — the MECHANISM
+    * (sensitivity clamps, scale calibration, budget accounting) is real
+    * and oracle-gated, the noise source is pluggable. The ln argument is
+    * floored at 1e-18 so the measure-zero u→1 edge yields a large finite
+    * sample instead of ±∞.
+    */
+  def laplaceNoise(key: Column, salt: String, scaleB: Column): Column = {
+    val u = (graft.ops.Dedup.md5Hash60(concat(lit(salt),
+      key.cast("string"))) + lit(1L)).cast("double") /
+      lit(1.152921504606846976e18)
+    val t = u - lit(0.5)
+    -scaleB * signum(t) *
+      log(greatest(lit(1e-18), lit(1.0) - lit(2.0) * abs(t)))
+  }
+
+  /** ε-differentially-private count release per group (sensitivity 1 →
+    * Laplace(1/ε)): (groups..., noisy_count, epsilon). One partial-agg'd
+    * groupBy + a map-only noise projection keyed on the group value.
+    */
+  def dpCounts(df: DataFrame, groupCols: Seq[String], epsilon: Double,
+      salt: String = "dpc"): DataFrame = {
+    require(groupCols.nonEmpty && epsilon > 0)
+    val key = concat_ws("", groupCols.map(col(_).cast("string")): _*)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .select(groupCols.map(col) ++ Seq(
+        round(col("__n") +
+          laplaceNoise(key, salt, lit(1.0 / epsilon)), 4)
+          .as("noisy_count"),
+        lit(epsilon).as("epsilon")): _*)
+  }
+
+  /** ε-DP mean release per group: contributions clamped to [lo, hi]
+    * (the sensitivity bound), clamped sum + Laplace((hi−lo)/(ε/2)),
+    * count + Laplace(1/(ε/2)) — sequential composition spends ε total —
+    * mean = noisy_sum / max(noisy_count, 1). Contributions are
+    * quantized to a DECIMAL(18,2) cents grid after the clamp, so the
+    * pre-noise sum is exact and aggregation-order-independent (the
+    * house cross-engine contract); the <= half-cent per-row rounding is
+    * dwarfed by the calibrated noise.
+    */
+  def dpMean(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lo: Double, hi: Double, epsilon: Double,
+      salt: String = "dpm"): DataFrame = {
+    require(groupCols.nonEmpty && epsilon > 0 && hi > lo)
+    val key = concat_ws("", groupCols.map(col(_).cast("string")): _*)
+    val clamped = least(greatest(col(valueCol), lit(lo)), lit(hi))
+      .cast("decimal(18,2)")
+    val half = epsilon / 2.0
+    val nSum = laplaceNoise(key, salt + "_s", lit((hi - lo) / half))
+    val nCnt = laplaceNoise(key, salt + "_n", lit(1.0 / half))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(sum(clamped).as("__s"), count(lit(1)).as("__n"))
+      .select(groupCols.map(col) ++ Seq(
+        round(col("__s").cast("double") + nSum, 4).as("noisy_sum"),
+        round(col("__n") + nCnt, 4).as("noisy_count"),
+        round((col("__s").cast("double") + nSum) /
+          greatest(col("__n") + nCnt, lit(1.0)), 4).as("noisy_mean"),
+        lit(epsilon).as("epsilon")): _*)
   }
 }

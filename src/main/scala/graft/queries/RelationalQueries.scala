@@ -176,6 +176,23 @@ object RelationalQueries extends QueryGroup {
         Seq("event_type", "value_decade", "day"), k = 5L)
     }),
 
+    // Differentially-private release (Laplace mechanism, md5-seeded
+    // noise — the md5-bootstrap stance: mechanism real and oracle-gated,
+    // noise source pluggable): per-segment noisy count (sensitivity 1,
+    // eps=1) + clamped-contribution noisy sum/mean ([0,5000] bound,
+    // eps=1 split over sum and count) — the aggregate-release shape a
+    // privacy-gated analytics pipeline publishes instead of raw counts.
+    "q_dp_release" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val counts = graft.ops.DataQuality.dpCounts(c, Seq("c_mktsegment"),
+        epsilon = 1.0).select(col("c_mktsegment"), col("noisy_count"))
+      val means = graft.ops.DataQuality.dpMean(c, Seq("c_mktsegment"),
+        "c_acctbal", lo = 0.0, hi = 5000.0, epsilon = 1.0)
+        .select(col("c_mktsegment"), col("noisy_sum"), col("noisy_mean"))
+      counts.join(means, Seq("c_mktsegment"))
+        .withColumn("eps_total", lit(2.0))
+    }),
+
     // l-diversity audit, the step after k-anonymity: (value-decade, day)
     // classes where the sensitive event_type takes < 3 distinct values —
     // homogeneous classes leak the secret even when k-anonymous.
@@ -640,6 +657,37 @@ object RelationalQueries extends QueryGroup {
       """SELECT p_partkey AS pk FROM part
         |EXCEPT
         |SELECT l_partkey AS pk FROM lineitem""".stripMargin,
+    // Same md5-uniform → inverse-CDF Laplace transform, same clamp/cents
+    // quantization, same association (-b * sign * ln), same literals.
+    "q_dp_release" -> {
+      def lap(salt: String, b: String): String =
+        s"""(-(CAST($b AS DOUBLE)) * sign(u_$salt - 0.5) *
+           |    ln(greatest(1e-18, 1.0 - 2.0 * abs(u_$salt - 0.5))))"""
+          .stripMargin
+      def u(salt: String): String =
+        s"""(CAST(('0x' || substr(md5('$salt' || c_mktsegment), 1, 15))
+           |    AS BIGINT) + 1) / 1.152921504606846976e18 AS u_$salt"""
+          .stripMargin
+      s"""WITH g AS (
+         |  SELECT c_mktsegment, count(*) AS n,
+         |    sum(CAST(least(greatest(c_acctbal, 0.0), 5000.0)
+         |      AS DECIMAL(18,2))) AS s
+         |  FROM customer GROUP BY 1),
+         |h AS (
+         |  SELECT c_mktsegment, n, s,
+         |    ${u("dpc")},
+         |    ${u("dpm_s")},
+         |    ${u("dpm_n")}
+         |  FROM g)
+         |SELECT c_mktsegment,
+         |  round(n + ${lap("dpc", "1.0")}, 4) AS noisy_count,
+         |  round(CAST(s AS DOUBLE) + ${lap("dpm_s", "10000.0")}, 4)
+         |    AS noisy_sum,
+         |  round((CAST(s AS DOUBLE) + ${lap("dpm_s", "10000.0")}) /
+         |    greatest(n + ${lap("dpm_n", "2.0")}, 1.0), 4) AS noisy_mean,
+         |  CAST(2.0 AS DOUBLE) AS eps_total
+         |FROM h""".stripMargin
+    },
     "q_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows

@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DpReleaseSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def rows = (0 until 400).map(i =>
+    (s"g${i % 4}", (i % 100) * 10.0)).toDF("grp", "v")
+
+  test("dpCounts: noise is calibrated (small at eps=1 vs n=100) and keyed") {
+    val out = DataQuality.dpCounts(rows, Seq("grp"), epsilon = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out.size == 4)
+    // True count is 100 per group; Laplace(1) noise is almost surely
+    // within ±15 (P(|x|>15) = e^-15).
+    out.values.foreach(v => assert(math.abs(v - 100.0) < 15.0, v))
+    // Different groups draw different noise (keyed, not shared).
+    assert(out.values.toSet.size > 1)
+  }
+
+  test("dpMean: clamp bounds the released mean into the clamped range") {
+    val out = DataQuality.dpMean(rows, Seq("grp"), "v",
+      lo = 0.0, hi = 100.0, epsilon = 1.0).collect()
+    out.foreach { r =>
+      val mean = r.getDouble(3)
+      // Clamped values live in [0, 100]; noise at eps=1, n=100 moves the
+      // mean by at most a few units almost surely.
+      assert(mean > -10.0 && mean < 110.0, mean)
+    }
+  }
+
+  test("deterministic and partition-invariant (seeded noise)") {
+    val a = DataQuality.dpCounts(rows, Seq("grp"), 1.0)
+      .collect().map(_.toString).sorted.toSeq
+    val b = DataQuality.dpCounts(rows.repartition(7), Seq("grp"), 1.0)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("laplace noise distribution: symmetric, median near b ln 2") {
+    val keys = (0 until 2000).map(_.toString).toDF("k")
+    val xs = keys.select(DataQuality.laplaceNoise(col("k"), "t",
+      lit(1.0)).as("x")).collect().map(_.getDouble(0)).sorted
+    val pos = xs.count(_ > 0)
+    assert(math.abs(pos - 1000) < 100, s"asymmetric: $pos positive")
+    val medAbs = xs.map(math.abs).sorted.apply(1000)
+    // Median of |Laplace(1)| is ln 2 ≈ 0.693.
+    assert(medAbs > 0.55 && medAbs < 0.85, s"medAbs=$medAbs")
+  }
+}
