@@ -134,11 +134,18 @@ object Toml {
         } catch {
           case e: TomlParseException => throw e
           case e: BareValueException =>
-            val col = rawLine.indexOf(e.token) match {
-              case -1 => 1
-              case i => i + 1
+            // rawLine is the newline-JOINED logical line: map the match
+            // offset back to its PHYSICAL line and in-line column, so a
+            // bad token on a continuation line gets the right line
+            // number, the right lineText, and a caret that lands on it.
+            rawLine.indexOf(e.token) match {
+              case -1 => fail(startLine, 1, e.getMessage)
+              case i =>
+                val before = rawLine.substring(0, i)
+                val lineOff = before.count(_ == '\n')
+                val col = i - (before.lastIndexOf('\n') + 1) + 1
+                fail(startLine + lineOff, col, e.getMessage)
             }
-            fail(startLine, col, e.getMessage)
           case scala.util.control.NonFatal(e) =>
             fail(startLine, 1, Option(e.getMessage).getOrElse(e.toString))
         }

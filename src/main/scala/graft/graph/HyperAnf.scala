@@ -48,21 +48,31 @@ object HyperAnf {
       rounds: Int): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct()
+    (1 to rounds).foldLeft(initRegisters(e))((regs, _) => mergeRound(e, regs))
+  }
+
+  /** Singleton sketch {node} per node of the (src, dst) edge frame: md5
+    * of the node id's decimal string, so the oracle's
+    * md5(CAST(node AS VARCHAR)) is bit-identical.
+    */
+  private def initRegisters(e: DataFrame): DataFrame = {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    // Singleton sketch {node}: md5 of the node id's decimal string, so
-    // the oracle's md5(CAST(node AS VARCHAR)) is bit-identical.
-    val init = Hll.registers(
+    Hll.registers(
       nodes.select(col("node"), col("node").cast("string").as("__item")),
       "__item", Seq("node"))
-    (1 to rounds).foldLeft(init) { (regs, _) =>
-      regs
-        .union(e.join(regs, e("dst") === regs("node"))
-          .select(col("src").as("node"), col("reg"), col("rho")))
-        .groupBy(col("node"), col("reg"))
-        .agg(max(col("rho")).as("rho"))
-    }
   }
+
+  /** One HyperANF round: every node merges its out-neighbors' counters —
+    * regs ∪ (edges ⋈ regs on dst), reduced by per-(node, reg) max. The
+    * ONE copy of the merge recurrence; both entry points fold over it.
+    */
+  private def mergeRound(e: DataFrame, regs: DataFrame): DataFrame =
+    regs
+      .union(e.join(regs, e("dst") === regs("node"))
+        .select(col("src").as("node"), col("reg"), col("rho")))
+      .groupBy(col("node"), col("reg"))
+      .agg(max(col("rho")).as("rho"))
 
   /** Per-node ball-size estimate from a (node, reg, rho) table —
     * [[Hll.estimateBy]] keyed on the node.
@@ -96,16 +106,10 @@ object HyperAnf {
     // One register table threaded through all rounds (NOT rebuilt per t —
     // that would be O(rounds²) joins); lineage truncated each round so
     // round r's plan doesn't replay rounds 1..r-1.
-    var regs = ballRegisters(e, "src", "dst", rounds = 0)
-      .localCheckpoint(eager = false)
+    var regs = initRegisters(e).localCheckpoint(eager = false)
     var out = nfOf(0, regs)
     for (t <- 1 to rounds) {
-      regs = regs
-        .union(e.join(regs, e("dst") === regs("node"))
-          .select(col("src").as("node"), col("reg"), col("rho")))
-        .groupBy(col("node"), col("reg"))
-        .agg(max(col("rho")).as("rho"))
-        .localCheckpoint(eager = false)
+      regs = mergeRound(e, regs).localCheckpoint(eager = false)
       out = out.unionAll(nfOf(t, regs))
     }
     // nf_frac against the final round: a rounds+1-row window (bounded by

@@ -109,6 +109,16 @@ object DataQuality {
       log(greatest(lit(1e-18), lit(1.0) - lit(2.0) * abs(t)))
   }
 
+  /** Noise key for a group: NULL-sentineled (U+0000) and
+    * separator-delimited (U+0001), so a NULL group draws its own noise
+    * identically on every engine (concat_ws would silently SKIP the
+    * NULL) and multi-column groups like ("a","b") vs ("ab","") cannot
+    * collide onto shared noise.
+    */
+  private def groupKey(groupCols: Seq[String]): Column =
+    groupCols.map(c => coalesce(col(c).cast("string"), lit("\u0000")))
+      .reduce((a, b) => concat(a, lit("\u0001"), b))
+
   /** ε-differentially-private count release per group (sensitivity 1 →
     * Laplace(1/ε)): (groups..., noisy_count, epsilon). One partial-agg'd
     * groupBy + a map-only noise projection keyed on the group value.
@@ -116,7 +126,7 @@ object DataQuality {
   def dpCounts(df: DataFrame, groupCols: Seq[String], epsilon: Double,
       salt: String = "dpc"): DataFrame = {
     require(groupCols.nonEmpty && epsilon > 0)
-    val key = concat_ws("", groupCols.map(col(_).cast("string")): _*)
+    val key = groupKey(groupCols)
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__n"))
       .select(groupCols.map(col) ++ Seq(
@@ -129,7 +139,13 @@ object DataQuality {
   /** ε-DP mean release per group: contributions clamped to [lo, hi]
     * (the sensitivity bound), clamped sum + Laplace((hi−lo)/(ε/2)),
     * count + Laplace(1/(ε/2)) — sequential composition spends ε total —
-    * mean = noisy_sum / max(noisy_count, 1). Contributions are
+    * mean = noisy_sum / max(noisy_count, 1). The sum scale uses
+    * max(|lo|, |hi|) — the clamped sum's TRUE add/remove-neighbor
+    * sensitivity (removing one contributor shifts the sum by up to the
+    * largest clamped magnitude; (hi−lo) is only the SUBSTITUTION-model
+    * sensitivity, under which the count would not move at all — mixing
+    * the two under-noises any clamp range not containing 0).
+    * Contributions are
     * quantized to a DECIMAL(18,2) cents grid after the clamp, so the
     * pre-noise sum is exact and aggregation-order-independent (the
     * house cross-engine contract); the <= half-cent per-row rounding is
@@ -139,11 +155,12 @@ object DataQuality {
       lo: Double, hi: Double, epsilon: Double,
       salt: String = "dpm"): DataFrame = {
     require(groupCols.nonEmpty && epsilon > 0 && hi > lo)
-    val key = concat_ws("", groupCols.map(col(_).cast("string")): _*)
+    val key = groupKey(groupCols)
     val clamped = least(greatest(col(valueCol), lit(lo)), lit(hi))
       .cast("decimal(18,2)")
     val half = epsilon / 2.0
-    val nSum = laplaceNoise(key, salt + "_s", lit((hi - lo) / half))
+    val sumSens = math.max(math.abs(lo), math.abs(hi))
+    val nSum = laplaceNoise(key, salt + "_s", lit(sumSens / half))
     val nCnt = laplaceNoise(key, salt + "_n", lit(1.0 / half))
     df.groupBy(groupCols.map(col): _*)
       .agg(sum(clamped).as("__s"), count(lit(1)).as("__n"))

@@ -49,6 +49,16 @@ object IvfIndex {
     cent.select(col("__cid").as("centroid_id"), col("__cv").as("centroid"),
         col("__cn").as("cnorm"))
       .write.mode("overwrite").parquet(s"$path/centroids")
+    // A rebuild at a previously-compacted path must clear the versioned
+    // trees: a stale committed lists_v{n} outranks the fresh `lists` in
+    // [[liveLists]] resolution and would shadow the new index.
+    val spark = corpus.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root))
+      fs.listStatus(root).toSeq.map(_.getPath)
+        .filter(_.getName.matches("lists_v\\d+"))
+        .foreach(p => fs.delete(p, true))
     Similarity.invertedLists(corpus, idCol, vecCol, cent)
       .select(col("__list").as("list"), col("neighbor_id"),
         col("__nv").as("vec"), col("__nn").as("vnorm"))
@@ -92,37 +102,69 @@ object IvfIndex {
       .write.mode("append")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("list")
-      .parquet(s"$path/lists")
+      .parquet(s"$path/${liveLists(spark, path)}")
+  }
+
+  /** Resolve the LIVE inverted-list directory name: the highest
+    * `lists_v{n}` whose `_SUCCESS` marker exists (a compacted copy
+    * becomes visible exactly when Spark's committer drops the marker —
+    * its last step), falling back to the initial `lists` tree. This is
+    * how readers stay crash-safe without any rename: an interrupted
+    * compaction leaves an uncommitted (marker-less) directory that every
+    * reader ignores.
+    */
+  private[ops] def liveLists(spark: SparkSession, path: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val versions =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.map(_.getPath.getName)
+        .filter(_.matches("lists_v\\d+"))
+        .filter(n => fs.exists(
+          new org.apache.hadoop.fs.Path(s"$path/$n/_SUCCESS")))
+        .sortBy(_.stripPrefix("lists_v").toInt)
+    versions.lastOption.getOrElse("lists")
   }
 
   /** Rewrite the inverted lists back to one writer per list, merging the
-    * small files [[append]] accumulates. Same compaction discipline as
-    * the gold-table compactor: write the merged copy BESIDE the live
-    * tree, then swap directories — a reader that raced the swap sees
-    * either the old complete tree or the new one, never a half-deleted
-    * directory (rename is atomic per directory on a real filesystem;
-    * object stores should front this with their usual pointer layer).
+    * small files [[append]] accumulates. Crash-safe via VERSIONED
+    * directories, not renames: the merged copy is written as
+    * `lists_v{n+1}` (invisible until the committer's `_SUCCESS` lands —
+    * its final step), readers resolve [[liveLists]] to the highest
+    * committed version, and only then is the previous tree deleted. A
+    * crash at any point leaves either the old committed tree live or
+    * both (next compaction cleans up) — never a half-deleted index.
+    * A reader that resolved the OLD version name just before its
+    * deletion can still fail mid-scan; production deployments should
+    * defer the delete by a scan-length grace period (the same retention
+    * discipline as the gold compactor).
     */
   def compact(
       spark: SparkSession,
       path: String,
       maxRecordsPerFile: Long = 5000000L): Unit = {
-    spark.read.parquet(s"$path/lists")
+    val cur = liveLists(spark, path)
+    val conf0 = spark.sparkContext.hadoopConfiguration
+    val root0 = new org.apache.hadoop.fs.Path(path)
+    val fs0 = root0.getFileSystem(conf0)
+    // Number past EVERY existing version dir, committed or not — a stale
+    // uncommitted leftover (crashed compaction) must never collide with
+    // or outrank the copy about to be written.
+    val maxSeen = fs0.listStatus(root0).toSeq.map(_.getPath.getName)
+      .filter(_.matches("lists_v\\d+"))
+      .map(_.stripPrefix("lists_v").toInt)
+      .foldLeft(0)(math.max)
+    val next = s"lists_v${maxSeen + 1}"
+    spark.read.parquet(s"$path/$cur")
       .repartition(col("list"))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("list")
-      .parquet(s"$path/lists_compacting")
+      .parquet(s"$path/$next")
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(conf)
-    val live = new org.apache.hadoop.fs.Path(s"$path/lists")
-    val next = new org.apache.hadoop.fs.Path(s"$path/lists_compacting")
-    val old = new org.apache.hadoop.fs.Path(s"$path/lists_old")
-    fs.delete(old, true)
-    require(fs.rename(live, old), s"compact: could not retire $live")
-    require(fs.rename(next, live), s"compact: could not promote $next")
-    fs.delete(old, true)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/$cur"), true)
   }
 
   /** Serve one probe batch from the stored artifact. Same output contract
@@ -137,7 +179,7 @@ object IvfIndex {
       k: Int,
       nprobe: Int = 3): DataFrame = {
     val centStored = spark.read.parquet(s"$path/centroids")
-    val listsStored = spark.read.parquet(s"$path/lists")
+    val listsStored = spark.read.parquet(s"$path/${liveLists(spark, path)}")
     // The partition column comes back through directory-name inference,
     // which narrows numeric types (long → int). Align the CODEBOOK side
     // to the inferred type — casting the broadcast-small side keeps the

@@ -179,7 +179,14 @@ object Quantiles {
     }
     // Same lerp tree as `percentile`/`quantile_cont` (see exactQuantiles):
     // (⌈h⌉−h)·lo + (h−⌊h⌋)·hi, collapsing to lo when h is integral.
-    ranked.join(broadcast(counts), groupCols)
+    // NO broadcast hint on the counts join: one row per GROUP can be
+    // arbitrarily large (high-cardinality groupings are exactly where
+    // this exact path matters), and a forced broadcast bypasses
+    // autoBroadcastJoinThreshold straight into the 8 GB relation cap.
+    // Both sides arrive hash-partitioned on the group key (the window
+    // and the groupBy), so Catalyst/AQE picks a co-partitioned join —
+    // or a broadcast on its own when counts really is small.
+    ranked.join(counts, groupCols)
       .filter(needed)
       .groupBy(gs: _*)
       .agg(aggs.head, aggs.tail: _*)

@@ -665,7 +665,8 @@ object RelationalQueries extends QueryGroup {
            |    ln(greatest(1e-18, 1.0 - 2.0 * abs(u_$salt - 0.5))))"""
           .stripMargin
       def u(salt: String): String =
-        s"""(CAST(('0x' || substr(md5('$salt' || c_mktsegment), 1, 15))
+        s"""(CAST(('0x' || substr(md5('$salt' ||
+           |    coalesce(c_mktsegment, chr(0))), 1, 15))
            |    AS BIGINT) + 1) / 1.152921504606846976e18 AS u_$salt"""
           .stripMargin
       s"""WITH g AS (

@@ -93,6 +93,20 @@ class TomlValidateSpec extends AnyFunSuite {
     assert(err.error.line == 2)
   }
 
+  test("bare value on a CONTINUATION line reports the physical line " +
+      "and an in-line column") {
+    // The bad token sits on line 2 of a multi-line array; the diagnostic
+    // must name line 2 with a column inside that line (not an offset
+    // into the newline-joined logical line past line 1's end), and show
+    // line 2 as the quoted lineText.
+    val text = "xs = [1,\n  oops]"
+    val diag = Toml.validate(text)
+    assert(diag.isDefined)
+    assert(diag.get.line == 2, diag.get.render)
+    assert(diag.get.column == 3, diag.get.render)
+    assert(diag.get.lineText == "  oops]", diag.get.render)
+  }
+
   test("ConfigLoader.validate maps paths to diagnostics, missing file " +
       "included") {
     val good = s"$refDir/config.example.toml"

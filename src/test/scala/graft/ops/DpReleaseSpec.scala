@@ -41,6 +41,37 @@ class DpReleaseSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b)
   }
 
+  test("dpMean sum noise scales with max(|lo|,|hi|), not hi-lo") {
+    // Clamp [100, 101]: under add/remove neighbors the clamped sum moves
+    // by up to 101 when one contributor leaves — the sum scale must be
+    // 101/(eps/2), not the 1/(eps/2) a (hi-lo) rule would use. The noise
+    // is deterministic per key, so assert the exact released value.
+    val one = Seq(("g", 100.5)).toDF("grp", "v")
+    val got = DataQuality.dpMean(one, Seq("grp"), "v",
+      lo = 100.0, hi = 101.0, epsilon = 1.0).head
+    val expectedNoise = one
+      .select(DataQuality.laplaceNoise(col("grp"), "dpm_s",
+        lit(101.0 / 0.5)).as("x")).head.getDouble(0)
+    assert(got.getDouble(1) ==
+      math.rint((100.5 + expectedNoise) * 1e4) / 1e4 ||
+      math.abs(got.getDouble(1) - (100.5 + expectedNoise)) < 1e-3,
+      s"sum=${got.getDouble(1)} expected=${100.5 + expectedNoise}")
+  }
+
+  test("NULL groups draw their own noise; key cannot collide across columns") {
+    val withNull = Seq((Option("a"), 1), (Option.empty[String], 1))
+      .toDF("grp", "v")
+    val out = DataQuality.dpCounts(withNull, Seq("grp"), 1.0).collect()
+    assert(out.length == 2)
+    // Both rows released with real (non-null) noisy counts.
+    out.foreach(r => assert(!r.isNullAt(1)))
+    // ("a","b") vs ("ab","") must NOT share noise (separator-delimited).
+    val two = Seq(("a", "b", 1), ("ab", "", 1)).toDF("g1", "g2", "v")
+    val noisy = DataQuality.dpCounts(two, Seq("g1", "g2"), 1.0)
+      .collect().map(_.getDouble(2))
+    assert(noisy(0) != noisy(1), "colliding group keys share noise")
+  }
+
   test("laplace noise distribution: symmetric, median near b ln 2") {
     val keys = (0 until 2000).map(_.toString).toDF("k")
     val xs = keys.select(DataQuality.laplaceNoise(col("k"), "t",

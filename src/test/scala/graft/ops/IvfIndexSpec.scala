@@ -143,17 +143,31 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     val want = canon(IvfIndex.topK(spark, path, probes, "vec_id",
       "embedding", k = 4, nprobe = 2))
     IvfIndex.compact(spark, path)
-    val dirs = new java.io.File(s"$path/lists").listFiles()
+    // The live tree is now the committed versioned copy; the original
+    // `lists` tree is retired.
+    val live = IvfIndex.liveLists(spark, path)
+    assert(live == "lists_v1", live)
+    assert(!new java.io.File(s"$path/lists").exists())
+    val dirs = new java.io.File(s"$path/$live").listFiles()
       .filter(_.isDirectory)
     assert(dirs.nonEmpty)
     dirs.foreach { d =>
       val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
       assert(parts.length == 1, s"${d.getName}: ${parts.length} files")
     }
-    assert(new java.io.File(s"$path/lists_old").exists() == false)
     val got = canon(IvfIndex.topK(spark, path, probes, "vec_id",
       "embedding", k = 4, nprobe = 2))
     assert(got == want && got.nonEmpty)
+    // Crash safety: an UNCOMMITTED higher version (no _SUCCESS marker —
+    // what an interrupted compaction leaves) is invisible to readers.
+    assert(new java.io.File(s"$path/lists_v7/list=0").mkdirs())
+    assert(IvfIndex.liveLists(spark, path) == "lists_v1")
+    // A committed second compaction takes over and retires v1.
+    IvfIndex.compact(spark, path)
+    assert(IvfIndex.liveLists(spark, path) == "lists_v8")
+    assert(!new java.io.File(s"$path/lists_v1").exists())
+    assert(canon(IvfIndex.topK(spark, path, probes, "vec_id",
+      "embedding", k = 4, nprobe = 2)) == want)
   }
 
   test("probe plan is eligible for dynamic partition pruning") {
