@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   * Layout under `path`:
   *   - `centroids/` — (centroid_id, centroid ARRAY<DOUBLE>, cnorm):
   *     nlist rows, broadcast at probe time;
-  *   - `lists/` — (neighbor_id, vec, vnorm) PARTITIONED BY `list`:
-  *     each corpus vector exactly once, keyed by its Voronoi cell.
+  *   - `lists/` (or `lists_v{n}/` after a [[compact]]) — (neighbor_id,
+  *     vec, vnorm) PARTITIONED BY `list`: each corpus vector exactly
+  *     once, keyed by its Voronoi cell. Readers resolve the live tree
+  *     via [[liveLists]] — the highest `_SUCCESS`-committed version —
+  *     so compaction swaps are crash-safe without renames.
   *
   * Why `partitionBy(list)` is the load-bearing choice: the probe join's
   * key IS the partition column, and the probe side (queries × nprobe
