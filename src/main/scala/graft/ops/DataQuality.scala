@@ -99,6 +99,15 @@ object DataQuality {
     * and oracle-gated, the noise source is pluggable. The ln argument is
     * floored at 1e-18 so the measure-zero u→1 edge yields a large finite
     * sample instead of ±∞.
+    *
+    * NOT A PRIVACY GUARANTEE unless the salt is secret: with a known
+    * salt the noise is a public function of the public group key, so an
+    * adversary reconstructs and subtracts it exactly. That is why
+    * [[dpCounts]]/[[dpMean]] take the salt as a REQUIRED argument —
+    * callers doing a real release must pass a secret (per-release,
+    * high-entropy) salt; callers passing a fixed literal are running a
+    * reproducible SIMULATION of the mechanism (the oracle-testing mode)
+    * and get calibration, not privacy.
     */
   def laplaceNoise(key: Column, salt: String, scaleB: Column): Column = {
     val u = (graft.ops.Dedup.md5Hash60(concat(lit(salt),
@@ -122,10 +131,17 @@ object DataQuality {
   /** ε-differentially-private count release per group (sensitivity 1 →
     * Laplace(1/ε)): (groups..., noisy_count, epsilon). One partial-agg'd
     * groupBy + a map-only noise projection keyed on the group value.
+    *
+    * Output contract caveats (see [[laplaceNoise]]): (1) `epsilon` labels
+    * the CALIBRATION of the noise, not a formal guarantee — that holds
+    * only if `salt` is secret; (2) rows exist only for groups PRESENT in
+    * the data, so group-key existence leaks regardless of noise — for a
+    * data-dependent group domain use [[dpCountsStable]], which pays δ to
+    * threshold existence away, or restrict to a public known domain.
     */
   def dpCounts(df: DataFrame, groupCols: Seq[String], epsilon: Double,
-      salt: String = "dpc"): DataFrame = {
-    require(groupCols.nonEmpty && epsilon > 0)
+      salt: String): DataFrame = {
+    require(groupCols.nonEmpty && epsilon > 0 && salt.nonEmpty)
     val key = groupKey(groupCols)
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__n"))
@@ -153,8 +169,8 @@ object DataQuality {
     */
   def dpMean(df: DataFrame, groupCols: Seq[String], valueCol: String,
       lo: Double, hi: Double, epsilon: Double,
-      salt: String = "dpm"): DataFrame = {
-    require(groupCols.nonEmpty && epsilon > 0 && hi > lo)
+      salt: String): DataFrame = {
+    require(groupCols.nonEmpty && epsilon > 0 && hi > lo && salt.nonEmpty)
     val key = groupKey(groupCols)
     val clamped = least(greatest(col(valueCol), lit(lo)), lit(hi))
       .cast("decimal(18,2)")
@@ -170,5 +186,28 @@ object DataQuality {
         round((col("__s").cast("double") + nSum) /
           greatest(col("__n") + nCnt, lit(1.0)), 4).as("noisy_mean"),
         lit(epsilon).as("epsilon")): _*)
+  }
+
+  /** (ε,δ)-DP "stability histogram" count release for a DATA-DEPENDENT
+    * group domain (Korolova et al. 2009 / Vadhan 2017 §3.3): noisy
+    * count per present group, then drop every group whose noisy count
+    * falls below τ = 1 + 2·ln(2/δ)/ε. A group with a single contributor
+    * survives the threshold only with probability ≤ δ, so group-KEY
+    * existence no longer leaks deterministically — the gap [[dpCounts]]
+    * cannot close when the key set itself is private (e.g. free-text
+    * usernames). Cost: small groups are suppressed (that is the point)
+    * and the guarantee is (ε,δ) rather than pure ε. Same plan shape —
+    * one partial-agg'd groupBy, map-only noise, a literal-threshold
+    * filter — and the same secret-salt requirement for a real release.
+    * Output: (groups..., noisy_count, epsilon, delta, threshold).
+    */
+  def dpCountsStable(df: DataFrame, groupCols: Seq[String],
+      epsilon: Double, delta: Double, salt: String): DataFrame = {
+    require(delta > 0 && delta < 1)
+    val tau = 1.0 + 2.0 * math.log(2.0 / delta) / epsilon
+    dpCounts(df, groupCols, epsilon, salt)
+      .filter(col("noisy_count") >= lit(tau))
+      .withColumn("delta", lit(delta))
+      .withColumn("threshold", round(lit(tau), 4))
   }
 }

@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   * Layout under `path`:
   *   - `centroids/` — (centroid_id, centroid ARRAY<DOUBLE>, cnorm):
   *     nlist rows, broadcast at probe time;
-  *   - `lists/` (or `lists_v{n}/` after a [[compact]]) — (neighbor_id,
-  *     vec, vnorm) PARTITIONED BY `list`: each corpus vector exactly
-  *     once, keyed by its Voronoi cell. Readers resolve the live tree
-  *     via [[liveLists]] — the highest `_SUCCESS`-committed version —
-  *     so compaction swaps are crash-safe without renames.
+  *   - `lists_v{n}/` (every [[write]] and [[compact]] emits the next
+  *     version; a pre-versioning `lists/` tree is still resolvable) —
+  *     (neighbor_id, vec, vnorm) PARTITIONED BY `list`: each corpus
+  *     vector exactly once, keyed by its Voronoi cell. Readers resolve
+  *     the live tree via [[liveLists]] — the highest
+  *     `_SUCCESS`-committed version — so both rebuild and compaction
+  *     swaps are crash-safe without renames.
   *
   * Why `partitionBy(list)` is the load-bearing choice: the probe join's
   * key IS the partition column, and the probe side (queries × nprobe
@@ -38,6 +40,21 @@ object IvfIndex {
   /** Build the index from a corpus and a caller-supplied codebook (pair
     * with [[graft.ml.KMeans.centroidFrame]], or any sampled frame) and
     * persist it under `path` (overwrite).
+    *
+    * Crash-safety: the fresh list tree is written as the NEXT
+    * `lists_v{n+1}` — the same commit path as [[compact]] — so it
+    * becomes visible to [[liveLists]] exactly when the committer drops
+    * `_SUCCESS`, and stale versions (plus any pre-versioning `lists`
+    * tree) are deleted only AFTER that commit. A crash at any point
+    * leaves the previous committed tree resolvable; the old
+    * delete-then-write order could strand a path with centroids but no
+    * list tree at all. Remaining caveat, documented not solved: the
+    * centroids/ overwrite is a separate action, so a rebuild that
+    * CHANGES the codebook has a window where readers pair new centroids
+    * with the old committed lists — cell routing degrades (recall), but
+    * every returned row is still a real stored vector with a correct
+    * score. Full pair-atomicity needs a manifest; out of scope for a
+    * single-writer maintenance job.
     */
   def write(
       path: String,
@@ -52,16 +69,10 @@ object IvfIndex {
     cent.select(col("__cid").as("centroid_id"), col("__cv").as("centroid"),
         col("__cn").as("cnorm"))
       .write.mode("overwrite").parquet(s"$path/centroids")
-    // A rebuild at a previously-compacted path must clear the versioned
-    // trees: a stale committed lists_v{n} outranks the fresh `lists` in
-    // [[liveLists]] resolution and would shadow the new index.
     val spark = corpus.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(root))
-      fs.listStatus(root).toSeq.map(_.getPath)
-        .filter(_.getName.matches("lists_v\\d+"))
-        .foreach(p => fs.delete(p, true))
+    val next = s"lists_v${maxVersion(fs, root) + 1}"
     Similarity.invertedLists(corpus, idCol, vecCol, cent)
       .select(col("__list").as("list"), col("neighbor_id"),
         col("__nv").as("vec"), col("__nn").as("vnorm"))
@@ -69,8 +80,29 @@ object IvfIndex {
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("list")
-      .parquet(s"$path/lists")
+      .parquet(s"$path/$next")
+    // Only now — the new tree is committed and outranks everything —
+    // drop superseded trees: lower versions and the unversioned `lists`.
+    fs.listStatus(root).toSeq.map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n == "lists" || (n.matches("lists_v\\d+") && n != next)
+      }
+      .foreach(p => fs.delete(p, true))
   }
+
+  /** Highest existing `lists_v{n}` suffix under `root`, committed OR
+    * not — new writers must number past uncommitted leftovers from a
+    * crashed rebuild/compaction so they never collide with or get
+    * shadowed by garbage. 0 when none exist.
+    */
+  private def maxVersion(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Int =
+    if (!fs.exists(root)) 0
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.matches("lists_v\\d+"))
+      .map(_.stripPrefix("lists_v").toInt)
+      .foldLeft(0)(math.max)
 
   /** Append a delta of NEW corpus vectors into the persisted lists
     * without rewriting untouched lists: each delta vector is assigned to
@@ -154,11 +186,7 @@ object IvfIndex {
     // Number past EVERY existing version dir, committed or not — a stale
     // uncommitted leftover (crashed compaction) must never collide with
     // or outrank the copy about to be written.
-    val maxSeen = fs0.listStatus(root0).toSeq.map(_.getPath.getName)
-      .filter(_.matches("lists_v\\d+"))
-      .map(_.stripPrefix("lists_v").toInt)
-      .foldLeft(0)(math.max)
-    val next = s"lists_v${maxSeen + 1}"
+    val next = s"lists_v${maxVersion(fs0, root0) + 1}"
     spark.read.parquet(s"$path/$cur")
       .repartition(col("list"))
       .write.mode("overwrite")

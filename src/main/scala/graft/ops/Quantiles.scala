@@ -55,36 +55,50 @@ object Quantiles {
       .filter(col("__x").isNotNull)
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val bounds = graft.ml.Eval.tileBoundaries(vals, col("__x"), parts)
+    // Persisted across the two actions (counts pass + selection pass)
+    // so the value column scans once; the tile id being a pure function
+    // of the value already guaranteed the passes AGREE, the persist
+    // just stops the second scan from re-reading the source.
     val tiled = vals.withColumn("__pid",
       graft.ml.Eval.tilePid(col("__x"), bounds))
-    val sizes = tiled.groupBy("__pid").agg(count(lit(1)).as("__n"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val n = sizes.map(_._2).sum
-    if (n == 0) return probs.map(_ => Double.NaN)
-    val hs = probs.map(p => (n - 1) * p)
-    val ranks = hs.flatMap(h =>
-      Seq(math.floor(h).toLong, math.ceil(h).toLong)).distinct.sorted
-    // rank → (tile, 1-based local index) via exclusive tile offsets.
-    val bases = sizes.scanLeft(0L)(_ + _._2).init
-    val located = ranks.map { r =>
-      val i = sizes.indices.findLast(i => bases(i) <= r).get
-      (r, sizes(i)._1, r - bases(i) + 1)
-    }
-    val wanted = located.map { case (_, pid, rn) =>
-      col("__pid") === pid && col("__rn") === rn
-    }.reduce(_ || _)
-    val w = Window.partitionBy("__pid").orderBy("__x")
-    val picked = tiled.withColumn("__rn", row_number().over(w))
-      .filter(wanted).select("__pid", "__rn", "__x")
-      .collect().map(r => (r.getInt(0), r.getInt(1).toLong) -> r.getDouble(2))
-      .toMap
-    val byRank = located.map { case (r, pid, rn) => r -> picked((pid, rn)) }.toMap
-    hs.map { h =>
-      val lo = byRank(math.floor(h).toLong)
-      val hi = byRank(math.ceil(h).toLong)
-      if (math.floor(h) == math.ceil(h)) lo
-      else (math.ceil(h) - h) * lo + (h - math.floor(h)) * hi
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sizes = tiled.groupBy("__pid").agg(count(lit(1)).as("__n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val n = sizes.map(_._2).sum
+      if (n == 0) return probs.map(_ => Double.NaN)
+      val hs = probs.map(p => (n - 1) * p)
+      val ranks = hs.flatMap(h =>
+        Seq(math.floor(h).toLong, math.ceil(h).toLong)).distinct.sorted
+      // rank → (tile, 1-based local index) via exclusive tile offsets.
+      val bases = sizes.scanLeft(0L)(_ + _._2).init
+      val located = ranks.map { r =>
+        val i = sizes.indices.findLast(i => bases(i) <= r).get
+        (r, sizes(i)._1, r - bases(i) + 1)
+      }
+      // The wanted (pid, rank) pairs are driver-known BEFORE the window
+      // runs, so restrict the rank window's input to the ≤ 2·|probs|
+      // tiles that actually hold a wanted order statistic — every other
+      // tile is never sorted at all. Safe because ranks are tile-LOCAL:
+      // dropping whole tiles cannot shift a surviving tile's numbering.
+      val wantedPids = located.map(_._2).distinct
+      val wanted = located.map { case (_, pid, rn) =>
+        col("__pid") === pid && col("__rn") === rn
+      }.reduce(_ || _)
+      val w = Window.partitionBy("__pid").orderBy("__x")
+      val picked = tiled.filter(col("__pid").isin(wantedPids: _*))
+        .withColumn("__rn", row_number().over(w))
+        .filter(wanted).select("__pid", "__rn", "__x")
+        .collect().map(r => (r.getInt(0), r.getInt(1).toLong) -> r.getDouble(2))
+        .toMap
+      val byRank = located.map { case (r, pid, rn) => r -> picked((pid, rn)) }.toMap
+      hs.map { h =>
+        val lo = byRank(math.floor(h).toLong)
+        val hi = byRank(math.ceil(h).toLong)
+        if (math.floor(h) == math.ceil(h)) lo
+        else (math.ceil(h) - h) * lo + (h - math.floor(h)) * hi
+      }
+    } finally tiled.unpersist()
   }
 
   /** Adds `q_bucket` (0..probs.length): the number of `probs` quantile

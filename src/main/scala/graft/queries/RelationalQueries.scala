@@ -182,15 +182,37 @@ object RelationalQueries extends QueryGroup {
     // eps=1) + clamped-contribution noisy sum/mean ([0,5000] bound,
     // eps=1 split over sum and count) — the aggregate-release shape a
     // privacy-gated analytics pipeline publishes instead of raw counts.
+    // OUTPUT CONTRACT: the fixed literal salts make this a reproducible
+    // SIMULATION of the mechanism (that is what lets DuckDB replay it
+    // bit-for-bit) — `eps_total` labels noise calibration, NOT a formal
+    // privacy guarantee; a real release passes a secret salt
+    // (DataQuality.laplaceNoise scaladoc).
     "q_dp_release" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
       val counts = graft.ops.DataQuality.dpCounts(c, Seq("c_mktsegment"),
-        epsilon = 1.0).select(col("c_mktsegment"), col("noisy_count"))
+        epsilon = 1.0, salt = "dpc")
+        .select(col("c_mktsegment"), col("noisy_count"))
       val means = graft.ops.DataQuality.dpMean(c, Seq("c_mktsegment"),
-        "c_acctbal", lo = 0.0, hi = 5000.0, epsilon = 1.0)
+        "c_acctbal", lo = 0.0, hi = 5000.0, epsilon = 1.0, salt = "dpm")
         .select(col("c_mktsegment"), col("noisy_sum"), col("noisy_mean"))
       counts.join(means, Seq("c_mktsegment"))
         .withColumn("eps_total", lit(2.0))
+    }),
+
+    // (ε,δ)-DP stability-histogram release over a DATA-DEPENDENT key
+    // domain: per-(segment, nation) noisy counts thresholded at
+    // τ = 1 + 2·ln(2/δ)/ε, so a group's mere EXISTENCE no longer leaks
+    // (a single-contributor group survives w.p. ≤ δ) — the fix for the
+    // key-set side channel plain dpCounts has. Same simulation stance
+    // as q_dp_release (fixed salt ⇒ oracle-replayable, not private).
+    // δ=0.05 is a demo setting: at sf0.01 each (segment, nation) group
+    // holds ~12 customers, so τ ≈ 8.4 actually exercises suppression —
+    // a realistic δ=1e-6 would suppress every group at toy scale.
+    "q_dp_stable" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      graft.ops.DataQuality.dpCountsStable(c,
+        Seq("c_mktsegment", "c_nationkey"),
+        epsilon = 1.0, delta = 0.05, salt = "dps")
     }),
 
     // l-diversity audit, the step after k-anonymity: (value-decade, day)
@@ -688,6 +710,33 @@ object RelationalQueries extends QueryGroup {
          |    greatest(n + ${lap("dpm_n", "2.0")}, 1.0), 4) AS noisy_mean,
          |  CAST(2.0 AS DOUBLE) AS eps_total
          |FROM h""".stripMargin
+    },
+    // Stability histogram: same md5-uniform Laplace replay as
+    // q_dp_release, same multi-column NULL-sentinel/separator key as
+    // DataQuality.groupKey, plus the τ = 1 + 2·ln(2/δ)/ε threshold.
+    "q_dp_stable" -> {
+      val key = "'dps' || coalesce(CAST(c_mktsegment AS VARCHAR), chr(0))" +
+        " || chr(1) || coalesce(CAST(c_nationkey AS VARCHAR), chr(0))"
+      s"""WITH g AS (
+         |  SELECT c_mktsegment, c_nationkey, count(*) AS n
+         |  FROM customer GROUP BY 1, 2),
+         |h AS (
+         |  SELECT *, (CAST(('0x' || substr(md5($key), 1, 15))
+         |      AS BIGINT) + 1) / 1.152921504606846976e18 AS u
+         |  FROM g),
+         |r AS (
+         |  SELECT c_mktsegment, c_nationkey,
+         |    round(n + (-(1.0) * sign(u - 0.5) *
+         |      ln(greatest(1e-18, 1.0 - 2.0 * abs(u - 0.5)))), 4)
+         |      AS noisy_count
+         |  FROM h)
+         |SELECT c_mktsegment, c_nationkey, noisy_count,
+         |  CAST(1.0 AS DOUBLE) AS epsilon,
+         |  CAST(0.05 AS DOUBLE) AS delta,
+         |  round(1.0 + 2.0 * ln(2.0 / 0.05) / 1.0, 4) AS threshold
+         |FROM r
+         |WHERE noisy_count >= 1.0 + 2.0 * ln(2.0 / 0.05) / 1.0"""
+        .stripMargin
     },
     "q_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,

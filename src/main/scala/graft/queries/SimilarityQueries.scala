@@ -153,8 +153,11 @@ object SimilarityQueries extends QueryGroup {
       val cent = emb.filter(col("embedding").isNotNull)
         .filter(pmod(col("vec_id"), lit(25)) === 0)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      // Keyed by dataset AND application id: two concurrent harness runs
+      // (or a stale tree from a killed run) must never share mutable
+      // index state — mixed-version probes are silent flake.
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_persist_" +
-        new java.io.File(dir).getName
+        new java.io.File(dir).getName + "_" + s.sparkContext.applicationId
       graft.ops.IvfIndex.write(path, emb, "vec_id", "embedding", cent)
       graft.ops.IvfIndex.topK(s, path, emb.filter(col("vec_id") < 30),
         "vec_id", "embedding", k = 3, nprobe = 3)
@@ -172,8 +175,11 @@ object SimilarityQueries extends QueryGroup {
       val cent = emb.filter(col("embedding").isNotNull)
         .filter(pmod(col("vec_id"), lit(50)) === 0)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      // Same per-application isolation as q_ann_ivf_persist: the
+      // write→append→probe sequence is stateful and must not race a
+      // concurrent run or inherit a crashed run's half-appended tree.
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_upsert_" +
-        new java.io.File(dir).getName
+        new java.io.File(dir).getName + "_" + s.sparkContext.applicationId
       graft.ops.IvfIndex.write(path,
         emb.filter(pmod(col("vec_id"), lit(2)) === 0),
         "vec_id", "embedding", cent)

@@ -18,11 +18,42 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - `commit(df, id)` writes the STANDBY slot and swaps; callers
   *     check [[committedBatchId]] first to make micro-batch replays
   *     no-ops.
+  *   - The check→merge→swap sequence is NOT atomic on its own: two
+  *     writers on one rootDir (a manual backfill beside a live query)
+  *     could interleave and silently drop one merge — for
+  *     [[StreamingCountMin]]'s non-idempotent sum state that is silent
+  *     undercounting. Writers therefore run the whole sequence inside
+  *     [[withWriteLock]]: a JVM-wide monitor per canonical root (two
+  *     threads of one process) plus an OS file lock on `_writer.lock`
+  *     (two processes). The store is java.nio-local-FS by construction,
+  *     which is exactly where `FileChannel.lock` is reliable.
   */
 private[streaming] final class BlueGreenStore(rootDir: String) {
 
   private val pointer = Paths.get(rootDir, "current")
   private val slots = Seq("gold_a", "gold_b")
+
+  /** Serialize a whole read-merge-swap against every other writer of
+    * this rootDir — same-process writers via the shared monitor,
+    * cross-process writers via an exclusive `_writer.lock` file lock
+    * (blocking; released even when `f` throws).
+    */
+  def withWriteLock[T](f: => T): T = {
+    val monitor = BlueGreenStore.monitors.computeIfAbsent(
+      Paths.get(rootDir).toAbsolutePath.normalize.toString,
+      _ => new Object)
+    monitor.synchronized {
+      Files.createDirectories(Paths.get(rootDir))
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(rootDir, "_writer.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try f finally lock.release()
+      } finally ch.close()
+    }
+  }
 
   private def currentSlot: Option[String] =
     if (Files.exists(pointer)) Some(Files.readString(pointer).trim) else None
@@ -67,4 +98,12 @@ private[streaming] final class BlueGreenStore(rootDir: String) {
           .foreach(p => Files.deleteIfExists(p))
       }
   }
+}
+
+private[streaming] object BlueGreenStore {
+  // One monitor per canonical root: FileChannel locks are per-JVM (a
+  // second lock attempt from another THREAD throws rather than blocks),
+  // so in-process mutual exclusion needs this layer in front.
+  private val monitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 }

@@ -34,14 +34,20 @@ class StreamingCountMin(
 
   def committedBatchId: Long = store.committedBatchId
 
-  /** Add one micro-batch's counts. Replays (batchId ≤ committed) no-op. */
-  def mergeBatch(batch: DataFrame, batchId: Long): Unit = {
-    if (batchId <= committedBatchId) return
-    val delta = CountMin.build(batch, itemCol, d, w)
-    val merged = store.read(batch.sparkSession)
-      .map(CountMin.merge(_, delta)).getOrElse(delta)
-    store.commit(merged, batchId)
-  }
+  /** Add one micro-batch's counts. Replays (batchId ≤ committed) no-op.
+    * Runs under the store's write lock: sum state is non-idempotent, so
+    * an interleaved concurrent writer would silently UNDERCOUNT — the
+    * lock serializes the whole check→build→merge→swap instead.
+    */
+  def mergeBatch(batch: DataFrame, batchId: Long): Unit =
+    store.withWriteLock {
+      if (batchId > committedBatchId) {
+        val delta = CountMin.build(batch, itemCol, d, w)
+        val merged = store.read(batch.sparkSession)
+          .map(CountMin.merge(_, delta)).getOrElse(delta)
+        store.commit(merged, batchId)
+      }
+    }
 
   /** The live (depth, bucket, cnt) sketch table. */
   def sketch(spark: SparkSession): Option[DataFrame] = store.read(spark)

@@ -53,17 +53,22 @@ class StreamingGold(
 
   /** Apply one micro-batch: merge into the standby slot and swap. Replays
     * (batchId ≤ committed) are no-ops. Safe to call directly for manual
-    * backfill — idempotence comes from the merge, not the caller.
+    * backfill — idempotence comes from the merge, not the caller, and
+    * the whole check→merge→swap runs under the store's write lock, so a
+    * backfill beside a live query serializes instead of silently
+    * dropping one writer's merge.
     */
-  def mergeBatch(batch: DataFrame, batchId: Long): Unit = {
-    if (batchId <= committedBatchId) return
-    val spark = batch.sparkSession
-    val merged = read(spark) match {
-      case Some(current) => merge(current.unionByName(batch))
-      case None => merge(batch)
+  def mergeBatch(batch: DataFrame, batchId: Long): Unit =
+    store.withWriteLock {
+      if (batchId > committedBatchId) {
+        val spark = batch.sparkSession
+        val merged = read(spark) match {
+          case Some(current) => merge(current.unionByName(batch))
+          case None => merge(batch)
+        }
+        store.commit(merged, batchId)
+      }
     }
-    store.commit(merged, batchId)
-  }
 
   /** One row per key: lexicographic max of (version, non-key columns) —
     * deterministic even when two rows share the version.

@@ -12,7 +12,7 @@ class DpReleaseSpec extends AnyFunSuite with SparkTestBase {
     (s"g${i % 4}", (i % 100) * 10.0)).toDF("grp", "v")
 
   test("dpCounts: noise is calibrated (small at eps=1 vs n=100) and keyed") {
-    val out = DataQuality.dpCounts(rows, Seq("grp"), epsilon = 1.0)
+    val out = DataQuality.dpCounts(rows, Seq("grp"), epsilon = 1.0, salt = "dpc")
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(out.size == 4)
     // True count is 100 per group; Laplace(1) noise is almost surely
@@ -24,7 +24,7 @@ class DpReleaseSpec extends AnyFunSuite with SparkTestBase {
 
   test("dpMean: clamp bounds the released mean into the clamped range") {
     val out = DataQuality.dpMean(rows, Seq("grp"), "v",
-      lo = 0.0, hi = 100.0, epsilon = 1.0).collect()
+      lo = 0.0, hi = 100.0, epsilon = 1.0, salt = "dpm").collect()
     out.foreach { r =>
       val mean = r.getDouble(3)
       // Clamped values live in [0, 100]; noise at eps=1, n=100 moves the
@@ -34,9 +34,9 @@ class DpReleaseSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("deterministic and partition-invariant (seeded noise)") {
-    val a = DataQuality.dpCounts(rows, Seq("grp"), 1.0)
+    val a = DataQuality.dpCounts(rows, Seq("grp"), 1.0, "dpc")
       .collect().map(_.toString).sorted.toSeq
-    val b = DataQuality.dpCounts(rows.repartition(7), Seq("grp"), 1.0)
+    val b = DataQuality.dpCounts(rows.repartition(7), Seq("grp"), 1.0, "dpc")
       .collect().map(_.toString).sorted.toSeq
     assert(a == b)
   }
@@ -48,7 +48,7 @@ class DpReleaseSpec extends AnyFunSuite with SparkTestBase {
     // is deterministic per key, so assert the exact released value.
     val one = Seq(("g", 100.5)).toDF("grp", "v")
     val got = DataQuality.dpMean(one, Seq("grp"), "v",
-      lo = 100.0, hi = 101.0, epsilon = 1.0).head
+      lo = 100.0, hi = 101.0, epsilon = 1.0, salt = "dpm").head
     val expectedNoise = one
       .select(DataQuality.laplaceNoise(col("grp"), "dpm_s",
         lit(101.0 / 0.5)).as("x")).head.getDouble(0)
@@ -61,15 +61,33 @@ class DpReleaseSpec extends AnyFunSuite with SparkTestBase {
   test("NULL groups draw their own noise; key cannot collide across columns") {
     val withNull = Seq((Option("a"), 1), (Option.empty[String], 1))
       .toDF("grp", "v")
-    val out = DataQuality.dpCounts(withNull, Seq("grp"), 1.0).collect()
+    val out = DataQuality.dpCounts(withNull, Seq("grp"), 1.0, "dpc").collect()
     assert(out.length == 2)
     // Both rows released with real (non-null) noisy counts.
     out.foreach(r => assert(!r.isNullAt(1)))
     // ("a","b") vs ("ab","") must NOT share noise (separator-delimited).
     val two = Seq(("a", "b", 1), ("ab", "", 1)).toDF("g1", "g2", "v")
-    val noisy = DataQuality.dpCounts(two, Seq("g1", "g2"), 1.0)
+    val noisy = DataQuality.dpCounts(two, Seq("g1", "g2"), 1.0, "dpc")
       .collect().map(_.getDouble(2))
     assert(noisy(0) != noisy(1), "colliding group keys share noise")
+  }
+
+  test("dpCountsStable: suppresses below-threshold groups, keeps the rest") {
+    // 3 big groups (100 each) + 5 singleton groups. At eps=1, delta=0.05
+    // the threshold is 1 + 2 ln 40 ≈ 8.38: the singletons (1 ± Laplace(1))
+    // fall below it almost surely, the 100s survive almost surely.
+    val mixed = ((0 until 300).map(i => s"big${i % 3}") ++
+      (0 until 5).map(i => s"lone$i")).toDF("grp")
+    val out = DataQuality.dpCountsStable(mixed, Seq("grp"),
+      epsilon = 1.0, delta = 0.05, salt = "t").collect()
+    val kept = out.map(_.getString(0)).toSet
+    assert(kept == Set("big0", "big1", "big2"), kept)
+    // Threshold column carries the release parameters for the auditor.
+    out.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("delta")) == 0.05)
+      assert(math.abs(r.getDouble(r.fieldIndex("threshold")) -
+        (1.0 + 2.0 * math.log(40.0))) < 1e-3)
+    }
   }
 
   test("laplace noise distribution: symmetric, median near b ln 2") {

@@ -55,11 +55,12 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
   test("lists land partitioned by Voronoi cell (one directory per list)") {
     val path = Files.createTempDirectory("ivf_layout").toString
     IvfIndex.write(path, corpus, "vec_id", "embedding", codebook)
-    val dirs = new java.io.File(s"$path/lists").listFiles()
+    val live = IvfIndex.liveLists(spark, path)
+    val dirs = new java.io.File(s"$path/$live").listFiles()
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("list="))
     assert(dirs.nonEmpty && dirs.forall(_.matches("list=\\d+")), dirs.toSeq)
     // Every corpus vector exactly once across all lists.
-    val total = spark.read.parquet(s"$path/lists").count()
+    val total = spark.read.parquet(s"$path/$live").count()
     assert(total == 240L)
   }
 
@@ -112,10 +113,11 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     // some of them — capture an untouched list's file listing first.
     // (All clusters get odd members here, so instead capture EVERY list
     // file pre-append and assert the append only ADDED files.)
+    val live = IvfIndex.liveLists(spark, path)
     def listFiles(): Set[String] = {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-      walk(new java.io.File(s"$path/lists"))
+      walk(new java.io.File(s"$path/$live"))
         .filter(_.getName.endsWith(".parquet"))
         .map(f => s"${f.getPath}:${f.length}").toSet
     }
@@ -142,12 +144,13 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
       "vec_id", "embedding")
     val want = canon(IvfIndex.topK(spark, path, probes, "vec_id",
       "embedding", k = 4, nprobe = 2))
+    val preCompact = IvfIndex.liveLists(spark, path)
     IvfIndex.compact(spark, path)
-    // The live tree is now the committed versioned copy; the original
-    // `lists` tree is retired.
+    // The live tree is now the next committed versioned copy; the
+    // pre-compaction tree is retired.
     val live = IvfIndex.liveLists(spark, path)
-    assert(live == "lists_v1", live)
-    assert(!new java.io.File(s"$path/lists").exists())
+    assert(live.matches("lists_v\\d+") && live != preCompact, live)
+    assert(!new java.io.File(s"$path/$preCompact").exists())
     val dirs = new java.io.File(s"$path/$live").listFiles()
       .filter(_.isDirectory)
     assert(dirs.nonEmpty)
@@ -161,13 +164,38 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     // Crash safety: an UNCOMMITTED higher version (no _SUCCESS marker —
     // what an interrupted compaction leaves) is invisible to readers.
     assert(new java.io.File(s"$path/lists_v7/list=0").mkdirs())
-    assert(IvfIndex.liveLists(spark, path) == "lists_v1")
-    // A committed second compaction takes over and retires v1.
+    assert(IvfIndex.liveLists(spark, path) == live)
+    // A committed second compaction numbers past the garbage, takes
+    // over, and retires the previous live tree.
     IvfIndex.compact(spark, path)
     assert(IvfIndex.liveLists(spark, path) == "lists_v8")
-    assert(!new java.io.File(s"$path/lists_v1").exists())
+    assert(!new java.io.File(s"$path/$live").exists())
     assert(canon(IvfIndex.topK(spark, path, probes, "vec_id",
       "embedding", k = 4, nprobe = 2)) == want)
+  }
+
+  test("rebuild at an existing path is write-then-retire: a new committed " +
+      "version, old trees deleted only after it commits") {
+    val path = Files.createTempDirectory("ivf_rebuild").toString
+    IvfIndex.write(path, corpus.filter(col("vec_id") < 120),
+      "vec_id", "embedding", codebook)
+    val v1 = IvfIndex.liveLists(spark, path)
+    // Simulate the crashed-rebuild leftover: an uncommitted higher
+    // version that the next rebuild must number past, never resurrect.
+    assert(new java.io.File(s"$path/lists_v5/list=0").mkdirs())
+    IvfIndex.write(path, corpus, "vec_id", "embedding", codebook)
+    val v2 = IvfIndex.liveLists(spark, path)
+    assert(v2 == "lists_v6", v2)
+    // Superseded trees (v1 and the uncommitted garbage) are gone...
+    assert(!new java.io.File(s"$path/$v1").exists())
+    assert(!new java.io.File(s"$path/lists_v5").exists())
+    // ...and the rebuilt index serves the FULL corpus.
+    assert(spark.read.parquet(s"$path/$v2").count() == 240L)
+    val got = canon(IvfIndex.topK(spark, path, probes, "vec_id",
+      "embedding", k = 4, nprobe = 2))
+    val want = canon(Similarity.ivfTopKWith(probes, corpus, "vec_id",
+      "embedding", k = 4, codebook, nprobe = 2))
+    assert(got == want && got.nonEmpty)
   }
 
   test("probe plan is eligible for dynamic partition pruning") {
