@@ -92,30 +92,56 @@ object HyperAnf {
     */
   def neighborhoodFunction(edges: DataFrame, srcCol: String,
       dstCol: String, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct()
       // Referenced by every round's join; materialise once.
       .localCheckpoint(eager = false)
-    def nfOf(t: Int, regs: DataFrame): DataFrame =
+    // NF(t) is a ONE-ROW aggregate of round t's register table, so each
+    // round's readout is collected eagerly — that action doubles as the
+    // round's checkpoint materializer (the connectedComponents trick),
+    // after which round t−1's blocks are provably dead and released
+    // immediately ([[graft.ops.Checkpoints.release]]). The alternative —
+    // a lazy union of per-round aggregates — pins EVERY round's register
+    // table until the caller's final action: rounds × O(n·m) rows of
+    // block storage, the session-degrading leak the Checkpoints header
+    // documents.
+    def nfOf(regs: DataFrame): Double =
       ballEstimates(regs)
         .agg(sum(round(col("ball_est"), 4).cast("decimal(38,4)")).as("nf"))
         // Exact DECIMAL accumulation; DOUBLE readout (≤ 4 fractional
         // digits, well under 2^53 — the cast is exact) so both engines
         // print identically.
-        .select(lit(t).as("t"), col("nf").cast("double").as("nf"))
+        .select(col("nf").cast("double")).head match {
+          case row if row.isNullAt(0) => 0.0 // empty graph: sum of nothing
+          case row => row.getDouble(0)
+        }
     // One register table threaded through all rounds (NOT rebuilt per t —
     // that would be O(rounds²) joins); lineage truncated each round so
     // round r's plan doesn't replay rounds 1..r-1.
     var regs = initRegisters(e).localCheckpoint(eager = false)
-    var out = nfOf(0, regs)
+    val nfs = Array.ofDim[Double](rounds + 1)
+    nfs(0) = nfOf(regs)
     for (t <- 1 to rounds) {
+      val prev = regs
       regs = mergeRound(e, regs).localCheckpoint(eager = false)
-      out = out.unionAll(nfOf(t, regs))
+      nfs(t) = nfOf(regs)
+      graft.ops.Checkpoints.release(prev)
     }
-    // nf_frac against the final round: a rounds+1-row window (bounded by
-    // construction — max(nf) is nf(rounds), NF is monotone in t).
-    import org.apache.spark.sql.expressions.Window
-    out.withColumn("nf_frac",
-      round(col("nf") / max(col("nf")).over(Window.partitionBy()), 6))
+    graft.ops.Checkpoints.release(regs)
+    graft.ops.Checkpoints.release(e)
+    // nf_frac against the final round (NF is monotone in t, so the max is
+    // nfs(rounds)); round 6 via HALF_UP on BigDecimal.valueOf — exactly
+    // Spark's `round(double)` semantics, so the driver-built frame is
+    // bit-identical to the old window readout.
+    val maxNf = nfs(rounds)
+    def r6(x: Double): Double =
+      if (x.isNaN || x.isInfinite) x // matches Spark round() on non-finite
+      else java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    import spark.implicits._
+    nfs.toIndexedSeq.zipWithIndex
+      .map { case (nf, t) => (t, nf, r6(nf / maxNf)) }
+      .toDF("t", "nf", "nf_frac")
   }
 }

@@ -40,12 +40,25 @@ object KCore {
         .groupBy("node").agg(count(lit(1)).as("degree"))
 
     var e = und
+    // Intermediate rounds checkpoint EAGERLY so round r−1's blocks are
+    // provably dead the moment round r materializes — and are released
+    // right then ([[graft.ops.Checkpoints.release]], the
+    // connectedComponents/ShortestPaths discipline) instead of pinning
+    // every peel's surviving-edge set until the GC-driven cleaner runs.
+    // The LAST round stays a plain plan (callers and the plan-shape
+    // audit still see the semi-join/degree aggregation), so its input —
+    // the latest checkpoint — is the one frame intentionally left live.
+    var lastCkpt = und
     for (r <- 1 to rounds) {
       val keep = degrees(e).filter(col("degree") >= k).select("node")
       e = e
         .join(keep.withColumnRenamed("node", "__a"), Seq("__a"), "left_semi")
         .join(keep.withColumnRenamed("node", "__b"), Seq("__b"), "left_semi")
-      if (r < rounds) e = e.localCheckpoint(false)
+      if (r < rounds) {
+        e = e.localCheckpoint(true)
+        graft.ops.Checkpoints.release(lastCkpt)
+        lastCkpt = e
+      }
     }
     degrees(e).filter(col("degree") >= k)
   }

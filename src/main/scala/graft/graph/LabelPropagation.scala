@@ -47,6 +47,11 @@ object LabelPropagation {
     val nodes = nbrs.select(col("node")).distinct().localCheckpoint(false)
 
     var labels = nodes.select(col("node"), col("node").as("label"))
+    // Round r−1's label checkpoint is dead once round r materializes:
+    // release it immediately (the connectedComponents discipline) rather
+    // than pinning every round's label table for the session. nbrs/nodes
+    // stay live by design — every round AND the final plan read them.
+    var prevCkpt: Option[DataFrame] = None
     for (r <- 1 to rounds) {
       val votes = nbrs
         .join(labels.select(col("node").as("__nbr"), col("label")), "__nbr")
@@ -59,10 +64,16 @@ object LabelPropagation {
         .join(votes, Seq("node"), "left")
         // An isolated node has no votes: it keeps itself.
         .select(col("node"), coalesce(col("__new"), col("node")).as("label"))
-      // Intermediate rounds truncate lineage (round r's plan stays O(1),
-      // not O(r)); the LAST round stays a plain plan so callers — and the
-      // plan-shape audit — still see the vote/argmax aggregation.
-      if (r < rounds) labels = labels.localCheckpoint(false)
+      // Intermediate rounds truncate lineage EAGERLY (round r's plan
+      // stays O(1), not O(r), and materializing now is what proves the
+      // previous round dead); the LAST round stays a plain plan so
+      // callers — and the plan-shape audit — still see the vote/argmax
+      // aggregation.
+      if (r < rounds) {
+        labels = labels.localCheckpoint(true)
+        prevCkpt.foreach(graft.ops.Checkpoints.release)
+        prevCkpt = Some(labels)
+      }
     }
     labels
   }

@@ -41,6 +41,14 @@ class HyperAnfSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("round checkpoints (and the edge frame) are fully released") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    HyperAnf.neighborhoodFunction(cycle, "src", "dst", rounds = 6)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // The readout is collected per round, so NOTHING stays pinned.
+    assert(after - before <= 0, s"leaked ${after - before} checkpoints")
+  }
+
   test("self-loops and duplicate edges do not change the estimate") {
     val noisy = cycle
       .union(Seq((0L, 0L), (1L, 2L), (1L, 2L)).toDF("src", "dst"))

@@ -34,6 +34,19 @@ class KCoreSpec extends AnyFunSuite with SparkTestBase {
     assert(run(tri ++ chain, k = 2, rounds = 5) == r3)
   }
 
+  test("per-round checkpoints are released, not accumulated") {
+    import spark.implicits._
+    val tri = Seq((0L, 1L), (1L, 2L), (0L, 2L))
+    val chain = Seq((2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    KCore.peel((tri ++ chain).toDF("src", "dst"), "src", "dst",
+      k = 2, rounds = 8).collect()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // Only the LAST intermediate checkpoint (the final round's input) may
+    // stay live — never one block set per round.
+    assert(after - before <= 1, s"leaked ${after - before} checkpoints")
+  }
+
   test("a graph below the threshold empties completely") {
     assert(run(Seq((0L, 1L), (1L, 2L)), k = 2, rounds = 3).isEmpty)
   }

@@ -27,6 +27,18 @@ class LabelPropagationSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("per-round label checkpoints are released, not accumulated") {
+    import spark.implicits._
+    val path = (0L until 12L).sliding(2).map(p => (p(0), p(1))).toSeq
+    val before = spark.sparkContext.getPersistentRDDs.size
+    LabelPropagation.communities(path.toDF("src", "dst"), "src", "dst",
+      rounds = 8).collect()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // Live by design: nbrs, nodes, and the final round's input labels —
+    // a rounds-independent constant, never one label table per round.
+    assert(after - before <= 3, s"leaked ${after - before} checkpoints")
+  }
+
   test("synchronous single round on a path votes with min-label tie-breaks") {
     // 1-2-3: every node's neighbors vote once each; ties -> smallest.
     // 1 sees {2}; 2 sees {1,3} tie -> 1; 3 sees {2}.
