@@ -30,7 +30,9 @@ import org.apache.spark.sql.functions._
   *
   * Usage:
   *   runMain graft.ScaleRehearsal inflate <srcDir> <dstDir> <factor>
+  *   runMain graft.ScaleRehearsal inflate-skew <srcDir> <dstDir> <factor>
   *   runMain graft.ScaleRehearsal run <baseDir> <bigDir> <factor> [q1,q2,…]
+  *   runMain graft.ScaleRehearsal run-skew <baseDir> <bigDir> <factor>
   *
   * `run` prints one JSON line per query — {"query","t_base","t_big",
   * "ratio"} — and a final summary line. No oracle: the claim under test
@@ -52,6 +54,14 @@ object ScaleRehearsal {
     "q_skyline_docs", "q_group_quantile_bucket", "q_auc_continuous",
     "q_dedup_minhash_lsh")
 
+  /** The skew-rehearsal set: the queries whose scale story depends on a
+    * HOT KEY surviving — as-of auto-routing, per-group rank windows,
+    * prefix-filtered set-sim, LSH banding, per-user sequence windows.
+    */
+  val skewSet: Seq[String] = Seq(
+    "q_asof_auto", "q_group_quantile_bucket", "q_setsim_join",
+    "q_dedup_minhash_lsh", "q_event_transitions")
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -64,12 +74,18 @@ object ScaleRehearsal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.toSeq match {
-      case Seq("inflate", src, dst, f) => inflate(spark, src, dst, f.toInt)
+      case Seq("inflate", src, dst, f) =>
+        inflate(spark, src, dst, f.toInt, skew = false)
+      case Seq("inflate-skew", src, dst, f) =>
+        inflate(spark, src, dst, f.toInt, skew = true)
       case Seq("run", base, big, f) =>
         run(spark, base, big, f.toInt, defaultSet)
+      case Seq("run-skew", base, big, f) =>
+        run(spark, base, big, f.toInt, skewSet, routeCheck = true)
       case Seq("run", base, big, f, qs) =>
         run(spark, base, big, f.toInt, qs.split(",").map(_.trim).toSeq)
-      case other => sys.error(s"usage: inflate src dst F | run base big F [qs] — got $other")
+      case other => sys.error(
+        s"usage: inflate|inflate-skew src dst F | run|run-skew base big F [qs] — got $other")
     }
     spark.stop()
   }
@@ -96,7 +112,25 @@ object ScaleRehearsal {
       rewrite: Int => Seq[org.apache.spark.sql.Column]): DataFrame =
     (0 until f).map(c => df.select(rewrite(c): _*)).reduce(_ unionAll _)
 
-  def inflate(spark: SparkSession, src: String, dst: String, f: Int): Unit = {
+  /** `skew = false`: each copy is a disjoint key universe (join fan-outs
+    * preserved — isolates engine cost from artificial pair explosions).
+    *
+    * `skew = true`: inflation CONCENTRATES keys, the way real corpora
+    * scale — skew grows superlinearly with size (one hot item, one
+    * boilerplate line, one giant host). Copies ≥ 1 route half their rows
+    * onto one pre-existing hot key:
+    *   - events: half of each copy's events land on ONE user (≈ 45% of
+    *     the 10× table) — a giant as-of key (joinAuto must route salted)
+    *     and a giant per-user sequence window;
+    *   - documents: half of each copy's docs get ONE verbatim boilerplate
+    *     line prepended (the rest of the text still Caesar-rotates) —
+    *     hot shingles/bands for set-sim and MinHash-LSH;
+    *   - lineitem: half of each copy's rows point at ONE part — a hot
+    *     dimension join key.
+    * Everything else inflates exactly as the disjoint mode does.
+    */
+  def inflate(spark: SparkSession, src: String, dst: String, f: Int,
+      skew: Boolean): Unit = {
     new java.io.File(dst).mkdirs()
     def maxOf(table: String, key: String): Long =
       Tables.load(spark, src, table).agg(max(col(key))).head.getLong(0) + 1
@@ -137,20 +171,38 @@ object ScaleRehearsal {
       (col("o_custkey") + lit(c * sC)).as("o_custkey"),
       col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
       col("o_orderpriority"))))
+    // Hot keys for skew mode: pre-existing minimum ids, so the hot key
+    // also carries copy-0's original rows.
+    lazy val hotUser = Tables.events(spark, src)
+      .agg(min("user_id")).head.getLong(0)
+    lazy val hotPart = Tables.part(spark, src)
+      .agg(min("p_partkey")).head.getLong(0)
+    val boiler = "Subscribe to our newsletter for updates and offers. "
+
     write("lineitem", copies(Tables.lineitem(spark, src), f)(c => Seq(
       (col("l_orderkey") + lit(c * sO)).as("l_orderkey"),
-      (col("l_partkey") + lit(c * sP)).as("l_partkey"),
+      (if (skew && c > 0)
+        when(pmod(col("l_orderkey"), lit(2)) === 0, lit(hotPart))
+          .otherwise(col("l_partkey") + lit(c * sP))
+      else col("l_partkey") + lit(c * sP)).as("l_partkey"),
       (col("l_suppkey") + lit(c * sS)).as("l_suppkey"),
       col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
       col("l_discount"), col("l_tax"), col("l_returnflag"),
       col("l_linestatus"), col("l_shipdate"))))
     write("events", copies(Tables.events(spark, src), f)(c => Seq(
       (col("event_id") + lit(c * sE)).as("event_id"), col("ts"),
-      (col("user_id") + lit(c * sU)).as("user_id"),
+      (if (skew && c > 0)
+        when(pmod(col("event_id"), lit(2)) === 0, lit(hotUser))
+          .otherwise(col("user_id") + lit(c * sU))
+      else col("user_id") + lit(c * sU)).as("user_id"),
       col("event_type"), col("value"), col("props"))))
     write("documents", copies(Tables.documents(spark, src), f)(c => Seq(
       (col("doc_id") + lit(c * sD)).as("doc_id"),
-      caesar(col("text"), c).as("text"),
+      (if (skew && c > 0)
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit(boiler), caesar(col("text"), c)))
+          .otherwise(caesar(col("text"), c))
+      else caesar(col("text"), c)).as("text"),
       col("lang"), col("source"), col("n_chars"))))
     // Cyclic rotation by c: slice is 1-based; dim is uniform per fixture.
     write("embeddings", copies(Tables.embeddings(spark, src), f)(c => Seq(
@@ -170,7 +222,7 @@ object ScaleRehearsal {
   }
 
   def run(spark: SparkSession, base: String, big: String, f: Int,
-      names: Seq[String]): Unit = {
+      names: Seq[String], routeCheck: Boolean = false): Unit = {
     val missing = names.filterNot(SparkEntry.queries.contains)
     require(missing.isEmpty, s"unknown queries: $missing")
     // Session warm-up (same rationale as Bench): pay classload/JIT once so
@@ -188,6 +240,22 @@ object ScaleRehearsal {
       val ratio = tBig / tBase
       println(f"""{"query":"$name","t_base":$tBase%.3f,"t_big":$tBig%.3f,"ratio":$ratio%.2f}""")
       (name, tBase, tBig, ratio)
+    }
+    // Skew-mode evidence that q_asof_auto's routing actually FIRED: the
+    // same skewProfile joinAuto consults, on both dirs' purchase probes —
+    // the base profile should read cold (native merge), the skewed-big
+    // profile hot (salted leg), confirming the histogram router live
+    // rather than on planted spec toys.
+    if (routeCheck) {
+      def profile(dir: String) = {
+        val probes = Tables.events(spark, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        graft.ops.AsOfJoin.skewProfile(probes, Seq("user_id"),
+          sampleFraction = 1.0)
+      }
+      val (pb, pg) = (profile(base), profile(big))
+      println(s"""{"metric":"asof_route","base_hot":${pb.hot},"big_hot":${pg.hot},"big_max_key_rows":${pg.maxKeyRows},"big_avg_partition_rows":${pg.avgPartitionRows.round},"big_salts":${pg.suggestedSalts}}""")
     }
     val worst = rows.maxBy(_._4)
     println(f"""{"metric":"scale_rehearsal","factor":$f,"queries_n":${rows.length},"t_base_total":${rows.map(_._2).sum}%.1f,"t_big_total":${rows.map(_._3).sum}%.1f,"worst":"${worst._1}","worst_ratio":${worst._4}%.2f}""")

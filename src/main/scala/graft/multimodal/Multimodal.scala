@@ -125,6 +125,39 @@ object Multimodal {
     when(c.isNotNull && full, bytes)
   }
 
+  /** Big-endian counterpart of [[leUInt]] — ISO-BMFF (MP4/QuickTime/HEIF)
+    * box sizes and brands are big-endian, unlike RIFF/BMP.
+    */
+  def beUInt(c: Column, offset: Int, nBytes: Int): Column = {
+    require(nBytes >= 1 && nBytes <= 7, "1..7 bytes fit an unsigned long read")
+    val full = length(c) >= lit(offset + nBytes - 1)
+    val bytes = (0 until nBytes).map { i =>
+      conv(hex(substring(c, offset + i, 1)), 16, 10).cast("long") *
+        lit(1L << (8 * (nBytes - 1 - i)))
+    }.reduce(_ + _)
+    when(c.isNotNull && full, bytes)
+  }
+
+  /** The `ftyp` major brand of an ISO-BMFF payload (4 ASCII chars,
+    * trailing spaces significant — "qt  ", "M4A "); null when the payload
+    * is not a plausible ISO-BMFF file. Header-only, like every accessor
+    * here: triage reads 12 bytes, decode is someone else's job (the
+    * documented DECODE_STUB seam — container SNIFFING is pure
+    * byte-walking and belongs in the scan).
+    */
+  def mp4MajorBrand(c: Column): Column =
+    when(isIsoBmff(c), substring(c, 9, 4).cast("string"))
+
+  /** Plausible ISO-BMFF: first box is `ftyp` with a sane size (≥ 16: 8
+    * box header + major brand + minor version — the spec minimum). The
+    * size guard keeps a random payload with "ftyp" at offset 5 from
+    * classifying (the four size bytes must cooperate too); it does NOT
+    * require size ≤ payload length, because triage columns often hold a
+    * prefix read of a large object, not the whole file.
+    */
+  private def isIsoBmff(c: Column): Column =
+    substring(c, 5, 4) === ascii("ftyp") && beUInt(c, 1, 4) >= 16
+
   private def ascii(s: String): Column =
     lit(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
 
@@ -144,7 +177,15 @@ object Multimodal {
       .when(hex(substring(c, 1, 8)) === "89504E470D0A1A0A", "image/png")
       .when(substring(c, 1, 6) === ascii("GIF87a") ||
         substring(c, 1, 6) === ascii("GIF89a"), "image/gif")
-      .when(substring(c, 5, 4) === ascii("ftyp"), "video/mp4")
+      // ISO-BMFF family: one container magic, MIME decided by the ftyp
+      // major brand (the registered-brand dispatch every sniffing spec
+      // does — video vs audio-only vs QuickTime vs HEIF stills).
+      .when(isIsoBmff(c),
+        when(substring(c, 9, 4) === ascii("M4A "), "audio/mp4")
+          .when(substring(c, 9, 4) === ascii("qt  "), "video/quicktime")
+          .when(substring(c, 9, 4) === ascii("heic") ||
+            substring(c, 9, 4) === ascii("mif1"), "image/heic")
+          .otherwise("video/mp4"))
       .otherwise("application/octet-stream")
 
   /** Canonical-layout WAV header fields (fmt chunk first, as

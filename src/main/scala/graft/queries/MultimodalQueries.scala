@@ -290,6 +290,16 @@ object MultimodalQueries extends QueryGroup {
                   (((id + x) % 256).toInt, ((id + y) % 256).toInt,
                     (id % 256).toInt))
               case 2 => s"plain text payload $id".getBytes("UTF-8")
+              case _ if id % 8 == 3 =>
+                // Minimal ISO-BMFF ftyp box: BE size 20, 'ftyp', a major
+                // brand cycling through the registered families, minor
+                // version 0, one compatible brand — the 20 bytes a
+                // container sniffer actually reads.
+                val brand = Seq("isom", "M4A ", "qt  ", "heic")(
+                  ((id / 8) % 4).toInt)
+                (Array[Byte](0, 0, 0, 20) ++ "ftyp".getBytes("US-ASCII") ++
+                  brand.getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+                  "isom".getBytes("US-ASCII"))
               case _ => Array.tabulate(8)(i => ((id * 7 + i) % 256).toByte)
             }
             (id, payload)
@@ -300,7 +310,8 @@ object MultimodalQueries extends QueryGroup {
         when(mime === "audio/wav",
           Multimodal.wavSampleRate(col("payload"))).as("sample_rate"),
         when(mime === "image/bmp",
-          Multimodal.bmpWidth(col("payload"))).as("width"))
+          Multimodal.bmpWidth(col("payload"))).as("width"),
+        Multimodal.mp4MajorBrand(col("payload")).as("brand"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -477,9 +488,17 @@ object MultimodalQueries extends QueryGroup {
     "q_media_sniff" ->
       """SELECT doc_id,
         |  CASE doc_id % 4 WHEN 0 THEN 'audio/wav' WHEN 1 THEN 'image/bmp'
-        |    ELSE 'application/octet-stream' END AS mime,
+        |    WHEN 2 THEN 'application/octet-stream'
+        |    ELSE CASE WHEN doc_id % 8 = 3 THEN
+        |        CASE (doc_id // 8) % 4 WHEN 0 THEN 'video/mp4'
+        |          WHEN 1 THEN 'audio/mp4' WHEN 2 THEN 'video/quicktime'
+        |          ELSE 'image/heic' END
+        |      ELSE 'application/octet-stream' END END AS mime,
         |  CASE WHEN doc_id % 4 = 0 THEN 8000 + (doc_id % 5) * 4000 END
         |    AS sample_rate,
-        |  CASE WHEN doc_id % 4 = 1 THEN 2 + doc_id % 3 END AS width
+        |  CASE WHEN doc_id % 4 = 1 THEN 2 + doc_id % 3 END AS width,
+        |  CASE WHEN doc_id % 8 = 3 THEN
+        |    CASE (doc_id // 8) % 4 WHEN 0 THEN 'isom' WHEN 1 THEN 'M4A '
+        |      WHEN 2 THEN 'qt  ' ELSE 'heic' END END AS brand
         |FROM documents""".stripMargin)
 }

@@ -181,6 +181,13 @@ object TextQueries extends QueryGroup {
     "q_bpe_merges" -> ((s, dir) =>
       graft.text.Bpe.learnMerges(Tables.documents(s, dir), "text", rounds = 3)),
 
+    // Byte-level BPE (GPT-2-style byte alphabet, hex-pair symbols): the
+    // same 3 relational rounds over UTF-8 BYTES, so arbitrary input
+    // tokenizes with zero UNK — unseen words fall back to byte symbols.
+    "q_bpe_bytes" -> ((s, dir) =>
+      graft.text.Bpe.learnMergesBytes(Tables.documents(s, dir), "text",
+        rounds = 3)),
+
     // Post-merge symbol frequencies — the vocab coverage report after the
     // same 3 BPE rounds.
     "q_bpe_vocab" -> ((s, dir) =>
@@ -839,7 +846,10 @@ object TextQueries extends QueryGroup {
   /** Shared 3-round BPE chain (w → s0 → p/t/m/s per round), closed by a
     * caller-supplied final SELECT over the t1..t3 / s3 CTEs.
     */
-  private def bpeSql(finalSelect: String): String = {
+  private def bpeSql(finalSelect: String,
+      s0: String = """SELECT word, wcnt,
+        |  list_transform(range(1, len(word) + 1), i -> word[i]) AS s
+        |FROM w""".stripMargin): String = {
     def round(r: Int): String = {
       val prev = s"s${r - 1}"
       s"""p$r AS (
@@ -866,8 +876,7 @@ object TextQueries extends QueryGroup {
        |w AS (SELECT tok AS word, count(*) AS wcnt FROM
        |  (SELECT unnest(${OracleSql.toksSql}) AS tok FROM documents)
        |  WHERE tok <> '' GROUP BY 1),
-       |s0 AS (SELECT word, wcnt,
-       |  list_transform(range(1, len(word) + 1), i -> word[i]) AS s FROM w),
+       |s0 AS ($s0),
        |${(1 to 3).map(round).mkString(",\n")}
        |$finalSelect""".stripMargin
   }
@@ -1280,6 +1289,18 @@ object TextQueries extends QueryGroup {
       (1 to 3).map(r =>
         s"""SELECT $r AS round, a AS "left", b AS "right", a || b AS merged, c AS pair_count FROM t$r""")
         .mkString("\nUNION ALL ")),
+
+    // The byte-level chain: identical rounds over the hex-pair byte
+    // alphabet (lower(hex(encode(word))) sliced in 2s — DuckDB's hex is
+    // Spark's hex, byte for byte).
+    "q_bpe_bytes" -> bpeSql(
+      (1 to 3).map(r =>
+        s"""SELECT $r AS round, a AS "left", b AS "right", a || b AS merged, c AS pair_count FROM t$r""")
+        .mkString("\nUNION ALL "),
+      s0 = """SELECT word, wcnt,
+        |  list_transform(range(1, len(lower(hex(encode(word)))) // 2 + 1),
+        |    i -> substring(lower(hex(encode(word))), CAST(i * 2 - 1 AS INT), 2)) AS s
+        |FROM w""".stripMargin),
 
     // Same chain, read out as the post-merge symbol distribution.
     "q_bpe_vocab" -> bpeSql(

@@ -30,11 +30,25 @@ import graft.ops.Dedup
   */
 object Bpe {
 
-  /** Split a word into 1-character symbols (character BPE; byte-level
-    * would pre-map to a byte alphabet the same way).
-    */
+  /** Split a word into 1-character symbols (character BPE). */
   private def chars(w: Column): Column =
     transform(sequence(lit(1), length(w)), i => substring(w, i, lit(1)))
+
+  /** Split a word into its UTF-8 BYTES, each rendered as a 2-hex-digit
+    * base symbol ("48", "c3", …) — the byte-level alphabet (GPT-2 /
+    * SentencePiece byte-fallback stance). Exactly 256 base symbols exist
+    * and EVERY string decomposes into them, so byte-level BPE can never
+    * emit UNK: an unseen word simply falls back to (partially-merged)
+    * byte symbols. Hex pairs rather than GPT-2's printable-unicode remap
+    * because they replay byte-exactly in any engine (`hex()` is the same
+    * function in DuckDB) — the remap is a bijection, so merges learned
+    * over either rendering are isomorphic.
+    */
+  private def byteSyms(w: Column): Column = {
+    val h = lower(hex(encode(w, "UTF-8")))
+    transform(sequence(lit(1), (length(h) / 2).cast("int")),
+      i => h.substr(i * 2 - 1, lit(2)))
+  }
 
   private def substring(c: Column, pos: Column, len: Column): Column =
     c.substr(pos, len)
@@ -66,8 +80,8 @@ object Bpe {
   /** The shared training loop: per-round top-pair frames plus the final
     * symbol table (one row per distinct word, `rounds` merges applied).
     */
-  private def run(docs: DataFrame, textCol: String,
-      rounds: Int): (Seq[DataFrame], DataFrame) = {
+  private def run(docs: DataFrame, textCol: String, rounds: Int,
+      init: Column => Column = chars): (Seq[DataFrame], DataFrame) = {
     require(rounds >= 1, "need at least one round")
     val vocab = docs
       .select(explode(split(Dedup.normalizeText(col(textCol)), " ")).as("__w"))
@@ -75,7 +89,7 @@ object Bpe {
       .groupBy("__w").agg(count(lit(1)).as("__wcnt"))
 
     var symbols = vocab.select(col("__w"), col("__wcnt"),
-      chars(col("__w")).as("__s"))
+      init(col("__w")).as("__s"))
     val merges = (1 to rounds).map { r =>
       val pairs = symbols
         .select(col("__wcnt"),
@@ -104,6 +118,37 @@ object Bpe {
     */
   def learnMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame =
     run(docs, textCol, rounds)._1.reduce(_ unionByName _)
+
+  /** Byte-level merge induction: same loop, same argmax, same greedy
+    * fold, but over the [[byteSyms]] alphabet — so ANY UTF-8 input
+    * tokenizes with zero UNK (unseen words degrade to byte symbols, the
+    * byte-fallback guarantee character BPE lacks). Merged symbols are
+    * hex-pair concatenations ("7468" = "th"); decode is hex → bytes.
+    */
+  def learnMergesBytes(docs: DataFrame, textCol: String,
+      rounds: Int): DataFrame =
+    run(docs, textCol, rounds, byteSyms)._1.reduce(_ unionByName _)
+
+  /** Apply side for the byte-level vocabulary: per-doc token counts via
+    * the distinct-word join, PLUS the fallback accounting — every word
+    * tokenizes (n_words counts all of them), so the only question a
+    * byte-level tokenizer leaves is how MERGED its output is.
+    * @return (doc_id, n_words, n_tokens, n_bytes) — n_tokens = n_bytes
+    *         would mean no merge ever fired.
+    */
+  def tokenCountsBytes(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    val vocabSyms = run(docs, textCol, rounds, byteSyms)._2
+      .select(col("__w"), size(col("__s")).as("__ntok"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(Dedup.normalizeText(col(textCol)), " ")).as("__w"))
+      .filter(col("__w") =!= "")
+      .join(vocabSyms, "__w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("__ntok")).as("n_tokens"),
+        sum(length(encode(col("__w"), "UTF-8")).cast("long")).as("n_bytes"))
+  }
 
   /** Corpus symbol frequencies AFTER `rounds` merges — the vocabulary
     * report a tokenizer trainer emits (how much of the corpus each

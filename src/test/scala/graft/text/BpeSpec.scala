@@ -60,6 +60,36 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(got("de") == ((1L, 2L, 2L, 2.0, 1.0)))
   }
 
+  test("byte-level: merges are hex-pair symbols; multi-byte UTF-8 splits per byte") {
+    import spark.implicits._
+    // "ab" 3x: bytes 61,62 -> top merge (61,62) with count 3.
+    val docs = Seq("ab ab ab", "cd").toDF("text")
+    val m = Bpe.learnMergesBytes(docs, "text", rounds = 1).head
+    assert((m.getString(1), m.getString(2), m.getString(3), m.getLong(4)) ==
+      (("61", "62", "6162", 3L)))
+  }
+
+  test("byte fallback: arbitrary UTF-8 tokenizes with zero UNK") {
+    import spark.implicits._
+    // Corpus: ASCII plus CJK, emoji, and combining accents — words the
+    // CHARACTER alphabet would have to treat atomically. Byte-level must
+    // segment every one into base-or-merged symbols whose decoded bytes
+    // re-concatenate to the original word: the no-UNK guarantee.
+    val docs = Seq((1L, "hello hello 世界"), (2L, "café 😀 naïve")).toDF("doc_id", "text")
+    val got = Bpe.tokenCountsBytes(docs, "doc_id", "text", rounds = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // Every word tokenized (no drops): doc 1 has 3 words, doc 2 has 3.
+    assert(got(1L)._1 == 3L && got(2L)._1 == 3L)
+    // Tokens never exceed bytes (fallback ceiling) and the merged corpus
+    // sits strictly below it (merges fired on the repeated ASCII).
+    assert(got(1L)._2 <= got(1L)._3 && got(2L)._2 <= got(2L)._3)
+    assert(got(1L)._2 < got(1L)._3, s"no merge fired: ${got(1L)}")
+    // Byte accounting is real UTF-8: CJK chars are 3 bytes each.
+    // doc 1: "hello"(5+5) + 2 CJK chars x 3 bytes = 16.
+    assert(got(1L)._3 == 16L, s"utf8 bytes: ${got(1L)._3}")
+  }
+
   test("pair counts weight by word frequency, not document layout") {
     import spark.implicits._
     // Same words split across documents/partitions — same merges.
