@@ -127,27 +127,51 @@ object Bench {
     if (only.isEmpty) {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
       val path = java.nio.file.Paths.get(out)
-      // Flag per-query regressions against the previous snapshot BEFORE
-      // overwriting it: a 3×+ slowdown on same-named queries is the
-      // session-state failure mode that once hid inside a one-line diff.
-      if (java.nio.file.Files.exists(path)) {
-        try {
-          val prev = new String(java.nio.file.Files.readAllBytes(path),
+      // Flag per-query regressions BEFORE overwriting history. Two tiers:
+      //   - >3× vs the last snapshot (base ≥ 0.5 s): the acute
+      //     session-state failure mode that once hid inside a one-line
+      //     diff — warn immediately.
+      //   - >1.5× vs BOTH of the last two snapshots (base ≥ 0.3 s):
+      //     the 1.4–1.9× creep the 3× gate was too loose to catch
+      //     (round-11 drift cluster). Requiring persistence across two
+      //     snapshots is what keeps one noisy run from crying wolf.
+      val prevPath = path.resolveSibling("bench_prev.json")
+      def timesOf(p: java.nio.file.Path): Map[String, Double] =
+        if (!java.nio.file.Files.exists(p)) Map.empty
+        else try {
+          val txt = new String(java.nio.file.Files.readAllBytes(p),
             java.nio.charset.StandardCharsets.UTF_8)
           val entry = """"(q_[a-z0-9_]+)"\s*:\s*([0-9.]+)""".r
-          val prevTimes = entry.findAllMatchIn(prev)
+          entry.findAllMatchIn(txt)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          val regressed = results.filter { case (n, s) =>
-            prevTimes.get(n).exists(p => p >= 0.5 && s > 3.0 * p) }
-          if (regressed.nonEmpty) {
-            System.err.println(s"[bench] WARNING: ${regressed.size} queries " +
-              ">3x slower than previous snapshot:")
-            regressed.sortBy(-_._2).take(10).foreach { case (n, s) =>
-              System.err.println(f"[bench]   $n: ${prevTimes(n)}%.2fs -> $s%.2fs")
-            }
-          }
-        } catch { case _: Exception => () } // history is best-effort
+        } catch { case _: Exception => Map.empty } // history is best-effort
+      val prevTimes = timesOf(path)
+      val prev2Times = timesOf(prevPath)
+      val acute = results.filter { case (n, s) =>
+        prevTimes.get(n).exists(p => p >= 0.5 && s > 3.0 * p) }
+      if (acute.nonEmpty) {
+        System.err.println(s"[bench] WARNING: ${acute.size} queries " +
+          ">3x slower than previous snapshot:")
+        acute.sortBy(-_._2).take(10).foreach { case (n, s) =>
+          System.err.println(f"[bench]   $n: ${prevTimes(n)}%.2fs -> $s%.2fs")
+        }
       }
+      val creep = results.filter { case (n, s) =>
+        prevTimes.get(n).exists(p => p >= 0.3 && s > 1.5 * p) &&
+          prev2Times.get(n).exists(p => p >= 0.3 && s > 1.5 * p) }
+      if (creep.nonEmpty) {
+        System.err.println(s"[bench] WARNING: ${creep.size} queries " +
+          ">1.5x slower than BOTH of the last two snapshots (creep):")
+        creep.sortBy(-_._2).take(15).foreach { case (n, s) =>
+          System.err.println(f"[bench]   $n: ${prev2Times(n)}%.2fs / " +
+            f"${prevTimes(n)}%.2fs -> $s%.2fs")
+        }
+      }
+      // Rotate: last → prev, so the NEXT run has two snapshots to test
+      // persistence against.
+      if (java.nio.file.Files.exists(path))
+        java.nio.file.Files.copy(path, prevPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       // Pretty-print: one query per line so per-query deltas show in
       // `git diff` (the single-line form made regressions unreviewable).
       val qLines = results.map { case (k, v) => f"""    "$k": $v%.3f""" }

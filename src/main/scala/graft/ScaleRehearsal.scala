@@ -204,13 +204,25 @@ object ScaleRehearsal {
           .otherwise(caesar(col("text"), c))
       else caesar(col("text"), c)).as("text"),
       col("lang"), col("source"), col("n_chars"))))
-    // Cyclic rotation by c: slice is 1-based; dim is uniform per fixture.
+    // Cyclic rotation by c mod dim (slice is 1-based; dim read from the
+    // row so factors past the dimensionality keep rotating), composed
+    // with a REVERSAL on every second wrap — pure rotation has only dim
+    // distinct images, so at f > dim copies would collide verbatim and
+    // reintroduce the exact-dup cliques the rotation exists to avoid.
+    // Both transforms preserve norms; random vectors decorrelate under
+    // either.
     write("embeddings", copies(Tables.embeddings(spark, src), f)(c => Seq(
       (col("vec_id") + lit(c * sV)).as("vec_id"),
       (if (c == 0) col("embedding")
-       else concat(
-         slice(col("embedding"), c + 1, 1000000),
-         slice(col("embedding"), 1, c))).as("embedding"),
+       else {
+         val d = size(col("embedding"))
+         val r = pmod(lit(c), d)
+         val rot = concat(
+           slice(col("embedding"), r + lit(1), lit(1000000)),
+           slice(col("embedding"), lit(1), r))
+         when((lit(c) / d).cast("int") % 2 === 1, reverse(rot))
+           .otherwise(rot)
+       }).as("embedding"),
       col("label"))))
     println(s"""{"inflated":"$dst","factor":$f}""")
   }

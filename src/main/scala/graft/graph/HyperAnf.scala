@@ -106,21 +106,22 @@ object HyperAnf {
     // table until the caller's final action: rounds × O(n·m) rows of
     // block storage, the session-degrading leak the Checkpoints header
     // documents.
-    def nfOf(regs: DataFrame): Double =
+    def nfOf(regs: DataFrame): Option[Double] =
       ballEstimates(regs)
         .agg(sum(round(col("ball_est"), 4).cast("decimal(38,4)")).as("nf"))
         // Exact DECIMAL accumulation; DOUBLE readout (≤ 4 fractional
         // digits, well under 2^53 — the cast is exact) so both engines
-        // print identically.
+        // print identically. An EMPTY graph sums nothing → None, kept as
+        // a NULL nf row (the readout contract EmptyInputSpec pins).
         .select(col("nf").cast("double")).head match {
-          case row if row.isNullAt(0) => 0.0 // empty graph: sum of nothing
-          case row => row.getDouble(0)
+          case row if row.isNullAt(0) => None
+          case row => Some(row.getDouble(0))
         }
     // One register table threaded through all rounds (NOT rebuilt per t —
     // that would be O(rounds²) joins); lineage truncated each round so
     // round r's plan doesn't replay rounds 1..r-1.
     var regs = initRegisters(e).localCheckpoint(eager = false)
-    val nfs = Array.ofDim[Double](rounds + 1)
+    val nfs = Array.ofDim[Option[Double]](rounds + 1)
     nfs(0) = nfOf(regs)
     for (t <- 1 to rounds) {
       val prev = regs
@@ -141,7 +142,8 @@ object HyperAnf {
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     import spark.implicits._
     nfs.toIndexedSeq.zipWithIndex
-      .map { case (nf, t) => (t, nf, r6(nf / maxNf)) }
+      .map { case (nf, t) =>
+        (t, nf, for (n <- nf; m <- maxNf) yield r6(n / m)) }
       .toDF("t", "nf", "nf_frac")
   }
 }

@@ -361,10 +361,23 @@ object Similarity {
     * build + the |probes|·candidateK rerank rows); the per-probe scan
     * is list-bucketed code lookups — the architecture billion-vector
     * retrieval actually deploys.
+    *
+    * Tuning (measured, BASELINE.md "Round-12 ANN recall/latency
+    * curves", sf0.1 embeddings, recall@10 vs brute truth):
+    * `candidateK` is the binding knob — recall rises monotonically with
+    * it at ~flat latency (k → 2k → 4k: 0.06 → 0.10 → 0.18 on this
+    * corpus) because the coarse 4-subspace code can't rank finely, so
+    * the exact rerank needs headroom; set `candidateK ≥ 4·k`. `nprobe`
+    * past 4 bought nothing once candidateK capped the pipeline — 4 is
+    * the measured knee and the default below. For the coarse quantizer
+    * itself, a LEARNED codebook ([[ivfTopKWith]] + k-means at
+    * nlist ≈ √n) gave ~1.5× the recall of id-sampled centroids at
+    * equal nprobe AND lower latency — prefer it whenever a fit pass is
+    * affordable.
     */
   def ivfPqTopK(probes: DataFrame, corpus: DataFrame, codes: DataFrame,
       idCol: String, vecCol: String, model: graft.ml.Pq.PqModel, k: Int,
-      candidateK: Int, centroidMod: Int = 25, nprobe: Int = 3): DataFrame = {
+      candidateK: Int, centroidMod: Int = 25, nprobe: Int = 4): DataFrame = {
     require(candidateK >= k, "candidateK must be >= k")
     val centRaw = corpus.filter(col(vecCol).isNotNull)
       .filter(pmod(col(idCol), lit(centroidMod)) === 0)

@@ -1,0 +1,152 @@
+package graft.tools
+
+import graft.Tables
+import graft.ops.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ANN tuning curves: measured recall@k and wall seconds vs the knobs a
+  * user actually turns — `nprobe`/`candidateK` for IVF / IVF-PQ,
+  * `tables`/`flips` for (multi-probe) LSH — against brute-force truth on
+  * the real embeddings fixture. The numbers land in BASELINE.md so the
+  * shipped defaults are data-motivated, not folklore (what FAISS users
+  * get from its published benchmark sweeps).
+  *
+  * Usage: runMain graft.tools.AnnCurves [sfDir]
+  * Prints one JSON line per configuration.
+  *
+  * Method notes: probes are the first 100 corpus vectors, truth is
+  * exact cosine top-k EXCLUDING self; the approximate operators do not
+  * self-exclude, so their output is self-filtered and re-topped to k
+  * before the overlap count — every family is scored on identical
+  * terms. Timing is the operator's own count() (steady-state second
+  * run, after a warm-up first run absorbs plan/codegen cost).
+  */
+object AnnCurves {
+
+  private val K = 10
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-ann-curves")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val raw = Tables.embeddings(spark, sfDir)
+
+    // Two corpora, because recall on i.i.d.-random vectors measures the
+    // DATA, not the index: random high-dim embeddings concentrate — every
+    // neighbor is nearly equidistant, so no bucketing scheme can recall
+    // well and the sweep only shows the knobs' monotone direction. The
+    // "clustered" variant blends each vector 60% toward its label
+    // centroid (10 real clusters), the structure production embeddings
+    // actually have — that is the corpus the default recommendation
+    // reads from.
+    val centroids = raw
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg(col("x").cast("double")).as("c"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("cs"))
+      .select(col("label"), transform(col("cs"), s => s.getField("c")).as("__c"))
+    val clustered = raw.join(centroids, "label")
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("__c"),
+          (x, c) => x.cast("double") * 0.4 + c * 0.6).as("embedding"),
+        col("label"))
+      .localCheckpoint(true)
+    clustered.count()
+
+    for ((corpusName, emb) <- Seq("random" -> raw, "clustered" -> clustered)) {
+      val probes = emb.filter(col("vec_id") < 100)
+      val truth = Similarity.bruteForceTopKAgg(probes, emb, "vec_id",
+        "embedding", K)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(true)
+      val nTruth = truth.count().toDouble
+
+      // Self-filter + re-top: ask the operator for K+1, drop
+      // query==neighbor, keep the best K by the operator's own rank —
+      // identical footing to the self-excluding truth.
+      def normalize(df: DataFrame): DataFrame = {
+        val w = Window.partitionBy("query_id").orderBy(col("rank").asc)
+        df.filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("__r", row_number().over(w))
+          .filter(col("__r") <= K)
+          .select("query_id", "neighbor_id")
+      }
+
+      def measure(family: String, params: String)(build: => DataFrame): Unit = {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          build.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once() // warm-up: plan + codegen
+        val sec = once()
+        val hits = normalize(build)
+          .join(truth, Seq("query_id", "neighbor_id"), "left_semi").count()
+        val recall = hits / nTruth
+        println(f"""{"corpus":"$corpusName","family":"$family",$params%s,"recall":$recall%.3f,"sec":$sec%.2f}""")
+      }
+
+      // IVF-flat: sampled centroids (the deployed default), nprobe sweep.
+      for (nprobe <- Seq(1, 2, 4, 8))
+        measure("ivf", s""""nprobe":$nprobe""") {
+          Similarity.ivfTopK(probes, emb, "vec_id", "embedding", K + 1,
+            centroidMod = 25, nprobe = nprobe)
+        }
+
+      // IVF with a LEARNED codebook (k-means, nlist ≈ √n) — the
+      // production path ivfTopKWith exists for: lists follow actual
+      // density instead of id-sampled rows.
+      val km = graft.ml.KMeans.fit(emb, "vec_id", "embedding",
+        k = 45, iterations = 5)
+      val kmCent = graft.ml.KMeans.centroidFrame(emb, km)
+      for (nprobe <- Seq(1, 2, 4, 8))
+        measure("ivf-kmeans", s""""nlist":45,"nprobe":$nprobe""") {
+          Similarity.ivfTopKWith(probes, emb, "vec_id", "embedding", K + 1,
+            kmCent, "centroid_id", "centroid", nprobe)
+        }
+
+      // IVF-PQ: the q_ivf_pq_topk model (dims 64, m=4, k=4 codewords,
+      // 2 iterations), nprobe × candidateK sweep.
+      val model = graft.ml.Pq.fit(emb, "vec_id", "embedding",
+        dims = 64, m = 4, k = 4, iterations = 2)
+      val codes = graft.ml.Pq.encode(emb, "vec_id", "embedding", model)
+        .localCheckpoint(true)
+      codes.count()
+      for (nprobe <- Seq(1, 2, 4, 8); candMult <- Seq(1, 2, 4))
+        measure("ivfpq",
+          s""""nprobe":$nprobe,"candidateK":${candMult * (K + 1)}""") {
+          Similarity.ivfPqTopK(probes, emb, codes, "vec_id", "embedding",
+            model, K + 1, candidateK = candMult * (K + 1),
+            centroidMod = 25, nprobe = nprobe)
+        }
+
+      // LSH: 8 planes, table sweep; multi-probe: 1 table, flip sweep.
+      for (tables <- Seq(1, 2, 4))
+        measure("lsh", s""""planes":8,"tables":$tables""") {
+          Similarity.lshTopK(probes, emb, "vec_id", "embedding", K + 1,
+            numPlanes = 8, tables = tables)
+        }
+      for (flips <- Seq(4, 8))
+        measure("mp-lsh", s""""planes":8,"tables":1,"flips":$flips""") {
+          Similarity.lshTopKMultiProbe(probes, emb, "vec_id", "embedding",
+            K + 1, numPlanes = 8, tables = 1, flips = flips)
+        }
+
+      graft.ops.Checkpoints.release(truth)
+      graft.ops.Checkpoints.release(codes)
+    }
+    graft.ops.Checkpoints.release(clustered)
+    spark.stop()
+  }
+}
