@@ -61,6 +61,36 @@ class StreamingCountMinSpec extends AnyFunSuite with SparkTestBase {
     assert(est >= 6L, s"expected doubled count for 'a', got $est")
   }
 
+  test("withWriteLock serializes read-merge-swap: 20 racing increments, " +
+      "zero lost updates") {
+    // Four threads × five increments against ONE store, each increment a
+    // full read-merge-swap (read current sum, commit sum+1 under the
+    // next batch id) inside withWriteLock. Without real mutual
+    // exclusion two threads read the same state and one increment is
+    // silently lost — the exact interleaving the advisor's
+    // concurrent-backfill scenario hits; with it, the final state is
+    // exactly 20 and the batch log advanced once per commit.
+    val root = Files.createTempDirectory("graft_bg_race").toString
+    val store = new BlueGreenStore(root)
+    import org.apache.spark.sql.functions.sum
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map(_ => new Thread(() =>
+      (0 until 5).foreach { _ =>
+        try store.withWriteLock {
+          val cur = store.read(spark)
+            .map(_.agg(sum("n")).head.getLong(0)).getOrElse(0L)
+          store.commit(Seq(cur + 1L).toDF("n"), store.committedBatchId + 1)
+        } catch { case t: Throwable => errs.add(t) }
+      }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"writer threw: ${errs.peek()}")
+    val got = store.read(spark).get.agg(sum("n")).head.getLong(0)
+    assert(got == 20L, s"lost ${20 - got} updates")
+    // Ids started at committedBatchId(-1) + 1 = 0, so 20 commits land the
+    // log at 19 — one advance per commit, none skipped or repeated.
+    assert(store.committedBatchId == 19L)
+  }
+
   test("state stays bounded at d*w cells regardless of volume") {
     val root = Files.createTempDirectory("graft_scm3").toString
     val mon = new StreamingCountMin(root, "item", d = 2, w = 16)
