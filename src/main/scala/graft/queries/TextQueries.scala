@@ -34,6 +34,22 @@ object TextQueries extends QueryGroup {
           round(TextFunctions.qualityScore(col("text"), stop), 2).as("quality"))
     }),
 
+    // The Gopher quality-rule battery (Rae et al. 2021 A1.1) — the
+    // pre-model curation gate web-scale pipelines run: length bands,
+    // symbol/bullet/ellipsis ratios, alphabetic-word fraction, required
+    // stop words. One map-only expression pass; the oracle restates
+    // every rule in DuckDB list/string builtins.
+    "q_gopher_rules" -> ((s, dir) => {
+      val r = graft.text.GopherRules.report(col("text"))
+      Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id") +: Seq(
+          "word_count", "mean_word_len", "symbol_ratio", "bullet_ratio",
+          "ellipsis_ratio", "alpha_ratio", "stop_hits", "r_word_count",
+          "r_mean_word_len", "r_symbol", "r_bullet", "r_ellipsis",
+          "r_alpha", "r_stop_words", "pass")
+          .map(f => r.getField(f).as(f)): _*)
+    }),
+
     // Language ID: marker-evidence argmax with deterministic tie-break,
     // compared against the labeled lang column.
     "q_text_langid" -> ((s, dir) => {
@@ -1148,6 +1164,60 @@ object TextQueries extends QueryGroup {
         |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
         |  len(text) AS len_chars, n_chars
         |FROM documents""".stripMargin,
+    "q_gopher_rules" ->
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS words,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents WHERE text IS NOT NULL),
+        |m AS (
+        |  SELECT doc_id, text, words, lines,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(words) END AS wc,
+        |    len(text) - len(replace(text, '#', '')) AS hashes,
+        |    CAST((len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT) AS dots,
+        |    len(text) - len(replace(text, '…', '')) AS uni_ell,
+        |    len(list_filter(lines, l -> starts_with(ltrim(l), '-')
+        |      OR starts_with(ltrim(l), '*')
+        |      OR starts_with(ltrim(l), '•'))) AS n_bullet,
+        |    len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+        |      OR ends_with(rtrim(l), '…'))) AS n_ell_end,
+        |    len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+        |    len(list_intersect(list_transform(words, x -> lower(x)),
+        |      ['the','be','to','of','and','that','have','with'])) AS stop_hits
+        |  FROM w),
+        |r AS (
+        |  SELECT doc_id, wc,
+        |    CASE WHEN wc = 0 THEN 0.0 ELSE
+        |      CAST(list_aggregate(list_transform(words, x -> len(x)), 'sum')
+        |        AS DOUBLE) / wc END AS mean_len,
+        |    CASE WHEN wc = 0 THEN 1.0 ELSE
+        |      CAST(hashes + dots + uni_ell AS DOUBLE) / wc END AS sym,
+        |    CAST(n_bullet AS DOUBLE) / len(lines) AS bul,
+        |    CAST(n_ell_end AS DOUBLE) / len(lines) AS ell,
+        |    CASE WHEN wc = 0 THEN 0.0
+        |      ELSE CAST(n_alpha AS DOUBLE) / wc END AS alp,
+        |    stop_hits
+        |  FROM m)
+        |SELECT doc_id,
+        |  CAST(wc AS BIGINT) AS word_count,
+        |  round(mean_len, 4) AS mean_word_len,
+        |  round(sym, 4) AS symbol_ratio,
+        |  round(bul, 4) AS bullet_ratio,
+        |  round(ell, 4) AS ellipsis_ratio,
+        |  round(alp, 4) AS alpha_ratio,
+        |  CAST(stop_hits AS BIGINT) AS stop_hits,
+        |  wc BETWEEN 50 AND 100000 AS r_word_count,
+        |  mean_len BETWEEN 3.0 AND 10.0 AS r_mean_word_len,
+        |  sym <= 0.1 AS r_symbol,
+        |  bul <= 0.9 AS r_bullet,
+        |  ell <= 0.3 AS r_ellipsis,
+        |  alp >= 0.8 AS r_alpha,
+        |  stop_hits >= 2 AS r_stop_words,
+        |  (wc BETWEEN 50 AND 100000) AND (mean_len BETWEEN 3.0 AND 10.0)
+        |    AND sym <= 0.1 AND bul <= 0.9 AND ell <= 0.3 AND alp >= 0.8
+        |    AND stop_hits >= 2 AS pass
+        |FROM r""".stripMargin,
+
     "q_text_quality" ->
       """WITH t AS (
         |  SELECT doc_id, text,
