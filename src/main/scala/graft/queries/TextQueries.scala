@@ -204,6 +204,14 @@ object TextQueries extends QueryGroup {
       graft.text.Bpe.learnMergesBytes(Tables.documents(s, dir), "text",
         rounds = 3)),
 
+    // Apply side of the byte-level vocabulary: per-doc token counts plus
+    // the fallback accounting (n_bytes) — n_tokens = n_bytes would mean
+    // no merge ever fired; every word tokenizes, so UNK is impossible by
+    // construction.
+    "q_bpe_bytes_tokens" -> ((s, dir) =>
+      graft.text.Bpe.tokenCountsBytes(Tables.documents(s, dir), "doc_id",
+        "text", rounds = 3)),
+
     // Post-merge symbol frequencies — the vocab coverage report after the
     // same 3 BPE rounds.
     "q_bpe_vocab" -> ((s, dir) =>
@@ -1367,6 +1375,24 @@ object TextQueries extends QueryGroup {
       (1 to 3).map(r =>
         s"""SELECT $r AS round, a AS "left", b AS "right", a || b AS merged, c AS pair_count FROM t$r""")
         .mkString("\nUNION ALL "),
+      s0 = """SELECT word, wcnt,
+        |  list_transform(range(1, len(lower(hex(encode(word)))) // 2 + 1),
+        |    i -> substring(lower(hex(encode(word))), CAST(i * 2 - 1 AS INT), 2)) AS s
+        |FROM w""".stripMargin),
+
+    // Byte-level apply side: the same s3 vocabulary join as
+    // q_bpe_tokenize plus exact byte totals (octet_length of the UTF-8
+    // encoding — Spark's length(encode(...)) byte for byte).
+    "q_bpe_bytes_tokens" -> bpeSql(
+      s"""SELECT dw.doc_id, count(*) AS n_words,
+         |  CAST(sum(len(s3.s)) AS BIGINT) AS n_tokens,
+         |  CAST(sum(octet_length(encode(dw.word))) AS BIGINT) AS n_bytes
+         |FROM (
+         |  SELECT doc_id, unnest(${OracleSql.toksSql}) AS word
+         |  FROM documents) dw
+         |JOIN s3 ON s3.word = dw.word
+         |WHERE dw.word <> ''
+         |GROUP BY dw.doc_id""".stripMargin,
       s0 = """SELECT word, wcnt,
         |  list_transform(range(1, len(lower(hex(encode(word)))) // 2 + 1),
         |    i -> substring(lower(hex(encode(word))), CAST(i * 2 - 1 AS INT), 2)) AS s
