@@ -203,7 +203,16 @@ object ScaleRehearsal {
           concat(lit(boiler), caesar(col("text"), c)))
           .otherwise(caesar(col("text"), c))
       else caesar(col("text"), c)).as("text"),
-      col("lang"), col("source"), col("n_chars"))))
+      col("lang"), col("source"),
+      // Keep the fixture invariant n_chars == length(text): the
+      // boilerplate prepend lengthens exactly the rows it touches
+      // (the Caesar rotation is length-preserving, so plain copies
+      // pass n_chars through).
+      (if (skew && c > 0)
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          col("n_chars") + lit(boiler.length))
+          .otherwise(col("n_chars"))
+      else col("n_chars")).as("n_chars"))))
     // Cyclic rotation by c mod dim (slice is 1-based; dim read from the
     // row so factors past the dimensionality keep rotating), composed
     // with a REVERSAL on every second wrap — pure rotation has only dim

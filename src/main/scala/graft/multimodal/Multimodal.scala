@@ -156,7 +156,12 @@ object Multimodal {
     * prefix read of a large object, not the whole file.
     */
   private def isIsoBmff(c: Column): Column =
-    substring(c, 5, 4) === ascii("ftyp") && beUInt(c, 1, 4) >= 16
+    substring(c, 5, 4) === ascii("ftyp") && beUInt(c, 1, 4) >= 16 &&
+      // The major brand lives at bytes 9–12: a prefix read cut at 8–11
+      // bytes would otherwise classify and hand mp4MajorBrand a partial
+      // brand ("M4" from a truncated M4A), breaking its null-when-not-
+      // plausible contract and mislabeling the MIME dispatch.
+      length(c) >= 12
 
   private def ascii(s: String): Column =
     lit(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))

@@ -14,6 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries extends QueryGroup {
 
+  /** Remove a per-run index tree once its probe result is materialized.
+    * The applicationId-keyed paths give concurrent-run isolation; without
+    * this sweep every harness invocation would leave a full index copy
+    * under java.io.tmpdir (two parquet copies of the corpus per run).
+    * Best-effort: a failed delete costs disk, never correctness. */
+  private def deleteTree(s: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    } catch { case _: Exception => () }
+
   val queries: Map[String, Q] = Map(
     // Norms + dims: the sanity surface for the vector math.
     "q_vector_norms" -> ((s, dir) => {
@@ -159,10 +171,17 @@ object SimilarityQueries extends QueryGroup {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_persist_" +
         new java.io.File(dir).getName + "_" + s.sparkContext.applicationId
       graft.ops.IvfIndex.write(path, emb, "vec_id", "embedding", cent)
-      graft.ops.IvfIndex.topK(s, path, emb.filter(col("vec_id") < 30),
+      val probed = graft.ops.IvfIndex.topK(s, path,
+        emb.filter(col("vec_id") < 30),
         "vec_id", "embedding", k = 3, nprobe = 3)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("int").as("rank"), (round(col("cos"), 4) + lit(0.0)).as("cos"))
+        // Eager: the probe result (k rows per query) must materialize
+        // BEFORE the index tree is deleted, or the lazy plan would read
+        // a vanished path at action time.
+        .localCheckpoint(true)
+      deleteTree(s, path)
+      probed
     }),
 
     // Incremental IVF maintenance: build the persisted index on the EVEN
@@ -186,10 +205,14 @@ object SimilarityQueries extends QueryGroup {
       graft.ops.IvfIndex.append(s, path,
         emb.filter(pmod(col("vec_id"), lit(2)) === 1),
         "vec_id", "embedding")
-      graft.ops.IvfIndex.topK(s, path, emb.filter(col("vec_id") < 30),
+      val probed = graft.ops.IvfIndex.topK(s, path,
+        emb.filter(col("vec_id") < 30),
         "vec_id", "embedding", k = 3, nprobe = 3)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("int").as("rank"), (round(col("cos"), 4) + lit(0.0)).as("cos"))
+        .localCheckpoint(true) // materialize before the tree is deleted
+      deleteTree(s, path)
+      probed
     }),
 
     // Semantic dedup clusters: connected components over the embedding

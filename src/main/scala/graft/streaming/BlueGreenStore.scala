@@ -39,9 +39,22 @@ private[streaming] final class BlueGreenStore(rootDir: String) {
     * (blocking; released even when `f` throws).
     */
   def withWriteLock[T](f: => T): T = {
+    // Monitor key must resolve SYMLINKS, not just ".."/"." — two
+    // same-process writers addressing one store via different spellings
+    // (classically /var vs /private/var tmpdirs) would otherwise get
+    // distinct monitors, both enter, and the second same-JVM
+    // FileChannel.lock on _writer.lock THROWS OverlappingFileLockException
+    // instead of blocking. toRealPath needs the path to exist, hence the
+    // createDirectories-first and the normalize fallback.
+    val monitorKey =
+      try {
+        Files.createDirectories(Paths.get(rootDir))
+        Paths.get(rootDir).toRealPath().toString
+      } catch { case _: java.io.IOException =>
+        Paths.get(rootDir).toAbsolutePath.normalize.toString
+      }
     val monitor = BlueGreenStore.monitors.computeIfAbsent(
-      Paths.get(rootDir).toAbsolutePath.normalize.toString,
-      _ => new Object)
+      monitorKey, _ => new Object)
     monitor.synchronized {
       Files.createDirectories(Paths.get(rootDir))
       val ch = java.nio.channels.FileChannel.open(
