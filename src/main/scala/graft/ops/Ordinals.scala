@@ -30,8 +30,17 @@ object Ordinals {
     require(orderCols.nonEmpty)
     val n = if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
+    // localCheckpoint BEFORE fanning out: `local` feeds both the size
+    // aggregate and the final join, and without lineage truncation each
+    // consumer re-instantiates the repartitionByRange subtree — whose
+    // boundary SAMPLING can differ between instantiations (the round-10
+    // partition-id-tiling failure: __pid keys disagree across branches
+    // and the broadcast offsets mis-key, silently shifting ordinals).
+    // Truncating makes the sampled layout physical: every branch reads
+    // the same materialized blocks, so __pid is computed exactly once.
     val ranged = df.repartitionByRange(n, orderCols: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
     val wLocal = Window.partitionBy("__pid").orderBy(orderCols: _*)
     val local = ranged.withColumn("__rn", row_number().over(wLocal))
     // Partition sizes → exclusive prefix offsets. #partitions rows: the

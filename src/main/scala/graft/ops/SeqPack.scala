@@ -35,8 +35,15 @@ object SeqPack {
       .select(col(idCol).as("doc_id"), nTokens.cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // localCheckpoint BEFORE fanning out: `local` feeds both the tile
+    // totals and the final join, and each consumer would otherwise
+    // re-instantiate the repartitionByRange subtree, whose boundary
+    // sampling can differ between instantiations (the round-10
+    // partition-id-tiling failure mode — see ops/Ordinals). Truncation
+    // makes the sampled layout physical so __pid is computed once.
     val ranged = base.repartitionByRange(parts, col("doc_id"))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
     // Exclusive local prefix sum inside each range tile.
     val wLocal = Window.partitionBy("__pid").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -406,6 +406,112 @@ object TimeSeries {
         col("cusum_high") > threshold || col("cusum_low") > threshold)
   }
 
+  /** Offline change-point detection by depth-limited binary segmentation
+    * (Scott & Knott's recursive splitting with the CUSUM mean-shift
+    * statistic): per series, the best split of a segment maximizes the
+    * cumulative deviation |Σ_{i≤t} y_i − (t/n)·Σ y| — the point where the
+    * running sum strays furthest from the straight line to the total.
+    * Each depth splits every current segment at its best point, so depth
+    * d yields ≤ 2^d − 1 change points per series.
+    *
+    * EXACT INTEGER arithmetic throughout: the deviation is scaled by n
+    * (|n·cum_t − t·total|, all longs), so there is no float in the split
+    * criterion and the (dev DESC, time ASC) tie-break is engine-exact.
+    * `n·cum` needs n·Σ|y| ≲ 2^63: fine for any per-series daily/hourly
+    * aggregate (n is the SERIES length — days — not the row count).
+    *
+    * Relational shape per depth: one series×segment-keyed window pass
+    * (rank + running sum), a same-key count/total aggregate joined back,
+    * and a row_number()=1 selection — all partitioned by (key, segment),
+    * never a global sort. The depth loop is a driver-side constant like
+    * the iterative graph ops; re-segmentation is a broadcast-joined
+    * comparison against the found split points.
+    *
+    * @param minSeg   smallest allowed child segment (both sides), ≥ 1
+    * @return (keyCol, depth, timeCol = last row of the left child,
+    *         dev = the scaled deviation |n·cum − t·total| at the split)
+    */
+  def changePoints(df: DataFrame, keyCol: String, timeCol: String,
+      valueCol: String, depth: Int = 2, minSeg: Int = 2): DataFrame = {
+    require(depth >= 1 && depth <= 6, s"depth 1..6, got $depth")
+    require(minSeg >= 1, s"minSeg must be >= 1, got $minSeg")
+    var cur = df.select(col(keyCol), col(timeCol),
+      col(valueCol).cast("long").as("__y"))
+      .withColumn("__seg", lit(0L))
+    var cps: DataFrame = null
+    for (d <- 1 to depth) {
+      val wOrd = Window.partitionBy(col(keyCol), col("__seg"))
+        .orderBy(col(timeCol))
+      val rows = cur
+        .withColumn("__rn", row_number().over(wOrd).cast("long"))
+        .withColumn("__cum", sum(col("__y")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val stats = cur.groupBy(col(keyCol), col("__seg"))
+        .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__tot"))
+      val scored = rows.join(stats, Seq(keyCol, "__seg"))
+        .withColumn("__dev",
+          abs(col("__cum") * col("__n") - col("__rn") * col("__tot")))
+        // Split AFTER row t: left size t, right size n − t, both ≥ minSeg.
+        .filter(col("__rn") >= minSeg && col("__rn") <= col("__n") - minSeg)
+      val wBest = Window.partitionBy(col(keyCol), col("__seg"))
+        .orderBy(col("__dev").desc, col(timeCol).asc)
+      val best = scored
+        .withColumn("__r", row_number().over(wBest))
+        .filter(col("__r") === 1 && col("__dev") > 0) // flat segment: no cp
+        .select(col(keyCol), col("__seg"), col(timeCol).as("__cp_t"),
+          col("__dev").as("dev"), lit(d).as("depth"))
+      cps = if (cps == null) best else cps.unionByName(best)
+      if (d < depth) {
+        // Children get 2·seg / 2·seg+1 — unique across depths.
+        cur = cur.join(
+          broadcast(best.select(col(keyCol), col("__seg"), col("__cp_t"))),
+          Seq(keyCol, "__seg"), "left")
+          .withColumn("__seg",
+            when(col("__cp_t").isNotNull && col(timeCol) > col("__cp_t"),
+              col("__seg") * 2 + 1).otherwise(col("__seg") * 2))
+          .drop("__cp_t")
+      }
+    }
+    cps.select(col(keyCol), col("depth"), col("__cp_t").as(timeCol),
+      col("dev"))
+  }
+
+  /** Theil–Sen robust trend per series: slope = median of all pairwise
+    * slopes (y_j − y_i)/(x_j − x_i), intercept = median of (y_i −
+    * slope·x_i). Breakdown point ~29% — one bad week in a year of daily
+    * counts barely moves it, where OLS chases it.
+    *
+    * Shape: a within-series pair join (x_a < x_b) then two exact-median
+    * passes (Spark `percentile` ↔ DuckDB `quantile_cont`, the proven
+    * parity pair), the second over a broadcast of the per-series slopes.
+    * Pairs are O(n²) in the SERIES length — fine for the per-key
+    * daily/weekly aggregates this is meant for (n ≤ a few thousand);
+    * for longer series the scale path is the repeated-median or a
+    * uniform pair sample, both one-line variants of the same join.
+    *
+    * @param xCol numeric (castable to double); must be unique per key
+    * @return (keyCol, n, slope, intercept) — unrounded doubles
+    */
+  def theilSen(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val base = df.select(col(keyCol).as("__k"),
+      col(xCol).cast("double").as("__x"), col(yCol).cast("double").as("__y"))
+    val pairs = base.alias("a").join(base.alias("b"),
+      col("a.__k") === col("b.__k") && col("a.__x") < col("b.__x"))
+      .select(col("a.__k").as("__k"),
+        ((col("b.__y") - col("a.__y")) / (col("b.__x") - col("a.__x")))
+          .as("__s"))
+    val slopes = pairs.groupBy("__k")
+      .agg(percentile(col("__s"), lit(0.5)).as("slope"))
+    base.join(broadcast(slopes), Seq("__k"))
+      .groupBy("__k")
+      .agg(count(lit(1)).as("n"), first(col("slope")).as("slope"),
+        percentile(col("__y") - col("slope") * col("__x"), lit(0.5))
+          .as("intercept"))
+      .select(col("__k").as(keyCol), col("n"), col("slope"),
+        col("intercept"))
+  }
+
   def sessionize(events: DataFrame, userCol: String, tsCol: String,
       gapSeconds: Long): DataFrame = {
     val byUser = Window.partitionBy(userCol).orderBy(tsCol)

@@ -403,6 +403,38 @@ object EventQueries extends QueryGroup {
           col("cusum_high"), col("cusum_low"), col("alarm"))
     }),
 
+    // Offline change-point detection: depth-2 binary segmentation with
+    // the CUSUM mean-shift statistic over per-type daily counts — the
+    // batch complement of q_cusum's sequential monitor. EXACT integers
+    // end to end (the deviation is |n·cum − t·total|, scaled by n
+    // instead of divided), so the (dev DESC, day ASC) argmax is
+    // engine-exact with no float tie risk.
+    "q_changepoint" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          floor(col("ts").cast("long") / 86400).cast("long").as("day"))
+        .agg(count(lit(1)).as("y"))
+      graft.ops.TimeSeries.changePoints(daily, "event_type", "day", "y",
+        depth = 2, minSeg = 3)
+        .select(col("event_type"), col("depth"), col("day"), col("dev"))
+    }),
+
+    // Theil–Sen robust trend per type: median of pairwise slopes over the
+    // same daily counts — the outlier-immune counterpart of
+    // q_group_trend's OLS (one spiky day drags OLS, barely moves the
+    // median). Pairs are O(days²) per series; the per-key daily
+    // aggregate keeps that bounded at any corpus scale.
+    "q_theilsen" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          (floor(col("ts").cast("long") / 86400) - lit(19723L)).as("day"))
+        .agg(count(lit(1)).as("y"))
+      graft.ops.TimeSeries.theilSen(daily, "event_type", "day", "y")
+        .select(col("event_type"), col("n"),
+          (round(col("slope"), 6) + lit(0.0)).as("slope"),
+          (round(col("intercept"), 4) + lit(0.0)).as("intercept"))
+    }),
+
     // Per-type value trend: OLS slope/intercept over days-since-epoch in
     // closed form — five exact integer sums per group, float only in the
     // final two divisions.
@@ -808,6 +840,76 @@ object EventQueries extends QueryGroup {
         |SELECT task, holder, time AS pb_time, dt AS pb_date, grp FROM missing""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Two unrolled segmentation levels: rank + running sum per
+    // (type, segment), integer deviation, row_number()=1 argmax with the
+    // same (dev DESC, day ASC) tie-break. Segment LABELS differ from the
+    // engine's (0/1 here vs 2·seg/2·seg+1) but the partitioning sets are
+    // identical, which is all the windows see.
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |r1 AS (
+        |  SELECT event_type, day, y,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS rn,
+        |    CAST(sum(y) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+        |  FROM daily),
+        |s1 AS (SELECT event_type, day, abs(cum * n - rn * tot) AS dev
+        |  FROM r1 WHERE rn >= 3 AND rn <= n - 3),
+        |b1 AS (SELECT event_type, day, dev FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY event_type
+        |      ORDER BY dev DESC, day) AS rr FROM s1)
+        |  WHERE rr = 1 AND dev > 0),
+        |seg AS (SELECT d.event_type, d.day, d.y,
+        |    CASE WHEN b1.day IS NOT NULL AND d.day > b1.day
+        |      THEN 1 ELSE 0 END AS sg
+        |  FROM daily d LEFT JOIN b1 ON d.event_type = b1.event_type),
+        |r2 AS (
+        |  SELECT event_type, sg, day, y,
+        |    CAST(row_number() OVER (PARTITION BY event_type, sg
+        |      ORDER BY day) AS BIGINT) AS rn,
+        |    CAST(sum(y) OVER (PARTITION BY event_type, sg ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(count(*) OVER (PARTITION BY event_type, sg) AS BIGINT) AS n,
+        |    CAST(sum(y) OVER (PARTITION BY event_type, sg) AS BIGINT) AS tot
+        |  FROM seg),
+        |s2 AS (SELECT event_type, sg, day, abs(cum * n - rn * tot) AS dev
+        |  FROM r2 WHERE rn >= 3 AND rn <= n - 3),
+        |b2 AS (SELECT event_type, day, dev FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY event_type, sg
+        |      ORDER BY dev DESC, day) AS rr FROM s2)
+        |  WHERE rr = 1 AND dev > 0)
+        |SELECT event_type, CAST(1 AS INT) AS depth, day, dev FROM b1
+        |UNION ALL
+        |SELECT event_type, CAST(2 AS INT) AS depth, day, dev FROM b2""".stripMargin,
+
+    // Pairwise-slope median (quantile_cont ↔ Spark exact percentile, the
+    // proven parity pair); slopes divide exact BIGINTs in double.
+    "q_theilsen" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) - 19723 AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |    (b.y - a.y) / CAST(b.day - a.day AS DOUBLE) AS s
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day),
+        |sl AS (SELECT event_type, quantile_cont(s, 0.5) AS slope
+        |  FROM p GROUP BY 1),
+        |i AS (SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+        |    min(sl.slope) AS slope,
+        |    quantile_cont(d.y - sl.slope * d.day, 0.5) AS ic
+        |  FROM daily d JOIN sl USING (event_type) GROUP BY 1)
+        |SELECT event_type, n, round(slope, 6) + 0.0 AS slope,
+        |  round(ic, 4) + 0.0 AS intercept
+        |FROM i""".stripMargin,
+
     // Same sufficient statistics: HUGEINT-exact sums cast once, identical
     // final division trees.
     "q_group_trend" ->

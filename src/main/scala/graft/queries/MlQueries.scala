@@ -12,6 +12,21 @@ import graft.ml.{KMeans, Pq}
 object MlQueries extends QueryGroup {
 
   val queries: Map[String, Q] = Map(
+    // Sorted-neighborhood blocking (Hernández–Stolfo multi-pass): part
+    // names sorted forward and REVERSED, every record paired with its 3
+    // successors per pass, unordered pairs kept at their smallest window
+    // distance. Candidate volume is w·n per pass by construction — the
+    // linear-in-table alternative to equi-blocking for typo'd keys; the
+    // global order comes from Ordinals (range-tiled, never a
+    // single-partition window).
+    "q_snm_blocking" -> ((s, dir) => {
+      graft.ml.Blocking.multiPass(
+        Tables.part(s, dir), "p_partkey",
+        Seq(col("p_name"), reverse(col("p_name"))), w = 3)
+        .select(col("id_a"), col("id_b"), col("w_dist").cast("int").as("w_dist"),
+          col("n_passes"))
+    }),
+
     // Lloyd's k-means, k=8, 3 rounds, integer milli-unit arithmetic: seeds
     // are the 8 smallest md5(vec_id) rows, assignment is an argmin over 8
     // codegen'd literal-centroid dot products (map-only), each update is
@@ -617,6 +632,27 @@ object MlQueries extends QueryGroup {
        |FROM af LEFT JOIN sh ON sh.vec_id = af.vec_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Global row_number restates Ordinals' range-tiled order (both total:
+    // sort key + id tiebreak); pairs at rank distance 1..3 per pass,
+    // normalized to unordered and kept at the smallest distance.
+    "q_snm_blocking" ->
+      """WITH f AS (SELECT p_partkey, row_number() OVER
+        |    (ORDER BY p_name, p_partkey) AS rn FROM part),
+        |r AS (SELECT p_partkey, row_number() OVER
+        |    (ORDER BY reverse(p_name), p_partkey) AS rn FROM part),
+        |pf AS (SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |    CAST(b.rn - a.rn AS INT) AS w_dist
+        |  FROM f a JOIN f b ON b.rn - a.rn BETWEEN 1 AND 3),
+        |pr AS (SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |    CAST(b.rn - a.rn AS INT) AS w_dist
+        |  FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3),
+        |u AS (SELECT * FROM pf UNION ALL SELECT * FROM pr),
+        |n AS (SELECT least(id_a, id_b) AS id_a,
+        |    greatest(id_a, id_b) AS id_b, w_dist FROM u)
+        |SELECT id_a, id_b, min(w_dist) AS w_dist,
+        |  CAST(count(*) AS BIGINT) AS n_passes
+        |FROM n GROUP BY 1, 2""".stripMargin,
+
     // Same group-then-window formulation: per distinct score (cp, cn),
     // cumulative negatives below, tie-aware numerator — all BIGINT.
     "q_classifier_auc" ->

@@ -113,6 +113,24 @@ object SimilarityQueries extends QueryGroup {
       Dedup2.embeddingNearDupBrute(Tables.embeddings(s, dir), 0.4)
     }),
 
+    // MMR diversification of two queries' top-8 candidate pools (λ=1/2,
+    // pick 4): the post-retrieval de-redundancy step. Greedy steps run
+    // relationally across both queries at once; relevance and pairwise
+    // sims quantize to an integer 1e-6 grid before the marginal score,
+    // so the argmax compares exact longs (score_micro = rel_µ − maxsim_µ).
+    "q_mmr_diversify" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cand = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id").isin(3L, 7L)), emb, "vec_id", "embedding",
+        k = 8)
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
+          "neighbor_id")
+      graft.ops.Mmr.select(cand, "query_id", "neighbor_id", "embedding",
+        "cos", k = 4)
+        .select(col("query_id"), col("neighbor_id"), col("pick"),
+          col("score_micro"))
+    }),
+
     // Same top-k through the typed partial-aggregating TopKAggregator —
     // identical rows, map-side-reduced shuffle.
     "q_cosine_topk_agg" -> ((s, dir) => {
@@ -321,6 +339,72 @@ object SimilarityQueries extends QueryGroup {
         |  round(list_cosine_similarity(a.v, b.v), 4) + 0.0 AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) > 0.4""".stripMargin,
+    // Four greedy steps unrolled; every sim/relevance quantized to the
+    // 1e-6 integer grid BEFORE max/argmax, same (score DESC, id ASC)
+    // tie-break as the engine.
+    "q_mmr_diversify" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (3, 7)),
+        |pairs AS (SELECT qid, e.vec_id AS id, e.v,
+        |    list_cosine_similarity(qv, e.v) AS rel
+        |  FROM q JOIN e ON e.vec_id <> qid),
+        |cand AS (SELECT qid, id, v, CAST(round(rel * 1e6) AS BIGINT) AS relq
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |      ORDER BY rel DESC, id) AS rn FROM pairs)
+        |  WHERE rn <= 8),
+        |s1 AS (SELECT qid, id, v, CAST(1 AS INT) AS pick, relq AS score
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |      ORDER BY relq DESC, id) AS rn FROM cand)
+        |  WHERE rn = 1),
+        |m2 AS (SELECT c.qid, c.id,
+        |    max(CAST(round(list_cosine_similarity(c.v, s.v) * 1e6)
+        |      AS BIGINT)) AS ms
+        |  FROM cand c JOIN s1 s ON s.qid = c.qid
+        |  WHERE NOT EXISTS (SELECT 1 FROM s1 x
+        |    WHERE x.qid = c.qid AND x.id = c.id)
+        |  GROUP BY 1, 2),
+        |s2 AS (SELECT qid, id, v, CAST(2 AS INT) AS pick, score
+        |  FROM (SELECT m.qid, m.id, c.v, c.relq - m.ms AS score,
+        |      row_number() OVER (PARTITION BY m.qid
+        |        ORDER BY c.relq - m.ms DESC, m.id) AS rn
+        |    FROM m2 m JOIN cand c ON c.qid = m.qid AND c.id = m.id)
+        |  WHERE rn = 1),
+        |sel2 AS (SELECT qid, id, v FROM s1 UNION ALL SELECT qid, id, v FROM s2),
+        |m3 AS (SELECT c.qid, c.id,
+        |    max(CAST(round(list_cosine_similarity(c.v, s.v) * 1e6)
+        |      AS BIGINT)) AS ms
+        |  FROM cand c JOIN sel2 s ON s.qid = c.qid
+        |  WHERE NOT EXISTS (SELECT 1 FROM sel2 x
+        |    WHERE x.qid = c.qid AND x.id = c.id)
+        |  GROUP BY 1, 2),
+        |s3 AS (SELECT qid, id, v, CAST(3 AS INT) AS pick, score
+        |  FROM (SELECT m.qid, m.id, c.v, c.relq - m.ms AS score,
+        |      row_number() OVER (PARTITION BY m.qid
+        |        ORDER BY c.relq - m.ms DESC, m.id) AS rn
+        |    FROM m3 m JOIN cand c ON c.qid = m.qid AND c.id = m.id)
+        |  WHERE rn = 1),
+        |sel3 AS (SELECT qid, id, v FROM sel2 UNION ALL SELECT qid, id, v FROM s3),
+        |m4 AS (SELECT c.qid, c.id,
+        |    max(CAST(round(list_cosine_similarity(c.v, s.v) * 1e6)
+        |      AS BIGINT)) AS ms
+        |  FROM cand c JOIN sel3 s ON s.qid = c.qid
+        |  WHERE NOT EXISTS (SELECT 1 FROM sel3 x
+        |    WHERE x.qid = c.qid AND x.id = c.id)
+        |  GROUP BY 1, 2),
+        |s4 AS (SELECT qid, id, v, CAST(4 AS INT) AS pick, score
+        |  FROM (SELECT m.qid, m.id, c.v, c.relq - m.ms AS score,
+        |      row_number() OVER (PARTITION BY m.qid
+        |        ORDER BY c.relq - m.ms DESC, m.id) AS rn
+        |    FROM m4 m JOIN cand c ON c.qid = m.qid AND c.id = m.id)
+        |  WHERE rn = 1),
+        |allp AS (SELECT qid, id, pick, score FROM s1
+        |  UNION ALL SELECT qid, id, pick, score FROM s2
+        |  UNION ALL SELECT qid, id, pick, score FROM s3
+        |  UNION ALL SELECT qid, id, pick, score FROM s4)
+        |SELECT qid AS query_id, id AS neighbor_id, pick,
+        |  score AS score_micro
+        |FROM allp""".stripMargin,
     // Mirrors RandomProjection.project: component (j,d) =
     // md5Hash60('rp_<j>_<d>') / 2^59 - 1.0; same per-row left-to-right
     // dot; summary pins all 16 projected components.

@@ -447,6 +447,43 @@ object TextQueries extends QueryGroup {
             + coalesce(col("__s3"), lit(0.0)), 4).as("bm25"))
     }),
 
+    // Hybrid retrieval: the same BM25 ranking fused with a dense
+    // embedding-cosine ranking (query = vector 7, embeddings align 1:1
+    // with doc ids) by reciprocal-rank fusion — the standard RAG first
+    // stage, no score calibration needed. Each side is a bounded top-20
+    // (orderBy+limit / the broadcast top-k, never a corpus-wide window);
+    // the 20-row rank windows after the cutoff are bounded by
+    // construction. rrf = Σ 1/(60+rank) over ≤2 terms in fixed order —
+    // cross-engine-exact doubles.
+    "q_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ts = graft.text.Bm25.termScores(
+        Tables.documents(s, dir), "doc_id", "text", Seq("hash", "join", "scan"))
+      val bm = ts.groupBy("doc_id").agg(
+          max(when(col("term") === "hash", col("score"))).as("__s1"),
+          max(when(col("term") === "join", col("score"))).as("__s2"),
+          max(when(col("term") === "scan", col("score"))).as("__s3"))
+        .select(col("doc_id"),
+          round(coalesce(col("__s1"), lit(0.0)) + coalesce(col("__s2"), lit(0.0))
+            + coalesce(col("__s3"), lit(0.0)), 4).as("__bm"))
+      val sparse = bm.orderBy(col("__bm").desc, col("doc_id").asc).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("__bm").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("rank"))
+      val emb = Tables.embeddings(s, dir)
+      val dense = graft.ops.Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") === 7), emb, "vec_id", "embedding", k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.text.Retrieval.rrfFuse(Seq(sparse, dense), "doc_id", "rank")
+        .join(sparse.select(col("doc_id"), col("rank").as("sparse_rank")),
+          Seq("doc_id"), "left")
+        .join(dense.select(col("doc_id"), col("rank").as("dense_rank")),
+          Seq("doc_id"), "left")
+        .orderBy(col("rrf").desc, col("doc_id").asc).limit(10)
+        .select(col("doc_id"), col("sparse_rank"), col("dense_rank"),
+          (round(col("rrf"), 6) + lit(0.0)).as("rrf"))
+    }),
+
     // Next-token statistics: top-3 bigram continuations per head word
     // with conditional probability — the corpus-exploration dual of the
     // repetition profile. Fully relational (shingle explode → two
@@ -1604,6 +1641,56 @@ object TextQueries extends QueryGroup {
          |  round(coalesce(s1, 0.0) + coalesce(s2, 0.0) + coalesce(s3, 0.0), 4)
          |    AS bm25
          |FROM p""".stripMargin
+    },
+
+    // The q_bm25 chain ranked to a top-20, the cosine ranking against
+    // vector 7, then RRF: 1/(60+rank) per list, fixed-order sum.
+    "q_hybrid_rrf" -> {
+      val k1 = 1.2; val b = 0.75
+      val k1p1 = (k1 + 1.0).toString; val oneMb = (1.0 - b).toString
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${OracleSql.toksSql}) AS term FROM documents),
+         |t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+         |       WHERE term IN ('hash', 'join', 'scan') GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |       (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM dl) AS avgdl),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+         |    ((tf * $k1p1) / (tf + $k1 * ($oneMb + $b * (dl / avgdl)))) AS score
+         |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), st),
+         |p AS (SELECT doc_id,
+         |    max(CASE WHEN term = 'hash' THEN score END) AS s1,
+         |    max(CASE WHEN term = 'join' THEN score END) AS s2,
+         |    max(CASE WHEN term = 'scan' THEN score END) AS s3
+         |  FROM sc GROUP BY doc_id),
+         |bm AS (SELECT doc_id,
+         |    round(coalesce(s1, 0.0) + coalesce(s2, 0.0) + coalesce(s3, 0.0), 4)
+         |      AS bm FROM p),
+         |sp AS (SELECT doc_id, srank FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY bm DESC, doc_id)
+         |      AS srank FROM bm)
+         |  WHERE srank <= 20),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |  WHERE embedding IS NOT NULL),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+         |dn AS (SELECT doc_id, drank FROM (
+         |    SELECT e.vec_id AS doc_id,
+         |      row_number() OVER (ORDER BY list_cosine_similarity(e.v, q.qv)
+         |        DESC, e.vec_id) AS drank
+         |    FROM e, q WHERE e.vec_id <> 7)
+         |  WHERE drank <= 20),
+         |f AS (SELECT doc_id,
+         |    sp.srank, dn.drank,
+         |    coalesce(1.0 / (60 + sp.srank), 0.0) +
+         |      coalesce(1.0 / (60 + dn.drank), 0.0) AS rrf
+         |  FROM sp FULL JOIN dn USING (doc_id))
+         |SELECT doc_id, CAST(srank AS INT) AS sparse_rank,
+         |  CAST(drank AS INT) AS dense_rank, round(rrf, 6) + 0.0 AS rrf
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
     },
 
     // Same bigram shingles; exact-long division rounds identically.

@@ -19,13 +19,21 @@ class OrdinalsSpec extends AnyFunSuite with SparkTestBase {
     assert(tiled == global)
   }
 
-  test("no single-partition exchange in the plan") {
+  test("no single-partition exchange; range layout survives to the output") {
     import spark.implicits._
     val df = (0 until 100).map(i => (i, s"k$i")).toDF("v", "k")
-    val plan = Ordinals.assign(df, Seq(col("v").asc, col("k").asc))
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("rangepartitioning"), plan)
+    val out = Ordinals.assign(df, Seq(col("v").asc, col("k").asc),
+      partitions = 7)
+    val plan = out.queryExecution.executedPlan.toString
+    // The rangepartitioning exchange now lives INSIDE the materialized
+    // localCheckpoint (lineage truncation is what makes __pid
+    // single-instantiation safe — see assign's comment), so the final
+    // plan string can't show it. What it must still show: the
+    // row_number window keyed by the TILE id (a __pid hash exchange,
+    // i.e. per-tile local windows), and never a single-partition
+    // exchange (the global-window shape this operator exists to avoid).
     assert(!plan.contains("SinglePartition"), plan)
+    assert(plan.contains("hashpartitioning(__pid"), plan)
   }
 
   test("empty input yields empty output") {
