@@ -43,9 +43,16 @@ object Mmr {
     require(k >= 1, s"k must be >= 1, got $k")
     require(lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
       s"lambda = $lambdaNum/$lambdaDen must lie in [0, 1]")
+    // The candidate pool is bounded (queries × N rows) but its LINEAGE
+    // is not — it typically hangs off a brute-force or ANN top-k whose
+    // cross join must not re-run once per greedy step (each step
+    // references base in both the anti-join and the pair join, and
+    // step i's selected set references every earlier step). Truncate
+    // once; every step then reads the materialized blocks.
     val base = cands.select(col(queryCol).as("__q"), col(idCol).as("__id"),
       col(vecCol).as("__v"),
       round(col(relCol) * 1e6).cast("long").as("__rel"))
+      .localCheckpoint(false)
     val wFirst = Window.partitionBy("__q")
       .orderBy(col("__rel").desc, col("__id").asc)
     var selected = base
@@ -69,7 +76,9 @@ object Mmr {
         .select(col("__q"), col("__id"), col("__v"), lit(i).as("pick"),
           (col("__rel") * lambdaNum -
             col("__maxsim") * (lambdaDen - lambdaNum)).as("score_micro"))
-      selected = selected.unionByName(next)
+      // ≤ queries × i rows, but the plan references all earlier steps —
+      // truncate per round or the final plan grows geometrically in k.
+      selected = selected.unionByName(next).localCheckpoint(false)
     }
     selected.select(col("__q").as(queryCol), col("__id").as(idCol),
       col("pick"), col("score_micro"))
