@@ -113,6 +113,31 @@ object SimilarityQueries extends QueryGroup {
       Dedup2.embeddingNearDupBrute(Tables.embeddings(s, dir), 0.4)
     }),
 
+    // Hard-negative mining for embedding-model training: for each anchor,
+    // the top-3 most-similar vectors whose LABEL DIFFERS — the
+    // highest-loss negatives a contrastive trainer wants, and exactly the
+    // composition a 100 TB pipeline runs as ANN-top-k → label anti-filter
+    // → per-anchor rank (the filter rides the ranked stream; the brute
+    // pair join here is the oracle-exact stand-in for the IVF probe).
+    "q_hard_negatives" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val anchors = emb.filter(col("vec_id") < 15)
+      val pairs = Similarity.bruteForceTopK(
+        anchors, emb, "vec_id", "embedding", k = 60)
+        .join(anchors.select(col("vec_id").as("query_id"),
+          col("label").as("__al")), "query_id")
+        .join(emb.select(col("vec_id").as("neighbor_id"),
+          col("label").as("neg_label")), "neighbor_id")
+        .filter(col("neg_label") =!= col("__al"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("rank").asc)
+      pairs.withColumn("neg_rank", row_number().over(w))
+        .filter(col("neg_rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"), col("neg_rank"),
+          col("neg_label"))
+    }),
+
     // MMR diversification of two queries' top-8 candidate pools (λ=1/2,
     // pick 4): the post-retrieval de-redundancy step. Greedy steps run
     // relationally across both queries at once; relevance and pairwise
@@ -339,6 +364,25 @@ object SimilarityQueries extends QueryGroup {
         |  round(list_cosine_similarity(a.v, b.v), 4) + 0.0 AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) > 0.4""".stripMargin,
+    // Same ranked stream as q_cosine_topk, label filter on the ranks.
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |a AS (SELECT * FROM e WHERE vec_id < 15),
+        |p AS (SELECT a.vec_id AS query_id, a.label AS al,
+        |    b.vec_id AS neighbor_id, b.label AS neg_label,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id)
+        |      AS rank
+        |  FROM a JOIN e b ON b.vec_id <> a.vec_id),
+        |f AS (SELECT query_id, neighbor_id, neg_label,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY rank)
+        |      AS neg_rank
+        |  FROM p WHERE rank <= 60 AND neg_label <> al)
+        |SELECT query_id, neighbor_id, CAST(neg_rank AS INT) AS neg_rank,
+        |  neg_label
+        |FROM f WHERE neg_rank <= 3""".stripMargin,
+
     // Four greedy steps unrolled; every sim/relevance quantized to the
     // 1e-6 integer grid BEFORE max/argmax, same (score DESC, id ASC)
     // tie-break as the engine.

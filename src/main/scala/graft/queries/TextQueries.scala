@@ -212,6 +212,24 @@ object TextQueries extends QueryGroup {
       graft.text.Bpe.tokenCountsBytes(Tables.documents(s, dir), "doc_id",
         "text", rounds = 3)),
 
+    // WordPiece training: 3 likelihood-argmax merges (count(ab) /
+    // (count(a)·count(b)) — frequent-together relative to frequent-
+    // apart), completing the tokenizer trio next to BPE's frequency
+    // argmax and Unigram's prune-down EM. All-integer evidence columns;
+    // the score divides exact BIGINTs in double, so the argmax is
+    // engine-exact.
+    "q_wordpiece_merges" -> ((s, dir) =>
+      graft.text.WordPiece.learnMerges(Tables.documents(s, dir), "text",
+        rounds = 3)),
+
+    // WordPiece apply: greedy LONGEST-MATCH token counts against the
+    // learned vocabulary (not merge replay — the BERT-tokenizer
+    // semantics). The longest-match table is an equi-join (substring
+    // keys per distinct piece length), the walk is cap-bounded.
+    "q_wordpiece_tokens" -> ((s, dir) =>
+      graft.text.WordPiece.tokenCounts(Tables.documents(s, dir), "doc_id",
+        "text", rounds = 3)),
+
     // Post-merge symbol frequencies — the vocab coverage report after the
     // same 3 BPE rounds.
     "q_bpe_vocab" -> ((s, dir) =>
@@ -919,7 +937,7 @@ object TextQueries extends QueryGroup {
          |      i -> struct_pack(a := s[i], b := s[i+1]))) AS pr
          |    FROM $prev)
          |  GROUP BY 1, 2),
-         |t$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
+         |t$r AS MATERIALIZED (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
          |m$r AS (
          |  SELECT word, wcnt, s, 1 AS i, CAST([] AS VARCHAR[]) AS out FROM $prev
          |  UNION ALL
@@ -930,14 +948,64 @@ object TextQueries extends QueryGroup {
          |      CASE WHEN m$r.i < len(m$r.s) AND m$r.s[m$r.i] = t$r.a AND m$r.s[m$r.i+1] = t$r.b
          |        THEN t$r.a || t$r.b ELSE m$r.s[m$r.i] END)
          |  FROM m$r, t$r WHERE m$r.i <= len(m$r.s)),
-         |s$r AS (SELECT word, wcnt, out AS s FROM m$r WHERE i = len(s) + 1)"""
+         |s$r AS MATERIALIZED (SELECT word, wcnt, out AS s FROM m$r WHERE i = len(s) + 1)"""
         .stripMargin
     }
     s"""WITH RECURSIVE
-       |w AS (SELECT tok AS word, count(*) AS wcnt FROM
+       |w AS MATERIALIZED (SELECT tok AS word, count(*) AS wcnt FROM
        |  (SELECT unnest(${OracleSql.toksSql}) AS tok FROM documents)
        |  WHERE tok <> '' GROUP BY 1),
        |s0 AS ($s0),
+       |${(1 to 3).map(round).mkString(",\n")}
+       |$finalSelect""".stripMargin
+  }
+
+  /** Shared 3-round WordPiece chain: like [[bpeSql]] but each round adds
+    * a symbol-count CTE and the argmax picks by LIKELIHOOD score
+    * `pair_count / (left_count · right_count)` (exact BIGINTs divided in
+    * double — engine-exact), tie-broken on the pair. Closed by a
+    * caller-supplied final SELECT over t1..t3 / s3 / w.
+    */
+  private def wordpieceSql(finalSelect: String): String = {
+    def round(r: Int): String = {
+      val prev = s"s${r - 1}"
+      s"""c$r AS (
+         |  SELECT sym, CAST(sum(wcnt) AS BIGINT) AS sc FROM (
+         |    SELECT wcnt, unnest(s) AS sym FROM $prev)
+         |  GROUP BY 1),
+         |p$r AS (
+         |  SELECT pr.a AS a, pr.b AS b, CAST(sum(wcnt) AS BIGINT) AS c FROM (
+         |    SELECT wcnt, unnest(list_transform(range(1, len(s)),
+         |      i -> struct_pack(a := s[i], b := s[i+1]))) AS pr
+         |    FROM $prev)
+         |  GROUP BY 1, 2),
+         |t$r AS MATERIALIZED (
+         |  SELECT p$r.a, p$r.b, p$r.c, ca.sc AS ac, cb.sc AS bc
+         |  FROM p$r JOIN c$r ca ON ca.sym = p$r.a
+         |    JOIN c$r cb ON cb.sym = p$r.b
+         |  ORDER BY CAST(p$r.c AS DOUBLE) / (ca.sc * cb.sc) DESC,
+         |    p$r.a, p$r.b
+         |  LIMIT 1),
+         |m$r AS (
+         |  SELECT word, wcnt, s, 1 AS i, CAST([] AS VARCHAR[]) AS out FROM $prev
+         |  UNION ALL
+         |  SELECT m$r.word, m$r.wcnt, m$r.s,
+         |    CASE WHEN m$r.i < len(m$r.s) AND m$r.s[m$r.i] = t$r.a AND m$r.s[m$r.i+1] = t$r.b
+         |      THEN m$r.i + 2 ELSE m$r.i + 1 END,
+         |    list_append(m$r.out,
+         |      CASE WHEN m$r.i < len(m$r.s) AND m$r.s[m$r.i] = t$r.a AND m$r.s[m$r.i+1] = t$r.b
+         |        THEN t$r.a || t$r.b ELSE m$r.s[m$r.i] END)
+         |  FROM m$r, t$r WHERE m$r.i <= len(m$r.s)),
+         |s$r AS MATERIALIZED (SELECT word, wcnt, out AS s FROM m$r WHERE i = len(s) + 1)"""
+        .stripMargin
+    }
+    s"""WITH RECURSIVE
+       |w AS MATERIALIZED (SELECT tok AS word, count(*) AS wcnt FROM
+       |  (SELECT unnest(${OracleSql.toksSql}) AS tok FROM documents)
+       |  WHERE tok <> '' GROUP BY 1),
+       |s0 AS (SELECT word, wcnt,
+       |  list_transform(range(1, len(word) + 1), i -> word[i]) AS s
+       |FROM w),
        |${(1 to 3).map(round).mkString(",\n")}
        |$finalSelect""".stripMargin
   }
@@ -1436,6 +1504,44 @@ object TextQueries extends QueryGroup {
         |FROM w""".stripMargin),
 
     // Same chain, read out as the post-merge symbol distribution.
+    // Three scored argmax frames, integer evidence only.
+    "q_wordpiece_merges" -> wordpieceSql(
+      """SELECT 1 AS round, a AS left, b AS right, a || b AS merged,
+        |  c AS pair_count, ac AS left_count, bc AS right_count FROM t1
+        |UNION ALL
+        |SELECT 2, a, b, a || b, c, ac, bc FROM t2
+        |UNION ALL
+        |SELECT 3, a, b, a || b, c, ac, bc FROM t3""".stripMargin),
+
+    // Longest-match walk: per-position longest vocabulary piece
+    // precomputed statically (join + max), then a linear recursion that
+    // only follows pointers — same shape the engine runs as cap bounded
+    // join rounds.
+    "q_wordpiece_tokens" -> wordpieceSql(
+      s""",v AS MATERIALIZED (SELECT DISTINCT piece FROM (
+         |    SELECT unnest(s) AS piece FROM s3
+         |    UNION ALL
+         |    SELECT unnest(list_transform(range(1, len(word) + 1),
+         |      i -> word[i])) AS piece FROM w)),
+         |wl AS MATERIALIZED (SELECT word FROM w WHERE len(word) <= 12),
+         |pos AS (SELECT word, CAST(i AS INT) AS i
+         |  FROM wl, range(1, 13) t(i) WHERE i <= len(word)),
+         |lm AS MATERIALIZED (SELECT p.word, p.i, max(len(v.piece)) AS k
+         |  FROM pos p JOIN v ON v.piece = substring(p.word, p.i, len(v.piece))
+         |  GROUP BY 1, 2),
+         |wp AS (SELECT word, 1 AS i, CAST(0 AS BIGINT) AS ntok FROM wl
+         |  UNION ALL
+         |  SELECT wp.word, CAST(wp.i + lm.k AS INT), wp.ntok + 1
+         |  FROM wp JOIN lm ON lm.word = wp.word AND lm.i = wp.i),
+         |pw AS (SELECT word, ntok FROM wp WHERE i = len(word) + 1),
+         |dw AS (SELECT doc_id, unnest(${OracleSql.toksSql}) AS word
+         |  FROM documents)
+         |SELECT dw.doc_id, count(*) AS n_words,
+         |  CAST(sum(pw.ntok) AS BIGINT) AS n_tokens
+         |FROM dw JOIN pw ON pw.word = dw.word
+         |WHERE dw.word <> '' AND len(dw.word) <= 12
+         |GROUP BY 1""".stripMargin),
+
     "q_bpe_vocab" -> bpeSql(
       """SELECT sym AS symbol, CAST(sum(wcnt) AS BIGINT) AS total_count
         |FROM (SELECT wcnt, unnest(s) AS sym FROM s3) GROUP BY 1""".stripMargin),

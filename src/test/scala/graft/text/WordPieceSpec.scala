@@ -1,0 +1,59 @@
+package graft.text
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+
+class WordPieceSpec extends AnyFunSuite with SparkTestBase {
+
+  private def docs(texts: String*) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+  }
+
+  test("likelihood argmax beats raw frequency when a pair is exclusive") {
+    // "xy" appears 4 times and x/y appear NOWHERE else (score 4/(4·4));
+    // "ab" appears 5 times but a and b are everywhere (a also in "az"
+    // ×10, b in "bz" ×10 → score 5/(15·15)). Frequency argmax would
+    // merge (a,b); likelihood merges (x,y).
+    val d = docs(
+      Seq.fill(4)("xy").mkString(" "),
+      Seq.fill(5)("ab").mkString(" "),
+      Seq.fill(10)("az").mkString(" "),
+      Seq.fill(10)("bz").mkString(" "))
+    val m = WordPiece.learnMerges(d, "text", rounds = 1).collect().head
+    assert((m.getAs[String]("left"), m.getAs[String]("right")) == ("x", "y"))
+    assert(m.getAs[Long]("pair_count") == 4L)
+    assert(m.getAs[Long]("left_count") == 4L &&
+      m.getAs[Long]("right_count") == 4L)
+  }
+
+  test("longest match wins over a shorter prefix piece") {
+    // Corpus makes (a,b) then (ab,c) merge: vocab gains "ab" and "abc".
+    // The word "abcd" must tokenize abc|d (2 tokens), not ab|c|d.
+    val d = docs(Seq.fill(20)("abc").mkString(" ") + " abcd")
+    val counts = WordPiece.tokenCounts(d, "doc_id", "text", rounds = 2)
+      .collect().head
+    // words: "abc" ×20 (1 token each) + "abcd" (abc|d = 2 tokens)
+    assert(counts.getAs[Long]("n_words") == 21L)
+    assert(counts.getAs[Long]("n_tokens") == 20L + 2L)
+  }
+
+  test("alphabet fallback: every in-corpus word tokenizes") {
+    val d = docs("qu qu qu quiz zap", "mixed bag of words zap")
+    val out = WordPiece.tokenCounts(d, "doc_id", "text", rounds = 3)
+      .collect()
+    val total = out.map(_.getAs[Long]("n_words")).sum
+    // All 10 words ≤ 12 chars → every one must appear in some doc count.
+    assert(total == 10L)
+    out.foreach(r =>
+      assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_words")))
+  }
+
+  test("words beyond the cap are out of model on both sides") {
+    val d = docs("short supercalifragilistic short")
+    val c = WordPiece.tokenCounts(d, "doc_id", "text", rounds = 1, cap = 12)
+      .collect().head
+    assert(c.getAs[Long]("n_words") == 2L) // the 20-char word is dropped
+  }
+}
