@@ -427,6 +427,11 @@ object TimeSeries {
     * the iterative graph ops; re-segmentation is a broadcast-joined
     * comparison against the found split points.
     *
+    * `timeCol` must be UNIQUE per key (pre-aggregate to the bucket
+    * grain first, like [[theilSen]]'s xCol): the windows order by time
+    * alone, and duplicate (key, time) rows would make the running sum —
+    * and therefore the chosen split — partition-dependent.
+    *
     * @param minSeg   smallest allowed child segment (both sides), ≥ 1
     * @return (keyCol, depth, timeCol = last row of the left child,
     *         dev = the scaled deviation |n·cum − t·total| at the split)
@@ -455,11 +460,17 @@ object TimeSeries {
         .filter(col("__rn") >= minSeg && col("__rn") <= col("__n") - minSeg)
       val wBest = Window.partitionBy(col(keyCol), col("__seg"))
         .orderBy(col("__dev").desc, col(timeCol).asc)
+      // best is ≤ one row per (key, segment) — broadcast-sized by
+      // construction — but it hangs off this depth's full window pass:
+      // truncate so cps' union and the next depth's re-segmentation
+      // don't re-instantiate every earlier depth's subtree (the same
+      // per-round discipline as Mmr and the iterative graph ops).
       val best = scored
         .withColumn("__r", row_number().over(wBest))
         .filter(col("__r") === 1 && col("__dev") > 0) // flat segment: no cp
         .select(col(keyCol), col("__seg"), col(timeCol).as("__cp_t"),
           col("__dev").as("dev"), lit(d).as("depth"))
+        .localCheckpoint(false)
       cps = if (cps == null) best else cps.unionByName(best)
       if (d < depth) {
         // Children get 2·seg / 2·seg+1 — unique across depths.
@@ -470,6 +481,7 @@ object TimeSeries {
             when(col("__cp_t").isNotNull && col(timeCol) > col("__cp_t"),
               col("__seg") * 2 + 1).otherwise(col("__seg") * 2))
           .drop("__cp_t")
+          .localCheckpoint(false)
       }
     }
     cps.select(col(keyCol), col("depth"), col("__cp_t").as(timeCol),
@@ -496,18 +508,35 @@ object TimeSeries {
       yCol: String): DataFrame = {
     val base = df.select(col(keyCol).as("__k"),
       col(xCol).cast("double").as("__x"), col(yCol).cast("double").as("__y"))
+    // try_divide, not `/`: downstream null-filters push INTO the join
+    // condition, where the slope can be evaluated before the
+    // `__x < __x` predicate has excluded equal-x pairs — under ANSI a
+    // plain divide then throws DIVIDE_BY_ZERO on rows the join was
+    // about to drop. try_divide yields NULL there (filtered anyway) and
+    // is bit-identical on every surviving pair.
     val pairs = base.alias("a").join(base.alias("b"),
       col("a.__k") === col("b.__k") && col("a.__x") < col("b.__x"))
       .select(col("a.__k").as("__k"),
-        ((col("b.__y") - col("a.__y")) / (col("b.__x") - col("a.__x")))
-          .as("__s"))
-    val slopes = pairs.groupBy("__k")
-      .agg(percentile(col("__s"), lit(0.5)).as("slope"))
-    base.join(broadcast(slopes), Seq("__k"))
-      .groupBy("__k")
-      .agg(count(lit(1)).as("n"), first(col("slope")).as("slope"),
-        percentile(col("__y") - col("slope") * col("__x"), lit(0.5))
-          .as("intercept"))
+        try_divide(col("b.__y") - col("a.__y"),
+          col("b.__x") - col("a.__x")).as("__s"))
+    // Medians via Quantiles.groupBoundsExact — the SPILLABLE rank-window
+    // path, bit-identical to `percentile`/`quantile_cont` (same lerp
+    // tree). Spark's `percentile` aggregate holds every group member in
+    // one task's buffer — with O(n²) slope rows per key that is exactly
+    // the OOM shape the Quantiles module exists to avoid. No broadcast
+    // hint on the slope join either: one row per KEY is unbounded in the
+    // number of series; both sides arrive keyed, AQE picks the join.
+    val slopes = Quantiles.groupBoundsExact(pairs, "__s", Seq("__k"),
+      Seq(0.5))
+      .select(col("__k"), element_at(col("__qs"), 1).as("slope"))
+    val resid = base.join(slopes, Seq("__k"))
+      .select(col("__k"),
+        (col("__y") - col("slope") * col("__x")).as("__r"))
+    val intercepts = Quantiles.groupBoundsExact(resid, "__r", Seq("__k"),
+      Seq(0.5))
+      .select(col("__k"), element_at(col("__qs"), 1).as("intercept"))
+    base.groupBy("__k").agg(count(lit(1)).as("n"))
+      .join(slopes, Seq("__k")).join(intercepts, Seq("__k"))
       .select(col("__k").as(keyCol), col("n"), col("slope"),
         col("intercept"))
   }

@@ -484,14 +484,18 @@ object TextQueries extends QueryGroup {
         .select(col("doc_id"),
           round(coalesce(col("__s1"), lit(0.0)) + coalesce(col("__s2"), lit(0.0))
             + coalesce(col("__s3"), lit(0.0)), 4).as("__bm"))
+      // Both rankings feed the fusion AND the rank join-backs — truncate
+      // so the corpus-wide BM25 pass and the cosine scan each run once.
       val sparse = bm.orderBy(col("__bm").desc, col("doc_id").asc).limit(20)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("__bm").desc, col("doc_id").asc)))
         .select(col("doc_id"), col("rank"))
+        .localCheckpoint(false)
       val emb = Tables.embeddings(s, dir)
       val dense = graft.ops.Similarity.bruteForceTopK(
         emb.filter(col("vec_id") === 7), emb, "vec_id", "embedding", k = 20)
         .select(col("neighbor_id").as("doc_id"), col("rank"))
+        .localCheckpoint(false)
       graft.text.Retrieval.rrfFuse(Seq(sparse, dense), "doc_id", "rank")
         .join(sparse.select(col("doc_id"), col("rank").as("sparse_rank")),
           Seq("doc_id"), "left")
@@ -948,7 +952,11 @@ object TextQueries extends QueryGroup {
          |      CASE WHEN m$r.i < len(m$r.s) AND m$r.s[m$r.i] = t$r.a AND m$r.s[m$r.i+1] = t$r.b
          |        THEN t$r.a || t$r.b ELSE m$r.s[m$r.i] END)
          |  FROM m$r, t$r WHERE m$r.i <= len(m$r.s)),
-         |s$r AS MATERIALIZED (SELECT word, wcnt, out AS s FROM m$r WHERE i = len(s) + 1)"""
+         |s$r AS MATERIALIZED (
+         |  SELECT word, wcnt, out AS s FROM m$r WHERE i = len(s) + 1
+         |  UNION ALL
+         |  SELECT word, wcnt, s FROM $prev
+         |  WHERE NOT EXISTS (SELECT 1 FROM t$r))"""
         .stripMargin
     }
     s"""WITH RECURSIVE
@@ -996,7 +1004,11 @@ object TextQueries extends QueryGroup {
          |      CASE WHEN m$r.i < len(m$r.s) AND m$r.s[m$r.i] = t$r.a AND m$r.s[m$r.i+1] = t$r.b
          |        THEN t$r.a || t$r.b ELSE m$r.s[m$r.i] END)
          |  FROM m$r, t$r WHERE m$r.i <= len(m$r.s)),
-         |s$r AS MATERIALIZED (SELECT word, wcnt, out AS s FROM m$r WHERE i = len(s) + 1)"""
+         |s$r AS MATERIALIZED (
+         |  SELECT word, wcnt, out AS s FROM m$r WHERE i = len(s) + 1
+         |  UNION ALL
+         |  SELECT word, wcnt, s FROM $prev
+         |  WHERE NOT EXISTS (SELECT 1 FROM t$r))"""
         .stripMargin
     }
     s"""WITH RECURSIVE

@@ -30,9 +30,24 @@ import graft.ops.Dedup
   */
 object Bpe {
 
-  /** Split a word into 1-character symbols (character BPE). */
-  private def chars(w: Column): Column =
+  /** Split a word into 1-character symbols (character BPE). Shared with
+    * [[WordPiece]] so the tokenizer trio can never disagree on the base
+    * alphabet.
+    */
+  private[text] def chars(w: Column): Column =
     transform(sequence(lit(1), length(w)), i => substring(w, i, lit(1)))
+
+  /** Distinct-word table (__w, __wcnt) under the shared normalization —
+    * the frame every tokenizer trains over. Shared with [[WordPiece]]
+    * (UnigramLm.wordTable is the public-API variant with unprefixed
+    * column names) so a normalization change cannot silently diverge
+    * the trio.
+    */
+  private[text] def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(split(Dedup.normalizeText(col(textCol)), " ")).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy("__w").agg(count(lit(1)).as("__wcnt"))
 
   /** Split a word into its UTF-8 BYTES, each rendered as a 2-hex-digit
     * base symbol ("48", "c3", …) — the byte-level alphabet (GPT-2 /
@@ -83,10 +98,7 @@ object Bpe {
   private def run(docs: DataFrame, textCol: String, rounds: Int,
       init: Column => Column = chars): (Seq[DataFrame], DataFrame) = {
     require(rounds >= 1, "need at least one round")
-    val vocab = docs
-      .select(explode(split(Dedup.normalizeText(col(textCol)), " ")).as("__w"))
-      .filter(col("__w") =!= "")
-      .groupBy("__w").agg(count(lit(1)).as("__wcnt"))
+    val vocab = wordTable(docs, textCol)
 
     var symbols = vocab.select(col("__w"), col("__wcnt"),
       init(col("__w")).as("__s"))
@@ -103,10 +115,18 @@ object Bpe {
       val top = pairs
         .orderBy(col("pair_count").desc, col("left").asc, col("right").asc)
         .limit(1)
-      symbols = symbols.crossJoin(broadcast(
-          top.select(col("left").as("__ma"), col("right").as("__mb"))))
+      // LEFT join, not crossJoin: a round with no remaining pairs (every
+      // word already one symbol) yields an EMPTY argmax, and a cross
+      // join with an empty frame would annihilate the symbol table —
+      // silently collapsing the learned vocabulary to the bare alphabet
+      // for every later consumer. With no merge the round is a no-op.
+      symbols = symbols.join(broadcast(
+          top.select(col("left").as("__ma"), col("right").as("__mb"))),
+          lit(true), "left")
         .select(col("__w"), col("__wcnt"),
-          applyMerge(col("__s"), col("__ma"), col("__mb")).as("__s"))
+          when(col("__ma").isNotNull,
+            applyMerge(col("__s"), col("__ma"), col("__mb")))
+            .otherwise(col("__s")).as("__s"))
       top.select(lit(r).as("round"), col("left"), col("right"),
         concat(col("left"), col("right")).as("merged"), col("pair_count"))
     }

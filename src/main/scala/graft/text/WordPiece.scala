@@ -30,21 +30,15 @@ import graft.ops.Dedup
   */
 object WordPiece {
 
-  private def chars(w: Column): Column =
-    transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
-
-  private def wordTable(docs: DataFrame, textCol: String): DataFrame =
-    docs
-      .select(explode(split(Dedup.normalizeText(col(textCol)), " ")).as("__w"))
-      .filter(col("__w") =!= "")
-      .groupBy("__w").agg(count(lit(1)).as("__wcnt"))
-
-  /** The shared training loop: per-round argmax frames + final symbols. */
+  /** The shared training loop: per-round argmax frames + final symbols.
+    * Word table and base alphabet come from [[Bpe]]'s shared helpers so
+    * the tokenizer trio can never diverge on normalization.
+    */
   private def run(docs: DataFrame, textCol: String,
       rounds: Int): (Seq[DataFrame], DataFrame) = {
     require(rounds >= 1, "need at least one round")
-    var symbols = wordTable(docs, textCol)
-      .select(col("__w"), col("__wcnt"), chars(col("__w")).as("__s"))
+    var symbols = Bpe.wordTable(docs, textCol)
+      .select(col("__w"), col("__wcnt"), Bpe.chars(col("__w")).as("__s"))
     val merges = (1 to rounds).map { r =>
       val symCounts = symbols
         .select(col("__wcnt"), explode(col("__s")).as("__sym"))
@@ -68,10 +62,15 @@ object WordPiece {
       val top = scored
         .orderBy(col("__score").desc, col("left").asc, col("right").asc)
         .limit(1)
-      symbols = symbols.crossJoin(broadcast(
-          top.select(col("left").as("__ma"), col("right").as("__mb"))))
+      // LEFT join, not crossJoin — an empty argmax (no pairs left) must
+      // make the round a no-op, not annihilate the table (see Bpe.run).
+      symbols = symbols.join(broadcast(
+          top.select(col("left").as("__ma"), col("right").as("__mb"))),
+          lit(true), "left")
         .select(col("__w"), col("__wcnt"),
-          Bpe.applyMerge(col("__s"), col("__ma"), col("__mb")).as("__s"))
+          when(col("__ma").isNotNull,
+            Bpe.applyMerge(col("__s"), col("__ma"), col("__mb")))
+            .otherwise(col("__s")).as("__s"))
       top.select(lit(r).as("round"), col("left"), col("right"),
         concat(col("left"), col("right")).as("merged"),
         col("pair_count"), col("left_count"), col("right_count"))
@@ -98,19 +97,24 @@ object WordPiece {
     */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
       rounds: Int, cap: Int = 12): DataFrame = {
-    val allWords = wordTable(docs, textCol)
+    // The merged symbol table IS the word table (one row per distinct
+    // word) — derive vocabulary, alphabet, and the word list from it and
+    // truncate once, so training runs a single time instead of once per
+    // consumer and the corpus is never re-tokenized for a second word
+    // table.
+    val syms = run(docs, textCol, rounds)._2.localCheckpoint(false)
     // Vocabulary = surviving merged symbols ∪ the BASE ALPHABET (every
     // single corpus character). The alphabet matters: a character merged
     // into a larger symbol at every s3 occurrence would otherwise be
     // absent, and a longest-match walk that lands off that word's own
     // segmentation boundaries could strand mid-word with no matching
     // piece — alphabet fallback guarantees ≥1-char progress everywhere.
-    val vocabPieces = run(docs, textCol, rounds)._2
+    val vocabPieces = syms
       .select(explode(col("__s")).as("__piece"))
-      .unionByName(allWords.select(
-        explode(chars(col("__w"))).as("__piece")))
+      .unionByName(syms.select(
+        explode(Bpe.chars(col("__w"))).as("__piece")))
       .distinct()
-    val words = allWords
+    val words = syms
       .filter(length(col("__w")) <= cap)
       .select(col("__w"))
     // Longest match per (word, position): candidate substrings at every

@@ -21,6 +21,20 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
       (3, "e", "r", "er", 1L)))
   }
 
+  test("a round with no pairs left is a no-op, not an annihilation") {
+    import spark.implicits._
+    // Every word is "ab": after round 1 every word is one symbol and
+    // rounds 2–3 have an empty argmax — the merge must no-op (the old
+    // crossJoin emptied the symbol table, losing the learned "ab" piece
+    // for every downstream consumer).
+    val docs = Seq("ab ab ab").toDF("text")
+    assert(Bpe.learnMerges(docs, "text", rounds = 3).count() == 1L)
+    val counts = Bpe.tokenCounts(docs.withColumn("doc_id", lit(0L)),
+      "doc_id", "text", rounds = 3).collect().head
+    assert(counts.getAs[Long]("n_words") == 3L)
+    assert(counts.getAs[Long]("n_tokens") == 3L) // "ab" stays one piece
+  }
+
   test("greedy merge consumes overlaps once: aaa merges to [aa, a]") {
     import spark.implicits._
     val out = Seq(Tuple1(Seq("a", "a", "a"))).toDF("s")

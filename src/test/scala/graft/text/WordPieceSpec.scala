@@ -50,6 +50,21 @@ class WordPieceSpec extends AnyFunSuite with SparkTestBase {
       assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("n_words")))
   }
 
+  test("a round with no pairs left is a no-op, not an annihilation") {
+    // Every word is "ab": round 1 merges (a,b) and every word becomes
+    // ONE symbol; rounds 2–3 find zero pairs. The empty argmax must
+    // leave the symbol table intact (the old crossJoin emptied it,
+    // collapsing the vocabulary to the bare alphabet).
+    val d = docs("ab ab ab ab")
+    val merges = WordPiece.learnMerges(d, "text", rounds = 3).collect()
+    assert(merges.length == 1) // only the real merge is learned
+    val counts = WordPiece.tokenCounts(d, "doc_id", "text", rounds = 3)
+      .collect().head
+    // "ab" must still tokenize as the single merged piece, not a|b.
+    assert(counts.getAs[Long]("n_words") == 4L)
+    assert(counts.getAs[Long]("n_tokens") == 4L)
+  }
+
   test("words beyond the cap are out of model on both sides") {
     val d = docs("short supercalifragilistic short")
     val c = WordPiece.tokenCounts(d, "doc_id", "text", rounds = 1, cap = 12)
