@@ -133,4 +133,26 @@ class EmptyInputSpec extends AnyFunSuite with SparkTestBase {
     assert(cMon.committedBatchId == 0L)
     assert(cMon.sketch(spark).get.count() == 0)
   }
+
+  test("round-12 operators on empty inputs") {
+    import spark.implicits._
+    val es = Seq.empty[(String, Long, Long)].toDF("k", "t", "y")
+    assert(TimeSeries.changePoints(es, "k", "t", "y", depth = 2).count() == 0)
+    assert(TimeSeries.theilSen(es, "k", "t", "y").count() == 0)
+    val er = Seq.empty[(Long, Int)].toDF("doc_id", "rank")
+    assert(graft.text.Retrieval.rrfFuse(Seq(er, er), "doc_id", "rank")
+      .count() == 0)
+    val en = Seq.empty[(Long, String)].toDF("id", "name")
+    assert(graft.ml.Blocking.sortedNeighborhood(en, "id", col("name"), 2)
+      .count() == 0)
+    assert(graft.ml.Blocking.multiPass(en, "id",
+      Seq(col("name"), reverse(col("name"))), 2).count() == 0)
+    val ec = Seq.empty[(Long, Long, Array[Float], Double)]
+      .toDF("q", "id", "vec", "rel")
+    assert(Mmr.select(ec, "q", "id", "vec", "rel", k = 3).count() == 0)
+    assert(graft.text.WordPiece.learnMerges(emptyDocs, "text", 2)
+      .count() == 0)
+    assert(graft.text.WordPiece.tokenCounts(emptyDocs, "doc_id", "text", 2)
+      .count() == 0)
+  }
 }
