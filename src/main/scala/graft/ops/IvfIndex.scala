@@ -140,6 +140,41 @@ object IvfIndex {
       .parquet(s"$path/${liveLists(spark, path)}")
   }
 
+  /** Mark stored vectors DELETED without touching the list trees: ids
+    * land in `tombstones/` (plain parquet, append per delete batch) and
+    * every probe anti-joins them out before scoring — the standard
+    * vector-store delete (FAISS `remove_ids` rewrites in place; a
+    * parquet-backed index can't, so it tombstones like every LSM).
+    * [[compact]] folds tombstones into the rewritten tree and clears
+    * them, restoring probe cost. Deleting an id that was never stored —
+    * or twice — is a harmless no-op (anti-join semantics), which is
+    * what makes the tombstone fold idempotent under crash-replay: if
+    * compaction commits the filtered tree but dies before clearing
+    * `tombstones/`, the leftover tombstones re-filter rows that no
+    * longer exist.
+    *
+    * Tombstones are assumed COMPACTION-BOUNDED (a maintenance cadence
+    * clears them); the probe-side anti-join is keyed on neighbor_id and
+    * AQE broadcasts the tombstone side while it is small. An unbounded
+    * delete backlog should compact, not accumulate.
+    */
+  def delete(
+      spark: SparkSession,
+      path: String,
+      ids: DataFrame,
+      idCol: String): Unit =
+    ids.select(col(idCol).as("neighbor_id")).distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** The live tombstone set, empty when none have been written. */
+  private[ops] def tombstones(spark: SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
   /** Resolve the LIVE inverted-list directory name: the highest
     * `lists_v{n}` whose `_SUCCESS` marker exists (a compacted copy
     * becomes visible exactly when Spark's committer drops the marker —
@@ -187,7 +222,16 @@ object IvfIndex {
     // uncommitted leftover (crashed compaction) must never collide with
     // or outrank the copy about to be written.
     val next = s"lists_v${maxVersion(fs0, root0) + 1}"
-    spark.read.parquet(s"$path/$cur")
+    val live = spark.read.parquet(s"$path/$cur")
+    // Fold tombstones into the rewrite: the compacted tree is born
+    // clean, and the tombstone files are cleared only AFTER the tree
+    // commits — a crash in between leaves tombstones re-filtering rows
+    // that no longer exist, which is a no-op (see [[delete]]).
+    val folded = tombstones(spark, path) match {
+      case Some(t) => live.join(t, Seq("neighbor_id"), "left_anti")
+      case None => live
+    }
+    folded
       .repartition(col("list"))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
@@ -196,6 +240,7 @@ object IvfIndex {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/$cur"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
   }
 
   /** Serve one probe batch from the stored artifact. Same output contract
@@ -240,7 +285,15 @@ object IvfIndex {
     val cent = centStored.select(
       safeId.cast(listType).as("__cid"),
       col("centroid").as("__cv"), col("cnorm").as("__cn"))
-    val lists = listsStored.select(col("list").as("__list"),
+    // Tombstoned rows leave the candidate stream BEFORE scoring — keyed
+    // anti-join on neighbor_id, broadcast by AQE while the tombstone set
+    // is compaction-bounded. Placed after the list scan so dynamic
+    // partition pruning on `list` is undisturbed.
+    val listsLive = tombstones(spark, path) match {
+      case Some(t) => listsStored.join(t, Seq("neighbor_id"), "left_anti")
+      case None => listsStored
+    }
+    val lists = listsLive.select(col("list").as("__list"),
       col("neighbor_id"), col("vec").as("__nv"), col("vnorm").as("__nn"))
     Similarity.probeInvertedLists(probes, idCol, vecCol, k, cent, lists, nprobe)
   }

@@ -258,6 +258,33 @@ object SimilarityQueries extends QueryGroup {
       probed
     }),
 
+    // Tombstone deletes on the persisted IVF index: build on the full
+    // corpus, delete every vec_id ≡ 3 (mod 7), probe — the result must
+    // equal a from-scratch build over the surviving corpus, which is
+    // exactly what the oracle computes. Deletes are anti-joined out of
+    // the candidate stream after the DPP-pruned list scan; compact
+    // folds them in and clears the backlog (spec-gated).
+    "q_ann_ivf_delete" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cent = emb.filter(col("embedding").isNotNull)
+        .filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_delete_" +
+        new java.io.File(dir).getName + "_" + s.sparkContext.applicationId
+      graft.ops.IvfIndex.write(path, emb, "vec_id", "embedding", cent)
+      graft.ops.IvfIndex.delete(s, path,
+        emb.filter(pmod(col("vec_id"), lit(7)) === 3).select(col("vec_id")),
+        "vec_id")
+      val probed = graft.ops.IvfIndex.topK(s, path,
+        emb.filter(col("vec_id") < 30),
+        "vec_id", "embedding", k = 3, nprobe = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("int").as("rank"), (round(col("cos"), 4) + lit(0.0)).as("cos"))
+        .localCheckpoint(true) // materialize before the tree is deleted
+      deleteTree(s, path)
+      probed
+    }),
+
     // Semantic dedup clusters: connected components over the embedding
     // near-dup graph (cosine > 0.4) — the modern "keep one per meaning
     // cluster" step, composed from the existing brute pair generator
@@ -660,6 +687,37 @@ object SimilarityQueries extends QueryGroup {
         |  FROM cand)
         |SELECT query_id, neighbor_id, rank, round(cos, 4) + 0.0 AS cos
         |FROM ranked WHERE rank <= 3""".stripMargin,
+    // From-scratch IVF over the SURVIVING corpus (tombstoned ids gone
+    // from the lists; probes unchanged): the delete path must land here.
+    "q_ann_ivf_delete" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+        |assign AS (
+        |  SELECT a.vec_id, a.v, c.cid,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cid ASC) AS r
+        |  FROM e a CROSS JOIN cent c),
+        |lists AS (SELECT cid AS list, vec_id AS neighbor_id, v
+        |  FROM assign WHERE r = 1 AND vec_id % 7 <> 3),
+        |pa AS (
+        |  SELECT a.vec_id AS query_id, a.v AS qv, c.cid,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cid ASC) AS r
+        |  FROM e a CROSS JOIN cent c WHERE a.vec_id < 30),
+        |pl AS (SELECT query_id, qv, cid AS list FROM pa WHERE r <= 3),
+        |cand AS (
+        |  SELECT pl.query_id, l.neighbor_id,
+        |    list_cosine_similarity(pl.qv, l.v) AS cos
+        |  FROM pl JOIN lists l ON pl.list = l.list
+        |  WHERE pl.query_id <> l.neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+        |  FROM cand)
+        |SELECT query_id, neighbor_id, rank, round(cos, 4) + 0.0 AS cos
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+
     // Same pair graph as q_embedding_neardup; min-label reachability CTE
     // equals the engine's star-contraction components.
     "q_embedding_clusters" ->

@@ -136,6 +136,41 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want && got.nonEmpty)
   }
 
+  test("delete: tombstoned ids vanish from probes, equal a from-scratch " +
+      "build over the survivors; compact folds and clears the backlog") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("ivf_delete").toString
+    IvfIndex.write(path, corpus, "vec_id", "embedding", codebook)
+    val doomed = corpus.filter(col("vec_id") % 5 === 2).select("vec_id")
+    IvfIndex.delete(spark, path, doomed, "vec_id")
+    val scratch = Files.createTempDirectory("ivf_delete_scratch").toString
+    IvfIndex.write(scratch, corpus.filter(col("vec_id") % 5 =!= 2),
+      "vec_id", "embedding", codebook)
+    val want = canon(IvfIndex.topK(spark, scratch, probes, "vec_id",
+      "embedding", k = 4, nprobe = 2))
+    val got = canon(IvfIndex.topK(spark, path, probes, "vec_id",
+      "embedding", k = 4, nprobe = 2))
+    assert(got == want && got.nonEmpty)
+    val doomedIds = doomed.as[Long].collect().toSet
+    assert(got.forall(r => !doomedIds.contains(r(1).asInstanceOf[Long])))
+    // Deleting an id twice (or one never stored) is a no-op.
+    IvfIndex.delete(spark, path, doomed, "vec_id")
+    IvfIndex.delete(spark, path, Seq(99999L).toDF("vec_id"), "vec_id")
+    assert(canon(IvfIndex.topK(spark, path, probes, "vec_id",
+      "embedding", k = 4, nprobe = 2)) == want)
+    // Compact folds tombstones into the rewritten tree and clears them:
+    // same probe result, no tombstones/ dir, and the stored lists no
+    // longer contain the doomed ids at all.
+    IvfIndex.compact(spark, path)
+    assert(canon(IvfIndex.topK(spark, path, probes, "vec_id",
+      "embedding", k = 4, nprobe = 2)) == want)
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    val stored = spark.read
+      .parquet(s"$path/${IvfIndex.liveLists(spark, path)}")
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(stored.intersect(doomedIds).isEmpty)
+  }
+
   test("compact restores one file per list with probe parity") {
     val path = Files.createTempDirectory("ivf_compact").toString
     IvfIndex.write(path, corpus.filter(col("vec_id") % 2 === 0),
