@@ -89,6 +89,15 @@ object IvfIndex {
         n == "lists" || (n.matches("lists_v\\d+") && n != next)
       }
       .foreach(p => fs.delete(p, true))
+    // A rebuild is a fresh index: stale tombstones from the previous
+    // generation must not mask ids legitimately present in the new
+    // corpus. Cleared after the tree commit for the same crash-replay
+    // reason as [[compact]] — leftovers re-filter the OLD tree only
+    // until the delete lands, never rows of the committed new one...
+    // except ids shared across generations, which is why this delete
+    // precedes any read of the new tree in a single-writer maintenance
+    // job (the documented deployment shape).
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
   }
 
   /** Highest existing `lists_v{n}` suffix under `root`, committed OR
@@ -114,9 +123,13 @@ object IvfIndex {
     * from-scratch build over old∪delta holds by construction; the spec
     * and `q_ann_ivf_upsert` gate it.
     *
-    * Contract: delta ids must be NEW (this is append, not upsert —
-    * re-appending an existing id duplicates it in its list; dedup
-    * upstream, e.g. [[Dedup.keepFirst]] on id). Growing corpora
+    * Contract: delta ids must be NEW — never currently stored (this is
+    * append, not upsert: re-appending duplicates the id in its list)
+    * and never tombstoned-but-uncompacted (tombstones carry no sequence
+    * numbers, so a re-appended deleted id stays masked at probe time
+    * and the next [[compact]] drops it; to resurrect an id, [[compact]]
+    * first, then append). Dedup upstream, e.g. [[Dedup.keepFirst]] on
+    * id. Growing corpora
     * accumulate small files per touched list — run [[compact]] on the
     * usual compactor cadence to restore one-file-per-list.
     */

@@ -171,6 +171,24 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(stored.intersect(doomedIds).isEmpty)
   }
 
+  test("rebuild clears stale tombstones: a fresh write is a fresh index") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("ivf_rebuild_ts").toString
+    IvfIndex.write(path, corpus, "vec_id", "embedding", codebook)
+    IvfIndex.delete(spark, path,
+      corpus.filter(col("vec_id") % 5 === 2).select("vec_id"), "vec_id")
+    // Rebuild over the FULL corpus: previously deleted ids are
+    // legitimately present again and must not stay masked.
+    IvfIndex.write(path, corpus, "vec_id", "embedding", codebook)
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    val scratch = Files.createTempDirectory("ivf_rebuild_ts_s").toString
+    IvfIndex.write(scratch, corpus, "vec_id", "embedding", codebook)
+    assert(canon(IvfIndex.topK(spark, path, probes, "vec_id",
+      "embedding", k = 4, nprobe = 2)) ==
+      canon(IvfIndex.topK(spark, scratch, probes, "vec_id",
+        "embedding", k = 4, nprobe = 2)))
+  }
+
   test("compact restores one file per list with probe parity") {
     val path = Files.createTempDirectory("ivf_compact").toString
     IvfIndex.write(path, corpus.filter(col("vec_id") % 2 === 0),
