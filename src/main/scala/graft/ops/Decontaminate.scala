@@ -101,4 +101,47 @@ object Decontaminate {
         GraftColumnBridge.expression(xxhash64(keyCol)))))
     }
   }
+
+  /** FUZZY decontamination: flag training documents that are MinHash-LSH
+    * near-duplicates of any eval document, not just exact n-gram sharers —
+    * the companion to [[flagContaminated]] for paraphrased/reformatted
+    * benchmark leakage (eval questions quoted with different whitespace,
+    * translated templates, boilerplate-wrapped copies), which the exact
+    * n-gram test misses once any token inside every shared n-gram changes.
+    *
+    * Per `train` row: `n_eval_neardups` = eval docs whose estimated Jaccard
+    * (signature agreement) reaches `minJaccard`, `max_jaccard` = the
+    * strongest such estimate (0.0 when none), `fuzzy_contaminated`.
+    *
+    * Scale shape: inherits [[Dedup.md5MinHashCandidatesAgainst]]'s banded
+    * bucket join — candidates are generated per (band, bucket), so the
+    * train side never all-pairs against eval; the flag join back to
+    * `train` is id-keyed. The md5 signature family keeps oracle parity;
+    * production volumes can swap in the xxhash64 signatures and reuse the
+    * same thresholding on their candidate pairs.
+    */
+  def flagFuzzy(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      minJaccard: Double = 0.5): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0, 1], got $minJaccard")
+    val hits = Dedup.md5MinHashCandidatesAgainst(
+        batch = eval, corpus = train, idCol, textCol,
+        shingleSize, numHashes, bands)
+      .filter(col("jaccard_est") >= minJaccard)
+      .groupBy(col("id_corpus").as(idCol))
+      .agg(count(lit(1)).as("n_eval_neardups"),
+        max(col("jaccard_est")).as("max_jaccard"))
+    train
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_eval_neardups", coalesce(col("n_eval_neardups"), lit(0L)))
+      .withColumn("max_jaccard", coalesce(col("max_jaccard"), lit(0.0)))
+      .withColumn("fuzzy_contaminated", col("n_eval_neardups") > 0)
+  }
 }

@@ -102,6 +102,23 @@ object DedupQueries extends QueryGroup {
         .select(col("doc_id"), col("n_eval_ngrams"), col("contaminated"))
     }),
 
+    // FUZZY decontamination: train docs that are MinHash-LSH near-dups of
+    // any eval doc (same eval split as q_decontaminate) at estimated
+    // Jaccard >= 0.5 — catches paraphrased/reformatted benchmark leakage
+    // the exact 5-gram test misses. Banded bucket join, never all-pairs;
+    // md5 signature family for oracle parity.
+    "q_fuzzy_decontam" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.ops.Decontaminate.flagFuzzy(
+        train = docs.filter(col("doc_id") % 10 =!= 0),
+        eval = docs.filter(col("doc_id") % 10 === 0),
+        idCol = "doc_id", textCol = "text",
+        shingleSize = 3, numHashes = 16, bands = 8, minJaccard = 0.5)
+        .select(col("doc_id"), col("n_eval_neardups"),
+          round(col("max_jaccard"), 4).as("max_jaccard"),
+          col("fuzzy_contaminated"))
+    }),
+
     // Winnowing fingerprint density (SIGMOD'03 / MOSS): rightmost-min
     // hash per 4-gram window over char 8-grams, encoded into one sortable
     // key so a plain windowed min does the selection.
@@ -597,6 +614,54 @@ object DedupQueries extends QueryGroup {
          |  round(len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0, 4)
          |    AS jaccard_est
          |FROM pairs""".stripMargin,
+    // Same banded MinHash join as q_dedup_incremental with the
+    // eval/train split, thresholded at estimated Jaccard >= 0.5 and
+    // rolled up per train doc; zero-shingle docs fall out of the pair
+    // CTEs on both engines and land as clean rows via the outer join.
+    "q_fuzzy_decontam" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, $shinglesSql AS s FROM documents),
+         |hx AS (
+         |  SELECT doc_id, list_transform(s, x -> md5(x)) AS hexes
+         |  FROM sh WHERE len(s) > 0),
+         |hs AS (
+         |  SELECT doc_id,
+         |    list_transform(hexes, h ->
+         |      CAST(('0x' || substr(h, 1, 15)) AS BIGINT)
+         |        % 288230376151711744) AS h1,
+         |    list_transform(hexes, h ->
+         |      CAST(('0x' || substr(h, 16, 15)) AS BIGINT)
+         |        % 288230376151711744) AS h2
+         |  FROM hx),
+         |sig AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 16),
+         |      s -> list_min(list_transform(range(1, len(h1) + 1),
+         |        i -> h1[i] + s * h2[i]))) AS sig
+         |  FROM hs),
+         |banded AS (
+         |  SELECT doc_id, sig, b,
+         |    array_to_string(list_transform(list_slice(sig, b * 2 + 1, b * 2 + 2),
+         |      v -> CAST(v AS VARCHAR)), ',') AS bucket
+         |  FROM sig, range(0, 8) t(b)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_eval, b2.doc_id AS id_train,
+         |    a.sig AS sa, b2.sig AS sb
+         |  FROM banded a JOIN banded b2 ON a.b = b2.b AND a.bucket = b2.bucket
+         |  WHERE a.doc_id % 10 = 0 AND b2.doc_id % 10 <> 0),
+         |scored AS (
+         |  SELECT id_train,
+         |    len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0 AS j
+         |  FROM pairs),
+         |hits AS (
+         |  SELECT id_train, count(*) AS n, max(j) AS mj
+         |  FROM scored WHERE j >= 0.5 GROUP BY 1)
+         |SELECT d.doc_id, coalesce(h.n, 0) AS n_eval_neardups,
+         |  round(coalesce(h.mj, 0.0), 4) AS max_jaccard,
+         |  coalesce(h.n, 0) > 0 AS fuzzy_contaminated
+         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.id_train
+         |WHERE d.doc_id % 10 <> 0""".stripMargin,
+
     // Exact n-gram-overlap decontamination: the Bloom prefilter on the
     // Spark side is invisible to the result (no false negatives; positives
     // re-checked), so the oracle is the plain distinct-5-gram semi-join.

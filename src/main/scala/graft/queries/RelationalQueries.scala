@@ -589,6 +589,25 @@ object RelationalQueries extends QueryGroup {
       graft.ops.DeltaOfDelta.profile(ev, "event_type", "t", "event_id")
     }),
 
+    // Robust location estimates: 10%-trimmed and winsorized mean order
+    // value per priority — the SUMMARY companions to the outlier
+    // flaggers (a few wild rows can own a plain mean; these cap their
+    // leverage). One exact per-group ranking (total order via the
+    // orderkey tie-break), decimal-exact sums, one divide at the end.
+    "q_trimmed_stats" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"),
+        col("o_orderkey"))
+      graft.ops.RobustStats.trimmedStats(o, Seq("o_orderpriority"),
+          "price", Seq("o_orderkey"), trim = 0.1)
+        .select(col("o_orderpriority"), col("n_rows"), col("trim_k"),
+          col("lo_clamp").cast("double").as("lo_clamp"),
+          col("hi_clamp").cast("double").as("hi_clamp"),
+          round(col("trimmed_mean"), 4).as("trimmed_mean"),
+          round(col("winsor_mean"), 4).as("winsor_mean"))
+    }),
+
     // Robust outliers: median/MAD flagging (complements q_outliers'
     // mean/stddev z-score — MAD ignores the outliers it is hunting, so a
     // few huge values cannot inflate the scale estimate and mask
@@ -1077,6 +1096,30 @@ object RelationalQueries extends QueryGroup {
         |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand""".stripMargin,
+    // Same total order (price, orderkey), same floor(0.1·n) cut, sums
+    // kept DECIMAL until the single final divide; the boundary-rank rows
+    // double as the winsorization clamps on both engines.
+    "q_trimmed_stats" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority AS pri,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS rk,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders),
+        |k AS (SELECT *, CAST(floor(0.1 * n) AS BIGINT) AS tk FROM r)
+        |SELECT pri AS o_orderpriority,
+        |  max(n) AS n_rows, max(tk) AS trim_k,
+        |  CAST(max(CASE WHEN rk = tk + 1 THEN v END) AS DOUBLE) AS lo_clamp,
+        |  CAST(max(CASE WHEN rk = n - tk THEN v END) AS DOUBLE) AS hi_clamp,
+        |  round(CAST(sum(CASE WHEN rk > tk AND rk <= n - tk THEN v END)
+        |      AS DOUBLE) / (max(n) - 2 * max(tk)), 4) AS trimmed_mean,
+        |  round(CAST(sum(CASE WHEN rk > tk AND rk <= n - tk THEN v END)
+        |      + max(tk) * max(CASE WHEN rk = tk + 1 THEN v END)
+        |      + max(tk) * max(CASE WHEN rk = n - tk THEN v END)
+        |      AS DOUBLE) / max(n), 4) AS winsor_mean
+        |FROM k GROUP BY pri""".stripMargin,
+
     "q_mad_outliers" ->
       """WITH med AS (
         |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med

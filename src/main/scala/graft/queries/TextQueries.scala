@@ -618,6 +618,26 @@ object TextQueries extends QueryGroup {
         isTarget = col("source").isin("src0", "src1", "src2", "src3", "src4"),
         buckets = 1024, alpha = 1.0)),
 
+    // DoReMi mixture weights (Xie et al., NeurIPS 2023): the Group-DRO
+    // exponentiated-gradient update over per-source excess losses — the
+    // data-engine half of DoReMi, solving the minimax mixture a measured
+    // per-domain loss table implies. Proxy loss here = integer
+    // bytes-per-token in milli-units; reference = 6.0 bytes/token flat.
+    // One partial-agg'd shuffle to 20 domain rows, 8 driver EG steps with
+    // domain-sorted normalizer folds, round(6) for exp ulps.
+    "q_doremi_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("__tok",
+          greatest(TextFunctions.tokenCount(col("text")), lit(1L)))
+        .withColumn("loss_milli", expr("(1000 * n_chars) div __tok"))
+        .withColumn("ref_milli", lit(6000L))
+      graft.ml.Doremi.mixtureWeights(docs, "source",
+          "loss_milli", "ref_milli", rounds = 8, eta = 0.5, smoothing = 0.05)
+        .select(col("domain"), col("n_docs"),
+          round(col("excess"), 6).as("excess"),
+          round(col("weight"), 6).as("weight"))
+    }),
+
     // Domain-level provenance rollup (CommonCrawl-style): URLs planted
     // deterministically from doc_id (corpus has none), hosts extracted
     // with a shared-syntax regex, grouped by registered domain.
@@ -2067,6 +2087,44 @@ object TextQueries extends QueryGroup {
          |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_feats,
          |  round(list_sum(list(term ORDER BY b)), 4) + 0.0 AS log_weight
          |FROM terms GROUP BY doc_id""".stripMargin,
+
+    // Same integer milli-unit losses, same 8 EG rounds unrolled as
+    // chained CTEs with domain-ORDERED normalizer folds; (1.0 - 0.05)
+    // spelled as the subtraction (NOT 0.95 — different double).
+    "q_doremi_weights" -> {
+      val kSql = "(SELECT count(*) FROM ex)"
+      def zSql(r: String) =
+        s"(SELECT list_sum(list(w * exp(0.5 * excess) ORDER BY domain)) FROM $r)"
+      val rounds = (1 to 8).map { t =>
+        val prev = s"r${t - 1}"
+        s"""r$t AS (
+           |  SELECT domain, n_docs, excess,
+           |    (1.0 - 0.05) * (w * exp(0.5 * excess) / ${zSql(prev)})
+           |      + 0.05 / $kSql AS w
+           |  FROM $prev)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (
+         |  SELECT source,
+         |    greatest(CASE WHEN len(trim(text)) = 0 THEN 0
+         |      ELSE len(string_split_regex(trim(text), '\\s+')) END, 1) AS tok,
+         |    n_chars
+         |  FROM documents WHERE source IS NOT NULL),
+         |pd AS (
+         |  SELECT source AS domain, count(*) AS n_docs,
+         |    sum((1000 * n_chars) // tok) AS loss,
+         |    CAST(6000 * count(*) AS BIGINT) AS ref
+         |  FROM d GROUP BY 1),
+         |ex AS (
+         |  SELECT domain, n_docs,
+         |    greatest(0.0, CAST(loss - ref AS DOUBLE) / (1000.0 * n_docs))
+         |      AS excess
+         |  FROM pd),
+         |r0 AS (SELECT domain, n_docs, excess, 1.0 / $kSql AS w FROM ex),
+         |$rounds
+         |SELECT domain, n_docs, round(excess, 6) AS excess,
+         |  round(w, 6) AS weight
+         |FROM r8""".stripMargin
+    },
 
     // Same planted URLs, same shared-syntax host/domain patterns.
     "q_url_domains" -> {

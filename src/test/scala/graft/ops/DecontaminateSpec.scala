@@ -60,4 +60,46 @@ class DecontaminateSpec extends AnyFunSuite with SparkTestBase {
     assert(Decontaminate.bloomFilterRows(rows, keys.limit(0), col("k"), 50)
       .isEmpty, "empty filter side prunes everything")
   }
+
+  test("flagFuzzy: verbatim eval copy flagged at jaccard 1.0, clean and " +
+      "too-short docs land as clean rows") {
+    val train = df(Seq(
+      10L -> "the quick brown fox jumps over the lazy dog", // = eval doc 1
+      11L -> "zeta omega kappa lambda sigma tau phi psi",   // disjoint vocab
+      12L -> "two words"))                                  // no 3-shingles
+    val got = Decontaminate
+      .flagFuzzy(train, eval, "doc_id", "text", minJaccard = 0.5)
+      .select("doc_id", "n_eval_neardups", "max_jaccard", "fuzzy_contaminated")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toSet
+    assert(got == Set(
+      (10L, 1L, 1.0, true), (11L, 0L, 0.0, false), (12L, 0L, 0.0, false)))
+  }
+
+  test("flagFuzzy: threshold rollup agrees with the raw candidate pairs") {
+    val rng = new scala.util.Random(11)
+    val words = Vector("a", "b", "c", "d", "e")
+    val train = df((1L to 60L).map(i =>
+      i -> Seq.fill(9)(words(rng.nextInt(words.size))).mkString(" ")))
+    val ev = df((900L to 909L).map(i =>
+      i -> Seq.fill(9)(words(rng.nextInt(words.size))).mkString(" ")))
+    val expected = Dedup
+      .md5MinHashCandidatesAgainst(batch = ev, corpus = train,
+        "doc_id", "text", shingleSize = 3, numHashes = 16, bands = 8)
+      .filter(col("jaccard_est") >= 0.5)
+      .groupBy("id_corpus").agg(
+        count(lit(1)).as("n"), max("jaccard_est").as("mj"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val got = Decontaminate
+      .flagFuzzy(train, ev, "doc_id", "text", minJaccard = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(got.length == 60, "every train doc must appear exactly once")
+    got.foreach { case (id, n, mj, flag) =>
+      val (en, emj) = expected.getOrElse(id, (0L, 0.0))
+      assert((n, mj, flag) == ((en, emj, en > 0)), s"doc $id")
+    }
+  }
 }
