@@ -25,14 +25,16 @@ import org.apache.spark.sql.functions._
   * column for exact, order-independent accumulation; the means divide
   * once, at the end, in float64).
   *
-  * Scale shape: one partial-agg'd group-count shuffle, one per-group rank
-  * window (hash-partitioned by group, per-group sort — spillable, the
-  * [[Quantiles.groupBoundsExact]] contract: parallelism is bounded by the
-  * number of groups, so this fits many-medium-groups shapes; for a
-  * FEW-huge-groups shape route the cut points through the tiled
-  * [[Quantiles]] machinery instead), then one partial-agg'd readout. The
-  * clamp values come out of the same final aggregate (max over the
-  * boundary-rank rows) — no second pass over the data.
+  * Scale shape: ONE group-keyed shuffle feeds both windows (the
+  * whole-partition count and the rank share their exchange), per-group
+  * sort — spillable, the [[Quantiles.groupBoundsExact]] contract:
+  * parallelism is bounded by the number of groups, so this fits
+  * many-medium-groups shapes; for a FEW-huge-groups shape route the cut
+  * points through the tiled [[Quantiles]] machinery instead — then one
+  * partial-agg'd readout. The clamp values come out of the same final
+  * aggregate (max over the boundary-rank rows) — no second pass over the
+  * data, and NULL group keys survive as their own group (window
+  * partitioning is null-safe where a count-join-back would drop them).
   */
 object RobustStats {
 
@@ -53,12 +55,15 @@ object RobustStats {
     require(trim >= 0.0 && trim < 0.5,
       s"trim must be in [0, 0.5) (0.5 would empty even groups), got $trim")
     val g = groupCols.map(col)
-    val counts = df.groupBy(g: _*).agg(count(lit(1)).as("__n"))
-    val w = Window.partitionBy(g: _*)
-      .orderBy((col("__v") +: tieCols.map(col)): _*)
+    // Group size via a whole-partition window, NOT a groupBy + join-back:
+    // it shares the rank window's exchange (one shuffle, no broadcast
+    // hop), and window partitioning is null-safe where a join-back would
+    // silently drop rows whose group key is NULL.
+    val pw = Window.partitionBy(g: _*)
+    val w = pw.orderBy((col("__v") +: tieCols.map(col)): _*)
     val ranked = df
       .select((g :+ col(valueCol).as("__v")) ++ tieCols.map(col): _*)
-      .join(counts, groupCols)
+      .withColumn("__n", count(lit(1)).over(pw))
       .withColumn("__k", floor(lit(trim) * col("__n")).cast("long"))
       .withColumn("__rk", row_number().over(w).cast("long"))
     val kept = col("__rk") > col("__k") &&

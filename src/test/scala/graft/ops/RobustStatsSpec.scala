@@ -74,6 +74,19 @@ class RobustStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.count() == 0)
   }
 
+  test("null group keys survive as their own group") {
+    import spark.implicits._
+    val rows = Seq((Some("a"), 1L, 1L), (Some("a"), 3L, 2L),
+      (None, 10L, 3L), (None, 20L, 4L), (None, 60L, 5L))
+      .toDF("grp", "v", "id").repartition(3)
+    val got = RobustStats.trimmedStats(rows, Seq("grp"), "v", Seq("id"), 0.1)
+      .collect()
+      .map(r => Option(r.getString(0)) -> ((r.getLong(1), r.getDouble(5))))
+      .toMap
+    assert(got(Some("a")) == ((2L, 2.0)))
+    assert(got(None) == ((3L, 30.0)))
+  }
+
   test("trim bounds are validated") {
     intercept[IllegalArgumentException] {
       RobustStats.trimmedStats(df(Nil), Seq("grp"), "v", Seq("id"), 0.5)
