@@ -101,6 +101,79 @@ object Quantiles {
     } finally tiled.unpersist()
   }
 
+  /** EXACT WEIGHTED quantiles — the inverted-CDF definition: for each p,
+    * the smallest value whose cumulative weight reaches p·W (W = total
+    * weight). The curation use is token- or byte-weighted corpus stats
+    * ("the median document BY TOKENS is 4k chars long" — very different
+    * from the median document when a few giants hold half the mass),
+    * and importance-weighted calibration cuts.
+    *
+    * Same distributed-rank-selection shape as [[exactQuantiles]], with
+    * COUNTS replaced by WEIGHT SUMS: the column first collapses to one
+    * row per DISTINCT value (partial-agg'd — ties merge their weight, so
+    * the tiled table is bounded by |distinct|), tiles on driver-computed
+    * literal boundaries, per-tile weight totals become global base
+    * offsets, and only the ≤ |probs| tiles holding a target ever run the
+    * cumulative window. Integer weights end to end — the only float is
+    * the p·W target, ceil'd identically by any engine.
+    *
+    * NULL values and non-positive weights are excluded (a zero-weight
+    * row cannot move an inverted CDF; a negative weight has no quantile
+    * meaning). All-excluded input → NaN per prob, like [[exactQuantiles]]
+    * on empty input.
+    */
+  def weightedQuantiles(df: DataFrame, xCol: String, wCol: String,
+      probs: Seq[Double]): Seq[Double] = {
+    import org.apache.spark.sql.expressions.Window
+    require(probs.nonEmpty, "probs must be non-empty")
+    require(probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"probs must be in [0, 1], got $probs")
+    val vals = df
+      .select(col(xCol).cast("double").as("__x"),
+        col(wCol).cast("long").as("__w"))
+      .filter(col("__x").isNotNull && col("__w") > 0)
+      .groupBy("__x").agg(sum(col("__w")).as("__w"))
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val bounds = graft.ml.Eval.tileBoundaries(vals, col("__x"), parts)
+    val tiled = vals.withColumn("__pid",
+      graft.ml.Eval.tilePid(col("__x"), bounds))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sizes = tiled.groupBy("__pid").agg(sum(col("__w")).as("__n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val totalW = sizes.map(_._2).sum
+      if (totalW == 0) return probs.map(_ => Double.NaN)
+      // Target cumulative weights, floored at 1 so p = 0 means "the
+      // smallest value" rather than an empty predicate.
+      val targets = probs.map(p =>
+        math.max(1L, math.ceil(p * totalW).toLong)).distinct
+      val bases = sizes.scanLeft(0L)(_ + _._2).init
+      // Tile holding target T: the last whose exclusive base is < T.
+      val located = targets.map { t =>
+        val i = sizes.indices.findLast(i => bases(i) < t).get
+        (t, sizes(i)._1, bases(i))
+      }
+      val wantedPids = located.map(_._2).distinct
+      val w = Window.partitionBy("__pid").orderBy("__x")
+        .rowsBetween(Window.unboundedPreceding, 0L)
+      val cum = tiled.filter(col("__pid").isin(wantedPids: _*))
+        .withColumn("__cum", sum(col("__w")).over(w))
+      // One aggregate row answers every target: min value in the
+      // target's tile whose global cumulative weight reaches it.
+      val answers = cum.agg(
+        located.head match { case (t, pid, base) =>
+          min(when(col("__pid") === pid && col("__cum") >= t - base,
+            col("__x"))).as("t0") },
+        located.tail.zipWithIndex.map { case ((t, pid, base), i) =>
+          min(when(col("__pid") === pid && col("__cum") >= t - base,
+            col("__x"))).as(s"t${i + 1}") }: _*)
+        .head()
+      val byTarget = located.indices.map(i =>
+        located(i)._1 -> answers.getDouble(i)).toMap
+      probs.map(p => byTarget(math.max(1L, math.ceil(p * totalW).toLong)))
+    } finally tiled.unpersist()
+  }
+
   /** Adds `q_bucket` (0..probs.length): the number of `probs` quantile
     * boundaries strictly below the row's `xCol`.
     *

@@ -110,6 +110,23 @@ object CorpusStatsQueries extends QueryGroup {
     // definition from the ROUGE/BLEU papers, not the set variant —
     // plus the BLEU-2 composite with its brevity penalty. All counts
     // integer; every ratio is one division of exact integers.
+    // Token-WEIGHTED length quantiles (inverted CDF): "the median
+    // document BY TOKEN MASS" — a few giant docs hold a large share of
+    // the training tokens, so the weighted median sits far above the
+    // plain one. Distributed rank selection over the distinct-value
+    // table: per-tile weight sums -> driver base offsets -> cumulative
+    // window in only the target tiles. Integer weights end to end.
+    "q_weighted_quantiles" -> ((s, dir) => {
+      val probs = Seq(0.25, 0.5, 0.75, 0.9)
+      val docs = Tables.documents(s, dir)
+        .withColumn("__w", graft.text.TextFunctions.tokenCount(col("text")))
+      val qs = graft.ops.Quantiles.weightedQuantiles(
+        docs, "n_chars", "__w", probs)
+      import s.implicits._
+      probs.zip(qs).map { case (p, v) => (p, v.toLong) }
+        .toDF("p", "n_chars_at")
+    }),
+
     "q_rouge_bleu" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       def counts(n: Int): DataFrame = docs
@@ -214,6 +231,27 @@ object CorpusStatsQueries extends QueryGroup {
          |  round(slope_raw, 6) AS slope,
          |  round((sy / 1e12 - slope_raw * (sx / 1e12)) / n, 6) AS intercept
          |FROM sl""".stripMargin,
+
+    // Same distinct-value collapse, same greatest(1, ceil(p·W)) targets;
+    // the tiling is invisible to the answer (tile-local cumulatives plus
+    // exclusive bases == one global cumulative window).
+    "q_weighted_quantiles" ->
+      """WITH t AS (
+        |  SELECT n_chars AS x,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS w
+        |  FROM documents),
+        |d AS (SELECT x, CAST(sum(w) AS BIGINT) AS w FROM t
+        |      WHERE w > 0 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM d),
+        |c AS (SELECT x, CAST(sum(w) OVER (ORDER BY x) AS BIGINT) AS cw
+        |      FROM d),
+        |probs(p) AS (VALUES (0.25::DOUBLE), (0.5::DOUBLE),
+        |  (0.75::DOUBLE), (0.9::DOUBLE))
+        |SELECT p, (SELECT min(x) FROM c, tot
+        |  WHERE cw >= greatest(1, CAST(ceiling(p * tw) AS BIGINT)))
+        |  AS n_chars_at
+        |FROM probs""".stripMargin,
 
     "q_rouge_bleu" ->
       s"""WITH u1 AS (

@@ -113,4 +113,60 @@ class QuantilesSpec extends AnyFunSuite with SparkTestBase {
     assert(out.keySet == Set(0, 1, 2, 3))
     out.values.foreach(n => assert(math.abs(n - 2500L) <= 250L))
   }
+
+  test("weighted quantiles: hand-computed inverted CDF with a heavy tail") {
+    import spark.implicits._
+    // values 1..4 with weights 1,1,1,7 (W=10): cum = 1,2,3,10.
+    // p=0.25 -> T=3 -> x=3; p=0.5 -> T=5 -> x=4; p=0.0 -> T=1 -> x=1.
+    val df = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 7L))
+      .toDF("x", "w").repartition(3)
+    val got = Quantiles.weightedQuantiles(df, "x", "w", Seq(0.0, 0.25, 0.5))
+    assert(got == Seq(1.0, 3.0, 4.0))
+  }
+
+  test("weighted quantiles: unit weights reduce to the unweighted " +
+      "inverted CDF, and duplicate values merge their weight") {
+    import spark.implicits._
+    val df = ((1 to 100) ++ (1 to 100)).map(v => (v.toDouble, 1L))
+      .toDF("x", "w").repartition(5)
+    // 200 unit rows over 100 distinct values: T(p) = ceil(200p) reaches
+    // value ceil(T/2) because each value carries merged weight 2.
+    val got = Quantiles.weightedQuantiles(df, "x", "w", Seq(0.5, 0.75, 1.0))
+    assert(got == Seq(50.0, 75.0, 100.0))
+  }
+
+  test("weighted quantiles: zero/negative weights and nulls are inert, " +
+      "all-excluded input is NaN") {
+    import spark.implicits._
+    val df = Seq((Some(1.0), 5L), (Some(2.0), 0L), (Some(9.0), -3L),
+      (None, 100L), (Some(3.0), 5L))
+      .toDF("x", "w").repartition(2)
+    assert(Quantiles.weightedQuantiles(df, "x", "w", Seq(0.5, 1.0))
+      == Seq(1.0, 3.0))
+    val empty = Seq((Some(1.0), 0L)).toDF("x", "w")
+    assert(Quantiles.weightedQuantiles(empty, "x", "w", Seq(0.5))
+      .forall(_.isNaN))
+  }
+
+  test("weighted quantiles are partitioning-invariant") {
+    import spark.implicits._
+    val rows = (1 to 997).map(i => ((i * 37 % 211).toDouble, (i % 13 + 1).toLong))
+    val probs = Seq(0.1, 0.5, 0.9, 0.99)
+    val a = Quantiles.weightedQuantiles(
+      rows.toDF("x", "w").repartition(3), "x", "w", probs)
+    val b = Quantiles.weightedQuantiles(
+      rows.toDF("x", "w").repartition(17), "x", "w", probs)
+    assert(a == b)
+  }
+
+  test("weighted quantiles validate probs") {
+    import spark.implicits._
+    val df = Seq((1.0, 1L)).toDF("x", "w")
+    intercept[IllegalArgumentException] {
+      Quantiles.weightedQuantiles(df, "x", "w", Seq(1.5))
+    }
+    intercept[IllegalArgumentException] {
+      Quantiles.weightedQuantiles(df, "x", "w", Nil)
+    }
+  }
 }
