@@ -63,10 +63,15 @@ object Doremi {
     require(smoothing >= 0.0 && smoothing <= 1.0,
       s"smoothing must be in [0, 1], got $smoothing")
     val spark = docs.sparkSession
-    // NULL domain = no provenance; it cannot be upsampled meaningfully,
-    // so it is excluded rather than smuggled in as a "null" domain.
+    // NULL domain = no provenance; NULL loss/ref = no measurement. Both
+    // are excluded rather than smuggled in: a null loss row would still
+    // raise n_docs while sum() skipped it, silently DILUTING the
+    // domain's excess (and an all-null domain would NPE at collect).
+    // Excess is therefore "over the measured rows"; a domain with no
+    // measured rows gets no weight.
     val perDomain = docs
-      .filter(col(domainCol).isNotNull)
+      .filter(col(domainCol).isNotNull &&
+        col(lossMilliCol).isNotNull && col(refMilliCol).isNotNull)
       .groupBy(col(domainCol).cast("string").as("domain"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(lossMilliCol).cast("long")).as("__loss"),

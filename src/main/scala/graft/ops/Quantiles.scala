@@ -121,6 +121,12 @@ object Quantiles {
     * row cannot move an inverted CDF; a negative weight has no quantile
     * meaning). All-excluded input → NaN per prob, like [[exactQuantiles]]
     * on empty input.
+    *
+    * `wCol` must be an INTEGRAL column — enforced, not coerced: a silent
+    * cast would floor fractional importance weights (0.9 → 0 → row
+    * dropped entirely). Fractional weights should be pre-quantized to a
+    * fixed grid by the caller (milli-units, the [[graft.ml.Doremi]]
+    * convention), which also keeps the cumulative sums exact.
     */
   def weightedQuantiles(df: DataFrame, xCol: String, wCol: String,
       probs: Seq[Double]): Seq[Double] = {
@@ -128,6 +134,13 @@ object Quantiles {
     require(probs.nonEmpty, "probs must be non-empty")
     require(probs.forall(p => p >= 0.0 && p <= 1.0),
       s"probs must be in [0, 1], got $probs")
+    val wType = df.schema(wCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(wType),
+      s"weight column $wCol must be integral (got $wType) — quantize " +
+        "fractional weights to a fixed grid (e.g. milli-units) first")
     val vals = df
       .select(col(xCol).cast("double").as("__x"),
         col(wCol).cast("long").as("__w"))

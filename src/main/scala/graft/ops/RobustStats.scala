@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   *    (ranks k+1 and n−k) instead of dropping them — same breakdown
   *    point, but n stays the denominator so groups keep their weight.
   *
-  * Determinism: ranks order by (value, tie-break columns) — a total
+  * Determinism: NULL values are excluded up front (n, k, ranks, and
+  * sums all derive from the non-null set — engines disagree on where
+  * nulls sort, so letting one consume a rank would shift the cut per
+  * engine); ranks then order by (value, tie-break columns) — a total
   * order, so ties at the trim boundary cut identically on any engine or
   * partitioning. Sums stay in the caller's value type (pass a DECIMAL
   * column for exact, order-independent accumulation; the means divide
@@ -63,6 +66,12 @@ object RobustStats {
     val w = pw.orderBy((col("__v") +: tieCols.map(col)): _*)
     val ranked = df
       .select((g :+ col(valueCol).as("__v")) ++ tieCols.map(col): _*)
+      // NULL values are excluded BEFORE counting/ranking: a null cannot
+      // be averaged, and letting it consume a rank would both shift the
+      // trim cut and (worse) depend on the engine's null sort order
+      // (Spark nulls-first vs DuckDB nulls-last) — the estimators are
+      // over the non-null values, with n/k derived from the same set.
+      .filter(col("__v").isNotNull)
       .withColumn("__n", count(lit(1)).over(pw))
       .withColumn("__k", floor(lit(trim) * col("__n")).cast("long"))
       .withColumn("__rk", row_number().over(w).cast("long"))

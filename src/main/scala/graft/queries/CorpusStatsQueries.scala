@@ -104,12 +104,6 @@ object CorpusStatsQueries extends QueryGroup {
             (col("sx") / lit(1e12))) / col("n"), 6).as("intercept"))
     }),
 
-    // ROUGE-1/2 recall + BLEU-1/2 precision between consecutive doc
-    // pairs (ref = doc_id d, cand = d+1): clipped n-gram overlap
-    // Σ min(c_ref, c_cand) per PAIR — the multiset ("clipped count")
-    // definition from the ROUGE/BLEU papers, not the set variant —
-    // plus the BLEU-2 composite with its brevity penalty. All counts
-    // integer; every ratio is one division of exact integers.
     // Token-WEIGHTED length quantiles (inverted CDF): "the median
     // document BY TOKEN MASS" — a few giant docs hold a large share of
     // the training tokens, so the weighted median sits far above the
@@ -127,6 +121,12 @@ object CorpusStatsQueries extends QueryGroup {
         .toDF("p", "n_chars_at")
     }),
 
+    // ROUGE-1/2 recall + BLEU-1/2 precision between consecutive doc
+    // pairs (ref = doc_id d, cand = d+1): clipped n-gram overlap
+    // Σ min(c_ref, c_cand) per PAIR — the multiset ("clipped count")
+    // definition from the ROUGE/BLEU papers, not the set variant —
+    // plus the BLEU-2 composite with its brevity penalty. All counts
+    // integer; every ratio is one division of exact integers.
     "q_rouge_bleu" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       def counts(n: Int): DataFrame = docs

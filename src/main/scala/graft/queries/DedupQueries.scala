@@ -542,31 +542,7 @@ object DedupQueries extends QueryGroup {
     // h1 + s·h2 over the two 58-bit halves of ONE md5 per shingle; 16
     // min-hashes, 8 bands × 2 rows, raw joined-band join key.
     "q_dedup_minhash_lsh" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id, $shinglesSql AS s FROM documents),
-         |hx AS (
-         |  SELECT doc_id, list_transform(s, x -> md5(x)) AS hexes
-         |  FROM sh WHERE len(s) > 0),
-         |hs AS (
-         |  SELECT doc_id,
-         |    list_transform(hexes, h ->
-         |      CAST(('0x' || substr(h, 1, 15)) AS BIGINT)
-         |        % 288230376151711744) AS h1,
-         |    list_transform(hexes, h ->
-         |      CAST(('0x' || substr(h, 16, 15)) AS BIGINT)
-         |        % 288230376151711744) AS h2
-         |  FROM hx),
-         |sig AS (
-         |  SELECT doc_id,
-         |    list_transform(range(0, 16),
-         |      s -> list_min(list_transform(range(1, len(h1) + 1),
-         |        i -> h1[i] + s * h2[i]))) AS sig
-         |  FROM hs),
-         |banded AS (
-         |  SELECT doc_id, sig, b,
-         |    array_to_string(list_transform(list_slice(sig, b * 2 + 1, b * 2 + 2),
-         |      v -> CAST(v AS VARCHAR)), ',') AS bucket
-         |  FROM sig, range(0, 8) t(b)),
+      s"""WITH $md5SigCtes,
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
          |    a.sig AS sa, b2.sig AS sb
@@ -580,31 +556,7 @@ object DedupQueries extends QueryGroup {
     // to batch×corpus (no self-pairs, no a<b canonicalization — sides are
     // disjoint by construction).
     "q_dedup_incremental" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id, $shinglesSql AS s FROM documents),
-         |hx AS (
-         |  SELECT doc_id, list_transform(s, x -> md5(x)) AS hexes
-         |  FROM sh WHERE len(s) > 0),
-         |hs AS (
-         |  SELECT doc_id,
-         |    list_transform(hexes, h ->
-         |      CAST(('0x' || substr(h, 1, 15)) AS BIGINT)
-         |        % 288230376151711744) AS h1,
-         |    list_transform(hexes, h ->
-         |      CAST(('0x' || substr(h, 16, 15)) AS BIGINT)
-         |        % 288230376151711744) AS h2
-         |  FROM hx),
-         |sig AS (
-         |  SELECT doc_id,
-         |    list_transform(range(0, 16),
-         |      s -> list_min(list_transform(range(1, len(h1) + 1),
-         |        i -> h1[i] + s * h2[i]))) AS sig
-         |  FROM hs),
-         |banded AS (
-         |  SELECT doc_id, sig, b,
-         |    array_to_string(list_transform(list_slice(sig, b * 2 + 1, b * 2 + 2),
-         |      v -> CAST(v AS VARCHAR)), ',') AS bucket
-         |  FROM sig, range(0, 8) t(b)),
+      s"""WITH $md5SigCtes,
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS id_batch, b2.doc_id AS id_corpus,
          |    a.sig AS sa, b2.sig AS sb
@@ -619,31 +571,7 @@ object DedupQueries extends QueryGroup {
     // rolled up per train doc; zero-shingle docs fall out of the pair
     // CTEs on both engines and land as clean rows via the outer join.
     "q_fuzzy_decontam" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id, $shinglesSql AS s FROM documents),
-         |hx AS (
-         |  SELECT doc_id, list_transform(s, x -> md5(x)) AS hexes
-         |  FROM sh WHERE len(s) > 0),
-         |hs AS (
-         |  SELECT doc_id,
-         |    list_transform(hexes, h ->
-         |      CAST(('0x' || substr(h, 1, 15)) AS BIGINT)
-         |        % 288230376151711744) AS h1,
-         |    list_transform(hexes, h ->
-         |      CAST(('0x' || substr(h, 16, 15)) AS BIGINT)
-         |        % 288230376151711744) AS h2
-         |  FROM hx),
-         |sig AS (
-         |  SELECT doc_id,
-         |    list_transform(range(0, 16),
-         |      s -> list_min(list_transform(range(1, len(h1) + 1),
-         |        i -> h1[i] + s * h2[i]))) AS sig
-         |  FROM hs),
-         |banded AS (
-         |  SELECT doc_id, sig, b,
-         |    array_to_string(list_transform(list_slice(sig, b * 2 + 1, b * 2 + 2),
-         |      v -> CAST(v AS VARCHAR)), ',') AS bucket
-         |  FROM sig, range(0, 8) t(b)),
+      s"""WITH $md5SigCtes,
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS id_eval, b2.doc_id AS id_train,
          |    a.sig AS sa, b2.sig AS sb
@@ -729,34 +657,43 @@ object DedupQueries extends QueryGroup {
          |    / CAST(count(*) AS DOUBLE), 4) AS dup_frac
          |FROM sh JOIN dfreq USING (sh) GROUP BY doc_id""".stripMargin)
 
+  /** ONE definition of the md5-MinHash signature chain (sh → banded):
+    * the Kirsch–Mitzenmacher family h1 + s·h2 over the two 58-bit md5
+    * halves, 16 min-hashes, 8 bands × 2 rows. Shared by every
+    * banded-join oracle in this group so the signature arithmetic
+    * cannot silently diverge between them.
+    */
+  private lazy val md5SigCtes: String =
+    s"""sh AS (
+       |  SELECT doc_id, $shinglesSql AS s FROM documents),
+       |hx AS (
+       |  SELECT doc_id, list_transform(s, x -> md5(x)) AS hexes
+       |  FROM sh WHERE len(s) > 0),
+       |hs AS (
+       |  SELECT doc_id,
+       |    list_transform(hexes, h ->
+       |      CAST(('0x' || substr(h, 1, 15)) AS BIGINT)
+       |        % 288230376151711744) AS h1,
+       |    list_transform(hexes, h ->
+       |      CAST(('0x' || substr(h, 16, 15)) AS BIGINT)
+       |        % 288230376151711744) AS h2
+       |  FROM hx),
+       |sig AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 16),
+       |      s -> list_min(list_transform(range(1, len(h1) + 1),
+       |        i -> h1[i] + s * h2[i]))) AS sig
+       |  FROM hs),
+       |banded AS (
+       |  SELECT doc_id, sig, b,
+       |    array_to_string(list_transform(list_slice(sig, b * 2 + 1, b * 2 + 2),
+       |      v -> CAST(v AS VARCHAR)), ',') AS bucket
+       |  FROM sig, range(0, 8) t(b))""".stripMargin
+
   /** The q_dedup_minhash_lsh pair body, shared by the cluster oracles. */
   private lazy val minhashPairsSql: String =
-        s"""WITH sh AS (
-           |  SELECT doc_id, $shinglesSql AS s FROM documents),
-           |hx AS (
-           |  SELECT doc_id, list_transform(s, x -> md5(x)) AS hexes
-           |  FROM sh WHERE len(s) > 0),
-           |hs AS (
-           |  SELECT doc_id,
-           |    list_transform(hexes, h ->
-           |      CAST(('0x' || substr(h, 1, 15)) AS BIGINT)
-           |        % 288230376151711744) AS h1,
-           |    list_transform(hexes, h ->
-           |      CAST(('0x' || substr(h, 16, 15)) AS BIGINT)
-           |        % 288230376151711744) AS h2
-           |  FROM hx),
-           |sig AS (
-           |  SELECT doc_id,
-           |    list_transform(range(0, 16),
-           |      s -> list_min(list_transform(range(1, len(h1) + 1),
-           |        i -> h1[i] + s * h2[i]))) AS sig
-           |  FROM hs),
-           |banded AS (
-           |  SELECT doc_id, sig, b,
-           |    array_to_string(list_transform(list_slice(sig, b * 2 + 1, b * 2 + 2),
-           |      v -> CAST(v AS VARCHAR)), ',') AS bucket
-           |  FROM sig, range(0, 8) t(b))
-           |SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
-           |FROM banded a JOIN banded b2 ON a.b = b2.b AND a.bucket = b2.bucket
-           |WHERE a.doc_id < b2.doc_id""".stripMargin
+    s"""WITH $md5SigCtes
+       |SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+       |FROM banded a JOIN banded b2 ON a.b = b2.b AND a.bucket = b2.bucket
+       |WHERE a.doc_id < b2.doc_id""".stripMargin
 }

@@ -66,6 +66,21 @@ class DoremiSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set("a", "b"))
   }
 
+  test("null losses are unmeasured rows, not diluted into the domain") {
+    import spark.implicits._
+    // With the null row counted, excess would be (4000-2000)/(1000*2)=1.0;
+    // over the measured row alone it is (4000-1000)/1000 = 3.0.
+    val rows = Seq(("a", Some(4000L), Some(1000L)),
+      ("a", None, Some(1000L)), ("b", Some(500L), None),
+      ("b", Some(2000L), Some(2000L)))
+      .toDF("dom", "loss_milli", "ref_milli")
+    val got = Doremi.mixtureWeights(rows, "dom", "loss_milli", "ref_milli")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got("a") == ((1L, 3.0)))
+    assert(got("b") == ((1L, 0.0)))
+  }
+
   test("empty input yields an empty frame with the output schema") {
     val out = Doremi.mixtureWeights(df(Nil), "dom", "loss_milli", "ref_milli")
     assert(out.columns.toSeq == Seq("domain", "n_docs", "excess", "weight"))

@@ -87,6 +87,20 @@ class RobustStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(None) == ((3L, 30.0)))
   }
 
+  test("null VALUES are excluded before counting and ranking") {
+    import spark.implicits._
+    // With the null counted, n=4/k=1 would trim a real value on one
+    // engine and the null on another (null sort order differs); the
+    // estimators are over the non-null set: n=3, k=0, mean 2.0.
+    val rows = Seq(("a", Some(1L), 1L), ("a", Some(2L), 2L),
+      ("a", Some(3L), 3L), ("a", None, 4L))
+      .toDF("grp", "v", "id").repartition(3)
+    val got = RobustStats.trimmedStats(rows, Seq("grp"), "v", Seq("id"), 0.25)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(5),
+        r.getDouble(6))).head
+    assert(got == ((3L, 0L, 2.0, 2.0)))
+  }
+
   test("trim bounds are validated") {
     intercept[IllegalArgumentException] {
       RobustStats.trimmedStats(df(Nil), Seq("grp"), "v", Seq("id"), 0.5)
