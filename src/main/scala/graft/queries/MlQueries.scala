@@ -142,6 +142,23 @@ object MlQueries extends QueryGroup {
           (round(col("cos"), 4) + lit(0.0)).as("cos"))
     }),
 
+    // NDCG@10 + MRR@10 per query — the ranking-eval layer for the
+    // retrieval stack (BM25 / ANN / RRF): each source is a "query" whose
+    // run ranks its docs by length, with graded relevance planted from
+    // doc_id (0..3). Run prunes to rank<=10 first, labels join keyed,
+    // ideal ordering is a per-query window over that query's own labels.
+    "q_ndcg_mrr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id").asc)
+      val runs = docs.select(col("source"), col("doc_id"),
+        row_number().over(w).cast("long").as("rank"))
+      val labels = docs.select(col("source"), col("doc_id"),
+        pmod(col("doc_id"), lit(4)).as("rel"))
+      graft.ml.Ranking.ndcgMrrAtK(runs, labels,
+        "source", "doc_id", "rank", "rel", k = 10)
+    }),
+
     // Exact tie-aware AUC (Mann–Whitney) of document length as a
     // predictor of a planted source split — integer sufficient statistics
     // (p, n, auc_num_x2), AUC = auc_num_x2 / 2pn.
@@ -655,6 +672,44 @@ object MlQueries extends QueryGroup {
 
     // Same group-then-window formulation: per distinct score (cp, cn),
     // cumulative negatives below, tie-aware numerator — all BIGINT.
+    // Same graded-gain DCG (Järvelin–Kekäläinen), same total-order ideal
+    // ranking, round(6) on dcg/idcg BEFORE the ndcg divide on both
+    // engines (log2 ulps; <= 10-term sums sit far under the grid).
+    "q_ndcg_mrr" ->
+      """WITH runs AS (
+        |  SELECT source AS q, doc_id AS d,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |  FROM documents),
+        |r10 AS (SELECT q, d, rk FROM runs WHERE rk <= 10),
+        |lab AS (SELECT source AS q, doc_id AS d, doc_id % 4 AS rel
+        |        FROM documents),
+        |g AS (
+        |  SELECT r10.q, r10.rk, coalesce(lab.rel, 0) AS rel,
+        |    (power(2, coalesce(lab.rel, 0)) - 1) / log2(rk + 1) AS term
+        |  FROM r10 LEFT JOIN lab ON r10.q = lab.q AND r10.d = lab.d),
+        |dcg AS (
+        |  SELECT q, count(*) AS n_ranked,
+        |    CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_rel,
+        |    round(sum(term), 6) AS dcg,
+        |    round(max(CASE WHEN rel > 0 THEN 1.0 / rk END), 6) AS mrr0
+        |  FROM g GROUP BY q),
+        |il AS (
+        |  SELECT q, rel, row_number() OVER (PARTITION BY q
+        |    ORDER BY rel DESC, d ASC) AS irk
+        |  FROM lab WHERE rel > 0),
+        |idcg AS (
+        |  SELECT q, round(sum((power(2, rel) - 1) / log2(irk + 1)), 6)
+        |    AS idcg
+        |  FROM il WHERE irk <= 10 GROUP BY q)
+        |SELECT dcg.q AS query_id, n_ranked, n_rel, dcg,
+        |  coalesce(idcg, 0.0) AS idcg,
+        |  CASE WHEN coalesce(idcg, 0.0) > 0
+        |    THEN round(dcg / idcg, 6) ELSE 0.0 END AS ndcg,
+        |  coalesce(mrr0, 0.0) AS mrr
+        |FROM dcg LEFT JOIN idcg ON dcg.q = idcg.q""".stripMargin,
+
     "q_classifier_auc" ->
       """WITH t AS (
         |  SELECT n_chars AS s,
