@@ -296,6 +296,23 @@ object SimilarityQueries extends QueryGroup {
       graft.ops.Dedup.connectedComponents(pairs, "id_a", "id_b")
     }),
 
+    // DBSCAN density clusters (KDD'96) over the cosine eps-neighbor
+    // graph: cores by degree, clusters = components of the core-core
+    // subgraph, borders attach to the MIN core-neighbor cluster
+    // (deterministic where the paper's scan is order-dependent), the
+    // rest is NOISE — the density companion to q_kmeans/q_semdedup.
+    // Brute pairs here are the oracle-exact stand-in for the LSH/IVF
+    // candidate generators (the q_embedding_clusters contract).
+    "q_dbscan" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).filter(col("embedding").isNotNull)
+      val pairs = graft.ops.Dedup.embeddingNearDupBrute(
+        emb, "vec_id", "embedding", 0.3)
+      graft.ml.Dbscan.cluster(emb, pairs, "vec_id", "id_a", "id_b",
+          minPts = 4)
+        .select(col("id"), col("role"),
+          coalesce(col("cluster"), lit(-1L)).cast("long").as("cluster"))
+    }),
+
     // Per-label centroid (avg pooling) — the IVF coarse-quantizer /
     // class-prototype step. Relational shape: posexplode to (label, pos)
     // keys, partial-agg'd average per dimension — the shuffle carries
@@ -737,6 +754,43 @@ object SimilarityQueries extends QueryGroup {
         |  SELECT s.v, w.comp FROM walk w JOIN sym s ON s.u = w.id)
         |SELECT id, CAST(min(comp) AS BIGINT) AS component
         |FROM walk GROUP BY id""".stripMargin,
+    // Same eps graph at 0.3; cores by degree+1, min-label walk over
+    // core-core edges only (isolated cores seed themselves), borders
+    // take the min core-neighbor cluster.
+    "q_dbscan" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |pr AS (
+        |  SELECT a.vec_id AS ua, b.vec_id AS ub
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) > 0.3),
+        |sym AS (SELECT ua AS u, ub AS w FROM pr
+        |        UNION ALL SELECT ub, ua FROM pr),
+        |deg AS (SELECT u, count(*) AS n FROM sym GROUP BY 1),
+        |cores AS (SELECT u AS c FROM deg WHERE n + 1 >= 4),
+        |ce AS (SELECT u, w FROM sym
+        |       WHERE u IN (SELECT c FROM cores)
+        |         AND w IN (SELECT c FROM cores)),
+        |walk(id, comp) AS (
+        |  SELECT c, c FROM cores
+        |  UNION
+        |  SELECT s.w, wk.comp FROM walk wk JOIN ce s ON s.u = wk.id),
+        |cc AS (SELECT id, CAST(min(comp) AS BIGINT) AS cluster
+        |       FROM walk GROUP BY id),
+        |border AS (
+        |  SELECT s.u AS id, CAST(min(cc.cluster) AS BIGINT) AS cluster
+        |  FROM sym s JOIN cc ON s.w = cc.id
+        |  WHERE s.u NOT IN (SELECT c FROM cores)
+        |  GROUP BY 1)
+        |SELECT e.vec_id AS id,
+        |  CASE WHEN cc.cluster IS NOT NULL THEN 'core'
+        |       WHEN border.cluster IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS role,
+        |  CAST(coalesce(cc.cluster, border.cluster, -1) AS BIGINT) AS cluster
+        |FROM e LEFT JOIN cc ON e.vec_id = cc.id
+        |LEFT JOIN border ON e.vec_id = border.id""".stripMargin,
+
     "q_embedding_centroid" ->
       """WITH e AS (
         |  SELECT label, unnest(embedding) AS x,
