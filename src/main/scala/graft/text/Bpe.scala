@@ -100,8 +100,14 @@ object Bpe {
     require(rounds >= 1, "need at least one round")
     val vocab = wordTable(docs, textCol)
 
+    // Lazily checkpointed per round (the WordPiece.run rationale): every
+    // round's argmax frame and the final symbol table re-evaluate the
+    // chain, so without truncation the corpus explode+groupBy behind
+    // wordTable re-runs O(rounds²) times; the table is
+    // distinct-word-sized, so block storage beats the recompute.
     var symbols = vocab.select(col("__w"), col("__wcnt"),
       init(col("__w")).as("__s"))
+      .localCheckpoint(false)
     val merges = (1 to rounds).map { r =>
       val pairs = symbols
         .select(col("__wcnt"),
@@ -127,6 +133,7 @@ object Bpe {
           when(col("__ma").isNotNull,
             applyMerge(col("__s"), col("__ma"), col("__mb")))
             .otherwise(col("__s")).as("__s"))
+        .localCheckpoint(false)
       top.select(lit(r).as("round"), col("left"), col("right"),
         concat(col("left"), col("right")).as("merged"), col("pair_count"))
     }

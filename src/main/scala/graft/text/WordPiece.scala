@@ -37,8 +37,17 @@ object WordPiece {
   private def run(docs: DataFrame, textCol: String,
       rounds: Int): (Seq[DataFrame], DataFrame) = {
     require(rounds >= 1, "need at least one round")
+    // Lazily checkpointed per round: each round reads `symbols` TWICE
+    // (symbol counts + pair counts) and every round's argmax frame
+    // re-evaluates the chain, so without truncation the corpus
+    // explode+groupBy behind wordTable re-runs O(rounds²) times. The
+    // table is distinct-word-sized — block storage is far cheaper than
+    // the recompute here (measured 2.5 s → 1.1 s at sf0.1, rounds=3;
+    // contrast the PageRank negative result in BASELINE.md, where the
+    // per-round state was edge-sized and recompute won).
     var symbols = Bpe.wordTable(docs, textCol)
       .select(col("__w"), col("__wcnt"), Bpe.chars(col("__w")).as("__s"))
+      .localCheckpoint(false)
     val merges = (1 to rounds).map { r =>
       val symCounts = symbols
         .select(col("__wcnt"), explode(col("__s")).as("__sym"))
@@ -71,6 +80,7 @@ object WordPiece {
           when(col("__ma").isNotNull,
             Bpe.applyMerge(col("__s"), col("__ma"), col("__mb")))
             .otherwise(col("__s")).as("__s"))
+        .localCheckpoint(false)
       top.select(lit(r).as("round"), col("left"), col("right"),
         concat(col("left"), col("right")).as("merged"),
         col("pair_count"), col("left_count"), col("right_count"))
