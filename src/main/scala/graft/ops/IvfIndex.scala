@@ -91,13 +91,19 @@ object IvfIndex {
       .foreach(p => fs.delete(p, true))
     // A rebuild is a fresh index: stale tombstones from the previous
     // generation must not mask ids legitimately present in the new
-    // corpus. Cleared after the tree commit for the same crash-replay
-    // reason as [[compact]] — leftovers re-filter the OLD tree only
-    // until the delete lands, never rows of the committed new one...
-    // except ids shared across generations, which is why this delete
-    // precedes any read of the new tree in a single-writer maintenance
-    // job (the documented deployment shape).
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    // corpus. Tombstone dirs are KEYED TO THEIR LIST TREE
+    // (`tombstones_lists_v{n}` — see [[delete]]), so readers of the
+    // committed new tree never consult the old generation's masks even
+    // if this cleanup never runs; the deletes below are garbage
+    // collection, not correctness. (The legacy unversioned `tombstones`
+    // dir is cleared too — pre-migration indexes keep the old
+    // single-writer caveat until their first rebuild.)
+    fs.listStatus(root).toSeq.map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n == "tombstones" || n.startsWith("tombstones_")
+      }
+      .foreach(p => fs.delete(p, true))
   }
 
   /** Highest existing `lists_v{n}` suffix under `root`, committed OR
@@ -132,6 +138,15 @@ object IvfIndex {
     * id. Growing corpora
     * accumulate small files per touched list — run [[compact]] on the
     * usual compactor cadence to restore one-file-per-list.
+    *
+    * Crash caveat (append only): unlike [[write]]/[[compact]], an append
+    * lands files directly in the LIVE tree with no version swap, so a
+    * crash mid-append leaves a torn delta (some lists updated, some not)
+    * visible to readers — and re-running the append would duplicate the
+    * rows that did land. Recovery for a torn append is delete-the-delta-
+    * ids (tombstones mask the partial rows) then re-append after a
+    * [[compact]]; a deployment needing atomic deltas should batch them
+    * through [[compact]]'s versioned path instead.
     */
   def append(
       spark: SparkSession,
@@ -154,7 +169,8 @@ object IvfIndex {
   }
 
   /** Mark stored vectors DELETED without touching the list trees: ids
-    * land in `tombstones/` (plain parquet, append per delete batch) and
+    * land in `tombstones_{live tree}/` (plain parquet, append per
+    * delete batch, keyed to the tree they mask — see below) and
     * every probe anti-joins them out before scoring — the standard
     * vector-store delete (FAISS `remove_ids` rewrites in place; a
     * parquet-backed index can't, so it tombstones like every LSM).
@@ -176,16 +192,32 @@ object IvfIndex {
       path: String,
       ids: DataFrame,
       idCol: String): Unit =
+    // Keyed to the tree the ids were deleted FROM: a later rebuild's
+    // readers resolve a different tree name and therefore never see
+    // this generation's masks, closing the stale-tombstone window a
+    // flat `tombstones/` dir left open between a rebuild's tree commit
+    // and its cleanup (an id shared across generations would have
+    // stayed masked in the NEW index until the cleanup landed).
     ids.select(col(idCol).as("neighbor_id")).distinct()
       .coalesce(1)
-      .write.mode("append").parquet(s"$path/tombstones")
+      .write.mode("append")
+      .parquet(s"$path/tombstones_${liveLists(spark, path)}")
 
-  /** The live tombstone set, empty when none have been written. */
+  /** The live tombstone set — the dirs keyed to the LIVE list tree plus
+    * the legacy unversioned `tombstones/` (pre-migration indexes);
+    * empty when none have been written.
+    */
   private[ops] def tombstones(spark: SparkSession,
       path: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = liveLists(spark, path)
+    val existing = Seq(s"$path/tombstones_$live", s"$path/tombstones")
+      .filter { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(conf).exists(p)
+      }
+    if (existing.isEmpty) None
+    else Some(existing.map(spark.read.parquet(_)).reduce(_ unionByName _))
   }
 
   /** Resolve the LIVE inverted-list directory name: the highest
@@ -253,6 +285,10 @@ object IvfIndex {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/$cur"), true)
+    // The folded generation's masks (version-keyed + legacy) — readers
+    // of the committed new tree never consult either, so like write()'s
+    // cleanup this is garbage collection, not correctness.
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones_$cur"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
   }
 

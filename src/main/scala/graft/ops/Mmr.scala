@@ -55,6 +55,7 @@ object Mmr {
       .localCheckpoint(false)
     val wFirst = Window.partitionBy("__q")
       .orderBy(col("__rel").desc, col("__id").asc)
+    val superseded = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var selected = base
       .withColumn("__r", row_number().over(wFirst)).filter(col("__r") === 1)
       .select(col("__q"), col("__id"), col("__v"), lit(1).as("pick"),
@@ -78,9 +79,23 @@ object Mmr {
             col("__maxsim") * (lambdaDen - lambdaNum)).as("score_micro"))
       // ≤ queries × i rows, but the plan references all earlier steps —
       // truncate per round or the final plan grows geometrically in k.
+      superseded += selected
       selected = selected.unionByName(next).localCheckpoint(false)
     }
-    selected.select(col("__q").as(queryCol), col("__id").as(idCol),
+    // Eager finalize + explicit release (the Checkpoints contract): one
+    // action materializes the whole chain, after which the superseded
+    // per-step unions AND the pool-sized `base` are provably dead — the
+    // returned frame reads only the final checkpoint's blocks. Without
+    // this, every select() call pins its candidate pool plus k step
+    // frames until the GC-driven ContextCleaner notices — the long-
+    // session leak class Checkpoints.scala documents. The k step frames
+    // are tiny; `base` is the pool and is the pin that matters.
+    val out = selected.select(col("__q").as(queryCol), col("__id").as(idCol),
       col("pick"), col("score_micro"))
+      .localCheckpoint(true)
+    superseded.foreach(Checkpoints.release)
+    Checkpoints.release(selected) // no-op for k = 1 (not RDD-rooted)
+    Checkpoints.release(base)
+    out
   }
 }

@@ -38,6 +38,12 @@ object Ordinals {
     // and the broadcast offsets mis-key, silently shifting ordinals).
     // Truncating makes the sampled layout physical: every branch reads
     // the same materialized blocks, so __pid is computed exactly once.
+    // Lifecycle: the pin is input-sized and lives until the GC-driven
+    // ContextCleaner — it CANNOT be released here because the returned
+    // lazy frame reads it, and truncated lineage cannot recompute. A
+    // long-lived session hammering assign() should action the result
+    // and Checkpoints.release the blocks itself, or cycle the session
+    // (the bench clears blocks between queries for exactly this).
     val ranged = df.repartitionByRange(n, orderCols: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(false)

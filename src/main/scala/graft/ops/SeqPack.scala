@@ -41,6 +41,9 @@ object SeqPack {
     // sampling can differ between instantiations (the round-10
     // partition-id-tiling failure mode — see ops/Ordinals). Truncation
     // makes the sampled layout physical so __pid is computed once.
+    // Lifecycle: input-sized pin until the ContextCleaner — not
+    // releasable here since the returned lazy frame reads it (see the
+    // ops/Ordinals note for the long-session discipline).
     val ranged = base.repartitionByRange(parts, col("doc_id"))
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(false)

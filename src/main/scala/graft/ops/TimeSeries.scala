@@ -440,10 +440,25 @@ object TimeSeries {
       valueCol: String, depth: Int = 2, minSeg: Int = 2): DataFrame = {
     require(depth >= 1 && depth <= 6, s"depth 1..6, got $depth")
     require(minSeg >= 1, s"minSeg must be >= 1, got $minSeg")
+    // Enforced, not coerced: a silent cast("long") on a fractional
+    // series (e.g. a per-day average shifting 0.4 → 0.9) would truncate
+    // every value and report "no change point" with no error. Fractional
+    // series pre-quantize to a fixed integer grid (the milli-unit
+    // convention), which is also what keeps the deviation arithmetic
+    // exact.
+    val yType = df.schema(valueCol).dataType
+    require(Seq[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(yType),
+      s"value column $valueCol must be integral (got $yType) — quantize " +
+        "fractional series to a fixed grid (e.g. milli-units) first")
     var cur = df.select(col(keyCol), col(timeCol),
       col(valueCol).cast("long").as("__y"))
       .withColumn("__seg", lit(0L))
     var cps: DataFrame = null
+    val pinned = scala.collection.mutable.ListBuffer.empty[DataFrame]
     for (d <- 1 to depth) {
       val wOrd = Window.partitionBy(col(keyCol), col("__seg"))
         .orderBy(col(timeCol))
@@ -471,6 +486,7 @@ object TimeSeries {
         .select(col(keyCol), col("__seg"), col(timeCol).as("__cp_t"),
           col("__dev").as("dev"), lit(d).as("depth"))
         .localCheckpoint(false)
+      pinned += best
       cps = if (cps == null) best else cps.unionByName(best)
       if (d < depth) {
         // Children get 2·seg / 2·seg+1 — unique across depths.
@@ -482,10 +498,20 @@ object TimeSeries {
               col("__seg") * 2 + 1).otherwise(col("__seg") * 2))
           .drop("__cp_t")
           .localCheckpoint(false)
+        pinned += cur
       }
     }
-    cps.select(col(keyCol), col("depth"), col("__cp_t").as(timeCol),
-      col("dev"))
+    // Eager finalize + explicit release (the Checkpoints contract, as in
+    // Mmr.select): one action materializes the chain; the per-depth cur
+    // frames (input-sized!) and best frames are then provably dead — the
+    // returned frame reads only its own blocks. Without this every call
+    // pinned depth re-segmented copies of the series table until the
+    // GC-driven ContextCleaner ran.
+    val out = cps.select(col(keyCol), col("depth"),
+      col("__cp_t").as(timeCol), col("dev"))
+      .localCheckpoint(true)
+    pinned.foreach(Checkpoints.release)
+    out
   }
 
   /** Theil–Sen robust trend per series: slope = median of all pairwise

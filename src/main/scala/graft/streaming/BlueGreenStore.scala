@@ -56,15 +56,28 @@ private[streaming] final class BlueGreenStore(rootDir: String) {
     val monitor = BlueGreenStore.monitors.computeIfAbsent(
       monitorKey, _ => new Object)
     monitor.synchronized {
-      Files.createDirectories(Paths.get(rootDir))
-      val ch = java.nio.channels.FileChannel.open(
-        Paths.get(rootDir, "_writer.lock"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      try {
-        val lock = ch.lock()
-        try f finally lock.release()
-      } finally ch.close()
+      // Reentrant: the monitor already is (synchronized), but a nested
+      // withWriteLock on the same store from the HOLDING thread (a
+      // backfill loop wrapping mergeBatch calls, each of which takes the
+      // lock itself) would hit a second same-JVM FileChannel.lock, which
+      // THROWS OverlappingFileLockException rather than blocking. A
+      // thread that already holds this key's lock just runs `f`.
+      if (BlueGreenStore.heldKeys.get.contains(monitorKey)) f
+      else {
+        Files.createDirectories(Paths.get(rootDir))
+        val ch = java.nio.channels.FileChannel.open(
+          Paths.get(rootDir, "_writer.lock"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val lock = ch.lock()
+          BlueGreenStore.heldKeys.get.add(monitorKey)
+          try f finally {
+            BlueGreenStore.heldKeys.get.remove(monitorKey)
+            lock.release()
+          }
+        } finally ch.close()
+      }
     }
   }
 
@@ -119,4 +132,8 @@ private[streaming] object BlueGreenStore {
   // so in-process mutual exclusion needs this layer in front.
   private val monitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // Canonical roots whose write lock the CURRENT THREAD already holds —
+  // the reentrancy ledger for nested withWriteLock calls (see there).
+  private val heldKeys: ThreadLocal[scala.collection.mutable.Set[String]] =
+    ThreadLocal.withInitial(() => scala.collection.mutable.Set.empty[String])
 }

@@ -135,7 +135,14 @@ object WordPiece {
     // theta-join a substring-match predicate would plan. Single corpus
     // chars are always in the vocabulary, so every position matches (no
     // UNK within the corpus).
-    val lens = (1 to math.min(1 << rounds, cap)).toArray
+    // 1L shift with a clamp: `1 << rounds` is an Int shift (mod 32), so
+    // rounds >= 31 would wrap to a negative/tiny bound and silently
+    // empty or cripple the match table. Past 2^rounds >= cap the cap is
+    // the binding bound anyway.
+    val maxPiece =
+      if (rounds >= 31) cap
+      else math.min(1L << rounds, cap.toLong).toInt
+    val lens = (1 to maxPiece).toArray
     val lm = words
       .select(col("__w"),
         explode(sequence(lit(1), length(col("__w")))).as("__i"))

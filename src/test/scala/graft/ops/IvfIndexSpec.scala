@@ -164,7 +164,8 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     IvfIndex.compact(spark, path)
     assert(canon(IvfIndex.topK(spark, path, probes, "vec_id",
       "embedding", k = 4, nprobe = 2)) == want)
-    assert(!new java.io.File(s"$path/tombstones").exists())
+    assert(!new java.io.File(path).listFiles()
+      .exists(_.getName.startsWith("tombstones")))
     val stored = spark.read
       .parquet(s"$path/${IvfIndex.liveLists(spark, path)}")
       .select("neighbor_id").as[Long].collect().toSet
@@ -180,8 +181,32 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     // Rebuild over the FULL corpus: previously deleted ids are
     // legitimately present again and must not stay masked.
     IvfIndex.write(path, corpus, "vec_id", "embedding", codebook)
-    assert(!new java.io.File(s"$path/tombstones").exists())
+    assert(!new java.io.File(path).listFiles()
+      .exists(_.getName.startsWith("tombstones")))
     val scratch = Files.createTempDirectory("ivf_rebuild_ts_s").toString
+    IvfIndex.write(scratch, corpus, "vec_id", "embedding", codebook)
+    assert(canon(IvfIndex.topK(spark, path, probes, "vec_id",
+      "embedding", k = 4, nprobe = 2)) ==
+      canon(IvfIndex.topK(spark, scratch, probes, "vec_id",
+        "embedding", k = 4, nprobe = 2)))
+  }
+
+  test("version-keyed tombstones: a dead generation's stale masks never " +
+      "filter the rebuilt tree") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("ivf_stale_ts").toString
+    IvfIndex.write(path, corpus, "vec_id", "embedding", codebook)
+    val oldTree = IvfIndex.liveLists(spark, path)
+    val doomed = corpus.filter(col("vec_id") % 5 === 2).select("vec_id")
+    IvfIndex.delete(spark, path, doomed, "vec_id")
+    IvfIndex.write(path, corpus, "vec_id", "embedding", codebook)
+    // Simulate a rebuild that crashed BEFORE its tombstone cleanup:
+    // resurrect the old generation's mask dir verbatim. Readers resolve
+    // the new tree and must never consult it.
+    doomed.select(col("vec_id").as("neighbor_id"))
+      .write.parquet(s"$path/tombstones_$oldTree")
+    assert(oldTree != IvfIndex.liveLists(spark, path))
+    val scratch = Files.createTempDirectory("ivf_stale_ts_s").toString
     IvfIndex.write(scratch, corpus, "vec_id", "embedding", codebook)
     assert(canon(IvfIndex.topK(spark, path, probes, "vec_id",
       "embedding", k = 4, nprobe = 2)) ==

@@ -91,6 +91,28 @@ class StreamingCountMinSpec extends AnyFunSuite with SparkTestBase {
     assert(store.committedBatchId == 19L)
   }
 
+  test("withWriteLock is reentrant: a holding thread can nest it " +
+      "(backfill loop wrapping mergeBatch) without " +
+      "OverlappingFileLockException") {
+    val root = Files.createTempDirectory("graft_bg_reent").toString
+    val store = new BlueGreenStore(root)
+    val got = store.withWriteLock {
+      store.withWriteLock { // same thread, same store: must just run
+        store.commit(Seq(1L).toDF("n"), 0L)
+        41 + 1
+      }
+    }
+    assert(got == 42)
+    // ...and the lock still excludes OTHER threads after release.
+    import org.apache.spark.sql.functions.sum
+    val t = new Thread(() => store.withWriteLock {
+      val cur = store.read(spark).map(_.agg(sum("n")).head.getLong(0)).get
+      store.commit(Seq(cur + 1L).toDF("n"), 1L)
+    })
+    t.start(); t.join()
+    assert(store.read(spark).get.agg(sum("n")).head.getLong(0) == 2L)
+  }
+
   test("state stays bounded at d*w cells regardless of volume") {
     val root = Files.createTempDirectory("graft_scm3").toString
     val mon = new StreamingCountMin(root, "item", d = 2, w = 16)

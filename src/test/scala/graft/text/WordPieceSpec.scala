@@ -71,4 +71,17 @@ class WordPieceSpec extends AnyFunSuite with SparkTestBase {
       .collect().head
     assert(c.getAs[Long]("n_words") == 2L) // the 20-char word is dropped
   }
+
+  test("rounds past the Int-shift range still tokenize (1L bound, not 1 << rounds)") {
+    // With `1 << rounds` (Int shift, mod 32) rounds = 32 wraps to 1 and
+    // only single-char pieces would ever match. Merges exhaust after a
+    // couple of rounds on this corpus, so the extra rounds are no-ops
+    // and the counts must equal the rounds = 3 result.
+    val d = docs("xy xy xy ab")
+    val want = WordPiece.tokenCounts(d, "doc_id", "text", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = WordPiece.tokenCounts(d, "doc_id", "text", rounds = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
 }
