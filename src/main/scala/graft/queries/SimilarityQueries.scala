@@ -296,6 +296,35 @@ object SimilarityQueries extends QueryGroup {
       graft.ops.Dedup.connectedComponents(pairs, "id_a", "id_b")
     }),
 
+    // Matryoshka truncation curve (Kusupati et al., NeurIPS 2022): how
+    // much retrieval quality survives when embeddings are cut to their
+    // PREFIX dims — recall@10 of 16- and 32-dim prefixes against the
+    // full 64-dim neighbors, the measurement behind "store a quarter of
+    // the bytes" decisions. Same brute top-k machinery per truncation;
+    // the 64-dim reference is computed once and checkpointed.
+    "q_matryoshka" -> ((s, dir) => {
+      import graft.ops.Similarity
+      val emb = Tables.embeddings(s, dir)
+      def topkAt(d: Int) = {
+        def trunc(f: org.apache.spark.sql.DataFrame) = f.select(
+          col("vec_id"), slice(col("embedding"), 1, d).as("embedding"))
+        Similarity.bruteForceTopK(trunc(emb.filter(col("vec_id") < 20)),
+            trunc(emb), "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("neighbor_id"))
+      }
+      val full = topkAt(64).localCheckpoint(false)
+      val byDim = (Seq(16, 32).map(d => topkAt(d).withColumn("dims", lit(d)))
+        :+ full.withColumn("dims", lit(64))).reduce(_ unionByName _)
+      val totals = byDim.groupBy("dims").agg(count(lit(1)).as("n_total"))
+      val hits = byDim.join(full, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("dims").agg(count(lit(1)).as("n_hits"))
+      totals.join(hits, Seq("dims"), "left")
+        .select(col("dims"), col("n_total"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)) /
+            col("n_total").cast("double"), 4).as("recall"))
+    }),
+
     // DBSCAN density clusters (KDD'96) over the cosine eps-neighbor
     // graph: cores by degree, clusters = components of the core-core
     // subgraph, borders attach to the MIN core-neighbor cluster
@@ -754,6 +783,33 @@ object SimilarityQueries extends QueryGroup {
         |  SELECT s.v, w.comp FROM walk w JOIN sym s ON s.u = w.id)
         |SELECT id, CAST(min(comp) AS BIGINT) AS component
         |FROM walk GROUP BY id""".stripMargin,
+    // Same per-truncation brute ranks (cosine on list_slice prefixes,
+    // neighbor-id tie-break), recall as one exact-integer division.
+    "q_matryoshka" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |q AS (SELECT * FROM e WHERE vec_id < 20),
+        |topk AS (
+        |  SELECT d.dims, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY d.dims, q.vec_id
+        |      ORDER BY list_cosine_similarity(list_slice(q.v, 1, d.dims),
+        |        list_slice(c.v, 1, d.dims)) DESC, c.vec_id ASC) AS rk
+        |  FROM q CROSS JOIN e c
+        |    JOIN (VALUES (16), (32), (64)) d(dims) ON TRUE
+        |  WHERE q.vec_id <> c.vec_id),
+        |sel AS (SELECT dims, query_id, neighbor_id FROM topk WHERE rk <= 10),
+        |full64 AS (SELECT query_id, neighbor_id FROM sel WHERE dims = 64),
+        |hits AS (
+        |  SELECT s.dims, count(*) AS n FROM sel s JOIN full64 f
+        |    ON s.query_id = f.query_id AND s.neighbor_id = f.neighbor_id
+        |  GROUP BY 1),
+        |tot AS (SELECT dims, count(*) AS n_total FROM sel GROUP BY 1)
+        |SELECT tot.dims, CAST(n_total AS BIGINT) AS n_total,
+        |  CAST(coalesce(hits.n, 0) AS BIGINT) AS n_hits,
+        |  round(coalesce(hits.n, 0) / CAST(n_total AS DOUBLE), 4) AS recall
+        |FROM tot LEFT JOIN hits ON tot.dims = hits.dims""".stripMargin,
+
     // Same eps graph at 0.3; cores by degree+1, min-label walk over
     // core-core edges only (isolated cores seed themselves), borders
     // take the min core-neighbor cluster.

@@ -85,6 +85,14 @@ class RankingSpec extends AnyFunSuite with SparkTestBase {
     assert(mrr == 1.0)
   }
 
+  test("empty run yields an empty frame with the full schema") {
+    val out = Ranking.ndcgMrrAtK(runsDf(Nil), labDf(Nil),
+      "q", "d", "rk", "rel", 10)
+    assert(out.columns.toSeq == Seq("query_id", "n_ranked", "n_rel",
+      "dcg", "idcg", "ndcg", "mrr"))
+    assert(out.count() == 0)
+  }
+
   test("queries score independently and the result is " +
       "partitioning-invariant") {
     val runs = (1 to 200).map(i =>
