@@ -73,11 +73,9 @@ case class AsOfJoinExec(
     val numOutputRows = longMetric("numOutputRows")
     val keyTypes = leftKeys.map(_.dataType)
     val timeType = leftTime.dataType
-    val backThenFwd = strategy == "backward_then_forward"
-    val wantBack = strategy != "forward"
-    val wantFwd = strategy != "backward"
+    val (wantBack, wantFwd, backThenFwd) = AsOfJoinPlan.strategyFlags(strategy)
     val nVals = rightValues.length
-    val valTypes = rightValues.map(_.dataType)
+    val valTypes = rightValues.map(_.dataType).toArray
 
     left.execute().zipPartitions(right.execute()) { (probeIter, buildIter) =>
       val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
@@ -142,16 +140,7 @@ case class AsOfJoinExec(
             if (wantFwd && rHave && keyOrd.compare(rKey, lk) == 0) rVals else null
           val back: UnsafeRow = if (wantBack) backVals else null
 
-          var i = 0
-          while (i < nVals) {
-            val v =
-              if (back != null && !back.isNullAt(i)) back.get(i, valTypes(i))
-              else if (fwdVals != null && (back == null || backThenFwd) &&
-                  !fwdVals.isNullAt(i)) fwdVals.get(i, valTypes(i))
-              else null
-            outVals.update(i, v)
-            i += 1
-          }
+          AsOfJoinPlan.mergeValues(back, fwdVals, backThenFwd, valTypes, outVals)
           numOutputRows += 1
           outProj(joined(l, outVals))
         }

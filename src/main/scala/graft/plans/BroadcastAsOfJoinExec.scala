@@ -21,10 +21,13 @@ import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
   * sides on the key, paying the full exchange of the fact table for a
   * build side that fits in memory.
   *
-  * Per executor the broadcast array is indexed ONCE (lazily, shared
-  * across that executor's partitions): rows grouped by key into
-  * time-sorted arrays. Each probe row then costs one hash lookup + one
-  * binary search. Match semantics are bit-compatible with
+  * Each TASK indexes the broadcast array on entry (rows grouped by key
+  * into time-sorted arrays — deliberately rebuilt per partition rather
+  * than cached per executor: the broadcast threshold bounds the build to
+  * a few ms, and holding no cross-partition cache means no
+  * session-lifetime storage to leak; see the companion's note). Each
+  * probe row then costs one hash lookup + one binary search. Match
+  * semantics are bit-compatible with
   * [[AsOfJoinExec]] (backward = last build row with time <= probe,
   * forward = first strictly after, backward_then_forward = per-column
   * coalesce), sharing [[AsOfJoinPlan]]'s null ordering (null times sort
@@ -62,11 +65,9 @@ case class BroadcastAsOfJoinExec(
     val numOutputRows = longMetric("numOutputRows")
     val keyTypes = leftKeys.map(_.dataType)
     val timeType = leftTime.dataType
-    val backThenFwd = strategy == "backward_then_forward"
-    val wantBack = strategy != "forward"
-    val wantFwd = strategy != "backward"
+    val (wantBack, wantFwd, backThenFwd) = AsOfJoinPlan.strategyFlags(strategy)
     val nVals = rightValues.length
-    val valTypes = rightValues.map(_.dataType)
+    val valTypes = rightValues.map(_.dataType).toArray
     val bcast = right.executeBroadcast[Array[InternalRow]]()
     val rightOutput = right.output
     val rightKeyExprs = rightKeys
@@ -100,16 +101,7 @@ case class BroadcastAsOfJoinExec(
           if (wantBack && lo > 0) back = group.vals(lo - 1)
           if (wantFwd && lo < group.times.length) fwd = group.vals(lo)
         }
-        var i = 0
-        while (i < nVals) {
-          val v =
-            if (back != null && !back.isNullAt(i)) back.get(i, valTypes(i))
-            else if (fwd != null && (back == null || backThenFwd) &&
-                !fwd.isNullAt(i)) fwd.get(i, valTypes(i))
-            else null
-          outVals.update(i, v)
-          i += 1
-        }
+        AsOfJoinPlan.mergeValues(back, fwd, backThenFwd, valTypes, outVals)
         numOutputRows += 1
         outProj(joined(l, outVals))
       }

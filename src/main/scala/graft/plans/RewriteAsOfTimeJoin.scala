@@ -60,6 +60,17 @@ object RewriteAsOfTimeJoin extends Rule[LogicalPlan] with PredicateHelper {
     case Join(l, r, jt @ (Inner | LeftOuter), Some(cond), _)
         if cond.exists(_.isInstanceOf[AsOfTime]) =>
       rewriteOne(l, r, jt, cond)
+    // Any OTHER join shape carrying the marker (RIGHT/FULL/SEMI/ANTI, or
+    // a missing condition elsewhere) would survive to physical planning
+    // and die inside AsOfTime.eval with the MISLEADING "install the
+    // optimizer rules" diagnosis — the rules are installed; the join
+    // type is what is unsupported. Fail here, pointedly.
+    case j: Join if j.condition.exists(_.exists(_.isInstanceOf[AsOfTime])) =>
+      throw new IllegalArgumentException(
+        s"asof_time join: only INNER and LEFT OUTER joins are supported " +
+          s"(DuckDB's ASOF [LEFT] JOIN split); found ${j.joinType.sql}. " +
+          "Rewrite a RIGHT join with the sides swapped; FULL/SEMI/ANTI " +
+          "have no one-row-per-probe as-of reading.")
   }
 
   private def rewriteOne(l: LogicalPlan, r: LogicalPlan, joinType: JoinType,

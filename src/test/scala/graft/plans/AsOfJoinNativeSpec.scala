@@ -354,4 +354,55 @@ class AsOfJoinNativeSpec extends AnyFunSuite with SparkTestBase {
     // forward to the key's build row.
     assert(got(1L) == 7L && got(2L) == 11L)
   }
+
+  test("unsupported join types with asof_time fail pointedly, not with " +
+      "the misleading install-the-rules error") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    AsOfJoinStrategy.register(spark)
+    Seq((1L, "a", 5)).toDF("pid", "key", "t").createOrReplaceTempView("rj_p")
+    Seq(("a", 3, 9L)).toDF("key", "bt", "value").createOrReplaceTempView("rj_b")
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT * FROM rj_p p RIGHT JOIN rj_b b
+          |ON p.key = b.key AND asof_time(p.t, b.bt)""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("INNER and LEFT OUTER"), e.getMessage)
+    assert(!e.getMessage.contains("Install"), e.getMessage)
+  }
+
+  test("type-mismatched key/time sides are rejected at plan construction, " +
+      "never silently mis-compared") {
+    import spark.implicits._
+    val p = Seq((1, 5L)).toDF("key", "t")     // int key
+    val b = Seq((1L, 3L, 9L)).toDF("key", "bt", "v") // long key
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.joinNative(p, b, Seq("key"), "t", "bt", Seq("v"))
+    }
+    assert(e.getMessage.contains("type mismatch"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.joinNative(
+        Seq((1L, 5)).toDF("key", "t"),        // int time
+        Seq((1L, 3L, 9L)).toDF("key", "bt", "v"), // long time
+        Seq("key"), "t", "bt", Seq("v"))
+    }
+    assert(e2.getMessage.contains("time type mismatch"), e2.getMessage)
+  }
+
+  test("cardinality stats: the node reports probe-sized output, not the " +
+      "children's product") {
+    import spark.implicits._
+    val p = (1L to 1000L).map(i => (i % 7, i)).toDF("key", "t")
+    val b = (1L to 1000L).map(i => (i % 7, i, i * 2)).toDF("key", "bt", "v")
+    val joinedDf = AsOfJoin.joinNative(p, b, Seq("key"), "t", "bt", Seq("v"))
+    val node = joinedDf.queryExecution.optimizedPlan.collectFirst {
+      case n: AsOfJoinPlan => n
+    }.get
+    val product = node.left.stats.sizeInBytes *
+      node.right.stats.sizeInBytes
+    assert(node.stats.sizeInBytes < product,
+      s"stats ${node.stats.sizeInBytes} should be far below the default " +
+        s"product estimate $product")
+    assert(node.stats.sizeInBytes >= node.left.stats.sizeInBytes)
+  }
 }
