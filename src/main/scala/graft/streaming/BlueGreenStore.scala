@@ -93,7 +93,16 @@ private[streaming] final class BlueGreenStore(rootDir: String) {
       if (Files.exists(marker)) Files.readString(marker).trim.toLong else -1L
     }.getOrElse(-1L)
 
-  /** The live snapshot, if any batch has committed. */
+  /** The live snapshot, if any batch has committed.
+    *
+    * Freshness window: the returned frame is LAZY and anchored to the
+    * slot directory that was live at call time. Commits alternate two
+    * slots, so a frame evaluated two or more commits later reads a slot
+    * that has been overwritten in place — FileNotFoundException or torn
+    * metadata. Consume (or `.localCheckpoint()`) within one commit
+    * generation; dashboards holding frames across triggers must re-call
+    * read() per render.
+    */
   def read(spark: SparkSession): Option[DataFrame] =
     currentSlot.map(s => spark.read.parquet(slotDir(s).resolve("data").toString))
 
@@ -114,9 +123,12 @@ private[streaming] final class BlueGreenStore(rootDir: String) {
   }
 
   /** Remove stale slot directories no pointer references. Never touches
-    * the live slot.
+    * the live slot — which requires the WRITE LOCK: an unserialized
+    * vacuum could read the pointer just before a concurrent commit's
+    * swap and delete the slot that is being written or has just gone
+    * live, permanently losing the merged state.
     */
-  def vacuum(): Unit = {
+  def vacuum(): Unit = withWriteLock {
     val live = currentSlot
     slots.filterNot(live.contains).map(slotDir).filter(Files.exists(_))
       .foreach { d =>

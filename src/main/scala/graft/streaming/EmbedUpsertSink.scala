@@ -201,18 +201,26 @@ object EmbedUpsertSink {
         .take(recentCount)
 
     var st = state
-    allGroups.foreach { g =>
-      val base = render(g.title,
-        g.records.map(rd => rd -> byTask.get(rd.name)))
-      val content =
-        if (g.title == otherGroupName) appendRecent(base, g.title, recent)
-        else base
-      st.get(g.title) match {
-        case Some(id) if transport.edit(id, content) => // edited in place
-        case _ => st = st.updated(g.title, transport.send(content))
+    // State persists in a FINALLY: a transport failure halfway through
+    // the group loop must not lose the message ids of embeds already
+    // POSTED this attempt — an unsaved new-message id means the retry
+    // re-posts a duplicate, once per failed attempt. Saving whatever ids
+    // were acquired bounds the loss to the in-flight group.
+    try {
+      allGroups.foreach { g =>
+        val base = render(g.title,
+          g.records.map(rd => rd -> byTask.get(rd.name)))
+        val content =
+          if (g.title == otherGroupName) appendRecent(base, g.title, recent)
+          else base
+        st.get(g.title) match {
+          case Some(id) if transport.edit(id, content) => // edited in place
+          case _ => st = st.updated(g.title, transport.send(content))
+        }
       }
+    } finally {
+      statePath.foreach(saveState(_, st))
     }
-    statePath.foreach(saveState(_, st))
     st
   }
 

@@ -57,9 +57,18 @@ object StreamingAnomaly {
     var m = state.getOption.getOrElse(Moments(0L, 0.0, 0.0))
     val out = Seq.newBuilder[Anomaly]
     events.toArray.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
-      if (m.n >= minN && m.m2 > 0.0) {
-        val sd = math.sqrt(m.m2 / (m.n - 1))
-        val z = (e.value - m.mean) / sd
+      if (m.n >= minN) {
+        // A CONSTANT history (m2 == 0) has zero estimated scale: any
+        // departure from the constant is maximally anomalous and flags
+        // with an infinite z — skipping it instead would absorb the
+        // clearest possible level shift into the moments unflagged,
+        // exactly the silent-absorption the class contract rules out.
+        val z =
+          if (m.m2 > 0.0)
+            (e.value - m.mean) / math.sqrt(m.m2 / (m.n - 1))
+          else if (e.value == m.mean) 0.0
+          else if (e.value > m.mean) Double.PositiveInfinity
+          else Double.NegativeInfinity
         if (math.abs(z) >= threshold)
           out += Anomaly(key, e.ts.getTime * 1000L, e.value, z)
       }

@@ -101,6 +101,15 @@ class StreamingCuration(
     * are complete no-ops — the sink is not re-invoked. Public so a manual
     * backfill can feed batches outside a streaming query and inherit the
     * identical idempotence.
+    *
+    * The WHOLE chain (replay check → corpus read → dedup stages → sink →
+    * commit) runs under the store's write lock: a backfill racing a live
+    * trigger would otherwise read the same pre-commit corpus twice —
+    * each batch's near-dups of the other's survivors never meet, and
+    * duplicates enter the corpus permanently — and two racers with one
+    * batchId would both pass the replay check and re-invoke the sink.
+    * Same discipline as StreamingCountMin.mergeBatch; the inner
+    * mergeBatch lock is reentrant.
     */
   def processBatch(
       batch: DataFrame,
@@ -110,78 +119,79 @@ class StreamingCuration(
       buildTime: String,
       valueCols: Seq[String],
       strategy: String = "backward_then_forward")(
-      sink: (DataFrame, Long) => Unit): Unit = {
-    if (batchId <= store.committedBatchId) return
-    val spark = batch.sparkSession
-    val corpusNow = store.read(spark)
+      sink: (DataFrame, Long) => Unit): Unit = store.withWriteLock {
+    if (batchId > store.committedBatchId) {
+      val spark = batch.sparkSession
+      val corpusNow = store.read(spark)
 
-    // Stage 1 — exact dedup. Within the batch: first sighting per content
-    // digest by (ts, id). Across batches: anti-join against every digest
-    // the store has kept.
-    val digested = batch.withColumn("digest",
-      md5(Dedup.normalizeText(col(textCol))))
-    val wFirst = Window.partitionBy("digest")
-      .orderBy(col(tsCol).asc, col(idCol).asc)
-    val firstPerDigest = digested
-      .withColumn("__rn", row_number().over(wFirst))
-      .filter(col("__rn") === 1).drop("__rn")
-    val exactFresh = corpusNow match {
-      case Some(c) =>
-        firstPerDigest.join(c.select(col("digest")), Seq("digest"), "left_anti")
-      case None => firstPerDigest
-    }
-    // Several stages traverse this frame (two candidate joins, quality,
-    // the final persist): cache once, release at the end.
-    exactFresh.persist()
-    try {
-      // Stage 2a — near-dup vs the kept corpus: banded MinHash candidate
-      // join (bucketed, new-vs-corpus only), drop at jaccard_est ≥ tau.
-      val afterCorpus = corpusNow match {
+      // Stage 1 — exact dedup. Within the batch: first sighting per content
+      // digest by (ts, id). Across batches: anti-join against every digest
+      // the store has kept.
+      val digested = batch.withColumn("digest",
+        md5(Dedup.normalizeText(col(textCol))))
+      val wFirst = Window.partitionBy("digest")
+        .orderBy(col(tsCol).asc, col(idCol).asc)
+      val firstPerDigest = digested
+        .withColumn("__rn", row_number().over(wFirst))
+        .filter(col("__rn") === 1).drop("__rn")
+      val exactFresh = corpusNow match {
         case Some(c) =>
-          val dropIds = Dedup.md5MinHashCandidatesAgainst(
-            exactFresh, c, idCol, textCol, shingleSize, numHashes, bands)
-            .filter(col("jaccard_est") >= tau)
-            .select(col("id_batch").as(idCol)).distinct()
-          exactFresh.join(dropIds, Seq(idCol), "left_anti")
-        case None => exactFresh
+          firstPerDigest.join(c.select(col("digest")), Seq("digest"), "left_anti")
+        case None => firstPerDigest
       }
-      // Stage 2b — near-dup within the batch: same candidate machinery
-      // against itself; the LATER row of each qualifying pair drops.
-      val ords = afterCorpus.select(col(idCol).as("__oid"),
-        col(tsCol).as("__ots"))
-      val selfDrop = Dedup.md5MinHashCandidatesAgainst(
-        afterCorpus, afterCorpus, idCol, textCol, shingleSize, numHashes,
-        bands)
-        .filter(col("jaccard_est") >= tau &&
-          col("id_batch") =!= col("id_corpus"))
-        .join(ords.select(col("__oid").as("id_batch"),
-          col("__ots").as("__ts_b")), "id_batch")
-        .join(ords.select(col("__oid").as("id_corpus"),
-          col("__ots").as("__ts_c")), "id_corpus")
-        .filter(struct(col("__ts_c"), col("id_corpus")) <
-          struct(col("__ts_b"), col("id_batch")))
-        .select(col("id_batch").as(idCol)).distinct()
-      val afterNear = afterCorpus.join(selfDrop, Seq(idCol), "left_anti")
+      // Several stages traverse this frame (two candidate joins, quality,
+      // the final persist): cache once, release at the end.
+      exactFresh.persist()
+      try {
+        // Stage 2a — near-dup vs the kept corpus: banded MinHash candidate
+        // join (bucketed, new-vs-corpus only), drop at jaccard_est ≥ tau.
+        val afterCorpus = corpusNow match {
+          case Some(c) =>
+            val dropIds = Dedup.md5MinHashCandidatesAgainst(
+              exactFresh, c, idCol, textCol, shingleSize, numHashes, bands)
+              .filter(col("jaccard_est") >= tau)
+              .select(col("id_batch").as(idCol)).distinct()
+            exactFresh.join(dropIds, Seq(idCol), "left_anti")
+          case None => exactFresh
+        }
+        // Stage 2b — near-dup within the batch: same candidate machinery
+        // against itself; the LATER row of each qualifying pair drops.
+        val ords = afterCorpus.select(col(idCol).as("__oid"),
+          col(tsCol).as("__ots"))
+        val selfDrop = Dedup.md5MinHashCandidatesAgainst(
+          afterCorpus, afterCorpus, idCol, textCol, shingleSize, numHashes,
+          bands)
+          .filter(col("jaccard_est") >= tau &&
+            col("id_batch") =!= col("id_corpus"))
+          .join(ords.select(col("__oid").as("id_batch"),
+            col("__ots").as("__ts_b")), "id_batch")
+          .join(ords.select(col("__oid").as("id_corpus"),
+            col("__ots").as("__ts_c")), "id_corpus")
+          .filter(struct(col("__ts_c"), col("id_corpus")) <
+            struct(col("__ts_b"), col("id_batch")))
+          .select(col("id_batch").as(idCol)).distinct()
+        val afterNear = afterCorpus.join(selfDrop, Seq(idCol), "left_anti")
 
-      // Stage 3 — quality gate. Rejected docs vanish (and stay out of the
-      // store: identical future content re-fails on its own).
-      val survivors = afterNear.filter(
-        TextFunctions.qualityScore(col(textCol), stopwords) >= minQuality)
+        // Stage 3 — quality gate. Rejected docs vanish (and stay out of the
+        // store: identical future content re-fails on its own).
+        val survivors = afterNear.filter(
+          TextFunctions.qualityScore(col(textCol), stopwords) >= minQuality)
 
-      // Stage 4 — as-of enrichment of the survivors, then the sink. Sink
-      // BEFORE commit: a crash here replays against the unchanged corpus
-      // and regenerates identical output for this batchId. The digest is
-      // a store-internal column; the sink sees the caller's schema +
-      // value columns.
-      val enriched = AsOfJoin.joinNative(survivors.drop("digest"), build,
-        enrichKeys, tsCol, buildTime, valueCols, strategy)
-      sink(enriched, batchId)
+        // Stage 4 — as-of enrichment of the survivors, then the sink. Sink
+        // BEFORE commit: a crash here replays against the unchanged corpus
+        // and regenerates identical output for this batchId. The digest is
+        // a store-internal column; the sink sees the caller's schema +
+        // value columns.
+        val enriched = AsOfJoin.joinNative(survivors.drop("digest"), build,
+          enrichKeys, tsCol, buildTime, valueCols, strategy)
+        sink(enriched, batchId)
 
-      // Stage 5 — commit: survivors (with digest) merge into the
-      // blue/green store; marker and data swap atomically.
-      store.mergeBatch(survivors, batchId)
-    } finally {
-      exactFresh.unpersist()
+        // Stage 5 — commit: survivors (with digest) merge into the
+        // blue/green store; marker and data swap atomically.
+        store.mergeBatch(survivors, batchId)
+      } finally {
+        exactFresh.unpersist()
+      }
     }
   }
 }

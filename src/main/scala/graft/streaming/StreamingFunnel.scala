@@ -54,8 +54,8 @@ object StreamingFunnel {
       userId: Long,
       events: Iterator[FunnelEvent],
       state: GroupState[FunnelState]): Iterator[Progress] = {
-    var stages = state.getOption.map(_.stageUs).getOrElse(Seq.empty)
-    val before = stages.length
+    val initial = state.getOption.map(_.stageUs).getOrElse(Seq.empty)
+    var stages = initial
     // Ascending event-time sweep; a batch's events fit in memory.
     val sorted = events.toArray.sortBy(e => (e.ts.getTime, e.stage))
     sorted.foreach { e =>
@@ -74,11 +74,10 @@ object StreamingFunnel {
         }
       }
     }
-    if (stages.length != before ||
-        state.getOption.map(_.stageUs).getOrElse(Seq.empty) != stages) {
+    if (stages != initial) {
       state.update(FunnelState(stages))
     }
-    if (stages.length > before)
+    if (stages.length > initial.length)
       Iterator.single(Progress(userId, stages.length, stages.last))
     else Iterator.empty
   }

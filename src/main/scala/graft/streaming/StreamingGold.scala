@@ -51,6 +51,13 @@ class StreamingGold(
   /** The live merged table, if any batch has committed. */
   def read(spark: SparkSession): Option[DataFrame] = store.read(spark)
 
+  /** Run `f` under the store's write lock — for COMPOSITE operations
+    * (replay check + reads + stages + [[mergeBatch]]) that must
+    * serialize as one unit against other writers; reentrant with
+    * mergeBatch's own lock, so the composite can call it directly.
+    */
+  def withWriteLock[T](f: => T): T = store.withWriteLock(f)
+
   /** Apply one micro-batch: merge into the standby slot and swap. Replays
     * (batchId ≤ committed) are no-ops. Safe to call directly for manual
     * backfill — idempotence comes from the merge, not the caller, and

@@ -125,6 +125,12 @@ object StreamingIngest {
     * cron (SURVEY.md §2.7 T7 — period boundaries move every run, so
     * incremental agg state cannot express the reports; rebuild-on-trigger
     * is the honest contract, and each rebuild is itself distributed).
+    *
+    * IMPORTANT: `rebuild` receives only the CURRENT deduped micro-batch —
+    * accumulating it into full history (and rebuilding the reports from
+    * that) is the callback's job. [[StreamingOsrsGold]] is the assembled
+    * version (StreamingGold store merge → pipeline rerun over ALL
+    * history → blue/green publish); use it unless wiring a custom store.
     */
   def goldRebuildWriter(
       rawStream: DataFrame,

@@ -170,6 +170,12 @@ object StreamingNearDedup {
       hit match {
         case Some((origId, est)) =>
           out += DupFlag(d.doc_id, d.ts, origId, est, capped)
+        // A REDELIVERED id (at-least-once transports retry) must not
+        // append again: without this check a retry storm fills the cap
+        // with copies of one document and the bucket silently stops
+        // detecting anything new. Re-seeing an id is a state no-op (it
+        // is already the bucket's first-seen entry for its content).
+        case None if st.docIds.contains(d.doc_id) => ()
         case None if !capped =>
           // Append preserving first-seen order (lists prepend; keep
           // appended order by rebuilding — bucket lists are cap-bounded,

@@ -55,15 +55,23 @@ class StreamingOsrsGold(
   /** Merge one micro-batch into the store, then rebuild + publish gold
     * from the full accumulated history. Public for manual backfill — the
     * store merge makes double application converge.
+    *
+    * The WHOLE sequence runs under the raw store's write lock (reentrant
+    * with mergeBatch's own): an unserialized backfill beside a live
+    * trigger could interleave two publishes into the SAME standby gold
+    * slot (torn report set goes live), or finish a rebuild of OLDER
+    * state last and overwrite the newer published gold until the next
+    * trigger.
     */
-  def applyBatch(batch: DataFrame, batchId: Long): Unit = {
-    rawStore.mergeBatch(batch, batchId)
-    val raw = rawStore.read(batch.sparkSession)
-      .getOrElse(return)
-      .select("id", "timestamp", "raw_content")
-    val tables = OsrsPipeline.run(raw, runTime, config)
-    sink.publish(tableNames.map(n => n -> tables(n)).toMap)
-  }
+  def applyBatch(batch: DataFrame, batchId: Long): Unit =
+    rawStore.withWriteLock {
+      rawStore.mergeBatch(batch, batchId)
+      rawStore.read(batch.sparkSession).foreach { stored =>
+        val raw = stored.select("id", "timestamp", "raw_content")
+        val tables = OsrsPipeline.run(raw, runTime, config)
+        sink.publish(tableNames.map(n => n -> tables(n)).toMap)
+      }
+    }
 
   /** The live published report table, once any batch has committed. */
   def readTable(spark: org.apache.spark.sql.SparkSession,

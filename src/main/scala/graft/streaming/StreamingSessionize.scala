@@ -32,6 +32,12 @@ object StreamingSessionize {
     * `ts` (the event-time timeout requires one).
     */
   def sessions(events: DataFrame, gapSeconds: Long): Dataset[ClosedSession] = {
+    // Guard at construction: a non-positive gap would set a state
+    // timeout at/behind the current watermark — an
+    // IllegalArgumentException inside the RUNNING streaming query (the
+    // StreamingNearDedup stateTtlMs lesson), or degenerate zero-length
+    // sessions.
+    require(gapSeconds > 0, s"gapSeconds must be > 0, got $gapSeconds")
     val spark = events.sparkSession
     import spark.implicits._
     events.select("user_id", "ts").as[SessionEvent]

@@ -48,4 +48,13 @@ class StreamingAnomalySpec extends AnyFunSuite with SparkTestBase {
     val cold = drive("anom4", 5.0, 10L, Seq(Seq(("t", ts(20), 50.0))))
     assert(cold.isEmpty)
   }
+
+  test("a constant history flags its first deviation with infinite z " +
+      "instead of silently absorbing it") {
+    val constant = (0 until 12).map(i => ("c", ts(i), 5.0))
+    val got = drive("anom4", 3.0, 10L,
+      Seq(constant, Seq(("c", ts(20), 1000.0), ("c", ts(21), 5.0))))
+    assert(got.map(_._2) == Seq(1000.0))
+    assert(got.head._3.isPosInfinity)
+  }
 }

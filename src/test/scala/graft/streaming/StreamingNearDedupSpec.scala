@@ -108,6 +108,35 @@ class StreamingNearDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(flags.get(5L).contains(4L), s"restarted bucket must flag 5->4: $flags")
   }
 
+  test("redelivered ids are state no-ops: a retry storm cannot fill the " +
+      "bucket cap with copies of one doc") {
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String, Timestamp)](spark)
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+    // Cap 2: with the old append-on-redelivery behavior two redeliveries
+    // of doc 1 cap the bucket and doc 9's near-dup is never flagged.
+    val q = StreamingNearDedup.flags(docs, "doc_id", "text", "ts",
+      numHashes = 16, bands = 4, tau = 0.5, watermarkDelay = "0 seconds",
+      maxPerBucket = 2)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("neardup_redeliver").start()
+    mem.addData((1L, base, t("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    // At-least-once redeliveries of the SAME doc across later batches.
+    mem.addData((1L, base, t("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    mem.addData((1L, base, t("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    // A genuine near-dup must still flag against the single stored entry.
+    mem.addData((9L, nearDup, t("2024-01-01 10:05:00")))
+    q.processAllAvailable()
+    q.stop()
+    val flags = spark.table("neardup_redeliver")
+      .select("doc_id", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(flags.toSet == Set((9L, 1L)), flags.mkString(","))
+  }
+
   test("capped buckets still flag dups but stop growing state") {
     import spark.implicits._
     val mem = MemoryStream[(Long, String, Timestamp)](spark)
