@@ -59,7 +59,12 @@ object Compactor {
     if (!fragmented(n, bytes, targetFileBytes, minFiles)) 0
     else {
       val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-      spark.read.parquet(srcDir)
+      // mergeSchema, NOT the default single-footer read: a compaction is
+      // precisely where old and new files meet, and reading with one
+      // file's footer would silently and PERMANENTLY drop columns only
+      // newer files carry (the hazard Evolution.scala exists for —
+      // rewrites must preserve row content exactly).
+      spark.read.option("mergeSchema", "true").parquet(srcDir)
         .repartition(nOut)
         .write.mode("overwrite").parquet(destDir)
       nOut

@@ -35,6 +35,17 @@ class GoldSink(rootDir: String) {
   def publish(tables: Map[String, DataFrame]): String = {
     val target = standbySlot
     val targetDir = Paths.get(rootDir, target)
+    // Clean the standby FIRST: a table dropped from this publish set
+    // would otherwise linger from two publishes ago and be served under
+    // liveDir as if current — per-table overwrite only replaces names
+    // present in THIS set. Safe to delete: the standby is by definition
+    // not the slot the pointer references.
+    if (Files.exists(targetDir)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(targetDir).iterator().asScala.toSeq.reverse
+        .filterNot(_ == targetDir)
+        .foreach(p => Files.deleteIfExists(p))
+    }
     Files.createDirectories(targetDir)
     tables.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(targetDir.resolve(name).toString)

@@ -35,6 +35,11 @@ object PartitionedSink {
     else clustered)
       .write
       .mode("overwrite")
+      // DYNAMIC partition overwrite: replace only the __date partitions
+      // this increment carries. The default STATIC mode truncates the
+      // whole base path first — a daily-increment sink that deletes
+      // every previous day on each write.
+      .option("partitionOverwriteMode", "dynamic")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("__date")
       .parquet(path)

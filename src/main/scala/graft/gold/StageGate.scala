@@ -38,15 +38,27 @@ object StageGate {
     readState(statePath).get(stage)
       .forall(last => !now.isBefore(last.plus(minInterval)))
 
+  // Same-JVM serialization in front of the OS file lock: FileChannel
+  // .lock THROWS OverlappingFileLockException (it does not block) for a
+  // second thread of one process, which would convert a SUCCEEDED stage
+  // into Failed — or abort the pipeline — on a pure bookkeeping race
+  // when two gated stages finish on parallel driver threads. One
+  // monitor per state path (the BlueGreenStore pattern).
+  private val stateMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Record a successful run, preserving other stages' entries
-    * (`:160-175`). The read-modify-write runs under an OS file lock so
-    * two stages finishing concurrently (separate processes — the
-    * reference was single-process sequential) cannot drop each other's
-    * entries; the temp-file + atomic rename additionally prevents
-    * readers from ever seeing a torn file.
+    * (`:160-175`). The read-modify-write runs under a per-path JVM
+    * monitor (two threads of one process) plus an OS file lock (two
+    * processes) so concurrently finishing stages cannot drop each
+    * other's entries; the temp-file + atomic rename additionally
+    * prevents readers from ever seeing a torn file.
     */
   def recordSuccess(statePath: Path, stage: String, now: Instant): Unit = {
     Option(statePath.getParent).foreach(Files.createDirectories(_))
+    val monitor = stateMonitors.computeIfAbsent(
+      statePath.toAbsolutePath.normalize.toString, _ => new Object)
+    monitor.synchronized {
     val lockPath = statePath.resolveSibling(statePath.getFileName.toString + ".lock")
     val ch = java.nio.channels.FileChannel.open(lockPath,
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
@@ -62,6 +74,7 @@ object StageGate {
           StandardCopyOption.REPLACE_EXISTING)
       } finally lock.release()
     } finally ch.close()
+    }
   }
 
   /** Outcome of a gated stage attempt. */

@@ -51,13 +51,35 @@ object StatsIndex {
     require(allFiles.nonEmpty, "stats index is empty — no files to scan")
     val total = allFiles.length
     val files = candidateFiles(stats, keyCol, lo, hi)
+    // Reading LEAF files directly loses Hive-style partition-column
+    // inference (each file's parent becomes its own base), so a table
+    // written by PartitionedSink would come back without __date — or the
+    // filter below would fail to resolve it. basePath = the files'
+    // common ancestor ABOVE any name=value partition directories
+    // restores the inference.
+    val base = StatsIndex.commonBase(allFiles)
+    def read(fs: Seq[String]) =
+      spark.read.option("basePath", base).parquet(fs: _*)
     val df =
       if (files.isEmpty)
         // Schema comes from one footer; lit(false) keeps every row out
         // without scanning row groups.
-        spark.read.parquet(allFiles.head).filter(lit(false))
-      else spark.read.parquet(files: _*)
+        read(Seq(allFiles.head)).filter(lit(false))
+      else read(files)
     (df.filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi)),
       files.size, total)
+  }
+
+  /** Common ancestor directory of `files`, lifted above any trailing
+    * Hive-style `name=value` segments so partition columns infer even
+    * when every candidate sits in one partition directory.
+    */
+  private def commonBase(files: Seq[String]): String = {
+    def parent(p: String) = p.substring(0, p.lastIndexOf('/'))
+    var base = parent(files.head)
+    while (!files.forall(f => f.startsWith(base + "/"))) base = parent(base)
+    while (base.substring(base.lastIndexOf('/') + 1).contains("="))
+      base = parent(base)
+    base
   }
 }

@@ -180,7 +180,11 @@ class PriceTable(options: CaseInsensitiveStringMap) extends Table with SupportsR
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
-  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    // Pointed error at planning, not an NPE from a null .split deep in
+    // scan construction.
+    require(options.containsKey("items"),
+      "price source needs .option(\"items\", \"id1,id2,...\")")
     () => new PriceScan(
       options.get("items").split(",").map(_.trim).filter(_.nonEmpty),
       options.getOrDefault("fetcher", "test"),
@@ -190,6 +194,7 @@ class PriceTable(options: CaseInsensitiveStringMap) extends Table with SupportsR
         maxRetries = options.getInt("max_retries", 2),
         retryBackoffMs = options.getLong("retry_backoff_ms", 100L),
         tolerateFailures = options.getBoolean("tolerate_failures", true)))
+  }
 }
 
 /** The reference's fetch envelope as source options: politeness delay

@@ -38,13 +38,25 @@ object Warc {
     * Content-Length framing, double-CRLF record terminator).
     */
   def render(r: Record): Array[Byte] = {
+    // Reject CR/LF inside header material rather than framing a corrupt
+    // archive: an embedded "\r\n\r\n" would terminate the header block
+    // before Content-Length, and parseAll (ours or anyone's) then loses
+    // every record after it. Values belong in the BODY if they need
+    // newlines.
+    def clean(what: String, s: String): String = {
+      require(!s.exists(c => c == '\r' || c == '\n'),
+        s"WARC $what must not contain CR/LF: ${s.take(80)}")
+      s
+    }
     val sb = new StringBuilder
     sb.append("WARC/1.0").append(Crlf)
-    sb.append("WARC-Type: ").append(r.warcType).append(Crlf)
+    sb.append("WARC-Type: ").append(clean("type", r.warcType)).append(Crlf)
     if (r.targetUri.nonEmpty)
-      sb.append("WARC-Target-URI: ").append(r.targetUri).append(Crlf)
+      sb.append("WARC-Target-URI: ").append(clean("target URI", r.targetUri))
+        .append(Crlf)
     r.headers.foreach { case (k, v) =>
-      sb.append(k).append(": ").append(v).append(Crlf)
+      sb.append(clean("header name", k)).append(": ")
+        .append(clean("header value", v)).append(Crlf)
     }
     sb.append("Content-Length: ").append(r.body.length).append(Crlf)
     sb.append(Crlf)
@@ -138,16 +150,20 @@ object Warc {
     val out = new java.io.ByteArrayOutputStream()
     val in = new ByteArrayInputStream(bytes)
     val buf = new Array[Byte](8192)
-    // GZIPInputStream stops at each member trailer; loop while input remains.
-    // A truncated or corrupt trailing member yields the bytes inflated so
-    // far (the intact prefix) rather than failing the whole task — mirrors
-    // parseAll's stop-at-first-broken-record behavior.
+    // ONE GZIPInputStream: Java's reader consumes well-formed
+    // CONCATENATED members natively (readTrailer probes for the next
+    // member's magic), so no outer loop is needed — and an outer loop
+    // re-opening the stream is actively WRONG: the reader buffers up to
+    // 512 bytes past what it consumed, so a second instance would start
+    // at a misaligned offset and silently drop the remaining members via
+    // the catch. Inter-member padding/garbage ends the stream after the
+    // intact prefix; a truncated or corrupt trailing member likewise
+    // yields the bytes inflated so far — mirrors parseAll's
+    // stop-at-first-broken-record behavior.
     try {
-      while (in.available() > 0) {
-        val gz = new java.util.zip.GZIPInputStream(in)
-        var n = gz.read(buf)
-        while (n > 0) { out.write(buf, 0, n); n = gz.read(buf) }
-      }
+      val gz = new java.util.zip.GZIPInputStream(in)
+      var n = gz.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = gz.read(buf) }
     } catch {
       case _: java.io.EOFException | _: java.util.zip.ZipException => ()
     }

@@ -40,4 +40,24 @@ class CompactorSpec extends AnyFunSuite with SparkTestBase {
     assert(Compactor.compact(spark, src, s"$dir/dest", targetFileBytes = 10L, minFiles = 8) == 0)
     assert(!Files.exists(java.nio.file.Paths.get(s"$dir/dest")))
   }
+
+  test("compacting a schema-evolved directory preserves columns only " +
+      "newer files carry") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact_evo").toString
+    val src = s"$dir/src"
+    val dest = s"$dir/dest"
+    (1 to 200).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+      .repartition(10).write.parquet(src)
+    (201 to 400).map(i => (i.toLong, s"r$i", i * 2.0))
+      .toDF("id", "v", "discount")
+      .repartition(10).write.mode("append").parquet(src)
+    val nOut = Compactor.compact(spark, src, dest,
+      targetFileBytes = 1L << 30, minFiles = 2)
+    assert(nOut == 1)
+    val out = spark.read.option("mergeSchema", "true").parquet(dest)
+    assert(out.columns.toSet == Set("id", "v", "discount"))
+    assert(out.filter(col("discount").isNotNull).count() == 200)
+    assert(out.count() == 400)
+  }
 }

@@ -28,4 +28,21 @@ class GoldSinkSpec extends AnyFunSuite with SparkTestBase {
     val dir3 = sink.publish(Map("t" -> v1))
     assert(dir3 == dir1)
   }
+
+  test("a table dropped from the publish set does not linger from two " +
+      "publishes ago") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import spark.implicits._
+    val root = JFiles.createTempDirectory("graft_goldsink_drop").toString
+    val sink = new GoldSink(root)
+    val users = Seq((1L, "u")).toDF("id", "name")
+    val orders = Seq((1L, 5.0)).toDF("id", "amt")
+    sink.publish(Map("users" -> users, "orders" -> orders)) // slot A
+    sink.publish(Map("users" -> users, "orders" -> orders)) // slot B
+    sink.publish(Map("users" -> users))                     // slot A again
+    val live = sink.liveDir.get
+    assert(JFiles.exists(Paths.get(live, "users")))
+    assert(!JFiles.exists(Paths.get(live, "orders")),
+      "retired table served as live from a stale standby")
+  }
 }

@@ -42,4 +42,15 @@ class IncrementalRollupSpec extends AnyFunSuite with SparkTestBase {
     assert(out.map(r => (r._1, r._2, r._3.toString)) == List(
       ("a", 5L, "11.00"), ("b", 1L, "1.00"), ("c", 1L, "9.99")))
   }
+
+  test("merge preserves the increment's decimal(28,2) total type - no " +
+      "narrowing cast, no schema flip-flop between producers") {
+    import spark.implicits._
+    val facts = Seq(("a", 10.0), ("a", 2.5)).toDF("k", "v")
+    val inc = IncrementalRollup.incrementOf(facts, Seq("k"), "v")
+    val merged = IncrementalRollup.merge(inc, inc)
+    assert(merged.schema("total").dataType.sql ==
+      inc.schema("total").dataType.sql)
+    assert(inc.schema("total").dataType.sql == "DECIMAL(28,2)")
+  }
 }

@@ -38,4 +38,28 @@ class PartitionedSinkSpec extends AnyFunSuite with SparkTestBase {
     assert(scan.contains("PartitionFilters") && scan.contains("2024-01-02"),
       s"expected pruned scan:\n$scan")
   }
+
+  test("a second day's increment does not wipe the first day " +
+      "(dynamic partition overwrite)") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_psink_incr").toString
+    val day1 = Seq((1L, Timestamp.valueOf("2026-01-01 10:00:00")))
+      .toDF("id", "ts")
+    val day2 = Seq((2L, Timestamp.valueOf("2026-01-02 10:00:00")))
+      .toDF("id", "ts")
+    PartitionedSink.writeDaily(day1, path, "ts")
+    PartitionedSink.writeDaily(day2, path, "ts")
+    val got = PartitionedSink.readDaily(spark, path)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L), s"day1 lost: $got")
+    // Re-writing a day replaces only that day.
+    val day2b = Seq((3L, Timestamp.valueOf("2026-01-02 11:00:00")))
+      .toDF("id", "ts")
+    PartitionedSink.writeDaily(day2b, path, "ts")
+    val got2 = PartitionedSink.readDaily(spark, path)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got2 == Set(1L, 3L), got2.toString)
+  }
 }

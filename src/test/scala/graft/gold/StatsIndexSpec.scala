@@ -55,4 +55,24 @@ class StatsIndexSpec extends AnyFunSuite with SparkTestBase {
       assert(a == b, s"range [$lo,$hi]")
     }
   }
+
+  test("prunedRangeScan keeps Hive partition columns via basePath, even " +
+      "when every candidate file sits in one partition directory") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val path = Files.createTempDirectory("statsidx_part").toString
+    val rows = (1 to 3).flatMap(d => (1 to 50).map(i =>
+      ((d * 100 + i).toLong,
+        Timestamp.valueOf(s"2026-01-0$d 10:00:00"))))
+    PartitionedSink.writeDaily(rows.toDF("id", "ts"), path, "ts")
+    val full = PartitionedSink.readDaily(spark, path)
+    val stats = StatsIndex.build(full, Seq("__date"))
+    val lo = java.sql.Date.valueOf("2026-01-02")
+    val (pruned, read, total) =
+      StatsIndex.prunedRangeScan(spark, stats, "__date", lo, lo)
+    assert(read < total, s"read $read of $total")
+    assert(pruned.columns.contains("__date"))
+    val got = pruned.select("id").collect().map(_.getLong(0)).toSet
+    assert(got == (1 to 50).map(i => (200 + i).toLong).toSet)
+  }
 }

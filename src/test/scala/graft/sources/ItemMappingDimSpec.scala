@@ -100,4 +100,22 @@ class ItemMappingDimSpec extends AnyFunSuite with SparkTestBase {
     assert(df.columns.toSeq == Seq("item_id", "item_name"))
     assert(df.count() == 2)
   }
+
+  test("a name with embedded newline/tab round-trips the cache readable " +
+      "(sanitized), keeping the stale fallback alive") {
+    val calls = new AtomicInteger(0)
+    MappingFetcher.register("dim-nl", () => {
+      calls.incrementAndGet()
+      Seq(ItemMeta("42", "Foo\nBar\tBaz"))
+    })
+    val cache = tempCache()
+    val m1 = ItemMappingDim.load(cache, "dim-nl", Seq("42"), ttl, t0)
+    assert(m1("42").name == "Foo\nBar\tBaz" && calls.get() == 1)
+    // The rewritten cache must be READABLE: a warm load within TTL hits
+    // the cache (sanitized name), never refetches.
+    val m2 = ItemMappingDim.load(cache, "dim-nl", Seq("42"), ttl,
+      t0.plus(Duration.ofHours(1)))
+    assert(calls.get() == 1, "corrupt cache forced a refetch")
+    assert(m2("42").name == "Foo Bar Baz")
+  }
 }

@@ -113,4 +113,13 @@ class PriceSourceSpec extends AnyFunSuite with SparkTestBase {
     // Same shape Enrichment.applyValueOverrides expects.
     assert(prices.select("item_id", "timestamp", "avg_high_price").count() == 1)
   }
+
+  test("a missing items option fails with a pointed message, not an NPE") {
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft.sources.PriceSource")
+        .option("fetcher", "test")
+        .load().count()
+    }
+    assert(e.getMessage.contains("items"), e.getMessage)
+  }
 }

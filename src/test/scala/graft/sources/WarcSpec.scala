@@ -108,4 +108,32 @@ class WarcSpec extends AnyFunSuite with SparkTestBase {
       Files.deleteIfExists(dir)
     }
   }
+
+  test("gunzipAll: padding between members yields the intact prefix, " +
+      "never misaligned garbage") {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close()
+      bos.toByteArray
+    }
+    val r1 = Warc.render(rec("response", "http://a", "alpha"))
+    val r2 = Warc.render(rec("response", "http://b", "beta"))
+    val padded = gz(r1) ++ Array[Byte](0, 0, 0) ++ gz(r2)
+    // Member 2 sits behind non-gzip padding: the documented contract is
+    // the intact PREFIX (member 1), with nothing corrupt emitted.
+    val out = Warc.parseAll(Warc.gunzipAll(padded)).toSeq
+    assert(out.map(_._2.targetUri) == Seq("http://a"))
+  }
+
+  test("render rejects CR/LF in header material instead of framing a " +
+      "corrupt archive") {
+    val bad = rec("response", "http://a", "x")
+      .copy(headers = Map("X-Meta" -> "a\r\n\r\nJUNK"))
+    val e = intercept[IllegalArgumentException] { Warc.render(bad) }
+    assert(e.getMessage.contains("CR/LF"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      Warc.render(rec("response", "http://x\r\ny", "x"))
+    }
+  }
 }
