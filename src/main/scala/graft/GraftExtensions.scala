@@ -21,7 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("parse_duration"),
       new ExpressionInfo(classOf[ParseDuration].getName, "parse_duration"),
-      (children: Seq[Expression]) => ParseDuration(children.head)))
+      GraftExtensions.unary("parse_duration")(ParseDuration(_))))
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
@@ -34,7 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("pack_int8"),
       new ExpressionInfo(classOf[PackInt8].getName, "pack_int8"),
-      (children: Seq[Expression]) => PackInt8(children.head)))
+      GraftExtensions.unary("pack_int8")(PackInt8(_))))
     ext.injectFunction((
       FunctionIdentifier("int8_dot"),
       new ExpressionInfo(classOf[Int8Dot].getName, "int8_dot"),
@@ -52,7 +52,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[graft.expr.NfcNormalize].getName,
         "nfc_normalize"),
-      (children: Seq[Expression]) => graft.expr.NfcNormalize(children.head)))
+      GraftExtensions.unary("nfc_normalize")(graft.expr.NfcNormalize(_))))
     // jaro_winkler(a, b) — prefix-weighted record-linkage similarity,
     // named after DuckDB's jaro_winkler_similarity semantics it pins.
     ext.injectFunction((
@@ -65,7 +65,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("compress_stats"),
       new ExpressionInfo(classOf[graft.expr.CompressStats].getName,
         "compress_stats"),
-      (children: Seq[Expression]) => graft.expr.CompressStats(children.head)))
+      GraftExtensions.unary("compress_stats")(graft.expr.CompressStats(_))))
     // cdc_chunks(bin, min, avgBits, max) — content-defined chunk table.
     ext.injectFunction((
       FunctionIdentifier("cdc_chunks"),
@@ -100,29 +100,41 @@ object GraftExtensions {
       s"$name(a, b) expects exactly 2 arguments, got ${xs.size}")
   }
 
+  /** Arity-checked builder for one-argument functions: `children.head`
+    * would silently DISCARD extra arguments (a plausible user typo
+    * evaluates the first and ignores the rest) and escape as a bare
+    * NoSuchElementException on zero.
+    */
+  private[graft] def unary(name: String)(
+      f: Expression => Expression): Seq[Expression] => Expression = {
+    case Seq(a) => f(a)
+    case xs => throw new IllegalArgumentException(
+      s"$name(x) expects exactly 1 argument, got ${xs.size}")
+  }
+
   /** Runtime registration into an already-built session (the extensions
     * class only applies at session build; this covers notebook/REPL use).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "parse_duration", exprs => ParseDuration(exprs.head), "built-in")
+      "parse_duration", unary("parse_duration")(ParseDuration(_)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", binary("vec_dot")(VecDot(_, _)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "z_order", mkZOrder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "pack_int8", exprs => PackInt8(exprs.head), "built-in")
+      "pack_int8", unary("pack_int8")(PackInt8(_)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "int8_dot", binary("int8_dot")(Int8Dot(_, _)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", mkWordShingles, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "nfc_normalize", exprs => graft.expr.NfcNormalize(exprs.head), "built-in")
+      "nfc_normalize", unary("nfc_normalize")(graft.expr.NfcNormalize(_)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaro_winkler", binary("jaro_winkler")(graft.expr.JaroWinkler(_, _)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "compress_stats", exprs => graft.expr.CompressStats(exprs.head),
+      "compress_stats", unary("compress_stats")(graft.expr.CompressStats(_)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cdc_chunks", mkCdcChunks, "built-in")

@@ -79,11 +79,17 @@ object PackInt8 {
 /** Exact integer dot product over two packed int8 code vectors: a long
   * accumulator over byte products — order-free (integer addition
   * associates), so unlike a float dot the result is identical under ANY
-  * partitioning, vectorization or engine. Shorter input decides length.
+  * partitioning, vectorization or engine. A LENGTH MISMATCH nulls the
+  * result rather than dotting the common prefix — two code vectors of
+  * different dims are schema drift, and a plausible-looking prefix
+  * similarity is exactly the corrupt-input laundering [[PackInt8]]'s
+  * null-element contract exists to prevent.
   */
 case class Int8Dot(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType == BinaryType && right.dataType == BinaryType)
@@ -94,25 +100,27 @@ case class Int8Dot(left: Expression, right: Expression) extends BinaryExpression
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[Array[Byte]]
     val b = r.asInstanceOf[Array[Byte]]
-    val n = math.min(a.length, b.length)
+    if (a.length != b.length) return null
     var acc = 0L
     var i = 0
-    while (i < n) { acc += a(i).toLong * b(i).toLong; i += 1 }
+    while (i < a.length) { acc += a(i).toLong * b(i).toLong; i += 1 }
     acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.length, $b.length);
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (long) $a[$i] * (long) $b[$i];
+         |if ($a.length != $b.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $a.length; $i++) {
+         |    $acc += (long) $a[$i] * (long) $b[$i];
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
          |""".stripMargin
     })
 

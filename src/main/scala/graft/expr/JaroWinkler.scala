@@ -34,6 +34,18 @@ case class JaroWinkler(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Analysis-time rejection: without this, jaro_winkler(1, 2) passes
+  // analysis (BinaryExpression defaults to success, no implicit cast)
+  // and dies mid-scan with a ClassCastException in generated code.
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == org.apache.spark.sql.types.StringType &&
+        right.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"jaro_winkler needs two strings, got ${left.dataType}, ${right.dataType}")
+
   override def nullSafeEval(a: Any, b: Any): Any =
     JaroWinkler.similarity(a.asInstanceOf[UTF8String],
       b.asInstanceOf[UTF8String])

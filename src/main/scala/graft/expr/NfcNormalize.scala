@@ -25,6 +25,15 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
+  // Analysis-time rejection (the JaroWinkler note): a non-string child
+  // would otherwise surface as a runtime ClassCastException.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize needs a string, got ${child.dataType}")
+
   override def nullSafeEval(input: Any): Any =
     NfcNormalize.run(input.asInstanceOf[UTF8String])
 

@@ -183,13 +183,7 @@ object ParseDispatch {
   }
 
   /** Space-only trim, matching `functions.trim` (blank→null upstream). */
-  private def trimSpaces(s: String): String = {
-    var b = 0
-    var e = s.length
-    while (b < e && s.charAt(b) == ' ') b += 1
-    while (e > b && s.charAt(e - 1) == ' ') e -= 1
-    if (b == 0 && e == s.length) s else s.substring(b, e)
-  }
+  private def trimSpaces(s: String): String = WordShingles.trimSpaces(s)
 
   /** Numeric captures must be pure digit/comma strings (possibly signed).
     * This is intentionally stricter than Spark's string→long cast, which

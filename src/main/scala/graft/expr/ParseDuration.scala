@@ -83,11 +83,19 @@ object ParseDuration {
   }
 
   /** Python `float(...)`: decimal literal, surrounding whitespace. NaN/inf
-    * spellings intentionally rejected (the reference never feeds them).
+    * spellings intentionally rejected (the reference never feeds them) —
+    * and so are JAVA-ONLY spellings Double.parseDouble accepts but
+    * Python's float() raises on: trailing d/D/f/F type suffixes and
+    * hex-floats ("3d", "1.5f", "0x1.8p1"). Without the gate a corrupt
+    * time like "1:2:3d" parsed as 3723 s and could WIN a min() the
+    * +Infinity sentinel should have lost.
     */
+  private val PyFloat =
+    java.util.regex.Pattern.compile("[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?")
+
   private def fracPart(p: String): Double = {
     val t = p.trim
-    if (t.isEmpty || !t.exists(_.isDigit)) throw new NumberFormatException(p)
+    if (!PyFloat.matcher(t).matches()) throw new NumberFormatException(p)
     java.lang.Double.parseDouble(t)
   }
 

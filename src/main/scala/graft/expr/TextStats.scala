@@ -73,13 +73,7 @@ object TextStats {
     (c >= '!' && c <= '/') || (c >= ':' && c <= '@') ||
       (c >= '[' && c <= '`') || (c >= '{' && c <= '~')
 
-  private def trimSpaces(s: String): String = {
-    var b = 0
-    var e = s.length
-    while (b < e && s.charAt(b) == ' ') b += 1
-    while (e > b && s.charAt(e - 1) == ' ') e -= 1
-    if (b == 0 && e == s.length) s else s.substring(b, e)
-  }
+  private def trimSpaces(s: String): String = WordShingles.trimSpaces(s)
 
   def run(t: TextStatsTable, s: UTF8String): InternalRow = {
     val str = s.toString
@@ -99,7 +93,7 @@ object TextStats {
     var stopRatio = 0.0
     var meanLen = 0.0
     if (!trimmed.isEmpty) {
-      val otoks = trimmed.split("\\s+", -1)
+      val otoks = WordShingles.Ws.split(trimmed, -1)
       nTok = otoks.length.toLong
       var lenSum = 0L
       var i = 0
@@ -110,7 +104,7 @@ object TextStats {
       meanLen = lenSum.toDouble / otoks.length.toDouble
       // Stopwords and language markers tokenize the LOWERCASED text
       // (matching `split(trim(lower(text)), "\\s+")`).
-      val ltoks = trimSpaces(s.toLowerCase.toString).split("\\s+", -1)
+      val ltoks = WordShingles.Ws.split(trimSpaces(s.toLowerCase.toString), -1)
       var stopHits = 0L
       i = 0
       while (i < ltoks.length) {

@@ -38,15 +38,32 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       s"vec_dot needs float/double arrays, got ${left.dataType}, ${right.dataType}")
   }
 
+  // NULL semantics match the zip_with+aggregate form this replaced
+  // bit-for-bit: a length mismatch (zip_with pads with nulls) or a null
+  // ELEMENT nulls the whole dot. Reading a null slot as 0.0 instead
+  // would hand corrupt input back as a plausible-looking similarity —
+  // the failure mode PackInt8's contract calls out. The element null
+  // checks are generated only when the array types admit nulls, so a
+  // tight schema pays nothing.
+  private def anyElemNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  })
+
+  override def nullable: Boolean = true
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) return null
     var acc = 0.0
     var i = 0
     val leftFloat = elemType(left) == FloatType
     val rightFloat = elemType(right) == FloatType
+    val checkNulls = anyElemNullable
     while (i < n) {
+      if (checkNulls && (a.isNullAt(i) || b.isNullAt(i))) return null
       val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y
@@ -62,13 +79,22 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullCheck =
+        if (anyElemNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.$la($i) * (double) $b.$ra($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $acc += (double) $a.$la($i) * (double) $b.$ra($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
          |""".stripMargin
     })
   }
@@ -89,6 +115,12 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   */
 case class HyperplaneBuckets(child: Expression, numPlanes: Int, seedOffset: Int)
   extends UnaryExpression {
+
+  // 64+ planes would silently alias through `1L << pl` (long shifts are
+  // mod 64) — bit 64 lands on bit 0 and XORs plane 0's decision. The
+  // ZOrder construction-guard pattern.
+  require(numPlanes >= 1 && numPlanes <= 63,
+    s"numPlanes must be in 1..63 (bucket bits live in one long), got $numPlanes")
 
   private def elemFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
@@ -137,13 +169,41 @@ object HyperplaneBuckets {
 
   import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 
+  // Plane components are row-INVARIANT (a pure function of (plane, dim))
+  // yet were recomputed per row — numPlanes × dims xxhash64 calls on the
+  // LSH bucketing path over the whole corpus, the exact hot loop this
+  // expression exists to speed up. Cached per (numPlanes, seedOffset),
+  // grown when a longer vector appears; values are identical to the
+  // inline hashes (same seed chain 42 → hash(plane) → hash(dim)), so
+  // buckets stay bit-for-bit. Bounded: a handful of entries × planes ×
+  // dims doubles per executor; a replace race writes equal values.
+  private val compCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  private def components(numPlanes: Int, seedOffset: Int,
+      dims: Int): Array[Array[Double]] = {
+    val key = (numPlanes, seedOffset)
+    var cur = compCache.get(key)
+    if (cur == null || cur(0).length < dims) {
+      val width = math.max(dims, 64)
+      cur = Array.tabulate(numPlanes) { pl =>
+        val planeSeed = XxHash64Function.hash(seedOffset + pl, IntegerType, 42L)
+        Array.tabulate(width)(i =>
+          XxHash64Function.hash(i, IntegerType, planeSeed).toDouble /
+            Long.MaxValue.toDouble)
+      }
+      compCache.put(key, cur)
+    }
+    cur
+  }
+
   def run(numPlanes: Int, seedOffset: Int, elemFloat: Boolean, vec: ArrayData): Long = {
     val n = vec.numElements()
+    val comps = components(numPlanes, seedOffset, n)
     var bits = 0L
     var pl = 0
     while (pl < numPlanes) {
-      // Seed chain of the 2-arg xxhash64: 42 → hash(plane) → hash(dim).
-      val planeSeed = XxHash64Function.hash(seedOffset + pl, IntegerType, 42L)
+      val row = comps(pl)
       var acc = 0.0
       var any = false
       var i = 0
@@ -154,10 +214,8 @@ object HyperplaneBuckets {
         // array), list_sum yields NULL there and `>= 0` is false, so the
         // bit must stay unset here too rather than defaulting to acc=0.0.
         if (!vec.isNullAt(i)) {
-          val comp = XxHash64Function.hash(i, IntegerType, planeSeed).toDouble /
-            Long.MaxValue.toDouble
           val v = if (elemFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
-          acc += v * comp
+          acc += v * row(i)
           any = true
         }
         i += 1
@@ -179,6 +237,11 @@ object HyperplaneBuckets {
   */
 case class PlaneBuckets(child: Expression, planes: Array[Array[Double]])
   extends UnaryExpression {
+
+  // Same mod-64 shift aliasing guard as HyperplaneBuckets.
+  require(planes.nonEmpty && planes.length <= 63,
+    s"plane count must be in 1..63 (bucket bits live in one long), " +
+      s"got ${planes.length}")
 
   private def elemFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true

@@ -28,6 +28,15 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
+  // Analysis-time rejection (the JaroWinkler note): a non-string child
+  // would otherwise surface as a runtime ClassCastException.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"word_shingles needs a string, got ${child.dataType}")
+
   override def nullSafeEval(input: Any): Any =
     WordShingles.run(n, distinct, input.asInstanceOf[UTF8String])
 
@@ -43,18 +52,32 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
 
 object WordShingles {
 
+  /** Compiled once: String.replaceAll/split("\\s+") re-run
+    * Pattern.compile on EVERY call — pure per-row overhead on the
+    * corpus-scan expressions written to stay inside codegen. Shared by
+    * [[TextStats]].
+    */
+  private[expr] val Ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** Space-only trim, matching `functions.trim` — the load-bearing
+    * normalization primitive. ONE definition (TextStats and
+    * ParseDispatch delegate here) so the dedup keys of the three
+    * expressions can never silently desync.
+    */
+  private[expr] def trimSpaces(s: String): String = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    if (b == 0 && e == s.length) s else s.substring(b, e)
+  }
+
   /** Lowercase (UTF8String semantics, matching `functions.lower`), collapse
     * runs of whitespace to one space, trim spaces — the canonical form every
     * content-hash dedup variant normalizes to.
     */
-  def normalize(s: UTF8String): String = {
-    val collapsed = s.toLowerCase.toString.replaceAll("\\s+", " ")
-    var b = 0
-    var e = collapsed.length
-    while (b < e && collapsed.charAt(b) == ' ') b += 1
-    while (e > b && collapsed.charAt(e - 1) == ' ') e -= 1
-    collapsed.substring(b, e)
-  }
+  def normalize(s: UTF8String): String =
+    trimSpaces(Ws.matcher(s.toLowerCase.toString).replaceAll(" "))
 
   def run(n: Int, distinct: Boolean, s: UTF8String): ArrayData = {
     val norm = normalize(s)

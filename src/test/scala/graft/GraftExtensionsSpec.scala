@@ -48,4 +48,35 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     intercept[Exception](
       spark.sql("SELECT cdc_chunks(CAST('x' AS BINARY), 'bad', 5, 9)").head)
   }
+
+  test("vec_dot NULLS on length mismatch and null elements instead of " +
+      "reading a plausible prefix/zero dot") {
+    graft.GraftExtensions.register(spark)
+    val mism = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D)) AS d").head
+    assert(mism.isNullAt(0), "mismatched dims silently dotted the prefix")
+    val nullElem = spark.sql(
+      "SELECT vec_dot(array(1.0D, CAST(NULL AS DOUBLE)), " +
+        "array(3.0D, 4.0D)) AS d").head
+    assert(nullElem.isNullAt(0), "null element silently read as 0.0")
+  }
+
+  test("unary SQL builders reject wrong arity with a pointed message") {
+    graft.GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT parse_duration('1:02', 'extra')").head
+    }
+    assert(e.getMessage.contains("exactly 1"), e.getMessage)
+  }
+
+  test("wrong-typed inputs to string expressions fail at ANALYSIS, not " +
+      "mid-scan in generated code") {
+    graft.GraftExtensions.register(spark)
+    Seq("jaro_winkler(1, 2)", "nfc_normalize(1)", "word_shingles(1, 3)")
+      .foreach { call =>
+        val e = intercept[Exception] { spark.sql(s"SELECT $call").head }
+        assert(e.getMessage.toLowerCase.contains("string") ||
+          e.getMessage.contains("DATATYPE_MISMATCH"), s"$call: ${e.getMessage}")
+      }
+  }
 }

@@ -37,12 +37,14 @@ class Int8VecSpec extends AnyFunSuite with SparkTestBase {
     got.foreach { case (id, packed, arr) => assert(packed == arr, s"row $id") }
   }
 
-  test("length mismatch truncates to the shorter side; nulls propagate") {
+  test("length mismatch NULLS the dot — schema drift must not read as a " +
+      "plausible prefix similarity; null inputs propagate") {
     import spark.implicits._
     val df = Seq((Seq(2, 3, 4), Seq(5, 6))).toDF("a", "b")
     val d = df.select(Int8Vec.int8Dot(Int8Vec.packInt8(col("a")),
-      Int8Vec.packInt8(col("b")))).as[Long].head()
-    assert(d == 2 * 5 + 3 * 6)
+      Int8Vec.packInt8(col("b"))).as("d")).collect()
+    assert(d.head.isNullAt(0),
+      "mismatched dims silently dotted their common prefix")
     val n = Seq((Some(Seq(1)), Option.empty[Seq[Int]])).toDF("a", "b")
       .select(Int8Vec.int8Dot(Int8Vec.packInt8(col("a")),
         Int8Vec.packInt8(col("b"))).as("d")).collect()
