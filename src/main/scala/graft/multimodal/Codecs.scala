@@ -166,14 +166,10 @@ object Codecs {
     buf.array()
   }
 
-  /** Strict BMP parse: magic, 24bpp uncompressed, declared data offset
-    * honored, padded bottom-up rows. Mean luma sums the integer
-    * weighted channels (299·R + 587·G + 114·B per pixel — exact) and
-    * divides once by 1000·n.
-    */
-  /** Strict shared header parse: (width, height, dataOffset, stride). */
   /** (width, height, dataOffset, stride) of a validated 24bpp BMP —
-    * shared with [[PerceptualHash]] for direct pixel addressing. */
+    * strict parse (magic, uncompressed, declared data offset honored,
+    * padded bottom-up rows), shared with [[PerceptualHash]] for direct
+    * pixel addressing. */
   private[multimodal] def bmpHeader(bytes: Array[Byte]): (Int, Int, Int, Int) =
     parseBmpHeader(bytes)
 
@@ -195,8 +191,11 @@ object Codecs {
     require(buf.getInt == 0, "compressed BMP unsupported")
     // Size math in Long: crafted width/height must fail the require, not
     // overflow Int into a bounds check that passes and an AIOOBE later.
+    // Division form, not `strideL * height <=`: the PRODUCT itself wraps
+    // Long for width/height both near 2^31, silently passing the check
+    // it exists for.
     val strideL = { val rb = 3L * width; rb + (4 - rb % 4) % 4 }
-    require(strideL * height <= bytes.length.toLong - dataOffset,
+    require(height.toLong <= (bytes.length.toLong - dataOffset) / strideL,
       "pixel data truncated")
     (width, height, dataOffset, strideL.toInt)
   }
@@ -212,8 +211,10 @@ object Codecs {
     require(outW > 0 && outH > 0, "degenerate output size")
     val (width, height, dataOffset, stride) = parseBmpHeader(bytes)
     def srcPx(ox: Int, oy: Int): (Int, Int, Int) = {
-      val sx = ox * width / outW
-      val sy = oy * height / outH
+      // Long intermediates: ox*width in Int wraps for wide sources or
+      // large upscale targets, driving a negative byte offset.
+      val sx = (ox.toLong * width / outW).toInt
+      val sy = (oy.toLong * height / outH).toInt
       // Logical row sy was written at file row (height-1-sy) (bottom-up).
       val off = dataOffset + (height - 1 - sy) * stride + 3 * sx
       ((bytes(off + 2) & 0xff, bytes(off + 1) & 0xff, bytes(off) & 0xff))
@@ -221,6 +222,9 @@ object Codecs {
     encodeBmp24(outW, outH, srcPx)
   }
 
+  /** Decode a 24bpp BMP. Mean luma sums the integer weighted channels
+    * (299·R + 587·G + 114·B per pixel — exact) and divides once by
+    * 1000·n. */
   def decodeBmp(bytes: Array[Byte]): BmpInfo = {
     val (width, height, dataOffset, stride) = parseBmpHeader(bytes)
     val bpp = 24
@@ -288,8 +292,17 @@ object Codecs {
     val prev = new Array[Int](stride)
     val cur = new Array[Int](stride)
     for (y <- 0 until height) {
-      for (x <- 0 until width; ch <- 0 until channels)
-        cur(x * channels + ch) = sample(x, y)(ch) & 0xff
+      // One callback evaluation per PIXEL, not per channel: sample(x, y)
+      // allocates a fresh array, so looping channels outside it tripled
+      // the encoder work on every planted image.
+      for (x <- 0 until width) {
+        val s = sample(x, y)
+        var ch = 0
+        while (ch < channels) {
+          cur(x * channels + ch) = s(ch) & 0xff
+          ch += 1
+        }
+      }
       val ft = y % 5
       raw(y * (1 + stride)) = ft.toByte
       for (x <- 0 until stride) {
@@ -366,7 +379,10 @@ object Codecs {
     while (!seenIend) {
       require(buf.remaining >= 8, "truncated chunk header")
       val len = buf.getInt
-      require(len >= 0 && buf.remaining >= len + 8, "truncated chunk")
+      // Long arithmetic: `len + 8` in Int wraps negative for a crafted
+      // len near Int.MaxValue, making the bound trivially true and the
+      // allocation below a ~2 GB OOM instead of the contract's IAE.
+      require(len >= 0 && buf.remaining >= len.toLong + 8, "truncated chunk")
       val typ = new Array[Byte](4); buf.get(typ)
       val data = new Array[Byte](len); buf.get(data)
       val crc = buf.getInt
@@ -394,8 +410,19 @@ object Codecs {
     }
     require(seenIhdr, "missing IHDR")
     val channels = if (color == 0) 1 else 3
-    val stride = w * channels
-    val raw = new Array[Byte](h * (1 + stride))
+    // Long-checked sizing: header-declared dims up to Int.MaxValue pass
+    // the > 0 checks, and Int `w*channels` / `h*(1+stride)` would wrap
+    // negative (NegativeArraySizeException escaping the IAE contract) or
+    // allocate gigabytes from a tiny file. DEFLATE expands at most
+    // ~1032:1, so the raw plane can never legitimately exceed that
+    // multiple of the IDAT payload — a cheap, principled cap.
+    val strideL = w.toLong * channels
+    val rawL = (1L + strideL) * h
+    require(rawL <= idat.size().toLong * 1032 + 64,
+      s"declared dimensions ${w}x$h exceed any possible inflate of the " +
+        s"${idat.size()}-byte IDAT payload")
+    val stride = strideL.toInt
+    val raw = new Array[Byte](rawL.toInt)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     var off = 0; var n = 1

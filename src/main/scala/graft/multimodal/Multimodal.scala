@@ -101,11 +101,16 @@ object Multimodal {
     * pipeline, expressed as a generator so downstream decode stays
     * per-partition.
     */
-  def sampleFrames(media: DataFrame, stride: Int, maxFrames: Int): DataFrame =
+  def sampleFrames(media: DataFrame, stride: Int, maxFrames: Int): DataFrame = {
+    // Guard at call time: non-positive bounds would build an illegal
+    // sequence() that fails per-row inside the RUNNING job.
+    require(stride > 0, s"stride must be > 0, got $stride")
+    require(maxFrames > 0, s"maxFrames must be > 0, got $maxFrames")
     media.filter(col("media_type") === "video")
       .select(col("media_id"),
         explode(sequence(lit(0), lit((maxFrames - 1) * stride), lit(stride)))
           .as("frame_idx"))
+  }
 
   /** Little-endian unsigned integer read from `nBytes` bytes of a binary
     * column at 1-based `offset` — a pure expression chain (per-byte

@@ -180,4 +180,33 @@ class CodecsSpec extends AnyFunSuite {
     assert(Codecs.audioFrames(Array[Short](1, 2, 3), 4).isEmpty)
     intercept[IllegalArgumentException](Codecs.audioFrames(Array[Short](1), 1))
   }
+
+  test("crafted size arithmetic fails the IAE contract cleanly: PNG " +
+      "chunk-length wrap, PNG giant dims, BMP product wrap") {
+    // PNG: signature + chunk length 0x7FFFFFFF — `len + 8` wraps Int,
+    // which used to pass the remaining-bytes check and allocate ~2 GB.
+    val pngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val wrapChunk = pngSig ++ Array[Byte](0x7f, -1, -1, -1) ++ "IHDR".getBytes
+    intercept[IllegalArgumentException](Codecs.decodePng(wrapChunk))
+
+    // PNG: valid-CRC IHDR declaring dims whose raw plane cannot fit any
+    // inflate of the (empty) IDAT payload.
+    val good = Codecs.encodePngGray8(2, 2, (_, _) => 7)
+    val giant = good.clone()
+    val gb = ByteBuffer.wrap(giant)
+    gb.putInt(16, 715827883) // width: 3*w wraps Int
+    // Recompute the IHDR CRC so the dim check (not the CRC) must reject.
+    val typAndData = java.util.Arrays.copyOfRange(giant, 12, 12 + 4 + 13)
+    val crc = new java.util.zip.CRC32(); crc.update(typAndData)
+    gb.putInt(12 + 4 + 13, crc.getValue.toInt)
+    intercept[IllegalArgumentException](Codecs.decodePng(giant))
+
+    // BMP: width AND height near 2^31 — the old strideL*height guard
+    // itself wrapped Long and passed.
+    val bmp = Codecs.encodeBmp24(2, 2, (_, _) => (1, 2, 3))
+    val wrapBmp = bmp.clone()
+    val bb = ByteBuffer.wrap(wrapBmp).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(18, 1500000000); bb.putInt(22, 2100000000)
+    intercept[IllegalArgumentException](Codecs.decodeBmp(wrapBmp))
+  }
 }

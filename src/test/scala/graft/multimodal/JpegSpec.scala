@@ -101,4 +101,30 @@ class JpegSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](Jpeg.decode(prog))
     assert(e.getMessage.contains("baseline"))
   }
+
+  test("crafted SOF dims and truncated DQT/DHT segments fail cleanly, " +
+      "never AIOOBE or gigabyte allocations") {
+    // A real small JPEG, then surgically corrupt copies.
+    val good = Jpeg.encodeGray(16, 16, (_, _) => 77, quant = 8)
+    def findMarker(b: Array[Byte], m: Int): Int = {
+      var i = 2
+      while (i < b.length - 1 &&
+        !((b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == m)) i += 1
+      i
+    }
+    // SOF0 dims 65535x65535: w*h wraps Int (or allocates GBs).
+    val sof = findMarker(good, 0xc0)
+    assert(sof < good.length - 1, "fixture must carry SOF0")
+    val giant = good.clone()
+    giant(sof + 5) = -1; giant(sof + 6) = -1 // height = 0xffff
+    giant(sof + 7) = -1; giant(sof + 8) = -1 // width  = 0xffff
+    intercept[IllegalArgumentException](Jpeg.decode(giant))
+    // DQT with an undersized declared length: table bytes must not be
+    // read from the next segment or past EOF.
+    val dqt = findMarker(good, 0xdb)
+    assert(dqt < good.length - 1, "fixture must carry DQT")
+    val shortDqt = good.clone()
+    shortDqt(dqt + 2) = 0; shortDqt(dqt + 3) = 6 // len 6 < 2 + 65
+    intercept[IllegalArgumentException](Jpeg.decode(shortDqt))
+  }
 }
