@@ -46,9 +46,17 @@ object HyperAnf {
     */
   def ballRegisters(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct()
-    (1 to rounds).foldLeft(initRegisters(e))((regs, _) => mergeRound(e, regs))
+    // Per-round lineage truncation: mergeRound references regs TWICE
+    // (union branch + join input), so an untruncated fold doubles the
+    // plan per round — O(2^rounds) plan nodes that hang Catalyst on the
+    // driver before any executor work. Lazy checkpoints (blocks
+    // materialize at the caller's action); neighborhoodFunction adds
+    // the eager per-round release its readout pattern allows.
+    (1 to rounds).foldLeft(initRegisters(e).localCheckpoint(false))(
+      (regs, _) => mergeRound(e, regs).localCheckpoint(false))
   }
 
   /** Singleton sketch {node} per node of the (src, dst) edge frame: md5
@@ -92,6 +100,7 @@ object HyperAnf {
     */
   def neighborhoodFunction(edges: DataFrame, srcCol: String,
       dstCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     val spark = edges.sparkSession
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct()
@@ -131,11 +140,18 @@ object HyperAnf {
     }
     graft.ops.Checkpoints.release(regs)
     graft.ops.Checkpoints.release(e)
-    // nf_frac against the final round (NF is monotone in t, so the max is
-    // nfs(rounds)); round 6 via HALF_UP on BigDecimal.valueOf — exactly
-    // Spark's `round(double)` semantics, so the driver-built frame is
-    // bit-identical to the old window readout.
-    val maxNf = nfs(rounds)
+    // nf_frac against the MAX round — matching the oracle's
+    // max(nf) OVER (): the exact NF is monotone in t, but the HLL
+    // ESTIMATE being summed is not strictly so across the
+    // linear-counting→raw estimator crossover, and dividing by the last
+    // round could read nf_frac > 1 where the oracle never does. Round 6
+    // via HALF_UP on BigDecimal.valueOf — exactly Spark's `round(double)`
+    // semantics, so the driver-built frame is bit-identical to the old
+    // window readout.
+    val maxNf = nfs.flatten match {
+      case arr if arr.isEmpty => None
+      case arr => Some(arr.max)
+    }
     def r6(x: Double): Double =
       if (x.isNaN || x.isInfinite) x // matches Spark round() on non-finite
       else java.math.BigDecimal.valueOf(x)

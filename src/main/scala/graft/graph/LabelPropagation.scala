@@ -31,6 +31,19 @@ object LabelPropagation {
     */
   def communities(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int): DataFrame = {
+    // The min-label tie-break below negates the label — only meaningful
+    // for NUMERIC node ids. A string id would negate to NULL (non-ANSI),
+    // silently degrading the documented determinism to
+    // partitioning-dependent tie-breaks; fail loudly instead.
+    require(Seq[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType)
+        .contains(edges.schema(srcCol).dataType),
+      s"node ids must be integral for the deterministic min-label " +
+        s"tie-break, got ${edges.schema(srcCol).dataType} — assign " +
+        "numeric ids first (ops.Ordinals.assign)")
     require(rounds >= 0, "rounds must be >= 0")
     // Undirected neighbor pairs, deduped: (v, u) for every edge {u, v}.
     val und = edges

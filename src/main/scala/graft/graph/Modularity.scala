@@ -63,6 +63,11 @@ object Modularity {
     // even integer, restored to BIGINT.
     val m = perLabel.agg((sum(col("d_total")) / 2).cast("long").as("__m"))
 
+    // Integer-arithmetic bound, documented not silently exceeded: q_num
+    // = 4·m·e_intra − d_total² stays in BIGINT while m ≲ 1.5e9 edges and
+    // every community degree sum ≲ 3e9 (the Regression.groupTrend
+    // convention — callers past that re-key into DECIMAL(38,0), trading
+    // the oracle's exact-BIGINT parity for headroom).
     perLabel
       .crossJoin(broadcast(m))
       .select(col("label"), col("e_intra"), col("d_total"),

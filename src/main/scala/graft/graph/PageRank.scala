@@ -60,11 +60,18 @@ object PageRank {
       sources: Seq[Long], iterations: Int): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
     require(sources.nonEmpty, "need at least one source node")
+    // DISTINCT seeds: a duplicated entry would shrink base (= Scale div
+    // |S|) while injecting the seed's mass once — silently halving total
+    // teleport mass. Seeds ABSENT from the edge list contribute nothing
+    // (the node universe is the edge endpoints); callers personalizing
+    // on possibly-isolated nodes should union those ids into the edge
+    // frame as self-loops first.
+    val seedSet = sources.distinct
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node"))).distinct()
-    val base = Scale / sources.size
-    val isSeed = col("node").isin(sources: _*)
+    val base = Scale / seedSet.size
+    val isSeed = col("node").isin(seedSet: _*)
     val outDeg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
 
     var rank = nodes.select(col("node"),

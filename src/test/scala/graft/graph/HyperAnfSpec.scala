@@ -70,4 +70,19 @@ class HyperAnfSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(est(1) - 8.0) <= 0.4)
     assert(est(2) == est(1)) // saturated: a fixed point, bit-identical
   }
+
+  test("deep ballRegisters folds complete: per-round truncation keeps " +
+      "the doubly-self-referencing plan linear, not O(2^rounds)") {
+    // rounds = 16 without the per-round checkpoint builds ~2^16 copies
+    // of the whole pipeline and hangs Catalyst before any executor work.
+    // Past the cycle's diameter the registers are saturated, so the
+    // result must equal the rounds = 3 fixed point.
+    val deep = HyperAnf.ballRegisters(cycle, "src", "dst", rounds = 16)
+      .collect().map(_.toSeq).toSet
+    val fixed = HyperAnf.ballRegisters(cycle, "src", "dst", rounds = 3)
+      .collect().map(_.toSeq).toSet
+    assert(deep == fixed)
+    intercept[IllegalArgumentException](
+      HyperAnf.ballRegisters(cycle, "src", "dst", rounds = -1))
+  }
 }

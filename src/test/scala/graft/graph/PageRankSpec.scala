@@ -109,4 +109,15 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == model)
   }
+
+  test("personalized: duplicate seed entries do not halve the teleport " +
+      "mass") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 0L)).toDF("s", "d")
+    val once = PageRank.personalized(edges, "s", "d", Seq(0L), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val duped = PageRank.personalized(edges, "s", "d", Seq(0L, 0L), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(duped == once)
+  }
 }
