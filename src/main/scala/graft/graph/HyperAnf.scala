@@ -53,10 +53,16 @@ object HyperAnf {
     // (union branch + join input), so an untruncated fold doubles the
     // plan per round — O(2^rounds) plan nodes that hang Catalyst on the
     // driver before any executor work. Lazy checkpoints (blocks
-    // materialize at the caller's action); neighborhoodFunction adds
-    // the eager per-round release its readout pattern allows.
-    (1 to rounds).foldLeft(initRegisters(e).localCheckpoint(false))(
-      (regs, _) => mergeRound(e, regs).localCheckpoint(false))
+    // materialize at the caller's action); the LAST round stays a plain
+    // plan so callers — and the plan-shape audit — still see the
+    // union/keyed-max aggregation (the LabelPropagation convention).
+    // neighborhoodFunction adds the eager per-round release its readout
+    // pattern allows.
+    (1 to rounds).foldLeft(initRegisters(e).localCheckpoint(false)) {
+      (regs, r) =>
+        val next = mergeRound(e, regs)
+        if (r < rounds) next.localCheckpoint(false) else next
+    }
   }
 
   /** Singleton sketch {node} per node of the (src, dst) edge frame: md5
