@@ -205,13 +205,15 @@ object Experiment {
     *
     * Scale shape: subjects collapse FIRST to one row per distinct
     * duration by a map-side-combined partial agg; the risk set is a
-    * DESCENDING cumulative sum over that frame (the [[graft.ml.Eval]]
-    * rocPoints shape) and the survival product runs as an ASCENDING
-    * window sum of log terms — both over the |distinct durations| frame,
-    * which for day-grain tenures is calendar-bounded (the msprt O(days)
-    * argument). Window running sums add in frame order on any engine, so
-    * the float chain is order-pinned; the 6-decimal rounding absorbs ln
-    * ulps (the repo's ln contract).
+    * DESCENDING tiled cumulative sum over that frame and the survival
+    * product an ASCENDING one — both ride the shared
+    * [[graft.ml.Eval.cumLegs]] tiled-prefix-sum engine (tile-local
+    * window + broadcast base offsets over quantile-literal tiles), the
+    * exact rocPoints/upliftCurve shape, so seconds-precision durations
+    * (|distinct| ≈ n) never funnel into one sorted partition. The log
+    * leg is a float sum whose tile-fold order differs from a sequential
+    * window's by ~ulp; the 6-decimal rounding absorbs ln ulps (the
+    * repo's ln contract), same as the cross-engine oracle already does.
     *
     * @param observed true = event (death/churn) observed; false = right-
     *                 censored at `duration`
@@ -225,22 +227,24 @@ object Experiment {
       .groupBy(col("t"))
       .agg(sum(when(col("__o"), 1L).otherwise(0L)).as("d"),
         count(lit(1)).as("__n"))
-    val wRisk = Window.orderBy(col("t").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val risk = per.withColumn("n_risk", sum(col("__n")).over(wRisk))
-    val wSurv = Window.orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = graft.ml.Eval.cumLegs(graft.ml.Eval.tileOf(per, col("t")),
+      col("t"), Seq("__n" -> "n_risk"), descending = true, inclusive = true)
     // d == n_risk (everyone still at risk dies — necessarily the MAX
     // duration, since any longer-lived subject would be in this risk
     // set) sends S to exactly 0: ln(0) is NULL on Spark but -inf on
     // DuckDB, so that terminal row is special-cased to (NULL, 0.0)
     // instead of ever evaluating the log on either engine.
-    risk
+    val terms = risk
       .withColumn("__term",
         when(col("d") > 0 && col("d") < col("n_risk"),
           log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")))
           .otherwise(lit(0.0)))
-      .withColumn("__ls", sum(col("__term")).over(wSurv))
+      // Re-anchor before the ascending pass: the second cumLegs reads its
+      // frame twice (local windows + tile totals), and without truncation
+      // the totals branch would re-run the descending pass' window+join.
+      .localCheckpoint(false)
+    graft.ml.Eval.cumLegs(terms, col("t"),
+        Seq("__term" -> "__ls"), descending = false, inclusive = true)
       .where(col("d") > 0)
       .select(col("t"), col("n_risk"), col("d"),
         when(col("d") < col("n_risk"), round(col("__ls"), 6)).as("log_surv"),

@@ -220,6 +220,29 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       }
   }
 
+  test("kaplanMeier: both cumulative legs tile-keyed, no single-partition window") {
+    import spark.implicits._
+    // Seconds-precision durations: |distinct| = n, the shape that used to
+    // funnel both cumulatives into one sorted partition.
+    val df = (0 until 300).map(i => (i.toLong * 13 + i % 3, i % 4 != 0))
+      .toDF("dur", "obs")
+    val plan = planOf(graft.ops.Experiment.kaplanMeier(df, col("dur"), col("obs")))
+    val lines = plan.split('\n').map(_.trim)
+    // Subjects collapse to distinct durations by a map-side-combined agg.
+    assert(plan.contains("partial_sum"), plan)
+    // Risk set (descending) and survival (ascending) both ride tile-local
+    // windows over the quantile-literal tile id; no window may run
+    // unpartitioned and nothing may exchange to a single partition —
+    // kaplanMeier's output is per-death-time, so there is no 1-row global
+    // aggregate to excuse one.
+    assert(lines.exists(_.contains("Window")), plan)
+    lines.filter(_.contains("Window")).foreach { w =>
+      assert(w.contains("__pid"), s"global window found:\n$w\n$plan")
+    }
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    assert(plan.contains("hashpartitioning(__pid"), plan)
+  }
+
   test("CUSUM: one series-keyed exchange, no single-partition window") {
     import spark.implicits._
     val df = (0 until 200).map(i => (s"k${i % 4}", i.toLong, (i % 7).toLong))
