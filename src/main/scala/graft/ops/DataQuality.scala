@@ -128,16 +128,20 @@ object DataQuality {
     groupCols.map(c => coalesce(col(c).cast("string"), lit("\u0000")))
       .reduce((a, b) => concat(a, lit("\u0001"), b))
 
-  /** ε-differentially-private count release per group (sensitivity 1 →
-    * Laplace(1/ε)): (groups..., noisy_count, epsilon). One partial-agg'd
-    * groupBy + a map-only noise projection keyed on the group value.
+  /** Laplace-noised count release per group (sensitivity 1 →
+    * Laplace(1/ε)): (groups..., noisy_count, noise_scale). One
+    * partial-agg'd groupBy + a map-only noise projection keyed on the
+    * group value.
     *
-    * Output contract caveats (see [[laplaceNoise]]): (1) `epsilon` labels
-    * the CALIBRATION of the noise, not a formal guarantee — that holds
-    * only if `salt` is secret; (2) rows exist only for groups PRESENT in
-    * the data, so group-key existence leaks regardless of noise — for a
-    * data-dependent group domain use [[dpCountsStable]], which pays δ to
-    * threshold existence away, or restrict to a public known domain.
+    * Output contract caveats (see [[laplaceNoise]]): (1) the output
+    * deliberately labels the Laplace scale b (`noise_scale` = 1/ε), NOT
+    * an `epsilon` — rows exist only for groups PRESENT in the data, so
+    * group-key existence leaks regardless of noise and a bare release
+    * from this variant carries no ε-DP guarantee over a private key
+    * domain; (2) even the calibration is a guarantee only if `salt` is
+    * secret. For a data-dependent group domain use [[dpCountsStable]],
+    * which pays δ to threshold existence away (and therefore DOES stamp
+    * its honest (epsilon, delta)), or restrict to a public known domain.
     */
   def dpCounts(df: DataFrame, groupCols: Seq[String], epsilon: Double,
       salt: String): DataFrame = {
@@ -149,7 +153,7 @@ object DataQuality {
         round(col("__n") +
           laplaceNoise(key, salt, lit(1.0 / epsilon)), 4)
           .as("noisy_count"),
-        lit(epsilon).as("epsilon")): _*)
+        lit(1.0 / epsilon).as("noise_scale")): _*)
   }
 
   /** ε-DP mean release per group: contributions clamped to [lo, hi]
@@ -166,6 +170,11 @@ object DataQuality {
     * pre-noise sum is exact and aggregation-order-independent (the
     * house cross-engine contract); the <= half-cent per-row rounding is
     * dwarfed by the calibrated noise.
+    *
+    * Same output stance as [[dpCounts]]: per-leg `noise_scale_sum` /
+    * `noise_scale_count` Laplace scales, not an `epsilon` — rows exist
+    * only for present groups, so pair with a public key domain or a
+    * stability threshold for a formal guarantee.
     */
   def dpMean(df: DataFrame, groupCols: Seq[String], valueCol: String,
       lo: Double, hi: Double, epsilon: Double,
@@ -185,7 +194,8 @@ object DataQuality {
         round(col("__n") + nCnt, 4).as("noisy_count"),
         round((col("__s").cast("double") + nSum) /
           greatest(col("__n") + nCnt, lit(1.0)), 4).as("noisy_mean"),
-        lit(epsilon).as("epsilon")): _*)
+        lit(sumSens / half).as("noise_scale_sum"),
+        lit(1.0 / half).as("noise_scale_count")): _*)
   }
 
   /** (ε,δ)-DP "stability histogram" count release for a DATA-DEPENDENT
@@ -207,6 +217,10 @@ object DataQuality {
     val tau = 1.0 + 2.0 * math.log(2.0 / delta) / epsilon
     dpCounts(df, groupCols, epsilon, salt)
       .filter(col("noisy_count") >= lit(tau))
+      // This variant's threshold buys the honest (ε,δ) stamp the plain
+      // release cannot claim — swap the scale label for the budget.
+      .drop("noise_scale")
+      .withColumn("epsilon", lit(epsilon))
       .withColumn("delta", lit(delta))
       .withColumn("threshold", round(lit(tau), 4))
   }

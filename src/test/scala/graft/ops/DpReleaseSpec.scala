@@ -90,6 +90,24 @@ class DpReleaseSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("plain releases stamp noise_scale, only the thresholded one epsilon") {
+    // The plain variants leak group existence, so their output must not
+    // claim an epsilon; the stability-thresholded release earns it.
+    val counts = DataQuality.dpCounts(rows, Seq("grp"), epsilon = 2.0,
+      salt = "dpc")
+    assert(counts.columns.toSeq == Seq("grp", "noisy_count", "noise_scale"))
+    assert(counts.head.getDouble(2) == 0.5) // b = 1/eps
+    val means = DataQuality.dpMean(rows, Seq("grp"), "v",
+      lo = 0.0, hi = 100.0, epsilon = 2.0, salt = "dpm")
+    assert(!means.columns.contains("epsilon"))
+    assert(means.head.getDouble(means.head.fieldIndex("noise_scale_sum"))
+      == 100.0) // max(|lo|,|hi|)/(eps/2)
+    val stable = DataQuality.dpCountsStable(rows, Seq("grp"),
+      epsilon = 2.0, delta = 0.05, salt = "dps")
+    assert(!stable.columns.contains("noise_scale"))
+    assert(stable.columns.containsSlice(Seq("epsilon", "delta", "threshold")))
+  }
+
   test("laplace noise distribution: symmetric, median near b ln 2") {
     val keys = (0 until 2000).map(_.toString).toDF("k")
     val xs = keys.select(DataQuality.laplaceNoise(col("k"), "t",
