@@ -14,6 +14,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Crash-leftover hygiene (see Bench): stale per-run IVF trees from
+    // killed runs otherwise accumulate two corpus copies each.
+    graft.queries.SimilarityQueries.sweepStaleIvfTmp(
+      spark.sparkContext.applicationId)
     new java.io.File(outDir).mkdirs()
     // Dev-loop filter: SPARK_GRAFT_ONLY=q_a,q_b dumps just those queries
     // (the driver never sets it, so the gate always runs the full surface).

@@ -26,6 +26,31 @@ object SimilarityQueries extends QueryGroup {
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     } catch { case _: Exception => () }
 
+  /** Crash-leftover sweep: the per-run deleteTree above never fires when
+    * a run is killed mid-query, and each abandoned `graft_ivf_*` tree
+    * holds two parquet copies of the corpus. Harness entry points call
+    * this once at startup to delete trees NOT owned by the live
+    * application id; the one-hour age guard keeps a genuinely concurrent
+    * run's fresh trees safe (a full harness pass is minutes, not hours).
+    * Best-effort like deleteTree — a failed sweep costs disk, never
+    * correctness. */
+  def sweepStaleIvfTmp(liveAppId: String): Unit = try {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_ivf_") &&
+        !f.getName.endsWith(liveAppId) && f.lastModified() < cutoff)
+      .foreach { d =>
+        System.err.println(s"[graft] sweeping stale IVF tmp tree: $d")
+        rm(d)
+      }
+  } catch { case _: Exception => () }
+
   val queries: Map[String, Q] = Map(
     // Norms + dims: the sanity surface for the vector math.
     "q_vector_norms" -> ((s, dir) => {
