@@ -142,6 +142,45 @@ object ParseQueries extends QueryGroup {
           col("New_Level").as("new_level"))
     }),
 
+    // P1/P3/P5: the chat branch of the parse engine
+    // (2_parse_engine.py:142-156, pattern config.example.toml:381-384),
+    // tried BEFORE every broadcast pattern. Four fixtures per event row:
+    // a plain chat line (escape cleanup inside the content), a chat line
+    // with the optional status icon and BLANK content (regex-matches,
+    // blank→null coercion), a chat line whose CONTENT is a valuable-drop
+    // broadcast (must land in chat, never broadcasts — the precedence
+    // row), and a pure broadcast (must land in broadcasts). Emitting the
+    // union of both silver tables puts the precedence itself under the
+    // hash gate: a dispatch that let broadcasts win would emit the drop
+    // row twice with different shapes.
+    "q_parse_chat" -> ((s, dir) => {
+      val msg =
+        when(col("event_type") === "purchase",
+          format_string("<:rank_%d:100>**user_%d**: dropped \\*%d\\* coins",
+            pmod(col("event_id"), lit(5)), col("user_id"), col("event_id")))
+          .when(col("event_type") === "click",
+            format_string("<:rank_%d:100><:status_on:9>  **user_%d**:   ",
+              pmod(col("event_id"), lit(5)), col("user_id")))
+          .when(col("event_type") === "signup",
+            format_string("<:rank_%d:100>**user_%d**: received a drop: Item_%d (500 coins) from Mob_1.",
+              pmod(col("event_id"), lit(5)), col("user_id"), pmod(col("event_id"), lit(50))))
+          .otherwise(format_string("user_%d has reached Attack level %d.",
+            col("user_id"), pmod(col("event_id"), lit(99)) + 1))
+      val raw = Tables.events(s, dir)
+        .select(col("event_id").as("id"), col("ts").as("timestamp"),
+          msg.as("raw_content"))
+      val r = graft.parse.ParseEngine.parse(raw)
+      r.chat.select(col("raw_log_id"), lit("chat").as("message_type"),
+          col("Rank").as("rank"), col("Status").as("status"),
+          col("Username").as("username"), col("Content").as("info"))
+        .unionByName(r.broadcasts.select(col("raw_log_id"),
+          lit("broadcast").as("message_type"),
+          lit(null).cast("string").as("rank"),
+          lit(null).cast("string").as("status"),
+          col("Username").as("username"),
+          col("Broadcast_Type").as("info")))
+    }),
+
     // END-TO-END: the real OSRS pipeline against the oracle — synthesized
     // raw messages → ParseEngine (full 35-variant dispatch) → the actual
     // period-pivoted leaderboard report generator. This puts the report
@@ -195,6 +234,8 @@ object ParseQueries extends QueryGroup {
     """^(?:<:\w+:\d+>){0,2}\s*(.+?)\s+received a drop: (.*?)\s+\((\d{1,3}(?:,\d{3})*|\d+) coins\) from (.*?)\.?$"""
   private val levelPat = """^(?:<:\w+:\d+>){0,2}\s*(.+?)\s+has reached ([\w\s]+) level (\d+)\.?$"""
   private val invitePat = """^(?:<:\w+:\d+>){0,2}\s*(.+?)\s+has been invited into the clan by (.*?)\.?$"""
+  // Mirrors OsrsPatterns.default.chatRegex (config.example.toml:381-384).
+  private val chatPat = """^<:(\w+):\d+>(?:<:(\w+):\d+>)?\s*\*\*(.*?)\*\*:\s*(.*)"""
 
   val oracles: Map[String, String] = Map(
     "q_parse_dispatch" ->
@@ -312,6 +353,40 @@ object ParseQueries extends QueryGroup {
         |    CAST(regexp_extract(msg, '^(?:<:\w+:\d+>){0,2}\s*(.+?)\s+has reached a total level of (\d+)\.?$', 2) AS INT) AS new_level
         |  FROM p WHERE is_tot AND NOT is_lvl)
         |SELECT * FROM lvl UNION ALL SELECT * FROM tot""".stripMargin,
+    // Mirrors ParseEngine's chat-first dispatch: escape cleanup, the
+    // chat regex with its optional status group (unmatched group → '' in
+    // DuckDB → NULL via NULLIF, same as the engine's blank→null
+    // coercion), and level-pattern broadcasts only for rows the chat
+    // regex did NOT claim.
+    "q_parse_chat" ->
+      s"""WITH m AS (
+         |  SELECT event_id, CASE event_type
+         |    WHEN 'purchase' THEN printf('<:rank_%d:100>**user_%d**: dropped \\*%d\\* coins',
+         |      event_id % 5, user_id, event_id)
+         |    WHEN 'click' THEN printf('<:rank_%d:100><:status_on:9>  **user_%d**:   ',
+         |      event_id % 5, user_id)
+         |    WHEN 'signup' THEN printf('<:rank_%d:100>**user_%d**: received a drop: Item_%d (500 coins) from Mob_1.',
+         |      event_id % 5, user_id, event_id % 50)
+         |    ELSE printf('user_%d has reached Attack level %d.', user_id, event_id % 99 + 1)
+         |    END AS msg
+         |  FROM events),
+         |c AS (
+         |  SELECT event_id AS raw_log_id,
+         |    regexp_replace(msg, '\\\\([^\\w\\s])', '\\1', 'g') AS content
+         |  FROM m)
+         |SELECT raw_log_id, 'chat' AS message_type,
+         |  NULLIF(trim(regexp_extract(content, '$chatPat', 1)), '') AS rank,
+         |  NULLIF(trim(regexp_extract(content, '$chatPat', 2)), '') AS status,
+         |  NULLIF(trim(regexp_extract(content, '$chatPat', 3)), '') AS username,
+         |  NULLIF(trim(regexp_extract(content, '$chatPat', 4)), '') AS info
+         |FROM c WHERE regexp_matches(content, '$chatPat')
+         |UNION ALL
+         |SELECT raw_log_id, 'broadcast' AS message_type,
+         |  NULL AS rank, NULL AS status,
+         |  trim(regexp_extract(content, '$levelPat', 1)) AS username,
+         |  'Level Up' AS info
+         |FROM c WHERE NOT regexp_matches(content, '$chatPat')
+         |  AND regexp_matches(content, '$levelPat')""".stripMargin,
     "q_osrs_leaderboard_e2e" ->
       s"""WITH m AS (SELECT event_id, ts, $messageSql AS msg FROM events),
          |p AS (
