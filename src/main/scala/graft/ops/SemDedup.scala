@@ -50,4 +50,25 @@ object SemDedup {
       .select(col("id"), col("cluster"),
         (!coalesce(col("__s"), lit(false))).as("kept"))
   }
+
+  /** SemDeDup keep flags from a CALLER-SUPPLIED scored pair stream —
+    * typically a [[NnDescent]] kNN graph (cos already on every edge, so
+    * no vector joins at all), or LSH/IVF candidate pairs. Same keep rule
+    * as [[keepFlags]]: a row is shadowed when any pair above `tau` links
+    * it to a lower id — pair direction is irrelevant, the larger id of a
+    * τ-edge always loses. The kNN-graph feed is the scale path the
+    * SemDeDup paper's k-means blocking approximates from the other side:
+    * a k-capped graph bounds the pair stream at n·k rows regardless of
+    * how lopsided the clusters are.
+    *
+    * @param ids universe of rows to flag (rows with no τ-pair are kept)
+    */
+  def keepFlagsFromPairs(ids: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, simCol: String, tau: Double): DataFrame = {
+    val shadowed = pairs.filter(col(simCol) > tau)
+      .select(greatest(col(aCol), col(bCol)).as("id")).distinct()
+    ids.select(col(idCol).as("id")).distinct()
+      .join(shadowed.withColumn("__s", lit(true)), Seq("id"), "left")
+      .select(col("id"), (!coalesce(col("__s"), lit(false))).as("kept"))
+  }
 }

@@ -51,6 +51,97 @@ object SimilarityQueries extends QueryGroup {
       }
   } catch { case _: Exception => () }
 
+  /** Cluster-boosted corpus for the NN-Descent queries: one-hot dims for
+    * the row's label (10 dims, 2.0) AND for vec_id mod 4 (4 dims, 2.0)
+    * appended to the 64 fixture dims — 40 fine clusters of ~12 whose
+    * within-cluster cosine (~0.89) dominates the label-only tier (~0.44)
+    * and the cross tier (~0). Two tiers matter: the fine clusters are
+    * small enough that the descent's pivot join EXHAUSTS them (exact
+    * top-k, the oracle gate), and the label tier is the highway that
+    * routes a node toward its fine cluster even when init bucketing gave
+    * it no direct cluster-mate. Exact float→double widening plus literal
+    * appends — DuckDB builds the bit-identical vectors (see nndBoostSql).
+    */
+  private def boostedCorpus(emb: org.apache.spark.sql.DataFrame) =
+    emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        concat(col("embedding").cast("array<double>"),
+          array((0 until 10).map(j =>
+            when(col("label") === j, lit(2.0)).otherwise(lit(0.0))) ++
+            (0 until 4).map(j =>
+              when(pmod(col("vec_id"), lit(4)) === j, lit(2.0))
+                .otherwise(lit(0.0))): _*))
+          .as("vb"))
+
+  private val nndBoostSql = ((0 until 10)
+    .map(j => s"CASE WHEN label=$j THEN 2.0 ELSE 0.0 END") ++
+    (0 until 4).map(j => s"CASE WHEN vec_id%4=$j THEN 2.0 ELSE 0.0 END"))
+    .mkString("list_concat(embedding::DOUBLE[], [", ", ", "])")
+
+  /** DuckDB replay of [[graft.ops.NnDescent.knnGraph]] over the boosted
+    * corpus — a WITH-chain mirroring the operator statement for
+    * statement: salted md5 init buckets, symmetrize→dedup→degree-cap,
+    * the new-flagged pivot join, scoring, and the merge top-k, one CTE
+    * block per round (generated, like the operator's loop). Cosines are
+    * rounded to 6 decimals before every rank on BOTH engines
+    * (simPrecision = 6), so a cross-engine ulp cannot flip a mid-round
+    * rank; `e$rounds` is the final (id, nbr, cos) graph.
+    */
+  private def nndReplaySql(k: Int, rounds: Int, initTables: Int,
+      bucketSize: Int, deg: Int, salt: String,
+      corpusWhere: String = ""): String = {
+    def cosFn(a: String, b: String) =
+      s"round(list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b))), 6)"
+    val tablesVals = (0 until initTables).map(t => s"($t)").mkString(",")
+    val init =
+      s"""e AS MATERIALIZED (SELECT vec_id, $nndBoostSql AS v
+         |  FROM embeddings WHERE embedding IS NOT NULL$corpusWhere),
+         |bk AS MATERIALIZED (
+         |  SELECT t.t, e.vec_id AS id, e.v,
+         |    CAST(('0x' || substr(md5('$salt' || t.t || ':' || CAST(e.vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |      % (SELECT greatest(1, count(*)//$bucketSize) FROM e) AS bkt
+         |  FROM e, (VALUES $tablesVals) t(t)),
+         |ip AS (
+         |  SELECT x.id AS u, y.id AS w, ${cosFn("x.v", "y.v")} AS cos
+         |  FROM bk x JOIN bk y ON x.t = y.t AND x.bkt = y.bkt AND x.id < y.id),
+         |e0 AS MATERIALIZED (
+         |  SELECT id, nbr, cos, true AS nw FROM (
+         |    SELECT id, nbr, cos,
+         |      row_number() OVER (PARTITION BY id ORDER BY cos DESC, nbr ASC) AS rr
+         |    FROM (SELECT id, nbr, max(cos) AS cos FROM (
+         |      SELECT u AS id, w AS nbr, cos FROM ip
+         |      UNION ALL SELECT w, u, cos FROM ip) GROUP BY id, nbr))
+         |  WHERE rr <= $k)""".stripMargin
+    val roundBlocks = (0 until rounds).map { r =>
+      s"""s$r AS (
+         |  SELECT id, nbr, max(cos) AS cos, bool_or(nw) AS nw FROM (
+         |    SELECT id, nbr, cos, nw FROM e$r
+         |    UNION ALL SELECT nbr, id, cos, nw FROM e$r) GROUP BY id, nbr),
+         |c$r AS MATERIALIZED (
+         |  SELECT id, nbr, nw FROM (
+         |    SELECT id, nbr, nw,
+         |      row_number() OVER (PARTITION BY id ORDER BY cos DESC, nbr ASC) AS rr
+         |    FROM s$r) WHERE rr <= $deg),
+         |p$r AS (
+         |  SELECT DISTINCT x.nbr AS u, y.nbr AS w
+         |  FROM c$r x JOIN c$r y ON x.id = y.id AND x.nbr < y.nbr
+         |  WHERE x.nw OR y.nw),
+         |d$r AS MATERIALIZED (
+         |  SELECT p.u, p.w, ${cosFn("a.v", "b.v")} AS cos
+         |  FROM p$r p JOIN e a ON a.vec_id = p.u JOIN e b ON b.vec_id = p.w),
+         |e${r + 1} AS MATERIALIZED (
+         |  SELECT id, nbr, cos, (mo = 0) AS nw FROM (
+         |    SELECT id, nbr, cos, mo,
+         |      row_number() OVER (PARTITION BY id ORDER BY cos DESC, nbr ASC) AS rr
+         |    FROM (SELECT id, nbr, max(cos) AS cos, max(o) AS mo FROM (
+         |      SELECT id, nbr, cos, 1 AS o FROM e$r
+         |      UNION ALL SELECT u, w, cos, 0 FROM d$r
+         |      UNION ALL SELECT w, u, cos, 0 FROM d$r) GROUP BY id, nbr))
+         |  WHERE rr <= $k)""".stripMargin
+    }.mkString(",\n")
+    s"WITH $init,\n$roundBlocks"
+  }
+
   val queries: Map[String, Q] = Map(
     // Norms + dims: the sanity surface for the vector math.
     "q_vector_norms" -> ((s, dir) => {
@@ -310,6 +401,37 @@ object SimilarityQueries extends QueryGroup {
       probed
     }),
 
+    // NN-Descent kNN graph (Dong et al., WWW'11) over the cluster-boosted
+    // corpus (boostedCorpus above: 40 fine clusters at cos ~0.89, a label
+    // tier at ~0.44, cross below 0.11, both engines building identical
+    // vectors). The oracle REPLAYS the descent round for round — md5 init
+    // buckets, 6-decimal cosine quantization before every rank, id tie-
+    // breaks — the same stance as the md5-plane LSH queries: the gate
+    // pins the ALGORITHM, not a recall claim (NN-Descent is a local
+    // search; measured recall lives in NnDescentSpec).
+    "q_nndescent" -> ((s, dir) => {
+      graft.ops.NnDescent.knnGraph(
+        boostedCorpus(Tables.embeddings(s, dir)), "vec_id", "vb",
+        k = 5, rounds = 2, maxDegree = 12, simPrecision = 6)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // SemDeDup fed by the NN-Descent graph instead of k-means blocking:
+    // the kNN edges ARE the candidate pairs (cos already scored, no
+    // vector joins), capped at n·k regardless of cluster skew. tau=0.889
+    // sits inside the fine-cluster cosine band [0.876, 0.901], so both
+    // kept and shadowed rows exercise the τ-comparison.
+    "q_semdedup_nnd" -> ((s, dir) => {
+      // Even-half corpus: a second fixture shape for the replay, at a
+      // quarter of the pair work.
+      val corpus = boostedCorpus(Tables.embeddings(s, dir)
+        .filter(pmod(col("vec_id"), lit(2)) === 0))
+      val knn = graft.ops.NnDescent.knnGraph(corpus, "vec_id", "vb",
+        k = 5, rounds = 2, maxDegree = 12, simPrecision = 6)
+      graft.ops.SemDedup.keepFlagsFromPairs(corpus, "vec_id", knn,
+        "query_id", "neighbor_id", "cos", tau = 0.889)
+    }),
+
     // Semantic dedup clusters: connected components over the embedding
     // near-dup graph (cosine > 0.4) — the modern "keep one per meaning
     // cluster" step, composed from the existing brute pair generator
@@ -456,6 +578,23 @@ object SimilarityQueries extends QueryGroup {
         |      ORDER BY cos DESC, neighbor_id ASC) AS rank
         |  FROM pairs)
         |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    // Round-for-round algorithm replay (nndReplaySql) — same parameters
+    // as the Spark call: k=5, 2 rounds, 2 init tables, bucket size 48
+    // (8·(k+1)), degree cap 12.
+    "q_nndescent" ->
+      s"""${nndReplaySql(k = 5, rounds = 2, initTables = 2,
+             bucketSize = 48, deg = 12, salt = "nnd")}
+         |SELECT id AS query_id, nbr AS neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY id ORDER BY cos DESC, nbr ASC) AS INT) AS rank
+         |FROM e2""".stripMargin,
+    "q_semdedup_nnd" ->
+      s"""${nndReplaySql(k = 5, rounds = 2, initTables = 2,
+             bucketSize = 48, deg = 12, salt = "nnd",
+             corpusWhere = " AND vec_id%2=0")},
+         |sh AS (
+         |  SELECT DISTINCT greatest(id, nbr) AS sid FROM e2 WHERE cos > 0.889)
+         |SELECT e.vec_id AS id, (sh.sid IS NULL) AS kept
+         |FROM e LEFT JOIN sh ON e.vec_id = sh.sid""".stripMargin,
     "q_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
