@@ -168,6 +168,69 @@ object IvfIndex {
       .parquet(s"$path/${liveLists(spark, path)}")
   }
 
+  /** One micro-batch of streaming index maintenance — the foreachBatch
+    * body behind [[graft.streaming.StreamingIvfMaintenance]]. The batch
+    * carries an `opCol` of 'add' / 'delete' rows; adds are assigned with
+    * the stored codebook and appended, deletes tombstone.
+    *
+    * IDEMPOTENT under at-least-once replay, which is what [[append]]
+    * alone is not: before appending, the batch's adds are anti-joined
+    * against the ids ALREADY STORED in the lists this batch touches —
+    * the check reads only those `list=` partitions (static partition
+    * pruning on the collected list ids, a codebook-bounded driver
+    * value), and only the neighbor_id column, so its cost tracks the
+    * batch's own fan-out, not the corpus. A replayed batch (crash before
+    * the checkpoint advanced) or a torn append's re-run therefore
+    * appends exactly the rows that are missing; tombstone deletes are
+    * anti-join semantics and already replay-clean.
+    *
+    * Same single-writer assumption as every maintenance op here, and the
+    * [[append]] contract still applies across batches: a delete is
+    * terminal until the next [[compact]] folds its tombstone — an add of
+    * a tombstoned-but-uncompacted id lands masked (spec-gated:
+    * delete → compact → re-add resurrects).
+    */
+  def applyMaintenanceBatch(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      opCol: String,
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    val adds = batch.filter(col(opCol) === "add")
+      .select(col(idCol), col(vecCol))
+      // An id twice in one batch (transport retry inside the batch) must
+      // not land twice; vector choice is deterministic (max) not arrival
+      // order.
+      .groupBy(col(idCol)).agg(max(col(vecCol)).as(vecCol))
+    val cent = spark.read.parquet(s"$path/centroids").select(
+      col("centroid_id").as("__cid"), col("centroid").as("__cv"),
+      col("cnorm").as("__cn"))
+    // Assign once; the boundary probe (distinct touched lists) and the
+    // anti-join both reread this frame.
+    val assigned = Similarity.invertedLists(adds, idCol, vecCol, cent)
+      .localCheckpoint(eager = false)
+    val touched = assigned.select(col("__list")).distinct()
+      .collect().map(_.get(0)).toSeq
+    if (touched.nonEmpty) {
+      val live = liveLists(spark, path)
+      val existing = spark.read.parquet(s"$path/$live")
+        .filter(col("list").isin(touched: _*))
+        .select(col("neighbor_id"))
+      assigned.join(existing, Seq("neighbor_id"), "left_anti")
+        .select(col("__list").as("list"), col("neighbor_id"),
+          col("__nv").as("vec"), col("__nn").as("vnorm"))
+        .repartition(col("list"))
+        .write.mode("append")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .partitionBy("list")
+        .parquet(s"$path/$live")
+    }
+    val dels = batch.filter(col(opCol) === "delete").select(col(idCol))
+    if (!dels.isEmpty) delete(spark, path, dels, idCol)
+  }
+
   /** Mark stored vectors DELETED without touching the list trees: ids
     * land in `tombstones_{live tree}/` (plain parquet, append per
     * delete batch, keyed to the tree they mask — see below) and

@@ -187,6 +187,37 @@ object Similarity {
     lshTopKImpl(probes, corpus, idCol, vecCol, k, numPlanes, tables, bucketFn)
   }
 
+  /** All same-LSH-bucket pairs above an EXACT cosine threshold — the
+    * bucketed eps-pair generator for density operators ([[graft.ml.Dbscan]],
+    * clustering over near-dup graphs): candidate fan-out is Σ|bucket|²
+    * per table (never all-pairs), every candidate is then verified with
+    * the exact cosine so false bucket collisions cannot leak through —
+    * only RECALL is approximate (a pair can miss every table), which is
+    * the documented LSH trade the caller tunes with planes/tables.
+    * md5-derived planes, so a SQL oracle replays the buckets exactly.
+    */
+  def lshPairsMd5(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dims: Int, numPlanes: Int, tables: Int): DataFrame = {
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        norm(col(vecCol)).as("__n"))
+    val bucketed = (0 until tables).map { t =>
+      c.withColumn("__t", lit(t))
+        .withColumn("__b", graft.expr.VectorExprs.planeBuckets(col("__v"),
+          Array.tabulate(numPlanes)(p =>
+            md5PlaneComponents(t * numPlanes + p, dims))))
+    }.reduce(_ unionAll _)
+    val a = bucketed.select(col("__t"), col("__b"), col("__id").as("id_a"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val b = bucketed.select(col("__t"), col("__b"), col("__id").as("id_b"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
+    a.join(b, Seq("__t", "__b"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("__va"), col("__vb")) /
+        (col("__na") * col("__nb")) > threshold)
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
   /** Multi-probe LSH (Lv et al., VLDB'07 shape, single-bit ring): each
     * probe also visits `flips` Hamming-1 buckets, recovering most of an
     * extra table's recall for ZERO extra index storage and corpus passes

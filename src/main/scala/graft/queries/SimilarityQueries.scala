@@ -401,6 +401,23 @@ object SimilarityQueries extends QueryGroup {
       probed
     }),
 
+    // DBSCAN over LSH-bucketed eps-pairs — the SCALE path's own green
+    // row: q_dbscan charges a brute eps-pair oracle side by explicit
+    // choice; this query feeds Dbscan.cluster from Similarity.lshPairsMd5
+    // (same-bucket candidates, exact-cosine verified, Σ|bucket|² bound)
+    // and the oracle replays the SAME buckets + pair table in SQL — the
+    // gate pins the clustering over the bucketed pair graph, which is
+    // exactly what runs at 100 TB.
+    "q_dbscan_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).filter(col("embedding").isNotNull)
+      val pairs = Similarity.lshPairsMd5(emb, "vec_id", "embedding",
+        threshold = 0.3, dims = 64, numPlanes = 4, tables = 4)
+      graft.ml.Dbscan.cluster(emb, pairs, "vec_id", "id_a", "id_b",
+          minPts = 4)
+        .select(col("id"), col("role"),
+          coalesce(col("cluster"), lit(-1L)).cast("long").as("cluster"))
+    }),
+
     // NN-Descent kNN graph (Dong et al., WWW'11) over the cluster-boosted
     // corpus (boostedCorpus above: 40 fine clusters at cos ~0.89, a label
     // tier at ~0.44, cross below 0.11, both engines building identical
@@ -977,6 +994,55 @@ object SimilarityQueries extends QueryGroup {
     // Same eps graph at 0.3; cores by degree+1, min-label walk over
     // core-core edges only (isolated cores seed themselves), borders
     // take the min core-neighbor cluster.
+    // Same DBSCAN replication as q_dbscan, pair table swapped for the
+    // md5-plane LSH buckets (4 planes x 4 tables, exact-cosine verify).
+    "q_dbscan_lsh" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |planes AS (
+        |  SELECT p, list_transform(range(0, 64),
+        |    d -> CAST(('0x' || substr(md5('p_' || CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+        |         / CAST(576460752303423488 AS DOUBLE) - 1.0) AS comps
+        |  FROM range(0, 16) t(p)),
+        |proj AS (
+        |  SELECT e.vec_id, planes.p,
+        |    list_sum(list_transform(range(1, 65), i -> e.v[i] * planes.comps[i])) AS pr
+        |  FROM e CROSS JOIN planes),
+        |buckets AS (
+        |  SELECT vec_id, p // 4 AS t,
+        |    sum(CASE WHEN pr >= 0 THEN CAST(1 AS BIGINT) << (p % 4) ELSE CAST(0 AS BIGINT) END) AS b
+        |  FROM proj GROUP BY vec_id, p // 4),
+        |pr AS (
+        |  SELECT DISTINCT x.vec_id AS ua, y.vec_id AS ub
+        |  FROM buckets x JOIN buckets y ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id
+        |  JOIN e a ON a.vec_id = x.vec_id JOIN e b2 ON b2.vec_id = y.vec_id
+        |  WHERE list_cosine_similarity(a.v, b2.v) > 0.3),
+        |sym AS (SELECT ua AS u, ub AS w FROM pr
+        |        UNION ALL SELECT ub, ua FROM pr),
+        |deg AS (SELECT u, count(*) AS n FROM sym GROUP BY 1),
+        |cores AS (SELECT u AS c FROM deg WHERE n + 1 >= 4),
+        |ce AS (SELECT u, w FROM sym
+        |       WHERE u IN (SELECT c FROM cores)
+        |         AND w IN (SELECT c FROM cores)),
+        |walk(id, comp) AS (
+        |  SELECT c, c FROM cores
+        |  UNION
+        |  SELECT s.w, wk.comp FROM walk wk JOIN ce s ON s.u = wk.id),
+        |cc AS (SELECT id, CAST(min(comp) AS BIGINT) AS cluster
+        |       FROM walk GROUP BY id),
+        |border AS (
+        |  SELECT s.u AS id, CAST(min(cc.cluster) AS BIGINT) AS cluster
+        |  FROM sym s JOIN cc ON s.w = cc.id
+        |  WHERE s.u NOT IN (SELECT c FROM cores)
+        |  GROUP BY 1)
+        |SELECT e.vec_id AS id,
+        |  CASE WHEN cc.cluster IS NOT NULL THEN 'core'
+        |       WHEN border.cluster IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS role,
+        |  CAST(coalesce(cc.cluster, border.cluster, -1) AS BIGINT) AS cluster
+        |FROM e LEFT JOIN cc ON e.vec_id = cc.id
+        |LEFT JOIN border ON e.vec_id = border.id""".stripMargin,
     "q_dbscan" ->
       """WITH RECURSIVE e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v
