@@ -84,8 +84,10 @@ object ScaleRehearsal {
         run(spark, base, big, f.toInt, skewSet, routeCheck = true)
       case Seq("run", base, big, f, qs) =>
         run(spark, base, big, f.toInt, qs.split(",").map(_.trim).toSeq)
+      case Seq("graph-skew", m, f) =>
+        graphSkew(spark, m.toLong, f.toInt)
       case other => sys.error(
-        s"usage: inflate|inflate-skew src dst F | run|run-skew base big F [qs] — got $other")
+        s"usage: inflate|inflate-skew src dst F | run|run-skew base big F [qs] | graph-skew m F — got $other")
     }
     spark.stop()
   }
@@ -97,12 +99,31 @@ object ScaleRehearsal {
 
   /** Letters-only Caesar rotation by `c` — lengths, digits, punctuation,
     * and word boundaries unchanged; shingles completely changed for c>0.
+    *
+    * A pure Caesar has only 26 distinct images: at f > 26 copies c and
+    * c+26 would be VERBATIM identical and every doc a cross-copy exact
+    * dup — the quadratic-clique artifact the rotation exists to avoid
+    * (the embeddings column hit the same wall at f > dim and composes a
+    * reversal; this is the text analogue). So the Caesar composes with a
+    * per-word cyclic character shift by c/26: length-preserving, word
+    * boundaries preserved (words shorter than the shift pass through),
+    * giving 26·(shift range) distinct images — at f = 100, shifts 0..3
+    * keep all 100 copies distinct.
     */
   private def caesar(col0: org.apache.spark.sql.Column, c: Int) = {
     val r = c % 26
-    if (r == 0) col0
-    else translate(col0, lower + upper,
-      lower.drop(r) + lower.take(r) + upper.drop(r) + upper.take(r))
+    val k = c / 26
+    val rotated =
+      if (r == 0) col0
+      else translate(col0, lower + upper,
+        lower.drop(r) + lower.take(r) + upper.drop(r) + upper.take(r))
+    if (k == 0) rotated
+    else array_join(
+      transform(split(rotated, " "), w =>
+        when(length(w) > k,
+          concat(w.substr(lit(k + 1), length(w)), w.substr(lit(1), lit(k))))
+          .otherwise(w)),
+      " ")
   }
 
   /** F copies of `df` with per-copy column rewrites. `rewrite(c)` returns
@@ -240,6 +261,70 @@ object ScaleRehearsal {
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+  }
+
+  // ------------------------------------------------------------- graph-skew
+
+  /** Power-law rehearsal for the graph family: the gated graph queries
+    * derive edges from doc_id arithmetic (quasi-uniform by construction),
+    * so a hot node cannot be reached through table inflation — this mode
+    * measures the OPERATORS directly on generated edge tables instead.
+    * Three shapes at `m` and `f·m` edges over m/10 nodes:
+    *   - uniform:  src and dst both hash-spread;
+    *   - hot-dst:  ONE node receives 45% of all in-edges (the web-graph
+    *     super-sink PageRank's dst-keyed contribution sum meets);
+    *   - hot-src:  ONE node emits 45% of all out-edges (the super-hub
+    *     whose rank/label/counter joins fan out of one key).
+    * Reported per operator: skew overhead at fixed size
+    * (t_shape/t_uniform) and the scaling ratio t(f·m)/t(m) per shape —
+    * sub-linear scaling AND bounded skew overhead together are the "no
+    * single hot node kills a round" claim, measured.
+    */
+  def graphSkew(spark: SparkSession, m: Long, f: Int): Unit = {
+    import org.apache.spark.sql.DataFrame
+    def edges(size: Long, shape: String): DataFrame = {
+      val nodes = math.max(2L, size / 10)
+      val base = spark.range(size)
+      val src = pmod(col("id") * 2654435761L + 11, lit(nodes))
+      val dst = pmod(col("id") * 40503L + 7, lit(nodes))
+      val hot = pmod(col("id"), lit(20)) < 9 // 45%
+      val df = shape match {
+        case "uniform" => base.select(src.as("src"), dst.as("dst"))
+        case "hot-dst" => base.select(src.as("src"),
+          when(hot, lit(0L)).otherwise(dst).as("dst"))
+        case "hot-src" => base.select(
+          when(hot, lit(0L)).otherwise(src).as("src"), dst.as("dst"))
+      }
+      df.filter(col("src") =!= col("dst"))
+    }
+    // Materialize each edge table before timing (parquet round-trip, so
+    // the timed operator reads a real scan, not an in-plan range).
+    def mat(size: Long, shape: String): DataFrame = {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_gskew_${size}_$shape"
+      edges(size, shape).write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    val ops: Seq[(String, DataFrame => Long)] = Seq(
+      ("pagerank", e => graft.graph.PageRank.ranks(e, "src", "dst", 3).count()),
+      ("label_prop", e => graft.graph.LabelPropagation
+        .communities(e, "src", "dst", rounds = 3).count()),
+      ("hyperanf", e => graft.graph.HyperAnf
+        .neighborhoodFunction(e, "src", "dst", rounds = 3).count()),
+      ("triangles", e => graft.graph.Triangles.perNode(e, "src", "dst").count()))
+    val shapes = Seq("uniform", "hot-dst", "hot-src")
+    val frames = (for (s <- shapes; sz <- Seq(m, m * f))
+      yield (s, sz) -> mat(sz, s)).toMap
+    // Warm-up on the smallest uniform frame.
+    ops.foreach { case (_, fn) => fn(frames(("uniform", m))) }
+    val uniBase = scala.collection.mutable.Map.empty[String, Double]
+    for ((opName, fn) <- ops; shape <- shapes) {
+      val t1 = time(fn(frames((shape, m))))
+      val tF = time(fn(frames((shape, m * f))))
+      if (shape == "uniform") uniBase(opName) = t1
+      val overhead = t1 / uniBase(opName)
+      println(f"""{"op":"$opName","shape":"$shape","t_m":$t1%.2f,"t_fm":$tF%.2f,"scale_ratio":${tF / t1}%.2f,"skew_overhead":$overhead%.2f}""")
+    }
+    println(s"""{"metric":"graph_skew","m":$m,"factor":$f}""")
   }
 
   def run(spark: SparkSession, base: String, big: String, f: Int,
