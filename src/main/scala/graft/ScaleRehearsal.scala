@@ -69,6 +69,18 @@ object ScaleRehearsal {
       .appName("graft-scale-rehearsal")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // 100×-inflated inputs through a FIXED 32-way shuffle force every
+      // reduce partition to sort-spill (q_setsim_join's posting shuffle
+      // measured 2.5× super-linear in the second decade purely from
+      // this); a real deployment scales reducer count with data, which
+      // under AQE means a high INITIAL partition number that adaptive
+      // coalescing shrinks back for small stages. 16× cores costs the
+      // small 1× runs nothing (AQE folds them) and lets the 100× runs
+      // spread their spill — the rehearsal then measures the operators,
+      // not a fixed-knob sort wall. (Bench keeps partitions = cores: its
+      // inputs are sf0.1-sized.)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 16).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

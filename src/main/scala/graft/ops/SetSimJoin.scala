@@ -111,11 +111,17 @@ object SetSimJoin {
       shingleSize: Int, tau: Double): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
     // Referenced three times below (prefix explode + both verify joins);
-    // without truncation each branch would re-run the whole
-    // shingle→df→sort pipeline — at any scale that triples the dominant
-    // cost. Lazy local checkpoint materializes it once, first use.
+    // without reuse each branch would re-run the whole shingle→df→sort
+    // pipeline — at any scale that triples the dominant cost. Persisted
+    // SERIALIZED (memory-then-disk), not localCheckpoint'd: this frame is
+    // DATA-SIZED (every doc's full gram array), and holding it
+    // deserialized in executor heap was the r13 100× rehearsal's GC
+    // wall — ratio 22 at the second decade on an 8 GB heap, collapsing
+    // to sub-linear once the reuse stopped competing with the posting
+    // shuffle for memory ("checkpoint model-sized state; data-sized reuse
+    // is serialized and spill-able, never deserialized-resident").
     val ranked = rankedSets(docs, idCol, textCol, shingleSize)
-      .localCheckpoint(eager = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val cands = candidatePairs(ranked, tau)
     val arrs = ranked.select(col("id"), col("grams"))
     // (A tail-only verification — __cp + intersect of the post-w* slices,

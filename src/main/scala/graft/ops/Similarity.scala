@@ -253,21 +253,30 @@ object Similarity {
     * lists per query, rank candidates by exact cosine.
     *
     * Centroids are deterministic data samples — every row whose id ≡ 0
-    * (mod `centroidMod`) — so the whole operator is reproducible in plain
-    * SQL for the oracle and needs no training job; a production build
-    * swaps in k-means centroids (fixed nlist ≪ n) and every plan shape
-    * below survives unchanged: assignment is a broadcast map-side argmax,
-    * the inverted-list build shuffles each vector ONCE keyed by its list,
-    * and the probe join is list-bucketed — never all-pairs.
+    * (mod `centroidMod`) AND id < `centroidCap` — so the whole operator
+    * is reproducible in plain SQL for the oracle and needs no training
+    * job; a production build swaps in k-means centroids (fixed
+    * nlist ≪ n) and every plan shape below survives unchanged:
+    * assignment is a broadcast map-side argmax, the inverted-list build
+    * shuffles each vector ONCE keyed by its list, and the probe join is
+    * list-bucketed — never all-pairs.
+    *
+    * `centroidCap` is what keeps nlist FIXED when the corpus grows: an
+    * uncapped id-mod sample scales nlist with n, which turns the n·nlist
+    * assignment into n²/mod — the r13 100× rehearsal OOM'd exactly
+    * there. Cap the sample (or use a learned codebook) so assignment
+    * stays linear.
     */
   def ivfTopK(
       probes: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      centroidMod: Int = 25, nprobe: Int = 3): DataFrame = {
+      centroidMod: Int = 25, nprobe: Int = 3,
+      centroidCap: Long = Long.MaxValue): DataFrame = {
     // NULL vectors can neither index nor be found (their cosine is NULL):
     // drop them up front, same policy as lshTopKImpl.
     val cent = corpus.filter(col(vecCol).isNotNull)
-      .filter(pmod(col(idCol), lit(centroidMod)) === 0)
+      .filter(pmod(col(idCol), lit(centroidMod)) === 0 &&
+        col(idCol) < centroidCap)
       .select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
     // An empty centroid sample (no id divisible by centroidMod) would
     // silently return zero neighbors for every query — fail loudly

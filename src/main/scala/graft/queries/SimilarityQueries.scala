@@ -310,7 +310,7 @@ object SimilarityQueries extends QueryGroup {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(
         emb.filter(col("vec_id") < 30), emb, "vec_id", "embedding", k = 3,
-        centroidMod = 25, nprobe = 3)
+        centroidMod = 25, nprobe = 3, centroidCap = 12500L)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("int").as("rank"), (round(col("cos"), 4) + lit(0.0)).as("cos"))
     }),
@@ -322,7 +322,7 @@ object SimilarityQueries extends QueryGroup {
     "q_ann_ivf_persist" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val cent = emb.filter(col("embedding").isNotNull)
-        .filter(pmod(col("vec_id"), lit(25)) === 0)
+        .filter(pmod(col("vec_id"), lit(25)) === 0 && col("vec_id") < 12500)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
       // Keyed by dataset AND application id: two concurrent harness runs
       // (or a stale tree from a killed run) must never share mutable
@@ -351,7 +351,7 @@ object SimilarityQueries extends QueryGroup {
     "q_ann_ivf_upsert" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val cent = emb.filter(col("embedding").isNotNull)
-        .filter(pmod(col("vec_id"), lit(50)) === 0)
+        .filter(pmod(col("vec_id"), lit(50)) === 0 && col("vec_id") < 12500)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
       // Same per-application isolation as q_ann_ivf_persist: the
       // write→append→probe sequence is stateful and must not race a
@@ -383,7 +383,7 @@ object SimilarityQueries extends QueryGroup {
     "q_ann_ivf_delete" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val cent = emb.filter(col("embedding").isNotNull)
-        .filter(pmod(col("vec_id"), lit(50)) === 0)
+        .filter(pmod(col("vec_id"), lit(50)) === 0 && col("vec_id") < 12500)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_delete_" +
         new java.io.File(dir).getName + "_" + s.sparkContext.applicationId
@@ -822,12 +822,12 @@ object SimilarityQueries extends QueryGroup {
         |SELECT query_id, neighbor_id, rank, round(cos, 4) + 0.0 AS cos
         |FROM ranked WHERE rank <= 3""".stripMargin,
 
-    // Mirrors Similarity.ivfTopK: sampled centroids (vec_id % 25 = 0),
+    // Mirrors Similarity.ivfTopK: sampled centroids (vec_id % 25 = 0 AND vec_id < 12500),
     // argmax-cosine list assignment (ties → smaller centroid id), 3
     // probed lists, exact-cosine rank with neighbor_id tie-break.
     "q_ann_ivf_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
-        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0 AND vec_id < 12500),
         |assign AS (
         |  SELECT a.vec_id, a.v, c.cid,
         |    row_number() OVER (PARTITION BY a.vec_id
@@ -858,7 +858,7 @@ object SimilarityQueries extends QueryGroup {
     // q_ann_ivf_topk (the artifact round-trip adds no math).
     "q_ann_ivf_persist" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
-        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0 AND vec_id < 12500),
         |assign AS (
         |  SELECT a.vec_id, a.v, c.cid,
         |    row_number() OVER (PARTITION BY a.vec_id
@@ -888,7 +888,7 @@ object SimilarityQueries extends QueryGroup {
     // the incremental build/append path must land on exactly this.
     "q_ann_ivf_upsert" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
-        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0 AND vec_id < 12500),
         |assign AS (
         |  SELECT a.vec_id, a.v, c.cid,
         |    row_number() OVER (PARTITION BY a.vec_id
@@ -918,7 +918,7 @@ object SimilarityQueries extends QueryGroup {
     // from the lists; probes unchanged): the delete path must land here.
     "q_ann_ivf_delete" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
-        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0 AND vec_id < 12500),
         |assign AS (
         |  SELECT a.vec_id, a.v, c.cid,
         |    row_number() OVER (PARTITION BY a.vec_id

@@ -113,22 +113,36 @@ object SketchQueries extends QueryGroup {
     // booleans are literal `true` in the oracle, so estimator drift
     // fails the gate.
     "q_kmv_intersect" -> ((s, dir) => {
-      // Referenced four times (sketch build, per-source sizes, both sides
-      // of the exact-intersection self-join): truncate so the
-      // explode+distinct runs once instead of four times.
+      // Referenced three times (sketch build, per-source sizes, exact
+      // intersections): persisted SERIALIZED (memory-then-disk),
+      // not localCheckpoint'd — in-heap deserialized caching of this
+      // DATA-SIZED frame was the r13 100× rehearsal's GC wall (the
+      // "checkpoint model-sized state, recompute data-sized" rule;
+      // serialized spill-able persistence is the compromise that still runs the
+      // explode+distinct once without competing for executor heap).
       val el = Tables.documents(s, dir)
         .select(col("source"),
           explode(graft.expr.WordShingles.shingles(col("text"), 3,
             distinct = true)).as("g"))
         .distinct()
-        .localCheckpoint(eager = false)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val est = graft.ops.KmvSketch.pairEstimates(
         graft.ops.KmvSketch.build(el, "source", "g", 1024), 1024)
       val sz = el.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      val exactInter = el.select(col("source").as("key_a"), col("g"))
-        .join(el.select(col("source").as("key_b"), col("g")), Seq("g"))
-        .filter(col("key_a") < col("key_b"))
-        .groupBy(col("key_a"), col("key_b"))
+      // Exact intersections WITHOUT a self-join: the per-shingle source
+      // set is bounded (≤ #sources), so one g-keyed partial-agg'd
+      // groupBy collects it and its ordered pairs explode in-stage —
+      // the same (key_a < key_b, n_inter) rows the old el⋈el join
+      // produced, minus the join's data-sized verify stage (the r13
+      // 100× rehearsal measured that join super-linear under memory
+      // pressure; this form shuffles el exactly once).
+      val ss = el.groupBy(col("g"))
+        .agg(sort_array(collect_set(col("source"))).as("__ss"))
+      val exactInter = ss
+        .select(explode(flatten(transform(col("__ss"), (x, i) =>
+          transform(slice(col("__ss"), i + lit(2), size(col("__ss"))), y =>
+            struct(x.as("key_a"), y.as("key_b")))))).as("__p"))
+        .groupBy(col("__p.key_a").as("key_a"), col("__p.key_b").as("key_b"))
         .agg(count(lit(1)).as("n_inter"))
       def ok(est: org.apache.spark.sql.Column,
           exact: org.apache.spark.sql.Column) =
