@@ -62,21 +62,27 @@ object SimilarityQueries extends QueryGroup {
     * it no direct cluster-mate. Exact float→double widening plus literal
     * appends — DuckDB builds the bit-identical vectors (see nndBoostSql).
     */
-  private def boostedCorpus(emb: org.apache.spark.sql.DataFrame) =
+  private def boostedCorpus(emb: org.apache.spark.sql.DataFrame,
+      withLabel: Boolean = true) =
     emb.filter(col("embedding").isNotNull)
       .select(col("vec_id"),
         concat(col("embedding").cast("array<double>"),
-          array((0 until 10).map(j =>
-            when(col("label") === j, lit(2.0)).otherwise(lit(0.0))) ++
+          array((if (withLabel) (0 until 10).map(j =>
+            when(col("label") === j, lit(2.0)).otherwise(lit(0.0)))
+          else Seq.empty[org.apache.spark.sql.Column]) ++
             (0 until 4).map(j =>
               when(pmod(col("vec_id"), lit(4)) === j, lit(2.0))
                 .otherwise(lit(0.0))): _*))
           .as("vb"))
 
-  private val nndBoostSql = ((0 until 10)
-    .map(j => s"CASE WHEN label=$j THEN 2.0 ELSE 0.0 END") ++
-    (0 until 4).map(j => s"CASE WHEN vec_id%4=$j THEN 2.0 ELSE 0.0 END"))
-    .mkString("list_concat(embedding::DOUBLE[], [", ", ", "])")
+  private def nndBoostSqlOf(withLabel: Boolean) =
+    ((if (withLabel) (0 until 10)
+        .map(j => s"CASE WHEN label=$j THEN 2.0 ELSE 0.0 END")
+      else Seq.empty[String]) ++
+      (0 until 4).map(j => s"CASE WHEN vec_id%4=$j THEN 2.0 ELSE 0.0 END"))
+      .mkString("list_concat(embedding::DOUBLE[], [", ", ", "])")
+
+  private val nndBoostSql = nndBoostSqlOf(withLabel = true)
 
   /** DuckDB replay of [[graft.ops.NnDescent.knnGraph]] over the boosted
     * corpus — a WITH-chain mirroring the operator statement for
@@ -89,12 +95,12 @@ object SimilarityQueries extends QueryGroup {
     */
   private def nndReplaySql(k: Int, rounds: Int, initTables: Int,
       bucketSize: Int, deg: Int, salt: String,
-      corpusWhere: String = ""): String = {
+      corpusWhere: String = "", boostSql: String = nndBoostSql): String = {
     def cosFn(a: String, b: String) =
       s"round(list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b))), 6)"
     val tablesVals = (0 until initTables).map(t => s"($t)").mkString(",")
     val init =
-      s"""e AS MATERIALIZED (SELECT vec_id, $nndBoostSql AS v
+      s"""e AS MATERIALIZED (SELECT vec_id, $boostSql AS v
          |  FROM embeddings WHERE embedding IS NOT NULL$corpusWhere),
          |bk AS MATERIALIZED (
          |  SELECT t.t, e.vec_id AS id, e.v,
@@ -449,6 +455,34 @@ object SimilarityQueries extends QueryGroup {
         "query_id", "neighbor_id", "cos", tau = 0.889)
     }),
 
+    // Hard-negative mining from the kNN GRAPH instead of per-anchor brute
+    // probes (q_hard_negatives): every node's negatives fall out of the
+    // one NN-Descent pass — the corpus-wide shape a contrastive-training
+    // pipeline runs, n·k candidates total instead of |anchors|·|corpus|.
+    // The boost here is mod4-ONLY (labels mix within each cluster), so
+    // the label-differs filter keeps most edges; the oracle replays the
+    // descent and applies the same filter + re-rank.
+    "q_hard_negatives_nnd" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val knn = graft.ops.NnDescent.knnGraph(
+        boostedCorpus(emb, withLabel = false), "vec_id", "vb",
+        k = 5, rounds = 2, maxDegree = 12, salt = "nnh", simPrecision = 6)
+      val lab = emb.filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("label"))
+      knn
+        .join(lab.select(col("vec_id").as("query_id"),
+          col("label").as("__al")), Seq("query_id"))
+        .join(lab.select(col("vec_id").as("neighbor_id"),
+          col("label").as("neg_label")), Seq("neighbor_id"))
+        .filter(col("neg_label") =!= col("__al"))
+        .withColumn("neg_rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("rank").asc)))
+        .filter(col("neg_rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"), col("neg_rank"),
+          col("neg_label"))
+    }),
+
     // Semantic dedup clusters: connected components over the embedding
     // near-dup graph (cosine > 0.4) — the modern "keep one per meaning
     // cluster" step, composed from the existing brute pair generator
@@ -604,6 +638,25 @@ object SimilarityQueries extends QueryGroup {
          |SELECT id AS query_id, nbr AS neighbor_id,
          |  CAST(row_number() OVER (PARTITION BY id ORDER BY cos DESC, nbr ASC) AS INT) AS rank
          |FROM e2""".stripMargin,
+    "q_hard_negatives_nnd" ->
+      s"""${nndReplaySql(k = 5, rounds = 2, initTables = 2,
+             bucketSize = 48, deg = 12, salt = "nnh",
+             boostSql = nndBoostSqlOf(withLabel = false))},
+         |rk AS (
+         |  SELECT id, nbr,
+         |    row_number() OVER (PARTITION BY id ORDER BY cos DESC, nbr ASC) AS rank
+         |  FROM e2),
+         |lab AS (SELECT vec_id, label FROM embeddings WHERE embedding IS NOT NULL),
+         |neg AS (
+         |  SELECT rk.id AS query_id, rk.nbr AS neighbor_id,
+         |    lb.label AS neg_label,
+         |    row_number() OVER (PARTITION BY rk.id ORDER BY rk.rank) AS neg_rank
+         |  FROM rk
+         |  JOIN lab la ON la.vec_id = rk.id
+         |  JOIN lab lb ON lb.vec_id = rk.nbr
+         |  WHERE lb.label <> la.label)
+         |SELECT query_id, neighbor_id, CAST(neg_rank AS INT) AS neg_rank, neg_label
+         |FROM neg WHERE neg_rank <= 3""".stripMargin,
     "q_semdedup_nnd" ->
       s"""${nndReplaySql(k = 5, rounds = 2, initTables = 2,
              bucketSize = 48, deg = 12, salt = "nnd",

@@ -220,6 +220,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       }
   }
 
+  test("NN-Descent: final ranking windows node-keyed, never a cartesian") {
+    import spark.implicits._
+    val corpus = (0L until 60L)
+      .map(i => (i, Array.tabulate(8)(d => (i % 5 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = graft.ops.NnDescent.knnGraph(corpus, "vec_id", "embedding",
+      k = 3, rounds = 1)
+    val plan = planOf(out)
+    val lines = plan.split('\n').map(_.trim)
+    // The per-node top-k rides a node-keyed window — a kNN graph must
+    // never sort the corpus globally — and nothing in the operator is
+    // ever an unbucketed pair enumeration.
+    lines.filter(_.contains("Window")).foreach { w =>
+      assert(w.contains("id#"), s"unkeyed window:\n$w\n$plan")
+    }
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("kaplanMeier: both cumulative legs tile-keyed, no single-partition window") {
     import spark.implicits._
     // Seconds-precision durations: |distinct| = n, the shape that used to
