@@ -310,6 +310,29 @@ object EventQueries extends QueryGroup {
       graft.ops.Experiment.kaplanMeier(subjects, col("dur"), col("obs"))
     }),
 
+    // Same estimator at HOUR grain: the day-grain fixture collapses to a
+    // single death time (one curve row), so this is the query that
+    // actually hash-pins the full tiled risk-set/survival cumulatives
+    // (hundreds of death times through Eval.tileOf/cumLegs) — the r13
+    // re-tiling's dedicated gate.
+    "q_survival_hours" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val u = ev.groupBy(col("user_id"))
+        .agg(min(col("ts")).as("f"), max(col("ts")).as("l"))
+      val m = ev.agg(max(col("ts")).as("mx"))
+      val subjects = u.crossJoin(broadcast(m))
+        .select(
+          floor((unix_micros(col("l")) - unix_micros(col("f")))
+            / lit(3600000000L)).cast("long").as("dur"),
+          // 0.3-day censor horizon: the fixture's inter-event gaps are
+          // tiny (median ~0.3 d), so the day-grain query's 2-day window
+          // censors all but one user — this grain needs a horizon that
+          // actually lets deaths happen for the curve to have rows.
+          (unix_micros(col("l")) < unix_micros(col("mx")) - lit(25920000000L))
+            .as("obs"))
+      graft.ops.Experiment.kaplanMeier(subjects, col("dur"), col("obs"))
+    }),
+
     // Post-stratified lift: activity strata (event-count buckets) as the
     // categorical covariate; per-stratum weighted terms quantized to a
     // 1e-9 grid before the cross-strata BIGINT sum.
@@ -1150,6 +1173,36 @@ object EventQueries extends QueryGroup {
         |      AS BIGINT) AS dur,
         |    epoch_us(max(ts)) <
         |      (SELECT epoch_us(max(ts)) FROM events) - 172800000000 AS obs
+        |  FROM events GROUP BY user_id),
+        |p AS (
+        |  SELECT dur AS t,
+        |    CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM u GROUP BY dur),
+        |r AS (
+        |  SELECT t, d,
+        |    CAST(sum(n) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS n_risk
+        |  FROM p),
+        |sv AS (
+        |  SELECT t, d, n_risk,
+        |    sum(CASE WHEN d > 0 AND d < n_risk THEN
+        |      ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |      ELSE 0.0 END) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ls
+        |  FROM r)
+        |SELECT t, n_risk, d,
+        |  CASE WHEN d < n_risk THEN round(ls, 6) END AS log_surv,
+        |  CASE WHEN d < n_risk THEN round(exp(ls), 6) ELSE 0.0 END AS surv
+        |FROM sv WHERE d > 0""".stripMargin,
+    "q_survival_hours" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(floor((epoch_us(max(ts)) - epoch_us(min(ts))) / 3600000000)
+        |      AS BIGINT) AS dur,
+        |    epoch_us(max(ts)) <
+        |      (SELECT epoch_us(max(ts)) FROM events) - 25920000000 AS obs
         |  FROM events GROUP BY user_id),
         |p AS (
         |  SELECT dur AS t,
