@@ -52,7 +52,10 @@ object ScaleRehearsal {
     "q_corpus_e2e", "q_osrs_leaderboard_e2e", "q_entity_resolution",
     "q_asof_auto",
     "q_skyline_docs", "q_group_quantile_bucket", "q_auc_continuous",
-    "q_dedup_minhash_lsh")
+    "q_dedup_minhash_lsh",
+    // r13 additions: the iterative kNN-graph pass and the bucketed-pair
+    // density clustering — the new heavy iterators worth re-measuring.
+    "q_nndescent", "q_dbscan_lsh")
 
   /** The skew-rehearsal set: the queries whose scale story depends on a
     * HOT KEY surviving — as-of auto-routing, per-group rank windows,
