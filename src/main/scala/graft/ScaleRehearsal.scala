@@ -309,6 +309,8 @@ object ScaleRehearsal {
           when(hot, lit(0L)).otherwise(dst).as("dst"))
         case "hot-src" => base.select(
           when(hot, lit(0L)).otherwise(src).as("src"), dst.as("dst"))
+        case other => sys.error(
+          s"graph-skew shape must be uniform|hot-dst|hot-src, got '$other'")
       }
       df.filter(col("src") =!= col("dst"))
     }
@@ -340,6 +342,19 @@ object ScaleRehearsal {
       println(f"""{"op":"$opName","shape":"$shape","t_m":$t1%.2f,"t_fm":$tF%.2f,"scale_ratio":${tF / t1}%.2f,"skew_overhead":$overhead%.2f}""")
     }
     println(s"""{"metric":"graph_skew","m":$m,"factor":$f}""")
+    // The generated edge tables are rehearsal scaffolding, not results:
+    // delete them on the way out (the 20M-edge trees are ~GBs each; the
+    // startup IVF sweep only matches its own prefix, so leftovers from a
+    // killed run would otherwise sit in tmp forever).
+    for (s <- shapes; sz <- Seq(m, m * f)) {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory)
+          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+        x.delete(): Unit
+      }
+      rm(new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_gskew_${sz}_$s"))
+    }
   }
 
   def run(spark: SparkSession, base: String, big: String, f: Int,

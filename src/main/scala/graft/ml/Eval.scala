@@ -126,6 +126,38 @@ object Eval {
     }
   }
 
+  /** Max-monoid sibling of [[cumLegs]] for the dominance sweeps
+    * ([[graft.ops.Skyline.front2d]]): `dst` = running MAX of `src` in
+    * `key` order across the whole tiled frame, EXCLUSIVE — strictly-prior
+    * rows only, because a dominance candidate never competes with itself.
+    * Same two narrow passes as the sum legs: a tile-local exclusive
+    * window plus broadcast per-tile maxima folded through the
+    * direction-appropriate triangle join (descending order ⇒ prior mass
+    * comes from LARGER tile ids, whose keys are STRICTLY greater — a
+    * boundary b with key_a < b ≤ key_b separates any two tiles). `dst`
+    * is NULL when no strictly-prior row exists anywhere; the merge is
+    * `greatest`, which skips NULL sides, so no sentinel value can ever
+    * collide with real data.
+    */
+  private[graft] def cumMaxLeg(tiled: DataFrame, key: Column,
+      src: String, dst: String, descending: Boolean): DataFrame = {
+    val ord = if (descending) key.desc else key.asc
+    val w = Window.partitionBy("__pid").orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = tiled.withColumn("__lm", max(col(src)).over(w))
+    val tileMax = tiled.groupBy("__pid").agg(max(col(src)).as("__tm"))
+    val cmp =
+      if (descending) col("b.__pid") > col("a.__pid")
+      else col("b.__pid") < col("a.__pid")
+    val offsets = tileMax.alias("a")
+      .join(tileMax.alias("b"), cmp, "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(max(col("b.__tm")).as("__bm"))
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(dst, greatest(col("__lm"), col("__bm")))
+      .drop("__lm", "__bm")
+  }
+
   /** [[aucExact]] plus `tie_sum` = Σ(t³−t) over tie groups — folded into
     * the SAME final aggregate over the distinct-score frame, so callers
     * needing the rank-sum variance correction

@@ -184,6 +184,15 @@ object IvfIndex {
     * appends exactly the rows that are missing; tombstone deletes are
     * anti-join semantics and already replay-clean.
     *
+    * COROLLARY, stated because it is invisible from the types: an 'add'
+    * whose id is ALREADY LIVE is a no-op even when it carries a CHANGED
+    * vector — the idempotency anti-join cannot distinguish a replay from
+    * an update attempt, and silently keeping the stored vector is the
+    * only replay-safe choice. Adds are inserts, not upserts; an update
+    * is delete → [[compact]] → add (the tombstone masks until the fold).
+    * Dropped adds are counted and logged per batch so a genuine update
+    * attempt is visible in the maintenance log instead of vanishing.
+    *
     * Same single-writer assumption as every maintenance op here, and the
     * [[append]] contract still applies across batches: a delete is
     * terminal until the next [[compact]] folds its tombstone — an add of
@@ -218,6 +227,15 @@ object IvfIndex {
       val existing = spark.read.parquet(s"$path/$live")
         .filter(col("list").isin(touched: _*))
         .select(col("neighbor_id"))
+      // Surface the adds the idempotency anti-join is about to drop (see
+      // the Scaladoc corollary): a batch-sized semi-join over the already
+      // list-pruned existing frame, so the count tracks the batch.
+      val dropped = assigned
+        .join(existing, Seq("neighbor_id"), "left_semi").count()
+      if (dropped > 0) System.err.println(
+        s"[graft] IvfIndex.applyMaintenanceBatch: $dropped add(s) for " +
+          "already-live ids ignored (adds are not upserts; update = " +
+          "delete -> compact -> add)")
       assigned.join(existing, Seq("neighbor_id"), "left_anti")
         .select(col("__list").as("list"), col("neighbor_id"),
           col("__nv").as("vec"), col("__nn").as("vnorm"))
@@ -229,6 +247,10 @@ object IvfIndex {
     }
     val dels = batch.filter(col(opCol) === "delete").select(col(idCol))
     if (!dels.isEmpty) delete(spark, path, dels, idCol)
+    // A long-running maintenance job otherwise accumulates one batch-sized
+    // persisted frame per micro-batch until a JVM GC lets ContextCleaner
+    // notice the dead RDDs ([[graft.ops.Checkpoints]] discipline).
+    Checkpoints.release(assigned)
   }
 
   /** Mark stored vectors DELETED without touching the list trees: ids

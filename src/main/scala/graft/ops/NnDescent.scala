@@ -170,6 +170,14 @@ object NnDescent {
       r += 1
     }
 
+    // Every round's newCount materialized its edges checkpoint, so the
+    // final graph reads its own blocks — the data-sized vector frame is
+    // dead the moment the loop exits and is released HERE rather than
+    // left for a GC-driven cleaner pass (the connectedComponents
+    // discipline; the final `edges` blocks stay until the caller's
+    // between-query hygiene, exactly like CC's fixpoint frame).
+    Checkpoints.release(v)
+
     edges
       .withColumn("rank", row_number().over(byCos))
       .select(col("id").as("query_id"), col("nbr").as("neighbor_id"),

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skyline / Pareto-front operator (Börzsönyi et al., ICDE'01): the rows
@@ -13,10 +12,14 @@ import org.apache.spark.sql.functions._
   * 2D maximizing case has a sort-based O(n log n) plan: group to one row
   * per distinct d1 (partial-agg'd max of d2), then one running-max sweep
   * over the DISTINCT-d1 table — a d1 value survives iff its d2-max beats
-  * every d2-max at strictly greater d1. Facts are never globally sorted:
-  * the sweep's single-partition window touches only |distinct d1| rows,
-  * and survivors broadcast back to tag front rows. Ties survive together
-  * (equal points do not dominate each other).
+  * every d2-max at strictly greater d1. Facts are never globally sorted,
+  * and neither is the sweep: |distinct d1| is data-driven (d1 = token
+  * count or byte length at corpus scale ⇒ 10⁵–10⁶ values), so the
+  * running max rides the shared tiled-prefix engine
+  * ([[graft.ml.Eval.cumMaxLeg]] over [[graft.ml.Eval.tileOf]] quantile
+  * tiles — the kaplanMeier/rocPoints shape with a max leg instead of a
+  * sum leg), then survivors broadcast back to tag front rows. Ties
+  * survive together (equal points do not dominate each other).
   */
 object Skyline {
 
@@ -25,10 +28,15 @@ object Skyline {
     */
   def front2d(df: DataFrame, d1: String, d2: String): DataFrame = {
     val perD1 = df.groupBy(col(d1)).agg(max(col(d2)).as("__gmax"))
-    val sweep = Window.orderBy(col(d1).desc)
-      .rangeBetween(Window.unboundedPreceding, -1)
-    val kept = perD1
-      .withColumn("__prev", max(col("__gmax")).over(sweep))
+    // Exclusive descending running max over the distinct-d1 frame: tiles
+    // are value ranges, so every row of a HIGHER tile has strictly
+    // greater d1 (broadcast offset leg) and same-tile strictly-greater
+    // rows are the tile-local exclusive window — together exactly the
+    // strictly-greater-d1 mass the dominance test needs. perD1 has one
+    // row per d1, so row frames and range frames agree.
+    val kept = graft.ml.Eval.cumMaxLeg(
+        graft.ml.Eval.tileOf(perD1, col(d1)), col(d1),
+        "__gmax", "__prev", descending = true)
       .filter(col("__prev").isNull || col("__gmax") > col("__prev"))
       .select(col(d1), col("__gmax"))
     df.join(broadcast(kept), Seq(d1))

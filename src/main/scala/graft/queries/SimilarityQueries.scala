@@ -42,11 +42,27 @@ object SimilarityQueries extends QueryGroup {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete(): Unit
     }
+    // Age by the NEWEST mtime anywhere in the tree, not the top
+    // directory's: parquet writes land in nested list=*/ subdirectories
+    // without refreshing the root mtime, so a top-level check could
+    // sweep a tree a slow concurrent run is actively appending to.
+    def newestMtime(f: java.io.File): Long = {
+      val own = f.lastModified()
+      if (!f.isDirectory) own
+      else Option(f.listFiles()).getOrElse(Array.empty)
+        .foldLeft(own)((m, c) => math.max(m, newestMtime(c)))
+    }
+    // graft_gskew_* are ScaleRehearsal graph-skew edge tables — deleted
+    // on normal exit, but a killed rehearsal leaves multi-GB trees that
+    // only this sweep reclaims (they carry no appId; the newest-mtime
+    // age guard alone protects a live run).
     Option(tmp.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("graft_ivf_") &&
-        !f.getName.endsWith(liveAppId) && f.lastModified() < cutoff)
+      .filter(f => f.isDirectory &&
+        (f.getName.startsWith("graft_ivf_") ||
+          f.getName.startsWith("graft_gskew_")) &&
+        !f.getName.endsWith(liveAppId) && newestMtime(f) < cutoff)
       .foreach { d =>
-        System.err.println(s"[graft] sweeping stale IVF tmp tree: $d")
+        System.err.println(s"[graft] sweeping stale tmp tree: $d")
         rm(d)
       }
   } catch { case _: Exception => () }

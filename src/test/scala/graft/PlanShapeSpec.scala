@@ -262,6 +262,28 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("hashpartitioning(__pid"), plan)
   }
 
+  test("skyline front2d: sweep tile-keyed, no single-partition window") {
+    import spark.implicits._
+    // Unique d1 per row: |distinct d1| = n, the shape that used to run
+    // one unpartitioned running-max sweep over the whole distinct table.
+    val df = (0 until 300).map(i => (i.toLong, (i.toLong * 37) % 101))
+      .toDF("d1", "d2")
+    val plan = planOf(graft.ops.Skyline.front2d(df, "d1", "d2"))
+    val lines = plan.split('\n').map(_.trim)
+    // The exclusive running max rides a tile-local window over the
+    // quantile-literal tile id; the cross-tile mass arrives through the
+    // broadcast offset join, so no window is unpartitioned and nothing
+    // exchanges to a single partition.
+    assert(lines.exists(_.contains("Window")), plan)
+    lines.filter(_.contains("Window")).foreach { w =>
+      assert(w.contains("__pid"), s"global window found:\n$w\n$plan")
+    }
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    assert(plan.contains("hashpartitioning(__pid"), plan)
+    // Survivors broadcast back onto the fact table.
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("CUSUM: one series-keyed exchange, no single-partition window") {
     import spark.implicits._
     val df = (0 until 200).map(i => (s"k${i % 4}", i.toLong, (i % 7).toLong))
