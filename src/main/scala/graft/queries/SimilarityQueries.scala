@@ -164,6 +164,77 @@ object SimilarityQueries extends QueryGroup {
     s"WITH $init,\n$roundBlocks"
   }
 
+  /** DuckDB replay of [[graft.ops.GraphSearch.topK]] over the
+    * [[nndReplaySql]] graph (`e$graphRounds`) — small-world overlay
+    * (row_number ordinal + md5 mod n), undirected adjacency, md5 entry
+    * set, then one beam block per round: expand-unexpanded → anti-join
+    * beam → score → merge (old rows turn expanded) → top-`beam` cut.
+    * The Spark side's early exit is output-equivalent to the fixed
+    * round count here: a fully-expanded beam generates no candidates,
+    * so the extra blocks are identity (same argument as the descent's).
+    */
+  private def graphSearchReplaySql(graphRounds: Int, k: Int, beam: Int,
+      rounds: Int, entries: Int, overlay: Int, salt: String,
+      qWhere: String): String = {
+    def cosFn(a: String, b: String) =
+      s"round(list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b))), 6)"
+    def md5i(s: String) =
+      s"CAST(('0x' || substr(md5($s), 1, 15)) AS BIGINT)"
+    val jVals = (0 until overlay).map(j => s"($j)").mkString(",")
+    val setup =
+      s"""ordv AS (SELECT vec_id AS tgt,
+         |    row_number() OVER (ORDER BY vec_id ASC) - 1 AS o FROM e),
+         |jmp AS (
+         |  SELECT x.id, o.tgt AS nbr
+         |  FROM (SELECT e.vec_id AS id,
+         |          ${md5i(s"'$salt:l' || j.j || ':' || CAST(e.vec_id AS VARCHAR)")}
+         |            % (SELECT count(*) FROM e) AS oo
+         |        FROM e, (VALUES $jVals) j(j)) x
+         |  JOIN ordv o ON o.o = x.oo
+         |  WHERE o.tgt <> x.id),
+         |g AS MATERIALIZED (
+         |  SELECT id, nbr FROM e$graphRounds UNION ALL SELECT id, nbr FROM jmp
+         |  UNION ALL SELECT nbr, id FROM e$graphRounds
+         |  UNION ALL SELECT nbr, id FROM jmp),
+         |qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE $qWhere),
+         |ent AS (SELECT vec_id AS node, v FROM e
+         |  ORDER BY ${md5i(s"'$salt:' || CAST(vec_id AS VARCHAR)")} ASC,
+         |    vec_id ASC LIMIT $entries),
+         |wb0 AS MATERIALIZED (
+         |  SELECT qid, node, cos, false AS ex FROM (
+         |    SELECT qid, node, cos,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, node ASC) AS rn
+         |    FROM (SELECT q.qid, n.node, ${cosFn("q.qv", "n.v")} AS cos
+         |          FROM qs q, ent n))
+         |  WHERE rn <= $beam)""".stripMargin
+    val roundBlocks = (1 to rounds).map { r =>
+      s"""wc$r AS (
+         |  SELECT DISTINCT b.qid, g.nbr AS node
+         |  FROM wb${r - 1} b JOIN g ON g.id = b.node
+         |  WHERE NOT b.ex AND NOT EXISTS (
+         |    SELECT 1 FROM wb${r - 1} x WHERE x.qid = b.qid AND x.node = g.nbr)),
+         |ws$r AS (
+         |  SELECT c.qid, c.node, ${cosFn("q.qv", "ev.v")} AS cos
+         |  FROM wc$r c JOIN e ev ON ev.vec_id = c.node
+         |  JOIN qs q ON q.qid = c.qid),
+         |wb$r AS MATERIALIZED (
+         |  SELECT qid, node, cos, ex FROM (
+         |    SELECT qid, node, cos, ex,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, node ASC) AS rn
+         |    FROM (SELECT qid, node, max(cos) AS cos, bool_or(ex) AS ex FROM (
+         |      SELECT qid, node, cos, true AS ex FROM wb${r - 1}
+         |      UNION ALL SELECT qid, node, cos, false FROM ws$r)
+         |      GROUP BY qid, node))
+         |  WHERE rn <= $beam),""".stripMargin
+    }.mkString("\n")
+    val fin =
+      s"""fin AS (
+         |  SELECT qid AS query_id, node AS neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, node ASC) AS INT) AS rank
+         |  FROM wb$rounds)""".stripMargin
+    s"$setup,\n$roundBlocks\n$fin"
+  }
+
   val queries: Map[String, Q] = Map(
     // Norms + dims: the sanity surface for the vector math.
     "q_vector_norms" -> ((s, dir) => {
@@ -455,6 +526,75 @@ object SimilarityQueries extends QueryGroup {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // Graph-guided ANN search (the HNSW/NSG query shape): beam search
+    // over the NN-Descent graph + small-world overlay, from md5 entry
+    // points — the batch-probe path that beats IVF recall at equal
+    // scoring budget once the graph exists (measured in tools/AnnCurves;
+    // recall spec in GraphSearchSpec). The oracle replays graph build AND
+    // walk round for round (graphSearchReplaySql), same stance as
+    // q_nndescent: the gate pins the algorithm.
+    "q_ann_graph_topk" -> ((s, dir) => {
+      val corpus = boostedCorpus(Tables.embeddings(s, dir))
+      val g = graft.ops.NnDescent.knnGraph(corpus, "vec_id", "vb",
+        k = 5, rounds = 2, maxDegree = 12, simPrecision = 6)
+      graft.ops.GraphSearch.topK(g, "query_id", "neighbor_id",
+        corpus, "vec_id", "vb",
+        corpus.filter(col("vec_id") < 20), "vec_id", "vb",
+        k = 5, beam = 10, rounds = 3, entries = 4, overlay = 2,
+        simPrecision = 6)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // q_hybrid_rrf with the dense leg on the GRAPH path: the sparse BM25
+    // top-20 fuses (RRF) with a graph-search top-20 instead of the brute
+    // corpus scan — the corpus-scale shape of the RAG first stage (the
+    // brute leg is |corpus| scored pairs per probe; this one is
+    // beam·(k+overlay)·rounds). Self-filtered + re-ranked like the brute
+    // leg's excludeSelf. Oracle replays build + walk + BM25 + fusion.
+    "q_hybrid_rrf_graph" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ts = graft.text.Bm25.termScores(
+        Tables.documents(s, dir), "doc_id", "text",
+        Seq("hash", "join", "scan"))
+      val bm = ts.groupBy("doc_id").agg(
+          max(when(col("term") === "hash", col("score"))).as("__s1"),
+          max(when(col("term") === "join", col("score"))).as("__s2"),
+          max(when(col("term") === "scan", col("score"))).as("__s3"))
+        .select(col("doc_id"),
+          round(coalesce(col("__s1"), lit(0.0))
+            + coalesce(col("__s2"), lit(0.0))
+            + coalesce(col("__s3"), lit(0.0)), 4).as("__bm"))
+      val sparse = bm.orderBy(col("__bm").desc, col("doc_id").asc).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("__bm").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("rank"))
+        .localCheckpoint(false)
+      val corpus = Tables.embeddings(s, dir)
+        .filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vb"))
+      val g = graft.ops.NnDescent.knnGraph(corpus, "vec_id", "vb",
+        k = 5, rounds = 2, maxDegree = 12, simPrecision = 6)
+      val walked = graft.ops.GraphSearch.topK(g, "query_id", "neighbor_id",
+        corpus, "vec_id", "vb",
+        corpus.filter(col("vec_id") === 7), "vec_id", "vb",
+        k = 21, beam = 42, rounds = 3, entries = 4, overlay = 2,
+        simPrecision = 6)
+      // 21-row bounded re-rank after the self drop (excludeSelf parity).
+      val dense = walked.filter(col("neighbor_id") =!= 7)
+        .withColumn("__r", row_number().over(Window.orderBy(col("rank").asc)))
+        .filter(col("__r") <= 20)
+        .select(col("neighbor_id").as("doc_id"), col("__r").as("rank"))
+        .localCheckpoint(false)
+      graft.text.Retrieval.rrfFuse(Seq(sparse, dense), "doc_id", "rank")
+        .join(sparse.select(col("doc_id"), col("rank").as("sparse_rank")),
+          Seq("doc_id"), "left")
+        .join(dense.select(col("doc_id"), col("rank").as("dense_rank")),
+          Seq("doc_id"), "left")
+        .orderBy(col("rrf").desc, col("doc_id").asc).limit(10)
+        .select(col("doc_id"), col("sparse_rank"), col("dense_rank"),
+          (round(col("rrf"), 6) + lit(0.0)).as("rrf"))
+    }),
+
     // SemDeDup fed by the NN-Descent graph instead of k-means blocking:
     // the kNN edges ARE the candidate pairs (cos already scored, no
     // vector joins), capped at n·k regardless of cluster skew. tau=0.889
@@ -654,6 +794,65 @@ object SimilarityQueries extends QueryGroup {
          |SELECT id AS query_id, nbr AS neighbor_id,
          |  CAST(row_number() OVER (PARTITION BY id ORDER BY cos DESC, nbr ASC) AS INT) AS rank
          |FROM e2""".stripMargin,
+    // Graph build replay + walk replay, chained WITH blocks.
+    "q_ann_graph_topk" ->
+      s"""${nndReplaySql(k = 5, rounds = 2, initTables = 2,
+             bucketSize = 48, deg = 12, salt = "nnd")},
+         |${graphSearchReplaySql(graphRounds = 2, k = 5, beam = 10,
+             rounds = 3, entries = 4, overlay = 2, salt = "gs",
+             qWhere = "vec_id < 20")}
+         |SELECT query_id, neighbor_id, rank FROM fin
+         |WHERE rank <= 5""".stripMargin,
+    // Raw-corpus graph build + walk + the q_hybrid_rrf BM25/fusion SQL.
+    "q_hybrid_rrf_graph" -> {
+      val k1 = 1.2; val b = 0.75
+      val k1p1 = (k1 + 1.0).toString; val oneMb = (1.0 - b).toString
+      s"""${nndReplaySql(k = 5, rounds = 2, initTables = 2,
+             bucketSize = 48, deg = 12, salt = "nnd",
+             boostSql = "embedding::DOUBLE[]")},
+         |${graphSearchReplaySql(graphRounds = 2, k = 21, beam = 42,
+             rounds = 3, entries = 4, overlay = 2, salt = "gs",
+             qWhere = "vec_id = 7")},
+         |dn AS (SELECT doc_id, drank FROM (
+         |    SELECT neighbor_id AS doc_id,
+         |      row_number() OVER (ORDER BY rank ASC) AS drank
+         |    FROM fin WHERE rank <= 21 AND neighbor_id <> 7)
+         |  WHERE drank <= 20),
+         |toks AS (
+         |  SELECT doc_id, unnest(${OracleSql.toksSql}) AS term FROM documents),
+         |t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+         |       WHERE term IN ('hash', 'join', 'scan') GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |       (SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM dl) AS avgdl),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+         |    ((tf * $k1p1) / (tf + $k1 * ($oneMb + $b * (dl / avgdl)))) AS score
+         |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), st),
+         |pb AS (SELECT doc_id,
+         |    max(CASE WHEN term = 'hash' THEN score END) AS s1,
+         |    max(CASE WHEN term = 'join' THEN score END) AS s2,
+         |    max(CASE WHEN term = 'scan' THEN score END) AS s3
+         |  FROM sc GROUP BY doc_id),
+         |bm AS (SELECT doc_id,
+         |    round(coalesce(s1, 0.0) + coalesce(s2, 0.0) + coalesce(s3, 0.0), 4)
+         |      AS bm FROM pb),
+         |sp AS (SELECT doc_id, srank FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY bm DESC, doc_id)
+         |      AS srank FROM bm)
+         |  WHERE srank <= 20),
+         |f AS (SELECT doc_id,
+         |    sp.srank, dn.drank,
+         |    coalesce(1.0 / (60 + sp.srank), 0.0) +
+         |      coalesce(1.0 / (60 + dn.drank), 0.0) AS rrf
+         |  FROM sp FULL JOIN dn USING (doc_id))
+         |SELECT doc_id, CAST(srank AS INT) AS sparse_rank,
+         |  CAST(drank AS INT) AS dense_rank, round(rrf, 6) + 0.0 AS rrf
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+    },
     "q_hard_negatives_nnd" ->
       s"""${nndReplaySql(k = 5, rounds = 2, initTables = 2,
              bucketSize = 48, deg = 12, salt = "nnh",

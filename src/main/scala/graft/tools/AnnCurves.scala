@@ -143,6 +143,24 @@ object AnnCurves {
             K + 1, numPlanes = 8, tables = 1, flips = flips)
         }
 
+      // Graph search: NN-Descent build charged ONCE (its own line — the
+      // graph is an index, amortized like the IVF tree), then the beam
+      // sweep. The walk's scoring budget is beam·(k+overlay)·rounds per
+      // probe; compare against IVF rows at matching recall.
+      val tg0 = System.nanoTime()
+      val knn = graft.ops.NnDescent.knnGraph(emb, "vec_id", "embedding",
+        k = 10, rounds = 4).localCheckpoint(true)
+      knn.count()
+      val buildSec = (System.nanoTime() - tg0) / 1e9
+      println(f"""{"corpus":"$corpusName","family":"graph-build","k":10,"rounds":4,"sec":$buildSec%.2f}""")
+      for ((beamW, rounds) <- Seq((16, 3), (32, 4), (64, 4)))
+        measure("graph", s""""beam":$beamW,"rounds":$rounds""") {
+          graft.ops.GraphSearch.topK(knn, "query_id", "neighbor_id",
+            emb, "vec_id", "embedding", probes, "vec_id", "embedding",
+            K + 1, beam = beamW, rounds = rounds, entries = 8)
+        }
+      graft.ops.Checkpoints.release(knn)
+
       graft.ops.Checkpoints.release(truth)
       graft.ops.Checkpoints.release(codes)
     }
