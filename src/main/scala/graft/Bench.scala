@@ -131,12 +131,72 @@ object Bench {
     val cpusN = cpus.toDouble
     val contended = Seq(loadStart, loadEnd).exists(l =>
       l.split(" ").headOption.flatMap(_.toDoubleOption).exists(_ > cpusN))
+
+    // Snapshot history, hoisted above the JSON emit so the auto-isolation
+    // below can read it (best-effort, like the gates that reuse it).
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json"))
+    val prevPath = outPath.resolveSibling("bench_prev.json")
+    def timesOf(p: java.nio.file.Path): Map[String, Double] =
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else try {
+        val txt = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val entry = """"(q_[a-z0-9_]+)"\s*:\s*([0-9.]+)""".r
+        entry.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Exception => Map.empty } // history is best-effort
+    val prevTimes = timesOf(outPath)
+    val prev2Times = timesOf(prevPath)
+
+    // CONTENDED-RUN AUTO-ISOLATION: a shared-host co-tenant inflates a
+    // handful of memory-hungry queries far beyond the uniform ~1.1-1.35×
+    // (q_kmv_intersect hit 2.54× in the r13 graded run while the suite
+    // median was 1.10×), and that variance pollutes round-over-round
+    // grading. When the run shows contention (loadavg above the worker
+    // count, or a >2× outlier while the suite median drifted >1.05×),
+    // the worst offenders re-run sequentially AFTER the suite — minutes
+    // later, a fresh settled heap, nothing else in this JVM — and BOTH
+    // numbers land in the same snapshot, so no forensics are needed to
+    // separate contention from regression. Untimed-suite overhead only;
+    // capped at 5 re-runs.
+    val isolated: Seq[(String, Double)] = if (only.nonEmpty) Nil else {
+      val ratios = results.flatMap { case (n, s) =>
+        prevTimes.get(n).filter(_ >= 0.5).map(p => (n, s / p)) }
+      val medianRatio = {
+        val rs = results.flatMap { case (n, s) =>
+          prevTimes.get(n).filter(_ >= 0.05).map(s / _) }.sorted
+        if (rs.isEmpty) 1.0 else rs(rs.size / 2)
+      }
+      val outliers = ratios.filter(_._2 > 2.0).sortBy(-_._2).take(5)
+      if (outliers.isEmpty || !(contended || medianRatio > 1.05)) Nil
+      else outliers.map { case (n, ratio) =>
+        System.err.println(f"[bench] isolating $n ($ratio%.2fx vs snapshot)")
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(n)(spark, sfDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] isolated $n failed: ${e.getMessage}")
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        System.gc()
+        Thread.sleep(50)
+        n -> sec
+      }
+    }
+    val isolatedField =
+      if (isolated.isEmpty) ""
+      else isolated.map { case (n, s) => "\"" + n + f"\":$s%.3f" }
+        .mkString(""","isolated":{""", ",", "}")
+
     // A failed query's time-to-failure must not masquerade as a healthy
     // run: surface the failures in the JSON itself.
     val failedField =
       if (failed.isEmpty) ""
       else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$failedField%s$loadField%s}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$failedField%s$loadField%s$isolatedField%s}"""
     println(line)
     // The full per-query line above is ~3.5 KB at 200 queries, but the
     // grading driver keeps only a ~2 KB stdout tail — so the graded
@@ -144,7 +204,7 @@ object Bench {
     // rounds running. Print a short totals-only JSON as the VERY LAST
     // stdout line (after the full line, after any file writes' stderr)
     // so the tail always contains one complete machine-readable record.
-    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries_n":${results.size}%d,"failed_n":${failed.size}%d,"sf":"$sfDir"$loadField%s}"""
+    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries_n":${results.size}%d,"failed_n":${failed.size}%d,"sf":"$sfDir"$loadField%s$isolatedField%s}"""
     // Also land the result in a file: sbt prefixes stdout with [info],
     // so downstream consumers read bench_last.json (a `json.load`-able
     // document — pretty-printed below for diffable history, per round-7
@@ -153,8 +213,6 @@ object Bench {
     // SPARK_GRAFT_ONLY runs — a partial total in bench_last.json is
     // indistinguishable from a full-suite number.
     if (only.isEmpty) {
-      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
-      val path = java.nio.file.Paths.get(out)
       // Flag per-query regressions BEFORE overwriting history. Two tiers:
       //   - >3× vs the last snapshot (base ≥ 0.5 s): the acute
       //     session-state failure mode that once hid inside a one-line
@@ -163,18 +221,7 @@ object Bench {
       //     the 1.4–1.9× creep the 3× gate was too loose to catch
       //     (round-11 drift cluster). Requiring persistence across two
       //     snapshots is what keeps one noisy run from crying wolf.
-      val prevPath = path.resolveSibling("bench_prev.json")
-      def timesOf(p: java.nio.file.Path): Map[String, Double] =
-        if (!java.nio.file.Files.exists(p)) Map.empty
-        else try {
-          val txt = new String(java.nio.file.Files.readAllBytes(p),
-            java.nio.charset.StandardCharsets.UTF_8)
-          val entry = """"(q_[a-z0-9_]+)"\s*:\s*([0-9.]+)""".r
-          entry.findAllMatchIn(txt)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        } catch { case _: Exception => Map.empty } // history is best-effort
-      val prevTimes = timesOf(path)
-      val prev2Times = timesOf(prevPath)
+      // (prevTimes/prev2Times hoisted above for the auto-isolation.)
       val acute = results.filter { case (n, s) =>
         prevTimes.get(n).exists(p => p >= 0.5 && s > 3.0 * p) }
       if (acute.nonEmpty) {
@@ -218,8 +265,8 @@ object Bench {
       // bench run must still land bench_last.json and the stdout tail
       // summary even if the history copy fails (disk full, permissions).
       try {
-        if (java.nio.file.Files.exists(path))
-          java.nio.file.Files.copy(path, prevPath,
+        if (java.nio.file.Files.exists(outPath))
+          java.nio.file.Files.copy(outPath, prevPath,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       } catch { case e: Exception =>
         System.err.println(s"[bench] snapshot rotation failed: $e")
@@ -228,6 +275,15 @@ object Bench {
       // `git diff` (the single-line form made regressions unreviewable).
       val qLines = results.map { case (k, v) => f"""    "$k": $v%.3f""" }
         .mkString(",\n")
+      // Isolated re-runs land AFTER the queries map, so the next run's
+      // regex snapshot read (last match wins) baselines those queries on
+      // the CLEAN isolated time — a real regression still fires against
+      // it, while the contended suite time stops masquerading as the
+      // number to beat.
+      val isoBlock =
+        if (isolated.isEmpty) ""
+        else isolated.map { case (k, v) => f"""    "$k": $v%.3f""" }
+          .mkString(",\n  \"isolated\": {\n", ",\n", "\n  }")
       val pretty = f"""{
   "metric": "total",
   "value": $total%.3f,
@@ -237,10 +293,10 @@ object Bench {
   "load_end": "$loadEnd%s",
   "queries": {
 $qLines%s
-  }$failedField%s
+  }$isoBlock%s$failedField%s
 }
 """
-      try java.nio.file.Files.write(path,
+      try java.nio.file.Files.write(outPath,
         pretty.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: Exception =>
         System.err.println(s"[bench] bench_last.json write failed: $e")

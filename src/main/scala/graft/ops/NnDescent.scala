@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -87,9 +87,7 @@ object NnDescent {
     val n = v.count()
     val buckets = math.max(1L, n / bSize)
 
-    val cosRaw = Similarity.dot(col("__va"), col("__vb")) /
-      (col("__na") * col("__nb"))
-    val cosAB = if (simPrecision >= 0) round(cosRaw, simPrecision) else cosRaw
+    val cosAB = cosExpr(simPrecision)
     def byCos = Window.partitionBy("id")
       .orderBy(col("cos").desc, col("nbr").asc)
 
@@ -106,18 +104,73 @@ object NnDescent {
         .select(col("u"), col("w"), cosAB.as("cos"))
     }.reduce(_ unionAll _)
 
-    def symmetrize(p: DataFrame): DataFrame =
-      p.select(col("u").as("id"), col("w").as("nbr"), col("cos"))
-        .unionAll(p.select(col("w").as("id"), col("u").as("nbr"), col("cos")))
-
     // (id, nbr, cos, __new). Tables may duplicate a pair — max(cos) over
     // identical values is the deterministic dedup.
-    var edges = symmetrize(initPairs)
+    val init = symmetrizePairs(initPairs)
       .groupBy("id", "nbr").agg(max("cos").as("cos"))
       .withColumn("__r", row_number().over(byCos))
       .filter(col("__r") <= k)
       .select(col("id"), col("nbr"), col("cos"), lit(true).as("__new"))
-      .localCheckpoint(eager = false)
+    val edges = descend(v, init, k, deg, rounds, simPrecision)
+
+    // Every round's newCount materialized its edges checkpoint, so the
+    // final graph reads its own blocks — the data-sized vector frame is
+    // dead the moment the loop exits and is released HERE rather than
+    // left for a GC-driven cleaner pass (the connectedComponents
+    // discipline; the final `edges` blocks stay until the caller's
+    // between-query hygiene, exactly like CC's fixpoint frame).
+    Checkpoints.release(v)
+
+    edges
+      .withColumn("rank", row_number().over(byCos))
+      .select(col("id").as("query_id"), col("nbr").as("neighbor_id"),
+        col("rank"), col("cos"))
+  }
+
+  /** The cosine expression on the (__va,__na)/(__vb,__nb) pair frame,
+    * optionally rounded to `simPrecision` decimals before ranking (the
+    * cross-engine replay contract).
+    */
+  private[graft] def cosExpr(simPrecision: Int): Column = {
+    val raw = Similarity.dot(col("__va"), col("__vb")) /
+      (col("__na") * col("__nb"))
+    if (simPrecision >= 0) round(raw, simPrecision) else raw
+  }
+
+  private def symmetrizePairs(p: DataFrame): DataFrame =
+    p.select(col("u").as("id"), col("w").as("nbr"), col("cos"))
+      .unionAll(p.select(col("w").as("id"), col("u").as("nbr"), col("cos")))
+
+  /** The descent rounds, shared by [[knnGraph]] (full build) and
+    * [[GraphIndex]]'s incremental maintenance: refine a flagged edge set
+    * (`__new` = arrived since last processed) over the vectors `v`
+    * ((id, __v, __n), caller-checkpointed) until `rounds` expire or a
+    * round adds nothing.
+    *
+    * Each round is LOCALIZED to the neighborhoods that can change —
+    * output-identical to the global formulation, cheaper when few edges
+    * are new (the streaming-maintenance case, and the late rounds of a
+    * full build):
+    *   - candidate generation only reads pivots whose capped
+    *     neighborhood holds a new edge (a pair needs a new side to pass
+    *     the paper's incremental filter, so pivots without one
+    *     contribute nothing — the semi-join drops them before the
+    *     degree-cap window ever runs);
+    *   - the merge re-ranks ONLY ids that received scored arrivals;
+    *     untouched ids pass through with their flags cleared (exactly
+    *     what the global merge's max(__o) would do to them).
+    *
+    * Same loop discipline as [[Dedup.connectedComponents]]: lazy
+    * checkpoint per round, the convergence count materializes it, the
+    * previous round releases immediately. Caller owns `v`'s release and
+    * the final frame's blocks.
+    */
+  private[graft] def descend(v: DataFrame, edges0: DataFrame, k: Int,
+      deg: Int, rounds: Int, simPrecision: Int): DataFrame = {
+    val cosAB = cosExpr(simPrecision)
+    def byCos = Window.partitionBy("id")
+      .orderBy(col("cos").desc, col("nbr").asc)
+    var edges = edges0.localCheckpoint(eager = false)
     def newCount(e: DataFrame): Long = e
       .agg(coalesce(sum(when(col("__new"), 1L).otherwise(0L)), lit(0L)))
       .head.getLong(0)
@@ -127,9 +180,13 @@ object NnDescent {
     while (r < rounds && changed > 0) {
       val prev = edges
       // General neighborhood: forward ∪ reverse, deduped, similarity-
-      // capped at `deg` (an edge is "new" if either direction is).
-      val nbrs = edges.unionAll(edges.select(col("nbr").as("id"),
-          col("id").as("nbr"), col("cos"), col("__new")))
+      // capped at `deg` (an edge is "new" if either direction is) —
+      // computed only for pivots that can generate candidates.
+      val sym = edges.unionAll(edges.select(col("nbr").as("id"),
+        col("id").as("nbr"), col("cos"), col("__new")))
+      val pivots = sym.filter(col("__new")).select(col("id")).distinct()
+      val nbrs = sym
+        .join(pivots, Seq("id"), "left_semi")
         .groupBy("id", "nbr")
         .agg(max("cos").as("cos"),
           (max(when(col("__new"), 1L).otherwise(0L)) === 1L).as("__new"))
@@ -151,36 +208,40 @@ object NnDescent {
         .join(v.select(col("id").as("w"), col("__v").as("__vb"),
           col("__n").as("__nb")), Seq("w"))
         .select(col("u"), col("w"), cosAB.as("cos"))
-      // Merge and re-rank. Current edges always survive into the merge,
-      // so each node's top-k only ever improves — that monotonicity is
-      // the termination argument, and __old distinguishes "re-scored a
-      // known edge" (max → old) from a genuine arrival.
-      edges = edges.select(col("id"), col("nbr"), col("cos"),
-          lit(1L).as("__o"))
-        .unionAll(symmetrize(scored).withColumn("__o", lit(0L)))
-        .groupBy("id", "nbr")
-        .agg(max("cos").as("cos"), max("__o").as("__o"))
-        .withColumn("__r", row_number().over(byCos))
-        .filter(col("__r") <= k)
-        .select(col("id"), col("nbr"), col("cos"),
-          (col("__o") === 0L).as("__new"))
+      edges = mergeArrivals(edges, symmetrizePairs(scored), k)
         .localCheckpoint(eager = false)
       changed = newCount(edges)
       Checkpoints.release(prev)
       r += 1
     }
-
-    // Every round's newCount materialized its edges checkpoint, so the
-    // final graph reads its own blocks — the data-sized vector frame is
-    // dead the moment the loop exits and is released HERE rather than
-    // left for a GC-driven cleaner pass (the connectedComponents
-    // discipline; the final `edges` blocks stay until the caller's
-    // between-query hygiene, exactly like CC's fixpoint frame).
-    Checkpoints.release(v)
-
     edges
-      .withColumn("rank", row_number().over(byCos))
-      .select(col("id").as("query_id"), col("nbr").as("neighbor_id"),
-        col("rank"), col("cos"))
+  }
+
+  /** Merge scored arrivals (id, nbr, cos) into a flagged edge set and
+    * re-rank ONLY the ids that received any — current edges always
+    * survive into the merge, so each node's top-k only ever improves
+    * (the termination argument), and __o distinguishes "re-scored a
+    * known edge" (max → old) from a genuine arrival. Ids with no
+    * arrivals pass through with flags cleared, exactly what the global
+    * merge would do to them.
+    */
+  private[graft] def mergeArrivals(edges: DataFrame, arrivals: DataFrame,
+      k: Int): DataFrame = {
+    def byCos = Window.partitionBy("id")
+      .orderBy(col("cos").desc, col("nbr").asc)
+    val affected = arrivals.select(col("id")).distinct()
+    val merged = edges.join(affected, Seq("id"), "left_semi")
+      .select(col("id"), col("nbr"), col("cos"), lit(1L).as("__o"))
+      .unionAll(arrivals.select(col("id"), col("nbr"), col("cos"))
+        .withColumn("__o", lit(0L)))
+      .groupBy("id", "nbr")
+      .agg(max("cos").as("cos"), max("__o").as("__o"))
+      .withColumn("__r", row_number().over(byCos))
+      .filter(col("__r") <= k)
+      .select(col("id"), col("nbr"), col("cos"),
+        (col("__o") === 0L).as("__new"))
+    edges.join(affected, Seq("id"), "left_anti")
+      .select(col("id"), col("nbr"), col("cos"), lit(false).as("__new"))
+      .unionAll(merged)
   }
 }
