@@ -101,8 +101,12 @@ object ScaleRehearsal {
         run(spark, base, big, f.toInt, qs.split(",").map(_.trim).toSeq)
       case Seq("graph-skew", m, f) =>
         graphSkew(spark, m.toLong, f.toInt)
+      case Seq("skyline-skew", n, f) =>
+        skylineSkew(spark, n.toLong, f.toInt)
+      case Seq("range-skew", m, f) =>
+        rangeSkew(spark, m.toLong, f.toInt)
       case other => sys.error(
-        s"usage: inflate|inflate-skew src dst F | run|run-skew base big F [qs] | graph-skew m F — got $other")
+        s"usage: inflate|inflate-skew src dst F | run|run-skew base big F [qs] | graph-skew|skyline-skew|range-skew m F — got $other")
     }
     spark.stop()
   }
@@ -354,6 +358,141 @@ object ScaleRehearsal {
       }
       rm(new java.io.File(
         s"${System.getProperty("java.io.tmpdir")}/graft_gskew_${sz}_$s"))
+    }
+  }
+
+  /** Skyline worst-case rehearsal: the d>2 SFS guard rounds and the 2-d
+    * tiled sweep measured on GENERATED shapes table inflation cannot
+    * reach (the gated skyline queries read documents columns whose front
+    * is tiny by construction):
+    *   - `staircase` (2-d): d2 = V−1−d1 with a large value domain, so
+    *     EVERY distinct d1 survives — the tiled sweep's survivor table
+    *     is as big as its input;
+    *   - `mixed` (3-d): pseudo-random dims — typical small front, guard
+    *     rounds shrink fast;
+    *   - `anti` (3-d): every point on the d1+d2+d3 = const simplex, so
+    *     NOTHING dominates anything — front = n, the intrinsic-front
+    *     case the guard's stop-when-not-shrinking rule exists for. The
+    *     reported round counts are the evidence the guard fired (head =
+    *     phase-1 union, then one entry per round).
+    */
+  def skylineSkew(spark: SparkSession, n: Long, f: Int): Unit = {
+    val V = 10000000L
+    def pts(size: Long, shape: String): DataFrame = {
+      val base = spark.range(size)
+      val a = pmod(col("id") * 2654435761L + 11, lit(V))
+      val b = pmod(col("id") * 40503L + 7, lit(V))
+      val c0 = pmod(col("id") * 7919L + 3, lit(V))
+      shape match {
+        case "staircase" => base.select(a.as("d1"), (lit(V - 1) - a).as("d2"))
+        case "mixed" => base.select(a.as("d1"), b.as("d2"), c0.as("d3"))
+        case "anti" => base.select(a.as("d1"), b.as("d2"),
+          (lit(2 * V) - a - b).as("d3"))
+        case other => sys.error(
+          s"skyline shape must be staircase|mixed|anti, got '$other'")
+      }
+    }
+    def mat(size: Long, shape: String): DataFrame = {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_sky_${size}_$shape"
+      pts(size, shape).write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    // Warm-up (classload/JIT; the honest-ratio rationale from run()).
+    graft.ops.Skyline.front2d(pts(10000, "staircase"), "d1", "d2").count()
+    for (shape <- Seq("staircase", "mixed", "anti")) {
+      val dims = if (shape == "staircase") Seq("d1", "d2")
+        else Seq("d1", "d2", "d3")
+      def once(size: Long): (Double, Long, Seq[Long]) = {
+        val df = mat(size, shape)
+        var out = 0L
+        var rounds: Seq[Long] = Nil
+        val t = time {
+          val (res, cnts) = graft.ops.Skyline.frontWithRounds(df, dims,
+            1L << 21)
+          out = res.count()
+          rounds = cnts
+        }
+        (t, out, rounds)
+      }
+      val (t1, front1, r1) = once(n)
+      val (tF, frontF, rF) = once(n * f)
+      println(f"""{"op":"skyline${dims.size}d","shape":"$shape","t_n":$t1%.2f,"t_fn":$tF%.2f,"scale_ratio":${tF / t1}%.2f,"front_n":$front1,"front_fn":$frontF,"rounds_n":${r1.mkString("[", ",", "]")},"rounds_fn":${rF.mkString("[", ",", "]")}}""")
+    }
+    for (shape <- Seq("staircase", "mixed", "anti"); sz <- Seq(n, n * f)) {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory)
+          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+        x.delete(): Unit
+      }
+      rm(new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_sky_${sz}_$shape"))
+    }
+  }
+
+  /** Range-join bin-skew rehearsal: [[graft.ops.RangeJoin]] measured on
+    * generated points/intervals where one BIN holds 45% of one side —
+    * the hot-key shape the binned equi-join shuffles on. The axis scales
+    * WITH n (more events over more time, the real-data shape), so
+    * per-bin density is constant and sub-linear-to-linear scaling is the
+    * pass bar; the skew shapes measure whether one hot bin key stalls
+    * the join (AQE skew splitting is the designed mitigation).
+    */
+  def rangeSkew(spark: SparkSession, m: Long, f: Int): Unit = {
+    val bin = 1000L
+    def tables(size: Long, shape: String): (DataFrame, DataFrame) = {
+      val axis = size * 10
+      val hotT = lit(7L) // inside bin 0
+      val pBase = spark.range(size)
+      val iBase = spark.range(math.max(1L, size / 100))
+      val pT = pmod(col("id") * 2654435761L + 11, lit(axis))
+      val iS = pmod(col("id") * 40503L + 7, lit(axis))
+      val hot = pmod(col("id"), lit(20)) < 9 // 45%
+      val points = (shape match {
+        case "uniform" | "hot-ivl" => pBase.select(pT.as("t"))
+        case "hot-pts" => pBase.select(
+          when(hot, hotT).otherwise(pT).as("t"))
+        case other => sys.error(
+          s"range shape must be uniform|hot-pts|hot-ivl, got '$other'")
+      }).withColumn("pid", col("id") * 2 + 1).drop("id")
+      val ivs = (shape match {
+        case "hot-ivl" => iBase.select(
+          when(hot, lit(0L)).otherwise(iS).as("iv_start"))
+        case _ => iBase.select(iS.as("iv_start"))
+      }).select(col("iv_start"), (col("iv_start") + lit(bin - 1)).as("iv_end"))
+      (points, ivs)
+    }
+    def mat(df: DataFrame, name: String): DataFrame = {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_rsk_$name"
+      df.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    val shapes = Seq("uniform", "hot-pts", "hot-ivl")
+    val frames = (for (s <- shapes; sz <- Seq(m, m * f)) yield {
+      val (p, i) = tables(sz, s)
+      (s, sz) -> (mat(p, s"p_${sz}_$s"), mat(i, s"i_${sz}_$s"))
+    }).toMap
+    def join(p: DataFrame, i: DataFrame): Long =
+      graft.ops.RangeJoin.pointInInterval(p, i, "t", "iv_start", "iv_end",
+        binWidth = bin).count()
+    join(frames(("uniform", m))._1, frames(("uniform", m))._2) // warm-up
+    var uniBase = 0.0
+    for (shape <- shapes) {
+      val (p1, i1) = frames((shape, m))
+      val (pF, iF) = frames((shape, m * f))
+      var rows1 = 0L; var rowsF = 0L
+      val t1 = time { rows1 = join(p1, i1) }
+      val tF = time { rowsF = join(pF, iF) }
+      if (shape == "uniform") uniBase = t1
+      println(f"""{"op":"range_join","shape":"$shape","t_m":$t1%.2f,"t_fm":$tF%.2f,"scale_ratio":${tF / t1}%.2f,"skew_overhead":${t1 / uniBase}%.2f,"rows_m":$rows1,"rows_fm":$rowsF}""")
+    }
+    for (s <- shapes; sz <- Seq(m, m * f); side <- Seq("p", "i")) {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory)
+          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+        x.delete(): Unit
+      }
+      rm(new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_rsk_${side}_${sz}_$s"))
     }
   }
 

@@ -540,7 +540,7 @@ object SimilarityQueries extends QueryGroup {
       graft.ops.GraphSearch.topK(g, "query_id", "neighbor_id",
         corpus, "vec_id", "vb",
         corpus.filter(col("vec_id") < 20), "vec_id", "vb",
-        k = 5, beam = 10, rounds = 3, entries = 4, overlay = 2,
+        k = 5, beam = 10, rounds = 2, entries = 4, overlay = 2,
         simPrecision = 6)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
@@ -577,7 +577,7 @@ object SimilarityQueries extends QueryGroup {
       val walked = graft.ops.GraphSearch.topK(g, "query_id", "neighbor_id",
         corpus, "vec_id", "vb",
         corpus.filter(col("vec_id") === 7), "vec_id", "vb",
-        k = 21, beam = 42, rounds = 3, entries = 4, overlay = 2,
+        k = 21, beam = 42, rounds = 2, entries = 4, overlay = 2,
         simPrecision = 6)
       // 21-row bounded re-rank after the self drop (excludeSelf parity).
       val dense = walked.filter(col("neighbor_id") =!= 7)
@@ -799,7 +799,7 @@ object SimilarityQueries extends QueryGroup {
       s"""${nndReplaySql(k = 5, rounds = 2, initTables = 2,
              bucketSize = 48, deg = 12, salt = "nnd")},
          |${graphSearchReplaySql(graphRounds = 2, k = 5, beam = 10,
-             rounds = 3, entries = 4, overlay = 2, salt = "gs",
+             rounds = 2, entries = 4, overlay = 2, salt = "gs",
              qWhere = "vec_id < 20")}
          |SELECT query_id, neighbor_id, rank FROM fin
          |WHERE rank <= 5""".stripMargin,
@@ -811,7 +811,7 @@ object SimilarityQueries extends QueryGroup {
              bucketSize = 48, deg = 12, salt = "nnd",
              boostSql = "embedding::DOUBLE[]")},
          |${graphSearchReplaySql(graphRounds = 2, k = 21, beam = 42,
-             rounds = 3, entries = 4, overlay = 2, salt = "gs",
+             rounds = 2, entries = 4, overlay = 2, salt = "gs",
              qWhere = "vec_id = 7")},
          |dn AS (SELECT doc_id, drank FROM (
          |    SELECT neighbor_id AS doc_id,
