@@ -197,15 +197,34 @@ object Similarity {
     * md5-derived planes, so a SQL oracle replays the buckets exactly.
     */
   def lshPairsMd5(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, dims: Int, numPlanes: Int, tables: Int): DataFrame = {
+      threshold: Double, dims: Int, numPlanes: Int, tables: Int,
+      targetBucket: Int = 0): DataFrame = {
     val c = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("__id"), col(vecCol).as("__v"),
         norm(col(vecCol)).as("__n"))
+    // LSH granularity MUST scale with the corpus or the within-bucket
+    // pair volume is quadratic: fixed planes ⇒ fixed bucket COUNT ⇒
+    // bucket size ∝ n ⇒ Σ|bucket|² ∝ n² — the r13 IVF nlist lesson, LSH
+    // edition (the r14 100× rehearsal OOM'd q_dbscan_lsh's pair
+    // aggregate exactly this way). With `targetBucket` > 0 the plane
+    // count grows as log2(n/targetBucket) so expected occupancy stays
+    // ~targetBucket and pair volume ~n·targetBucket·tables/2 — linear.
+    // Locality-aware splitting (more hyperplanes), not a random
+    // sub-bucket sample: a finer LSH still groups by direction. A no-op
+    // whenever log2(n/targetBucket) ≤ numPlanes — in particular at the
+    // oracle tiers, so the fixed-plane DuckDB replay is unaffected.
+    val planes =
+      if (targetBucket <= 0) numPlanes
+      else {
+        val n = math.max(1L, c.count())
+        math.max(numPlanes, 64 - java.lang.Long
+          .numberOfLeadingZeros(math.max(1L, (n - 1) / targetBucket)))
+      }
     val bucketed = (0 until tables).map { t =>
       c.withColumn("__t", lit(t))
         .withColumn("__b", graft.expr.VectorExprs.planeBuckets(col("__v"),
-          Array.tabulate(numPlanes)(p =>
-            md5PlaneComponents(t * numPlanes + p, dims))))
+          Array.tabulate(planes)(p =>
+            md5PlaneComponents(t * planes + p, dims))))
     }.reduce(_ unionAll _)
     val a = bucketed.select(col("__t"), col("__b"), col("__id").as("id_a"),
       col("__v").as("__va"), col("__n").as("__na"))

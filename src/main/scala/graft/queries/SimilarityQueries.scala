@@ -503,8 +503,12 @@ object SimilarityQueries extends QueryGroup {
     // exactly what runs at 100 TB.
     "q_dbscan_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir).filter(col("embedding").isNotNull)
+      // targetBucket keeps pair volume linear at scale (adaptive plane
+      // count — see lshPairsMd5); a no-op at the sf0.01 oracle tier, so
+      // the fixed-4-plane DuckDB replay below still matches.
       val pairs = Similarity.lshPairsMd5(emb, "vec_id", "embedding",
-        threshold = 0.3, dims = 64, numPlanes = 4, tables = 4)
+        threshold = 0.3, dims = 64, numPlanes = 4, tables = 4,
+        targetBucket = 256)
       graft.ml.Dbscan.cluster(emb, pairs, "vec_id", "id_a", "id_b",
           minPts = 4)
         .select(col("id"), col("role"),
