@@ -447,13 +447,13 @@ object ScaleRehearsal {
       val pT = pmod(col("id") * 2654435761L + 11, lit(axis))
       val iS = pmod(col("id") * 40503L + 7, lit(axis))
       val hot = pmod(col("id"), lit(20)) < 9 // 45%
-      val points = (shape match {
+      val points = shape match {
         case "uniform" | "hot-ivl" => pBase.select(pT.as("t"))
         case "hot-pts" => pBase.select(
           when(hot, hotT).otherwise(pT).as("t"))
         case other => sys.error(
           s"range shape must be uniform|hot-pts|hot-ivl, got '$other'")
-      }).withColumn("pid", col("id") * 2 + 1).drop("id")
+      }
       val ivs = (shape match {
         case "hot-ivl" => iBase.select(
           when(hot, lit(0L)).otherwise(iS).as("iv_start"))
