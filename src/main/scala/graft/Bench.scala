@@ -12,6 +12,30 @@ import org.apache.spark.sql.SparkSession
   * every query ends in a projection/aggregation that count cannot prune).
   */
 object Bench {
+
+  /** The auto-isolation trigger, pure so BenchGatesSpec can pin it:
+    * re-run candidates are queries >2× their snapshot time (base
+    * ≥ 0.5 s), worst-first, capped at 5 — but ONLY when the run shows
+    * contention: host loadavg above the worker count, or the suite-wide
+    * median ratio vs snapshot drifted past 1.05× (a single slow query
+    * on an otherwise-flat run is a regression for the creep gates, not
+    * contention for this one).
+    */
+  private[graft] def isolationOutliers(results: Seq[(String, Double)],
+      prevTimes: Map[String, Double],
+      contended: Boolean): Seq[(String, Double)] = {
+    val ratios = results.flatMap { case (n, s) =>
+      prevTimes.get(n).filter(_ >= 0.5).map(p => (n, s / p)) }
+    val medianRatio = {
+      val rs = results.flatMap { case (n, s) =>
+        prevTimes.get(n).filter(_ >= 0.05).map(s / _) }.sorted
+      if (rs.isEmpty) 1.0 else rs(rs.size / 2)
+    }
+    val outliers = ratios.filter(_._2 > 2.0).sortBy(-_._2).take(5)
+    if (outliers.isEmpty || !(contended || medianRatio > 1.05)) Nil
+    else outliers
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -161,16 +185,8 @@ object Bench {
     // separate contention from regression. Untimed-suite overhead only;
     // capped at 5 re-runs.
     val isolated: Seq[(String, Double)] = if (only.nonEmpty) Nil else {
-      val ratios = results.flatMap { case (n, s) =>
-        prevTimes.get(n).filter(_ >= 0.5).map(p => (n, s / p)) }
-      val medianRatio = {
-        val rs = results.flatMap { case (n, s) =>
-          prevTimes.get(n).filter(_ >= 0.05).map(s / _) }.sorted
-        if (rs.isEmpty) 1.0 else rs(rs.size / 2)
-      }
-      val outliers = ratios.filter(_._2 > 2.0).sortBy(-_._2).take(5)
-      if (outliers.isEmpty || !(contended || medianRatio > 1.05)) Nil
-      else outliers.map { case (n, ratio) =>
+      val outliers = Bench.isolationOutliers(results, prevTimes, contended)
+      outliers.map { case (n, ratio) =>
         System.err.println(f"[bench] isolating $n ($ratio%.2fx vs snapshot)")
         val t0 = System.nanoTime()
         try SparkEntry.queries(n)(spark, sfDir).count()

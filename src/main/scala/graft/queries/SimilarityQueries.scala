@@ -59,7 +59,10 @@ object SimilarityQueries extends QueryGroup {
     Option(tmp.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory &&
         (f.getName.startsWith("graft_ivf_") ||
-          f.getName.startsWith("graft_gskew_")) &&
+          f.getName.startsWith("graft_gidx_") ||
+          f.getName.startsWith("graft_gskew_") ||
+          f.getName.startsWith("graft_sky_") ||
+          f.getName.startsWith("graft_rsk_")) &&
         !f.getName.endsWith(liveAppId) && newestMtime(f) < cutoff)
       .foreach { d =>
         System.err.println(s"[graft] sweeping stale tmp tree: $d")
@@ -549,6 +552,37 @@ object SimilarityQueries extends QueryGroup {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // Persisted-graph round trip under the hash gate: write the
+    // GraphIndex, hit it with a FULLY-REDELIVERED maintenance batch
+    // (every id already stored — must drop all adds and write no new
+    // generation), then beam-walk the persisted edges. The result must
+    // equal the in-memory build+walk, so the oracle is the same
+    // build+walk replay as q_ann_graph_topk — a mismatch means the
+    // parquet round trip, the version resolution, or the replay no-op
+    // corrupted the graph. (Genuinely-new-node stitching is gated by
+    // StreamingGraphMaintenanceSpec's batch≡stream≡brute equivalence.)
+    "q_ann_graph_persist" -> ((s, dir) => {
+      val corpus = boostedCorpus(Tables.embeddings(s, dir))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_gidx_" +
+        new java.io.File(dir).getName + "_" + s.sparkContext.applicationId
+      graft.ops.GraphIndex.write(s, path, corpus, "vec_id", "vb",
+        k = 5, rounds = 2, maxDegree = 12, simPrecision = 6)
+      graft.ops.GraphIndex.applyMaintenanceBatch(s, path,
+        corpus.filter(col("vec_id") < 50), "vec_id", "vb",
+        k = 5, rounds = 2, maxDegree = 12, simPrecision = 6)
+      val probed = graft.ops.GraphSearch.topK(
+          graft.ops.GraphIndex.edges(s, path), "id", "nbr",
+          corpus, "vec_id", "vb",
+          corpus.filter(col("vec_id") < 20), "vec_id", "vb",
+          k = 5, beam = 10, rounds = 2, entries = 4, overlay = 2,
+          simPrecision = 6)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        // Eager: materialize before the index tree is deleted.
+        .localCheckpoint(true)
+      deleteTree(s, path)
+      probed
+    }),
+
     // q_hybrid_rrf with the dense leg on the GRAPH path: the sparse BM25
     // top-20 fuses (RRF) with a graph-search top-20 instead of the brute
     // corpus scan — the corpus-scale shape of the RAG first stage (the
@@ -800,6 +834,16 @@ object SimilarityQueries extends QueryGroup {
          |FROM e2""".stripMargin,
     // Graph build replay + walk replay, chained WITH blocks.
     "q_ann_graph_topk" ->
+      s"""${nndReplaySql(k = 5, rounds = 2, initTables = 2,
+             bucketSize = 48, deg = 12, salt = "nnd")},
+         |${graphSearchReplaySql(graphRounds = 2, k = 5, beam = 10,
+             rounds = 2, entries = 4, overlay = 2, salt = "gs",
+             qWhere = "vec_id < 20")}
+         |SELECT query_id, neighbor_id, rank FROM fin
+         |WHERE rank <= 5""".stripMargin,
+    // The persisted round trip must reproduce the in-memory build+walk:
+    // same replay as q_ann_graph_topk.
+    "q_ann_graph_persist" ->
       s"""${nndReplaySql(k = 5, rounds = 2, initTables = 2,
              bucketSize = 48, deg = 12, salt = "nnd")},
          |${graphSearchReplaySql(graphRounds = 2, k = 5, beam = 10,

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench auto-isolation trigger (Bench.isolationOutliers): it
+  * must fire exactly on the contended-outlier shape the r13 graded run
+  * showed (q_kmv_intersect 2.54× while the median was 1.10×), and must
+  * stay quiet on a flat run where one genuinely regressed query is the
+  * creep gates' business, not a contention artifact.
+  */
+class BenchGatesSpec extends AnyFunSuite {
+
+  private def run(names: (String, Double)*) = names.toSeq
+  private def snap(names: (String, Double)*) = names.toMap
+
+  test("fires on a >2x outlier when the suite median drifted") {
+    // Median ratio 1.2 (> 1.05), one 2.5x outlier with a big base.
+    val prev = snap("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "kmv" -> 5.0)
+    val cur = run("a" -> 1.2, "b" -> 1.2, "c" -> 1.2, "kmv" -> 12.5)
+    val out = Bench.isolationOutliers(cur, prev, contended = false)
+    assert(out.map(_._1) == Seq("kmv"))
+  }
+
+  test("fires under recorded host contention even at a flat median") {
+    val prev = snap("a" -> 1.0, "b" -> 1.0, "kmv" -> 5.0)
+    val cur = run("a" -> 1.0, "b" -> 1.0, "kmv" -> 11.0)
+    assert(Bench.isolationOutliers(cur, prev, contended = true)
+      .map(_._1) == Seq("kmv"))
+  }
+
+  test("quiet on a flat run: a lone slow query is a regression, not contention") {
+    val prev = snap("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "kmv" -> 5.0)
+    val cur = run("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "kmv" -> 12.5)
+    assert(Bench.isolationOutliers(cur, prev, contended = false).isEmpty)
+  }
+
+  test("small bases never isolate; cap is 5, worst-first") {
+    val prev = snap((1 to 8).map(i => s"q$i" -> 1.0) :+ ("tiny" -> 0.1): _*)
+    val cur = run((1 to 8).map(i => s"q$i" -> (2.0 + i * 0.5)) :+
+      ("tiny" -> 5.0): _*)
+    val out = Bench.isolationOutliers(cur, prev, contended = true)
+    assert(out.size == 5)
+    assert(out.map(_._1) == Seq("q8", "q7", "q6", "q5", "q4"))
+    assert(!out.exists(_._1 == "tiny"))
+  }
+
+  test("no snapshot history means nothing to isolate") {
+    assert(Bench.isolationOutliers(run("a" -> 9.0), Map.empty,
+      contended = true).isEmpty)
+  }
+}
