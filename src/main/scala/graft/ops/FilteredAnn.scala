@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Filtered ANN — top-k by cosine among the corpus rows satisfying a
+  * metadata predicate, the standard vector-store query shape
+  * ("nearest docs WHERE lang='en' AND source='web'"). Neither pure
+  * strategy survives both regimes, so the operator ROUTES on measured
+  * selectivity (the [[AsOfJoin]] auto-router discipline: probe cheap,
+  * decide once, decision observable):
+  *
+  *   - SELECTIVE predicate (matching fraction ≤ threshold): PRE-FILTER
+  *     exact — the qualifying rows are few enough that the partial-agg'd
+  *     brute top-k ([[Similarity.bruteForceTopKAgg]]) over just them is
+  *     both cheaper than any index probe AND exact. Filtering an IVF/LSH
+  *     index instead would scan the same bytes for worse recall.
+  *   - BROAD predicate: POST-FILTER over-fetch — run the bucketed ANN
+  *     (LSH) for k·overFetch/frac candidates, filter, re-rank to k.
+  *     Pre-filtering here would rebuild per-predicate index state; the
+  *     over-fetch factor compensates for candidates lost to the filter
+  *     (E[survivors] = fetched·frac ≥ k·overFetch ≥ k). Approximate,
+  *     like the underlying ANN; may return < k rows when the bucket
+  *     fan-out misses qualifying rows (reported honestly, never padded).
+  *
+  * The selectivity probe is ONE bounded aggregate (two longs) over the
+  * predicate column — at 100 TB this reads the predicate column only
+  * (column pruning) and is the same cost class as AsOfJoin.skewProfile.
+  *
+  * Both branches self-exclude (query ≠ neighbor), like the underlying
+  * ops.
+  *
+  * @return (query_id, neighbor_id, rank) — rank 1 = nearest qualifying
+  *         row; ≤ k rows per probe
+  */
+object FilteredAnn {
+
+  /** The routing decision, exposed for specs and ops logging. */
+  final case class Route(n: Long, matching: Long, frac: Double,
+      preFilter: Boolean)
+
+  def route(corpus: DataFrame, pred: Column,
+      selectivityThreshold: Double): Route = {
+    val r = corpus.agg(count(lit(1)).as("n"),
+      count(when(pred, 1)).as("m")).head
+    val n = r.getLong(0)
+    val m = r.getLong(1)
+    val frac = if (n == 0) 0.0 else m.toDouble / n
+    Route(n, m, frac, preFilter = frac <= selectivityThreshold)
+  }
+
+  def topK(probes: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, pred: Column, k: Int,
+      selectivityThreshold: Double = 0.1, overFetch: Double = 3.0,
+      numPlanes: Int = 8, tables: Int = 2): DataFrame = {
+    require(k >= 1 && overFetch >= 1.0,
+      s"need k>=1, overFetch>=1; got $k/$overFetch")
+    val rt = route(corpus, pred, selectivityThreshold)
+    if (rt.preFilter) {
+      // Exact among qualifying rows; bruteForceTopKAgg's partial top-k
+      // keeps the shuffle at O(partitions·k), and the corpus side is
+      // already cut to the matching fraction before any scoring.
+      Similarity.bruteForceTopKAgg(probes, corpus.filter(pred),
+        idCol, vecCol, k)
+    } else {
+      // Over-fetch enough that the EXPECTED post-filter survivors still
+      // cover k (capped at the matching count — fetching past every
+      // qualifying row is wasted work).
+      val fetch = math.min(rt.matching,
+        math.ceil(k * overFetch / math.max(rt.frac, 1e-9)).toLong)
+        .min(Int.MaxValue.toLong).toInt
+      val qual = corpus.filter(pred)
+        .select(col(idCol).cast("long").as("neighbor_id"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      Similarity.lshTopK(probes, corpus, idCol, vecCol, fetch,
+          numPlanes, tables)
+        .join(qual, Seq("neighbor_id"), "left_semi")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }
+  }
+}

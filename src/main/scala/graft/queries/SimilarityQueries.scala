@@ -552,6 +552,19 @@ object SimilarityQueries extends QueryGroup {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // Filtered ANN (predicate + vector top-k, the standard vector-store
+    // query): selectivity-routed (FilteredAnn.route) — label=3 matches
+    // ~10% of the corpus, under the 0.15 threshold, so the SELECTIVE
+    // branch fires: exact pre-filter brute over qualifying rows, which
+    // is what the oracle computes. The broad post-filter branch and the
+    // routing flip are spec-gated (FilteredAnnSpec).
+    "q_ann_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.ops.FilteredAnn.topK(emb.filter(col("vec_id") < 15), emb,
+        "vec_id", "embedding", col("label") === 3, k = 5,
+        selectivityThreshold = 0.15)
+    }),
+
     // Persisted-graph round trip under the hash gate: write the
     // GraphIndex, hit it with a FULLY-REDELIVERED maintenance batch
     // (every id already stored — must drop all adds and write no new
@@ -841,6 +854,19 @@ object SimilarityQueries extends QueryGroup {
              qWhere = "vec_id < 20")}
          |SELECT query_id, neighbor_id, rank FROM fin
          |WHERE rank <= 5""".stripMargin,
+    // Selective branch = exact brute among qualifying rows.
+    "q_ann_filtered" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |a AS (SELECT vec_id, v FROM e WHERE vec_id < 15),
+        |c AS (SELECT vec_id, v FROM e WHERE label = 3),
+        |ranked AS (
+        |  SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(a.v, c.v) DESC, c.vec_id ASC)
+        |      AS INT) AS rank
+        |  FROM a JOIN c ON c.vec_id <> a.vec_id)
+        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""".stripMargin,
     // The persisted round trip must reproduce the in-memory build+walk:
     // same replay as q_ann_graph_topk.
     "q_ann_graph_persist" ->
