@@ -103,6 +103,8 @@ object ScaleRehearsal {
         graphSkew(spark, m.toLong, f.toInt)
       case Seq("skyline-skew", n, f) =>
         skylineSkew(spark, n.toLong, f.toInt)
+      case Seq("graph-maint", dir0, b) =>
+        graphMaint(spark, dir0, b.toInt)
       case Seq("range-skew", m, f) =>
         rangeSkew(spark, m.toLong, f.toInt)
       case other => sys.error(
@@ -427,6 +429,48 @@ object ScaleRehearsal {
       rm(new java.io.File(
         s"${System.getProperty("java.io.tmpdir")}/graft_sky_${sz}_$shape"))
     }
+  }
+
+  /** Incremental kNN-graph maintenance vs full rebuild
+    * ([[graft.ops.GraphIndex]]): build the index on the corpus minus the
+    * newest `batchSize` ids, stitch those in as ONE maintenance batch,
+    * and rebuild from scratch for comparison. The claim under test is
+    * that the maintenance batch's cost tracks the BATCH's neighborhood
+    * footprint (seed walk + localized descent), not the corpus — the
+    * rebuild/maintenance ratio should grow with corpus size at fixed
+    * batch size.
+    */
+  def graphMaint(spark: SparkSession, dir: String, batchSize: Int): Unit = {
+    val emb = Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vb"))
+      .localCheckpoint(eager = true)
+    val maxId = emb.agg(max("vec_id")).head.getLong(0)
+    val cut = maxId - batchSize
+    val base = emb.filter(col("vec_id") <= cut)
+    val batch = emb.filter(col("vec_id") > cut)
+    val n = emb.count()
+    val tmp = System.getProperty("java.io.tmpdir")
+    val app = spark.sparkContext.applicationId
+    val p1 = s"$tmp/graft_gidx_maintA_$app"
+    val p2 = s"$tmp/graft_gidx_maintB_$app"
+    def rm(path: String): Unit = {
+      def r(x: java.io.File): Unit = {
+        if (x.isDirectory)
+          Option(x.listFiles()).getOrElse(Array.empty).foreach(r)
+        x.delete(): Unit
+      }
+      r(new java.io.File(path))
+    }
+    val tBuild = time { graft.ops.GraphIndex.write(spark, p1, base,
+      "vec_id", "vb", k = 5, rounds = 2, maxDegree = 12) }
+    val tMaint = time { graft.ops.GraphIndex.applyMaintenanceBatch(spark,
+      p1, batch, "vec_id", "vb", k = 5, rounds = 2, maxDegree = 12) }
+    val tRebuild = time { graft.ops.GraphIndex.write(spark, p2, emb,
+      "vec_id", "vb", k = 5, rounds = 2, maxDegree = 12) }
+    graft.ops.Checkpoints.release(emb)
+    rm(p1); rm(p2)
+    println(f"""{"metric":"graph_maint","n":$n,"batch":$batchSize,"t_build_base":$tBuild%.2f,"t_maint_batch":$tMaint%.2f,"t_rebuild_full":$tRebuild%.2f,"rebuild_over_maint":${tRebuild / tMaint}%.2f}""")
   }
 
   /** Range-join bin-skew rehearsal: [[graft.ops.RangeJoin]] measured on
