@@ -552,6 +552,25 @@ object SimilarityQueries extends QueryGroup {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // Late-interaction retrieval (ColBERT MaxSim, Khattab & Zaharia
+    // SIGIR'20): 64-dim rows cut into four 16-dim token vectors, score =
+    // position-ordered Σ over query tokens of the max doc-token cosine
+    // (6-dp quantized, the replay contract). This gates the EXACT
+    // scorer; the token-ANN candidate path is spec-gated (MaxSimSpec:
+    // rerank ≡ brute on candidates, recall measured).
+    "q_maxsim" -> ((s, dir) => {
+      def toks(df: org.apache.spark.sql.DataFrame) = df
+        .filter(col("embedding").isNotNull)
+        .select(col("vec_id"), posexplode(array((0 until 4).map(t =>
+          slice(col("embedding").cast("array<double>"),
+            t * 16 + 1, 16)): _*)).as(Seq("pos", "tv")))
+      val emb = Tables.embeddings(s, dir)
+      graft.ops.MaxSim.topK(toks(emb.filter(col("vec_id") < 10)),
+          toks(emb), "vec_id", "pos", "tv", k = 5, simPrecision = 6)
+        .select(col("query_id"), col("doc_id"), col("rank"),
+          (round(col("maxsim"), 6) + lit(0.0)).as("maxsim"))
+    }),
+
     // Filtered ANN (predicate + vector top-k, the standard vector-store
     // query): selectivity-routed (FilteredAnn.route) — label=3 matches
     // ~10% of the corpus, under the 0.15 threshold, so the SELECTIVE
@@ -854,6 +873,32 @@ object SimilarityQueries extends QueryGroup {
              qWhere = "vec_id < 20")}
          |SELECT query_id, neighbor_id, rank FROM fin
          |WHERE rank <= 5""".stripMargin,
+    // Same token slicing, per-(query,doc,qtoken) max of 6-dp cosines,
+    // position-ORDERED list_sum — the fixed-order double fold.
+    "q_maxsim" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |dt AS (SELECT vec_id AS doc_id, t.t AS pos,
+        |    list_slice(v, t.t*16+1, t.t*16+16) AS tv
+        |  FROM e, (VALUES (0),(1),(2),(3)) t(t)),
+        |qt AS (SELECT doc_id AS query_id, pos, tv FROM dt WHERE doc_id < 10),
+        |pm AS (
+        |  SELECT q.query_id, d.doc_id, q.pos,
+        |    max(round(list_dot_product(q.tv, d.tv) /
+        |      (sqrt(list_dot_product(q.tv, q.tv)) *
+        |       sqrt(list_dot_product(d.tv, d.tv))), 6)) AS m
+        |  FROM qt q, dt d GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT query_id, doc_id,
+        |    list_sum(list(m ORDER BY pos)) AS ms
+        |  FROM pm GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY ms DESC, doc_id ASC) AS INT) AS rank,
+        |    round(ms, 6) + 0.0 AS maxsim
+        |  FROM sc)
+        |SELECT query_id, doc_id, rank, maxsim FROM rk WHERE rank <= 5""".stripMargin,
     // Selective branch = exact brute among qualifying rows.
     "q_ann_filtered" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v

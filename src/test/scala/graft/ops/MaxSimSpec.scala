@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MaxSimSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def toks(rows: (Long, Int, Array[Double])*): DataFrame =
+    rows.toDF("id", "pos", "tv")
+
+  test("MaxSim is the sum over query tokens of the best doc-token cosine") {
+    // Query 1: token A = e0, token B = e1.
+    val q = toks((1L, 0, Array(1.0, 0.0)), (1L, 1, Array(0.0, 1.0)))
+    // Doc 10 matches A exactly and B at cos 0 → 1.0.
+    // Doc 20 matches both at 45° → 2·(√2/2) ≈ 1.414214 — ranks FIRST,
+    // which is exactly the multi-aspect win a pooled vector loses.
+    val d = toks(
+      (10L, 0, Array(1.0, 0.0)), (10L, 1, Array(1.0, 0.0)),
+      (20L, 0, Array(1.0, 1.0)), (20L, 1, Array(1.0, 1.0)))
+    val got = MaxSim.topK(q, d, "id", "pos", "tv", k = 2)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getInt(2),
+        math.rint(r.getDouble(3) * 1e6) / 1e6))
+    assert(got.toSeq == Seq((20L, 1, 1.414214), (10L, 2, 1.0)))
+  }
+
+  // Clustered multi-vector fixture: 60 docs, 4 tokens each; token t of
+  // doc i points along axis (i%6)*4+t with deterministic noise — docs in
+  // the same cluster share all four token directions.
+  private def corpus(n: Int = 60) = toks((for {
+    i <- 0 until n
+    t <- 0 until 4
+  } yield {
+    val axis = (i % 6) * 4 + t
+    val v = Array.tabulate(24)(d =>
+      (if (d == axis) 3.0 else 0.0) + (((i * 31 + d * 7 + t * 13) % 11) - 5) / 20.0)
+    (i.toLong, t, v)
+  }): _*)
+
+  test("token-ANN candidate path reranks exactly and recalls the brute top-k") {
+    val c = corpus()
+    val probes = c.filter(col("id") < 12)
+    val brute = MaxSim.topK(probes, c, "id", "pos", "tv", k = 3,
+      simPrecision = 6)
+    val ann = MaxSim.topKViaAnn(probes, c, "id", "pos", "tv", k = 3,
+      tokenK = 32, numPlanes = 2, tables = 6, simPrecision = 6)
+    def rows(df: DataFrame) = df.select("query_id", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (rows(ann) intersect rows(brute)).size.toDouble /
+      rows(brute).size
+    assert(recall >= 0.8, s"recall $recall")
+    // On candidates both paths score identically: any shared (q,d) pair
+    // must carry the same maxsim.
+    val joined = ann.select(col("query_id"), col("doc_id"),
+        col("maxsim").as("a"))
+      .join(brute.select(col("query_id"), col("doc_id"),
+        col("maxsim").as("b")), Seq("query_id", "doc_id"))
+    assert(joined.filter(col("a") =!= col("b")).isEmpty)
+  }
+
+  test("scores are partitioning-invariant") {
+    val c = corpus(36)
+    val p = c.filter(col("id") < 6)
+    def out(df: DataFrame) = MaxSim.topK(p, df, "id", "pos", "tv", k = 4,
+        simPrecision = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    assert(out(c.repartition(17)) == out(c.repartition(1)))
+  }
+}
