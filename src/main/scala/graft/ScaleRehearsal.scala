@@ -55,7 +55,10 @@ object ScaleRehearsal {
     "q_dedup_minhash_lsh",
     // r13 additions: the iterative kNN-graph pass and the bucketed-pair
     // density clustering — the new heavy iterators worth re-measuring.
-    "q_nndescent", "q_dbscan_lsh")
+    "q_nndescent", "q_dbscan_lsh",
+    // r14 additions: the graph-walk family (full build + beam search
+    // charged per query) and the late-interaction scorer.
+    "q_ann_graph_topk", "q_hybrid_rrf_graph", "q_maxsim")
 
   /** The skew-rehearsal set: the queries whose scale story depends on a
     * HOT KEY surviving — as-of auto-routing, per-group rank windows,
