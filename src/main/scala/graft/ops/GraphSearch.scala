@@ -209,20 +209,4 @@ object GraphSearch {
         col("rank"), col("cos"))
   }
 
-  /** Convenience composition: build the kNN graph with [[NnDescent]] and
-    * search it in one call — the batch shape `q_rag_retrieve`-style
-    * dense legs use when no prebuilt graph is persisted.
-    */
-  def topKViaGraph(corpus: DataFrame, idCol: String, vecCol: String,
-      queries: DataFrame, qIdCol: String, qVecCol: String,
-      k: Int, graphK: Int = 0, graphRounds: Int = 2, beam: Int = 0,
-      rounds: Int = 3, entries: Int = 8,
-      simPrecision: Int = -1): DataFrame = {
-    val gk = if (graphK > 0) graphK else math.max(5, k)
-    val g = NnDescent.knnGraph(corpus, idCol, vecCol, k = gk,
-      rounds = graphRounds, simPrecision = simPrecision)
-    topK(g, "query_id", "neighbor_id", corpus, idCol, vecCol,
-      queries, qIdCol, qVecCol, k, beam, rounds, entries,
-      simPrecision = simPrecision)
-  }
 }
