@@ -53,7 +53,29 @@ object FilteredAnn {
   def topK(probes: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, pred: Column, k: Int,
       selectivityThreshold: Double = 0.1, overFetch: Double = 3.0,
-      numPlanes: Int = 8, tables: Int = 2): DataFrame = {
+      numPlanes: Int = 8, tables: Int = 2): DataFrame =
+    topKImpl(probes, corpus, idCol, vecCol, pred, k,
+      selectivityThreshold, overFetch,
+      (p, c, fetch) => Similarity.lshTopK(p, c, idCol, vecCol, fetch,
+        numPlanes, tables))
+
+  /** [[topK]] on md5-derived planes — the oracle-parity variant (the
+    * lshTopKMd5 relationship): a SQL engine replays the broad branch's
+    * buckets, over-fetch cut and re-rank exactly (`q_ann_filtered_broad`).
+    */
+  def topKMd5(probes: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, pred: Column, k: Int, dims: Int,
+      selectivityThreshold: Double = 0.1, overFetch: Double = 3.0,
+      numPlanes: Int = 6, tables: Int = 2): DataFrame =
+    topKImpl(probes, corpus, idCol, vecCol, pred, k,
+      selectivityThreshold, overFetch,
+      (p, c, fetch) => Similarity.lshTopKMd5(p, c, idCol, vecCol, fetch,
+        dims, numPlanes, tables))
+
+  private def topKImpl(probes: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, pred: Column, k: Int,
+      selectivityThreshold: Double, overFetch: Double,
+      ann: (DataFrame, DataFrame, Int) => DataFrame): DataFrame = {
     require(k >= 1 && overFetch >= 1.0,
       s"need k>=1, overFetch>=1; got $k/$overFetch")
     val rt = route(corpus, pred, selectivityThreshold)
@@ -74,8 +96,7 @@ object FilteredAnn {
         .select(col(idCol).cast("long").as("neighbor_id"))
       val w = Window.partitionBy("query_id")
         .orderBy(col("cos").desc, col("neighbor_id").asc)
-      Similarity.lshTopK(probes, corpus, idCol, vecCol, fetch,
-          numPlanes, tables)
+      ann(probes, corpus, fetch)
         .join(qual, Seq("neighbor_id"), "left_semi")
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)

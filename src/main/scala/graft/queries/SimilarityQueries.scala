@@ -584,6 +584,19 @@ object SimilarityQueries extends QueryGroup {
         selectivityThreshold = 0.15)
     }),
 
+    // The BROAD branch under the hash gate, on md5 planes so the SQL
+    // replays it end to end: label<8 matches ~80% ≫ threshold, so the
+    // post-filter path fires — over-fetch cut (least(m, ceil(k·over/frac))
+    // computed from the same counts on both engines), predicate
+    // semi-join, exact-cosine re-rank to k.
+    "q_ann_filtered_broad" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.ops.FilteredAnn.topKMd5(emb.filter(col("vec_id") < 30), emb,
+        "vec_id", "embedding", col("label") < 8, k = 5, dims = 64,
+        selectivityThreshold = 0.1, overFetch = 3.0,
+        numPlanes = 6, tables = 2)
+    }),
+
     // Persisted-graph round trip under the hash gate: write the
     // GraphIndex, hit it with a FULLY-REDELIVERED maintenance batch
     // (every id already stored — must drop all adds and write no new
@@ -912,6 +925,53 @@ object SimilarityQueries extends QueryGroup {
         |      AS INT) AS rank
         |  FROM a JOIN c ON c.vec_id <> a.vec_id)
         |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    // Broad branch: md5-plane buckets, over-fetch rank cut from the same
+    // count arithmetic (frac first, then k·over/frac — the identical
+    // IEEE expression order), predicate semi-join, exact-cos re-rank.
+    "q_ann_filtered_broad" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |st AS (SELECT count(*) AS n,
+        |    count(CASE WHEN label < 8 THEN 1 END) AS m FROM embeddings),
+        |fp AS (SELECT least(m,
+        |    CAST(ceil((5 * 3.0) / (CAST(m AS DOUBLE) / n)) AS BIGINT))
+        |    AS flim FROM st),
+        |planes AS (
+        |  SELECT p, list_transform(range(0, 64),
+        |    d -> CAST(('0x' || substr(md5('p_' || CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+        |         / CAST(576460752303423488 AS DOUBLE) - 1.0) AS comps
+        |  FROM range(0, 12) t(p)),
+        |proj AS (
+        |  SELECT e.vec_id, planes.p,
+        |    list_sum(list_transform(range(1, 65), i -> e.v[i] * planes.comps[i])) AS pr
+        |  FROM e CROSS JOIN planes),
+        |buckets AS (
+        |  SELECT vec_id, p // 6 AS t,
+        |    sum(CASE WHEN pr >= 0 THEN CAST(1 AS BIGINT) << (p % 6) ELSE CAST(0 AS BIGINT) END) AS b
+        |  FROM proj GROUP BY vec_id, p // 6),
+        |cand AS (
+        |  SELECT DISTINCT pb.vec_id AS query_id, cb.vec_id AS neighbor_id
+        |  FROM buckets pb JOIN buckets cb ON pb.t = cb.t AND pb.b = cb.b
+        |  WHERE pb.vec_id < 30 AND pb.vec_id <> cb.vec_id),
+        |ranked AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    row_number() OVER (PARTITION BY c.query_id
+        |      ORDER BY list_cosine_similarity(a.v, b.v) DESC, c.neighbor_id ASC) AS r
+        |  FROM cand c
+        |  JOIN e a ON a.vec_id = c.query_id
+        |  JOIN e b ON b.vec_id = c.neighbor_id),
+        |fetched AS (SELECT query_id, neighbor_id FROM ranked, fp
+        |  WHERE r <= flim),
+        |fq AS (SELECT f.query_id, f.neighbor_id FROM fetched f
+        |  JOIN embeddings l ON l.vec_id = f.neighbor_id WHERE l.label < 8),
+        |rr AS (
+        |  SELECT fq.query_id, fq.neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY fq.query_id
+        |      ORDER BY list_cosine_similarity(a.v, b.v) DESC, fq.neighbor_id ASC) AS INT) AS rank
+        |  FROM fq
+        |  JOIN e a ON a.vec_id = fq.query_id
+        |  JOIN e b ON b.vec_id = fq.neighbor_id)
+        |SELECT query_id, neighbor_id, rank FROM rr WHERE rank <= 5""".stripMargin,
     // The persisted round trip must reproduce the in-memory build+walk:
     // same replay as q_ann_graph_topk.
     "q_ann_graph_persist" ->
