@@ -73,6 +73,21 @@ class FilteredAnnSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.7, s"recall $recall")
   }
 
+  test("plan: selective branch is the partial top-k aggregation, never a corpus window") {
+    val c = corpus()
+    val plan = FilteredAnn.topK(c.filter(col("vec_id") < 8), c,
+        "vec_id", "embedding", col("label") === 3, k = 4,
+        selectivityThreshold = 0.15)
+      .queryExecution.executedPlan.toString
+    // The pre-filter branch rides bruteForceTopKAgg: probes broadcast,
+    // the per-query reduction is a PARTIAL aggregate before its exchange
+    // (O(partitions·k) shuffled rows), and nothing funnels to one task.
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("partial_topkaggregator") ||
+      plan.contains("TopKAggregator"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
   test("threshold flips the route; empty match returns no rows") {
     val c = corpus()
     val pred = col("label") === 3

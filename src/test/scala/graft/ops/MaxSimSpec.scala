@@ -62,6 +62,19 @@ class MaxSimSpec extends AnyFunSuite with SparkTestBase {
     assert(joined.filter(col("a") =!= col("b")).isEmpty)
   }
 
+  test("plan: probe bags broadcast; token maxima map-side combined; no global sort") {
+    val c = corpus(36)
+    val p = c.filter(col("id") < 6)
+    val plan = MaxSim.topK(p, c, "id", "pos", "tv", k = 4)
+      .queryExecution.executedPlan.toString
+    // The probe side broadcasts into the token cross scoring...
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    // ...and both grouped aggregations combine map-side before their
+    // exchange (per-(q,d,qtoken) max, then the per-(q,d) ordered fold).
+    assert(plan.contains("partial_max"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
   test("scores are partitioning-invariant") {
     val c = corpus(36)
     val p = c.filter(col("id") < 6)
