@@ -186,20 +186,27 @@ object Bench {
     // capped at 5 re-runs.
     val isolated: Seq[(String, Double)] = if (only.nonEmpty) Nil else {
       val outliers = Bench.isolationOutliers(results, prevTimes, contended)
-      outliers.map { case (n, ratio) =>
+      outliers.flatMap { case (n, ratio) =>
         System.err.println(f"[bench] isolating $n ($ratio%.2fx vs snapshot)")
         val t0 = System.nanoTime()
-        try SparkEntry.queries(n)(spark, sfDir).count()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] isolated $n failed: ${e.getMessage}")
-        }
+        val ok =
+          try { SparkEntry.queries(n)(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] isolated $n failed: ${e.getMessage}")
+            false
+          }
         val sec = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
         System.gc()
         Thread.sleep(50)
-        n -> sec
+        // A FAILED isolated re-run must not land in the snapshot: the
+        // isolated block is written after the queries map, so the next
+        // run's last-match-wins regex read would baseline this query on
+        // its time-to-failure and fire the >3x acute gate falsely — the
+        // mechanism built to remove baseline noise would inject it.
+        if (ok) Some(n -> sec) else None
       }
     }
     val isolatedField =

@@ -356,12 +356,7 @@ object ScaleRehearsal {
     // startup IVF sweep only matches its own prefix, so leftovers from a
     // killed run would otherwise sit in tmp forever).
     for (s <- shapes; sz <- Seq(m, m * f)) {
-      def rm(x: java.io.File): Unit = {
-        if (x.isDirectory)
-          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
-        x.delete(): Unit
-      }
-      rm(new java.io.File(
+      graft.ops.LocalFs.deleteRecursively(new java.io.File(
         s"${System.getProperty("java.io.tmpdir")}/graft_gskew_${sz}_$s"))
     }
   }
@@ -424,12 +419,7 @@ object ScaleRehearsal {
       println(f"""{"op":"skyline${dims.size}d","shape":"$shape","t_n":$t1%.2f,"t_fn":$tF%.2f,"scale_ratio":${tF / t1}%.2f,"front_n":$front1,"front_fn":$frontF,"rounds_n":${r1.mkString("[", ",", "]")},"rounds_fn":${rF.mkString("[", ",", "]")}}""")
     }
     for (shape <- Seq("staircase", "mixed", "anti"); sz <- Seq(n, n * f)) {
-      def rm(x: java.io.File): Unit = {
-        if (x.isDirectory)
-          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
-        x.delete(): Unit
-      }
-      rm(new java.io.File(
+      graft.ops.LocalFs.deleteRecursively(new java.io.File(
         s"${System.getProperty("java.io.tmpdir")}/graft_sky_${sz}_$shape"))
     }
   }
@@ -457,14 +447,8 @@ object ScaleRehearsal {
     val app = spark.sparkContext.applicationId
     val p1 = s"$tmp/graft_gidx_maintA_$app"
     val p2 = s"$tmp/graft_gidx_maintB_$app"
-    def rm(path: String): Unit = {
-      def r(x: java.io.File): Unit = {
-        if (x.isDirectory)
-          Option(x.listFiles()).getOrElse(Array.empty).foreach(r)
-        x.delete(): Unit
-      }
-      r(new java.io.File(path))
-    }
+    def rm(path: String): Unit =
+      graft.ops.LocalFs.deleteRecursively(path)
     val tBuild = time { graft.ops.GraphIndex.write(spark, p1, base,
       "vec_id", "vb", k = 5, rounds = 2, maxDegree = 12) }
     val tMaint = time { graft.ops.GraphIndex.applyMaintenanceBatch(spark,
@@ -533,12 +517,7 @@ object ScaleRehearsal {
       println(f"""{"op":"range_join","shape":"$shape","t_m":$t1%.2f,"t_fm":$tF%.2f,"scale_ratio":${tF / t1}%.2f,"skew_overhead":${t1 / uniBase}%.2f,"rows_m":$rows1,"rows_fm":$rowsF}""")
     }
     for (s <- shapes; sz <- Seq(m, m * f); side <- Seq("p", "i")) {
-      def rm(x: java.io.File): Unit = {
-        if (x.isDirectory)
-          Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
-        x.delete(): Unit
-      }
-      rm(new java.io.File(
+      graft.ops.LocalFs.deleteRecursively(new java.io.File(
         s"${System.getProperty("java.io.tmpdir")}/graft_rsk_${side}_${sz}_$s"))
     }
   }

@@ -35,4 +35,22 @@ object Checkpoints {
     GraftColumnBridge.checkpointRdd(df)
       .filter(_.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
       .foreach(_.unpersist(blocking = false))
+
+  /** Drop the block storage behind EVERY `localCheckpoint` anywhere in a
+    * frame's plan — the handle for checkpoints an operator buried under
+    * projections before returning (a beam search's final beam, a kNN
+    * build's final edges), where [[release]]'s root-only match cannot
+    * reach them.
+    *
+    * Sharper safety contract than [[release]]: the caller asserts that
+    * every RDD-rooted leaf in this plan is dead — typically "the
+    * pipeline's outputs are all written/collected and nothing will read
+    * through this frame again". Releasing a leaf some OTHER live frame
+    * shares fails that frame (truncated lineage cannot recompute), so
+    * only call this on plans whose producers this caller alone consumed.
+    */
+  def releaseTree(df: DataFrame): Unit =
+    GraftColumnBridge.checkpointRdds(df)
+      .filter(_.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      .foreach(_.unpersist(blocking = false))
 }

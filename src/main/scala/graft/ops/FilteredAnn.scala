@@ -82,9 +82,26 @@ object FilteredAnn {
     if (rt.preFilter) {
       // Exact among qualifying rows; bruteForceTopKAgg's partial top-k
       // keeps the shuffle at O(partitions·k), and the corpus side is
-      // already cut to the matching fraction before any scoring.
-      Similarity.bruteForceTopKAgg(probes, corpus.filter(pred),
-        idCol, vecCol, k)
+      // already cut to the matching fraction before any scoring. The
+      // typed aggregator's state is (long, double) pairs, so non-integral
+      // ids take the window-form brute instead (same rows; shuffles the
+      // scored pairs rather than partial top-ks — integral ids are the
+      // shape to prefer at scale, but a string-keyed corpus must not
+      // throw on one branch while the other serves it).
+      val integral = corpus.select(col(idCol)).schema.head.dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      if (integral)
+        Similarity.bruteForceTopKAgg(probes, corpus.filter(pred),
+          idCol, vecCol, k)
+      else
+        Similarity.bruteForceTopK(probes, corpus.filter(pred),
+          idCol, vecCol, k)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
     } else {
       // Over-fetch enough that the EXPECTED post-filter survivors still
       // cover k (capped at the matching count — fetching past every
@@ -92,8 +109,13 @@ object FilteredAnn {
       val fetch = math.min(rt.matching,
         math.ceil(k * overFetch / math.max(rt.frac, 1e-9)).toLong)
         .min(Int.MaxValue.toLong).toInt
+      // Keep the id's NATIVE type: the semi-join matches lshTopK's
+      // neighbor_id as-is. A cast("long") here would null out string ids
+      // and silently empty the broad branch while the selective branch
+      // (no cast) kept working — the output would flip on measured
+      // selectivity alone.
       val qual = corpus.filter(pred)
-        .select(col(idCol).cast("long").as("neighbor_id"))
+        .select(col(idCol).as("neighbor_id"))
       val w = Window.partitionBy("query_id")
         .orderBy(col("cos").desc, col("neighbor_id").asc)
       ann(probes, corpus, fetch)

@@ -145,6 +145,14 @@ object GraphIndex {
     Checkpoints.release(stored)
     Checkpoints.release(fresh)
     Checkpoints.release(refined)
+    // The commit is the last read through these plans, so the checkpoints
+    // their producers buried under projections — GraphSearch's final beam
+    // inside `seeds`, knnGraph's final edges inside `internal` — are dead
+    // too; without the tree release a long-running maintenance stream
+    // pins one beam-sized + one batch-edges-sized block set per
+    // micro-batch until GC (the exact leak Checkpoints.scala documents).
+    Checkpoints.releaseTree(seeds)
+    Checkpoints.releaseTree(internal)
   }
 
   // ------------------------------------------------------------ commit

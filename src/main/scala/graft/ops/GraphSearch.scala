@@ -104,10 +104,12 @@ object GraphSearch {
     // targets the node at dense id-order position md5(salt:l j:u) mod n.
     // Deterministic on both engines; duplicate edges are harmless (the
     // round's candidate set dedups).
+    var ordPin: Option[DataFrame] = None
     val withOverlay = if (overlay == 0) adjBase else {
       val n = v.count()
       val ord = Ordinals.assign(v.select(col("id")), Seq(col("id").asc))
         .select(col("id").as("__tgt"), col("ordinal").as("__o"))
+      ordPin = Some(ord)
       val jumps = (0 until overlay).map { j =>
         v.select(col("id").as("node"),
           pmod(Dedup.md5Hash60(
@@ -201,6 +203,12 @@ object GraphSearch {
     Checkpoints.release(v)
     Checkpoints.release(q)
     Checkpoints.release(adj)
+    // The overlay's Ordinals.assign pinned a corpus-sized range-
+    // partitioned checkpoint inside `ord`'s plan; `adj` (its only
+    // consumer) is itself checkpoint-materialized or dead by now, so the
+    // pin is releasable — without this every topK call leaks one
+    // corpus-sized block set (per micro-batch, in the maintenance sink).
+    ordPin.foreach(Checkpoints.releaseTree)
 
     beamDf
       .withColumn("rank", row_number().over(byQ))

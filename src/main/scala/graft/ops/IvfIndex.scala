@@ -184,14 +184,23 @@ object IvfIndex {
     * appends exactly the rows that are missing; tombstone deletes are
     * anti-join semantics and already replay-clean.
     *
-    * COROLLARY, stated because it is invisible from the types: an 'add'
-    * whose id is ALREADY LIVE is a no-op even when it carries a CHANGED
-    * vector — the idempotency anti-join cannot distinguish a replay from
-    * an update attempt, and silently keeping the stored vector is the
-    * only replay-safe choice. Adds are inserts, not upserts; an update
-    * is delete → [[compact]] → add (the tombstone masks until the fold).
-    * Dropped adds are counted and logged per batch so a genuine update
-    * attempt is visible in the maintenance log instead of vanishing.
+    * COROLLARY, stated because it is invisible from the types: the
+    * touched-list check is EXACTLY a replay guard, no more. A replayed
+    * add re-derives the same assignment (deterministic codebook argmin),
+    * so it always lands in a list the check reads — replays are complete
+    * no-ops. An add of a live id carrying a CHANGED vector is caught
+    * (and dropped, with a count in the maintenance log) only when the
+    * new vector still assigns to a list holding the stored copy; if it
+    * assigns ELSEWHERE, the default check cannot see the stored copy and
+    * the id lands live in two lists — probes then return it twice, with
+    * both vectors. Adds are inserts, not upserts; an update is
+    * delete → [[compact]] → add (the tombstone masks until the fold).
+    * Callers whose feed may carry re-embedded vectors for live ids
+    * should set `strictLiveCheck = true`: the surviving adds are then
+    * also checked against the FULL live tree's neighbor_id column (the
+    * batch side broadcasts, so the scan is one column wide and never
+    * shuffles the index) — making add-of-a-live-id an unconditional,
+    * logged no-op at the cost of one id-column scan per batch.
     *
     * Same single-writer assumption as every maintenance op here, and the
     * [[append]] contract still applies across batches: a delete is
@@ -206,7 +215,8 @@ object IvfIndex {
       idCol: String,
       vecCol: String,
       opCol: String,
-      maxRecordsPerFile: Long = 5000000L): Unit = {
+      maxRecordsPerFile: Long = 5000000L,
+      strictLiveCheck: Boolean = false): Unit = {
     val adds = batch.filter(col(opCol) === "add")
       .select(col(idCol), col(vecCol))
       // An id twice in one batch (transport retry inside the batch) must
@@ -230,13 +240,32 @@ object IvfIndex {
       // Surface the adds the idempotency anti-join is about to drop (see
       // the Scaladoc corollary): a batch-sized semi-join over the already
       // list-pruned existing frame, so the count tracks the batch.
+      // Strict mode: surviving adds are also checked against the FULL
+      // tree's id column. The batch-id side broadcasts into a semi-join
+      // over the one-column scan, so the hits frame is batch-bounded and
+      // the index is never shuffled; checkpointed because it feeds both
+      // the drop count and the anti-join.
+      val liveElsewhere =
+        if (!strictLiveCheck) None
+        else Some(spark.read.parquet(s"$path/$live")
+          .select(col("neighbor_id"))
+          .join(broadcast(assigned.select(col("neighbor_id"))),
+            Seq("neighbor_id"), "left_semi")
+          .distinct()
+          .localCheckpoint(eager = true))
       val dropped = assigned
-        .join(existing, Seq("neighbor_id"), "left_semi").count()
+        .join(existing, Seq("neighbor_id"), "left_semi").count() +
+        liveElsewhere.map(h => assigned
+          .join(existing, Seq("neighbor_id"), "left_anti")
+          .join(broadcast(h), Seq("neighbor_id"), "left_semi")
+          .count()).getOrElse(0L)
       if (dropped > 0) System.err.println(
         s"[graft] IvfIndex.applyMaintenanceBatch: $dropped add(s) for " +
           "already-live ids ignored (adds are not upserts; update = " +
           "delete -> compact -> add)")
-      assigned.join(existing, Seq("neighbor_id"), "left_anti")
+      val fresh = assigned.join(existing, Seq("neighbor_id"), "left_anti")
+      liveElsewhere.map(h => fresh.join(broadcast(h),
+          Seq("neighbor_id"), "left_anti")).getOrElse(fresh)
         .select(col("__list").as("list"), col("neighbor_id"),
           col("__nv").as("vec"), col("__nn").as("vnorm"))
         .repartition(col("list"))
@@ -244,6 +273,7 @@ object IvfIndex {
         .option("maxRecordsPerFile", maxRecordsPerFile)
         .partitionBy("list")
         .parquet(s"$path/$live")
+      liveElsewhere.foreach(Checkpoints.release)
     }
     val dels = batch.filter(col(opCol) === "delete").select(col(idCol))
     if (!dels.isEmpty) delete(spark, path, dels, idCol)

@@ -86,22 +86,25 @@ object MaxSim {
       tokenK: Int = 32, numPlanes: Int = 8, tables: Int = 2,
       simPrecision: Int = -1): DataFrame = {
     // Token-level probes need a unique token id for the ANN call; the
-    // owning (query, doc) ids are recovered by joining back on it.
+    // key is a STRUCT (side, id, pos) rather than an arithmetic packing —
+    // no position cap, no overflow, and the side tag makes the query and
+    // doc keyspaces DISJOINT, so lshTopK's query_id =!= neighbor_id
+    // self-exclusion (written for symmetric single-table ANN) never
+    // removes a probe's own-document token pair: when probes are drawn
+    // from the corpus, the self document — the true rank-1 MaxSim — must
+    // stay reachable through candidate generation.
+    def tokKey(side: String, pos: Column) =
+      struct(lit(side).as("side"), col(idCol).cast("long").as("id"),
+        pos.cast("int").as("pos"))
     val q = queryToks.filter(col(vecCol).isNotNull)
-      .select(col(idCol).cast("long").as("__qid"),
-        col(posCol).cast("int").as("__qp"), col(vecCol).as("__v"))
-      .withColumn("__qtok", col("__qid") * 1024 + col("__qp"))
+      .select(tokKey("q", col(posCol)).as("tok"), col(vecCol).as("__v"))
     val d = docToks.filter(col(vecCol).isNotNull)
-      .select(col(idCol).cast("long").as("__did"),
-        col(posCol).cast("int").as("__dp"), col(vecCol).as("__v"))
-      .withColumn("__dtok", col("__did") * 1024 + col("__dp"))
-    val hits = Similarity.lshTopK(
-      q.select(col("__qtok").as("tok"), col("__v")),
-      d.select(col("__dtok").as("tok"), col("__v")),
-      "tok", "__v", tokenK, numPlanes, tables)
+      .select(tokKey("d", col(posCol)).as("tok"), col(vecCol).as("__v"))
+    val hits = Similarity.lshTopK(q, d, "tok", "__v",
+      tokenK, numPlanes, tables)
     val cand = hits
-      .select((col("query_id") / 1024).cast("long").as("query_id"),
-        (col("neighbor_id") / 1024).cast("long").as("doc_id"))
+      .select(col("query_id.id").as("query_id"),
+        col("neighbor_id.id").as("doc_id"))
       .distinct()
     // Exact rerank on candidates only: same grouped-aggregation shape as
     // scoreAll, restricted by the candidate semi-join.

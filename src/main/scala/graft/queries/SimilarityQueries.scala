@@ -37,21 +37,12 @@ object SimilarityQueries extends QueryGroup {
   def sweepStaleIvfTmp(liveAppId: String): Unit = try {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(): Unit
-    }
     // Age by the NEWEST mtime anywhere in the tree, not the top
-    // directory's: parquet writes land in nested list=*/ subdirectories
-    // without refreshing the root mtime, so a top-level check could
-    // sweep a tree a slow concurrent run is actively appending to.
-    def newestMtime(f: java.io.File): Long = {
-      val own = f.lastModified()
-      if (!f.isDirectory) own
-      else Option(f.listFiles()).getOrElse(Array.empty)
-        .foldLeft(own)((m, c) => math.max(m, newestMtime(c)))
-    }
+    // directory's (see LocalFs.newestMtime): parquet writes land in
+    // nested list=*/ subdirectories without refreshing the root mtime,
+    // so a top-level check could sweep a tree a slow concurrent run is
+    // actively appending to.
+    import graft.ops.LocalFs.{deleteRecursively, newestMtime}
     // graft_gskew_* are ScaleRehearsal graph-skew edge tables — deleted
     // on normal exit, but a killed rehearsal leaves multi-GB trees that
     // only this sweep reclaims (they carry no appId; the newest-mtime
@@ -66,7 +57,7 @@ object SimilarityQueries extends QueryGroup {
         !f.getName.endsWith(liveAppId) && newestMtime(f) < cutoff)
       .foreach { d =>
         System.err.println(s"[graft] sweeping stale tmp tree: $d")
-        rm(d)
+        deleteRecursively(d)
       }
   } catch { case _: Exception => () }
 

@@ -165,7 +165,18 @@ object SketchQueries extends QueryGroup {
       def ok(est: org.apache.spark.sql.Column,
           exact: org.apache.spark.sql.Column) =
         abs(est - exact) <= greatest(exact * 0.35, lit(100.0))
-      est.join(exactInter, Seq("key_a", "key_b"))
+      // At the sampled tiers the truth join must be OUTER: a pair whose
+      // sampled intersection came up empty (P ≈ (1-1/m)^|∩| — likely for
+      // small true intersections) would otherwise vanish from the output
+      // entirely, silently shrinking the audit surface; n_inter = 0 is
+      // the sample's honest estimate for such a pair and the bound
+      // columns still evaluate. The m = 1 oracle tier keeps the inner
+      // join — there exactInter covers every intersecting pair by
+      // construction and the gated hashes stay byte-identical.
+      val withTruth = if (m == 1) est.join(exactInter, Seq("key_a", "key_b"))
+        else est.join(exactInter, Seq("key_a", "key_b"), "left")
+          .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      withTruth
         .join(sz.select(col("source").as("key_a"), col("n").as("__na")),
           Seq("key_a"))
         .join(sz.select(col("source").as("key_b"), col("n").as("__nb")),

@@ -38,4 +38,13 @@ object GraftColumnBridge {
       case r: execution.LogicalRDD => Some(r.rdd)
       case _ => None
     }
+
+  /** Every checkpoint-backed RDD anywhere in a frame's analyzed plan
+    * (including inside subqueries) — the handle for checkpoints an
+    * operator left buried under projections before returning.
+    */
+  def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectWithSubqueries {
+      case r: execution.LogicalRDD => r.rdd
+    }.distinct
 }

@@ -34,12 +34,7 @@ class BucketedJoinSpec extends AnyFunSuite with SparkTestBase {
     s.sql(s"DROP TABLE IF EXISTS $name")
     val loc = new java.io.File(
       s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(): Unit
-    }
-    rm(loc)
+    graft.ops.LocalFs.deleteRecursively(loc)
   }
 
   private def facts = {

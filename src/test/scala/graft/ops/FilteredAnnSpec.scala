@@ -88,6 +88,28 @@ class FilteredAnnSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Exchange SinglePartition"), plan)
   }
 
+  test("broad branch keeps non-numeric ids (both branches return rows " +
+    "on a string-keyed corpus)") {
+    // The post-filter semi-join once cast the id to long — string ids
+    // became all-NULL, the semi-join matched nothing, and the broad
+    // branch silently returned an empty frame while the selective branch
+    // worked: output flipped on measured selectivity alone.
+    val c = corpus().select(concat(lit("doc-"),
+      col("vec_id").cast("string")).as("vec_id"), col("label"),
+      col("embedding"))
+    val probes = c.filter(col("label") === 0).limit(4)
+    val broad = FilteredAnn.topK(probes, c, "vec_id", "embedding",
+      col("label") < 8, k = 3, selectivityThreshold = 0.15,
+      numPlanes = 2, tables = 4)
+    assert(broad.count() > 0, "broad branch empty on string ids")
+    val labels = c.select(col("vec_id").as("neighbor_id"), col("label"))
+    assert(broad.join(labels, "neighbor_id")
+      .filter(col("label") >= 8).isEmpty)
+    val selective = FilteredAnn.topK(probes, c, "vec_id", "embedding",
+      col("label") === 3, k = 3, selectivityThreshold = 0.15)
+    assert(selective.count() > 0, "selective branch empty on string ids")
+  }
+
   test("threshold flips the route; empty match returns no rows") {
     val c = corpus()
     val pred = col("label") === 3

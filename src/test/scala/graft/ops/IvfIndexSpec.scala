@@ -276,6 +276,46 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want && got.nonEmpty)
   }
 
+  test("maintenance add of a live id whose CHANGED vector assigns to a " +
+    "different list: duplicate by default, dropped under strictLiveCheck") {
+    import spark.implicits._
+    // id 7 is stored under cluster 1 (7 % 6 == 1); the re-embedded vector
+    // points along axis 4, so it assigns to list 4 — a list the batch's
+    // touched-list replay guard never reads.
+    val changed = Seq((7L,
+      Array.tabulate(dims)(d => if (d == 4) 10.0 else 0.0), "add"))
+      .toDF("vec_id", "embedding", "op")
+    def liveCopies(path: String): Long =
+      spark.read.parquet(s"$path/${IvfIndex.liveLists(spark, path)}")
+        .filter(col("neighbor_id") === 7L).count()
+
+    val lax = Files.createTempDirectory("ivf_maint_lax").toString
+    IvfIndex.write(lax, corpus, "vec_id", "embedding", codebook)
+    IvfIndex.applyMaintenanceBatch(spark, lax, changed,
+      "vec_id", "embedding", "op")
+    // Documented default-mode limitation: the cheap guard is exactly a
+    // replay guard — the changed-vector add lands and the id is live in
+    // two lists (this assertion is the honest record of that trade).
+    assert(liveCopies(lax) == 2L, "default mode should append the changed add")
+
+    val strict = Files.createTempDirectory("ivf_maint_strict").toString
+    IvfIndex.write(strict, corpus, "vec_id", "embedding", codebook)
+    IvfIndex.applyMaintenanceBatch(spark, strict, changed,
+      "vec_id", "embedding", "op", strictLiveCheck = true)
+    assert(liveCopies(strict) == 1L, "strict mode must drop the live-id add")
+    // And strict mode still appends genuinely-new ids in the same batch.
+    val mixed = Seq(
+      (7L, Array.tabulate(dims)(d => if (d == 4) 10.0 else 0.0), "add"),
+      (9000L, Array.tabulate(dims)(d => if (d == 2) 10.0 else 0.0), "add"))
+      .toDF("vec_id", "embedding", "op")
+    IvfIndex.applyMaintenanceBatch(spark, strict, mixed,
+      "vec_id", "embedding", "op", strictLiveCheck = true)
+    assert(liveCopies(strict) == 1L)
+    assert(spark.read.parquet(
+        s"$strict/${IvfIndex.liveLists(spark, strict)}")
+      .filter(col("neighbor_id") === 9000L).count() == 1L)
+  }
+
   test("probe plan is eligible for dynamic partition pruning") {
     val path = Files.createTempDirectory("ivf_dpp").toString
     IvfIndex.write(path, corpus, "vec_id", "embedding", codebook)

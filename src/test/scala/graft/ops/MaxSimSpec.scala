@@ -62,6 +62,37 @@ class MaxSimSpec extends AnyFunSuite with SparkTestBase {
     assert(joined.filter(col("a") =!= col("b")).isEmpty)
   }
 
+  test("ANN path keeps the self document reachable when probes are drawn " +
+    "from the corpus") {
+    // Probe i's tokens are IDENTICAL to doc i's — MaxSim(i, i) = 4.0 is
+    // the unique maximum, so rank 1 must be the self document for every
+    // probe. The struct token key's side tag is what guarantees this:
+    // with a shared arithmetic keyspace, lshTopK's query ≠ neighbor
+    // self-exclusion silently removed every same-(id, pos) token pair
+    // and the true rank-1 could vanish from candidate generation.
+    val c = corpus()
+    val ann = MaxSim.topKViaAnn(c.filter(col("id") < 12), c,
+      "id", "pos", "tv", k = 1, tokenK = 8, numPlanes = 2, tables = 2,
+      simPrecision = 6)
+    val top1 = ann.filter(col("rank") === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(top1.length == 12, top1.toSeq)
+    assert(top1.forall { case (q, d) => q == d }, top1.toSeq)
+  }
+
+  test("token positions past 1024 do not collide across documents") {
+    // Doc 0 holds its only token at position 1024; doc 1 at position 0.
+    // The retired id*1024+pos packing mapped both to key 1024 and
+    // attributed doc 0's token to doc 1; the struct key cannot collide.
+    val d = toks((0L, 1024, Array(1.0, 0.0)), (1L, 0, Array(0.0, 1.0)))
+    val probe = toks((7L, 0, Array(1.0, 0.0)))
+    val got = MaxSim.topKViaAnn(probe, d, "id", "pos", "tv", k = 1,
+        tokenK = 4, numPlanes = 2, tables = 4, simPrecision = 6)
+      .filter(col("rank") === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((7L, 0L)), got)
+  }
+
   test("plan: probe bags broadcast; token maxima map-side combined; no global sort") {
     val c = corpus(36)
     val p = c.filter(col("id") < 6)
