@@ -84,7 +84,30 @@ object MaxSim {
   def topKViaAnn(queryToks: DataFrame, docToks: DataFrame,
       idCol: String, posCol: String, vecCol: String, k: Int,
       tokenK: Int = 32, numPlanes: Int = 8, tables: Int = 2,
-      simPrecision: Int = -1): DataFrame = {
+      simPrecision: Int = -1): DataFrame =
+    topKViaAnnImpl(queryToks, docToks, idCol, posCol, vecCol, k,
+      simPrecision,
+      (q, d) => Similarity.lshTopK(q, d, "tok", "__v", tokenK,
+        numPlanes, tables))
+
+  /** [[topKViaAnn]] on md5-derived planes — the oracle-parity variant
+    * (the lshTopKMd5 relationship): a SQL engine replays token
+    * bucketing, the per-query-token candidate cut and the exact MaxSim
+    * rerank end to end (`q_maxsim_ann`). `dims` is the TOKEN dimension.
+    */
+  def topKViaAnnMd5(queryToks: DataFrame, docToks: DataFrame,
+      idCol: String, posCol: String, vecCol: String, k: Int, dims: Int,
+      tokenK: Int = 32, numPlanes: Int = 6, tables: Int = 2,
+      simPrecision: Int = -1): DataFrame =
+    topKViaAnnImpl(queryToks, docToks, idCol, posCol, vecCol, k,
+      simPrecision,
+      (q, d) => Similarity.lshTopKMd5(q, d, "tok", "__v", tokenK, dims,
+        numPlanes, tables))
+
+  private def topKViaAnnImpl(queryToks: DataFrame, docToks: DataFrame,
+      idCol: String, posCol: String, vecCol: String, k: Int,
+      simPrecision: Int,
+      ann: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     // Token-level probes need a unique token id for the ANN call; the
     // key is a STRUCT (side, id, pos) rather than an arithmetic packing —
     // no position cap, no overflow, and the side tag makes the query and
@@ -100,8 +123,7 @@ object MaxSim {
       .select(tokKey("q", col(posCol)).as("tok"), col(vecCol).as("__v"))
     val d = docToks.filter(col(vecCol).isNotNull)
       .select(tokKey("d", col(posCol)).as("tok"), col(vecCol).as("__v"))
-    val hits = Similarity.lshTopK(q, d, "tok", "__v",
-      tokenK, numPlanes, tables)
+    val hits = ann(q, d)
     val cand = hits
       .select(col("query_id.id").as("query_id"),
         col("neighbor_id.id").as("doc_id"))

@@ -562,6 +562,27 @@ object SimilarityQueries extends QueryGroup {
           (round(col("maxsim"), 6) + lit(0.0)).as("maxsim"))
     }),
 
+    // The token-ANN MaxSim scale path under the hash gate, on md5
+    // planes so the SQL replays it end to end: each 16-dim query token
+    // probes 2 tables × 4 md5-derived hyperplanes, keeps its tokenK=8
+    // best doc-token hits (cos desc, (doc, pos) asc tie-break), the
+    // owning documents become the candidate set, and the exact MaxSim
+    // fold reranks candidates only — the ColBERT candidate-generation
+    // architecture with every stage replayed by the oracle.
+    "q_maxsim_ann" -> ((s, dir) => {
+      def toks(df: org.apache.spark.sql.DataFrame) = df
+        .filter(col("embedding").isNotNull)
+        .select(col("vec_id"), posexplode(array((0 until 4).map(t =>
+          slice(col("embedding").cast("array<double>"),
+            t * 16 + 1, 16)): _*)).as(Seq("pos", "tv")))
+      val emb = Tables.embeddings(s, dir)
+      graft.ops.MaxSim.topKViaAnnMd5(toks(emb.filter(col("vec_id") < 10)),
+          toks(emb), "vec_id", "pos", "tv", k = 5, dims = 16,
+          tokenK = 8, numPlanes = 4, tables = 2, simPrecision = 6)
+        .select(col("query_id"), col("doc_id"), col("rank"),
+          (round(col("maxsim"), 6) + lit(0.0)).as("maxsim"))
+    }),
+
     // Filtered ANN (predicate + vector top-k, the standard vector-store
     // query): selectivity-routed (FilteredAnn.route) — label=3 matches
     // ~10% of the corpus, under the 0.15 threshold, so the SELECTIVE
@@ -892,6 +913,71 @@ object SimilarityQueries extends QueryGroup {
         |      (sqrt(list_dot_product(q.tv, q.tv)) *
         |       sqrt(list_dot_product(d.tv, d.tv))), 6)) AS m
         |  FROM qt q, dt d GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT query_id, doc_id,
+        |    list_sum(list(m ORDER BY pos)) AS ms
+        |  FROM pm GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY ms DESC, doc_id ASC) AS INT) AS rank,
+        |    round(ms, 6) + 0.0 AS maxsim
+        |  FROM sc)
+        |SELECT query_id, doc_id, rank, maxsim FROM rk WHERE rank <= 5""".stripMargin,
+
+    // Mirrors MaxSim.topKViaAnnMd5: md5-plane token buckets (2 tables ×
+    // 4 planes over the 16-dim token slices), per-query-token top-8
+    // candidate cut (cos desc, (doc, pos) asc — the struct-key order),
+    // owning-document distinct, then the exact q_maxsim fold over
+    // candidates only.
+    "q_maxsim_ann" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |dt AS (SELECT vec_id AS doc_id, t.t AS pos,
+        |    list_slice(v, t.t*16+1, t.t*16+16) AS tv
+        |  FROM e, (VALUES (0),(1),(2),(3)) t(t)),
+        |qt AS (SELECT doc_id AS query_id, pos, tv FROM dt WHERE doc_id < 10),
+        |planes AS (
+        |  SELECT p, list_transform(range(0, 16),
+        |    d -> CAST(('0x' || substr(md5('p_' || CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+        |         / CAST(576460752303423488 AS DOUBLE) - 1.0) AS comps
+        |  FROM range(0, 8) t(p)),
+        |dproj AS (
+        |  SELECT dt.doc_id, dt.pos, planes.p,
+        |    list_sum(list_transform(range(1, 17), i -> dt.tv[i] * planes.comps[i])) AS pr
+        |  FROM dt CROSS JOIN planes),
+        |dbuckets AS (
+        |  SELECT doc_id, pos, p // 4 AS t,
+        |    sum(CASE WHEN pr >= 0 THEN CAST(1 AS BIGINT) << (p % 4) ELSE CAST(0 AS BIGINT) END) AS b
+        |  FROM dproj GROUP BY doc_id, pos, p // 4),
+        |hits AS (
+        |  SELECT DISTINCT qb.doc_id AS query_id, qb.pos AS qpos,
+        |    cb.doc_id AS doc_id, cb.pos AS dpos
+        |  FROM dbuckets qb JOIN dbuckets cb ON qb.t = cb.t AND qb.b = cb.b
+        |  WHERE qb.doc_id < 10),
+        |scored AS (
+        |  SELECT h.query_id, h.qpos, h.doc_id, h.dpos,
+        |    list_dot_product(q.tv, d.tv) /
+        |      (sqrt(list_dot_product(q.tv, q.tv)) *
+        |       sqrt(list_dot_product(d.tv, d.tv))) AS cos
+        |  FROM hits h
+        |  JOIN qt q ON q.query_id = h.query_id AND q.pos = h.qpos
+        |  JOIN dt d ON d.doc_id = h.doc_id AND d.pos = h.dpos),
+        |tk AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id, qpos
+        |      ORDER BY cos DESC, doc_id ASC, dpos ASC) AS r
+        |  FROM scored),
+        |cand AS (SELECT DISTINCT query_id, doc_id FROM tk WHERE r <= 8),
+        |pm AS (
+        |  SELECT c.query_id, c.doc_id, q.pos,
+        |    max(round(list_dot_product(q.tv, d.tv) /
+        |      (sqrt(list_dot_product(q.tv, q.tv)) *
+        |       sqrt(list_dot_product(d.tv, d.tv))), 6)) AS m
+        |  FROM cand c
+        |  JOIN qt q ON q.query_id = c.query_id
+        |  JOIN dt d ON d.doc_id = c.doc_id
+        |  GROUP BY 1, 2, 3),
         |sc AS (
         |  SELECT query_id, doc_id,
         |    list_sum(list(m ORDER BY pos)) AS ms

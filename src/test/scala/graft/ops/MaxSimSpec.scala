@@ -80,6 +80,20 @@ class MaxSimSpec extends AnyFunSuite with SparkTestBase {
     assert(top1.forall { case (q, d) => q == d }, top1.toSeq)
   }
 
+  test("md5-plane ANN variant honors the same candidate/rerank contract") {
+    // Same self-document argument as above, through the oracle-parity
+    // plane family (q_maxsim_ann gates the full replay; this pins the
+    // Scala path on the spec fixture).
+    val c = corpus()
+    val ann = MaxSim.topKViaAnnMd5(c.filter(col("id") < 8), c,
+      "id", "pos", "tv", k = 1, dims = 24, tokenK = 8, numPlanes = 3,
+      tables = 2, simPrecision = 6)
+    val top1 = ann.filter(col("rank") === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(top1.length == 8, top1.toSeq)
+    assert(top1.forall { case (q, d) => q == d }, top1.toSeq)
+  }
+
   test("token positions past 1024 do not collide across documents") {
     // Doc 0 holds its only token at position 1024; doc 1 at position 0.
     // The retired id*1024+pos packing mapped both to key 1024 and
