@@ -57,8 +57,9 @@ object ScaleRehearsal {
     // density clustering — the new heavy iterators worth re-measuring.
     "q_nndescent", "q_dbscan_lsh",
     // r14 additions: the graph-walk family (full build + beam search
-    // charged per query) and the late-interaction scorer.
-    "q_ann_graph_topk", "q_hybrid_rrf_graph", "q_maxsim")
+    // charged per query) and the late-interaction scorer, exact + its
+    // token-ANN scale path.
+    "q_ann_graph_topk", "q_hybrid_rrf_graph", "q_maxsim", "q_maxsim_ann")
 
   /** The skew-rehearsal set: the queries whose scale story depends on a
     * HOT KEY surviving — as-of auto-routing, per-group rank windows,

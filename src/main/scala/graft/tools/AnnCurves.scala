@@ -161,6 +161,39 @@ object AnnCurves {
         }
       graft.ops.Checkpoints.release(knn)
 
+      // Maintained-index search QUALITY: the graph-maint rehearsal
+      // measures maintenance TIME vs rebuild; this measures what the
+      // stitch COSTS IN RECALL. Build the persisted index on the oldest
+      // 90% of ids, stitch the newest 10% in as one maintenance batch
+      // (seed walk + localized descent — the streaming sink's batch
+      // body), and run the same beam sweep through the maintained edges.
+      // The claim under test: a maintained graph searches like a rebuilt
+      // one; if it didn't, the maintenance sink would be a slow rebuild
+      // with extra steps.
+      {
+        val n = emb.count()
+        val cutId = (n * 9) / 10
+        val mpath = s"${System.getProperty("java.io.tmpdir")}/" +
+          s"graft_curves_maint_${spark.sparkContext.applicationId}_$corpusName"
+        graft.ops.GraphIndex.write(spark, mpath,
+          emb.filter(col("vec_id") < cutId), "vec_id", "embedding",
+          k = 10, rounds = 4)
+        graft.ops.GraphIndex.applyMaintenanceBatch(spark, mpath,
+          emb.filter(col("vec_id") >= cutId), "vec_id", "embedding",
+          k = 10, rounds = 2, beam = 32)
+        val medges = graft.ops.GraphIndex.edges(spark, mpath)
+          .localCheckpoint(true)
+        medges.count()
+        for ((beamW, rounds) <- Seq((32, 4), (64, 4)))
+          measure("graph-maintained", s""""beam":$beamW,"rounds":$rounds""") {
+            graft.ops.GraphSearch.topK(medges, "id", "nbr",
+              emb, "vec_id", "embedding", probes, "vec_id", "embedding",
+              K + 1, beam = beamW, rounds = rounds, entries = 8)
+          }
+        graft.ops.Checkpoints.release(medges)
+        graft.ops.LocalFs.deleteRecursively(mpath)
+      }
+
       graft.ops.Checkpoints.release(truth)
       graft.ops.Checkpoints.release(codes)
     }
