@@ -72,6 +72,75 @@ object FilteredAnn {
       (p, c, fetch) => Similarity.lshTopKMd5(p, c, idCol, vecCol, fetch,
         dims, numPlanes, tables))
 
+  /** The SELECTIVE branch, shared by every router: exact top-k among the
+    * qualifying rows only. bruteForceTopKAgg's partial top-k keeps the
+    * shuffle at O(partitions·k), and the corpus side is already cut to
+    * the matching fraction before any scoring. The typed aggregator's
+    * state is (long, double) pairs, so non-integral ids take the
+    * window-form brute instead (same rows; shuffles the scored pairs
+    * rather than partial top-ks — integral ids are the shape to prefer
+    * at scale, but a string-keyed corpus must not throw on one branch
+    * while the other serves it).
+    */
+  private def selectiveTopK(probes: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, pred: Column, k: Int): DataFrame = {
+    val integral = corpus.select(col(idCol)).schema.head.dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (integral)
+      Similarity.bruteForceTopKAgg(probes, corpus.filter(pred),
+        idCol, vecCol, k)
+    else
+      Similarity.bruteForceTopK(probes, corpus.filter(pred),
+        idCol, vecCol, k)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** [[topK]] with the broad branch on the GRAPH path — filtered ANN the
+    * way a graph index serves it (filtered-HNSW semantics): the walk's
+    * BEAM is the over-fetch pool. A selective predicate still routes to
+    * the exact pre-filter brute — an index probe cannot beat scoring the
+    * few qualifying rows, and restricting the walk itself to qualifying
+    * nodes destroys navigability (the classic in-walk-filter failure);
+    * a broad one walks the FULL graph returning its whole beam
+    * (`GraphSearch.topK` with k = beam), post-filters by the predicate,
+    * and re-ranks to k. Size `beam ≥ k·overFetch/expected-frac`; like
+    * the LSH branch, shortfall is reported honestly (< k rows), never
+    * padded. Graph-path ids are long-cast by [[GraphSearch]] — integral
+    * ids only, unlike the LSH router.
+    */
+  def topKGraph(graph: DataFrame, gSrcCol: String, gDstCol: String,
+      probes: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, pred: Column, k: Int, beam: Int,
+      selectivityThreshold: Double = 0.1, rounds: Int = 3,
+      entries: Int = 8, overlay: Int = 2, salt: String = "gs",
+      simPrecision: Int = -1): DataFrame = {
+    require(k >= 1 && beam >= k, s"need beam >= k >= 1; got $beam/$k")
+    val rt = route(corpus, pred, selectivityThreshold)
+    if (rt.preFilter)
+      selectiveTopK(probes, corpus, idCol, vecCol, pred, k)
+    else {
+      val qual = corpus.filter(pred).select(col(idCol).as("neighbor_id"))
+      // Post-filter re-rank by the walk's own rank: within a probe the
+      // walk already ordered by (cos desc, neighbor asc), so rank-order
+      // survival is exactly cos-order survival.
+      val w = Window.partitionBy("query_id").orderBy(col("rank").asc)
+      GraphSearch.topK(graph, gSrcCol, gDstCol, corpus, idCol, vecCol,
+          probes, idCol, vecCol, k = beam, beam = beam, rounds = rounds,
+          entries = entries, overlay = overlay, salt = salt,
+          simPrecision = simPrecision)
+        .join(qual, Seq("neighbor_id"), "left_semi")
+        .withColumn("__fr", row_number().over(w))
+        .filter(col("__fr") <= k)
+        .select(col("query_id"), col("neighbor_id"),
+          col("__fr").cast("int").as("rank"))
+    }
+  }
+
   private def topKImpl(probes: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, pred: Column, k: Int,
       selectivityThreshold: Double, overFetch: Double,
@@ -80,28 +149,7 @@ object FilteredAnn {
       s"need k>=1, overFetch>=1; got $k/$overFetch")
     val rt = route(corpus, pred, selectivityThreshold)
     if (rt.preFilter) {
-      // Exact among qualifying rows; bruteForceTopKAgg's partial top-k
-      // keeps the shuffle at O(partitions·k), and the corpus side is
-      // already cut to the matching fraction before any scoring. The
-      // typed aggregator's state is (long, double) pairs, so non-integral
-      // ids take the window-form brute instead (same rows; shuffles the
-      // scored pairs rather than partial top-ks — integral ids are the
-      // shape to prefer at scale, but a string-keyed corpus must not
-      // throw on one branch while the other serves it).
-      val integral = corpus.select(col(idCol)).schema.head.dataType match {
-        case org.apache.spark.sql.types.ByteType |
-             org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.LongType => true
-        case _ => false
-      }
-      if (integral)
-        Similarity.bruteForceTopKAgg(probes, corpus.filter(pred),
-          idCol, vecCol, k)
-      else
-        Similarity.bruteForceTopK(probes, corpus.filter(pred),
-          idCol, vecCol, k)
-          .select(col("query_id"), col("neighbor_id"), col("rank"))
+      selectiveTopK(probes, corpus, idCol, vecCol, pred, k)
     } else {
       // Over-fetch enough that the EXPECTED post-filter survivors still
       // cover k (capped at the matching count — fetching past every

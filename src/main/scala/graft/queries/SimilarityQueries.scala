@@ -562,6 +562,24 @@ object SimilarityQueries extends QueryGroup {
           (round(col("maxsim"), 6) + lit(0.0)).as("maxsim"))
     }),
 
+    // Filtered ANN on the GRAPH path (filtered-HNSW semantics): the
+    // beam walk's pool post-filters by the predicate and re-ranks to k —
+    // label<8 matches ~80% ≫ threshold, so the broad branch fires. The
+    // oracle replays graph build + walk (the q_ann_graph_topk chain)
+    // then applies the same filter + rank-order re-rank.
+    "q_ann_filtered_graph" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val corpus = boostedCorpus(emb)
+        .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      val g = graft.ops.NnDescent.knnGraph(corpus, "vec_id", "vb",
+        k = 5, rounds = 2, maxDegree = 12, simPrecision = 6)
+      graft.ops.FilteredAnn.topKGraph(g, "query_id", "neighbor_id",
+        corpus.filter(col("vec_id") < 20), corpus, "vec_id", "vb",
+        col("label") < 8, k = 5, beam = 10,
+        selectivityThreshold = 0.1, rounds = 2, entries = 4,
+        overlay = 2, simPrecision = 6)
+    }),
+
     // The token-ANN MaxSim scale path under the hash gate, on md5
     // planes so the SQL replays it end to end: each 16-dim query token
     // probes 2 tables × 4 md5-derived hyperplanes, keeps its tokenK=8
@@ -897,6 +915,25 @@ object SimilarityQueries extends QueryGroup {
              rounds = 2, entries = 4, overlay = 2, salt = "gs",
              qWhere = "vec_id < 20")}
          |SELECT query_id, neighbor_id, rank FROM fin
+         |WHERE rank <= 5""".stripMargin,
+    // Graph build + walk replay (k = beam: the whole beam is the
+    // over-fetch pool), then the broad-branch tail: predicate semi-join
+    // + rank-order re-rank to k.
+    "q_ann_filtered_graph" ->
+      s"""${nndReplaySql(k = 5, rounds = 2, initTables = 2,
+             bucketSize = 48, deg = 12, salt = "nnd")},
+         |${graphSearchReplaySql(graphRounds = 2, k = 10, beam = 10,
+             rounds = 2, entries = 4, overlay = 2, salt = "gs",
+             qWhere = "vec_id < 20")},
+         |flt AS (
+         |  SELECT f.query_id, f.neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY f.query_id
+         |      ORDER BY f.rank ASC) AS INT) AS rank
+         |  FROM fin f
+         |  JOIN (SELECT vec_id FROM embeddings WHERE label < 8) ql
+         |    ON ql.vec_id = f.neighbor_id
+         |  WHERE f.rank <= 10)
+         |SELECT query_id, neighbor_id, rank FROM flt
          |WHERE rank <= 5""".stripMargin,
     // Same token slicing, per-(query,doc,qtoken) max of 6-dp cosines,
     // position-ORDERED list_sum — the fixed-order double fold.

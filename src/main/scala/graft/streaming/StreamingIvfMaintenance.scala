@@ -38,18 +38,25 @@ object StreamingIvfMaintenance {
     * in tests and manual backfills.
     */
   def writer(path: String, idCol: String, vecCol: String,
-      opCol: String): (DataFrame, Long) => Unit =
+      opCol: String,
+      strictLiveCheck: Boolean = false): (DataFrame, Long) => Unit =
     (batch, _) => IvfIndex.applyMaintenanceBatch(
-      batch.sparkSession, path, batch, idCol, vecCol, opCol)
+      batch.sparkSession, path, batch, idCol, vecCol, opCol,
+      strictLiveCheck = strictLiveCheck)
 
   /** Wire a maintenance stream into the index at `path`. Caller starts
-    * it: `sink(stream, path, ckpt, ...).start()`.
+    * it: `sink(stream, path, ckpt, ...).start()`. `strictLiveCheck`
+    * passes through to [[IvfIndex.applyMaintenanceBatch]] — set it when
+    * the feed may carry RE-EMBEDDED vectors for live ids (the default
+    * guard only catches replays; a changed vector assigning to a
+    * different list would otherwise land the id live twice).
     */
   def sink(stream: DataFrame, path: String, checkpointDir: String,
       idCol: String, vecCol: String,
-      opCol: String): DataStreamWriter[Row] =
+      opCol: String,
+      strictLiveCheck: Boolean = false): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch(writer(path, idCol, vecCol, opCol))
+      .foreachBatch(writer(path, idCol, vecCol, opCol, strictLiveCheck))
 }

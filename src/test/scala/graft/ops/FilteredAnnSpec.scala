@@ -110,6 +110,35 @@ class FilteredAnnSpec extends AnyFunSuite with SparkTestBase {
     assert(selective.count() > 0, "selective branch empty on string ids")
   }
 
+  test("graph router: broad walks the beam pool and post-filters; " +
+    "selective is the exact pre-filter brute") {
+    val c = corpus()
+    val g = NnDescent.knnGraph(c, "vec_id", "embedding",
+      k = 6, rounds = 2, maxDegree = 14, simPrecision = 6)
+    val probes = c.filter(col("vec_id") < 8)
+    // Broad: survivors all qualify, ranks dense, ≤ k per probe.
+    val broad = FilteredAnn.topKGraph(g, "query_id", "neighbor_id",
+      probes, c, "vec_id", "embedding", col("label") < 8, k = 4,
+      beam = 24, selectivityThreshold = 0.15, rounds = 3, entries = 6,
+      overlay = 2, simPrecision = 6)
+    val labels = c.select(col("vec_id").as("neighbor_id"), col("label"))
+    assert(broad.count() > 0)
+    assert(broad.join(labels, "neighbor_id")
+      .filter(col("label") >= 8).isEmpty, "unqualified row surfaced")
+    val byQ = broad.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("mx")).collect()
+    byQ.foreach(r => assert(r.getLong(1) == r.getInt(2).toLong))
+    assert(byQ.forall(_.getLong(1) <= 4))
+    // Selective: identical to the shared exact pre-filter branch.
+    val sel = FilteredAnn.topKGraph(g, "query_id", "neighbor_id",
+      probes, c, "vec_id", "embedding", col("label") === 3, k = 4,
+      beam = 24, selectivityThreshold = 0.15, simPrecision = 6)
+    val truth = Similarity.bruteForceTopK(probes,
+      c.filter(col("label") === 3), "vec_id", "embedding", k = 4)
+      .select("query_id", "neighbor_id", "rank")
+    assert(pairs(sel) == pairs(truth))
+  }
+
   test("threshold flips the route; empty match returns no rows") {
     val c = corpus()
     val pred = col("label") === 3
