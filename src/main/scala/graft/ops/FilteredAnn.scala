@@ -133,6 +133,11 @@ object FilteredAnn {
           probes, idCol, vecCol, k = beam, beam = beam, rounds = rounds,
           entries = entries, overlay = overlay, salt = salt,
           simPrecision = simPrecision)
+        // The walk keeps the probe's own node (rank 1 when probes come
+        // from the corpus); the selective branch's brute self-excludes —
+        // drop self here too or the object's both-branches-self-exclude
+        // contract would flip on measured selectivity.
+        .filter(col("query_id") =!= col("neighbor_id"))
         .join(qual, Seq("neighbor_id"), "left_semi")
         .withColumn("__fr", row_number().over(w))
         .filter(col("__fr") <= k)

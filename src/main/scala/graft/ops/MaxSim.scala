@@ -33,6 +33,11 @@ import org.apache.spark.sql.functions._
   * fixed-order double sum), per-token maxima are over rounded cosines
   * when `simPrecision` ≥ 0 — the usual cross-engine replay contract.
   *
+  * Ids keep their NATIVE type end to end (string document keys work on
+  * both tiers — the struct token key and every join carry idCol as-is;
+  * a long cast here would silently empty or throw on non-numeric keys,
+  * the FilteredAnn broad-branch failure class).
+  *
   * Input layout: one row per TOKEN — (idCol, posCol, vecCol). Pooled
   * single-vector tables turn into this shape with posexplode over a
   * slicing expression (see q_maxsim, which cuts 64-dim rows into four
@@ -47,11 +52,11 @@ object MaxSim {
       idCol: String, posCol: String, vecCol: String,
       simPrecision: Int = -1): DataFrame = {
     val q = queryToks.filter(col(vecCol).isNotNull)
-      .select(col(idCol).cast("long").as("query_id"),
+      .select(col(idCol).as("query_id"),
         col(posCol).cast("int").as("__qp"), col(vecCol).as("__qv"),
         Similarity.norm(col(vecCol)).as("__qn"))
     val d = docToks.filter(col(vecCol).isNotNull)
-      .select(col(idCol).cast("long").as("doc_id"), col(vecCol).as("__dv"),
+      .select(col(idCol).as("doc_id"), col(vecCol).as("__dv"),
         Similarity.norm(col(vecCol)).as("__dn"))
     val cosRaw = Similarity.dot(col("__qv"), col("__dv")) /
       (col("__qn") * col("__dn"))
@@ -117,7 +122,7 @@ object MaxSim {
     // from the corpus, the self document — the true rank-1 MaxSim — must
     // stay reachable through candidate generation.
     def tokKey(side: String, pos: Column) =
-      struct(lit(side).as("side"), col(idCol).cast("long").as("id"),
+      struct(lit(side).as("side"), col(idCol).as("id"),
         pos.cast("int").as("pos"))
     val q = queryToks.filter(col(vecCol).isNotNull)
       .select(tokKey("q", col(posCol)).as("tok"), col(vecCol).as("__v"))
@@ -131,11 +136,11 @@ object MaxSim {
     // Exact rerank on candidates only: same grouped-aggregation shape as
     // scoreAll, restricted by the candidate semi-join.
     val qt = queryToks.filter(col(vecCol).isNotNull)
-      .select(col(idCol).cast("long").as("query_id"),
+      .select(col(idCol).as("query_id"),
         col(posCol).cast("int").as("__qp"), col(vecCol).as("__qv"),
         Similarity.norm(col(vecCol)).as("__qn"))
     val dt = docToks.filter(col(vecCol).isNotNull)
-      .select(col(idCol).cast("long").as("doc_id"), col(vecCol).as("__dv"),
+      .select(col(idCol).as("doc_id"), col(vecCol).as("__dv"),
         Similarity.norm(col(vecCol)).as("__dn"))
     val cosRaw = Similarity.dot(col("__qv"), col("__dv")) /
       (col("__qn") * col("__dn"))

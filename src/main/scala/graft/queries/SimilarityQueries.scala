@@ -53,7 +53,8 @@ object SimilarityQueries extends QueryGroup {
           f.getName.startsWith("graft_gidx_") ||
           f.getName.startsWith("graft_gskew_") ||
           f.getName.startsWith("graft_sky_") ||
-          f.getName.startsWith("graft_rsk_")) &&
+          f.getName.startsWith("graft_rsk_") ||
+          f.getName.startsWith("graft_curves_maint_")) &&
         !f.getName.endsWith(liveAppId) && newestMtime(f) < cutoff)
       .foreach { d =>
         System.err.println(s"[graft] sweeping stale tmp tree: $d")
@@ -932,7 +933,7 @@ object SimilarityQueries extends QueryGroup {
          |  FROM fin f
          |  JOIN (SELECT vec_id FROM embeddings WHERE label < 8) ql
          |    ON ql.vec_id = f.neighbor_id
-         |  WHERE f.rank <= 10)
+         |  WHERE f.rank <= 10 AND f.neighbor_id <> f.query_id)
          |SELECT query_id, neighbor_id, rank FROM flt
          |WHERE rank <= 5""".stripMargin,
     // Same token slicing, per-(query,doc,qtoken) max of 6-dp cosines,

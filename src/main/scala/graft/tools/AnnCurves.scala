@@ -175,6 +175,7 @@ object AnnCurves {
         val cutId = (n * 9) / 10
         val mpath = s"${System.getProperty("java.io.tmpdir")}/" +
           s"graft_curves_maint_${spark.sparkContext.applicationId}_$corpusName"
+        try {
         graft.ops.GraphIndex.write(spark, mpath,
           emb.filter(col("vec_id") < cutId), "vec_id", "embedding",
           k = 10, rounds = 4)
@@ -191,7 +192,9 @@ object AnnCurves {
               K + 1, beam = beamW, rounds = rounds, entries = 8)
           }
         graft.ops.Checkpoints.release(medges)
-        graft.ops.LocalFs.deleteRecursively(mpath)
+        // finally: a failing measure() must not strand the tree until
+        // the startup sweep (which also knows this prefix) reclaims it.
+        } finally graft.ops.LocalFs.deleteRecursively(mpath)
       }
 
       graft.ops.Checkpoints.release(truth)

@@ -125,6 +125,12 @@ class FilteredAnnSpec extends AnyFunSuite with SparkTestBase {
     assert(broad.count() > 0)
     assert(broad.join(labels, "neighbor_id")
       .filter(col("label") >= 8).isEmpty, "unqualified row surfaced")
+    // Both branches self-exclude — the walk keeps the probe's own node,
+    // so the broad branch must drop it (probes here qualify and come
+    // from the corpus: without the filter every probe's rank 1 is
+    // itself and the route flip changes semantics).
+    assert(broad.filter(col("query_id") === col("neighbor_id")).isEmpty,
+      "self row surfaced on the broad graph branch")
     val byQ = broad.groupBy("query_id")
       .agg(count(lit(1)).as("n"), max("rank").as("mx")).collect()
     byQ.foreach(r => assert(r.getLong(1) == r.getInt(2).toLong))

@@ -107,6 +107,25 @@ class MaxSimSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Seq((7L, 0L)), got)
   }
 
+  test("string document ids flow through both tiers natively") {
+    // Ids keep their native type (the struct token key and every join
+    // carry idCol as-is) — a long cast here would throw under ANSI or
+    // silently empty the candidate set, the FilteredAnn broad-branch
+    // failure class.
+    val c = corpus(24).select(concat(lit("doc-"),
+      col("id").cast("string")).as("id"), col("pos"), col("tv"))
+    val probes = c.filter(col("id").isin("doc-0", "doc-1", "doc-2"))
+    val brute = MaxSim.topK(probes, c, "id", "pos", "tv", k = 2,
+      simPrecision = 6)
+    assert(brute.count() == 6)
+    val ann = MaxSim.topKViaAnn(probes, c, "id", "pos", "tv", k = 1,
+      tokenK = 8, numPlanes = 2, tables = 2, simPrecision = 6)
+    val top1 = ann.filter(col("rank") === 1).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(top1.length == 3, top1.toSeq)
+    assert(top1.forall { case (q, d) => q == d }, top1.toSeq)
+  }
+
   test("plan: probe bags broadcast; token maxima map-side combined; no global sort") {
     val c = corpus(36)
     val p = c.filter(col("id") < 6)
