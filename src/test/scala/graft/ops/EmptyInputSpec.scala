@@ -155,4 +155,35 @@ class EmptyInputSpec extends AnyFunSuite with SparkTestBase {
     assert(graft.text.WordPiece.tokenCounts(emptyDocs, "doc_id", "text", 2)
       .count() == 0)
   }
+
+  test("round-14 operators on empty inputs") {
+    import spark.implicits._
+    val ev = Seq.empty[(Long, Array[Double])].toDF("vec_id", "embedding")
+    val v = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val et = Seq.empty[(Long, Int, Array[Double])].toDF("id", "pos", "tv")
+    val t = Seq((1L, 0, Array(1.0, 0.0))).toDF("id", "pos", "tv")
+    // MaxSim: empty probes, empty corpus, both tiers.
+    assert(MaxSim.topK(et, t, "id", "pos", "tv", 3).count() == 0)
+    assert(MaxSim.topK(t, et, "id", "pos", "tv", 3).count() == 0)
+    assert(MaxSim.topKViaAnn(et, t, "id", "pos", "tv", 3).count() == 0)
+    assert(MaxSim.topKViaAnn(t, et, "id", "pos", "tv", 3).count() == 0)
+    // FilteredAnn: empty corpus routes selective (frac 0) and yields
+    // nothing; empty probes yield nothing on the broad branch.
+    assert(FilteredAnn.topK(v, ev, "vec_id", "embedding",
+      lit(true), k = 2).count() == 0)
+    assert(FilteredAnn.topK(ev, v, "vec_id", "embedding",
+      lit(true), k = 2, selectivityThreshold = 0.1).count() == 0)
+    // GraphSearch: empty probe set walks nothing; an empty GRAPH still
+    // serves entry-set hits (the entry cross is corpus-driven).
+    val eg = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val g = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    assert(GraphSearch.topK(g, "src", "dst", v, "vec_id", "embedding",
+      ev, "vec_id", "embedding", k = 2).count() == 0)
+    assert(GraphSearch.topK(eg, "src", "dst", v, "vec_id", "embedding",
+      v, "vec_id", "embedding", k = 2, entries = 2).count() > 0)
+    // topKGraph: empty corpus → selective route → empty.
+    assert(FilteredAnn.topKGraph(g, "src", "dst", v, ev,
+      "vec_id", "embedding", lit(true), k = 2, beam = 4).count() == 0)
+  }
 }
