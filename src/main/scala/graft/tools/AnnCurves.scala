@@ -131,6 +131,24 @@ object AnnCurves {
             centroidMod = 25, nprobe = nprobe)
         }
 
+      // One production-sized PQ row: the sweep above uses the gated
+      // oracle model (m=4, k=4 — 2-bit codes, chosen for SQL-replay
+      // tractability) whose recall ceiling is the quantizer, not the
+      // operator. m=8 subspaces × 16 codewords (4-bit codes, still 16×
+      // compression) is the FAISS-default shape — the row that shows
+      // where the ceiling moves when the model is sized for serving.
+      val bigModel = graft.ml.Pq.fit(emb, "vec_id", "embedding",
+        dims = 64, m = 8, k = 16, iterations = 3)
+      val bigCodes = graft.ml.Pq.encode(emb, "vec_id", "embedding",
+        bigModel).localCheckpoint(true)
+      bigCodes.count()
+      measure("ivfpq", s""""m":8,"k":16,"nprobe":8,"candidateK":44""") {
+        Similarity.ivfPqTopK(probes, emb, bigCodes, "vec_id", "embedding",
+          bigModel, K + 1, candidateK = 4 * (K + 1),
+          centroidMod = 25, nprobe = 8)
+      }
+      graft.ops.Checkpoints.release(bigCodes)
+
       // LSH: 8 planes, table sweep; multi-probe: 1 table, flip sweep.
       for (tables <- Seq(1, 2, 4))
         measure("lsh", s""""planes":8,"tables":$tables""") {

@@ -96,6 +96,29 @@ class GraphSearchSpec extends AnyFunSuite with SparkTestBase {
     assert(run2(8) == run2(16))
   }
 
+  test("loop checkpoints release; only the final beam stays pinned") {
+    import org.apache.spark.storage.StorageLevel
+    def live() = spark.sparkContext.getPersistentRDDs.values
+      .count(_.getStorageLevel != StorageLevel.NONE)
+    val corpus = clustered(n = 120)
+    val probes = corpus.filter(col("vec_id") < 6)
+    val g = graphOf(corpus).localCheckpoint(true)
+    g.count()
+    val before = live()
+    val out = GraphSearch.topK(g, "query_id", "neighbor_id",
+      corpus, "vec_id", "embedding", probes, "vec_id", "embedding",
+      k = 3, beam = 8, rounds = 3, entries = 3, overlay = 2)
+    out.count()
+    // v/q/adj, every superseded beam round, AND the overlay's
+    // Ordinals.assign pin are released inside topK — only the final
+    // beam's blocks survive for the caller (the CC fixpoint contract).
+    val after = live()
+    assert(after - before <= 1, s"leaked ${after - before - 1} block sets")
+    Checkpoints.releaseTree(out)
+    assert(live() - before <= 0)
+    Checkpoints.release(g)
+  }
+
   test("plan: probe-keyed windows only, no cartesian, no single-partition exchange") {
     val corpus = clustered(n = 80)
     val probes = corpus.filter(col("vec_id") < 5)

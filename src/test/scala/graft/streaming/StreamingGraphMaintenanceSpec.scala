@@ -93,4 +93,23 @@ class StreamingGraphMaintenanceSpec extends AnyFunSuite with SparkTestBase {
     w(corpusDf(Seq(3L, 7L)), 1L) // both already stored
     assert(GraphIndex.liveVersion(spark, path) == v1)
   }
+
+  test("a maintenance batch leaves no checkpoint blocks behind") {
+    import org.apache.spark.storage.StorageLevel
+    def live() = spark.sparkContext.getPersistentRDDs.values
+      .count(_.getStorageLevel != StorageLevel.NONE)
+    val path = Files.createTempDirectory("graft_graph_leak").toString
+    GraphIndex.write(spark, path, corpusDf(0L until 36L),
+      "vec_id", "embedding", k = K, rounds = 4, simPrecision = 6)
+    val before = live()
+    GraphIndex.applyMaintenanceBatch(spark, path,
+      corpusDf(36L until 48L), "vec_id", "embedding",
+      k = K, rounds = 2, simPrecision = 6)
+    // Everything the batch pinned — stored/fresh/vAll/refined, the seed
+    // walk's final beam, the in-batch init's final edges, the overlay's
+    // Ordinals pin — is released before return: a long-running stream
+    // must not grow one block set per micro-batch until GC.
+    val after = live()
+    assert(after - before <= 0, s"leaked ${after - before} block sets")
+  }
 }
