@@ -112,4 +112,24 @@ class StreamingIvfMaintenanceSpec extends AnyFunSuite with SparkTestBase {
       "vec_id", "embedding", centroids)
     assert(probe(path, Seq(3L, 11L)) == probe(ref, Seq(3L, 11L)))
   }
+
+  test("strict live check through the sink: a re-embedded live id that " +
+    "assigns elsewhere is dropped, not duplicated") {
+    val path = Files.createTempDirectory("graft_ivf_strict").toString
+    IvfIndex.write(path, corpusDf(3L to 10L), "vec_id", "embedding",
+      centroids)
+    // id 3 is stored under direction 0 (3 % 3); the re-embedded vector
+    // points along direction 1 — the default guard's touched lists
+    // never see the stored copy.
+    val reembedded = vec(4L) // 4 % 3 == 1
+    val w = StreamingIvfMaintenance.writer(path, "vec_id", "embedding",
+      "op", strictLiveCheck = true)
+    w(Seq((3L, reembedded, "add")).toDF("vec_id", "embedding", "op"), 0L)
+    val live = new java.io.File(path).listFiles()
+      .filter(f => f.getName.startsWith("lists"))
+      .sortBy(_.getName).last
+    val copies = spark.read.parquet(live.getAbsolutePath)
+      .filter(col("neighbor_id") === 3L).count()
+    assert(copies == 1L, s"live id duplicated under strict mode: $copies")
+  }
 }
