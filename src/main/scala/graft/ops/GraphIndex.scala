@@ -64,14 +64,11 @@ object GraphIndex {
     commit(spark, path, nodes, edges)
   }
 
+  private val versions = new VersionedTree("graph")
+
   /** Highest committed generation name, e.g. "graph_v3". */
-  def liveVersion(spark: SparkSession, path: String): String = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = committedVersions(fs, root)
-    require(live.nonEmpty, s"no committed graph generation under $path")
-    s"graph_v${live.max}"
-  }
+  def liveVersion(spark: SparkSession, path: String): String =
+    versions.liveVersion(spark, path)
 
   def nodes(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/${liveVersion(spark, path)}/nodes")
@@ -157,38 +154,10 @@ object GraphIndex {
 
   // ------------------------------------------------------------ commit
 
-  private def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Seq[Int] =
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq.map(_.getPath)
-      .filter(p => p.getName.matches("graph_v\\d+") &&
-        fs.exists(new org.apache.hadoop.fs.Path(p, "_GRAFT_COMMIT")))
-      .map(_.getName.stripPrefix("graph_v").toInt)
-
-  /** Next-generation numbering must pass UNCOMMITTED leftovers too — a
-    * crashed writer's torn tree may hold the highest number.
-    */
-  private def maxVersion(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Int =
-    if (!fs.exists(root)) 0
-    else fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .filter(_.matches("graph_v\\d+"))
-      .map(_.stripPrefix("graph_v").toInt)
-      .foldLeft(0)(math.max)
-
   private def commit(spark: SparkSession, path: String,
-      nodes: DataFrame, edges: DataFrame): Unit = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val next = s"graph_v${maxVersion(fs, root) + 1}"
-    nodes.write.mode("overwrite").parquet(s"$path/$next/nodes")
-    edges.write.mode("overwrite").parquet(s"$path/$next/edges")
-    fs.create(new org.apache.hadoop.fs.Path(s"$path/$next/_GRAFT_COMMIT"))
-      .close()
-    // Only after the marker: drop superseded generations (committed or
-    // torn) so readers never lose a resolvable live tree.
-    fs.listStatus(root).toSeq.map(_.getPath)
-      .filter(p => p.getName.matches("graph_v\\d+") && p.getName != next)
-      .foreach(p => fs.delete(p, true))
-  }
+      nodes: DataFrame, edges: DataFrame): Unit =
+    versions.commitNext(spark, path) { gen =>
+      nodes.write.mode("overwrite").parquet(s"$gen/nodes")
+      edges.write.mode("overwrite").parquet(s"$gen/edges")
+    }: Unit
 }

@@ -54,7 +54,8 @@ object SimilarityQueries extends QueryGroup {
           f.getName.startsWith("graft_gskew_") ||
           f.getName.startsWith("graft_sky_") ||
           f.getName.startsWith("graft_rsk_") ||
-          f.getName.startsWith("graft_curves_maint_")) &&
+          f.getName.startsWith("graft_curves_maint_") ||
+          f.getName.startsWith("graft_msidx_")) &&
         !f.getName.endsWith(liveAppId) && newestMtime(f) < cutoff)
       .foreach { d =>
         System.err.println(s"[graft] sweeping stale tmp tree: $d")
@@ -602,6 +603,32 @@ object SimilarityQueries extends QueryGroup {
           (round(col("maxsim"), 6) + lit(0.0)).as("maxsim"))
     }),
 
+    // Persisted-token-index round trip under the hash gate: write the
+    // ColBERT token index (md5-plane buckets per table, versioned
+    // commit), probe through the ARTIFACT, assert-by-oracle that
+    // persistence is invisible — identical SQL to q_maxsim_ann (the
+    // q_ann_ivf_persist stance: the round trip adds no math).
+    "q_maxsim_index" -> ((s, dir) => {
+      def toks(df: org.apache.spark.sql.DataFrame) = df
+        .filter(col("embedding").isNotNull)
+        .select(col("vec_id"), posexplode(array((0 until 4).map(t =>
+          slice(col("embedding").cast("array<double>"),
+            t * 16 + 1, 16)): _*)).as(Seq("pos", "tv")))
+      val emb = Tables.embeddings(s, dir)
+      val path = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_msidx_${s.sparkContext.applicationId}"
+      graft.ops.MaxSimIndex.write(s, path, toks(emb), "vec_id", "pos",
+        "tv", dims = 16, numPlanes = 4, tables = 2)
+      val out = graft.ops.MaxSimIndex.topK(s, path,
+          toks(emb.filter(col("vec_id") < 10)), "vec_id", "pos", "tv",
+          k = 5, tokenK = 8, simPrecision = 6)
+        .select(col("query_id"), col("doc_id"), col("rank"),
+          (round(col("maxsim"), 6) + lit(0.0)).as("maxsim"))
+        .localCheckpoint(true) // eager: materialize before the tree dies
+      deleteTree(s, path)
+      out
+    }),
+
     // Filtered ANN (predicate + vector top-k, the standard vector-store
     // query): selectivity-routed (FilteredAnn.route) — label=3 matches
     // ~10% of the corpus, under the 0.15 threshold, so the SELECTIVE
@@ -830,6 +857,72 @@ object SimilarityQueries extends QueryGroup {
         .select(col("id_a"), col("id_b"), (round(col("cos"), 4) + lit(0.0)).as("cos"))
   }
 
+  // Mirrors MaxSim.topKViaAnnMd5: md5-plane token buckets (2 tables x
+  // 4 planes over the 16-dim token slices), per-query-token top-8
+  // candidate cut (cos desc, (doc, pos) asc -- the struct-key order),
+  // owning-document distinct, then the exact q_maxsim fold over
+  // candidates only. Shared verbatim by q_maxsim_ann and
+  // q_maxsim_index (persistence adds no math).
+  private val maxsimAnnSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |dt AS (SELECT vec_id AS doc_id, t.t AS pos,
+        |    list_slice(v, t.t*16+1, t.t*16+16) AS tv
+        |  FROM e, (VALUES (0),(1),(2),(3)) t(t)),
+        |qt AS (SELECT doc_id AS query_id, pos, tv FROM dt WHERE doc_id < 10),
+        |planes AS (
+        |  SELECT p, list_transform(range(0, 16),
+        |    d -> CAST(('0x' || substr(md5('p_' || CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+        |         / CAST(576460752303423488 AS DOUBLE) - 1.0) AS comps
+        |  FROM range(0, 8) t(p)),
+        |dproj AS (
+        |  SELECT dt.doc_id, dt.pos, planes.p,
+        |    list_sum(list_transform(range(1, 17), i -> dt.tv[i] * planes.comps[i])) AS pr
+        |  FROM dt CROSS JOIN planes),
+        |dbuckets AS (
+        |  SELECT doc_id, pos, p // 4 AS t,
+        |    sum(CASE WHEN pr >= 0 THEN CAST(1 AS BIGINT) << (p % 4) ELSE CAST(0 AS BIGINT) END) AS b
+        |  FROM dproj GROUP BY doc_id, pos, p // 4),
+        |hits AS (
+        |  SELECT DISTINCT qb.doc_id AS query_id, qb.pos AS qpos,
+        |    cb.doc_id AS doc_id, cb.pos AS dpos
+        |  FROM dbuckets qb JOIN dbuckets cb ON qb.t = cb.t AND qb.b = cb.b
+        |  WHERE qb.doc_id < 10),
+        |scored AS (
+        |  SELECT h.query_id, h.qpos, h.doc_id, h.dpos,
+        |    list_dot_product(q.tv, d.tv) /
+        |      (sqrt(list_dot_product(q.tv, q.tv)) *
+        |       sqrt(list_dot_product(d.tv, d.tv))) AS cos
+        |  FROM hits h
+        |  JOIN qt q ON q.query_id = h.query_id AND q.pos = h.qpos
+        |  JOIN dt d ON d.doc_id = h.doc_id AND d.pos = h.dpos),
+        |tk AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id, qpos
+        |      ORDER BY cos DESC, doc_id ASC, dpos ASC) AS r
+        |  FROM scored),
+        |cand AS (SELECT DISTINCT query_id, doc_id FROM tk WHERE r <= 8),
+        |pm AS (
+        |  SELECT c.query_id, c.doc_id, q.pos,
+        |    max(round(list_dot_product(q.tv, d.tv) /
+        |      (sqrt(list_dot_product(q.tv, q.tv)) *
+        |       sqrt(list_dot_product(d.tv, d.tv))), 6)) AS m
+        |  FROM cand c
+        |  JOIN qt q ON q.query_id = c.query_id
+        |  JOIN dt d ON d.doc_id = c.doc_id
+        |  GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT query_id, doc_id,
+        |    list_sum(list(m ORDER BY pos)) AS ms
+        |  FROM pm GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY ms DESC, doc_id ASC) AS INT) AS rank,
+        |    round(ms, 6) + 0.0 AS maxsim
+        |  FROM sc)
+        |SELECT query_id, doc_id, rank, maxsim FROM rk WHERE rank <= 5""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_vector_norms" ->
       """SELECT vec_id, len(embedding) AS dim,
@@ -968,65 +1061,10 @@ object SimilarityQueries extends QueryGroup {
     // candidate cut (cos desc, (doc, pos) asc — the struct-key order),
     // owning-document distinct, then the exact q_maxsim fold over
     // candidates only.
-    "q_maxsim_ann" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-        |  FROM embeddings WHERE embedding IS NOT NULL),
-        |dt AS (SELECT vec_id AS doc_id, t.t AS pos,
-        |    list_slice(v, t.t*16+1, t.t*16+16) AS tv
-        |  FROM e, (VALUES (0),(1),(2),(3)) t(t)),
-        |qt AS (SELECT doc_id AS query_id, pos, tv FROM dt WHERE doc_id < 10),
-        |planes AS (
-        |  SELECT p, list_transform(range(0, 16),
-        |    d -> CAST(('0x' || substr(md5('p_' || CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
-        |         / CAST(576460752303423488 AS DOUBLE) - 1.0) AS comps
-        |  FROM range(0, 8) t(p)),
-        |dproj AS (
-        |  SELECT dt.doc_id, dt.pos, planes.p,
-        |    list_sum(list_transform(range(1, 17), i -> dt.tv[i] * planes.comps[i])) AS pr
-        |  FROM dt CROSS JOIN planes),
-        |dbuckets AS (
-        |  SELECT doc_id, pos, p // 4 AS t,
-        |    sum(CASE WHEN pr >= 0 THEN CAST(1 AS BIGINT) << (p % 4) ELSE CAST(0 AS BIGINT) END) AS b
-        |  FROM dproj GROUP BY doc_id, pos, p // 4),
-        |hits AS (
-        |  SELECT DISTINCT qb.doc_id AS query_id, qb.pos AS qpos,
-        |    cb.doc_id AS doc_id, cb.pos AS dpos
-        |  FROM dbuckets qb JOIN dbuckets cb ON qb.t = cb.t AND qb.b = cb.b
-        |  WHERE qb.doc_id < 10),
-        |scored AS (
-        |  SELECT h.query_id, h.qpos, h.doc_id, h.dpos,
-        |    list_dot_product(q.tv, d.tv) /
-        |      (sqrt(list_dot_product(q.tv, q.tv)) *
-        |       sqrt(list_dot_product(d.tv, d.tv))) AS cos
-        |  FROM hits h
-        |  JOIN qt q ON q.query_id = h.query_id AND q.pos = h.qpos
-        |  JOIN dt d ON d.doc_id = h.doc_id AND d.pos = h.dpos),
-        |tk AS (
-        |  SELECT query_id, doc_id,
-        |    row_number() OVER (PARTITION BY query_id, qpos
-        |      ORDER BY cos DESC, doc_id ASC, dpos ASC) AS r
-        |  FROM scored),
-        |cand AS (SELECT DISTINCT query_id, doc_id FROM tk WHERE r <= 8),
-        |pm AS (
-        |  SELECT c.query_id, c.doc_id, q.pos,
-        |    max(round(list_dot_product(q.tv, d.tv) /
-        |      (sqrt(list_dot_product(q.tv, q.tv)) *
-        |       sqrt(list_dot_product(d.tv, d.tv))), 6)) AS m
-        |  FROM cand c
-        |  JOIN qt q ON q.query_id = c.query_id
-        |  JOIN dt d ON d.doc_id = c.doc_id
-        |  GROUP BY 1, 2, 3),
-        |sc AS (
-        |  SELECT query_id, doc_id,
-        |    list_sum(list(m ORDER BY pos)) AS ms
-        |  FROM pm GROUP BY 1, 2),
-        |rk AS (
-        |  SELECT query_id, doc_id,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY ms DESC, doc_id ASC) AS INT) AS rank,
-        |    round(ms, 6) + 0.0 AS maxsim
-        |  FROM sc)
-        |SELECT query_id, doc_id, rank, maxsim FROM rk WHERE rank <= 5""".stripMargin,
+    "q_maxsim_ann" -> maxsimAnnSql,
+    // Persistence must be invisible in the result: identical oracle to
+    // q_maxsim_ann (the artifact round-trip adds no math).
+    "q_maxsim_index" -> maxsimAnnSql,
     // Selective branch = exact brute among qualifying rows.
     "q_ann_filtered" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v

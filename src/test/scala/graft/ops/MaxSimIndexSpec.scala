@@ -1,0 +1,115 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted token index must serve probe batches with EXACTLY the
+  * rows the inline [[MaxSim.topKViaAnnMd5]] produces on the same knobs,
+  * amortize one build across many probe batches, stay crash-safe behind
+  * the generation marker, and append idempotently.
+  */
+class MaxSimIndexSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  // The MaxSimSpec clustered fixture: 4 tokens per doc along cluster
+  // axes with deterministic noise.
+  private def toks(n: Int = 60): DataFrame = (for {
+    i <- 0 until n
+    t <- 0 until 4
+  } yield {
+    val axis = (i % 6) * 4 + t
+    val v = Array.tabulate(24)(d =>
+      (if (d == axis) 3.0 else 0.0) + (((i * 31 + d * 7 + t * 13) % 11) - 5) / 20.0)
+    (i.toLong, t, v)
+  }).toDF("id", "pos", "tv")
+
+  private def canon(df: DataFrame): Set[(Long, Long, Int, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+      math.rint(r.getDouble(3) * 1e6) / 1e6)).toSet
+
+  test("persisted probe equals inline topKViaAnnMd5; many batches reuse " +
+    "one artifact") {
+    val c = toks()
+    val path = Files.createTempDirectory("maxsim_idx").toString
+    MaxSimIndex.write(spark, path, c, "id", "pos", "tv", dims = 24,
+      numPlanes = 3, tables = 2)
+    for (lo <- Seq(0L, 6L)) {
+      val probes = c.filter(col("id") >= lo && col("id") < lo + 6)
+      val want = canon(MaxSim.topKViaAnnMd5(probes, c, "id", "pos", "tv",
+        k = 3, dims = 24, tokenK = 8, numPlanes = 3, tables = 2,
+        simPrecision = 6))
+      val got = canon(MaxSimIndex.topK(spark, path, probes,
+        "id", "pos", "tv", k = 3, tokenK = 8, simPrecision = 6))
+      assert(got == want && got.nonEmpty, s"batch at $lo")
+    }
+  }
+
+  test("append: delta docs probe identically to a from-scratch build; " +
+    "replayed append is a counted no-op") {
+    val c = toks(48)
+    val first = c.filter(col("id") < 36)
+    val delta = c.filter(col("id") >= 36)
+    val path = Files.createTempDirectory("maxsim_idx_app").toString
+    MaxSimIndex.write(spark, path, first, "id", "pos", "tv", dims = 24,
+      numPlanes = 3, tables = 2)
+    MaxSimIndex.append(spark, path, delta, "id", "pos", "tv")
+    val scratch = Files.createTempDirectory("maxsim_idx_scr").toString
+    MaxSimIndex.write(spark, scratch, c, "id", "pos", "tv", dims = 24,
+      numPlanes = 3, tables = 2)
+    val probes = c.filter(col("id") < 4 || col("id") >= 44)
+    def probeOf(p: String) = canon(MaxSimIndex.topK(spark, p, probes,
+      "id", "pos", "tv", k = 3, tokenK = 8, simPrecision = 6))
+    assert(probeOf(path) == probeOf(scratch))
+    // Replay: same delta again — nothing appended twice.
+    val rowsBefore = spark.read.parquet(
+      s"$path/${MaxSimIndex.liveVersion(spark, path)}/toks").count()
+    MaxSimIndex.append(spark, path, delta, "id", "pos", "tv")
+    val rowsAfter = spark.read.parquet(
+      s"$path/${MaxSimIndex.liveVersion(spark, path)}/toks").count()
+    assert(rowsBefore == rowsAfter, "replayed append added rows")
+    assert(probeOf(path) == probeOf(scratch))
+  }
+
+  test("a torn rebuild leaves the previous generation live; a committed " +
+    "one retires it") {
+    val c = toks(36)
+    val path = Files.createTempDirectory("maxsim_idx_torn").toString
+    MaxSimIndex.write(spark, path, c.filter(col("id") < 24),
+      "id", "pos", "tv", dims = 24, numPlanes = 3, tables = 2)
+    val v1 = MaxSimIndex.liveVersion(spark, path)
+    // Torn writer: a higher-numbered tree with data but NO commit marker.
+    val torn = new java.io.File(s"$path/tokens_v9/toks")
+    torn.mkdirs()
+    assert(MaxSimIndex.liveVersion(spark, path) == v1)
+    assert(MaxSimIndex.topK(spark, path,
+      c.filter(col("id") < 3), "id", "pos", "tv", k = 2,
+      tokenK = 8, simPrecision = 6).count() > 0)
+    // A real rebuild commits PAST the torn number and retires both.
+    MaxSimIndex.write(spark, path, c, "id", "pos", "tv", dims = 24,
+      numPlanes = 3, tables = 2)
+    assert(MaxSimIndex.liveVersion(spark, path) == "tokens_v10")
+    assert(!new java.io.File(s"$path/$v1").exists())
+    assert(!new java.io.File(s"$path/tokens_v9").exists())
+  }
+
+  test("probe uses the generation's own knobs from meta.json") {
+    val c = toks(36)
+    val path = Files.createTempDirectory("maxsim_idx_meta").toString
+    MaxSimIndex.write(spark, path, c, "id", "pos", "tv", dims = 24,
+      numPlanes = 2, tables = 3)
+    val m = MaxSimIndex.readMeta(spark,
+      s"$path/${MaxSimIndex.liveVersion(spark, path)}")
+    assert(m == MaxSimIndex.Meta(24, 2, 3))
+    val want = canon(MaxSim.topKViaAnnMd5(c.filter(col("id") < 5), c,
+      "id", "pos", "tv", k = 3, dims = 24, tokenK = 6, numPlanes = 2,
+      tables = 3, simPrecision = 6))
+    val got = canon(MaxSimIndex.topK(spark, path, c.filter(col("id") < 5),
+      "id", "pos", "tv", k = 3, tokenK = 6, simPrecision = 6))
+    assert(got == want)
+  }
+}
