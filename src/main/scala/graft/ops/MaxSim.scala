@@ -142,6 +142,17 @@ object MaxSim {
     val dt = docToks.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("doc_id"), col(vecCol).as("__dv"),
         Similarity.norm(col(vecCol)).as("__dn"))
+    rerankCandidates(cand, qt, dt, k, simPrecision)
+  }
+
+  /** The exact-rerank tail shared by the inline ANN path and
+    * [[MaxSimIndex.topK]] — ONE copy of the per-token max, the
+    * position-ordered fold and the rank window, so the persisted path's
+    * bit-parity contract cannot drift from the inline one. `qt` must
+    * carry (query_id, __qp, __qv, __qn); `dt` (doc_id, __dv, __dn).
+    */
+  private[ops] def rerankCandidates(cand: DataFrame, qt: DataFrame,
+      dt: DataFrame, k: Int, simPrecision: Int): DataFrame = {
     val cosRaw = Similarity.dot(col("__qv"), col("__dv")) /
       (col("__qn") * col("__dn"))
     val cos = if (simPrecision >= 0) round(cosRaw, simPrecision) else cosRaw

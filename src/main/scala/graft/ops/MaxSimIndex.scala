@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions._
   * the late-interaction analogue of [[IvfIndex]] (bucketed lists) and
   * [[GraphIndex]] (kNN graph): at corpus scale the doc-token bucketing
   * is a full projection pass (|tokens| × planes dots) that should not
-  * re-run per query batch, and the serving artifact should be a stable
-  * tree probes can pin while rebuilds land behind a commit marker.
+  * re-run per query batch, and rebuilds land behind a commit marker so
+  * readers always resolve a complete generation. A rebuild RETIRES the
+  * previous generation immediately (the GraphIndex stance) — a probe
+  * must materialize before the single writer lands a rebuild; the
+  * caller owns that ordering, exactly as with the graph.
   *
   * Layout under `path`: one generation per rebuild,
   * `tokens_v{n}/meta.json` (dims/numPlanes/tables — probes must use the
@@ -29,11 +32,16 @@ import org.apache.spark.sql.functions._
   *
   * [[append]] adds new documents' tokens under the live generation's
   * `t=` partitions (bucket assignment is per-token pure — no structure
-  * to stitch, unlike the graph). Replays are no-ops: the batch's ids
-  * are checked against the stored id column with the batch side
-  * broadcast (one slim-column scan per batch, the IvfIndex strict-check
-  * shape) — an add of an already-indexed document is dropped and
-  * counted. Updates are a rebuild, like the graph.
+  * to stitch, unlike the graph). Idempotency is ROW-level, not
+  * doc-level: the batch's rows anti-join the stored (t, id, pos) keys
+  * among the batch's ids (batch side broadcast into one slim-column
+  * scan — the IvfIndex strict-check shape), so a replay appends exactly
+  * the rows that are missing. That also HEALS a torn append: a crash
+  * that left a document's tokens partially visible is repaired by the
+  * redelivery instead of frozen by a doc-level guard. Re-embedded
+  * documents are a rebuild, like the graph (a changed vector for a
+  * stored (id, pos) is NOT detected — same-key rows are treated as
+  * replays).
   *
   * Ids are stored as LONG (the persisted-artifact contract, like
   * [[GraphIndex]]): unlike the inline [[MaxSim]] tiers, which keep
@@ -50,6 +58,24 @@ object MaxSimIndex {
 
   def liveVersion(spark: SparkSession, path: String): String =
     versions.liveVersion(spark, path)
+
+  /** Fail fast on non-integral id columns: the artifact pins LONG keys,
+    * and letting cast() run would throw mid-job under ANSI or (with ANSI
+    * off) silently write a corrupt all-null-id index whose replay guard
+    * can never match (null keys never equi-join).
+    */
+  private def requireLongIds(df: DataFrame, idCol: String, op: String): Unit = {
+    val dt = df.select(col(idCol)).schema.head.dataType
+    val ok = dt match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(ok, s"MaxSimIndex.$op needs an integral $idCol (stored as " +
+      s"LONG); got $dt — map string keys through Ordinals first")
+  }
 
   private def bucketCol(vecCol: Column, t: Int, dims: Int,
       numPlanes: Int): Column =
@@ -72,9 +98,15 @@ object MaxSimIndex {
   def write(spark: SparkSession, path: String, docToks: DataFrame,
       idCol: String, posCol: String, vecCol: String, dims: Int,
       numPlanes: Int = 6, tables: Int = 2): Unit = {
+    requireLongIds(docToks, idCol, "write")
     versions.commitNext(spark, path) { gen =>
+      // Range-partition on (t, b), NOT repartition(t): hashing on the
+      // table id alone funnels the corpus-wide projection through one
+      // task per table — the build this artifact exists to amortize
+      // would serialize. Ranges keep each output file a contiguous
+      // sorted bucket slice, so bucket reads still skip row groups.
       bucketed(docToks, idCol, posCol, vecCol, dims, numPlanes, tables)
-        .repartition(col("t"))
+        .repartitionByRange(col("t"), col("b"))
         .sortWithinPartitions(col("b"), col("id"), col("pos"))
         .write.mode("overwrite").partitionBy("t").parquet(s"$gen/toks")
       writeMeta(spark, gen, Meta(dims, numPlanes, tables))
@@ -83,28 +115,27 @@ object MaxSimIndex {
 
   def append(spark: SparkSession, path: String, docToks: DataFrame,
       idCol: String, posCol: String, vecCol: String): Unit = {
+    requireLongIds(docToks, idCol, "append")
     val live = liveVersion(spark, path)
     val m = readMeta(spark, s"$path/$live")
     val rows = bucketed(docToks, idCol, posCol, vecCol,
       m.dims, m.numPlanes, m.tables)
-    // Replay guard (at-least-once delivery): ids already in the index
-    // are dropped whole — bucket assignment is deterministic, so a
-    // replayed document would re-derive exactly the stored rows, and a
-    // re-embedded one must rebuild (adds are inserts, not upserts). The
-    // batch-id side broadcasts into a semi-join over the stored id
-    // column; the scan is one slim column and the index never shuffles.
+    // ROW-level replay guard (see the object doc): stored (t, id, pos)
+    // keys among the batch's ids, batch side broadcast — a replayed or
+    // torn-then-redelivered batch appends exactly the missing rows.
+    // Bucket assignment is deterministic, so a same-key row is always a
+    // replay (a re-embedded document is a rebuild).
     val stored = spark.read.parquet(s"$path/$live/toks")
-      .select(col("id"))
+      .select(col("t"), col("id"), col("pos"))
       .join(broadcast(rows.select(col("id")).distinct()), Seq("id"),
         "left_semi")
-      .distinct()
       .localCheckpoint(eager = true)
     val dropped = stored.count()
     if (dropped > 0) System.err.println(
-      s"[graft] MaxSimIndex.append: $dropped already-indexed doc id(s) " +
-        "ignored (adds are not upserts; an update is a rebuild)")
-    rows.join(broadcast(stored), Seq("id"), "left_anti")
-      .repartition(col("t"))
+      s"[graft] MaxSimIndex.append: $dropped already-stored token row(s) " +
+        "skipped (replay or torn-append heal; an update is a rebuild)")
+    rows.join(broadcast(stored), Seq("t", "id", "pos"), "left_anti")
+      .repartitionByRange(col("t"), col("b"))
       .sortWithinPartitions(col("b"), col("id"), col("pos"))
       .write.mode("append").partitionBy("t").parquet(s"$path/$live/toks")
     Checkpoints.release(stored)
@@ -117,6 +148,7 @@ object MaxSimIndex {
   def topK(spark: SparkSession, path: String, queryToks: DataFrame,
       idCol: String, posCol: String, vecCol: String, k: Int,
       tokenK: Int = 32, simPrecision: Int = -1): DataFrame = {
+    requireLongIds(queryToks, idCol, "topK")
     val live = liveVersion(spark, path)
     val m = readMeta(spark, s"$path/$live")
     val toks = spark.read.parquet(s"$path/$live/toks")
@@ -155,33 +187,17 @@ object MaxSimIndex {
       .select(col("__qid").as("query_id"), col("id").as("doc_id"))
       .distinct()
 
-    // Exact rerank over candidates — the topKViaAnnImpl tail, with doc
-    // tokens read back from the index (each token is stored once per
-    // table; t = 0 is the full token table).
+    // Exact rerank over candidates — MaxSim.rerankCandidates, the ONE
+    // copy of the fold/rank tail (bit-parity with the inline path is
+    // the artifact's contract), with doc tokens read back from the
+    // index (each token is stored once per table; t = 0 is the full
+    // token table).
     val qt = q.select(col("__qid").as("query_id"), col("__qp"),
       col("__qv"), col("__qn"))
     val dt = toks.filter(col("t") === 0)
       .select(col("id").as("doc_id"), col("vec").as("__dv"),
         Similarity.norm(col("vec")).as("__dn"))
-    val cosR0 = Similarity.dot(col("__qv"), col("__dv")) /
-      (col("__qn") * col("__dn"))
-    val cosR = if (simPrecision >= 0) round(cosR0, simPrecision) else cosR0
-    val scored = cand
-      .join(qt, Seq("query_id"))
-      .join(dt, Seq("doc_id"))
-      .select(col("query_id"), col("doc_id"), col("__qp"), cosR.as("__c"))
-      .groupBy("query_id", "doc_id", "__qp")
-      .agg(max(col("__c")).as("__m"))
-      .groupBy("query_id", "doc_id")
-      .agg(aggregate(
-        transform(array_sort(collect_list(struct(col("__qp"), col("__m")))),
-          s => s.getField("__m")),
-        lit(0.0), (acc, x) => acc + x).as("maxsim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("maxsim").desc, col("doc_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("doc_id"), col("rank"), col("maxsim"))
+    MaxSim.rerankCandidates(cand, qt, dt, k, simPrecision)
   }
 
   // ------------------------------------------------------------- meta

@@ -75,6 +75,39 @@ class MaxSimIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(probeOf(path) == probeOf(scratch))
   }
 
+  test("row-level replay guard heals a torn append") {
+    val c = toks(48)
+    val first = c.filter(col("id") < 36)
+    val delta = c.filter(col("id") >= 36)
+    val path = Files.createTempDirectory("maxsim_idx_torn_app").toString
+    MaxSimIndex.write(spark, path, first, "id", "pos", "tv", dims = 24,
+      numPlanes = 3, tables = 2)
+    // "Torn" append: only half of each delta doc's tokens landed (the
+    // crash-mid-append visibility state). A doc-level guard would see
+    // these ids as stored and freeze the damage forever.
+    MaxSimIndex.append(spark, path, delta.filter(col("pos") < 2),
+      "id", "pos", "tv")
+    // Redelivery of the FULL batch appends exactly the missing rows.
+    MaxSimIndex.append(spark, path, delta, "id", "pos", "tv")
+    val scratch = Files.createTempDirectory("maxsim_idx_torn_scr").toString
+    MaxSimIndex.write(spark, scratch, c, "id", "pos", "tv", dims = 24,
+      numPlanes = 3, tables = 2)
+    val probes = c.filter(col("id") >= 44)
+    def probeOf(p: String) = canon(MaxSimIndex.topK(spark, p, probes,
+      "id", "pos", "tv", k = 3, tokenK = 8, simPrecision = 6))
+    assert(probeOf(path) == probeOf(scratch))
+  }
+
+  test("non-integral ids fail fast instead of writing a corrupt index") {
+    val bad = toks(8).select(concat(lit("d-"),
+      col("id").cast("string")).as("id"), col("pos"), col("tv"))
+    val path = Files.createTempDirectory("maxsim_idx_badid").toString
+    val e = intercept[IllegalArgumentException] {
+      MaxSimIndex.write(spark, path, bad, "id", "pos", "tv", dims = 24)
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
   test("a torn rebuild leaves the previous generation live; a committed " +
     "one retires it") {
     val c = toks(36)
