@@ -57,9 +57,11 @@ object ScaleRehearsal {
     // density clustering — the new heavy iterators worth re-measuring.
     "q_nndescent", "q_dbscan_lsh",
     // r14 additions: the graph-walk family (full build + beam search
-    // charged per query) and the late-interaction scorer, exact + its
-    // token-ANN scale path.
-    "q_ann_graph_topk", "q_hybrid_rrf_graph", "q_maxsim", "q_maxsim_ann")
+    // charged per query), the late-interaction scorer (exact + token-ANN
+    // scale path + persisted index round trip), and the graph-path
+    // filtered router (build + walk + filter per query).
+    "q_ann_graph_topk", "q_hybrid_rrf_graph", "q_maxsim", "q_maxsim_ann",
+    "q_maxsim_index", "q_ann_filtered_graph")
 
   /** The skew-rehearsal set: the queries whose scale story depends on a
     * HOT KEY surviving — as-of auto-routing, per-group rank windows,
