@@ -14,24 +14,34 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** The auto-isolation trigger, pure so BenchGatesSpec can pin it:
-    * re-run candidates are queries >2× their snapshot time (base
-    * ≥ 0.5 s), worst-first, capped at 5 — but ONLY when the run shows
-    * contention: host loadavg above the worker count, or the suite-wide
-    * median ratio vs snapshot drifted past 1.05× (a single slow query
-    * on an otherwise-flat run is a regression for the creep gates, not
-    * contention for this one).
+    * re-run candidates are queries >1.4× their snapshot time (base
+    * ≥ 0.3 s), worst-first — but ONLY when the run shows contention:
+    * host loadavg above the worker count, or the suite-wide median
+    * ratio vs snapshot drifted past 1.05× (a single slow query on an
+    * otherwise-flat run is a regression for the creep gates, not
+    * contention for this one). The r14 graded run showed why the
+    * original >2×/cap-5 gate was too narrow: 18 queries sat >1.4× over
+    * the closing snapshot under load 7.18 and only 4 got isolated rows,
+    * so the remaining 14 inflated numbers entered round-over-round
+    * diffs uncorrected. The cap stays only as a runaway valve (a
+    * wholly-degraded run should not double its own wall clock re-running
+    * everything — the uniform-inflation load marker already explains
+    * that shape).
     */
+  private[graft] val isolationCap = 24
+
   private[graft] def isolationOutliers(results: Seq[(String, Double)],
       prevTimes: Map[String, Double],
       contended: Boolean): Seq[(String, Double)] = {
     val ratios = results.flatMap { case (n, s) =>
-      prevTimes.get(n).filter(_ >= 0.5).map(p => (n, s / p)) }
+      prevTimes.get(n).filter(_ >= 0.3).map(p => (n, s / p)) }
     val medianRatio = {
       val rs = results.flatMap { case (n, s) =>
         prevTimes.get(n).filter(_ >= 0.05).map(s / _) }.sorted
       if (rs.isEmpty) 1.0 else rs(rs.size / 2)
     }
-    val outliers = ratios.filter(_._2 > 2.0).sortBy(-_._2).take(5)
+    val outliers = ratios.filter(_._2 > 1.4).sortBy(-_._2)
+      .take(isolationCap)
     if (outliers.isEmpty || !(contended || medianRatio > 1.05)) Nil
     else outliers
   }

@@ -13,12 +13,22 @@ class BenchGatesSpec extends AnyFunSuite {
   private def run(names: (String, Double)*) = names.toSeq
   private def snap(names: (String, Double)*) = names.toMap
 
-  test("fires on a >2x outlier when the suite median drifted") {
+  test("fires on a >1.4x outlier when the suite median drifted") {
     // Median ratio 1.2 (> 1.05), one 2.5x outlier with a big base.
     val prev = snap("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "kmv" -> 5.0)
     val cur = run("a" -> 1.2, "b" -> 1.2, "c" -> 1.2, "kmv" -> 12.5)
     val out = Bench.isolationOutliers(cur, prev, contended = false)
     assert(out.map(_._1) == Seq("kmv"))
+  }
+
+  test("the r14 gap: a 1.5x mid-band query is isolated too, not just " +
+    "the >2x worst") {
+    val prev = snap("a" -> 1.0, "b" -> 1.0, "c" -> 1.0,
+      "mid" -> 2.0, "kmv" -> 5.0)
+    val cur = run("a" -> 1.2, "b" -> 1.2, "c" -> 1.2,
+      "mid" -> 3.0, "kmv" -> 12.5)
+    val out = Bench.isolationOutliers(cur, prev, contended = false)
+    assert(out.map(_._1) == Seq("kmv", "mid"))
   }
 
   test("fires under recorded host contention even at a flat median") {
@@ -34,13 +44,14 @@ class BenchGatesSpec extends AnyFunSuite {
     assert(Bench.isolationOutliers(cur, prev, contended = false).isEmpty)
   }
 
-  test("small bases never isolate; cap is 5, worst-first") {
-    val prev = snap((1 to 8).map(i => s"q$i" -> 1.0) :+ ("tiny" -> 0.1): _*)
-    val cur = run((1 to 8).map(i => s"q$i" -> (2.0 + i * 0.5)) :+
+  test("small bases never isolate; runaway cap, worst-first") {
+    val n = Bench.isolationCap + 7
+    val prev = snap((1 to n).map(i => s"q$i" -> 1.0) :+ ("tiny" -> 0.1): _*)
+    val cur = run((1 to n).map(i => s"q$i" -> (2.0 + i * 0.5)) :+
       ("tiny" -> 5.0): _*)
     val out = Bench.isolationOutliers(cur, prev, contended = true)
-    assert(out.size == 5)
-    assert(out.map(_._1) == Seq("q8", "q7", "q6", "q5", "q4"))
+    assert(out.size == Bench.isolationCap)
+    assert(out.head._1 == s"q$n") // worst-first
     assert(!out.exists(_._1 == "tiny"))
   }
 
