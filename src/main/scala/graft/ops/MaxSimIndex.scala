@@ -48,6 +48,20 @@ import org.apache.spark.sql.functions._
   * native id types, an index file format pins one key type — string-
   * keyed corpora map ids through [[Ordinals]] first.
   *
+  * Deletes are the [[IvfIndex]] LSM pattern verbatim — the token table
+  * has no structure to repair, so the pure mask suffices: [[delete]]
+  * appends doc ids under the live generation
+  * (`tokens_v{n}/tombstones/`, only currently-stored ids land, so a
+  * replayed delete appends nothing), [[topK]] anti-joins them out of
+  * the stored tokens BEFORE the per-query-token tokenK cut — making a
+  * tombstoned probe EXACTLY equal a from-scratch build over the
+  * survivors (bucket assignment is per-token pure; `q_maxsim_delete`
+  * gates that equality by oracle) — and [[compact]] folds the mask
+  * into a rewritten generation, after which a re-[[append]] of the id
+  * resurrects it. Until then a delete is terminal: re-appended rows
+  * match the row-level replay guard (same (t, id, pos) keys) and stay
+  * masked, the IVF stance.
+  *
   * Single-writer assumption, same as every maintenance op here.
   */
 object MaxSimIndex {
@@ -113,6 +127,43 @@ object MaxSimIndex {
     }: Unit
   }
 
+  /** Read a generation's token tree, tolerating a committed-but-EMPTY
+    * generation: a [[write]] over an empty token table (the documented
+    * streaming bootstrap — land the artifact, then let the maintenance
+    * sink fill it) emits no parquet data files under `toks/`, so plain
+    * `spark.read.parquet` fails schema inference. The fallback is an
+    * empty frame with the canonical token schema — every consumer
+    * (append's replay anti-join, topK's bucket join and rerank) is
+    * row-driven, so the vec element type of an EMPTY frame is inert.
+    */
+  private def readToks(spark: SparkSession, toksPath: String): DataFrame =
+    try spark.read.parquet(toksPath)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getMessage).exists(m =>
+            m.toUpperCase.contains("INFER")) =>
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("t", IntegerType),
+            StructField("b", LongType), StructField("id", LongType),
+            StructField("pos", IntegerType),
+            StructField("vec", ArrayType(DoubleType)))))
+    }
+
+  /** Add new documents' tokens under the live generation (see the object
+    * doc for the row-level replay guard and the torn-append heal).
+    *
+    * PRE-HEAL VISIBILITY: an append lands files directly in the live
+    * tree with no per-batch commit point, so between a torn append and
+    * its redelivery [[topK]] SEES the partially-appended document and
+    * scores it from the tokens that landed — an UNDERSTATED MaxSim
+    * score, not an omission (unlike a torn [[write]], which the
+    * `_GRAFT_COMMIT` marker fences into invisibility). Readers that need
+    * torn-free reads must gate probes on the feed's checkpoint (the
+    * streaming sink's batch boundary) or batch appends through
+    * [[write]]'s versioned path.
+    */
   def append(spark: SparkSession, path: String, docToks: DataFrame,
       idCol: String, posCol: String, vecCol: String): Unit = {
     requireLongIds(docToks, idCol, "append")
@@ -125,7 +176,7 @@ object MaxSimIndex {
     // torn-then-redelivered batch appends exactly the missing rows.
     // Bucket assignment is deterministic, so a same-key row is always a
     // replay (a re-embedded document is a rebuild).
-    val stored = spark.read.parquet(s"$path/$live/toks")
+    val stored = readToks(spark, s"$path/$live/toks")
       .select(col("t"), col("id"), col("pos"))
       .join(broadcast(rows.select(col("id")).distinct()), Seq("id"),
         "left_semi")
@@ -141,9 +192,70 @@ object MaxSimIndex {
     Checkpoints.release(stored)
   }
 
+  /** Live tombstoned doc ids under a generation dir, None when never
+    * written. Tiny by the compaction-bounded assumption — broadcast.
+    */
+  private def tombstonesOpt(spark: SparkSession,
+      gen: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$gen/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.parquet(s"$gen/tombstones").select(col("id")))
+    else None
+  }
+
+  /** Tombstone a batch of doc ids (see the object doc). Replay-safe:
+    * only currently-stored ids land, so a redelivered delete (or a
+    * delete of a never-stored id) appends nothing.
+    */
+  def delete(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String): Unit = {
+    requireLongIds(ids, idCol, "delete")
+    val live = liveVersion(spark, path)
+    val batch0 = ids.select(col(idCol).cast("long").as("id")).distinct()
+    val batch = (tombstonesOpt(spark, s"$path/$live") match {
+      case None => batch0
+      case Some(t) =>
+        batch0.join(broadcast(t.distinct()), Seq("id"), "left_anti")
+    }).localCheckpoint(eager = true)
+    val present = readToks(spark, s"$path/$live/toks")
+      .select(col("id")).distinct()
+      .join(broadcast(batch), Seq("id"), "left_semi")
+      .localCheckpoint(eager = true)
+    if (!present.isEmpty)
+      present.coalesce(1).write.mode("append")
+        .parquet(s"$path/$live/tombstones")
+    Checkpoints.release(batch)
+    Checkpoints.release(present)
+  }
+
+  /** Fold pending tombstones into a rewritten committed generation
+    * (same layout and knobs), clearing the mask — after which a
+    * re-[[append]] of a deleted id resurrects it. No-op when nothing is
+    * tombstoned.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val live = liveVersion(spark, path)
+    val m = readMeta(spark, s"$path/$live")
+    val tomb = tombstonesOpt(spark, s"$path/$live")
+      .map(_.distinct().localCheckpoint(eager = true))
+      .filter(!_.isEmpty)
+    if (tomb.isEmpty) return
+    versions.commitNext(spark, path) { gen =>
+      readToks(spark, s"$path/$live/toks")
+        .join(broadcast(tomb.get), Seq("id"), "left_anti")
+        .repartitionByRange(col("t"), col("b"))
+        .sortWithinPartitions(col("b"), col("id"), col("pos"))
+        .write.mode("overwrite").partitionBy("t").parquet(s"$gen/toks")
+      writeMeta(spark, gen, m)
+    }
+    tomb.foreach(Checkpoints.release)
+  }
+
   /** Probe batches against the stored buckets — result-identical to
     * [[MaxSim.topKViaAnnMd5]] over the indexed token table with the
-    * generation's own knobs.
+    * generation's own knobs (tombstoned docs masked out BEFORE the
+    * tokenK cut, so a post-delete probe equals a survivors-only build).
     */
   def topK(spark: SparkSession, path: String, queryToks: DataFrame,
       idCol: String, posCol: String, vecCol: String, k: Int,
@@ -151,7 +263,12 @@ object MaxSimIndex {
     requireLongIds(queryToks, idCol, "topK")
     val live = liveVersion(spark, path)
     val m = readMeta(spark, s"$path/$live")
-    val toks = spark.read.parquet(s"$path/$live/toks")
+    val toksRaw = readToks(spark, s"$path/$live/toks")
+    val toks = tombstonesOpt(spark, s"$path/$live") match {
+      case None => toksRaw
+      case Some(t) =>
+        toksRaw.join(broadcast(t.distinct()), Seq("id"), "left_anti")
+    }
 
     // Probe bags are query-batch-sized; the two consumers (bucket
     // explode, rerank) just recompute the projection — a lazy checkpoint

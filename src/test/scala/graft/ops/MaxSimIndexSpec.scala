@@ -98,6 +98,78 @@ class MaxSimIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(probeOf(path) == probeOf(scratch))
   }
 
+  test("delete masks before the tokenK cut (probe == survivors build), " +
+    "compact folds physically, re-append resurrects") {
+    val c = toks(48)
+    val dead = c.filter(col("id") >= 36)
+    val surv = c.filter(col("id") < 36)
+    val path = Files.createTempDirectory("maxsim_idx_del").toString
+    MaxSimIndex.write(spark, path, c, "id", "pos", "tv", dims = 24,
+      numPlanes = 3, tables = 2)
+    MaxSimIndex.delete(spark, path,
+      dead.select("id").distinct(), "id")
+    val scratch = Files.createTempDirectory("maxsim_idx_del_scr").toString
+    MaxSimIndex.write(spark, scratch, surv, "id", "pos", "tv", dims = 24,
+      numPlanes = 3, tables = 2)
+    val probes = c.filter(col("id") < 6)
+    def probeOf(p: String) = canon(MaxSimIndex.topK(spark, p, probes,
+      "id", "pos", "tv", k = 3, tokenK = 8, simPrecision = 6))
+    assert(probeOf(path) == probeOf(scratch) && probeOf(path).nonEmpty)
+    // Mask-only until compact: the raw tree still holds every row.
+    def rawRows() = spark.read.parquet(
+      s"$path/${MaxSimIndex.liveVersion(spark, path)}/toks").count()
+    val before = rawRows()
+    MaxSimIndex.compact(spark, path)
+    assert(rawRows() < before, "compact did not drop masked rows")
+    assert(!new java.io.File(
+      s"$path/${MaxSimIndex.liveVersion(spark, path)}/tombstones").exists())
+    assert(probeOf(path) == probeOf(scratch))
+    // Post-compact, the replay guard no longer knows the ids: re-append
+    // resurrects them and probes equal the full build again.
+    MaxSimIndex.append(spark, path, dead, "id", "pos", "tv")
+    val full = Files.createTempDirectory("maxsim_idx_del_full").toString
+    MaxSimIndex.write(spark, full, c, "id", "pos", "tv", dims = 24,
+      numPlanes = 3, tables = 2)
+    assert(probeOf(path) == probeOf(full))
+  }
+
+  test("replayed and never-stored deletes append nothing") {
+    val c = toks(24)
+    val path = Files.createTempDirectory("maxsim_idx_del_replay").toString
+    MaxSimIndex.write(spark, path, c, "id", "pos", "tv", dims = 24,
+      numPlanes = 3, tables = 2)
+    import spark.implicits._
+    MaxSimIndex.delete(spark, path, Seq(3L).toDF("id"), "id")
+    val live = MaxSimIndex.liveVersion(spark, path)
+    def tombRows() = spark.read.parquet(s"$path/$live/tombstones").count()
+    val t1 = tombRows()
+    MaxSimIndex.delete(spark, path, Seq(3L, 999L).toDF("id"), "id")
+    assert(tombRows() == t1, "replayed/never-stored delete appended")
+  }
+
+  test("empty bootstrap: write over an empty token table, then append " +
+    "and probe — the documented streaming bootstrap path") {
+    val c = toks(24)
+    val path = Files.createTempDirectory("maxsim_idx_boot").toString
+    // Initial generation over ZERO rows: partitionBy emits no parquet
+    // data files, so reads must fall back to the canonical schema
+    // instead of dying on inference.
+    MaxSimIndex.write(spark, path, c.filter(col("id") < 0), "id", "pos",
+      "tv", dims = 24, numPlanes = 3, tables = 2)
+    // topK over the empty artifact: zero rows, not an exception.
+    assert(MaxSimIndex.topK(spark, path, c.filter(col("id") < 3),
+      "id", "pos", "tv", k = 2, tokenK = 8, simPrecision = 6).count() == 0)
+    // First append fills it; probes then equal a from-scratch build.
+    MaxSimIndex.append(spark, path, c, "id", "pos", "tv")
+    val scratch = Files.createTempDirectory("maxsim_idx_boot_scr").toString
+    MaxSimIndex.write(spark, scratch, c, "id", "pos", "tv", dims = 24,
+      numPlanes = 3, tables = 2)
+    val probes = c.filter(col("id") < 4)
+    def probeOf(p: String) = canon(MaxSimIndex.topK(spark, p, probes,
+      "id", "pos", "tv", k = 3, tokenK = 8, simPrecision = 6))
+    assert(probeOf(path) == probeOf(scratch) && probeOf(path).nonEmpty)
+  }
+
   test("non-integral ids fail fast instead of writing a corrupt index") {
     val bad = toks(8).select(concat(lit("d-"),
       col("id").cast("string")).as("id"), col("pos"), col("tv"))

@@ -1,0 +1,226 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import graft.ops.{GraphIndex, IvfIndex, MaxSim, MaxSimIndex, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming FLAGSHIP: one MemoryStream feeds the composed curation
+  * chain ([[StreamingCuration]]: exact dedup → near-dup → quality →
+  * as-of enrich), and every batch's enriched SURVIVORS fan into all
+  * three serving-index maintenance sinks — IVF, kNN graph, ColBERT
+  * token index — then retrieval reads back through the maintained
+  * artifacts. Continuous corpus curation and serving-index freshness
+  * from the same stream, with the crash/replay cases exercised
+  * END-TO-END rather than per sink:
+  *
+  *   - a replayed batchId is a curation no-op: the sink (and therefore
+  *     every index) is untouched;
+  *   - a crash BETWEEN sink and corpus commit replays byte-identical
+  *     survivors into the sinks: each maintenance writer must converge,
+  *     not duplicate (graph: no new generation; IVF: touched-list
+  *     anti-join; token index: row-level guard);
+  *   - a TORN token append from a previous attempt is healed by the
+  *     real delivery (the row-level guard appends exactly the missing
+  *     rows);
+  *   - the token index starts from the EMPTY-bootstrap write (no data
+  *     files until the first survivor batch).
+  *
+  * Read-back truth: the curated corpus store is the ground truth the
+  * indexes must agree with — graph edges equal brute top-k over
+  * seeds ∪ survivors (unambiguous cluster fixture), IVF probes equal a
+  * from-scratch build over the same rows and codebook, token-index
+  * probes equal the inline ANN scorer over the survivors' tokens.
+  */
+class StreamingFlagshipSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  // The StreamingCurationSpec text fixture (guarded there: near-dups
+  // clear tau=0.4 under the md5 MinHash family, junk fails quality 0.7).
+  private val base = "the quick brown fox jumps over the lazy dog while " +
+    "seventeen startled geese assemble near the frozen river bank at dawn " +
+    "watching every careless step with growing suspicion and mild disdain"
+  private val nearDupA = base.replace("growing", "mounting")
+  private val unrelated = "completely different subject matter entirely " +
+    "concerning the quarterly financial performance of an obscure regional " +
+    "railway operator and its perpetually delayed infrastructure upgrades"
+  private val fresh = "the field biologists tally nesting burrows of " +
+    "migratory puffin colonies along basalt cliffs each brief subarctic " +
+    "summer and compare their counts against the previous decade of records"
+  private val junk = "BUY NOW!!!"
+
+  // 12-dim cluster embeddings (4 one-hot axes + deterministic noise);
+  // tokens = 3 slices of 4 dims for the late-interaction index.
+  private def vec(i: Long): Array[Double] = {
+    val c = (i % 4).toInt
+    Array.tabulate(12)(d =>
+      (if (d == 3 * c) 4.0 else 0.0) + (((i * 31 + d * 7) % 11) - 5) / 40.0)
+  }
+
+  private def toksOf(ids: Seq[Long]): DataFrame =
+    (for { i <- ids; p <- 0 until 3 }
+      yield (i, p, vec(i).slice(4 * p, 4 * p + 4)))
+      .toDF("doc_id", "pos", "tv")
+
+  private def tokensFromBatch(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), posexplode(array((0 until 3).map(p =>
+      slice(col("embedding"), 4 * p + 1, 4)): _*)).as(Seq("pos", "tv")))
+
+  private def build(s: org.apache.spark.sql.SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(("u1", t("2024-01-01 09:00:00"), 100L),
+      ("u2", t("2024-01-01 09:30:00"), 200L))
+      .toDF("user", "price_ts", "price")
+  }
+
+  test("curation survivors maintain all three indexes; replays, " +
+    "sink-redelivery and torn appends all converge end-to-end") {
+    val root = Files.createTempDirectory("graft_flag").toString
+    val cur = new StreamingCuration(s"$root/corpus", idCol = "doc_id",
+      textCol = "text", tsCol = "ts", minQuality = 0.7, tau = 0.4)
+    val ivfPath = s"$root/ivf"
+    val gPath = s"$root/graph"
+    val msPath = s"$root/tokens"
+    val K = 3
+
+    // Indexes exist before the stream: IVF + graph seeded with four
+    // out-of-stream docs (100..103 — one per cluster); the token index
+    // starts from the EMPTY-bootstrap write.
+    val seeds = (100L to 103L).map(i => (i, vec(i)))
+      .toDF("doc_id", "embedding")
+    val cent = (0 until 4).map(c =>
+        (c.toLong, Array.tabulate(12)(d => if (d == 3 * c) 1.0 else 0.0)))
+      .toDF("centroid_id", "centroid")
+    IvfIndex.write(ivfPath, seeds, "doc_id", "embedding", cent)
+    GraphIndex.write(spark, gPath, seeds, "doc_id", "embedding",
+      k = K, rounds = 4, simPrecision = 6)
+    MaxSimIndex.write(spark, msPath,
+      Seq.empty[(Long, Int, Array[Double])].toDF("doc_id", "pos", "tv"),
+      "doc_id", "pos", "tv", dims = 4, numPlanes = 3, tables = 2)
+
+    // The flagship sink: enriched survivors fan into all three
+    // maintenance writers (the foreachBatch bodies the streaming sinks
+    // wire — invoked here exactly as the curation contract delivers).
+    val ivfW = StreamingIvfMaintenance.writer(ivfPath, "doc_id",
+      "embedding", opCol = "op")
+    val graphW = StreamingGraphMaintenance.writer(gPath, "doc_id",
+      "embedding", k = K, rounds = 4, simPrecision = 6)
+    val msW = StreamingMaxSimMaintenance.writer(msPath, "doc_id", "pos",
+      "tv")
+    val sink = (df: DataFrame, id: Long) => {
+      val adds = df.select(col("doc_id"), col("embedding"))
+        .localCheckpoint(true)
+      ivfW(adds.withColumn("op", lit("add")), id)
+      graphW(adds, id)
+      msW(tokensFromBatch(adds), id)
+      ()
+    }
+
+    val mem = MemoryStream[(Long, String, String, Timestamp, Array[Double])](spark)
+    val docs = mem.toDF().toDF("doc_id", "user", "text", "ts", "embedding")
+    val ckpt = Files.createTempDirectory("graft_flag_ckpt").toString
+    def start() = cur.writer(docs, build, Seq("user"), "price_ts",
+      Seq("price"))(sink)
+      .option("checkpointLocation", ckpt).start()
+
+    // Batch A: two keepers, junk, an exact dup. Batch B (after restart):
+    // a cross-batch near-dup (dropped) and a fresh keeper — but first,
+    // simulate a TORN append of batch B's survivor from a crashed
+    // earlier attempt: only one of doc 6's three token rows landed.
+    mem.addData(
+      (1L, "u1", base, t("2024-01-01 10:00:00"), vec(1L)),
+      (2L, "u1", junk, t("2024-01-01 10:00:01"), vec(2L)),
+      (3L, "u2", unrelated, t("2024-01-01 10:00:02"), vec(3L)),
+      (4L, "u2", base, t("2024-01-01 10:00:03"), vec(4L)))
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+
+    MaxSimIndex.append(spark, msPath,
+      toksOf(Seq(6L)).filter(col("pos") === 0), "doc_id", "pos", "tv")
+
+    mem.addData(
+      (5L, "u1", nearDupA, t("2024-01-01 10:10:00"), vec(5L)),
+      (6L, "u1", fresh, t("2024-01-01 10:10:05"), vec(6L)))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+
+    // Curated corpus: exactly the keepers.
+    val kept = cur.corpus(spark).get.select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 6L), kept.toString)
+
+    val indexed = (Seq(1L, 3L, 6L) ++ (100L to 103L)).sorted
+    val corpusAll = indexed.map(i => (i, vec(i)))
+      .toDF("doc_id", "embedding")
+
+    // Graph read-back: maintained edges == brute top-k over
+    // seeds ∪ survivors (every batch stitched, nothing else).
+    def edgeSet() = GraphIndex.edges(spark, gPath).select("id", "nbr")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(corpusAll, corpusAll,
+        "doc_id", "embedding", k = K)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edgeSet() == brute,
+      s"missing=${(brute -- edgeSet()).take(5)} extra=${(edgeSet() -- brute).take(5)}")
+
+    // IVF read-back: probes equal a from-scratch build over the same
+    // rows and codebook.
+    val scratch = s"$root/ivf_scratch"
+    IvfIndex.write(scratch, corpusAll, "doc_id", "embedding", cent)
+    def probeIvf(p: String) = IvfIndex.topK(spark, p, corpusAll,
+        "doc_id", "embedding", k = K, nprobe = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(probeIvf(ivfPath) == probeIvf(scratch))
+
+    // Token-index read-back (torn append healed, bootstrap filled):
+    // probes equal the inline ANN scorer over the survivors' tokens.
+    val probes = toksOf(Seq(1L, 6L))
+    def canon(df: DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2),
+        math.rint(r.getDouble(3) * 1e6) / 1e6)).toSet
+    val gotMs = canon(MaxSimIndex.topK(spark, msPath, probes,
+      "doc_id", "pos", "tv", k = K, tokenK = 4, simPrecision = 6))
+    val wantMs = canon(MaxSim.topKViaAnnMd5(probes, toksOf(Seq(1L, 3L, 6L)),
+      "doc_id", "pos", "tv", k = K, dims = 4, tokenK = 4, numPlanes = 3,
+      tables = 2, simPrecision = 6))
+    assert(gotMs == wantMs && gotMs.nonEmpty)
+
+    // Replayed batchId: curation refuses it, sinks never fire, every
+    // index byte-unchanged.
+    val gv = GraphIndex.liveVersion(spark, gPath)
+    val msRows = spark.read.parquet(
+      s"$msPath/${MaxSimIndex.liveVersion(spark, msPath)}/toks").count()
+    val batchA = Seq(
+      (1L, "u1", base, t("2024-01-01 10:00:00"), vec(1L)),
+      (3L, "u2", unrelated, t("2024-01-01 10:00:02"), vec(3L)))
+      .toDF("doc_id", "user", "text", "ts", "embedding")
+    cur.processBatch(batchA, 0L, build(spark), Seq("user"), "price_ts",
+      Seq("price"))(sink)
+    assert(GraphIndex.liveVersion(spark, gPath) == gv)
+    assert(spark.read.parquet(
+      s"$msPath/${MaxSimIndex.liveVersion(spark, msPath)}/toks").count()
+      == msRows)
+
+    // Crash between sink and corpus commit: the replay re-invokes the
+    // SINK with byte-identical survivors — every maintenance writer
+    // must converge, not duplicate.
+    val survivorsB = corpusAll.filter(col("doc_id") === 6L)
+    sink(survivorsB, 1L)
+    assert(GraphIndex.liveVersion(spark, gPath) == gv,
+      "redelivered sink wrote a graph generation")
+    assert(edgeSet() == brute)
+    assert(probeIvf(ivfPath) == probeIvf(scratch))
+    assert(canon(MaxSimIndex.topK(spark, msPath, probes,
+      "doc_id", "pos", "tv", k = K, tokenK = 4, simPrecision = 6)) == wantMs)
+  }
+}

@@ -73,4 +73,46 @@ class StreamingMaxSimMaintenanceSpec extends AnyFunSuite with SparkTestBase {
       simPrecision = 6))
     assert(got == want && got.nonEmpty)
   }
+
+  test("opCol: delete rows tombstone the whole doc, deletes are " +
+    "terminal until compact, replayed batch appends nothing") {
+    val path = Files.createTempDirectory("msidx_cdc").toString
+    MaxSimIndex.write(spark, path, toksDf(0L until 24L),
+      "id", "pos", "tv", dims = 24, numPlanes = 3, tables = 2)
+    val w = StreamingMaxSimMaintenance.writer(path, "id", "pos", "tv",
+      opCol = Some("op"))
+    // One batch: delete doc 3 (a single delete row suffices) and add
+    // doc 24. The IVF stance: a delete(x)+add(x) batch leaves x masked.
+    val batch = (Seq((3L, 0, Array.empty[Double], "delete")) ++
+        tokRows(Seq(24L)).map { case (i, p, v) => (i, p, v, "add") } ++
+        tokRows(Seq(3L)).map { case (i, p, v) => (i, p, v, "add") })
+      .toDF("id", "pos", "tv", "op")
+    w(batch, 0L)
+    val probes = toksDf(Seq(3L, 24L))
+    def got() = canon(MaxSimIndex.topK(spark, path, probes,
+      "id", "pos", "tv", k = 3, tokenK = 8, simPrecision = 6))
+    val surv = toksDf((0L until 24L).filterNot(_ == 3L) :+ 24L)
+    val want = canon(MaxSim.topKViaAnnMd5(probes, surv, "id", "pos", "tv",
+      k = 3, dims = 24, tokenK = 8, numPlanes = 3, tables = 2,
+      simPrecision = 6))
+    assert(got() == want && got().nonEmpty,
+      "doc 3 must stay masked (delete terminal until compact)")
+    // Crash-replay of the full batch: delete already tombstoned, adds
+    // already stored — nothing changes.
+    val live = MaxSimIndex.liveVersion(spark, path)
+    val rows = spark.read.parquet(s"$path/$live/toks").count()
+    val tombs = spark.read.parquet(s"$path/$live/tombstones").count()
+    w(batch, 0L)
+    assert(spark.read.parquet(s"$path/$live/toks").count() == rows)
+    assert(spark.read.parquet(s"$path/$live/tombstones").count() == tombs)
+    assert(got() == want)
+    // compact → re-append resurrects doc 3.
+    MaxSimIndex.compact(spark, path)
+    MaxSimIndex.append(spark, path, toksDf(Seq(3L)), "id", "pos", "tv")
+    val full = toksDf(0L until 25L)
+    val wantFull = canon(MaxSim.topKViaAnnMd5(probes, full,
+      "id", "pos", "tv", k = 3, dims = 24, tokenK = 8, numPlanes = 3,
+      tables = 2, simPrecision = 6))
+    assert(got() == wantFull)
+  }
 }
