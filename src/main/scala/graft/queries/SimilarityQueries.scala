@@ -56,7 +56,12 @@ object SimilarityQueries extends QueryGroup {
           f.getName.startsWith("graft_rsk_") ||
           f.getName.startsWith("graft_curves_maint_") ||
           f.getName.startsWith("graft_msidx_")) &&
-        !f.getName.endsWith(liveAppId) && newestMtime(f) < cutoff)
+        // contains, not endsWith: most trees put the appId LAST, but
+        // graft_curves_maint_<appId>_<corpusName> puts the corpus name
+        // after it — an endsWith guard never matched those, leaving only
+        // the mtime cutoff between a long beam-sweep read and a
+        // concurrently starting app's sweep.
+        !f.getName.contains(liveAppId) && newestMtime(f) < cutoff)
       .foreach { d =>
         System.err.println(s"[graft] sweeping stale tmp tree: $d")
         deleteRecursively(d)
@@ -87,6 +92,19 @@ object SimilarityQueries extends QueryGroup {
                 .otherwise(lit(0.0))): _*))
           .as("vb"))
 
+  /** The boosted-corpus graph family's ONE persisted kNN graph (see
+    * [[SharedGraphs]]): built + committed via GraphIndex.write on first
+    * touch, probed by q_nndescent, q_ann_graph_topk,
+    * q_ann_filtered_graph and q_ann_graph_persist.
+    */
+  private def sharedBoostedGraphPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    SharedGraphs.ensure(s, dir, "boosted") { path =>
+      graft.ops.GraphIndex.write(s, path,
+        boostedCorpus(Tables.embeddings(s, dir)), "vec_id", "vb",
+        k = 5, rounds = 2, maxDegree = 12, simPrecision = 6)
+    }
+
   private def nndBoostSqlOf(withLabel: Boolean) =
     ((if (withLabel) (0 until 10)
         .map(j => s"CASE WHEN label=$j THEN 2.0 ELSE 0.0 END")
@@ -105,32 +123,17 @@ object SimilarityQueries extends QueryGroup {
     * (simPrecision = 6), so a cross-engine ulp cannot flip a mid-round
     * rank; `e$rounds` is the final (id, nbr, cos) graph.
     */
-  private def nndReplaySql(k: Int, rounds: Int, initTables: Int,
-      bucketSize: Int, deg: Int, salt: String,
-      corpusWhere: String = "", boostSql: String = nndBoostSql): String = {
+  /** One descent round per CTE block, replaying [[NnDescent.descend]]
+    * from the flagged edge set `e$start` (rounds run start …
+    * start+rounds−1, producing `e${start+rounds}`). Factored out of
+    * [[nndReplaySql]] so the compact replay can run the SAME rounds
+    * over a pruned-and-flagged init instead of the bucket init.
+    */
+  private def nndRoundsSql(start: Int, rounds: Int, k: Int,
+      deg: Int): String = {
     def cosFn(a: String, b: String) =
       s"round(list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b))), 6)"
-    val tablesVals = (0 until initTables).map(t => s"($t)").mkString(",")
-    val init =
-      s"""e AS MATERIALIZED (SELECT vec_id, $boostSql AS v
-         |  FROM embeddings WHERE embedding IS NOT NULL$corpusWhere),
-         |bk AS MATERIALIZED (
-         |  SELECT t.t, e.vec_id AS id, e.v,
-         |    CAST(('0x' || substr(md5('$salt' || t.t || ':' || CAST(e.vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
-         |      % (SELECT greatest(1, count(*)//$bucketSize) FROM e) AS bkt
-         |  FROM e, (VALUES $tablesVals) t(t)),
-         |ip AS (
-         |  SELECT x.id AS u, y.id AS w, ${cosFn("x.v", "y.v")} AS cos
-         |  FROM bk x JOIN bk y ON x.t = y.t AND x.bkt = y.bkt AND x.id < y.id),
-         |e0 AS MATERIALIZED (
-         |  SELECT id, nbr, cos, true AS nw FROM (
-         |    SELECT id, nbr, cos,
-         |      row_number() OVER (PARTITION BY id ORDER BY cos DESC, nbr ASC) AS rr
-         |    FROM (SELECT id, nbr, max(cos) AS cos FROM (
-         |      SELECT u AS id, w AS nbr, cos FROM ip
-         |      UNION ALL SELECT w, u, cos FROM ip) GROUP BY id, nbr))
-         |  WHERE rr <= $k)""".stripMargin
-    val roundBlocks = (0 until rounds).map { r =>
+    (start until start + rounds).map { r =>
       s"""s$r AS (
          |  SELECT id, nbr, max(cos) AS cos, bool_or(nw) AS nw FROM (
          |    SELECT id, nbr, cos, nw FROM e$r
@@ -157,7 +160,56 @@ object SimilarityQueries extends QueryGroup {
          |      UNION ALL SELECT w, u, cos, 0 FROM d$r) GROUP BY id, nbr))
          |  WHERE rr <= $k)""".stripMargin
     }.mkString(",\n")
-    s"WITH $init,\n$roundBlocks"
+  }
+
+  /** DuckDB replay of [[graft.ops.GraphIndex.compact]] after a delete:
+    * prune every edge touching a deleted id out of the built graph
+    * (`e$buildRounds`), flag the SURVIVING edges of nodes that lost a
+    * neighbor, and run the same descent rounds the engine's repair
+    * runs — the repaired graph is `e${buildRounds + 1 + rounds}`.
+    * `delPred` renders the delete predicate for an id expression.
+    */
+  private def compactReplaySql(buildRounds: Int, k: Int, deg: Int,
+      rounds: Int, delPred: String => String): String = {
+    val g0 = s"e$buildRounds"
+    val init = buildRounds + 1
+    s"""holes AS (
+       |  SELECT DISTINCT ed.id FROM $g0 ed
+       |  WHERE NOT (${delPred("ed.id")}) AND (${delPred("ed.nbr")})),
+       |e$init AS MATERIALIZED (
+       |  SELECT ed.id, ed.nbr, ed.cos,
+       |    (ed.id IN (SELECT id FROM holes)) AS nw
+       |  FROM $g0 ed
+       |  WHERE NOT (${delPred("ed.id")}) AND NOT (${delPred("ed.nbr")})),
+       |${nndRoundsSql(init, rounds, k, deg)}""".stripMargin
+  }
+
+  private def nndReplaySql(k: Int, rounds: Int, initTables: Int,
+      bucketSize: Int, deg: Int, salt: String,
+      corpusWhere: String = "", boostSql: String = nndBoostSql): String = {
+    def cosFn(a: String, b: String) =
+      s"round(list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b))), 6)"
+    val tablesVals = (0 until initTables).map(t => s"($t)").mkString(",")
+    val init =
+      s"""e AS MATERIALIZED (SELECT vec_id, $boostSql AS v
+         |  FROM embeddings WHERE embedding IS NOT NULL$corpusWhere),
+         |bk AS MATERIALIZED (
+         |  SELECT t.t, e.vec_id AS id, e.v,
+         |    CAST(('0x' || substr(md5('$salt' || t.t || ':' || CAST(e.vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |      % (SELECT greatest(1, count(*)//$bucketSize) FROM e) AS bkt
+         |  FROM e, (VALUES $tablesVals) t(t)),
+         |ip AS (
+         |  SELECT x.id AS u, y.id AS w, ${cosFn("x.v", "y.v")} AS cos
+         |  FROM bk x JOIN bk y ON x.t = y.t AND x.bkt = y.bkt AND x.id < y.id),
+         |e0 AS MATERIALIZED (
+         |  SELECT id, nbr, cos, true AS nw FROM (
+         |    SELECT id, nbr, cos,
+         |      row_number() OVER (PARTITION BY id ORDER BY cos DESC, nbr ASC) AS rr
+         |    FROM (SELECT id, nbr, max(cos) AS cos FROM (
+         |      SELECT u AS id, w AS nbr, cos FROM ip
+         |      UNION ALL SELECT w, u, cos FROM ip) GROUP BY id, nbr))
+         |  WHERE rr <= $k)""".stripMargin
+    s"WITH $init,\n${nndRoundsSql(0, rounds, k, deg)}"
   }
 
   /** DuckDB replay of [[graft.ops.GraphSearch.topK]] over the
@@ -171,29 +223,39 @@ object SimilarityQueries extends QueryGroup {
     */
   private def graphSearchReplaySql(graphRounds: Int, k: Int, beam: Int,
       rounds: Int, entries: Int, overlay: Int, salt: String,
-      qWhere: String): String = {
+      qWhere: String, corpus: String = "e", graphCte: String = "",
+      edgeWhere: String = ""): String = {
     def cosFn(a: String, b: String) =
       s"round(list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b))), 6)"
     def md5i(s: String) =
       s"CAST(('0x' || substr(md5($s), 1, 15)) AS BIGINT)"
     val jVals = (0 until overlay).map(j => s"($j)").mkString(",")
+    // The stored edge lists the walk reads: the build replay's final
+    // graph by default; a caller-named CTE (compact replay) or a pruned
+    // view (tombstone-masked walk — edgeWhere drops BOTH endpoints of a
+    // deleted id, exactly GraphIndex.edges' masked read) otherwise.
+    // Walk-side frames (entries, overlay ordinals/targets, probes,
+    // scoring vectors) come from `corpus` — the survivor view when the
+    // engine passes a filtered corpus to GraphSearch.topK.
+    val gsrc = if (graphCte.nonEmpty) graphCte else s"e$graphRounds"
     val setup =
       s"""ordv AS (SELECT vec_id AS tgt,
-         |    row_number() OVER (ORDER BY vec_id ASC) - 1 AS o FROM e),
+         |    row_number() OVER (ORDER BY vec_id ASC) - 1 AS o FROM $corpus),
          |jmp AS (
          |  SELECT x.id, o.tgt AS nbr
-         |  FROM (SELECT e.vec_id AS id,
-         |          ${md5i(s"'$salt:l' || j.j || ':' || CAST(e.vec_id AS VARCHAR)")}
-         |            % (SELECT count(*) FROM e) AS oo
-         |        FROM e, (VALUES $jVals) j(j)) x
+         |  FROM (SELECT $corpus.vec_id AS id,
+         |          ${md5i(s"'$salt:l' || j.j || ':' || CAST($corpus.vec_id AS VARCHAR)")}
+         |            % (SELECT count(*) FROM $corpus) AS oo
+         |        FROM $corpus, (VALUES $jVals) j(j)) x
          |  JOIN ordv o ON o.o = x.oo
          |  WHERE o.tgt <> x.id),
+         |gb AS (SELECT id, nbr FROM $gsrc$edgeWhere),
          |g AS MATERIALIZED (
-         |  SELECT id, nbr FROM e$graphRounds UNION ALL SELECT id, nbr FROM jmp
-         |  UNION ALL SELECT nbr, id FROM e$graphRounds
+         |  SELECT id, nbr FROM gb UNION ALL SELECT id, nbr FROM jmp
+         |  UNION ALL SELECT nbr, id FROM gb
          |  UNION ALL SELECT nbr, id FROM jmp),
-         |qs AS (SELECT vec_id AS qid, v AS qv FROM e WHERE $qWhere),
-         |ent AS (SELECT vec_id AS node, v FROM e
+         |qs AS (SELECT vec_id AS qid, v AS qv FROM $corpus WHERE $qWhere),
+         |ent AS (SELECT vec_id AS node, v FROM $corpus
          |  ORDER BY ${md5i(s"'$salt:' || CAST(vec_id AS VARCHAR)")} ASC,
          |    vec_id ASC LIMIT $entries),
          |wb0 AS MATERIALIZED (
@@ -211,7 +273,7 @@ object SimilarityQueries extends QueryGroup {
          |    SELECT 1 FROM wb${r - 1} x WHERE x.qid = b.qid AND x.node = g.nbr)),
          |ws$r AS (
          |  SELECT c.qid, c.node, ${cosFn("q.qv", "ev.v")} AS cos
-         |  FROM wc$r c JOIN e ev ON ev.vec_id = c.node
+         |  FROM wc$r c JOIN $corpus ev ON ev.vec_id = c.node
          |  JOIN qs q ON q.qid = c.qid),
          |wb$r AS MATERIALIZED (
          |  SELECT qid, node, cos, ex FROM (
@@ -519,11 +581,21 @@ object SimilarityQueries extends QueryGroup {
     // breaks — the same stance as the md5-plane LSH queries: the gate
     // pins the ALGORITHM, not a recall claim (NN-Descent is a local
     // search; measured recall lives in NnDescentSpec).
+    //
+    // Served from the SHARED persisted GraphIndex (SharedGraphs: built
+    // once per harness process, probed by the whole boosted-graph
+    // family): the stored (id, nbr, cos) lists reconstruct knnGraph's
+    // rank by the same (cos DESC, nbr ASC) window, so this query now
+    // gates build + parquet round trip + rank reconstruction, and the
+    // identical build stops being charged four times across the family.
     "q_nndescent" -> ((s, dir) => {
-      graft.ops.NnDescent.knnGraph(
-        boostedCorpus(Tables.embeddings(s, dir)), "vec_id", "vb",
-        k = 5, rounds = 2, maxDegree = 12, simPrecision = 6)
-        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      import org.apache.spark.sql.expressions.Window
+      val path = sharedBoostedGraphPath(s, dir)
+      graft.ops.GraphIndex.edges(s, path)
+        .withColumn("rank", row_number().over(Window.partitionBy("id")
+          .orderBy(col("cos").desc, col("nbr").asc)))
+        .select(col("id").as("query_id"), col("nbr").as("neighbor_id"),
+          col("rank"))
     }),
 
     // Graph-guided ANN search (the HNSW/NSG query shape): beam search
@@ -533,11 +605,13 @@ object SimilarityQueries extends QueryGroup {
     // recall spec in GraphSearchSpec). The oracle replays graph build AND
     // walk round for round (graphSearchReplaySql), same stance as
     // q_nndescent: the gate pins the algorithm.
+    // Probes the SHARED persisted graph (SharedGraphs) instead of
+    // rebuilding it: the walk is identical over stored (id, nbr) lists.
     "q_ann_graph_topk" -> ((s, dir) => {
       val corpus = boostedCorpus(Tables.embeddings(s, dir))
-      val g = graft.ops.NnDescent.knnGraph(corpus, "vec_id", "vb",
-        k = 5, rounds = 2, maxDegree = 12, simPrecision = 6)
-      graft.ops.GraphSearch.topK(g, "query_id", "neighbor_id",
+      val path = sharedBoostedGraphPath(s, dir)
+      graft.ops.GraphSearch.topK(
+        graft.ops.GraphIndex.edges(s, path), "id", "nbr",
         corpus, "vec_id", "vb",
         corpus.filter(col("vec_id") < 20), "vec_id", "vb",
         k = 5, beam = 10, rounds = 2, entries = 4, overlay = 2,
@@ -569,13 +643,16 @@ object SimilarityQueries extends QueryGroup {
     // label<8 matches ~80% ≫ threshold, so the broad branch fires. The
     // oracle replays graph build + walk (the q_ann_graph_topk chain)
     // then applies the same filter + rank-order re-rank.
+    // Probes the SHARED persisted graph (SharedGraphs): knnGraph over
+    // the label-joined corpus ignores the extra column, so the stored
+    // lists are the same graph this query used to rebuild.
     "q_ann_filtered_graph" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val corpus = boostedCorpus(emb)
         .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
-      val g = graft.ops.NnDescent.knnGraph(corpus, "vec_id", "vb",
-        k = 5, rounds = 2, maxDegree = 12, simPrecision = 6)
-      graft.ops.FilteredAnn.topKGraph(g, "query_id", "neighbor_id",
+      val path = sharedBoostedGraphPath(s, dir)
+      graft.ops.FilteredAnn.topKGraph(
+        graft.ops.GraphIndex.edges(s, path), "id", "nbr",
         corpus.filter(col("vec_id") < 20), corpus, "vec_id", "vb",
         col("label") < 8, k = 5, beam = 10,
         selectivityThreshold = 0.1, rounds = 2, entries = 4,
@@ -629,6 +706,37 @@ object SimilarityQueries extends QueryGroup {
       out
     }),
 
+    // Tombstone deletes on the persisted token index (the IVF delete
+    // pattern): build over the full corpus, delete every vec_id ≡ 3
+    // (mod 7), probe — the mask lands BEFORE the per-query-token tokenK
+    // cut, so the result EXACTLY equals a from-scratch build over the
+    // survivors, which is what the oracle computes (maxsimAnnSqlOf with
+    // the survivor filter on the stored side). Compact/resurrect are
+    // spec-gated (MaxSimIndexSpec).
+    "q_maxsim_delete" -> ((s, dir) => {
+      def toks(df: org.apache.spark.sql.DataFrame) = df
+        .filter(col("embedding").isNotNull)
+        .select(col("vec_id"), posexplode(array((0 until 4).map(t =>
+          slice(col("embedding").cast("array<double>"),
+            t * 16 + 1, 16)): _*)).as(Seq("pos", "tv")))
+      val emb = Tables.embeddings(s, dir)
+      val path = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_msidx_del_${s.sparkContext.applicationId}"
+      graft.ops.MaxSimIndex.write(s, path, toks(emb), "vec_id", "pos",
+        "tv", dims = 16, numPlanes = 4, tables = 2)
+      graft.ops.MaxSimIndex.delete(s, path,
+        emb.filter(pmod(col("vec_id"), lit(7)) === 3).select(col("vec_id")),
+        "vec_id")
+      val out = graft.ops.MaxSimIndex.topK(s, path,
+          toks(emb.filter(col("vec_id") < 10)), "vec_id", "pos", "tv",
+          k = 5, tokenK = 8, simPrecision = 6)
+        .select(col("query_id"), col("doc_id"), col("rank"),
+          (round(col("maxsim"), 6) + lit(0.0)).as("maxsim"))
+        .localCheckpoint(true) // eager: materialize before the tree dies
+      deleteTree(s, path)
+      out
+    }),
+
     // Filtered ANN (predicate + vector top-k, the standard vector-store
     // query): selectivity-routed (FilteredAnn.route) — label=3 matches
     // ~10% of the corpus, under the 0.15 threshold, so the SELECTIVE
@@ -664,19 +772,85 @@ object SimilarityQueries extends QueryGroup {
     // parquet round trip, the version resolution, or the replay no-op
     // corrupted the graph. (Genuinely-new-node stitching is gated by
     // StreamingGraphMaintenanceSpec's batch≡stream≡brute equivalence.)
+    // The write itself happens on the family's SHARED tree (SharedGraphs
+    // builds through GraphIndex.write on first touch — commit marker,
+    // version resolution and all); this query then exercises the two
+    // stateful stages the other consumers don't: a FULLY-REDELIVERED
+    // maintenance batch (every id already stored — must drop all adds
+    // and write no new generation, or every later consumer of the
+    // shared tree hashes wrong) and the persisted-edge walk.
     "q_ann_graph_persist" -> ((s, dir) => {
       val corpus = boostedCorpus(Tables.embeddings(s, dir))
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_gidx_" +
-        new java.io.File(dir).getName + "_" + s.sparkContext.applicationId
-      graft.ops.GraphIndex.write(s, path, corpus, "vec_id", "vb",
-        k = 5, rounds = 2, maxDegree = 12, simPrecision = 6)
+      val path = sharedBoostedGraphPath(s, dir)
       graft.ops.GraphIndex.applyMaintenanceBatch(s, path,
         corpus.filter(col("vec_id") < 50), "vec_id", "vb",
         k = 5, rounds = 2, maxDegree = 12, simPrecision = 6)
-      val probed = graft.ops.GraphSearch.topK(
+      graft.ops.GraphSearch.topK(
           graft.ops.GraphIndex.edges(s, path), "id", "nbr",
           corpus, "vec_id", "vb",
           corpus.filter(col("vec_id") < 20), "vec_id", "vb",
+          k = 5, beam = 10, rounds = 2, entries = 4, overlay = 2,
+          simPrecision = 6)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // Tombstone deletes on the persisted graph index: build over the
+    // EVEN-half boosted corpus (the q_semdedup_nnd fixture shape, a
+    // quarter of the build cost), delete every vec_id ≡ 3 (mod 7), then
+    // beam-walk WITHOUT compacting — the masked read drops deleted ids
+    // from BOTH edge endpoints (never returned, never routed through),
+    // and the oracle replays build → prune → walk over the survivor
+    // corpus exactly (entries/overlay/probes all drawn from survivors,
+    // mirroring the survivor corpus the engine passes to GraphSearch).
+    "q_ann_graph_delete" -> ((s, dir) => {
+      val corpus = boostedCorpus(Tables.embeddings(s, dir)
+        .filter(pmod(col("vec_id"), lit(2)) === 0))
+      val surv = corpus.filter(pmod(col("vec_id"), lit(7)) =!= 3)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_gidx_del_" +
+        new java.io.File(dir).getName + "_" + s.sparkContext.applicationId
+      graft.ops.GraphIndex.write(s, path, corpus, "vec_id", "vb",
+        k = 5, rounds = 2, maxDegree = 12, simPrecision = 6)
+      graft.ops.GraphIndex.delete(s, path,
+        corpus.filter(pmod(col("vec_id"), lit(7)) === 3)
+          .select(col("vec_id")), "vec_id")
+      val probed = graft.ops.GraphSearch.topK(
+          graft.ops.GraphIndex.edges(s, path), "id", "nbr",
+          surv, "vec_id", "vb",
+          surv.filter(col("vec_id") < 40), "vec_id", "vb",
+          k = 5, beam = 10, rounds = 2, entries = 4, overlay = 2,
+          simPrecision = 6)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        // Eager: materialize before the index tree is deleted.
+        .localCheckpoint(true)
+      deleteTree(s, path)
+      probed
+    }),
+
+    // Delete → COMPACT → probe on the graph index: compact folds the
+    // tombstones into a fresh generation and REPAIRS the holes — every
+    // surviving node that lost a neighbor refills via the same localized
+    // descent maintenance uses. The oracle replays the whole chain:
+    // build (nndReplaySql) → prune + hole-flag + descent rounds
+    // (compactReplaySql) → walk over the repaired graph from the
+    // survivor corpus. Quarter corpus (vec_id ≡ 0 mod 4): the fixture
+    // only needs hole shapes, not cluster richness.
+    "q_ann_graph_compact" -> ((s, dir) => {
+      val corpus = boostedCorpus(Tables.embeddings(s, dir)
+        .filter(pmod(col("vec_id"), lit(4)) === 0))
+      val surv = corpus.filter(pmod(col("vec_id"), lit(7)) =!= 3)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_gidx_cpt_" +
+        new java.io.File(dir).getName + "_" + s.sparkContext.applicationId
+      graft.ops.GraphIndex.write(s, path, corpus, "vec_id", "vb",
+        k = 5, rounds = 2, maxDegree = 12, simPrecision = 6)
+      graft.ops.GraphIndex.delete(s, path,
+        corpus.filter(pmod(col("vec_id"), lit(7)) === 3)
+          .select(col("vec_id")), "vec_id")
+      graft.ops.GraphIndex.compact(s, path, k = 5, rounds = 2,
+        maxDegree = 12, simPrecision = 6)
+      val probed = graft.ops.GraphSearch.topK(
+          graft.ops.GraphIndex.edges(s, path), "id", "nbr",
+          surv, "vec_id", "vb",
+          surv.filter(col("vec_id") < 80), "vec_id", "vb",
           k = 5, beam = 10, rounds = 2, entries = 4, overlay = 2,
           simPrecision = 6)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
@@ -862,9 +1036,12 @@ object SimilarityQueries extends QueryGroup {
   // candidate cut (cos desc, (doc, pos) asc -- the struct-key order),
   // owning-document distinct, then the exact q_maxsim fold over
   // candidates only. Shared verbatim by q_maxsim_ann and
-  // q_maxsim_index (persistence adds no math).
-  private val maxsimAnnSql: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+  // q_maxsim_index (persistence adds no math); `docAnd` restricts the
+  // STORED side (q_maxsim_delete's survivor filter — applied on the
+  // candidate generation's doc buckets, which is all it takes: cand
+  // and the rerank joins flow from there).
+  private def maxsimAnnSqlOf(docAnd: String): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
         |  FROM embeddings WHERE embedding IS NOT NULL),
         |dt AS (SELECT vec_id AS doc_id, t.t AS pos,
         |    list_slice(v, t.t*16+1, t.t*16+16) AS tv
@@ -887,7 +1064,7 @@ object SimilarityQueries extends QueryGroup {
         |  SELECT DISTINCT qb.doc_id AS query_id, qb.pos AS qpos,
         |    cb.doc_id AS doc_id, cb.pos AS dpos
         |  FROM dbuckets qb JOIN dbuckets cb ON qb.t = cb.t AND qb.b = cb.b
-        |  WHERE qb.doc_id < 10),
+        |  WHERE qb.doc_id < 10$docAnd),
         |scored AS (
         |  SELECT h.query_id, h.qpos, h.doc_id, h.dpos,
         |    list_dot_product(q.tv, d.tv) /
@@ -922,6 +1099,8 @@ object SimilarityQueries extends QueryGroup {
         |    round(ms, 6) + 0.0 AS maxsim
         |  FROM sc)
         |SELECT query_id, doc_id, rank, maxsim FROM rk WHERE rank <= 5""".stripMargin
+
+  private val maxsimAnnSql: String = maxsimAnnSqlOf("")
 
   val oracles: Map[String, String] = Map(
     "q_vector_norms" ->
@@ -1065,6 +1244,10 @@ object SimilarityQueries extends QueryGroup {
     // Persistence must be invisible in the result: identical oracle to
     // q_maxsim_ann (the artifact round-trip adds no math).
     "q_maxsim_index" -> maxsimAnnSql,
+    // Tombstone-masked probe ≡ from-scratch build over the survivors:
+    // the same replay with the stored side filtered to survivors (the
+    // mask lands before the tokenK cut on both engines).
+    "q_maxsim_delete" -> maxsimAnnSqlOf(" AND cb.doc_id % 7 <> 3"),
     // Selective branch = exact brute among qualifying rows.
     "q_ann_filtered" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
@@ -1133,6 +1316,37 @@ object SimilarityQueries extends QueryGroup {
          |${graphSearchReplaySql(graphRounds = 2, k = 5, beam = 10,
              rounds = 2, entries = 4, overlay = 2, salt = "gs",
              qWhere = "vec_id < 20")}
+         |SELECT query_id, neighbor_id, rank FROM fin
+         |WHERE rank <= 5""".stripMargin,
+    // Tombstone-masked walk: build over the even half, prune every edge
+    // touching a deleted id (both endpoints — GraphIndex.edges' masked
+    // read), then walk from the SURVIVOR corpus (entries, overlay
+    // ordinals and probes all drawn from sv, mirroring the survivor
+    // corpus the engine passes to GraphSearch.topK).
+    "q_ann_graph_delete" ->
+      s"""${nndReplaySql(k = 5, rounds = 2, initTables = 2,
+             bucketSize = 48, deg = 12, salt = "nnd",
+             corpusWhere = " AND vec_id%2=0")},
+         |sv AS (SELECT vec_id, v FROM e WHERE vec_id % 7 <> 3),
+         |${graphSearchReplaySql(graphRounds = 2, k = 5, beam = 10,
+             rounds = 2, entries = 4, overlay = 2, salt = "gs",
+             qWhere = "vec_id < 40", corpus = "sv",
+             edgeWhere = " WHERE id % 7 <> 3 AND nbr % 7 <> 3")}
+         |SELECT query_id, neighbor_id, rank FROM fin
+         |WHERE rank <= 5""".stripMargin,
+    // Delete → compact → probe: build replay (e0…e2), prune + hole-flag
+    // + two repair descent rounds (compactReplaySql → e5), then the walk
+    // over the REPAIRED graph from the survivor corpus.
+    "q_ann_graph_compact" ->
+      s"""${nndReplaySql(k = 5, rounds = 2, initTables = 2,
+             bucketSize = 48, deg = 12, salt = "nnd",
+             corpusWhere = " AND vec_id%4=0")},
+         |sv AS (SELECT vec_id, v FROM e WHERE vec_id % 7 <> 3),
+         |${compactReplaySql(buildRounds = 2, k = 5, deg = 12,
+             rounds = 2, delPred = c => s"$c % 7 = 3")},
+         |${graphSearchReplaySql(graphRounds = 2, k = 5, beam = 10,
+             rounds = 2, entries = 4, overlay = 2, salt = "gs",
+             qWhere = "vec_id < 80", corpus = "sv", graphCte = "e5")}
          |SELECT query_id, neighbor_id, rank FROM fin
          |WHERE rank <= 5""".stripMargin,
     // Raw-corpus graph build + walk + the q_hybrid_rrf BM25/fusion SQL.
