@@ -114,13 +114,16 @@ object MaxSimIndex {
       numPlanes: Int = 6, tables: Int = 2): Unit = {
     requireLongIds(docToks, idCol, "write")
     versions.commitNext(spark, path) { gen =>
-      // Range-partition on (t, b), NOT repartition(t): hashing on the
-      // table id alone funnels the corpus-wide projection through one
-      // task per table — the build this artifact exists to amortize
+      // Range-partition on (t, b, id), NOT repartition(t): hashing on
+      // the table id alone funnels the corpus-wide projection through
+      // one task per table — the build this artifact exists to amortize
       // would serialize. Ranges keep each output file a contiguous
-      // sorted bucket slice, so bucket reads still skip row groups.
+      // sorted bucket slice, so bucket reads still skip row groups; the
+      // id in the range key lets a HOT bucket (one boilerplate token in
+      // half the corpus) split across writers instead of serializing
+      // one range task — equal (t, b) keys cannot otherwise be divided.
       bucketed(docToks, idCol, posCol, vecCol, dims, numPlanes, tables)
-        .repartitionByRange(col("t"), col("b"))
+        .repartitionByRange(col("t"), col("b"), col("id"))
         .sortWithinPartitions(col("b"), col("id"), col("pos"))
         .write.mode("overwrite").partitionBy("t").parquet(s"$gen/toks")
       writeMeta(spark, gen, Meta(dims, numPlanes, tables))
@@ -186,7 +189,7 @@ object MaxSimIndex {
       s"[graft] MaxSimIndex.append: $dropped already-stored token row(s) " +
         "skipped (replay or torn-append heal; an update is a rebuild)")
     rows.join(broadcast(stored), Seq("t", "id", "pos"), "left_anti")
-      .repartitionByRange(col("t"), col("b"))
+      .repartitionByRange(col("t"), col("b"), col("id"))
       .sortWithinPartitions(col("b"), col("id"), col("pos"))
       .write.mode("append").partitionBy("t").parquet(s"$path/$live/toks")
     Checkpoints.release(stored)
@@ -244,7 +247,7 @@ object MaxSimIndex {
     versions.commitNext(spark, path) { gen =>
       readToks(spark, s"$path/$live/toks")
         .join(broadcast(tomb.get), Seq("id"), "left_anti")
-        .repartitionByRange(col("t"), col("b"))
+        .repartitionByRange(col("t"), col("b"), col("id"))
         .sortWithinPartitions(col("b"), col("id"), col("pos"))
         .write.mode("overwrite").partitionBy("t").parquet(s"$gen/toks")
       writeMeta(spark, gen, m)
@@ -297,9 +300,21 @@ object MaxSimIndex {
       .select(col("__qid"), col("__qp"), col("id"), col("pos"),
         cos.as("__c"))
       .distinct()
+    // Hot-token pre-cut (the Similarity.lshTopKImpl discipline): one
+    // boilerplate token in half the corpus puts half the token table
+    // into a single (query, qtoken) window partition; cutting to tokenK
+    // within each physical partition first is exact (a global-top row
+    // is top within its partition) and bounds every sort task.
+    val wPre = Window.partitionBy("__qid", "__qp", "__pp")
+      .orderBy(col("__c").desc, col("id").asc, col("pos").asc)
+    val pre = hits
+      .withColumn("__pp", spark_partition_id())
+      .withColumn("__pr", row_number().over(wPre))
+      .filter(col("__pr") <= tokenK)
+      .drop("__pp", "__pr")
     val wTok = Window.partitionBy("__qid", "__qp")
       .orderBy(col("__c").desc, col("id").asc, col("pos").asc)
-    val cand = hits.withColumn("__r", row_number().over(wTok))
+    val cand = pre.withColumn("__r", row_number().over(wTok))
       .filter(col("__r") <= tokenK)
       .select(col("__qid").as("query_id"), col("id").as("doc_id"))
       .distinct()

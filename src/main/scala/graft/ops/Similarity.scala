@@ -486,8 +486,29 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__queryv"), col("__neighborv")).as("cos"))
       .distinct()
+    // HOT-BUCKET PRE-CUT: a boilerplate corpus vector (think one token
+    // shared by half the documents) puts half the candidate table into
+    // ONE probe's window partition — the per-probe row_number would then
+    // sort a corpus-sized partition in a single task. Cut each probe's
+    // candidates to k within every PHYSICAL partition first: a row in
+    // the global top-k is top-k inside whatever partition holds it, so
+    // the pre-cut is exact regardless of row placement (two plan
+    // instantiations may place rows differently — the pre-cut SET can
+    // differ, the surviving top-k cannot), and the final window sees
+    // ≤ partitions·k rows per probe. The (query_id, __pp) grouping key
+    // spreads a hot probe across its source partitions, so no task ever
+    // sorts more than one partition's candidates. spark_partition_id is
+    // safe here for exactly that superset reason — contrast the tiled
+    // prefix-sum ban, where the partition id KEYED an offset join.
+    val wp = Window.partitionBy("query_id", "__pp")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val pre = cand
+      .withColumn("__pp", spark_partition_id())
+      .withColumn("__pr", row_number().over(wp))
+      .filter(col("__pr") <= k)
+      .drop("__pp", "__pr")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    cand.withColumn("rank", row_number().over(w))
+    pre.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
   }
