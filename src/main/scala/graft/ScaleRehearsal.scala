@@ -61,7 +61,11 @@ object ScaleRehearsal {
     // scale path + persisted index round trip), and the graph-path
     // filtered router (build + walk + filter per query).
     "q_ann_graph_topk", "q_hybrid_rrf_graph", "q_maxsim", "q_maxsim_ann",
-    "q_maxsim_index", "q_ann_filtered_graph")
+    "q_maxsim_index", "q_ann_filtered_graph",
+    // r15 additions: the delete life cycle (tombstone-masked walk;
+    // delete -> compact with hole-repair descent; token-index survivor
+    // mask) — each charges a build + delete + probe chain per query.
+    "q_ann_graph_delete", "q_ann_graph_compact", "q_maxsim_delete")
 
   /** The skew-rehearsal set: the queries whose scale story depends on a
     * HOT KEY surviving — as-of auto-routing, per-group rank windows,
@@ -113,8 +117,10 @@ object ScaleRehearsal {
         graphMaint(spark, dir0, b.toInt)
       case Seq("range-skew", m, f) =>
         rangeSkew(spark, m.toLong, f.toInt)
+      case Seq("token-skew", m, f) =>
+        tokenSkew(spark, m.toLong, f.toInt)
       case other => sys.error(
-        s"usage: inflate|inflate-skew src dst F | run|run-skew base big F [qs] | graph-skew|skyline-skew|range-skew m F — got $other")
+        s"usage: inflate|inflate-skew src dst F | run|run-skew base big F [qs] | graph-skew|skyline-skew|range-skew|token-skew m F — got $other")
     }
     spark.stop()
   }
@@ -288,6 +294,92 @@ object ScaleRehearsal {
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+  }
+
+  // ------------------------------------------------------------- token-skew
+
+  /** Hot-TOKEN rehearsal for the late-interaction family: the gated
+    * MaxSim queries slice i.i.d. fixture embeddings, so no md5 bucket
+    * ever dominates — this mode plants the failure shape directly. Two
+    * shapes at `m` and `f·m` documents (4 tokens × 16 dims each):
+    *   - uniform:   every token pseudo-random from (doc, pos, dim)
+    *     arithmetic;
+    *   - hot-token: token 0 of every EVEN document is THE SAME
+    *     boilerplate vector — identical projection signs, so ONE bucket
+    *     in EVERY table holds half the corpus token table (the "the"
+    *     token of web text).
+    * Measured: the inline token-ANN scorer (topKViaAnnMd5 — bucket join
+    * + per-query-token tokenK cut + exact rerank), the persisted-index
+    * build (range layout under one fat (t, b) run) and the persisted
+    * probe. Reported per op like graph-skew: skew overhead at fixed
+    * size (t_shape/t_uniform) and scaling ratio t(f·m)/t(m) per shape —
+    * bounded overhead AND sub-linear-ish scaling together are the "one
+    * boilerplate token does not kill a round" claim. The hot-bucket
+    * pre-cut in lshTopKImpl / MaxSimIndex.topK (partition-local tokenK
+    * cut before the per-query-token window) and the id in the index's
+    * range keys are the mitigations under test.
+    */
+  def tokenSkew(spark: SparkSession, m: Long, f: Int): Unit = {
+    import org.apache.spark.sql.DataFrame
+    def toks(size: Long, shape: String): DataFrame = {
+      val pose = spark.range(size).select(col("id").as("doc_id"),
+        explode(sequence(lit(0), lit(3))).as("pos"))
+      val noise = transform(sequence(lit(0), lit(15)), d =>
+        (pmod(col("doc_id") * 31 + col("pos") * 13 + d * 7, lit(17))
+          - lit(8)).cast("double") / 8.0)
+      val boiler = transform(sequence(lit(0), lit(15)), d =>
+        (pmod(d * 7, lit(17)) - lit(8)).cast("double") / 8.0)
+      val tv = shape match {
+        case "uniform" => noise
+        case "hot-token" =>
+          when(pmod(col("doc_id"), lit(2)) === 0 && col("pos") === 0,
+            boiler).otherwise(noise)
+        case other => sys.error(
+          s"token-skew shape must be uniform|hot-token, got '$other'")
+      }
+      pose.select(col("doc_id"), col("pos"), tv.as("tv"))
+    }
+    def mat(size: Long, shape: String): DataFrame = {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_tsk_${size}_$shape"
+      toks(size, shape).write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    def annOnce(df: DataFrame): Unit =
+      graft.ops.MaxSim.topKViaAnnMd5(df.filter(col("doc_id") < 50), df,
+        "doc_id", "pos", "tv", k = 10, dims = 16, tokenK = 8,
+        numPlanes = 4, tables = 2).count(): Unit
+    def idxOnce(df: DataFrame, tag: String): (Double, Double) = {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_tsk_idx_$tag"
+      try {
+        val tw = time(graft.ops.MaxSimIndex.write(spark, p, df,
+          "doc_id", "pos", "tv", dims = 16, numPlanes = 4, tables = 2))
+        val tp = time(graft.ops.MaxSimIndex.topK(spark, p,
+          df.filter(col("doc_id") < 50), "doc_id", "pos", "tv",
+          k = 10, tokenK = 8).count(): Unit)
+        (tw, tp)
+      } finally graft.ops.LocalFs.deleteRecursively(new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_tsk_idx_$tag"))
+    }
+    val shapes = Seq("uniform", "hot-token")
+    val frames = (for (s <- shapes; sz <- Seq(m, m * f))
+      yield (s, sz) -> mat(sz, s)).toMap
+    annOnce(frames(("uniform", m))) // warm-up: plan/codegen
+    val uni = scala.collection.mutable.Map.empty[String, Double]
+    for (shape <- shapes) {
+      val tAnn1 = time(annOnce(frames((shape, m))))
+      val tAnnF = time(annOnce(frames((shape, m * f))))
+      val (tw1, tp1) = idxOnce(frames((shape, m)), s"${shape}_m")
+      val (twF, tpF) = idxOnce(frames((shape, m * f)), s"${shape}_fm")
+      for ((op, t1, tF) <- Seq(("maxsim_ann", tAnn1, tAnnF),
+          ("msidx_write", tw1, twF), ("msidx_probe", tp1, tpF))) {
+        if (shape == "uniform") uni(op) = t1
+        println(f"""{"op":"$op","shape":"$shape","t_m":$t1%.2f,"t_fm":$tF%.2f,"scale_ratio":${tF / t1}%.2f,"skew_overhead":${t1 / uni(op)}%.2f}""")
+      }
+    }
+    println(s"""{"metric":"token_skew","m":$m,"factor":$f}""")
+    for (s <- shapes; sz <- Seq(m, m * f))
+      graft.ops.LocalFs.deleteRecursively(new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_tsk_${sz}_$s"))
   }
 
   // ------------------------------------------------------------- graph-skew

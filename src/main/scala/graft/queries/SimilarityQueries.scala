@@ -55,7 +55,8 @@ object SimilarityQueries extends QueryGroup {
           f.getName.startsWith("graft_sky_") ||
           f.getName.startsWith("graft_rsk_") ||
           f.getName.startsWith("graft_curves_maint_") ||
-          f.getName.startsWith("graft_msidx_")) &&
+          f.getName.startsWith("graft_msidx_") ||
+          f.getName.startsWith("graft_tsk_")) &&
         // contains, not endsWith: most trees put the appId LAST, but
         // graft_curves_maint_<appId>_<corpusName> puts the corpus name
         // after it — an endsWith guard never matched those, leaving only
@@ -833,17 +834,21 @@ object SimilarityQueries extends QueryGroup {
     // build (nndReplaySql) → prune + hole-flag + descent rounds
     // (compactReplaySql) → walk over the repaired graph from the
     // survivor corpus. Quarter corpus (vec_id ≡ 0 mod 4): the fixture
-    // only needs hole shapes, not cluster richness.
+    // only needs hole shapes, not cluster richness. The delete set is
+    // mod-31 (~3%, well under 1/maxDegree) so the repair stays
+    // LOCALIZED — a 1-in-7 delete flags nearly every neighborhood and
+    // the "localized" descent degenerates into a full rebuild pass,
+    // which is exactly the regime compact should not be used in.
     "q_ann_graph_compact" -> ((s, dir) => {
       val corpus = boostedCorpus(Tables.embeddings(s, dir)
         .filter(pmod(col("vec_id"), lit(4)) === 0))
-      val surv = corpus.filter(pmod(col("vec_id"), lit(7)) =!= 3)
+      val surv = corpus.filter(pmod(col("vec_id"), lit(31)) =!= 3)
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_gidx_cpt_" +
         new java.io.File(dir).getName + "_" + s.sparkContext.applicationId
       graft.ops.GraphIndex.write(s, path, corpus, "vec_id", "vb",
         k = 5, rounds = 2, maxDegree = 12, simPrecision = 6)
       graft.ops.GraphIndex.delete(s, path,
-        corpus.filter(pmod(col("vec_id"), lit(7)) === 3)
+        corpus.filter(pmod(col("vec_id"), lit(31)) === 3)
           .select(col("vec_id")), "vec_id")
       graft.ops.GraphIndex.compact(s, path, k = 5, rounds = 2,
         maxDegree = 12, simPrecision = 6)
@@ -1341,9 +1346,9 @@ object SimilarityQueries extends QueryGroup {
       s"""${nndReplaySql(k = 5, rounds = 2, initTables = 2,
              bucketSize = 48, deg = 12, salt = "nnd",
              corpusWhere = " AND vec_id%4=0")},
-         |sv AS (SELECT vec_id, v FROM e WHERE vec_id % 7 <> 3),
+         |sv AS (SELECT vec_id, v FROM e WHERE vec_id % 31 <> 3),
          |${compactReplaySql(buildRounds = 2, k = 5, deg = 12,
-             rounds = 2, delPred = c => s"$c % 7 = 3")},
+             rounds = 2, delPred = c => s"$c % 31 = 3")},
          |${graphSearchReplaySql(graphRounds = 2, k = 5, beam = 10,
              rounds = 2, entries = 4, overlay = 2, salt = "gs",
              qWhere = "vec_id < 80", corpus = "sv", graphCte = "e5")}

@@ -215,6 +215,87 @@ object AnnCurves {
         } finally graft.ops.LocalFs.deleteRecursively(mpath)
       }
 
+      // ColBERT MaxSim: recall/latency of the token-ANN candidate path
+      // (MaxSim.topKViaAnn, prod xxhash planes) and of the persisted
+      // token index vs the EXACT late-interaction scorer — the knob
+      // sweep (tokenK, planes, tables) the IVF/graph families already
+      // have. Tokens are the q_maxsim shape: 4 slices of 16 dims.
+      // Truth self-excludes; candidates are normalized identically.
+      {
+        def toks(df: DataFrame) = df
+          .filter(col("embedding").isNotNull)
+          .select(col("vec_id"), posexplode(array((0 until 4).map(t =>
+            slice(col("embedding").cast("array<double>"),
+              t * 16 + 1, 16)): _*)).as(Seq("pos", "tv")))
+        val corpusToks = toks(emb).localCheckpoint(true)
+        corpusToks.count()
+        val probeToks = toks(probes).localCheckpoint(true)
+        probeToks.count()
+        def msNormalize(df: DataFrame): DataFrame = {
+          val w = Window.partitionBy("query_id").orderBy(col("rank").asc)
+          df.filter(col("query_id") =!= col("doc_id"))
+            .withColumn("__r", row_number().over(w))
+            .filter(col("__r") <= K)
+            .select(col("query_id"), col("doc_id"))
+        }
+        val msTruth = msNormalize(graft.ops.MaxSim.topK(probeToks,
+            corpusToks, "vec_id", "pos", "tv", K + 1))
+          .localCheckpoint(true)
+        val nMsTruth = msTruth.count().toDouble
+        def msMeasure(family: String, params: String)(
+            build: => DataFrame): Unit = {
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            build.count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          once() // warm-up
+          val sec = once()
+          val hits = msNormalize(build)
+            .join(msTruth, Seq("query_id", "doc_id"), "left_semi").count()
+          val recall = hits / nMsTruth
+          println(f"""{"corpus":"$corpusName","family":"$family",$params%s,"recall":$recall%.3f,"sec":$sec%.2f}""")
+        }
+        for (tokenK <- Seq(4, 8, 16, 32))
+          msMeasure("maxsim-ann", s""""tokenK":$tokenK,"planes":8,"tables":2""") {
+            graft.ops.MaxSim.topKViaAnn(probeToks, corpusToks,
+              "vec_id", "pos", "tv", K + 1, tokenK = tokenK,
+              numPlanes = 8, tables = 2)
+          }
+        for (planes <- Seq(4, 6, 8))
+          msMeasure("maxsim-ann", s""""tokenK":8,"planes":$planes,"tables":2""") {
+            graft.ops.MaxSim.topKViaAnn(probeToks, corpusToks,
+              "vec_id", "pos", "tv", K + 1, tokenK = 8,
+              numPlanes = planes, tables = 2)
+          }
+        for (tables <- Seq(1, 4))
+          msMeasure("maxsim-ann", s""""tokenK":8,"planes":8,"tables":$tables""") {
+            graft.ops.MaxSim.topKViaAnn(probeToks, corpusToks,
+              "vec_id", "pos", "tv", K + 1, tokenK = 8,
+              numPlanes = 8, tables = tables)
+          }
+        // Persisted token index: build charged once (its own line, the
+        // graph-build convention), then the default-knob probe through
+        // the artifact (md5 planes — the only family the index stores).
+        val mspath = s"${System.getProperty("java.io.tmpdir")}/" +
+          s"graft_msidx_curves_${spark.sparkContext.applicationId}_$corpusName"
+        try {
+          val tb0 = System.nanoTime()
+          graft.ops.MaxSimIndex.write(spark, mspath, corpusToks,
+            "vec_id", "pos", "tv", dims = 16, numPlanes = 8, tables = 2)
+          val msBuild = (System.nanoTime() - tb0) / 1e9
+          println(f"""{"corpus":"$corpusName","family":"maxsim-index-build","planes":8,"tables":2,"sec":$msBuild%.2f}""")
+          for (tokenK <- Seq(8, 32))
+            msMeasure("maxsim-index", s""""tokenK":$tokenK,"planes":8,"tables":2""") {
+              graft.ops.MaxSimIndex.topK(spark, mspath, probeToks,
+                "vec_id", "pos", "tv", K + 1, tokenK = tokenK)
+            }
+        } finally graft.ops.LocalFs.deleteRecursively(mspath)
+        graft.ops.Checkpoints.release(msTruth)
+        graft.ops.Checkpoints.release(corpusToks)
+        graft.ops.Checkpoints.release(probeToks)
+      }
+
       graft.ops.Checkpoints.release(truth)
       graft.ops.Checkpoints.release(codes)
     }
