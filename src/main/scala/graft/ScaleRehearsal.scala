@@ -324,11 +324,17 @@ object ScaleRehearsal {
     def toks(size: Long, shape: String): DataFrame = {
       val pose = spark.range(size).select(col("id").as("doc_id"),
         explode(sequence(lit(0), lit(3))).as("pos"))
+      // Per-component mix must MULTIPLY the dim into the key: a pure
+      // additive shift (doc·31 + pos·13 + d·7 mod p) makes every vector
+      // a rotation of the same residue — the whole corpus collapses to
+      // p distinct token vectors and even the "uniform" shape is one
+      // giant bucket family (measured: the first cut of this rehearsal
+      // did exactly that).
       val noise = transform(sequence(lit(0), lit(15)), d =>
-        (pmod(col("doc_id") * 31 + col("pos") * 13 + d * 7, lit(17))
-          - lit(8)).cast("double") / 8.0)
+        (pmod((col("doc_id") * 31 + col("pos") * 13 + lit(1)) * (d + lit(1))
+          + d * 7, lit(1009)) - lit(504)).cast("double") / 504.0)
       val boiler = transform(sequence(lit(0), lit(15)), d =>
-        (pmod(d * 7, lit(17)) - lit(8)).cast("double") / 8.0)
+        (pmod(d * 97 + lit(11), lit(1009)) - lit(504)).cast("double") / 504.0)
       val tv = shape match {
         case "uniform" => noise
         case "hot-token" =>
@@ -347,12 +353,12 @@ object ScaleRehearsal {
     def annOnce(df: DataFrame): Unit =
       graft.ops.MaxSim.topKViaAnnMd5(df.filter(col("doc_id") < 50), df,
         "doc_id", "pos", "tv", k = 10, dims = 16, tokenK = 8,
-        numPlanes = 4, tables = 2).count(): Unit
+        numPlanes = 8, tables = 2).count(): Unit
     def idxOnce(df: DataFrame, tag: String): (Double, Double) = {
       val p = s"${System.getProperty("java.io.tmpdir")}/graft_tsk_idx_$tag"
       try {
         val tw = time(graft.ops.MaxSimIndex.write(spark, p, df,
-          "doc_id", "pos", "tv", dims = 16, numPlanes = 4, tables = 2))
+          "doc_id", "pos", "tv", dims = 16, numPlanes = 8, tables = 2))
         val tp = time(graft.ops.MaxSimIndex.topK(spark, p,
           df.filter(col("doc_id") < 50), "doc_id", "pos", "tv",
           k = 10, tokenK = 8).count(): Unit)
