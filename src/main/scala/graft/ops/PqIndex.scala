@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ml.KMeans.KMeansModel
+import graft.ml.Pq
+import graft.ml.Pq.PqModel
+
+/** Persisted IVF-PQ serving index — the FAISS IVFPQ artifact
+  * ([[Similarity.ivfPqTopK]]'s pipeline with every derived frame
+  * stored): coarse codebook, per-cell lists carrying the m-byte PQ
+  * codes AND the full vectors in ONE columnar tree, and the PQ model
+  * itself, so probes at serving time recompute nothing.
+  *
+  * Layout under `path` (generations via [[VersionedTree]] — three
+  * trees, so the commit point is the explicit `_GRAFT_COMMIT` marker,
+  * crash-safe like [[GraphIndex]]/[[MaxSimIndex]]):
+  *   - `pq_v{n}/centroids` — (centroid_id, centroid, cnorm), the
+  *     coarse quantizer ([[Similarity.centFrame]] output, stored so
+  *     probe routing is bit-identical to the build's assignment);
+  *   - `pq_v{n}/lists`     — PARTITIONED BY `list` (the Voronoi cell):
+  *     (neighbor_id, pq_code, vec, vnorm). One tree serves both probe
+  *     stages BECAUSE parquet is columnar: the ADC candidate scan
+  *     projects only (neighbor_id, pq_code) — 4·m bytes per row, the
+  *     dims/m bandwidth shrink PQ exists for — while the exact rerank
+  *     reads the `vec` column for only the ≤ |probes|·candidateK
+  *     surviving rows. Dynamic partition pruning on the routed list ids
+  *     keeps both reads to the probed cells.
+  *   - `pq_v{n}/model`     — the integer-exact PQ codebooks as plain
+  *     rows (sub, scale, cluster, centroid ARRAY<BIGINT>, dims):
+  *     model-sized (m·k rows), collected at probe time — the same
+  *     "codebook crosses the driver, corpus never does" budget every
+  *     op here observes.
+  *
+  * [[topK]] replays [[Similarity.ivfPqTopK]]'s stages against the
+  * stored frames — route to `nprobe` cells, ADC over stored codes to
+  * `candidateK`, exact rerank to k — so persistence is invisible in the
+  * result (`q_ann_ivfpq_persist` shares `q_ivf_pq_topk`'s oracle
+  * verbatim, the q_ann_ivf_persist stance).
+  *
+  * Updates: rebuild. A PQ artifact is refit-coupled — appending
+  * vectors under a stale codebook silently degrades codes, and the
+  * coarse cells shift with the corpus; the honest incremental story at
+  * this layer is [[IvfIndex]] (flat vectors, stored-codebook append +
+  * tombstones). Single-writer, like every index here.
+  */
+object PqIndex {
+
+  private val versions = new VersionedTree("pq")
+
+  def liveVersion(spark: SparkSession, path: String): String =
+    versions.liveVersion(spark, path)
+
+  /** Build + commit a generation. `centroids` is the coarse codebook as
+    * (centroid_id, centroid) — pass the same frame the inline path
+    * derives so artifact and inline routing agree.
+    */
+  def write(spark: SparkSession, path: String, corpus: DataFrame,
+      idCol: String, vecCol: String, centroids: DataFrame,
+      model: PqModel, maxRecordsPerFile: Long = 5000000L): Unit = {
+    val cent = Similarity.centFrame(centroids, "centroid_id", "centroid")
+    val lists = Similarity.invertedLists(corpus, idCol, vecCol, cent)
+    val codes = Pq.encode(corpus, idCol, vecCol, model)
+      .select(col(idCol).as("neighbor_id"), col("pq_code"))
+    versions.commitNext(spark, path) { gen =>
+      cent.select(col("__cid").as("centroid_id"),
+          col("__cv").as("centroid"), col("__cn").as("cnorm"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$gen/centroids")
+      lists.join(codes, Seq("neighbor_id"))
+        .select(col("__list").as("list"), col("neighbor_id"),
+          col("pq_code"), col("__nv").as("vec"), col("__nn").as("vnorm"))
+        .repartition(col("list"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .partitionBy("list").parquet(s"$gen/lists")
+      writeModel(spark, gen, model)
+    }: Unit
+  }
+
+  /** Probe the stored index — result-identical to
+    * [[Similarity.ivfPqTopK]] over the same corpus/centroids/model.
+    */
+  def topK(spark: SparkSession, path: String, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int, candidateK: Int,
+      nprobe: Int = 4): DataFrame = {
+    require(candidateK >= k, "candidateK must be >= k")
+    val live = liveVersion(spark, path)
+    val model = readModel(spark, s"$path/$live")
+    val cent = spark.read.parquet(s"$path/$live/centroids")
+      .select(col("centroid_id").as("__cid"), col("centroid").as("__cv"),
+        col("cnorm").as("__cn"))
+    val stored = spark.read.parquet(s"$path/$live/lists")
+    // Candidate routing projects only ids (Catalyst prunes the vec
+    // column out of this scan — the __nv/__nn the shared stage attaches
+    // are dropped by the select, so the parquet read stays slim).
+    val lists = stored.select(col("list").as("__list"),
+      col("neighbor_id"), col("vec").as("__nv"), col("vnorm").as("__nn"))
+    val pairs = Similarity.ivfCandidates(probes, idCol, vecCol, cent,
+        lists, nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    val codes = stored.select(col("neighbor_id").as(idCol), col("pq_code"))
+    val corpusV = stored.select(col("neighbor_id").as(idCol),
+      col("vec").as(vecCol))
+    Pq.exactRerank(
+      Pq.adcTopKWithin(probes, codes, pairs, idCol, vecCol, model,
+        candidateK),
+      probes, corpusV, idCol, vecCol, k)
+  }
+
+  // ------------------------------------------------------------- model
+
+  private def writeModel(spark: SparkSession, gen: String,
+      model: PqModel): Unit = {
+    import spark.implicits._
+    val rows = for {
+      s <- 0 until model.m
+      km = model.models(s)
+      c <- 0 until km.k
+    } yield (s, km.scale, c, km.centroids(c).toSeq, model.dims)
+    rows.toDF("sub", "scale", "cluster", "centroid", "dims")
+      .coalesce(1).write.mode("overwrite").parquet(s"$gen/model")
+  }
+
+  private[ops] def readModel(spark: SparkSession, gen: String): PqModel = {
+    val rows = spark.read.parquet(s"$gen/model")
+      .select(col("sub"), col("scale"), col("cluster"), col("centroid"),
+        col("dims"))
+      .collect() // model-sized: m·k rows
+    require(rows.nonEmpty, s"empty PQ model under $gen")
+    val dims = rows.head.getInt(4)
+    val bySub = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+    val models = bySub.map { case (_, rs) =>
+      val scale = rs.head.getLong(1)
+      val cents = rs.sortBy(_.getInt(2))
+        .map(_.getSeq[Long](3).toArray).toArray
+      KMeansModel(scale, cents)
+    }.toArray
+    PqModel(dims, models)
+  }
+}

@@ -142,6 +142,38 @@ object MlQueries extends QueryGroup {
           (round(col("cos"), 4) + lit(0.0)).as("cos"))
     }),
 
+    // Persisted IVF-PQ round trip: write the serving artifact (coarse
+    // codebook + per-cell lists carrying PQ codes AND vectors in one
+    // columnar tree + the integer-exact model rows), probe through it
+    // with q_ivf_pq_topk's exact parameters — the oracle is shared
+    // verbatim, so a mismatch means the parquet round trip, the model
+    // rehydration or the stored routing corrupted the pipeline.
+    "q_ann_ivfpq_persist" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = Pq.fit(emb, "vec_id", "embedding",
+        dims = 64, m = 4, k = 4, iterations = 2)
+      val cent = emb.filter(col("embedding").isNotNull)
+        .filter(pmod(col("vec_id"), lit(25)) === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_pqidx_" +
+        new java.io.File(dir).getName + "_" + s.sparkContext.applicationId
+      graft.ops.PqIndex.write(s, path, emb, "vec_id", "embedding",
+        cent, model)
+      val out = graft.ops.PqIndex.topK(s, path,
+          emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          k = 5, candidateK = 20, nprobe = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          (round(col("cos"), 4) + lit(0.0)).as("cos"))
+        .localCheckpoint(true) // materialize before the tree is deleted
+      try {
+        val pp = new org.apache.hadoop.fs.Path(path)
+        pp.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(pp, true)
+      } catch { case _: Exception => () }
+      out
+    }),
+
     // NDCG@10 + MRR@10 per query — the ranking-eval layer for the
     // retrieval stack (BM25 / ANN / RRF): each source is a "query" whose
     // run ranks its docs by length, with graded relevance planted from
@@ -648,6 +680,49 @@ object MlQueries extends QueryGroup {
        |  (sh.vec_id IS NULL) AS kept
        |FROM af LEFT JOIN sh ON sh.vec_id = af.vec_id""".stripMargin
 
+  // IVF routing (the q_ann_ivf_topk fragment, probe set aligned with
+  // the ADC probes) restricts the ADC candidate CTE; rerank reuses the
+  // fragment's own `e` table. Shared verbatim by q_ivf_pq_topk and
+  // q_ann_ivfpq_persist (the persisted artifact adds no math).
+  private val ivfPqTopkSql: String = pqAdcSql(
+      finalSelect =
+        """, cnd AS (SELECT query_id, neighbor_id FROM r WHERE rn <= 20),
+          |rr AS (
+          |  SELECT c.query_id, c.neighbor_id,
+          |    list_cosine_similarity(a.v, b.v) AS cos,
+          |    CAST(row_number() OVER (PARTITION BY c.query_id
+          |      ORDER BY list_cosine_similarity(a.v, b.v) DESC,
+          |        c.neighbor_id ASC) AS INT) AS rank
+          |  FROM cnd c
+          |  JOIN e a ON a.vec_id = c.query_id
+          |  JOIN e b ON b.vec_id = c.neighbor_id)
+          |SELECT query_id, neighbor_id, rank, round(cos, 4) + 0.0 AS cos
+          |FROM rr WHERE rank <= 5""".stripMargin,
+      extraCtes =
+        """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          |     WHERE embedding IS NOT NULL),
+          |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+          |assign AS (
+          |  SELECT a.vec_id, c.cid,
+          |    row_number() OVER (PARTITION BY a.vec_id
+          |      ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cid ASC) AS r
+          |  FROM e a CROSS JOIN cent c),
+          |lists AS (SELECT cid AS list, vec_id AS neighbor_id
+          |  FROM assign WHERE r = 1),
+          |pa AS (
+          |  SELECT a.vec_id AS query_id, c.cid,
+          |    row_number() OVER (PARTITION BY a.vec_id
+          |      ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cid ASC) AS r
+          |  FROM e a CROSS JOIN cent c WHERE a.vec_id % 50 = 0),
+          |pl AS (SELECT query_id, cid AS list FROM pa WHERE r <= 3),
+          |ivfcand AS (
+          |  SELECT pl.query_id, l.neighbor_id
+          |  FROM pl JOIN lists l ON pl.list = l.list
+          |  WHERE pl.query_id <> l.neighbor_id)""".stripMargin,
+      candJoin =
+        "  JOIN ivfcand ic ON ic.query_id = p0.query_id" +
+          " AND ic.neighbor_id = a0.vec_id")
+
   val oracles: Map[String, String] = Map(
     // Global row_number restates Ordinals' range-tiled order (both total:
     // sort key + id tiebreak); pairs at rank distance 1..3 per pass,
@@ -889,43 +964,8 @@ object MlQueries extends QueryGroup {
     // IVF routing (the q_ann_ivf_topk fragment, probe set aligned with
     // the ADC probes) restricts the ADC candidate CTE; rerank reuses the
     // fragment's own `e` table.
-    "q_ivf_pq_topk" -> pqAdcSql(
-      finalSelect =
-        """, cnd AS (SELECT query_id, neighbor_id FROM r WHERE rn <= 20),
-          |rr AS (
-          |  SELECT c.query_id, c.neighbor_id,
-          |    list_cosine_similarity(a.v, b.v) AS cos,
-          |    CAST(row_number() OVER (PARTITION BY c.query_id
-          |      ORDER BY list_cosine_similarity(a.v, b.v) DESC,
-          |        c.neighbor_id ASC) AS INT) AS rank
-          |  FROM cnd c
-          |  JOIN e a ON a.vec_id = c.query_id
-          |  JOIN e b ON b.vec_id = c.neighbor_id)
-          |SELECT query_id, neighbor_id, rank, round(cos, 4) + 0.0 AS cos
-          |FROM rr WHERE rank <= 5""".stripMargin,
-      extraCtes =
-        """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-          |     WHERE embedding IS NOT NULL),
-          |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
-          |assign AS (
-          |  SELECT a.vec_id, c.cid,
-          |    row_number() OVER (PARTITION BY a.vec_id
-          |      ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cid ASC) AS r
-          |  FROM e a CROSS JOIN cent c),
-          |lists AS (SELECT cid AS list, vec_id AS neighbor_id
-          |  FROM assign WHERE r = 1),
-          |pa AS (
-          |  SELECT a.vec_id AS query_id, c.cid,
-          |    row_number() OVER (PARTITION BY a.vec_id
-          |      ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cid ASC) AS r
-          |  FROM e a CROSS JOIN cent c WHERE a.vec_id % 50 = 0),
-          |pl AS (SELECT query_id, cid AS list FROM pa WHERE r <= 3),
-          |ivfcand AS (
-          |  SELECT pl.query_id, l.neighbor_id
-          |  FROM pl JOIN lists l ON pl.list = l.list
-          |  WHERE pl.query_id <> l.neighbor_id)""".stripMargin,
-      candJoin =
-        "  JOIN ivfcand ic ON ic.query_id = p0.query_id" +
-          " AND ic.neighbor_id = a0.vec_id"),
+    "q_ivf_pq_topk" -> ivfPqTopkSql,
+    // Persistence must be invisible: identical oracle.
+    "q_ann_ivfpq_persist" -> ivfPqTopkSql,
     "q_fps_sample" -> fpsSql)
 }

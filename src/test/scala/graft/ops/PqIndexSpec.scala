@@ -1,0 +1,91 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+import graft.ml.Pq
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted IVF-PQ index must serve probes with EXACTLY the rows
+  * the inline [[Similarity.ivfPqTopK]] produces on the same corpus,
+  * coarse codebook and PQ model; the model must survive its parquet
+  * round trip bit-exactly (integer-exact centroids); and a torn
+  * generation must stay invisible behind the commit marker.
+  */
+class PqIndexSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  // Clustered corpus: 8 one-hot axes (3.0) + deterministic noise over
+  // 16 dims — enough structure that lists and codes are non-trivial.
+  private def vec(i: Long): Array[Double] = {
+    val c = (i % 8).toInt
+    Array.tabulate(16)(d =>
+      (if (d == 2 * c) 3.0 else 0.0) + (((i * 31 + d * 7) % 11) - 5) / 20.0)
+  }
+
+  private def corpus(n: Int): DataFrame =
+    (0L until n.toLong).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+
+  private def canon(df: DataFrame): Set[(Long, Long, Int, Double)] =
+    df.select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("int"), round(col("cos"), 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+
+  test("persisted probe equals inline ivfPqTopK; model round-trips " +
+    "bit-exactly; many batches reuse one artifact") {
+    val c = corpus(96)
+    val model = Pq.fit(c, "vec_id", "embedding", dims = 16, m = 4,
+      k = 4, iterations = 2)
+    val cent = c.filter(pmod(col("vec_id"), lit(12)) === 0)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("centroid"))
+    val path = Files.createTempDirectory("pq_idx").toString
+    PqIndex.write(spark, path, c, "vec_id", "embedding", cent, model)
+
+    val m2 = PqIndex.readModel(spark,
+      s"$path/${PqIndex.liveVersion(spark, path)}")
+    assert(m2.dims == model.dims && m2.m == model.m)
+    for (s <- 0 until model.m) {
+      assert(m2.models(s).scale == model.models(s).scale)
+      assert(m2.models(s).centroids.map(_.toSeq).toSeq ==
+        model.models(s).centroids.map(_.toSeq).toSeq)
+    }
+
+    val codes = Pq.encode(c, "vec_id", "embedding", model)
+    for (mod <- Seq(0, 1)) {
+      val probes = c.filter(pmod(col("vec_id"), lit(7)) === mod)
+      val want = canon(Similarity.ivfPqTopK(probes, c, codes,
+        "vec_id", "embedding", model, k = 3, candidateK = 12,
+        centroidMod = 12, nprobe = 2))
+      val got = canon(PqIndex.topK(spark, path, probes,
+        "vec_id", "embedding", k = 3, candidateK = 12, nprobe = 2))
+      assert(got == want && got.nonEmpty, s"probe batch mod $mod")
+    }
+  }
+
+  test("a torn generation stays invisible; a committed rebuild retires it") {
+    val c = corpus(48)
+    val model = Pq.fit(c, "vec_id", "embedding", dims = 16, m = 2,
+      k = 4, iterations = 1)
+    val cent = c.filter(pmod(col("vec_id"), lit(12)) === 0)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("centroid"))
+    val path = Files.createTempDirectory("pq_idx_torn").toString
+    PqIndex.write(spark, path, c.filter(col("vec_id") < 36),
+      "vec_id", "embedding", cent, model)
+    val v1 = PqIndex.liveVersion(spark, path)
+    new java.io.File(s"$path/pq_v9/lists").mkdirs() // torn writer
+    assert(PqIndex.liveVersion(spark, path) == v1)
+    assert(PqIndex.topK(spark, path, c.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = 2, candidateK = 8, nprobe = 2)
+      .count() > 0)
+    PqIndex.write(spark, path, c, "vec_id", "embedding", cent, model)
+    assert(PqIndex.liveVersion(spark, path) == "pq_v10")
+    assert(!new java.io.File(s"$path/$v1").exists())
+    assert(!new java.io.File(s"$path/pq_v9").exists())
+  }
+}
