@@ -64,8 +64,11 @@ object ScaleRehearsal {
     "q_maxsim_index", "q_ann_filtered_graph",
     // r15 additions: the delete life cycle (tombstone-masked walk;
     // delete -> compact with hole-repair descent; token-index survivor
-    // mask) — each charges a build + delete + probe chain per query.
-    "q_ann_graph_delete", "q_ann_graph_compact", "q_maxsim_delete")
+    // mask) — each charges a build + delete + probe chain per query —
+    // and the persisted IVF-PQ artifact round trip (fit + encode +
+    // write + ADC probe + rerank).
+    "q_ann_graph_delete", "q_ann_graph_compact", "q_maxsim_delete",
+    "q_ann_ivfpq_persist")
 
   /** The skew-rehearsal set: the queries whose scale story depends on a
     * HOT KEY surviving — as-of auto-routing, per-group rank windows,

@@ -104,6 +104,21 @@ object Pq {
       model, k)
   }
 
+  /** [[adcTopKWithin]] for candidate pairs that ALREADY CARRY their
+    * pq_code — the persisted-index seam ([[graft.ops.PqIndex]]): the
+    * routed candidate join read the codes off the same
+    * partition-pruned scan, so re-joining the full code table would be
+    * a second (unpruned) pass for rows the caller is holding.
+    */
+  def adcTopKOnCoded(probes: DataFrame, codedPairs: DataFrame,
+      idCol: String, vecCol: String, model: PqModel, k: Int): DataFrame = {
+    val p = probeTables(probes, idCol, vecCol, model)
+    rankAdc(codedPairs
+      .select(col("query_id"), col("neighbor_id"), col("pq_code"))
+      .join(broadcast(p), Seq("query_id")),
+      model, k)
+  }
+
   /** Per-probe m×k distance tables: (query_id, __tab). */
   private def probeTables(probes: DataFrame, idCol: String, vecCol: String,
       model: PqModel): DataFrame = {

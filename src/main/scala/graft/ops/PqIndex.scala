@@ -91,21 +91,35 @@ object PqIndex {
       .select(col("centroid_id").as("__cid"), col("centroid").as("__cv"),
         col("cnorm").as("__cn"))
     val stored = spark.read.parquet(s"$path/$live/lists")
-    // Candidate routing projects only ids (Catalyst prunes the vec
-    // column out of this scan — the __nv/__nn the shared stage attaches
-    // are dropped by the select, so the parquet read stays slim).
+    // The pq_code column RIDES the routed candidate join (extra columns
+    // on the lists frame survive ivfCandidates): the ADC stage scores
+    // codes read off this same partition-pruned scan instead of
+    // re-joining the full code table — at corpus scale the probe's only
+    // scans are the probed cells. Catalyst prunes __nv/__nn back out of
+    // the parquet read (the select below drops them), so the scan stays
+    // (neighbor_id, pq_code)-slim.
     val lists = stored.select(col("list").as("__list"),
-      col("neighbor_id"), col("vec").as("__nv"), col("vnorm").as("__nn"))
-    val pairs = Similarity.ivfCandidates(probes, idCol, vecCol, cent,
+      col("neighbor_id"), col("pq_code"),
+      col("vec").as("__nv"), col("vnorm").as("__nn"))
+    val coded = Similarity.ivfCandidates(probes, idCol, vecCol, cent,
         lists, nprobe)
-      .select(col("query_id"), col("neighbor_id"))
-    val codes = stored.select(col("neighbor_id").as(idCol), col("pq_code"))
-    val corpusV = stored.select(col("neighbor_id").as(idCol),
-      col("vec").as(vecCol))
-    Pq.exactRerank(
-      Pq.adcTopKWithin(probes, codes, pairs, idCol, vecCol, model,
-        candidateK),
-      probes, corpusV, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"), col("pq_code"))
+    val adc = Pq.adcTopKOnCoded(probes, coded, idCol, vecCol, model,
+      candidateK)
+    // Exact rerank reads the vec column ONLY from the probed cells: the
+    // semi-join on the bare partition attribute prunes the vector scan
+    // to the ROUTED lists (candidates live there by construction; the
+    // prune set comes from probeRouting — the identical routing, no
+    // corpus-side re-execution), then the shared rerank joins the
+    // ≤ |probes|·candidateK rows.
+    val routedLists = Similarity.probeRouting(probes, idCol, vecCol,
+        cent, nprobe)
+      .select(col("__list").as("list")).distinct()
+    val corpusV = stored.select(col("list"), col("neighbor_id"),
+        col("vec"))
+      .join(broadcast(routedLists), Seq("list"), "left_semi")
+      .select(col("neighbor_id").as(idCol), col("vec").as(vecCol))
+    Pq.exactRerank(adc, probes, corpusV, idCol, vecCol, k)
   }
 
   // ------------------------------------------------------------- model

@@ -393,23 +393,45 @@ object Similarity {
     * with both sides' vectors/norms attached — the scoring policy
     * (exact cosine, ADC codes, …) is the caller's.
     */
-  private[ops] def ivfCandidates(
+  /** The probe-routing half of [[ivfCandidates]] alone: each probe's
+    * `nprobe` nearest cells — (__list, query_id, __qv, __qn). Exposed
+    * separately so a persisted index ([[PqIndex]]) can derive its
+    * partition-prune set from the IDENTICAL routing (same tie-break)
+    * without re-executing the corpus-side candidate join.
+    */
+  private[ops] def probeRouting(
       probes: DataFrame, idCol: String, vecCol: String,
-      cent: DataFrame, lists: DataFrame, nprobe: Int): DataFrame = {
+      cent: DataFrame, nprobe: Int): DataFrame = {
     val p = probes.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
         norm(col(vecCol)).as("__qn"))
     val wP = Window.partitionBy("query_id")
       .orderBy(col("__acos").desc, col("__cid").asc)
-    val probeLists = p.crossJoin(broadcast(cent))
-      .withColumn("__acos",
-        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    // Route on a SLIM projection: the |probes|·nlist rows entering the
+    // top-nprobe window carry (query_id, cid, score) — 24 bytes — and
+    // the probe VECTOR re-joins after the cut. Leaving __qv on the
+    // window input drags dims·8 bytes per scored pair through the
+    // routing shuffle and the per-probe sort buffers: at nlist ∝ √n and
+    // a probe set scaling with the corpus that is the first allocation
+    // to die (measured: the 100× PQ rehearsal OOM'd an 8 GB heap on
+    // exactly this window before the slimming).
+    val routed = p.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("__cid"),
+        (dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+          .as("__acos"))
       .withColumn("__r", row_number().over(wP)).filter(col("__r") <= nprobe)
-      .select(col("__cid").as("__list"), col("query_id"), col("__qv"), col("__qn"))
-    // Each corpus row lives in exactly one list → no cross-list dupes.
-    probeLists.join(lists, Seq("__list"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("__cid").as("__list"), col("query_id"))
+    routed.join(p, Seq("query_id"))
+      .select(col("__list"), col("query_id"), col("__qv"), col("__qn"))
   }
+
+  private[ops] def ivfCandidates(
+      probes: DataFrame, idCol: String, vecCol: String,
+      cent: DataFrame, lists: DataFrame, nprobe: Int): DataFrame =
+    // Each corpus row lives in exactly one list → no cross-list dupes.
+    probeRouting(probes, idCol, vecCol, cent, nprobe)
+      .join(lists, Seq("__list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
 
   /** IVF-PQ retrieval — the FAISS IVFPQ serving shape, composed from
     * this file's coarse quantizer and [[graft.ml.Pq]]'s compressed
@@ -436,10 +458,17 @@ object Similarity {
     */
   def ivfPqTopK(probes: DataFrame, corpus: DataFrame, codes: DataFrame,
       idCol: String, vecCol: String, model: graft.ml.Pq.PqModel, k: Int,
-      candidateK: Int, centroidMod: Int = 25, nprobe: Int = 4): DataFrame = {
+      candidateK: Int, centroidMod: Int = 25, nprobe: Int = 4,
+      centroidCap: Long = Long.MaxValue): DataFrame = {
     require(candidateK >= k, "candidateK must be >= k")
+    // centroidCap is the ivfTopK nlist∝n guard (the r13 lesson, caught
+    // again here by the 100× PQ rehearsal): a pure id-mod sample grows
+    // nlist with the corpus, and |probes|·nlist routing plus n·nlist
+    // assignment both go quadratic. Cap the sampled id range so nlist
+    // saturates; production callers should pass a learned √n codebook.
     val centRaw = corpus.filter(col(vecCol).isNotNull)
-      .filter(pmod(col(idCol), lit(centroidMod)) === 0)
+      .filter(pmod(col(idCol), lit(centroidMod)) === 0 &&
+        col(idCol) < centroidCap)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid"))
     val cent = centFrame(centRaw, "centroid_id", "centroid")
     val lists = invertedLists(corpus, idCol, vecCol, cent)

@@ -137,7 +137,7 @@ object MlQueries extends QueryGroup {
         emb.filter(col("vec_id") % 50 === 0), emb,
         Pq.encode(emb, "vec_id", "embedding", model),
         "vec_id", "embedding", model, k = 5, candidateK = 20,
-        centroidMod = 25, nprobe = 3)
+        centroidMod = 25, nprobe = 3, centroidCap = 12500L)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           (round(col("cos"), 4) + lit(0.0)).as("cos"))
     }),
@@ -153,7 +153,8 @@ object MlQueries extends QueryGroup {
       val model = Pq.fit(emb, "vec_id", "embedding",
         dims = 64, m = 4, k = 4, iterations = 2)
       val cent = emb.filter(col("embedding").isNotNull)
-        .filter(pmod(col("vec_id"), lit(25)) === 0)
+        .filter(pmod(col("vec_id"), lit(25)) === 0 &&
+          col("vec_id") < 12500)
         .select(col("vec_id").as("centroid_id"),
           col("embedding").as("centroid"))
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_pqidx_" +
@@ -701,7 +702,7 @@ object MlQueries extends QueryGroup {
       extraCtes =
         """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
           |     WHERE embedding IS NOT NULL),
-          |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0),
+          |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0 AND vec_id < 12500),
           |assign AS (
           |  SELECT a.vec_id, c.cid,
           |    row_number() OVER (PARTITION BY a.vec_id

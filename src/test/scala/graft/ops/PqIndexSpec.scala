@@ -67,6 +67,38 @@ class PqIndexSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("probe plan shape: codes ride the routed scan (no unpruned " +
+    "code-table re-join), list keys stay cast-free for pruning") {
+    val c = corpus(96)
+    val model = Pq.fit(c, "vec_id", "embedding", dims = 16, m = 4,
+      k = 4, iterations = 2)
+    val cent = c.filter(pmod(col("vec_id"), lit(12)) === 0)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("centroid"))
+    val path = Files.createTempDirectory("pq_idx_plan").toString
+    PqIndex.write(spark, path, c, "vec_id", "embedding", cent, model)
+    val df = PqIndex.topK(spark, path, c.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 3, candidateK = 12, nprobe = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    val listScans = plan.split('\n')
+      .filter(l => l.contains("FileScan") && l.contains("lists"))
+    assert(listScans.nonEmpty, plan)
+    // Both list scans carry a LIVE dynamic-partition-pruning filter —
+    // stronger than the cast-free eligibility check: the probe's code
+    // scan AND the rerank's vector scan each read only probed cells.
+    val pruned = listScans.filter(_.contains("dynamicpruningexpression"))
+    assert(pruned.size >= 2, listScans.mkString("\n"))
+    // The ADC stage's scan projects codes WITHOUT the vector column —
+    // the bandwidth story of the one-tree columnar layout.
+    assert(listScans.exists(l =>
+      l.contains("pq_code:") && !l.contains("vec:")),
+      listScans.mkString("\n"))
+    // And the rerank's vector scan never drags the codes back in.
+    assert(listScans.exists(l =>
+      l.contains("vec:") && !l.contains("pq_code:")),
+      listScans.mkString("\n"))
+  }
+
   test("a torn generation stays invisible; a committed rebuild retires it") {
     val c = corpus(48)
     val model = Pq.fit(c, "vec_id", "embedding", dims = 16, m = 2,
