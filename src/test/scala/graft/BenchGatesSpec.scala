@@ -44,6 +44,46 @@ class BenchGatesSpec extends AnyFunSuite {
     assert(Bench.isolationOutliers(cur, prev, contended = false).isEmpty)
   }
 
+  test("the r15 gap: a front-loaded burst isolates exactly the queries " +
+    "that ran under it, at a flat median and quiet suite triggers") {
+    // The graded-r15 shape: co-tenant load landed on the first block
+    // (window loads ~4.5 decaying), the rest of the run quiet at
+    // self-load ~2.0; suite median flat, loadavg far below the worker
+    // count — both suite-wide triggers blind. Only the early inflated
+    // queries must isolate; the late slow one ran in a QUIET window and
+    // stays the creep gates' business.
+    val prev = snap("a" -> 2.0, "b" -> 2.0, "c" -> 1.0, "d" -> 1.0,
+      "e" -> 1.0, "f" -> 1.0, "g" -> 1.0, "h" -> 1.0, "late" -> 1.0)
+    val cur = run("a" -> 6.0, "b" -> 4.0, "c" -> 1.0, "d" -> 1.0,
+      "e" -> 1.0, "f" -> 1.0, "g" -> 1.0, "h" -> 1.0, "late" -> 2.0)
+    val loads = Map("a" -> 4.5, "b" -> 3.8, "c" -> 2.2, "d" -> 2.1,
+      "e" -> 2.0, "f" -> 2.0, "g" -> 2.1, "h" -> 2.0, "late" -> 2.0)
+    val out = Bench.isolationOutliers(cur, prev, contended = false, loads)
+    assert(out.map(_._1) == Seq("a", "b"), out)
+  }
+
+  test("self-load is not contention: the floor tracks the run's own " +
+    "sustained load, so a slow query in a typical window stays quiet") {
+    // All windows at the bench's own steady-state ~2.0-2.4 (the
+    // committed clean run ends there): floor ~2.0 → cut 3.0, and a
+    // regressed query whose window load is just self-load must NOT be
+    // attributed to a co-tenant.
+    val prev = snap("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "kmv" -> 5.0)
+    val cur = run("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "kmv" -> 12.5)
+    val loads = Map("a" -> 2.0, "b" -> 2.1, "c" -> 2.3, "kmv" -> 2.4)
+    assert(Bench.isolationOutliers(cur, prev, contended = false, loads)
+      .isEmpty)
+  }
+
+  test("no load samples means the per-query trigger cannot fire " +
+    "(suite-wide triggers still govern)") {
+    val prev = snap("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "kmv" -> 5.0)
+    val cur = run("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "kmv" -> 12.5)
+    assert(Bench.isolationOutliers(cur, prev, contended = false).isEmpty)
+    assert(Bench.isolationOutliers(cur, prev, contended = true)
+      .map(_._1) == Seq("kmv"))
+  }
+
   test("small bases never isolate; runaway cap, worst-first") {
     val n = Bench.isolationCap + 7
     val prev = snap((1 to n).map(i => s"q$i" -> 1.0) :+ ("tiny" -> 0.1): _*)
