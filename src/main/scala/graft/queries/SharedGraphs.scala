@@ -31,32 +31,48 @@ import org.apache.spark.sql.SparkSession
   */
 private[queries] object SharedGraphs {
 
-  private val built = scala.collection.mutable.Map.empty[String, String]
-  private var hooked = false
+  /** Completed shared trees, for the shutdown hook (only paths whose
+    * build SUCCEEDED — a failed build cleans nothing it didn't make).
+    */
+  private val built =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** One memoizing cell per key: the `lazy val` serializes concurrent
+    * callers OF THE SAME KEY on the cell's own monitor (and retries
+    * after a failed build — an un-thrown lazy stays unevaluated), while
+    * DIFFERENT keys hold different monitors, so two unrelated shared
+    * builds run concurrently instead of queueing on one object lock.
+    */
+  private final class Cell(build: () => String) {
+    lazy val path: String = build()
+  }
+
+  private val cells =
+    new java.util.concurrent.ConcurrentHashMap[String, Cell]()
+
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    built.forEach { p =>
+      try graft.ops.LocalFs.deleteRecursively(new java.io.File(p))
+      catch { case _: Exception => () }
+    }))
 
   /** Resolve (building on first touch) the shared tree `name` for the
     * given sf dir. `build` receives the tree path and must leave a
     * committed artifact under it; it runs at most once per process per
-    * (app, dir, name).
+    * (app, dir, name), and concurrent `ensure` calls for DIFFERENT keys
+    * build in parallel (spec-gated).
     */
   def ensure(s: SparkSession, dir: String, name: String)(
-      build: String => Unit): String = synchronized {
+      build: String => Unit): String = {
     val appId = s.sparkContext.applicationId
     val key = s"$appId:$dir:$name"
-    built.getOrElse(key, {
+    val cell = cells.computeIfAbsent(key, _ => new Cell(() => {
       val path = s"${System.getProperty("java.io.tmpdir")}/" +
         s"graft_gidx_shared_${name}_${new java.io.File(dir).getName}_$appId"
       build(path)
-      built(key) = path
-      if (!hooked) {
-        hooked = true
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          built.values.foreach { p =>
-            try graft.ops.LocalFs.deleteRecursively(new java.io.File(p))
-            catch { case _: Exception => () }
-          }))
-      }
+      built.add(path)
       path
-    })
+    }))
+    cell.path
   }
 }

@@ -37,4 +37,46 @@ class SharedGraphsSpec extends AnyFunSuite with SparkTestBase {
     Seq(p1, p3, p4).foreach(p =>
       graft.ops.LocalFs.deleteRecursively(new java.io.File(p)))
   }
+
+  test("distinct keys build CONCURRENTLY (per-key locks, not one " +
+    "object lock) while one key still builds exactly once") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    // Each build blocks until the OTHER build has entered: under one
+    // object-wide lock this deadlocks (the spec would time out); under
+    // per-key locks both enter and release each other.
+    val inA = new CountDownLatch(1)
+    val inB = new CountDownLatch(1)
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def mk(mine: CountDownLatch, other: CountDownLatch)(p: String): Unit = {
+      builds.incrementAndGet()
+      mine.countDown()
+      assert(other.await(30, TimeUnit.SECONDS),
+        "peer build never entered — shared builds are serialized")
+      new java.io.File(p).mkdirs()
+    }
+    val paths = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ta = new Thread(() => paths.add(
+      SharedGraphs.ensure(spark, "/data/sfC", "specconc_a")(
+        mk(inA, inB))))
+    val tb = new Thread(() => paths.add(
+      SharedGraphs.ensure(spark, "/data/sfC", "specconc_b")(
+        mk(inB, inA))))
+    ta.start(); tb.start()
+    ta.join(60000); tb.join(60000)
+    assert(!ta.isAlive && !tb.isAlive, "concurrent ensure deadlocked")
+    assert(builds.get() == 2 && paths.size() == 2)
+    // Same key again, from two racing threads: still exactly one build.
+    val more = new java.util.concurrent.atomic.AtomicInteger(0)
+    def once(p: String): Unit = { more.incrementAndGet();
+      new java.io.File(p).mkdirs() }
+    val rs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ts = (1 to 4).map(_ => new Thread(() => rs.add(
+      SharedGraphs.ensure(spark, "/data/sfC", "specconc_same")(once))))
+    ts.foreach(_.start()); ts.foreach(_.join(60000))
+    assert(more.get() == 1, s"same-key build ran ${more.get()} times")
+    assert(rs.size() == 4 && new java.util.HashSet(rs).size() == 1)
+    (paths.toArray(Array.empty[String]) ++
+      rs.toArray(Array.empty[String]).take(1))
+      .foreach(p => graft.ops.LocalFs.deleteRecursively(new java.io.File(p)))
+  }
 }
