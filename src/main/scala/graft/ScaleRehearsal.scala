@@ -68,7 +68,12 @@ object ScaleRehearsal {
     // and the persisted IVF-PQ artifact round trip (fit + encode +
     // write + ADC probe + rerank).
     "q_ann_graph_delete", "q_ann_graph_compact", "q_maxsim_delete",
-    "q_ann_ivfpq_persist")
+    "q_ann_ivfpq_persist",
+    // r16 addition: the PQ delete (branch + mask + ADC probe) — the
+    // shared builds these consumers resolve now get their own
+    // `build:<tree>` rows (sharedBuildsOf), so every consumer row is
+    // probe-vs-probe.
+    "q_ann_ivfpq_delete")
 
   /** The skew-rehearsal set: the queries whose scale story depends on a
     * HOT KEY surviving — as-of auto-routing, per-group rank windows,
@@ -348,8 +353,14 @@ object ScaleRehearsal {
       }
       pose.select(col("doc_id"), col("pos"), tv.as("tv"))
     }
+    // appId in every graft_tsk_ path, like the other swept families:
+    // the stale-tmp sweep's live-app guard is contains(liveAppId), so an
+    // appId-free fixture is deletable by a CONCURRENT app's sweep once
+    // past the mtime cutoff — and two simultaneous rehearsals would
+    // collide on identical paths.
+    val tskApp = spark.sparkContext.applicationId
     def mat(size: Long, shape: String): DataFrame = {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft_tsk_${size}_$shape"
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_tsk_${size}_${shape}_$tskApp"
       toks(size, shape).write.mode("overwrite").parquet(p)
       spark.read.parquet(p)
     }
@@ -358,7 +369,7 @@ object ScaleRehearsal {
         "doc_id", "pos", "tv", k = 10, dims = 16, tokenK = 8,
         numPlanes = 8, tables = 2).count(): Unit
     def idxOnce(df: DataFrame, tag: String): (Double, Double) = {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft_tsk_idx_$tag"
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_tsk_idx_${tag}_$tskApp"
       try {
         val tw = time(graft.ops.MaxSimIndex.write(spark, p, df,
           "doc_id", "pos", "tv", dims = 16, numPlanes = 8, tables = 2))
@@ -366,8 +377,7 @@ object ScaleRehearsal {
           df.filter(col("doc_id") < 50), "doc_id", "pos", "tv",
           k = 10, tokenK = 8).count(): Unit)
         (tw, tp)
-      } finally graft.ops.LocalFs.deleteRecursively(new java.io.File(
-        s"${System.getProperty("java.io.tmpdir")}/graft_tsk_idx_$tag"))
+      } finally graft.ops.LocalFs.deleteRecursively(new java.io.File(p))
     }
     val shapes = Seq("uniform", "hot-token")
     val frames = (for (s <- shapes; sz <- Seq(m, m * f))
@@ -388,7 +398,7 @@ object ScaleRehearsal {
     println(s"""{"metric":"token_skew","m":$m,"factor":$f}""")
     for (s <- shapes; sz <- Seq(m, m * f))
       graft.ops.LocalFs.deleteRecursively(new java.io.File(
-        s"${System.getProperty("java.io.tmpdir")}/graft_tsk_${sz}_$s"))
+        s"${System.getProperty("java.io.tmpdir")}/graft_tsk_${sz}_${s}_$tskApp"))
   }
 
   // ------------------------------------------------------------- graph-skew
@@ -626,6 +636,27 @@ object ScaleRehearsal {
     }
   }
 
+  /** Which SHARED persisted trees each consumer query resolves (the
+    * SharedGraphs families) — the rehearsal pre-charges these as
+    * explicit `build:<name>` rows so no consumer's continuity ratio
+    * carries a one-off build it happens to touch first (the r15 table
+    * needed a READING NOTE to explain "q_nndescent 106.64"; this keeps
+    * every row probe-vs-probe and gives each build its own honest
+    * exponent).
+    */
+  private val sharedBuildsOf: Map[String, Seq[String]] = Map(
+    "q_nndescent" -> Seq("boosted"),
+    "q_ann_graph_topk" -> Seq("boosted"),
+    "q_ann_filtered_graph" -> Seq("boosted"),
+    "q_ann_graph_persist" -> Seq("boosted"),
+    "q_semdedup_nnd" -> Seq("boosted_even"),
+    "q_ann_graph_delete" -> Seq("boosted_even"),
+    "q_ann_graph_compact" -> Seq("boosted_even"),
+    "q_ann_ivf_persist" -> Seq("ivf_m50"),
+    "q_ann_ivf_delete" -> Seq("ivf_m50"),
+    "q_ann_ivfpq_persist" -> Seq("pq_m25"),
+    "q_ann_ivfpq_delete" -> Seq("pq_m25"))
+
   def run(spark: SparkSession, base: String, big: String, f: Int,
       names: Seq[String], routeCheck: Boolean = false): Unit = {
     val missing = names.filterNot(SparkEntry.queries.contains)
@@ -636,7 +667,20 @@ object ScaleRehearsal {
     // up so the ratios are honest.
     spark.read.parquet(s"$base/region.parquet").count()
     SparkEntry.queries("q_filter_count")(spark, base).count()
-    val rows = names.map { name =>
+    // Pre-charge the shared builds the selected set will touch, one
+    // explicit row per (tree): the consumers below then time as pure
+    // probes (build-once/probe-many is the artifact's own contract).
+    val builders = graft.queries.SimilarityQueries.sharedBuilders ++
+      graft.queries.MlQueries.sharedBuilders
+    val buildRows = names.flatMap(sharedBuildsOf.getOrElse(_, Nil))
+      .distinct.map { b =>
+        val tBase = time(builders(b)(spark, base): Unit)
+        val tBig = time(builders(b)(spark, big): Unit)
+        val ratio = tBig / tBase
+        println(f"""{"query":"build:$b","t_base":$tBase%.3f,"t_big":$tBig%.3f,"ratio":$ratio%.2f}""")
+        (s"build:$b", tBase, tBig, ratio)
+      }
+    val rows = buildRows ++ names.map { name =>
       val fn = SparkEntry.queries(name)
       // min of 2 at base (short runs, relatively noisier); 1 at big.
       val tBase = math.min(time(fn(spark, base).count()),

@@ -87,6 +87,16 @@ object GraphIndex {
   def liveVersion(spark: SparkSession, path: String): String =
     versions.liveVersion(spark, path)
 
+  /** Snapshot `srcPath`'s live generation (nodes + edges + pending
+    * tombstones) into `dstPath` as an independent single-writer tree —
+    * hard-linked when local, so branching a serving graph for an
+    * experiment/tenant (or a mutation that must not touch the shared
+    * base) is metadata work, not a rebuild. See [[VersionedTree.branch]]
+    * for the torn-branch and immutability contracts.
+    */
+  def branch(spark: SparkSession, srcPath: String, dstPath: String): Unit =
+    versions.branch(spark, srcPath, dstPath): Unit
+
   private def rawNodes(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/${liveVersion(spark, path)}/nodes")
 
@@ -192,9 +202,15 @@ object GraphIndex {
       rounds: Int, maxDegree: Int = 0, beam: Int = 0, entries: Int = 8,
       overlay: Int = 2, simPrecision: Int = -1): Unit = {
     val deg = if (maxDegree > 0) maxDegree else 4 * k
+    // A zero-row tombstone file never lands today (delete only writes
+    // non-empty batches), but discarding an eagerly-checkpointed empty
+    // frame without releasing it would leak its checkpoint blocks — so
+    // release on the empty branch before dropping the reference.
     val tomb = tombstonesOpt(spark, path)
       .map(_.distinct().localCheckpoint(eager = true))
-      .filter(!_.isEmpty)
+      .flatMap { t =>
+        if (t.isEmpty) { Checkpoints.release(t); None } else Some(t)
+      }
     val stored = nodes(spark, path).localCheckpoint(eager = false)
     val adds = batch.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))

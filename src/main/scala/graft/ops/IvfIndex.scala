@@ -106,6 +106,35 @@ object IvfIndex {
       .foreach(p => fs.delete(p, true))
   }
 
+  /** Snapshot `srcPath`'s live state into `dstPath` as an independent
+    * single-writer tree — hard-linked when local ([[TreeClone]]), so
+    * branching a serving index (experiment/tenant snapshot, or a
+    * mutation that must not touch a shared base) is metadata work.
+    *
+    * Layout-aware clone order, commit-marker LAST: centroids, then the
+    * live list tree WITHOUT its `_SUCCESS`, then that tree's pending
+    * tombstones (a branch sees exactly the source readers' state), and
+    * only then the `_SUCCESS` marker — so a torn branch leaves `dstPath`
+    * unresolvable instead of half-committed. The live tree keeps its
+    * VERSION NAME in the branch because tombstone dirs are keyed to it
+    * (`tombstones_lists_v{n}`).
+    */
+  def branch(spark: SparkSession, srcPath: String, dstPath: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(srcPath).getFileSystem(conf)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val live = liveLists(spark, srcPath)
+    TreeClone.linkOrCopy(fs, p(s"$srcPath/centroids"),
+      p(s"$dstPath/centroids"), conf)
+    TreeClone.linkOrCopy(fs, p(s"$srcPath/$live"), p(s"$dstPath/$live"),
+      conf, skip = Set("_SUCCESS"))
+    Seq(s"tombstones_$live", "tombstones").foreach { t =>
+      if (fs.exists(p(s"$srcPath/$t")))
+        TreeClone.linkOrCopy(fs, p(s"$srcPath/$t"), p(s"$dstPath/$t"), conf)
+    }
+    fs.create(p(s"$dstPath/$live/_SUCCESS")).close()
+  }
+
   /** Highest existing `lists_v{n}` suffix under `root`, committed OR
     * not — new writers must number past uncommitted leftovers from a
     * crashed rebuild/compaction so they never collide with or get

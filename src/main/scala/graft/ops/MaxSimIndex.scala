@@ -142,9 +142,16 @@ object MaxSimIndex {
   private def readToks(spark: SparkSession, toksPath: String): DataFrame =
     try spark.read.parquet(toksPath)
     catch {
+      // Match on the ERROR CLASS, not the message text: the condition
+      // name is the stable cross-version/locale contract
+      // (SparkThrowable.getCondition — UNABLE_TO_INFER_SCHEMA), while
+      // the message wording is free to change. The message substring
+      // stays only as a fallback for classless legacy exceptions.
       case e: org.apache.spark.sql.AnalysisException
-          if Option(e.getMessage).exists(m =>
-            m.toUpperCase.contains("INFER")) =>
+          if Option(e.getCondition)
+            .map(_.startsWith("UNABLE_TO_INFER_SCHEMA"))
+            .getOrElse(Option(e.getMessage).exists(m =>
+              m.toUpperCase.contains("INFER"))) =>
         import org.apache.spark.sql.types._
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -240,9 +247,14 @@ object MaxSimIndex {
   def compact(spark: SparkSession, path: String): Unit = {
     val live = liveVersion(spark, path)
     val m = readMeta(spark, s"$path/$live")
+    // Release the checkpoint before dropping an empty frame (a zero-row
+    // tombstone file never lands today, but a silent leak is worse than
+    // the branch).
     val tomb = tombstonesOpt(spark, s"$path/$live")
       .map(_.distinct().localCheckpoint(eager = true))
-      .filter(!_.isEmpty)
+      .flatMap { t =>
+        if (t.isEmpty) { Checkpoints.release(t); None } else Some(t)
+      }
     if (tomb.isEmpty) return
     versions.commitNext(spark, path) { gen =>
       readToks(spark, s"$path/$live/toks")

@@ -39,11 +39,30 @@ import graft.ml.Pq.PqModel
   * result (`q_ann_ivfpq_persist` shares `q_ivf_pq_topk`'s oracle
   * verbatim, the q_ann_ivf_persist stance).
   *
-  * Updates: rebuild. A PQ artifact is refit-coupled — appending
-  * vectors under a stale codebook silently degrades codes, and the
-  * coarse cells shift with the corpus; the honest incremental story at
-  * this layer is [[IvfIndex]] (flat vectors, stored-codebook append +
-  * tombstones). Single-writer, like every index here.
+  * APPENDS: rebuild. A PQ artifact is refit-coupled on the way IN —
+  * appending vectors under a stale codebook silently degrades codes,
+  * and the coarse cells shift with the corpus; the honest incremental
+  * story for adds at this layer is [[IvfIndex]] (flat vectors,
+  * stored-codebook append + tombstones).
+  *
+  * DELETES need no refit — removing rows leaves every stored code and
+  * both codebooks exactly valid — so the [[MaxSimIndex]] pure-mask
+  * pattern completes the life cycle here too: [[delete]] appends doc
+  * ids under the live generation (`pq_v{n}/tombstones/`, only
+  * currently-stored ids land, so a replayed delete appends nothing),
+  * [[topK]] anti-joins them out of the routed candidate stream BEFORE
+  * the ADC candidateK cut (the rerank only sees ADC survivors, so one
+  * mask covers both stages and the DPP-pruned scans stay untouched) —
+  * making a tombstoned probe EXACTLY equal a probe of a from-scratch
+  * build over
+  * the survivors UNDER THE SAME codebooks (`q_ann_ivfpq_delete` gates
+  * that equality by oracle) — and [[compact]] folds the mask into a
+  * rewritten generation whose centroids and model are CLONED, not
+  * refit (re-quantizing on a delete would silently move every
+  * surviving code). Until a rebuild, a deleted id is terminal — there
+  * is no append to resurrect it through.
+  *
+  * Single-writer, like every index here.
   */
 object PqIndex {
 
@@ -51,6 +70,13 @@ object PqIndex {
 
   def liveVersion(spark: SparkSession, path: String): String =
     versions.liveVersion(spark, path)
+
+  /** Snapshot `srcPath`'s live generation (centroids + lists + model +
+    * pending tombstones) into `dstPath` as an independent single-writer
+    * tree — hard-linked when local ([[VersionedTree.branch]]).
+    */
+  def branch(spark: SparkSession, srcPath: String, dstPath: String): Unit =
+    versions.branch(spark, srcPath, dstPath): Unit
 
   /** Build + commit a generation. `centroids` is the coarse codebook as
     * (centroid_id, centroid) — pass the same frame the inline path
@@ -78,8 +104,84 @@ object PqIndex {
     }: Unit
   }
 
+  /** Live tombstoned doc ids under a generation dir, None when never
+    * written. Tiny by the compaction-bounded assumption — broadcast.
+    */
+  private def tombstonesOpt(spark: SparkSession,
+      gen: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$gen/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.parquet(s"$gen/tombstones").select(col("neighbor_id")))
+    else None
+  }
+
+  /** Tombstone a batch of stored ids (see the object doc). Replay-safe:
+    * only currently-stored, not-yet-tombstoned ids land, so a
+    * redelivered delete (or a delete of a never-stored id) appends
+    * nothing. The presence check is one slim neighbor_id-column scan
+    * with the batch side broadcast — batch-bounded, never a shuffle of
+    * the index.
+    */
+  def delete(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String): Unit = {
+    val live = liveVersion(spark, path)
+    val batch0 = ids.select(col(idCol).cast("long").as("neighbor_id"))
+      .distinct()
+    val batch = (tombstonesOpt(spark, s"$path/$live") match {
+      case None => batch0
+      case Some(t) =>
+        batch0.join(broadcast(t.distinct()), Seq("neighbor_id"),
+          "left_anti")
+    }).localCheckpoint(eager = true)
+    val present = spark.read.parquet(s"$path/$live/lists")
+      .select(col("neighbor_id")).distinct()
+      .join(broadcast(batch), Seq("neighbor_id"), "left_semi")
+      .localCheckpoint(eager = true)
+    if (!present.isEmpty)
+      present.coalesce(1).write.mode("append")
+        .parquet(s"$path/$live/tombstones")
+    Checkpoints.release(batch)
+    Checkpoints.release(present)
+  }
+
+  /** Fold pending tombstones into a rewritten committed generation:
+    * survivor lists are rewritten (one writer per cell, like [[write]]),
+    * while the centroids and the PQ model are CLONED from the live
+    * generation — deletes must not move surviving codes (see the object
+    * doc). No-op when nothing is tombstoned.
+    */
+  def compact(spark: SparkSession, path: String,
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    val live = liveVersion(spark, path)
+    val tomb = tombstonesOpt(spark, s"$path/$live")
+      .map(_.distinct().localCheckpoint(eager = true))
+      .flatMap { t =>
+        if (t.isEmpty) { Checkpoints.release(t); None } else Some(t)
+      }
+    if (tomb.isEmpty) return
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    versions.commitNext(spark, path) { gen =>
+      spark.read.parquet(s"$path/$live/lists")
+        .join(broadcast(tomb.get), Seq("neighbor_id"), "left_anti")
+        .repartition(col("list"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .partitionBy("list").parquet(s"$gen/lists")
+      Seq("centroids", "model").foreach(t =>
+        TreeClone.linkOrCopy(fs,
+          new org.apache.hadoop.fs.Path(s"$path/$live/$t"),
+          new org.apache.hadoop.fs.Path(s"$gen/$t"), conf))
+    }
+    tomb.foreach(Checkpoints.release)
+  }
+
   /** Probe the stored index — result-identical to
-    * [[Similarity.ivfPqTopK]] over the same corpus/centroids/model.
+    * [[Similarity.ivfPqTopK]] over the same corpus/centroids/model
+    * (tombstoned ids masked out of the candidate stream BEFORE the ADC
+    * candidateK cut, so a post-delete probe equals a survivors-only
+    * build under the same codebooks).
     */
   def topK(spark: SparkSession, path: String, probes: DataFrame,
       idCol: String, vecCol: String, k: Int, candidateK: Int,
@@ -91,6 +193,7 @@ object PqIndex {
       .select(col("centroid_id").as("__cid"), col("centroid").as("__cv"),
         col("cnorm").as("__cn"))
     val stored = spark.read.parquet(s"$path/$live/lists")
+    val tomb = tombstonesOpt(spark, s"$path/$live")
     // The pq_code column RIDES the routed candidate join (extra columns
     // on the lists frame survive ivfCandidates): the ADC stage scores
     // codes read off this same partition-pruned scan instead of
@@ -101,9 +204,21 @@ object PqIndex {
     val lists = stored.select(col("list").as("__list"),
       col("neighbor_id"), col("pq_code"),
       col("vec").as("__nv"), col("vnorm").as("__nn"))
-    val coded = Similarity.ivfCandidates(probes, idCol, vecCol, cent,
+    val codedRaw = Similarity.ivfCandidates(probes, idCol, vecCol, cent,
         lists, nprobe)
       .select(col("query_id"), col("neighbor_id"), col("pq_code"))
+    // Tombstone mask lands on the ROUTED candidate stream, not the
+    // parquet scan: masking before the ADC candidateK cut is what makes
+    // a post-delete probe equal a survivors-only build, and keeping the
+    // scan untouched preserves its dynamic partition pruning (the
+    // plan-shape contract PqIndexSpec pins). The rerank below only sees
+    // ADC survivors, so the mask here covers it too.
+    val coded = tomb match {
+      case None => codedRaw
+      case Some(t) =>
+        codedRaw.join(broadcast(t.distinct()), Seq("neighbor_id"),
+          "left_anti")
+    }
     val adc = Pq.adcTopKOnCoded(probes, coded, idCol, vecCol, model,
       candidateK)
     // Exact rerank reads the vec column ONLY from the probed cells: the

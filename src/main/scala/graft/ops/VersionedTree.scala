@@ -2,6 +2,52 @@ package graft.ops
 
 import org.apache.spark.sql.SparkSession
 
+/** Recursive tree clone for index-generation BRANCHING: hard-links
+  * files when source and destination live on the local filesystem and
+  * falls back to a byte copy otherwise (object stores, cross-device) —
+  * a branch of a serving index must be metadata work, never a data
+  * rewrite, or snapshotting a 100 TB tree costs a 100 TB write.
+  *
+  * Safe to share inodes BECAUSE every index writer here is
+  * append-or-new-file only: appends land new part files, deletes land
+  * new tombstone files, rebuilds land new generation DIRECTORIES, and
+  * superseded generations are deleted by UNLINK (the branch's links
+  * keep the shared bytes alive). Nothing ever modifies a committed
+  * file in place — the immutability contract all of parquet-on-Spark
+  * already assumes.
+  */
+private[ops] object TreeClone {
+
+  /** Clone `from` into `to` (created), skipping files named `skip`
+    * (commit markers — the CALLER re-creates them last, so a torn clone
+    * can never look committed).
+    */
+  def linkOrCopy(fs: org.apache.hadoop.fs.FileSystem,
+      from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration,
+      skip: Set[String] = Set.empty): Unit = {
+    fs.mkdirs(to)
+    fs.listStatus(from).foreach { st =>
+      val name = st.getPath.getName
+      if (!skip.contains(name)) {
+        val dst = new org.apache.hadoop.fs.Path(to, name)
+        if (st.isDirectory) linkOrCopy(fs, st.getPath, dst, conf, skip)
+        else {
+          val linked = fs.getScheme == "file" && (try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(dst.toUri.getPath),
+              java.nio.file.Paths.get(st.getPath.toUri.getPath))
+            true
+          } catch { case _: Exception => false })
+          if (!linked)
+            org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, dst,
+              false, conf): Unit
+        }
+      }
+    }
+  }
+}
+
 /** Prefix-versioned two-phase commit for indexes whose generation is
   * MORE THAN ONE parquet tree (so parquet's own `_SUCCESS` cannot be the
   * commit point): each generation lives under `<prefix>_v{n}/`, a
@@ -67,5 +113,31 @@ private[ops] final class VersionedTree(prefix: String) {
       .filter(p => p.getName.matches(re) && p.getName != next)
       .foreach(p => fs.delete(p, true))
     next
+  }
+
+  /** BRANCH: snapshot `srcPath`'s live generation into `dstPath` as
+    * that tree's own next generation — hard-links on a local
+    * filesystem ([[TreeClone]]), so the snapshot is metadata-sized.
+    * The clone carries the generation's FULL live state including any
+    * pending tombstones (a branch sees exactly what the source's
+    * readers see), but the source's commit marker is never cloned —
+    * the branch commits through [[commitNext]]'s own marker, so a torn
+    * branch stays invisible like any torn write. The branch is an
+    * independent single-writer tree afterwards: mutations (deletes,
+    * maintenance batches, compaction) land new generations under
+    * `dstPath` and never touch `srcPath` — the experiment/tenant
+    * snapshot-of-a-serving-index primitive.
+    */
+  def branch(spark: SparkSession, srcPath: String,
+      dstPath: String): String = {
+    val live = liveVersion(spark, srcPath)
+    commitNext(spark, dstPath) { gen =>
+      val (fs, _) = fsOf(spark, srcPath)
+      TreeClone.linkOrCopy(fs,
+        new org.apache.hadoop.fs.Path(s"$srcPath/$live"),
+        new org.apache.hadoop.fs.Path(gen),
+        spark.sparkContext.hadoopConfiguration,
+        skip = Set("_GRAFT_COMMIT"))
+    }
   }
 }

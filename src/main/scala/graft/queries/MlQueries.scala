@@ -11,6 +11,35 @@ import graft.ml.{KMeans, Pq}
   */
 object MlQueries extends QueryGroup {
 
+  /** The shared persisted IVF-PQ serving tree (full corpus, %25 coarse
+    * codebook, the q_ivf_pq_topk PQ model) — one fit+encode+write per
+    * process via the real [[graft.ops.PqIndex.write]] path:
+    * q_ann_ivfpq_persist probes it, q_ann_ivfpq_delete branches it.
+    * Registered with [[SharedGraphs]] (appId-keyed path, shutdown-hook
+    * cleanup, sweepable `graft_gidx_` prefix family).
+    */
+  private def sharedPqPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    SharedGraphs.ensure(s, dir, "pq_m25") { path =>
+      val emb = Tables.embeddings(s, dir)
+      val model = Pq.fit(emb, "vec_id", "embedding",
+        dims = 64, m = 4, k = 4, iterations = 2)
+      val cent = emb.filter(col("embedding").isNotNull)
+        .filter(pmod(col("vec_id"), lit(25)) === 0 &&
+          col("vec_id") < 12500)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid"))
+      graft.ops.PqIndex.write(s, path, emb, "vec_id", "embedding",
+        cent, model)
+    }
+
+  /** Shared-tree builders for harness instrumentation — see
+    * [[SimilarityQueries.sharedBuilders]].
+    */
+  val sharedBuilders: Map[String,
+      (org.apache.spark.sql.SparkSession, String) => String] = Map(
+    "pq_m25" -> (sharedPqPath _))
+
   val queries: Map[String, Q] = Map(
     // Sorted-neighborhood blocking (Hernández–Stolfo multi-pass): part
     // names sorted forward and REVERSED, every record paired with its 3
@@ -142,31 +171,49 @@ object MlQueries extends QueryGroup {
           (round(col("cos"), 4) + lit(0.0)).as("cos"))
     }),
 
-    // Persisted IVF-PQ round trip: write the serving artifact (coarse
-    // codebook + per-cell lists carrying PQ codes AND vectors in one
-    // columnar tree + the integer-exact model rows), probe through it
+    // Persisted IVF-PQ round trip: probe the SHARED serving artifact
+    // (coarse codebook + per-cell lists carrying PQ codes AND vectors
+    // in one columnar tree + the integer-exact model rows — built once
+    // per process by sharedPqPath through the real PqIndex.write path)
     // with q_ivf_pq_topk's exact parameters — the oracle is shared
     // verbatim, so a mismatch means the parquet round trip, the model
     // rehydration or the stored routing corrupted the pipeline.
     "q_ann_ivfpq_persist" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val model = Pq.fit(emb, "vec_id", "embedding",
-        dims = 64, m = 4, k = 4, iterations = 2)
-      val cent = emb.filter(col("embedding").isNotNull)
-        .filter(pmod(col("vec_id"), lit(25)) === 0 &&
-          col("vec_id") < 12500)
-        .select(col("vec_id").as("centroid_id"),
-          col("embedding").as("centroid"))
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_pqidx_" +
+      graft.ops.PqIndex.topK(s, sharedPqPath(s, dir),
+          emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          k = 5, candidateK = 20, nprobe = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          (round(col("cos"), 4) + lit(0.0)).as("cos"))
+    }),
+
+    // Tombstone deletes on the persisted IVF-PQ index — the last of the
+    // four persisted families to get the delete life cycle (deletes
+    // need no refit: removing rows leaves every stored code and both
+    // codebooks valid, unlike appends, which stay rebuild-only).
+    // BRANCH the shared tree (hard-linked snapshot — no rebuild, no
+    // contact with what q_ann_ivfpq_persist reads), tombstone every
+    // vec_id ≡ 3 (mod 7), probe: the mask lands BEFORE the ADC
+    // candidateK cut, so the result EXACTLY equals a probe of a
+    // survivors-only build under the SAME codebooks — which is what
+    // the oracle computes (ivfPqTopkSql with the survivor filter on
+    // the stored lists; model fit and centroids stay full-corpus, the
+    // codebooks existed before the delete). Compact/fold is spec-gated
+    // (PqIndexSpec).
+    "q_ann_ivfpq_delete" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_pqidx_del_" +
         new java.io.File(dir).getName + "_" + s.sparkContext.applicationId
-      graft.ops.PqIndex.write(s, path, emb, "vec_id", "embedding",
-        cent, model)
+      graft.ops.PqIndex.branch(s, sharedPqPath(s, dir), path)
+      graft.ops.PqIndex.delete(s, path,
+        emb.filter(pmod(col("vec_id"), lit(7)) === 3).select(col("vec_id")),
+        "vec_id")
       val out = graft.ops.PqIndex.topK(s, path,
           emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
           k = 5, candidateK = 20, nprobe = 3)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           (round(col("cos"), 4) + lit(0.0)).as("cos"))
-        .localCheckpoint(true) // materialize before the tree is deleted
+        .localCheckpoint(true) // materialize before the branch is deleted
       try {
         val pp = new org.apache.hadoop.fs.Path(path)
         pp.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -684,8 +731,12 @@ object MlQueries extends QueryGroup {
   // IVF routing (the q_ann_ivf_topk fragment, probe set aligned with
   // the ADC probes) restricts the ADC candidate CTE; rerank reuses the
   // fragment's own `e` table. Shared verbatim by q_ivf_pq_topk and
-  // q_ann_ivfpq_persist (the persisted artifact adds no math).
-  private val ivfPqTopkSql: String = pqAdcSql(
+  // q_ann_ivfpq_persist (the persisted artifact adds no math);
+  // q_ann_ivfpq_delete adds ONLY the survivor filter on the stored
+  // lists — model fit and centroids stay full-corpus, because the
+  // codebooks existed before the delete and a pure-mask delete must
+  // not move them.
+  private def ivfPqTopkSqlOf(survWhere: String): String = pqAdcSql(
       finalSelect =
         """, cnd AS (SELECT query_id, neighbor_id FROM r WHERE rn <= 20),
           |rr AS (
@@ -700,7 +751,7 @@ object MlQueries extends QueryGroup {
           |SELECT query_id, neighbor_id, rank, round(cos, 4) + 0.0 AS cos
           |FROM rr WHERE rank <= 5""".stripMargin,
       extraCtes =
-        """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
           |     WHERE embedding IS NOT NULL),
           |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0 AND vec_id < 12500),
           |assign AS (
@@ -709,7 +760,7 @@ object MlQueries extends QueryGroup {
           |      ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cid ASC) AS r
           |  FROM e a CROSS JOIN cent c),
           |lists AS (SELECT cid AS list, vec_id AS neighbor_id
-          |  FROM assign WHERE r = 1),
+          |  FROM assign WHERE r = 1$survWhere),
           |pa AS (
           |  SELECT a.vec_id AS query_id, c.cid,
           |    row_number() OVER (PARTITION BY a.vec_id
@@ -965,8 +1016,11 @@ object MlQueries extends QueryGroup {
     // IVF routing (the q_ann_ivf_topk fragment, probe set aligned with
     // the ADC probes) restricts the ADC candidate CTE; rerank reuses the
     // fragment's own `e` table.
-    "q_ivf_pq_topk" -> ivfPqTopkSql,
+    "q_ivf_pq_topk" -> ivfPqTopkSqlOf(""),
     // Persistence must be invisible: identical oracle.
-    "q_ann_ivfpq_persist" -> ivfPqTopkSql,
+    "q_ann_ivfpq_persist" -> ivfPqTopkSqlOf(""),
+    // Delete ≡ survivors-only build under the SAME codebooks: only the
+    // stored lists gain the survivor filter (see ivfPqTopkSqlOf).
+    "q_ann_ivfpq_delete" -> ivfPqTopkSqlOf(" AND vec_id % 7 <> 3"),
     "q_fps_sample" -> fpsSql)
 }

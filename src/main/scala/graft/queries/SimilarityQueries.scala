@@ -107,6 +107,54 @@ object SimilarityQueries extends QueryGroup {
         k = 5, rounds = 2, maxDegree = 12, simPrecision = 6)
     }
 
+  /** The EVEN-HALF boosted corpus's shared base graph — one build,
+    * three consumers: q_semdedup_nnd PROBES the stored edges (the same
+    * knnGraph its oracle replays), while q_ann_graph_delete and
+    * q_ann_graph_compact BRANCH it ([[graft.ops.GraphIndex.branch]] —
+    * hard-linked snapshot) and mutate their private branches, so
+    * neither mutation query pays a from-scratch build NOR can touch
+    * what the others read. Oracles are untouched: each replays its full
+    * build(+mutate)+walk chain from the raw parquet, so a corrupt
+    * shared base fails every consumer's hash.
+    */
+  private def sharedBoostedEvenGraphPath(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    SharedGraphs.ensure(s, dir, "boosted_even") { path =>
+      graft.ops.GraphIndex.write(s, path,
+        boostedCorpus(Tables.embeddings(s, dir)
+          .filter(pmod(col("vec_id"), lit(2)) === 0)), "vec_id", "vb",
+        k = 5, rounds = 2, maxDegree = 12, simPrecision = 6)
+    }
+
+  /** The full-corpus %50-codebook IVF base — one build, two consumers:
+    * q_ann_ivf_persist probes it (the write path still runs, once, via
+    * this builder), q_ann_ivf_delete branches + tombstones its private
+    * copy ([[graft.ops.IvfIndex.branch]]).
+    */
+  private def sharedIvfM50Path(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    SharedGraphs.ensure(s, dir, "ivf_m50") { path =>
+      val emb = Tables.embeddings(s, dir)
+      val cent = emb.filter(col("embedding").isNotNull)
+        .filter(pmod(col("vec_id"), lit(50)) === 0 &&
+          col("vec_id") < 12500)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid"))
+      graft.ops.IvfIndex.write(path, emb, "vec_id", "embedding", cent)
+    }
+
+  /** Shared-tree builders, exposed for harness instrumentation
+    * ([[graft.ScaleRehearsal]] pre-charges them as explicit
+    * `build:<name>` rows so the first consumer's timing stays a pure
+    * probe). Calling one is [[SharedGraphs.ensure]] — build on first
+    * touch, memoized after.
+    */
+  val sharedBuilders: Map[String,
+      (org.apache.spark.sql.SparkSession, String) => String] = Map(
+    "boosted" -> (sharedBoostedGraphPath _),
+    "boosted_even" -> (sharedBoostedEvenGraphPath _),
+    "ivf_m50" -> (sharedIvfM50Path _))
+
   private def nndBoostSqlOf(withLabel: Boolean) =
     ((if (withLabel) (0 until 10)
         .map(j => s"CASE WHEN label=$j THEN 2.0 ELSE 0.0 END")
@@ -468,32 +516,22 @@ object SimilarityQueries extends QueryGroup {
           col("rank").cast("int").as("rank"), (round(col("cos"), 4) + lit(0.0)).as("cos"))
     }),
 
-    // Build-once/probe-many IVF: the same codebook and corpus as
-    // q_ann_ivf_topk, but the inverted lists are PERSISTED (parquet,
-    // partitioned by Voronoi cell) and the probe runs from the stored
-    // artifact — must reproduce the inline result exactly (same oracle).
+    // Build-once/probe-many IVF: the inverted lists are PERSISTED
+    // (parquet, partitioned by Voronoi cell) on the SHARED full-corpus
+    // %50-codebook tree (sharedIvfM50Path — the write path runs once
+    // per process, through IvfIndex.write exactly as before) and the
+    // probe runs from the stored artifact — must reproduce the inline
+    // result exactly (the oracle is a from-scratch replay over the raw
+    // parquet, so a corrupt shared tree fails this hash AND
+    // q_ann_ivf_delete's).
     "q_ann_ivf_persist" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val cent = emb.filter(col("embedding").isNotNull)
-        .filter(pmod(col("vec_id"), lit(25)) === 0 && col("vec_id") < 12500)
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
-      // Keyed by dataset AND application id: two concurrent harness runs
-      // (or a stale tree from a killed run) must never share mutable
-      // index state — mixed-version probes are silent flake.
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_persist_" +
-        new java.io.File(dir).getName + "_" + s.sparkContext.applicationId
-      graft.ops.IvfIndex.write(path, emb, "vec_id", "embedding", cent)
-      val probed = graft.ops.IvfIndex.topK(s, path,
+      val path = sharedIvfM50Path(s, dir)
+      graft.ops.IvfIndex.topK(s, path,
         emb.filter(col("vec_id") < 30),
         "vec_id", "embedding", k = 3, nprobe = 3)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("int").as("rank"), (round(col("cos"), 4) + lit(0.0)).as("cos"))
-        // Eager: the probe result (k rows per query) must materialize
-        // BEFORE the index tree is deleted, or the lazy plan would read
-        // a vanished path at action time.
-        .localCheckpoint(true)
-      deleteTree(s, path)
-      probed
     }),
 
     // Incremental IVF maintenance: build the persisted index on the EVEN
@@ -527,20 +565,21 @@ object SimilarityQueries extends QueryGroup {
       probed
     }),
 
-    // Tombstone deletes on the persisted IVF index: build on the full
-    // corpus, delete every vec_id ≡ 3 (mod 7), probe — the result must
-    // equal a from-scratch build over the surviving corpus, which is
-    // exactly what the oracle computes. Deletes are anti-joined out of
-    // the candidate stream after the DPP-pruned list scan; compact
-    // folds them in and clears the backlog (spec-gated).
+    // Tombstone deletes on the persisted IVF index: BRANCH the shared
+    // full-corpus tree (IvfIndex.branch — a hard-linked snapshot, so
+    // the mutation pays no rebuild and cannot touch what
+    // q_ann_ivf_persist reads), delete every vec_id ≡ 3 (mod 7) on the
+    // private branch, probe — the result must equal a from-scratch
+    // build over the surviving corpus, which is exactly what the
+    // oracle computes. Deletes are anti-joined out of the candidate
+    // stream after the DPP-pruned list scan; compact folds them in and
+    // clears the backlog (spec-gated).
     "q_ann_ivf_delete" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val cent = emb.filter(col("embedding").isNotNull)
-        .filter(pmod(col("vec_id"), lit(50)) === 0 && col("vec_id") < 12500)
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      val base = sharedIvfM50Path(s, dir)
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_delete_" +
         new java.io.File(dir).getName + "_" + s.sparkContext.applicationId
-      graft.ops.IvfIndex.write(path, emb, "vec_id", "embedding", cent)
+      graft.ops.IvfIndex.branch(s, base, path)
       graft.ops.IvfIndex.delete(s, path,
         emb.filter(pmod(col("vec_id"), lit(7)) === 3).select(col("vec_id")),
         "vec_id")
@@ -784,9 +823,19 @@ object SimilarityQueries extends QueryGroup {
     "q_ann_graph_persist" -> ((s, dir) => {
       val corpus = boostedCorpus(Tables.embeddings(s, dir))
       val path = sharedBoostedGraphPath(s, dir)
+      val genBefore = graft.ops.GraphIndex.liveVersion(s, path)
       graft.ops.GraphIndex.applyMaintenanceBatch(s, path,
         corpus.filter(col("vec_id") < 50), "vec_id", "vb",
         k = 5, rounds = 2, maxDegree = 12, simPrecision = 6)
+      // The redelivered batch MUST be a no-op on the SHARED family tree
+      // (vec_id < 50 is fully stored): if the batch or the boosted
+      // corpus ever drifts, a new generation committed here would make
+      // every other family consumer's result order-dependent — fail
+      // fast instead of corrupting them silently.
+      val genAfter = graft.ops.GraphIndex.liveVersion(s, path)
+      require(genAfter == genBefore, "q_ann_graph_persist: the replayed " +
+        s"maintenance batch mutated the SHARED boosted graph " +
+        s"($genBefore -> $genAfter) — the batch is no longer a no-op")
       graft.ops.GraphSearch.topK(
           graft.ops.GraphIndex.edges(s, path), "id", "nbr",
           corpus, "vec_id", "vb",
@@ -796,22 +845,24 @@ object SimilarityQueries extends QueryGroup {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
-    // Tombstone deletes on the persisted graph index: build over the
-    // EVEN-half boosted corpus (the q_semdedup_nnd fixture shape, a
-    // quarter of the build cost), delete every vec_id ≡ 3 (mod 7), then
-    // beam-walk WITHOUT compacting — the masked read drops deleted ids
-    // from BOTH edge endpoints (never returned, never routed through),
-    // and the oracle replays build → prune → walk over the survivor
-    // corpus exactly (entries/overlay/probes all drawn from survivors,
-    // mirroring the survivor corpus the engine passes to GraphSearch).
+    // Tombstone deletes on the persisted graph index: BRANCH the shared
+    // even-half base graph (GraphIndex.branch — a hard-linked snapshot;
+    // the mutation pays no rebuild and cannot touch the base the other
+    // consumers read), delete every vec_id ≡ 3 (mod 7) on the private
+    // branch, then beam-walk WITHOUT compacting — the masked read drops
+    // deleted ids from BOTH edge endpoints (never returned, never
+    // routed through), and the oracle replays build → prune → walk over
+    // the survivor corpus exactly (entries/overlay/probes all drawn
+    // from survivors, mirroring the survivor corpus the engine passes
+    // to GraphSearch).
     "q_ann_graph_delete" -> ((s, dir) => {
       val corpus = boostedCorpus(Tables.embeddings(s, dir)
         .filter(pmod(col("vec_id"), lit(2)) === 0))
       val surv = corpus.filter(pmod(col("vec_id"), lit(7)) =!= 3)
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_gidx_del_" +
         new java.io.File(dir).getName + "_" + s.sparkContext.applicationId
-      graft.ops.GraphIndex.write(s, path, corpus, "vec_id", "vb",
-        k = 5, rounds = 2, maxDegree = 12, simPrecision = 6)
+      graft.ops.GraphIndex.branch(s, sharedBoostedEvenGraphPath(s, dir),
+        path)
       graft.ops.GraphIndex.delete(s, path,
         corpus.filter(pmod(col("vec_id"), lit(7)) === 3)
           .select(col("vec_id")), "vec_id")
@@ -834,20 +885,23 @@ object SimilarityQueries extends QueryGroup {
     // descent maintenance uses. The oracle replays the whole chain:
     // build (nndReplaySql) → prune + hole-flag + descent rounds
     // (compactReplaySql) → walk over the repaired graph from the
-    // survivor corpus. Quarter corpus (vec_id ≡ 0 mod 4): the fixture
-    // only needs hole shapes, not cluster richness. The delete set is
-    // mod-31 (~3%, well under 1/maxDegree) so the repair stays
-    // LOCALIZED — a 1-in-7 delete flags nearly every neighborhood and
-    // the "localized" descent degenerates into a full rebuild pass,
-    // which is exactly the regime compact should not be used in.
+    // survivor corpus. Runs on a BRANCH of the shared even-half base
+    // graph (same corpus as q_ann_graph_delete since r16 — branching
+    // made the private rebuild the quarter-corpus fixture existed to
+    // cheapen unnecessary, and the richer corpus exercises the same
+    // hole shapes). The delete set is mod-31 (~3%, well under
+    // 1/maxDegree) so the repair stays LOCALIZED — a 1-in-7 delete
+    // flags nearly every neighborhood and the "localized" descent
+    // degenerates into a full rebuild pass, which is exactly the
+    // regime compact should not be used in.
     "q_ann_graph_compact" -> ((s, dir) => {
       val corpus = boostedCorpus(Tables.embeddings(s, dir)
-        .filter(pmod(col("vec_id"), lit(4)) === 0))
+        .filter(pmod(col("vec_id"), lit(2)) === 0))
       val surv = corpus.filter(pmod(col("vec_id"), lit(31)) =!= 3)
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_gidx_cpt_" +
         new java.io.File(dir).getName + "_" + s.sparkContext.applicationId
-      graft.ops.GraphIndex.write(s, path, corpus, "vec_id", "vb",
-        k = 5, rounds = 2, maxDegree = 12, simPrecision = 6)
+      graft.ops.GraphIndex.branch(s, sharedBoostedEvenGraphPath(s, dir),
+        path)
       graft.ops.GraphIndex.delete(s, path,
         corpus.filter(pmod(col("vec_id"), lit(31)) === 3)
           .select(col("vec_id")), "vec_id")
@@ -923,13 +977,16 @@ object SimilarityQueries extends QueryGroup {
     // kept and shadowed rows exercise the τ-comparison.
     "q_semdedup_nnd" -> ((s, dir) => {
       // Even-half corpus: a second fixture shape for the replay, at a
-      // quarter of the pair work.
+      // quarter of the pair work. The kNN edges come from the SHARED
+      // even-half base graph (the identical knnGraph build this query
+      // used to run inline — the oracle still replays the full build,
+      // so a corrupt shared artifact fails this hash too).
       val corpus = boostedCorpus(Tables.embeddings(s, dir)
         .filter(pmod(col("vec_id"), lit(2)) === 0))
-      val knn = graft.ops.NnDescent.knnGraph(corpus, "vec_id", "vb",
-        k = 5, rounds = 2, maxDegree = 12, simPrecision = 6)
+      val knn = graft.ops.GraphIndex.edges(s,
+        sharedBoostedEvenGraphPath(s, dir))
       graft.ops.SemDedup.keepFlagsFromPairs(corpus, "vec_id", knn,
-        "query_id", "neighbor_id", "cos", tau = 0.889)
+        "id", "nbr", "cos", tau = 0.889)
     }),
 
     // Hard-negative mining from the kNN GRAPH instead of per-anchor brute
@@ -1346,7 +1403,7 @@ object SimilarityQueries extends QueryGroup {
     "q_ann_graph_compact" ->
       s"""${nndReplaySql(k = 5, rounds = 2, initTables = 2,
              bucketSize = 48, deg = 12, salt = "nnd",
-             corpusWhere = " AND vec_id%4=0")},
+             corpusWhere = " AND vec_id%2=0")},
          |sv AS (SELECT vec_id, v FROM e WHERE vec_id % 31 <> 3),
          |${compactReplaySql(buildRounds = 2, k = 5, deg = 12,
              rounds = 2, delPred = c => s"$c % 31 = 3")},
@@ -1674,11 +1731,13 @@ object SimilarityQueries extends QueryGroup {
         |SELECT query_id, neighbor_id, rank, round(cos, 4) + 0.0 AS cos
         |FROM ranked WHERE rank <= 3""".stripMargin,
 
-    // Persistence must be invisible in the result: identical oracle to
-    // q_ann_ivf_topk (the artifact round-trip adds no math).
+    // Persistence must be invisible in the result: the q_ann_ivf_topk
+    // replay with the shared tree's %50 codebook (the artifact
+    // round-trip adds no math; the codebook moved from %25 to %50 in
+    // r16 when persist and delete unified on one shared base tree).
     "q_ann_ivf_persist" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
-        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0 AND vec_id < 12500),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0 AND vec_id < 12500),
         |assign AS (
         |  SELECT a.vec_id, a.v, c.cid,
         |    row_number() OVER (PARTITION BY a.vec_id

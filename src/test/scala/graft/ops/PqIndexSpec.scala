@@ -69,6 +69,27 @@ class PqIndexSpec extends AnyFunSuite with SparkTestBase {
 
   test("probe plan shape: codes ride the routed scan (no unpruned " +
     "code-table re-join), list keys stay cast-free for pruning") {
+    // The live-DPP assertion below depends on the session's optimizer
+    // confs — under non-default configs (DPP off, broadcast disabled)
+    // the plan legitimately loses the dynamicpruningexpression marker
+    // and the test would flake. Pin the confs this assertion needs and
+    // restore them after, so the test checks OUR layout, not the
+    // session defaults.
+    val dppConfs = Seq(
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true",
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "10485760")
+    val saved = dppConfs.map { case (k, _) =>
+      k -> spark.conf.getOption(k) }
+    dppConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try testPlanShape()
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def testPlanShape(): Unit = {
     val c = corpus(96)
     val model = Pq.fit(c, "vec_id", "embedding", dims = 16, m = 4,
       k = 4, iterations = 2)
@@ -97,6 +118,108 @@ class PqIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(listScans.exists(l =>
       l.contains("vec:") && !l.contains("pq_code:")),
       listScans.mkString("\n"))
+  }
+
+  test("delete ≡ survivors-only build under the SAME codebooks; " +
+    "replayed deletes append nothing; compact folds the mask and " +
+    "clones the model") {
+    val c = corpus(96)
+    val model = Pq.fit(c, "vec_id", "embedding", dims = 16, m = 4,
+      k = 4, iterations = 2)
+    val cent = c.filter(pmod(col("vec_id"), lit(12)) === 0)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("centroid"))
+    val path = Files.createTempDirectory("pq_idx_del").toString
+    PqIndex.write(spark, path, c, "vec_id", "embedding", cent, model)
+    // Delete pred % 4 == 1 never hits a % 12 == 0 centroid id, so the
+    // survivors-only INLINE build below keeps the identical coarse
+    // codebook — the equality the pure mask promises.
+    val deadPred = pmod(col("vec_id"), lit(4)) === 1
+    PqIndex.delete(spark, path, c.filter(deadPred).select("vec_id"),
+      "vec_id")
+    val probes = c.filter(pmod(col("vec_id"), lit(7)) === 0)
+    val surv = c.filter(!deadPred)
+    val want = canon(Similarity.ivfPqTopK(probes, surv,
+      Pq.encode(surv, "vec_id", "embedding", model),
+      "vec_id", "embedding", model, k = 3, candidateK = 12,
+      centroidMod = 12, nprobe = 2))
+    def got() = canon(PqIndex.topK(spark, path, probes,
+      "vec_id", "embedding", k = 3, candidateK = 12, nprobe = 2))
+    assert(got() == want && want.nonEmpty)
+    // Replay: both the same batch and a never-stored id append nothing.
+    val before = new java.io.File(
+      s"$path/${PqIndex.liveVersion(spark, path)}/tombstones")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    PqIndex.delete(spark, path, c.filter(deadPred).select("vec_id"),
+      "vec_id")
+    import spark.implicits._
+    PqIndex.delete(spark, path, Seq(424242L).toDF("vec_id"), "vec_id")
+    val after = new java.io.File(
+      s"$path/${PqIndex.liveVersion(spark, path)}/tombstones")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after == before, s"replayed delete appended: $before -> $after")
+    // Compact: new committed generation, mask folded (no tombstones
+    // dir), probe unchanged, model cloned bit-exactly, deleted rows
+    // physically gone from the lists.
+    val v1 = PqIndex.liveVersion(spark, path)
+    PqIndex.compact(spark, path)
+    val v2 = PqIndex.liveVersion(spark, path)
+    assert(v2 != v1)
+    assert(!new java.io.File(s"$path/$v2/tombstones").exists())
+    assert(got() == want)
+    val m2 = PqIndex.readModel(spark, s"$path/$v2")
+    assert(m2.dims == model.dims &&
+      m2.models.map(_.scale).toSeq == model.models.map(_.scale).toSeq)
+    assert(spark.read.parquet(s"$path/$v2/lists")
+      .filter(pmod(col("neighbor_id"), lit(4)) === 1).count() == 0)
+    // Compact with nothing pending: a no-op, no new generation.
+    PqIndex.compact(spark, path)
+    assert(PqIndex.liveVersion(spark, path) == v2)
+  }
+
+  test("branch: a hard-linked snapshot mutates independently of the " +
+    "shared base") {
+    val c = corpus(96)
+    val model = Pq.fit(c, "vec_id", "embedding", dims = 16, m = 4,
+      k = 4, iterations = 2)
+    val cent = c.filter(pmod(col("vec_id"), lit(12)) === 0)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("centroid"))
+    val base = Files.createTempDirectory("pq_idx_base").toString
+    val br = Files.createTempDirectory("pq_idx_branch").toString + "/t"
+    PqIndex.write(spark, base, c, "vec_id", "embedding", cent, model)
+    val probes = c.filter(pmod(col("vec_id"), lit(7)) === 0)
+    def probe(p: String) = canon(PqIndex.topK(spark, p, probes,
+      "vec_id", "embedding", k = 3, candidateK = 12, nprobe = 2))
+    val baseWant = probe(base)
+    PqIndex.branch(spark, base, br)
+    assert(probe(br) == baseWant, "a fresh branch must read as the base")
+    // File-level: the branch shares inodes with the base (metadata
+    // snapshot, not a data rewrite) — at least the list files link.
+    val lv = PqIndex.liveVersion(spark, base)
+    val bv = PqIndex.liveVersion(spark, br)
+    def inodes(root: String): Set[Any] = {
+      val out = scala.collection.mutable.Set.empty[Any]
+      def walk(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
+        else if (f.getName.endsWith(".parquet"))
+          out += java.nio.file.Files.getAttribute(f.toPath, "unix:ino")
+      }
+      walk(new java.io.File(root)); out.toSet
+    }
+    val shared = inodes(s"$base/$lv/lists")
+      .intersect(inodes(s"$br/$bv/lists"))
+    assert(shared.nonEmpty, "branch copied bytes instead of linking")
+    // Mutate the branch only: the base's probe must not move.
+    PqIndex.delete(spark, br,
+      c.filter(pmod(col("vec_id"), lit(4)) === 1).select("vec_id"),
+      "vec_id")
+    assert(probe(base) == baseWant, "branch delete leaked into the base")
+    assert(probe(br) != baseWant, "branch delete had no effect")
+    // And compacting the branch rewrites ITS files, never the base's.
+    PqIndex.compact(spark, br)
+    assert(probe(base) == baseWant, "branch compact leaked into the base")
   }
 
   test("a torn generation stays invisible; a committed rebuild retires it") {
