@@ -54,6 +54,17 @@ import graft.text.TextFunctions
   * a~b~c (a≁c) this drops c where the sequential streaming operator
   * would keep it; cross-BATCH comparisons never see the difference
   * because only kept rows enter the store.
+  *
+  * CDC deletes (`opCol` set on [[writer]]/[[processBatch]]): rows whose
+  * op is 'delete' carry only the id and are removal EVENTS — applied to
+  * the corpus store FIRST (so delete + re-add of identical content in
+  * one batch is an update, and the dead row's digest stops blocking),
+  * then handed to the sink in the SAME delivery as the batch's enriched
+  * survivors (op-tagged union), so downstream index-maintenance writers
+  * tombstone and stitch from exactly what the corpus committed.
+  * Replay-safe end to end: the batchId guard covers the whole batch,
+  * and a redelivered delete of an already-gone id is anti-join no-op at
+  * every layer.
   */
 class StreamingCuration(
     corpusDir: String,
@@ -90,11 +101,12 @@ class StreamingCuration(
       enrichKeys: Seq[String],
       buildTime: String,
       valueCols: Seq[String],
-      strategy: String = "backward_then_forward")(
+      strategy: String = "backward_then_forward",
+      opCol: Option[String] = None)(
       sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       processBatch(batch, batchId, buildProvider(batch.sparkSession),
-        enrichKeys, buildTime, valueCols, strategy)(sink)
+        enrichKeys, buildTime, valueCols, strategy, opCol)(sink)
     }
 
   /** Run one micro-batch through the chain. Replays (batchId ≤ committed)
@@ -118,16 +130,39 @@ class StreamingCuration(
       enrichKeys: Seq[String],
       buildTime: String,
       valueCols: Seq[String],
-      strategy: String = "backward_then_forward")(
+      strategy: String = "backward_then_forward",
+      opCol: Option[String] = None)(
       sink: (DataFrame, Long) => Unit): Unit = store.withWriteLock {
     if (batchId > store.committedBatchId) {
       val spark = batch.sparkSession
-      val corpusNow = store.read(spark)
+
+      // CDC split (opCol set): delete rows carry only the id — they are
+      // removal EVENTS, not documents, so they bypass every content
+      // stage. Deletes apply FIRST: the add chain below reads the corpus
+      // with the batch's deletions already masked, so (a) a
+      // delete + re-add of identical content in one batch is an update
+      // (the dead row's digest no longer blocks it) and (b) near-dup
+      // candidates never match a document this batch just removed.
+      // Eagerly materialized — three consumers (corpus mask, sink union,
+      // store commit) must see one stable id set.
+      val (adds, delIds) = opCol match {
+        case None => (batch, None)
+        case Some(oc) =>
+          val d = batch.filter(col(oc) === "delete")
+            .select(col(idCol)).distinct().localCheckpoint(eager = true)
+          (batch.filter(col(oc) =!= "delete").drop(oc),
+            if (d.isEmpty) { graft.ops.Checkpoints.release(d); None }
+            else Some(d))
+      }
+      val corpusNow = (store.read(spark), delIds) match {
+        case (Some(c), Some(d)) => Some(c.join(d, Seq(idCol), "left_anti"))
+        case (c, _) => c
+      }
 
       // Stage 1 — exact dedup. Within the batch: first sighting per content
       // digest by (ts, id). Across batches: anti-join against every digest
       // the store has kept.
-      val digested = batch.withColumn("digest",
+      val digested = adds.withColumn("digest",
         md5(Dedup.normalizeText(col(textCol))))
       val wFirst = Window.partitionBy("digest")
         .orderBy(col(tsCol).asc, col(idCol).asc)
@@ -181,16 +216,31 @@ class StreamingCuration(
         // BEFORE commit: a crash here replays against the unchanged corpus
         // and regenerates identical output for this batchId. The digest is
         // a store-internal column; the sink sees the caller's schema +
-        // value columns.
+        // value columns. Under CDC (opCol set) the sink additionally sees
+        // the op column: enriched survivors tagged 'add' plus the delete
+        // ids tagged 'delete' (non-key columns null) — one frame carrying
+        // the batch's full index-maintenance instruction, so downstream
+        // writers tombstone and stitch from the same delivery the corpus
+        // committed from.
         val enriched = AsOfJoin.joinNative(survivors.drop("digest"), build,
           enrichKeys, tsCol, buildTime, valueCols, strategy)
-        sink(enriched, batchId)
+        val toSink = (opCol, delIds) match {
+          case (None, _) => enriched
+          case (Some(oc), None) => enriched.withColumn(oc, lit("add"))
+          case (Some(oc), Some(d)) =>
+            enriched.withColumn(oc, lit("add")).unionByName(
+              d.withColumn(oc, lit("delete")),
+              allowMissingColumns = true)
+        }
+        sink(toSink, batchId)
 
-        // Stage 5 — commit: survivors (with digest) merge into the
-        // blue/green store; marker and data swap atomically.
-        store.mergeBatch(survivors, batchId)
+        // Stage 5 — commit: deletions applied, then survivors (with
+        // digest) merge into the blue/green store; marker and data swap
+        // atomically.
+        store.mergeBatch(survivors, batchId, delIds)
       } finally {
         exactFresh.unpersist()
+        delIds.foreach(graft.ops.Checkpoints.release)
       }
     }
   }

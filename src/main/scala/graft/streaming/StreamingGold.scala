@@ -64,12 +64,27 @@ class StreamingGold(
     * the whole check→merge→swap runs under the store's write lock, so a
     * backfill beside a live query serializes instead of silently
     * dropping one writer's merge.
+    *
+    * `deletes` (optional, CDC): key rows to REMOVE from the current
+    * table before the batch merges in — deletes apply first, so a
+    * delete + re-add of the same key in one batch is an update, and a
+    * replayed delete of an already-gone key is a no-op (anti-join
+    * semantics). Delete batches are assumed key-table-tiny (broadcast).
     */
-  def mergeBatch(batch: DataFrame, batchId: Long): Unit =
+  def mergeBatch(batch: DataFrame, batchId: Long,
+      deletes: Option[DataFrame] = None): Unit =
     store.withWriteLock {
       if (batchId > committedBatchId) {
         val spark = batch.sparkSession
-        val merged = read(spark) match {
+        val base = read(spark).map { current =>
+          deletes match {
+            case Some(d) => current.join(
+              broadcast(d.select(keys.map(col).toIndexedSeq: _*).distinct()),
+              keys, "left_anti")
+            case None => current
+          }
+        }
+        val merged = base match {
           case Some(current) => merge(current.unionByName(batch))
           case None => merge(batch)
         }

@@ -55,6 +55,9 @@ class StreamingFlagshipSpec extends AnyFunSuite with SparkTestBase {
   private val fresh = "the field biologists tally nesting burrows of " +
     "migratory puffin colonies along basalt cliffs each brief subarctic " +
     "summer and compare their counts against the previous decade of records"
+  private val freshB = "municipal archivists catalogue the brittle glass " +
+    "plate negatives recovered from a shuttered portrait studio and argue " +
+    "gently about the correct humidity for their long term storage vault"
   private val junk = "BUY NOW!!!"
 
   // 12-dim cluster embeddings (4 one-hot axes + deterministic noise);
@@ -106,29 +109,39 @@ class StreamingFlagshipSpec extends AnyFunSuite with SparkTestBase {
       Seq.empty[(Long, Int, Array[Double])].toDF("doc_id", "pos", "tv"),
       "doc_id", "pos", "tv", dims = 4, numPlanes = 3, tables = 2)
 
-    // The flagship sink: enriched survivors fan into all three
-    // maintenance writers (the foreachBatch bodies the streaming sinks
-    // wire — invoked here exactly as the curation contract delivers).
+    // The flagship sink: the curation delivery (enriched survivors
+    // tagged 'add' + the batch's CDC delete ids tagged 'delete', ONE
+    // frame) fans into all three maintenance writers' op-aware paths
+    // (the foreachBatch bodies the streaming sinks wire — invoked here
+    // exactly as the curation contract delivers).
     val ivfW = StreamingIvfMaintenance.writer(ivfPath, "doc_id",
       "embedding", opCol = "op")
     val graphW = StreamingGraphMaintenance.writer(gPath, "doc_id",
-      "embedding", k = K, rounds = 4, simPrecision = 6)
+      "embedding", k = K, rounds = 4, simPrecision = 6,
+      opCol = Some("op"))
     val msW = StreamingMaxSimMaintenance.writer(msPath, "doc_id", "pos",
-      "tv")
+      "tv", opCol = Some("op"))
     val sink = (df: DataFrame, id: Long) => {
-      val adds = df.select(col("doc_id"), col("embedding"))
+      val tagged = df.select(col("doc_id"), col("embedding"), col("op"))
         .localCheckpoint(true)
-      ivfW(adds.withColumn("op", lit("add")), id)
-      graphW(adds, id)
-      msW(tokensFromBatch(adds), id)
+      ivfW(tagged, id)
+      graphW(tagged, id)
+      val addToks = tokensFromBatch(
+          tagged.filter(col("op") === "add").drop("op"))
+        .withColumn("op", lit("add"))
+      val delToks = tagged.filter(col("op") === "delete")
+        .select(col("doc_id"), lit(null).cast("int").as("pos"),
+          lit(null).cast("array<double>").as("tv"), col("op"))
+      msW(addToks.unionByName(delToks), id)
       ()
     }
 
-    val mem = MemoryStream[(Long, String, String, Timestamp, Array[Double])](spark)
-    val docs = mem.toDF().toDF("doc_id", "user", "text", "ts", "embedding")
+    val mem = MemoryStream[(Long, String, String, Timestamp, Array[Double], String)](spark)
+    val docs = mem.toDF().toDF("doc_id", "user", "text", "ts", "embedding",
+      "op")
     val ckpt = Files.createTempDirectory("graft_flag_ckpt").toString
     def start() = cur.writer(docs, build, Seq("user"), "price_ts",
-      Seq("price"))(sink)
+      Seq("price"), opCol = Some("op"))(sink)
       .option("checkpointLocation", ckpt).start()
 
     // Batch A: two keepers, junk, an exact dup. Batch B (after restart):
@@ -136,10 +149,10 @@ class StreamingFlagshipSpec extends AnyFunSuite with SparkTestBase {
     // simulate a TORN append of batch B's survivor from a crashed
     // earlier attempt: only one of doc 6's three token rows landed.
     mem.addData(
-      (1L, "u1", base, t("2024-01-01 10:00:00"), vec(1L)),
-      (2L, "u1", junk, t("2024-01-01 10:00:01"), vec(2L)),
-      (3L, "u2", unrelated, t("2024-01-01 10:00:02"), vec(3L)),
-      (4L, "u2", base, t("2024-01-01 10:00:03"), vec(4L)))
+      (1L, "u1", base, t("2024-01-01 10:00:00"), vec(1L), "add"),
+      (2L, "u1", junk, t("2024-01-01 10:00:01"), vec(2L), "add"),
+      (3L, "u2", unrelated, t("2024-01-01 10:00:02"), vec(3L), "add"),
+      (4L, "u2", base, t("2024-01-01 10:00:03"), vec(4L), "add"))
     val q1 = start()
     q1.processAllAvailable(); q1.stop()
 
@@ -147,8 +160,8 @@ class StreamingFlagshipSpec extends AnyFunSuite with SparkTestBase {
       toksOf(Seq(6L)).filter(col("pos") === 0), "doc_id", "pos", "tv")
 
     mem.addData(
-      (5L, "u1", nearDupA, t("2024-01-01 10:10:00"), vec(5L)),
-      (6L, "u1", fresh, t("2024-01-01 10:10:05"), vec(6L)))
+      (5L, "u1", nearDupA, t("2024-01-01 10:10:00"), vec(5L), "add"),
+      (6L, "u1", fresh, t("2024-01-01 10:10:05"), vec(6L), "add"))
     val q2 = start()
     q2.processAllAvailable(); q2.stop()
 
@@ -201,11 +214,11 @@ class StreamingFlagshipSpec extends AnyFunSuite with SparkTestBase {
     val msRows = spark.read.parquet(
       s"$msPath/${MaxSimIndex.liveVersion(spark, msPath)}/toks").count()
     val batchA = Seq(
-      (1L, "u1", base, t("2024-01-01 10:00:00"), vec(1L)),
-      (3L, "u2", unrelated, t("2024-01-01 10:00:02"), vec(3L)))
-      .toDF("doc_id", "user", "text", "ts", "embedding")
+      (1L, "u1", base, t("2024-01-01 10:00:00"), vec(1L), "add"),
+      (3L, "u2", unrelated, t("2024-01-01 10:00:02"), vec(3L), "add"))
+      .toDF("doc_id", "user", "text", "ts", "embedding", "op")
     cur.processBatch(batchA, 0L, build(spark), Seq("user"), "price_ts",
-      Seq("price"))(sink)
+      Seq("price"), opCol = Some("op"))(sink)
     assert(GraphIndex.liveVersion(spark, gPath) == gv)
     assert(spark.read.parquet(
       s"$msPath/${MaxSimIndex.liveVersion(spark, msPath)}/toks").count()
@@ -215,6 +228,7 @@ class StreamingFlagshipSpec extends AnyFunSuite with SparkTestBase {
     // SINK with byte-identical survivors — every maintenance writer
     // must converge, not duplicate.
     val survivorsB = corpusAll.filter(col("doc_id") === 6L)
+      .withColumn("op", lit("add"))
     sink(survivorsB, 1L)
     assert(GraphIndex.liveVersion(spark, gPath) == gv,
       "redelivered sink wrote a graph generation")
@@ -222,5 +236,77 @@ class StreamingFlagshipSpec extends AnyFunSuite with SparkTestBase {
     assert(probeIvf(ivfPath) == probeIvf(scratch))
     assert(canon(MaxSimIndex.topK(spark, msPath, probes,
       "doc_id", "pos", "tv", k = K, tokenK = 4, simPrecision = 6)) == wantMs)
+
+    // ------------------------------------------------ delete CDC leg
+    // Batch C: a CDC delete for curated doc 1 plus a fresh keeper, in
+    // ONE batch — the doc must vanish from the corpus AND all three
+    // maintained indexes' read-backs, while the add stitches in
+    // alongside it.
+    mem.addData(
+      (1L, "u1", "", t("2024-01-01 10:20:00"),
+        null.asInstanceOf[Array[Double]], "delete"),
+      (7L, "u2", freshB, t("2024-01-01 10:20:05"), vec(7L), "add"))
+    val q3 = start()
+    q3.processAllAvailable(); q3.stop()
+
+    assert(cur.corpus(spark).get.select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(3L, 6L, 7L))
+
+    val surv = (Seq(3L, 6L, 7L) ++ (100L to 103L)).sorted
+    val corpusSurv = surv.map(i => (i, vec(i)))
+      .toDF("doc_id", "embedding")
+    // Graph: the delete tombstones FIRST, then the batch's add folds +
+    // repairs — the maintained graph must equal brute top-k over the
+    // survivors (doc 1 neither returned nor routed through).
+    val bruteSurv = Similarity.bruteForceTopK(corpusSurv, corpusSurv,
+        "doc_id", "embedding", k = K)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edgeSet() == bruteSurv,
+      s"missing=${(bruteSurv -- edgeSet()).take(5)} extra=${(edgeSet() -- bruteSurv).take(5)}")
+    // IVF: probes equal a from-scratch build over the survivors.
+    val scratchSurv = s"$root/ivf_scratch_surv"
+    IvfIndex.write(scratchSurv, corpusSurv, "doc_id", "embedding", cent)
+    def probeSurvIvf(p: String) = IvfIndex.topK(spark, p, corpusSurv,
+        "doc_id", "embedding", k = K, nprobe = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(probeSurvIvf(ivfPath) == probeSurvIvf(scratchSurv))
+    // Token index: probes equal the inline scorer over the survivors'
+    // tokens only (doc 1 masked before the tokenK cut).
+    val probesC = toksOf(Seq(3L, 7L))
+    def msNow() = canon(MaxSimIndex.topK(spark, msPath, probesC,
+      "doc_id", "pos", "tv", k = K, tokenK = 4, simPrecision = 6))
+    val wantSurv = canon(MaxSim.topKViaAnnMd5(probesC,
+      toksOf(Seq(3L, 6L, 7L)), "doc_id", "pos", "tv", k = K, dims = 4,
+      tokenK = 4, numPlanes = 3, tables = 2, simPrecision = 6))
+    assert(msNow() == wantSurv && wantSurv.nonEmpty)
+
+    // Replay safety, both layers. (a) The curation batchId guard: a
+    // redelivered batch C is a complete no-op — no sink call, nothing
+    // moves.
+    val gv3 = GraphIndex.liveVersion(spark, gPath)
+    val batchC = Seq(
+      (1L, "u1", "", t("2024-01-01 10:20:00"),
+        null.asInstanceOf[Array[Double]], "delete"),
+      (7L, "u2", freshB, t("2024-01-01 10:20:05"), vec(7L), "add"))
+      .toDF("doc_id", "user", "text", "ts", "embedding", "op")
+    cur.processBatch(batchC, 2L, build(spark), Seq("user"), "price_ts",
+      Seq("price"), opCol = Some("op"))(sink)
+    assert(GraphIndex.liveVersion(spark, gPath) == gv3)
+    // (b) A crash between sink and commit redelivers the SINK frame
+    // (delete 1 + add 7): every writer must converge — the delete of an
+    // already-folded id appends nothing, the add of a stored id drops,
+    // no index moves.
+    val taggedC = corpusSurv.filter(col("doc_id") === 7L)
+      .withColumn("op", lit("add"))
+      .unionByName(Seq((1L, "delete")).toDF("doc_id", "op"),
+        allowMissingColumns = true)
+    sink(taggedC, 2L)
+    assert(GraphIndex.liveVersion(spark, gPath) == gv3,
+      "redelivered delete+add wrote a graph generation")
+    assert(edgeSet() == bruteSurv)
+    assert(probeSurvIvf(ivfPath) == probeSurvIvf(scratchSurv))
+    assert(msNow() == wantSurv)
   }
 }
