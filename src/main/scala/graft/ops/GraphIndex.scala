@@ -71,14 +71,15 @@ object GraphIndex {
     */
   def write(spark: SparkSession, path: String, vectors: DataFrame,
       idCol: String, vecCol: String, k: Int, rounds: Int,
-      maxDegree: Int = 0, simPrecision: Int = -1): Unit = {
+      maxDegree: Int = 0, simPrecision: Int = -1,
+      retain: Int = 1): Unit = {
     val edges = NnDescent.knnGraph(vectors, idCol, vecCol, k, rounds,
         maxDegree = maxDegree, simPrecision = simPrecision)
       .select(col("query_id").as("id"), col("neighbor_id").as("nbr"),
         col("cos"))
     val nodes = vectors.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-    commit(spark, path, nodes, edges)
+    commit(spark, path, nodes, edges, retain)
   }
 
   private val versions = new VersionedTree("graph")
@@ -96,6 +97,15 @@ object GraphIndex {
     */
   def branch(spark: SparkSession, srcPath: String, dstPath: String): Unit =
     versions.branch(spark, srcPath, dstPath): Unit
+
+  /** Retire the live generation so the previous committed one serves
+    * again — the bad-index-shipped undo. Available only when the
+    * superseding commit ran with `retain` > 1; whole-generation
+    * semantics ([[VersionedTree.rollback]]): the retired generation's
+    * tombstones go with it.
+    */
+  def rollback(spark: SparkSession, path: String): Unit =
+    versions.rollback(spark, path): Unit
 
   private def rawNodes(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/${liveVersion(spark, path)}/nodes")
@@ -178,11 +188,11 @@ object GraphIndex {
     */
   def compact(spark: SparkSession, path: String, k: Int, rounds: Int,
       maxDegree: Int = 0, beam: Int = 0, entries: Int = 8,
-      overlay: Int = 2, simPrecision: Int = -1): Unit =
+      overlay: Int = 2, simPrecision: Int = -1, retain: Int = 1): Unit =
     applyMaintenanceBatch(spark, path,
       rawNodes(spark, path).limit(0), "id", "vec", k, rounds,
       maxDegree = maxDegree, beam = beam, entries = entries,
-      overlay = overlay, simPrecision = simPrecision)
+      overlay = overlay, simPrecision = simPrecision, retain = retain)
 
   /** One micro-batch of adds — the foreachBatch body behind
     * [[graft.streaming.StreamingGraphMaintenance]]. `k`/`maxDegree`/
@@ -200,7 +210,7 @@ object GraphIndex {
   def applyMaintenanceBatch(spark: SparkSession, path: String,
       batch: DataFrame, idCol: String, vecCol: String, k: Int,
       rounds: Int, maxDegree: Int = 0, beam: Int = 0, entries: Int = 8,
-      overlay: Int = 2, simPrecision: Int = -1): Unit = {
+      overlay: Int = 2, simPrecision: Int = -1, retain: Int = 1): Unit = {
     val deg = if (maxDegree > 0) maxDegree else 4 * k
     // A zero-row tombstone file never lands today (delete only writes
     // non-empty batches), but discarding an eagerly-checkpointed empty
@@ -285,7 +295,7 @@ object GraphIndex {
       simPrecision)
 
     commit(spark, path, stored.unionByName(fresh),
-      refined.select(col("id"), col("nbr"), col("cos")))
+      refined.select(col("id"), col("nbr"), col("cos")), retain)
     Checkpoints.release(vAll)
     Checkpoints.release(stored)
     Checkpoints.release(fresh)
@@ -306,8 +316,8 @@ object GraphIndex {
   // ------------------------------------------------------------ commit
 
   private def commit(spark: SparkSession, path: String,
-      nodes: DataFrame, edges: DataFrame): Unit =
-    versions.commitNext(spark, path) { gen =>
+      nodes: DataFrame, edges: DataFrame, retain: Int = 1): Unit =
+    versions.commitNext(spark, path, retain) { gen =>
       nodes.write.mode("overwrite").parquet(s"$gen/nodes")
       edges.write.mode("overwrite").parquet(s"$gen/edges")
     }: Unit

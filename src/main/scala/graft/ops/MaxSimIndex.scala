@@ -73,6 +73,22 @@ object MaxSimIndex {
   def liveVersion(spark: SparkSession, path: String): String =
     versions.liveVersion(spark, path)
 
+  /** Snapshot `srcPath`'s live generation (token trees + meta + pending
+    * tombstones) into `dstPath` as an independent single-writer tree —
+    * hard-linked when local ([[VersionedTree.branch]]); completes the
+    * branch surface across all four persisted index families.
+    */
+  def branch(spark: SparkSession, srcPath: String, dstPath: String): Unit =
+    versions.branch(spark, srcPath, dstPath): Unit
+
+  /** Retire the live generation so the previous committed one serves
+    * again (needs a `retain` > 1 commit history — see
+    * [[VersionedTree.rollback]]). In-place [[append]]s into the
+    * SURVIVING generation are part of it and are not unwound.
+    */
+  def rollback(spark: SparkSession, path: String): Unit =
+    versions.rollback(spark, path): Unit
+
   /** Fail fast on non-integral id columns: the artifact pins LONG keys,
     * and letting cast() run would throw mid-job under ANSI or (with ANSI
     * off) silently write a corrupt all-null-id index whose replay guard
@@ -111,9 +127,9 @@ object MaxSimIndex {
 
   def write(spark: SparkSession, path: String, docToks: DataFrame,
       idCol: String, posCol: String, vecCol: String, dims: Int,
-      numPlanes: Int = 6, tables: Int = 2): Unit = {
+      numPlanes: Int = 6, tables: Int = 2, retain: Int = 1): Unit = {
     requireLongIds(docToks, idCol, "write")
-    versions.commitNext(spark, path) { gen =>
+    versions.commitNext(spark, path, retain) { gen =>
       // Range-partition on (t, b, id), NOT repartition(t): hashing on
       // the table id alone funnels the corpus-wide projection through
       // one task per table — the build this artifact exists to amortize
@@ -244,7 +260,7 @@ object MaxSimIndex {
     * re-[[append]] of a deleted id resurrects it. No-op when nothing is
     * tombstoned.
     */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String, retain: Int = 1): Unit = {
     val live = liveVersion(spark, path)
     val m = readMeta(spark, s"$path/$live")
     // Release the checkpoint before dropping an empty frame (a zero-row
@@ -256,7 +272,7 @@ object MaxSimIndex {
         if (t.isEmpty) { Checkpoints.release(t); None } else Some(t)
       }
     if (tomb.isEmpty) return
-    versions.commitNext(spark, path) { gen =>
+    versions.commitNext(spark, path, retain) { gen =>
       readToks(spark, s"$path/$live/toks")
         .join(broadcast(tomb.get), Seq("id"), "left_anti")
         .repartitionByRange(col("t"), col("b"), col("id"))

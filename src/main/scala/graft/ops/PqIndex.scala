@@ -78,18 +78,26 @@ object PqIndex {
   def branch(spark: SparkSession, srcPath: String, dstPath: String): Unit =
     versions.branch(spark, srcPath, dstPath): Unit
 
+  /** Retire the live generation so the previous committed one serves
+    * again (needs a `retain` > 1 commit history — see
+    * [[VersionedTree.rollback]]).
+    */
+  def rollback(spark: SparkSession, path: String): Unit =
+    versions.rollback(spark, path): Unit
+
   /** Build + commit a generation. `centroids` is the coarse codebook as
     * (centroid_id, centroid) — pass the same frame the inline path
     * derives so artifact and inline routing agree.
     */
   def write(spark: SparkSession, path: String, corpus: DataFrame,
       idCol: String, vecCol: String, centroids: DataFrame,
-      model: PqModel, maxRecordsPerFile: Long = 5000000L): Unit = {
+      model: PqModel, maxRecordsPerFile: Long = 5000000L,
+      retain: Int = 1): Unit = {
     val cent = Similarity.centFrame(centroids, "centroid_id", "centroid")
     val lists = Similarity.invertedLists(corpus, idCol, vecCol, cent)
     val codes = Pq.encode(corpus, idCol, vecCol, model)
       .select(col(idCol).as("neighbor_id"), col("pq_code"))
-    versions.commitNext(spark, path) { gen =>
+    versions.commitNext(spark, path, retain) { gen =>
       cent.select(col("__cid").as("centroid_id"),
           col("__cv").as("centroid"), col("__cn").as("cnorm"))
         .coalesce(1).write.mode("overwrite").parquet(s"$gen/centroids")
@@ -152,7 +160,7 @@ object PqIndex {
     * doc). No-op when nothing is tombstoned.
     */
   def compact(spark: SparkSession, path: String,
-      maxRecordsPerFile: Long = 5000000L): Unit = {
+      maxRecordsPerFile: Long = 5000000L, retain: Int = 1): Unit = {
     val live = liveVersion(spark, path)
     val tomb = tombstonesOpt(spark, s"$path/$live")
       .map(_.distinct().localCheckpoint(eager = true))
@@ -162,7 +170,7 @@ object PqIndex {
     if (tomb.isEmpty) return
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    versions.commitNext(spark, path) { gen =>
+    versions.commitNext(spark, path, retain) { gen =>
       spark.read.parquet(s"$path/$live/lists")
         .join(broadcast(tomb.get), Seq("neighbor_id"), "left_anti")
         .repartition(col("list"))

@@ -98,21 +98,48 @@ private[ops] final class VersionedTree(prefix: String) {
 
   /** Write the next generation: `writeTrees` receives the generation
     * directory and must land every tree under it; only after it returns
-    * is the commit marker created and every superseded generation
-    * (committed or torn) deleted — readers never lose a resolvable live
-    * tree.
+    * is the commit marker created and superseded generations deleted —
+    * readers never lose a resolvable live tree.
+    *
+    * `retain` keeps the newest N COMMITTED generations (default 1 —
+    * live only): a retention > 1 buys [[rollback]] and
+    * point-in-time [[branch]]es at the cost of N copies' storage —
+    * hard-link-shared where the writers linked, full bytes where they
+    * wrote. Torn (uncommitted) trees are always deleted regardless of
+    * retention; they are garbage, not history.
     */
-  def commitNext(spark: SparkSession, path: String)(
+  def commitNext(spark: SparkSession, path: String, retain: Int = 1)(
       writeTrees: String => Unit): String = {
+    require(retain >= 1, s"retain must be >= 1, got $retain")
     val (fs, root) = fsOf(spark, path)
     val next = s"${prefix}_v${maxVersion(fs, root) + 1}"
     writeTrees(s"$path/$next")
     fs.create(new org.apache.hadoop.fs.Path(s"$path/$next/_GRAFT_COMMIT"))
       .close()
+    val keep = committedVersions(spark, path).sorted.reverse.take(retain)
+      .map(v => s"${prefix}_v$v").toSet
     fs.listStatus(root).toSeq.map(_.getPath)
-      .filter(p => p.getName.matches(re) && p.getName != next)
+      .filter(p => p.getName.matches(re) && !keep.contains(p.getName))
       .foreach(p => fs.delete(p, true))
     next
+  }
+
+  /** Retire the LIVE generation so the previous committed one becomes
+    * live again — the bad-index-shipped undo, possible only when the
+    * superseding commit ran with `retain` > 1. Whole-generation
+    * semantics: rollback undoes COMMITS (rebuilds, compactions,
+    * maintenance generations) including the retired generation's own
+    * tombstone masks; in-place appends into the surviving generation's
+    * trees are part of that generation and are not unwound.
+    */
+  def rollback(spark: SparkSession, path: String): String = {
+    val vs = committedVersions(spark, path).sorted
+    require(vs.size >= 2, s"rollback needs a retained previous $prefix " +
+      s"generation under $path (found ${vs.size}; commit with retain > 1)")
+    val (fs, _) = fsOf(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$path/${prefix}_v${vs.max}"), true)
+    s"${prefix}_v${vs(vs.size - 2)}"
   }
 
   /** BRANCH: snapshot `srcPath`'s live generation into `dstPath` as

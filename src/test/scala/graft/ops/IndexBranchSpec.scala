@@ -130,4 +130,29 @@ class IndexBranchSpec extends AnyFunSuite with SparkTestBase {
     // committed; a versioned-but-markerless tree must not resolve.
     assertThrows[Exception](probe(torn))
   }
+
+  test("MaxSimIndex.branch: branch deletes stay private (the fourth " +
+    "family's branch surface)") {
+    val base = Files.createTempDirectory("ms_base").toString
+    val br = Files.createTempDirectory("ms_branch").toString + "/t"
+    val toks = (for { i <- 0L until 24L; p <- 0 until 2 }
+      yield (i, p, vec(i).slice(3 * p, 3 * p + 3)))
+      .toDF("doc_id", "pos", "tv")
+    MaxSimIndex.write(spark, base, toks, "doc_id", "pos", "tv",
+      dims = 3, numPlanes = 3, tables = 2)
+    val probes = toks.filter(col("doc_id") < 2)
+    def topDocs(p: String): Set[(Long, Long)] =
+      MaxSimIndex.topK(spark, p, probes, "doc_id", "pos", "tv",
+          k = 3, tokenK = 4, simPrecision = 6)
+        .select("query_id", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val baseWant = topDocs(base)
+    MaxSimIndex.branch(spark, base, br)
+    assert(topDocs(br) == baseWant)
+    MaxSimIndex.delete(spark, br,
+      (0L until 24L).filter(_ % 3 == 1).toDF("doc_id"), "doc_id")
+    assert(topDocs(br) != baseWant, "branch delete had no effect")
+    assert(!topDocs(br).exists(_._2 % 3 == 1))
+    assert(topDocs(base) == baseWant, "branch delete leaked into the base")
+  }
 }
