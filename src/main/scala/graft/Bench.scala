@@ -153,6 +153,30 @@ object Bench {
         .groupBy("w", "day").agg(count("*"), max("d"), min("u")).count()
     }
 
+    // HOST-SPEED CANARY: a fixed deterministic CPU workload timed
+    // single-thread and at full worker width before the suite. Loadavg
+    // cannot see every slowdown source (memory-bandwidth pressure from
+    // a neighboring VM, thermal/frequency drift, hypervisor CPU caps
+    // show ~0 steal) — and this host measured the SAME code 1.5-2×
+    // apart within hours on an idle loadavg. Totals from two runs
+    // divide by their canaries to separate host drift from code drift;
+    // canary_nt/canary_1t additionally exposes parallel-throughput
+    // pressure a single core can't feel. ~0.5 s once per run, untimed.
+    def spin(n: Long): Long = {
+      var x = 1L; var i = 0L
+      while (i < n) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+      x
+    }
+    def canary(threads: Int, n: Long): Double = {
+      val t0 = System.nanoTime()
+      val ts = (1 to threads).map { _ =>
+        val t = new Thread(() => { spin(n): Unit }); t.start(); t }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canary1 = canary(1, 300000000L)
+    val canaryN = canary(cpus.toInt, 300000000L)
+
     // Iteration aid: SPARK_GRAFT_ONLY=q_a,q_b times just those queries.
     // The driver never sets it, so the graded run always covers everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -202,6 +226,8 @@ object Bench {
     val loadField =
       if (loadStart.isEmpty && loadEnd.isEmpty) ""
       else s""","load_start":"$loadStart","load_end":"$loadEnd""""
+    val canaryField =
+      f""","canary_1t":$canary1%.3f,"canary_nt":$canaryN%.3f"""
     // Contention marker for the creep/acute gates below and for the
     // graded-run reader: 1-minute load already above the worker count at
     // bench START means every timing in this file competed for cores.
@@ -273,7 +299,7 @@ object Bench {
     val failedField =
       if (failed.isEmpty) ""
       else s""","failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$failedField%s$loadField%s$isolatedField%s}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$failedField%s$loadField%s$canaryField%s$isolatedField%s}"""
     println(line)
     // The full per-query line above is ~3.5 KB at 200 queries, but the
     // grading driver keeps only a ~2 KB stdout tail — so the graded
@@ -281,7 +307,7 @@ object Bench {
     // rounds running. Print a short totals-only JSON as the VERY LAST
     // stdout line (after the full line, after any file writes' stderr)
     // so the tail always contains one complete machine-readable record.
-    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries_n":${results.size}%d,"failed_n":${failed.size}%d,"sf":"$sfDir"$loadField%s$isolatedField%s}"""
+    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries_n":${results.size}%d,"failed_n":${failed.size}%d,"sf":"$sfDir"$loadField%s$canaryField%s$isolatedField%s}"""
     // Also land the result in a file: sbt prefixes stdout with [info],
     // so downstream consumers read bench_last.json (a `json.load`-able
     // document — pretty-printed below for diffable history, per round-7
@@ -376,6 +402,8 @@ object Bench {
   "sf": "$sfDir",
   "load_start": "$loadStart%s",
   "load_end": "$loadEnd%s",
+  "canary_1t": $canary1%.3f,
+  "canary_nt": $canaryN%.3f,
   "queries": {
 $qLines%s
   }$isoBlock%s$failedField%s,

@@ -652,10 +652,12 @@ object ScaleRehearsal {
     "q_semdedup_nnd" -> Seq("boosted_even"),
     "q_ann_graph_delete" -> Seq("boosted_even"),
     "q_ann_graph_compact" -> Seq("boosted_even"),
+    "q_ann_graph_rollback" -> Seq("boosted_even"),
     "q_ann_ivf_persist" -> Seq("ivf_m50"),
     "q_ann_ivf_delete" -> Seq("ivf_m50"),
     "q_ann_ivfpq_persist" -> Seq("pq_m25"),
-    "q_ann_ivfpq_delete" -> Seq("pq_m25"))
+    "q_ann_ivfpq_delete" -> Seq("pq_m25"),
+    "q_ann_ivfpq_compact" -> Seq("pq_m25"))
 
   def run(spark: SparkSession, base: String, big: String, f: Int,
       names: Seq[String], routeCheck: Boolean = false): Unit = {

@@ -222,6 +222,36 @@ object MlQueries extends QueryGroup {
       out
     }),
 
+    // Delete → COMPACT → probe on the IVF-PQ index: compact folds the
+    // mask into a fresh generation (survivor lists rewritten, centroids
+    // and model CLONED — deletes must not move surviving codes), after
+    // which the probe must STILL equal the survivors-only build — the
+    // oracle is q_ann_ivfpq_delete's verbatim, so a compact that
+    // dropped the wrong rows, re-quantized, or lost the model fails the
+    // same hash the mask passed.
+    "q_ann_ivfpq_compact" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_pqidx_cpt_" +
+        new java.io.File(dir).getName + "_" + s.sparkContext.applicationId
+      graft.ops.PqIndex.branch(s, sharedPqPath(s, dir), path)
+      graft.ops.PqIndex.delete(s, path,
+        emb.filter(pmod(col("vec_id"), lit(7)) === 3).select(col("vec_id")),
+        "vec_id")
+      graft.ops.PqIndex.compact(s, path)
+      val out = graft.ops.PqIndex.topK(s, path,
+          emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          k = 5, candidateK = 20, nprobe = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          (round(col("cos"), 4) + lit(0.0)).as("cos"))
+        .localCheckpoint(true) // materialize before the branch is deleted
+      try {
+        val pp = new org.apache.hadoop.fs.Path(path)
+        pp.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(pp, true)
+      } catch { case _: Exception => () }
+      out
+    }),
+
     // NDCG@10 + MRR@10 per query — the ranking-eval layer for the
     // retrieval stack (BM25 / ANN / RRF): each source is a "query" whose
     // run ranks its docs by length, with graded relevance planted from
@@ -1022,5 +1052,7 @@ object MlQueries extends QueryGroup {
     // Delete ≡ survivors-only build under the SAME codebooks: only the
     // stored lists gain the survivor filter (see ivfPqTopkSqlOf).
     "q_ann_ivfpq_delete" -> ivfPqTopkSqlOf(" AND vec_id % 7 <> 3"),
+    // Compact must be invisible to probes: the delete oracle verbatim.
+    "q_ann_ivfpq_compact" -> ivfPqTopkSqlOf(" AND vec_id % 7 <> 3"),
     "q_fps_sample" -> fpsSql)
 }

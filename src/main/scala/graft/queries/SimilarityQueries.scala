@@ -920,6 +920,45 @@ object SimilarityQueries extends QueryGroup {
       probed
     }),
 
+    // Generation ROLLBACK under the hash gate: branch the shared
+    // even-half base, commit a deliberately-wrong maintenance
+    // generation (odd-id adds, retain = 2 so history survives), roll
+    // it back, walk — the result must equal a walk of the pristine
+    // build, which is exactly what the oracle replays. If rollback
+    // failed to retire the bad generation, the stitched odd nodes
+    // would surface in the beam and every hash would flip.
+    "q_ann_graph_rollback" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val corpus = boostedCorpus(emb.filter(pmod(col("vec_id"), lit(2)) === 0))
+      val bad = boostedCorpus(emb.filter(pmod(col("vec_id"), lit(2)) === 1))
+        .filter(col("vec_id") < 40)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_gidx_rbk_" +
+        new java.io.File(dir).getName + "_" + s.sparkContext.applicationId
+      graft.ops.GraphIndex.branch(s, sharedBoostedEvenGraphPath(s, dir),
+        path)
+      // rounds = 0: the bad generation still COMMITS (seeds-only
+      // stitch — new nodes enter the graph, edges flip), which is all
+      // rollback needs to prove; its refinement quality is irrelevant
+      // because the whole point is that it gets rolled back (the
+      // oracle replays only the pristine build), so the localized
+      // descent's cost is not spent on a throwaway generation.
+      graft.ops.GraphIndex.applyMaintenanceBatch(s, path, bad,
+        "vec_id", "vb", k = 5, rounds = 0, maxDegree = 12,
+        simPrecision = 6, retain = 2)
+      graft.ops.GraphIndex.rollback(s, path)
+      val probed = graft.ops.GraphSearch.topK(
+          graft.ops.GraphIndex.edges(s, path), "id", "nbr",
+          corpus, "vec_id", "vb",
+          corpus.filter(col("vec_id") < 40), "vec_id", "vb",
+          k = 5, beam = 10, rounds = 2, entries = 4, overlay = 2,
+          simPrecision = 6)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        // Eager: materialize before the branch tree is deleted.
+        .localCheckpoint(true)
+      deleteTree(s, path)
+      probed
+    }),
+
     // q_hybrid_rrf with the dense leg on the GRAPH path: the sparse BM25
     // top-20 fuses (RRF) with a graph-search top-20 instead of the brute
     // corpus scan — the corpus-scale shape of the RAG first stage (the
@@ -1410,6 +1449,19 @@ object SimilarityQueries extends QueryGroup {
          |${graphSearchReplaySql(graphRounds = 2, k = 5, beam = 10,
              rounds = 2, entries = 4, overlay = 2, salt = "gs",
              qWhere = "vec_id < 80", corpus = "sv", graphCte = "e5")}
+         |SELECT query_id, neighbor_id, rank FROM fin
+         |WHERE rank <= 5""".stripMargin,
+    // Rollback must restore the pristine build exactly: the oracle is
+    // the plain build + walk replay over the even-half corpus (the
+    // q_ann_graph_delete chain without the deletes) — the engine's
+    // branched tree took a bad generation and rolled it back first.
+    "q_ann_graph_rollback" ->
+      s"""${nndReplaySql(k = 5, rounds = 2, initTables = 2,
+             bucketSize = 48, deg = 12, salt = "nnd",
+             corpusWhere = " AND vec_id%2=0")},
+         |${graphSearchReplaySql(graphRounds = 2, k = 5, beam = 10,
+             rounds = 2, entries = 4, overlay = 2, salt = "gs",
+             qWhere = "vec_id < 40")}
          |SELECT query_id, neighbor_id, rank FROM fin
          |WHERE rank <= 5""".stripMargin,
     // Raw-corpus graph build + walk + the q_hybrid_rrf BM25/fusion SQL.
