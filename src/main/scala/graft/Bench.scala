@@ -54,15 +54,31 @@ object Bench {
     if (ls.isEmpty) Double.MaxValue else ls(ls.size / 4)
   }
 
+  /** Host-drift normalizer for every cross-snapshot comparison: the
+    * ratio of this run's single-thread canary to the snapshot's,
+    * clamped to [0.5, 2] (a clamp bounds the damage if the canary
+    * itself ever misreads). 1.0 when the snapshot predates canaries.
+    * Identical code measured 479 vs 337 s within two hours on this
+    * host at quiet loadavg — without the denominator, that drift fires
+    * the creep/acute/isolation gates on phantom regressions (or hides
+    * real ones behind a fast window).
+    */
+  private[graft] def hostRatio(canaryNow: Double,
+      canaryPrev: Option[Double]): Double =
+    canaryPrev.filter(p => p > 0 && canaryNow > 0)
+      .map(p => math.min(2.0, math.max(0.5, canaryNow / p)))
+      .getOrElse(1.0)
+
   private[graft] def isolationOutliers(results: Seq[(String, Double)],
       prevTimes: Map[String, Double],
       contended: Boolean,
-      loads: Map[String, Double] = Map.empty): Seq[(String, Double)] = {
+      loads: Map[String, Double] = Map.empty,
+      hostRatio: Double = 1.0): Seq[(String, Double)] = {
     val ratios = results.flatMap { case (n, s) =>
-      prevTimes.get(n).filter(_ >= 0.3).map(p => (n, s / p)) }
+      prevTimes.get(n).filter(_ >= 0.3).map(p => (n, s / hostRatio / p)) }
     val medianRatio = {
       val rs = results.flatMap { case (n, s) =>
-        prevTimes.get(n).filter(_ >= 0.05).map(s / _) }.sorted
+        prevTimes.get(n).filter(_ >= 0.05).map(s / hostRatio / _) }.sorted
       if (rs.isEmpty) 1.0 else rs(rs.size / 2)
     }
     val floor = loadFloor(loads.values)
@@ -251,6 +267,23 @@ object Bench {
       } catch { case _: Exception => Map.empty } // history is best-effort
     val prevTimes = timesOf(outPath)
     val prev2Times = timesOf(prevPath)
+    // The previous snapshot's canary, for the host-drift denominator
+    // every cross-snapshot gate divides by (see Bench.hostRatio). Only
+    // the CURRENT run is normalized — the prev-vs-prev2 persistence arm
+    // of the creep gate compares two already-recorded snapshots and
+    // stays raw (best-effort, like the history reads).
+    def canaryOf(p: java.nio.file.Path): Option[Double] =
+      if (!java.nio.file.Files.exists(p)) None
+      else try {
+        val txt = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        """"canary_1t":\s*([0-9.]+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble)
+      } catch { case _: Exception => None }
+    val hr = Bench.hostRatio(canary1, canaryOf(outPath))
+    if (hr != 1.0) System.err.println(
+      f"[bench] host-speed ratio vs snapshot: $hr%.2fx (canary " +
+        f"$canary1%.3f s now) — cross-snapshot gates normalized by it")
 
     // CONTENDED-RUN AUTO-ISOLATION: a shared-host co-tenant inflates a
     // handful of memory-hungry queries far beyond the uniform ~1.1-1.35×
@@ -265,7 +298,7 @@ object Bench {
     // capped at 5 re-runs.
     val isolated: Seq[(String, Double)] = if (only.nonEmpty) Nil else {
       val outliers = Bench.isolationOutliers(results, prevTimes, contended,
-        windowLoads.toMap)
+        windowLoads.toMap, hr)
       outliers.flatMap { case (n, ratio) =>
         System.err.println(f"[bench] isolating $n ($ratio%.2fx vs snapshot)")
         val t0 = System.nanoTime()
@@ -326,7 +359,7 @@ object Bench {
       //     snapshots is what keeps one noisy run from crying wolf.
       // (prevTimes/prev2Times hoisted above for the auto-isolation.)
       val acute = results.filter { case (n, s) =>
-        prevTimes.get(n).exists(p => p >= 0.5 && s > 3.0 * p) }
+        prevTimes.get(n).exists(p => p >= 0.5 && s / hr > 3.0 * p) }
       if (acute.nonEmpty) {
         if (contended) System.err.println("[bench] NOTE: host loadavg " +
           s"exceeded worker count ($loadStart / $loadEnd) — uniform " +
@@ -349,7 +382,7 @@ object Bench {
       // git history is the durable record.)
       val creep = results.filter { case (n, s) =>
         prev2Times.get(n).exists(b =>
-          b >= 0.3 && s > 1.5 * b &&
+          b >= 0.3 && s / hr > 1.5 * b &&
             prevTimes.get(n).exists(_ > 1.5 * b)) }
       if (creep.nonEmpty) {
         if (contended) System.err.println("[bench] NOTE: host loadavg " +

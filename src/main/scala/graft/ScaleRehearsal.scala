@@ -127,6 +127,8 @@ object ScaleRehearsal {
         rangeSkew(spark, m.toLong, f.toInt)
       case Seq("token-skew", m, f) =>
         tokenSkew(spark, m.toLong, f.toInt)
+      case Seq("branch-cost", base, big) =>
+        branchCost(spark, base, big)
       case other => sys.error(
         s"usage: inflate|inflate-skew src dst F | run|run-skew base big F [qs] | graph-skew|skyline-skew|range-skew|token-skew m F — got $other")
     }
@@ -399,6 +401,37 @@ object ScaleRehearsal {
     for (s <- shapes; sz <- Seq(m, m * f))
       graft.ops.LocalFs.deleteRecursively(new java.io.File(
         s"${System.getProperty("java.io.tmpdir")}/graft_tsk_${sz}_${s}_$tskApp"))
+  }
+
+  // ------------------------------------------------------------ branch-cost
+
+  /** Measures the claim [[graft.ops.VersionedTree.branch]] makes: a
+    * branch is METADATA work (hard links), so its cost tracks the FILE
+    * COUNT of the live generation, not the data size — branching a
+    * 10×-bigger index must cost ≈ the same wall time. Builds the shared
+    * boosted graph on both dirs (via the real SharedGraphs path),
+    * times a branch of each, and reports (t, files, bytes) so the
+    * flatness is checkable against the size growth.
+    */
+  def branchCost(spark: SparkSession, base: String, big: String): Unit = {
+    val builder = graft.queries.SimilarityQueries.sharedBuilders("boosted")
+    val appId = spark.sparkContext.applicationId
+    for ((dir, tag) <- Seq((base, "base"), (big, "big"))) {
+      val src = builder(spark, dir)
+      val live = graft.ops.GraphIndex.liveVersion(spark, src)
+      def stats(f: java.io.File): (Long, Long) =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty)
+            .map(stats).foldLeft((0L, 0L)) { case ((a, b), (c, d)) =>
+              (a + c, b + d) }
+        else (1L, f.length())
+      val (files, bytes) = stats(new java.io.File(s"$src/$live"))
+      val dst = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_gidx_brc_${tag}_$appId"
+      val t = time(graft.ops.GraphIndex.branch(spark, src, dst))
+      println(f"""{"op":"branch","dir":"$tag","t":$t%.3f,"files":$files,"bytes":$bytes}""")
+      graft.ops.LocalFs.deleteRecursively(new java.io.File(dst))
+    }
   }
 
   // ------------------------------------------------------------- graph-skew

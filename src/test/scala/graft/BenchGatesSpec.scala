@@ -75,6 +75,29 @@ class BenchGatesSpec extends AnyFunSuite {
       .isEmpty)
   }
 
+  test("host drift is not contention: a uniformly-2x-slower host " +
+    "normalizes out, while a real outlier under load still isolates") {
+    val prev = snap("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "kmv" -> 5.0)
+    // Identical code on a half-speed host (canary doubled): without the
+    // denominator the 2.0 median fires the suite-wide trigger and every
+    // query isolates; with it, nothing does.
+    val cur = run("a" -> 2.0, "b" -> 2.0, "c" -> 2.0, "kmv" -> 10.0)
+    assert(Bench.isolationOutliers(cur, prev, contended = false).nonEmpty)
+    assert(Bench.isolationOutliers(cur, prev, contended = false,
+      loads = Map.empty, hostRatio = 2.0).isEmpty)
+    // A genuinely inflated query in a hot window on the same slow host
+    // still isolates — normalization must not blind the gate.
+    val cur2 = run("a" -> 2.0, "b" -> 2.0, "c" -> 2.0, "kmv" -> 25.0)
+    val loads = Map("a" -> 2.0, "b" -> 2.0, "c" -> 2.1, "kmv" -> 5.0)
+    assert(Bench.isolationOutliers(cur2, prev, contended = false,
+      loads, hostRatio = 2.0).map(_._1) == Seq("kmv"))
+    // Clamped, and absent history means no normalization.
+    assert(Bench.hostRatio(0.9, Some(0.3)) == 2.0)
+    assert(Bench.hostRatio(0.1, Some(0.4)) == 0.5)
+    assert(Bench.hostRatio(0.4, None) == 1.0)
+    assert(Bench.hostRatio(0.0, Some(0.4)) == 1.0)
+  }
+
   test("no load samples means the per-query trigger cannot fire " +
     "(suite-wide triggers still govern)") {
     val prev = snap("a" -> 1.0, "b" -> 1.0, "c" -> 1.0, "kmv" -> 5.0)
