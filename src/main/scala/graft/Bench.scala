@@ -281,6 +281,13 @@ object Bench {
           .map(_.group(1).toDouble)
       } catch { case _: Exception => None }
     val hr = Bench.hostRatio(canary1, canaryOf(outPath))
+    // The creep gate compares the CURRENT run against the prev2 base,
+    // so its normalizer must come from prev2's canary — dividing by hr
+    // (measured against prev) would corrupt the comparison whenever the
+    // PREV round itself ran on a drifted host (prev 2× slow, current
+    // normal: hr = 0.5 doubles every current time and flags phantom
+    // creep suite-wide).
+    val hr2 = Bench.hostRatio(canary1, canaryOf(prevPath))
     if (hr != 1.0) System.err.println(
       f"[bench] host-speed ratio vs snapshot: $hr%.2fx (canary " +
         f"$canary1%.3f s now) — cross-snapshot gates normalized by it")
@@ -295,7 +302,7 @@ object Bench {
     // later, a fresh settled heap, nothing else in this JVM — and BOTH
     // numbers land in the same snapshot, so no forensics are needed to
     // separate contention from regression. Untimed-suite overhead only;
-    // capped at 5 re-runs.
+    // capped at isolationCap re-runs (the runaway valve).
     val isolated: Seq[(String, Double)] = if (only.nonEmpty) Nil else {
       val outliers = Bench.isolationOutliers(results, prevTimes, contended,
         windowLoads.toMap, hr)
@@ -382,7 +389,7 @@ object Bench {
       // git history is the durable record.)
       val creep = results.filter { case (n, s) =>
         prev2Times.get(n).exists(b =>
-          b >= 0.3 && s / hr > 1.5 * b &&
+          b >= 0.3 && s / hr2 > 1.5 * b &&
             prevTimes.get(n).exists(_ > 1.5 * b)) }
       if (creep.nonEmpty) {
         if (contended) System.err.println("[bench] NOTE: host loadavg " +

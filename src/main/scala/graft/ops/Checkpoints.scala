@@ -53,4 +53,15 @@ object Checkpoints {
     GraftColumnBridge.checkpointRdds(df)
       .filter(_.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
       .foreach(_.unpersist(blocking = false))
+
+  /** Eagerly checkpoint `df` and keep it only when non-empty — an empty
+    * frame's checkpoint is released before the reference is dropped
+    * (discarding it without release leaks its blocks until GC). The
+    * shape every tombstone-fold reader needs: "materialize the pending
+    * mask once, or prove there is none".
+    */
+  def eagerNonEmpty(df: DataFrame): Option[DataFrame] = {
+    val c = df.localCheckpoint(eager = true)
+    if (c.isEmpty) { release(c); None } else Some(c)
+  }
 }

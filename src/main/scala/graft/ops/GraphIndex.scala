@@ -213,14 +213,10 @@ object GraphIndex {
       overlay: Int = 2, simPrecision: Int = -1, retain: Int = 1): Unit = {
     val deg = if (maxDegree > 0) maxDegree else 4 * k
     // A zero-row tombstone file never lands today (delete only writes
-    // non-empty batches), but discarding an eagerly-checkpointed empty
-    // frame without releasing it would leak its checkpoint blocks — so
-    // release on the empty branch before dropping the reference.
+    // non-empty batches), but the eagerNonEmpty helper releases the
+    // checkpoint before discarding an empty frame if one ever does.
     val tomb = tombstonesOpt(spark, path)
-      .map(_.distinct().localCheckpoint(eager = true))
-      .flatMap { t =>
-        if (t.isEmpty) { Checkpoints.release(t); None } else Some(t)
-      }
+      .flatMap(t => Checkpoints.eagerNonEmpty(t.distinct()))
     val stored = nodes(spark, path).localCheckpoint(eager = false)
     val adds = batch.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))

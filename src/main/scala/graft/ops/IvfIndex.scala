@@ -121,18 +121,19 @@ object IvfIndex {
     */
   def branch(spark: SparkSession, srcPath: String, dstPath: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(srcPath).getFileSystem(conf)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val sfs = p(srcPath).getFileSystem(conf)
+    val dfs = p(dstPath).getFileSystem(conf)
     val live = liveLists(spark, srcPath)
-    TreeClone.linkOrCopy(fs, p(s"$srcPath/centroids"),
+    TreeClone.linkOrCopy(p(s"$srcPath/centroids"),
       p(s"$dstPath/centroids"), conf)
-    TreeClone.linkOrCopy(fs, p(s"$srcPath/$live"), p(s"$dstPath/$live"),
+    TreeClone.linkOrCopy(p(s"$srcPath/$live"), p(s"$dstPath/$live"),
       conf, skip = Set("_SUCCESS"))
     Seq(s"tombstones_$live", "tombstones").foreach { t =>
-      if (fs.exists(p(s"$srcPath/$t")))
-        TreeClone.linkOrCopy(fs, p(s"$srcPath/$t"), p(s"$dstPath/$t"), conf)
+      if (sfs.exists(p(s"$srcPath/$t")))
+        TreeClone.linkOrCopy(p(s"$srcPath/$t"), p(s"$dstPath/$t"), conf)
     }
-    fs.create(p(s"$dstPath/$live/_SUCCESS")).close()
+    dfs.create(p(s"$dstPath/$live/_SUCCESS")).close()
   }
 
   /** Highest existing `lists_v{n}` suffix under `root`, committed OR

@@ -263,14 +263,8 @@ object MaxSimIndex {
   def compact(spark: SparkSession, path: String, retain: Int = 1): Unit = {
     val live = liveVersion(spark, path)
     val m = readMeta(spark, s"$path/$live")
-    // Release the checkpoint before dropping an empty frame (a zero-row
-    // tombstone file never lands today, but a silent leak is worse than
-    // the branch).
     val tomb = tombstonesOpt(spark, s"$path/$live")
-      .map(_.distinct().localCheckpoint(eager = true))
-      .flatMap { t =>
-        if (t.isEmpty) { Checkpoints.release(t); None } else Some(t)
-      }
+      .flatMap(t => Checkpoints.eagerNonEmpty(t.distinct()))
     if (tomb.isEmpty) return
     versions.commitNext(spark, path, retain) { gen =>
       readToks(spark, s"$path/$live/toks")

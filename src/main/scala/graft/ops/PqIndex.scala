@@ -163,10 +163,7 @@ object PqIndex {
       maxRecordsPerFile: Long = 5000000L, retain: Int = 1): Unit = {
     val live = liveVersion(spark, path)
     val tomb = tombstonesOpt(spark, s"$path/$live")
-      .map(_.distinct().localCheckpoint(eager = true))
-      .flatMap { t =>
-        if (t.isEmpty) { Checkpoints.release(t); None } else Some(t)
-      }
+      .flatMap(t => Checkpoints.eagerNonEmpty(t.distinct()))
     if (tomb.isEmpty) return
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
@@ -178,7 +175,7 @@ object PqIndex {
         .option("maxRecordsPerFile", maxRecordsPerFile)
         .partitionBy("list").parquet(s"$gen/lists")
       Seq("centroids", "model").foreach(t =>
-        TreeClone.linkOrCopy(fs,
+        TreeClone.linkOrCopy(
           new org.apache.hadoop.fs.Path(s"$path/$live/$t"),
           new org.apache.hadoop.fs.Path(s"$gen/$t"), conf))
     }

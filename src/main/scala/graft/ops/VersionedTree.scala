@@ -20,27 +20,34 @@ private[ops] object TreeClone {
 
   /** Clone `from` into `to` (created), skipping files named `skip`
     * (commit markers — the CALLER re-creates them last, so a torn clone
-    * can never look committed).
+    * can never look committed). Source and destination resolve their
+    * OWN filesystems — a cross-filesystem branch (object store → local,
+    * or vice versa) takes the byte-copy path instead of throwing
+    * Wrong-FS or landing trees on the source's filesystem; hard links
+    * apply only when both sides are local.
     */
-  def linkOrCopy(fs: org.apache.hadoop.fs.FileSystem,
-      from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path,
+  def linkOrCopy(from: org.apache.hadoop.fs.Path,
+      to: org.apache.hadoop.fs.Path,
       conf: org.apache.hadoop.conf.Configuration,
       skip: Set[String] = Set.empty): Unit = {
-    fs.mkdirs(to)
-    fs.listStatus(from).foreach { st =>
+    val sfs = from.getFileSystem(conf)
+    val dfs = to.getFileSystem(conf)
+    dfs.mkdirs(to)
+    sfs.listStatus(from).foreach { st =>
       val name = st.getPath.getName
       if (!skip.contains(name)) {
         val dst = new org.apache.hadoop.fs.Path(to, name)
-        if (st.isDirectory) linkOrCopy(fs, st.getPath, dst, conf, skip)
+        if (st.isDirectory) linkOrCopy(st.getPath, dst, conf, skip)
         else {
-          val linked = fs.getScheme == "file" && (try {
-            java.nio.file.Files.createLink(
-              java.nio.file.Paths.get(dst.toUri.getPath),
-              java.nio.file.Paths.get(st.getPath.toUri.getPath))
-            true
-          } catch { case _: Exception => false })
+          val linked = sfs.getScheme == "file" && dfs.getScheme == "file" &&
+            (try {
+              java.nio.file.Files.createLink(
+                java.nio.file.Paths.get(dst.toUri.getPath),
+                java.nio.file.Paths.get(st.getPath.toUri.getPath))
+              true
+            } catch { case _: Exception => false })
           if (!linked)
-            org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, dst,
+            org.apache.hadoop.fs.FileUtil.copy(sfs, st.getPath, dfs, dst,
               false, conf): Unit
         }
       }
@@ -131,6 +138,14 @@ private[ops] final class VersionedTree(prefix: String) {
     * maintenance generations) including the retired generation's own
     * tombstone masks; in-place appends into the surviving generation's
     * trees are part of that generation and are not unwound.
+    *
+    * Number reuse, stated: the NEXT commit after a rollback re-numbers
+    * into the retired slot (maxVersion no longer sees it), so a reader
+    * that resolved the old generation name before the rollback could
+    * pair it with the recommitted tree's content — the same
+    * resolve-then-read grace-period caveat as [[IvfIndex.compact]]'s
+    * retirement; the single-writer owns sequencing rollbacks against
+    * in-flight probes, exactly as with rebuilds.
     */
   def rollback(spark: SparkSession, path: String): String = {
     val vs = committedVersions(spark, path).sorted
@@ -159,8 +174,7 @@ private[ops] final class VersionedTree(prefix: String) {
       dstPath: String): String = {
     val live = liveVersion(spark, srcPath)
     commitNext(spark, dstPath) { gen =>
-      val (fs, _) = fsOf(spark, srcPath)
-      TreeClone.linkOrCopy(fs,
+      TreeClone.linkOrCopy(
         new org.apache.hadoop.fs.Path(s"$srcPath/$live"),
         new org.apache.hadoop.fs.Path(gen),
         spark.sparkContext.hadoopConfiguration,

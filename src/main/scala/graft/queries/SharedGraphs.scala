@@ -73,6 +73,15 @@ private[queries] object SharedGraphs {
       built.add(path)
       path
     }))
-    cell.path
+    val path = cell.path
+    // Touch the root on EVERY resolution, not just the build: a shared
+    // tree is written once and then only read, so its newest mtime
+    // freezes at build time — a run longer than the stale-tmp sweep's
+    // age cutoff would otherwise have its LIVE tree reclaimed by a
+    // concurrently-starting app's sweep (the live-app guard keys on
+    // appId, but the mtime cutoff is the only protection the guard
+    // gives OTHER apps' trees).
+    new java.io.File(path).setLastModified(System.currentTimeMillis()): Unit
+    path
   }
 }

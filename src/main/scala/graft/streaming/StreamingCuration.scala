@@ -57,14 +57,21 @@ import graft.text.TextFunctions
   *
   * CDC deletes (`opCol` set on [[writer]]/[[processBatch]]): rows whose
   * op is 'delete' carry only the id and are removal EVENTS — applied to
-  * the corpus store FIRST (so delete + re-add of identical content in
-  * one batch is an update, and the dead row's digest stops blocking),
-  * then handed to the sink in the SAME delivery as the batch's enriched
-  * survivors (op-tagged union), so downstream index-maintenance writers
-  * tombstone and stitch from exactly what the corpus committed.
-  * Replay-safe end to end: the batchId guard covers the whole batch,
-  * and a redelivered delete of an already-gone id is anti-join no-op at
-  * every layer.
+  * the corpus store FIRST (so a dead row's digest stops blocking a NEW
+  * doc with identical content arriving in the same batch), then handed
+  * to the sink in the SAME delivery as the batch's enriched survivors
+  * (op-tagged union), so downstream index-maintenance writers tombstone
+  * and stitch from exactly what the corpus committed. Replay-safe end
+  * to end: the batchId guard covers the whole batch, and a redelivered
+  * delete of an already-gone id is anti-join no-op at every layer.
+  *
+  * Same-id delete + add in ONE batch is REJECTED (fail fast in
+  * processBatch): the corpus could express it, but the pure-mask index
+  * sinks cannot — an IVF/token delete is terminal until compact, so
+  * silently accepting the upsert would leave the re-added id live in
+  * the corpus and invisible to those indexes. Re-adding a deleted id in
+  * a LATER batch follows each index family's own resurrect contract
+  * (graph: the next maintenance batch folds; IVF/token: compact first).
   */
 class StreamingCuration(
     corpusDir: String,
@@ -153,6 +160,24 @@ class StreamingCuration(
           (batch.filter(col(oc) =!= "delete").drop(oc),
             if (d.isEmpty) { graft.ops.Checkpoints.release(d); None }
             else Some(d))
+      }
+      // SAME-ID delete + add in ONE batch is rejected, not resolved:
+      // the corpus store could treat it as an update (deletes apply
+      // first), but the pure-mask index sinks downstream cannot — an
+      // IVF/token delete is terminal until compact, so the re-added id
+      // would be live in the corpus yet invisible to those indexes, a
+      // silent divergence. Fail fast with the supported paths instead.
+      delIds.foreach { d =>
+        val clash = adds.select(col(idCol))
+          .join(broadcast(d), Seq(idCol), "left_semi").limit(5)
+          .collect().map(_.get(0))
+        require(clash.isEmpty, "StreamingCuration: batch carries BOTH a " +
+          s"delete and an add for id(s) ${clash.mkString(", ")} — " +
+          "same-batch upserts are unsupported because pure-mask index " +
+          "sinks (IVF, token) keep a deleted id masked until compact. " +
+          "Route the re-add through a later batch after compacting the " +
+          "masked sinks, or through the graph family, whose maintenance " +
+          "folds tombstones.")
       }
       val corpusNow = (store.read(spark), delIds) match {
         case (Some(c), Some(d)) => Some(c.join(d, Seq(idCol), "left_anti"))

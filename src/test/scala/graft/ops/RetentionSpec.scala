@@ -1,100 +1,53 @@
 package graft.ops
 
-import java.nio.file.Files
+import java.sql.Timestamp
 
 import graft.SparkTestBase
-import graft.ml.Pq
-import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Generation retention + rollback ([[VersionedTree]] `retain`): a
-  * commit with retain = N keeps the newest N committed generations —
-  * buying [[GraphIndex.rollback]]-style undo — while torn trees are
-  * always garbage-collected, readers always resolve the newest commit,
-  * and retain = 1 (the default) keeps today's live-only behavior.
-  */
 class RetentionSpec extends AnyFunSuite with SparkTestBase {
 
-  import spark.implicits._
+  private def t(s: String) = Timestamp.valueOf(s)
 
-  private def vec(i: Long): Array[Double] =
-    Array.tabulate(6)(d =>
-      (if (d == (i % 6).toInt) 4.0 else 0.0) +
-        (((i * 31 + d * 7) % 11) - 5) / 40.0)
-
-  private def corpusDf(ids: Seq[Long]) =
-    ids.map(i => (i, vec(i))).toDF("vec_id", "embedding")
-
-  private def gens(path: String, prefix: String): Seq[String] =
-    new java.io.File(path).listFiles()
-      .map(_.getName).filter(_.matches(s"${prefix}_v\\d+")).sorted.toSeq
-
-  test("GraphIndex: retain=2 keeps history, rollback restores the " +
-    "previous generation, retain=1 trims back to live-only") {
-    val path = Files.createTempDirectory("gidx_retain").toString
-    GraphIndex.write(spark, path, corpusDf(0L until 36L),
-      "vec_id", "embedding", k = 4, rounds = 6, simPrecision = 6,
-      retain = 2)
-    def edges(): Set[(Long, Long)] =
-      GraphIndex.edges(spark, path).select("id", "nbr")
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val e1 = edges()
-    assert(gens(path, "graph") == Seq("graph_v1"))
-
-    // A maintenance commit with retain=2: both generations stay on
-    // disk, readers see the new one.
-    GraphIndex.applyMaintenanceBatch(spark, path,
-      corpusDf(36L until 40L), "vec_id", "embedding", k = 4, rounds = 6,
-      simPrecision = 6, retain = 2)
-    assert(gens(path, "graph") == Seq("graph_v1", "graph_v2"))
-    val e2 = edges()
-    assert(e2 != e1 && e2.exists(_._1 >= 36L))
-
-    // Rollback: the bad generation retires, the previous serves again.
-    GraphIndex.rollback(spark, path)
-    assert(gens(path, "graph") == Seq("graph_v1"))
-    assert(edges() == e1, "rollback must restore the previous reads")
-    // No history left: a second rollback fails fast.
-    assertThrows[IllegalArgumentException](GraphIndex.rollback(spark, path))
-
-    // Default retain=1 trims history back to live-only.
-    GraphIndex.applyMaintenanceBatch(spark, path,
-      corpusDf(36L until 40L), "vec_id", "embedding", k = 4, rounds = 6,
-      simPrecision = 6, retain = 2)
-    GraphIndex.applyMaintenanceBatch(spark, path,
-      corpusDf(40L until 44L), "vec_id", "embedding", k = 4, rounds = 6,
-      simPrecision = 6) // retain defaults to 1
-    assert(gens(path, "graph").size == 1, gens(path, "graph").toString)
+  test("cohorts count distinct users per (cohort, offset)") {
+    import spark.implicits._
+    // Weeks are epoch-aligned; 2024-01-01 is a Monday and epoch week
+    // boundaries fall on Thursdays — use explicit multi-week gaps instead
+    // of calendar intuition.
+    val w0 = t("2024-01-05 12:00:00") // some week W
+    def plus(days: Int) = new Timestamp(w0.getTime + days * 86400000L)
+    val events = Seq(
+      // user 1: active W, W+1, W+3 (twice in W — counted once)
+      (1L, w0), (1L, plus(1)), (1L, plus(7)), (1L, plus(21)),
+      // user 2: active W only
+      (2L, plus(1)),
+      // user 3: first seen W+1, active W+2
+      (3L, plus(7)), (3L, plus(14))
+    ).toDF("user_id", "ts")
+    val got = Retention.cohorts(events, "user_id", "ts")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val base = got.keys.map(_._1).min
+    assert(got == Map(
+      (base, 0L) -> 2L,      // users 1, 2
+      (base, 1L) -> 1L,      // user 1
+      (base, 3L) -> 1L,      // user 1
+      (base + 1, 0L) -> 1L,  // user 3's cohort
+      (base + 1, 1L) -> 1L))
   }
 
-  test("PqIndex: rollback across a rebuild restores the earlier " +
-    "corpus's probes; torn trees never count as history") {
-    val c = corpusDf(0L until 48L)
-    val model = Pq.fit(c, "vec_id", "embedding", dims = 6, m = 2,
-      k = 4, iterations = 1)
-    val cent = c.filter(pmod(col("vec_id"), lit(8)) === 0)
-      .select(col("vec_id").as("centroid_id"),
-        col("embedding").as("centroid"))
-    val path = Files.createTempDirectory("pq_retain").toString
-    PqIndex.write(spark, path, c, "vec_id", "embedding", cent, model)
-    def probe(): Set[(Long, Long)] =
-      PqIndex.topK(spark, path, c.filter(col("vec_id") < 4),
-          "vec_id", "embedding", k = 3, candidateK = 10, nprobe = 2)
-        .select("query_id", "neighbor_id")
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val full = probe()
-
-    // Torn leftover between the commits must not pollute retention.
-    new java.io.File(s"$path/pq_v5/lists").mkdirs()
-    PqIndex.write(spark, path, c.filter(col("vec_id") < 24),
-      "vec_id", "embedding", cent, model, retain = 2)
-    assert(gens(path, "pq") == Seq("pq_v1", "pq_v6"),
-      gens(path, "pq").toString)
-    val half = probe()
-    assert(half != full)
-
-    PqIndex.rollback(spark, path)
-    assert(gens(path, "pq") == Seq("pq_v1"))
-    assert(probe() == full, "rollback must restore the earlier corpus")
+  test("offset 0 equals the cohort size; counts are partition-invariant") {
+    import spark.implicits._
+    val events = (0L until 200L).map { i =>
+      (i % 40, new Timestamp(1700000000000L + (i % 7) * 86400000L * 7))
+    }.toDF("user_id", "ts")
+    val a = Retention.cohorts(events, "user_id", "ts")
+      .orderBy("cohort_period", "period_offset").collect().toSeq
+    val b = Retention.cohorts(events.repartition(13), "user_id", "ts")
+      .orderBy("cohort_period", "period_offset").collect().toSeq
+    assert(a == b)
+    val m = a.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cohortSizes = m.collect { case ((c, 0L), n) => c -> n }
+    assert(cohortSizes.values.sum == 40L) // every user in exactly one cohort
   }
 }

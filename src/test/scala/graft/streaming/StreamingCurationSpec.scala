@@ -178,4 +178,32 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
         ids += id; assert(df.count() == 0) }
     assert(ids.toSeq == Seq(0L, 1L) && cur.committedBatchId == 1L)
   }
+
+  test("CDC: same-batch delete + add of one id is rejected loudly " +
+    "(pure-mask index sinks cannot express the upsert)") {
+    import spark.implicits._
+    val cur = curationOn(
+      java.nio.file.Files.createTempDirectory("cur_cdc").toString)
+    val batch = Seq(
+      (1L, "u1", base, t("2024-01-01 10:00:00"), "add"),
+      (1L, "u1", "", t("2024-01-01 10:00:01"), "delete"),
+      (2L, "u2", unrelated, t("2024-01-01 10:00:02"), "add"))
+      .toDF("doc_id", "user", "text", "ts", "op")
+    var sank = 0
+    val e = intercept[IllegalArgumentException] {
+      cur.processBatch(batch, 0L, build(spark), Seq("user"), "price_ts",
+        Seq("price"), opCol = Some("op"))((_, _) => sank += 1)
+    }
+    assert(e.getMessage.contains("delete and an add"))
+    assert(sank == 0, "sink must not fire on a rejected batch")
+    assert(cur.committedBatchId == -1L, "rejected batch must not commit")
+    // Distinct ids in the same batch stay fine: delete of a not-yet-
+    // stored id is a no-op event, the add lands.
+    cur.processBatch(batch.filter(org.apache.spark.sql.functions
+        .col("doc_id") =!= 1L), 0L, build(spark), Seq("user"), "price_ts",
+      Seq("price"), opCol = Some("op"))((_, _) => sank += 1)
+    assert(sank == 1 && cur.committedBatchId == 0L)
+    assert(cur.corpus(spark).get.select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(2L))
+  }
 }
