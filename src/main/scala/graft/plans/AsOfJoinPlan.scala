@@ -69,11 +69,16 @@ case class AsOfJoinPlan(
   // binary-node visitor estimates sizeInBytes as the PRODUCT of the
   // children (1 GB ⋈ 1 GB ≈ 1 EB), disqualifying every operator above
   // the as-of join from static broadcast planning. Cardinality = left's;
-  // bytes scale by the widened row (probe columns + carried values).
+  // bytes scale by the widened row — weighted by the columns' DEFAULT
+  // BYTE WIDTHS (the EstimationUtils convention), not the column count:
+  // a (long, long) probe carrying one ~1 KB string value widens ~65×,
+  // and a count-based 1.5× there would let a parent join broadcast
+  // hundreds of real megabytes.
   override def stats: org.apache.spark.sql.catalyst.plans.logical.Statistics = {
     val l = left.stats
-    val widthL = math.max(1, left.output.size)
-    val factor = (widthL + rightValues.size).toDouble / widthL
+    val bytesL = math.max(1, left.output.map(_.dataType.defaultSize).sum)
+    val bytesOut = bytesL + rightValues.map(_.dataType.defaultSize).sum
+    val factor = bytesOut.toDouble / bytesL
     org.apache.spark.sql.catalyst.plans.logical.Statistics(
       sizeInBytes = (BigDecimal(l.sizeInBytes) * factor).toBigInt.max(1),
       rowCount = l.rowCount)

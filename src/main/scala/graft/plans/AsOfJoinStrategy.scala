@@ -20,12 +20,36 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
   */
 object AsOfJoinStrategy extends SparkStrategy {
 
+  /** Floating-point anywhere in a key's type forces the MERGE exec:
+    * the broadcast exec matches keys by raw UnsafeRow bytes, where
+    * -0.0 != 0.0 and NaN bit patterns differ, while the merge exec's
+    * interpreted ordering uses SQL float semantics (-0.0 == 0.0, one
+    * NaN) — and Catalyst's NormalizeFloatingNumbers rule only guards
+    * real Join nodes, never this custom plan. Routing float keys to
+    * the merge exec keeps one answer regardless of build-side size;
+    * float-keyed as-of joins are rare enough that the lost broadcast
+    * is the right price for never diverging.
+    */
+  private def floatKeyed(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.types._
+    def hasFloat(dt: DataType): Boolean = dt match {
+      case FloatType | DoubleType => true
+      case s: StructType => s.fields.exists(f => hasFloat(f.dataType))
+      case a: ArrayType => hasFloat(a.elementType)
+      case m: MapType => hasFloat(m.keyType) || hasFloat(m.valueType)
+      case _ => false
+    }
+    hasFloat(e.dataType)
+  }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lt, rt, vals, strat) =>
       val threshold =
         org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
       val buildSize = r.stats.sizeInBytes
-      if (threshold > 0 && buildSize >= 0 && buildSize <= threshold)
+      if (threshold > 0 && buildSize >= 0 && buildSize <= threshold &&
+          !(lk ++ rk).exists(floatKeyed))
         BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt,
           vals, strat) :: Nil
       else

@@ -33,10 +33,19 @@ object PushProbeFilterThroughAsOfJoin extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, j: AsOfJoinPlan) =>
-      val (push, keep) = conjuncts(cond).partition(c =>
-        c.deterministic && c.references.subsetOf(j.left.outputSet))
+      // Only the DETERMINISTIC PREFIX of the conjunction is a pushdown
+      // candidate — Catalyst's own PushPredicateThroughJoin/NonJoin use
+      // span(_.deterministic) for the same reason: a deterministic
+      // conjunct AFTER a non-deterministic one (rand() < 0.5 && t < 50)
+      // must not move below it, or the non-deterministic expression's
+      // per-partition draw sequence is consumed by a different row
+      // stream than the unoptimized plan and the surviving row set
+      // changes.
+      val (prefix, _) = conjuncts(cond).span(_.deterministic)
+      val push = prefix.filter(_.references.subsetOf(j.left.outputSet))
       if (push.isEmpty) f
       else {
+        val keep = conjuncts(cond).filterNot(push.contains)
         val pushed = j.copy(left = Filter(push.reduce(And), j.left))
         keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
       }

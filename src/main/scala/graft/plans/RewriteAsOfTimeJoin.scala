@@ -141,10 +141,19 @@ object RewriteAsOfTimeJoin extends Rule[LogicalPlan] with PredicateHelper {
         else {
           // Null-time probe rows bypass the join with null build values;
           // IsNull/IsNotNull partition the probe exactly (no null holes).
+          // Literal(null, dt) directly — the canonical typed null; the
+          // Cast(Literal(null, NullType)) form survives to runtime as a
+          // per-row Cast on the extraOptimizations path, whose batch
+          // runs after ConstantFolding. KNOWN COST of this shape: the
+          // probe subplan appears in BOTH Union branches and is
+          // evaluated twice (the padded branch has no exchange, so
+          // physical reuse cannot deduplicate it) — acceptable for the
+          // rare nullable-probe-time LEFT path; callers with expensive
+          // probe plans should pre-filter null times themselves.
           val matched = node(Filter(IsNotNull(lt), l))
           val padded = Project(
             l.output ++ rStrict.output.map(a =>
-              Alias(Cast(Literal(null, NullType), a.dataType), a.name)()),
+              Alias(Literal(null, a.dataType), a.name)()),
             Filter(IsNull(lt), l))
           Union(Seq(matched, padded))
         }

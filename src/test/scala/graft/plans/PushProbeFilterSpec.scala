@@ -83,4 +83,50 @@ class PushProbeFilterSpec extends AnyFunSuite with SparkTestBase {
     assert(narrow.collect().map(_.toSeq).toSet ==
       joined.collect().map(r => Seq(r.get(0), r.get(1), r.get(5))).toSet)
   }
+
+  test("a deterministic conjunct AFTER a non-deterministic one never " +
+    "pushes (Catalyst's span rule); one BEFORE it still does") {
+    val (probe, build) = frames()
+    val joined = AsOfJoin.joinNative(probe, build, Seq("k"), "t", "bt",
+      Seq("price"))
+    // rand() && t<50: t<50 follows the non-deterministic conjunct, so
+    // pushing it would change which rows consume rand()'s draw
+    // sequence — the whole condition must stay above the join. (The
+    // 0.5 threshold matters: Spark folds range-trivial comparisons
+    // like rand() < 2.0 away entirely.)
+    val blocked = joined.filter(rand(7) < lit(0.5) && col("t") < 50L)
+      .queryExecution.optimizedPlan
+    val stillAbove = blocked.collectFirst {
+      case f @ Filter(_, child) if child.collectFirst {
+        case _: AsOfJoinPlan => () }.nonEmpty => f
+    }
+    assert(stillAbove.nonEmpty, blocked.toString)
+    assert(blocked.collectFirst { case j: AsOfJoinPlan => j }.exists(
+      !_.left.exists(_.isInstanceOf[Filter])), blocked.toString)
+    // t<50 && rand(): the deterministic PREFIX pushes, rand stays.
+    val split = joined.filter(col("t") < 50L && rand(7) < lit(0.5))
+      .queryExecution.optimizedPlan
+    assert(split.collectFirst { case j: AsOfJoinPlan => j }.exists(
+      _.left.collectFirst { case f: Filter => f }.nonEmpty),
+      split.toString)
+  }
+
+  test("float-typed join keys refuse the broadcast exec: -0.0 must " +
+    "match 0.0 regardless of build-side size") {
+    import spark.implicits._
+    // Build side tiny (well under the broadcast threshold); key 0.0 on
+    // the build side, -0.0 computed on the probe side. Raw-byte hash
+    // matching would miss; the merge exec's SQL ordering matches.
+    val probe = Seq((0.0, 10L, "p1")).toDF("k0", "t", "tag")
+      .select((col("k0") * lit(-1.0)).as("k"), col("t"), col("tag"))
+    val build = Seq((0.0, 5L, 42.0)).toDF("k", "bt", "price")
+    val joined = AsOfJoin.joinNative(probe, build, Seq("k"), "t", "bt",
+      Seq("price"))
+    val phys = joined.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastAsOfJoin"), phys)
+    val rows = joined.collect()
+    assert(rows.length == 1 && !rows.head.isNullAt(3) &&
+      rows.head.getDouble(3) == 42.0,
+      s"-0.0 probe failed to match 0.0 build: ${rows.mkString}")
+  }
 }
