@@ -69,13 +69,30 @@ object Bench {
       .map(p => math.min(2.0, math.max(0.5, canaryNow / p)))
       .getOrElse(1.0)
 
+  /** Isolation candidates. `prevTimes` is the rotating prev snapshot
+    * (raw, in ITS host's units — `hostRatio` converts); `floorTimes` is
+    * the best-of-history quiet-window baseline ALREADY in the current
+    * host's units. Per-query ratios divide by the SMALLER of the two
+    * baselines: the r16 graded run proved prev-only masks contention
+    * whenever the prev run was equally degraded (133/276 contended
+    * windows, 1 isolated row, inflation-vs-inflation ≈ 1.0) — the floor
+    * keeps the gate live through consecutive bad windows. The suite
+    * median (the drift trigger) stays prev-based on purpose: a healthy
+    * stable run sits slightly above its best-ever floor by definition,
+    * and that must not read as suite-wide drift.
+    */
   private[graft] def isolationOutliers(results: Seq[(String, Double)],
       prevTimes: Map[String, Double],
       contended: Boolean,
       loads: Map[String, Double] = Map.empty,
-      hostRatio: Double = 1.0): Seq[(String, Double)] = {
+      hostRatio: Double = 1.0,
+      floorTimes: Map[String, Double] = Map.empty): Seq[(String, Double)] = {
+    def baseOf(n: String): Option[Double] =
+      (prevTimes.get(n).map(_ * hostRatio).toSeq ++
+        floorTimes.get(n).toSeq)
+        .reduceOption((a, b) => math.min(a, b))
     val ratios = results.flatMap { case (n, s) =>
-      prevTimes.get(n).filter(_ >= 0.3).map(p => (n, s / hostRatio / p)) }
+      baseOf(n).filter(_ >= 0.3).map(b => (n, s / b)) }
     val medianRatio = {
       val rs = results.flatMap { case (n, s) =>
         prevTimes.get(n).filter(_ >= 0.05).map(s / hostRatio / _) }.sorted
@@ -183,15 +200,24 @@ object Bench {
       while (i < n) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
       x
     }
+    // The spin result must be OBSERVABLE or C2 may dead-code-eliminate
+    // the loop (a pure loop with a discarded result), making canary
+    // timings depend on JIT tier — and a distorted canary skews every
+    // canary-normalized gate. Accumulate into a shared atomic and keep
+    // it live via an impossible-sentinel check the JIT cannot prove away.
+    val canarySink = new java.util.concurrent.atomic.AtomicLong(0L)
     def canary(threads: Int, n: Long): Double = {
       val t0 = System.nanoTime()
       val ts = (1 to threads).map { _ =>
-        val t = new Thread(() => { spin(n): Unit }); t.start(); t }
+        val t = new Thread(() => { canarySink.addAndGet(spin(n)): Unit })
+        t.start(); t }
       ts.foreach(_.join())
       (System.nanoTime() - t0) / 1e9
     }
     val canary1 = canary(1, 300000000L)
     val canaryN = canary(cpus.toInt, 300000000L)
+    if (canarySink.get() == 42L) // LCG from x=1 can never land exactly here
+      System.err.println("[bench] canary sentinel hit (impossible)")
 
     // Iteration aid: SPARK_GRAFT_ONLY=q_a,q_b times just those queries.
     // The driver never sets it, so the graded run always covers everything.
@@ -204,37 +230,58 @@ object Bench {
     // query's hygiene — GC + sleep — has already run, so our own threads
     // are parked and the 1-min average is the window's recent history).
     val windowLoads = scala.collection.mutable.Map.empty[String, Double]
-    val results = selected.zipWithIndex.map { case ((name, fn), i) =>
+    // Between-measurement hygiene (untimed): a 160+-query single-JVM run
+    // otherwise accumulates session state — cached relations, persisted
+    // RDD blocks left by localCheckpoint lineage truncation (their
+    // storage is only reclaimed when the ContextCleaner GC-detects the
+    // dead RDD), and per-query shuffle files — until later queries run
+    // many times slower than the same code in a fresh session. Each
+    // query must start from the same cold-cache state it would have as
+    // a standalone job. ContextCleaner only drops dead checkpoint/
+    // broadcast/shuffle state when a JVM GC notices the references died;
+    // the blocking unpersist keeps eviction out of the next timing, and
+    // the short sleep lets the cleaner's async thread drain.
+    def hygiene(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+      Thread.sleep(50)
+    }
+    def timed(name: String)(body: => Unit): (String, Double) = {
       windowLoads(name) = load1()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
+      try body
       catch { case e: Throwable =>
         failed += name
         System.err.println(s"[bench] $name: ${e.getMessage}")
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      // Between-query hygiene (untimed): a 160+-query single-JVM run
-      // otherwise accumulates session state — cached relations, persisted
-      // RDD blocks left by localCheckpoint lineage truncation (their
-      // storage is only reclaimed when the ContextCleaner GC-detects the
-      // dead RDD), and per-query shuffle files — until later queries run
-      // many times slower than the same code in a fresh session. Each
-      // query must start from the same cold-cache state it would have as
-      // a standalone job.
-      spark.catalog.clearCache()
-      val sc = spark.sparkContext
-      // Blocking: the next query's timing must not overlap block eviction.
-      sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      // ContextCleaner only drops dead checkpoint/broadcast/shuffle state
-      // when a JVM GC notices the references died. All of this hygiene is
-      // UNTIMED (after `sec`), so run it every query: a full GC both
-      // feeds the cleaner and starts the next query from a settled heap
-      // instead of charging it the previous query's garbage. The short
-      // sleep lets the cleaner's async thread drain before timing resumes.
-      System.gc()
-      Thread.sleep(50)
+      hygiene()
       name -> sec
     }
+    // SHARED-TREE BUILDS as explicit `build:` rows, timed BEFORE the
+    // query loop: the index families that probe a shared persisted tree
+    // (boosted graph, even-half graph, IVF m50, IVF-PQ m25) otherwise
+    // charge the one-time build to their alphabetically-first toucher —
+    // q_ann_graph_compact carried 17.1 s in the r16 graded table of
+    // which ~12 s was the shared even-half BUILD. Charging ensure() to
+    // its own row makes every consumer a pure probe and lets the
+    // rehearsal's build-vs-probe accounting agree with the bench table.
+    // Skipped under SPARK_GRAFT_ONLY (the selected queries then build
+    // lazily, as before); the total still includes build rows — the
+    // suite's wall clock is unchanged, only attributed honestly.
+    val buildRows: Seq[(String, Double)] =
+      if (only.nonEmpty) Nil
+      else (graft.queries.SimilarityQueries.sharedBuilders ++
+          graft.queries.MlQueries.sharedBuilders)
+        .toSeq.sortBy(_._1).map { case (n, ensure) =>
+          timed(s"build:$n") { ensure(spark, sfDir): Unit }
+        }
+    val queryResults = selected.map { case (name, fn) =>
+      timed(name) { fn(spark, sfDir).count(): Unit }
+    }
+    val results = buildRows ++ queryResults
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -261,7 +308,11 @@ object Bench {
       else try {
         val txt = new String(java.nio.file.Files.readAllBytes(p),
           java.nio.charset.StandardCharsets.UTF_8)
-        val entry = """"(q_[a-z0-9_]+)"\s*:\s*([0-9.]+)""".r
+        // Matches query rows AND `build:` rows (shared-tree builds get
+        // their own cross-snapshot gates); the window-load lines are
+        // prefixed "load:" so this whole-file scan can never mistake a
+        // load sample for a time (no `"` precedes the q_/build: there).
+        val entry = """"((?:q_|build:)[a-z0-9_]+)"\s*:\s*([0-9.]+)""".r
         entry.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Exception => Map.empty } // history is best-effort
@@ -291,6 +342,20 @@ object Bench {
     if (hr != 1.0) System.err.println(
       f"[bench] host-speed ratio vs snapshot: $hr%.2fx (canary " +
         f"$canary1%.3f s now) — cross-snapshot gates normalized by it")
+    // BEST-OF-HISTORY QUIET-WINDOW FLOOR (bench_floor.json): per-query
+    // minima in canary-normalized units (seconds ÷ that run's canary_1t),
+    // recorded only from quiet windows and never rotated away. This is
+    // the isolation gate's second baseline: the r16 graded run had
+    // 133/276 contended query windows yet ONE isolated row, because the
+    // rotating prev snapshot was taken in an equally degraded window —
+    // inflation ratioed against inflation reads ≈ 1.0. The floor keeps
+    // the gate live through consecutive bad windows; multiplying by the
+    // CURRENT canary converts it into this host-moment's units.
+    val floorPath = outPath.resolveSibling("bench_floor.json")
+    val floorNorm = timesOf(floorPath)
+    val floorTimes: Map[String, Double] =
+      if (canary1 > 0) floorNorm.map { case (k, v) => k -> v * canary1 }
+      else Map.empty
 
     // CONTENDED-RUN AUTO-ISOLATION: a shared-host co-tenant inflates a
     // handful of memory-hungry queries far beyond the uniform ~1.1-1.35×
@@ -304,8 +369,12 @@ object Bench {
     // separate contention from regression. Untimed-suite overhead only;
     // capped at isolationCap re-runs (the runaway valve).
     val isolated: Seq[(String, Double)] = if (only.nonEmpty) Nil else {
-      val outliers = Bench.isolationOutliers(results, prevTimes, contended,
-        windowLoads.toMap, hr)
+      // build: rows never isolate — SharedGraphs memoizes per process,
+      // so a re-run of ensure() would time the no-op lookup, not the
+      // build. Their drift is the acute/creep gates' business.
+      val outliers = Bench.isolationOutliers(
+        results.filterNot(_._1.startsWith("build:")), prevTimes, contended,
+        windowLoads.toMap, hr, floorTimes)
       outliers.flatMap { case (n, ratio) =>
         System.err.println(f"[bench] isolating $n ($ratio%.2fx vs snapshot)")
         val t0 = System.nanoTime()
@@ -456,6 +525,35 @@ $loadLines%s
         pretty.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: Exception =>
         System.err.println(s"[bench] bench_last.json write failed: $e")
+      }
+      // Update the quiet-window floor: each row's best canary-normalized
+      // time, taken only from windows at or below this run's contention
+      // cut (the same floor+1.0 rule the isolation gate uses) — a
+      // contended measurement must never become the number other runs
+      // are judged against, and a once-in-a-lifetime fast window can
+      // only tighten the floor by what the canary says the host was
+      // honestly worth. Entries for rows that no longer exist are pruned
+      // (a renamed query must not haunt the gate forever); the isolated
+      // re-runs do NOT update the floor (their window load is unsampled).
+      if (canary1 > 0) {
+        val cut = math.max(1.5, Bench.loadFloor(windowLoads.values) + 1.0)
+        val names = results.map(_._1).toSet
+        val updated = results.filter { case (n, _) =>
+          !failed.contains(n) &&
+            windowLoads.get(n).exists(l => l >= 0 && l <= cut) }
+          .map { case (n, s) =>
+            n -> math.min(floorNorm.getOrElse(n, Double.MaxValue),
+              s / canary1) }
+          .toMap
+        val merged = floorNorm.filter { case (k, _) => names(k) } ++ updated
+        val fl = merged.toSeq.sorted
+          .map { case (k, v) => f"""  "$k": $v%.4f""" }
+          .mkString("{\n", ",\n", "\n}\n")
+        try java.nio.file.Files.write(floorPath,
+          fl.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        catch { case e: Exception =>
+          System.err.println(s"[bench] bench_floor.json write failed: $e")
+        }
       }
     }
     println(summary)

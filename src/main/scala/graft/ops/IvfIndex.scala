@@ -64,7 +64,9 @@ object IvfIndex {
       centroids: DataFrame,
       centIdCol: String = "centroid_id",
       centVecCol: String = "centroid",
-      maxRecordsPerFile: Long = 5000000L): Unit = {
+      maxRecordsPerFile: Long = 5000000L,
+      retain: Int = 1): Unit = {
+    require(retain >= 1, s"retain must be >= 1, got $retain")
     val cent = Similarity.centFrame(centroids, centIdCol, centVecCol)
     cent.select(col("__cid").as("centroid_id"), col("__cv").as("centroid"),
         col("__cn").as("cnorm"))
@@ -82,26 +84,48 @@ object IvfIndex {
       .partitionBy("list")
       .parquet(s"$path/$next")
     // Only now — the new tree is committed and outranks everything —
-    // drop superseded trees: lower versions and the unversioned `lists`.
-    fs.listStatus(root).toSeq.map(_.getPath)
-      .filter { p =>
-        val n = p.getName
-        n == "lists" || (n.matches("lists_v\\d+") && n != next)
-      }
-      .foreach(p => fs.delete(p, true))
-    // A rebuild is a fresh index: stale tombstones from the previous
-    // generation must not mask ids legitimately present in the new
-    // corpus. Tombstone dirs are KEYED TO THEIR LIST TREE
+    // drop superseded trees beyond the retention window. `retain`
+    // keeps the newest N COMMITTED trees (default 1 — live only): a
+    // retention > 1 buys [[rollback]] of a bad rebuild, and a RETAINED
+    // tree keeps its keyed tombstone dir too, because those masks are
+    // part of the serving state a rollback must restore (the deletes
+    // were intentional, independent of the rebuild being undone).
+    // Tombstone dirs are KEYED TO THEIR LIST TREE
     // (`tombstones_lists_v{n}` — see [[delete]]), so readers of the
-    // committed new tree never consult the old generation's masks even
-    // if this cleanup never runs; the deletes below are garbage
-    // collection, not correctness. (The legacy unversioned `tombstones`
-    // dir is cleared too — pre-migration indexes keep the old
+    // committed new tree never consult a retained tree's masks even
+    // without any cleanup; the deletes below are garbage collection,
+    // not correctness. (The legacy unversioned `tombstones` dir is
+    // always cleared — pre-migration indexes keep the old
     // single-writer caveat until their first rebuild.)
+    retireSuperseded(fs, root, path, retain, consumed = Set.empty)
+  }
+
+  /** Post-commit cleanup shared by [[write]] and [[compact]]: keep the
+    * newest `retain` COMMITTED list trees (with their keyed tombstone
+    * dirs — a retained tree's masks are its serving state), delete
+    * every other `lists*` tree (torn leftovers included), the legacy
+    * unversioned `lists`/`tombstones`, and the tombstone dirs in
+    * `consumed` (masks a compaction just folded — kept trees whose
+    * masks were consumed roll back to their PRE-delete state, which is
+    * exactly the bad-delete-shipped undo [[rollback]] exists for).
+    */
+  private def retireSuperseded(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, path: String, retain: Int,
+      consumed: Set[String]): Unit = {
+    val committed = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.matches("lists_v\\d+"))
+      .filter(n => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$path/$n/_SUCCESS")))
+      .sortBy(_.stripPrefix("lists_v").toInt)
+    val keep = committed.takeRight(retain).toSet
     fs.listStatus(root).toSeq.map(_.getPath)
       .filter { p =>
         val n = p.getName
-        n == "tombstones" || n.startsWith("tombstones_")
+        (n == "lists" || (n.matches("lists_v\\d+") && !keep.contains(n))) ||
+        (n == "tombstones" ||
+          (n.startsWith("tombstones_") &&
+            !keep.contains(n.stripPrefix("tombstones_"))) ||
+          consumed.contains(n))
       }
       .foreach(p => fs.delete(p, true))
   }
@@ -124,6 +148,20 @@ object IvfIndex {
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val sfs = p(srcPath).getFileSystem(conf)
     val dfs = p(dstPath).getFileSystem(conf)
+    // Fresh-snapshot primitive, like [[VersionedTree.branch]]: a dst
+    // already holding an index must be refused — a dst whose existing
+    // live tree OUTRANKS the cloned one would leave the clone committed
+    // but never resolvable, and one that is outranked would silently
+    // shadow the dst's own history.
+    if (dfs.exists(p(dstPath))) {
+      val entries = dfs.listStatus(p(dstPath)).map(_.getPath.getName)
+        .filter(n => n == "lists" || n.matches("lists_v\\d+") ||
+          n == "centroids")
+      require(entries.isEmpty,
+        s"branch target $dstPath already holds an IVF index " +
+          s"(${entries.mkString(", ")}) — branch snapshots into a " +
+          "FRESH tree")
+    }
     val live = liveLists(spark, srcPath)
     TreeClone.linkOrCopy(p(s"$srcPath/centroids"),
       p(s"$dstPath/centroids"), conf)
@@ -237,6 +275,19 @@ object IvfIndex {
     * terminal until the next [[compact]] folds its tombstone — an add of
     * a tombstoned-but-uncompacted id lands masked (spec-gated:
     * delete → compact → re-add resurrects).
+    *
+    * SAME-ID delete + add in ONE batch is an UPDATE, and it is
+    * supported by sequencing the documented recipe inside the batch
+    * boundary: all deletes apply first, the index COMPACTS (folding the
+    * masks — the terminal-until-compact rule honored, not bypassed),
+    * then the adds append fresh. The compact is a full survivor rewrite,
+    * so an update-carrying batch costs a compaction — the price of an
+    * upsert on a pure-mask index, paid only when one is present (and
+    * logged). Replay-safe: a redelivered update batch re-deletes the
+    * re-added row, re-compacts, and re-appends the identical vector —
+    * converging to the same index, one wasted rewrite. `retain` passes
+    * through to that compact so a retention discipline on the tree is
+    * not clobbered by maintenance.
     */
   def applyMaintenanceBatch(
       spark: SparkSession,
@@ -246,13 +297,26 @@ object IvfIndex {
       vecCol: String,
       opCol: String,
       maxRecordsPerFile: Long = 5000000L,
-      strictLiveCheck: Boolean = false): Unit = {
+      strictLiveCheck: Boolean = false,
+      retain: Int = 1): Unit = {
     val adds = batch.filter(col(opCol) === "add")
       .select(col(idCol), col(vecCol))
       // An id twice in one batch (transport retry inside the batch) must
       // not land twice; vector choice is deterministic (max) not arrival
       // order.
       .groupBy(col(idCol)).agg(max(col(vecCol)).as(vecCol))
+    val dels = batch.filter(col(opCol) === "delete").select(col(idCol))
+    // Update detection (batch-sized semi-join): ids carrying BOTH a
+    // delete and an add this batch.
+    val upsert = !adds.join(dels, Seq(idCol), "left_semi").isEmpty
+    if (upsert) {
+      System.err.println("[graft] IvfIndex.applyMaintenanceBatch: batch " +
+        "carries same-id delete+add (update) — applying deletes, " +
+        "compacting, then appending (a compaction per update batch is " +
+        "the pure-mask price)")
+      if (!dels.isEmpty) delete(spark, path, dels, idCol)
+      compact(spark, path, maxRecordsPerFile, retain)
+    }
     val cent = spark.read.parquet(s"$path/centroids").select(
       col("centroid_id").as("__cid"), col("centroid").as("__cv"),
       col("cnorm").as("__cn"))
@@ -305,8 +369,10 @@ object IvfIndex {
         .parquet(s"$path/$live")
       liveElsewhere.foreach(Checkpoints.release)
     }
-    val dels = batch.filter(col(opCol) === "delete").select(col(idCol))
-    if (!dels.isEmpty) delete(spark, path, dels, idCol)
+    // Non-update deletes apply after the adds (order irrelevant for
+    // disjoint id sets — kept for minimal-diff history); update batches
+    // already applied and folded them above.
+    if (!upsert && !dels.isEmpty) delete(spark, path, dels, idCol)
     // A long-running maintenance job otherwise accumulates one batch-sized
     // persisted frame per micro-batch until a JVM GC lets ContextCleaner
     // notice the dead RDDs ([[graft.ops.Checkpoints]] discipline).
@@ -403,7 +469,9 @@ object IvfIndex {
   def compact(
       spark: SparkSession,
       path: String,
-      maxRecordsPerFile: Long = 5000000L): Unit = {
+      maxRecordsPerFile: Long = 5000000L,
+      retain: Int = 1): Unit = {
+    require(retain >= 1, s"retain must be >= 1, got $retain")
     val cur = liveLists(spark, path)
     val conf0 = spark.sparkContext.hadoopConfiguration
     val root0 = new org.apache.hadoop.fs.Path(path)
@@ -421,20 +489,71 @@ object IvfIndex {
       case Some(t) => live.join(t, Seq("neighbor_id"), "left_anti")
       case None => live
     }
+    // An ALL-TOMBSTONED index must keep its mask instead of committing
+    // an empty tree: a partitioned overwrite of zero rows lands a
+    // `_SUCCESS` with no parquet files, and every later read of the
+    // resolved live tree dies on schema inference. The mask already
+    // hides everything, so skipping the rewrite is behavior-identical
+    // for probes (the PqIndex/MaxSimIndex all-deleted stance).
+    if (folded.isEmpty) {
+      System.err.println(s"[graft] IvfIndex.compact: every stored row " +
+        s"under $path is tombstoned — keeping the mask instead of " +
+        "committing an empty tree (append new vectors, then compact)")
+      return
+    }
     folded
       .repartition(col("list"))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("list")
       .parquet(s"$path/$next")
+    // Retention as in [[write]] (`retain` newest committed trees kept,
+    // for [[rollback]]), plus the folded generation's masks
+    // (version-keyed + legacy) as `consumed`: the committed new tree
+    // never consults them, and clearing them means a rollback restores
+    // `cur` to its PRE-delete state — rollback undoes the compact AND
+    // the deletes it folded, which is the bad-delete-shipped undo.
+    retireSuperseded(fs0, root0, path, retain,
+      consumed = Set(s"tombstones_$cur"))
+  }
+
+  /** Retire the LIVE list tree so the previous committed one serves
+    * again — possible only when the superseding [[write]]/[[compact]]
+    * ran with `retain` > 1. The restored tree serves with whatever
+    * keyed tombstones it still has: a rebuild keeps the old tree's
+    * masks (its deletes were serving state independent of the rebuild),
+    * while a completed compact cleared the masks it folded — so
+    * delete → compact(retain=2) → rollback RESURRECTS the deleted ids
+    * (the rollback undoes the delete+compact pair as one commit).
+    *
+    * Same number-reuse caveat as [[graft.ops.VersionedTree.rollback]]:
+    * the next commit re-numbers into the retired slot, so a reader that
+    * resolved the retired name pre-rollback could pair it with the
+    * recommitted tree — the single writer owns sequencing rollbacks
+    * against in-flight probes. A crash-interrupted compact (committed
+    * tree, uncleared masks) leaves the retained tree's consumed masks
+    * in place; a rollback then restores the post-delete state instead —
+    * conservative, and the stale dir is plain to delete by hand.
+    */
+  def rollback(spark: SparkSession, path: String): String = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/$cur"), true)
-    // The folded generation's masks (version-keyed + legacy) — readers
-    // of the committed new tree never consult either, so like write()'s
-    // cleanup this is garbage collection, not correctness.
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones_$cur"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val committed =
+      (if (fs.exists(root)) fs.listStatus(root).toSeq.map(_.getPath.getName)
+       else Seq.empty)
+        .filter(_.matches("lists_v\\d+"))
+        .filter(n => fs.exists(
+          new org.apache.hadoop.fs.Path(s"$path/$n/_SUCCESS")))
+        .sortBy(_.stripPrefix("lists_v").toInt)
+    require(committed.size >= 2, "rollback needs a retained previous " +
+      s"list tree under $path (found ${committed.size} committed; " +
+      "write/compact with retain > 1)")
+    val retired = committed.last
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/$retired"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$path/tombstones_$retired"), true)
+    committed(committed.size - 2)
   }
 
   /** Serve one probe batch from the stored artifact. Same output contract

@@ -165,11 +165,26 @@ object PqIndex {
     val tomb = tombstonesOpt(spark, s"$path/$live")
       .flatMap(t => Checkpoints.eagerNonEmpty(t.distinct()))
     if (tomb.isEmpty) return
+    val survivors = spark.read.parquet(s"$path/$live/lists")
+      .join(broadcast(tomb.get), Seq("neighbor_id"), "left_anti")
+    // An ALL-TOMBSTONED index keeps its mask: committing a generation
+    // whose lists dir holds zero rows would land `_GRAFT_COMMIT` over a
+    // parquet tree with no data files, and every later [[topK]] read of
+    // the resolved generation dies on schema inference
+    // (UNABLE_TO_INFER_SCHEMA). The mask already hides everything, so
+    // skipping the rewrite is probe-identical ([[IvfIndex.compact]] /
+    // MaxSimIndex.readToks stance).
+    if (survivors.isEmpty) {
+      System.err.println(s"[graft] PqIndex.compact: every stored row " +
+        s"under $path is tombstoned — keeping the mask instead of " +
+        "committing an empty generation (rebuild to repopulate)")
+      tomb.foreach(Checkpoints.release)
+      return
+    }
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     versions.commitNext(spark, path, retain) { gen =>
-      spark.read.parquet(s"$path/$live/lists")
-        .join(broadcast(tomb.get), Seq("neighbor_id"), "left_anti")
+      survivors
         .repartition(col("list"))
         .write.mode("overwrite")
         .option("maxRecordsPerFile", maxRecordsPerFile)

@@ -169,9 +169,19 @@ private[ops] final class VersionedTree(prefix: String) {
     * maintenance batches, compaction) land new generations under
     * `dstPath` and never touch `srcPath` — the experiment/tenant
     * snapshot-of-a-serving-index primitive.
+    *
+    * `dstPath` must hold no committed generation: branch is a
+    * FRESH-SNAPSHOT primitive, and committing into an existing tree
+    * would silently delete its history (commitNext's default retain=1
+    * keeps only the newest commit). Torn (uncommitted) leftovers under
+    * dstPath are fine — the clone numbers past them like any writer.
     */
   def branch(spark: SparkSession, srcPath: String,
       dstPath: String): String = {
+    require(committedVersions(spark, dstPath).isEmpty,
+      s"branch target $dstPath already holds committed $prefix " +
+        "generations — branch snapshots into a FRESH tree (branching " +
+        "over an existing index would delete its history)")
     val live = liveVersion(spark, srcPath)
     commitNext(spark, dstPath) { gen =>
       TreeClone.linkOrCopy(

@@ -593,6 +593,39 @@ object SimilarityQueries extends QueryGroup {
       probed
     }),
 
+    // Generation ROLLBACK on the IVF layout (lists_v{n} + keyed
+    // tombstones — the one index family VersionedTree does not cover),
+    // completing retention/rollback across all four persisted families:
+    // branch the shared full-corpus tree, ship a BAD delete (every
+    // vec_id ≡ 1 mod 5) and compact it with retain = 2 (the survivor
+    // rewrite commits, the pre-delete tree is kept, the folded mask is
+    // consumed), then roll back — the compacted generation retires and
+    // the probe must equal the PRISTINE full-corpus build, which is
+    // exactly what the oracle replays (the q_ann_graph_rollback
+    // stance). If rollback failed to retire the bad generation, the
+    // mod-5 ids would be missing from the beam and every hash would
+    // flip; if compact failed to retain, rollback would throw.
+    "q_ann_ivf_rollback" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val base = sharedIvfM50Path(s, dir)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_rbk_" +
+        new java.io.File(dir).getName + "_" + s.sparkContext.applicationId
+      graft.ops.IvfIndex.branch(s, base, path)
+      graft.ops.IvfIndex.delete(s, path,
+        emb.filter(pmod(col("vec_id"), lit(5)) === 1).select(col("vec_id")),
+        "vec_id")
+      graft.ops.IvfIndex.compact(s, path, retain = 2)
+      graft.ops.IvfIndex.rollback(s, path)
+      val probed = graft.ops.IvfIndex.topK(s, path,
+        emb.filter(col("vec_id") >= 30 && col("vec_id") < 60),
+        "vec_id", "embedding", k = 3, nprobe = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("int").as("rank"), (round(col("cos"), 4) + lit(0.0)).as("cos"))
+        .localCheckpoint(true) // materialize before the tree is deleted
+      deleteTree(s, path)
+      probed
+    }),
+
     // DBSCAN over LSH-bucketed eps-pairs — the SCALE path's own green
     // row: q_dbscan charges a brute eps-pair oracle side by explicit
     // choice; this query feeds Dbscan.cluster from Similarity.lshPairsMd5
@@ -1862,6 +1895,38 @@ object SimilarityQueries extends QueryGroup {
         |    row_number() OVER (PARTITION BY a.vec_id
         |      ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cid ASC) AS r
         |  FROM e a CROSS JOIN cent c WHERE a.vec_id < 30),
+        |pl AS (SELECT query_id, qv, cid AS list FROM pa WHERE r <= 3),
+        |cand AS (
+        |  SELECT pl.query_id, l.neighbor_id,
+        |    list_cosine_similarity(pl.qv, l.v) AS cos
+        |  FROM pl JOIN lists l ON pl.list = l.list
+        |  WHERE pl.query_id <> l.neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+        |  FROM cand)
+        |SELECT query_id, neighbor_id, rank, round(cos, 4) + 0.0 AS cos
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // Rollback restores the PRISTINE full-corpus tree (the bad mod-5
+    // delete and its compaction are retired together), so the oracle is
+    // the from-scratch probe over the FULL corpus — no survivor filter.
+    "q_ann_ivf_rollback" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0 AND vec_id < 12500),
+        |assign AS (
+        |  SELECT a.vec_id, a.v, c.cid,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cid ASC) AS r
+        |  FROM e a CROSS JOIN cent c),
+        |lists AS (SELECT cid AS list, vec_id AS neighbor_id, v
+        |  FROM assign WHERE r = 1),
+        |pa AS (
+        |  SELECT a.vec_id AS query_id, a.v AS qv, c.cid,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cid ASC) AS r
+        |  FROM e a CROSS JOIN cent c WHERE a.vec_id >= 30 AND a.vec_id < 60),
         |pl AS (SELECT query_id, qv, cid AS list FROM pa WHERE r <= 3),
         |cand AS (
         |  SELECT pl.query_id, l.neighbor_id,

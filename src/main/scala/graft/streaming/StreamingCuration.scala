@@ -65,13 +65,25 @@ import graft.text.TextFunctions
   * to end: the batchId guard covers the whole batch, and a redelivered
   * delete of an already-gone id is anti-join no-op at every layer.
   *
-  * Same-id delete + add in ONE batch is REJECTED (fail fast in
-  * processBatch): the corpus could express it, but the pure-mask index
-  * sinks cannot — an IVF/token delete is terminal until compact, so
-  * silently accepting the upsert would leave the re-added id live in
-  * the corpus and invisible to those indexes. Re-adding a deleted id in
-  * a LATER batch follows each index family's own resurrect contract
-  * (graph: the next maintenance batch folds; IVF/token: compact first).
+  * Same-id delete + add in ONE batch is an UPDATE, and it is supported
+  * end to end: the corpus store applies the delete first so the new
+  * content merges cleanly (an edit-in-place upsert, the reference's
+  * embed-sink contract — `src/5_post_pbs_to_discord.py:50-104`), and
+  * the sink delivery carries BOTH rows (the id tagged 'delete' plus the
+  * enriched survivor tagged 'add') so each downstream index writer can
+  * sequence its own family's recipe — the bundled maintenance writers
+  * do: the graph folds tombstone+add in one batch natively, while the
+  * pure-mask families (IVF, token) apply deletes, COMPACT inside the
+  * batch boundary, then append ([[StreamingIvfMaintenance]] /
+  * [[StreamingMaxSimMaintenance]]) — an update-carrying batch costs
+  * those sinks one survivor rewrite. A custom pure-mask sink that
+  * cannot compact mid-batch must reject the delivery itself; silently
+  * appending would leave the re-added id masked until its next compact.
+  *
+  * Rows whose op is NULL or outside {'add','delete'} FAIL the batch
+  * loudly: a null-false predicate split would silently drop them —
+  * neither applied nor surfaced — which is the one unrecoverable shape
+  * (fail-fast beats quiet data loss in a curation pipeline).
   */
 class StreamingCuration(
     corpusDir: String,
@@ -155,29 +167,23 @@ class StreamingCuration(
       val (adds, delIds) = opCol match {
         case None => (batch, None)
         case Some(oc) =>
+          // Fail fast on rows OUTSIDE the op domain before splitting: a
+          // NULL op matches neither `=== "delete"` nor `=!= "delete"`
+          // (both null-false), so without this gate such a row would be
+          // silently dropped — neither applied nor dead-lettered.
+          val bad = batch
+            .filter(col(oc).isNull || !col(oc).isin("add", "delete"))
+            .select(col(idCol), col(oc)).limit(5).collect()
+          require(bad.isEmpty, "StreamingCuration: batch carries rows " +
+            s"whose $oc is outside {'add','delete'}: " +
+            bad.map(r => s"${r.get(0)}->${r.get(1)}").mkString(", ") +
+            " — fix the feed (a null-false split would drop them " +
+            "silently)")
           val d = batch.filter(col(oc) === "delete")
             .select(col(idCol)).distinct().localCheckpoint(eager = true)
-          (batch.filter(col(oc) =!= "delete").drop(oc),
+          (batch.filter(col(oc) === "add").drop(oc),
             if (d.isEmpty) { graft.ops.Checkpoints.release(d); None }
             else Some(d))
-      }
-      // SAME-ID delete + add in ONE batch is rejected, not resolved:
-      // the corpus store could treat it as an update (deletes apply
-      // first), but the pure-mask index sinks downstream cannot — an
-      // IVF/token delete is terminal until compact, so the re-added id
-      // would be live in the corpus yet invisible to those indexes, a
-      // silent divergence. Fail fast with the supported paths instead.
-      delIds.foreach { d =>
-        val clash = adds.select(col(idCol))
-          .join(broadcast(d), Seq(idCol), "left_semi").limit(5)
-          .collect().map(_.get(0))
-        require(clash.isEmpty, "StreamingCuration: batch carries BOTH a " +
-          s"delete and an add for id(s) ${clash.mkString(", ")} — " +
-          "same-batch upserts are unsupported because pure-mask index " +
-          "sinks (IVF, token) keep a deleted id masked until compact. " +
-          "Route the re-add through a later batch after compacting the " +
-          "masked sinks, or through the graph family, whose maintenance " +
-          "folds tombstones.")
       }
       val corpusNow = (store.read(spark), delIds) match {
         case (Some(c), Some(d)) => Some(c.join(d, Seq(idCol), "left_anti"))

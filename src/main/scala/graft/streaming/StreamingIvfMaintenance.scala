@@ -25,24 +25,29 @@ import graft.ops.IvfIndex
   *
   * Life-cycle notes carried over from the batch ops, not new here: the
   * index must exist ([[IvfIndex.write]]) before the stream starts; a
-  * delete is terminal until [[IvfIndex.compact]] folds its tombstone
-  * (an add of a tombstoned id lands masked until then); appends
-  * accumulate small files per touched list, so run compact on the usual
-  * maintenance cadence — it is safe to do so between micro-batches
-  * (versioned `_SUCCESS` commit, readers and the next batch resolve the
-  * new tree).
+  * CROSS-batch delete is terminal until [[IvfIndex.compact]] folds its
+  * tombstone (an add of a tombstoned id lands masked until then), while
+  * a SAME-batch delete+add is an update the batch op sequences itself
+  * (delete → compact → add — one survivor rewrite per update-carrying
+  * batch); appends accumulate small files per touched list, so run
+  * compact on the usual maintenance cadence — it is safe to do so
+  * between micro-batches (versioned `_SUCCESS` commit, readers and the
+  * next batch resolve the new tree).
   */
 object StreamingIvfMaintenance {
 
   /** The foreachBatch body, exposed for direct (batch, id) application
-    * in tests and manual backfills.
+    * in tests and manual backfills. `retain` passes through to the
+    * compact an update-carrying batch triggers, so a retention
+    * discipline on the tree survives maintenance.
     */
   def writer(path: String, idCol: String, vecCol: String,
       opCol: String,
-      strictLiveCheck: Boolean = false): (DataFrame, Long) => Unit =
+      strictLiveCheck: Boolean = false,
+      retain: Int = 1): (DataFrame, Long) => Unit =
     (batch, _) => IvfIndex.applyMaintenanceBatch(
       batch.sparkSession, path, batch, idCol, vecCol, opCol,
-      strictLiveCheck = strictLiveCheck)
+      strictLiveCheck = strictLiveCheck, retain = retain)
 
   /** Wire a maintenance stream into the index at `path`. Caller starts
     * it: `sink(stream, path, ckpt, ...).start()`. `strictLiveCheck`
@@ -54,9 +59,11 @@ object StreamingIvfMaintenance {
   def sink(stream: DataFrame, path: String, checkpointDir: String,
       idCol: String, vecCol: String,
       opCol: String,
-      strictLiveCheck: Boolean = false): DataStreamWriter[Row] =
+      strictLiveCheck: Boolean = false,
+      retain: Int = 1): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch(writer(path, idCol, vecCol, opCol, strictLiveCheck))
+      .foreachBatch(writer(path, idCol, vecCol, opCol, strictLiveCheck,
+        retain))
 }

@@ -122,4 +122,42 @@ class BenchGatesSpec extends AnyFunSuite {
     assert(Bench.isolationOutliers(run("a" -> 9.0), Map.empty,
       contended = true).isEmpty)
   }
+
+  test("the r16 gap: two consecutive degraded runs — prev equally " +
+    "inflated, ratios vs prev ≈ 1.0 — still isolate against the " +
+    "quiet-window floor") {
+    // The r16 graded shape: 133/276 windows above load 4 yet ONE
+    // isolated row, because the rotating prev snapshot was taken in an
+    // equally bad window. With the floor (best quiet-window time, in
+    // current-host units) as the second baseline, the contended block
+    // isolates even though prev explains nothing.
+    val prev = snap("a" -> 5.8, "b" -> 3.9, "c" -> 1.0, "d" -> 1.0,
+      "e" -> 1.0, "f" -> 1.0)
+    val cur = run("a" -> 6.0, "b" -> 4.0, "c" -> 1.0, "d" -> 1.0,
+      "e" -> 1.0, "f" -> 1.0)
+    val floor = Map("a" -> 2.0, "b" -> 2.0, "c" -> 0.9, "d" -> 0.9,
+      "e" -> 0.9, "f" -> 0.9)
+    val loads = Map("a" -> 4.5, "b" -> 4.2, "c" -> 2.0, "d" -> 2.0,
+      "e" -> 2.1, "f" -> 2.0)
+    // Without the floor the gate is blind (the r16 failure)…
+    assert(Bench.isolationOutliers(cur, prev, contended = false, loads)
+      .isEmpty)
+    // …with it, exactly the contended block isolates; the quiet rows
+    // stay out even though they too sit above their floor ratio-wise
+    // only when > 1.4x (c..f are 1.11x — in-band).
+    val out = Bench.isolationOutliers(cur, prev, contended = false, loads,
+      hostRatio = 1.0, floorTimes = floor)
+    assert(out.map(_._1) == Seq("a", "b"), out)
+  }
+
+  test("the floor never raises the baseline: a floor above prev is " +
+    "ignored in favor of the smaller prev") {
+    val prev = snap("a" -> 1.0)
+    val floor = Map("a" -> 3.0)
+    // 1.5 is 1.5x prev but 0.5x floor — min(prev, floor) = prev governs,
+    // and under recorded contention the 1.5x fires.
+    val out = Bench.isolationOutliers(run("a" -> 1.5), prev,
+      contended = true, Map.empty, hostRatio = 1.0, floorTimes = floor)
+    assert(out.map(_._1) == Seq("a"))
+  }
 }

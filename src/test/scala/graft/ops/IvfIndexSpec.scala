@@ -316,6 +316,134 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
       .filter(col("neighbor_id") === 9000L).count() == 1L)
   }
 
+  test("retention + rollback: compact(retain=2) keeps the previous tree, " +
+      "rollback retires the compacted one and RESURRECTS the folded " +
+      "deletes; a second rollback has no history and refuses") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("ivf_rollback").toString
+    IvfIndex.write(path, corpus, "vec_id", "embedding", codebook)
+    val pristine = canon(IvfIndex.topK(spark, path, probes, "vec_id",
+      "embedding", k = 4, nprobe = 2))
+    // The bad delete that shipped: mod-5 ids gone, then compacted.
+    IvfIndex.delete(spark, path,
+      corpus.filter(col("vec_id") % 5 === 2).select("vec_id"), "vec_id")
+    IvfIndex.compact(spark, path, retain = 2)
+    // Two committed trees on disk; the previous one kept its bytes but
+    // its consumed mask is cleared.
+    val trees = new java.io.File(path).listFiles()
+      .map(_.getName).filter(_.matches("lists_v\\d+"))
+    assert(trees.length == 2, trees.toSeq)
+    assert(!new java.io.File(path).listFiles()
+      .exists(_.getName.startsWith("tombstones")))
+    val masked = canon(IvfIndex.topK(spark, path, probes, "vec_id",
+      "embedding", k = 4, nprobe = 2))
+    assert(masked != pristine)
+    // Rollback: the compacted generation retires, the pre-delete tree
+    // serves again — probe equals the pristine build exactly.
+    IvfIndex.rollback(spark, path)
+    assert(canon(IvfIndex.topK(spark, path, probes, "vec_id",
+      "embedding", k = 4, nprobe = 2)) == pristine)
+    // No retained history left: a second rollback must refuse.
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.rollback(spark, path)
+    }
+    assert(e.getMessage.contains("retain"))
+    // Default retain=1 keeps no history either.
+    val p1 = Files.createTempDirectory("ivf_rollback_r1").toString
+    IvfIndex.write(p1, corpus, "vec_id", "embedding", codebook)
+    IvfIndex.delete(spark, p1, Seq(2L).toDF("vec_id"), "vec_id")
+    IvfIndex.compact(spark, p1)
+    assert(intercept[IllegalArgumentException] {
+      IvfIndex.rollback(spark, p1)
+    }.getMessage.contains("retain"))
+  }
+
+  test("write(retain=2) keeps the previous tree WITH its masks: rolling " +
+      "back a bad rebuild restores the exact pre-rebuild serving state") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("ivf_rebuild_rbk").toString
+    IvfIndex.write(path, corpus, "vec_id", "embedding", codebook)
+    // Intentional serving-state delete BEFORE the rebuild.
+    IvfIndex.delete(spark, path,
+      corpus.filter(col("vec_id") % 5 === 2).select("vec_id"), "vec_id")
+    val served = canon(IvfIndex.topK(spark, path, probes, "vec_id",
+      "embedding", k = 4, nprobe = 2))
+    // The bad rebuild: half the corpus went missing upstream.
+    IvfIndex.write(path, corpus.filter(col("vec_id") < 120),
+      "vec_id", "embedding", codebook, retain = 2)
+    assert(canon(IvfIndex.topK(spark, path, probes, "vec_id",
+      "embedding", k = 4, nprobe = 2)) != served)
+    IvfIndex.rollback(spark, path)
+    // Pre-rebuild state EXACTLY — including the intentional mask.
+    assert(canon(IvfIndex.topK(spark, path, probes, "vec_id",
+      "embedding", k = 4, nprobe = 2)) == served)
+  }
+
+  test("branch refuses a dst that already holds an index") {
+    val src = Files.createTempDirectory("ivf_branch_src").toString
+    IvfIndex.write(src, corpus, "vec_id", "embedding", codebook)
+    val dst = Files.createTempDirectory("ivf_branch_dst").toString
+    IvfIndex.write(dst, corpus.filter(col("vec_id") < 60),
+      "vec_id", "embedding", codebook)
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.branch(spark, src, dst)
+    }
+    assert(e.getMessage.contains("FRESH"))
+    // An absent dst is fine (the normal path).
+    val ok = s"${Files.createTempDirectory("ivf_branch_ok").toString}/t"
+    IvfIndex.branch(spark, src, ok)
+    assert(canon(IvfIndex.topK(spark, ok, probes, "vec_id",
+      "embedding", k = 4, nprobe = 2)).nonEmpty)
+  }
+
+  test("compact of a fully-tombstoned index keeps the mask instead of " +
+      "committing an unreadable empty tree") {
+    val path = Files.createTempDirectory("ivf_all_gone").toString
+    IvfIndex.write(path, corpus, "vec_id", "embedding", codebook)
+    val before = IvfIndex.liveLists(spark, path)
+    IvfIndex.delete(spark, path, corpus.select("vec_id"), "vec_id")
+    IvfIndex.compact(spark, path)
+    // No new generation committed; probes still answer (zero rows).
+    assert(IvfIndex.liveLists(spark, path) == before)
+    assert(IvfIndex.topK(spark, path, probes, "vec_id", "embedding",
+      k = 3, nprobe = 2).count() == 0L)
+  }
+
+  test("maintenance batch with same-id delete+add is an UPDATE: the new " +
+      "vector serves, replay converges") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("ivf_maint_upd").toString
+    IvfIndex.write(path, corpus, "vec_id", "embedding", codebook)
+    // Update id 7 (stored under cluster 1) to a cluster-4 vector, and
+    // delete id 11, in one batch.
+    val newVec = Array.tabulate(dims)(d => if (d == 4) 10.0 else 0.0)
+    val batch = Seq(
+      (7L, null.asInstanceOf[Array[Double]], "delete"),
+      (7L, newVec, "add"),
+      (11L, null.asInstanceOf[Array[Double]], "delete"))
+      .toDF("vec_id", "embedding", "op")
+    IvfIndex.applyMaintenanceBatch(spark, path, batch,
+      "vec_id", "embedding", "op")
+    def state() = canon(IvfIndex.topK(spark, path, probes, "vec_id",
+      "embedding", k = 4, nprobe = 2))
+    // Equal to a from-scratch build over the updated corpus.
+    val scratch = Files.createTempDirectory("ivf_maint_upd_s").toString
+    val updated = corpus.filter(col("vec_id") =!= 7L && col("vec_id") =!= 11L)
+      .unionByName(Seq((7L, newVec)).toDF("vec_id", "embedding"))
+    IvfIndex.write(scratch, updated, "vec_id", "embedding", codebook)
+    val want = canon(IvfIndex.topK(spark, scratch, probes, "vec_id",
+      "embedding", k = 4, nprobe = 2))
+    assert(state() == want && want.nonEmpty)
+    // The stored tree holds exactly ONE live copy of 7 (the new vector,
+    // not a masked duplicate pair).
+    assert(spark.read.parquet(s"$path/${IvfIndex.liveLists(spark, path)}")
+      .filter(col("neighbor_id") === 7L).count() == 1L)
+    // At-least-once replay of the whole batch converges.
+    IvfIndex.applyMaintenanceBatch(spark, path, batch,
+      "vec_id", "embedding", "op")
+    assert(state() == want)
+  }
+
   test("probe plan is eligible for dynamic partition pruning") {
     val path = Files.createTempDirectory("ivf_dpp").toString
     IvfIndex.write(path, corpus, "vec_id", "embedding", codebook)

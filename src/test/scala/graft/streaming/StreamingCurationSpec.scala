@@ -179,31 +179,70 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTestBase {
     assert(ids.toSeq == Seq(0L, 1L) && cur.committedBatchId == 1L)
   }
 
-  test("CDC: same-batch delete + add of one id is rejected loudly " +
-    "(pure-mask index sinks cannot express the upsert)") {
+  test("CDC: same-batch delete + add of one id is an UPDATE — the old " +
+    "content leaves the corpus, the new content lands, and the sink " +
+    "delivery carries both rows") {
     import spark.implicits._
     val cur = curationOn(
       java.nio.file.Files.createTempDirectory("cur_cdc").toString)
-    val batch = Seq(
-      (1L, "u1", base, t("2024-01-01 10:00:00"), "add"),
-      (1L, "u1", "", t("2024-01-01 10:00:01"), "delete"),
-      (2L, "u2", unrelated, t("2024-01-01 10:00:02"), "add"))
-      .toDF("doc_id", "user", "text", "ts", "op")
+    // Batch 0 seeds the corpus with 1 (base) and 2 (unrelated).
+    cur.processBatch(Seq(
+        (1L, "u1", base, t("2024-01-01 10:00:00"), "add"),
+        (2L, "u2", unrelated, t("2024-01-01 10:00:02"), "add"))
+        .toDF("doc_id", "user", "text", "ts", "op"),
+      0L, build(spark), Seq("user"), "price_ts", Seq("price"),
+      opCol = Some("op"))((_, _) => ())
+    assert(cur.committedBatchId == 0L)
+    // Batch 1: UPDATE doc 1 (delete + add with new text, one batch).
+    var delivered: Array[Row] = Array.empty
+    cur.processBatch(Seq(
+        (1L, "u1", "", t("2024-01-01 10:10:00"), "delete"),
+        (1L, "u1", fresh, t("2024-01-01 10:10:01"), "add"))
+        .toDF("doc_id", "user", "text", "ts", "op"),
+      1L, build(spark), Seq("user"), "price_ts", Seq("price"),
+      opCol = Some("op"))((df, _) => delivered = df.collect())
+    assert(cur.committedBatchId == 1L)
+    // The delivery carries BOTH rows — the downstream index writers
+    // sequence their own family's recipe from exactly this frame.
+    val ops = delivered.map(r =>
+      (r.getLong(r.fieldIndex("doc_id")), r.getString(r.fieldIndex("op"))))
+      .toSet
+    assert(ops == Set((1L, "delete"), (1L, "add")), ops.toString)
+    // Corpus: doc 1 now holds the NEW text (old digest gone, so the new
+    // content neither exact- nor near-dup-blocked by the dead row).
+    val texts = cur.corpus(spark).get.select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(texts.keySet == Set(1L, 2L))
+    assert(texts(1L) == fresh)
+    // A no-op update (identical content) round-trips too: the dead
+    // row's digest must not block its own re-add.
+    cur.processBatch(Seq(
+        (1L, "u1", "", t("2024-01-01 10:20:00"), "delete"),
+        (1L, "u1", fresh, t("2024-01-01 10:20:01"), "add"))
+        .toDF("doc_id", "user", "text", "ts", "op"),
+      2L, build(spark), Seq("user"), "price_ts", Seq("price"),
+      opCol = Some("op"))((_, _) => ())
+    assert(cur.corpus(spark).get.filter(col("doc_id") === 1L).count() == 1L)
+  }
+
+  test("CDC: rows whose op is NULL or outside {'add','delete'} fail " +
+    "the batch loudly instead of silently vanishing in the split") {
+    import spark.implicits._
+    val cur = curationOn(
+      java.nio.file.Files.createTempDirectory("cur_cdc_bad").toString)
     var sank = 0
-    val e = intercept[IllegalArgumentException] {
-      cur.processBatch(batch, 0L, build(spark), Seq("user"), "price_ts",
-        Seq("price"), opCol = Some("op"))((_, _) => sank += 1)
-    }
-    assert(e.getMessage.contains("delete and an add"))
-    assert(sank == 0, "sink must not fire on a rejected batch")
-    assert(cur.committedBatchId == -1L, "rejected batch must not commit")
-    // Distinct ids in the same batch stay fine: delete of a not-yet-
-    // stored id is a no-op event, the add lands.
-    cur.processBatch(batch.filter(org.apache.spark.sql.functions
-        .col("doc_id") =!= 1L), 0L, build(spark), Seq("user"), "price_ts",
-      Seq("price"), opCol = Some("op"))((_, _) => sank += 1)
-    assert(sank == 1 && cur.committedBatchId == 0L)
-    assert(cur.corpus(spark).get.select("doc_id")
-      .collect().map(_.getLong(0)).toSet == Set(2L))
+    def attempt(op: Option[String]): IllegalArgumentException =
+      intercept[IllegalArgumentException] {
+        cur.processBatch(Seq(
+            (1L, "u1", base, t("2024-01-01 10:00:00"), "add"),
+            (2L, "u2", unrelated, t("2024-01-01 10:00:01"), op.orNull))
+            .toDF("doc_id", "user", "text", "ts", "op"),
+          0L, build(spark), Seq("user"), "price_ts", Seq("price"),
+          opCol = Some("op"))((_, _) => sank += 1)
+      }
+    assert(attempt(None).getMessage.contains("outside {'add','delete'}"))
+    assert(attempt(Some("upsert")).getMessage.contains("2->upsert"))
+    assert(sank == 0, "sink must not fire on a failed batch")
+    assert(cur.committedBatchId == -1L, "failed batch must not commit")
   }
 }

@@ -308,5 +308,73 @@ class StreamingFlagshipSpec extends AnyFunSuite with SparkTestBase {
     assert(edgeSet() == bruteSurv)
     assert(probeSurvIvf(ivfPath) == probeSurvIvf(scratchSurv))
     assert(msNow() == wantSurv)
+
+    // ------------------------------------------------ update CDC leg
+    // Batch D: same-id delete + add in ONE batch — a document UPDATE
+    // (new text, re-embedded vector). The curation layer treats it as
+    // delete-first-then-add; each index writer sequences its own
+    // family's recipe (graph: tombstone+fold; IVF/token: delete →
+    // compact inside the batch → append). Afterward every read-back
+    // must serve doc 6's NEW state — not the old one, not both.
+    val updText = "volunteer stewards chart the slow return of native " +
+      "orchids across a rewilded quarry floor and debate grazing " +
+      "schedules with the neighbouring farm over strong tea each spring"
+    def vecU(i: Long): Array[Double] = vec(i + 40L)
+    mem.addData(
+      (6L, "u1", "", t("2024-01-01 10:30:00"),
+        null.asInstanceOf[Array[Double]], "delete"),
+      (6L, "u1", updText, t("2024-01-01 10:30:01"), vecU(6L), "add"))
+    val q4 = start()
+    q4.processAllAvailable(); q4.stop()
+
+    assert(cur.corpus(spark).get
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+      .get(6L).contains(updText), "corpus must hold doc 6's NEW text")
+    val vecOf = (i: Long) => if (i == 6L) vecU(6L) else vec(i)
+    val corpusUpd = surv.map(i => (i, vecOf(i)))
+      .toDF("doc_id", "embedding")
+    // Graph: edges equal brute top-k over the UPDATED corpus.
+    val bruteUpd = Similarity.bruteForceTopK(corpusUpd, corpusUpd,
+        "doc_id", "embedding", k = K)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edgeSet() == bruteUpd,
+      s"missing=${(bruteUpd -- edgeSet()).take(5)} extra=${(edgeSet() -- bruteUpd).take(5)}")
+    // IVF: probes equal a from-scratch build over the updated corpus —
+    // the writer compacted the delete inside the batch, so the new
+    // vector is LIVE, not masked.
+    val scratchUpd = s"$root/ivf_scratch_upd"
+    IvfIndex.write(scratchUpd, corpusUpd, "doc_id", "embedding", cent)
+    def probeUpdIvf(p: String) = IvfIndex.topK(spark, p, corpusUpd,
+        "doc_id", "embedding", k = K, nprobe = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(probeUpdIvf(ivfPath) == probeUpdIvf(scratchUpd))
+    // Token index: probes equal the inline scorer over the updated
+    // tokens (doc 6's OLD tokens folded away, new ones live).
+    val toksUpd = (for { i <- Seq(3L, 6L, 7L); p <- 0 until 3 }
+      yield (i, p, vecOf(i).slice(4 * p, 4 * p + 4)))
+      .toDF("doc_id", "pos", "tv")
+    val probesD = toksUpd.filter(col("doc_id").isin(3L, 6L))
+    def msUpd() = canon(MaxSimIndex.topK(spark, msPath, probesD,
+      "doc_id", "pos", "tv", k = K, tokenK = 4, simPrecision = 6))
+    val wantUpd = canon(MaxSim.topKViaAnnMd5(probesD, toksUpd,
+      "doc_id", "pos", "tv", k = K, dims = 4, tokenK = 4, numPlanes = 3,
+      tables = 2, simPrecision = 6))
+    assert(msUpd() == wantUpd && wantUpd.nonEmpty)
+
+    // Replay safety: a redelivered UPDATE frame (crash between sink and
+    // commit) converges on CONTENT — the pure-mask writers re-run the
+    // delete→compact→append chain, so generations may advance, but
+    // every read-back is unchanged.
+    val taggedD = corpusUpd.filter(col("doc_id") === 6L)
+      .withColumn("op", lit("add"))
+      .unionByName(Seq((6L, "delete")).toDF("doc_id", "op"),
+        allowMissingColumns = true)
+    sink(taggedD, 3L)
+    assert(edgeSet() == bruteUpd)
+    assert(probeUpdIvf(ivfPath) == probeUpdIvf(scratchUpd))
+    assert(msUpd() == wantUpd)
   }
 }
