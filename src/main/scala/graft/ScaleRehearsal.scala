@@ -73,7 +73,13 @@ object ScaleRehearsal {
     // shared builds these consumers resolve now get their own
     // `build:<tree>` rows (sharedBuildsOf), so every consumer row is
     // probe-vs-probe.
-    "q_ann_ivfpq_delete")
+    "q_ann_ivfpq_delete",
+    // r17 additions: the lifecycle newcomers the r16 verdict flagged as
+    // exponent-less — graph generation rollback (branch + bad
+    // maintenance commit + rollback + walk), the PQ compact (survivor
+    // rewrite under CLONED codebooks), and the IVF rollback (branch +
+    // bad delete + retained compact + rollback + probe).
+    "q_ann_graph_rollback", "q_ann_ivfpq_compact", "q_ann_ivf_rollback")
 
   /** The skew-rehearsal set: the queries whose scale story depends on a
     * HOT KEY surviving — as-of auto-routing, per-group rank windows,
@@ -405,33 +411,69 @@ object ScaleRehearsal {
 
   // ------------------------------------------------------------ branch-cost
 
-  /** Measures the claim [[graft.ops.VersionedTree.branch]] makes: a
-    * branch is METADATA work (hard links), so its cost tracks the FILE
-    * COUNT of the live generation, not the data size — branching a
-    * 10×-bigger index must cost ≈ the same wall time. Builds the shared
-    * boosted graph on both dirs (via the real SharedGraphs path),
-    * times a branch of each, and reports (t, files, bytes) so the
+  /** Measures the claim [[graft.ops.VersionedTree.branch]] makes across
+    * ALL FOUR persisted index families: a branch is METADATA work (hard
+    * links), so its cost tracks the FILE COUNT of the cloned tree, not
+    * the data size — branching a 10×-bigger index must cost ≈ the same
+    * wall time. The families have genuinely different file-count shapes
+    * (graph: a handful of part files per generation; IVF and PQ:
+    * one-file-per-Voronoi-cell partitioned lists — hundreds of inodes;
+    * maxsim: per-table token partitions), which is exactly why one
+    * measured row per family is needed rather than extrapolating from
+    * the graph. Shared trees build through the real SharedGraphs path;
+    * the token index (no shared family) builds the q_maxsim_index
+    * fixture inline. Reports (t, files, bytes) per (family, dir) so
     * flatness is checkable against the size growth.
     */
   def branchCost(spark: SparkSession, base: String, big: String): Unit = {
-    val builder = graft.queries.SimilarityQueries.sharedBuilders("boosted")
     val appId = spark.sparkContext.applicationId
-    for ((dir, tag) <- Seq((base, "base"), (big, "big"))) {
-      val src = builder(spark, dir)
-      val live = graft.ops.GraphIndex.liveVersion(spark, src)
-      def stats(f: java.io.File): (Long, Long) =
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty)
-            .map(stats).foldLeft((0L, 0L)) { case ((a, b), (c, d)) =>
-              (a + c, b + d) }
-        else (1L, f.length())
-      val (files, bytes) = stats(new java.io.File(s"$src/$live"))
-      val dst = s"${System.getProperty("java.io.tmpdir")}/" +
-        s"graft_gidx_brc_${tag}_$appId"
-      val t = time(graft.ops.GraphIndex.branch(spark, src, dst))
-      println(f"""{"op":"branch","dir":"$tag","t":$t%.3f,"files":$files,"bytes":$bytes}""")
+    val tmp = System.getProperty("java.io.tmpdir")
+    def stats(f: java.io.File): (Long, Long) =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .map(stats).foldLeft((0L, 0L)) { case ((a, b), (c, d)) =>
+            (a + c, b + d) }
+      else (1L, f.length())
+    def maxsimSrc(dir: String): String = {
+      val p = s"$tmp/graft_gidx_brcms_${new java.io.File(dir).getName}_$appId"
+      if (!new java.io.File(p).exists()) {
+        val toks = Tables.embeddings(spark, dir)
+          .filter(col("embedding").isNotNull)
+          .select(col("vec_id"), posexplode(array((0 until 4).map(t =>
+            slice(col("embedding").cast("array<double>"),
+              t * 16 + 1, 16)): _*)).as(Seq("pos", "tv")))
+        graft.ops.MaxSimIndex.write(spark, p, toks, "vec_id", "pos", "tv",
+          dims = 16, numPlanes = 4, tables = 2)
+      }
+      p
+    }
+    val sims = graft.queries.SimilarityQueries.sharedBuilders
+    val mls = graft.queries.MlQueries.sharedBuilders
+    val families: Seq[(String, String => String,
+        (String, String) => Unit)] = Seq(
+      ("graph", dir => sims("boosted")(spark, dir),
+        (s, d) => graft.ops.GraphIndex.branch(spark, s, d)),
+      ("ivf", dir => sims("ivf_m50")(spark, dir),
+        (s, d) => graft.ops.IvfIndex.branch(spark, s, d)),
+      ("pq", dir => mls("pq_m25")(spark, dir),
+        (s, d) => graft.ops.PqIndex.branch(spark, s, d)),
+      ("maxsim", maxsimSrc _,
+        (s, d) => graft.ops.MaxSimIndex.branch(spark, s, d)))
+    for ((fam, srcOf, doBranch) <- families;
+        (dir, tag) <- Seq((base, "base"), (big, "big"))) {
+      val src = srcOf(dir)
+      // Stats over the WHOLE source tree: every family's branch clones
+      // its full live state (generation dirs, centroids, pending masks),
+      // so the source's inode count is the work the claim bounds.
+      val (files, bytes) = stats(new java.io.File(src))
+      val dst = s"$tmp/graft_gidx_brc_${fam}_${tag}_$appId"
+      val t = time(doBranch(src, dst))
+      println(f"""{"op":"branch","family":"$fam","dir":"$tag","t":$t%.3f,"files":$files,"bytes":$bytes}""")
       graft.ops.LocalFs.deleteRecursively(new java.io.File(dst))
     }
+    for (dir <- Seq(base, big))
+      graft.ops.LocalFs.deleteRecursively(new java.io.File(
+        s"$tmp/graft_gidx_brcms_${new java.io.File(dir).getName}_$appId"))
   }
 
   // ------------------------------------------------------------- graph-skew
@@ -688,6 +730,7 @@ object ScaleRehearsal {
     "q_ann_graph_rollback" -> Seq("boosted_even"),
     "q_ann_ivf_persist" -> Seq("ivf_m50"),
     "q_ann_ivf_delete" -> Seq("ivf_m50"),
+    "q_ann_ivf_rollback" -> Seq("ivf_m50"),
     "q_ann_ivfpq_persist" -> Seq("pq_m25"),
     "q_ann_ivfpq_delete" -> Seq("pq_m25"),
     "q_ann_ivfpq_compact" -> Seq("pq_m25"))
