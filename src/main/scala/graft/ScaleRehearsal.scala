@@ -77,9 +77,12 @@ object ScaleRehearsal {
     // r17 additions: the lifecycle newcomers the r16 verdict flagged as
     // exponent-less — graph generation rollback (branch + bad
     // maintenance commit + rollback + walk), the PQ compact (survivor
-    // rewrite under CLONED codebooks), and the IVF rollback (branch +
-    // bad delete + retained compact + rollback + probe).
-    "q_ann_graph_rollback", "q_ann_ivfpq_compact", "q_ann_ivf_rollback")
+    // rewrite under CLONED codebooks), the IVF rollback (branch + bad
+    // delete + retained compact + rollback + probe), and the
+    // frozen-codebook PQ append (fit + even-half build + odd-half
+    // encode/route/append + probe — its own chain, no shared tree).
+    "q_ann_graph_rollback", "q_ann_ivfpq_compact", "q_ann_ivf_rollback",
+    "q_ann_ivfpq_upsert")
 
   /** The skew-rehearsal set: the queries whose scale story depends on a
     * HOT KEY surviving — as-of auto-routing, per-group rank windows,

@@ -39,11 +39,17 @@ import graft.ml.Pq.PqModel
   * result (`q_ann_ivfpq_persist` shares `q_ivf_pq_topk`'s oracle
   * verbatim, the q_ann_ivf_persist stance).
   *
-  * APPENDS: rebuild. A PQ artifact is refit-coupled on the way IN —
-  * appending vectors under a stale codebook silently degrades codes,
-  * and the coarse cells shift with the corpus; the honest incremental
-  * story for adds at this layer is [[IvfIndex]] (flat vectors,
-  * stored-codebook append + tombstones).
+  * APPENDS under FROZEN codebooks ([[append]] — FAISS
+  * `IndexIVFPQ.add`): the delta is PQ-encoded with the STORED model and
+  * routed with the STORED coarse centroids, landing files only under
+  * the touched `list=` dirs. Exact by construction — a probe of
+  * old ∪ delta equals a from-scratch build over old ∪ delta under the
+  * same codebooks (`q_ann_ivfpq_upsert` gates that equality by
+  * oracle). What stays refit-coupled is RECALL, not correctness: a
+  * drifted delta quantizes worse under stale codebooks (larger ADC
+  * error) and the coarse cells stop matching the corpus — periodic
+  * refit + [[write]] remains the freshness cadence; append is the
+  * between-rebuilds path.
   *
   * DELETES need no refit — removing rows leaves every stored code and
   * both codebooks exactly valid — so the [[MaxSimIndex]] pure-mask
@@ -59,8 +65,10 @@ import graft.ml.Pq.PqModel
   * that equality by oracle) — and [[compact]] folds the mask into a
   * rewritten generation whose centroids and model are CLONED, not
   * refit (re-quantizing on a delete would silently move every
-  * surviving code). Until a rebuild, a deleted id is terminal — there
-  * is no append to resurrect it through.
+  * surviving code). A deleted id is terminal until [[compact]] folds
+  * its mask ([[IvfIndex]]'s stance): re-[[append]]ing it earlier lands
+  * rows that stay masked and that the next compact drops — resurrect =
+  * compact first, then append.
   *
   * Single-writer, like every index here.
   */
@@ -110,6 +118,43 @@ object PqIndex {
         .partitionBy("list").parquet(s"$gen/lists")
       writeModel(spark, gen, model)
     }: Unit
+  }
+
+  /** Append a delta of NEW corpus vectors under the live generation's
+    * FROZEN codebooks (see the object doc): stored-model PQ encode +
+    * stored-centroid routing, append-mode partitioned write touching
+    * only the delta's cells — one columnar row per vector carrying
+    * (pq_code, vec, vnorm) exactly as [[write]] lays it out, so ADC
+    * and rerank serve appended rows indistinguishably from built ones.
+    *
+    * Contract mirrors [[IvfIndex.append]]: delta ids must be NEW —
+    * never currently stored (append, not upsert) and never
+    * tombstoned-but-uncompacted (the mask wins until [[compact]], which
+    * then drops the re-appended copy too; resurrect = compact, then
+    * append). Appends land in the LIVE generation with no version
+    * swap, so a crash mid-append leaves a torn delta — recovery is
+    * delete-the-delta-ids → compact → re-append. Small files
+    * accumulate per touched cell; compact on the usual cadence.
+    */
+  def append(spark: SparkSession, path: String, delta: DataFrame,
+      idCol: String, vecCol: String,
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    val live = liveVersion(spark, path)
+    val model = readModel(spark, s"$path/$live")
+    val cent = spark.read.parquet(s"$path/$live/centroids").select(
+      col("centroid_id").as("__cid"), col("centroid").as("__cv"),
+      col("cnorm").as("__cn"))
+    val lists = Similarity.invertedLists(delta, idCol, vecCol, cent)
+    val codes = Pq.encode(delta, idCol, vecCol, model)
+      .select(col(idCol).as("neighbor_id"), col("pq_code"))
+    lists.join(codes, Seq("neighbor_id"))
+      .select(col("__list").as("list"), col("neighbor_id"),
+        col("pq_code"), col("__nv").as("vec"), col("__nn").as("vnorm"))
+      .repartition(col("list"))
+      .write.mode("append")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("list")
+      .parquet(s"$path/$live/lists")
   }
 
   /** Live tombstoned doc ids under a generation dir, None when never

@@ -187,10 +187,51 @@ object MlQueries extends QueryGroup {
           (round(col("cos"), 4) + lit(0.0)).as("cos"))
     }),
 
+    // Incremental IVF-PQ maintenance under FROZEN codebooks (FAISS
+    // IndexIVFPQ.add): build the persisted tree over the EVEN half with
+    // the full-corpus-fit model and the %25 coarse codebook, APPEND the
+    // odd half (stored-model encode + stored-centroid routing,
+    // append-mode write touching only the delta's cells), probe — the
+    // final lists equal a full-corpus build's under the same codebooks,
+    // so the oracle is q_ann_ivfpq_persist's verbatim. What append does
+    // NOT buy is codebook freshness: a drifted delta quantizes worse
+    // under stale codebooks (recall, not correctness) — refit+rebuild
+    // stays the cadence; this is the between-rebuilds path.
+    "q_ann_ivfpq_upsert" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = Pq.fit(emb, "vec_id", "embedding",
+        dims = 64, m = 4, k = 4, iterations = 2)
+      val cent = emb.filter(col("embedding").isNotNull)
+        .filter(pmod(col("vec_id"), lit(25)) === 0 &&
+          col("vec_id") < 12500)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_pqidx_ups_" +
+        new java.io.File(dir).getName + "_" + s.sparkContext.applicationId
+      graft.ops.PqIndex.write(s, path,
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", cent, model)
+      graft.ops.PqIndex.append(s, path,
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding")
+      val out = graft.ops.PqIndex.topK(s, path,
+          emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          k = 5, candidateK = 20, nprobe = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          (round(col("cos"), 4) + lit(0.0)).as("cos"))
+        .localCheckpoint(true) // materialize before the tree is deleted
+      try {
+        val pp = new org.apache.hadoop.fs.Path(path)
+        pp.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(pp, true)
+      } catch { case _: Exception => () }
+      out
+    }),
+
     // Tombstone deletes on the persisted IVF-PQ index — the last of the
     // four persisted families to get the delete life cycle (deletes
     // need no refit: removing rows leaves every stored code and both
-    // codebooks valid, unlike appends, which stay rebuild-only).
+    // codebooks valid; appends encode under the frozen codebooks).
     // BRANCH the shared tree (hard-linked snapshot — no rebuild, no
     // contact with what q_ann_ivfpq_persist reads), tombstone every
     // vec_id ≡ 3 (mod 7), probe: the mask lands BEFORE the ADC
@@ -1049,6 +1090,9 @@ object MlQueries extends QueryGroup {
     "q_ivf_pq_topk" -> ivfPqTopkSqlOf(""),
     // Persistence must be invisible: identical oracle.
     "q_ann_ivfpq_persist" -> ivfPqTopkSqlOf(""),
+    // Even-half build + frozen-codebook append of the odd half lands on
+    // exactly the full-corpus lists under the same model/centroids.
+    "q_ann_ivfpq_upsert" -> ivfPqTopkSqlOf(""),
     // Delete ≡ survivors-only build under the SAME codebooks: only the
     // stored lists gain the survivor filter (see ivfPqTopkSqlOf).
     "q_ann_ivfpq_delete" -> ivfPqTopkSqlOf(" AND vec_id % 7 <> 3"),

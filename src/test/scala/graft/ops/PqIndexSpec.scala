@@ -222,6 +222,66 @@ class PqIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(probe(base) == baseWant, "branch compact leaked into the base")
   }
 
+  test("append under frozen codebooks ≡ full build under the same " +
+    "codebooks; untouched cells keep their files; masked ids stay " +
+    "masked until compact, then re-append resurrects") {
+    val c = corpus(96)
+    val model = Pq.fit(c, "vec_id", "embedding", dims = 16, m = 4,
+      k = 4, iterations = 2)
+    val cent = c.filter(pmod(col("vec_id"), lit(12)) === 0)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("centroid"))
+    val path = Files.createTempDirectory("pq_idx_app").toString
+    // Build EVEN half, append ODD half under the stored codebooks.
+    PqIndex.write(spark, path, c.filter(pmod(col("vec_id"), lit(2)) === 0),
+      "vec_id", "embedding", cent, model)
+    val live = PqIndex.liveVersion(spark, path)
+    // Cells the odd delta does NOT touch must keep their files
+    // byte-identical (append-mode partitioned write).
+    def fileSet(): Set[String] = {
+      val out = scala.collection.mutable.Set.empty[String]
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
+        else if (f.getName.endsWith(".parquet")) out += f.getPath
+      walk(new java.io.File(s"$path/$live/lists")); out.toSet
+    }
+    val before = fileSet()
+    PqIndex.append(spark, path,
+      c.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id", "embedding")
+    assert(before.subsetOf(fileSet()),
+      "append rewrote files of the built half")
+    val probes = c.filter(pmod(col("vec_id"), lit(7)) === 0)
+    val want = canon(Similarity.ivfPqTopK(probes, c,
+      Pq.encode(c, "vec_id", "embedding", model),
+      "vec_id", "embedding", model, k = 3, candidateK = 12,
+      centroidMod = 12, nprobe = 2))
+    def got() = canon(PqIndex.topK(spark, path, probes,
+      "vec_id", "embedding", k = 3, candidateK = 12, nprobe = 2))
+    assert(got() == want && want.nonEmpty)
+    // Delete a slice, then re-append it WITHOUT compacting: the mask
+    // wins (re-appended rows stay invisible), and the next compact
+    // drops the re-appended copy with the mask.
+    val deadPred = pmod(col("vec_id"), lit(4)) === 1
+    val dead = c.filter(deadPred)
+    PqIndex.delete(spark, path, dead.select("vec_id"), "vec_id")
+    val surv = c.filter(!deadPred)
+    val wantSurv = canon(Similarity.ivfPqTopK(probes, surv,
+      Pq.encode(surv, "vec_id", "embedding", model),
+      "vec_id", "embedding", model, k = 3, candidateK = 12,
+      centroidMod = 12, nprobe = 2))
+    PqIndex.append(spark, path, dead, "vec_id", "embedding")
+    assert(got() == wantSurv, "re-append before compact must stay masked")
+    PqIndex.compact(spark, path)
+    assert(got() == wantSurv, "compact must drop the masked re-append")
+    assert(spark.read.parquet(
+        s"$path/${PqIndex.liveVersion(spark, path)}/lists")
+      .filter(pmod(col("neighbor_id"), lit(4)) === 1).count() == 0)
+    // Resurrect contract: compact (mask folded), THEN append.
+    PqIndex.append(spark, path, dead, "vec_id", "embedding")
+    assert(got() == want, "append after compact must resurrect")
+  }
+
   test("a torn generation stays invisible; a committed rebuild retires it") {
     val c = corpus(48)
     val model = Pq.fit(c, "vec_id", "embedding", dims = 16, m = 2,

@@ -74,45 +74,67 @@ class StreamingMaxSimMaintenanceSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want && got.nonEmpty)
   }
 
-  test("opCol: delete rows tombstone the whole doc, deletes are " +
-    "terminal until compact, replayed batch appends nothing") {
+  test("opCol: delete rows tombstone the whole doc; a SAME-batch " +
+    "delete+add is an UPDATE (delete -> compact -> append) and replay " +
+    "converges; a CROSS-batch re-add stays masked until compact") {
     val path = Files.createTempDirectory("msidx_cdc").toString
     MaxSimIndex.write(spark, path, toksDf(0L until 24L),
       "id", "pos", "tv", dims = 24, numPlanes = 3, tables = 2)
     val w = StreamingMaxSimMaintenance.writer(path, "id", "pos", "tv",
       opCol = Some("op"))
-    // One batch: delete doc 3 (a single delete row suffices) and add
-    // doc 24. The IVF stance: a delete(x)+add(x) batch leaves x masked.
+    // One batch: UPDATE doc 3 (delete + re-add with CHANGED token
+    // vectors — id 27's rows rebadged, same cluster, different noise)
+    // and add doc 24. The writer sequences delete -> compact-inside-
+    // the-batch -> append, so the new rows serve live.
+    val new3 = tokRows(Seq(27L)).map { case (_, p, v) => (3L, p, v) }
     val batch = (Seq((3L, 0, Array.empty[Double], "delete")) ++
         tokRows(Seq(24L)).map { case (i, p, v) => (i, p, v, "add") } ++
-        tokRows(Seq(3L)).map { case (i, p, v) => (i, p, v, "add") })
+        new3.map { case (i, p, v) => (i, p, v, "add") })
       .toDF("id", "pos", "tv", "op")
     w(batch, 0L)
     val probes = toksDf(Seq(3L, 24L))
     def got() = canon(MaxSimIndex.topK(spark, path, probes,
       "id", "pos", "tv", k = 3, tokenK = 8, simPrecision = 6))
-    val surv = toksDf((0L until 24L).filterNot(_ == 3L) :+ 24L)
-    val want = canon(MaxSim.topKViaAnnMd5(probes, surv, "id", "pos", "tv",
-      k = 3, dims = 24, tokenK = 8, numPlanes = 3, tables = 2,
-      simPrecision = 6))
-    assert(got() == want && got().nonEmpty,
-      "doc 3 must stay masked (delete terminal until compact)")
-    // Crash-replay of the full batch: delete already tombstoned, adds
-    // already stored — nothing changes.
-    val live = MaxSimIndex.liveVersion(spark, path)
-    val rows = spark.read.parquet(s"$path/$live/toks").count()
-    val tombs = spark.read.parquet(s"$path/$live/tombstones").count()
-    w(batch, 0L)
-    assert(spark.read.parquet(s"$path/$live/toks").count() == rows)
-    assert(spark.read.parquet(s"$path/$live/tombstones").count() == tombs)
-    assert(got() == want)
-    // compact → re-append resurrects doc 3.
-    MaxSimIndex.compact(spark, path)
-    MaxSimIndex.append(spark, path, toksDf(Seq(3L)), "id", "pos", "tv")
-    val full = toksDf(0L until 25L)
-    val wantFull = canon(MaxSim.topKViaAnnMd5(probes, full,
+    val updated = toksDf((0L until 24L).filterNot(_ == 3L) :+ 24L)
+      .unionByName(new3.toDF("id", "pos", "tv"))
+    val want = canon(MaxSim.topKViaAnnMd5(probes, updated,
       "id", "pos", "tv", k = 3, dims = 24, tokenK = 8, numPlanes = 3,
       tables = 2, simPrecision = 6))
-    assert(got() == wantFull)
+    assert(got() == want && got().nonEmpty,
+      "the update's NEW rows must serve (old rows folded away)")
+    // The old rows are physically gone (the in-batch compact folded
+    // them), not merely masked: exactly the new token rows remain, one
+    // stored row per (token, table) — tables = 2.
+    assert(spark.read.parquet(
+        s"$path/${MaxSimIndex.liveVersion(spark, path)}/toks")
+      .filter(col("id") === 3L).count() == new3.size.toLong * 2)
+    // Crash-replay of the full update batch: converges on CONTENT (the
+    // delete->compact->append chain re-runs; generations may advance).
+    w(batch, 0L)
+    assert(got() == want, "replayed update diverged")
+    // CROSS-batch semantics unchanged: a pure delete is terminal until
+    // compact — a LATER batch's re-add of the masked id appends nothing
+    // (rows still stored) and stays invisible; compact physically drops
+    // the doc, then a re-add resurrects it.
+    w(Seq((7L, 0, Array.empty[Double], "delete"))
+      .toDF("id", "pos", "tv", "op"), 1L)
+    w(tokRows(Seq(7L)).map { case (i, p, v) => (i, p, v, "add") }
+      .toDF("id", "pos", "tv", "op"), 2L)
+    val probes7 = toksDf(Seq(7L, 24L))
+    val surv7 = updated.filter(col("id") =!= 7L)
+    assert(canon(MaxSimIndex.topK(spark, path, probes7,
+        "id", "pos", "tv", k = 3, tokenK = 8, simPrecision = 6)) ==
+      canon(MaxSim.topKViaAnnMd5(probes7, surv7, "id", "pos", "tv",
+        k = 3, dims = 24, tokenK = 8, numPlanes = 3, tables = 2,
+        simPrecision = 6)),
+      "cross-batch re-add must stay masked until compact")
+    MaxSimIndex.compact(spark, path)
+    MaxSimIndex.append(spark, path, toksDf(Seq(7L)), "id", "pos", "tv")
+    assert(canon(MaxSimIndex.topK(spark, path, probes7,
+        "id", "pos", "tv", k = 3, tokenK = 8, simPrecision = 6)) ==
+      canon(MaxSim.topKViaAnnMd5(probes7, updated, "id", "pos", "tv",
+        k = 3, dims = 24, tokenK = 8, numPlanes = 3, tables = 2,
+        simPrecision = 6)),
+      "compact then re-add must resurrect")
   }
 }
