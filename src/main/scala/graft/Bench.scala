@@ -54,6 +54,37 @@ object Bench {
     if (ls.isEmpty) Double.MaxValue else ls(ls.size / 4)
   }
 
+  /** The per-run contention cut, shared by the isolation gate and the
+    * floor update (they must stay in lockstep: a window the floor
+    * update calls quiet must be one the isolation gate would not call
+    * contended): load ≤ max(1.5, run-floor + 1.0) is quiet.
+    */
+  private[graft] def quietCut(loads: Iterable[Double]): Double =
+    math.max(1.5, loadFloor(loads) + 1.0)
+
+  /** Merge this run's quiet-window canary-normalized times into the
+    * stored floor: per-entry min, with the STORED entry first relaxed
+    * upward 5% — a floor is only as good as its last confirmation.
+    * Without the relaxation the file is min-only with no raise path,
+    * so ONE run whose canary misread high (inflated canary deflates
+    * every normalized time; the clamp protecting hostRatio does not
+    * apply here) would poison the floor permanently low and the
+    * isolation gate would re-run up to its cap every run forever. With
+    * it, a poisoned entry heals in ~log₁.₀₅(distortion) runs (2× ≈ 15)
+    * while a genuine floor is re-stamped by every quiet run before the
+    * relaxation can move it materially. Entries not in `names` are
+    * pruned — a renamed query must not haunt the gate.
+    */
+  private[graft] def mergeFloor(stored: Map[String, Double],
+      quietNow: Map[String, Double],
+      names: Set[String]): Map[String, Double] = {
+    val relaxed = stored.collect {
+      case (k, v) if names(k) => k -> v * 1.05 }
+    (relaxed.keySet ++ quietNow.keySet).map { k =>
+      k -> (relaxed.get(k).toSeq ++ quietNow.get(k).toSeq).min
+    }.toMap
+  }
+
   /** Host-drift normalizer for every cross-snapshot comparison: the
     * ratio of this run's single-thread canary to the snapshot's,
     * clamped to [0.5, 2] (a clamp bounds the damage if the canary
@@ -87,19 +118,23 @@ object Bench {
       loads: Map[String, Double] = Map.empty,
       hostRatio: Double = 1.0,
       floorTimes: Map[String, Double] = Map.empty): Seq[(String, Double)] = {
-    def baseOf(n: String): Option[Double] =
-      (prevTimes.get(n).map(_ * hostRatio).toSeq ++
-        floorTimes.get(n).toSeq)
-        .reduceOption((a, b) => math.min(a, b))
+    // Size eligibility applies PER CANDIDATE, not to the min: a
+    // best-ever floor below 0.3 s must not un-gate a query whose prev
+    // baseline is eligible (the floor exists to widen the gate, never
+    // to narrow it — a too-small candidate is simply ignored).
+    def baseOf(n: String): Option[Double] = {
+      val cands = (prevTimes.get(n).map(_ * hostRatio).toSeq ++
+        floorTimes.get(n).toSeq).filter(_ >= 0.3)
+      cands.reduceOption((a, b) => math.min(a, b))
+    }
     val ratios = results.flatMap { case (n, s) =>
-      baseOf(n).filter(_ >= 0.3).map(b => (n, s / b)) }
+      baseOf(n).map(b => (n, s / b)) }
     val medianRatio = {
       val rs = results.flatMap { case (n, s) =>
         prevTimes.get(n).filter(_ >= 0.05).map(s / hostRatio / _) }.sorted
       if (rs.isEmpty) 1.0 else rs(rs.size / 2)
     }
-    val floor = loadFloor(loads.values)
-    val cut = math.max(1.5, floor + 1.0)
+    val cut = quietCut(loads.values)
     def windowContended(n: String): Boolean =
       loads.get(n).exists(_ > cut)
     val over = ratios.filter(_._2 > 1.4)
@@ -536,16 +571,14 @@ $loadLines%s
       // (a renamed query must not haunt the gate forever); the isolated
       // re-runs do NOT update the floor (their window load is unsampled).
       if (canary1 > 0) {
-        val cut = math.max(1.5, Bench.loadFloor(windowLoads.values) + 1.0)
+        val cut = Bench.quietCut(windowLoads.values)
         val names = results.map(_._1).toSet
         val updated = results.filter { case (n, _) =>
           !failed.contains(n) &&
             windowLoads.get(n).exists(l => l >= 0 && l <= cut) }
-          .map { case (n, s) =>
-            n -> math.min(floorNorm.getOrElse(n, Double.MaxValue),
-              s / canary1) }
+          .map { case (n, s) => n -> s / canary1 }
           .toMap
-        val merged = floorNorm.filter { case (k, _) => names(k) } ++ updated
+        val merged = Bench.mergeFloor(floorNorm, updated, names)
         val fl = merged.toSeq.sorted
           .map { case (k, v) => f"""  "$k": $v%.4f""" }
           .mkString("{\n", ",\n", "\n}\n")

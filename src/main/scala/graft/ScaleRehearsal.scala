@@ -437,8 +437,14 @@ object ScaleRehearsal {
           .map(stats).foldLeft((0L, 0L)) { case ((a, b), (c, d)) =>
             (a + c, b + d) }
       else (1L, f.length())
+    // Key the fixture on the FULL path, not the basename: base and big
+    // dirs with identical leaf names (/data/a/sf vs /data/b/sf) would
+    // otherwise collide, and the "big" row would silently re-measure
+    // the base-sized fixture — flatness vacuously confirmed.
+    def pathKey(dir: String): String =
+      new java.io.File(dir).getAbsolutePath.replaceAll("[^A-Za-z0-9]", "_")
     def maxsimSrc(dir: String): String = {
-      val p = s"$tmp/graft_gidx_brcms_${new java.io.File(dir).getName}_$appId"
+      val p = s"$tmp/graft_gidx_brcms_${pathKey(dir)}_$appId"
       if (!new java.io.File(p).exists()) {
         val toks = Tables.embeddings(spark, dir)
           .filter(col("embedding").isNotNull)
@@ -476,7 +482,7 @@ object ScaleRehearsal {
     }
     for (dir <- Seq(base, big))
       graft.ops.LocalFs.deleteRecursively(new java.io.File(
-        s"$tmp/graft_gidx_brcms_${new java.io.File(dir).getName}_$appId"))
+        s"$tmp/graft_gidx_brcms_${pathKey(dir)}_$appId"))
   }
 
   // ------------------------------------------------------------- graph-skew

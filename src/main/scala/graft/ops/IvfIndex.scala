@@ -109,15 +109,25 @@ object IvfIndex {
     * masks were consumed roll back to their PRE-delete state, which is
     * exactly the bad-delete-shipped undo [[rollback]] exists for).
     */
-  private def retireSuperseded(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, path: String, retain: Int,
-      consumed: Set[String]): Unit = {
-    val committed = fs.listStatus(root).toSeq.map(_.getPath.getName)
+  /** Committed `lists_v{n}` tree names under `path`, version-ascending —
+    * the ONE definition of "committed" retention, rollback and reads
+    * must agree on.
+    */
+  private def committedTrees(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    (if (fs.exists(root)) fs.listStatus(root).toSeq.map(_.getPath.getName)
+     else Seq.empty)
       .filter(_.matches("lists_v\\d+"))
       .filter(n => fs.exists(
         new org.apache.hadoop.fs.Path(s"$path/$n/_SUCCESS")))
       .sortBy(_.stripPrefix("lists_v").toInt)
-    val keep = committed.takeRight(retain).toSet
+  }
+
+  private def retireSuperseded(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, path: String, retain: Int,
+      consumed: Set[String]): Unit = {
+    val keep = committedTrees(fs, path).takeRight(retain).toSet
     fs.listStatus(root).toSeq.map(_.getPath)
       .filter { p =>
         val n = p.getName
@@ -316,6 +326,30 @@ object IvfIndex {
         "the pure-mask price)")
       if (!dels.isEmpty) delete(spark, path, dels, idCol)
       compact(spark, path, maxRecordsPerFile, retain)
+      // Compact keeps the mask (early return) exactly when the batch
+      // tombstoned EVERY stored row — fold-to-empty would commit an
+      // unreadable tree. Without special handling the update's re-adds
+      // would then be dropped by the already-stored anti-join (or land
+      // permanently masked): silent data loss. The honest form of a
+      // whole-index update IS a rebuild — write the adds as a fresh
+      // generation under the STORED coarse codebook (assignments
+      // identical to an append's), which also clears the consumed mask.
+      if (tombstones(spark, path).isDefined) {
+        System.err.println("[graft] IvfIndex.applyMaintenanceBatch: the " +
+          "update batch masked every stored row — rebuilding from the " +
+          "batch's adds under the stored codebook (fold-to-empty is " +
+          "unreadable)")
+        // Eager: write() OVERWRITES $path/centroids as its first step —
+        // a lazy read from the same location would race its own
+        // overwrite (FILE_NOT_EXIST mid-scan).
+        val cb = spark.read.parquet(s"$path/centroids")
+          .select(col("centroid_id"), col("centroid"))
+          .localCheckpoint(eager = true)
+        write(path, adds, idCol, vecCol, cb,
+          maxRecordsPerFile = maxRecordsPerFile, retain = retain)
+        Checkpoints.release(cb)
+        return
+      }
     }
     val cent = spark.read.parquet(s"$path/centroids").select(
       col("centroid_id").as("__cid"), col("centroid").as("__cv"),
@@ -498,7 +532,10 @@ object IvfIndex {
     if (folded.isEmpty) {
       System.err.println(s"[graft] IvfIndex.compact: every stored row " +
         s"under $path is tombstoned — keeping the mask instead of " +
-        "committing an empty tree (append new vectors, then compact)")
+        "committing an empty tree. This mask can never be folded (every " +
+        "compact re-hits this case): NEW ids still append and serve " +
+        "(the mask only hides the tombstoned ids), but repopulating the " +
+        "masked ids needs a rebuild (write), which clears it")
       return
     }
     folded
@@ -539,13 +576,7 @@ object IvfIndex {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
-    val committed =
-      (if (fs.exists(root)) fs.listStatus(root).toSeq.map(_.getPath.getName)
-       else Seq.empty)
-        .filter(_.matches("lists_v\\d+"))
-        .filter(n => fs.exists(
-          new org.apache.hadoop.fs.Path(s"$path/$n/_SUCCESS")))
-        .sortBy(_.stripPrefix("lists_v").toInt)
+    val committed = committedTrees(fs, path)
     require(committed.size >= 2, "rollback needs a retained previous " +
       s"list tree under $path (found ${committed.size} committed; " +
       "write/compact with retain > 1)")

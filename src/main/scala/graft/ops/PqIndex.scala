@@ -68,7 +68,12 @@ import graft.ml.Pq.PqModel
   * surviving code). A deleted id is terminal until [[compact]] folds
   * its mask ([[IvfIndex]]'s stance): re-[[append]]ing it earlier lands
   * rows that stay masked and that the next compact drops — resurrect =
-  * compact first, then append.
+  * compact first, then append. ONE caveat: when the mask covers the
+  * ENTIRE index, compact keeps the mask instead of committing an
+  * unreadable empty tree (see [[compact]]), so the fold never happens
+  * and resurrect-by-compact is unreachable — a whole-index replacement
+  * is a [[write]] (rebuild), which clears the consumed mask with the
+  * retired tree.
   *
   * Single-writer, like every index here.
   */
@@ -222,7 +227,9 @@ object PqIndex {
     if (survivors.isEmpty) {
       System.err.println(s"[graft] PqIndex.compact: every stored row " +
         s"under $path is tombstoned — keeping the mask instead of " +
-        "committing an empty generation (rebuild to repopulate)")
+        "committing an empty generation. This mask can never be folded " +
+        "(every compact would re-hit this case): repopulate with a " +
+        "rebuild (write), which clears it")
       tomb.foreach(Checkpoints.release)
       return
     }

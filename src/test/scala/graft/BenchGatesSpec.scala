@@ -150,6 +150,30 @@ class BenchGatesSpec extends AnyFunSuite {
     assert(out.map(_._1) == Seq("a", "b"), out)
   }
 
+  test("a sub-0.3s floor never UN-gates a query whose prev baseline " +
+    "is eligible: size eligibility applies per candidate, not to the min") {
+    // floor 0.28 < 0.3 (ineligible candidate) but prev 0.5 is fine:
+    // 1.2s is 2.4x prev under contention — must isolate, exactly as it
+    // did before the floor existed.
+    val out = Bench.isolationOutliers(run("a" -> 1.2), snap("a" -> 0.5),
+      contended = true, Map.empty, hostRatio = 1.0,
+      floorTimes = Map("a" -> 0.28))
+    assert(out.map(_._1) == Seq("a"), out)
+  }
+
+  test("mergeFloor: min against quiet measurements, 5% upward decay " +
+    "for unconfirmed entries (the poisoned-floor heal path), pruning") {
+    val stored = Map("a" -> 1.0, "b" -> 1.0, "gone" -> 1.0)
+    val quiet = Map("a" -> 0.8, "c" -> 2.0)
+    val merged = Bench.mergeFloor(stored, quiet, Set("a", "b", "c"))
+    assert(merged("a") == 0.8)            // quiet min wins
+    assert(math.abs(merged("b") - 1.05) < 1e-9) // unconfirmed: relaxes up
+    assert(merged("c") == 2.0)            // new entry
+    assert(!merged.contains("gone"))      // renamed query pruned
+    // A quiet re-confirmation pins the entry against the relaxation.
+    assert(Bench.mergeFloor(stored, Map("b" -> 1.0), Set("b"))("b") == 1.0)
+  }
+
   test("the floor never raises the baseline: a floor above prev is " +
     "ignored in favor of the smaller prev") {
     val prev = snap("a" -> 1.0)

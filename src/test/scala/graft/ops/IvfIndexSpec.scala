@@ -444,6 +444,44 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(state() == want)
   }
 
+  test("update batch that masks EVERY stored row rebuilds from the adds " +
+      "under the stored codebook — the re-adds must serve, not vanish") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("ivf_maint_upd_all").toString
+    // Tiny index: only ids {7, 11} stored.
+    IvfIndex.write(path,
+      corpus.filter(col("vec_id").isin(7L, 11L)),
+      "vec_id", "embedding", codebook)
+    // One batch deletes BOTH and re-adds both with changed vectors —
+    // the whole-corpus re-embed CDC shape. Pre-fix, compact's
+    // fold-to-empty guard kept the mask and the re-adds were silently
+    // lost (dropped by the already-stored anti-join or left masked).
+    val v7 = Array.tabulate(dims)(d => if (d == 4) 10.0 else 0.0)
+    val v11 = Array.tabulate(dims)(d => if (d == 5) 10.0 else 0.0)
+    val batch = Seq(
+      (7L, null.asInstanceOf[Array[Double]], "delete"),
+      (11L, null.asInstanceOf[Array[Double]], "delete"),
+      (7L, v7, "add"), (11L, v11, "add"))
+      .toDF("vec_id", "embedding", "op")
+    IvfIndex.applyMaintenanceBatch(spark, path, batch,
+      "vec_id", "embedding", "op")
+    val updated = Seq((7L, v7), (11L, v11)).toDF("vec_id", "embedding")
+    def state() = canon(IvfIndex.topK(spark, path, updated, "vec_id",
+      "embedding", k = 2, nprobe = 6))
+    val scratch = Files.createTempDirectory("ivf_maint_upd_all_s").toString
+    IvfIndex.write(scratch, updated, "vec_id", "embedding", codebook)
+    val want = canon(IvfIndex.topK(spark, scratch, updated, "vec_id",
+      "embedding", k = 2, nprobe = 6))
+    assert(state() == want && want.nonEmpty,
+      "whole-index update lost the re-adds")
+    // No mask survives the rebuild; replay converges.
+    assert(!new java.io.File(path).listFiles()
+      .exists(_.getName.startsWith("tombstones")))
+    IvfIndex.applyMaintenanceBatch(spark, path, batch,
+      "vec_id", "embedding", "op")
+    assert(state() == want)
+  }
+
   test("probe plan is eligible for dynamic partition pruning") {
     val path = Files.createTempDirectory("ivf_dpp").toString
     IvfIndex.write(path, corpus, "vec_id", "embedding", codebook)
