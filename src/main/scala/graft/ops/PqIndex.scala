@@ -162,6 +162,96 @@ object PqIndex {
       .parquet(s"$path/$live/lists")
   }
 
+  /** One micro-batch of streaming index maintenance — the foreachBatch
+    * body behind [[graft.streaming.StreamingPqMaintenance]], completing
+    * the four-family maintenance story (graph, IVF, token, IVF-PQ).
+    * The batch carries an `opCol` of 'add' / 'delete' rows: adds are
+    * encoded + routed under the FROZEN stored codebooks and appended
+    * behind a touched-cell replay guard (the
+    * [[IvfIndex.applyMaintenanceBatch]] anti-join — a redelivered batch
+    * appends exactly the missing rows, and the guard's scan reads only
+    * the probed `list=` partitions' neighbor_id column); deletes
+    * tombstone through [[delete]] (already replay-safe). A SAME-id
+    * delete+add is an UPDATE, sequenced delete →
+    * compact-inside-the-batch → append, with the whole-index-masked
+    * rebuild fallback (fold-to-empty is unreadable, so a batch that
+    * updates EVERY stored id rebuilds from its adds under the stored
+    * codebooks+model — assignments identical to an append's).
+    * `retain` passes through to compact/rebuild so a retention
+    * discipline survives maintenance. Single-writer, as everywhere.
+    */
+  def applyMaintenanceBatch(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      opCol: String,
+      maxRecordsPerFile: Long = 5000000L,
+      retain: Int = 1): Unit = {
+    val adds = batch.filter(col(opCol) === "add")
+      .select(col(idCol), col(vecCol))
+      // An id twice in one batch must not land twice; deterministic
+      // vector choice (max), not arrival order.
+      .groupBy(col(idCol)).agg(max(col(vecCol)).as(vecCol))
+    val dels = batch.filter(col(opCol) === "delete").select(col(idCol))
+    val upsert = !adds.join(dels, Seq(idCol), "left_semi").isEmpty
+    if (!dels.isEmpty) delete(spark, path, dels, idCol)
+    if (upsert) {
+      System.err.println("[graft] PqIndex.applyMaintenanceBatch: batch " +
+        "carries same-id delete+add (update) — deletes applied, " +
+        "compacting, then appending (one survivor rewrite per " +
+        "update-carrying batch)")
+      compact(spark, path, maxRecordsPerFile, retain)
+      if (tombstonesOpt(spark,
+          s"$path/${liveVersion(spark, path)}").isDefined) {
+        // Compact kept the mask: the batch masked EVERY stored row —
+        // rebuild from the adds under the stored codebooks+model (read
+        // eagerly: write() commits a new generation, then retires the
+        // one these frames read from).
+        System.err.println("[graft] PqIndex.applyMaintenanceBatch: the " +
+          "update batch masked every stored row — rebuilding from the " +
+          "batch's adds under the stored codebooks")
+        val live = liveVersion(spark, path)
+        val model = readModel(spark, s"$path/$live")
+        val cb = spark.read.parquet(s"$path/$live/centroids")
+          .select(col("centroid_id"), col("centroid"))
+          .localCheckpoint(eager = true)
+        write(spark, path, adds, idCol, vecCol, cb, model,
+          maxRecordsPerFile, retain)
+        Checkpoints.release(cb)
+        return
+      }
+    }
+    if (!adds.isEmpty) {
+      val live = liveVersion(spark, path)
+      val cent = spark.read.parquet(s"$path/$live/centroids").select(
+        col("centroid_id").as("__cid"), col("centroid").as("__cv"),
+        col("cnorm").as("__cn"))
+      val assigned = Similarity.invertedLists(adds, idCol, vecCol, cent)
+        .localCheckpoint(eager = true)
+      val touched = assigned.select(col("__list")).distinct()
+        .collect().map(_.get(0)).toSeq
+      if (touched.nonEmpty) {
+        val existing = spark.read.parquet(s"$path/$live/lists")
+          .filter(col("list").isin(touched: _*))
+          .select(col("neighbor_id"))
+        val dropped = assigned
+          .join(existing, Seq("neighbor_id"), "left_semi").count()
+        if (dropped > 0) System.err.println(
+          s"[graft] PqIndex.applyMaintenanceBatch: $dropped add(s) for " +
+            "already-live ids ignored (adds are not upserts; an update " +
+            "is a same-batch delete+add)")
+        val fresh = assigned
+          .join(existing, Seq("neighbor_id"), "left_anti")
+          .select(col("neighbor_id").as(idCol), col("__nv").as(vecCol))
+        if (!fresh.isEmpty)
+          append(spark, path, fresh, idCol, vecCol, maxRecordsPerFile)
+      }
+      Checkpoints.release(assigned)
+    }
+  }
+
   /** Live tombstoned doc ids under a generation dir, None when never
     * written. Tiny by the compaction-bounded assumption — broadcast.
     */

@@ -13,9 +13,9 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The streaming FLAGSHIP: one MemoryStream feeds the composed curation
   * chain ([[StreamingCuration]]: exact dedup → near-dup → quality →
   * as-of enrich), and every batch's enriched SURVIVORS fan into all
-  * three serving-index maintenance sinks — IVF, kNN graph, ColBERT
-  * token index — then retrieval reads back through the maintained
-  * artifacts. Continuous corpus curation and serving-index freshness
+  * FOUR serving-index maintenance sinks — IVF, kNN graph, ColBERT
+  * token index, IVF-PQ — then retrieval reads back through the
+  * maintained artifacts. Continuous corpus curation and serving-index freshness
   * from the same stream, with the crash/replay cases exercised
   * END-TO-END rather than per sink:
   *
@@ -108,6 +108,15 @@ class StreamingFlagshipSpec extends AnyFunSuite with SparkTestBase {
     MaxSimIndex.write(spark, msPath,
       Seq.empty[(Long, Int, Array[Double])].toDF("doc_id", "pos", "tv"),
       "doc_id", "pos", "tv", dims = 4, numPlanes = 3, tables = 2)
+    // Fourth family: the IVF-PQ serving index, codebooks fit ONCE on
+    // the seeds and frozen — maintenance appends/updates encode under
+    // them, so scratch builds with the same (cent, model) are the
+    // exact read-back expectation at every stage.
+    val pqPath = s"$root/pq"
+    val pqModel = graft.ml.Pq.fit(seeds, "doc_id", "embedding",
+      dims = 12, m = 3, k = 2, iterations = 2)
+    graft.ops.PqIndex.write(spark, pqPath, seeds, "doc_id", "embedding",
+      cent, pqModel)
 
     // The flagship sink: the curation delivery (enriched survivors
     // tagged 'add' + the batch's CDC delete ids tagged 'delete', ONE
@@ -121,11 +130,14 @@ class StreamingFlagshipSpec extends AnyFunSuite with SparkTestBase {
       opCol = Some("op"))
     val msW = StreamingMaxSimMaintenance.writer(msPath, "doc_id", "pos",
       "tv", opCol = Some("op"))
+    val pqW = StreamingPqMaintenance.writer(pqPath, "doc_id",
+      "embedding", "op")
     val sink = (df: DataFrame, id: Long) => {
       val tagged = df.select(col("doc_id"), col("embedding"), col("op"))
         .localCheckpoint(true)
       ivfW(tagged, id)
       graphW(tagged, id)
+      pqW(tagged, id)
       val addToks = tokensFromBatch(
           tagged.filter(col("op") === "add").drop("op"))
         .withColumn("op", lit("add"))
@@ -194,6 +206,22 @@ class StreamingFlagshipSpec extends AnyFunSuite with SparkTestBase {
       .select("query_id", "neighbor_id", "rank")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(probeIvf(ivfPath) == probeIvf(scratch))
+
+    // IVF-PQ read-back: probes equal a scratch build over the same rows
+    // under the SAME frozen codebooks.
+    def probePq(p: String, probes: DataFrame) =
+      graft.ops.PqIndex.topK(spark, p, probes, "doc_id", "embedding",
+          k = K, candidateK = 6, nprobe = 2)
+        .select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def pqScratch(rows: DataFrame, tag: String): String = {
+      val p = s"$root/pq_scratch_$tag"
+      graft.ops.PqIndex.write(spark, p, rows, "doc_id", "embedding",
+        cent, pqModel)
+      p
+    }
+    assert(probePq(pqPath, corpusAll) ==
+      probePq(pqScratch(corpusAll, "all"), corpusAll))
 
     // Token-index read-back (torn append healed, bootstrap filled):
     // probes equal the inline ANN scorer over the survivors' tokens.
@@ -272,6 +300,10 @@ class StreamingFlagshipSpec extends AnyFunSuite with SparkTestBase {
       .select("query_id", "neighbor_id", "rank")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(probeSurvIvf(ivfPath) == probeSurvIvf(scratchSurv))
+    // IVF-PQ: the delete masked doc 1 before the ADC cut — probes equal
+    // a survivors-only scratch build under the same codebooks.
+    assert(probePq(pqPath, corpusSurv) ==
+      probePq(pqScratch(corpusSurv, "surv"), corpusSurv))
     // Token index: probes equal the inline scorer over the survivors'
     // tokens only (doc 1 masked before the tokenK cut).
     val probesC = toksOf(Seq(3L, 7L))
@@ -351,6 +383,10 @@ class StreamingFlagshipSpec extends AnyFunSuite with SparkTestBase {
       .select("query_id", "neighbor_id", "rank")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(probeUpdIvf(ivfPath) == probeUpdIvf(scratchUpd))
+    // IVF-PQ: the update re-encoded doc 6's NEW vector under the frozen
+    // codebooks inside the batch (delete -> compact -> append).
+    assert(probePq(pqPath, corpusUpd) ==
+      probePq(pqScratch(corpusUpd, "upd"), corpusUpd))
     // Token index: probes equal the inline scorer over the updated
     // tokens (doc 6's OLD tokens folded away, new ones live).
     val toksUpd = (for { i <- Seq(3L, 6L, 7L); p <- 0 until 3 }
@@ -375,6 +411,8 @@ class StreamingFlagshipSpec extends AnyFunSuite with SparkTestBase {
     sink(taggedD, 3L)
     assert(edgeSet() == bruteUpd)
     assert(probeUpdIvf(ivfPath) == probeUpdIvf(scratchUpd))
+    assert(probePq(pqPath, corpusUpd) ==
+      probePq(s"$root/pq_scratch_upd", corpusUpd))
     assert(msUpd() == wantUpd)
   }
 }
