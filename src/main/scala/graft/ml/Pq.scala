@@ -66,6 +66,34 @@ object Pq {
       m: Int, k: Int, iterations: Int, scale: Long = 1000L): DataFrame =
     encode(df, idCol, vecCol, fit(df, idCol, vecCol, dims, m, k, iterations, scale))
 
+  /** Quantization-error DRIFT of a delta cohort against the build
+    * cohort under ONE frozen model — the measurable refit trigger for
+    * frozen-codebook maintenance ([[graft.ops.PqIndex.append]] /
+    * StreamingPqMaintenance): appends stay EXACT under stale codebooks,
+    * but a corpus that drifts from the fit distribution quantizes worse
+    * and ADC recall decays silently. `recon_dist` is the exact integer
+    * squared quantization error [[encode]] already computes, so the
+    * monitor costs two map-only encodes + one aggregation and is
+    * bit-deterministic (oracle-gated: `q_pq_drift`).
+    *
+    * One row: (build_n, build_err, delta_n, delta_err, drift_ratio)
+    * with drift_ratio = mean(delta recon_dist) / mean(build recon_dist)
+    * — schedule a refit + rebuild when it clears the deployment's
+    * threshold (FAISS retrains its quantizers on the same signal).
+    */
+  def quantizationDrift(build: DataFrame, delta: DataFrame, idCol: String,
+      vecCol: String, model: PqModel): DataFrame = {
+    def errOf(df: DataFrame, tag: String): DataFrame =
+      encode(df, idCol, vecCol, model).agg(
+        count(lit(1)).as(s"${tag}_n"),
+        sum(col("recon_dist")).cast("long").as(s"${tag}_err"))
+    errOf(build, "build").crossJoin(errOf(delta, "delta"))
+      .select(col("build_n"), col("build_err"), col("delta_n"),
+        col("delta_err"),
+        round((col("delta_err") / col("delta_n")) /
+          (col("build_err") / col("build_n")), 4).as("drift_ratio"))
+  }
+
   /** Asymmetric-distance top-k (the PQ search side): each probe builds its
     * m×k distance table ONCE (one projection on the broadcast probe side),
     * then every candidate costs m array lookups on its stored code — the

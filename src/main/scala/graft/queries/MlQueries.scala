@@ -78,6 +78,26 @@ object MlQueries extends QueryGroup {
           array_join(col("pq_code").cast("array<string>"), "-").as("pq_code"),
           col("recon_dist"))),
 
+    // Frozen-codebook REFIT TRIGGER: fit the PQ model on the EVEN half
+    // (the "build corpus"), then measure the odd half's (the "delta")
+    // mean quantization error against the build's under that one frozen
+    // model — drift_ratio is the number a maintenance cadence alarms on
+    // (appends stay EXACT under stale codebooks; what decays silently
+    // is ADC recall, and recon_dist is its exact integer proxy).
+    // StreamingPqDrift wires the same measurement as a per-micro-batch
+    // monitor. The fixture halves are iid so the gated ratio sits near
+    // 1 — the oracle pins the MACHINERY (4-subspace integer-exact
+    // encode under a half-corpus fit + exact error sums), not a
+    // planted drift; the planted-drift direction is spec-gated.
+    "q_pq_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val even = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val odd = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      val model = Pq.fit(even, "vec_id", "embedding",
+        dims = 64, m = 4, k = 4, iterations = 2)
+      Pq.quantizationDrift(even, odd, "vec_id", "embedding", model)
+    }),
+
     // SemDeDup (Abbas et al. 2023): k-means buckets the embeddings (the
     // same integer-exact 8x3 fit as q_kmeans), then cosine near-dups are
     // pruned within clusters only — keep-first by id. The cluster join
@@ -552,7 +572,7 @@ object MlQueries extends QueryGroup {
     * (vec_id, c, dist) with `dist` the exact squared quantized distance.
     */
   private def lloydChain(p: String, vecSql: String, dim: Int, k: Int,
-      iters: Int): String = {
+      iters: Int, where: String = ""): String = {
     val rounds = (1 to iters)
       .map(i => lloydAssign(p, s"${p}a$i", s"${p}c${i - 1}") + ",\n" +
         lloydUpdate(p, i, dim))
@@ -560,7 +580,7 @@ object MlQueries extends QueryGroup {
     val fc = s"${p}c$iters"
     s"""${p}q AS (
        |  SELECT vec_id, $vecSql AS v
-       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |  FROM embeddings WHERE embedding IS NOT NULL$where),
        |${p}c0 AS (
        |  SELECT c, v FROM (
        |    SELECT row_number() OVER
@@ -602,6 +622,54 @@ object MlQueries extends QueryGroup {
        |  FROM a JOIN sz USING (c))
        |SELECT vec_id, CAST(c AS INT) AS cluster, CAST(csize AS BIGINT) AS csize
        |FROM w ORDER BY k DESC, vec_id LIMIT 64""".stripMargin
+
+  /** Replays [[graft.ml.Pq.quantizationDrift]] with the model fit on
+    * the even half: 4 per-subspace Lloyd chains over `vec_id % 2 = 0`
+    * (lloydChain's `where`), then every vector of the FULL corpus
+    * assigned to its nearest final centroid per subspace (exact
+    * integer-grid distances, the engine's recon_dist), summed across
+    * subspaces and aggregated per cohort.
+    */
+  private val pqDriftSql: String = {
+    val m = 4; val subDim = 16
+    val chains = (0 until m).map { s =>
+      lloydChain(s"s${s}_",
+        quantSql(s"list_slice(embedding, ${s * subDim + 1}, ${(s + 1) * subDim})"),
+        subDim, 4, 2, where = " AND vec_id % 2 = 0")
+    }.mkString(",\n")
+    val assigns = (0 until m).map { s =>
+      s"""full$s AS (
+         |  SELECT vec_id,
+         |    ${quantSql(s"list_slice(embedding, ${s * subDim + 1}, ${(s + 1) * subDim})")} AS v
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |d$s AS (
+         |  SELECT vec_id, dist FROM (
+         |    SELECT f.vec_id,
+         |      list_dot_product(f.v, f.v) + list_dot_product(c.v, c.v)
+         |        - 2 * list_dot_product(f.v, c.v) AS dist,
+         |      row_number() OVER (PARTITION BY f.vec_id ORDER BY
+         |        list_dot_product(c.v, c.v) - 2 * list_dot_product(f.v, c.v),
+         |        c.c) AS rn
+         |    FROM full$s f CROSS JOIN s${s}_c2 c) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $chains,
+       |$assigns,
+       |tot AS (
+       |  SELECT d0.vec_id, d0.dist + d1.dist + d2.dist + d3.dist AS err
+       |  FROM d0 JOIN d1 USING (vec_id) JOIN d2 USING (vec_id)
+       |    JOIN d3 USING (vec_id)),
+       |agg AS (SELECT
+       |  CAST(count(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS BIGINT) AS build_n,
+       |  CAST(sum(CASE WHEN vec_id % 2 = 0 THEN err END) AS BIGINT) AS build_err,
+       |  CAST(count(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS BIGINT) AS delta_n,
+       |  CAST(sum(CASE WHEN vec_id % 2 = 1 THEN err END) AS BIGINT) AS delta_err
+       |  FROM tot)
+       |SELECT build_n, build_err, delta_n, delta_err,
+       |  round((CAST(delta_err AS DOUBLE) / CAST(delta_n AS DOUBLE))
+       |    / (CAST(build_err AS DOUBLE) / CAST(build_n AS DOUBLE)), 4)
+       |    AS drift_ratio
+       |FROM agg""".stripMargin
+  }
 
   private val pqSql: String = {
     val m = 4; val subDim = 16
@@ -1064,6 +1132,7 @@ object MlQueries extends QueryGroup {
     "q_cluster_sample" -> clusterSampleSql,
     "q_semdedup" -> semdedupSql,
     "q_pq_encode" -> pqSql,
+    "q_pq_drift" -> pqDriftSql,
     "q_pq_adc_topk" -> pqAdcSql(
       """SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank,
         |  CAST(adc AS BIGINT) AS adc_dist

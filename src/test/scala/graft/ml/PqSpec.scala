@@ -93,6 +93,33 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     assert(rerank == brute)
   }
 
+  test("quantizationDrift: an in-distribution delta reads ~1, a shifted " +
+    "delta reads above it, and the numbers are exact-integer-backed") {
+    import spark.implicits._
+    val model = Pq.fit(vecs, "vec_id", "embedding", dims = 8, m = 2,
+      k = 4, iterations = 2)
+    // Self-drift: delta == build exactly → ratio exactly 1.0 (integer
+    // sums are identical, division is exact).
+    val self = Pq.quantizationDrift(vecs, vecs, "vec_id", "embedding",
+      model).collect()(0)
+    assert(self.getDouble(self.fieldIndex("drift_ratio")) == 1.0)
+    assert(self.getLong(self.fieldIndex("build_n")) == 60L &&
+      self.getLong(self.fieldIndex("delta_n")) == 60L)
+    assert(self.getLong(self.fieldIndex("build_err")) ==
+      self.getLong(self.fieldIndex("delta_err")))
+    // Planted drift: the delta lives far outside every codebook cell
+    // (a constant offset the fit corpus never saw) → mean quantization
+    // error strictly above the build's.
+    val shifted = (100L until 130L).map { i =>
+      (i, Array.tabulate(8)(d =>
+        12.5f + (((i * 2654435761L + d * 40503L) % 2000L) - 1000L) / 400.0f))
+    }.toDF("vec_id", "embedding")
+    val drift = Pq.quantizationDrift(vecs, shifted, "vec_id", "embedding",
+      model).collect()(0)
+    assert(drift.getDouble(drift.fieldIndex("drift_ratio")) > 1.5,
+      drift.toString)
+  }
+
   test("dims not divisible by m is rejected") {
     intercept[IllegalArgumentException] {
       Pq.fit(vecs, "vec_id", "embedding", dims = 8, m = 3, k = 2, iterations = 1)
