@@ -82,7 +82,12 @@ object ScaleRehearsal {
     // frozen-codebook PQ append (fit + even-half build + odd-half
     // encode/route/append + probe — its own chain, no shared tree).
     "q_ann_graph_rollback", "q_ann_ivfpq_compact", "q_ann_ivf_rollback",
-    "q_ann_ivfpq_upsert")
+    "q_ann_ivfpq_upsert",
+    // r17 drift loop: the refit trigger (two map-only encodes + one
+    // agg — should scale as a scan) and the drift-triggered refit
+    // itself (stale build + frozen append + full re-fit/re-encode
+    // rebuild — the honest price of codebook freshness, measured).
+    "q_pq_drift", "q_ann_ivfpq_refit")
 
   /** The skew-rehearsal set: the queries whose scale story depends on a
     * HOT KEY surviving — as-of auto-routing, per-group rank windows,

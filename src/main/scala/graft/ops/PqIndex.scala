@@ -162,6 +162,93 @@ object PqIndex {
       .parquet(s"$path/$live/lists")
   }
 
+  /** REFIT the PQ codebooks on the index's own current live corpus and
+    * commit the re-encoded index as a fresh generation — the ACTION the
+    * drift trigger alarms for ([[Pq.quantizationDrift]] /
+    * [[graft.streaming.StreamingPqDrift]]): appends under frozen
+    * codebooks stay exact, but a drifted corpus quantizes worse and ADC
+    * recall decays, and the fix is re-training the quantizer on what
+    * the index NOW holds (FAISS retrains on the same cadence).
+    *
+    * Geometry (dims, m, k, integer scale) is inferred from the STORED
+    * model so the refit index swaps in serving-compatible; the coarse
+    * centroids are CLONED — refit refreshes the PQ codebooks, it does
+    * not move rows between cells (routing unchanged ⇒ the rewrite is
+    * cell-local and DPP-pruned probes see the same lists; a full
+    * re-clustering of the coarse layer is a [[write]] with new
+    * centroids). Pending tombstones are folded: the refit corpus is the
+    * SURVIVORS, so the new generation carries no mask (a refit is a
+    * rebuild — `q_ann_ivfpq_refit` gates stale-build + append + refit ≡
+    * a from-scratch build whose model was fit on the full corpus).
+    *
+    * Cost, stated honestly: Lloyd re-scans the stored vectors once per
+    * iteration (slim (vec)-column reads of the live lists) and the
+    * survivor rewrite is one full pass — the price of a rebuild, which
+    * is what a refit IS; run it on the drift cadence, not per batch.
+    * Returns the refit model so a streaming monitor can re-reference
+    * its drift ratios without a re-read. Single-writer, like every
+    * mutation here.
+    */
+  def refit(spark: SparkSession, path: String, iterations: Int,
+      maxRecordsPerFile: Long = 5000000L, retain: Int = 1): PqModel = {
+    val live = liveVersion(spark, path)
+    val stored = readModel(spark, s"$path/$live")
+    val lists = spark.read.parquet(s"$path/$live/lists")
+      .select(col("neighbor_id"), col("vec"))
+    val corpus = tombstonesOpt(spark, s"$path/$live") match {
+      case None => lists
+      case Some(t) =>
+        lists.join(broadcast(t.distinct()), Seq("neighbor_id"),
+          "left_anti")
+    }
+    require(!corpus.isEmpty,
+      s"refit of $path: no live (unmasked) rows — an empty index has " +
+        "nothing to fit; repopulate with write()")
+    val model = Pq.fit(corpus, "neighbor_id", "vec", stored.dims,
+      stored.m, stored.models.head.k, iterations,
+      stored.models.head.scale)
+    // Model-sized; eager because write() commits a new generation and
+    // then retires the one this frame reads from.
+    val cent = spark.read.parquet(s"$path/$live/centroids")
+      .select(col("centroid_id"), col("centroid"))
+      .localCheckpoint(eager = true)
+    // The corpus frame stays LAZY — write() consumes it fully inside
+    // the commit block, before the old generation is retired, and a
+    // data-sized localCheckpoint would double-materialize the index.
+    write(spark, path, corpus, "neighbor_id", "vec", cent, model,
+      maxRecordsPerFile, retain)
+    Checkpoints.release(cent)
+    model
+  }
+
+  /** Mean exact quantization error (recon_dist) of the live unmasked
+    * corpus under the STORED model — the reference denominator a drift
+    * monitor ratios incoming batches against ([[Pq.quantizationDrift]]
+    * semantics with the index itself as the build cohort). One slim
+    * (neighbor_id, vec) scan + map-only encode + one aggregation;
+    * compute it at build/refit time and cache ([[StreamingPqRefit]]
+    * re-reads it only when a refit lands).
+    */
+  def meanQuantizationError(spark: SparkSession, path: String): Double = {
+    val live = liveVersion(spark, path)
+    val model = readModel(spark, s"$path/$live")
+    val lists = spark.read.parquet(s"$path/$live/lists")
+      .select(col("neighbor_id"), col("vec"))
+    val corpus = tombstonesOpt(spark, s"$path/$live") match {
+      case None => lists
+      case Some(t) =>
+        lists.join(broadcast(t.distinct()), Seq("neighbor_id"),
+          "left_anti")
+    }
+    val r = Pq.encode(corpus, "neighbor_id", "vec", model)
+      .agg(count(lit(1)).as("n"),
+        sum(col("recon_dist")).cast("long").as("err"))
+      .collect()(0)
+    require(r.getLong(0) > 0,
+      s"meanQuantizationError of $path: no live rows")
+    r.getLong(1).toDouble / r.getLong(0)
+  }
+
   /** One micro-batch of streaming index maintenance — the foreachBatch
     * body behind [[graft.streaming.StreamingPqMaintenance]], completing
     * the four-family maintenance story (graph, IVF, token, IVF-PQ).
@@ -413,7 +500,7 @@ object PqIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$gen/model")
   }
 
-  private[ops] def readModel(spark: SparkSession, gen: String): PqModel = {
+  private[graft] def readModel(spark: SparkSession, gen: String): PqModel = {
     val rows = spark.read.parquet(s"$gen/model")
       .select(col("sub"), col("scale"), col("cluster"), col("centroid"),
         col("dims"))

@@ -313,6 +313,51 @@ object MlQueries extends QueryGroup {
       out
     }),
 
+    // DRIFT-triggered REFIT on the persisted IVF-PQ index — the ACTION
+    // q_pq_drift's trigger alarms for, closing the freshness loop:
+    // build the tree over the EVEN half with codebooks fit on the even
+    // half only (the "stale" serving state), append the odd half under
+    // those frozen codebooks (exact, but quantized against a half-
+    // corpus fit), then PqIndex.refit — geometry inferred from the
+    // stored model, coarse centroids cloned, codebooks RE-FIT on the
+    // index's own live rows and every row re-encoded into a fresh
+    // generation. Because the integer-exact Lloyd fit is value-keyed
+    // (md5-of-id seeds) and order-independent, the refit model over the
+    // read-back corpus is bit-identical to a full-corpus fit — so the
+    // oracle is q_ann_ivfpq_persist's VERBATIM: stale build + append +
+    // refit must equal the from-scratch full-fit build, codes and all.
+    "q_ann_ivfpq_refit" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val even = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val staleModel = Pq.fit(even, "vec_id", "embedding",
+        dims = 64, m = 4, k = 4, iterations = 2)
+      val cent = emb.filter(col("embedding").isNotNull)
+        .filter(pmod(col("vec_id"), lit(25)) === 0 &&
+          col("vec_id") < 12500)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_pqidx_rft_" +
+        new java.io.File(dir).getName + "_" + s.sparkContext.applicationId
+      graft.ops.PqIndex.write(s, path, even, "vec_id", "embedding",
+        cent, staleModel)
+      graft.ops.PqIndex.append(s, path,
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding")
+      graft.ops.PqIndex.refit(s, path, iterations = 2)
+      val out = graft.ops.PqIndex.topK(s, path,
+          emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          k = 5, candidateK = 20, nprobe = 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          (round(col("cos"), 4) + lit(0.0)).as("cos"))
+        .localCheckpoint(true) // materialize before the tree is deleted
+      try {
+        val pp = new org.apache.hadoop.fs.Path(path)
+        pp.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(pp, true)
+      } catch { case _: Exception => () }
+      out
+    }),
+
     // NDCG@10 + MRR@10 per query — the ranking-eval layer for the
     // retrieval stack (BM25 / ANN / RRF): each source is a "query" whose
     // run ranks its docs by length, with graded relevance planted from
@@ -1167,5 +1212,9 @@ object MlQueries extends QueryGroup {
     "q_ann_ivfpq_delete" -> ivfPqTopkSqlOf(" AND vec_id % 7 <> 3"),
     // Compact must be invisible to probes: the delete oracle verbatim.
     "q_ann_ivfpq_compact" -> ivfPqTopkSqlOf(" AND vec_id % 7 <> 3"),
+    // Stale-build + append + refit ≡ the from-scratch full-fit build
+    // (value-keyed integer-exact Lloyd is read-back-invariant), so the
+    // persist oracle verbatim.
+    "q_ann_ivfpq_refit" -> ivfPqTopkSqlOf(""),
     "q_fps_sample" -> fpsSql)
 }

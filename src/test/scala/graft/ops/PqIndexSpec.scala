@@ -282,6 +282,63 @@ class PqIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(got() == want, "append after compact must resurrect")
   }
 
+  test("refit re-trains the codebooks on the index's own live rows: " +
+    "stale build + append + delete + refit ≡ survivors build under a " +
+    "survivors fit; geometry inferred, centroids cloned, mask folded") {
+    val c = corpus(96)
+    // The "stale" fit sees only half the cluster axes (i%8 < 4 spikes
+    // at dims 0/2/4/6): the appended remainder (spikes at 8/10/12/14)
+    // quantizes against codebooks that never saw its subspaces — the
+    // drifted-serving state refit exists to repair.
+    val seen = c.filter(pmod(col("vec_id"), lit(8)) < 4)
+    val unseen = c.filter(pmod(col("vec_id"), lit(8)) >= 4)
+    val staleModel = Pq.fit(seen, "vec_id", "embedding", dims = 16,
+      m = 4, k = 4, iterations = 2)
+    val cent = c.filter(pmod(col("vec_id"), lit(12)) === 0)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("centroid"))
+    val path = Files.createTempDirectory("pq_idx_rft").toString
+    PqIndex.write(spark, path, seen, "vec_id", "embedding", cent,
+      staleModel)
+    PqIndex.append(spark, path, unseen, "vec_id", "embedding")
+    val staleErr = PqIndex.meanQuantizationError(spark, path)
+    // Tombstone a slice so refit has a mask to fold.
+    val deadPred = pmod(col("vec_id"), lit(16)) === 5
+    PqIndex.delete(spark, path, c.filter(deadPred).select("vec_id"),
+      "vec_id")
+    val m2 = PqIndex.refit(spark, path, iterations = 2)
+    // The refit model is bit-identical to a survivors fit (value-keyed
+    // seeds + integer-exact Lloyd are read-back-invariant).
+    val surv = c.filter(!deadPred)
+    val wantModel = Pq.fit(surv, "vec_id", "embedding", dims = 16,
+      m = 4, k = 4, iterations = 2)
+    assert(m2.dims == wantModel.dims && m2.m == wantModel.m)
+    for (s <- 0 until m2.m) {
+      assert(m2.models(s).scale == wantModel.models(s).scale)
+      assert(m2.models(s).centroids.map(_.toSeq).toSeq ==
+        wantModel.models(s).centroids.map(_.toSeq).toSeq, s"subspace $s")
+    }
+    // Probes equal the inline pipeline over survivors under that fit.
+    val probes = c.filter(pmod(col("vec_id"), lit(7)) === 0)
+    val want = canon(Similarity.ivfPqTopK(probes, surv,
+      Pq.encode(surv, "vec_id", "embedding", wantModel),
+      "vec_id", "embedding", wantModel, k = 3, candidateK = 12,
+      centroidMod = 12, nprobe = 2))
+    val got = canon(PqIndex.topK(spark, path, probes,
+      "vec_id", "embedding", k = 3, candidateK = 12, nprobe = 2))
+    assert(got == want && want.nonEmpty)
+    // Mask folded: the refit generation carries no tombstones, and the
+    // dead slice is physically gone from its lists.
+    val live = PqIndex.liveVersion(spark, path)
+    assert(!new java.io.File(s"$path/$live/tombstones").exists(),
+      "refit must fold the mask")
+    assert(spark.read.parquet(s"$path/$live/lists")
+      .filter(pmod(col("neighbor_id"), lit(16)) === 5).count() == 0)
+    // The reference error drops: the unseen axes now have codebooks.
+    assert(PqIndex.meanQuantizationError(spark, path) < staleErr,
+      s"refit error must improve on the stale fit's $staleErr")
+  }
+
   test("a torn generation stays invisible; a committed rebuild retires it") {
     val c = corpus(48)
     val model = Pq.fit(c, "vec_id", "embedding", dims = 16, m = 2,
