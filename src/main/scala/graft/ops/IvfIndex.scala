@@ -452,6 +452,57 @@ object IvfIndex {
     * the legacy unversioned `tombstones/` (pre-migration indexes);
     * empty when none have been written.
     */
+  /** [[Similarity.routingDrift]] with the INDEX ITSELF as the build
+    * cohort: the stored lists already materialize the assignment (the
+    * `list` partition key IS each row's argmax centroid), so the
+    * reference side needs no argmax scan — one equi-join of the live
+    * unmasked rows against the broadcast stored codebook scores each
+    * row against exactly its OWN centroid, while the delta side pays
+    * the usual assignment scan. Same output row and the same
+    * 1e-4-quantized integer error sums as the inline form; alarm →
+    * re-cluster + [[write]] (the IVF refit is a rebuild with a NEW
+    * codebook — there is no frozen-codebook shortcut for the routing
+    * layer, and re-encoding is the PQ side's problem, not this one's).
+    */
+  def routingDrift(spark: SparkSession, path: String, delta: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val centStored = spark.read.parquet(s"$path/centroids")
+      .select(col("centroid_id").cast("long").as("__cid"),
+        col("centroid").as("__cv"), col("cnorm").as("__cn"))
+    val listsStored = spark.read
+      .parquet(s"$path/${liveLists(spark, path)}")
+    val live = tombstones(spark, path) match {
+      case Some(t) => listsStored.join(t, Seq("neighbor_id"), "left_anti")
+      case None => listsStored
+    }
+    val buildErr = live
+      .select(col("list").cast("long").as("__cid"), col("vec"),
+        col("vnorm"))
+      .join(broadcast(centStored), Seq("__cid"))
+      .select((Similarity.dot(col("vec"), col("__cv")) /
+        (col("vnorm") * col("__cn"))).as("__best"))
+      .agg(count(lit(1)).as("build_n"),
+        sum(round((lit(1.0) - col("__best")) * 10000).cast("long"))
+          .cast("long").as("build_err"))
+    val deltaErr = delta.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        Similarity.norm(col(vecCol)).as("__n"))
+      .crossJoin(broadcast(centStored))
+      .withColumn("__acos",
+        Similarity.dot(col("__v"), col("__cv")) /
+          (col("__n") * col("__cn")))
+      .groupBy(col("__id"))
+      .agg(max(col("__acos")).as("__best"))
+      .agg(count(lit(1)).as("delta_n"),
+        sum(round((lit(1.0) - col("__best")) * 10000).cast("long"))
+          .cast("long").as("delta_err"))
+    buildErr.crossJoin(deltaErr)
+      .select(col("build_n"), col("build_err"), col("delta_n"),
+        col("delta_err"),
+        round((col("delta_err") / col("delta_n")) /
+          (col("build_err") / col("build_n")), 4).as("drift_ratio"))
+  }
+
   private[ops] def tombstones(spark: SparkSession,
       path: String): Option[DataFrame] = {
     val conf = spark.sparkContext.hadoopConfiguration

@@ -337,6 +337,51 @@ object Similarity {
       invertedLists(corpus, idCol, vecCol, cent), nprobe)
   }
 
+  /** Coarse-ROUTING drift of a delta cohort against the build cohort
+    * under ONE frozen coarse codebook — the IVF-side refit trigger,
+    * [[graft.ml.Pq.quantizationDrift]]'s sibling for the routing layer:
+    * appends under a stored codebook stay exact
+    * ([[IvfIndex.append]]), but a corpus that drifts from the
+    * codebook's fit distribution routes with falling best-cosine — the
+    * Voronoi cells stop matching the data, and probe recall at fixed
+    * `nprobe` decays silently. Per-row error is the 1e-4-quantized
+    * angular slack `round((1 − best cos)·10⁴)` as BIGINT — quantizing
+    * BEFORE the sum keeps the aggregate integer-exact and
+    * engine-portable (oracle `q_ivf_drift`; a raw double sum's hash
+    * flaps with accumulation order). Each cohort costs the assignment
+    * stage's scan: one broadcast codebook cross-join + a map-side-
+    * combined max per row.
+    *
+    * One row: (build_n, build_err, delta_n, delta_err, drift_ratio)
+    * with drift_ratio = mean(delta err) / mean(build err) — re-cluster
+    * the codebook + [[IvfIndex.write]] when it clears the deployment's
+    * threshold, exactly the [[graft.ops.PqIndex.refit]] cadence on the
+    * PQ side.
+    */
+  def routingDrift(build: DataFrame, delta: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame,
+      centIdCol: String = "centroid_id",
+      centVecCol: String = "centroid"): DataFrame = {
+    val cent = centFrame(centroids, centIdCol, centVecCol)
+    def errOf(df: DataFrame, tag: String): DataFrame =
+      df.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+          norm(col(vecCol)).as("__n"))
+        .crossJoin(broadcast(cent))
+        .withColumn("__acos",
+          dot(col("__v"), col("__cv")) / (col("__n") * col("__cn")))
+        .groupBy(col("__id"))
+        .agg(max(col("__acos")).as("__best"))
+        .agg(count(lit(1)).as(s"${tag}_n"),
+          sum(round((lit(1.0) - col("__best")) * 10000).cast("long"))
+            .cast("long").as(s"${tag}_err"))
+    errOf(build, "build").crossJoin(errOf(delta, "delta"))
+      .select(col("build_n"), col("build_err"), col("delta_n"),
+        col("delta_err"),
+        round((col("delta_err") / col("delta_n")) /
+          (col("build_err") / col("build_n")), 4).as("drift_ratio"))
+  }
+
   /** Normalized codebook frame: (__cid, __cv double[], __cn). The single
     * shape both the inline IVF path and the persisted [[IvfIndex]] share.
     */

@@ -516,6 +516,29 @@ object SimilarityQueries extends QueryGroup {
           col("rank").cast("int").as("rank"), (round(col("cos"), 4) + lit(0.0)).as("cos"))
     }),
 
+    // Coarse-routing REFIT TRIGGER — q_pq_drift's sibling for the IVF
+    // layer: the %25 codebook plays the "build-time fit", and the odd
+    // half's mean angular slack to its best centroid is ratioed against
+    // the even half's under that one frozen codebook. Per-row error is
+    // quantized to 1e-4 BEFORE the sum (integer-exact aggregate — a raw
+    // double sum's hash flaps with accumulation order). The halves are
+    // iid so the gated ratio sits near 1 — the oracle pins the
+    // MACHINERY (argmax routing + quantized error sums); the
+    // planted-drift direction is spec-gated (IvfIndexSpec,
+    // StreamingIvfDriftSpec).
+    "q_ivf_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cent = emb.filter(col("embedding").isNotNull)
+        .filter(pmod(col("vec_id"), lit(25)) === 0 &&
+          col("vec_id") < 12500)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid"))
+      Similarity.routingDrift(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding", cent)
+    }),
+
     // Build-once/probe-many IVF: the inverted lists are PERSISTED
     // (parquet, partitioned by Voronoi cell) on the SHARED full-corpus
     // %50-codebook tree (sharedIvfM50Path — the write path runs once
@@ -1815,6 +1838,26 @@ object SimilarityQueries extends QueryGroup {
         |  FROM cand)
         |SELECT query_id, neighbor_id, rank, round(cos, 4) + 0.0 AS cos
         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // Even/odd mean quantized angular slack under the one %25 codebook;
+    // per-row error integer-quantized at 1e-4 (the granularity every
+    // ranked-cos oracle here already proves both engines agree at).
+    "q_ivf_drift" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0 AND vec_id < 12500),
+        |best AS (
+        |  SELECT a.vec_id,
+        |    CAST(round((1 - max(list_cosine_similarity(a.v, c.cv))) * 10000) AS BIGINT) AS err
+        |  FROM e a CROSS JOIN cent c GROUP BY a.vec_id),
+        |b AS (SELECT CAST(count(*) AS BIGINT) AS build_n,
+        |        CAST(sum(err) AS BIGINT) AS build_err
+        |      FROM best WHERE vec_id % 2 = 0),
+        |d AS (SELECT CAST(count(*) AS BIGINT) AS delta_n,
+        |        CAST(sum(err) AS BIGINT) AS delta_err
+        |      FROM best WHERE vec_id % 2 = 1)
+        |SELECT build_n, build_err, delta_n, delta_err,
+        |  round((delta_err * 1.0 / delta_n) / (build_err * 1.0 / build_n), 4) AS drift_ratio
+        |FROM b, d""".stripMargin,
 
     // Persistence must be invisible in the result: the q_ann_ivf_topk
     // replay with the shared tree's %50 codebook (the artifact

@@ -497,4 +497,47 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(listScan.isDefined, plan)
     assert(!listScan.get.contains("cast(list"), listScan.get)
   }
+
+  test("routingDrift: stored-reference build columns equal the inline " +
+    "form's (the stored assignment IS the argmax); in-distribution " +
+    "deltas read ~1, an off-codebook cohort fires; the mask shrinks " +
+    "the reference") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("ivf_drift").toString
+    IvfIndex.write(path, corpus, "vec_id", "embedding", codebook)
+    def cohort(ids: Range, axis: Int => Int): DataFrame =
+      ids.map { i =>
+        val c = axis(i)
+        (i.toLong, Array.tabulate(dims)(d =>
+          (if (d == c) 10.0 else 0.0) + ((i * 31 + d * 7) % 13) * 0.1))
+      }.toDF("vec_id", "embedding")
+    // Same cluster structure, fresh ids — in-distribution.
+    val inDelta = cohort(1000 until 1030, _ % 6)
+    val inline = Similarity.routingDrift(corpus, inDelta,
+      "vec_id", "embedding", codebook).collect()(0)
+    val stored = IvfIndex.routingDrift(spark, path, inDelta,
+      "vec_id", "embedding").collect()(0)
+    // The no-argmax shortcut is only sound if the stored `list` key is
+    // exactly each row's argmax centroid — pin the integer error sums.
+    assert(stored.getLong(0) == inline.getLong(0) &&
+      stored.getLong(1) == inline.getLong(1),
+      s"stored build cohort $stored != inline $inline")
+    assert(stored.getLong(2) == 30L)
+    assert(stored.getDouble(4) < 1.5,
+      s"in-distribution ratio ${stored.getDouble(4)}")
+    // One-hot on the axis NO centroid owns: routes with a large
+    // angular slack under the frozen codebook.
+    val off = cohort(2000 until 2030, _ => 7)
+    val fired = IvfIndex.routingDrift(spark, path, off,
+      "vec_id", "embedding").collect()(0)
+    assert(fired.getDouble(4) > 1.5,
+      s"planted drift ratio ${fired.getDouble(4)}")
+    // Tombstoned rows leave the reference cohort.
+    IvfIndex.delete(spark, path,
+      corpus.filter(col("vec_id") % 2 === 0).select("vec_id"), "vec_id")
+    val masked = IvfIndex.routingDrift(spark, path, inDelta,
+      "vec_id", "embedding").collect()(0)
+    assert(masked.getLong(0) == 120L,
+      s"masked reference kept ${masked.getLong(0)} rows")
+  }
 }
