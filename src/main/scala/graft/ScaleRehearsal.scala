@@ -141,6 +141,8 @@ object ScaleRehearsal {
         rangeSkew(spark, m.toLong, f.toInt)
       case Seq("token-skew", m, f) =>
         tokenSkew(spark, m.toLong, f.toInt)
+      case Seq("pq-refit-recall", n) =>
+        pqRefitRecall(spark, n.toLong)
       case Seq("branch-cost", base, big) =>
         branchCost(spark, base, big)
       case other => sys.error(
@@ -416,6 +418,96 @@ object ScaleRehearsal {
       graft.ops.LocalFs.deleteRecursively(new java.io.File(
         s"${System.getProperty("java.io.tmpdir")}/graft_tsk_${sz}_${s}_$tskApp"))
   }
+
+  // -------------------------------------------------------- pq-refit-recall
+
+  /** Measures WHAT THE DRIFT→REFIT LOOP BUYS: recall@10 of the
+    * persisted IVF-PQ index on a planted-drift corpus, before and
+    * after [[graft.ops.PqIndex.refit]], at identical probe parameters.
+    *
+    * Setup isolates the PQ layer: the base cohort clusters in the
+    * FIRST half of the dims, the drifted cohort (half the base size)
+    * in the SECOND half — so the stale codebooks, fit on base only,
+    * have no centroids anywhere near the drifted subspaces and ADC
+    * cannot discriminate within the drifted region (every drifted
+    * vector quantizes to the same far-away codes; the candidateK cut
+    * goes near-arbitrary there). The COARSE codebook samples BOTH
+    * cohorts so routing stays adequate throughout — the measured
+    * recall gap is the re-encoding layer's, the one refit repairs
+    * (routing decay is [[graft.ops.IvfIndex.routingDrift]]'s axis, a
+    * rebuild's problem).
+    *
+    * Prints: the drift ratio the monitor would alarm on, recall@10 of
+    * the drifted probes against brute-force truth before/after refit,
+    * and both probe latencies (refit must not change probe cost — same
+    * artifact shape, same parameters).
+    */
+  def pqRefitRecall(spark: SparkSession, n: Long): Unit = {
+    val dims = 64
+    val app = spark.sparkContext.applicationId
+    val tmp = System.getProperty("java.io.tmpdir")
+    def cohort(size: Long, offset: Long, half: Int): DataFrame = {
+      val axis = pmod(col("vec_id"), lit(8)) * 4 + lit(half * 32)
+      val v = transform(sequence(lit(0), lit(dims - 1)), d =>
+        when(d.cast("long") === axis, lit(8.0)).otherwise(lit(0.0)) +
+          (pmod((col("vec_id") * 31 + lit(1)) * (d + lit(1)) + d * 7,
+            lit(1009)) - lit(504)).cast("double") / 504.0)
+      spark.range(size).select((col("id") + offset).as("vec_id"))
+        .select(col("vec_id"), v.as("embedding"))
+    }
+    def mat(df: DataFrame, tag: String): DataFrame = {
+      val p = s"$tmp/graft_prr_${tag}_$app"
+      df.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    val base = mat(cohort(n, 0L, 0), "base")
+    val drift = mat(cohort(n / 2, 10000000L, 1), "drift")
+    val all = base.unionByName(drift)
+    val model = graft.ml.Pq.fit(base, "vec_id", "embedding",
+      dims = dims, m = 4, k = 8, iterations = 2)
+    // Coarse codebook over BOTH cohorts (see scaladoc): every ~200th id.
+    val cent = all.filter(pmod(col("vec_id"), lit(200)) === 0)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("centroid"))
+    val path = s"$tmp/graft_prr_idx_$app"
+    graft.ops.PqIndex.write(spark, path, base, "vec_id", "embedding",
+      cent, model)
+    graft.ops.PqIndex.append(spark, path, drift, "vec_id", "embedding")
+    val probes = mat(drift.filter(pmod(col("vec_id"), lit(largeStep(n)))
+      === 1), "probes")
+    val truth = graft.ops.Similarity.bruteForceTopKAgg(probes, all,
+      "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    val nTruth = truth.count()
+    def recallAndTime(tag: String): (Double, Double) = {
+      var hits = 0L
+      val t = time {
+        val got = graft.ops.PqIndex.topK(spark, path, probes,
+          "vec_id", "embedding", k = 10, candidateK = 20, nprobe = 4)
+        hits = truth.join(got.select(col("query_id"),
+            col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi").count()
+      }
+      (hits.toDouble / nTruth, t)
+    }
+    val dr = graft.ml.Pq.quantizationDrift(base, drift,
+      "vec_id", "embedding", model).collect()(0)
+    val ratio = dr.getDouble(dr.fieldIndex("drift_ratio"))
+    recallAndTime("warmup"): Unit // plan/codegen/footer-read warm-up
+    val (recallStale, tStale) = recallAndTime("stale")
+    val tRefit = time(
+      graft.ops.PqIndex.refit(spark, path, iterations = 2): Unit)
+    val (recallRefit, tProbe) = recallAndTime("refit")
+    println(f"""{"metric":"pq_refit_recall","n":$n,"drift_ratio":$ratio%.2f,"recall_stale":$recallStale%.4f,"recall_refit":$recallRefit%.4f,"t_probe_stale":$tStale%.2f,"t_probe_refit":$tProbe%.2f,"t_refit":$tRefit%.2f,"probes":$nTruth}""")
+    graft.ops.Checkpoints.release(truth)
+    Seq("base", "drift", "probes", "idx").foreach(t =>
+      graft.ops.LocalFs.deleteRecursively(new java.io.File(
+        s"$tmp/graft_prr_${t}_$app")))
+  }
+
+  /** Probe-sampling step: ~50 probes regardless of n. */
+  private def largeStep(n: Long): Long = math.max(1L, n / 2 / 50)
 
   // ------------------------------------------------------------ branch-cost
 
