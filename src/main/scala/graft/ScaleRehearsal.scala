@@ -87,7 +87,7 @@ object ScaleRehearsal {
     // agg — should scale as a scan) and the drift-triggered refit
     // itself (stale build + frozen append + full re-fit/re-encode
     // rebuild — the honest price of codebook freshness, measured).
-    "q_pq_drift", "q_ann_ivfpq_refit", "q_ivf_drift")
+    "q_pq_drift", "q_ann_ivfpq_refit", "q_ivf_drift", "q_ann_ivf_refit")
 
   /** The skew-rehearsal set: the queries whose scale story depends on a
     * HOT KEY surviving — as-of auto-routing, per-group rank windows,

@@ -452,6 +452,52 @@ object IvfIndex {
     * the legacy unversioned `tombstones/` (pre-migration indexes);
     * empty when none have been written.
     */
+  /** REFIT the coarse codebook from the index's OWN live rows and
+    * rebuild — the routing layer's drift ACTION ([[routingDrift]] /
+    * StreamingIvfDrift alarm; [[graft.ops.PqIndex.refit]]'s sibling,
+    * but for the layer where a refit means NEW Voronoi cells, so it is
+    * a full [[write]] — no frozen-codebook shortcut exists up here).
+    * The new codebook re-applies the deterministic value-keyed
+    * sampling rule (`id % centroidMod == 0 && id < centroidCap`, the
+    * family the inline [[Similarity.ivfTopK]] samples) over the
+    * SURVIVORS — a drifted cohort that appended under stale cells now
+    * contributes centroids, and the rebuilt partition covers its
+    * region (`q_ann_ivf_refit` gates stale-codebook build + append +
+    * refit ≡ a from-scratch build whose codebook sampled the full
+    * corpus). A LEARNED-codebook upgrade stays the caller's:
+    * [[graft.ml.KMeans]] fit + centroidFrame + [[write]]. Pending
+    * tombstones fold (the refit corpus is the survivors); cost is a
+    * rebuild, which is what an IVF refit IS — run on the drift
+    * cadence.
+    */
+  def refit(spark: SparkSession, path: String, centroidMod: Long,
+      centroidCap: Long = Long.MaxValue,
+      maxRecordsPerFile: Long = 5000000L, retain: Int = 1): Unit = {
+    val listsStored = spark.read
+      .parquet(s"$path/${liveLists(spark, path)}")
+    val live = tombstones(spark, path) match {
+      case Some(t) => listsStored.join(t, Seq("neighbor_id"), "left_anti")
+      case None => listsStored
+    }
+    // LAZY on purpose: write() consumes both frames fully inside its
+    // commit (the new lists_v{n+1} lands, THEN stale trees retire), so
+    // reads of the old tree complete before it disappears, and a
+    // data-sized checkpoint would double-materialize the index.
+    val corpus = live.select(col("neighbor_id"), col("vec"))
+    val cent = corpus
+      .filter(pmod(col("neighbor_id"), lit(centroidMod)) === 0 &&
+        col("neighbor_id") < centroidCap)
+      .select(col("neighbor_id").as("centroid_id"),
+        col("vec").as("centroid"))
+    require(!cent.isEmpty,
+      s"refit of $path: the rule (id % $centroidMod == 0, id < " +
+        s"$centroidCap) sampled no centroids from the live rows — a " +
+        "codebook-less index would serve nothing; pick a rule the " +
+        "corpus satisfies or supply a learned codebook via write()")
+    write(path, corpus, "neighbor_id", "vec", cent,
+      maxRecordsPerFile = maxRecordsPerFile, retain = retain)
+  }
+
   /** [[Similarity.routingDrift]] with the INDEX ITSELF as the build
     * cohort: the stored lists already materialize the assignment (the
     * `list` partition key IS each row's argmax centroid), so the
@@ -469,21 +515,8 @@ object IvfIndex {
     val centStored = spark.read.parquet(s"$path/centroids")
       .select(col("centroid_id").cast("long").as("__cid"),
         col("centroid").as("__cv"), col("cnorm").as("__cn"))
-    val listsStored = spark.read
-      .parquet(s"$path/${liveLists(spark, path)}")
-    val live = tombstones(spark, path) match {
-      case Some(t) => listsStored.join(t, Seq("neighbor_id"), "left_anti")
-      case None => listsStored
-    }
-    val buildErr = live
-      .select(col("list").cast("long").as("__cid"), col("vec"),
-        col("vnorm"))
-      .join(broadcast(centStored), Seq("__cid"))
-      .select((Similarity.dot(col("vec"), col("__cv")) /
-        (col("vnorm") * col("__cn"))).as("__best"))
-      .agg(count(lit(1)).as("build_n"),
-        sum(round((lit(1.0) - col("__best")) * 10000).cast("long"))
-          .cast("long").as("build_err"))
+    val buildErr = liveRoutingErr(spark, path, centStored)
+      .toDF("build_n", "build_err")
     val deltaErr = delta.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("__id"), col(vecCol).as("__v"),
         Similarity.norm(col(vecCol)).as("__n"))
@@ -501,6 +534,45 @@ object IvfIndex {
         col("delta_err"),
         round((col("delta_err") / col("delta_n")) /
           (col("build_err") / col("build_n")), 4).as("drift_ratio"))
+  }
+
+  /** Mean 1e-4-quantized angular slack of the live unmasked rows to
+    * their OWN stored centroid — [[routingDrift]]'s build-side mean
+    * alone, the pre-aggregated reference denominator a drift monitor
+    * caches ([[graft.ops.PqIndex.meanQuantizationError]]'s sibling).
+    * One equi-join scan of the live lists against the broadcast stored
+    * codebook.
+    */
+  def meanRoutingError(spark: SparkSession, path: String): Double = {
+    val centStored = spark.read.parquet(s"$path/centroids")
+      .select(col("centroid_id").cast("long").as("__cid"),
+        col("centroid").as("__cv"), col("cnorm").as("__cn"))
+    val r = liveRoutingErr(spark, path, centStored).collect()(0)
+    require(r.getLong(0) > 0, s"meanRoutingError of $path: no live rows")
+    r.getLong(1).toDouble / r.getLong(0)
+  }
+
+  /** (n, Σ quantized slack) of the live unmasked rows against their
+    * OWN stored centroid — the no-argmax scan [[routingDrift]] and
+    * [[meanRoutingError]] share (the stored `list` key IS the argmax).
+    */
+  private def liveRoutingErr(spark: SparkSession, path: String,
+      centStored: DataFrame): DataFrame = {
+    val listsStored = spark.read
+      .parquet(s"$path/${liveLists(spark, path)}")
+    val live = tombstones(spark, path) match {
+      case Some(t) => listsStored.join(t, Seq("neighbor_id"), "left_anti")
+      case None => listsStored
+    }
+    live
+      .select(col("list").cast("long").as("__cid"), col("vec"),
+        col("vnorm"))
+      .join(broadcast(centStored), Seq("__cid"))
+      .select((Similarity.dot(col("vec"), col("__cv")) /
+        (col("vnorm") * col("__cn"))).as("__best"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(round((lit(1.0) - col("__best")) * 10000).cast("long"))
+          .cast("long").as("err"))
   }
 
   private[ops] def tombstones(spark: SparkSession,
@@ -524,7 +596,7 @@ object IvfIndex {
     * compaction leaves an uncommitted (marker-less) directory that every
     * reader ignores.
     */
-  private[ops] def liveLists(spark: SparkSession, path: String): String = {
+  private[graft] def liveLists(spark: SparkSession, path: String): String = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)

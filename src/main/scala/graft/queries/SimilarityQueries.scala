@@ -588,6 +588,42 @@ object SimilarityQueries extends QueryGroup {
       probed
     }),
 
+    // Drift-triggered REFIT on the persisted IVF index — q_ivf_drift's
+    // ACTION, q_ann_ivfpq_refit's routing-layer sibling: build the
+    // index over the EVEN half with the %25 codebook rule applied to
+    // the even half only — which can sample ONLY the even multiples of
+    // 25 (the "stale cells" state: every odd multiple of 25 is
+    // missing) — append the odd half under those frozen cells, then
+    // IvfIndex.refit: the same value-keyed rule (%25, <12500)
+    // re-applied over the index's own live rows now draws the odd
+    // multiples too, and the rebuilt Voronoi partition is bit-identical
+    // to a from-scratch full-corpus build's — so the oracle is
+    // q_ann_ivf_topk's VERBATIM (full %25 codebook, full lists).
+    "q_ann_ivf_refit" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val even = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val staleCent = even.filter(col("embedding").isNotNull)
+        .filter(pmod(col("vec_id"), lit(25)) === 0 && col("vec_id") < 12500)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_refit_" +
+        new java.io.File(dir).getName + "_" + s.sparkContext.applicationId
+      graft.ops.IvfIndex.write(path, even, "vec_id", "embedding",
+        staleCent)
+      graft.ops.IvfIndex.append(s, path,
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding")
+      graft.ops.IvfIndex.refit(s, path, centroidMod = 25,
+        centroidCap = 12500)
+      val probed = graft.ops.IvfIndex.topK(s, path,
+        emb.filter(col("vec_id") < 30),
+        "vec_id", "embedding", k = 3, nprobe = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("int").as("rank"), (round(col("cos"), 4) + lit(0.0)).as("cos"))
+        .localCheckpoint(true) // materialize before the tree is deleted
+      deleteTree(s, path)
+      probed
+    }),
+
     // Tombstone deletes on the persisted IVF index: BRANCH the shared
     // full-corpus tree (IvfIndex.branch — a hard-linked snapshot, so
     // the mutation pays no rebuild and cannot touch what
@@ -1260,6 +1296,39 @@ object SimilarityQueries extends QueryGroup {
 
   private val maxsimAnnSql: String = maxsimAnnSqlOf("")
 
+  /** The q_ann_ivf_topk replay (full-corpus %25 codebook), shared
+    * verbatim by q_ann_ivf_refit (refit resamples exactly this rule
+    * over the live rows).
+    */
+  private val ivfM25TopkSql: String =
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0 AND vec_id < 12500),
+        |assign AS (
+        |  SELECT a.vec_id, a.v, c.cid,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cid ASC) AS r
+        |  FROM e a CROSS JOIN cent c),
+        |lists AS (SELECT cid AS list, vec_id AS neighbor_id, v
+        |  FROM assign WHERE r = 1),
+        |pa AS (
+        |  SELECT a.vec_id AS query_id, a.v AS qv, c.cid,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cid ASC) AS r
+        |  FROM e a CROSS JOIN cent c WHERE a.vec_id < 30),
+        |pl AS (SELECT query_id, qv, cid AS list FROM pa WHERE r <= 3),
+        |cand AS (
+        |  SELECT pl.query_id, l.neighbor_id,
+        |    list_cosine_similarity(pl.qv, l.v) AS cos
+        |  FROM pl JOIN lists l ON pl.list = l.list
+        |  WHERE pl.query_id <> l.neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+        |  FROM cand)
+        |SELECT query_id, neighbor_id, rank, round(cos, 4) + 0.0 AS cos
+        |FROM ranked WHERE rank <= 3""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_vector_norms" ->
       """SELECT vec_id, len(embedding) AS dim,
@@ -1810,34 +1879,11 @@ object SimilarityQueries extends QueryGroup {
     // Mirrors Similarity.ivfTopK: sampled centroids (vec_id % 25 = 0 AND vec_id < 12500),
     // argmax-cosine list assignment (ties → smaller centroid id), 3
     // probed lists, exact-cosine rank with neighbor_id tie-break.
-    "q_ann_ivf_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
-        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 25 = 0 AND vec_id < 12500),
-        |assign AS (
-        |  SELECT a.vec_id, a.v, c.cid,
-        |    row_number() OVER (PARTITION BY a.vec_id
-        |      ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cid ASC) AS r
-        |  FROM e a CROSS JOIN cent c),
-        |lists AS (SELECT cid AS list, vec_id AS neighbor_id, v
-        |  FROM assign WHERE r = 1),
-        |pa AS (
-        |  SELECT a.vec_id AS query_id, a.v AS qv, c.cid,
-        |    row_number() OVER (PARTITION BY a.vec_id
-        |      ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cid ASC) AS r
-        |  FROM e a CROSS JOIN cent c WHERE a.vec_id < 30),
-        |pl AS (SELECT query_id, qv, cid AS list FROM pa WHERE r <= 3),
-        |cand AS (
-        |  SELECT pl.query_id, l.neighbor_id,
-        |    list_cosine_similarity(pl.qv, l.v) AS cos
-        |  FROM pl JOIN lists l ON pl.list = l.list
-        |  WHERE pl.query_id <> l.neighbor_id),
-        |ranked AS (
-        |  SELECT query_id, neighbor_id, cos,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
-        |  FROM cand)
-        |SELECT query_id, neighbor_id, rank, round(cos, 4) + 0.0 AS cos
-        |FROM ranked WHERE rank <= 3""".stripMargin,
+    "q_ann_ivf_topk" -> ivfM25TopkSql,
+    // Stale-cells build + frozen append + codebook refit ≡ the
+    // from-scratch full-%25-codebook build (the value-keyed rule over
+    // the live rows resamples the full corpus), so the same SQL.
+    "q_ann_ivf_refit" -> ivfM25TopkSql,
 
     // Even/odd mean quantized angular slack under the one %25 codebook;
     // per-row error integer-quantized at 1e-4 (the granularity every

@@ -540,4 +540,45 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(masked.getLong(0) == 120L,
       s"masked reference kept ${masked.getLong(0)} rows")
   }
+
+  test("refit resamples the codebook from the index's own live rows: " +
+    "stale-cells build + frozen append + delete + refit ≡ a scratch " +
+    "build over the survivors with the full-rule codebook; mask folded") {
+    val path = Files.createTempDirectory("ivf_refit").toString
+    val even = corpus.filter(col("vec_id") % 2 === 0)
+    val odd = corpus.filter(col("vec_id") % 2 === 1)
+    // The stale rule can only sample EVEN ids (multiples of 10), whose
+    // clusters (id%6) cycle {0,4,2} — the odd clusters have no cells.
+    val staleCent = even.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("centroid"))
+    IvfIndex.write(path, even, "vec_id", "embedding", staleCent)
+    IvfIndex.append(spark, path, odd, "vec_id", "embedding")
+    val deadPred = col("vec_id") % 16 === 3
+    IvfIndex.delete(spark, path,
+      corpus.filter(deadPred).select("vec_id"), "vec_id")
+    // mod 5 is coprime to 6: the refit codebook reaches every cluster,
+    // including the odd ones the appended half brought.
+    IvfIndex.refit(spark, path, centroidMod = 5)
+    val surv = corpus.filter(!deadPred)
+    val fullCent = surv.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("centroid"))
+    val scratch = Files.createTempDirectory("ivf_refit_scr").toString
+    IvfIndex.write(scratch, surv, "vec_id", "embedding", fullCent)
+    val want = canon(IvfIndex.topK(spark, scratch, probes,
+      "vec_id", "embedding", k = 4, nprobe = 2))
+    val got = canon(IvfIndex.topK(spark, path, probes,
+      "vec_id", "embedding", k = 4, nprobe = 2))
+    assert(got == want && got.nonEmpty)
+    // The resampled codebook is the full rule over survivors (odd-id
+    // centroids arrived; the deleted centroid candidate did not).
+    assert(spark.read.parquet(s"$path/centroids").count() ==
+      fullCent.count())
+    // The rebuild folded the mask: no tombstoned rows in the new tree.
+    assert(spark.read.parquet(s"$path/${IvfIndex.liveLists(spark, path)}")
+      .filter(pmod(col("neighbor_id"), lit(16)) === 3).count() == 0)
+    assert(IvfIndex.tombstones(spark, path).isEmpty,
+      "refit must clear the consumed masks")
+  }
 }
