@@ -460,11 +460,22 @@ object ScaleRehearsal {
       df.write.mode("overwrite").parquet(p)
       spark.read.parquet(p)
     }
+    try { pqRefitRecallBody(spark, n, cohort, mat) }
+    finally Seq("base", "drift", "probes", "idx").foreach(t =>
+      graft.ops.LocalFs.deleteRecursively(new java.io.File(
+        s"$tmp/graft_prr_${t}_$app")))
+  }
+
+  private def pqRefitRecallBody(spark: SparkSession, n: Long,
+      cohort: (Long, Long, Int) => DataFrame,
+      mat: (DataFrame, String) => DataFrame): Unit = {
     val base = mat(cohort(n, 0L, 0), "base")
     val drift = mat(cohort(n / 2, 10000000L, 1), "drift")
     val all = base.unionByName(drift)
+    val tmp = System.getProperty("java.io.tmpdir")
+    val app = spark.sparkContext.applicationId
     val model = graft.ml.Pq.fit(base, "vec_id", "embedding",
-      dims = dims, m = 4, k = 8, iterations = 2)
+      dims = 64, m = 4, k = 8, iterations = 2)
     // Coarse codebook over BOTH cohorts (see scaladoc): every ~200th id.
     val cent = all.filter(pmod(col("vec_id"), lit(200)) === 0)
       .select(col("vec_id").as("centroid_id"),
@@ -480,7 +491,9 @@ object ScaleRehearsal {
       .select(col("query_id"), col("neighbor_id"))
       .localCheckpoint(true)
     val nTruth = truth.count()
-    def recallAndTime(tag: String): (Double, Double) = {
+    require(nTruth > 0, s"pq-refit-recall $n: the probe-sampling rule " +
+      "selected no probes (n too small for largeStep) — nothing to score")
+    def recallAndTime(): (Double, Double) = {
       var hits = 0L
       val t = time {
         val got = graft.ops.PqIndex.topK(spark, path, probes,
@@ -494,16 +507,13 @@ object ScaleRehearsal {
     val dr = graft.ml.Pq.quantizationDrift(base, drift,
       "vec_id", "embedding", model).collect()(0)
     val ratio = dr.getDouble(dr.fieldIndex("drift_ratio"))
-    recallAndTime("warmup"): Unit // plan/codegen/footer-read warm-up
-    val (recallStale, tStale) = recallAndTime("stale")
+    recallAndTime(): Unit // plan/codegen/footer-read warm-up
+    val (recallStale, tStale) = recallAndTime()
     val tRefit = time(
       graft.ops.PqIndex.refit(spark, path, iterations = 2): Unit)
-    val (recallRefit, tProbe) = recallAndTime("refit")
+    val (recallRefit, tProbe) = recallAndTime()
     println(f"""{"metric":"pq_refit_recall","n":$n,"drift_ratio":$ratio%.2f,"recall_stale":$recallStale%.4f,"recall_refit":$recallRefit%.4f,"t_probe_stale":$tStale%.2f,"t_probe_refit":$tProbe%.2f,"t_refit":$tRefit%.2f,"probes":$nTruth}""")
     graft.ops.Checkpoints.release(truth)
-    Seq("base", "drift", "probes", "idx").foreach(t =>
-      graft.ops.LocalFs.deleteRecursively(new java.io.File(
-        s"$tmp/graft_prr_${t}_$app")))
   }
 
   /** Probe-sampling step: ~50 probes regardless of n. */

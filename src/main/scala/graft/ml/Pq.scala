@@ -84,15 +84,27 @@ object Pq {
   def quantizationDrift(build: DataFrame, delta: DataFrame, idCol: String,
       vecCol: String, model: PqModel): DataFrame = {
     def errOf(df: DataFrame, tag: String): DataFrame =
-      encode(df, idCol, vecCol, model).agg(
-        count(lit(1)).as(s"${tag}_n"),
-        sum(col("recon_dist")).cast("long").as(s"${tag}_err"))
+      errAgg(df, idCol, vecCol, model)
+        .select(col("n").as(s"${tag}_n"), col("err").as(s"${tag}_err"))
     errOf(build, "build").crossJoin(errOf(delta, "delta"))
       .select(col("build_n"), col("build_err"), col("delta_n"),
         col("delta_err"),
         round((col("delta_err") / col("delta_n")) /
           (col("build_err") / col("build_n")), 4).as("drift_ratio"))
   }
+
+  /** `(n, err)` = row count and exact integer Σ recon_dist of `df`
+    * under `model` — the ONE encode+aggregate every quantization-error
+    * surface shares ([[quantizationDrift]]'s cohort legs,
+    * `PqIndex.meanQuantizationError`, the streaming drift/refit
+    * monitors). `err` is SQL-NULL when the frame is empty after the
+    * null-vector filter — callers must treat n == 0 as "no signal".
+    */
+  def errAgg(df: DataFrame, idCol: String, vecCol: String,
+      model: PqModel): DataFrame =
+    encode(df, idCol, vecCol, model).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("recon_dist")).cast("long").as("err"))
 
   /** Asymmetric-distance top-k (the PQ search side): each probe builds its
     * m×k distance table ONCE (one projection on the broadcast probe side),

@@ -12,7 +12,13 @@ import org.apache.spark.sql.functions._
   *
   * Layout under `path`:
   *   - `centroids/` — (centroid_id, centroid ARRAY<DOUBLE>, cnorm):
-  *     nlist rows, broadcast at probe time;
+  *     nlist rows, broadcast at probe time. A [[refit]] (which CHANGES
+  *     the codebook) instead writes a VERSION-KEYED
+  *     `centroids_lists_v{n}` paired with its tree, so codebook and
+  *     lists swap atomically under the tree's `_SUCCESS`; readers
+  *     resolve via [[centDir]] (keyed-if-present, legacy otherwise),
+  *     [[compact]] carries the keyed dir to the compacted tree name,
+  *     and [[rollback]] retires it with its tree;
   *   - `lists_v{n}/` (every [[write]] and [[compact]] emits the next
   *     version; a pre-versioning `lists/` tree is still resolvable) —
   *     (neighbor_id, vec, vnorm) PARTITIONED BY `list`: each corpus
@@ -132,6 +138,8 @@ object IvfIndex {
       .filter { p =>
         val n = p.getName
         (n == "lists" || (n.matches("lists_v\\d+") && !keep.contains(n))) ||
+        (n.startsWith("centroids_") &&
+          !keep.contains(n.stripPrefix("centroids_"))) ||
         (n == "tombstones" ||
           (n.startsWith("tombstones_") &&
             !keep.contains(n.stripPrefix("tombstones_"))) ||
@@ -175,6 +183,12 @@ object IvfIndex {
     val live = liveLists(spark, srcPath)
     TreeClone.linkOrCopy(p(s"$srcPath/centroids"),
       p(s"$dstPath/centroids"), conf)
+    // A post-refit source pairs its live tree with a version-keyed
+    // codebook — the branch keeps the tree NAME, so the keyed dir
+    // travels verbatim and the clone resolves the same pairing.
+    if (sfs.exists(p(s"$srcPath/centroids_$live")))
+      TreeClone.linkOrCopy(p(s"$srcPath/centroids_$live"),
+        p(s"$dstPath/centroids_$live"), conf)
     TreeClone.linkOrCopy(p(s"$srcPath/$live"), p(s"$dstPath/$live"),
       conf, skip = Set("_SUCCESS"))
     Seq(s"tombstones_$live", "tombstones").foreach { t =>
@@ -233,9 +247,7 @@ object IvfIndex {
       idCol: String,
       vecCol: String,
       maxRecordsPerFile: Long = 5000000L): Unit = {
-    val cent = spark.read.parquet(s"$path/centroids").select(
-      col("centroid_id").as("__cid"), col("centroid").as("__cv"),
-      col("cnorm").as("__cn"))
+    val cent = storedCentFrame(spark, path)
     Similarity.invertedLists(delta, idCol, vecCol, cent)
       .select(col("__list").as("list"), col("neighbor_id"),
         col("__nv").as("vec"), col("__nn").as("vnorm"))
@@ -341,8 +353,10 @@ object IvfIndex {
           "unreadable)")
         // Eager: write() OVERWRITES $path/centroids as its first step —
         // a lazy read from the same location would race its own
-        // overwrite (FILE_NOT_EXIST mid-scan).
-        val cb = spark.read.parquet(s"$path/centroids")
+        // overwrite (FILE_NOT_EXIST mid-scan). Read via centDir so a
+        // post-refit rebuild carries the refit codebook forward (the
+        // rebuild re-lands it as the legacy dir, correctly paired).
+        val cb = spark.read.parquet(centDir(spark, path))
           .select(col("centroid_id"), col("centroid"))
           .localCheckpoint(eager = true)
         write(path, adds, idCol, vecCol, cb,
@@ -351,9 +365,7 @@ object IvfIndex {
         return
       }
     }
-    val cent = spark.read.parquet(s"$path/centroids").select(
-      col("centroid_id").as("__cid"), col("centroid").as("__cv"),
-      col("cnorm").as("__cn"))
+    val cent = storedCentFrame(spark, path)
     // Assign once; the boundary probe (distinct touched lists) and the
     // anti-join both reread this frame.
     val assigned = Similarity.invertedLists(adds, idCol, vecCol, cent)
@@ -473,29 +485,62 @@ object IvfIndex {
   def refit(spark: SparkSession, path: String, centroidMod: Long,
       centroidCap: Long = Long.MaxValue,
       maxRecordsPerFile: Long = 5000000L, retain: Int = 1): Unit = {
-    val listsStored = spark.read
-      .parquet(s"$path/${liveLists(spark, path)}")
-    val live = tombstones(spark, path) match {
+    val cur = liveLists(spark, path)
+    val listsStored = spark.read.parquet(s"$path/$cur")
+    val liveRows = tombstones(spark, path) match {
       case Some(t) => listsStored.join(t, Seq("neighbor_id"), "left_anti")
       case None => listsStored
     }
-    // LAZY on purpose: write() consumes both frames fully inside its
-    // commit (the new lists_v{n+1} lands, THEN stale trees retire), so
-    // reads of the old tree complete before it disappears, and a
-    // data-sized checkpoint would double-materialize the index.
-    val corpus = live.select(col("neighbor_id"), col("vec"))
-    val cent = corpus
+    // The corpus frame stays LAZY (it is consumed fully by the list
+    // write below, before the old tree retires; a data-sized
+    // checkpoint would double-materialize the index) — but the
+    // codebook-sized centroid frame is EAGER: it feeds the codebook
+    // write, the require, and the broadcast assignment, and re-deriving
+    // it lazily would re-scan the full index once per consumer.
+    val corpus = liveRows.select(col("neighbor_id"), col("vec"))
+    val centRows = corpus
       .filter(pmod(col("neighbor_id"), lit(centroidMod)) === 0 &&
         col("neighbor_id") < centroidCap)
       .select(col("neighbor_id").as("centroid_id"),
         col("vec").as("centroid"))
-    require(!cent.isEmpty,
-      s"refit of $path: the rule (id % $centroidMod == 0, id < " +
-        s"$centroidCap) sampled no centroids from the live rows — a " +
-        "codebook-less index would serve nothing; pick a rule the " +
-        "corpus satisfies or supply a learned codebook via write()")
-    write(path, corpus, "neighbor_id", "vec", cent,
-      maxRecordsPerFile = maxRecordsPerFile, retain = retain)
+      .localCheckpoint(eager = true)
+    if (centRows.isEmpty) {
+      Checkpoints.release(centRows)
+      throw new IllegalArgumentException(
+        s"refit of $path: the rule (id % $centroidMod == 0, id < " +
+          s"$centroidCap) sampled no centroids from the live rows — a " +
+          "codebook-less index would serve nothing; pick a rule the " +
+          "corpus satisfies or supply a learned codebook via write()")
+    }
+    // A refit CHANGES the codebook, so — unlike [[write]]'s legacy
+    // overwrite-centroids-first order — codebook and lists must swap
+    // ATOMICALLY: the new codebook lands VERSION-KEYED to the new tree
+    // (`centroids_lists_v{n+1}`, invisible to [[centDir]] until that
+    // tree's `_SUCCESS` commits), the lists are built under it, and
+    // the marker commits BOTH. A crash anywhere leaves the old
+    // codebook+tree pairing serving; a `retain` > 1 refit is fully
+    // [[rollback]]-able (the retired tree's keyed codebook goes with
+    // it, and the previous tree re-pairs with ITS codebook — keyed if
+    // it has one, legacy otherwise). The legacy `centroids` dir is
+    // never touched here.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val next = s"lists_v${maxVersion(fs, root) + 1}"
+    val cent = Similarity.centFrame(centRows, "centroid_id", "centroid")
+    cent.select(col("__cid").as("centroid_id"),
+        col("__cv").as("centroid"), col("__cn").as("cnorm"))
+      .write.mode("overwrite").parquet(s"$path/centroids_$next")
+    Similarity.invertedLists(corpus, "neighbor_id", "vec", cent)
+      .select(col("__list").as("list"), col("neighbor_id"),
+        col("__nv").as("vec"), col("__nn").as("vnorm"))
+      .repartition(col("list"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("list")
+      .parquet(s"$path/$next")
+    Checkpoints.release(centRows)
+    retireSuperseded(fs, root, path, retain, consumed = Set.empty)
   }
 
   /** [[Similarity.routingDrift]] with the INDEX ITSELF as the build
@@ -512,29 +557,43 @@ object IvfIndex {
     */
   def routingDrift(spark: SparkSession, path: String, delta: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
-    val centStored = spark.read.parquet(s"$path/centroids")
-      .select(col("centroid_id").cast("long").as("__cid"),
-        col("centroid").as("__cv"), col("cnorm").as("__cn"))
+    val centStored = storedCentFrame(spark, path)
     val buildErr = liveRoutingErr(spark, path, centStored)
       .toDF("build_n", "build_err")
-    val deltaErr = delta.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
-        Similarity.norm(col(vecCol)).as("__n"))
-      .crossJoin(broadcast(centStored))
-      .withColumn("__acos",
-        Similarity.dot(col("__v"), col("__cv")) /
-          (col("__n") * col("__cn")))
-      .groupBy(col("__id"))
-      .agg(max(col("__acos")).as("__best"))
-      .agg(count(lit(1)).as("delta_n"),
-        sum(round((lit(1.0) - col("__best")) * 10000).cast("long"))
-          .cast("long").as("delta_err"))
+    val deltaErr = Similarity.routingErrAgg(delta, idCol, vecCol,
+      centStored).toDF("delta_n", "delta_err")
     buildErr.crossJoin(deltaErr)
       .select(col("build_n"), col("build_err"), col("delta_n"),
         col("delta_err"),
         round((col("delta_err") / col("delta_n")) /
           (col("build_err") / col("build_n")), 4).as("drift_ratio"))
   }
+
+  /** Resolve the codebook dir PAIRED with the live list tree: the
+    * version-keyed `centroids_lists_v{n}` when the live tree carries
+    * one (written by [[refit]], whose codebook+lists swap commits
+    * atomically under the tree's `_SUCCESS`), else the legacy
+    * unversioned `centroids`. Every reader of the stored codebook MUST
+    * come through here — a raw `$path/centroids` read after a refit
+    * pairs the wrong codebook with the live tree.
+    */
+  private[graft] def centDir(spark: SparkSession, path: String): String = {
+    val keyed = s"$path/centroids_${liveLists(spark, path)}"
+    val p = new org.apache.hadoop.fs.Path(keyed)
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      keyed
+    else s"$path/centroids"
+  }
+
+  /** The stored codebook paired with the live tree, in the normalized
+    * broadcast-small (__cid long, __cv, __cn) frame shape every reader
+    * shares ([[Similarity.centFrame]]'s contract).
+    */
+  private[graft] def storedCentFrame(spark: SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(centDir(spark, path))
+      .select(col("centroid_id").cast("long").as("__cid"),
+        col("centroid").as("__cv"), col("cnorm").as("__cn"))
 
   /** Mean 1e-4-quantized angular slack of the live unmasked rows to
     * their OWN stored centroid — [[routingDrift]]'s build-side mean
@@ -544,10 +603,8 @@ object IvfIndex {
     * codebook.
     */
   def meanRoutingError(spark: SparkSession, path: String): Double = {
-    val centStored = spark.read.parquet(s"$path/centroids")
-      .select(col("centroid_id").cast("long").as("__cid"),
-        col("centroid").as("__cv"), col("cnorm").as("__cn"))
-    val r = liveRoutingErr(spark, path, centStored).collect()(0)
+    val r = liveRoutingErr(spark, path,
+      storedCentFrame(spark, path)).collect()(0)
     require(r.getLong(0) > 0, s"meanRoutingError of $path: no live rows")
     r.getLong(1).toDouble / r.getLong(0)
   }
@@ -661,6 +718,16 @@ object IvfIndex {
         "masked ids needs a rebuild (write), which clears it")
       return
     }
+    // A post-[[refit]] tree carries a version-keyed codebook; the
+    // compacted copy keeps the SAME cells, so the pairing must travel
+    // to the new tree name — cloned BEFORE the tree commits (an
+    // uncommitted tree is invisible, so a crash in between changes
+    // nothing; committing first would open a window where the new tree
+    // resolves against the legacy pre-refit codebook).
+    val keyedCur = new org.apache.hadoop.fs.Path(s"$path/centroids_$cur")
+    if (fs0.exists(keyedCur))
+      TreeClone.linkOrCopy(keyedCur,
+        new org.apache.hadoop.fs.Path(s"$path/centroids_$next"), conf0)
     folded
       .repartition(col("list"))
       .write.mode("overwrite")
@@ -707,6 +774,11 @@ object IvfIndex {
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/$retired"), true)
     fs.delete(new org.apache.hadoop.fs.Path(
       s"$path/tombstones_$retired"), true)
+    // The retired tree's version-keyed codebook (a rolled-back
+    // [[refit]]) goes with it — the previous tree re-pairs with ITS
+    // codebook (keyed if it has one, legacy otherwise) via [[centDir]].
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$path/centroids_$retired"), true)
     committed(committed.size - 2)
   }
 
@@ -721,7 +793,7 @@ object IvfIndex {
       vecCol: String,
       k: Int,
       nprobe: Int = 3): DataFrame = {
-    val centStored = spark.read.parquet(s"$path/centroids")
+    val centStored = spark.read.parquet(centDir(spark, path))
     val listsStored = spark.read.parquet(s"$path/${liveLists(spark, path)}")
     // The partition column comes back through directory-name inference,
     // which narrows numeric types (long → int). Align the CODEBOOK side

@@ -193,14 +193,7 @@ object PqIndex {
       maxRecordsPerFile: Long = 5000000L, retain: Int = 1): PqModel = {
     val live = liveVersion(spark, path)
     val stored = readModel(spark, s"$path/$live")
-    val lists = spark.read.parquet(s"$path/$live/lists")
-      .select(col("neighbor_id"), col("vec"))
-    val corpus = tombstonesOpt(spark, s"$path/$live") match {
-      case None => lists
-      case Some(t) =>
-        lists.join(broadcast(t.distinct()), Seq("neighbor_id"),
-          "left_anti")
-    }
+    val corpus = liveCorpus(spark, path, live)
     require(!corpus.isEmpty,
       s"refit of $path: no live (unmasked) rows — an empty index has " +
         "nothing to fit; repopulate with write()")
@@ -232,21 +225,27 @@ object PqIndex {
   def meanQuantizationError(spark: SparkSession, path: String): Double = {
     val live = liveVersion(spark, path)
     val model = readModel(spark, s"$path/$live")
+    val r = Pq.errAgg(liveCorpus(spark, path, live),
+      "neighbor_id", "vec", model).collect()(0)
+    require(r.getLong(0) > 0,
+      s"meanQuantizationError of $path: no live rows")
+    r.getLong(1).toDouble / r.getLong(0)
+  }
+
+  /** The live UNMASKED (neighbor_id, vec) rows of a generation — the
+    * lists-minus-tombstones corpus [[refit]] and
+    * [[meanQuantizationError]] share.
+    */
+  private def liveCorpus(spark: SparkSession, path: String,
+      live: String): DataFrame = {
     val lists = spark.read.parquet(s"$path/$live/lists")
       .select(col("neighbor_id"), col("vec"))
-    val corpus = tombstonesOpt(spark, s"$path/$live") match {
+    tombstonesOpt(spark, s"$path/$live") match {
       case None => lists
       case Some(t) =>
         lists.join(broadcast(t.distinct()), Seq("neighbor_id"),
           "left_anti")
     }
-    val r = Pq.encode(corpus, "neighbor_id", "vec", model)
-      .agg(count(lit(1)).as("n"),
-        sum(col("recon_dist")).cast("long").as("err"))
-      .collect()(0)
-    require(r.getLong(0) > 0,
-      s"meanQuantizationError of $path: no live rows")
-    r.getLong(1).toDouble / r.getLong(0)
   }
 
   /** One micro-batch of streaming index maintenance — the foreachBatch

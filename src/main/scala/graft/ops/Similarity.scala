@@ -364,23 +364,39 @@ object Similarity {
       centVecCol: String = "centroid"): DataFrame = {
     val cent = centFrame(centroids, centIdCol, centVecCol)
     def errOf(df: DataFrame, tag: String): DataFrame =
-      df.filter(col(vecCol).isNotNull)
-        .select(col(idCol).as("__id"), col(vecCol).as("__v"),
-          norm(col(vecCol)).as("__n"))
-        .crossJoin(broadcast(cent))
-        .withColumn("__acos",
-          dot(col("__v"), col("__cv")) / (col("__n") * col("__cn")))
-        .groupBy(col("__id"))
-        .agg(max(col("__acos")).as("__best"))
-        .agg(count(lit(1)).as(s"${tag}_n"),
-          sum(round((lit(1.0) - col("__best")) * 10000).cast("long"))
-            .cast("long").as(s"${tag}_err"))
+      routingErrAgg(df, idCol, vecCol, cent)
+        .select(col("n").as(s"${tag}_n"), col("err").as(s"${tag}_err"))
     errOf(build, "build").crossJoin(errOf(delta, "delta"))
       .select(col("build_n"), col("build_err"), col("delta_n"),
         col("delta_err"),
         round((col("delta_err") / col("delta_n")) /
           (col("build_err") / col("build_n")), 4).as("drift_ratio"))
   }
+
+  /** `(n, err)` = row count and Σ `round((1 − best cos)·10⁴)` of `df`
+    * routed against the NORMALIZED broadcast codebook `cent`
+    * ((__cid, __cv, __cn) — [[centFrame]] / `IvfIndex.storedCentFrame`
+    * shape) — the ONE argmax assignment scan every routing-drift
+    * surface shares ([[routingDrift]], `IvfIndex.routingDrift`,
+    * `StreamingIvfDrift`, `StreamingIvfRefit`). Quantizing each row at
+    * 1e-4 BEFORE the sum keeps the aggregate integer-exact and
+    * engine-portable (the `q_ivf_drift` oracle replays exactly this);
+    * changing the granularity or the null policy here is the only
+    * place to change it.
+    */
+  private[graft] def routingErrAgg(df: DataFrame, idCol: String,
+      vecCol: String, cent: DataFrame): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        norm(col(vecCol)).as("__n"))
+      .crossJoin(broadcast(cent))
+      .withColumn("__acos",
+        dot(col("__v"), col("__cv")) / (col("__n") * col("__cn")))
+      .groupBy(col("__id"))
+      .agg(max(col("__acos")).as("__best"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(round((lit(1.0) - col("__best")) * 10000).cast("long"))
+          .cast("long").as("err"))
 
   /** Normalized codebook frame: (__cid, __cv double[], __cn). The single
     * shape both the inline IVF path and the persisted [[IvfIndex]] share.

@@ -57,6 +57,7 @@ object SimilarityQueries extends QueryGroup {
           f.getName.startsWith("graft_curves_maint_") ||
           f.getName.startsWith("graft_msidx_") ||
           f.getName.startsWith("graft_pqidx_") ||
+          f.getName.startsWith("graft_prr_") ||
           f.getName.startsWith("graft_tsk_")) &&
         // contains, not endsWith: most trees put the appId LAST, but
         // graft_curves_maint_<appId>_<corpusName> puts the corpus name

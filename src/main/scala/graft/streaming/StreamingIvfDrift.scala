@@ -36,7 +36,12 @@ object StreamingIvfDrift {
           val d = IvfIndex.routingDrift(batch.sparkSession, path, batch,
             idCol, vecCol)
           val row = d.collect()(0) // one row by construction
-          if (row.getDouble(row.fieldIndex("drift_ratio")) >= threshold)
+          // drift_ratio is SQL-NULL when a cohort lands empty after
+          // the null-vector filter (an all-null batch, or an
+          // all-tombstoned index) — no signal, not an alarm; a bare
+          // getDouble here would NPE and kill the monitoring stream.
+          val i = row.fieldIndex("drift_ratio")
+          if (!row.isNullAt(i) && row.getDouble(i) >= threshold)
             onDrift(id, d)
         }
       }
@@ -58,21 +63,8 @@ object StreamingIvfDrift {
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          val cent = spark.read.parquet(s"$path/centroids")
-            .select(col("centroid_id").cast("long").as("__cid"),
-              col("centroid").as("__cv"), col("cnorm").as("__cn"))
-          val r = batch.filter(col(vecCol).isNotNull)
-            .select(col(idCol).as("__id"), col(vecCol).as("__v"),
-              graft.ops.Similarity.norm(col(vecCol)).as("__n"))
-            .crossJoin(broadcast(cent))
-            .withColumn("__acos",
-              graft.ops.Similarity.dot(col("__v"), col("__cv")) /
-                (col("__n") * col("__cn")))
-            .groupBy(col("__id"))
-            .agg(max(col("__acos")).as("__best"))
-            .agg(count(lit(1)).as("n"),
-              sum(round((lit(1.0) - col("__best")) * 10000)
-                .cast("long")).cast("long").as("err"))
+          val r = graft.ops.Similarity.routingErrAgg(batch, idCol,
+            vecCol, IvfIndex.storedCentFrame(spark, path))
             .collect()(0)
           val n = r.getLong(0)
           if (n > 0) {

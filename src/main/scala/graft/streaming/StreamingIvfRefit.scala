@@ -54,22 +54,8 @@ object StreamingIvfRefit {
       val ratio: Double =
         if (adds.isEmpty) 0.0
         else {
-          val cent = spark.read.parquet(s"$path/centroids")
-            .select(col("centroid_id").cast("long").as("__cid"),
-              col("centroid").as("__cv"), col("cnorm").as("__cn"))
-          val r = adds.filter(col(vecCol).isNotNull)
-            .select(col(idCol).as("__id"), col(vecCol).as("__v"),
-              Similarity.norm(col(vecCol)).as("__n"))
-            .crossJoin(broadcast(cent))
-            .withColumn("__acos",
-              Similarity.dot(col("__v"), col("__cv")) /
-                (col("__n") * col("__cn")))
-            .groupBy(col("__id"))
-            .agg(max(col("__acos")).as("__best"))
-            .agg(count(lit(1)).as("n"),
-              sum(round((lit(1.0) - col("__best")) * 10000)
-                .cast("long")).cast("long").as("err"))
-            .collect()(0)
+          val r = Similarity.routingErrAgg(adds, idCol, vecCol,
+            IvfIndex.storedCentFrame(spark, path)).collect()(0)
           if (r.getLong(0) == 0L || refMean <= 0) 0.0
           else (r.getLong(1).toDouble / r.getLong(0)) / refMean
         }

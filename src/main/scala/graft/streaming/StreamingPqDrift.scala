@@ -34,7 +34,12 @@ object StreamingPqDrift {
           val d = Pq.quantizationDrift(buildSample, batch, idCol, vecCol,
             model)
           val row = d.collect()(0) // one row by construction
-          if (row.getDouble(row.fieldIndex("drift_ratio")) >= threshold)
+          // drift_ratio is SQL-NULL when a cohort lands empty after the
+          // null-vector filter (an all-null batch, or an empty build
+          // sample) — no signal, not an alarm; a bare getDouble here
+          // would NPE and kill the monitoring stream.
+          val i = row.fieldIndex("drift_ratio")
+          if (!row.isNullAt(i) && row.getDouble(i) >= threshold)
             onDrift(id, d)
         }
       }
@@ -54,11 +59,7 @@ object StreamingPqDrift {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         if (!batch.isEmpty) {
-          import org.apache.spark.sql.functions._
-          val r = Pq.encode(batch, idCol, vecCol, model)
-            .agg(count(lit(1)).as("n"),
-              sum(col("recon_dist")).cast("long").as("err"))
-            .collect()(0)
+          val r = Pq.errAgg(batch, idCol, vecCol, model).collect()(0)
           val n = r.getLong(0)
           if (n > 0) {
             val ratio = (r.getLong(1).toDouble / n) / meanBuildErr

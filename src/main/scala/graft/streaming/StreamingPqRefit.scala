@@ -54,10 +54,11 @@ object StreamingPqRefit {
     // before the first batch) and refreshed only on refit.
     var ref: Option[(PqModel, Double)] = None
     (batch, id) => {
-      val live = PqIndex.liveVersion(spark, path)
-      if (ref.isEmpty)
+      if (ref.isEmpty) {
+        val live = PqIndex.liveVersion(spark, path)
         ref = Some((PqIndex.readModel(spark, s"$path/$live"),
           PqIndex.meanQuantizationError(spark, path)))
+      }
       val (model, refMean) = ref.get
       // Drift of THIS batch's adds under the CURRENT model, measured
       // BEFORE the batch lands (the monitor contract: incoming cohort
@@ -67,11 +68,13 @@ object StreamingPqRefit {
       val ratio: Double =
         if (adds.isEmpty) 0.0
         else {
-          val r = Pq.encode(adds, idCol, vecCol, model)
-            .agg(count(lit(1)).as("n"),
-              sum(col("recon_dist")).cast("long").as("err"))
-            .collect()(0)
-          if (r.getLong(0) == 0L) 0.0
+          val r = Pq.errAgg(adds, idCol, vecCol, model).collect()(0)
+          // refMean == 0 (a perfectly-quantized reference — tiny
+          // corpus, <= k distinct subvectors per subspace) must read
+          // as "no signal", not Infinity: an unguarded divide would
+          // fire a full refit REBUILD on every batch forever (the
+          // recomputed reference can stay 0) — a refit storm.
+          if (r.getLong(0) == 0L || refMean <= 0) 0.0
           else (r.getLong(1).toDouble / r.getLong(0)) / refMean
         }
       PqIndex.applyMaintenanceBatch(spark, path, batch, idCol, vecCol,

@@ -572,13 +572,83 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestBase {
       "vec_id", "embedding", k = 4, nprobe = 2))
     assert(got == want && got.nonEmpty)
     // The resampled codebook is the full rule over survivors (odd-id
-    // centroids arrived; the deleted centroid candidate did not).
-    assert(spark.read.parquet(s"$path/centroids").count() ==
+    // centroids arrived; the deleted centroid candidate did not) —
+    // resolved via centDir (refit writes it VERSION-KEYED to the new
+    // tree; the legacy dir keeps the stale pairing for retained trees).
+    assert(spark.read.parquet(IvfIndex.centDir(spark, path)).count() ==
       fullCent.count())
     // The rebuild folded the mask: no tombstoned rows in the new tree.
     assert(spark.read.parquet(s"$path/${IvfIndex.liveLists(spark, path)}")
       .filter(pmod(col("neighbor_id"), lit(16)) === 3).count() == 0)
     assert(IvfIndex.tombstones(spark, path).isEmpty,
       "refit must clear the consumed masks")
+  }
+
+  test("refit codebook swap is atomic under rollback and compact: a " +
+    "rolled-back refit restores the OLD codebook+tree pairing, and a " +
+    "compact after a refit carries the keyed codebook to the new tree") {
+    val path = Files.createTempDirectory("ivf_refit_atomic").toString
+    val even = corpus.filter(col("vec_id") % 2 === 0)
+    val odd = corpus.filter(col("vec_id") % 2 === 1)
+    val staleCent = even.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("centroid"))
+    IvfIndex.write(path, even, "vec_id", "embedding", staleCent)
+    IvfIndex.append(spark, path, odd, "vec_id", "embedding")
+    // Probes from the ODD clusters (the ones the stale codebook has no
+    // cells for) at nprobe = 1 — the single probed cell makes results
+    // maximally codebook-dependent, so the pre/post pairing assertions
+    // below actually discriminate (the default even-cluster probes at
+    // nprobe = 2 returned identical top-4 under both codebooks).
+    val oddProbes = corpus.filter(col("vec_id") % 40 === 1)
+    def probe() = canon(IvfIndex.topK(spark, path, oddProbes,
+      "vec_id", "embedding", k = 4, nprobe = 1))
+    val pre = probe()
+    val staleN = spark.read.parquet(s"$path/centroids").count()
+
+    IvfIndex.refit(spark, path, centroidMod = 5, retain = 2)
+    val liveAfter = IvfIndex.liveLists(spark, path)
+    assert(new java.io.File(s"$path/centroids_$liveAfter").exists(),
+      "refit must version-key its codebook to the new tree")
+    assert(spark.read.parquet(s"$path/centroids").count() == staleN,
+      "refit must not touch the legacy codebook (the retained tree's " +
+        "pairing)")
+    val post = probe()
+    assert(post != pre, "the resampled codebook must change routing " +
+      "on this fixture (otherwise the rollback assertion is vacuous)")
+
+    // The review scenario: rollback of a retained refit must restore
+    // the OLD codebook+tree PAIRING, not pair old lists with the refit
+    // codebook.
+    IvfIndex.rollback(spark, path)
+    assert(probe() == pre,
+      "rollback re-paired the previous tree with the wrong codebook")
+    assert(!new java.io.File(s"$path/centroids_$liveAfter").exists(),
+      "the retired refit's keyed codebook must go with its tree")
+
+    // Compact after a refit: the keyed codebook travels to the
+    // compacted tree name (same cells — probes must equal a survivors
+    // scratch build under the refit-rule codebook).
+    IvfIndex.refit(spark, path, centroidMod = 5)
+    val deadPred = col("vec_id") % 12 === 7
+    IvfIndex.delete(spark, path,
+      corpus.filter(deadPred).select("vec_id"), "vec_id")
+    IvfIndex.compact(spark, path)
+    val liveC = IvfIndex.liveLists(spark, path)
+    assert(new java.io.File(s"$path/centroids_$liveC").exists(),
+      "compact must carry the keyed codebook to the compacted tree")
+    val surv = corpus.filter(!deadPred)
+    val scratch = Files.createTempDirectory("ivf_refit_atomic_scr")
+      .toString
+    // The codebook is the REFIT-time rule over all live rows (the
+    // delete came after the refit and deletes never move centroids);
+    // only the lists shrink to the survivors.
+    IvfIndex.write(scratch, surv, "vec_id", "embedding",
+      corpus.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("centroid")))
+    val want = canon(IvfIndex.topK(spark, scratch, oddProbes,
+      "vec_id", "embedding", k = 4, nprobe = 1))
+    assert(probe() == want && want.nonEmpty)
   }
 }
