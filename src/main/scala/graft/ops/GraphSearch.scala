@@ -183,9 +183,16 @@ object GraphSearch {
       // Merge: every surviving old row has now been expanded; arrivals
       // enter unexpanded. max(cos) dedups a re-found node (identical
       // deterministic value); max(__exp) keeps "expanded" sticky.
+      // repartition(qid) is the shared-exchange trick (guide §2.4):
+      // hash(qid) satisfies the (qid, node) clustering of the dedup
+      // aggregate AND the beam-cut window's qid distribution, so the
+      // round's merge pays ONE shuffle instead of two — and the
+      // checkpoint preserves the qid partitioning, so the next round's
+      // candidate dedup reuses it with no exchange at all.
       beamDf = beamDf
         .select(col("qid"), col("node"), col("cos"), lit(true).as("__exp"))
         .unionAll(scored.withColumn("__exp", lit(false)))
+        .repartition(col("qid"))
         .groupBy("qid", "node")
         .agg(max("cos").as("cos"), max("__exp").as("__exp"))
         .withColumn("__r", row_number().over(byQ))

@@ -105,13 +105,19 @@ object NnDescent {
     }.reduce(_ unionAll _)
 
     // (id, nbr, cos, __new). Tables may duplicate a pair — max(cos) over
-    // identical values is the deterministic dedup.
+    // identical values is the deterministic dedup. The explicit
+    // repartition(id) establishes the partitioning ONCE: hash(id)
+    // satisfies the (id, nbr) clustering the aggregate needs AND the
+    // window's own id distribution, so the dedup and the top-k rank
+    // share a single exchange instead of shuffling twice (guide §2.4,
+    // "two operations keyed the same way can share one exchange").
     val init = symmetrizePairs(initPairs)
+      .repartition(col("id"))
       .groupBy("id", "nbr").agg(max("cos").as("cos"))
       .withColumn("__r", row_number().over(byCos))
       .filter(col("__r") <= k)
       .select(col("id"), col("nbr"), col("cos"), lit(true).as("__new"))
-    val edges = descend(v, init, k, deg, rounds, simPrecision)
+    val edges = descend(v, init, k, deg, rounds, simPrecision, bulk = true)
 
     // Every round's newCount materialized its edges checkpoint, so the
     // final graph reads its own blocks — the data-sized vector frame is
@@ -166,7 +172,8 @@ object NnDescent {
     * the final frame's blocks.
     */
   private[graft] def descend(v: DataFrame, edges0: DataFrame, k: Int,
-      deg: Int, rounds: Int, simPrecision: Int): DataFrame = {
+      deg: Int, rounds: Int, simPrecision: Int,
+      bulk: Boolean = false): DataFrame = {
     val cosAB = cosExpr(simPrecision)
     def byCos = Window.partitionBy("id")
       .orderBy(col("cos").desc, col("nbr").asc)
@@ -181,9 +188,15 @@ object NnDescent {
       val prev = edges
       // General neighborhood: forward ∪ reverse, deduped, similarity-
       // capped at `deg` (an edge is "new" if either direction is) —
-      // computed only for pivots that can generate candidates.
+      // computed only for pivots that can generate candidates. The
+      // repartition(id) is the shared-exchange trick (guide §2.4): the
+      // pivot distinct, the dedup aggregate and the degree-cap window
+      // are all id-clustered, so one hash(id) shuffle serves all three
+      // (the union's output partitioning is unknown, so without it each
+      // of the three re-shuffles on its own).
       val sym = edges.unionAll(edges.select(col("nbr").as("id"),
         col("id").as("nbr"), col("cos"), col("__new")))
+        .repartition(col("id"))
       val pivots = sym.filter(col("__new")).select(col("id")).distinct()
       val nbrs = sym
         .join(pivots, Seq("id"), "left_semi")
@@ -208,7 +221,7 @@ object NnDescent {
         .join(v.select(col("id").as("w"), col("__v").as("__vb"),
           col("__n").as("__nb")), Seq("w"))
         .select(col("u"), col("w"), cosAB.as("cos"))
-      edges = mergeArrivals(edges, symmetrizePairs(scored), k)
+      edges = mergeArrivals(edges, symmetrizePairs(scored), k, bulk)
         .localCheckpoint(eager = false)
       changed = newCount(edges)
       Checkpoints.release(prev)
@@ -217,31 +230,59 @@ object NnDescent {
     edges
   }
 
-  /** Merge scored arrivals (id, nbr, cos) into a flagged edge set and
-    * re-rank ONLY the ids that received any — current edges always
-    * survive into the merge, so each node's top-k only ever improves
-    * (the termination argument), and __o distinguishes "re-scored a
-    * known edge" (max → old) from a genuine arrival. Ids with no
-    * arrivals pass through with flags cleared, exactly what the global
-    * merge would do to them.
+  /** Merge scored arrivals (id, nbr, cos) into a flagged edge set —
+    * current edges always survive into the merge, so each node's top-k
+    * only ever improves (the termination argument), and __o
+    * distinguishes "re-scored a known edge" (max → old) from a genuine
+    * arrival.
+    *
+    * Two output-identical physical shapes:
+    *   - `bulk = false` (incremental maintenance): re-rank ONLY the ids
+    *     that received arrivals; untouched ids pass through an anti-join
+    *     with their flags cleared. Cheapest when arrivals are a small
+    *     fraction of the graph — the untouched majority is never
+    *     shuffled.
+    *   - `bulk = true` (full builds, where most ids receive arrivals):
+    *     union EVERYTHING and re-rank per id on one hash(id) exchange.
+    *     An untouched id's ≤ k rows re-rank to themselves under the
+    *     same (cos DESC, nbr ASC) order, so the output is identical —
+    *     but the plan drops the `affected` semi/anti pair, which
+    *     re-executed the whole candidate-scoring subtree once per
+    *     reference (the r17 KmvSketch disease, measured again here:
+    *     the arrivals subtree ran 2× per round), and the dedup
+    *     aggregate + rank window share the single repartition(id)
+    *     exchange (guide §2.4).
     */
   private[graft] def mergeArrivals(edges: DataFrame, arrivals: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, bulk: Boolean = false): DataFrame = {
     def byCos = Window.partitionBy("id")
       .orderBy(col("cos").desc, col("nbr").asc)
-    val affected = arrivals.select(col("id")).distinct()
-    val merged = edges.join(affected, Seq("id"), "left_semi")
-      .select(col("id"), col("nbr"), col("cos"), lit(1L).as("__o"))
-      .unionAll(arrivals.select(col("id"), col("nbr"), col("cos"))
-        .withColumn("__o", lit(0L)))
-      .groupBy("id", "nbr")
-      .agg(max("cos").as("cos"), max("__o").as("__o"))
-      .withColumn("__r", row_number().over(byCos))
-      .filter(col("__r") <= k)
-      .select(col("id"), col("nbr"), col("cos"),
-        (col("__o") === 0L).as("__new"))
-    edges.join(affected, Seq("id"), "left_anti")
-      .select(col("id"), col("nbr"), col("cos"), lit(false).as("__new"))
-      .unionAll(merged)
+    if (bulk) {
+      edges.select(col("id"), col("nbr"), col("cos"), lit(1L).as("__o"))
+        .unionAll(arrivals.select(col("id"), col("nbr"), col("cos"))
+          .withColumn("__o", lit(0L)))
+        .repartition(col("id"))
+        .groupBy("id", "nbr")
+        .agg(max("cos").as("cos"), max("__o").as("__o"))
+        .withColumn("__r", row_number().over(byCos))
+        .filter(col("__r") <= k)
+        .select(col("id"), col("nbr"), col("cos"),
+          (col("__o") === 0L).as("__new"))
+    } else {
+      val affected = arrivals.select(col("id")).distinct()
+      val merged = edges.join(affected, Seq("id"), "left_semi")
+        .select(col("id"), col("nbr"), col("cos"), lit(1L).as("__o"))
+        .unionAll(arrivals.select(col("id"), col("nbr"), col("cos"))
+          .withColumn("__o", lit(0L)))
+        .groupBy("id", "nbr")
+        .agg(max("cos").as("cos"), max("__o").as("__o"))
+        .withColumn("__r", row_number().over(byCos))
+        .filter(col("__r") <= k)
+        .select(col("id"), col("nbr"), col("cos"),
+          (col("__o") === 0L).as("__new"))
+      edges.join(affected, Seq("id"), "left_anti")
+        .select(col("id"), col("nbr"), col("cos"), lit(false).as("__new"))
+        .unionAll(merged)
+    }
   }
 }
