@@ -53,7 +53,14 @@ object KmvSketch {
     // 2.3× the query's useful work. Materializing the sketch once turns
     // every leg into a scan of ≤ |keys|·k checkpointed rows (the
     // "checkpoint model-sized state, recompute data-sized" rule).
-    val sk = sk0.localCheckpoint(eager = true)
+    // coalesce(8): the window that builds the sketch hash-partitions by
+    // key, so only |keys| of the session's shuffle partitions are
+    // non-empty — checkpointing all of them spreads ≤ |keys|·k rows over
+    // 32+ mostly-empty blocks that every one of the six legs then
+    // schedules tasks for. Eight partitions bound the block count (and
+    // the per-leg task count) without re-shuffling; the upstream
+    // exchange's width is untouched.
+    val sk = sk0.coalesce(8).localCheckpoint(eager = true)
     val keys = sk.select(col("key")).distinct()
     val pairs = keys.select(col("key").as("key_a"))
       .crossJoin(keys.select(col("key").as("key_b")))

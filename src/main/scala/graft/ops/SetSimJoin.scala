@@ -95,8 +95,20 @@ object SetSimJoin {
         explode(graft.expr.WordShingles.shingles(col(textCol), shingleSize,
           distinct = true)).as("__g"))
       .select(col("id"), Dedup.md5Hash60(col("__g")).as("gram"))
-    val df = sets.groupBy(col("gram")).agg(count(lit(1)).as("__df"))
-    sets.join(df, Seq("gram"))
+    // Document frequency as a whole-partition window count over gram
+    // instead of groupBy + join-back: the same (id, gram, __df) rows
+    // from ONE gram-keyed exchange, where the join form scanned `sets`
+    // twice (once per leg), built a distinct-grams aggregate, and
+    // broadcast it — a structure that stops working the moment the
+    // distinct-gram table outgrows the broadcast cap, while the window
+    // is gram-partitioned (high-cardinality key, no single-partition
+    // collapse) at any scale (guide §2.4).
+    import org.apache.spark.sql.expressions.Window
+    sets
+      .withColumn("__df",
+        count(lit(1)).over(Window.partitionBy(col("gram"))
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
       .groupBy(col("id"))
       .agg(transform(
         array_sort(collect_list(struct(col("__df"), col("gram")))),
@@ -122,6 +134,15 @@ object SetSimJoin {
     // is serialized and spill-able, never deserialized-resident").
     val ranked = rankedSets(docs, idCol, textCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // Materialize the cache BEFORE the three consumers reference it:
+    // under AQE the prefix-explode leg and both verify legs plan their
+    // leaf stages concurrently, and a still-cold cache makes each of
+    // them execute the full shingle→df→sort pipeline (measured at
+    // sf0.1: the documents scan ran 6× across racing stages, one of
+    // them inside a broadcast-build thread). One count() builds the
+    // cache once, sequentially; every branch then scans stored batches
+    // (guide §1.2 step 1 — don't compute things you throw away).
+    ranked.count()
     val cands = candidatePairs(ranked, tau)
     val arrs = ranked.select(col("id"), col("grams"))
     // (A tail-only verification — __cp + intersect of the post-w* slices,
