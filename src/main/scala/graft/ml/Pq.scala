@@ -31,7 +31,7 @@ object Pq {
     def subDim: Int = dims / m
   }
 
-  private def subVec(vec: Column, s: Int, subDim: Int): Column =
+  private[graft] def subVec(vec: Column, s: Int, subDim: Int): Column =
     slice(vec, s * subDim + 1, subDim)
 
   /** Fit per-subspace codebooks. `dims` must split evenly into `m`.

@@ -102,21 +102,44 @@ object PqIndex {
     * (centroid_id, centroid) — pass the same frame the inline path
     * derives so artifact and inline routing agree.
     */
+  /** Routed + PQ-encoded rows in ONE corpus pass: the inverted-lists
+    * frame already carries each row's full vector (`__nv`), and the PQ
+    * code is a map-only projection of that same vector — so encoding
+    * INSIDE the lists frame produces bit-identical codes to a separate
+    * [[Pq.encode]] pass without the second corpus scan or the
+    * neighbor_id join that re-shuffled both sides to stitch them back
+    * together (guide §2.4: remove shuffles outright). At corpus scale
+    * this turns the build from (2 scans, 3 exchanges, 1 join) into
+    * (1 scan, 2 exchanges: the argmax assignment and the cell-keyed
+    * write placement).
+    */
+  private def encodedLists(corpus: DataFrame, idCol: String,
+      vecCol: String, cent: DataFrame, model: PqModel): DataFrame = {
+    val lists = Similarity.invertedLists(corpus, idCol, vecCol, cent)
+    val asg = (0 until model.m).map { s =>
+      graft.ml.KMeans.assignment(
+        Pq.subVec(col("__nv"), s, model.subDim), model.models(s))
+        .as(s"__a$s")
+    }
+    lists
+      .select(col("__list") +: col("neighbor_id") +: col("__nv") +:
+        col("__nn") +: asg: _*)
+      .select(col("__list").as("list"), col("neighbor_id"),
+        array((0 until model.m).map(s => col(s"__a$s.cluster")): _*)
+          .as("pq_code"),
+        col("__nv").as("vec"), col("__nn").as("vnorm"))
+  }
+
   def write(spark: SparkSession, path: String, corpus: DataFrame,
       idCol: String, vecCol: String, centroids: DataFrame,
       model: PqModel, maxRecordsPerFile: Long = 5000000L,
       retain: Int = 1): Unit = {
     val cent = Similarity.centFrame(centroids, "centroid_id", "centroid")
-    val lists = Similarity.invertedLists(corpus, idCol, vecCol, cent)
-    val codes = Pq.encode(corpus, idCol, vecCol, model)
-      .select(col(idCol).as("neighbor_id"), col("pq_code"))
     versions.commitNext(spark, path, retain) { gen =>
       cent.select(col("__cid").as("centroid_id"),
           col("__cv").as("centroid"), col("__cn").as("cnorm"))
         .coalesce(1).write.mode("overwrite").parquet(s"$gen/centroids")
-      lists.join(codes, Seq("neighbor_id"))
-        .select(col("__list").as("list"), col("neighbor_id"),
-          col("pq_code"), col("__nv").as("vec"), col("__nn").as("vnorm"))
+      encodedLists(corpus, idCol, vecCol, cent, model)
         .repartition(col("list"))
         .write.mode("overwrite")
         .option("maxRecordsPerFile", maxRecordsPerFile)
@@ -149,12 +172,7 @@ object PqIndex {
     val cent = spark.read.parquet(s"$path/$live/centroids").select(
       col("centroid_id").as("__cid"), col("centroid").as("__cv"),
       col("cnorm").as("__cn"))
-    val lists = Similarity.invertedLists(delta, idCol, vecCol, cent)
-    val codes = Pq.encode(delta, idCol, vecCol, model)
-      .select(col(idCol).as("neighbor_id"), col("pq_code"))
-    lists.join(codes, Seq("neighbor_id"))
-      .select(col("__list").as("list"), col("neighbor_id"),
-        col("pq_code"), col("__nv").as("vec"), col("__nn").as("vnorm"))
+    encodedLists(delta, idCol, vecCol, cent, model)
       .repartition(col("list"))
       .write.mode("append")
       .option("maxRecordsPerFile", maxRecordsPerFile)
