@@ -83,6 +83,37 @@ class NnDescentSpec extends AnyFunSuite with SparkTestBase {
       k = 3, rounds = 2).count() == 0) // lone non-null vector: no pairs
   }
 
+  test("mergeArrivals bulk and incremental shapes produce identical rows") {
+    import spark.implicits._
+    // Edges: ids 1 and 2 hold ranked lists (k = 2); id 3 exists only in
+    // arrivals; id 2 receives nothing (the pass-through case the bulk
+    // re-rank must reproduce bit-for-bit, flags cleared).
+    val edges = Seq(
+      (1L, 10L, 0.9, false), (1L, 11L, 0.8, true),
+      (2L, 20L, 0.7, false), (2L, 21L, 0.6, true)
+    ).toDF("id", "nbr", "cos", "__new")
+    val arrivals = Seq(
+      (1L, 12L, 0.95), // genuine arrival, should evict 11
+      (1L, 10L, 0.9),  // re-score of a known edge: stays old (__o max)
+      (3L, 30L, 0.5)   // brand-new id
+    ).toDF("id", "nbr", "cos")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "nbr", "cos", "__new").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getBoolean(3))).toSet
+    val inc = rows(NnDescent.mergeArrivals(edges, arrivals, k = 2,
+      bulk = false))
+    val blk = rows(NnDescent.mergeArrivals(edges, arrivals, k = 2,
+      bulk = true))
+    assert(blk === inc)
+    // The pass-through id keeps both rows with flags cleared; the
+    // arrival-receiving id keeps top-2 with only the genuine arrival
+    // flagged new.
+    assert(blk === Set((1L, 12L, 0.95, true), (1L, 10L, 0.9, false),
+      (2L, 20L, 0.7, false), (2L, 21L, 0.6, false),
+      (3L, 30L, 0.5, true)))
+  }
+
   test("SemDedup keepFlagsFromPairs shadows the larger id of a tau-edge") {
     import spark.implicits._
     val ids = Seq(1L, 2L, 3L, 4L).toDF("id")
