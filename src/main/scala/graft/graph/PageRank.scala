@@ -67,12 +67,23 @@ object PageRank {
     // on possibly-isolated nodes should union those ids into the edge
     // frame as self-loops first.
     val seedSet = sources.distinct
+    // e / nodes / outDeg are LOOP-INVARIANT and referenced once per
+    // iteration (plus nodes in the init): checkpoint so the edge
+    // derivation — which for q_textrank is the full bigram explode over
+    // the corpus — executes once, not once per broadcast-build leg per
+    // round (guide §2.4; the KmvSketch redundant-subtree fix, measured
+    // here as 9 re-executions of the explode at 3 iterations). Blocks
+    // release on the caller's between-query hygiene, the LmScore
+    // discipline.
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .localCheckpoint(eager = false)
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node"))).distinct()
+      .localCheckpoint(eager = false)
     val base = Scale / seedSet.size
     val isSeed = col("node").isin(seedSet: _*)
     val outDeg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+      .localCheckpoint(eager = false)
 
     var rank = nodes.select(col("node"),
       when(isSeed, lit(base)).otherwise(lit(0L)).as("rank_fp"))
@@ -105,14 +116,20 @@ object PageRank {
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
+    // Loop-invariant frames checkpointed once — see [[personalized]];
+    // without this the edge derivation re-executes per broadcast-build
+    // leg per round (q_textrank: 9 explode re-executions at 3 rounds).
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .localCheckpoint(eager = false)
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node"))).distinct()
+      .localCheckpoint(eager = false)
     // base = SCALE div N rides every row as a broadcast one-row frame; the
     // per-node init and the teleport term both derive from it, so the two
     // engines share ONE division result rather than re-deriving N.
     val base = nodes.agg(idiv(lit(Scale), count(lit(1))).as("__base"))
     val outDeg = e.groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+      .localCheckpoint(eager = false)
 
     var rank = nodes.crossJoin(broadcast(base))
       .select(col("node"), col("__base").as("rank_fp"))

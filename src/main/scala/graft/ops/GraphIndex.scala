@@ -223,10 +223,21 @@ object GraphIndex {
       // In-batch transport retry: deterministic vector choice, not
       // arrival order (the IvfIndex.applyMaintenanceBatch rule).
       .groupBy("id").agg(max("vec").as("vec"))
-    val fresh = adds.join(stored.select("id"), Seq("id"), "left_anti")
-      .localCheckpoint(eager = false)
-    val dropped = adds.join(stored.select("id"), Seq("id"), "left_semi")
-      .count()
+    // ONE materialization answers "which adds are fresh", "how many were
+    // dropped" and "is anything fresh at all": the left join against the
+    // stored ids is eager-checkpointed (batch-sized — adds are unique by
+    // the groupBy), and the dropped count / fresh split / emptiness test
+    // all read its blocks. The previous shape ran the stored-subtree
+    // THREE times (anti-join, semi-join count, isEmpty) — three full
+    // jobs where one suffices (guide §1.2: fewer passes; these lifecycle
+    // chains are driver-bound on job count, not on bytes).
+    val marked = adds.join(
+        stored.select(col("id"), lit(true).as("__stored")), Seq("id"),
+        "left")
+      .localCheckpoint(eager = true)
+    val fresh = marked.filter(col("__stored").isNull)
+      .select(col("id"), col("vec"))
+    val dropped = marked.filter(col("__stored").isNotNull).count()
     if (dropped > 0) System.err.println(
       s"[graft] GraphIndex.applyMaintenanceBatch: $dropped add(s) for " +
         "already-stored ids ignored (adds are not upserts; an update is " +
@@ -234,7 +245,7 @@ object GraphIndex {
     val freshEmpty = fresh.isEmpty
     if (freshEmpty && tomb.isEmpty) { // replay no-op, nothing to fold
       Checkpoints.release(stored)
-      Checkpoints.release(fresh)
+      Checkpoints.release(marked)
       return
     }
 
@@ -294,7 +305,7 @@ object GraphIndex {
       refined.select(col("id"), col("nbr"), col("cos")), retain)
     Checkpoints.release(vAll)
     Checkpoints.release(stored)
-    Checkpoints.release(fresh)
+    Checkpoints.release(marked)
     Checkpoints.release(refined)
     tomb.foreach(Checkpoints.release)
     // The commit is the last read through these plans, so the checkpoints
@@ -314,7 +325,12 @@ object GraphIndex {
   private def commit(spark: SparkSession, path: String,
       nodes: DataFrame, edges: DataFrame, retain: Int = 1): Unit =
     versions.commitNext(spark, path, retain) { gen =>
-      nodes.write.mode("overwrite").parquet(s"$gen/nodes")
-      edges.write.mode("overwrite").parquet(s"$gen/edges")
+      // The two trees are independent and their shared inputs (stored /
+      // marked / refined checkpoints) are materialized by the actions
+      // that preceded every commit — overlap the writes (guide §2.6);
+      // the marker in commitNext still lands strictly after both.
+      Par.jobs(
+        () => nodes.write.mode("overwrite").parquet(s"$gen/nodes"),
+        () => edges.write.mode("overwrite").parquet(s"$gen/edges"))
     }: Unit
 }

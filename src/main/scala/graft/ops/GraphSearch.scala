@@ -106,15 +106,21 @@ object GraphSearch {
     // round's candidate set dedups).
     var ordPin: Option[DataFrame] = None
     val withOverlay = if (overlay == 0) adjBase else {
-      val n = v.count()
+      // n = |corpus| rides a broadcast 1-row frame instead of a blocking
+      // driver count(): same integer modulus, one fewer sequential job
+      // per topK call — these lifecycle chains are driver-bound on job
+      // count (guide §1.2), and v's checkpoint materializes anyway under
+      // the first beam action.
+      val nRow = v.agg(count(lit(1)).as("__cnt"))
       val ord = Ordinals.assign(v.select(col("id")), Seq(col("id").asc))
         .select(col("id").as("__tgt"), col("ordinal").as("__o"))
       ordPin = Some(ord)
       val jumps = (0 until overlay).map { j =>
-        v.select(col("id").as("node"),
-          pmod(Dedup.md5Hash60(
-            concat(lit(s"$salt:l$j:"), col("id").cast("string"))),
-            lit(n)).as("__o"))
+        v.crossJoin(broadcast(nRow))
+          .select(col("id").as("node"),
+            pmod(Dedup.md5Hash60(
+              concat(lit(s"$salt:l$j:"), col("id").cast("string"))),
+              col("__cnt")).as("__o"))
       }.reduce(_ unionAll _)
         .join(ord, Seq("__o"))
         .filter(col("node") =!= col("__tgt"))

@@ -74,21 +74,28 @@ object IvfIndex {
       retain: Int = 1): Unit = {
     require(retain >= 1, s"retain must be >= 1, got $retain")
     val cent = Similarity.centFrame(centroids, centIdCol, centVecCol)
-    cent.select(col("__cid").as("centroid_id"), col("__cv").as("centroid"),
-        col("__cn").as("cnorm"))
-      .write.mode("overwrite").parquet(s"$path/centroids")
     val spark = corpus.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val next = s"lists_v${maxVersion(fs, root) + 1}"
-    Similarity.invertedLists(corpus, idCol, vecCol, cent)
-      .select(col("__list").as("list"), col("neighbor_id"),
-        col("__nv").as("vec"), col("__nn").as("vnorm"))
-      .repartition(col("list"))
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy("list")
-      .parquet(s"$path/$next")
+    // The codebook and lists trees are independent (the model-sized cent
+    // frame both read is cheap to evaluate twice) — overlap the writes
+    // (guide §2.6). Crash atomicity is unchanged: the commit point was
+    // and remains the lists tree's _SUCCESS, and a torn centroids
+    // overwrite next to an uncommitted lists tree was already reachable
+    // under the sequential order (centroids landed first).
+    Par.jobs(
+      () => cent.select(col("__cid").as("centroid_id"),
+          col("__cv").as("centroid"), col("__cn").as("cnorm"))
+        .write.mode("overwrite").parquet(s"$path/centroids"),
+      () => Similarity.invertedLists(corpus, idCol, vecCol, cent)
+        .select(col("__list").as("list"), col("neighbor_id"),
+          col("__nv").as("vec"), col("__nn").as("vnorm"))
+        .repartition(col("list"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .partitionBy("list")
+        .parquet(s"$path/$next"))
     // Only now — the new tree is committed and outranks everything —
     // drop superseded trees beyond the retention window. `retain`
     // keeps the newest N COMMITTED trees (default 1 — live only): a

@@ -136,15 +136,21 @@ object PqIndex {
       retain: Int = 1): Unit = {
     val cent = Similarity.centFrame(centroids, "centroid_id", "centroid")
     versions.commitNext(spark, path, retain) { gen =>
-      cent.select(col("__cid").as("centroid_id"),
-          col("__cv").as("centroid"), col("__cn").as("cnorm"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$gen/centroids")
-      encodedLists(corpus, idCol, vecCol, cent, model)
-        .repartition(col("list"))
-        .write.mode("overwrite")
-        .option("maxRecordsPerFile", maxRecordsPerFile)
-        .partitionBy("list").parquet(s"$gen/lists")
-      writeModel(spark, gen, model)
+      // Three independent trees (model is a driver object; the
+      // centroid frame both writers read is model-sized and cheap to
+      // evaluate twice): overlap the writes (guide §2.6) so the commit
+      // costs ~the corpus-sized lists pass, not the sum of three
+      // sequential jobs. The marker still lands after all three.
+      Par.jobs(
+        () => cent.select(col("__cid").as("centroid_id"),
+            col("__cv").as("centroid"), col("__cn").as("cnorm"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$gen/centroids"),
+        () => encodedLists(corpus, idCol, vecCol, cent, model)
+          .repartition(col("list"))
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", maxRecordsPerFile)
+          .partitionBy("list").parquet(s"$gen/lists"),
+        () => writeModel(spark, gen, model))
     }: Unit
   }
 
