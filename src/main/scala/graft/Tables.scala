@@ -16,52 +16,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Scale-adaptive scan rebalance (guide §2.5 "input skew", §2.6 idle
-    * capacity): the driver fixtures ship ONE parquet row group per
-    * table, so a scan plans a single populated input partition and all
-    * NARROW work above it — text explodes, vector arithmetic, map-side
-    * partial aggregation — runs on one core no matter how many the
-    * session has (measured: q_ccnet_buckets spent 2.3 s of its 4.2 s in
-    * single-task stages; ~35 queries clustered at 8-core ≈ 32-core in
-    * the r17 scaling block for this reason). One bounded round-robin
-    * exchange of the input right after the read unlocks every core.
-    *
-    * Both guards derive from the input, not from a local-mode constant:
-    *   - identity when the scan already plans >= defaultParallelism
-    *     input splits — at production scale (many files / 128 MB row
-    *     groups) that is always true, so NO exchange is added there;
-    *   - identity for broadcast-dimension-sized files (< 256 KB —
-    *     region/nation/supplier): parallelizing a dim scan pays a
-    *     shuffle stage on every broadcast-build path for work a single
-    *     task finishes in milliseconds.
-    * Filter/column pruning still reach the scan (Catalyst pushes
-    * deterministic predicates below Repartition), so PushedFilters /
-    * ReadSchema are unchanged; the exchange carries only the pruned
-    * columns.
-    */
-  private def rebalance(spark: SparkSession, path: String,
-      df: DataFrame): DataFrame = {
-    val target = spark.sparkContext.defaultParallelism.toLong
-    val p = new org.apache.hadoop.fs.Path(path)
-    val bytes = try {
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.getContentSummary(p).getLength
-    } catch { case _: Exception => 0L }
-    // Pure byte arithmetic — no .rdd/planning probe (measured: forcing a
-    // QueryExecution per load call taxed every cheap query). A table
-    // whose bytes cannot fill `target` max-sized splits cannot reach
-    // `target` scan tasks; above that the scan parallelizes itself and
-    // this is the identity.
-    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
-    if (bytes > 256 * 1024 && bytes < target * maxSplit)
-      df.repartition(target.toInt)
-    else df
-  }
-
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val path = s"$sfDir/$name.parquet"
-    rebalance(spark, path, spark.read.parquet(path))
-  }
+  // NOTE on scan parallelism: the driver fixtures ship ONE parquet row
+  // group per table, so a scan plans a single populated input partition
+  // and all narrow work above it runs on one core. A blanket
+  // rebalance-in-load was tried and REVERTED: it fixed the handful of
+  // CPU-heavy queries but taxed all ~250 cheap ones with a pinned
+  // 32-task exchange per table reference that AQE cannot coalesce
+  // (measured: suite 324 -> 641 s, median per-query 2.0x). The fix
+  // lives where the knowledge is — [[graft.ops.FanOut]] at the few
+  // operator sites whose per-row work provably dominates one exchange
+  // of their input.
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")

@@ -363,8 +363,12 @@ object Dedup {
     // Norms once per row, codegen'd dot per pair (see Similarity.dot).
     // NULL vectors dropped — same policy as every Similarity entry point.
     val nn = emb.filter(col(vecCol).isNotNull)
-    val a = nn.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
-      Similarity.norm(col(vecCol)).as("__na"))
+    // Fan out the STREAM side: the n²/2 dot products all evaluate in the
+    // stream side's partitions of the nested-loop join, which on a
+    // single-input-partition source is one task on one core (FanOut is
+    // the identity when the input is already wide).
+    val a = FanOut(nn.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+      Similarity.norm(col(vecCol)).as("__na")))
     val b = nn.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
       Similarity.norm(col(vecCol)).as("__nb"))
     a.crossJoin(b)

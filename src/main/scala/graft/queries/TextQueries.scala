@@ -537,7 +537,11 @@ object TextQueries extends QueryGroup {
     // filter (no POS tagger in a pure-relational pipeline); the filter
     // applies to EDGES, so windows never span a dropped word's gap.
     "q_textrank" -> ((s, dir) => {
-      val pairs = Tables.documents(s, dir)
+      // Fan out before the bigram explode — the per-row shingle work is
+      // the query's CPU wall and runs single-task on the one-row-group
+      // fixture scan otherwise (ops.FanOut: identity on wide inputs).
+      val pairs = graft.ops.FanOut(
+          Tables.documents(s, dir).select(col("text")))
         .select(explode(graft.expr.WordShingles.shingles(col("text"), 2)).as("bg"))
         .select(split(col("bg"), " ").as("t"))
         .select(col("t").getItem(0).as("w1"), col("t").getItem(1).as("w2"))
@@ -595,8 +599,11 @@ object TextQueries extends QueryGroup {
     "q_ccnet_buckets" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val lm = graft.text.LmScore.avgLogProb(docs, "doc_id", "text")
-      val lang = docs.select(col("doc_id"),
-        TextFunctions.langId(col("text")).as("plang"))
+      // The langId regex scan is this query's second CPU wall — fan it
+      // out like LmScore fans out its shingle explode (ops.FanOut).
+      val lang = graft.ops.FanOut(docs.select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          TextFunctions.langId(col("text")).as("plang"))
       val scored = lm.join(lang, "doc_id")
         .select(col("doc_id"), col("plang"), col("avg_logp").as("x"))
       graft.ops.Quantiles.bucketizeByGroup(scored, "x", Seq("plang"),

@@ -32,7 +32,11 @@ object LmScore {
     */
   private def bigramCounts(docs: DataFrame, idCol: String,
       textCol: String): (DataFrame, DataFrame) = {
-    val bg = docs
+    // Fan the corpus out before the shingle explode: the explode + the
+    // per-(doc, bigram) partial aggregation are the scorer's CPU wall,
+    // and on a single-input-partition source they run on one core
+    // (graft.ops.FanOut — identity when the input is already wide).
+    val bg = graft.ops.FanOut(docs.select(col(idCol), col(textCol)))
       .select(col(idCol).as("doc_id"),
         explode(WordShingles.shingles(col(textCol), 2)).as("__bg"))
       .select(col("doc_id"),
